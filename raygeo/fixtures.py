@@ -1,0 +1,411 @@
+"""Deterministic synthetic image+caption Lance-style table (FIXTURES.md §1).
+
+Schema = BASELINE.json ``input_hint`` (image_id, bytes, w, h, fmt, caption,
+phash) plus *golden* derived columns computed at generation time
+(footprint box, pix_sum, thumb_sum). Every row is a pure function of its
+index, so any row can be regenerated independently and the DuckDB oracle can
+check the Ray pipelines against the stored goldens while the Ray side
+re-derives everything from ``bytes``/``image_id`` (stronger than comparing
+stored to stored).
+
+Footprints are distributed over the grid extent with a deliberate hot spot
+(10% of rows land in one tile) to exercise salting/skew handling, and box
+edges always fall exactly on pixel boundaries of a power-of-two-resolution
+grid so that the floor/ceil tile arithmetic is bit-identical between numpy
+and SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .cells import cell_of
+from .codec import decode, encode
+from .grid import GridSpec
+
+# power-of-two resolution => all footprint/tile arithmetic exact in float64
+FIXTURE_GRID = GridSpec(
+    name="unit_deg",
+    crs="EPSG:4326",
+    x0=-1.0,
+    y1=1.0,
+    res=2.0**-10,
+    width=2048,
+    height=2048,
+    chunk=128,
+)
+
+# coarse global grid for antimeridian scenarios (res = 1/8 deg, exact binary)
+GLOBAL_GRID = GridSpec(
+    name="global_deg",
+    crs="EPSG:4326",
+    x0=-180.0,
+    y1=90.0,
+    res=0.125,
+    width=2880,
+    height=1440,
+    chunk=120,
+)
+
+HOT_TILE = (5, 5)  # 10% of rows land here (i % 10 == 0)
+FMT_CYCLE = ("raw", "pngz", "dctq")
+W_CYCLE = (32, 64, 128)
+H_CYCLE = (32, 48, 128)
+DUP_EVERY = 97  # i % 97 == 0 (i>0) copies row i-1's pixels -> phash dup
+
+FIXTURE_ROOT = "/tmp/raygeo_fixtures"
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("lon_min", pa.float64()),
+        ("lat_min", pa.float64()),
+        ("lon_max", pa.float64()),
+        ("lat_max", pa.float64()),
+        ("pix_sum", pa.int64()),
+        ("thumb_sum", pa.int64()),
+    ]
+)
+
+
+def _id_of(i: int) -> str:
+    return f"img-{i:08d}"
+
+
+def _h32(image_id: str) -> int:
+    return zlib.crc32(image_id.encode())
+
+
+def footprint_of(image_id: str, w: int, h: int, grid: GridSpec = FIXTURE_GRID):
+    """Pure-function footprint box of an image (FIXTURES.md 'derived').
+
+    Box is ``w x h`` pixels at grid resolution, centered on a pixel column/row
+    chosen from crc32(image_id); rows with index % 10 == 0 are pinned inside
+    HOT_TILE. Edges land exactly on pixel boundaries (w, h are even).
+    """
+    i = int(image_id.rsplit("-", 1)[1])
+    hv = _h32(image_id)
+    half_w, half_h = w // 2, h // 2
+    if i % 10 == 0:
+        c = grid.chunk
+        lo_x, hi_x = HOT_TILE[0] * c, (HOT_TILE[0] + 1) * c
+        lo_y, hi_y = HOT_TILE[1] * c, (HOT_TILE[1] + 1) * c
+        col_c = lo_x + (hv % (hi_x - lo_x))
+        row_c = lo_y + ((hv // 7919) % (hi_y - lo_y))
+        col_c = min(max(col_c, half_w), grid.width - half_w)
+        row_c = min(max(row_c, half_h), grid.height - half_h)
+    else:
+        col_c = half_w + (hv % (grid.width - 2 * half_w))
+        row_c = half_h + ((hv // 7919) % (grid.height - 2 * half_h))
+    lon_min = grid.x0 + (col_c - half_w) * grid.res
+    lon_max = grid.x0 + (col_c + half_w) * grid.res
+    lat_max = grid.y1 - (row_c - half_h) * grid.res
+    lat_min = grid.y1 - (row_c + half_h) * grid.res
+    return lon_min, lat_min, lon_max, lat_max
+
+
+def pixels_of(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 gradient + seeded-noise pattern."""
+    hv = _h32(image_id)
+    rng = np.random.Generator(np.random.PCG64(hv))
+    gx = (np.arange(w, dtype=np.uint16) * 255 // max(w - 1, 1)).astype(np.uint8)
+    gy = (np.arange(h, dtype=np.uint16) * 255 // max(h - 1, 1)).astype(np.uint8)
+    base = ((gx[None, :].astype(np.uint16) + gy[:, None]) // 2).astype(np.uint8)
+    noise = rng.integers(0, 64, size=(h, w, 3), dtype=np.uint8)
+    return base[:, :, None] + noise  # uint8 wraparound is deterministic
+
+
+def thumbnail(pix: np.ndarray, size: int = 16) -> np.ndarray:
+    """Area-average downsample to ``size x size`` (h, w multiples of 16)."""
+    h, w, c = pix.shape
+    bh, bw = h // size, w // size
+    blocks = pix[: bh * size, : bw * size].reshape(size, bh, size, bw, c)
+    return (blocks.astype(np.int64).sum(axis=(1, 3)) // (bh * bw)).astype(np.uint8)
+
+
+def phash_of(decoded: np.ndarray) -> int:
+    d = hashlib.sha1(decoded.tobytes()).digest()
+    return int.from_bytes(d[:8], "big") & ((1 << 63) - 1)
+
+
+def _make_row(i: int, grid: GridSpec) -> dict:
+    image_id = _id_of(i)
+    if i > 0 and i % DUP_EVERY == 0:
+        # duplicate pixels AND fmt of previous row (FIXTURES.md phash-dup rule;
+        # fmt must match too so the decoded pixels — hence phash — are equal
+        # even for the lossy codec)
+        src = _id_of(i - 1)
+        w, h = W_CYCLE[(i - 1) % 3], H_CYCLE[i % 3]  # (i-1)+1 == i
+        pix = pixels_of(src, w, h)
+        fmt = FMT_CYCLE[(i - 1) % 3]
+    else:
+        w, h = W_CYCLE[i % 3], H_CYCLE[(i + 1) % 3]
+        pix = pixels_of(image_id, w, h)
+        fmt = FMT_CYCLE[i % 3]
+    buf = encode(pix, fmt)
+    decoded = decode(buf) if fmt == "dctq" else pix
+    lon_min, lat_min, lon_max, lat_max = footprint_of(image_id, w, h, grid)
+    lon_c, lat_c = (lon_min + lon_max) / 2.0, (lat_min + lat_max) / 2.0
+    cell = int(
+        cell_of(
+            np.array([lon_c]), np.array([lat_c]), 8, grid.x0, grid.y0, grid.x1, grid.y1
+        )[0]
+    )
+    thumb = thumbnail(decoded)
+    return {
+        "image_id": image_id,
+        "bytes": buf,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": f"synthetic scene {i} at cell {cell:x}",
+        "phash": phash_of(decoded),
+        "lon_min": lon_min,
+        "lat_min": lat_min,
+        "lon_max": lon_max,
+        "lat_max": lat_max,
+        "pix_sum": int(decoded.astype(np.int64).sum()),
+        "thumb_sum": int(thumb.astype(np.int64).sum()),
+    }
+
+
+def _make_chunk_ipc(args: tuple[int, int, GridSpec]) -> bytes:
+    """Build rows [lo, hi) as Arrow IPC bytes (process-pool worker)."""
+    lo, hi, grid = args
+    rows = [_make_row(i, grid) for i in range(lo, hi)]
+    cols = {k: [r[k] for r in rows] for k in IMAGES_SCHEMA.names}
+    table = pa.table(cols, schema=IMAGES_SCHEMA)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def generate_images(
+    n: int, out_path: str, grid: GridSpec = FIXTURE_GRID, rows_per_group: int = 2000
+) -> None:
+    """Write the images table to ``out_path`` (atomic: tmp file + rename).
+
+    Row i is a pure function of i, so chunks are generated in parallel on a
+    process pool and written in order — output is byte-deterministic.
+    """
+    from concurrent.futures import ProcessPoolExecutor
+
+    chunks = [(lo, min(lo + rows_per_group, n), grid) for lo in range(0, n, rows_per_group)]
+    tmp = out_path + ".tmp"
+    writer = pq.ParquetWriter(tmp, IMAGES_SCHEMA, compression="zstd")
+    try:
+        if len(chunks) <= 1:
+            for ch in chunks:
+                writer.write_table(
+                    pa.ipc.open_stream(pa.py_buffer(_make_chunk_ipc(ch))).read_all()
+                )
+        else:
+            workers = min(16, os.cpu_count() or 4, len(chunks))
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                for ipc in ex.map(_make_chunk_ipc, chunks):
+                    writer.write_table(pa.ipc.open_stream(pa.py_buffer(ipc)).read_all())
+    finally:
+        writer.close()
+    os.replace(tmp, out_path)
+
+
+ROIS_SCHEMA = pa.schema(
+    [
+        ("roi_id", pa.string()),
+        ("kind", pa.string()),
+        ("lon_min", pa.float64()),
+        ("lat_min", pa.float64()),
+        ("lon_max", pa.float64()),
+        ("lat_max", pa.float64()),
+        ("ring", pa.list_(pa.list_(pa.float64()))),
+    ]
+)
+
+
+def _box_ring(lon_min, lat_min, lon_max, lat_max):
+    return [
+        [lon_min, lat_min],
+        [lon_max, lat_min],
+        [lon_max, lat_max],
+        [lon_min, lat_max],
+        [lon_min, lat_min],
+    ]
+
+
+def generate_rois(out_path: str, grid: GridSpec = FIXTURE_GRID) -> None:
+    """Query-geometry table mirroring the reference's test ROIs (FIXTURES.md §3)."""
+    res, c = grid.res, grid.chunk
+    rows = []
+
+    def add_box(roi_id, kind, lon_min, lat_min, lon_max, lat_max):
+        rows.append(
+            dict(
+                roi_id=roi_id,
+                kind=kind,
+                lon_min=lon_min,
+                lat_min=lat_min,
+                lon_max=lon_max,
+                lat_max=lat_max,
+                ring=_box_ring(lon_min, lat_min, lon_max, lat_max),
+            )
+        )
+
+    # fully-inside boxes of varying size (incl. one covering the hot tile)
+    add_box("roi-0", "inside", grid.x0 + 100 * res, grid.y0 + 100 * res,
+            grid.x0 + 500 * res, grid.y0 + 500 * res)
+    add_box("roi-1", "inside", grid.x0 + 1000 * res, grid.y0 + 1200 * res,
+            grid.x0 + 1400 * res, grid.y0 + 1600 * res)
+    hot_lon = grid.x0 + HOT_TILE[0] * c * res
+    hot_lat = grid.y1 - (HOT_TILE[1] + 1) * c * res
+    add_box("roi-hot", "inside", hot_lon, hot_lat, hot_lon + c * res, hot_lat + c * res)
+    # 3 overlapping shifted boxes (tests/test_arcticdem.py:85-89 analog)
+    for k in range(3):
+        off = k * 64 * res
+        add_box(f"roi-ov{k}", "overlapping", grid.x0 + 700 * res + off,
+                grid.y0 + 700 * res + off, grid.x0 + 1100 * res + off,
+                grid.y0 + 1100 * res + off)
+    # out-of-bounds (expects empty result; accessor.py:430-432 analog)
+    add_box("roi-oob", "out_of_bounds", grid.x1 + 1.0, grid.y1 + 1.0,
+            grid.x1 + 2.0, grid.y1 + 2.0)
+    # concave polygon (L-shape) for the winding-number PIP path
+    x, y = grid.x0 + 200 * res, grid.y0 + 200 * res
+    s = 600 * res
+    rows.append(
+        dict(
+            roi_id="roi-concave",
+            kind="concave",
+            lon_min=x,
+            lat_min=y,
+            lon_max=x + s,
+            lat_max=y + s,
+            ring=[
+                [x, y], [x + s, y], [x + s, y + s / 3], [x + s / 3, y + s / 3],
+                [x + s / 3, y + s], [x, y + s], [x, y],
+            ],
+        )
+    )
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in ROIS_SCHEMA.names}, schema=ROIS_SCHEMA),
+        out_path,
+    )
+
+
+def generate_rois_global(out_path: str, grid: GridSpec = GLOBAL_GRID) -> None:
+    """Antimeridian ROIs (tests/test_antimeridian.py:9-44 analog).
+
+    Wrapping boxes are stored with lon_min > lon_max; the engine splits them
+    via geom.split_antimeridian_box.
+    """
+    rows = []
+    rows.append(dict(roi_id="am-west", kind="antimeridian_west",
+                     lon_min=-180.0, lat_min=50.0, lon_max=-179.5, lat_max=51.0,
+                     ring=_box_ring(-180.0, 50.0, -179.5, 51.0)))
+    rows.append(dict(roi_id="am-east", kind="antimeridian_east",
+                     lon_min=179.5, lat_min=50.0, lon_max=180.0, lat_max=51.0,
+                     ring=_box_ring(179.5, 50.0, 180.0, 51.0)))
+    # wrapping box crossing the seam
+    rows.append(dict(roi_id="am-cross", kind="antimeridian_cross",
+                     lon_min=179.0, lat_min=-10.0, lon_max=-179.0, lat_max=10.0,
+                     ring=_box_ring(179.0, -10.0, -179.0, 10.0)))
+    rows.append(dict(roi_id="g-inside", kind="inside",
+                     lon_min=-30.0, lat_min=-20.0, lon_max=10.0, lat_max=20.0,
+                     ring=_box_ring(-30.0, -20.0, 10.0, 20.0)))
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in ROIS_SCHEMA.names}, schema=ROIS_SCHEMA),
+        out_path,
+    )
+
+
+ZONES_SCHEMA = pa.schema(
+    [
+        ("zone_id", pa.string()),
+        ("lon_min", pa.float64()),
+        ("lat_min", pa.float64()),
+        ("lon_max", pa.float64()),
+        ("lat_max", pa.float64()),
+    ]
+)
+
+
+def generate_zones(out_path: str, grid: GridSpec = FIXTURE_GRID, n: int = 50) -> None:
+    """Vector side of the zonal join: ~50 boxes, one hot zone ~30% of extent."""
+    rng = np.random.Generator(np.random.PCG64(20260817))
+    rows = []
+    # hot zone covering ~30% of the extent (salting path)
+    span_x = grid.width * grid.res
+    span_y = grid.height * grid.res
+    rows.append(dict(zone_id="zone-hot", lon_min=grid.x0, lat_min=grid.y0,
+                     lon_max=grid.x0 + 0.55 * span_x, lat_max=grid.y0 + 0.55 * span_y))
+    for k in range(1, n):
+        cx = grid.x0 + float(rng.uniform(0.05, 0.95)) * span_x
+        cy = grid.y0 + float(rng.uniform(0.05, 0.95)) * span_y
+        hw = float(rng.uniform(0.01, 0.06)) * span_x
+        hh = float(rng.uniform(0.01, 0.06)) * span_y
+        rows.append(dict(zone_id=f"zone-{k:03d}", lon_min=cx - hw, lat_min=cy - hh,
+                         lon_max=cx + hw, lat_max=cy + hh))
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in ZONES_SCHEMA.names}, schema=ZONES_SCHEMA),
+        out_path,
+    )
+
+
+def images_count_for_sf(sf: float) -> int:
+    return max(200, int(round(sf * 1_000_000)))
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    """Parse '.../sf0.01' -> 0.01 (defaults to 0.01 when unparseable)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def fixture_dir(sf: float) -> str:
+    return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
+
+
+def ensure_fixtures(sf: float) -> str:
+    """Idempotently generate all fixture tables for a scale factor.
+
+    Returns the fixture directory. Atomic per-file writes + a _SUCCESS marker
+    make concurrent/re-entrant calls safe.
+    """
+    d = fixture_dir(sf)
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    n = images_count_for_sf(sf)
+    if not os.path.exists(os.path.join(d, "images.parquet")):
+        generate_images(n, os.path.join(d, "images.parquet"), FIXTURE_GRID)
+    if not os.path.exists(os.path.join(d, "images_global.parquet")):
+        generate_images(max(200, n // 10), os.path.join(d, "images_global.parquet"),
+                        GLOBAL_GRID)
+    generate_rois(os.path.join(d, "rois.parquet"), FIXTURE_GRID)
+    generate_rois_global(os.path.join(d, "rois_global.parquet"), GLOBAL_GRID)
+    generate_zones(os.path.join(d, "zones.parquet"), FIXTURE_GRID)
+    with open(marker + ".tmp", "w") as f:
+        f.write("ok\n")
+    os.replace(marker + ".tmp", marker)
+    return d
+
+
+def ensure_fixtures_for_dir(sf_dir: str) -> str:
+    return ensure_fixtures(sf_of_dir(sf_dir))

@@ -1,0 +1,155 @@
+"""Geometry kernels: point-in-polygon, bbox ops, antimeridian handling.
+
+All pure numpy over coordinate buffers — the sandbox has no shapely/geopandas.
+Semantics mirrored from the reference:
+
+- antimeridian x-shift (``accessors/gee.py:211-215``): geometry touching the
+  +/-180 seam is normalized by splitting into in-range boxes rather than
+  shifting pixel data, which is the equivalent operation one level earlier.
+- ROI x grid joins use bbox prefilter + exact predicate, like the sjoin at
+  ``accessors/gee.py:101-107`` / ``datasets/arcticdem.py:217-233``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def winding_number_pip(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray
+) -> np.ndarray:
+    """Vectorized winding-number point-in-polygon test.
+
+    ``px, py``: (N,) point coordinates. ``ring``: (M, 2) closed or open
+    exterior ring (closure is enforced). Returns (N,) bool — True when the
+    winding number is non-zero (points exactly on an edge follow the usual
+    half-open crossing convention).
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    x0, y0 = ring[:-1, 0][:, None], ring[:-1, 1][:, None]
+    x1, y1 = ring[1:, 0][:, None], ring[1:, 1][:, None]
+    px = np.asarray(px, dtype=np.float64)[None, :]
+    py = np.asarray(py, dtype=np.float64)[None, :]
+    # is_left > 0 => point left of edge (x0,y0)->(x1,y1)
+    is_left = (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)
+    up = (y0 <= py) & (y1 > py) & (is_left > 0)
+    down = (y0 > py) & (y1 <= py) & (is_left < 0)
+    wn = up.sum(axis=0).astype(np.int64) - down.sum(axis=0).astype(np.int64)
+    return wn != 0
+
+
+def boxes_intersect(
+    a_min_x, a_min_y, a_max_x, a_max_y, b_min_x, b_min_y, b_max_x, b_max_y
+) -> np.ndarray:
+    """Vectorized open-interval box intersection (touching edges don't count,
+    matching the half-open pixel-window semantics of the grid kernel)."""
+    return (
+        (np.asarray(a_min_x) < np.asarray(b_max_x))
+        & (np.asarray(a_max_x) > np.asarray(b_min_x))
+        & (np.asarray(a_min_y) < np.asarray(b_max_y))
+        & (np.asarray(a_max_y) > np.asarray(b_min_y))
+    )
+
+
+def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    ring = np.asarray(ring, dtype=np.float64)
+    return (
+        float(ring[:, 0].min()),
+        float(ring[:, 1].min()),
+        float(ring[:, 0].max()),
+        float(ring[:, 1].max()),
+    )
+
+
+def split_antimeridian_box(
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float
+) -> list[tuple[float, float, float, float]]:
+    """Normalize a lon/lat box that may cross the +/-180 seam.
+
+    A box given with ``lon_min > lon_max`` (wrapping) or with lon outside
+    [-180, 180] is split into one or two in-range boxes. Mirrors the
+    reference's antimeridian correction (``gee.py:211-215``), applied to the
+    query geometry instead of the returned raster.
+    """
+    if lon_min < -180.0:
+        lon_min += 360.0
+    if lon_max > 180.0:
+        lon_max -= 360.0
+    if lon_min <= lon_max:
+        return [(lon_min, lat_min, lon_max, lat_max)]
+    return [
+        (lon_min, lat_min, 180.0, lat_max),
+        (-180.0, lat_min, lon_max, lat_max),
+    ]
+
+
+def polygon_intersects_boxes(
+    ring: np.ndarray,
+    bx_min: np.ndarray,
+    by_min: np.ndarray,
+    bx_max: np.ndarray,
+    by_max: np.ndarray,
+) -> np.ndarray:
+    """Conservative-exact polygon x box intersection for axis-aligned boxes.
+
+    True iff (a) any box corner is inside the polygon, (b) any polygon vertex
+    is inside the box, or (c) any polygon edge crosses a box edge. Used as the
+    exact predicate after a bbox prefilter (J1/J2).
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    n = len(bx_min)
+    out = np.zeros(n, dtype=bool)
+
+    # (a) corners inside polygon
+    for cx, cy in (
+        (bx_min, by_min),
+        (bx_min, by_max),
+        (bx_max, by_min),
+        (bx_max, by_max),
+    ):
+        out |= winding_number_pip(np.asarray(cx), np.asarray(cy), ring)
+        if out.all():
+            return out
+
+    # (b) polygon vertex inside box
+    vx, vy = ring[:-1, 0], ring[:-1, 1]
+    inside = (
+        (vx[None, :] > np.asarray(bx_min)[:, None])
+        & (vx[None, :] < np.asarray(bx_max)[:, None])
+        & (vy[None, :] > np.asarray(by_min)[:, None])
+        & (vy[None, :] < np.asarray(by_max)[:, None])
+    )
+    out |= inside.any(axis=1)
+    if out.all():
+        return out
+
+    # (c) edge / box-edge crossing via segment-box overlap (Liang-Barsky style)
+    ex0, ey0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    ex1, ey1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    bxm = np.asarray(bx_min)[:, None]
+    bym = np.asarray(by_min)[:, None]
+    bxM = np.asarray(bx_max)[:, None]
+    byM = np.asarray(by_max)[:, None]
+    dx = ex1 - ex0
+    dy = ey1 - ey0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0 = np.zeros_like(dx + bxm)
+        t1 = np.ones_like(t0)
+        for p, q in (
+            (-dx, ex0 - bxm),
+            (dx, bxM - ex0),
+            (-dy, ey0 - bym),
+            (dy, byM - ey0),
+        ):
+            r = np.where(p != 0, q / np.where(p == 0, 1.0, p), np.inf)
+            ent = np.where(p < 0, r, -np.inf)
+            ext = np.where(p > 0, r, np.inf)
+            rej = (p == 0) & (q < 0)
+            t0 = np.maximum(t0, np.where(rej, np.inf, ent))
+            t1 = np.minimum(t1, np.where(rej, -np.inf, ext))
+        out |= (t0 <= t1).any(axis=1)
+    return out

