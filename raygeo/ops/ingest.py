@@ -1,0 +1,296 @@
+"""Ingest pipeline: images -> decode -> tile fragments -> mosaic -> cube tiles.
+
+The Ray-Data re-expression of the reference's procedural-download + threaded
+write path (``accessor.py:400-443``, ``backends/threaded.py:103-139``):
+
+    read_parquet(images)
+      -> map_batches(DecodeExplode, actor pool)        # T1/S2-S3 analog
+      -> groupby(salted tile key) .map_groups(partial) # K2/K4 analog, stage 1
+      -> groupby(tile_id)        .map_groups(merge)    # stage 2 (salt merge)
+      -> write tiles parquet + per-tile lineage record # icechunk-commit analog
+
+Mosaic semantics (SURVEY §4.4): the reference serializes patch writes in
+arrival order with a NaN-merge (keep existing where incoming is NaN,
+``core/backend.py:263-272``). This engine makes the fold **deterministic and
+associative**: each pixel is owned by the numerically-largest writing
+patch index (sorted-by-patch_id last-writer-wins), tracked via a per-pixel
+winner array. That makes the fold salt-splittable — hot tiles are spread over
+``num_salts`` sub-groups in stage 1 and merged exactly in stage 2, so one
+giant tile group can never become a straggler task (explicit skew handling).
+
+Resume: completed tile ids are read from the lineage ledger once on the
+driver and fragments for those tiles are dropped before the shuffle
+(reference ``accessor.py:434-436`` anti-join).
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..codec import decode
+from ..fixtures import footprint_of
+from ..grid import GridSpec, tile_id_strings
+from .. import lineage
+
+FRAGMENT_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.string()),
+        ("salt_key", pa.string()),
+        ("tx", pa.int32()),
+        ("ty", pa.int32()),
+        ("image_id", pa.string()),
+        ("patch_no", pa.int64()),  # numeric patch order (LWW rank)
+        ("y_off", pa.int32()),  # fragment origin within the tile
+        ("x_off", pa.int32()),
+        ("fh", pa.int32()),
+        ("fw", pa.int32()),
+        ("rgb", pa.binary()),  # raw uint8 (fh, fw, 3) buffer
+    ]
+)
+
+TILE_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.string()),
+        ("tx", pa.int32()),
+        ("ty", pa.int32()),
+        ("n_frags", pa.int64()),
+        ("n_valid_px", pa.int64()),
+        ("pix_sum", pa.int64()),
+        ("rgb_z", pa.binary()),  # zlib uint8 (chunk, chunk, 3), invalid px = 0
+        ("mask_z", pa.binary()),  # zlib uint8 (chunk, chunk) validity
+    ]
+)
+
+
+class DecodeExplode:
+    """Stateful decode + footprint + fragment-explode stage (actor pool).
+
+    Per-actor state (grid tables, codec setup) is built once in ``__init__``
+    — the Ray analog of the reference's per-thread download/client state
+    (``backends/threaded.py:35-46``). ``__call__`` decodes each image,
+    derives its footprint as a pure function of ``image_id`` (the engine
+    derivation, NOT the stored golden columns), maps it onto the chunk grid,
+    and emits one fragment row per covered tile.
+    """
+
+    def __init__(self, grid: GridSpec, num_salts: int = 4):
+        self.grid = grid
+        self.num_salts = num_salts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch.column("image_id").to_pylist()
+        bufs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+
+        boxes = np.array(
+            [footprint_of(i, int(w), int(h), g) for i, w, h in zip(ids, ws, hs)]
+        )
+        out = {k: [] for k in FRAGMENT_SCHEMA.names}
+        if len(ids) == 0:
+            return pa.table({k: [] for k in FRAGMENT_SCHEMA.names}, schema=FRAGMENT_SCHEMA)
+        idx, txs, tys = g.explode_tiles(boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
+        # pixel windows of each image (exact, clipped)
+        cl, chh, rl, rhh = g.pixel_window(boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
+        decoded: dict[int, np.ndarray] = {}
+        for k in range(len(idx)):
+            i = int(idx[k])
+            if i not in decoded:
+                decoded[i] = decode(bufs[i])
+            pix = decoded[i]
+            tx, ty = int(txs[k]), int(tys[k])
+            tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+            c0, c1 = max(int(cl[i]), tc0), min(int(chh[i]), tc1)
+            r0, r1 = max(int(rl[i]), tr0), min(int(rhh[i]), tr1)
+            if c1 <= c0 or r1 <= r0:
+                continue
+            frag = pix[r0 - int(rl[i]) : r1 - int(rl[i]), c0 - int(cl[i]) : c1 - int(cl[i])]
+            patch_no = int(ids[i].rsplit("-", 1)[1])
+            tile_id = f"{tx}-{ty}"
+            salt = zlib.crc32(ids[i].encode()) % self.num_salts
+            out["tile_id"].append(tile_id)
+            out["salt_key"].append(f"{tile_id}#{salt}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["image_id"].append(ids[i])
+            out["patch_no"].append(patch_no)
+            out["y_off"].append(r0 - tr0)
+            out["x_off"].append(c0 - tc0)
+            out["fh"].append(r1 - r0)
+            out["fw"].append(c1 - c0)
+            out["rgb"].append(np.ascontiguousarray(frag).tobytes())
+        return pa.table(out, schema=FRAGMENT_SCHEMA)
+
+
+def _fold_group(table: pa.Table, chunk: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Fold a fragment group into (canvas uint8 HxWx3, winner int64 HxW, n).
+
+    Winner = patch_no of the pixel's owner, -1 where unwritten. Fragments are
+    applied in ascending patch_no so within one fold later patches overwrite
+    — and the winner array makes the fold associative across salt groups.
+    """
+    canvas = np.zeros((chunk, chunk, 3), dtype=np.uint8)
+    winner = np.full((chunk, chunk), -1, dtype=np.int64)
+    order = np.argsort(table.column("patch_no").to_numpy(), kind="stable")
+    y_off = table.column("y_off").to_numpy()
+    x_off = table.column("x_off").to_numpy()
+    fh = table.column("fh").to_numpy()
+    fw = table.column("fw").to_numpy()
+    pno = table.column("patch_no").to_numpy()
+    rgb = table.column("rgb").to_pylist()
+    for j in order:
+        h, w = int(fh[j]), int(fw[j])
+        y0, x0 = int(y_off[j]), int(x_off[j])
+        frag = np.frombuffer(rgb[j], dtype=np.uint8).reshape(h, w, 3)
+        canvas[y0 : y0 + h, x0 : x0 + w] = frag
+        winner[y0 : y0 + h, x0 : x0 + w] = pno[j]
+    return canvas, winner, table.num_rows
+
+
+def _merge_partials(parts: list[tuple[np.ndarray, np.ndarray, int]]):
+    canvas, winner, n = parts[0]
+    canvas = canvas.copy()
+    winner = winner.copy()
+    for c2, w2, n2 in parts[1:]:
+        take = w2 > winner
+        canvas[take] = c2[take]
+        winner[take] = w2[take]
+        n += n2
+    return canvas, winner, n
+
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.string()),
+        ("tx", pa.int32()),
+        ("ty", pa.int32()),
+        ("n_frags", pa.int64()),
+        ("canvas_z", pa.binary()),
+        ("winner_z", pa.binary()),
+    ]
+)
+
+
+def make_partial_fold(chunk: int):
+    def partial_fold(group: pa.Table) -> pa.Table:
+        canvas, winner, n = _fold_group(group, chunk)
+        return pa.table(
+            {
+                "tile_id": [group.column("tile_id")[0].as_py()],
+                "tx": [group.column("tx")[0].as_py()],
+                "ty": [group.column("ty")[0].as_py()],
+                "n_frags": [n],
+                "canvas_z": [zlib.compress(canvas.tobytes(), 1)],
+                "winner_z": [zlib.compress(winner.astype(np.int64).tobytes(), 1)],
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    return partial_fold
+
+
+def make_merge_fold(chunk: int, cube_path: str | None):
+    def merge_fold(group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        parts = []
+        for j in range(group.num_rows):
+            canvas = np.frombuffer(
+                zlib.decompress(group.column("canvas_z")[j].as_py()), dtype=np.uint8
+            ).reshape(chunk, chunk, 3)
+            winner = np.frombuffer(
+                zlib.decompress(group.column("winner_z")[j].as_py()), dtype=np.int64
+            ).reshape(chunk, chunk)
+            parts.append((canvas, winner, int(group.column("n_frags")[j].as_py())))
+        canvas, winner, n = _merge_partials(parts)
+        valid = winner >= 0
+        canvas = np.where(valid[:, :, None], canvas, 0).astype(np.uint8)
+        tile_id = group.column("tile_id")[0].as_py()
+        rgb_z = zlib.compress(canvas.tobytes(), 1)
+        mask_z = zlib.compress(valid.astype(np.uint8).tobytes(), 1)
+        row = {
+            "tile_id": [tile_id],
+            "tx": [group.column("tx")[0].as_py()],
+            "ty": [group.column("ty")[0].as_py()],
+            "n_frags": [n],
+            "n_valid_px": [int(valid.sum())],
+            "pix_sum": [int(canvas.astype(np.int64).sum())],
+            "rgb_z": [rgb_z],
+            "mask_z": [mask_z],
+        }
+        if cube_path is not None:
+            # per-partition commit record (icechunk-commit analog); atomic +
+            # idempotent, so Ray task retries are safe
+            lineage.record_partition(
+                cube_path,
+                tile_id,
+                [],
+                row_count=1,
+                n_bytes=len(rgb_z) + len(mask_z),
+                wall_ms=(time.monotonic() - t0) * 1e3,
+            )
+        return pa.table(row, schema=TILE_SCHEMA)
+
+    return merge_fold
+
+
+def fragments_dataset(
+    images_ds,
+    grid: GridSpec,
+    num_salts: int = 4,
+    concurrency=(2, 8),
+    batch_size: int = 64,
+):
+    """images Dataset -> fragments Dataset (decode+explode actor pool)."""
+    return images_ds.map_batches(
+        DecodeExplode,
+        fn_constructor_kwargs={"grid": grid, "num_salts": num_salts},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def ingest(
+    images_ds,
+    grid: GridSpec,
+    cube_path: str | None = None,
+    num_salts: int = 4,
+    skip_tiles: set[str] | None = None,
+    concurrency=(2, 8),
+    batch_size: int = 64,
+):
+    """Full ingest pipeline; returns the tiles Dataset (lazy).
+
+    ``skip_tiles`` (or the cube's lineage ledger when ``cube_path`` is set)
+    anti-joins completed partitions out before the shuffle.
+    """
+    import ray
+
+    frags = fragments_dataset(images_ds, grid, num_salts, concurrency, batch_size)
+
+    done = set(skip_tiles or ())
+    if cube_path is not None:
+        done |= lineage.loaded_partitions(cube_path)
+    if done:
+        done_ref = ray.put(done)
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            d = ray.get(done_ref)
+            keep = [tid not in d for tid in t.column("tile_id").to_pylist()]
+            return t.filter(pa.array(keep))
+
+        frags = frags.map_batches(drop_done, batch_format="pyarrow")
+
+    partials = frags.groupby("salt_key").map_groups(
+        make_partial_fold(grid.chunk), batch_format="pyarrow"
+    )
+    tiles = partials.groupby("tile_id").map_groups(
+        make_merge_fold(grid.chunk, cube_path), batch_format="pyarrow"
+    )
+    return tiles
