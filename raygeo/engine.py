@@ -1,0 +1,154 @@
+"""The query path: ``load(roi, toi)`` — plan over the tile table.
+
+Re-expresses ``accessor.load`` (``core/accessor.py:331-398``) as a Dataset
+plan:
+
+  1. assert cube created (manifest read);
+  2. ROI -> covered tiles via the analytic grid kernel (no shuffle);
+  3. anti-join covered tiles vs the lineage ledger -> missing tiles;
+  4. ingest ONLY the missing tiles (procedural-download analog,
+     ``accessor.py:400-443``): images are pre-filtered map-side to those
+     tiles, then the normal ingest shuffle runs and commits per-tile
+     lineage records — so ``load`` returns only after its tiles' records
+     exist (the reference's synchronous-submit contract, §4.2);
+  5. read the (cached + new) tile partitions, crop each to the ROI pixel
+     window, and assemble the window on the driver (persist=True analog —
+     the window is small by contract; the lazy variant returns the cropped
+     Dataset instead).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from . import lineage
+from .cube import TILES_DIR, load_spec
+from .grid import parse_tile_id
+from .ops.ingest import ingest
+from .ops.spatial_join import normalize_rois, roi_tiles
+
+
+class RoiWindow:
+    """Materialized query result: pixels + validity over the ROI window."""
+
+    def __init__(self, col_lo: int, col_hi: int, row_lo: int, row_hi: int):
+        self.col_lo, self.col_hi = col_lo, col_hi
+        self.row_lo, self.row_hi = row_lo, row_hi
+        h, w = row_hi - row_lo, col_hi - col_lo
+        self.rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        self.mask = np.zeros((h, w), dtype=bool)
+
+    def stats(self) -> dict:
+        """Golden-stat summary (tests/test_arcticdem.py:26-29 analog)."""
+        v = self.rgb[self.mask]
+        return {
+            "n_valid_px": int(self.mask.sum()),
+            "pix_sum": int(v.astype(np.int64).sum()) if len(v) else 0,
+            "pix_min": int(v.min()) if len(v) else None,
+            "pix_max": int(v.max()) if len(v) else None,
+        }
+
+
+def load(
+    cube_path: str,
+    roi: dict | pa.Table,
+    images_ds=None,
+    toi=None,
+    persist: bool = True,
+    num_salts: int = 4,
+):
+    """Load an ROI window from the cube, ingesting missing tiles on demand.
+
+    ``roi``: a single-row ROI table (roi_id/lon_min/../ring) or a dict with
+    those keys. ``images_ds``: the source images Dataset used to ingest
+    missing tiles (None = query the cache only).
+    """
+    spec = load_spec(cube_path)
+    g = spec.grid
+    if toi is not None and not g.temporal:
+        raise ValueError("TOI given for a non-temporal cube (accessor.py:354-355)")
+
+    if isinstance(roi, dict):
+        roi_tbl = pa.table({k: [v] for k, v in roi.items()})
+    else:
+        roi_tbl = roi
+    rois = normalize_rois(roi_tbl)
+    covered = roi_tiles(rois, g)
+    covered_ids = set(covered.column("tile_id").to_pylist())
+    if not covered_ids:
+        raise ValueError("no adjacent tiles for ROI (accessor.py:430-432 analog)")
+
+    done = lineage.loaded_partitions(cube_path)
+    missing = covered_ids - done
+    tiles_dir = os.path.join(cube_path, TILES_DIR)
+
+    if missing and images_ds is not None:
+        # procedural-download analog: ingest ONLY this ROI's missing tiles;
+        # ingest() additionally drops tiles committed since the ledger read
+        new_tiles = ingest(
+            images_ds, g, cube_path=cube_path, num_salts=num_salts,
+            only_tiles=missing,
+        )
+        os.makedirs(tiles_dir, exist_ok=True)
+        new_tiles.write_parquet(tiles_dir)
+
+    # read cached tiles for the window
+    window_tiles = _read_tiles(tiles_dir, covered_ids, g.chunk)
+    boxes = [b for r in rois for b in r["boxes"]]
+    lon_min = min(b[0] for b in boxes)
+    lat_min = min(b[1] for b in boxes)
+    lon_max = max(b[2] for b in boxes)
+    lat_max = max(b[3] for b in boxes)
+    cl, ch, rl, rh = (
+        int(v[0])
+        for v in g.pixel_window(
+            np.array([lon_min]), np.array([lat_min]),
+            np.array([lon_max]), np.array([lat_max]),
+        )
+    )
+    win = RoiWindow(cl, ch, rl, rh)
+    for trow in window_tiles:
+        tx, ty = parse_tile_id(trow["tile_id"])
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        c0, c1 = max(cl, tc0), min(ch, tc1)
+        r0, r1 = max(rl, tr0), min(rh, tr1)
+        if c1 <= c0 or r1 <= r0:
+            continue
+        rgb = trow["rgb"]
+        mask = trow["mask"]
+        win.rgb[r0 - rl : r1 - rl, c0 - cl : c1 - cl] = rgb[
+            r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0
+        ]
+        win.mask[r0 - rl : r1 - rl, c0 - cl : c1 - cl] = mask[
+            r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0
+        ]
+    return win
+
+
+def _read_tiles(tiles_dir: str, tile_ids: set[str], chunk: int) -> list[dict]:
+    """Read + decompress the requested tile rows from the tiles parquet dir."""
+    import pyarrow.dataset as pads
+
+    if not os.path.isdir(tiles_dir) or not any(os.scandir(tiles_dir)):
+        return []
+    dset = pads.dataset(tiles_dir, format="parquet")
+    t = dset.to_table(filter=pads.field("tile_id").isin(list(tile_ids)))
+    out = []
+    seen = set()
+    for i in range(t.num_rows):
+        tid = t.column("tile_id")[i].as_py()
+        if tid in seen:
+            continue  # duplicate rows across runs are identical (deterministic)
+        seen.add(tid)
+        rgb = np.frombuffer(
+            zlib.decompress(t.column("rgb_z")[i].as_py()), dtype=np.uint8
+        ).reshape(chunk, chunk, 3)
+        mask = np.frombuffer(
+            zlib.decompress(t.column("mask_z")[i].as_py()), dtype=np.uint8
+        ).reshape(chunk, chunk).astype(bool)
+        out.append({"tile_id": tid, "rgb": rgb, "mask": mask})
+    return out

@@ -1,0 +1,223 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_knn` — exact cosine top-k: the query matrix is
+  ``ray.put`` once (unit-normalized float64) and every batch does one
+  vectorized matmul; per-query top-k via a small ``groupby``. This is the
+  correctness baseline (matches the SQL oracle).
+- :func:`ivf_knn` — the scale path: k-means-style coarse quantizer (IVF)
+  built on a driver-side sample, vectors routed to their nearest centroid
+  list map-side, probes limited to ``nprobe`` lists per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _topk_group(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "vec_id", "cos_sim"]]
+
+    return fn
+
+
+class _BatchSims:
+    """Per-batch cosine sims vs broadcast queries, with local top-k prune."""
+
+    def __init__(self, q_ref, vec_col: str, id_col: str, k: int):
+        import ray
+
+        q_ids, q_mat = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+        self.q_ids = q_ids
+        self.q_unit = q_mat / np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        v = np.stack(t.column(self.vec_col).to_pylist()).astype(np.float64)
+        vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+        sims = vn @ self.q_unit.T  # (batch, n_queries)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            col = sims[:, qi]
+            if len(col) > self.k:
+                # local prune: keep only the batch's own top-k per query so
+                # the shuffle carries k * n_batches rows, not N * n_queries
+                idx = np.argpartition(-col, self.k - 1)[: self.k]
+            else:
+                idx = np.arange(len(col))
+            out_q.extend([self.q_ids[qi]] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_force_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", k: int = 10, concurrency=(1, 8)):
+    """Exact cosine top-k; ``queries`` has (query_id, embedding)."""
+    import ray
+
+    q_ids = queries["query_id"].to_numpy(dtype=np.int64)
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_ref = ray.put((q_ids, q_mat))
+    sims = ds.select_columns([id_col, vec_col]).map_batches(
+        _BatchSims,
+        fn_constructor_kwargs={"q_ref": q_ref, "vec_col": vec_col,
+                               "id_col": id_col, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return sims.groupby("query_id").map_groups(_topk_group(k), batch_format="pandas")
+
+
+def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 8, seed: int = 42):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    sel = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cent = sample[sel].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return cent
+
+
+def ivf_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
+            id_col: str = "vec_id", k: int = 10, n_lists: int = 16,
+            nprobe: int = 4, sample_rows: int = 2000, concurrency=(1, 8)):
+    """IVF-bucketed approximate top-k (the 100 TB scale path).
+
+    Centroids come from a driver-side sample (small, one-time); each batch
+    routes its vectors to their nearest list and only emits sims for queries
+    probing that list. Approximate by construction (recall < 1 possible).
+    """
+    import ray
+
+    sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
+    smat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    cent = _kmeans(smat, n_lists)
+    q_ids = queries["query_id"].to_numpy(dtype=np.int64)
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    qd = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    q_probes = np.argsort(qd, axis=1)[:, :nprobe]  # (n_queries, nprobe)
+    ref = ray.put((q_ids, q_mat, cent, q_probes))
+
+    def emit(t: pa.Table) -> pa.Table:
+        qids, qmat, c, probes = ray.get(ref)
+        qunit = qmat / np.sqrt((qmat * qmat).sum(axis=1, keepdims=True))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        v = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
+        vd = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        vlist = vd.argmin(axis=1)
+        vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(vlist, probes[qi])
+            if not mask.any():
+                continue
+            sims = vn[mask] @ qunit[qi]
+            out_q.extend([qids[qi]] * int(mask.sum()))
+            out_v.extend(ids[mask].tolist())
+            out_s.extend(sims.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    sims = ds.select_columns([id_col, vec_col]).map_batches(
+        emit, batch_format="pyarrow", batch_size=4096
+    )
+    return sims.groupby("query_id").map_groups(_topk_group(k), batch_format="pandas")
+
+
+def lsh_bucket_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                       threshold: float = 0.95, n_planes: int = 12,
+                       n_tables: int = 4, seed: int = 42):
+    """Random-hyperplane LSH near-dup candidates, verified exactly per bucket.
+
+    Sub-quadratic scale path for embedding near-dup (the exact counterpart is
+    ops.dedup.embedding_neardup_pairs). Pairs must collide in at least one of
+    ``n_tables`` sign-hash tables; each bucket verifies cosines exactly.
+    """
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+
+    def add_buckets(t: pa.Table) -> pa.Table:
+        v = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
+        dim = v.shape[1]
+        planes = rng_planes(dim)
+        vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        out_tab, out_bkt, out_id, out_vec = [], [], [], []
+        for tab in range(n_tables):
+            signs = (vn @ planes[tab].T) > 0  # (n, n_planes)
+            bkt = np.packbits(signs, axis=1)[:, :2].astype(np.uint16)
+            codes = (bkt[:, 0].astype(np.int64) << 8) | bkt[:, 1]
+            out_tab.extend([tab] * len(ids))
+            out_bkt.extend(codes.tolist())
+            out_id.extend(ids.tolist())
+            out_vec.extend([row.tobytes() for row in vn])
+        return pa.table(
+            {
+                "table_id": pa.array(out_tab, pa.int32()),
+                "bucket": pa.array(out_bkt, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "unit_vec": pa.array(out_vec, pa.binary()),
+            }
+        )
+
+    plane_cache: dict[int, np.ndarray] = {}
+
+    def rng_planes(dim: int) -> np.ndarray:
+        if dim not in plane_cache:
+            r = np.random.Generator(np.random.PCG64(seed))
+            plane_cache[dim] = r.normal(size=(n_tables, n_planes, dim))
+        return plane_cache[dim]
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        add_buckets, batch_format="pyarrow", batch_size=4096
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = g[id_col].to_numpy()
+        v = np.stack([np.frombuffer(b, dtype=np.float64) for b in g["unit_vec"]])
+        sims = v @ v.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        hit = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia[hit]], ids[ib[hit]]),
+                "id_b": np.maximum(ids[ia[hit]], ids[ib[hit]]),
+                "cos_sim": sims[ia[hit], ib[hit]],
+            }
+        )
+
+    pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    return pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).reset_index(
+        drop=True
+    )

@@ -262,13 +262,15 @@ def ingest(
     cube_path: str | None = None,
     num_salts: int = 4,
     skip_tiles: set[str] | None = None,
+    only_tiles: set[str] | None = None,
     concurrency=(2, 8),
     batch_size: int = 64,
 ):
     """Full ingest pipeline; returns the tiles Dataset (lazy).
 
     ``skip_tiles`` (or the cube's lineage ledger when ``cube_path`` is set)
-    anti-joins completed partitions out before the shuffle.
+    anti-joins completed partitions out before the shuffle; ``only_tiles``
+    restricts the shuffle to an ROI's tile set (the load() subplan).
     """
     import ray
 
@@ -277,12 +279,15 @@ def ingest(
     done = set(skip_tiles or ())
     if cube_path is not None:
         done |= lineage.loaded_partitions(cube_path)
-    if done:
-        done_ref = ray.put(done)
+    if done or only_tiles is not None:
+        filt_ref = ray.put((done, only_tiles))
 
         def drop_done(t: pa.Table) -> pa.Table:
-            d = ray.get(done_ref)
-            keep = [tid not in d for tid in t.column("tile_id").to_pylist()]
+            d, only = ray.get(filt_ref)
+            keep = [
+                tid not in d and (only is None or tid in only)
+                for tid in t.column("tile_id").to_pylist()
+            ]
             return t.filter(pa.array(keep))
 
         frags = frags.map_batches(drop_done, batch_format="pyarrow")

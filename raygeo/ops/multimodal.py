@@ -1,0 +1,151 @@
+"""Multimodal column operators: decode, resize, feature-extract, frame-sample.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata columns
+(w, h, fmt). Decode uses the engine's own deterministic codec (raygeo.codec);
+external-format decode (JPEG/PNG/MP4) is stubbed behind import-try /
+NotImplementedError since those libraries aren't in this container — the Ray
+plumbing (schema, actor pools, batch sizing, output layout) is real and
+tested either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codec import decode
+from ..fixtures import thumbnail
+
+
+class DecodeStats:
+    """Actor-pool decode stage: bytes -> per-image pixel statistics.
+
+    The flagship codec-correctness operator: the stored golden ``pix_sum``
+    (computed at fixture-generation time) must equal the sum recomputed here
+    from the encoded bytes, distributed.
+    """
+
+    def __init__(self):
+        # codec tables (DCT matrices) warm up on first decode; nothing else
+        # to load in this self-contained codec
+        pass
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t.column("bytes").to_pylist()
+        sums = np.empty(len(bufs), dtype=np.int64)
+        mins = np.empty(len(bufs), dtype=np.int32)
+        maxs = np.empty(len(bufs), dtype=np.int32)
+        for i, b in enumerate(bufs):
+            pix = decode(b)
+            sums[i] = pix.astype(np.int64).sum()
+            mins[i] = int(pix.min())
+            maxs[i] = int(pix.max())
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "w": t.column("w"),
+                "h": t.column("h"),
+                "pix_sum": pa.array(sums, pa.int64()),
+                "pix_min": pa.array(mins, pa.int32()),
+                "pix_max": pa.array(maxs, pa.int32()),
+            }
+        )
+
+
+def decode_stats(images_ds, concurrency=(1, 8), batch_size: int = 256):
+    return images_ds.select_columns(["image_id", "bytes", "w", "h"]).map_batches(
+        DecodeStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class Thumbnail:
+    """Actor-pool resize stage: decode -> 16x16 area-average thumbnail."""
+
+    def __init__(self, size: int = 16):
+        self.size = size
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t.column("bytes").to_pylist()
+        thumbs, sums = [], []
+        for b in bufs:
+            th = thumbnail(decode(b), self.size)
+            thumbs.append(th.tobytes())
+            sums.append(int(th.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "thumb": pa.array(thumbs, pa.binary()),
+                "thumb_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def thumbnails(images_ds, size: int = 16, concurrency=(1, 8), batch_size: int = 256):
+    return images_ds.select_columns(["image_id", "bytes"]).map_batches(
+        Thumbnail,
+        fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class ImageFeatures:
+    """Cheap deterministic visual features: per-channel means + edge energy."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t.column("bytes").to_pylist()
+        out = {"image_id": t.column("image_id"), "mean_r": [], "mean_g": [],
+               "mean_b": [], "edge_energy": []}
+        for b in bufs:
+            pix = decode(b).astype(np.float64)
+            out["mean_r"].append(float(pix[:, :, 0].mean()))
+            out["mean_g"].append(float(pix[:, :, 1].mean()))
+            out["mean_b"].append(float(pix[:, :, 2].mean()))
+            gy = np.abs(np.diff(pix.mean(axis=2), axis=0)).mean()
+            gx = np.abs(np.diff(pix.mean(axis=2), axis=1)).mean()
+            out["edge_energy"].append(float(gx + gy))
+        return pa.table(out)
+
+
+def image_features(images_ds, concurrency=(1, 8), batch_size: int = 256):
+    return images_ds.select_columns(["image_id", "bytes"]).map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ------------------------------------------------ stubbed external decoders
+def decode_external_image(buf: bytes, fmt: str) -> np.ndarray:
+    """JPEG/PNG decode — STUB: PIL/cv2 are not in this container.
+
+    The Ray-side plumbing (binary column in, (h,w,3) uint8 out, actor-pool
+    batch signature identical to DecodeStats) is exercised by the raygeo
+    codec path; swap this implementation in a real deployment.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            f"external image decode ({fmt}) requires PIL/cv2, absent in sandbox"
+        )
+    raise NotImplementedError("unreachable in sandbox")
+
+
+def sample_video_frames(buf: bytes, every_n: int = 30) -> list[np.ndarray]:
+    """Video frame sampling — STUB (no av/ffmpeg in container); deterministic
+    fake for plumbing tests: treats the buffer as a single raygeo-coded frame
+    repeated, samples frame 0."""
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        return [decode(buf)]
+    raise NotImplementedError("unreachable in sandbox")

@@ -1,0 +1,204 @@
+"""Relational operators over the TPC-H-ish tables: the generic engine plumbing
+(partial-aggregate groupby, broadcast join, sort/top-k, sessionization).
+
+These prove the wide-step machinery the geocube pipelines reuse:
+- map-side partial aggregation before every groupby (never shuffle raw rows);
+- broadcast hash join for small dimension sides (``ray.put`` once);
+- event-time windows as keyed ``map_groups`` over ts-sorted groups.
+
+Monetary sums are computed in integer cents (per-row ROUND then SUM) so the
+result is bit-exact and summation-order independent — the DuckDB oracle does
+the same arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def q1_pricing_summary(lineitem_ds, cutoff: str = "1998-09-01"):
+    """TPC-H Q1-style pricing summary with exact integer-cents sums."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("l_shipdate"), pa.scalar(np.datetime64(cutoff, "us"))))
+        df = t.to_pandas()
+        df["base_cents"] = np.rint(df.l_extendedprice * 100).astype("int64")
+        df["disc_pct"] = np.rint(df.l_discount * 100).astype("int64")
+        df["disc_cents"] = df.base_cents * (100 - df.disc_pct)  # cents*1e2 units
+        df["qty_i"] = np.rint(df.l_quantity).astype("int64")
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty_i", "sum"),
+                sum_base_cents=("base_cents", "sum"),
+                sum_disc_cents=("disc_cents", "sum"),
+                count_order=("qty_i", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=65536)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+def revenue_by_nation(lineitem_ds, orders_path: str, customer_path: str,
+                      nation_path: str):
+    """Broadcast-join lineitem -> orders -> customer -> nation, sum revenue.
+
+    orders/customer/nation are the small sides: read once with pyarrow,
+    ``ray.put`` a single lookup array, map each lineitem batch to its nation
+    and partially aggregate. Only (nation, partial-sum) rows shuffle.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(orders_path, columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
+    o_key = orders.column("o_orderkey").to_numpy()
+    o_cust = orders.column("o_custkey").to_numpy()
+    order_sorted = np.argsort(o_key)
+    c_key = cust.column("c_custkey").to_numpy()
+    c_nat = cust.column("c_nationkey").to_numpy()
+    cust_sorted = np.argsort(c_key)
+    n_key = nation.column("n_nationkey").to_numpy()
+    n_name = np.array(nation.column("n_name").to_pylist(), dtype=object)
+    ref = ray.put((o_key[order_sorted], o_cust[order_sorted],
+                   c_key[cust_sorted], c_nat[cust_sorted], n_key, n_name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok, oc, ck, cn, nk, nn = ray.get(ref)
+        lo = t.column("l_orderkey").to_numpy()
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        pos = np.searchsorted(ok, lo)
+        custkey = oc[pos]
+        cpos = np.searchsorted(ck, custkey)
+        natkey = cn[cpos]
+        npos = np.searchsorted(nk, natkey)
+        names = nn[npos]
+        cents = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64)
+        )
+        df = pd.DataFrame({"n_name": names, "revenue_cents": cents})
+        g = df.groupby("n_name", sort=False)["revenue_cents"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = lineitem_ds.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("n_name").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+
+
+def top_orders_by_revenue(lineitem_ds, k: int = 10):
+    """groupby(orderkey) revenue -> global sort desc -> limit k."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cents = np.rint(df.l_extendedprice * 100).astype("int64") * (
+            100 - np.rint(df.l_discount * 100).astype("int64")
+        )
+        g = (
+            pd.DataFrame({"l_orderkey": df.l_orderkey, "revenue_cents": cents})
+            .groupby("l_orderkey", sort=False)["revenue_cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        lineitem_ds.select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    return rev.sort(["revenue_cents", "l_orderkey"], descending=[True, True]).limit(k)
+
+
+def events_hourly(events_ds):
+    """Tumbling 1-hour window aggregate: (event_type, hour) count + cents sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hour = df.ts.dt.floor("h")
+        cents = np.rint(df.value * 100).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": df.event_type, "hour": hour,
+                          "value_cents": cents})
+            .groupby(["event_type", "hour"], sort=False)
+            .agg(n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = events_ds.select_columns(["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+
+def sessionize(events_ds, gap_minutes: int = 30):
+    """Session windows per user (gap-based), reference streaming-shape op.
+
+    Partition by user_id (keyed shuffle), sort each group by ts, split where
+    the gap exceeds ``gap_minutes``. Output (user_id, n_sessions, n_events,
+    max_session_events).
+    """
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g.ts.to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        sess = np.cumsum(new_session)
+        sizes = pd.Series(sess).value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g.user_id.iloc[0]],
+                "n_sessions": [int(sess[-1])],
+                "n_events": [len(g)],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def top_parts_by_price(part_ds, k: int = 20):
+    """Global sort + limit over the part table (sort/top-k machinery)."""
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("p_retailprice"), 100.0)), pa.int64())
+        return pa.table({"p_partkey": t.column("p_partkey"), "price_cents": c})
+
+    return (
+        part_ds.select_columns(["p_partkey", "p_retailprice"])
+        .map_batches(cents, batch_format="pyarrow")
+        .sort(["price_cents", "p_partkey"], descending=[True, True])
+        .limit(k)
+    )

@@ -1,0 +1,217 @@
+"""Spatial joins: ROI x images, ROI x tile-grid, with antimeridian handling.
+
+Re-expresses the reference's sjoin paths:
+
+- J1 (``accessors/gee.py:101-112``): ROI x chunk grid is ANALYTIC — the grid
+  is a pure function, so covered tiles come from inverse-affine floor/ceil,
+  no shuffle, no data movement.
+- J2 (``datasets/arcticdem.py:217-233``): ROI x feature-footprint join is a
+  **broadcast small-side join**: the ROI table is ``ray.put`` once and every
+  ``map_batches`` task does a vectorized bbox prefilter + exact
+  polygon/winding-number predicate against its Arrow batch. No all-to-all
+  exchange — at 100 TB only the (small) ROI table is replicated.
+- Antimeridian (``accessors/gee.py:211-215``): wrapping ROIs are split into
+  in-range boxes before the predicate, so the seam never produces a wrapped
+  bbox test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..fixtures import footprint_of
+from ..geom import polygon_intersects_boxes, split_antimeridian_box
+from ..grid import GridSpec, tile_id_strings
+
+
+def normalize_rois(roi_table: pa.Table) -> list[dict]:
+    """Driver-side ROI prep: split antimeridian boxes, keep rings.
+
+    Returns a list of dicts: {roi_id, boxes: [(lon_min,lat_min,lon_max,lat_max)],
+    ring: (M,2) ndarray | None}.
+    """
+    out = []
+    has_ring = "ring" in roi_table.schema.names
+    for i in range(roi_table.num_rows):
+        roi_id = roi_table.column("roi_id")[i].as_py()
+        kind = (
+            roi_table.column("kind")[i].as_py()
+            if "kind" in roi_table.schema.names
+            else "box"
+        )
+        lon_min = roi_table.column("lon_min")[i].as_py()
+        lat_min = roi_table.column("lat_min")[i].as_py()
+        lon_max = roi_table.column("lon_max")[i].as_py()
+        lat_max = roi_table.column("lat_max")[i].as_py()
+        boxes = split_antimeridian_box(lon_min, lat_min, lon_max, lat_max)
+        ring = None
+        if has_ring and kind == "concave":
+            ring = np.array(roi_table.column("ring")[i].as_py(), dtype=np.float64)
+        out.append({"roi_id": roi_id, "kind": kind, "boxes": boxes, "ring": ring})
+    return out
+
+
+def roi_tiles(rois: list[dict], grid: GridSpec) -> pa.Table:
+    """J1: covered (roi_id, tile_id, tx, ty) via the analytic grid kernel."""
+    roi_ids, txs, tys = [], [], []
+    for roi in rois:
+        for b in roi["boxes"]:
+            _, tx, ty = grid.explode_tiles(
+                np.array([b[0]]), np.array([b[1]]), np.array([b[2]]), np.array([b[3]])
+            )
+            roi_ids.extend([roi["roi_id"]] * len(tx))
+            txs.extend(tx.tolist())
+            tys.extend(ty.tolist())
+    tx_arr = np.array(txs, dtype=np.int64)
+    ty_arr = np.array(tys, dtype=np.int64)
+    tids = tile_id_strings(tx_arr, ty_arr) if len(tx_arr) else np.array([], dtype=str)
+    return pa.table(
+        {
+            "roi_id": pa.array(roi_ids, pa.string()),
+            "tile_id": pa.array(tids.tolist(), pa.string()),
+            "tx": pa.array(tx_arr, pa.int32()),
+            "ty": pa.array(ty_arr, pa.int32()),
+        }
+    )
+
+
+class ImageTiles:
+    """M3/J1 kernel as a stateless batch op: image -> covered tile rows.
+
+    The partitioner-key computation (``core/backend.py:241-261`` analog):
+    footprint from image_id (pure function), then the analytic grid explode.
+    """
+
+    def __init__(self, grid: GridSpec):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch.column("image_id").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        boxes = np.array(
+            [footprint_of(i, int(w), int(h), g) for i, w, h in zip(ids, ws, hs)]
+        ).reshape(-1, 4)
+        idx, tx, ty = g.explode_tiles(boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
+        img = pa.array(ids, pa.string()).take(pa.array(idx))
+        tids = tile_id_strings(tx, ty) if len(tx) else np.array([], dtype=str)
+        return pa.table(
+            {
+                "image_id": img,
+                "tile_id": pa.array(tids.tolist(), pa.string()),
+                "tx": pa.array(tx, pa.int32()),
+                "ty": pa.array(ty, pa.int32()),
+            }
+        )
+
+
+def image_tiles(images_ds, grid: GridSpec):
+    """images Dataset -> (image_id, tile_id, tx, ty) assignment Dataset."""
+    return images_ds.select_columns(["image_id", "w", "h"]).map_batches(
+        ImageTiles,
+        fn_constructor_kwargs={"grid": grid},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+class RoiImageJoin:
+    """J2 broadcast join: emits (roi_id, image_id) intersection pairs.
+
+    ROI list is deserialized once per actor from the object store; each batch
+    derives image footprints from image_id (pure function — the engine path)
+    and runs bbox prefilter + exact predicate vectorized over the batch.
+    """
+
+    def __init__(self, rois_ref, grid: GridSpec, use_stored_boxes: bool = False):
+        import ray
+
+        self.rois = ray.get(rois_ref) if not isinstance(rois_ref, list) else rois_ref
+        self.grid = grid
+        self.use_stored_boxes = use_stored_boxes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.use_stored_boxes:
+            bx_min = batch.column("lon_min").to_numpy()
+            by_min = batch.column("lat_min").to_numpy()
+            bx_max = batch.column("lon_max").to_numpy()
+            by_max = batch.column("lat_max").to_numpy()
+        else:
+            ids = batch.column("image_id").to_pylist()
+            ws = batch.column("w").to_numpy()
+            hs = batch.column("h").to_numpy()
+            boxes = np.array(
+                [
+                    footprint_of(i, int(w), int(h), self.grid)
+                    for i, w, h in zip(ids, ws, hs)
+                ]
+            ).reshape(-1, 4)
+            bx_min, by_min, bx_max, by_max = boxes.T
+        image_ids = batch.column("image_id")
+        out_roi, out_img = [], []
+        for roi in self.rois:
+            hit = np.zeros(len(batch), dtype=bool)
+            for b in roi["boxes"]:
+                hit |= (
+                    (bx_min < b[2])
+                    & (bx_max > b[0])
+                    & (by_min < b[3])
+                    & (by_max > b[1])
+                )
+            if roi["ring"] is not None and hit.any():
+                # exact concave-polygon predicate on bbox-prefiltered candidates
+                cand = np.nonzero(hit)[0]
+                exact = polygon_intersects_boxes(
+                    roi["ring"],
+                    bx_min[cand],
+                    by_min[cand],
+                    bx_max[cand],
+                    by_max[cand],
+                )
+                hit[:] = False
+                hit[cand[exact]] = True
+            sel = np.nonzero(hit)[0]
+            if len(sel):
+                out_roi.extend([roi["roi_id"]] * len(sel))
+                out_img.extend(image_ids.take(pa.array(sel)).to_pylist())
+        return pa.table(
+            {
+                "roi_id": pa.array(out_roi, pa.string()),
+                "image_id": pa.array(out_img, pa.string()),
+            }
+        )
+
+
+def roi_image_join(
+    images_ds,
+    roi_table: pa.Table,
+    grid: GridSpec,
+    use_stored_boxes: bool = False,
+    concurrency=None,
+):
+    """images Dataset x ROI table -> (roi_id, image_id) pairs Dataset."""
+    import ray
+
+    rois = normalize_rois(roi_table)
+    rois_ref = ray.put(rois)
+    cols = (
+        ["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+        if use_stored_boxes
+        else ["image_id", "w", "h"]
+    )
+    return images_ds.select_columns(cols).map_batches(
+        RoiImageJoin,
+        fn_constructor_kwargs={
+            "rois_ref": rois_ref,
+            "grid": grid,
+            "use_stored_boxes": use_stored_boxes,
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency or (1, 8),
+        num_cpus=1,
+    )

@@ -1,0 +1,190 @@
+"""Text-analysis operators over the documents table: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All stateful pieces (compiled regexes, stopword tables, language profiles)
+live in actor ``__init__`` — once per actor, never per batch. Kernels are
+pandas-vectorized string ops; token semantics are ASCII ``[0-9A-Za-z_]+`` so
+the DuckDB (RE2) oracle computes the identical value.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = r"[0-9A-Za-z_]+"
+
+# tiny deterministic stopword profiles for the n-gram/stopword language
+# heuristic (public-knowledge function words)
+LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+    "zh": {"de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "na"},
+}
+
+
+class TokenStats:
+    """Per-doc token count / char stats (compiled once per actor)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(TOKEN_RE)
+        self.upper = re.compile(r"[A-Z]")
+        self.punct = re.compile(r"[!-/:-@\[-`{-~]")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.findall(self.tok)
+        n_tokens = toks.map(len).astype("int64")
+        tok_chars = toks.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+        out = pd.DataFrame(
+            {
+                self.id_col: df[self.id_col],
+                "n_chars": df[self.text_col].str.len().astype("int64"),
+                "n_tokens": n_tokens,
+                "tok_chars": tok_chars,
+                "n_upper": df[self.text_col].str.count(self.upper).astype("int64"),
+                "n_punct": df[self.text_col].str.count(self.punct).astype("int64"),
+            }
+        )
+        return out
+
+
+def token_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                concurrency=(1, 8)):
+    return ds.select_columns([text_col, id_col]).map_batches(
+        TokenStats,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class QualityScore:
+    """Length/punct/stopword-ratio quality heuristics (training-data filter)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(TOKEN_RE)
+        self.stop = LANG_STOPWORDS["en"]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.lower().str.findall(self.tok)
+        n_tokens = toks.map(len).astype("int64")
+        stop_hits = toks.map(lambda ws: sum(w in self.stop for w in ws)).astype("int64")
+        tok_chars = toks.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+        mean_tok_len = tok_chars / n_tokens.where(n_tokens > 0, 1)
+        stop_ratio = stop_hits / n_tokens.where(n_tokens > 0, 1)
+        # simple composite: plausible docs have tokens, moderate word length
+        keep = (n_tokens >= 5) & (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+        return pd.DataFrame(
+            {
+                self.id_col: df[self.id_col],
+                "n_tokens": n_tokens,
+                "stop_hits": stop_hits,
+                "mean_tok_len": mean_tok_len,
+                "keep": keep.astype("int32"),
+            }
+        )
+
+
+def quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
+                  concurrency=(1, 8)):
+    return ds.select_columns([text_col, id_col]).map_batches(
+        QualityScore,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class LangId:
+    """Stopword + char-trigram heuristic language ID (deterministic)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(TOKEN_RE)
+        self.profiles = LANG_STOPWORDS
+
+    def predict_one(self, text: str) -> str:
+        toks = [t.lower() for t in self.tok.findall(text)]
+        if not toks:
+            return "und"
+        best_lang, best_score = "und", -1.0
+        for lang, stops in self.profiles.items():
+            score = sum(t in stops for t in toks) / len(toks)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang if best_score > 0 else "und"
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                self.id_col: df[self.id_col],
+                "pred_lang": df[self.text_col].map(self.predict_one),
+            }
+        )
+
+
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 8)):
+    return ds.select_columns([text_col, id_col]).map_batches(
+        LangId,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class Fingerprint:
+    """Winnowing-style rolling-hash document fingerprint (int64).
+
+    Rolling crc32 over a sliding char window; fingerprint = min hash of the
+    window set (robust to small edits at the margins; deterministic).
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 window: int = 8):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.window = window
+
+    def fp_one(self, text: str) -> int:
+        b = text.encode()
+        w = self.window
+        if len(b) <= w:
+            return zlib.crc32(b)
+        hs = [zlib.crc32(b[i : i + w]) for i in range(0, len(b) - w + 1, 4)]
+        return int(min(hs))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                self.id_col: df[self.id_col],
+                "fingerprint": df[self.text_col].map(self.fp_one).astype("int64"),
+            }
+        )
+
+
+def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id",
+                concurrency=(1, 8)):
+    return ds.select_columns([text_col, id_col]).map_batches(
+        Fingerprint,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,103 @@
+"""Zonal raster<->vector join: per-zone statistics over image pixels.
+
+North-star operator (SURVEY §2.4 last row; reference analog = AOI crop +
+mean/min/max, ``tests/test_arcticdem.py:26-29``). Pattern: broadcast the
+(small) zone table, decode + aggregate **partially inside map_batches** —
+each batch emits at most one row per zone — then a tiny ``groupby(zone_id)``
+final reduce. The partial combine is what keeps a hot zone (one zone covering
+30% of all rows) from becoming a shuffle hot key: skew is absorbed map-side,
+which is strictly stronger than salting the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codec import decode
+from ..fixtures import footprint_of
+from ..grid import GridSpec
+
+
+class ZonalPartial:
+    """Decode images, test zone membership, emit per-zone partial sums."""
+
+    def __init__(self, zones_ref, grid: GridSpec, decode_pixels: bool = True):
+        import ray
+
+        zones = ray.get(zones_ref) if not isinstance(zones_ref, pa.Table) else zones_ref
+        self.zone_ids = zones.column("zone_id").to_pylist()
+        self.z_lon_min = zones.column("lon_min").to_numpy()
+        self.z_lat_min = zones.column("lat_min").to_numpy()
+        self.z_lon_max = zones.column("lon_max").to_numpy()
+        self.z_lat_max = zones.column("lat_max").to_numpy()
+        self.grid = grid
+        self.decode_pixels = decode_pixels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        boxes = np.array(
+            [footprint_of(i, int(w), int(h), self.grid) for i, w, h in zip(ids, ws, hs)]
+        ).reshape(-1, 4)
+        if self.decode_pixels:
+            bufs = batch.column("bytes").to_pylist()
+            pix_sums = np.array(
+                [decode(b).astype(np.int64).sum() for b in bufs], dtype=np.int64
+            )
+        else:
+            pix_sums = batch.column("pix_sum").to_numpy()
+        bx_min, by_min, bx_max, by_max = boxes.T
+        out_zone, out_n, out_sum = [], [], []
+        for z in range(len(self.zone_ids)):
+            hit = (
+                (bx_min < self.z_lon_max[z])
+                & (bx_max > self.z_lon_min[z])
+                & (by_min < self.z_lat_max[z])
+                & (by_max > self.z_lat_min[z])
+            )
+            n = int(hit.sum())
+            if n:
+                out_zone.append(self.zone_ids[z])
+                out_n.append(n)
+                out_sum.append(int(pix_sums[hit].sum()))
+        return pa.table(
+            {
+                "zone_id": pa.array(out_zone, pa.string()),
+                "n_images": pa.array(out_n, pa.int64()),
+                "pix_sum_total": pa.array(out_sum, pa.int64()),
+            }
+        )
+
+
+def zonal_stats(
+    images_ds,
+    zones: pa.Table,
+    grid: GridSpec,
+    decode_pixels: bool = True,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+):
+    """images x zones -> (zone_id, n_images, pix_sum_total) Dataset."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    zones_ref = ray.put(zones)
+    cols = ["image_id", "w", "h"] + (["bytes"] if decode_pixels else ["pix_sum"])
+    partials = images_ds.select_columns(cols).map_batches(
+        ZonalPartial,
+        fn_constructor_kwargs={
+            "zones_ref": zones_ref,
+            "grid": grid,
+            "decode_pixels": decode_pixels,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return partials.groupby("zone_id").aggregate(
+        Sum("n_images", alias_name="n_images"),
+        Sum("pix_sum_total", alias_name="pix_sum_total"),
+    )
