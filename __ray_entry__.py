@@ -1,44 +1,708 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in raygeo) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Correctness battery: every SQL-expressible operator has a DuckDB oracle.
+Geocube queries run over the deterministic synthetic image+caption fixture
+table (BASELINE.json input_hint schema; generated idempotently under
+/tmp/raygeo_fixtures — row i is a pure function of i, see raygeo/fixtures.py).
+The fixture table stores *golden* derived columns (footprint box, pix_sum,
+thumb_sum) computed at generation time; the Ray pipelines re-derive them
+from image_id / bytes, so the comparison is engine-vs-golden, not
+stored-vs-stored. Pixel-LWW mosaic results are not SQL-expressible and are
+covered by rows-only checks here plus brute-force numpy oracles in tests/.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+FIX_SF001 = "/tmp/raygeo_fixtures/sf0.01"  # oracle SQL runs at sf=0.01
+IMAGES_001 = f"{FIX_SF001}/images.parquet"
+IMAGES_G_001 = f"{FIX_SF001}/images_global.parquet"
+ROIS_001 = f"{FIX_SF001}/rois.parquet"
+ROIS_G_001 = f"{FIX_SF001}/rois_global.parquet"
+ZONES_001 = f"{FIX_SF001}/zones.parquet"
+
+# exact-binary query points for kNN (decimal literals == float64 values, so
+# the SQL oracle computes bit-identical distances)
+KNN_POINTS = [
+    ("q-0", -0.75, -0.625),
+    ("q-1", -0.5, -0.375),
+    ("q-2", -0.25, -0.125),
+    ("q-3", 0.25, 0.125),
+    ("q-4", 0.5, 0.375),
+    ("q-5", 0.75, 0.625),
+]
+
+# grid constants inlined into SQL (FIXTURE_GRID: x0=-1, y1=1, res=2^-10,
+# 2048 px, chunk 128 — all exact in binary)
+RES = "0.0009765625"
+G_RES = "0.125"  # GLOBAL_GRID res
+
+
+def _fix(sf_dir: str) -> str:
+    from raygeo.fixtures import ensure_fixtures_for_dir
+
+    return ensure_fixtures_for_dir(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full ingest (decode -> explode -> salted mosaic
+    shuffle) of the sf0.001 fixture images into cube tiles."""
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID, ensure_fixtures
+    from raygeo.ops.ingest import ingest
+
+    d = ensure_fixtures(0.001)
+    images = rd.read_parquet(f"{d}/images.parquet")
+    tiles = ingest(images, FIXTURE_GRID, cube_path=None)
+    return tiles.select_columns(
+        ["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"]
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def _q_tile_assign(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatial_join import image_tiles
+
+    d = _fix(sf_dir)
+    return image_tiles(rd.read_parquet(f"{d}/images.parquet"), FIXTURE_GRID)
+
+
+def _q_roi_tile_cover(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatial_join import normalize_rois, roi_tiles
+
+    d = _fix(sf_dir)
+    rois = pq.read_table(f"{d}/rois.parquet")
+    rois = rois.filter(
+        [k in ("inside", "overlapping", "out_of_bounds")
+         for k in rois.column("kind").to_pylist()]
+    )
+    return roi_tiles(normalize_rois(rois), FIXTURE_GRID)
+
+
+def _q_roi_image_join(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatial_join import roi_image_join
+
+    d = _fix(sf_dir)
+    rois = pq.read_table(f"{d}/rois.parquet")
+    rois = rois.filter(
+        [k in ("inside", "overlapping", "out_of_bounds")
+         for k in rois.column("kind").to_pylist()]
+    )
+    return roi_image_join(rd.read_parquet(f"{d}/images.parquet"), rois, FIXTURE_GRID)
+
+
+def _q_antimeridian_join(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.fixtures import GLOBAL_GRID
+    from raygeo.ops.spatial_join import roi_image_join
+
+    d = _fix(sf_dir)
+    rois = pq.read_table(f"{d}/rois_global.parquet")
+    return roi_image_join(
+        rd.read_parquet(f"{d}/images_global.parquet"), rois, GLOBAL_GRID
+    )
+
+
+def _q_zonal_stats(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import zonal_stats
+
+    d = _fix(sf_dir)
+    return zonal_stats(
+        rd.read_parquet(f"{d}/images.parquet"),
+        pq.read_table(f"{d}/zones.parquet"),
+        FIXTURE_GRID,
+        decode_pixels=True,
+    )
+
+
+def _q_knn_images(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.knn import knn
+
+    d = _fix(sf_dir)
+    qdf = pd.DataFrame(KNN_POINTS, columns=["query_id", "lon", "lat"])
+    res = knn(rd.read_parquet(f"{d}/images.parquet"), qdf, FIXTURE_GRID, k=5, level=5)
+    return res[["query_id", "rank", "image_id"]]
+
+
+def _q_dedup_phash(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.dedup import exact_dedup
+
+    d = _fix(sf_dir)
+    ds = rd.read_parquet(f"{d}/images.parquet")
+    out = exact_dedup(ds, key_col="phash", id_col="image_id",
+                      precomputed_hash="phash")
+    return out.rename_columns({"hash64": "phash"})
+
+
+def _q_decode_stats(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.multimodal import decode_stats
+
+    d = _fix(sf_dir)
+    return decode_stats(rd.read_parquet(f"{d}/images.parquet")).select_columns(
+        ["image_id", "w", "h", "pix_sum"]
+    )
+
+
+def _q_thumbnails(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.multimodal import thumbnails
+
+    d = _fix(sf_dir)
+    return thumbnails(rd.read_parquet(f"{d}/images.parquet")).select_columns(
+        ["image_id", "thumb_sum"]
+    )
+
+
+def _q_caption_roundtrip(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.codec import decode
+
+    d = _fix(sf_dir)
+
+    def through_decode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sums = [int(decode(b).astype("int64").sum()) for b in t.column("bytes").to_pylist()]
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "caption": t.column("caption"),
+                "pix_sum": pa.array(np.asarray(sums, dtype="int64"), pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(f"{d}/images.parquet").select_columns(
+        ["image_id", "caption", "bytes"]
+    ).map_batches(through_decode, batch_format="pyarrow", batch_size=256)
+
+
+def _q_ingest_mosaic(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+
+    d = _fix(sf_dir)
+    tiles = ingest(rd.read_parquet(f"{d}/images.parquet"), FIXTURE_GRID)
+    return tiles.select_columns(["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"])
+
+
+# ----- training-data ops over the provided testdata tables -----
+def _q_q1_pricing(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.relational import q1_pricing_summary
+
+    return q1_pricing_summary(rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.relational import revenue_by_nation
+
+    return revenue_by_nation(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/customer.parquet",
+        f"{sf_dir}/nation.parquet",
+    )
+
+
+def _q_top_orders(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.relational import top_orders_by_revenue
+
+    return top_orders_by_revenue(rd.read_parquet(f"{sf_dir}/lineitem.parquet"), k=10)
+
+
+def _q_top_parts(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.relational import top_parts_by_price
+
+    return top_parts_by_price(rd.read_parquet(f"{sf_dir}/part.parquet"), k=20)
+
+
+def _q_events_hourly(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        bucket = df.ts.astype("datetime64[ns]").astype("int64") // (3600 * 10**9)
+        cents = np.rint(df.value * 100).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": df.event_type, "hour_bucket": bucket,
+                          "value_cents": cents})
+            .groupby(["event_type", "hour_bucket"], sort=False)
+            .agg(n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).groupby(
+        ["event_type", "hour_bucket"]
+    ).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.relational import sessionize
+
+    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_docs_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.text import token_stats
+
+    return token_stats(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_docs_quality(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.text import quality_score
+
+    return quality_score(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(ds, key_col="text", id_col="doc_id")
+    return out.select_columns(["doc_id", "n_dups"])
+
+
+def _q_docs_langid(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.text import lang_id
+
+    return lang_id(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_docs_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.dedup import simhash
+
+    return simhash(rd.read_parquet(f"{sf_dir}/documents.parquet"), "text", "doc_id")
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.text import fingerprint
+
+    return fingerprint(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_docs_neardup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", jaccard_threshold=1.0)
+    return pairs[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"})
+
+
+def _q_docs_minhash_07(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", jaccard_threshold=0.7)
+    return pairs[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"})
+
+
+def _read_query_vecs(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pdf = t.to_pandas()
+    q = pdf[pdf.vec_id < 8][["vec_id", "embedding"]].rename(
+        columns={"vec_id": "query_id"}
+    )
+    return q
+
+
+def _q_emb_knn(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.ann import brute_force_knn
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = brute_force_knn(ds, _read_query_vecs(sf_dir), k=10).to_pandas()
+    return res[["query_id", "rank", "vec_id"]]
+
+
+def _q_emb_ivf_knn(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.ann import ivf_knn
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = ivf_knn(ds, _read_query_vecs(sf_dir), k=10).to_pandas()
+    return res[["query_id", "rank", "vec_id"]]
+
+
+def _q_emb_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(ds, threshold=0.4).select_columns(["id_a", "id_b"])
+
+
+def _q_emb_lsh_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from raygeo.ops.ann import lsh_bucket_neardup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_neardup(ds, threshold=0.4)[["id_a", "id_b"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # geocube core (fixture images)
+        "tile_assign": _q_tile_assign,
+        "roi_tile_cover": _q_roi_tile_cover,
+        "roi_image_join": _q_roi_image_join,
+        "antimeridian_join": _q_antimeridian_join,
+        "zonal_stats": _q_zonal_stats,
+        "knn_images": _q_knn_images,
+        "dedup_phash": _q_dedup_phash,
+        "decode_stats": _q_decode_stats,
+        "thumbnails": _q_thumbnails,
+        "caption_roundtrip": _q_caption_roundtrip,
+        "ingest_mosaic": _q_ingest_mosaic,  # rows-only (pixel LWW not in SQL)
+        # relational / engine plumbing (testdata tables)
+        "q1_pricing": _q_q1_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_orders": _q_top_orders,
+        "top_parts": _q_top_parts,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_sessionize,
+        # text / dedup (documents)
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_quality": _q_docs_quality,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_langid": _q_docs_langid,  # rows-only (heuristic)
+        "docs_simhash": _q_docs_simhash,  # rows-only (hash not in SQL)
+        "docs_fingerprint": _q_docs_fingerprint,  # rows-only
+        "docs_neardup_exact": _q_docs_neardup_exact,
+        "docs_minhash_07": _q_docs_minhash_07,  # rows-only (probabilistic recall)
+        # embeddings
+        "emb_knn": _q_emb_knn,
+        "emb_ivf_knn": _q_emb_ivf_knn,  # rows-only (approximate)
+        "emb_neardup": _q_emb_neardup,
+        "emb_lsh_neardup": _q_emb_lsh_neardup,  # rows-only (probabilistic)
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered for testdata tables, fixture
+# tables referenced via read_parquet of their deterministic /tmp paths)
+# --------------------------------------------------------------------------
+_TILE_WINDOW_CTE = f"""
+WITH w AS (
+  SELECT image_id,
+    greatest(0, least(2048, CAST(floor((lon_min + 1.0) / {RES}) AS BIGINT))) AS cl,
+    greatest(0, least(2048, CAST(ceil((lon_max + 1.0) / {RES}) AS BIGINT))) AS ch,
+    greatest(0, least(2048, CAST(floor((1.0 - lat_max) / {RES}) AS BIGINT))) AS rl,
+    greatest(0, least(2048, CAST(ceil((1.0 - lat_min) / {RES}) AS BIGINT))) AS rh
+  FROM read_parquet('{IMAGES_001}')
+),
+tx_u AS (
+  SELECT image_id, rl, rh, unnest(generate_series(cl // 128, (ch - 1) // 128)) AS tx
+  FROM w WHERE ch > cl AND rh > rl
+)
+"""
+
+_STOPWORDS_SQL = "['the','and','of','to','a','in','is','that','for','it']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # make sure the sf0.01 fixture files the SQL references exist
+    from raygeo.fixtures import ensure_fixtures
+
+    ensure_fixtures(0.01)
+    knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
+    return {
+        "tile_assign": _TILE_WINDOW_CTE
+        + """
+SELECT image_id,
+  CAST(tx AS VARCHAR) || '-' || CAST(ty AS VARCHAR) AS tile_id,
+  CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty
+FROM (
+  SELECT image_id, tx, unnest(generate_series(rl // 128, (rh - 1) // 128)) AS ty
+  FROM tx_u
+)
+""",
+        "roi_tile_cover": f"""
+WITH w AS (
+  SELECT roi_id,
+    greatest(0, least(2048, CAST(floor((lon_min + 1.0) / {RES}) AS BIGINT))) AS cl,
+    greatest(0, least(2048, CAST(ceil((lon_max + 1.0) / {RES}) AS BIGINT))) AS ch,
+    greatest(0, least(2048, CAST(floor((1.0 - lat_max) / {RES}) AS BIGINT))) AS rl,
+    greatest(0, least(2048, CAST(ceil((1.0 - lat_min) / {RES}) AS BIGINT))) AS rh
+  FROM read_parquet('{ROIS_001}')
+  WHERE kind IN ('inside','overlapping','out_of_bounds')
+),
+tx_u AS (
+  SELECT roi_id, rl, rh, unnest(generate_series(cl // 128, (ch - 1) // 128)) AS tx
+  FROM w WHERE ch > cl AND rh > rl
+)
+SELECT roi_id,
+  CAST(tx AS VARCHAR) || '-' || CAST(ty AS VARCHAR) AS tile_id,
+  CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty
+FROM (
+  SELECT roi_id, tx, unnest(generate_series(rl // 128, (rh - 1) // 128)) AS ty
+  FROM tx_u
+)
+""",
+        "roi_image_join": f"""
+SELECT r.roi_id, i.image_id
+FROM read_parquet('{ROIS_001}') r
+JOIN read_parquet('{IMAGES_001}') i
+  ON i.lon_min < r.lon_max AND i.lon_max > r.lon_min
+ AND i.lat_min < r.lat_max AND i.lat_max > r.lat_min
+WHERE r.kind IN ('inside','overlapping','out_of_bounds')
+""",
+        "antimeridian_join": f"""
+SELECT r.roi_id, i.image_id
+FROM read_parquet('{ROIS_G_001}') r
+JOIN read_parquet('{IMAGES_G_001}') i
+  ON i.lat_min < r.lat_max AND i.lat_max > r.lat_min
+ AND (CASE WHEN r.lon_min <= r.lon_max
+       THEN i.lon_min < r.lon_max AND i.lon_max > r.lon_min
+       ELSE (i.lon_min < 180.0 AND i.lon_max > r.lon_min)
+         OR (i.lon_min < r.lon_max AND i.lon_max > -180.0) END)
+""",
+        "zonal_stats": f"""
+SELECT z.zone_id, count(*)::BIGINT AS n_images,
+       sum(i.pix_sum)::BIGINT AS pix_sum_total
+FROM read_parquet('{ZONES_001}') z
+JOIN read_parquet('{IMAGES_001}') i
+  ON i.lon_min < z.lon_max AND i.lon_max > z.lon_min
+ AND i.lat_min < z.lat_max AND i.lat_max > z.lat_min
+GROUP BY 1
+""",
+        "knn_images": f"""
+WITH q(query_id, lon, lat) AS (VALUES {knn_values}),
+s AS (
+  SELECT q.query_id, i.image_id,
+    ((i.lon_min+i.lon_max)/2.0 - q.lon)*((i.lon_min+i.lon_max)/2.0 - q.lon)
+    + ((i.lat_min+i.lat_max)/2.0 - q.lat)*((i.lat_min+i.lat_max)/2.0 - q.lat) AS dist2
+  FROM q, read_parquet('{IMAGES_001}') i
+)
+SELECT query_id, rank, image_id FROM (
+  SELECT query_id, image_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY dist2, image_id) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+        "dedup_phash": f"""
+SELECT phash, min(image_id) AS image_id, count(*)::BIGINT AS n_dups
+FROM read_parquet('{IMAGES_001}')
+GROUP BY phash
+""",
+        "decode_stats": f"""
+SELECT image_id, w, h, pix_sum FROM read_parquet('{IMAGES_001}')
+""",
+        "thumbnails": f"""
+SELECT image_id, thumb_sum FROM read_parquet('{IMAGES_001}')
+""",
+        "caption_roundtrip": f"""
+SELECT image_id, caption, pix_sum FROM read_parquet('{IMAGES_001}')
+""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_cents,
+  COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY 1, 2
+""",
+        "revenue_by_nation": """
+SELECT n.n_name,
+  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+        "top_orders": """
+SELECT l_orderkey,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cents
+FROM lineitem GROUP BY 1
+ORDER BY revenue_cents DESC, l_orderkey DESC LIMIT 10
+""",
+        "top_parts": """
+SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part ORDER BY price_cents DESC, p_partkey DESC LIMIT 20
+""",
+        "events_hourly": """
+SELECT event_type,
+  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+  COUNT(*)::BIGINT AS n_events,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+),
+per_sess AS (
+  SELECT user_id, sess, COUNT(*)::BIGINT AS cnt FROM s GROUP BY 1, 2
+)
+SELECT user_id, MAX(sess)::BIGINT AS n_sessions,
+  SUM(cnt)::BIGINT AS n_events, MAX(cnt)::BIGINT AS max_session_events
+FROM per_sess GROUP BY 1
+""",
+        "docs_token_stats": r"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(regexp_extract_all(text, '[0-9A-Za-z_]+'))::BIGINT AS n_tokens,
+  coalesce(list_sum(list_transform(regexp_extract_all(text, '[0-9A-Za-z_]+'),
+                                   x -> length(x))), 0)::BIGINT AS tok_chars,
+  len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper,
+  len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::BIGINT AS n_punct
+FROM documents
+""",
+        "docs_quality": f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::BIGINT AS stop_hits,
+    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS tok_chars
+  FROM t
+)
+SELECT doc_id, n_tokens, stop_hits,
+  CAST(tok_chars AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)
+    AS mean_tok_len,
+  CAST(n_tokens >= 5
+    AND CAST(tok_chars AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)
+        BETWEEN 2.0 AND 12.0 AS INTEGER) AS keep
+FROM m
+""",
+        "docs_exact_dedup": """
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY text
+""",
+        "docs_neardup_exact": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS s
+  FROM t WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE c = ca.n AND c = cb.n
+""",
+        "emb_knn": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim
+  FROM q, embeddings e
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= 10
+""",
+        "emb_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+    }

@@ -218,6 +218,9 @@ def lsh_bucket_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
         verify, batch_format="pandas"
     )
-    return pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).reset_index(
-        drop=True
-    )
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "cos_sim": pd.Series(dtype="float64")})
+    return pdf.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)

@@ -297,7 +297,8 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 4,
 
 
 # ------------------------------------------------- embedding cosine near-dup
-def embedding_neardup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95):
+def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                            threshold: float = 0.95):
     """Exact cosine near-dup pairs via brute force vs a broadcast matrix.
 
     The full (id, unit-vector) matrix is ``ray.put`` once; each batch does one
