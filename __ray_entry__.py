@@ -59,7 +59,8 @@ def entry() -> Any:
     from raygeo.ops.ingest import ingest
 
     d = ensure_fixtures(0.001)
-    images = rd.read_parquet(f"{d}/images.parquet")
+    images = rd.read_parquet(f"{d}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
     tiles = ingest(images, FIXTURE_GRID, cube_path=None)
     return tiles.select_columns(
         ["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"]
@@ -76,7 +77,7 @@ def _q_tile_assign(sf_dir: str):
     from raygeo.ops.spatial_join import image_tiles
 
     d = _fix(sf_dir)
-    return image_tiles(rd.read_parquet(f"{d}/images.parquet"), FIXTURE_GRID)
+    return image_tiles(rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "w", "h"]), FIXTURE_GRID)
 
 
 def _q_roi_tile_cover(sf_dir: str):
@@ -107,7 +108,9 @@ def _q_roi_image_join(sf_dir: str):
         [k in ("inside", "overlapping", "out_of_bounds")
          for k in rois.column("kind").to_pylist()]
     )
-    return roi_image_join(rd.read_parquet(f"{d}/images.parquet"), rois, FIXTURE_GRID)
+    return roi_image_join(
+        rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+        rois, FIXTURE_GRID)
 
 
 def _q_antimeridian_join(sf_dir: str):
@@ -120,7 +123,8 @@ def _q_antimeridian_join(sf_dir: str):
     d = _fix(sf_dir)
     rois = pq.read_table(f"{d}/rois_global.parquet")
     return roi_image_join(
-        rd.read_parquet(f"{d}/images_global.parquet"), rois, GLOBAL_GRID
+        rd.read_parquet(f"{d}/images_global.parquet", columns=["image_id", "w", "h"]),
+        rois, GLOBAL_GRID
     )
 
 
@@ -133,7 +137,8 @@ def _q_zonal_stats(sf_dir: str):
 
     d = _fix(sf_dir)
     return zonal_stats(
-        rd.read_parquet(f"{d}/images.parquet"),
+        rd.read_parquet(f"{d}/images.parquet",
+                        columns=["image_id", "w", "h", "bytes"]),
         pq.read_table(f"{d}/zones.parquet"),
         FIXTURE_GRID,
         decode_pixels=True,
@@ -149,7 +154,8 @@ def _q_knn_images(sf_dir: str):
 
     d = _fix(sf_dir)
     qdf = pd.DataFrame(KNN_POINTS, columns=["query_id", "lon", "lat"])
-    res = knn(rd.read_parquet(f"{d}/images.parquet"), qdf, FIXTURE_GRID, k=5, level=5)
+    res = knn(rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+              qdf, FIXTURE_GRID, k=5, level=5)
     return res[["query_id", "rank", "image_id"]]
 
 
@@ -159,7 +165,7 @@ def _q_dedup_phash(sf_dir: str):
     from raygeo.ops.dedup import exact_dedup
 
     d = _fix(sf_dir)
-    ds = rd.read_parquet(f"{d}/images.parquet")
+    ds = rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "phash"])
     out = exact_dedup(ds, key_col="phash", id_col="image_id",
                       precomputed_hash="phash")
     return out.rename_columns({"hash64": "phash"})
@@ -171,7 +177,8 @@ def _q_decode_stats(sf_dir: str):
     from raygeo.ops.multimodal import decode_stats
 
     d = _fix(sf_dir)
-    return decode_stats(rd.read_parquet(f"{d}/images.parquet")).select_columns(
+    return decode_stats(rd.read_parquet(f"{d}/images.parquet",
+                                        columns=["image_id", "bytes", "w", "h"])).select_columns(
         ["image_id", "w", "h", "pix_sum"]
     )
 
@@ -182,7 +189,8 @@ def _q_thumbnails(sf_dir: str):
     from raygeo.ops.multimodal import thumbnails
 
     d = _fix(sf_dir)
-    return thumbnails(rd.read_parquet(f"{d}/images.parquet")).select_columns(
+    return thumbnails(rd.read_parquet(f"{d}/images.parquet",
+                                      columns=["image_id", "bytes"])).select_columns(
         ["image_id", "thumb_sum"]
     )
 
@@ -207,8 +215,8 @@ def _q_caption_roundtrip(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(f"{d}/images.parquet").select_columns(
-        ["image_id", "caption", "bytes"]
+    return rd.read_parquet(
+        f"{d}/images.parquet", columns=["image_id", "caption", "bytes"]
     ).map_batches(through_decode, batch_format="pyarrow", batch_size=256)
 
 
@@ -219,7 +227,8 @@ def _q_ingest_mosaic(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(rd.read_parquet(f"{d}/images.parquet"), FIXTURE_GRID)
+    tiles = ingest(rd.read_parquet(f"{d}/images.parquet",
+                                   columns=["image_id", "bytes", "w", "h"]), FIXTURE_GRID)
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"])
 
 

@@ -66,7 +66,7 @@ class _BatchSims:
 
 
 def brute_force_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
-                    id_col: str = "vec_id", k: int = 10, concurrency=(1, 8)):
+                    id_col: str = "vec_id", k: int = 10, concurrency=(1, 16)):
     """Exact cosine top-k; ``queries`` has (query_id, embedding)."""
     import ray
 
@@ -101,7 +101,7 @@ def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 8, seed: int = 42):
 
 def ivf_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
             id_col: str = "vec_id", k: int = 10, n_lists: int = 16,
-            nprobe: int = 4, sample_rows: int = 2000, concurrency=(1, 8)):
+            nprobe: int = 4, sample_rows: int = 2000, concurrency=(1, 16)):
     """IVF-bucketed approximate top-k (the 100 TB scale path).
 
     Centroids come from a driver-side sample (small, one-time); each batch

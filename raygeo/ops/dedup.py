@@ -168,7 +168,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 2,
     jaccard_threshold: float = 0.8,
-    concurrency=(1, 8),
+    concurrency=(1, 16),
 ):
     """Near-dup candidate pairs via LSH banding, verified by exact Jaccard.
 

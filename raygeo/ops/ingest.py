@@ -242,7 +242,7 @@ def fragments_dataset(
     images_ds,
     grid: GridSpec,
     num_salts: int = 4,
-    concurrency=(2, 8),
+    concurrency=(2, 32),
     batch_size: int = 64,
 ):
     """images Dataset -> fragments Dataset (decode+explode actor pool)."""
@@ -263,7 +263,7 @@ def ingest(
     num_salts: int = 4,
     skip_tiles: set[str] | None = None,
     only_tiles: set[str] | None = None,
-    concurrency=(2, 8),
+    concurrency=(2, 32),
     batch_size: int = 64,
 ):
     """Full ingest pipeline; returns the tiles Dataset (lazy).

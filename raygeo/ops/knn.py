@@ -100,7 +100,7 @@ def knn(
     k: int = 5,
     level: int = 5,
     r0: int = 1,
-    concurrency=(1, 8),
+    concurrency=(1, 16),
 ):
     """Exact k nearest image centroids per query point.
 

@@ -52,7 +52,7 @@ class DecodeStats:
         )
 
 
-def decode_stats(images_ds, concurrency=(1, 8), batch_size: int = 256):
+def decode_stats(images_ds, concurrency=(1, 32), batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes", "w", "h"]).map_batches(
         DecodeStats,
         batch_format="pyarrow",
@@ -84,7 +84,7 @@ class Thumbnail:
         )
 
 
-def thumbnails(images_ds, size: int = 16, concurrency=(1, 8), batch_size: int = 256):
+def thumbnails(images_ds, size: int = 16, concurrency=(1, 32), batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes"]).map_batches(
         Thumbnail,
         fn_constructor_kwargs={"size": size},
@@ -113,7 +113,7 @@ class ImageFeatures:
         return pa.table(out)
 
 
-def image_features(images_ds, concurrency=(1, 8), batch_size: int = 256):
+def image_features(images_ds, concurrency=(1, 32), batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes"]).map_batches(
         ImageFeatures,
         batch_format="pyarrow",

@@ -212,6 +212,6 @@ def roi_image_join(
         },
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or (1, 16),
         num_cpus=1,
     )

@@ -56,7 +56,7 @@ class TokenStats:
 
 
 def token_stats(ds, text_col: str = "text", id_col: str = "doc_id",
-                concurrency=(1, 8)):
+                concurrency=(1, 16)):
     return ds.select_columns([text_col, id_col]).map_batches(
         TokenStats,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
@@ -97,7 +97,7 @@ class QualityScore:
 
 
 def quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
-                  concurrency=(1, 8)):
+                  concurrency=(1, 16)):
     return ds.select_columns([text_col, id_col]).map_batches(
         QualityScore,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
@@ -137,7 +137,7 @@ class LangId:
         )
 
 
-def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 8)):
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 16)):
     return ds.select_columns([text_col, id_col]).map_batches(
         LangId,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
@@ -179,7 +179,7 @@ class Fingerprint:
 
 
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id",
-                concurrency=(1, 8)):
+                concurrency=(1, 16)):
     return ds.select_columns([text_col, id_col]).map_batches(
         Fingerprint,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},

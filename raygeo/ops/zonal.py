@@ -76,7 +76,7 @@ def zonal_stats(
     zones: pa.Table,
     grid: GridSpec,
     decode_pixels: bool = True,
-    concurrency=(1, 8),
+    concurrency=(1, 32),
     batch_size: int = 256,
 ):
     """images x zones -> (zone_id, n_images, pix_sum_total) Dataset."""
