@@ -176,6 +176,91 @@ PARTIAL_SCHEMA = pa.schema(
 )
 
 
+class DecodeFoldPartial:
+    """Combiner stage: decode + explode + MAP-SIDE partial mosaic fold.
+
+    The scale-defining optimization: instead of shuffling raw fragment pixels
+    (O(total decoded bytes) through the object store), each large batch folds
+    its fragments into at most one partial canvas per touched tile, and only
+    those (compressed) canvases enter the ``groupby(tile_id)`` merge. Because
+    the fold is associative (per-pixel winner = max patch_no), this is exactly
+    the partial-aggregate-before-groupby pattern — and it also absorbs skew:
+    a hot tile contributes <= 1 partial per batch no matter how many fragments
+    hit it, so no salting stage is needed on this path.
+
+    Images are applied in ascending patch_no within the batch, preserving the
+    deterministic sorted-LWW semantics (SURVEY §4.4).
+    """
+
+    def __init__(self, grid: GridSpec, skip_ref=None):
+        import ray
+
+        self.grid = grid
+        skip = ray.get(skip_ref) if skip_ref is not None else (set(), None)
+        self.done, self.only = skip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch.column("image_id").to_pylist()
+        if not ids:
+            return pa.table({k: [] for k in PARTIAL_SCHEMA.names},
+                            schema=PARTIAL_SCHEMA)
+        bufs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        boxes = np.array(
+            [footprint_of(i, int(w), int(h), g) for i, w, h in zip(ids, ws, hs)]
+        ).reshape(-1, 4)
+        cl, chh, rl, rhh = g.pixel_window(boxes[:, 0], boxes[:, 1],
+                                          boxes[:, 2], boxes[:, 3])
+        pnos = np.array([int(i.rsplit("-", 1)[1]) for i in ids], dtype=np.int64)
+        order = np.argsort(pnos, kind="stable")
+        canvases: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, list]] = {}
+        c = g.chunk
+        for i in order:
+            i = int(i)
+            if int(chh[i]) <= int(cl[i]) or int(rhh[i]) <= int(rl[i]):
+                continue
+            pix = None
+            tx_lo, tx_hi = int(cl[i]) // c, (int(chh[i]) - 1) // c
+            ty_lo, ty_hi = int(rl[i]) // c, (int(rhh[i]) - 1) // c
+            for tx in range(tx_lo, tx_hi + 1):
+                for ty in range(ty_lo, ty_hi + 1):
+                    tid = f"{tx}-{ty}"
+                    if tid in self.done or (self.only is not None and tid not in self.only):
+                        continue
+                    tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+                    c0, c1 = max(int(cl[i]), tc0), min(int(chh[i]), tc1)
+                    r0, r1 = max(int(rl[i]), tr0), min(int(rhh[i]), tr1)
+                    if c1 <= c0 or r1 <= r0:
+                        continue
+                    if pix is None:
+                        pix = decode(bufs[i])
+                    key = (tx, ty)
+                    if key not in canvases:
+                        canvases[key] = (
+                            np.zeros((c, c, 3), dtype=np.uint8),
+                            np.full((c, c), -1, dtype=np.int64),
+                            [0],
+                        )
+                    canvas, winner, nf = canvases[key]
+                    canvas[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0] = pix[
+                        r0 - int(rl[i]) : r1 - int(rl[i]),
+                        c0 - int(cl[i]) : c1 - int(cl[i]),
+                    ]
+                    winner[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0] = pnos[i]
+                    nf[0] += 1
+        out = {k: [] for k in PARTIAL_SCHEMA.names}
+        for (tx, ty), (canvas, winner, nf) in canvases.items():
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["n_frags"].append(nf[0])
+            out["canvas_z"].append(zlib.compress(canvas.tobytes(), 1))
+            out["winner_z"].append(zlib.compress(winner.tobytes(), 1))
+        return pa.table(out, schema=PARTIAL_SCHEMA)
+
+
 def make_partial_fold(chunk: int):
     def partial_fold(group: pa.Table) -> pa.Table:
         canvas, winner, n = _fold_group(group, chunk)
@@ -265,36 +350,60 @@ def ingest(
     only_tiles: set[str] | None = None,
     concurrency=(2, 32),
     batch_size: int = 64,
+    map_side_combine: bool = True,
+    combine_batch_size: int = 1024,
 ):
     """Full ingest pipeline; returns the tiles Dataset (lazy).
 
     ``skip_tiles`` (or the cube's lineage ledger when ``cube_path`` is set)
     anti-joins completed partitions out before the shuffle; ``only_tiles``
     restricts the shuffle to an ROI's tile set (the load() subplan).
+
+    Two physically different but semantically identical plans:
+    - ``map_side_combine=True`` (default, the scale path): decode + fold into
+      per-tile partial canvases inside large batches, shuffle only canvases,
+      one ``groupby(tile_id)`` merge. ~4-10x less shuffle volume; skew
+      absorbed map-side.
+    - ``map_side_combine=False``: explicit fragment explode -> salted
+      two-stage shuffle (kept for the fragment-level operators and as the
+      cross-check in tests — both plans must produce identical tiles).
     """
     import ray
-
-    frags = fragments_dataset(images_ds, grid, num_salts, concurrency, batch_size)
 
     done = set(skip_tiles or ())
     if cube_path is not None:
         done |= lineage.loaded_partitions(cube_path)
-    if done or only_tiles is not None:
-        filt_ref = ray.put((done, only_tiles))
 
-        def drop_done(t: pa.Table) -> pa.Table:
-            d, only = ray.get(filt_ref)
-            keep = [
-                tid not in d and (only is None or tid in only)
-                for tid in t.column("tile_id").to_pylist()
-            ]
-            return t.filter(pa.array(keep))
+    if map_side_combine:
+        skip_ref = ray.put((done, only_tiles))
+        partials = images_ds.map_batches(
+            DecodeFoldPartial,
+            fn_constructor_kwargs={"grid": grid, "skip_ref": skip_ref},
+            batch_format="pyarrow",
+            batch_size=combine_batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        frags = fragments_dataset(images_ds, grid, num_salts, concurrency, batch_size)
+        if done or only_tiles is not None:
+            filt_ref = ray.put((done, only_tiles))
 
-        frags = frags.map_batches(drop_done, batch_format="pyarrow")
+            def drop_done(t: pa.Table) -> pa.Table:
+                d, only = ray.get(filt_ref)
+                keep = [
+                    tid not in d and (only is None or tid in only)
+                    for tid in t.column("tile_id").to_pylist()
+                ]
+                return t.filter(pa.array(keep))
 
-    partials = frags.groupby("salt_key").map_groups(
-        make_partial_fold(grid.chunk), batch_format="pyarrow"
-    )
+            frags = frags.map_batches(drop_done, batch_format="pyarrow")
+        # keep shuffle block count bounded: many tiny fragment blocks make the
+        # sort-based groupby quadratic in block count
+        partials = frags.repartition(64).groupby("salt_key").map_groups(
+            make_partial_fold(grid.chunk), batch_format="pyarrow"
+        )
+
     tiles = partials.groupby("tile_id").map_groups(
         make_merge_fold(grid.chunk, cube_path), batch_format="pyarrow"
     )

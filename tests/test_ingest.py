@@ -74,6 +74,31 @@ def test_ingest_matches_bruteforce(fixtures_sf0001, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_combiner_equals_fragment_plan(fixtures_sf0001):
+    """The map-side-combine plan and the salted fragment-shuffle plan are
+    physically different but must produce bit-identical tiles."""
+    import ray.data as rd
+
+    images_path = f"{fixtures_sf0001}/images.parquet"
+    cols = ["tile_id", "n_frags", "n_valid_px", "pix_sum", "rgb_z", "mask_z"]
+
+    def run(map_side):
+        ds = rd.read_parquet(images_path).limit(400)
+        t = ingest(ds, FIXTURE_GRID, map_side_combine=map_side,
+                   combine_batch_size=128).to_pandas()
+        import zlib
+
+        t["rgb"] = t.rgb_z.map(zlib.decompress)
+        t["mask"] = t.mask_z.map(zlib.decompress)
+        return t.sort_values("tile_id").reset_index(drop=True)[
+            ["tile_id", "n_frags", "n_valid_px", "pix_sum", "rgb", "mask"]
+        ]
+
+    a, b = run(True), run(False)
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ingest_resume_skips_done(fixtures_sf0001, tmp_path):
     import ray.data as rd
     from raygeo.cube import Channel, CubeSpec, create
