@@ -476,7 +476,7 @@ WITH w AS (
     greatest(0, least(2048, CAST(ceil((lon_max + 1.0) / {RES}) AS BIGINT))) AS ch,
     greatest(0, least(2048, CAST(floor((1.0 - lat_max) / {RES}) AS BIGINT))) AS rl,
     greatest(0, least(2048, CAST(ceil((1.0 - lat_min) / {RES}) AS BIGINT))) AS rh
-  FROM read_parquet('{IMAGES_001}')
+  FROM read_parquet('{IMAGES_001}/*.parquet')
 ),
 tx_u AS (
   SELECT image_id, rl, rh, unnest(generate_series(cl // 128, (ch - 1) // 128)) AS tx
@@ -529,7 +529,7 @@ FROM (
         "roi_image_join": f"""
 SELECT r.roi_id, i.image_id
 FROM read_parquet('{ROIS_001}') r
-JOIN read_parquet('{IMAGES_001}') i
+JOIN read_parquet('{IMAGES_001}/*.parquet') i
   ON i.lon_min < r.lon_max AND i.lon_max > r.lon_min
  AND i.lat_min < r.lat_max AND i.lat_max > r.lat_min
 WHERE r.kind IN ('inside','overlapping','out_of_bounds')
@@ -537,7 +537,7 @@ WHERE r.kind IN ('inside','overlapping','out_of_bounds')
         "antimeridian_join": f"""
 SELECT r.roi_id, i.image_id
 FROM read_parquet('{ROIS_G_001}') r
-JOIN read_parquet('{IMAGES_G_001}') i
+JOIN read_parquet('{IMAGES_G_001}/*.parquet') i
   ON i.lat_min < r.lat_max AND i.lat_max > r.lat_min
  AND (CASE WHEN r.lon_min <= r.lon_max
        THEN i.lon_min < r.lon_max AND i.lon_max > r.lon_min
@@ -548,7 +548,7 @@ JOIN read_parquet('{IMAGES_G_001}') i
 SELECT z.zone_id, count(*)::BIGINT AS n_images,
        sum(i.pix_sum)::BIGINT AS pix_sum_total
 FROM read_parquet('{ZONES_001}') z
-JOIN read_parquet('{IMAGES_001}') i
+JOIN read_parquet('{IMAGES_001}/*.parquet') i
   ON i.lon_min < z.lon_max AND i.lon_max > z.lon_min
  AND i.lat_min < z.lat_max AND i.lat_max > z.lat_min
 GROUP BY 1
@@ -559,7 +559,7 @@ s AS (
   SELECT q.query_id, i.image_id,
     ((i.lon_min+i.lon_max)/2.0 - q.lon)*((i.lon_min+i.lon_max)/2.0 - q.lon)
     + ((i.lat_min+i.lat_max)/2.0 - q.lat)*((i.lat_min+i.lat_max)/2.0 - q.lat) AS dist2
-  FROM q, read_parquet('{IMAGES_001}') i
+  FROM q, read_parquet('{IMAGES_001}/*.parquet') i
 )
 SELECT query_id, rank, image_id FROM (
   SELECT query_id, image_id,
@@ -569,17 +569,17 @@ SELECT query_id, rank, image_id FROM (
 """,
         "dedup_phash": f"""
 SELECT phash, min(image_id) AS image_id, count(*)::BIGINT AS n_dups
-FROM read_parquet('{IMAGES_001}')
+FROM read_parquet('{IMAGES_001}/*.parquet')
 GROUP BY phash
 """,
         "decode_stats": f"""
-SELECT image_id, w, h, pix_sum FROM read_parquet('{IMAGES_001}')
+SELECT image_id, w, h, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "thumbnails": f"""
-SELECT image_id, thumb_sum FROM read_parquet('{IMAGES_001}')
+SELECT image_id, thumb_sum FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "caption_roundtrip": f"""
-SELECT image_id, caption, pix_sum FROM read_parquet('{IMAGES_001}')
+SELECT image_id, caption, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,

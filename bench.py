@@ -34,8 +34,9 @@ def run_bench() -> dict:
 
     # fixture generation + page-cache warm-up happen BEFORE ray/timing
     fix_dir = ensure_fixtures_for_dir(SF_DIR)
-    for name in ("images.parquet",):
-        with open(os.path.join(fix_dir, name), "rb") as f:
+    img_dir = os.path.join(fix_dir, "images.parquet")
+    for part in sorted(os.listdir(img_dir)):
+        with open(os.path.join(img_dir, part), "rb") as f:
             while f.read(1 << 24):
                 pass
 

@@ -194,31 +194,44 @@ def _make_chunk_ipc(args: tuple[int, int, GridSpec]) -> bytes:
 
 
 def generate_images(
-    n: int, out_path: str, grid: GridSpec = FIXTURE_GRID, rows_per_group: int = 2000
+    n: int, out_path: str, grid: GridSpec = FIXTURE_GRID,
+    rows_per_group: int | None = None,
 ) -> None:
-    """Write the images table to ``out_path`` (atomic: tmp file + rename).
+    """Write the images table as a DIRECTORY of part files (atomic: tmp dir
+    + rename). A single big parquet file is read by ONE Ray task — a serial
+    bottleneck; a multi-file layout is both the realistic Lance-fragment
+    shape and what lets the read scale with the cluster.
 
     Row i is a pure function of i, so chunks are generated in parallel on a
-    process pool and written in order — output is byte-deterministic.
+    process pool; part file k holds rows [k*rows_per_group, ...) — output is
+    fully deterministic.
     """
+    import shutil
     from concurrent.futures import ProcessPoolExecutor
 
+    if rows_per_group is None:
+        rows_per_group = max(500, n // 48)  # ~48 part files at bench scale
     chunks = [(lo, min(lo + rows_per_group, n), grid) for lo in range(0, n, rows_per_group)]
-    tmp = out_path + ".tmp"
-    writer = pq.ParquetWriter(tmp, IMAGES_SCHEMA, compression="zstd")
-    try:
-        if len(chunks) <= 1:
-            for ch in chunks:
-                writer.write_table(
-                    pa.ipc.open_stream(pa.py_buffer(_make_chunk_ipc(ch))).read_all()
-                )
-        else:
-            workers = min(16, os.cpu_count() or 4, len(chunks))
-            with ProcessPoolExecutor(max_workers=workers) as ex:
-                for ipc in ex.map(_make_chunk_ipc, chunks):
-                    writer.write_table(pa.ipc.open_stream(pa.py_buffer(ipc)).read_all())
-    finally:
-        writer.close()
+    tmp = out_path + ".tmpdir"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    def write_part(k: int, ipc: bytes) -> None:
+        table = pa.ipc.open_stream(pa.py_buffer(ipc)).read_all()
+        pq.write_table(table, os.path.join(tmp, f"part-{k:05d}.parquet"),
+                       compression="zstd")
+
+    if len(chunks) <= 1:
+        for k, ch in enumerate(chunks):
+            write_part(k, _make_chunk_ipc(ch))
+    else:
+        workers = min(16, os.cpu_count() or 4, len(chunks))
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for k, ipc in enumerate(ex.map(_make_chunk_ipc, chunks)):
+                write_part(k, ipc)
+    if os.path.isdir(out_path):
+        shutil.rmtree(out_path)
     os.replace(tmp, out_path)
 
 
@@ -381,16 +394,25 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
+FIXTURE_LAYOUT_VERSION = "v2-multifile"
+
+
 def ensure_fixtures(sf: float) -> str:
     """Idempotently generate all fixture tables for a scale factor.
 
-    Returns the fixture directory. Atomic per-file writes + a _SUCCESS marker
-    make concurrent/re-entrant calls safe.
+    Returns the fixture directory. Atomic per-file writes + a versioned
+    _SUCCESS marker make concurrent/re-entrant calls safe; a layout-version
+    bump regenerates from scratch.
     """
+    import shutil
+
     d = fixture_dir(sf)
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
-        return d
+        with open(marker) as f:
+            if f.read().strip() == FIXTURE_LAYOUT_VERSION:
+                return d
+        shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
     n = images_count_for_sf(sf)
     if not os.path.exists(os.path.join(d, "images.parquet")):
@@ -402,7 +424,7 @@ def ensure_fixtures(sf: float) -> str:
     generate_rois_global(os.path.join(d, "rois_global.parquet"), GLOBAL_GRID)
     generate_zones(os.path.join(d, "zones.parquet"), FIXTURE_GRID)
     with open(marker + ".tmp", "w") as f:
-        f.write("ok\n")
+        f.write(FIXTURE_LAYOUT_VERSION + "\n")
     os.replace(marker + ".tmp", marker)
     return d
 

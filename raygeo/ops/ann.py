@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import auto_concurrency
+
 
 def _topk_group(k: int):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -66,7 +68,7 @@ class _BatchSims:
 
 
 def brute_force_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
-                    id_col: str = "vec_id", k: int = 10, concurrency=(1, 16)):
+                    id_col: str = "vec_id", k: int = 10, concurrency=None):
     """Exact cosine top-k; ``queries`` has (query_id, embedding)."""
     import ray
 
@@ -79,7 +81,7 @@ def brute_force_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
                                "id_col": id_col, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
     return sims.groupby("query_id").map_groups(_topk_group(k), batch_format="pandas")
@@ -101,7 +103,7 @@ def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 8, seed: int = 42):
 
 def ivf_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
             id_col: str = "vec_id", k: int = 10, n_lists: int = 16,
-            nprobe: int = 4, sample_rows: int = 2000, concurrency=(1, 16)):
+            nprobe: int = 4, sample_rows: int = 2000, concurrency=None):
     """IVF-bucketed approximate top-k (the 100 TB scale path).
 
     Centroids come from a driver-side sample (small, one-time); each batch

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import auto_concurrency
+
 
 def _sha1_i64(values: list[bytes]) -> np.ndarray:
     return np.array(
@@ -168,7 +170,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 2,
     jaccard_threshold: float = 0.8,
-    concurrency=(1, 16),
+    concurrency=None,
 ):
     """Near-dup candidate pairs via LSH banding, verified by exact Jaccard.
 
@@ -185,7 +187,7 @@ def minhash_lsh_pairs(
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, **mk},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -271,13 +273,13 @@ class SimHash:
         )
 
 
-def simhash(ds, text_col: str, id_col: str, concurrency=(1, 8)):
+def simhash(ds, text_col: str, id_col: str, concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
         SimHash,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 

@@ -35,6 +35,7 @@ from ..codec import decode
 from ..fixtures import footprint_of
 from ..grid import GridSpec, tile_id_strings
 from .. import lineage
+from ..util import auto_concurrency
 
 FRAGMENT_SCHEMA = pa.schema(
     [
@@ -327,7 +328,7 @@ def fragments_dataset(
     images_ds,
     grid: GridSpec,
     num_salts: int = 4,
-    concurrency=(2, 32),
+    concurrency=None,
     batch_size: int = 64,
 ):
     """images Dataset -> fragments Dataset (decode+explode actor pool)."""
@@ -336,7 +337,7 @@ def fragments_dataset(
         fn_constructor_kwargs={"grid": grid, "num_salts": num_salts},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -348,7 +349,7 @@ def ingest(
     num_salts: int = 4,
     skip_tiles: set[str] | None = None,
     only_tiles: set[str] | None = None,
-    concurrency=(2, 32),
+    concurrency=None,
     batch_size: int = 64,
     map_side_combine: bool = True,
     combine_batch_size: int = 1024,
@@ -381,7 +382,7 @@ def ingest(
             fn_constructor_kwargs={"grid": grid, "skip_ref": skip_ref},
             batch_format="pyarrow",
             batch_size=combine_batch_size,
-            concurrency=concurrency,
+            concurrency=concurrency or auto_concurrency(),
             num_cpus=1,
         )
     else:

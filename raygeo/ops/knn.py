@@ -28,6 +28,7 @@ import pyarrow as pa
 from ..cells import cell_of, decode_xy
 from ..fixtures import footprint_of
 from ..grid import GridSpec
+from ..util import auto_concurrency
 
 
 class CandidateEmit:
@@ -100,7 +101,7 @@ def knn(
     k: int = 5,
     level: int = 5,
     r0: int = 1,
-    concurrency=(1, 16),
+    concurrency=None,
 ):
     """Exact k nearest image centroids per query point.
 
@@ -131,7 +132,7 @@ def knn(
             fn_constructor_kwargs={"queries_ref": ref, "grid": g, "level": level},
             batch_format="pyarrow",
             batch_size=8192,
-            concurrency=concurrency,
+            concurrency=concurrency or auto_concurrency(),
             num_cpus=1,
         )
         top = cand.groupby("query_id").map_groups(

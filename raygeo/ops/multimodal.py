@@ -15,6 +15,7 @@ import pyarrow as pa
 
 from ..codec import decode
 from ..fixtures import thumbnail
+from ..util import auto_concurrency
 
 
 class DecodeStats:
@@ -52,12 +53,12 @@ class DecodeStats:
         )
 
 
-def decode_stats(images_ds, concurrency=(1, 32), batch_size: int = 256):
+def decode_stats(images_ds, concurrency=None, batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes", "w", "h"]).map_batches(
         DecodeStats,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -84,13 +85,13 @@ class Thumbnail:
         )
 
 
-def thumbnails(images_ds, size: int = 16, concurrency=(1, 32), batch_size: int = 256):
+def thumbnails(images_ds, size: int = 16, concurrency=None, batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes"]).map_batches(
         Thumbnail,
         fn_constructor_kwargs={"size": size},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -113,12 +114,12 @@ class ImageFeatures:
         return pa.table(out)
 
 
-def image_features(images_ds, concurrency=(1, 32), batch_size: int = 256):
+def image_features(images_ds, concurrency=None, batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes"]).map_batches(
         ImageFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 

@@ -23,6 +23,7 @@ import pyarrow as pa
 from ..fixtures import footprint_of
 from ..geom import polygon_intersects_boxes, split_antimeridian_box
 from ..grid import GridSpec, tile_id_strings
+from ..util import auto_concurrency
 
 
 def normalize_rois(roi_table: pa.Table) -> list[dict]:
@@ -114,7 +115,7 @@ def image_tiles(images_ds, grid: GridSpec):
         fn_constructor_kwargs={"grid": grid},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 8),
+        concurrency=None,
         num_cpus=1,
     )
 
@@ -212,6 +213,6 @@ def roi_image_join(
         },
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency or (1, 16),
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )

@@ -56,13 +56,13 @@ class TokenStats:
 
 
 def token_stats(ds, text_col: str = "text", id_col: str = "doc_id",
-                concurrency=(1, 16)):
+                concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
         TokenStats,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -97,13 +97,13 @@ class QualityScore:
 
 
 def quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
-                  concurrency=(1, 16)):
+                  concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
         QualityScore,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -137,13 +137,13 @@ class LangId:
         )
 
 
-def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 16)):
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
         LangId,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -179,12 +179,12 @@ class Fingerprint:
 
 
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id",
-                concurrency=(1, 16)):
+                concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
         Fingerprint,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )

@@ -17,6 +17,7 @@ import pyarrow as pa
 from ..codec import decode
 from ..fixtures import footprint_of
 from ..grid import GridSpec
+from ..util import auto_concurrency
 
 
 class ZonalPartial:
@@ -76,7 +77,7 @@ def zonal_stats(
     zones: pa.Table,
     grid: GridSpec,
     decode_pixels: bool = True,
-    concurrency=(1, 32),
+    concurrency=None,
     batch_size: int = 256,
 ):
     """images x zones -> (zone_id, n_images, pix_sum_total) Dataset."""
@@ -94,7 +95,7 @@ def zonal_stats(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
     return partials.groupby("zone_id").aggregate(
