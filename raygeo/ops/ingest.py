@@ -177,6 +177,49 @@ PARTIAL_SCHEMA = pa.schema(
 )
 
 
+# ---- partial wire codecs -------------------------------------------------
+# canvas: zlib level 0 (stored) — decoded image pixels are noise-like, so
+# compressing them between stages only burns CPU; real compression happens
+# once, in the final tile row. winner: a per-pixel patch_no map would be
+# 8 B/px — instead store (sorted distinct pnos, uint16 index per pixel),
+# zlib-1 (long runs compress well). Falls back to raw int64 when a partial
+# sees >= 65535 distinct patches (flag byte 1).
+
+
+def compress_canvas(canvas: np.ndarray) -> bytes:
+    return zlib.compress(canvas.tobytes(), 0)
+
+
+def decompress_canvas(buf: bytes, chunk: int) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(buf), dtype=np.uint8).reshape(
+        chunk, chunk, 3
+    )
+
+
+def pack_winner(winner: np.ndarray) -> bytes:
+    vals, idx = np.unique(winner, return_inverse=True)
+    if len(vals) < 0xFFFF:
+        payload = (
+            b"\x00"
+            + np.int32(len(vals)).tobytes()
+            + vals.astype(np.int64).tobytes()
+            + idx.astype(np.uint16).tobytes()
+        )
+    else:
+        payload = b"\x01" + winner.astype(np.int64).tobytes()
+    return zlib.compress(payload, 1)
+
+
+def unpack_winner(buf: bytes, chunk: int) -> np.ndarray:
+    raw = zlib.decompress(buf)
+    if raw[0] == 0:
+        n = int(np.frombuffer(raw[1:5], np.int32)[0])
+        vals = np.frombuffer(raw[5 : 5 + 8 * n], np.int64)
+        idx = np.frombuffer(raw[5 + 8 * n :], np.uint16).astype(np.intp)
+        return vals[idx].reshape(chunk, chunk)
+    return np.frombuffer(raw[1:], np.int64).reshape(chunk, chunk).copy()
+
+
 class DecodeFoldPartial:
     """Combiner stage: decode + explode + MAP-SIDE partial mosaic fold.
 
@@ -257,9 +300,51 @@ class DecodeFoldPartial:
             out["tx"].append(tx)
             out["ty"].append(ty)
             out["n_frags"].append(nf[0])
-            out["canvas_z"].append(zlib.compress(canvas.tobytes(), 1))
-            out["winner_z"].append(zlib.compress(winner.tobytes(), 1))
+            out["canvas_z"].append(compress_canvas(canvas))
+            out["winner_z"].append(pack_winner(winner))
         return pa.table(out, schema=PARTIAL_SCHEMA)
+
+
+def make_tree_combine(chunk: int):
+    """Block-local combine of partial canvases by tile — NO shuffle.
+
+    Between the map-side fold and the global ``groupby(tile_id)`` merge,
+    coalesce several partial blocks per task and merge same-tile partials
+    (the fold is associative). Cuts the sort-shuffle input ~8x for the cost
+    of one cheap streaming pass — the classic combiner-tree.
+    """
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        by_tile: dict[str, list[int]] = {}
+        tids = t.column("tile_id").to_pylist()
+        for j, tid in enumerate(tids):
+            by_tile.setdefault(tid, []).append(j)
+        if all(len(v) == 1 for v in by_tile.values()):
+            return t
+        out = {k: [] for k in PARTIAL_SCHEMA.names}
+        cz = t.column("canvas_z")
+        wz = t.column("winner_z")
+        nf = t.column("n_frags")
+        txc = t.column("tx")
+        tyc = t.column("ty")
+        for tid, rows in by_tile.items():
+            parts = []
+            for j in rows:
+                canvas = decompress_canvas(cz[j].as_py(), chunk)
+                winner = unpack_winner(wz[j].as_py(), chunk)
+                parts.append((canvas, winner, int(nf[j].as_py())))
+            canvas, winner, n = _merge_partials(parts)
+            out["tile_id"].append(tid)
+            out["tx"].append(txc[rows[0]].as_py())
+            out["ty"].append(tyc[rows[0]].as_py())
+            out["n_frags"].append(n)
+            out["canvas_z"].append(compress_canvas(canvas))
+            out["winner_z"].append(pack_winner(winner))
+        return pa.table(out, schema=PARTIAL_SCHEMA)
+
+    return combine
 
 
 def make_partial_fold(chunk: int):
@@ -271,8 +356,8 @@ def make_partial_fold(chunk: int):
                 "tx": [group.column("tx")[0].as_py()],
                 "ty": [group.column("ty")[0].as_py()],
                 "n_frags": [n],
-                "canvas_z": [zlib.compress(canvas.tobytes(), 1)],
-                "winner_z": [zlib.compress(winner.astype(np.int64).tobytes(), 1)],
+                "canvas_z": [compress_canvas(canvas)],
+                "winner_z": [pack_winner(winner)],
             },
             schema=PARTIAL_SCHEMA,
         )
@@ -285,12 +370,8 @@ def make_merge_fold(chunk: int, cube_path: str | None):
         t0 = time.monotonic()
         parts = []
         for j in range(group.num_rows):
-            canvas = np.frombuffer(
-                zlib.decompress(group.column("canvas_z")[j].as_py()), dtype=np.uint8
-            ).reshape(chunk, chunk, 3)
-            winner = np.frombuffer(
-                zlib.decompress(group.column("winner_z")[j].as_py()), dtype=np.int64
-            ).reshape(chunk, chunk)
+            canvas = decompress_canvas(group.column("canvas_z")[j].as_py(), chunk)
+            winner = unpack_winner(group.column("winner_z")[j].as_py(), chunk)
             parts.append((canvas, winner, int(group.column("n_frags")[j].as_py())))
         canvas, winner, n = _merge_partials(parts)
         valid = winner >= 0
@@ -384,6 +465,12 @@ def ingest(
             batch_size=combine_batch_size,
             concurrency=concurrency or auto_concurrency(),
             num_cpus=1,
+        )
+        # combiner tree: block-local merge before the global shuffle
+        partials = partials.map_batches(
+            make_tree_combine(grid.chunk),
+            batch_format="pyarrow",
+            batch_size=1024,
         )
     else:
         frags = fragments_dataset(images_ds, grid, num_salts, concurrency, batch_size)

@@ -115,7 +115,7 @@ def image_tiles(images_ds, grid: GridSpec):
         fn_constructor_kwargs={"grid": grid},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=None,
+        concurrency=auto_concurrency(),
         num_cpus=1,
     )
 

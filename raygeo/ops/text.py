@@ -15,6 +15,8 @@ import zlib
 import numpy as np
 import pandas as pd
 
+from ..util import auto_concurrency
+
 TOKEN_RE = r"[0-9A-Za-z_]+"
 
 # tiny deterministic stopword profiles for the n-gram/stopword language
