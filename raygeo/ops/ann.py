@@ -15,7 +15,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import auto_concurrency
 
 
 def _topk_group(k: int):
@@ -70,18 +69,12 @@ class _BatchSims:
 def brute_force_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", k: int = 10, concurrency=None):
     """Exact cosine top-k; ``queries`` has (query_id, embedding)."""
-    import ray
-
     q_ids = queries["query_id"].to_numpy(dtype=np.int64)
     q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
-    q_ref = ray.put((q_ids, q_mat))
     sims = ds.select_columns([id_col, vec_col]).map_batches(
-        _BatchSims,
-        fn_constructor_kwargs={"q_ref": q_ref, "vec_col": vec_col,
-                               "id_col": id_col, "k": k},
+        _BatchSims((q_ids, q_mat), vec_col, id_col, k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
     return sims.groupby("query_id").map_groups(_topk_group(k), batch_format="pandas")

@@ -24,7 +24,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import auto_concurrency
 
 
 def _sha1_i64(values: list[bytes]) -> np.ndarray:
@@ -183,11 +182,9 @@ def minhash_lsh_pairs(
 
     mk = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k, use_words=True)
     banded = ds.select_columns([text_col, id_col]).map_batches(
-        MinHashBands,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, **mk},
+        MinHashBands(text_col, id_col, **mk),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -275,11 +272,9 @@ class SimHash:
 
 def simhash(ds, text_col: str, id_col: str, concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
-        SimHash,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        SimHash(text_col, id_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 

@@ -35,7 +35,7 @@ from ..codec import decode
 from ..fixtures import footprint_of
 from ..grid import GridSpec, tile_id_strings
 from .. import lineage
-from ..util import auto_concurrency
+from ..util import cluster_cpus
 
 FRAGMENT_SCHEMA = pa.schema(
     [
@@ -210,6 +210,24 @@ def pack_winner(winner: np.ndarray) -> bytes:
     return zlib.compress(payload, 1)
 
 
+def pack_winner_indexed(plist: list, widx: np.ndarray) -> bytes:
+    """Pack a winner map already kept as (pno list, uint16 index per pixel).
+
+    Same flag-0 wire format as :func:`pack_winner`, but built without the
+    per-partial ``np.unique`` sort — the fold maintains the index as it goes.
+    Callers keep batch sizes far below 65535 writers per canvas.
+    """
+    if len(plist) >= 0xFFFF:
+        raise ValueError("too many writers for uint16 winner index")
+    payload = (
+        b"\x00"
+        + np.int32(len(plist)).tobytes()
+        + np.asarray(plist, dtype=np.int64).tobytes()
+        + widx.astype(np.uint16, copy=False).tobytes()
+    )
+    return zlib.compress(payload, 1)
+
+
 def unpack_winner(buf: bytes, chunk: int) -> np.ndarray:
     raw = zlib.decompress(buf)
     if raw[0] == 0:
@@ -234,13 +252,20 @@ class DecodeFoldPartial:
 
     Images are applied in ascending patch_no within the batch, preserving the
     deterministic sorted-LWW semantics (SURVEY §4.4).
+
+    Winner tracking is a uint16 *local index* per pixel into the list of
+    patch_nos that wrote the canvas (index 0 = unwritten sentinel, pno -1) —
+    built incrementally during the fold, so packing a partial is a straight
+    serialize with no per-partial ``np.unique`` sort. Wire format matches
+    :func:`unpack_winner` flag-0.
+
+    Instances are passed to ``map_batches`` as plain callables (task pool,
+    not actor pool): the stage is stateless per batch, and tasks reuse Ray's
+    prestarted workers instead of paying a fresh actor-pool ramp per query.
     """
 
-    def __init__(self, grid: GridSpec, skip_ref=None):
-        import ray
-
+    def __init__(self, grid: GridSpec, skip: tuple[set, set | None] = (set(), None)):
         self.grid = grid
-        skip = ray.get(skip_ref) if skip_ref is not None else (set(), None)
         self.done, self.only = skip
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -259,6 +284,7 @@ class DecodeFoldPartial:
                                           boxes[:, 2], boxes[:, 3])
         pnos = np.array([int(i.rsplit("-", 1)[1]) for i in ids], dtype=np.int64)
         order = np.argsort(pnos, kind="stable")
+        # (canvas uint8, widx uint16 local winner index, pno list w/ -1 sentinel)
         canvases: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, list]] = {}
         c = g.chunk
         for i in order:
@@ -284,24 +310,24 @@ class DecodeFoldPartial:
                     if key not in canvases:
                         canvases[key] = (
                             np.zeros((c, c, 3), dtype=np.uint8),
-                            np.full((c, c), -1, dtype=np.int64),
-                            [0],
+                            np.zeros((c, c), dtype=np.uint16),
+                            [-1],
                         )
-                    canvas, winner, nf = canvases[key]
+                    canvas, widx, plist = canvases[key]
                     canvas[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0] = pix[
                         r0 - int(rl[i]) : r1 - int(rl[i]),
                         c0 - int(cl[i]) : c1 - int(cl[i]),
                     ]
-                    winner[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0] = pnos[i]
-                    nf[0] += 1
+                    widx[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0] = len(plist)
+                    plist.append(int(pnos[i]))
         out = {k: [] for k in PARTIAL_SCHEMA.names}
-        for (tx, ty), (canvas, winner, nf) in canvases.items():
+        for (tx, ty), (canvas, widx, plist) in canvases.items():
             out["tile_id"].append(f"{tx}-{ty}")
             out["tx"].append(tx)
             out["ty"].append(ty)
-            out["n_frags"].append(nf[0])
+            out["n_frags"].append(len(plist) - 1)
             out["canvas_z"].append(compress_canvas(canvas))
-            out["winner_z"].append(pack_winner(winner))
+            out["winner_z"].append(pack_winner_indexed(plist, widx))
         return pa.table(out, schema=PARTIAL_SCHEMA)
 
 
@@ -412,13 +438,11 @@ def fragments_dataset(
     concurrency=None,
     batch_size: int = 64,
 ):
-    """images Dataset -> fragments Dataset (decode+explode actor pool)."""
+    """images Dataset -> fragments Dataset (decode+explode task pool)."""
     return images_ds.map_batches(
-        DecodeExplode,
-        fn_constructor_kwargs={"grid": grid, "num_salts": num_salts},
+        DecodeExplode(grid, num_salts),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -433,7 +457,7 @@ def ingest(
     concurrency=None,
     batch_size: int = 64,
     map_side_combine: bool = True,
-    combine_batch_size: int = 1024,
+    combine_batch_size: int = 2048,
 ):
     """Full ingest pipeline; returns the tiles Dataset (lazy).
 
@@ -457,21 +481,32 @@ def ingest(
         done |= lineage.loaded_partitions(cube_path)
 
     if map_side_combine:
-        skip_ref = ray.put((done, only_tiles))
+        # task pool, not actor pool: the stage is stateless per batch, and
+        # tasks reuse Ray's prestarted workers (no per-query pool ramp-up)
         partials = images_ds.map_batches(
-            DecodeFoldPartial,
-            fn_constructor_kwargs={"grid": grid, "skip_ref": skip_ref},
+            DecodeFoldPartial(grid, (done, only_tiles)),
             batch_format="pyarrow",
             batch_size=combine_batch_size,
-            concurrency=concurrency or auto_concurrency(),
             num_cpus=1,
         )
-        # combiner tree: block-local merge before the global shuffle
+        # combiner tree: block-local merge of same-tile partials before the
+        # global shuffle (~(batch/num_tiles)x less sort input). num_cpus=0.5
+        # deliberately differs from the fold stage so Ray Data does NOT fuse
+        # them — a fused combine never sees more than one fold output per
+        # call and silently becomes a no-op, sending every partial into the
+        # sort (measured 4x wall blowup at 400k images).
         partials = partials.map_batches(
             make_tree_combine(grid.chunk),
             batch_format="pyarrow",
-            batch_size=1024,
+            batch_size=2 * combine_batch_size,
+            num_cpus=0.5,
         )
+        # bound the sort-shuffle block count: the sort-based groupby slices
+        # every input block into num_partitions ranges, so cost grows with
+        # blocks x partitions. A handful of fat blocks keeps the all-to-all
+        # linear in bytes while leaving one merge task per block.
+        n_merge = max(8, min(64, cluster_cpus()))
+        partials = partials.repartition(n_merge)
     else:
         frags = fragments_dataset(images_ds, grid, num_salts, concurrency, batch_size)
         if done or only_tiles is not None:

@@ -28,7 +28,6 @@ import pyarrow as pa
 from ..cells import cell_of, decode_xy
 from ..fixtures import footprint_of
 from ..grid import GridSpec
-from ..util import auto_concurrency
 
 
 class CandidateEmit:
@@ -126,13 +125,10 @@ def knn(
     base = images_ds.select_columns(["image_id", "w", "h"])
 
     def run_pass(qdict) -> pd.DataFrame:
-        ref = ray.put(qdict)
         cand = base.map_batches(
-            CandidateEmit,
-            fn_constructor_kwargs={"queries_ref": ref, "grid": g, "level": level},
+            CandidateEmit(qdict, g, level),
             batch_format="pyarrow",
             batch_size=8192,
-            concurrency=concurrency or auto_concurrency(),
             num_cpus=1,
         )
         top = cand.groupby("query_id").map_groups(

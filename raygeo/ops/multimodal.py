@@ -15,7 +15,6 @@ import pyarrow as pa
 
 from ..codec import decode
 from ..fixtures import thumbnail
-from ..util import auto_concurrency
 
 
 class DecodeStats:
@@ -55,10 +54,9 @@ class DecodeStats:
 
 def decode_stats(images_ds, concurrency=None, batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes", "w", "h"]).map_batches(
-        DecodeStats,
+        DecodeStats(),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -87,11 +85,9 @@ class Thumbnail:
 
 def thumbnails(images_ds, size: int = 16, concurrency=None, batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes"]).map_batches(
-        Thumbnail,
-        fn_constructor_kwargs={"size": size},
+        Thumbnail(size),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -116,10 +112,9 @@ class ImageFeatures:
 
 def image_features(images_ds, concurrency=None, batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes"]).map_batches(
-        ImageFeatures,
+        ImageFeatures(),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 

@@ -23,7 +23,6 @@ import pyarrow as pa
 from ..fixtures import footprint_of
 from ..geom import polygon_intersects_boxes, split_antimeridian_box
 from ..grid import GridSpec, tile_id_strings
-from ..util import auto_concurrency
 
 
 def normalize_rois(roi_table: pa.Table) -> list[dict]:
@@ -111,11 +110,9 @@ class ImageTiles:
 def image_tiles(images_ds, grid: GridSpec):
     """images Dataset -> (image_id, tile_id, tx, ty) assignment Dataset."""
     return images_ds.select_columns(["image_id", "w", "h"]).map_batches(
-        ImageTiles,
-        fn_constructor_kwargs={"grid": grid},
+        ImageTiles(grid),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=auto_concurrency(),
         num_cpus=1,
     )
 
@@ -194,25 +191,21 @@ def roi_image_join(
     use_stored_boxes: bool = False,
     concurrency=None,
 ):
-    """images Dataset x ROI table -> (roi_id, image_id) pairs Dataset."""
-    import ray
+    """images Dataset x ROI table -> (roi_id, image_id) pairs Dataset.
 
+    The small ROI side is embedded in the task closure (serialized once to
+    the cluster, cached per worker) — the broadcast small-side join pattern.
+    Task pool: no actor-pool ramp-up per query.
+    """
     rois = normalize_rois(roi_table)
-    rois_ref = ray.put(rois)
     cols = (
         ["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
         if use_stored_boxes
         else ["image_id", "w", "h"]
     )
     return images_ds.select_columns(cols).map_batches(
-        RoiImageJoin,
-        fn_constructor_kwargs={
-            "rois_ref": rois_ref,
-            "grid": grid,
-            "use_stored_boxes": use_stored_boxes,
-        },
+        RoiImageJoin(rois, grid, use_stored_boxes),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )

@@ -15,7 +15,6 @@ import zlib
 import numpy as np
 import pandas as pd
 
-from ..util import auto_concurrency
 
 TOKEN_RE = r"[0-9A-Za-z_]+"
 
@@ -60,11 +59,9 @@ class TokenStats:
 def token_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                 concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
-        TokenStats,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        TokenStats(text_col, id_col),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -101,11 +98,9 @@ class QualityScore:
 def quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
                   concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
-        QualityScore,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        QualityScore(text_col, id_col),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -141,11 +136,9 @@ class LangId:
 
 def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
-        LangId,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        LangId(text_col, id_col),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
 
@@ -183,10 +176,8 @@ class Fingerprint:
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id",
                 concurrency=None):
     return ds.select_columns([text_col, id_col]).map_batches(
-        Fingerprint,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        Fingerprint(text_col, id_col),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )

@@ -17,7 +17,6 @@ import pyarrow as pa
 from ..codec import decode
 from ..fixtures import footprint_of
 from ..grid import GridSpec
-from ..util import auto_concurrency
 
 
 class ZonalPartial:
@@ -81,21 +80,13 @@ def zonal_stats(
     batch_size: int = 256,
 ):
     """images x zones -> (zone_id, n_images, pix_sum_total) Dataset."""
-    import ray
     from ray.data.aggregate import Sum
 
-    zones_ref = ray.put(zones)
     cols = ["image_id", "w", "h"] + (["bytes"] if decode_pixels else ["pix_sum"])
     partials = images_ds.select_columns(cols).map_batches(
-        ZonalPartial,
-        fn_constructor_kwargs={
-            "zones_ref": zones_ref,
-            "grid": grid,
-            "decode_pixels": decode_pixels,
-        },
+        ZonalPartial(zones, grid, decode_pixels),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
     return partials.groupby("zone_id").aggregate(
