@@ -220,6 +220,94 @@ def _q_caption_roundtrip(sf_dir: str):
     ).map_batches(through_decode, batch_format="pyarrow", batch_size=256)
 
 
+def _q_ingest_mosaic_temporal(sf_dir: str):
+    """Temporal cube ingest: tile key (t, tx, ty), ingest-side nearest
+    time-snap (J6, ``core/backend.py:256-257``). Rows-only (pixel LWW not
+    in SQL); pixel values covered by tests/test_engine_toi.py oracle."""
+    import ray.data as rd
+
+    from raygeo.fixtures import TEMPORAL_GRID
+    from raygeo.ops.ingest import ingest
+
+    d = _fix(sf_dir)
+    tiles = ingest(rd.read_parquet(f"{d}/images.parquet",
+                                   columns=["image_id", "bytes", "w", "h"]),
+                   TEMPORAL_GRID)
+    return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
+                                 "n_valid_px", "pix_sum"])
+
+
+TOI_AXIS = [f"2024-01-{d:02d} 00:00:00" for d in range(1, 9)]
+
+
+def _q_toi_snap(sf_dir: str):
+    """Temporal as-of lookup (J6): snap every event ts to the nearest step
+    of a fixed axis (ties -> later step), vectorized searchsorted inside
+    map_batches — ``core/toi.py:26-42`` / ``backend.py:256-257`` semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.toi import snap_nearest
+
+    axis = np.array(TOI_AXIS, dtype="datetime64[us]")
+
+    def snap(t: pa.Table) -> pa.Table:
+        idx = snap_nearest(axis, t.column("ts").to_numpy())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "t_idx": pa.array(idx.astype("int64"), pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts"]).map_batches(
+        snap, batch_format="pyarrow", batch_size=65536
+    )
+
+
+def _q_roi_load_window(sf_dir: str):
+    """The load(roi) query path (K5 / accessor.load analog): per-ROI window
+    statistics with ingest-on-demand into a fresh cube. Rows-only (window
+    pixels are mosaic-LWW); oracle-checked in tests via numpy brute force."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.cube import Channel, CubeSpec, create
+    from raygeo.engine import load
+    from raygeo.fixtures import FIXTURE_GRID
+
+    d = _fix(sf_dir)
+    cube = tempfile.mkdtemp(prefix="raygeo_loadq_")
+    try:
+        create(CubeSpec(title="loadq", grid=FIXTURE_GRID,
+                        channels=(Channel("rgb", "uint8"),)), cube,
+               overwrite=True)
+        images = rd.read_parquet(f"{d}/images.parquet",
+                                 columns=["image_id", "bytes", "w", "h"])
+        rois = [
+            {"roi_id": "r0", "lon_min": -0.4, "lat_min": -0.3,
+             "lon_max": 0.1, "lat_max": 0.25},
+            {"roi_id": "r1", "lon_min": 0.2, "lat_min": 0.2,
+             "lon_max": 0.7, "lat_max": 0.8},
+            {"roi_id": "r2", "lon_min": -0.05, "lat_min": -0.05,
+             "lon_max": 0.05, "lat_max": 0.05},
+        ]
+        out = []
+        for i, roi in enumerate(rois):
+            # first ROI ingests; later overlapping tiles come from the cache
+            win = load(cube, roi, images_ds=images)
+            s = win.stats()
+            out.append({"roi_id": roi["roi_id"], **s})
+        return pd.DataFrame(out)
+    finally:
+        shutil.rmtree(cube, ignore_errors=True)
+
+
 def _q_ingest_mosaic(sf_dir: str):
     import ray.data as rd
 
@@ -441,6 +529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "thumbnails": _q_thumbnails,
         "caption_roundtrip": _q_caption_roundtrip,
         "ingest_mosaic": _q_ingest_mosaic,  # rows-only (pixel LWW not in SQL)
+        "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,  # rows-only
+        "toi_snap": _q_toi_snap,
+        "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
         # relational / engine plumbing (testdata tables)
         "q1_pricing": _q_q1_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -580,6 +671,21 @@ SELECT image_id, thumb_sum FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "caption_roundtrip": f"""
 SELECT image_id, caption, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
+""",
+        "toi_snap": f"""
+WITH ax AS (
+  SELECT i, t FROM (VALUES {", ".join(
+      f"({i}, TIMESTAMP '{t}')" for i, t in enumerate(TOI_AXIS))}) AS v(i, t)
+),
+r AS (
+  SELECT e.event_id, ax.i,
+    row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY abs(epoch_us(e.ts) - epoch_us(ax.t)), ax.t DESC
+    ) AS rn
+  FROM events e CROSS JOIN ax
+)
+SELECT event_id, CAST(i AS BIGINT) AS t_idx FROM r WHERE rn = 1
 """,
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,

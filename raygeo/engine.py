@@ -30,6 +30,7 @@ from .cube import TILES_DIR, load_spec
 from .grid import parse_tile_id
 from .ops.ingest import ingest
 from .ops.spatial_join import normalize_rois, roi_tiles
+from .toi import toi_to_index
 
 
 class RoiWindow:
@@ -81,6 +82,17 @@ def load(
     covered_ids = set(covered.column("tile_id").to_pylist())
     if not covered_ids:
         raise ValueError("no adjacent tiles for ROI (accessor.py:430-432 analog)")
+    t_sel = None
+    if g.temporal:
+        # sel(time=toi) analog (accessor.py:387-389): expand each covered
+        # spatial tile across the selected time steps ("t-tx-ty" keys)
+        t_sel = [int(t) for t in toi_to_index(g.time_axis(), toi)]
+        if not t_sel:
+            raise ValueError(
+                "TOI selects no time steps of the cube axis "
+                f"({g.times[0]} .. {g.times[-1]})"
+            )
+        covered_ids = {f"{t}-{tid}" for t in t_sel for tid in covered_ids}
 
     done = lineage.loaded_partitions(cube_path)
     missing = covered_ids - done
@@ -110,9 +122,18 @@ def load(
             np.array([lon_max]), np.array([lat_max]),
         )
     )
-    win = RoiWindow(cl, ch, rl, rh)
+    wins = {
+        t: RoiWindow(cl, ch, rl, rh) for t in (t_sel if t_sel is not None else [None])
+    }
     for trow in window_tiles:
-        tx, ty = parse_tile_id(trow["tile_id"])
+        parts = parse_tile_id(trow["tile_id"])
+        if len(parts) == 3:
+            ti, tx, ty = parts
+        else:
+            ti, (tx, ty) = None, parts
+        win = wins.get(ti)
+        if win is None:
+            continue
         tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
         c0, c1 = max(cl, tc0), min(ch, tc1)
         r0, r1 = max(rl, tr0), min(rh, tr1)
@@ -126,7 +147,10 @@ def load(
         win.mask[r0 - rl : r1 - rl, c0 - cl : c1 - cl] = mask[
             r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0
         ]
-    return win
+    if t_sel is None:
+        return wins[None]
+    # temporal result: {ISO time step -> RoiWindow} for the selected steps
+    return {g.times[t]: wins[t] for t in t_sel}
 
 
 def _read_tiles(tiles_dir: str, tile_ids: set[str], chunk: int) -> list[dict]:

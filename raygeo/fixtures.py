@@ -53,6 +53,25 @@ GLOBAL_GRID = GridSpec(
     chunk=120,
 )
 
+# FIXTURE_GRID plus a 4-step daily time axis (reference temporal cubes,
+# e.g. AlphaEarth's fixed yearly axis, datasets/alphaearth.py:36)
+TEMPORAL_GRID = GridSpec(
+    name="unit_deg_t",
+    crs="EPSG:4326",
+    x0=-1.0,
+    y1=1.0,
+    res=2.0**-10,
+    width=2048,
+    height=2048,
+    chunk=128,
+    times=(
+        "2024-01-01T00:00:00",
+        "2024-01-02T00:00:00",
+        "2024-01-03T00:00:00",
+        "2024-01-04T00:00:00",
+    ),
+)
+
 HOT_TILE = (5, 5)  # 10% of rows land here (i % 10 == 0)
 FMT_CYCLE = ("raw", "pngz", "dctq")
 W_CYCLE = (32, 64, 128)
@@ -114,6 +133,17 @@ def footprint_of(image_id: str, w: int, h: int, grid: GridSpec = FIXTURE_GRID):
     lat_max = grid.y1 - (row_c - half_h) * grid.res
     lat_min = grid.y1 - (row_c + half_h) * grid.res
     return lon_min, lat_min, lon_max, lat_max
+
+
+def timestamp_of(image_id: str) -> np.datetime64:
+    """Derived acquisition instant: pure function of ``image_id`` (same
+    pattern as :func:`footprint_of`), uniform at second granularity over
+    [2024-01-01, 2024-01-05) — i.e. around TEMPORAL_GRID's axis so the
+    ingest-side nearest-snap (``core/backend.py:256-257``) is exercised."""
+    hv = _h32(image_id + ":t")
+    return np.datetime64("2024-01-01", "s") + np.timedelta64(
+        hv % (4 * 24 * 3600), "s"
+    )
 
 
 def pixels_of(image_id: str, w: int, h: int) -> np.ndarray:

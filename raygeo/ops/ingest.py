@@ -32,7 +32,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..codec import decode
-from ..fixtures import footprint_of
+from ..fixtures import footprint_of, timestamp_of
+from ..toi import snap_nearest
 from ..grid import GridSpec, tile_id_strings
 from .. import lineage
 from ..util import cluster_cpus
@@ -98,6 +99,12 @@ class DecodeExplode:
         idx, txs, tys = g.explode_tiles(boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
         # pixel windows of each image (exact, clipped)
         cl, chh, rl, rhh = g.pixel_window(boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
+        if g.temporal:
+            tids_t = snap_nearest(
+                g.time_axis(), np.array([timestamp_of(i) for i in ids])
+            )
+        else:
+            tids_t = None
         decoded: dict[int, np.ndarray] = {}
         for k in range(len(idx)):
             i = int(idx[k])
@@ -112,7 +119,9 @@ class DecodeExplode:
                 continue
             frag = pix[r0 - int(rl[i]) : r1 - int(rl[i]), c0 - int(cl[i]) : c1 - int(cl[i])]
             patch_no = int(ids[i].rsplit("-", 1)[1])
-            tile_id = f"{tx}-{ty}"
+            tile_id = (
+                f"{tx}-{ty}" if tids_t is None else f"{int(tids_t[i])}-{tx}-{ty}"
+            )
             salt = zlib.crc32(ids[i].encode()) % self.num_salts
             out["tile_id"].append(tile_id)
             out["salt_key"].append(f"{tile_id}#{salt}")
@@ -284,19 +293,29 @@ class DecodeFoldPartial:
                                           boxes[:, 2], boxes[:, 3])
         pnos = np.array([int(i.rsplit("-", 1)[1]) for i in ids], dtype=np.int64)
         order = np.argsort(pnos, kind="stable")
+        # temporal cube: snap each image's derived acquisition time to the
+        # nearest axis step (ingest-side J6, core/backend.py:256-257 analog);
+        # tile key becomes "t-tx-ty" (gee.py:62-78 format)
+        if g.temporal:
+            tids_t = snap_nearest(
+                g.time_axis(), np.array([timestamp_of(i) for i in ids])
+            )
+        else:
+            tids_t = None
         # (canvas uint8, widx uint16 local winner index, pno list w/ -1 sentinel)
-        canvases: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, list]] = {}
+        canvases: dict[tuple, tuple[np.ndarray, np.ndarray, list]] = {}
         c = g.chunk
         for i in order:
             i = int(i)
             if int(chh[i]) <= int(cl[i]) or int(rhh[i]) <= int(rl[i]):
                 continue
             pix = None
+            ti = int(tids_t[i]) if tids_t is not None else None
             tx_lo, tx_hi = int(cl[i]) // c, (int(chh[i]) - 1) // c
             ty_lo, ty_hi = int(rl[i]) // c, (int(rhh[i]) - 1) // c
             for tx in range(tx_lo, tx_hi + 1):
                 for ty in range(ty_lo, ty_hi + 1):
-                    tid = f"{tx}-{ty}"
+                    tid = f"{tx}-{ty}" if ti is None else f"{ti}-{tx}-{ty}"
                     if tid in self.done or (self.only is not None and tid not in self.only):
                         continue
                     tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
@@ -306,7 +325,7 @@ class DecodeFoldPartial:
                         continue
                     if pix is None:
                         pix = decode(bufs[i])
-                    key = (tx, ty)
+                    key = (ti, tx, ty)
                     if key not in canvases:
                         canvases[key] = (
                             np.zeros((c, c, 3), dtype=np.uint8),
@@ -321,8 +340,8 @@ class DecodeFoldPartial:
                     widx[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0] = len(plist)
                     plist.append(int(pnos[i]))
         out = {k: [] for k in PARTIAL_SCHEMA.names}
-        for (tx, ty), (canvas, widx, plist) in canvases.items():
-            out["tile_id"].append(f"{tx}-{ty}")
+        for (ti, tx, ty), (canvas, widx, plist) in canvases.items():
+            out["tile_id"].append(f"{tx}-{ty}" if ti is None else f"{ti}-{tx}-{ty}")
             out["tx"].append(tx)
             out["ty"].append(ty)
             out["n_frags"].append(len(plist) - 1)

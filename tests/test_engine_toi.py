@@ -1,0 +1,226 @@
+"""Query-path (engine.load, K5 read-window analog) and TOI-snap (J6) tests.
+
+The load() test mirrors the reference's golden-stats pattern
+(``tests/test_arcticdem.py:26-29``): window statistics of a loaded ROI must
+equal a brute-force numpy mosaic of the same ROI. TOI snapping is checked
+against pandas ``DatetimeIndex.get_indexer`` — the exact function the
+reference calls (``core/backend.py:256-257``, ``core/toi.py:26-42``).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from raygeo import toi as toi_mod
+from raygeo.codec import decode
+from raygeo.cube import Channel, CubeSpec, create
+from raygeo.engine import load
+from raygeo.fixtures import FIXTURE_GRID, footprint_of
+
+
+AXIS = pd.DatetimeIndex(
+    [f"2024-01-0{d} 00:00:00" for d in range(1, 9)]
+)
+
+
+def test_snap_nearest_matches_pandas():
+    rng = np.random.Generator(np.random.PCG64(7))
+    ts = pd.to_datetime("2023-12-30") + pd.to_timedelta(
+        rng.integers(0, 12 * 24 * 3600, size=500), unit="s"
+    )
+    got = toi_mod.snap_nearest(AXIS.values, ts.values)
+    exp = AXIS.get_indexer(ts, method="nearest")
+    assert np.array_equal(got, exp)
+
+
+def test_snap_nearest_midpoint_tie_prefers_later():
+    # exactly halfway between axis[0] and axis[1]
+    mid = np.array(["2024-01-01 12:00:00"], dtype="datetime64[us]")
+    got = toi_mod.snap_nearest(AXIS.values, mid)
+    exp = AXIS.get_indexer(pd.DatetimeIndex(mid), method="nearest")
+    assert got[0] == exp[0]
+
+
+def test_snap_pad_bfill_match_pandas():
+    ts = pd.DatetimeIndex(
+        ["2023-12-31", "2024-01-01", "2024-01-03 12:00", "2024-01-08", "2024-02-01"]
+    )
+    assert np.array_equal(
+        toi_mod.snap_pad(AXIS.values, ts.values),
+        AXIS.get_indexer(ts, method="pad"),
+    )
+    got_b = toi_mod.snap_bfill(AXIS.values, ts.values)
+    exp_b = AXIS.get_indexer(ts, method="bfill")
+    # pandas uses -1 for "no element >= ts"; ours uses len(axis)
+    got_b = np.where(got_b == len(AXIS), -1, got_b)
+    assert np.array_equal(got_b, exp_b)
+
+
+def test_toi_to_index_slice_and_scalar():
+    idx = toi_mod.toi_to_index(AXIS.values, (np.datetime64("2024-01-02"),
+                                             np.datetime64("2024-01-05")))
+    assert idx.tolist() == [1, 2, 3, 4]
+    idx = toi_mod.toi_to_index(AXIS.values, np.datetime64("2024-01-03 11:00"))
+    assert idx.tolist() == [2]
+    assert toi_mod.toi_to_index(AXIS.values, None).tolist() == list(range(8))
+
+
+def _window_oracle(images_path, grid, cl, ch, rl, rh):
+    """Brute-force sorted-LWW mosaic of just the query window."""
+    t = pq.read_table(images_path)
+    rows = sorted(t.to_pylist(), key=lambda r: int(r["image_id"].rsplit("-", 1)[1]))
+    rgb = np.zeros((rh - rl, ch - cl, 3), np.uint8)
+    mask = np.zeros((rh - rl, ch - cl), bool)
+    for r in rows:
+        box = footprint_of(r["image_id"], r["w"], r["h"], grid)
+        c0, c1, r0, r1 = (int(v[0]) for v in grid.pixel_window(
+            np.array([box[0]]), np.array([box[1]]),
+            np.array([box[2]]), np.array([box[3]])))
+        c0w, c1w = max(c0, cl), min(c1, ch)
+        r0w, r1w = max(r0, rl), min(r1, rh)
+        if c1w <= c0w or r1w <= r0w:
+            continue
+        pix = decode(r["bytes"])
+        rgb[r0w - rl : r1w - rl, c0w - cl : c1w - cl] = pix[
+            r0w - r0 : r1w - r0, c0w - c0 : c1w - c0
+        ]
+        mask[r0w - rl : r1w - rl, c0w - cl : c1w - cl] = True
+    v = rgb[mask]
+    return {
+        "n_valid_px": int(mask.sum()),
+        "pix_sum": int(v.astype(np.int64).sum()) if len(v) else 0,
+        "pix_min": int(v.min()) if len(v) else None,
+        "pix_max": int(v.max()) if len(v) else None,
+    }
+
+
+def _mk_cube(path, g):
+    spec = CubeSpec(title="t", grid=g, channels=(Channel("rgb", "uint8"),))
+    return create(spec, str(path))
+
+
+def test_load_roi_window_matches_oracle(ray_session, fixtures_sf0001, tmp_path):
+    import ray.data as rd
+
+    g = FIXTURE_GRID
+    cube = _mk_cube(tmp_path / "cube", g)
+    images_path = f"{fixtures_sf0001}/images.parquet"
+    images = rd.read_parquet(images_path,
+                             columns=["image_id", "bytes", "w", "h"])
+    roi = {"roi_id": "r0", "lon_min": -0.4, "lat_min": -0.3,
+           "lon_max": 0.1, "lat_max": 0.25}
+    win = load(cube, roi, images_ds=images)
+    exp = _window_oracle(images_path, g, win.col_lo, win.col_hi,
+                         win.row_lo, win.row_hi)
+    assert win.stats() == exp
+
+    # second load of an overlapping ROI: tiles now cached, no images needed
+    roi2 = {"roi_id": "r1", "lon_min": -0.3, "lat_min": -0.2,
+            "lon_max": 0.0, "lat_max": 0.2}
+    win2 = load(cube, roi2, images_ds=None)
+    exp2 = _window_oracle(images_path, g, win2.col_lo, win2.col_hi,
+                          win2.row_lo, win2.row_hi)
+    assert win2.stats() == exp2
+
+
+def test_load_out_of_bounds_roi_raises(ray_session, fixtures_sf0001, tmp_path):
+    g = FIXTURE_GRID
+    cube = _mk_cube(tmp_path / "cube", g)
+    roi = {"roi_id": "oob", "lon_min": 5.0, "lat_min": 5.0,
+           "lon_max": 6.0, "lat_max": 6.0}
+    with pytest.raises(ValueError, match="no adjacent tiles"):
+        load(cube, roi)
+
+
+def test_load_toi_on_nontemporal_raises(ray_session, tmp_path):
+    g = FIXTURE_GRID
+    cube = _mk_cube(tmp_path / "cube", g)
+    with pytest.raises(ValueError, match="non-temporal"):
+        load(cube, {"roi_id": "x", "lon_min": 0, "lat_min": 0,
+                    "lon_max": 0.1, "lat_max": 0.1},
+             toi=np.datetime64("2024-01-01"))
+
+
+def _brute_force_temporal(images_path, grid):
+    """Sorted-LWW mosaic per (t, tx, ty) with nearest-snapped times."""
+    from raygeo.fixtures import timestamp_of
+    from raygeo.toi import snap_nearest
+
+    t = pq.read_table(images_path)
+    rows = sorted(t.to_pylist(), key=lambda r: int(r["image_id"].rsplit("-", 1)[1]))
+    axis = grid.time_axis()
+    tiles = {}
+    for r in rows:
+        ti = int(snap_nearest(axis, np.array([timestamp_of(r["image_id"])]))[0])
+        box = footprint_of(r["image_id"], r["w"], r["h"], grid)
+        c0, c1, r0, r1 = (int(v[0]) for v in grid.pixel_window(
+            np.array([box[0]]), np.array([box[1]]),
+            np.array([box[2]]), np.array([box[3]])))
+        if c1 <= c0 or r1 <= r0:
+            continue
+        pix = decode(r["bytes"])
+        for tx in range(c0 // grid.chunk, (c1 - 1) // grid.chunk + 1):
+            for ty in range(r0 // grid.chunk, (r1 - 1) // grid.chunk + 1):
+                tc0, tc1, tr0, tr1 = grid.tile_pixel_window(tx, ty)
+                cc0, cc1 = max(c0, tc0), min(c1, tc1)
+                rr0, rr1 = max(r0, tr0), min(r1, tr1)
+                if cc1 <= cc0 or rr1 <= rr0:
+                    continue
+                key = f"{ti}-{tx}-{ty}"
+                if key not in tiles:
+                    tiles[key] = (
+                        np.zeros((grid.chunk, grid.chunk, 3), np.uint8),
+                        np.zeros((grid.chunk, grid.chunk), bool),
+                    )
+                canvas, mask = tiles[key]
+                canvas[rr0 - tr0 : rr1 - tr0, cc0 - tc0 : cc1 - tc0] = pix[
+                    rr0 - r0 : rr1 - r0, cc0 - c0 : cc1 - c0
+                ]
+                mask[rr0 - tr0 : rr1 - tr0, cc0 - tc0 : cc1 - tc0] = True
+    return {
+        k: {
+            "n_valid_px": int(m.sum()),
+            "pix_sum": int(np.where(m[:, :, None], c, 0).astype(np.int64).sum()),
+        }
+        for k, (c, m) in tiles.items()
+    }
+
+
+def test_temporal_ingest_matches_bruteforce(ray_session, fixtures_sf0001):
+    import ray.data as rd
+
+    from raygeo.fixtures import TEMPORAL_GRID
+    from raygeo.ops.ingest import ingest
+
+    images_path = f"{fixtures_sf0001}/images.parquet"
+    images = rd.read_parquet(images_path, columns=["image_id", "bytes", "w", "h"])
+    got = {
+        r["tile_id"]: {"n_valid_px": r["n_valid_px"], "pix_sum": r["pix_sum"]}
+        for r in ingest(images, TEMPORAL_GRID).to_pandas().to_dict("records")
+    }
+    exp = _brute_force_temporal(images_path, TEMPORAL_GRID)
+    assert got == exp
+    # every tile id carries a time index in [0, 4)
+    assert all(0 <= int(k.split("-")[0]) < 4 for k in got)
+
+
+def test_temporal_load_toi_slice(ray_session, fixtures_sf0001, tmp_path):
+    import ray.data as rd
+
+    from raygeo.fixtures import TEMPORAL_GRID
+
+    cube = _mk_cube(tmp_path / "cube_t", TEMPORAL_GRID)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    roi = {"roi_id": "rt", "lon_min": -0.2, "lat_min": -0.2,
+           "lon_max": 0.2, "lat_max": 0.2}
+    wins = load(cube, roi, images_ds=images,
+                toi=(np.datetime64("2024-01-02"), np.datetime64("2024-01-03")))
+    assert sorted(wins) == ["2024-01-02T00:00:00", "2024-01-03T00:00:00"]
+    # scalar toi snaps nearest and hits the cache (no images needed)
+    win1 = load(cube, roi, toi=np.datetime64("2024-01-02T03:00"))
+    (k, w1), = win1.items()
+    assert k == "2024-01-02T00:00:00"
+    assert w1.stats() == wins["2024-01-02T00:00:00"].stats()
+    assert w1.stats()["n_valid_px"] > 0
