@@ -195,6 +195,18 @@ def _q_thumbnails(sf_dir: str):
     )
 
 
+def _q_normalize_bands(sf_dir: str):
+    """M9/A2 analog: per-image per-band min/max + full-range uint8 rescale.
+    Rows-only (pixels not SQL-visible); numpy oracle in tests."""
+    import ray.data as rd
+
+    from raygeo.ops.multimodal import normalize_bands
+
+    d = _fix(sf_dir)
+    return normalize_bands(rd.read_parquet(f"{d}/images.parquet",
+                                           columns=["image_id", "bytes"]))
+
+
 def _q_caption_roundtrip(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -218,6 +230,25 @@ def _q_caption_roundtrip(sf_dir: str):
     return rd.read_parquet(
         f"{d}/images.parquet", columns=["image_id", "caption", "bytes"]
     ).map_batches(through_decode, batch_format="pyarrow", batch_size=256)
+
+
+def _q_tile_skew_report(sf_dir: str):
+    """Hot-key report: top-20 tiles by assigned-image count (the fixture's
+    deliberate HOT_TILE shows up as rank 1) — the skew signal that drives
+    salting decisions. Fully streaming: map-side partial counts -> tiny
+    groupby -> global sort/limit."""
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.metrics import key_skew_report
+    from raygeo.ops.spatial_join import image_tiles
+
+    d = _fix(sf_dir)
+    tiles = image_tiles(
+        rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+        FIXTURE_GRID,
+    )
+    return key_skew_report(tiles, "tile_id", top_n=20)
 
 
 def _q_ingest_mosaic_temporal(sf_dir: str):
@@ -527,11 +558,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_phash": _q_dedup_phash,
         "decode_stats": _q_decode_stats,
         "thumbnails": _q_thumbnails,
+        "normalize_bands": _q_normalize_bands,  # rows-only (numpy oracle in tests)
         "caption_roundtrip": _q_caption_roundtrip,
         "ingest_mosaic": _q_ingest_mosaic,  # rows-only (pixel LWW not in SQL)
         "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,  # rows-only
         "toi_snap": _q_toi_snap,
         "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
+        "tile_skew_report": _q_tile_skew_report,
         # relational / engine plumbing (testdata tables)
         "q1_pricing": _q_q1_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -671,6 +704,22 @@ SELECT image_id, thumb_sum FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "caption_roundtrip": f"""
 SELECT image_id, caption, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
+""",
+        "tile_skew_report": _TILE_WINDOW_CTE
+        + """
+, assign AS (
+  SELECT image_id,
+    CAST(tx AS VARCHAR) || '-' || CAST(ty AS VARCHAR) AS tile_id
+  FROM (
+    SELECT image_id, tx, unnest(generate_series(rl // 128, (rh - 1) // 128)) AS ty
+    FROM tx_u
+  )
+)
+SELECT tile_id, n FROM (
+  SELECT tile_id, count(*)::BIGINT AS n,
+    row_number() OVER (ORDER BY count(*) DESC, tile_id) AS rk
+  FROM assign GROUP BY tile_id
+) WHERE rk <= 20
 """,
         "toi_snap": f"""
 WITH ax AS (

@@ -1,0 +1,74 @@
+"""Per-partition throughput + skew metrics (north-rule observability).
+
+Two report surfaces:
+
+- :func:`key_skew_report` — hot-key report over any keyed Dataset: map-side
+  partial counts (one row per key per batch — the combiner pattern, so the
+  shuffle never carries raw rows) -> tiny ``groupby().sum`` -> global
+  ``sort(desc).limit(n)``. This is how a run decides which keys need salting
+  (the fixture's deliberate HOT_TILE shows up as rank 1).
+- :func:`partition_report` — per-partition wall/bytes/rows from the lineage
+  ledger (the reference's stopuhr-timer role, ``core/accessor.py:107-108``,
+  ``core/backend.py:59-93``), plus summary skew indicators
+  (max/mean, p50/p99) a scheduler would alert on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import lineage
+
+
+def key_skew_report(ds, key: str, top_n: int = 20):
+    """Top-N hottest keys by row count (Dataset -> Dataset, fully streaming)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = t.group_by(key).aggregate([(key, "count")])
+        return pa.table(
+            {
+                key: counts.column(key),
+                "n": counts.column(f"{key}_count").cast(pa.int64()),
+            }
+        )
+
+    per_key = (
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # descending count, ascending key as the deterministic tie-break
+    return per_key.sort([("n"), (key)], descending=[True, False]).limit(top_n)
+
+
+def skew_stats(counts: np.ndarray) -> dict:
+    """Summary skew indicators over per-key or per-partition loads."""
+    c = np.asarray(counts, dtype=np.float64)
+    if len(c) == 0:
+        return {"n_keys": 0}
+    return {
+        "n_keys": int(len(c)),
+        "total": float(c.sum()),
+        "mean": float(c.mean()),
+        "p50": float(np.percentile(c, 50)),
+        "p99": float(np.percentile(c, 99)),
+        "max": float(c.max()),
+        "max_over_mean": float(c.max() / c.mean()) if c.mean() else None,
+    }
+
+
+def partition_report(cube_path: str) -> pd.DataFrame:
+    """Per-partition lineage metrics table + attached summary attrs."""
+    rows = lineage.partition_metrics(cube_path)
+    df = pd.DataFrame(rows, columns=["partition_id", "rows", "bytes", "wall_ms"])
+    if len(df):
+        df = df.sort_values("wall_ms", ascending=False).reset_index(drop=True)
+        df.attrs["skew"] = {
+            "wall_ms": skew_stats(df["wall_ms"].to_numpy()),
+            "bytes": skew_stats(df["bytes"].to_numpy()),
+        }
+    return df

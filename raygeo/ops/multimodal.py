@@ -119,6 +119,46 @@ def image_features(images_ds, concurrency=None, batch_size: int = 256):
     )
 
 
+class NormalizeBands:
+    """M9 analog (TCTrend band normalization, ``datasets/tctrend.py:71-88``):
+    per image, per band — record min/max (A2), rescale the band to the full
+    uint8 range ``round((v - min) * 255 / (max - min))`` (constant bands map
+    to 0), emit the normalized pixel sum for oracle checks. Stateless
+    vectorized kernel; the NA-interpolation half of the reference op is
+    mosaic-side (invalid px never enter a tile, ``mask_z`` carries validity).
+    """
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t.column("bytes").to_pylist()
+        n = len(bufs)
+        mins = np.empty((n, 3), np.int32)
+        maxs = np.empty((n, 3), np.int32)
+        sums = np.empty(n, np.int64)
+        for i, b in enumerate(bufs):
+            pix = decode(b).astype(np.int32)
+            mn = pix.min(axis=(0, 1))
+            mx = pix.max(axis=(0, 1))
+            rng = np.maximum(mx - mn, 1)
+            norm = ((pix - mn) * 255 + rng // 2) // rng  # round-half-up int
+            mins[i], maxs[i] = mn, mx
+            sums[i] = int(norm.astype(np.int64).sum())
+        cols = {"image_id": t.column("image_id")}
+        for bi, band in enumerate("rgb"):
+            cols[f"min_{band}"] = pa.array(mins[:, bi], pa.int32())
+            cols[f"max_{band}"] = pa.array(maxs[:, bi], pa.int32())
+        cols["norm_sum"] = pa.array(sums, pa.int64())
+        return pa.table(cols)
+
+
+def normalize_bands(images_ds, batch_size: int = 256):
+    return images_ds.select_columns(["image_id", "bytes"]).map_batches(
+        NormalizeBands(),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+
+
 # ------------------------------------------------ stubbed external decoders
 def decode_external_image(buf: bytes, fmt: str) -> np.ndarray:
     """JPEG/PNG decode — STUB: PIL/cv2 are not in this container.
