@@ -268,6 +268,23 @@ def _q_ingest_mosaic_temporal(sf_dir: str):
                                  "n_valid_px", "pix_sum"])
 
 
+def _q_ingest_mosaic_max(sf_dir: str):
+    """A1 analog (``patch.max('time')`` collapse, ``stac.py:141-143``):
+    mosaic with per-pixel MAX over writers instead of sorted-LWW. Rows-only;
+    numpy oracle in tests/test_ingest.py."""
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+
+    d = _fix(sf_dir)
+    tiles = ingest(rd.read_parquet(f"{d}/images.parquet",
+                                   columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID, mode="max")
+    return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
+                                 "n_valid_px", "pix_sum"])
+
+
 TOI_AXIS = [f"2024-01-{d:02d} 00:00:00" for d in range(1, 9)]
 
 
@@ -562,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_roundtrip": _q_caption_roundtrip,
         "ingest_mosaic": _q_ingest_mosaic,  # rows-only (pixel LWW not in SQL)
         "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,  # rows-only
+        "ingest_mosaic_max": _q_ingest_mosaic_max,  # rows-only (A1 max-collapse)
         "toi_snap": _q_toi_snap,
         "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
         "tile_skew_report": _q_tile_skew_report,

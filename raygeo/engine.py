@@ -176,3 +176,39 @@ def _read_tiles(tiles_dir: str, tile_ids: set[str], chunk: int) -> list[dict]:
         ).reshape(chunk, chunk).astype(bool)
         out.append({"tile_id": tid, "rgb": rgb, "mask": mask})
     return out
+
+
+def current_state(cube_path: str) -> pa.Table:
+    """Committed-tile geometry report (J7: ``current_state`` semi-join of the
+    lineage ledger with the tile grid, ``stac.py:159-169`` /
+    ``gee.py:236-252`` analog). Returns one row per committed tile with its
+    lon/lat box (and time step for temporal cubes)."""
+    spec = load_spec(cube_path)
+    g = spec.grid
+    rows = sorted(lineage.loaded_partitions(cube_path))
+    out = {"tile_id": [], "t": [], "tx": [], "ty": [],
+           "lon_min": [], "lat_min": [], "lon_max": [], "lat_max": []}
+    for tid in rows:
+        parts = parse_tile_id(tid)
+        ti, tx, ty = (parts if len(parts) == 3 else (None, *parts))
+        c0, c1, r0, r1 = g.tile_pixel_window(tx, ty)
+        out["tile_id"].append(tid)
+        out["t"].append(g.times[ti] if ti is not None else None)
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["lon_min"].append(g.x0 + c0 * g.res)
+        out["lon_max"].append(g.x0 + c1 * g.res)
+        out["lat_max"].append(g.y1 - r0 * g.res)
+        out["lat_min"].append(g.y1 - r1 * g.res)
+    return pa.table(
+        {
+            "tile_id": pa.array(out["tile_id"], pa.string()),
+            "t": pa.array(out["t"], pa.string()),
+            "tx": pa.array(out["tx"], pa.int32()),
+            "ty": pa.array(out["ty"], pa.int32()),
+            "lon_min": pa.array(out["lon_min"], pa.float64()),
+            "lat_min": pa.array(out["lat_min"], pa.float64()),
+            "lon_max": pa.array(out["lon_max"], pa.float64()),
+            "lat_max": pa.array(out["lat_max"], pa.float64()),
+        }
+    )

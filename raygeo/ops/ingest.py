@@ -162,14 +162,29 @@ def _fold_group(table: pa.Table, chunk: int) -> tuple[np.ndarray, np.ndarray, in
     return canvas, winner, table.num_rows
 
 
-def _merge_partials(parts: list[tuple[np.ndarray, np.ndarray, int]]):
+def _merge_partials(parts: list[tuple[np.ndarray, np.ndarray, int]],
+                    mode: str = "lww"):
+    """Associative cross-partial merge.
+
+    ``lww``: per-pixel owner = max patch_no (sorted-LWW, §4.4).
+    ``max``: per-pixel value = max over all writers (the reference's temporal
+    mosaic collapse, ``stac.py:141-143`` / ``gee.py:189-190``); the winner
+    array degenerates to a validity flag.
+    """
     canvas, winner, n = parts[0]
     canvas = canvas.copy()
     winner = winner.copy()
     for c2, w2, n2 in parts[1:]:
-        take = w2 > winner
-        canvas[take] = c2[take]
-        winner[take] = w2[take]
+        if mode == "max":
+            both = (winner >= 0) & (w2 >= 0)
+            canvas[both] = np.maximum(canvas[both], c2[both])
+            new = (w2 >= 0) & (winner < 0)
+            canvas[new] = c2[new]
+            winner = np.maximum(winner, w2)
+        else:
+            take = w2 > winner
+            canvas[take] = c2[take]
+            winner[take] = w2[take]
         n += n2
     return canvas, winner, n
 
@@ -273,9 +288,11 @@ class DecodeFoldPartial:
     prestarted workers instead of paying a fresh actor-pool ramp per query.
     """
 
-    def __init__(self, grid: GridSpec, skip: tuple[set, set | None] = (set(), None)):
+    def __init__(self, grid: GridSpec, skip: tuple[set, set | None] = (set(), None),
+                 mode: str = "lww"):
         self.grid = grid
         self.done, self.only = skip
+        self.mode = mode  # "lww" (§4.4) or "max" (A1 temporal-collapse analog)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.grid
@@ -333,11 +350,21 @@ class DecodeFoldPartial:
                             [-1],
                         )
                     canvas, widx, plist = canvases[key]
-                    canvas[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0] = pix[
+                    frag = pix[
                         r0 - int(rl[i]) : r1 - int(rl[i]),
                         c0 - int(cl[i]) : c1 - int(cl[i]),
                     ]
-                    widx[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0] = len(plist)
+                    region_c = canvas[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
+                    region_w = widx[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
+                    if self.mode == "max":
+                        written = region_w > 0
+                        np.maximum(region_c, frag, out=region_c,
+                                   where=written[:, :, None])
+                        region_c[~written] = frag[~written]
+                        region_w[:] = 1  # winner slot 1 = validity flag
+                    else:
+                        region_c[:] = frag
+                        region_w[:] = len(plist)
                     plist.append(int(pnos[i]))
         out = {k: [] for k in PARTIAL_SCHEMA.names}
         for (ti, tx, ty), (canvas, widx, plist) in canvases.items():
@@ -350,7 +377,7 @@ class DecodeFoldPartial:
         return pa.table(out, schema=PARTIAL_SCHEMA)
 
 
-def make_tree_combine(chunk: int):
+def make_tree_combine(chunk: int, mode: str = "lww"):
     """Block-local combine of partial canvases by tile — NO shuffle.
 
     Between the map-side fold and the global ``groupby(tile_id)`` merge,
@@ -380,7 +407,7 @@ def make_tree_combine(chunk: int):
                 canvas = decompress_canvas(cz[j].as_py(), chunk)
                 winner = unpack_winner(wz[j].as_py(), chunk)
                 parts.append((canvas, winner, int(nf[j].as_py())))
-            canvas, winner, n = _merge_partials(parts)
+            canvas, winner, n = _merge_partials(parts, mode)
             out["tile_id"].append(tid)
             out["tx"].append(txc[rows[0]].as_py())
             out["ty"].append(tyc[rows[0]].as_py())
@@ -410,7 +437,7 @@ def make_partial_fold(chunk: int):
     return partial_fold
 
 
-def make_merge_fold(chunk: int, cube_path: str | None):
+def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww"):
     def merge_fold(group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         parts = []
@@ -418,7 +445,7 @@ def make_merge_fold(chunk: int, cube_path: str | None):
             canvas = decompress_canvas(group.column("canvas_z")[j].as_py(), chunk)
             winner = unpack_winner(group.column("winner_z")[j].as_py(), chunk)
             parts.append((canvas, winner, int(group.column("n_frags")[j].as_py())))
-        canvas, winner, n = _merge_partials(parts)
+        canvas, winner, n = _merge_partials(parts, mode)
         valid = winner >= 0
         canvas = np.where(valid[:, :, None], canvas, 0).astype(np.uint8)
         tile_id = group.column("tile_id")[0].as_py()
@@ -477,6 +504,7 @@ def ingest(
     batch_size: int = 64,
     map_side_combine: bool = True,
     combine_batch_size: int = 2048,
+    mode: str = "lww",
 ):
     """Full ingest pipeline; returns the tiles Dataset (lazy).
 
@@ -503,7 +531,7 @@ def ingest(
         # task pool, not actor pool: the stage is stateless per batch, and
         # tasks reuse Ray's prestarted workers (no per-query pool ramp-up)
         partials = images_ds.map_batches(
-            DecodeFoldPartial(grid, (done, only_tiles)),
+            DecodeFoldPartial(grid, (done, only_tiles), mode=mode),
             batch_format="pyarrow",
             batch_size=combine_batch_size,
             num_cpus=1,
@@ -515,7 +543,7 @@ def ingest(
         # call and silently becomes a no-op, sending every partial into the
         # sort (measured 4x wall blowup at 400k images).
         partials = partials.map_batches(
-            make_tree_combine(grid.chunk),
+            make_tree_combine(grid.chunk, mode),
             batch_format="pyarrow",
             batch_size=2 * combine_batch_size,
             num_cpus=0.5,
@@ -547,6 +575,6 @@ def ingest(
         )
 
     tiles = partials.groupby("tile_id").map_groups(
-        make_merge_fold(grid.chunk, cube_path), batch_format="pyarrow"
+        make_merge_fold(grid.chunk, cube_path, mode), batch_format="pyarrow"
     )
     return tiles

@@ -224,3 +224,23 @@ def test_temporal_load_toi_slice(ray_session, fixtures_sf0001, tmp_path):
     assert k == "2024-01-02T00:00:00"
     assert w1.stats() == wins["2024-01-02T00:00:00"].stats()
     assert w1.stats()["n_valid_px"] > 0
+
+
+def test_current_state_reports_committed_tiles(ray_session, fixtures_sf0001,
+                                               tmp_path):
+    import ray.data as rd
+
+    from raygeo.engine import current_state
+    from raygeo.ops.ingest import ingest
+
+    g = FIXTURE_GRID
+    cube = _mk_cube(tmp_path / "cube_cs", g)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"]).limit(100)
+    n = ingest(images, g, cube_path=cube).count()
+    st = current_state(cube).to_pandas()
+    assert len(st) == n
+    # geometry is the exact tile box
+    row = st.iloc[0]
+    assert row.lon_min == g.x0 + row.tx * g.chunk * g.res
+    assert (st.lon_max > st.lon_min).all() and (st.lat_max > st.lat_min).all()

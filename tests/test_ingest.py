@@ -126,3 +126,51 @@ def test_ingest_resume_skips_done(fixtures_sf0001, tmp_path):
     m1 = t1.set_index("tile_id").loc[forget, ["n_frags", "n_valid_px", "pix_sum"]]
     m3 = t3.set_index("tile_id").loc[forget, ["n_frags", "n_valid_px", "pix_sum"]]
     assert m1.equals(m3)
+
+
+def test_ingest_max_mode_matches_bruteforce(ray_session, fixtures_sf0001):
+    """A1 analog (patch.max('time') collapse): per-pixel max over writers."""
+    import ray.data as rd
+
+    images_path = f"{fixtures_sf0001}/images.parquet"
+    images = rd.read_parquet(images_path, columns=["image_id", "bytes", "w", "h"])
+    got = {
+        r["tile_id"]: (r["n_valid_px"], r["pix_sum"])
+        for r in ingest(images, FIXTURE_GRID, mode="max").to_pandas().to_dict("records")
+    }
+    # brute force: element-wise max of every image fragment per tile
+    t = pq.read_table(images_path)
+    tiles = {}
+    for r in t.to_pylist():
+        pix = decode(r["bytes"])
+        box = footprint_of(r["image_id"], r["w"], r["h"], FIXTURE_GRID)
+        cl, ch, rl, rh = (int(v[0]) for v in FIXTURE_GRID.pixel_window(
+            np.array([box[0]]), np.array([box[1]]),
+            np.array([box[2]]), np.array([box[3]])))
+        g = FIXTURE_GRID
+        for tx in range(cl // g.chunk, (ch - 1) // g.chunk + 1):
+            for ty in range(rl // g.chunk, (rh - 1) // g.chunk + 1):
+                tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+                c0, c1 = max(cl, tc0), min(ch, tc1)
+                r0, r1 = max(rl, tr0), min(rh, tr1)
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                key = f"{tx}-{ty}"
+                if key not in tiles:
+                    tiles[key] = (
+                        np.zeros((g.chunk, g.chunk, 3), np.uint8),
+                        np.zeros((g.chunk, g.chunk), bool),
+                    )
+                canvas, mask = tiles[key]
+                sl_t = np.s_[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
+                frag = pix[r0 - rl : r1 - rl, c0 - cl : c1 - cl]
+                wr = mask[sl_t]
+                region = canvas[sl_t]
+                np.maximum(region, frag, out=region, where=wr[:, :, None])
+                region[~wr] = frag[~wr]
+                mask[sl_t] = True
+    exp = {
+        k: (int(m.sum()), int(np.where(m[:, :, None], c, 0).astype(np.int64).sum()))
+        for k, (c, m) in tiles.items()
+    }
+    assert got == exp
