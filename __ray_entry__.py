@@ -525,6 +525,31 @@ def _read_query_vecs(sf_dir: str):
     return q
 
 
+def _q_docs_ngram_jaccard(sf_dir: str):
+    """Char-4-gram Jaccard near-dup pairs (>=0.5) via MinHash-LSH candidates
+    + exact verification. Rows-only (probabilistic candidate recall)."""
+    import ray.data as rd
+
+    from raygeo.ops.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(ds, "text", "doc_id", k=4, threshold=0.5)[
+        ["id_a", "id_b"]
+    ]
+
+
+def _q_image_features(sf_dir: str):
+    """Cheap visual features (per-channel means + edge energy) — the
+    feature-extract stage of a multimodal training pipeline. Rows-only."""
+    import ray.data as rd
+
+    from raygeo.ops.multimodal import image_features
+
+    d = _fix(sf_dir)
+    return image_features(rd.read_parquet(f"{d}/images.parquet",
+                                          columns=["image_id", "bytes"]))
+
+
 def _q_emb_knn(sf_dir: str):
     import ray.data as rd
 
@@ -599,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,  # rows-only
         "docs_neardup_exact": _q_docs_neardup_exact,
         "docs_minhash_07": _q_docs_minhash_07,  # rows-only (probabilistic recall)
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # rows-only
+        "image_features": _q_image_features,  # rows-only (float features)
         # embeddings
         "emb_knn": _q_emb_knn,
         "emb_ivf_knn": _q_emb_ivf_knn,  # rows-only (approximate)

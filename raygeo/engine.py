@@ -108,6 +108,12 @@ def load(
         os.makedirs(tiles_dir, exist_ok=True)
         new_tiles.write_parquet(tiles_dir)
 
+    if not persist:
+        # lazy variant (accessor.load without .load(), ``accessor.py:394-397``):
+        # a streaming Dataset of ROI-cropped tile windows — no driver-side
+        # materialization, suitable for arbitrarily large ROIs
+        return _lazy_window_dataset(tiles_dir, covered_ids, g, rois)
+
     # read cached tiles for the window
     window_tiles = _read_tiles(tiles_dir, covered_ids, g.chunk)
     boxes = [b for r in rois for b in r["boxes"]]
@@ -151,6 +157,79 @@ def load(
         return wins[None]
     # temporal result: {ISO time step -> RoiWindow} for the selected steps
     return {g.times[t]: wins[t] for t in t_sel}
+
+
+def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois):
+    """Streaming K5 read path: filter cached tiles to the ROI's ids, crop
+    each to the ROI pixel window inside ``map_batches`` (M2/M8 crop kernel),
+    emit (tile_id, y0, x0, h, w, rgb, mask) rows."""
+    import ray.data as rd
+
+    boxes = [b for r in rois for b in r["boxes"]]
+    lon_min = min(b[0] for b in boxes)
+    lat_min = min(b[1] for b in boxes)
+    lon_max = max(b[2] for b in boxes)
+    lat_max = max(b[3] for b in boxes)
+    cl, ch, rl, rh = (
+        int(v[0])
+        for v in g.pixel_window(
+            np.array([lon_min]), np.array([lat_min]),
+            np.array([lon_max]), np.array([lat_max]),
+        )
+    )
+    wanted = set(tile_ids)
+    chunk = g.chunk
+
+    def crop(t: pa.Table) -> pa.Table:
+        out = {"tile_id": [], "y0": [], "x0": [], "h": [], "w": [],
+               "rgb": [], "mask": []}
+        seen = set()
+        for i in range(t.num_rows):
+            tid = t.column("tile_id")[i].as_py()
+            if tid not in wanted or tid in seen:
+                continue
+            seen.add(tid)
+            parts = parse_tile_id(tid)
+            tx, ty = parts[-2], parts[-1]
+            tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+            c0, c1 = max(cl, tc0), min(ch, tc1)
+            r0, r1 = max(rl, tr0), min(rh, tr1)
+            if c1 <= c0 or r1 <= r0:
+                continue
+            rgb = np.frombuffer(
+                zlib.decompress(t.column("rgb_z")[i].as_py()), dtype=np.uint8
+            ).reshape(chunk, chunk, 3)
+            mask = np.frombuffer(
+                zlib.decompress(t.column("mask_z")[i].as_py()), dtype=np.uint8
+            ).reshape(chunk, chunk)
+            sl = np.s_[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
+            out["tile_id"].append(tid)
+            out["y0"].append(r0 - rl)
+            out["x0"].append(c0 - cl)
+            out["h"].append(r1 - r0)
+            out["w"].append(c1 - c0)
+            out["rgb"].append(np.ascontiguousarray(rgb[sl]).tobytes())
+            out["mask"].append(np.ascontiguousarray(mask[sl]).tobytes())
+        return pa.table(
+            {
+                "tile_id": pa.array(out["tile_id"], pa.string()),
+                "y0": pa.array(out["y0"], pa.int32()),
+                "x0": pa.array(out["x0"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "w": pa.array(out["w"], pa.int32()),
+                "rgb": pa.array(out["rgb"], pa.binary()),
+                "mask": pa.array(out["mask"], pa.binary()),
+            }
+        )
+
+    if not os.path.isdir(tiles_dir) or not any(os.scandir(tiles_dir)):
+        return rd.from_arrow(crop(pa.table(
+            {"tile_id": pa.array([], pa.string()),
+             "rgb_z": pa.array([], pa.binary()),
+             "mask_z": pa.array([], pa.binary())})))
+    return rd.read_parquet(
+        tiles_dir, columns=["tile_id", "rgb_z", "mask_z"]
+    ).map_batches(crop, batch_format="pyarrow", batch_size=64)
 
 
 def _read_tiles(tiles_dir: str, tile_ids: set[str], chunk: int) -> list[dict]:

@@ -153,3 +153,79 @@ def polygon_intersects_boxes(
             t1 = np.minimum(t1, np.where(rej, -np.inf, ext))
         out |= (t0 <= t1).any(axis=1)
     return out
+
+
+# --------------------------------------------------------------- projections
+# M1 (CRS reprojection, ``accessor.py:372-373`` / ``arcticdem.py:216-231``):
+# the engine carries explicit CRS codes on GridSpec and reprojects query
+# geometry to the cube CRS with pure-numpy forward/inverse kernels — the two
+# families the reference's shipped datasets use: a web-mercator-style
+# projected CRS (EPSG:3857 analog) and a polar stereographic one
+# (EPSG:3413 analog, the ArcticDEM frame). Spherical formulas (R = 6378137),
+# deterministic and exactly invertible to float64 round-off.
+
+EARTH_R = 6378137.0
+
+
+def lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray):
+    """EPSG:3857-style forward: (lon, lat) deg -> (x, y) meters."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = EARTH_R * np.deg2rad(lon)
+    y = EARTH_R * np.log(np.tan(np.pi / 4.0 + np.deg2rad(lat) / 2.0))
+    return x, y
+
+
+def mercator_to_lonlat(x: np.ndarray, y: np.ndarray):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.rad2deg(x / EARTH_R)
+    lat = np.rad2deg(2.0 * np.arctan(np.exp(y / EARTH_R)) - np.pi / 2.0)
+    return lon, lat
+
+
+def lonlat_to_polar_stereo(lon: np.ndarray, lat: np.ndarray,
+                           lon0: float = -45.0, north: bool = True):
+    """EPSG:3413-style polar stereographic forward (spherical, scale at pole).
+
+    The projection the ArcticDEM path intersects in (antimeridian-safe:
+    the +/-180 seam maps to a ray through the pole, not a discontinuity).
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    sgn = 1.0 if north else -1.0
+    t = np.tan(np.pi / 4.0 - sgn * np.deg2rad(lat) / 2.0)
+    rho = 2.0 * EARTH_R * t
+    theta = np.deg2rad(lon - lon0)
+    x = rho * np.sin(theta)
+    y = -sgn * rho * np.cos(theta)
+    return x, y
+
+
+def polar_stereo_to_lonlat(x: np.ndarray, y: np.ndarray,
+                           lon0: float = -45.0, north: bool = True):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    sgn = 1.0 if north else -1.0
+    rho = np.hypot(x, y)
+    lat = sgn * np.rad2deg(np.pi / 2.0 - 2.0 * np.arctan(rho / (2.0 * EARTH_R)))
+    theta = np.arctan2(x, -sgn * y)
+    lon = np.rad2deg(theta) + lon0
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, lat
+
+
+def reproject_ring(ring: np.ndarray, crs: str) -> np.ndarray:
+    """Reproject a (M, 2) lon/lat ring into the grid CRS (M1 kernel)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if crs.upper() in ("EPSG:4326", "CRS:84"):
+        return ring
+    if crs.upper() in ("EPSG:3857", "MERCATOR"):
+        x, y = lonlat_to_mercator(ring[:, 0], ring[:, 1])
+    elif crs.upper() in ("EPSG:3413", "POLAR_N"):
+        x, y = lonlat_to_polar_stereo(ring[:, 0], ring[:, 1])
+    elif crs.upper() == "POLAR_S":
+        x, y = lonlat_to_polar_stereo(ring[:, 0], ring[:, 1], north=False)
+    else:
+        raise ValueError(f"unsupported CRS {crs}")
+    return np.column_stack([x, y])

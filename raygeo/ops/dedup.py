@@ -169,6 +169,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 2,
     jaccard_threshold: float = 0.8,
+    use_words: bool = True,
     concurrency=None,
 ):
     """Near-dup candidate pairs via LSH banding, verified by exact Jaccard.
@@ -180,7 +181,8 @@ def minhash_lsh_pairs(
     """
     import ray
 
-    mk = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k, use_words=True)
+    mk = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+              use_words=use_words)
     banded = ds.select_columns([text_col, id_col]).map_batches(
         MinHashBands(text_col, id_col, **mk),
         batch_format="pyarrow",
@@ -289,7 +291,7 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 4,
     """
     return minhash_lsh_pairs(
         ds, text_col, id_col, num_perm=64, bands=32, shingle_k=k,
-        jaccard_threshold=threshold,
+        jaccard_threshold=threshold, use_words=False,
     )
 
 

@@ -244,3 +244,28 @@ def test_current_state_reports_committed_tiles(ray_session, fixtures_sf0001,
     row = st.iloc[0]
     assert row.lon_min == g.x0 + row.tx * g.chunk * g.res
     assert (st.lon_max > st.lon_min).all() and (st.lat_max > st.lat_min).all()
+
+
+def test_load_lazy_equals_persist(ray_session, fixtures_sf0001, tmp_path):
+    """persist=False returns a streaming Dataset of cropped tile windows
+    whose reassembly equals the persist=True window bit-for-bit."""
+    import ray.data as rd
+
+    g = FIXTURE_GRID
+    cube = _mk_cube(tmp_path / "cube_lazy", g)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    roi = {"roi_id": "rl", "lon_min": -0.3, "lat_min": -0.25,
+           "lon_max": 0.15, "lat_max": 0.2}
+    win = load(cube, roi, images_ds=images, persist=True)
+    lazy = load(cube, roi, persist=False)
+    rgb = np.zeros_like(win.rgb)
+    mask = np.zeros_like(win.mask)
+    for r in lazy.to_pandas().to_dict("records"):
+        h, w = r["h"], r["w"]
+        frag = np.frombuffer(r["rgb"], np.uint8).reshape(h, w, 3)
+        m = np.frombuffer(r["mask"], np.uint8).reshape(h, w).astype(bool)
+        rgb[r["y0"]:r["y0"]+h, r["x0"]:r["x0"]+w] = frag
+        mask[r["y0"]:r["y0"]+h, r["x0"]:r["x0"]+w] = m
+    assert np.array_equal(rgb, win.rgb)
+    assert np.array_equal(mask, win.mask)

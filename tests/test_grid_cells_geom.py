@@ -181,3 +181,34 @@ def test_cube_temporal_chunks(tmp_path):
     assert loaded.chunk_tuples()["time"] == (1, 1, 1)
     assert loaded.grid.temporal
     assert len(loaded.grid.time_axis()) == 3
+
+
+def test_projection_roundtrip_and_known_values():
+    """M1 kernels: exact-ish roundtrip + antimeridian continuity in polar CRS."""
+    import numpy as np
+
+    from raygeo.geom import (
+        lonlat_to_mercator, mercator_to_lonlat,
+        lonlat_to_polar_stereo, polar_stereo_to_lonlat,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    lon = rng.uniform(-179.9, 179.9, 200)
+    lat = rng.uniform(-85.0, 85.0, 200)
+    x, y = lonlat_to_mercator(lon, lat)
+    lon2, lat2 = mercator_to_lonlat(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9) and np.allclose(lat, lat2, atol=1e-9)
+    # known value: equator/prime meridian maps to origin
+    x0, y0 = lonlat_to_mercator(np.array([0.0]), np.array([0.0]))
+    assert abs(x0[0]) < 1e-9 and abs(y0[0]) < 1e-9
+
+    lat_n = rng.uniform(60.0, 89.9, 200)
+    xp, yp = lonlat_to_polar_stereo(lon, lat_n)
+    lon3, lat3 = polar_stereo_to_lonlat(xp, yp)
+    assert np.allclose(((lon - lon3 + 180) % 360) - 180, 0, atol=1e-9)
+    assert np.allclose(lat_n, lat3, atol=1e-9)
+    # antimeridian continuity: +/-180 at same latitude project to the SAME
+    # point (the reason the reference intersects in EPSG:3413,
+    # datasets/arcticdem.py:216)
+    xa, ya = lonlat_to_polar_stereo(np.array([180.0, -180.0]), np.array([70.0, 70.0]))
+    assert abs(xa[0] - xa[1]) < 1e-6 and abs(ya[0] - ya[1]) < 1e-6

@@ -174,3 +174,40 @@ def test_ingest_max_mode_matches_bruteforce(ray_session, fixtures_sf0001):
         for k, (c, m) in tiles.items()
     }
     assert got == exp
+
+
+def test_merge_packed_fast_equals_slow():
+    """Fast (range-disjoint uint16 overlay) and slow (int64 winner expand)
+    merge paths must agree bit-for-bit on disjoint inputs."""
+    from raygeo.ops.ingest import (
+        compress_canvas, decompress_canvas, merge_packed,
+        pack_winner_indexed, unpack_winner,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    chunk = 32
+    parts = []
+    for b, (lo, hi) in enumerate([(0, 9), (10, 19), (20, 29)]):
+        canvas = np.zeros((chunk, chunk, 3), np.uint8)
+        widx = np.zeros((chunk, chunk), np.uint16)
+        plist = [-1]
+        for pno in range(lo, hi + 1):
+            y, x = rng.integers(0, chunk - 8, 2)
+            canvas[y:y+8, x:x+8] = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            widx[y:y+8, x:x+8] = len(plist)
+            plist.append(pno)
+        parts.append({"cz": compress_canvas(canvas),
+                      "wz": pack_winner_indexed(plist, widx),
+                      "n": hi - lo + 1, "lo": lo, "hi": hi})
+    fast = merge_packed(list(parts), chunk, "lww")
+    # force the slow path by lying about one range (overlap) — same pixels
+    slow_in = [dict(p) for p in parts]
+    slow_in[0]["hi"] = 15  # claims overlap with part 2 -> slow path
+    slow = merge_packed(slow_in, chunk, "lww")
+    c_f = decompress_canvas(fast["cz"], chunk)
+    c_s = decompress_canvas(slow["cz"], chunk)
+    assert np.array_equal(c_f, c_s)
+    w_f = unpack_winner(fast["wz"], chunk)
+    w_s = unpack_winner(slow["wz"], chunk)
+    assert np.array_equal(w_f, w_s)
+    assert fast["n"] == slow["n"] == 30

@@ -72,3 +72,21 @@ def test_normalize_bands_matches_numpy(ray_session, fixtures_sf0001):
         assert [row.min_r, row.min_g, row.min_b] == mn.tolist()
         assert [row.max_r, row.max_g, row.max_b] == mx.tolist()
         assert row.norm_sum == int(norm.sum())
+
+
+def test_ngram_jaccard_uses_char_shingles(ray_session):
+    """Single-token texts can only pair via CHAR n-grams (word shingles see
+    one opaque token each) — guards the use_words=False wiring."""
+    import ray.data as rd
+
+    from raygeo.ops.dedup import ngram_jaccard_pairs
+
+    docs = [
+        {"doc_id": 1, "text": "abcdefghijklmnopqrstuvwxyz0123456789"},
+        {"doc_id": 2, "text": "abcdefghijklmnopqrstuvwxyz012345678X"},
+        {"doc_id": 3, "text": "completely-unrelated-content-here!!!"},
+    ]
+    pairs = ngram_jaccard_pairs(rd.from_items(docs), "text", "doc_id",
+                                k=4, threshold=0.5)
+    got = set(zip(pairs.id_a.astype(int), pairs.id_b.astype(int)))
+    assert got == {(1, 2)}
