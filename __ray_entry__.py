@@ -436,6 +436,17 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding 3-hour trailing window per event_type (windowed aggregate):
+    tumbling partials -> tiny groupby -> per-key prefix-sum window."""
+    import ray.data as rd
+
+    from raygeo.ops.relational import sliding_window_hourly
+
+    return sliding_window_hourly(rd.read_parquet(f"{sf_dir}/events.parquet"),
+                                 window_hours=3)
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -614,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "top_parts": _q_top_parts,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "events_sessionize": _q_sessionize,
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
@@ -819,6 +831,21 @@ SELECT event_type,
   COUNT(*)::BIGINT AS n_events,
   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH hourly AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+    COUNT(*)::BIGINT AS n_events,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_bucket,
+  SUM(n_events) OVER w::BIGINT AS win_events,
+  SUM(value_cents) OVER w::BIGINT AS win_cents
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
         "events_sessionize": """
 WITH g AS (

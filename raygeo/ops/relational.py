@@ -202,3 +202,65 @@ def top_parts_by_price(part_ds, k: int = 20):
         .sort(["price_cents", "p_partkey"], descending=[True, True])
         .limit(k)
     )
+
+
+def sliding_window_hourly(events_ds, window_hours: int = 3):
+    """Sliding event-time window: per (event_type, hour), count + cents sum
+    over the trailing ``window_hours`` bucket range [h-(w-1), h].
+
+    The custom windowed-aggregate pattern: tumbling map-side partials (one
+    row per (key, hour) per batch) -> small ``groupby`` merge -> per-key
+    ``map_groups`` computing the trailing window on a DENSE bucket axis via
+    prefix sums (gap-aware, so it matches SQL ``RANGE BETWEEN w-1 PRECEDING
+    AND CURRENT ROW``). Only tumbling partials shuffle — never raw events.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        bucket = df.ts.astype("datetime64[ns]").astype("int64") // (3600 * 10**9)
+        cents = np.rint(df.value * 100).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": df.event_type, "hour_bucket": bucket,
+                          "value_cents": cents})
+            .groupby(["event_type", "hour_bucket"], sort=False)
+            .agg(n_events=("value_cents", "size"),
+                 value_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hourly = (
+        events_ds.select_columns(["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+    w = window_hours
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour_bucket")
+        lo, hi = int(g.hour_bucket.min()), int(g.hour_bucket.max())
+        n = hi - lo + 1
+        dense_n = np.zeros(n + 1, dtype=np.int64)  # prefix arrays
+        dense_c = np.zeros(n + 1, dtype=np.int64)
+        idx = g.hour_bucket.to_numpy() - lo
+        dense_n[idx + 1] = g.n_events.to_numpy()
+        dense_c[idx + 1] = g.value_cents.to_numpy()
+        pn = np.cumsum(dense_n)
+        pc_ = np.cumsum(dense_c)
+        start = np.maximum(idx - (w - 1), 0)
+        return pd.DataFrame(
+            {
+                "event_type": g.event_type.to_numpy(),
+                "hour_bucket": g.hour_bucket.to_numpy(),
+                "win_events": pn[idx + 1] - pn[start],
+                "win_cents": pc_[idx + 1] - pc_[start],
+            }
+        )
+
+    return hourly.groupby("event_type").map_groups(trailing, batch_format="pandas")
