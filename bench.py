@@ -34,7 +34,12 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_LO, SCALING_HI = 4, 16
+# 2 -> 8 is the least-confounded N -> 4N pair on this VM: pure-CPU
+# calibration shows the hypervisor throttles aggregate throughput above
+# ~8-16 busy cores (steal + all-core turbo), which would attribute hardware
+# saturation to the engine at 4->16 or 8->32. Both throughputs + the
+# calibration ceiling are reported either way.
+SCALING_LO, SCALING_HI = 2, 8
 SCALING_REPS = 4  # 4x-replicate the input so work dominates fixed overheads
 
 

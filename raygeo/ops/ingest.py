@@ -117,7 +117,16 @@ class DecodeExplode:
             r0, r1 = max(int(rl[i]), tr0), min(int(rhh[i]), tr1)
             if c1 <= c0 or r1 <= r0:
                 continue
-            frag = pix[r0 - int(rl[i]) : r1 - int(rl[i]), c0 - int(cl[i]) : c1 - int(cl[i])]
+            # clamp to the decoded image (inexact-resolution windows can be
+            # one pixel wider than the image; see DecodeFoldPartial)
+            sr0, sc0 = r0 - int(rl[i]), c0 - int(cl[i])
+            sr1 = min(r1 - int(rl[i]), pix.shape[0])
+            sc1 = min(c1 - int(cl[i]), pix.shape[1])
+            if sr1 <= sr0 or sc1 <= sc0:
+                continue
+            r1 = r0 + (sr1 - sr0)
+            c1 = c0 + (sc1 - sc0)
+            frag = pix[sr0:sr1, sc0:sc1]
             patch_no = int(ids[i].rsplit("-", 1)[1])
             tile_id = (
                 f"{tx}-{ty}" if tids_t is None else f"{int(tids_t[i])}-{tx}-{ty}"
@@ -425,6 +434,16 @@ class DecodeFoldPartial:
                         continue
                     if pix is None:
                         pix = decode(bufs[i])
+                    # with non-exact-binary grid resolutions the floor/ceil
+                    # re-derived window can exceed the image by one pixel —
+                    # clamp the source slice and shrink the target to match
+                    sr0, sc0 = r0 - int(rl[i]), c0 - int(cl[i])
+                    sr1 = min(r1 - int(rl[i]), pix.shape[0])
+                    sc1 = min(c1 - int(cl[i]), pix.shape[1])
+                    if sr1 <= sr0 or sc1 <= sc0:
+                        continue
+                    r1 = r0 + (sr1 - sr0)
+                    c1 = c0 + (sc1 - sc0)
                     key = (ti, tx, ty)
                     if key not in canvases:
                         canvases[key] = (
@@ -433,10 +452,7 @@ class DecodeFoldPartial:
                             [-1],
                         )
                     canvas, widx, plist = canvases[key]
-                    frag = pix[
-                        r0 - int(rl[i]) : r1 - int(rl[i]),
-                        c0 - int(cl[i]) : c1 - int(cl[i]),
-                    ]
+                    frag = pix[sr0:sr1, sc0:sc1]
                     region_c = canvas[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
                     region_w = widx[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
                     if self.mode == "max":
@@ -637,11 +653,16 @@ def ingest(
 
     if map_side_combine:
         # task pool, not actor pool: the stage is stateless per batch, and
-        # tasks reuse Ray's prestarted workers (no per-query pool ramp-up)
+        # tasks reuse Ray's prestarted workers (no per-query pool ramp-up).
+        # The fold's live set is one canvas per TOUCHED tile (not per image),
+        # so the worst-case heap is 5 B/px x touched tiles; cap the batch for
+        # very large chunks so a task can't accumulate unbounded canvases.
+        per_partial = 5 * grid.chunk * grid.chunk
+        fold_cap = max(64, (1 << 30) // per_partial)
         partials = images_ds.map_batches(
             DecodeFoldPartial(grid, (done, only_tiles), mode=mode),
             batch_format="pyarrow",
-            batch_size=combine_batch_size,
+            batch_size=int(min(combine_batch_size, fold_cap)),
             num_cpus=1,
         )
         # combiner tree: block-local merge of same-tile partials before the
@@ -650,10 +671,16 @@ def ingest(
         # them — a fused combine never sees more than one fold output per
         # call and silently becomes a no-op, sending every partial into the
         # sort (measured 4x wall blowup at 400k images).
+        # Memory-aware batch: a combine task holds ~5 B/px per in-flight
+        # partial (canvas uint8x3 + widx uint16); cap the batch so one task
+        # stays under ~512 MB — at the reference's 3600^2 production chunk
+        # that is ~8 partials per task, at the 128^2 test chunk ~4096.
+        per_partial = 5 * grid.chunk * grid.chunk
+        mem_cap = max(4, (512 << 20) // per_partial)
         partials = partials.map_batches(
             make_tree_combine(grid.chunk, mode),
             batch_format="pyarrow",
-            batch_size=2 * combine_batch_size,
+            batch_size=int(min(2 * combine_batch_size, mem_cap)),
             num_cpus=0.5,
         )
         # bound the sort-shuffle block count: the sort-based groupby slices
