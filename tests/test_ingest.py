@@ -211,3 +211,32 @@ def test_merge_packed_fast_equals_slow():
     w_s = unpack_winner(slow["wz"], chunk)
     assert np.array_equal(w_f, w_s)
     assert fast["n"] == slow["n"] == 30
+
+
+def test_inexact_resolution_grid(ray_session, fixtures_sf0001):
+    """Grids with non-exact-binary resolution (all real-world grids): the
+    re-derived pixel window can exceed the image by 1 px — fragments must
+    clamp, and both physical plans must still agree (regression for the
+    broadcast-shape crash found on a 3600px res=2/7200 grid)."""
+    import ray.data as rd
+
+    from raygeo.grid import GridSpec
+
+    # res 2/3600 is not exact binary -> windows can overshoot by 1 px;
+    # chunk kept moderate so the fragment-plan cross-check stays fast
+    big = GridSpec(name="big", crs="EPSG:4326", x0=-1.0, y1=1.0,
+                   res=2.0 / 3600, width=3600, height=3600, chunk=1800)
+
+    def tiles_of(plan):
+        images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                                 columns=["image_id", "bytes", "w", "h"]).limit(200)
+        return {
+            r["tile_id"]: (r["n_frags"], r["n_valid_px"], r["pix_sum"])
+            for r in ingest(images, big, map_side_combine=plan)
+            .to_pandas().to_dict("records")
+        }
+
+    a = tiles_of(True)
+    b = tiles_of(False)
+    assert a == b
+    assert len(a) == 4 and sum(v[1] for v in a.values()) > 0

@@ -1,0 +1,96 @@
+"""Multi-process cube sharing (reference concurrency tests analog).
+
+Mirrors ``tests/test_arcticdem.py:104-137`` / ``tests/test_tctrend.py:167-200``:
+two independent OS processes run ``engine.load`` with overlapping ROIs against ONE
+cube directory concurrently. Safety comes from atomic-rename lineage commits
+(idempotent — both writers may compute a shared tile; the content is
+deterministic so either commit is correct) — the engine's stand-in for
+icechunk's optimistic concurrency. A third process then loads a window
+spanning both ROIs purely from the cache and must match the brute-force
+oracle.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, %(repo)r)
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+import ray.data as rd
+from raygeo.engine import load
+from raygeo.fixtures import ensure_fixtures
+d = ensure_fixtures(0.001)
+images = rd.read_parquet(f"{d}/images.parquet",
+                         columns=["image_id", "bytes", "w", "h"])
+win = load(%(cube)r, %(roi)s, images_ds=images)
+print(json.dumps(win.stats()))
+ray.shutdown()
+"""
+
+
+def _spawn(cube: str, roi: dict):
+    return subprocess.Popen(
+        [sys.executable, "-c", CHILD % {"repo": REPO, "cube": cube,
+                                        "roi": json.dumps(roi)}],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=dict(os.environ, RAY_ADDRESS="local"),
+    )
+
+
+def test_two_processes_share_one_cube(fixtures_sf0001, tmp_path):
+    from raygeo.cube import Channel, CubeSpec, create
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo import lineage
+
+    cube = str(tmp_path / "shared_cube")
+    create(CubeSpec("shared", FIXTURE_GRID, (Channel("rgb", "uint8"),)), cube)
+    roi_a = {"roi_id": "a", "lon_min": -0.4, "lat_min": -0.3,
+             "lon_max": 0.1, "lat_max": 0.2}
+    roi_b = {"roi_id": "b", "lon_min": -0.1, "lat_min": -0.1,
+             "lon_max": 0.4, "lat_max": 0.3}  # overlaps roi_a
+    pa_, pb = _spawn(cube, roi_a), _spawn(cube, roi_b)
+    out_a, err_a = pa_.communicate(timeout=300)
+    out_b, err_b = pb.communicate(timeout=300)
+    assert pa_.returncode == 0, err_a[-2000:]
+    assert pb.returncode == 0, err_b[-2000:]
+    stats_a = json.loads(out_a.strip().splitlines()[-1])
+    stats_b = json.loads(out_b.strip().splitlines()[-1])
+    assert stats_a["n_valid_px"] > 0 and stats_b["n_valid_px"] > 0
+
+    # all tiles of both ROIs committed exactly once in the ledger
+    done = lineage.loaded_partitions(cube)
+    assert len(done) == len(set(done))
+
+    # a third (in-process) cache-only load over the union region agrees with
+    # a fresh single-writer cube — concurrent writes converged
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    from raygeo.engine import load
+
+    # a rectangle fully inside roi_a ∪ roi_b (every lon<=0.1 point is in a,
+    # every lon>0.1 point has lat in [-0.1, 0.2] ⊂ b) so all its tiles are
+    # guaranteed cached by one of the two concurrent writers
+    union_roi = {"roi_id": "u", "lon_min": -0.35, "lat_min": -0.1,
+                 "lon_max": 0.35, "lat_max": 0.2}
+    got = load(cube, union_roi, images_ds=None).stats()
+
+    clean = str(tmp_path / "clean_cube")
+    create(CubeSpec("clean", FIXTURE_GRID, (Channel("rgb", "uint8"),)), clean)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    exp = load(clean, union_roi, images_ds=images).stats()
+    assert got == exp
