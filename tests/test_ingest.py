@@ -240,3 +240,65 @@ def test_inexact_resolution_grid(ray_session, fixtures_sf0001):
     b = tiles_of(False)
     assert a == b
     assert len(a) == 4 and sum(v[1] for v in a.values()) > 0
+
+
+def test_merge_packed_property_random():
+    """Property test: merge_packed over random partials — disjoint or
+    overlapping pno ranges, any merge tree shape — always equals the global
+    per-pixel sorted-LWW oracle."""
+    from raygeo.ops.ingest import (
+        compress_canvas, decompress_canvas, merge_packed,
+        pack_winner_indexed, unpack_winner,
+    )
+
+    chunk = 16
+    for seed in range(25):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        n_parts = int(rng.integers(2, 6))
+        overlapping = bool(rng.integers(0, 2))
+        writes = []  # (pno, y, x, h, w, color)
+        parts = []
+        next_pno = 0
+        used: set[int] = set()
+        for p in range(n_parts):
+            if overlapping:
+                pool = [v for v in range(200) if v not in used]
+                pnos = sorted(rng.choice(pool, size=int(rng.integers(1, 6)),
+                                         replace=False).tolist())
+                used.update(pnos)
+            else:
+                k = int(rng.integers(1, 6))
+                pnos = list(range(next_pno, next_pno + k))
+                next_pno += k + int(rng.integers(0, 3))
+            canvas = np.zeros((chunk, chunk, 3), np.uint8)
+            widx = np.zeros((chunk, chunk), np.uint16)
+            plist = [-1]
+            for pno in pnos:  # ascending within the partial (fold contract)
+                y, x = (int(v) for v in rng.integers(0, chunk - 4, 2))
+                h, w = (int(v) for v in rng.integers(2, 5, 2))
+                color = rng.integers(0, 255, 3, dtype=np.uint8)
+                canvas[y:y+h, x:x+w] = color
+                widx[y:y+h, x:x+w] = len(plist)
+                plist.append(pno)
+                writes.append((pno, y, x, h, w, color))
+            parts.append({"cz": compress_canvas(canvas),
+                          "wz": pack_winner_indexed(plist, widx),
+                          "n": len(pnos), "lo": min(pnos), "hi": max(pnos)})
+        # random merge tree: merge a random prefix first, then the rest
+        if len(parts) > 2 and rng.integers(0, 2):
+            head = merge_packed(parts[:2], chunk, "lww")
+            merged = merge_packed([head] + parts[2:], chunk, "lww")
+        else:
+            merged = merge_packed(parts, chunk, "lww")
+        # oracle: apply every write globally sorted by pno
+        oc = np.zeros((chunk, chunk, 3), np.uint8)
+        ow = np.full((chunk, chunk), -1, np.int64)
+        for pno, y, x, h, w, color in sorted(writes):
+            oc[y:y+h, x:x+w] = color
+            ow[y:y+h, x:x+w] = pno
+        got_c = decompress_canvas(merged["cz"], chunk)
+        got_w = unpack_winner(merged["wz"], chunk)
+        valid = got_w >= 0
+        assert np.array_equal(valid, ow >= 0), f"seed {seed}"
+        assert np.array_equal(got_c[valid], oc[valid]), f"seed {seed}"
+        assert np.array_equal(got_w, ow), f"seed {seed}"
