@@ -51,8 +51,9 @@ def _fix(sf_dir: str) -> str:
 
 
 def entry() -> Any:
-    """Flagship pipeline: full ingest (decode -> explode -> salted mosaic
-    shuffle) of the sf0.001 fixture images into cube tiles."""
+    """Flagship pipeline: full ingest (decode -> map-side partial mosaic
+    fold -> combiner tree -> bounded-block tile shuffle) of the sf0.001
+    fixture images into cube tiles."""
     import ray.data as rd
 
     from raygeo.fixtures import FIXTURE_GRID, ensure_fixtures
@@ -631,7 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
         "docs_exact_dedup": _q_docs_exact_dedup,
-        "docs_langid": _q_docs_langid,  # rows-only (heuristic)
+        "docs_langid": _q_docs_langid,
         "docs_simhash": _q_docs_simhash,  # rows-only (hash not in SQL)
         "docs_fingerprint": _q_docs_fingerprint,  # rows-only
         "docs_neardup_exact": _q_docs_neardup_exact,
@@ -897,6 +898,36 @@ SELECT doc_id, n_tokens, stop_hits,
   CAST(n_tokens >= 5
     AND CAST(tok_chars AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)
         BETWEEN 2.0 AND 12.0 AS INTEGER) AS keep
+FROM m
+""",
+        "docs_langid": r"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '[0-9A-Za-z_]+'),
+                   x -> lower(x)) AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks)::BIGINT AS n,
+    len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','a','in','is','that','for','it'], x)))::BIGINT AS en,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x)))::BIGINT AS de,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','et','est','un','une','des','que','pour'], x)))::BIGINT AS fr,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','los','las','y','es','un','una','que','por'], x)))::BIGINT AS es,
+    len(list_filter(toks, x -> list_contains(
+      ['de','shi','le','zai','you','wo','ta','men','zhe','na'], x)))::BIGINT AS zh
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN n = 0 OR greatest(en, de, fr, es, zh) = 0 THEN 'und'
+       WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+       WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+       WHEN fr >= es AND fr >= zh THEN 'fr'
+       WHEN es >= zh THEN 'es'
+       ELSE 'zh' END AS pred_lang
 FROM m
 """,
         "docs_exact_dedup": """

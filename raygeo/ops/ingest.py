@@ -1,26 +1,39 @@
-"""Ingest pipeline: images -> decode -> tile fragments -> mosaic -> cube tiles.
+"""Ingest pipeline: images -> decode -> map-side mosaic fold -> cube tiles.
 
 The Ray-Data re-expression of the reference's procedural-download + threaded
-write path (``accessor.py:400-443``, ``backends/threaded.py:103-139``):
+write path (``accessor.py:400-443``, ``backends/threaded.py:103-139``).
+Default physical plan (``map_side_combine=True``, the scale path):
 
-    read_parquet(images)
-      -> map_batches(DecodeExplode, actor pool)        # T1/S2-S3 analog
-      -> groupby(salted tile key) .map_groups(partial) # K2/K4 analog, stage 1
-      -> groupby(tile_id)        .map_groups(merge)    # stage 2 (salt merge)
-      -> write tiles parquet + per-tile lineage record # icechunk-commit analog
+    read_parquet(images, columns=[...])
+      -> map_batches(DecodeFoldPartial, tasks)   # decode + footprint + fold
+                                                 #   into per-tile partial
+                                                 #   canvases (combiner)
+      -> map_batches(tree_combine, tasks)        # merge same-tile partials
+      -> repartition(n)                          # bound shuffle block count
+      -> groupby(tile_id).map_groups(merge_fold) # one task per tile
+      -> tiles parquet + per-tile lineage record # icechunk-commit analog
+
+The shuffle carries per-tile PARTIAL CANVASES (<= one per tile per batch),
+never per-fragment pixels — partial-aggregate-before-groupby. Skew from hot
+tiles is absorbed map-side by construction. The alternative fragment-explode
+plan (``map_side_combine=False``: explode -> salted two-stage shuffle with
+``tile_id#salt`` sub-keys) is kept for fragment-level operators and as the
+cross-check in tests; both plans produce bit-identical tiles.
 
 Mosaic semantics (SURVEY §4.4): the reference serializes patch writes in
 arrival order with a NaN-merge (keep existing where incoming is NaN,
 ``core/backend.py:263-272``). This engine makes the fold **deterministic and
-associative**: each pixel is owned by the numerically-largest writing
-patch index (sorted-by-patch_id last-writer-wins), tracked via a per-pixel
-winner array. That makes the fold salt-splittable — hot tiles are spread over
-``num_salts`` sub-groups in stage 1 and merged exactly in stage 2, so one
-giant tile group can never become a straggler task (explicit skew handling).
+associative**: each pixel is owned by the numerically-largest writing patch
+index (sorted-by-patch_id last-writer-wins). Cross-partial merges take a
+pure-uint16 fast path when patch-number ranges are disjoint (patch-ordered
+input) and an exact per-pixel-winner slow path otherwise — see
+:func:`merge_packed`. ``mode="max"`` switches the fold to per-pixel max (the
+reference's temporal mosaic collapse, ``stac.py:141-143``).
 
 Resume: completed tile ids are read from the lineage ledger once on the
-driver and fragments for those tiles are dropped before the shuffle
-(reference ``accessor.py:434-436`` anti-join).
+driver and work for those tiles is dropped before the shuffle (reference
+``accessor.py:434-436`` anti-join); per-tile lineage records commit with
+atomic renames, so re-runs and task retries are idempotent.
 """
 
 from __future__ import annotations
