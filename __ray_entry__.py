@@ -197,8 +197,8 @@ def _q_thumbnails(sf_dir: str):
 
 
 def _q_normalize_bands(sf_dir: str):
-    """M9/A2 analog: per-image per-band min/max + full-range uint8 rescale.
-    Rows-only (pixels not SQL-visible); numpy oracle in tests."""
+    """M9/A2 analog: per-image per-band min/max + full-range uint8 rescale,
+    re-derived from bytes and checked against generation-time goldens."""
     import ray.data as rd
 
     from raygeo.ops.multimodal import normalize_bands
@@ -612,7 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_phash": _q_dedup_phash,
         "decode_stats": _q_decode_stats,
         "thumbnails": _q_thumbnails,
-        "normalize_bands": _q_normalize_bands,  # rows-only (numpy oracle in tests)
+        "normalize_bands": _q_normalize_bands,
         "caption_roundtrip": _q_caption_roundtrip,
         "ingest_mosaic": _q_ingest_mosaic,  # rows-only (pixel LWW not in SQL)
         "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,  # rows-only
@@ -759,6 +759,10 @@ SELECT image_id, w, h, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "thumbnails": f"""
 SELECT image_id, thumb_sum FROM read_parquet('{IMAGES_001}/*.parquet')
+""",
+        "normalize_bands": f"""
+SELECT image_id, min_r, min_g, min_b, max_r, max_g, max_b, norm_sum
+FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "caption_roundtrip": f"""
 SELECT image_id, caption, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')

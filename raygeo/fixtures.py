@@ -95,6 +95,15 @@ IMAGES_SCHEMA = pa.schema(
         ("lat_max", pa.float64()),
         ("pix_sum", pa.int64()),
         ("thumb_sum", pa.int64()),
+        # golden band normalization (NormalizeBands oracle): per-band min/max
+        # of the decoded pixels + sum of the full-range uint8 rescale
+        ("min_r", pa.int32()),
+        ("min_g", pa.int32()),
+        ("min_b", pa.int32()),
+        ("max_r", pa.int32()),
+        ("max_g", pa.int32()),
+        ("max_b", pa.int32()),
+        ("norm_sum", pa.int64()),
     ]
 )
 
@@ -208,6 +217,22 @@ def _make_row(i: int, grid: GridSpec) -> dict:
         "lat_max": lat_max,
         "pix_sum": int(decoded.astype(np.int64).sum()),
         "thumb_sum": int(thumb.astype(np.int64).sum()),
+        **_norm_golden(decoded),
+    }
+
+
+def _norm_golden(decoded: np.ndarray) -> dict:
+    """Golden per-band min/max + normalized sum (ops.multimodal.NormalizeBands
+    semantics: round-half-up integer rescale to the full uint8 range)."""
+    pix = decoded.astype(np.int32)
+    mn = pix.min(axis=(0, 1))
+    mx = pix.max(axis=(0, 1))
+    rng = np.maximum(mx - mn, 1)
+    norm = ((pix - mn) * 255 + rng // 2) // rng
+    return {
+        "min_r": int(mn[0]), "min_g": int(mn[1]), "min_b": int(mn[2]),
+        "max_r": int(mx[0]), "max_g": int(mx[1]), "max_b": int(mx[2]),
+        "norm_sum": int(norm.astype(np.int64).sum()),
     }
 
 
@@ -424,7 +449,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v2-multifile"
+FIXTURE_LAYOUT_VERSION = "v3-normgolden"
 
 
 def ensure_fixtures(sf: float) -> str:
