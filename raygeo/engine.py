@@ -100,13 +100,15 @@ def load(
 
     if missing and images_ds is not None:
         # procedural-download analog: ingest ONLY this ROI's missing tiles;
-        # ingest() additionally drops tiles committed since the ledger read
-        new_tiles = ingest(
+        # ingest() additionally drops tiles committed since the ledger read.
+        # Each tile's data+lineage commit happens inside the merge task
+        # (atomic, data-before-record) — consuming the stream here is the
+        # synchronous-submit contract (§4.2): load returns only after its
+        # tiles' records exist.
+        ingest(
             images_ds, g, cube_path=cube_path, num_salts=num_salts,
             only_tiles=missing,
-        )
-        os.makedirs(tiles_dir, exist_ok=True)
-        new_tiles.write_parquet(tiles_dir)
+        ).materialize()
 
     if not persist:
         # lazy variant (accessor.load without .load(), ``accessor.py:394-397``):

@@ -598,9 +598,25 @@ def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww"):
             "rgb_z": [rgb_z],
             "mask_z": [mask_z],
         }
+        out = pa.table(row, schema=TILE_SCHEMA)
         if cube_path is not None:
-            # per-partition commit record (icechunk-commit analog); atomic +
-            # idempotent, so Ray task retries are safe
+            # per-partition commit (icechunk-commit analog): tile DATA first
+            # (atomic tmp+rename parquet, one file per tile), THEN the
+            # lineage record — a crash between the two re-runs the tile;
+            # the reverse order would leave a committed record without data.
+            # Both writes are idempotent, so Ray task retries are safe.
+            import os
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            from ..cube import TILES_DIR
+
+            tdir = os.path.join(cube_path, TILES_DIR)
+            os.makedirs(tdir, exist_ok=True)
+            tmp = os.path.join(tdir, f".tmp-{tile_id}-{uuid.uuid4().hex}")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(tdir, f"part-{tile_id}.parquet"))
             lineage.record_partition(
                 cube_path,
                 tile_id,
@@ -609,7 +625,7 @@ def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww"):
                 n_bytes=len(rgb_z) + len(mask_z),
                 wall_ms=(time.monotonic() - t0) * 1e3,
             )
-        return pa.table(row, schema=TILE_SCHEMA)
+        return out
 
     return merge_fold
 
