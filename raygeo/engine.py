@@ -293,3 +293,32 @@ def current_state(cube_path: str) -> pa.Table:
             "lat_max": pa.array(out["lat_max"], pa.float64()),
         }
     )
+
+
+def visualize_state(cube_path: str, max_width: int = 80) -> str:
+    """ASCII tile-occupancy map (the ``visualize_state`` accessor hook,
+    ``accessor.py:483-498`` — matplotlib-free analog). One character per
+    grid cell ('#' committed, '.' empty), downsampled to ``max_width``;
+    temporal cubes render one panel per time step."""
+    spec = load_spec(cube_path)
+    g = spec.grid
+    st = current_state(cube_path)
+    panels: dict[str | None, np.ndarray] = {}
+    step = max(1, -(-g.n_tx // max_width))
+    w = -(-g.n_tx // step)
+    h = -(-g.n_ty // step)
+    txs = st.column("tx").to_numpy()
+    tys = st.column("ty").to_numpy()
+    ts = st.column("t").to_pylist()
+    for tx, ty, t in zip(txs, tys, ts):
+        panel = panels.setdefault(t, np.zeros((h, w), dtype=bool))
+        panel[min(int(ty) // step, h - 1), min(int(tx) // step, w - 1)] = True
+    if not panels:
+        panels[None] = np.zeros((h, w), dtype=bool)
+    out = []
+    for t in sorted(panels, key=lambda v: (v is not None, v)):
+        if t is not None:
+            out.append(f"-- {t} --")
+        grid_chars = np.where(panels[t], "#", ".")
+        out.extend("".join(r) for r in grid_chars)
+    return "\n".join(out)

@@ -269,3 +269,20 @@ def test_load_lazy_equals_persist(ray_session, fixtures_sf0001, tmp_path):
         mask[r["y0"]:r["y0"]+h, r["x0"]:r["x0"]+w] = m
     assert np.array_equal(rgb, win.rgb)
     assert np.array_equal(mask, win.mask)
+
+
+def test_visualize_state_ascii(ray_session, fixtures_sf0001, tmp_path):
+    import ray.data as rd
+
+    from raygeo.engine import visualize_state
+    from raygeo.ops.ingest import ingest
+
+    g = FIXTURE_GRID
+    cube = _mk_cube(tmp_path / "cube_vz", g)
+    art_empty = visualize_state(cube)
+    assert "#" not in art_empty and art_empty.count("\n") == g.n_ty - 1
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"]).limit(50)
+    n = ingest(images, g, cube_path=cube).count()
+    art = visualize_state(cube)
+    assert art.count("#") == n  # one cell per committed tile at this size
