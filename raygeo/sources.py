@@ -178,15 +178,20 @@ class FetchPatches:
 
 
 def fetch_dataset(source: ParquetImageSource, roi: dict | None = None,
-                  concurrency=(2, 8), batch_size: int = 256):
+                  concurrency=None, batch_size: int = 256):
     """metadata list -> Dataset of fetched payload rows (actor-pool stage).
 
     The Ray expression of ``procedural_download``'s download half
     (``accessor.py:400-443``): patches stream through a stateful actor pool
-    with backpressure instead of a 4-thread pool + bounded queue.
+    with backpressure instead of a 4-thread pool + bounded queue. Pool size
+    defaults to the live cluster (min = half the CPUs for instant ramp).
     """
     import ray.data as rd
 
+    from .util import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency(cap=16)
     patches = source.list_patches(roi)
     ds = rd.from_arrow(patches).repartition(
         max(8, len(patches) // max(batch_size, 1) or 1)
