@@ -145,7 +145,6 @@ def run_scaling_child(ncpu: int, reps: int) -> None:
 
     fix_dir = ensure_fixtures_for_dir(SF_DIR)
     files = sorted(glob.glob(os.path.join(fix_dir, "images.parquet", "*.parquet")))
-    n_images = reps * sum(1 for _ in files) * 0  # placeholder, count below
 
     _init_ray(ncpu)
     import ray.data as rd
