@@ -20,7 +20,7 @@ driver's DuckDB oracle independently checks tile assignment.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 import numpy as np
 

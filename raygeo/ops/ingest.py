@@ -47,7 +47,7 @@ import pyarrow as pa
 from ..codec import decode
 from ..fixtures import footprint_of, timestamp_of
 from ..toi import snap_nearest
-from ..grid import GridSpec, tile_id_strings
+from ..grid import GridSpec
 from .. import lineage
 from ..util import cluster_cpus
 

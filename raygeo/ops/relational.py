@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 def q1_pricing_summary(lineitem_ds, cutoff: str = "1998-09-01"):
     """TPC-H Q1-style pricing summary with exact integer-cents sums."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t.column("l_shipdate"), pa.scalar(np.datetime64(cutoff, "us"))))

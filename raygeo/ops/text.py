@@ -12,7 +12,6 @@ from __future__ import annotations
 import re
 import zlib
 
-import numpy as np
 import pandas as pd
 
 
