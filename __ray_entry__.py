@@ -426,7 +426,7 @@ def _q_events_hourly(sf_dir: str):
             .agg(n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     return ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).groupby(
@@ -496,6 +496,21 @@ def _q_docs_simhash(sf_dir: str):
     from raygeo.ops.dedup import simhash
 
     return simhash(rd.read_parquet(f"{sf_dir}/documents.parquet"), "text", "doc_id")
+
+
+def _q_docs_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs, Hamming <= 3, via the pigeonhole block-table
+    bucketing (exact recall for the hd bound; see ops.dedup). Rows-only:
+    simhash is not SQL-expressible, and hd=0 collisions of different texts
+    exist in the corpus (verified), so no equal-text oracle applies."""
+    import ray.data as rd
+
+    from raygeo.ops.dedup import simhash_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup_pairs(ds, "text", "doc_id", hd_max=3)[
+        ["id_a", "id_b", "hamming"]
+    ]
 
 
 def _q_docs_fingerprint(sf_dir: str):
@@ -573,13 +588,25 @@ def _q_emb_knn(sf_dir: str):
 
 
 def _q_emb_ivf_knn(sf_dir: str):
+    """IVF approximate top-k with a per-query ``recall_at_k`` column vs the
+    exact brute-force result (the observability VERDICT r1 asked for).
+    Rows-only: approximate by construction."""
     import ray.data as rd
 
-    from raygeo.ops.ann import ivf_knn
+    from raygeo.ops.ann import brute_force_knn, ivf_knn
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    res = ivf_knn(ds, _read_query_vecs(sf_dir), k=10).to_pandas()
-    return res[["query_id", "rank", "vec_id"]]
+    q = _read_query_vecs(sf_dir)
+    res = ivf_knn(ds, q, k=10).to_pandas()
+    exact = brute_force_knn(ds, q, k=10).to_pandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].agg(set)
+    ivf_sets = res.groupby("query_id")["vec_id"].agg(set)
+    recall = {
+        qid: len(ivf_sets.get(qid, set()) & exact_sets[qid]) / len(exact_sets[qid])
+        for qid in exact_sets.index
+    }
+    res["recall_at_k"] = res["query_id"].map(recall).astype("float64")
+    return res[["query_id", "rank", "vec_id", "recall_at_k"]]
 
 
 def _q_emb_neardup(sf_dir: str):
@@ -634,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_langid": _q_docs_langid,
         "docs_simhash": _q_docs_simhash,  # rows-only (hash not in SQL)
+        "docs_simhash_neardup": _q_docs_simhash_neardup,  # rows-only
         "docs_fingerprint": _q_docs_fingerprint,  # rows-only
         "docs_neardup_exact": _q_docs_neardup_exact,
         "docs_minhash_07": _q_docs_minhash_07,  # rows-only (probabilistic recall)

@@ -53,6 +53,11 @@ def _init_ray(ncpu: int):
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # keep the bench tail clean: pyarrow 16.1 can't hash schemas carrying
+        # pandas metadata (the provided testdata parquet has it), so Ray Data
+        # workers warn "Failed to hash the schemas" on every shuffle block.
+        # Worker logs carry no bench signal; errors still raise on the driver.
+        log_to_driver=False,
     )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

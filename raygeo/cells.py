@@ -80,10 +80,16 @@ def cell_of(
 
 def parent(cell: np.ndarray, levels_up: int = 1) -> np.ndarray:
     ix, iy, level = decode_xy(cell)
-    new_level = level - levels_up
+    new_level = np.atleast_1d(level - levels_up)
     if np.any(new_level < 0):
         raise ValueError("cannot go above level 0")
-    return encode_xy(ix >> levels_up, iy >> levels_up, int(new_level[0]) if new_level.ndim else int(new_level))
+    if not np.all(new_level == new_level[0]):
+        # encode_xy takes one scalar level for the whole batch; silently
+        # using the first element's level would mis-encode every cell whose
+        # level differs — reject mixed-level input instead
+        raise ValueError("parent() requires all cells at the same level")
+    out = encode_xy(ix >> levels_up, iy >> levels_up, int(new_level[0]))
+    return out if np.ndim(cell) else out.reshape(())
 
 
 def children(cell: int) -> np.ndarray:

@@ -80,6 +80,44 @@ def brute_force_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
     return sims.groupby("query_id").map_groups(_topk_group(k), batch_format="pandas")
 
 
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix64 finalizer) over int64 ids."""
+    z = v.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash_sample(ds, id_col: str, vec_col: str, sample_rows: int) -> np.ndarray:
+    """Order-independent uniform sample: the ``sample_rows`` vectors with the
+    smallest ``splitmix64(id)`` values. One streaming pass; each batch prunes
+    to its local smallest so the driver collects at most
+    ``sample_rows x n_batches`` rows — never ``limit()`` (which takes the
+    *first* rows and biases centroids on sorted/clustered data)."""
+
+    def local_min(t: pa.Table) -> pa.Table:
+        h = _splitmix64(t.column(id_col).to_numpy(zero_copy_only=False))
+        keep = (
+            np.argsort(h)[:sample_rows] if len(h) > sample_rows
+            else np.arange(len(h))
+        )
+        return pa.table(
+            {
+                "h": pa.array(h[keep].astype(np.int64), pa.int64()),
+                vec_col: t.column(vec_col).take(pa.array(keep)),
+            }
+        )
+
+    pdf = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(local_min, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    pdf["h"] = pdf["h"].astype(np.uint64)
+    pdf = pdf.nsmallest(sample_rows, "h")
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
 def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 8, seed: int = 42):
     rng = np.random.Generator(np.random.PCG64(seed))
     sel = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
@@ -105,8 +143,7 @@ def ivf_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
     """
     import ray
 
-    sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
-    smat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    smat = _hash_sample(ds, id_col, vec_col, sample_rows)
     cent = _kmeans(smat, n_lists)
     q_ids = queries["query_id"].to_numpy(dtype=np.int64)
     q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)

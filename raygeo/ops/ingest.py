@@ -159,12 +159,16 @@ class DecodeExplode:
         return pa.table(out, schema=FRAGMENT_SCHEMA)
 
 
-def _fold_group(table: pa.Table, chunk: int) -> tuple[np.ndarray, np.ndarray, int]:
+def _fold_group(table: pa.Table, chunk: int,
+                mode: str = "lww") -> tuple[np.ndarray, np.ndarray, int]:
     """Fold a fragment group into (canvas uint8 HxWx3, winner int64 HxW, n).
 
-    Winner = patch_no of the pixel's owner, -1 where unwritten. Fragments are
-    applied in ascending patch_no so within one fold later patches overwrite
-    — and the winner array makes the fold associative across salt groups.
+    Winner = patch_no of the pixel's owner, -1 where unwritten. In ``lww``
+    mode fragments are applied in ascending patch_no so within one fold later
+    patches overwrite — and the winner array makes the fold associative
+    across salt groups. In ``max`` mode each pixel is the elementwise max
+    over all writers and winner = max writing patch_no (order-independent),
+    so the same :func:`_merge_partials` max rule applies across salt groups.
     """
     canvas = np.zeros((chunk, chunk, 3), dtype=np.uint8)
     winner = np.full((chunk, chunk), -1, dtype=np.int64)
@@ -179,8 +183,17 @@ def _fold_group(table: pa.Table, chunk: int) -> tuple[np.ndarray, np.ndarray, in
         h, w = int(fh[j]), int(fw[j])
         y0, x0 = int(y_off[j]), int(x_off[j])
         frag = np.frombuffer(rgb[j], dtype=np.uint8).reshape(h, w, 3)
-        canvas[y0 : y0 + h, x0 : x0 + w] = frag
-        winner[y0 : y0 + h, x0 : x0 + w] = pno[j]
+        region_c = canvas[y0 : y0 + h, x0 : x0 + w]
+        region_w = winner[y0 : y0 + h, x0 : x0 + w]
+        if mode == "max":
+            written = region_w >= 0
+            np.maximum(region_c, frag, out=region_c,
+                       where=written[:, :, None])
+            region_c[~written] = frag[~written]
+            np.maximum(region_w, pno[j], out=region_w)
+        else:
+            region_c[:] = frag
+            region_w[:] = pno[j]
     return canvas, winner, table.num_rows
 
 
@@ -540,9 +553,9 @@ def make_tree_combine(chunk: int, mode: str = "lww"):
     return combine
 
 
-def make_partial_fold(chunk: int):
+def make_partial_fold(chunk: int, mode: str = "lww"):
     def partial_fold(group: pa.Table) -> pa.Table:
-        canvas, winner, n = _fold_group(group, chunk)
+        canvas, winner, n = _fold_group(group, chunk, mode)
         pnos = group.column("patch_no").to_numpy()
         return pa.table(
             {
@@ -735,7 +748,7 @@ def ingest(
         # keep shuffle block count bounded: many tiny fragment blocks make the
         # sort-based groupby quadratic in block count
         partials = frags.repartition(64).groupby("salt_key").map_groups(
-            make_partial_fold(grid.chunk), batch_format="pyarrow"
+            make_partial_fold(grid.chunk, mode), batch_format="pyarrow"
         )
 
     tiles = partials.groupby("tile_id").map_groups(

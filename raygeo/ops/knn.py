@@ -137,8 +137,12 @@ def knn(
         return top.to_pandas()
 
     max_radius = n_cells  # covers the whole extent
-    # phase A: grow radii until every query has >= k candidates
-    for _ in range(12):
+    # phase A: grow radii until every query has >= k candidates or has
+    # reached max_radius. Radii double each round, so the loop terminates in
+    # <= log2(max_radius)+2 rounds; no fixed iteration cap (a cap could exit
+    # early at high `level` and phase B would then misread "still short" as
+    # "fewer than k points exist").
+    while True:
         res = run_pass(q)
         counts = res.groupby("query_id")["rank"].max() if len(res) else pd.Series(dtype=int)
         short = [
@@ -155,7 +159,10 @@ def knn(
     for i, qid in enumerate(q["query_id"]):
         sub = res[res.query_id == qid]
         if len(sub) < k:
-            continue  # fewer than k points exist in total
+            # phase A guarantees radius reached max before giving up, so
+            # fewer than k points exist in total
+            assert q["radius"][i] >= max_radius
+            continue
         d_k = float(np.sqrt(sub.dist2.max()))
         r_star = int(np.floor(d_k / cell_side)) + 1
         if r_star > q["radius"][i]:

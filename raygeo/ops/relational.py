@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import table_from_pandas
+
 
 def q1_pricing_summary(lineitem_ds, cutoff: str = "1998-09-01"):
     """TPC-H Q1-style pricing summary with exact integer-cents sums."""
@@ -40,7 +42,7 @@ def q1_pricing_summary(lineitem_ds, cutoff: str = "1998-09-01"):
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     partials = lineitem_ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=65536)
@@ -52,53 +54,93 @@ def q1_pricing_summary(lineitem_ds, cutoff: str = "1998-09-01"):
     )
 
 
-def revenue_by_nation(lineitem_ds, orders_path: str, customer_path: str,
-                      nation_path: str):
-    """Broadcast-join lineitem -> orders -> customer -> nation, sum revenue.
+def _sorted_probe(keys: np.ndarray, probe: np.ndarray):
+    """Inner-join probe of ``probe`` against sorted ``keys``.
 
-    orders/customer/nation are the small sides: read once with pyarrow,
-    ``ray.put`` a single lookup array, map each lineitem batch to its nation
-    and partially aggregate. Only (nation, partial-sum) rows shuffle.
+    Returns (positions, found_mask): positions are valid only where found.
+    A missing key must NOT silently match the next-larger key (and a probe
+    beyond max(keys) must not IndexError) — rows with missing keys are
+    dropped by the caller, matching SQL inner-join semantics.
+    """
+    pos = np.searchsorted(keys, probe)
+    pos_c = np.clip(pos, 0, len(keys) - 1)
+    found = keys[pos_c] == probe
+    return pos_c, found
+
+
+def revenue_by_nation(lineitem_ds, orders_path: str, customer_path: str,
+                      nation_path: str, num_partitions: int | None = None):
+    """lineitem ⋈ orders ⋈ customer ⋈ nation, revenue summed per nation.
+
+    The fact⋈fact step (lineitem ⋈ orders) is a **partitioned hash join**
+    (``Dataset.join``): both sides hash-shuffle on the order key, so neither
+    grows-with-SF table is ever broadcast. lineitem is pre-aggregated
+    map-side to one (l_orderkey, revenue_cents) row per key per batch before
+    the join, so the shuffle carries partial sums, not raw line items.
+    customer and nation are genuinely small dimension sides (fixed row
+    counts per SF class) and stay broadcast lookups, with validated probes
+    (missing keys drop, inner-join semantics).
     """
     import pyarrow.parquet as pq
     import ray
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
-    orders = pq.read_table(orders_path, columns=["o_orderkey", "o_custkey"])
+    from ..util import cluster_cpus
+
+    if num_partitions is None:
+        num_partitions = max(8, min(64, cluster_cpus()))
+
     cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
-    o_key = orders.column("o_orderkey").to_numpy()
-    o_cust = orders.column("o_custkey").to_numpy()
-    order_sorted = np.argsort(o_key)
     c_key = cust.column("c_custkey").to_numpy()
     c_nat = cust.column("c_nationkey").to_numpy()
     cust_sorted = np.argsort(c_key)
     n_key = nation.column("n_nationkey").to_numpy()
+    nat_sorted = np.argsort(n_key)
     n_name = np.array(nation.column("n_name").to_pylist(), dtype=object)
-    ref = ray.put((o_key[order_sorted], o_cust[order_sorted],
-                   c_key[cust_sorted], c_nat[cust_sorted], n_key, n_name))
+    dim_ref = ray.put((c_key[cust_sorted], c_nat[cust_sorted],
+                       n_key[nat_sorted], n_name[nat_sorted]))
 
-    def partial(t: pa.Table) -> pa.Table:
-        ok, oc, ck, cn, nk, nn = ray.get(ref)
-        lo = t.column("l_orderkey").to_numpy()
+    def partial_rev(t: pa.Table) -> pa.Table:
         price = t.column("l_extendedprice").to_numpy()
         disc = t.column("l_discount").to_numpy()
-        pos = np.searchsorted(ok, lo)
-        custkey = oc[pos]
-        cpos = np.searchsorted(ck, custkey)
-        natkey = cn[cpos]
-        npos = np.searchsorted(nk, natkey)
-        names = nn[npos]
         cents = np.rint(price * 100).astype(np.int64) * (
             100 - np.rint(disc * 100).astype(np.int64)
         )
-        df = pd.DataFrame({"n_name": names, "revenue_cents": cents})
-        g = df.groupby("n_name", sort=False)["revenue_cents"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "revenue_cents": cents})
+        g = df.groupby("l_orderkey", sort=False)["revenue_cents"].sum().reset_index()
+        return table_from_pandas(g)
 
-    partials = lineitem_ds.select_columns(
+    rev = lineitem_ds.select_columns(
         ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    ).map_batches(partial_rev, batch_format="pyarrow", batch_size=65536)
+
+    orders = rd.read_parquet(orders_path, columns=["o_orderkey", "o_custkey"])
+    joined = rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        ck, cn, nk, nn = ray.get(dim_ref)
+        custkey = t.column("o_custkey").to_numpy()
+        cents = t.column("revenue_cents").to_numpy()
+        cpos, cfound = _sorted_probe(ck, custkey)
+        natkey = cn[cpos]
+        npos, nfound = _sorted_probe(nk, natkey)
+        keep = cfound & nfound
+        df = pd.DataFrame({"n_name": nn[npos][keep],
+                           "revenue_cents": cents[keep]})
+        g = df.groupby("n_name", sort=False)["revenue_cents"].sum().reset_index()
+        return table_from_pandas(g)
+
+    partials = joined.map_batches(to_nation, batch_format="pyarrow",
+                                  batch_size=65536)
     return partials.groupby("n_name").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents")
     )
@@ -119,7 +161,7 @@ def top_orders_by_revenue(lineitem_ds, k: int = 10):
             .sum()
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     rev = (
         lineitem_ds.select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
@@ -145,7 +187,7 @@ def events_hourly(events_ds):
             .agg(n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     partials = events_ds.select_columns(["event_type", "ts", "value"]).map_batches(
         partial, batch_format="pyarrow", batch_size=65536
@@ -228,7 +270,7 @@ def sliding_window_hourly(events_ds, window_hours: int = 3):
                  value_cents=("value_cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     hourly = (
         events_ds.select_columns(["event_type", "ts", "value"])

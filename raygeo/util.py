@@ -27,3 +27,16 @@ def auto_concurrency(cap: int | None = None) -> tuple[int, int]:
     if cap is not None:
         n = min(n, cap)
     return (max(2, n // 2), max(2, n))
+
+
+def table_from_pandas(df) -> "pa.Table":  # noqa: F821
+    """``pa.Table.from_pandas`` minus the pandas schema metadata.
+
+    pyarrow 16.1's schema hash chokes on the attached pandas metadata
+    ("unhashable type: 'dict'"), which makes Ray Data's schema-dedup warn on
+    every block of every shuffle (and skip its early-exit). Stripping the
+    metadata is loss-free for this engine — all schemas are explicit.
+    """
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

@@ -1,0 +1,162 @@
+"""Dedup operator tests: minhash arithmetic, SimHash vectorization,
+distributed LSH verification (incl. the hot-bucket path), and the
+pigeonhole SimHash near-dup guarantee vs a brute-force oracle."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raygeo.ops.dedup import (
+    _MERSENNE,
+    SimHash,
+    _mulmod61,
+    _perm_params,
+    _popcount64,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash_neardup_pairs,
+)
+
+
+def test_mulmod61_matches_bigint():
+    rng = np.random.Generator(np.random.PCG64(7))
+    a = rng.integers(0, _MERSENNE, size=50000, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=50000, dtype=np.int64).astype(np.uint64)
+    got = _mulmod61(a, b)
+    exp = np.array(
+        [(int(x) * int(y)) % _MERSENNE for x, y in zip(a, b)], dtype=np.uint64
+    )
+    assert np.array_equal(got, exp)
+    # edge values
+    edge = np.array([0, 1, _MERSENNE - 1, (1 << 32) - 1, 1 << 32], dtype=np.uint64)
+    for x in edge:
+        for y in edge:
+            assert int(_mulmod61(np.array([x]), np.array([y]))[0]) == (
+                int(x) * int(y)
+            ) % _MERSENNE
+
+
+def test_minhash_signature_matches_object_arithmetic():
+    rng = np.random.Generator(np.random.PCG64(11))
+    a, b = _perm_params(64)
+    for _ in range(100):
+        sh = set(int(v) for v in rng.integers(0, 2**32, size=rng.integers(1, 60)))
+        s = np.array(sorted(sh), dtype=np.int64)
+        exp = np.min(
+            (a[:, None].astype(object) * s[None, :] + b[:, None]) % _MERSENNE, axis=1
+        ).astype(np.int64)
+        assert np.array_equal(minhash_signature(sh, a, b), exp)
+
+
+def _scalar_simhash(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = (zlib.crc32(tok.encode()) << 32 | zlib.crc32(tok[::-1].encode())) & (
+            (1 << 64) - 1
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    bits_out = (acc > 0).astype(np.uint64)
+    return int(np.bitwise_or.reduce(bits_out << np.arange(64, dtype=np.uint64)))
+
+
+def test_simhash_vectorized_matches_scalar():
+    texts = [
+        "hello world foo",
+        "",
+        "a",
+        "the quick brown fox the quick",
+        "x y z " * 50,
+        "unicode tøkens überall",
+    ]
+    t = pa.table({"text": texts, "doc_id": list(range(len(texts)))})
+    out = SimHash("text", "doc_id")(t)
+    got = np.array(out.column("simhash64")).astype(np.uint64).tolist()
+    assert got == [_scalar_simhash(x) for x in texts]
+
+
+def test_popcount64():
+    v = np.array([0, 1, 3, (1 << 64) - 1, 1 << 63], dtype=np.uint64)
+    assert _popcount64(v).tolist() == [0, 1, 2, 64, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_hot_bucket_star_expansion():
+    """10k identical docs: the all-in-one-bucket worst case must complete
+    with the capped star expansion (O(b) per bucket, components intact) and
+    never materialize candidates on the driver (the round-1 failure mode)."""
+    import ray.data as rd
+
+    n = 10_000
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(["same boilerplate text again and again"] * n),
+        }
+    )
+    pairs = minhash_lsh_pairs(
+        rd.from_arrow(docs), "text", "doc_id", jaccard_threshold=1.0, max_bucket=256
+    )
+    # star pairs: every doc connected to the min id
+    assert len(pairs) == n - 1
+    assert (pairs["id_a"] == 0).all()
+    assert set(pairs["id_b"]) == set(range(1, n))
+    assert (pairs["jaccard"] == 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_small_buckets_full_pairs():
+    """Below the cap the full verified pair set is emitted."""
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",
+                    "alpha beta gamma delta",
+                    "alpha beta gamma delta",
+                    "totally different content here now",
+                ]
+            ),
+        }
+    )
+    pairs = minhash_lsh_pairs(
+        rd.from_arrow(docs), "text", "doc_id", jaccard_threshold=1.0
+    )
+    assert sorted(zip(pairs["id_a"], pairs["id_b"])) == [(1, 2), (1, 3), (2, 3)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_neardup_matches_bruteforce():
+    """Pigeonhole block bucketing has EXACT recall for hd <= hd_max: output
+    must equal the brute-force all-pairs Hamming filter."""
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(150):
+        toks = rng.choice(vocab, size=rng.integers(3, 12)).tolist()
+        texts.append(" ".join(toks))
+    # inject exact dups and near-identical docs
+    texts += [texts[0], texts[1] + " w0", texts[2] + " w1 w2"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    hd_max = 3
+    got = simhash_neardup_pairs(rd.from_arrow(t), "text", "doc_id", hd_max=hd_max)
+
+    hashes = np.array(
+        [_scalar_simhash(x) for x in texts], dtype=np.uint64
+    )
+    ia, ib = np.triu_indices(len(ids), 1)
+    hd = _popcount64(hashes[ia] ^ hashes[ib])
+    hit = hd <= hd_max
+    exp = sorted(zip(ids[ia[hit]], ids[ib[hit]], hd[hit]))
+    assert sorted(zip(got["id_a"], got["id_b"], got["hamming"])) == [
+        (int(a), int(b), int(h)) for a, b, h in exp
+    ]

@@ -99,6 +99,31 @@ def test_combiner_equals_fragment_plan(fixtures_sf0001):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_combiner_equals_fragment_plan_max_mode(fixtures_sf0001):
+    """Cross-plan equality must hold in ``mode='max'`` too: the fragment
+    plan's salted fold applies the per-pixel max INSIDE each salt group as
+    well as across groups (ADVICE r1: a sorted-LWW in-group fold diverged)."""
+    import ray.data as rd
+
+    images_path = f"{fixtures_sf0001}/images.parquet"
+
+    def run(map_side):
+        ds = rd.read_parquet(images_path).limit(400)
+        t = ingest(ds, FIXTURE_GRID, map_side_combine=map_side,
+                   combine_batch_size=128, mode="max").to_pandas()
+        import zlib
+
+        t["rgb"] = t.rgb_z.map(zlib.decompress)
+        t["mask"] = t.mask_z.map(zlib.decompress)
+        return t.sort_values("tile_id").reset_index(drop=True)[
+            ["tile_id", "n_frags", "n_valid_px", "pix_sum", "rgb", "mask"]
+        ]
+
+    a, b = run(True), run(False)
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ingest_resume_skips_done(fixtures_sf0001, tmp_path):
     import ray.data as rd
     from raygeo.cube import Channel, CubeSpec, create
