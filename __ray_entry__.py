@@ -286,6 +286,27 @@ def _q_ingest_mosaic_max(sf_dir: str):
                                  "n_valid_px", "pix_sum"])
 
 
+def _q_ingest_mosaic_dem(sf_dir: str):
+    """Multi-dtype cube ingest (the reference's ArcticDEM data model:
+    ``dem:float32 + datamask:bool``, ``arcticdem.py:159-172``): channel
+    values derived deterministically from the decoded RGB, per-channel
+    nodata (NaN / False) outside the validity mask. Rows-only (pixel LWW
+    not in SQL); pixels covered by the numpy oracle in
+    tests/test_multichannel.py."""
+    import ray.data as rd
+
+    from raygeo.channels import DEM_CHANNELS
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+
+    d = _fix(sf_dir)
+    tiles = ingest(rd.read_parquet(f"{d}/images.parquet",
+                                   columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID, channels=DEM_CHANNELS)
+    return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
+                                 "n_valid_px", "pix_sum"])
+
+
 TOI_AXIS = [f"2024-01-{d:02d} 00:00:00" for d in range(1, 9)]
 
 
@@ -326,7 +347,8 @@ def _q_roi_load_window(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    from raygeo.cube import Channel, CubeSpec, create
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, create
     from raygeo.engine import load
     from raygeo.fixtures import FIXTURE_GRID
 
@@ -334,7 +356,7 @@ def _q_roi_load_window(sf_dir: str):
     cube = tempfile.mkdtemp(prefix="raygeo_loadq_")
     try:
         create(CubeSpec(title="loadq", grid=FIXTURE_GRID,
-                        channels=(Channel("rgb", "uint8"),)), cube,
+                        channels=RGB_CHANNELS), cube,
                overwrite=True)
         images = rd.read_parquet(f"{d}/images.parquet",
                                  columns=["image_id", "bytes", "w", "h"])
@@ -644,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_mosaic": _q_ingest_mosaic,  # rows-only (pixel LWW not in SQL)
         "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,  # rows-only
         "ingest_mosaic_max": _q_ingest_mosaic_max,  # rows-only (A1 max-collapse)
+        "ingest_mosaic_dem": _q_ingest_mosaic_dem,  # rows-only (float32+bool)
         "toi_snap": _q_toi_snap,
         "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
         "tile_skew_report": _q_tile_skew_report,

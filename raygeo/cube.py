@@ -30,9 +30,16 @@ TILES_DIR = "tiles"
 
 @dataclass(frozen=True)
 class Channel:
+    """One cube variable: name + dtype encoding + nodata + metadata
+    (reference ``_channels_encoding`` / ``_channels_meta``,
+    ``accessor.py:62-64``; e.g. ``arcticdem.py:159-172``). ``ncomp`` packs
+    same-dtype components into one array (the RGB triple); the reference
+    models those as separate variables, which ``ncomp=1`` reproduces."""
+
     name: str
     dtype: str = "float32"  # numpy dtype string
     nodata: float = 0.0
+    ncomp: int = 1
     metadata: dict = field(default_factory=dict)
 
 
@@ -53,7 +60,7 @@ class CubeSpec:
             "grid": self.grid.to_dict(),
             "channels": [
                 {"name": c.name, "dtype": c.dtype, "nodata": c.nodata,
-                 "metadata": c.metadata}
+                 "ncomp": c.ncomp, "metadata": c.metadata}
                 for c in self.channels
             ],
         }
@@ -64,7 +71,8 @@ class CubeSpec:
             title=d["title"],
             grid=GridSpec.from_dict(d["grid"]),
             channels=tuple(
-                Channel(c["name"], c["dtype"], c["nodata"], c.get("metadata", {}))
+                Channel(c["name"], c["dtype"], c["nodata"],
+                        c.get("ncomp", 1), c.get("metadata", {}))
                 for c in d["channels"]
             ),
         )

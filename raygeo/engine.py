@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import lineage
+from .channels import RGB_CHANNELS, ChannelPack
 from .cube import TILES_DIR, load_spec
 from .grid import parse_tile_id
 from .ops.ingest import ingest
@@ -34,23 +35,55 @@ from .toi import toi_to_index
 
 
 class RoiWindow:
-    """Materialized query result: pixels + validity over the ROI window."""
+    """Materialized query result: per-channel pixels + validity over the ROI
+    window. Channel layout follows the cube's ``CubeSpec.channels`` (the
+    reference's per-dataset variable set); ``.rgb`` stays a direct alias for
+    the canonical single-RGB-channel cube."""
 
-    def __init__(self, col_lo: int, col_hi: int, row_lo: int, row_hi: int):
+    def __init__(self, col_lo: int, col_hi: int, row_lo: int, row_hi: int,
+                 pack: ChannelPack | None = None):
+        self.pack = pack or ChannelPack(RGB_CHANNELS)
         self.col_lo, self.col_hi = col_lo, col_hi
         self.row_lo, self.row_hi = row_lo, row_hi
         h, w = row_hi - row_lo, col_hi - col_lo
-        self.rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        self.data = self.pack.alloc(h, w)
         self.mask = np.zeros((h, w), dtype=bool)
 
+    @property
+    def channels(self) -> dict[str, np.ndarray]:
+        return {c.name: a for c, a in zip(self.pack.channels, self.data)}
+
+    @property
+    def rgb(self) -> np.ndarray:
+        if not self.pack.is_rgb:
+            raise AttributeError(
+                "cube is not the canonical RGB layout; use .channels"
+            )
+        return self.data[0]
+
+    @rgb.setter
+    def rgb(self, value: np.ndarray) -> None:
+        self.data[0][...] = value
+
     def stats(self) -> dict:
-        """Golden-stat summary (tests/test_arcticdem.py:26-29 analog)."""
-        v = self.rgb[self.mask]
+        """Golden-stat summary (tests/test_arcticdem.py:26-29 analog):
+        validity count, the pack's deterministic content checksum, and
+        min/max over valid values across all channels (ints for integer
+        cubes, floats otherwise)."""
+        n_valid = int(self.mask.sum())
+        mins, maxs = [], []
+        all_int = all(dt.kind in ("u", "i", "b") for dt in self.pack.dtypes)
+        if n_valid:
+            for a in self.data:
+                v = a[self.mask]
+                mins.append(v.min())
+                maxs.append(v.max())
+        cast = int if all_int else float
         return {
-            "n_valid_px": int(self.mask.sum()),
-            "pix_sum": int(v.astype(np.int64).sum()) if len(v) else 0,
-            "pix_min": int(v.min()) if len(v) else None,
-            "pix_max": int(v.max()) if len(v) else None,
+            "n_valid_px": n_valid,
+            "pix_sum": self.pack.pix_sum(self.data, self.mask),
+            "pix_min": cast(min(mins)) if n_valid else None,
+            "pix_max": cast(max(maxs)) if n_valid else None,
         }
 
 
@@ -97,6 +130,7 @@ def load(
     done = lineage.loaded_partitions(cube_path)
     missing = covered_ids - done
     tiles_dir = os.path.join(cube_path, TILES_DIR)
+    pack = ChannelPack(spec.channels)
 
     if missing and images_ds is not None:
         # procedural-download analog: ingest ONLY this ROI's missing tiles;
@@ -107,17 +141,17 @@ def load(
         # tiles' records exist.
         ingest(
             images_ds, g, cube_path=cube_path, num_salts=num_salts,
-            only_tiles=missing,
+            only_tiles=missing, channels=spec.channels,
         ).materialize()
 
     if not persist:
         # lazy variant (accessor.load without .load(), ``accessor.py:394-397``):
         # a streaming Dataset of ROI-cropped tile windows — no driver-side
         # materialization, suitable for arbitrarily large ROIs
-        return _lazy_window_dataset(tiles_dir, covered_ids, g, rois)
+        return _lazy_window_dataset(tiles_dir, covered_ids, g, rois, pack)
 
     # read cached tiles for the window
-    window_tiles = _read_tiles(tiles_dir, covered_ids, g.chunk)
+    window_tiles = _read_tiles(tiles_dir, covered_ids, g.chunk, pack)
     boxes = [b for r in rois for b in r["boxes"]]
     lon_min = min(b[0] for b in boxes)
     lat_min = min(b[1] for b in boxes)
@@ -131,7 +165,8 @@ def load(
         )
     )
     wins = {
-        t: RoiWindow(cl, ch, rl, rh) for t in (t_sel if t_sel is not None else [None])
+        t: RoiWindow(cl, ch, rl, rh, pack)
+        for t in (t_sel if t_sel is not None else [None])
     }
     for trow in window_tiles:
         parts = parse_tile_id(trow["tile_id"])
@@ -147,24 +182,23 @@ def load(
         r0, r1 = max(rl, tr0), min(rh, tr1)
         if c1 <= c0 or r1 <= r0:
             continue
-        rgb = trow["rgb"]
-        mask = trow["mask"]
-        win.rgb[r0 - rl : r1 - rl, c0 - cl : c1 - cl] = rgb[
-            r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0
-        ]
-        win.mask[r0 - rl : r1 - rl, c0 - cl : c1 - cl] = mask[
-            r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0
-        ]
+        dst = np.s_[r0 - rl : r1 - rl, c0 - cl : c1 - cl]
+        src = np.s_[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
+        for d, s in zip(win.data, trow["channels"]):
+            d[dst] = s[src]
+        win.mask[dst] = trow["mask"][src]
     if t_sel is None:
         return wins[None]
     # temporal result: {ISO time step -> RoiWindow} for the selected steps
     return {g.times[t]: wins[t] for t in t_sel}
 
 
-def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois):
+def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois,
+                         pack: ChannelPack):
     """Streaming K5 read path: filter cached tiles to the ROI's ids, crop
     each to the ROI pixel window inside ``map_batches`` (M2/M8 crop kernel),
-    emit (tile_id, y0, x0, h, w, rgb, mask) rows."""
+    emit (tile_id, y0, x0, h, w, px, mask) rows (``px`` = the pack's
+    concatenated channel buffers for the cropped window)."""
     import ray.data as rd
 
     boxes = [b for r in rois for b in r["boxes"]]
@@ -184,7 +218,7 @@ def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois):
 
     def crop(t: pa.Table) -> pa.Table:
         out = {"tile_id": [], "y0": [], "x0": [], "h": [], "w": [],
-               "rgb": [], "mask": []}
+               "px": [], "mask": []}
         seen = set()
         for i in range(t.num_rows):
             tid = t.column("tile_id")[i].as_py()
@@ -198,9 +232,9 @@ def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois):
             r0, r1 = max(rl, tr0), min(rh, tr1)
             if c1 <= c0 or r1 <= r0:
                 continue
-            rgb = np.frombuffer(
-                zlib.decompress(t.column("rgb_z")[i].as_py()), dtype=np.uint8
-            ).reshape(chunk, chunk, 3)
+            chans = pack.from_bytes(
+                zlib.decompress(t.column("px_z")[i].as_py()), chunk, chunk
+            )
             mask = np.frombuffer(
                 zlib.decompress(t.column("mask_z")[i].as_py()), dtype=np.uint8
             ).reshape(chunk, chunk)
@@ -210,7 +244,7 @@ def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois):
             out["x0"].append(c0 - cl)
             out["h"].append(r1 - r0)
             out["w"].append(c1 - c0)
-            out["rgb"].append(np.ascontiguousarray(rgb[sl]).tobytes())
+            out["px"].append(pack.to_bytes([c[sl] for c in chans]))
             out["mask"].append(np.ascontiguousarray(mask[sl]).tobytes())
         return pa.table(
             {
@@ -219,7 +253,7 @@ def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois):
                 "x0": pa.array(out["x0"], pa.int32()),
                 "h": pa.array(out["h"], pa.int32()),
                 "w": pa.array(out["w"], pa.int32()),
-                "rgb": pa.array(out["rgb"], pa.binary()),
+                "px": pa.array(out["px"], pa.binary()),
                 "mask": pa.array(out["mask"], pa.binary()),
             }
         )
@@ -227,14 +261,15 @@ def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois):
     if not os.path.isdir(tiles_dir) or not any(os.scandir(tiles_dir)):
         return rd.from_arrow(crop(pa.table(
             {"tile_id": pa.array([], pa.string()),
-             "rgb_z": pa.array([], pa.binary()),
+             "px_z": pa.array([], pa.binary()),
              "mask_z": pa.array([], pa.binary())})))
     return rd.read_parquet(
-        tiles_dir, columns=["tile_id", "rgb_z", "mask_z"]
+        tiles_dir, columns=["tile_id", "px_z", "mask_z"]
     ).map_batches(crop, batch_format="pyarrow", batch_size=64)
 
 
-def _read_tiles(tiles_dir: str, tile_ids: set[str], chunk: int) -> list[dict]:
+def _read_tiles(tiles_dir: str, tile_ids: set[str], chunk: int,
+                pack: ChannelPack) -> list[dict]:
     """Read + decompress the requested tile rows from the tiles parquet dir."""
     import pyarrow.dataset as pads
 
@@ -249,13 +284,13 @@ def _read_tiles(tiles_dir: str, tile_ids: set[str], chunk: int) -> list[dict]:
         if tid in seen:
             continue  # duplicate rows across runs are identical (deterministic)
         seen.add(tid)
-        rgb = np.frombuffer(
-            zlib.decompress(t.column("rgb_z")[i].as_py()), dtype=np.uint8
-        ).reshape(chunk, chunk, 3)
+        chans = pack.from_bytes(
+            zlib.decompress(t.column("px_z")[i].as_py()), chunk, chunk
+        )
         mask = np.frombuffer(
             zlib.decompress(t.column("mask_z")[i].as_py()), dtype=np.uint8
         ).reshape(chunk, chunk).astype(bool)
-        out.append({"tile_id": tid, "rgb": rgb, "mask": mask})
+        out.append({"tile_id": tid, "channels": chans, "mask": mask})
     return out
 
 

@@ -20,6 +20,15 @@ plan (``map_side_combine=False``: explode -> salted two-stage shuffle with
 ``tile_id#salt`` sub-keys) is kept for fragment-level operators and as the
 cross-check in tests; both plans produce bit-identical tiles.
 
+Channels: the cube's per-channel dtypes (``CubeSpec.channels`` — the
+reference's ``_channels_encoding`` model, ``core/accessor.py:62-64``,
+``arcticdem.py:159-172`` float32+bool, ``alphaearth.py:38-46`` Nxfloat32)
+flow through the whole path via :class:`raygeo.channels.ChannelPack`: a
+canvas is a list of per-channel arrays, fragments and tiles carry one
+concatenated buffer (``px`` / ``px_z``), and every fold/merge kernel loops
+channels around the same per-pixel winner plane. The canonical RGB cube is
+the 1-channel uint8x3 special case and pays no extra cost.
+
 Mosaic semantics (SURVEY §4.4): the reference serializes patch writes in
 arrival order with a NaN-merge (keep existing where incoming is NaN,
 ``core/backend.py:263-272``). This engine makes the fold **deterministic and
@@ -44,6 +53,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..channels import RGB_CHANNELS, ChannelPack
 from ..codec import decode
 from ..fixtures import footprint_of, timestamp_of
 from ..toi import snap_nearest
@@ -63,7 +73,7 @@ FRAGMENT_SCHEMA = pa.schema(
         ("x_off", pa.int32()),
         ("fh", pa.int32()),
         ("fw", pa.int32()),
-        ("rgb", pa.binary()),  # raw uint8 (fh, fw, 3) buffer
+        ("px", pa.binary()),  # concatenated per-channel (fh, fw[, nc]) buffers
     ]
 )
 
@@ -75,7 +85,7 @@ TILE_SCHEMA = pa.schema(
         ("n_frags", pa.int64()),
         ("n_valid_px", pa.int64()),
         ("pix_sum", pa.int64()),
-        ("rgb_z", pa.binary()),  # zlib uint8 (chunk, chunk, 3), invalid px = 0
+        ("px_z", pa.binary()),  # zlib concat per-channel canvases, invalid=nodata
         ("mask_z", pa.binary()),  # zlib uint8 (chunk, chunk) validity
     ]
 )
@@ -84,20 +94,25 @@ TILE_SCHEMA = pa.schema(
 class DecodeExplode:
     """Stateful decode + footprint + fragment-explode stage (actor pool).
 
-    Per-actor state (grid tables, codec setup) is built once in ``__init__``
-    — the Ray analog of the reference's per-thread download/client state
-    (``backends/threaded.py:35-46``). ``__call__`` decodes each image,
-    derives its footprint as a pure function of ``image_id`` (the engine
-    derivation, NOT the stored golden columns), maps it onto the chunk grid,
-    and emits one fragment row per covered tile.
+    Per-actor state (grid tables, codec setup, channel pack) is built once in
+    ``__init__`` — the Ray analog of the reference's per-thread
+    download/client state (``backends/threaded.py:35-46``). ``__call__``
+    decodes each image, derives its footprint as a pure function of
+    ``image_id`` (the engine derivation, NOT the stored golden columns),
+    derives the cube's channel values from the decoded RGB, maps the
+    footprint onto the chunk grid, and emits one fragment row per covered
+    tile.
     """
 
-    def __init__(self, grid: GridSpec, num_salts: int = 4):
+    def __init__(self, grid: GridSpec, num_salts: int = 4,
+                 pack: ChannelPack | None = None):
         self.grid = grid
         self.num_salts = num_salts
+        self.pack = pack or ChannelPack(RGB_CHANNELS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.grid
+        pk = self.pack
         ids = batch.column("image_id").to_pylist()
         bufs = batch.column("bytes").to_pylist()
         ws = batch.column("w").to_numpy()
@@ -118,12 +133,12 @@ class DecodeExplode:
             )
         else:
             tids_t = None
-        decoded: dict[int, np.ndarray] = {}
+        decoded: dict[int, list[np.ndarray]] = {}
         for k in range(len(idx)):
             i = int(idx[k])
             if i not in decoded:
-                decoded[i] = decode(bufs[i])
-            pix = decoded[i]
+                decoded[i] = pk.derive(decode(bufs[i]))
+            chans = decoded[i]
             tx, ty = int(txs[k]), int(tys[k])
             tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
             c0, c1 = max(int(cl[i]), tc0), min(int(chh[i]), tc1)
@@ -133,13 +148,13 @@ class DecodeExplode:
             # clamp to the decoded image (inexact-resolution windows can be
             # one pixel wider than the image; see DecodeFoldPartial)
             sr0, sc0 = r0 - int(rl[i]), c0 - int(cl[i])
-            sr1 = min(r1 - int(rl[i]), pix.shape[0])
-            sc1 = min(c1 - int(cl[i]), pix.shape[1])
+            sr1 = min(r1 - int(rl[i]), chans[0].shape[0])
+            sc1 = min(c1 - int(cl[i]), chans[0].shape[1])
             if sr1 <= sr0 or sc1 <= sc0:
                 continue
             r1 = r0 + (sr1 - sr0)
             c1 = c0 + (sc1 - sc0)
-            frag = pix[sr0:sr1, sc0:sc1]
+            frag = pk.region(chans, np.s_[sr0:sr1], np.s_[sc0:sc1])
             patch_no = int(ids[i].rsplit("-", 1)[1])
             tile_id = (
                 f"{tx}-{ty}" if tids_t is None else f"{int(tids_t[i])}-{tx}-{ty}"
@@ -155,22 +170,23 @@ class DecodeExplode:
             out["x_off"].append(c0 - tc0)
             out["fh"].append(r1 - r0)
             out["fw"].append(c1 - c0)
-            out["rgb"].append(np.ascontiguousarray(frag).tobytes())
+            out["px"].append(pk.to_bytes(frag))
         return pa.table(out, schema=FRAGMENT_SCHEMA)
 
 
-def _fold_group(table: pa.Table, chunk: int,
-                mode: str = "lww") -> tuple[np.ndarray, np.ndarray, int]:
-    """Fold a fragment group into (canvas uint8 HxWx3, winner int64 HxW, n).
+def _fold_group(table: pa.Table, chunk: int, pack: ChannelPack,
+                mode: str = "lww") -> tuple[list[np.ndarray], np.ndarray, int]:
+    """Fold a fragment group into (canvas channel-list, winner int64 HxW, n).
 
     Winner = patch_no of the pixel's owner, -1 where unwritten. In ``lww``
     mode fragments are applied in ascending patch_no so within one fold later
     patches overwrite — and the winner array makes the fold associative
-    across salt groups. In ``max`` mode each pixel is the elementwise max
-    over all writers and winner = max writing patch_no (order-independent),
-    so the same :func:`_merge_partials` max rule applies across salt groups.
+    across salt groups. In ``max`` mode each pixel is the per-channel
+    elementwise max over all writers and winner = max writing patch_no
+    (order-independent), so the same :func:`_merge_partials` max rule
+    applies across salt groups.
     """
-    canvas = np.zeros((chunk, chunk, 3), dtype=np.uint8)
+    canvas = pack.alloc(chunk, chunk)
     winner = np.full((chunk, chunk), -1, dtype=np.int64)
     order = np.argsort(table.column("patch_no").to_numpy(), kind="stable")
     y_off = table.column("y_off").to_numpy()
@@ -178,47 +194,47 @@ def _fold_group(table: pa.Table, chunk: int,
     fh = table.column("fh").to_numpy()
     fw = table.column("fw").to_numpy()
     pno = table.column("patch_no").to_numpy()
-    rgb = table.column("rgb").to_pylist()
+    px = table.column("px").to_pylist()
     for j in order:
         h, w = int(fh[j]), int(fw[j])
         y0, x0 = int(y_off[j]), int(x_off[j])
-        frag = np.frombuffer(rgb[j], dtype=np.uint8).reshape(h, w, 3)
-        region_c = canvas[y0 : y0 + h, x0 : x0 + w]
-        region_w = winner[y0 : y0 + h, x0 : x0 + w]
+        frag = pack.from_bytes(px[j], h, w)
+        ys, xs = np.s_[y0 : y0 + h], np.s_[x0 : x0 + w]
+        region_c = pack.region(canvas, ys, xs)
+        region_w = winner[ys, xs]
         if mode == "max":
             written = region_w >= 0
-            np.maximum(region_c, frag, out=region_c,
-                       where=written[:, :, None])
-            region_c[~written] = frag[~written]
+            pack.max_where(region_c, frag, written)
             np.maximum(region_w, pno[j], out=region_w)
         else:
-            region_c[:] = frag
+            pack.overwrite(region_c, frag)
             region_w[:] = pno[j]
     return canvas, winner, table.num_rows
 
 
-def _merge_partials(parts: list[tuple[np.ndarray, np.ndarray, int]],
-                    mode: str = "lww"):
+def _merge_partials(parts: list[tuple[list[np.ndarray], np.ndarray, int]],
+                    pack: ChannelPack, mode: str = "lww"):
     """Associative cross-partial merge.
 
     ``lww``: per-pixel owner = max patch_no (sorted-LWW, §4.4).
-    ``max``: per-pixel value = max over all writers (the reference's temporal
-    mosaic collapse, ``stac.py:141-143`` / ``gee.py:189-190``); the winner
-    array degenerates to a validity flag.
+    ``max``: per-pixel value = per-channel max over all writers (the
+    reference's temporal mosaic collapse, ``stac.py:141-143`` /
+    ``gee.py:189-190``); the winner array degenerates to a validity flag.
     """
     canvas, winner, n = parts[0]
-    canvas = canvas.copy()
+    canvas = [c.copy() for c in canvas]
     winner = winner.copy()
     for c2, w2, n2 in parts[1:]:
         if mode == "max":
             both = (winner >= 0) & (w2 >= 0)
-            canvas[both] = np.maximum(canvas[both], c2[both])
             new = (w2 >= 0) & (winner < 0)
-            canvas[new] = c2[new]
+            for d, s in zip(canvas, c2):
+                d[both] = np.maximum(d[both], s[both])
+                d[new] = s[new]
             winner = np.maximum(winner, w2)
         else:
             take = w2 > winner
-            canvas[take] = c2[take]
+            pack.assign_where(canvas, c2, take)
             winner[take] = w2[take]
         n += n2
     return canvas, winner, n
@@ -247,14 +263,14 @@ PARTIAL_SCHEMA = pa.schema(
 # sees >= 65535 distinct patches (flag byte 1).
 
 
-def compress_canvas(canvas: np.ndarray) -> bytes:
-    return zlib.compress(canvas.tobytes(), 0)
-
-
-def decompress_canvas(buf: bytes, chunk: int) -> np.ndarray:
-    return np.frombuffer(zlib.decompress(buf), dtype=np.uint8).reshape(
-        chunk, chunk, 3
+def compress_canvas(canvas: list[np.ndarray]) -> bytes:
+    return zlib.compress(
+        b"".join(np.ascontiguousarray(c).tobytes() for c in canvas), 0
     )
+
+
+def decompress_canvas(buf: bytes, chunk: int, pack: ChannelPack) -> list[np.ndarray]:
+    return pack.from_bytes(zlib.decompress(buf), chunk, chunk)
 
 
 def pack_winner(winner: np.ndarray) -> bytes:
@@ -312,14 +328,15 @@ def unpack_winner_packed(buf: bytes, chunk: int):
     return None, np.frombuffer(raw[1:], np.int64).reshape(chunk, chunk).copy()
 
 
-def merge_packed(parts: list[dict], chunk: int, mode: str = "lww") -> dict:
+def merge_packed(parts: list[dict], chunk: int, pack: ChannelPack,
+                 mode: str = "lww") -> dict:
     """Merge packed partials of one tile into one packed partial.
 
     FAST PATH (the 100 TB common case): when the partials' patch-number
     ranges are pairwise DISJOINT — true whenever the input stream is
     patch-ordered, since each batch then covers a contiguous exclusive pno
     range — sorted-LWW reduces to overlaying partials in ascending range
-    order. The merge is then pure uint8/uint16 ops: canvas overwrite by
+    order. The merge is then pure narrow-dtype ops: canvas overwrite by
     validity mask + index offsetting, no per-pixel int64 winner expansion
     and no ``np.unique`` (measured ~3x cheaper per partial).
 
@@ -347,15 +364,15 @@ def merge_packed(parts: list[dict], chunk: int, mode: str = "lww") -> dict:
         ) < 0xFFFE:
             canvas = None
             for (pl2, w2), p in zip(unpacked, parts):
-                c2 = decompress_canvas(p["cz"], chunk)
+                c2 = decompress_canvas(p["cz"], chunk, pack)
                 valid2 = (pl2 >= 0)[w2]
                 if canvas is None:
-                    canvas = c2.copy()
+                    canvas = [c.copy() for c in c2]
                     widx = w2.astype(np.uint16).copy()
                     plist = pl2.astype(np.int64).copy()
                 else:
                     off = np.uint16(len(plist))
-                    canvas[valid2] = c2[valid2]
+                    pack.assign_where(canvas, c2, valid2)
                     widx[valid2] = w2[valid2] + off
                     plist = np.concatenate([plist, pl2])
             return {
@@ -366,13 +383,13 @@ def merge_packed(parts: list[dict], chunk: int, mode: str = "lww") -> dict:
 
     expanded = [
         (
-            decompress_canvas(p["cz"], chunk),
+            decompress_canvas(p["cz"], chunk, pack),
             unpack_winner(p["wz"], chunk),
             p["n"],
         )
         for p in parts
     ]
-    canvas, winner, _ = _merge_partials(expanded, mode)
+    canvas, winner, _ = _merge_partials(expanded, pack, mode)
     return {
         "cz": compress_canvas(canvas),
         "wz": pack_winner(winner),
@@ -407,13 +424,15 @@ class DecodeFoldPartial:
     """
 
     def __init__(self, grid: GridSpec, skip: tuple[set, set | None] = (set(), None),
-                 mode: str = "lww"):
+                 mode: str = "lww", pack: ChannelPack | None = None):
         self.grid = grid
         self.done, self.only = skip
         self.mode = mode  # "lww" (§4.4) or "max" (A1 temporal-collapse analog)
+        self.pack = pack or ChannelPack(RGB_CHANNELS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.grid
+        pk = self.pack
         ids = batch.column("image_id").to_pylist()
         if not ids:
             return pa.table({k: [] for k in PARTIAL_SCHEMA.names},
@@ -437,14 +456,15 @@ class DecodeFoldPartial:
             )
         else:
             tids_t = None
-        # (canvas uint8, widx uint16 local winner index, pno list w/ -1 sentinel)
-        canvases: dict[tuple, tuple[np.ndarray, np.ndarray, list]] = {}
+        # (canvas channel-list, widx uint16 local winner index,
+        #  pno list w/ -1 sentinel)
+        canvases: dict[tuple, tuple[list[np.ndarray], np.ndarray, list]] = {}
         c = g.chunk
         for i in order:
             i = int(i)
             if int(chh[i]) <= int(cl[i]) or int(rhh[i]) <= int(rl[i]):
                 continue
-            pix = None
+            chans = None
             ti = int(tids_t[i]) if tids_t is not None else None
             tx_lo, tx_hi = int(cl[i]) // c, (int(chh[i]) - 1) // c
             ty_lo, ty_hi = int(rl[i]) // c, (int(rhh[i]) - 1) // c
@@ -458,14 +478,14 @@ class DecodeFoldPartial:
                     r0, r1 = max(int(rl[i]), tr0), min(int(rhh[i]), tr1)
                     if c1 <= c0 or r1 <= r0:
                         continue
-                    if pix is None:
-                        pix = decode(bufs[i])
+                    if chans is None:
+                        chans = pk.derive(decode(bufs[i]))
                     # with non-exact-binary grid resolutions the floor/ceil
                     # re-derived window can exceed the image by one pixel —
                     # clamp the source slice and shrink the target to match
                     sr0, sc0 = r0 - int(rl[i]), c0 - int(cl[i])
-                    sr1 = min(r1 - int(rl[i]), pix.shape[0])
-                    sc1 = min(c1 - int(cl[i]), pix.shape[1])
+                    sr1 = min(r1 - int(rl[i]), chans[0].shape[0])
+                    sc1 = min(c1 - int(cl[i]), chans[0].shape[1])
                     if sr1 <= sr0 or sc1 <= sc0:
                         continue
                     r1 = r0 + (sr1 - sr0)
@@ -473,22 +493,22 @@ class DecodeFoldPartial:
                     key = (ti, tx, ty)
                     if key not in canvases:
                         canvases[key] = (
-                            np.zeros((c, c, 3), dtype=np.uint8),
+                            pk.alloc(c, c),
                             np.zeros((c, c), dtype=np.uint16),
                             [-1],
                         )
                     canvas, widx, plist = canvases[key]
-                    frag = pix[sr0:sr1, sc0:sc1]
-                    region_c = canvas[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
-                    region_w = widx[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
+                    frag = pk.region(chans, np.s_[sr0:sr1], np.s_[sc0:sc1])
+                    ys = np.s_[r0 - tr0 : r1 - tr0]
+                    xs = np.s_[c0 - tc0 : c1 - tc0]
+                    region_c = pk.region(canvas, ys, xs)
+                    region_w = widx[ys, xs]
                     if self.mode == "max":
                         written = region_w > 0
-                        np.maximum(region_c, frag, out=region_c,
-                                   where=written[:, :, None])
-                        region_c[~written] = frag[~written]
+                        pk.max_where(region_c, frag, written)
                         region_w[:] = 1  # winner slot 1 = validity flag
                     else:
-                        region_c[:] = frag
+                        pk.overwrite(region_c, frag)
                         region_w[:] = len(plist)
                     plist.append(int(pnos[i]))
         out = {k: [] for k in PARTIAL_SCHEMA.names}
@@ -504,7 +524,8 @@ class DecodeFoldPartial:
         return pa.table(out, schema=PARTIAL_SCHEMA)
 
 
-def make_tree_combine(chunk: int, mode: str = "lww"):
+def make_tree_combine(chunk: int, mode: str = "lww",
+                      pack: ChannelPack | None = None):
     """Block-local combine of partial canvases by tile — NO shuffle.
 
     Between the map-side fold and the global ``groupby(tile_id)`` merge,
@@ -512,6 +533,7 @@ def make_tree_combine(chunk: int, mode: str = "lww"):
     (the fold is associative). Cuts the sort-shuffle input ~8x for the cost
     of one cheap streaming pass — the classic combiner-tree.
     """
+    pack = pack or ChannelPack(RGB_CHANNELS)
 
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows <= 1:
@@ -538,7 +560,7 @@ def make_tree_combine(chunk: int, mode: str = "lww"):
                      "hi": int(hi[j].as_py())}
                     for j in rows
                 ],
-                chunk, mode,
+                chunk, pack, mode,
             )
             out["tile_id"].append(tid)
             out["tx"].append(txc[rows[0]].as_py())
@@ -553,9 +575,12 @@ def make_tree_combine(chunk: int, mode: str = "lww"):
     return combine
 
 
-def make_partial_fold(chunk: int, mode: str = "lww"):
+def make_partial_fold(chunk: int, mode: str = "lww",
+                      pack: ChannelPack | None = None):
+    pack = pack or ChannelPack(RGB_CHANNELS)
+
     def partial_fold(group: pa.Table) -> pa.Table:
-        canvas, winner, n = _fold_group(group, chunk, mode)
+        canvas, winner, n = _fold_group(group, chunk, pack, mode)
         pnos = group.column("patch_no").to_numpy()
         return pa.table(
             {
@@ -574,7 +599,10 @@ def make_partial_fold(chunk: int, mode: str = "lww"):
     return partial_fold
 
 
-def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww"):
+def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww",
+                    pack: ChannelPack | None = None):
+    pack = pack or ChannelPack(RGB_CHANNELS)
+
     def merge_fold(group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         merged = merge_packed(
@@ -588,18 +616,20 @@ def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww"):
                 }
                 for j in range(group.num_rows)
             ],
-            chunk, mode,
+            chunk, pack, mode,
         )
         n = merged["n"]
-        canvas = decompress_canvas(merged["cz"], chunk)
+        canvas = decompress_canvas(merged["cz"], chunk, pack)
         plist, widx = unpack_winner_packed(merged["wz"], chunk)
         if plist is None:  # rare raw-int64 form
             valid = widx >= 0
         else:
             valid = (plist >= 0)[widx]
-        canvas = np.where(valid[:, :, None], canvas, 0).astype(np.uint8)
+        canvas = pack.fill_invalid(canvas, valid)
         tile_id = group.column("tile_id")[0].as_py()
-        rgb_z = zlib.compress(canvas.tobytes(), 1)
+        px_z = zlib.compress(
+            b"".join(np.ascontiguousarray(c).tobytes() for c in canvas), 1
+        )
         mask_z = zlib.compress(valid.astype(np.uint8).tobytes(), 1)
         row = {
             "tile_id": [tile_id],
@@ -607,8 +637,8 @@ def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww"):
             "ty": [group.column("ty")[0].as_py()],
             "n_frags": [n],
             "n_valid_px": [int(valid.sum())],
-            "pix_sum": [int(canvas.astype(np.int64).sum())],
-            "rgb_z": [rgb_z],
+            "pix_sum": [pack.pix_sum(canvas, valid)],
+            "px_z": [px_z],
             "mask_z": [mask_z],
         }
         out = pa.table(row, schema=TILE_SCHEMA)
@@ -635,7 +665,7 @@ def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww"):
                 tile_id,
                 [],
                 row_count=1,
-                n_bytes=len(rgb_z) + len(mask_z),
+                n_bytes=len(px_z) + len(mask_z),
                 wall_ms=(time.monotonic() - t0) * 1e3,
             )
         return out
@@ -649,10 +679,11 @@ def fragments_dataset(
     num_salts: int = 4,
     concurrency=None,
     batch_size: int = 64,
+    pack: ChannelPack | None = None,
 ):
     """images Dataset -> fragments Dataset (decode+explode task pool)."""
     return images_ds.map_batches(
-        DecodeExplode(grid, num_salts),
+        DecodeExplode(grid, num_salts, pack),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
@@ -671,8 +702,15 @@ def ingest(
     map_side_combine: bool = True,
     combine_batch_size: int = 2048,
     mode: str = "lww",
+    channels=None,
 ):
     """Full ingest pipeline; returns the tiles Dataset (lazy).
+
+    ``channels``: the cube's ``CubeSpec.channels`` tuple (defaults to the
+    canonical RGB triple). Every canvas/fragment/tile buffer in the plan is
+    laid out per that tuple's dtypes; pixel values for non-RGB channels are
+    derived deterministically from the decoded source RGB (see
+    :mod:`raygeo.channels`).
 
     ``skip_tiles`` (or the cube's lineage ledger when ``cube_path`` is set)
     anti-joins completed partitions out before the shuffle; ``only_tiles``
@@ -689,6 +727,7 @@ def ingest(
     """
     import ray
 
+    pack = ChannelPack(tuple(channels)) if channels else ChannelPack(RGB_CHANNELS)
     done = set(skip_tiles or ())
     if cube_path is not None:
         done |= lineage.loaded_partitions(cube_path)
@@ -697,12 +736,13 @@ def ingest(
         # task pool, not actor pool: the stage is stateless per batch, and
         # tasks reuse Ray's prestarted workers (no per-query pool ramp-up).
         # The fold's live set is one canvas per TOUCHED tile (not per image),
-        # so the worst-case heap is 5 B/px x touched tiles; cap the batch for
-        # very large chunks so a task can't accumulate unbounded canvases.
-        per_partial = 5 * grid.chunk * grid.chunk
+        # so the worst-case heap is (px+2) B/px x touched tiles; cap the
+        # batch for very large chunks so a task can't accumulate unbounded
+        # canvases.
+        per_partial = (pack.nbytes_px + 2) * grid.chunk * grid.chunk
         fold_cap = max(64, (1 << 30) // per_partial)
         partials = images_ds.map_batches(
-            DecodeFoldPartial(grid, (done, only_tiles), mode=mode),
+            DecodeFoldPartial(grid, (done, only_tiles), mode=mode, pack=pack),
             batch_format="pyarrow",
             batch_size=int(min(combine_batch_size, fold_cap)),
             num_cpus=1,
@@ -713,14 +753,13 @@ def ingest(
         # them — a fused combine never sees more than one fold output per
         # call and silently becomes a no-op, sending every partial into the
         # sort (measured 4x wall blowup at 400k images).
-        # Memory-aware batch: a combine task holds ~5 B/px per in-flight
-        # partial (canvas uint8x3 + widx uint16); cap the batch so one task
+        # Memory-aware batch: a combine task holds ~(px+2) B/px per in-flight
+        # partial (canvas channels + widx uint16); cap the batch so one task
         # stays under ~512 MB — at the reference's 3600^2 production chunk
-        # that is ~8 partials per task, at the 128^2 test chunk ~4096.
-        per_partial = 5 * grid.chunk * grid.chunk
+        # that is ~8 RGB partials per task, at the 128^2 test chunk ~4096.
         mem_cap = max(4, (512 << 20) // per_partial)
         partials = partials.map_batches(
-            make_tree_combine(grid.chunk, mode),
+            make_tree_combine(grid.chunk, mode, pack),
             batch_format="pyarrow",
             batch_size=int(min(2 * combine_batch_size, mem_cap)),
             num_cpus=0.5,
@@ -732,7 +771,8 @@ def ingest(
         n_merge = max(8, min(64, cluster_cpus()))
         partials = partials.repartition(n_merge)
     else:
-        frags = fragments_dataset(images_ds, grid, num_salts, concurrency, batch_size)
+        frags = fragments_dataset(images_ds, grid, num_salts, concurrency,
+                                  batch_size, pack)
         if done or only_tiles is not None:
             filt_ref = ray.put((done, only_tiles))
 
@@ -748,10 +788,10 @@ def ingest(
         # keep shuffle block count bounded: many tiny fragment blocks make the
         # sort-based groupby quadratic in block count
         partials = frags.repartition(64).groupby("salt_key").map_groups(
-            make_partial_fold(grid.chunk, mode), batch_format="pyarrow"
+            make_partial_fold(grid.chunk, mode, pack), batch_format="pyarrow"
         )
 
     tiles = partials.groupby("tile_id").map_groups(
-        make_merge_fold(grid.chunk, cube_path, mode), batch_format="pyarrow"
+        make_merge_fold(grid.chunk, cube_path, mode, pack), batch_format="pyarrow"
     )
     return tiles

@@ -14,7 +14,8 @@ import pytest
 
 from raygeo import toi as toi_mod
 from raygeo.codec import decode
-from raygeo.cube import Channel, CubeSpec, create
+from raygeo.channels import RGB_CHANNELS
+from raygeo.cube import CubeSpec, create
 from raygeo.engine import load
 from raygeo.fixtures import FIXTURE_GRID, footprint_of
 
@@ -96,7 +97,7 @@ def _window_oracle(images_path, grid, cl, ch, rl, rh):
 
 
 def _mk_cube(path, g):
-    spec = CubeSpec(title="t", grid=g, channels=(Channel("rgb", "uint8"),))
+    spec = CubeSpec(title="t", grid=g, channels=RGB_CHANNELS)
     return create(spec, str(path))
 
 
@@ -263,7 +264,7 @@ def test_load_lazy_equals_persist(ray_session, fixtures_sf0001, tmp_path):
     mask = np.zeros_like(win.mask)
     for r in lazy.to_pandas().to_dict("records"):
         h, w = r["h"], r["w"]
-        frag = np.frombuffer(r["rgb"], np.uint8).reshape(h, w, 3)
+        frag = np.frombuffer(r["px"], np.uint8).reshape(h, w, 3)
         m = np.frombuffer(r["mask"], np.uint8).reshape(h, w).astype(bool)
         rgb[r["y0"]:r["y0"]+h, r["x0"]:r["x0"]+w] = frag
         mask[r["y0"]:r["y0"]+h, r["x0"]:r["x0"]+w] = m

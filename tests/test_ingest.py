@@ -80,7 +80,7 @@ def test_combiner_equals_fragment_plan(fixtures_sf0001):
     import ray.data as rd
 
     images_path = f"{fixtures_sf0001}/images.parquet"
-    cols = ["tile_id", "n_frags", "n_valid_px", "pix_sum", "rgb_z", "mask_z"]
+    cols = ["tile_id", "n_frags", "n_valid_px", "pix_sum", "px_z", "mask_z"]
 
     def run(map_side):
         ds = rd.read_parquet(images_path).limit(400)
@@ -88,7 +88,7 @@ def test_combiner_equals_fragment_plan(fixtures_sf0001):
                    combine_batch_size=128).to_pandas()
         import zlib
 
-        t["rgb"] = t.rgb_z.map(zlib.decompress)
+        t["rgb"] = t.px_z.map(zlib.decompress)
         t["mask"] = t.mask_z.map(zlib.decompress)
         return t.sort_values("tile_id").reset_index(drop=True)[
             ["tile_id", "n_frags", "n_valid_px", "pix_sum", "rgb", "mask"]
@@ -113,7 +113,7 @@ def test_combiner_equals_fragment_plan_max_mode(fixtures_sf0001):
                    combine_batch_size=128, mode="max").to_pandas()
         import zlib
 
-        t["rgb"] = t.rgb_z.map(zlib.decompress)
+        t["rgb"] = t.px_z.map(zlib.decompress)
         t["mask"] = t.mask_z.map(zlib.decompress)
         return t.sort_values("tile_id").reset_index(drop=True)[
             ["tile_id", "n_frags", "n_valid_px", "pix_sum", "rgb", "mask"]
@@ -204,10 +204,13 @@ def test_ingest_max_mode_matches_bruteforce(ray_session, fixtures_sf0001):
 def test_merge_packed_fast_equals_slow():
     """Fast (range-disjoint uint16 overlay) and slow (int64 winner expand)
     merge paths must agree bit-for-bit on disjoint inputs."""
+    from raygeo.channels import ChannelPack
     from raygeo.ops.ingest import (
         compress_canvas, decompress_canvas, merge_packed,
         pack_winner_indexed, unpack_winner,
     )
+
+    pk = ChannelPack()
 
     rng = np.random.Generator(np.random.PCG64(11))
     chunk = 32
@@ -221,16 +224,16 @@ def test_merge_packed_fast_equals_slow():
             canvas[y:y+8, x:x+8] = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
             widx[y:y+8, x:x+8] = len(plist)
             plist.append(pno)
-        parts.append({"cz": compress_canvas(canvas),
+        parts.append({"cz": compress_canvas([canvas]),
                       "wz": pack_winner_indexed(plist, widx),
                       "n": hi - lo + 1, "lo": lo, "hi": hi})
-    fast = merge_packed(list(parts), chunk, "lww")
+    fast = merge_packed(list(parts), chunk, pk, "lww")
     # force the slow path by lying about one range (overlap) — same pixels
     slow_in = [dict(p) for p in parts]
     slow_in[0]["hi"] = 15  # claims overlap with part 2 -> slow path
-    slow = merge_packed(slow_in, chunk, "lww")
-    c_f = decompress_canvas(fast["cz"], chunk)
-    c_s = decompress_canvas(slow["cz"], chunk)
+    slow = merge_packed(slow_in, chunk, pk, "lww")
+    c_f = decompress_canvas(fast["cz"], chunk, pk)[0]
+    c_s = decompress_canvas(slow["cz"], chunk, pk)[0]
     assert np.array_equal(c_f, c_s)
     w_f = unpack_winner(fast["wz"], chunk)
     w_s = unpack_winner(slow["wz"], chunk)
@@ -271,10 +274,13 @@ def test_merge_packed_property_random():
     """Property test: merge_packed over random partials — disjoint or
     overlapping pno ranges, any merge tree shape — always equals the global
     per-pixel sorted-LWW oracle."""
+    from raygeo.channels import ChannelPack
     from raygeo.ops.ingest import (
         compress_canvas, decompress_canvas, merge_packed,
         pack_winner_indexed, unpack_winner,
     )
+
+    pk = ChannelPack()
 
     chunk = 16
     for seed in range(25):
@@ -306,22 +312,22 @@ def test_merge_packed_property_random():
                 widx[y:y+h, x:x+w] = len(plist)
                 plist.append(pno)
                 writes.append((pno, y, x, h, w, color))
-            parts.append({"cz": compress_canvas(canvas),
+            parts.append({"cz": compress_canvas([canvas]),
                           "wz": pack_winner_indexed(plist, widx),
                           "n": len(pnos), "lo": min(pnos), "hi": max(pnos)})
         # random merge tree: merge a random prefix first, then the rest
         if len(parts) > 2 and rng.integers(0, 2):
-            head = merge_packed(parts[:2], chunk, "lww")
-            merged = merge_packed([head] + parts[2:], chunk, "lww")
+            head = merge_packed(parts[:2], chunk, pk, "lww")
+            merged = merge_packed([head] + parts[2:], chunk, pk, "lww")
         else:
-            merged = merge_packed(parts, chunk, "lww")
+            merged = merge_packed(parts, chunk, pk, "lww")
         # oracle: apply every write globally sorted by pno
         oc = np.zeros((chunk, chunk, 3), np.uint8)
         ow = np.full((chunk, chunk), -1, np.int64)
         for pno, y, x, h, w, color in sorted(writes):
             oc[y:y+h, x:x+w] = color
             ow[y:y+h, x:x+w] = pno
-        got_c = decompress_canvas(merged["cz"], chunk)
+        got_c = decompress_canvas(merged["cz"], chunk, pk)[0]
         got_w = unpack_winner(merged["wz"], chunk)
         valid = got_w >= 0
         assert np.array_equal(valid, ow >= 0), f"seed {seed}"

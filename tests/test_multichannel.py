@@ -1,0 +1,228 @@
+"""Multi-channel / multi-dtype cubes (the reference's actual data model:
+``dem:float32 + datamask:bool`` ArcticDEM-style, uint16 test channels —
+``core/accessor.py:62-64``, ``arcticdem.py:159-172``,
+``tests/test_creation.py:20-24``): ingest, cross-plan equality, and the
+load() query path, all against brute-force numpy oracles."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from raygeo.channels import DEM_CHANNELS, RGB_CHANNELS, ChannelPack
+from raygeo.codec import decode
+from raygeo.cube import Channel, CubeSpec, create
+from raygeo.fixtures import FIXTURE_GRID, footprint_of
+from raygeo.ops.ingest import ingest
+
+
+def test_channel_pack_roundtrip():
+    pk = ChannelPack(DEM_CHANNELS)
+    rng = np.random.Generator(np.random.PCG64(5))
+    rgb = rng.integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    chans = pk.derive(rgb)
+    assert chans[0].dtype == np.float32 and chans[0].shape == (7, 9)
+    assert chans[1].dtype == np.bool_
+    back = pk.from_bytes(pk.to_bytes(chans), 7, 9)
+    for a, b in zip(chans, back):
+        assert np.array_equal(a, b)
+    # derive is the documented pure function of RGB
+    assert np.array_equal(
+        chans[0], (rgb[..., 0].astype(np.float32) * 256 + rgb[..., 1]) / 16.0
+    )
+    assert np.array_equal(chans[1], rgb[..., 2] >= 128)
+
+
+def test_channel_pack_pix_sum_dtypes():
+    pk = ChannelPack(
+        (Channel("a", "uint16"), Channel("b", "float32"), Channel("c", "bool"))
+    )
+    a = np.array([[1, 2], [3, 4]], dtype=np.uint16)
+    b = np.array([[0.5, 1.25], [2.0, -1.0]], dtype=np.float32)
+    c = np.array([[True, False], [True, True]])
+    valid = np.array([[True, True], [False, True]])
+    got = pk.pix_sum([a, b, c], valid)
+    assert got == (1 + 2 + 4) + round((0.5 + 1.25 - 1.0) * 1000) + 2
+
+
+def _brute_force_dem_tiles(images_path, grid, limit):
+    """Sorted-LWW mosaic of the DERIVED channels, pixel by pixel."""
+    pk = ChannelPack(DEM_CHANNELS)
+    t = pq.read_table(images_path).slice(0, limit)
+    rows = t.to_pylist()
+    rows.sort(key=lambda r: int(r["image_id"].rsplit("-", 1)[1]))
+    tiles = {}
+    for r in rows:
+        chans = pk.derive(decode(r["bytes"]))
+        box = footprint_of(r["image_id"], r["w"], r["h"], grid)
+        cl, ch, rl, rh = (int(v[0]) for v in grid.pixel_window(
+            np.array([box[0]]), np.array([box[1]]),
+            np.array([box[2]]), np.array([box[3]])))
+        for tx in range(cl // grid.chunk, (ch - 1) // grid.chunk + 1):
+            for ty in range(rl // grid.chunk, (rh - 1) // grid.chunk + 1):
+                tc0, tc1, tr0, tr1 = grid.tile_pixel_window(tx, ty)
+                c0, c1 = max(cl, tc0), min(ch, tc1)
+                r0, r1 = max(rl, tr0), min(rh, tr1)
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                key = f"{tx}-{ty}"
+                if key not in tiles:
+                    tiles[key] = (pk.alloc(grid.chunk, grid.chunk),
+                                  np.zeros((grid.chunk, grid.chunk), bool))
+                canvas, mask = tiles[key]
+                dst = np.s_[r0 - tr0 : r1 - tr0, c0 - tc0 : c1 - tc0]
+                src = np.s_[r0 - rl : r1 - rl, c0 - cl : c1 - cl]
+                for d, s in zip(canvas, chans):
+                    d[dst] = s[src]
+                mask[dst] = True
+    return {
+        k: {"n_valid_px": int(m.sum()), "pix_sum": pk.pix_sum(c, m)}
+        for k, (c, m) in tiles.items()
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dem_ingest_matches_bruteforce(fixtures_sf0001):
+    import ray.data as rd
+
+    images_path = f"{fixtures_sf0001}/images.parquet"
+    n = 300
+    ds = rd.read_parquet(images_path).limit(n)
+    tiles = ingest(ds, FIXTURE_GRID, channels=DEM_CHANNELS).to_pandas()
+    got = {
+        r.tile_id: {"n_valid_px": int(r.n_valid_px), "pix_sum": int(r.pix_sum)}
+        for r in tiles.itertuples()
+    }
+    assert got == _brute_force_dem_tiles(images_path, FIXTURE_GRID, n)
+    # nodata semantics: float channel is NaN outside the mask, bool is False
+    import zlib
+
+    pk = ChannelPack(DEM_CHANNELS)
+    row = tiles.iloc[0]
+    chans = pk.from_bytes(zlib.decompress(row.px_z), FIXTURE_GRID.chunk,
+                          FIXTURE_GRID.chunk)
+    mask = np.frombuffer(zlib.decompress(row.mask_z), np.uint8).reshape(
+        FIXTURE_GRID.chunk, FIXTURE_GRID.chunk
+    ).astype(bool)
+    if (~mask).any():
+        assert np.isnan(chans[0][~mask]).all()
+        assert not chans[1][~mask].any()
+    assert not np.isnan(chans[0][mask]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("mode", ["lww", "max"])
+def test_dem_cross_plan_equality(fixtures_sf0001, mode):
+    """Both physical plans must stay bit-identical for non-RGB dtypes too
+    (VERDICT r1 'next' #1: extend the cross-plan test to the new dtype)."""
+    import ray.data as rd
+
+    images_path = f"{fixtures_sf0001}/images.parquet"
+
+    def run(map_side):
+        ds = rd.read_parquet(images_path).limit(400)
+        t = ingest(ds, FIXTURE_GRID, map_side_combine=map_side,
+                   combine_batch_size=128, mode=mode,
+                   channels=DEM_CHANNELS).to_pandas()
+        return t.sort_values("tile_id").reset_index(drop=True)[
+            ["tile_id", "n_frags", "n_valid_px", "pix_sum", "px_z", "mask_z"]
+        ]
+
+    a, b = run(True), run(False)
+    import zlib
+
+    for col in ("px_z", "mask_z"):
+        a[col] = a[col].map(zlib.decompress)
+        b[col] = b[col].map(zlib.decompress)
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_uint16_multichannel_ingest(fixtures_sf0001):
+    """Reference test_creation.py:20-24 exercises uint16 channels — a
+    2-channel mixed uint16/uint8 cube must ingest (rows + stats sane)."""
+    import ray.data as rd
+
+    spec = (Channel("gray16", "uint16"), Channel("gray", "uint8"))
+    ds = rd.read_parquet(f"{fixtures_sf0001}/images.parquet").limit(200)
+    t = ingest(ds, FIXTURE_GRID, channels=spec).to_pandas()
+    assert len(t) > 0
+    assert (t.n_valid_px > 0).any()
+    pk = ChannelPack(spec)
+    import zlib
+
+    row = t.iloc[0]
+    chans = pk.from_bytes(zlib.decompress(row.px_z), FIXTURE_GRID.chunk,
+                          FIXTURE_GRID.chunk)
+    assert chans[0].dtype == np.uint16 and chans[1].dtype == np.uint8
+    # unknown channel names fall back to the gray deriver cast to dtype:
+    # both channels carry the same luma values
+    assert np.array_equal(chans[0].astype(np.uint8), chans[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_load_window_dem_cube(fixtures_sf0001, tmp_path):
+    """The load(roi) query path over a float32+bool cube: window stats must
+    equal the brute-force mosaic restricted to the window."""
+    import ray.data as rd
+
+    from raygeo.engine import load
+
+    g = FIXTURE_GRID
+    cube = str(tmp_path / "demcube")
+    create(CubeSpec(title="dem", grid=g, channels=DEM_CHANNELS), cube)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    roi = {"roi_id": "r0", "lon_min": -0.3, "lat_min": -0.25,
+           "lon_max": 0.2, "lat_max": 0.15}
+    win = load(cube, roi, images_ds=images)
+    # channels accessor exposes the declared layout; .rgb must refuse
+    assert set(win.channels) == {"dem", "datamask"}
+    with pytest.raises(AttributeError):
+        _ = win.rgb
+
+    # oracle: full-grid brute force, crop to the window
+    pk = ChannelPack(DEM_CHANNELS)
+    t = pq.read_table(f"{fixtures_sf0001}/images.parquet")
+    rows = sorted(t.to_pylist(),
+                  key=lambda r: int(r["image_id"].rsplit("-", 1)[1]))
+    cl, ch, rl, rh = (int(v[0]) for v in g.pixel_window(
+        np.array([roi["lon_min"]]), np.array([roi["lat_min"]]),
+        np.array([roi["lon_max"]]), np.array([roi["lat_max"]])))
+    dem = np.zeros((rh - rl, ch - cl), np.float32)
+    dm = np.zeros((rh - rl, ch - cl), bool)
+    mask = np.zeros((rh - rl, ch - cl), bool)
+    for r in rows:
+        chans = pk.derive(decode(r["bytes"]))
+        box = footprint_of(r["image_id"], r["w"], r["h"], g)
+        icl, ich, irl, irh = (int(v[0]) for v in g.pixel_window(
+            np.array([box[0]]), np.array([box[1]]),
+            np.array([box[2]]), np.array([box[3]])))
+        c0, c1 = max(icl, cl), min(ich, ch)
+        r0, r1 = max(irl, rl), min(irh, rh)
+        if c1 <= c0 or r1 <= r0:
+            continue
+        dst = np.s_[r0 - rl : r1 - rl, c0 - cl : c1 - cl]
+        src = np.s_[r0 - irl : r1 - irl, c0 - icl : c1 - icl]
+        dem[dst] = chans[0][src]
+        dm[dst] = chans[1][src]
+        mask[dst] = True
+    assert np.array_equal(win.mask, mask)
+    assert np.array_equal(win.channels["dem"][mask], dem[mask])
+    assert np.array_equal(win.channels["datamask"][mask], dm[mask])
+    s = win.stats()
+    assert s["n_valid_px"] == int(mask.sum())
+    assert s["pix_sum"] == pk.pix_sum([dem, dm], mask)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rgb_pack_is_default_and_unchanged(fixtures_sf0001):
+    """channels=None must stay byte-identical to an explicit RGB pack."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{fixtures_sf0001}/images.parquet").limit(150)
+    a = ingest(ds, FIXTURE_GRID).to_pandas().sort_values("tile_id")
+    ds2 = rd.read_parquet(f"{fixtures_sf0001}/images.parquet").limit(150)
+    b = ingest(ds2, FIXTURE_GRID, channels=RGB_CHANNELS).to_pandas().sort_values(
+        "tile_id"
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

@@ -47,12 +47,13 @@ def _spawn(cube: str, roi: dict):
 
 
 def test_two_processes_share_one_cube(fixtures_sf0001, tmp_path):
-    from raygeo.cube import Channel, CubeSpec, create
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, create
     from raygeo.fixtures import FIXTURE_GRID
     from raygeo import lineage
 
     cube = str(tmp_path / "shared_cube")
-    create(CubeSpec("shared", FIXTURE_GRID, (Channel("rgb", "uint8"),)), cube)
+    create(CubeSpec("shared", FIXTURE_GRID, RGB_CHANNELS), cube)
     roi_a = {"roi_id": "a", "lon_min": -0.4, "lat_min": -0.3,
              "lon_max": 0.1, "lat_max": 0.2}
     roi_b = {"roi_id": "b", "lon_min": -0.1, "lat_min": -0.1,
@@ -89,7 +90,7 @@ def test_two_processes_share_one_cube(fixtures_sf0001, tmp_path):
     got = load(cube, union_roi, images_ds=None).stats()
 
     clean = str(tmp_path / "clean_cube")
-    create(CubeSpec("clean", FIXTURE_GRID, (Channel("rgb", "uint8"),)), clean)
+    create(CubeSpec("clean", FIXTURE_GRID, RGB_CHANNELS), clean)
     images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
                              columns=["image_id", "bytes", "w", "h"])
     exp = load(clean, union_roi, images_ds=images).stats()
