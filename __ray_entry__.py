@@ -43,6 +43,19 @@ KNN_POINTS = [
 RES = "0.0009765625"
 G_RES = "0.125"  # GLOBAL_GRID res
 
+# lon/lat query ROIs for the projected-CRS (EPSG:3413-style) cube — exercise
+# a plain northern box, an antimeridian-crossing box (no split needed in the
+# projected plane), a pole-adjacent box, a partially-out-of-grid box, and a
+# fully-southern box that clips to nothing. Exact decimal literals so the
+# DuckDB oracle parses the identical float64 values.
+POLAR_ROIS = [
+    ("p-0", 10.0, 60.0, 40.0, 75.0),
+    ("p-1", 170.0, 55.0, -165.0, 70.0),  # crosses the +/-180 seam
+    ("p-2", -130.0, 80.0, -60.0, 88.0),
+    ("p-3", -20.0, -5.0, 10.0, 20.0),    # spans the grid edge (equator)
+    ("p-4", -20.0, -40.0, 10.0, -10.0),  # southern: clips to zero tiles
+]
+
 
 def _fix(sf_dir: str) -> str:
     from raygeo.fixtures import ensure_fixtures_for_dir
@@ -127,6 +140,32 @@ def _q_antimeridian_join(sf_dir: str):
         rd.read_parquet(f"{d}/images_global.parquet", columns=["image_id", "w", "h"]),
         rois, GLOBAL_GRID
     )
+
+
+def _q_polar_tile_cover(sf_dir: str):
+    """CRS-aware query path (M1 wiring, VERDICT r1 missing #2): lon/lat
+    ROIs against a projected polar-stereographic cube grid (the ArcticDEM
+    EPSG:3413 frame, ``arcticdem.py:216-231``). Each ROI box densify-
+    projects (8 samples per edge) to a meters bbox — antimeridian-safe with
+    NO split, the projected plane has no seam — then the same floor/ceil
+    tile-cover kernel runs in projected coordinates. The SQL oracle mirrors
+    the sampling and the spherical projection formulas exactly."""
+    import pyarrow as pa
+
+    from raygeo.fixtures import POLAR_GRID
+    from raygeo.ops.spatial_join import normalize_rois, roi_tiles
+
+    cols = list(zip(*POLAR_ROIS))
+    t = pa.table(
+        {
+            "roi_id": pa.array(cols[0], pa.string()),
+            "lon_min": pa.array(cols[1], pa.float64()),
+            "lat_min": pa.array(cols[2], pa.float64()),
+            "lon_max": pa.array(cols[3], pa.float64()),
+            "lat_max": pa.array(cols[4], pa.float64()),
+        }
+    )
+    return roi_tiles(normalize_rois(t, POLAR_GRID), POLAR_GRID)
 
 
 def _q_zonal_stats(sf_dir: str):
@@ -654,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geocube core (fixture images)
         "tile_assign": _q_tile_assign,
         "roi_tile_cover": _q_roi_tile_cover,
+        "polar_tile_cover": _q_polar_tile_cover,
         "roi_image_join": _q_roi_image_join,
         "antimeridian_join": _q_antimeridian_join,
         "zonal_stats": _q_zonal_stats,
@@ -756,6 +796,61 @@ SELECT roi_id,
   CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty
 FROM (
   SELECT roi_id, tx, unnest(generate_series(rl // 128, (rh - 1) // 128)) AS ty
+  FROM tx_u
+)
+""",
+        # polar_tile_cover: mirrors raygeo.geom.project_box_bbox +
+        # GridSpec.pixel_window bit-for-bit — same 8-step edge samples
+        # (t = i / 8.0 FIRST, then scaled), same spherical polar-stereo
+        # formula with identical operation order, same floor/ceil/clip.
+        "polar_tile_cover": f"""
+WITH rois(roi_id, lon_min, lat_min, lon_max0, lat_max) AS (VALUES {", ".join(
+            f"('{r}', {a}, {b}, {c}, {d})" for r, a, b, c, d in POLAR_ROIS)}),
+r2 AS (
+  SELECT roi_id, lon_min, lat_min, lat_max,
+    CASE WHEN lon_min > lon_max0 THEN lon_max0 + 360.0 ELSE lon_max0 END AS lon_max
+  FROM rois
+),
+ts AS (SELECT unnest(generate_series(0, 8)) AS i),
+pts AS (
+  SELECT roi_id, lon_min + (lon_max - lon_min) * (i / 8.0) AS lon,
+         lat_min AS lat FROM r2, ts
+  UNION ALL
+  SELECT roi_id, lon_min + (lon_max - lon_min) * (i / 8.0), lat_max FROM r2, ts
+  UNION ALL
+  SELECT roi_id, lon_min, lat_min + (lat_max - lat_min) * (i / 8.0) FROM r2, ts
+  UNION ALL
+  SELECT roi_id, lon_max, lat_min + (lat_max - lat_min) * (i / 8.0) FROM r2, ts
+),
+proj AS (
+  SELECT roi_id,
+    2.0 * 6378137.0 * tan(pi() / 4.0 - radians(lat) / 2.0)
+      * sin(radians(lon - (-45.0))) AS x,
+    -(2.0 * 6378137.0 * tan(pi() / 4.0 - radians(lat) / 2.0))
+      * cos(radians(lon - (-45.0))) AS y
+  FROM pts
+),
+bbox AS (
+  SELECT roi_id, min(x) AS xm, min(y) AS ym, max(x) AS xb, max(y) AS yb
+  FROM proj GROUP BY 1
+),
+w AS (
+  SELECT roi_id,
+    greatest(0, least(512, CAST(floor((xm - (-12800000.0)) / 50000.0) AS BIGINT))) AS cl,
+    greatest(0, least(512, CAST(ceil((xb - (-12800000.0)) / 50000.0) AS BIGINT))) AS ch,
+    greatest(0, least(512, CAST(floor((12800000.0 - yb) / 50000.0) AS BIGINT))) AS rl,
+    greatest(0, least(512, CAST(ceil((12800000.0 - ym) / 50000.0) AS BIGINT))) AS rh
+  FROM bbox
+),
+tx_u AS (
+  SELECT roi_id, rl, rh, unnest(generate_series(cl // 64, (ch - 1) // 64)) AS tx
+  FROM w WHERE ch > cl AND rh > rl
+)
+SELECT roi_id,
+  CAST(tx AS VARCHAR) || '-' || CAST(ty AS VARCHAR) AS tile_id,
+  CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty
+FROM (
+  SELECT roi_id, tx, unnest(generate_series(rl // 64, (rh - 1) // 64)) AS ty
   FROM tx_u
 )
 """,

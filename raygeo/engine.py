@@ -94,12 +94,16 @@ def load(
     toi=None,
     persist: bool = True,
     num_salts: int = 4,
+    toi_method: str = "nearest",
 ):
     """Load an ROI window from the cube, ingesting missing tiles on demand.
 
     ``roi``: a single-row ROI table (roi_id/lon_min/../ring) or a dict with
     those keys. ``images_ds``: the source images Dataset used to ingest
-    missing tiles (None = query the cache only).
+    missing tiles (None = query the cache only). ``toi_method``: how scalar
+    or list TOIs snap to the cube's time axis — ``nearest`` (default),
+    ``pad`` (last step <= t) or ``bfill`` (first step >= t), the reference's
+    indexer methods (``core/toi.py:26-42``).
     """
     spec = load_spec(cube_path)
     g = spec.grid
@@ -110,7 +114,10 @@ def load(
         roi_tbl = pa.table({k: [v] for k, v in roi.items()})
     else:
         roi_tbl = roi
-    rois = normalize_rois(roi_tbl)
+    # CRS-normalize the lon/lat ROI into the cube frame (M1 wiring: on a
+    # projected-CRS grid the ROI box densify-projects to a grid-unit bbox,
+    # antimeridian-safe — arcticdem.py:216-231 semantics)
+    rois = normalize_rois(roi_tbl, g)
     covered = roi_tiles(rois, g)
     covered_ids = set(covered.column("tile_id").to_pylist())
     if not covered_ids:
@@ -119,18 +126,47 @@ def load(
     if g.temporal:
         # sel(time=toi) analog (accessor.py:387-389): expand each covered
         # spatial tile across the selected time steps ("t-tx-ty" keys)
-        t_sel = [int(t) for t in toi_to_index(g.time_axis(), toi)]
+        t_sel = [int(t) for t in toi_to_index(g.time_axis(), toi,
+                                              method=toi_method)]
         if not t_sel:
             raise ValueError(
                 "TOI selects no time steps of the cube axis "
                 f"({g.times[0]} .. {g.times[-1]})"
             )
-        covered_ids = {f"{t}-{tid}" for t in t_sel for tid in covered_ids}
+
+    boxes = [b for r in rois for b in r["boxes"]]
+    lon_min = min(b[0] for b in boxes)
+    lat_min = min(b[1] for b in boxes)
+    lon_max = max(b[2] for b in boxes)
+    lat_max = max(b[3] for b in boxes)
+    cl, ch, rl, rh = (
+        int(v[0])
+        for v in g.pixel_window(
+            np.array([lon_min]), np.array([lat_min]),
+            np.array([lon_max]), np.array([lat_max]),
+        )
+    )
+    return _load_window(cube_path, spec, covered_ids, (cl, ch, rl, rh),
+                        t_sel, images_ds, persist, num_salts)
+
+
+def _load_window(cube_path, spec, spatial_ids: set[str], window, t_sel,
+                 images_ds, persist: bool, num_salts: int):
+    """Shared tail of :func:`load` / :func:`load_like`: anti-join the
+    covered tile ids vs the lineage ledger, ingest the missing subset,
+    then read + crop + assemble (or return the lazy Dataset)."""
+    g = spec.grid
+    cl, ch, rl, rh = window
+    pack = ChannelPack(spec.channels)
+    covered_ids = (
+        {f"{t}-{tid}" for t in t_sel for tid in spatial_ids}
+        if t_sel is not None
+        else set(spatial_ids)
+    )
 
     done = lineage.loaded_partitions(cube_path)
     missing = covered_ids - done
     tiles_dir = os.path.join(cube_path, TILES_DIR)
-    pack = ChannelPack(spec.channels)
 
     if missing and images_ds is not None:
         # procedural-download analog: ingest ONLY this ROI's missing tiles;
@@ -148,22 +184,11 @@ def load(
         # lazy variant (accessor.load without .load(), ``accessor.py:394-397``):
         # a streaming Dataset of ROI-cropped tile windows — no driver-side
         # materialization, suitable for arbitrarily large ROIs
-        return _lazy_window_dataset(tiles_dir, covered_ids, g, rois, pack)
+        return _lazy_window_dataset(tiles_dir, covered_ids, g,
+                                    (cl, ch, rl, rh), pack)
 
     # read cached tiles for the window
     window_tiles = _read_tiles(tiles_dir, covered_ids, g.chunk, pack)
-    boxes = [b for r in rois for b in r["boxes"]]
-    lon_min = min(b[0] for b in boxes)
-    lat_min = min(b[1] for b in boxes)
-    lon_max = max(b[2] for b in boxes)
-    lat_max = max(b[3] for b in boxes)
-    cl, ch, rl, rh = (
-        int(v[0])
-        for v in g.pixel_window(
-            np.array([lon_min]), np.array([lat_min]),
-            np.array([lon_max]), np.array([lat_max]),
-        )
-    )
     wins = {
         t: RoiWindow(cl, ch, rl, rh, pack)
         for t in (t_sel if t_sel is not None else [None])
@@ -193,7 +218,52 @@ def load(
     return {g.times[t]: wins[t] for t in t_sel}
 
 
-def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois,
+def load_like(
+    cube_path: str,
+    ref,
+    images_ds=None,
+    persist: bool = True,
+    num_salts: int = 4,
+):
+    """Load the exact window of a previous result (``accessor.load_like``,
+    ``core/accessor.py:302-329``): the reference extracts the geobox + time
+    axis from a reference dataset and loads the same frame — here the pixel
+    window and time selection come straight from a prior :func:`load` result
+    (a :class:`RoiWindow`, or the ``{iso_time: RoiWindow}`` dict a temporal
+    load returns), so no ROI geometry math re-runs and the returned window
+    is positionally identical. Missing tiles still ingest on demand."""
+    spec = load_spec(cube_path)
+    g = spec.grid
+    if isinstance(ref, dict):
+        if not g.temporal:
+            raise ValueError("temporal reference window for a non-temporal cube")
+        times = list(g.times)
+        t_sel = [times.index(k) for k in ref]
+        win0 = next(iter(ref.values()))
+    elif isinstance(ref, RoiWindow):
+        t_sel = None
+        if g.temporal:
+            raise ValueError(
+                "non-temporal reference window for a temporal cube; pass the "
+                "{iso_time: RoiWindow} dict a temporal load returns"
+            )
+        win0 = ref
+    else:
+        raise TypeError("ref must be a RoiWindow or {iso_time: RoiWindow}")
+    cl, ch = win0.col_lo, win0.col_hi
+    rl, rh = win0.row_lo, win0.row_hi
+    if not (0 <= cl < ch <= g.width and 0 <= rl < rh <= g.height):
+        raise ValueError("reference window exceeds the cube grid")
+    spatial_ids = {
+        f"{tx}-{ty}"
+        for tx in range(cl // g.chunk, (ch - 1) // g.chunk + 1)
+        for ty in range(rl // g.chunk, (rh - 1) // g.chunk + 1)
+    }
+    return _load_window(cube_path, spec, spatial_ids, (cl, ch, rl, rh),
+                        t_sel, images_ds, persist, num_salts)
+
+
+def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, window,
                          pack: ChannelPack):
     """Streaming K5 read path: filter cached tiles to the ROI's ids, crop
     each to the ROI pixel window inside ``map_batches`` (M2/M8 crop kernel),
@@ -201,18 +271,7 @@ def _lazy_window_dataset(tiles_dir: str, tile_ids: set[str], g, rois,
     concatenated channel buffers for the cropped window)."""
     import ray.data as rd
 
-    boxes = [b for r in rois for b in r["boxes"]]
-    lon_min = min(b[0] for b in boxes)
-    lat_min = min(b[1] for b in boxes)
-    lon_max = max(b[2] for b in boxes)
-    lat_max = max(b[3] for b in boxes)
-    cl, ch, rl, rh = (
-        int(v[0])
-        for v in g.pixel_window(
-            np.array([lon_min]), np.array([lat_min]),
-            np.array([lon_max]), np.array([lat_max]),
-        )
-    )
+    cl, ch, rl, rh = window
     wanted = set(tile_ids)
     chunk = g.chunk
 

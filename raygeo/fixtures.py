@@ -53,6 +53,21 @@ GLOBAL_GRID = GridSpec(
     chunk=120,
 )
 
+# polar stereographic grid (the ArcticDEM frame shape: EPSG:3413, meters,
+# antimeridian-free — datasets/arcticdem.py:333 / :216-231). Extent is a
+# pole-centered square; rho(lat=0) = 2R ~ 12.76e6 m, so the 12.8e6 m
+# half-extent covers the whole northern hemisphere. All params exact decimal.
+POLAR_GRID = GridSpec(
+    name="polar_n",
+    crs="EPSG:3413",
+    x0=-12800000.0,
+    y1=12800000.0,
+    res=50000.0,
+    width=512,
+    height=512,
+    chunk=64,
+)
+
 # FIXTURE_GRID plus a 4-step daily time axis (reference temporal cubes,
 # e.g. AlphaEarth's fixed yearly axis, datasets/alphaearth.py:36)
 TEMPORAL_GRID = GridSpec(

@@ -215,6 +215,59 @@ def polar_stereo_to_lonlat(x: np.ndarray, y: np.ndarray,
     return lon, lat
 
 
+def forward_xy(crs: str, lon: np.ndarray, lat: np.ndarray):
+    """Forward-project lon/lat arrays into ``crs`` coordinates (M1 dispatch,
+    ``accessor.py:372-373`` ``to_crs`` analog)."""
+    c = crs.upper()
+    if c in ("EPSG:4326", "CRS:84"):
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if c in ("EPSG:3857", "MERCATOR"):
+        return lonlat_to_mercator(lon, lat)
+    if c in ("EPSG:3413", "POLAR_N"):
+        return lonlat_to_polar_stereo(lon, lat)
+    if c == "POLAR_S":
+        return lonlat_to_polar_stereo(lon, lat, north=False)
+    raise ValueError(f"unsupported CRS {crs}")
+
+
+def project_box_bbox(
+    crs: str,
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    n_samples: int = 8,
+) -> tuple[float, float, float, float]:
+    """Projected-CRS bbox of a lon/lat box: densify each edge with
+    ``n_samples`` steps, project, take min/max.
+
+    Edge densification bounds the curvature error of projected box edges
+    (a lon/lat box maps to an annular sector under polar stereographic); the
+    deterministic sample positions ``t = i / n`` are mirrored verbatim by
+    the SQL oracle, so engine and oracle compute bit-identical bboxes.
+
+    Antimeridian: a wrapping box (``lon_min > lon_max``) is projected as the
+    contiguous lon range ``[lon_min, lon_max + 360]`` — the projected plane
+    has no seam (the reference's motivation for intersecting in EPSG:3413,
+    ``arcticdem.py:216-231``), so no split is needed.
+    """
+    if lon_min > lon_max:
+        lon_max = lon_max + 360.0
+    ts = np.arange(n_samples + 1, dtype=np.float64) / n_samples
+    lon_e = lon_min + (lon_max - lon_min) * ts
+    lat_e = lat_min + (lat_max - lat_min) * ts
+    lon = np.concatenate([
+        lon_e, lon_e,
+        np.full(n_samples + 1, lon_min), np.full(n_samples + 1, lon_max),
+    ])
+    lat = np.concatenate([
+        np.full(n_samples + 1, lat_min), np.full(n_samples + 1, lat_max),
+        lat_e, lat_e,
+    ])
+    x, y = forward_xy(crs, lon, lat)
+    return float(x.min()), float(y.min()), float(x.max()), float(y.max())
+
+
 def reproject_ring(ring: np.ndarray, crs: str) -> np.ndarray:
     """Reproject a (M, 2) lon/lat ring into the grid CRS (M1 kernel)."""
     ring = np.asarray(ring, dtype=np.float64)

@@ -159,6 +159,68 @@ def normalize_bands(images_ds, batch_size: int = 256):
     )
 
 
+# ------------------------------------------------------------- NA interpolate
+def interpolate_na_nearest(data: np.ndarray, valid: np.ndarray,
+                           max_iter: int | None = None) -> np.ndarray:
+    """M9's fill step (``tctrend.py:82`` ``rio.interpolate_na()`` analog):
+    fill invalid pixels from their nearest valid neighbors.
+
+    Pure-numpy BFS dilation (no scipy in the sandbox): each pass fills every
+    still-invalid pixel that has a valid 4-neighbor, taking the first valid
+    value in the fixed priority order N, S, W, E — so results are
+    deterministic (the reference's scipy-griddata nearest has unspecified
+    tie-breaks; this engine defines them). Distance metric is therefore
+    grid-geodesic (BFS ring) rather than Euclidean — identical on the
+    axis-aligned NaN borders the op exists for (STAC tile borders,
+    ``docs/how_it_works.md:33-46``).
+
+    ``data``: (H, W) or (H, W, C); ``valid``: (H, W) bool. Returns a filled
+    copy; a frame with no valid pixel returns unchanged. Passes = max BFS
+    distance, each O(H*W) vectorized.
+    """
+    out = np.array(data, copy=True)
+    v = valid.copy()
+    if v.all() or not v.any():
+        return out
+    it = 0
+    while not v.all():
+        newly = np.zeros_like(v)
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):  # N, S, W, E
+            sv = np.zeros_like(v)
+            sa = np.zeros_like(out)
+            # shifted views: value/validity of the neighbor at (-dy, -dx)
+            dst_y = slice(max(dy, 0), out.shape[0] + min(dy, 0))
+            src_y = slice(max(-dy, 0), out.shape[0] + min(-dy, 0))
+            dst_x = slice(max(dx, 0), out.shape[1] + min(dx, 0))
+            src_x = slice(max(-dx, 0), out.shape[1] + min(-dx, 0))
+            sv[dst_y, dst_x] = v[src_y, src_x]
+            sa[dst_y, dst_x] = out[src_y, src_x]
+            take = (~v) & (~newly) & sv
+            if take.any():
+                out[take] = sa[take]
+                newly |= take
+        if not newly.any():
+            break  # disconnected invalid region (cannot happen on 2-D grids)
+        v |= newly
+        it += 1
+        if max_iter is not None and it >= max_iter:
+            break
+    return out
+
+
+def fill_window_na(win) -> None:
+    """Fill a :class:`raygeo.engine.RoiWindow`'s invalid pixels in place from
+    their nearest valid neighbors (per channel) and mark the mask full —
+    the query-side completion of M9 (normalize pipelines downstream then see
+    a dense band, exactly like the reference's
+    min/max -> interpolate_na -> clip chain, ``tctrend.py:74-88``)."""
+    if not win.mask.any():
+        return
+    for i, a in enumerate(win.data):
+        win.data[i] = interpolate_na_nearest(a, win.mask)
+    win.mask[:] = True
+
+
 # ------------------------------------------------ stubbed external decoders
 def decode_external_image(buf: bytes, fmt: str) -> np.ndarray:
     """JPEG/PNG decode — STUB: PIL/cv2 are not in this container.

@@ -21,18 +21,33 @@ import numpy as np
 import pyarrow as pa
 
 from ..fixtures import footprint_of
-from ..geom import polygon_intersects_boxes, split_antimeridian_box
+from ..geom import (
+    polygon_intersects_boxes,
+    project_box_bbox,
+    reproject_ring,
+    split_antimeridian_box,
+)
 from ..grid import GridSpec, tile_id_strings
 
 
-def normalize_rois(roi_table: pa.Table) -> list[dict]:
-    """Driver-side ROI prep: split antimeridian boxes, keep rings.
+def normalize_rois(roi_table: pa.Table, grid: GridSpec | None = None) -> list[dict]:
+    """Driver-side ROI prep: CRS-normalize + antimeridian handling.
 
-    Returns a list of dicts: {roi_id, boxes: [(lon_min,lat_min,lon_max,lat_max)],
-    ring: (M,2) ndarray | None}.
+    ROIs are always given in lon/lat (EPSG:4326), the reference's query
+    convention (``accessor.py:331-358``). When ``grid`` names a projected
+    CRS, each ROI is reprojected into the cube frame before tiling (M1,
+    ``accessor.py:372-373``; ArcticDEM intersects in EPSG:3413,
+    ``arcticdem.py:216-231``): boxes via the densified-edge bbox kernel
+    (antimeridian-continuous, no split), rings vertex-wise. On lon/lat
+    grids, wrapping boxes split into in-range boxes as before.
+
+    Returns a list of dicts: {roi_id, kind,
+    boxes: [(x_min, y_min, x_max, y_max)] in GRID units,
+    ring: (M,2) ndarray in grid units | None}.
     """
     out = []
     has_ring = "ring" in roi_table.schema.names
+    projected = grid is not None and grid.crs.upper() not in ("EPSG:4326", "CRS:84")
     for i in range(roi_table.num_rows):
         roi_id = roi_table.column("roi_id")[i].as_py()
         kind = (
@@ -44,10 +59,16 @@ def normalize_rois(roi_table: pa.Table) -> list[dict]:
         lat_min = roi_table.column("lat_min")[i].as_py()
         lon_max = roi_table.column("lon_max")[i].as_py()
         lat_max = roi_table.column("lat_max")[i].as_py()
-        boxes = split_antimeridian_box(lon_min, lat_min, lon_max, lat_max)
+        if projected:
+            boxes = [project_box_bbox(grid.crs, lon_min, lat_min,
+                                      lon_max, lat_max)]
+        else:
+            boxes = split_antimeridian_box(lon_min, lat_min, lon_max, lat_max)
         ring = None
         if has_ring and kind == "concave":
             ring = np.array(roi_table.column("ring")[i].as_py(), dtype=np.float64)
+            if projected:
+                ring = reproject_ring(ring, grid.crs)
         out.append({"roi_id": roi_id, "kind": kind, "boxes": boxes, "ring": ring})
     return out
 

@@ -41,10 +41,13 @@ def snap_bfill(axis: np.ndarray, ts: np.ndarray) -> np.ndarray:
 def toi_to_index(
     axis: np.ndarray,
     toi,
+    method: str = "nearest",
 ) -> np.ndarray:
     """Normalize a TOI (None | scalar | (start, end) slice | list) to axis
-    indices, reference ``core/toi.py:26-42`` semantics: scalars snap nearest,
-    slices select the inclusive range."""
+    indices, reference ``core/toi.py:26-42`` semantics: scalar/list TOIs
+    snap per ``method`` (``nearest`` default, ``pad`` = last step <= t,
+    ``bfill`` = first step >= t; out-of-range pad/bfill lookups drop, the
+    get_indexer -1 analog), slices select the inclusive range."""
     axis = np.asarray(axis, dtype="datetime64[us]")
     if toi is None:
         return np.arange(len(axis))
@@ -54,4 +57,12 @@ def toi_to_index(
         hi = len(axis) - 1 if end is None else int(snap_pad(axis, np.array([end]))[0])
         return np.arange(max(lo, 0), min(hi, len(axis) - 1) + 1)
     arr = np.atleast_1d(np.asarray(toi, dtype="datetime64[us]"))
-    return snap_nearest(axis, arr)
+    if method == "nearest":
+        return snap_nearest(axis, arr)
+    if method == "pad":
+        idx = snap_pad(axis, arr)
+        return idx[idx >= 0]
+    if method == "bfill":
+        idx = snap_bfill(axis, arr)
+        return idx[idx < len(axis)]
+    raise ValueError(f"unknown TOI method {method!r}")

@@ -67,6 +67,28 @@ def test_toi_to_index_slice_and_scalar():
     assert toi_mod.toi_to_index(AXIS.values, None).tolist() == list(range(8))
 
 
+def test_toi_to_index_pad_bfill_methods():
+    """Reference toi.py:26-42 indexer methods on scalar/list TOIs."""
+    t = np.datetime64("2024-01-03 11:00")
+    assert toi_mod.toi_to_index(AXIS.values, t, method="pad").tolist() == [2]
+    assert toi_mod.toi_to_index(AXIS.values, t, method="bfill").tolist() == [3]
+    assert toi_mod.toi_to_index(AXIS.values, t, method="nearest").tolist() == [2]
+    # out-of-range lookups drop (get_indexer -1 analog)
+    before = np.datetime64("2023-06-01")
+    after = np.datetime64("2025-06-01")
+    assert toi_mod.toi_to_index(AXIS.values, before, method="pad").tolist() == []
+    assert toi_mod.toi_to_index(AXIS.values, after, method="bfill").tolist() == []
+    # mixed list: the before-axis lookup drops, the after-axis one pads to
+    # the last step
+    assert toi_mod.toi_to_index(
+        AXIS.values, [before, t, after], method="pad"
+    ).tolist() == [2, len(AXIS) - 1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        toi_mod.toi_to_index(AXIS.values, t, method="wat")
+
+
 def _window_oracle(images_path, grid, cl, ch, rl, rh):
     """Brute-force sorted-LWW mosaic of just the query window."""
     t = pq.read_table(images_path)
@@ -225,6 +247,75 @@ def test_temporal_load_toi_slice(ray_session, fixtures_sf0001, tmp_path):
     assert k == "2024-01-02T00:00:00"
     assert w1.stats() == wins["2024-01-02T00:00:00"].stats()
     assert w1.stats()["n_valid_px"] > 0
+
+
+def test_load_like_reproduces_window(ray_session, fixtures_sf0001, tmp_path):
+    """load_like(ref) (accessor.py:302-329): the same pixel window reloads
+    positionally identical — from cache, and into a second fresh cube where
+    it triggers ingest of exactly the reference window's tiles."""
+    import ray.data as rd
+
+    from raygeo.engine import load_like
+
+    g = FIXTURE_GRID
+    cube = _mk_cube(tmp_path / "cube_ll", g)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    roi = {"roi_id": "r", "lon_min": -0.3, "lat_min": -0.2,
+           "lon_max": 0.25, "lat_max": 0.3}
+    win = load(cube, roi, images_ds=images)
+    # cached reload
+    again = load_like(cube, win)
+    assert (again.col_lo, again.col_hi, again.row_lo, again.row_hi) == (
+        win.col_lo, win.col_hi, win.row_lo, win.row_hi)
+    assert np.array_equal(again.mask, win.mask)
+    assert np.array_equal(again.rgb, win.rgb)
+    # fresh cube: load_like must ingest the same window on demand
+    cube2 = _mk_cube(tmp_path / "cube_ll2", g)
+    fresh = load_like(cube2, win, images_ds=images)
+    assert np.array_equal(fresh.mask, win.mask)
+    assert np.array_equal(fresh.rgb, win.rgb)
+
+
+def test_load_like_temporal(ray_session, fixtures_sf0001, tmp_path):
+    import ray.data as rd
+
+    from raygeo.engine import load_like
+    from raygeo.fixtures import TEMPORAL_GRID
+
+    cube = _mk_cube(tmp_path / "cube_llt", TEMPORAL_GRID)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    roi = {"roi_id": "rt", "lon_min": -0.15, "lat_min": -0.15,
+           "lon_max": 0.15, "lat_max": 0.15}
+    wins = load(cube, roi, images_ds=images,
+                toi=(np.datetime64("2024-01-02"), np.datetime64("2024-01-03")))
+    again = load_like(cube, wins)
+    assert sorted(again) == sorted(wins)
+    for k in wins:
+        assert np.array_equal(again[k].mask, wins[k].mask)
+        assert np.array_equal(again[k].rgb, wins[k].rgb)
+
+
+def test_load_toi_pad_bfill_methods(ray_session, fixtures_sf0001, tmp_path):
+    """toi_method threads through load(): pad picks the earlier step,
+    bfill the later one, for a between-steps scalar TOI."""
+    import ray.data as rd
+
+    from raygeo.fixtures import TEMPORAL_GRID
+
+    cube = _mk_cube(tmp_path / "cube_pm", TEMPORAL_GRID)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    roi = {"roi_id": "rp", "lon_min": -0.1, "lat_min": -0.1,
+           "lon_max": 0.1, "lat_max": 0.1}
+    t = np.datetime64("2024-01-02T20:00")  # between steps 1 and 2
+    pad = load(cube, roi, images_ds=images, toi=t, toi_method="pad")
+    assert list(pad) == ["2024-01-02T00:00:00"]
+    bfill = load(cube, roi, images_ds=images, toi=t, toi_method="bfill")
+    assert list(bfill) == ["2024-01-03T00:00:00"]
+    nearest = load(cube, roi, toi=t)  # default nearest -> later (closer)
+    assert list(nearest) == ["2024-01-03T00:00:00"]
 
 
 def test_current_state_reports_committed_tiles(ray_session, fixtures_sf0001,

@@ -90,3 +90,48 @@ def test_ngram_jaccard_uses_char_shingles(ray_session):
                                 k=4, threshold=0.5)
     got = set(zip(pairs.id_a.astype(int), pairs.id_b.astype(int)))
     assert got == {(1, 2)}
+
+
+def test_interpolate_na_nearest_fills_borders():
+    """M9 fill kernel (tctrend.py:82 analog): NaN borders fill from nearest
+    valid pixels, valid pixels never change, result is idempotent."""
+    import numpy as np
+
+    from raygeo.ops.multimodal import interpolate_na_nearest
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    data = rng.integers(0, 255, (12, 10, 3), dtype=np.uint8)
+    valid = np.zeros((12, 10), bool)
+    valid[3:9, 2:8] = True  # interior valid block, NaN border
+    out = interpolate_na_nearest(data, valid)
+    # valid pixels unchanged
+    assert np.array_equal(out[valid], data[valid])
+    # border pixels take the nearest interior value: row 0..2 of col 4 copy
+    # row 3 (N-priority fill propagates upward)
+    assert np.array_equal(out[0, 4], data[3, 4])
+    assert np.array_equal(out[11, 4], data[8, 4])
+    assert np.array_equal(out[5, 0], data[5, 2])
+    # every filled value exists among the original valid values
+    vals = {tuple(v) for v in data[valid].reshape(-1, 3)}
+    assert all(tuple(v) in vals for v in out[~valid].reshape(-1, 3))
+    # idempotent once mask is full
+    again = interpolate_na_nearest(out, np.ones_like(valid))
+    assert np.array_equal(again, out)
+    # degenerate frames
+    none_valid = interpolate_na_nearest(data, np.zeros_like(valid))
+    assert np.array_equal(none_valid, data)
+
+
+def test_fill_window_na_roundtrip():
+    import numpy as np
+
+    from raygeo.engine import RoiWindow
+    from raygeo.ops.multimodal import fill_window_na
+
+    win = RoiWindow(0, 6, 0, 4)
+    win.data[0][...] = 0
+    win.data[0][1:3, 1:4] = 7
+    win.mask[1:3, 1:4] = True
+    fill_window_na(win)
+    assert win.mask.all()
+    assert (win.data[0] == 7).all()
