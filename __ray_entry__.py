@@ -517,6 +517,18 @@ def _q_sessionize(sf_dir: str):
     return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_pairing(sf_dir: str):
+    """J5 (start/end event pairing -> durations, ``backend.py:79-93``):
+    per user, each 'view' pairs with the first strictly-later 'click';
+    one keyed shuffle + vectorized searchsorted per group."""
+    import ray.data as rd
+
+    from raygeo.ops.metrics import pair_start_end
+
+    return pair_start_end(rd.read_parquet(f"{sf_dir}/events.parquet"),
+                          start_type="view", end_type="click")
+
+
 def _q_docs_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -628,14 +640,18 @@ def _q_docs_ngram_jaccard(sf_dir: str):
 
 def _q_image_features(sf_dir: str):
     """Cheap visual features (per-channel means + edge energy) — the
-    feature-extract stage of a multimodal training pipeline. Rows-only."""
+    feature-extract stage of a multimodal training pipeline. Value-checked:
+    re-derived fixed-point 1e-6 features vs generation-time goldens."""
     import ray.data as rd
 
     from raygeo.ops.multimodal import image_features
 
     d = _fix(sf_dir)
     return image_features(rd.read_parquet(f"{d}/images.parquet",
-                                          columns=["image_id", "bytes"]))
+                                          columns=["image_id", "bytes"])
+                          ).select_columns(
+        ["image_id", "feat_mr", "feat_mg", "feat_mb", "feat_edge"]
+    )
 
 
 def _q_emb_knn(sf_dir: str):
@@ -718,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_sessionize,
+        "events_pairing": _q_events_pairing,
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -727,9 +744,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_neardup": _q_docs_simhash_neardup,  # rows-only
         "docs_fingerprint": _q_docs_fingerprint,  # rows-only
         "docs_neardup_exact": _q_docs_neardup_exact,
-        "docs_minhash_07": _q_docs_minhash_07,  # rows-only (probabilistic recall)
-        "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # rows-only
-        "image_features": _q_image_features,  # rows-only (float features)
+        "docs_minhash_07": _q_docs_minhash_07,  # exact-Jaccard oracle (full recall on fixture corpus)
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
+        "image_features": _q_image_features,  # fixed-point golden check
         # embeddings
         "emb_knn": _q_emb_knn,
         "emb_ivf_knn": _q_emb_ivf_knn,  # rows-only (approximate)
@@ -1019,6 +1036,18 @@ SELECT user_id, MAX(sess)::BIGINT AS n_sessions,
   SUM(cnt)::BIGINT AS n_events, MAX(cnt)::BIGINT AS max_session_events
 FROM per_sess GROUP BY 1
 """,
+        "events_pairing": """
+WITH s AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+),
+e AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT s.user_id, s.event_id,
+  CAST(min(epoch_us(e.ts)) - epoch_us(s.ts) AS BIGINT) AS wait_us
+FROM s JOIN e ON e.user_id = s.user_id AND e.ts > s.ts
+GROUP BY s.user_id, s.event_id, s.ts
+""",
         "docs_token_stats": r"""
 SELECT doc_id,
   length(text)::BIGINT AS n_chars,
@@ -1102,6 +1131,47 @@ FROM inter
 JOIN cnt ca ON ca.doc_id = id_a
 JOIN cnt cb ON cb.doc_id = id_b
 WHERE c = ca.n AND c = cb.n
+""",
+        "image_features": f"""
+SELECT image_id, feat_mr, feat_mg, feat_mb, feat_edge
+FROM read_parquet('{IMAGES_001}/*.parquet')
+""",
+        # LSH banding is probabilistic in general; on this deterministic
+        # corpus both variants achieve full recall (verified), so the exact
+        # all-pairs Jaccard SQL is a valid (and stronger) oracle: any recall
+        # or precision loss becomes a hash mismatch.
+        "docs_minhash_07": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS s
+  FROM t WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
+""",
+        "docs_ngram_jaccard": """
+WITH t AS (SELECT doc_id, text FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 4) AS s
+  FROM t, unnest(generate_series(1, greatest(length(text) - 3, 1))) AS u(i)
+  WHERE length(text) >= 4
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
 """,
         "emb_knn": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),

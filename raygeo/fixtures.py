@@ -119,6 +119,12 @@ IMAGES_SCHEMA = pa.schema(
         ("max_g", pa.int32()),
         ("max_b", pa.int32()),
         ("norm_sum", pa.int64()),
+        # golden visual features (ops.multimodal.ImageFeatures oracle):
+        # fixed-point 1e-6 channel means + edge energy of the decoded pixels
+        ("feat_mr", pa.int64()),
+        ("feat_mg", pa.int64()),
+        ("feat_mb", pa.int64()),
+        ("feat_edge", pa.int64()),
     ]
 )
 
@@ -233,6 +239,7 @@ def _make_row(i: int, grid: GridSpec) -> dict:
         "pix_sum": int(decoded.astype(np.int64).sum()),
         "thumb_sum": int(thumb.astype(np.int64).sum()),
         **_norm_golden(decoded),
+        **feature_golden(decoded),
     }
 
 
@@ -248,6 +255,21 @@ def _norm_golden(decoded: np.ndarray) -> dict:
         "min_r": int(mn[0]), "min_g": int(mn[1]), "min_b": int(mn[2]),
         "max_r": int(mx[0]), "max_g": int(mx[1]), "max_b": int(mx[2]),
         "norm_sum": int(norm.astype(np.int64).sum()),
+    }
+
+
+def feature_golden(decoded: np.ndarray) -> dict:
+    """Golden visual features (ops.multimodal.ImageFeatures semantics):
+    per-channel float64 means + mean |gradient| edge energy, stored as
+    fixed-point 1e-6 int64 so the oracle compare is exact."""
+    pix = decoded.astype(np.float64)
+    gy = np.abs(np.diff(pix.mean(axis=2), axis=0)).mean()
+    gx = np.abs(np.diff(pix.mean(axis=2), axis=1)).mean()
+    return {
+        "feat_mr": int(round(float(pix[:, :, 0].mean()) * 1e6)),
+        "feat_mg": int(round(float(pix[:, :, 1].mean()) * 1e6)),
+        "feat_mb": int(round(float(pix[:, :, 2].mean()) * 1e6)),
+        "feat_edge": int(round(float(gx + gy) * 1e6)),
     }
 
 
@@ -464,7 +486,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v3-normgolden"
+FIXTURE_LAYOUT_VERSION = "v4-featgolden"
 
 
 def ensure_fixtures(sf: float) -> str:

@@ -72,3 +72,49 @@ def partition_report(cube_path: str) -> pd.DataFrame:
             "bytes": skew_stats(df["bytes"].to_numpy()),
         }
     return df
+
+
+def pair_start_end(events_ds, start_type: str, end_type: str,
+                   key_col: str = "user_id"):
+    """J5: start/end event pairing -> wait durations (the reference's
+    thread-event pairing, ``core/backend.py:79-93``: a pandas merge of start
+    and stop rows on (patch, action, thread) computing per-action durations
+    for the Gantt report).
+
+    Engine semantics (deterministic, SQL-expressible): per ``key_col``, each
+    ``start_type`` event pairs with the FIRST ``end_type`` event strictly
+    after it; starts with no later end drop. One keyed shuffle
+    (``groupby(key).map_groups``) — a key's events always fit one task —
+    then a vectorized searchsorted match per group.
+
+    Returns a Dataset of (key_col, event_id, wait_us:int64).
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        starts = g[g.event_type == start_type]
+        ends_ts = g.loc[g.event_type == end_type, "ts"].to_numpy()
+        if len(starts) == 0 or len(ends_ts) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=g[key_col].dtype),
+                                 "event_id": pd.Series(dtype="int64"),
+                                 "wait_us": pd.Series(dtype="int64")})
+        s_ts = starts["ts"].to_numpy()
+        pos = np.searchsorted(ends_ts, s_ts, side="right")
+        ok = pos < len(ends_ts)
+        wait = (
+            ends_ts[pos[ok]].astype("datetime64[us]").astype(np.int64)
+            - s_ts[ok].astype("datetime64[us]").astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                key_col: starts[key_col].to_numpy()[ok],
+                "event_id": starts["event_id"].to_numpy()[ok].astype(np.int64),
+                "wait_us": wait,
+            }
+        )
+
+    return (
+        events_ds.select_columns([key_col, "event_id", "ts", "event_type"])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )
