@@ -59,7 +59,7 @@ from ..fixtures import footprint_of, timestamp_of
 from ..toi import snap_nearest
 from ..grid import GridSpec
 from .. import lineage
-from ..util import cluster_cpus
+from ..util import binary_views, cluster_cpus
 
 FRAGMENT_SCHEMA = pa.schema(
     [
@@ -114,7 +114,7 @@ class DecodeExplode:
         g = self.grid
         pk = self.pack
         ids = batch.column("image_id").to_pylist()
-        bufs = batch.column("bytes").to_pylist()
+        bufs = binary_views(batch.column("bytes"))
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
 
@@ -194,7 +194,7 @@ def _fold_group(table: pa.Table, chunk: int, pack: ChannelPack,
     fh = table.column("fh").to_numpy()
     fw = table.column("fw").to_numpy()
     pno = table.column("patch_no").to_numpy()
-    px = table.column("px").to_pylist()
+    px = binary_views(table.column("px"))
     for j in order:
         h, w = int(fh[j]), int(fw[j])
         y0, x0 = int(y_off[j]), int(x_off[j])
@@ -437,7 +437,7 @@ class DecodeFoldPartial:
         if not ids:
             return pa.table({k: [] for k in PARTIAL_SCHEMA.names},
                             schema=PARTIAL_SCHEMA)
-        bufs = batch.column("bytes").to_pylist()
+        bufs = binary_views(batch.column("bytes"))
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
         boxes = np.array(
@@ -545,8 +545,8 @@ def make_tree_combine(chunk: int, mode: str = "lww",
         if all(len(v) == 1 for v in by_tile.values()):
             return t
         out = {k: [] for k in PARTIAL_SCHEMA.names}
-        cz = t.column("canvas_z")
-        wz = t.column("winner_z")
+        cz = binary_views(t.column("canvas_z"))
+        wz = binary_views(t.column("winner_z"))
         nf = t.column("n_frags")
         lo = t.column("pno_lo")
         hi = t.column("pno_hi")
@@ -555,7 +555,7 @@ def make_tree_combine(chunk: int, mode: str = "lww",
         for tid, rows in by_tile.items():
             merged = merge_packed(
                 [
-                    {"cz": cz[j].as_py(), "wz": wz[j].as_py(),
+                    {"cz": cz[j], "wz": wz[j],
                      "n": int(nf[j].as_py()), "lo": int(lo[j].as_py()),
                      "hi": int(hi[j].as_py())}
                     for j in rows
@@ -605,11 +605,13 @@ def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww",
 
     def merge_fold(group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
+        cz_v = binary_views(group.column("canvas_z"))
+        wz_v = binary_views(group.column("winner_z"))
         merged = merge_packed(
             [
                 {
-                    "cz": group.column("canvas_z")[j].as_py(),
-                    "wz": group.column("winner_z")[j].as_py(),
+                    "cz": cz_v[j],
+                    "wz": wz_v[j],
                     "n": int(group.column("n_frags")[j].as_py()),
                     "lo": int(group.column("pno_lo")[j].as_py()),
                     "hi": int(group.column("pno_hi")[j].as_py()),

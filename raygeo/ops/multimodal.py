@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..codec import decode
+from ..util import binary_views
 from ..fixtures import thumbnail
 
 
@@ -31,7 +32,7 @@ class DecodeStats:
         pass
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t.column("bytes").to_pylist()
+        bufs = binary_views(t.column("bytes"))
         sums = np.empty(len(bufs), dtype=np.int64)
         mins = np.empty(len(bufs), dtype=np.int32)
         maxs = np.empty(len(bufs), dtype=np.int32)
@@ -68,7 +69,7 @@ class Thumbnail:
         self.size = size
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t.column("bytes").to_pylist()
+        bufs = binary_views(t.column("bytes"))
         thumbs, sums = [], []
         for b in bufs:
             th = thumbnail(decode(b), self.size)
@@ -103,7 +104,7 @@ class ImageFeatures:
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..fixtures import feature_golden
 
-        bufs = t.column("bytes").to_pylist()
+        bufs = binary_views(t.column("bytes"))
         out = {"image_id": t.column("image_id"), "mean_r": [], "mean_g": [],
                "mean_b": [], "edge_energy": [],
                "feat_mr": [], "feat_mg": [], "feat_mb": [], "feat_edge": []}
@@ -137,7 +138,7 @@ class NormalizeBands:
     """
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t.column("bytes").to_pylist()
+        bufs = binary_views(t.column("bytes"))
         n = len(bufs)
         mins = np.empty((n, 3), np.int32)
         maxs = np.empty((n, 3), np.int32)

@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..codec import decode
+from ..util import binary_views
 from ..fixtures import footprint_of
 from ..grid import GridSpec
 
@@ -42,7 +43,7 @@ class ZonalPartial:
             [footprint_of(i, int(w), int(h), self.grid) for i, w, h in zip(ids, ws, hs)]
         ).reshape(-1, 4)
         if self.decode_pixels:
-            bufs = batch.column("bytes").to_pylist()
+            bufs = binary_views(batch.column("bytes"))
             pix_sums = np.array(
                 [decode(b).astype(np.int64).sum() for b in bufs], dtype=np.int64
             )

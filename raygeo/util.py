@@ -40,3 +40,33 @@ def table_from_pandas(df) -> "pa.Table":  # noqa: F821
     import pyarrow as pa
 
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def binary_views(col) -> list:
+    """Zero-copy per-element memoryviews of a (large_)binary Arrow column.
+
+    ``col.to_pylist()`` / ``scalar.as_py()`` copy every payload into a fresh
+    ``bytes`` — measurable on decode-heavy stages (NOTES r1: ~4% of the
+    ingest decode stage). These views alias the Arrow data buffer directly;
+    valid only while the source column is alive, so callers consume them
+    within the batch function. Columns must be null-free (all engine binary
+    columns are).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list = []
+    for arr in chunks:
+        n = len(arr)
+        if n == 0:
+            continue
+        large = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+        dt = np.int64 if large else np.int32
+        offs = np.frombuffer(
+            arr.buffers()[1], dtype=dt, count=n + 1,
+            offset=arr.offset * np.dtype(dt).itemsize,
+        )
+        data = memoryview(arr.buffers()[2])
+        out.extend(data[offs[i] : offs[i + 1]] for i in range(n))
+    return out
