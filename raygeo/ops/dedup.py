@@ -67,10 +67,15 @@ def exact_dedup(ds, key_col: str, id_col: str, precomputed_hash: str | None = No
         )
         return table_from_pandas(part)
 
+    from ..util import cluster_cpus
+
     cols = [c for c in {key_col if precomputed_hash is None else precomputed_hash, id_col}]
     partial = ds.select_columns(cols).map_batches(
         add_hash, batch_format="pyarrow", batch_size=16384
     )
+    # bound the sort-shuffle block count (sort cost grows with blocks x
+    # partitions; many small partial blocks make the groupby overhead-bound)
+    partial = partial.repartition(max(8, min(64, cluster_cpus())))
     return partial.groupby("hash64").aggregate(
         Min(id_col, alias_name=id_col), Sum("n_dups", alias_name="n_dups")
     )
