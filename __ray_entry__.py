@@ -604,6 +604,21 @@ def _q_docs_neardup_exact(sf_dir: str):
     return pairs[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"})
 
 
+def _q_docs_dedup_keep(sf_dir: str):
+    """Near-dup dedup DECISION: connected components over the verified
+    MinHash pairs (>= 0.7 Jaccard), min-id representative per cluster,
+    keep/drop flag per document — what a training pipeline consumes.
+    Pairs come from the distributed LSH plan; union-find on pairs only;
+    the corpus joins the decision as a broadcast map (no corpus shuffle)."""
+    import ray.data as rd
+
+    from raygeo.ops.dedup import dedup_keep_list, minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", jaccard_threshold=0.7)
+    return dedup_keep_list(ds, pairs, "doc_id")
+
+
 def _q_docs_minhash_07(sf_dir: str):
     import ray.data as rd
 
@@ -745,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,  # rows-only
         "docs_neardup_exact": _q_docs_neardup_exact,
         "docs_minhash_07": _q_docs_minhash_07,  # exact-Jaccard oracle (full recall on fixture corpus)
+        "docs_dedup_keep": _q_docs_dedup_keep,  # components via recursive-CTE oracle
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
         "image_features": _q_image_features,  # fixed-point golden check
         # embeddings
@@ -1156,6 +1172,35 @@ inter AS (
 SELECT id_a, id_b
 FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
+""",
+        "docs_dedup_keep": """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, min(r) AS cluster_rep,
+  CAST(min(r) = id AS INTEGER) AS keep
+FROM reach GROUP BY id
 """,
         "docs_ngram_jaccard": """
 WITH t AS (SELECT doc_id, text FROM documents),

@@ -35,6 +35,8 @@ def record_partition(
     wall_ms: float,
 ) -> None:
     """Atomically commit one partition's lineage record (idempotent)."""
+    import socket
+
     d = _lineage_dir(cube_path)
     os.makedirs(d, exist_ok=True)
     rec = {
@@ -44,6 +46,9 @@ def record_partition(
         "bytes": n_bytes,
         "wall_ms": round(wall_ms, 3),
         "commit_ts": time.time(),
+        # who produced the partition — the worker axis of the event
+        # timeline (reference thread/Gantt dimension, core/backend.py:59-93)
+        "worker": f"{socket.gethostname()}:{os.getpid()}",
     }
     final = os.path.join(d, f"part-{partition_id}.json")
     tmp = os.path.join(d, f".tmp-{partition_id}-{uuid.uuid4().hex}")

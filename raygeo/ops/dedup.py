@@ -534,3 +534,58 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
     return ds.select_columns([id_col, vec_col]).map_batches(
         pairs, batch_format="pyarrow", batch_size=2048
     )
+
+
+# ----------------------------------------------------- dedup keep decision
+def dedup_keep_list(ds, pairs: pd.DataFrame, id_col: str):
+    """Connected-component dedup decision over verified near-dup pairs.
+
+    What a training-data pipeline actually consumes from near-dup detection:
+    one keep/drop decision per document. Components of the pair graph get
+    their minimum member id as the canonical representative; every id not in
+    any pair represents itself.
+
+    Scale shape: ``pairs`` is the (small by contract) verified near-dup
+    output, so union-find runs on the driver in O(P α); the decision then
+    joins back to the full corpus as a **broadcast map inside map_batches**
+    — the corpus itself never shuffles.
+
+    Returns a Dataset of (id_col, cluster_rep, keep:int32).
+    """
+    import ray
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root so the representative is the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rep = {x: find(x) for x in parent}
+    rep_ref = ray.put(rep)
+
+    def decide(t: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        ids = t.column(id_col).to_pylist()
+        reps = [m.get(i, i) for i in ids]
+        keep = [1 if r == i else 0 for i, r in zip(ids, reps)]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster_rep": pa.array(reps, t.schema.field(id_col).type),
+                "keep": pa.array(keep, pa.int32()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(
+        decide, batch_format="pyarrow", batch_size=16384
+    )

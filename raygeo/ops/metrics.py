@@ -118,3 +118,57 @@ def pair_start_end(events_ds, start_type: str, end_type: str,
         .groupby(key_col)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def event_timeline(cube_path: str) -> pd.DataFrame:
+    """T6: per-partition event timeline from the lineage ledger (the
+    reference's thread-event log, ``core/backend.py:46-93``: start/stop
+    events per (thread, action, patch) -> durations -> Gantt). Each committed
+    partition record carries its wall time, commit instant, and producing
+    worker, so the timeline reconstructs without any in-memory event list —
+    it survives restarts and multi-process runs by construction.
+
+    Returns (partition_id, worker, start_ts, end_ts, wall_ms) sorted by
+    start_ts.
+    """
+    rows = []
+    for r in lineage.read_records(cube_path):
+        end = float(r.get("commit_ts", 0.0))
+        wall = float(r.get("wall_ms", 0.0))
+        rows.append(
+            {
+                "partition_id": r["partition_id"],
+                "worker": r.get("worker", "?"),
+                "start_ts": end - wall / 1e3,
+                "end_ts": end,
+                "wall_ms": wall,
+            }
+        )
+    df = pd.DataFrame(
+        rows, columns=["partition_id", "worker", "start_ts", "end_ts", "wall_ms"]
+    )
+    return df.sort_values("start_ts", kind="mergesort").reset_index(drop=True)
+
+
+def gantt_ascii(cube_path: str, width: int = 80) -> str:
+    """ASCII Gantt of the partition timeline, one row per worker (the
+    matplotlib-free analog of the reference's Gantt plot assets,
+    ``core/backend.py:95-185``). '#' marks the span a worker spent producing
+    partitions; the header shows the run's wall-clock extent."""
+    df = event_timeline(cube_path)
+    if df.empty:
+        return "(no committed partitions)"
+    t0 = float(df.start_ts.min())
+    t1 = float(df.end_ts.max())
+    span = max(t1 - t0, 1e-9)
+    out = [f"run span {span:.3f}s, {df.worker.nunique()} workers, "
+           f"{len(df)} partitions"]
+    for worker, g in df.groupby("worker", sort=True):
+        bar = [" "] * width
+        for _, r in g.iterrows():
+            a = int((r.start_ts - t0) / span * (width - 1))
+            b = int((r.end_ts - t0) / span * (width - 1))
+            for k in range(a, b + 1):
+                bar[k] = "#"
+        out.append(f"{worker:>24} |{''.join(bar)}|")
+    return "\n".join(out)

@@ -135,3 +135,27 @@ def test_fill_window_na_roundtrip():
     fill_window_na(win)
     assert win.mask.all()
     assert (win.data[0] == 7).all()
+
+
+def test_event_timeline_and_gantt(ray_session, fixtures_sf0001, tmp_path):
+    """T6: the lineage ledger reconstructs a per-worker partition timeline
+    (durations + producing worker) and renders an ASCII Gantt."""
+    import ray.data as rd
+
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, create
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.metrics import event_timeline, gantt_ascii
+
+    cube = str(tmp_path / "cube_tl")
+    create(CubeSpec("tl", FIXTURE_GRID, RGB_CHANNELS), cube)
+    ds = rd.read_parquet(f"{fixtures_sf0001}/images.parquet").limit(200)
+    tiles = ingest(ds, FIXTURE_GRID, cube_path=cube).to_pandas()
+    tl = event_timeline(cube)
+    assert len(tl) == len(tiles)
+    assert (tl.end_ts >= tl.start_ts).all()
+    assert (tl.wall_ms >= 0).all()
+    assert tl.worker.nunique() >= 1 and (tl.worker != "?").all()
+    g = gantt_ascii(cube)
+    assert "partitions" in g and "#" in g
