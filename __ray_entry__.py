@@ -10,8 +10,10 @@ table (BASELINE.json input_hint schema; generated idempotently under
 The fixture table stores *golden* derived columns (footprint box, pix_sum,
 thumb_sum) computed at generation time; the Ray pipelines re-derive them
 from image_id / bytes, so the comparison is engine-vs-golden, not
-stored-vs-stored. Pixel-LWW mosaic results are not SQL-expressible and are
-covered by rows-only checks here plus brute-force numpy oracles in tests/.
+stored-vs-stored. Pixel-LWW mosaic results are not ANSI-SQL-expressible;
+they are value-checked against generation-time golden tiles (an independent
+serial numpy paint, fixtures.generate_tile_goldens) that the oracle SQL
+reads back, plus brute-force numpy oracles in tests/.
 """
 
 from __future__ import annotations
@@ -293,8 +295,8 @@ def _q_tile_skew_report(sf_dir: str):
 
 def _q_ingest_mosaic_temporal(sf_dir: str):
     """Temporal cube ingest: tile key (t, tx, ty), ingest-side nearest
-    time-snap (J6, ``core/backend.py:256-257``). Rows-only (pixel LWW not
-    in SQL); pixel values covered by tests/test_engine_toi.py oracle."""
+    time-snap (J6, ``core/backend.py:256-257``). Value-checked against the
+    generation-time golden temporal tiles (fixtures.generate_tile_goldens)."""
     import ray.data as rd
 
     from raygeo.fixtures import TEMPORAL_GRID
@@ -310,8 +312,8 @@ def _q_ingest_mosaic_temporal(sf_dir: str):
 
 def _q_ingest_mosaic_max(sf_dir: str):
     """A1 analog (``patch.max('time')`` collapse, ``stac.py:141-143``):
-    mosaic with per-pixel MAX over writers instead of sorted-LWW. Rows-only;
-    numpy oracle in tests/test_ingest.py."""
+    mosaic with per-pixel MAX over writers instead of sorted-LWW.
+    Value-checked against the generation-time golden max tiles."""
     import ray.data as rd
 
     from raygeo.fixtures import FIXTURE_GRID
@@ -329,9 +331,9 @@ def _q_ingest_mosaic_dem(sf_dir: str):
     """Multi-dtype cube ingest (the reference's ArcticDEM data model:
     ``dem:float32 + datamask:bool``, ``arcticdem.py:159-172``): channel
     values derived deterministically from the decoded RGB, per-channel
-    nodata (NaN / False) outside the validity mask. Rows-only (pixel LWW
-    not in SQL); pixels covered by the numpy oracle in
-    tests/test_multichannel.py."""
+    nodata (NaN / False) outside the validity mask. Value-checked against
+    the generation-time golden DEM tiles (channel derivation + 1e-3
+    fixed-point float checksum replayed by the serial golden pass)."""
     import ray.data as rd
 
     from raygeo.channels import DEM_CHANNELS
@@ -734,10 +736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "thumbnails": _q_thumbnails,
         "normalize_bands": _q_normalize_bands,
         "caption_roundtrip": _q_caption_roundtrip,
-        "ingest_mosaic": _q_ingest_mosaic,  # rows-only (pixel LWW not in SQL)
-        "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,  # rows-only
-        "ingest_mosaic_max": _q_ingest_mosaic_max,  # rows-only (A1 max-collapse)
-        "ingest_mosaic_dem": _q_ingest_mosaic_dem,  # rows-only (float32+bool)
+        "ingest_mosaic": _q_ingest_mosaic,
+        "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,
+        "ingest_mosaic_max": _q_ingest_mosaic_max,
+        "ingest_mosaic_dem": _q_ingest_mosaic_dem,
         "toi_snap": _q_toi_snap,
         "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
         "tile_skew_report": _q_tile_skew_report,
@@ -927,6 +929,27 @@ SELECT query_id, rank, image_id FROM (
     row_number() OVER (PARTITION BY query_id ORDER BY dist2, image_id) AS rank
   FROM s
 ) WHERE rank <= 5
+""",
+        # ingest mosaics: checked against generation-time golden tiles —
+        # an independent serial numpy LWW/max/temporal paint stored by
+        # raygeo.fixtures.generate_tile_goldens (per-pixel mosaic semantics
+        # are not ANSI-SQL-expressible; the goldens make the driver compare
+        # value-exact anyway, same pattern as the per-image golden columns)
+        "ingest_mosaic": f"""
+SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/tiles_golden_lww.parquet')
+""",
+        "ingest_mosaic_max": f"""
+SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/tiles_golden_max.parquet')
+""",
+        "ingest_mosaic_temporal": f"""
+SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/tiles_golden_t.parquet')
+""",
+        "ingest_mosaic_dem": f"""
+SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/tiles_golden_dem.parquet')
 """,
         "dedup_phash": f"""
 SELECT phash, min(image_id) AS image_id, count(*)::BIGINT AS n_dups

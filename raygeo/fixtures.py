@@ -200,7 +200,8 @@ def phash_of(decoded: np.ndarray) -> int:
     return int.from_bytes(d[:8], "big") & ((1 << 63) - 1)
 
 
-def _make_row(i: int, grid: GridSpec) -> dict:
+def _raw_pixels(i: int) -> tuple[str, np.ndarray, str, int, int]:
+    """Row i's (image_id, raw pixels, fmt, w, h) — pure function of i."""
     image_id = _id_of(i)
     if i > 0 and i % DUP_EVERY == 0:
         # duplicate pixels AND fmt of previous row (FIXTURES.md phash-dup rule;
@@ -214,6 +215,11 @@ def _make_row(i: int, grid: GridSpec) -> dict:
         w, h = W_CYCLE[i % 3], H_CYCLE[(i + 1) % 3]
         pix = pixels_of(image_id, w, h)
         fmt = FMT_CYCLE[i % 3]
+    return image_id, pix, fmt, w, h
+
+
+def _make_row(i: int, grid: GridSpec) -> dict:
+    image_id, pix, fmt, w, h = _raw_pixels(i)
     buf = encode(pix, fmt)
     decoded = decode(buf) if fmt == "dctq" else pix
     lon_min, lat_min, lon_max, lat_max = footprint_of(image_id, w, h, grid)
@@ -467,6 +473,160 @@ def generate_zones(out_path: str, grid: GridSpec = FIXTURE_GRID, n: int = 50) ->
     )
 
 
+# ---- golden tile mosaics (the ingest oracle) -------------------------------
+# Reference mosaics computed at generation time by a straight "paint
+# fragments in ascending patch-no order" numpy pass — independent of
+# raygeo.ops.ingest's distributed fold/merge machinery (same role as the
+# per-image golden columns above, and as the brute-force oracle in
+# tests/test_ingest.py). One pass over the images feeds all four stored
+# variants: sorted-LWW, per-pixel max, temporal (nearest-snapped slices),
+# and the DEM channel pack (derived per-pixel from the LWW winner RGB).
+# Parallelism: disjoint ascending patch-no slabs painted in a process pool,
+# merged in slab order on the driver (later slab wins where painted).
+
+GOLDEN_TILES_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.string()),
+        ("tx", pa.int32()),
+        ("ty", pa.int32()),
+        ("n_frags", pa.int64()),
+        ("n_valid_px", pa.int64()),
+        ("pix_sum", pa.int64()),
+    ]
+)
+
+
+def _golden_slab(args: tuple[int, int]) -> dict:
+    lo, hi = args
+    g = FIXTURE_GRID
+    n_steps = len(TEMPORAL_GRID.times)
+    lww: dict = {}
+    mx: dict = {}
+    tmp: dict = {}
+    for i in range(lo, hi):
+        image_id, pix, fmt, w, h = _raw_pixels(i)
+        decoded = decode(encode(pix, fmt)) if fmt == "dctq" else pix
+        box = footprint_of(image_id, w, h, g)
+        cl, ch_, rl, rh = (int(v[0]) for v in g.pixel_window(
+            np.array([box[0]]), np.array([box[1]]),
+            np.array([box[2]]), np.array([box[3]])))
+        # nearest snap (ties -> later) onto TEMPORAL_GRID's uniform daily
+        # axis, inlined so the golden stays independent of raygeo.toi
+        secs = _h32(image_id + ":t") % (n_steps * 86400)
+        ti = min(n_steps - 1, (secs + 43200) // 86400)
+        for tx in range(cl // g.chunk, (ch_ - 1) // g.chunk + 1):
+            for ty in range(rl // g.chunk, (rh - 1) // g.chunk + 1):
+                tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+                c0, c1 = max(cl, tc0), min(ch_, tc1)
+                r0, r1 = max(rl, tr0), min(rh, tr1)
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                sl_t = np.s_[r0 - tr0:r1 - tr0, c0 - tc0:c1 - tc0]
+                frag = decoded[r0 - rl:r1 - rl, c0 - cl:c1 - cl]
+                for key, store, is_max in (
+                    ((tx, ty), lww, False),
+                    ((tx, ty), mx, True),
+                    ((int(ti), tx, ty), tmp, False),
+                ):
+                    st = store.get(key)
+                    if st is None:
+                        st = store[key] = [
+                            np.zeros((g.chunk, g.chunk, 3), np.uint8),
+                            np.zeros((g.chunk, g.chunk), bool), 0]
+                    canvas, mask, _ = st
+                    if is_max:
+                        wr = mask[sl_t]
+                        region = canvas[sl_t]
+                        np.maximum(region, frag, out=region,
+                                   where=wr[:, :, None])
+                        region[~wr] = frag[~wr]
+                    else:
+                        canvas[sl_t] = frag
+                    mask[sl_t] = True
+                    st[2] += 1
+    return {"lww": lww, "max": mx, "t": tmp}
+
+
+def _merge_slab_into(dst: dict, src: dict, is_max: bool) -> None:
+    """Merge a later (higher patch-no) slab's tiles into the accumulator."""
+    for key, (c2, m2, n2) in src.items():
+        st = dst.get(key)
+        if st is None:
+            dst[key] = [c2, m2, n2]
+            continue
+        c1, m1, _ = st
+        if is_max:
+            both = m1 & m2
+            np.maximum(c1, c2, out=c1, where=both[:, :, None])
+            only2 = m2 & ~m1
+            c1[only2] = c2[only2]
+        else:
+            c1[m2] = c2[m2]
+        m1 |= m2
+        st[2] += n2
+
+
+def _golden_table(store: dict, temporal: bool, dem: bool = False) -> pa.Table:
+    out: dict[str, list] = {k: [] for k in GOLDEN_TILES_SCHEMA.names}
+    for key in sorted(store):
+        canvas, mask, nf = store[key]
+        if temporal:
+            ti, tx, ty = key
+            tid = f"{ti}-{tx}-{ty}"
+        else:
+            tx, ty = key
+            tid = f"{tx}-{ty}"
+        if dem:
+            # DEM channel pack derived from the LWW winner RGB (raygeo
+            # .channels formulas inlined): float32 elevation summed in
+            # float64 at 1e-3 fixed point + bool datamask count
+            demv = (canvas[..., 0].astype(np.float32) * 256.0
+                    + canvas[..., 1]) / 16.0
+            dmask = canvas[..., 2] >= 128
+            ps = int(round(float(demv[mask].astype(np.float64).sum()) * 1000))
+            ps += int(dmask[mask].sum())
+        else:
+            ps = int(np.where(mask[:, :, None], canvas, 0)
+                     .astype(np.int64).sum())
+        out["tile_id"].append(tid)
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_frags"].append(nf)
+        out["n_valid_px"].append(int(mask.sum()))
+        out["pix_sum"].append(ps)
+    return pa.table(out, schema=GOLDEN_TILES_SCHEMA)
+
+
+def generate_tile_goldens(out_dir: str, n: int) -> None:
+    """Write tiles_golden_{lww,max,t,dem}.parquet for an n-image fixture."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    slab = max(500, n // 16)
+    slabs = [(lo, min(lo + slab, n)) for lo in range(0, n, slab)]
+    agg = {"lww": {}, "max": {}, "t": {}}
+    if len(slabs) <= 1:
+        results = map(_golden_slab, slabs)
+        for res in results:
+            for k in agg:
+                _merge_slab_into(agg[k], res[k], k == "max")
+    else:
+        workers = min(16, os.cpu_count() or 4, len(slabs))
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for res in ex.map(_golden_slab, slabs):  # ordered: ascending pno
+                for k in agg:
+                    _merge_slab_into(agg[k], res[k], k == "max")
+    for name, (store, temporal, dem) in {
+        "lww": (agg["lww"], False, False),
+        "max": (agg["max"], False, False),
+        "t": (agg["t"], True, False),
+        "dem": (agg["lww"], False, True),
+    }.items():
+        path = os.path.join(out_dir, f"tiles_golden_{name}.parquet")
+        pq.write_table(_golden_table(store, temporal, dem), path + ".tmp",
+                       compression="zstd")
+        os.replace(path + ".tmp", path)
+
+
 def images_count_for_sf(sf: float) -> int:
     return max(200, int(round(sf * 1_000_000)))
 
@@ -486,7 +646,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v4-featgolden"
+FIXTURE_LAYOUT_VERSION = "v5-tilegolden"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -515,6 +675,8 @@ def ensure_fixtures(sf: float) -> str:
     generate_rois(os.path.join(d, "rois.parquet"), FIXTURE_GRID)
     generate_rois_global(os.path.join(d, "rois_global.parquet"), GLOBAL_GRID)
     generate_zones(os.path.join(d, "zones.parquet"), FIXTURE_GRID)
+    if not os.path.exists(os.path.join(d, "tiles_golden_lww.parquet")):
+        generate_tile_goldens(d, n)
     with open(marker + ".tmp", "w") as f:
         f.write(FIXTURE_LAYOUT_VERSION + "\n")
     os.replace(marker + ".tmp", marker)

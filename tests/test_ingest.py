@@ -333,3 +333,36 @@ def test_merge_packed_property_random():
         assert np.array_equal(valid, ow >= 0), f"seed {seed}"
         assert np.array_equal(got_c[valid], oc[valid]), f"seed {seed}"
         assert np.array_equal(got_w, ow), f"seed {seed}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_matches_stored_goldens(fixtures_sf0001):
+    """All four ingest variants must bit-match the generation-time golden
+    tiles (fixtures.generate_tile_goldens — the independent serial paint
+    the driver's DuckDB oracle reads). Guards both the engine and the
+    golden generator against drifting apart."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.channels import DEM_CHANNELS
+    from raygeo.fixtures import TEMPORAL_GRID
+
+    d = fixtures_sf0001
+    cols = ["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"]
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("tile_id").reset_index(drop=True)[cols]
+
+    variants = {
+        "lww": dict(grid=FIXTURE_GRID),
+        "max": dict(grid=FIXTURE_GRID, mode="max"),
+        "t": dict(grid=TEMPORAL_GRID),
+        "dem": dict(grid=FIXTURE_GRID, channels=DEM_CHANNELS),
+    }
+    for name, kw in variants.items():
+        images = rd.read_parquet(f"{d}/images.parquet",
+                                 columns=["image_id", "bytes", "w", "h"])
+        grid = kw.pop("grid")
+        got = norm(ingest(images, grid, **kw).to_pandas())
+        exp = norm(pq.read_table(f"{d}/tiles_golden_{name}.parquet").to_pandas())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
