@@ -29,6 +29,13 @@ ROIS_001 = f"{FIX_SF001}/rois.parquet"
 ROIS_G_001 = f"{FIX_SF001}/rois_global.parquet"
 ZONES_001 = f"{FIX_SF001}/zones.parquet"
 
+
+def _rpq(path, columns=None, **kw):
+    """read_parquet with metadata-free schema (raygeo.util.read_parquet_clean)."""
+    from raygeo.util import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns, **kw)
+
 # exact-binary query points for kNN (decimal literals == float64 values, so
 # the SQL oracle computes bit-identical distances)
 KNN_POINTS = [
@@ -75,7 +82,7 @@ def entry() -> Any:
     from raygeo.ops.ingest import ingest
 
     d = ensure_fixtures(0.001)
-    images = rd.read_parquet(f"{d}/images.parquet",
+    images = _rpq(f"{d}/images.parquet",
                              columns=["image_id", "bytes", "w", "h"])
     tiles = ingest(images, FIXTURE_GRID, cube_path=None)
     return tiles.select_columns(
@@ -93,7 +100,7 @@ def _q_tile_assign(sf_dir: str):
     from raygeo.ops.spatial_join import image_tiles
 
     d = _fix(sf_dir)
-    return image_tiles(rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "w", "h"]), FIXTURE_GRID)
+    return image_tiles(_rpq(f"{d}/images.parquet", columns=["image_id", "w", "h"]), FIXTURE_GRID)
 
 
 def _q_roi_tile_cover(sf_dir: str):
@@ -125,7 +132,7 @@ def _q_roi_image_join(sf_dir: str):
          for k in rois.column("kind").to_pylist()]
     )
     return roi_image_join(
-        rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+        _rpq(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
         rois, FIXTURE_GRID)
 
 
@@ -139,7 +146,7 @@ def _q_antimeridian_join(sf_dir: str):
     d = _fix(sf_dir)
     rois = pq.read_table(f"{d}/rois_global.parquet")
     return roi_image_join(
-        rd.read_parquet(f"{d}/images_global.parquet", columns=["image_id", "w", "h"]),
+        _rpq(f"{d}/images_global.parquet", columns=["image_id", "w", "h"]),
         rois, GLOBAL_GRID
     )
 
@@ -179,7 +186,7 @@ def _q_zonal_stats(sf_dir: str):
 
     d = _fix(sf_dir)
     return zonal_stats(
-        rd.read_parquet(f"{d}/images.parquet",
+        _rpq(f"{d}/images.parquet",
                         columns=["image_id", "w", "h", "bytes"]),
         pq.read_table(f"{d}/zones.parquet"),
         FIXTURE_GRID,
@@ -196,7 +203,7 @@ def _q_knn_images(sf_dir: str):
 
     d = _fix(sf_dir)
     qdf = pd.DataFrame(KNN_POINTS, columns=["query_id", "lon", "lat"])
-    res = knn(rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+    res = knn(_rpq(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
               qdf, FIXTURE_GRID, k=5, level=5)
     return res[["query_id", "rank", "image_id"]]
 
@@ -207,7 +214,7 @@ def _q_dedup_phash(sf_dir: str):
     from raygeo.ops.dedup import exact_dedup
 
     d = _fix(sf_dir)
-    ds = rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "phash"])
+    ds = _rpq(f"{d}/images.parquet", columns=["image_id", "phash"])
     out = exact_dedup(ds, key_col="phash", id_col="image_id",
                       precomputed_hash="phash")
     return out.rename_columns({"hash64": "phash"})
@@ -219,7 +226,7 @@ def _q_decode_stats(sf_dir: str):
     from raygeo.ops.multimodal import decode_stats
 
     d = _fix(sf_dir)
-    return decode_stats(rd.read_parquet(f"{d}/images.parquet",
+    return decode_stats(_rpq(f"{d}/images.parquet",
                                         columns=["image_id", "bytes", "w", "h"])).select_columns(
         ["image_id", "w", "h", "pix_sum"]
     )
@@ -231,7 +238,7 @@ def _q_thumbnails(sf_dir: str):
     from raygeo.ops.multimodal import thumbnails
 
     d = _fix(sf_dir)
-    return thumbnails(rd.read_parquet(f"{d}/images.parquet",
+    return thumbnails(_rpq(f"{d}/images.parquet",
                                       columns=["image_id", "bytes"])).select_columns(
         ["image_id", "thumb_sum"]
     )
@@ -245,7 +252,7 @@ def _q_normalize_bands(sf_dir: str):
     from raygeo.ops.multimodal import normalize_bands
 
     d = _fix(sf_dir)
-    return normalize_bands(rd.read_parquet(f"{d}/images.parquet",
+    return normalize_bands(_rpq(f"{d}/images.parquet",
                                            columns=["image_id", "bytes"]))
 
 
@@ -269,7 +276,7 @@ def _q_caption_roundtrip(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
+    return _rpq(
         f"{d}/images.parquet", columns=["image_id", "caption", "bytes"]
     ).map_batches(through_decode, batch_format="pyarrow", batch_size=256)
 
@@ -287,7 +294,7 @@ def _q_tile_skew_report(sf_dir: str):
 
     d = _fix(sf_dir)
     tiles = image_tiles(
-        rd.read_parquet(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+        _rpq(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
         FIXTURE_GRID,
     )
     return key_skew_report(tiles, "tile_id", top_n=20)
@@ -303,7 +310,7 @@ def _q_ingest_mosaic_temporal(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(rd.read_parquet(f"{d}/images.parquet",
+    tiles = ingest(_rpq(f"{d}/images.parquet",
                                    columns=["image_id", "bytes", "w", "h"]),
                    TEMPORAL_GRID)
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
@@ -320,7 +327,7 @@ def _q_ingest_mosaic_max(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(rd.read_parquet(f"{d}/images.parquet",
+    tiles = ingest(_rpq(f"{d}/images.parquet",
                                    columns=["image_id", "bytes", "w", "h"]),
                    FIXTURE_GRID, mode="max")
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
@@ -341,7 +348,7 @@ def _q_ingest_mosaic_dem(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(rd.read_parquet(f"{d}/images.parquet",
+    tiles = ingest(_rpq(f"{d}/images.parquet",
                                    columns=["image_id", "bytes", "w", "h"]),
                    FIXTURE_GRID, channels=DEM_CHANNELS)
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
@@ -372,7 +379,7 @@ def _q_toi_snap(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet",
+    return _rpq(f"{sf_dir}/events.parquet",
                            columns=["event_id", "ts"]).map_batches(
         snap, batch_format="pyarrow", batch_size=65536
     )
@@ -380,8 +387,9 @@ def _q_toi_snap(sf_dir: str):
 
 def _q_roi_load_window(sf_dir: str):
     """The load(roi) query path (K5 / accessor.load analog): per-ROI window
-    statistics with ingest-on-demand into a fresh cube. Rows-only (window
-    pixels are mosaic-LWW); oracle-checked in tests via numpy brute force."""
+    statistics with ingest-on-demand into a fresh cube. Value-checked
+    against generation-time golden window stats cropped out of the golden
+    LWW mosaic (fixtures._golden_windows)."""
     import shutil
     import tempfile
 
@@ -399,15 +407,14 @@ def _q_roi_load_window(sf_dir: str):
         create(CubeSpec(title="loadq", grid=FIXTURE_GRID,
                         channels=RGB_CHANNELS), cube,
                overwrite=True)
-        images = rd.read_parquet(f"{d}/images.parquet",
+        images = _rpq(f"{d}/images.parquet",
                                  columns=["image_id", "bytes", "w", "h"])
+        from raygeo.fixtures import LOAD_WINDOW_ROIS
+
         rois = [
-            {"roi_id": "r0", "lon_min": -0.4, "lat_min": -0.3,
-             "lon_max": 0.1, "lat_max": 0.25},
-            {"roi_id": "r1", "lon_min": 0.2, "lat_min": 0.2,
-             "lon_max": 0.7, "lat_max": 0.8},
-            {"roi_id": "r2", "lon_min": -0.05, "lat_min": -0.05,
-             "lon_max": 0.05, "lat_max": 0.05},
+            {"roi_id": rid, "lon_min": a, "lat_min": b,
+             "lon_max": c, "lat_max": d}
+            for rid, a, b, c, d in LOAD_WINDOW_ROIS
         ]
         out = []
         for i, roi in enumerate(rois):
@@ -427,7 +434,7 @@ def _q_ingest_mosaic(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(rd.read_parquet(f"{d}/images.parquet",
+    tiles = ingest(_rpq(f"{d}/images.parquet",
                                    columns=["image_id", "bytes", "w", "h"]), FIXTURE_GRID)
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"])
 
@@ -438,7 +445,7 @@ def _q_q1_pricing(sf_dir: str):
 
     from raygeo.ops.relational import q1_pricing_summary
 
-    return q1_pricing_summary(rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+    return q1_pricing_summary(_rpq(f"{sf_dir}/lineitem.parquet"))
 
 
 def _q_revenue_by_nation(sf_dir: str):
@@ -447,7 +454,7 @@ def _q_revenue_by_nation(sf_dir: str):
     from raygeo.ops.relational import revenue_by_nation
 
     return revenue_by_nation(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        _rpq(f"{sf_dir}/lineitem.parquet"),
         f"{sf_dir}/orders.parquet",
         f"{sf_dir}/customer.parquet",
         f"{sf_dir}/nation.parquet",
@@ -459,7 +466,7 @@ def _q_top_orders(sf_dir: str):
 
     from raygeo.ops.relational import top_orders_by_revenue
 
-    return top_orders_by_revenue(rd.read_parquet(f"{sf_dir}/lineitem.parquet"), k=10)
+    return top_orders_by_revenue(_rpq(f"{sf_dir}/lineitem.parquet"), k=10)
 
 
 def _q_top_parts(sf_dir: str):
@@ -467,7 +474,7 @@ def _q_top_parts(sf_dir: str):
 
     from raygeo.ops.relational import top_parts_by_price
 
-    return top_parts_by_price(rd.read_parquet(f"{sf_dir}/part.parquet"), k=20)
+    return top_parts_by_price(_rpq(f"{sf_dir}/part.parquet"), k=20)
 
 
 def _q_events_hourly(sf_dir: str):
@@ -491,7 +498,7 @@ def _q_events_hourly(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = _rpq(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     return ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).groupby(
         ["event_type", "hour_bucket"]
     ).aggregate(
@@ -507,7 +514,7 @@ def _q_events_sliding(sf_dir: str):
 
     from raygeo.ops.relational import sliding_window_hourly
 
-    return sliding_window_hourly(rd.read_parquet(f"{sf_dir}/events.parquet"),
+    return sliding_window_hourly(_rpq(f"{sf_dir}/events.parquet"),
                                  window_hours=3)
 
 
@@ -516,7 +523,7 @@ def _q_sessionize(sf_dir: str):
 
     from raygeo.ops.relational import sessionize
 
-    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return sessionize(_rpq(f"{sf_dir}/events.parquet"))
 
 
 def _q_events_pairing(sf_dir: str):
@@ -527,7 +534,7 @@ def _q_events_pairing(sf_dir: str):
 
     from raygeo.ops.metrics import pair_start_end
 
-    return pair_start_end(rd.read_parquet(f"{sf_dir}/events.parquet"),
+    return pair_start_end(_rpq(f"{sf_dir}/events.parquet"),
                           start_type="view", end_type="click")
 
 
@@ -536,7 +543,7 @@ def _q_docs_token_stats(sf_dir: str):
 
     from raygeo.ops.text import token_stats
 
-    return token_stats(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    return token_stats(_rpq(f"{sf_dir}/documents.parquet"))
 
 
 def _q_docs_quality(sf_dir: str):
@@ -544,7 +551,7 @@ def _q_docs_quality(sf_dir: str):
 
     from raygeo.ops.text import quality_score
 
-    return quality_score(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    return quality_score(_rpq(f"{sf_dir}/documents.parquet"))
 
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -552,7 +559,7 @@ def _q_docs_exact_dedup(sf_dir: str):
 
     from raygeo.ops.dedup import exact_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _rpq(f"{sf_dir}/documents.parquet")
     out = exact_dedup(ds, key_col="text", id_col="doc_id")
     return out.select_columns(["doc_id", "n_dups"])
 
@@ -562,7 +569,7 @@ def _q_docs_langid(sf_dir: str):
 
     from raygeo.ops.text import lang_id
 
-    return lang_id(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    return lang_id(_rpq(f"{sf_dir}/documents.parquet"))
 
 
 def _q_docs_simhash(sf_dir: str):
@@ -570,7 +577,7 @@ def _q_docs_simhash(sf_dir: str):
 
     from raygeo.ops.dedup import simhash
 
-    return simhash(rd.read_parquet(f"{sf_dir}/documents.parquet"), "text", "doc_id")
+    return simhash(_rpq(f"{sf_dir}/documents.parquet"), "text", "doc_id")
 
 
 def _q_docs_simhash_neardup(sf_dir: str):
@@ -582,7 +589,7 @@ def _q_docs_simhash_neardup(sf_dir: str):
 
     from raygeo.ops.dedup import simhash_neardup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _rpq(f"{sf_dir}/documents.parquet")
     return simhash_neardup_pairs(ds, "text", "doc_id", hd_max=3)[
         ["id_a", "id_b", "hamming"]
     ]
@@ -593,7 +600,7 @@ def _q_docs_fingerprint(sf_dir: str):
 
     from raygeo.ops.text import fingerprint
 
-    return fingerprint(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    return fingerprint(_rpq(f"{sf_dir}/documents.parquet"))
 
 
 def _q_docs_neardup_exact(sf_dir: str):
@@ -601,7 +608,7 @@ def _q_docs_neardup_exact(sf_dir: str):
 
     from raygeo.ops.dedup import minhash_lsh_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _rpq(f"{sf_dir}/documents.parquet")
     pairs = minhash_lsh_pairs(ds, "text", "doc_id", jaccard_threshold=1.0)
     return pairs[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"})
 
@@ -616,7 +623,7 @@ def _q_docs_dedup_keep(sf_dir: str):
 
     from raygeo.ops.dedup import dedup_keep_list, minhash_lsh_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _rpq(f"{sf_dir}/documents.parquet")
     pairs = minhash_lsh_pairs(ds, "text", "doc_id", jaccard_threshold=0.7)
     return dedup_keep_list(ds, pairs, "doc_id")
 
@@ -626,7 +633,7 @@ def _q_docs_minhash_07(sf_dir: str):
 
     from raygeo.ops.dedup import minhash_lsh_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _rpq(f"{sf_dir}/documents.parquet")
     pairs = minhash_lsh_pairs(ds, "text", "doc_id", jaccard_threshold=0.7)
     return pairs[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"})
 
@@ -649,7 +656,7 @@ def _q_docs_ngram_jaccard(sf_dir: str):
 
     from raygeo.ops.dedup import ngram_jaccard_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _rpq(f"{sf_dir}/documents.parquet")
     return ngram_jaccard_pairs(ds, "text", "doc_id", k=4, threshold=0.5)[
         ["id_a", "id_b"]
     ]
@@ -664,7 +671,7 @@ def _q_image_features(sf_dir: str):
     from raygeo.ops.multimodal import image_features
 
     d = _fix(sf_dir)
-    return image_features(rd.read_parquet(f"{d}/images.parquet",
+    return image_features(_rpq(f"{d}/images.parquet",
                                           columns=["image_id", "bytes"])
                           ).select_columns(
         ["image_id", "feat_mr", "feat_mg", "feat_mb", "feat_edge"]
@@ -676,7 +683,7 @@ def _q_emb_knn(sf_dir: str):
 
     from raygeo.ops.ann import brute_force_knn
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _rpq(f"{sf_dir}/embeddings.parquet")
     res = brute_force_knn(ds, _read_query_vecs(sf_dir), k=10).to_pandas()
     return res[["query_id", "rank", "vec_id"]]
 
@@ -689,7 +696,7 @@ def _q_emb_ivf_knn(sf_dir: str):
 
     from raygeo.ops.ann import brute_force_knn, ivf_knn
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _rpq(f"{sf_dir}/embeddings.parquet")
     q = _read_query_vecs(sf_dir)
     res = ivf_knn(ds, q, k=10).to_pandas()
     exact = brute_force_knn(ds, q, k=10).to_pandas()
@@ -708,7 +715,7 @@ def _q_emb_neardup(sf_dir: str):
 
     from raygeo.ops.dedup import embedding_neardup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _rpq(f"{sf_dir}/embeddings.parquet")
     return embedding_neardup_pairs(ds, threshold=0.4).select_columns(["id_a", "id_b"])
 
 
@@ -717,7 +724,7 @@ def _q_emb_lsh_neardup(sf_dir: str):
 
     from raygeo.ops.ann import lsh_bucket_neardup
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _rpq(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_neardup(ds, threshold=0.4)[["id_a", "id_b"]]
 
 
@@ -950,6 +957,10 @@ FROM read_parquet('{FIX_SF001}/tiles_golden_t.parquet')
         "ingest_mosaic_dem": f"""
 SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
 FROM read_parquet('{FIX_SF001}/tiles_golden_dem.parquet')
+""",
+        "roi_load_window": f"""
+SELECT roi_id, n_valid_px, pix_sum, pix_min, pix_max
+FROM read_parquet('{FIX_SF001}/windows_golden.parquet')
 """,
         "dedup_phash": f"""
 SELECT phash, min(image_id) AS image_id, count(*)::BIGINT AS n_dups

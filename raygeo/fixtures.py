@@ -597,8 +597,65 @@ def _golden_table(store: dict, temporal: bool, dem: bool = False) -> pa.Table:
     return pa.table(out, schema=GOLDEN_TILES_SCHEMA)
 
 
+# load(roi) window queries (K5): fixed boxes, exact binary coordinates so
+# the pixel-window floor/ceil math is bit-identical everywhere
+LOAD_WINDOW_ROIS = (
+    ("r0", -0.4, -0.3, 0.1, 0.25),
+    ("r1", 0.2, 0.2, 0.7, 0.8),
+    ("r2", -0.05, -0.05, 0.05, 0.05),
+)
+
+WINDOWS_GOLDEN_SCHEMA = pa.schema(
+    [
+        ("roi_id", pa.string()),
+        ("n_valid_px", pa.int64()),
+        ("pix_sum", pa.int64()),
+        ("pix_min", pa.int64()),
+        ("pix_max", pa.int64()),
+    ]
+)
+
+
+def _golden_windows(lww: dict) -> pa.Table:
+    """Window stats for LOAD_WINDOW_ROIS cropped out of the golden LWW
+    mosaic — the engine.load(roi).stats() oracle."""
+    g = FIXTURE_GRID
+    out: dict[str, list] = {k: [] for k in WINDOWS_GOLDEN_SCHEMA.names}
+    for roi_id, lon_min, lat_min, lon_max, lat_max in LOAD_WINDOW_ROIS:
+        cl, ch_, rl, rh = (int(v[0]) for v in g.pixel_window(
+            np.array([lon_min]), np.array([lat_min]),
+            np.array([lon_max]), np.array([lat_max])))
+        h, w = rh - rl, ch_ - cl
+        win = np.zeros((h, w, 3), np.uint8)
+        msk = np.zeros((h, w), bool)
+        for tx in range(cl // g.chunk, (ch_ - 1) // g.chunk + 1):
+            for ty in range(rl // g.chunk, (rh - 1) // g.chunk + 1):
+                st = lww.get((tx, ty))
+                if st is None:
+                    continue
+                canvas, mask, _ = st
+                tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+                c0, c1 = max(cl, tc0), min(ch_, tc1)
+                r0, r1 = max(rl, tr0), min(rh, tr1)
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                dst = np.s_[r0 - rl:r1 - rl, c0 - cl:c1 - cl]
+                src = np.s_[r0 - tr0:r1 - tr0, c0 - tc0:c1 - tc0]
+                win[dst] = canvas[src]
+                msk[dst] = mask[src]
+        n_valid = int(msk.sum())
+        vals = win[msk]
+        out["roi_id"].append(roi_id)
+        out["n_valid_px"].append(n_valid)
+        out["pix_sum"].append(int(vals.astype(np.int64).sum()))
+        out["pix_min"].append(int(vals.min()) if n_valid else None)
+        out["pix_max"].append(int(vals.max()) if n_valid else None)
+    return pa.table(out, schema=WINDOWS_GOLDEN_SCHEMA)
+
+
 def generate_tile_goldens(out_dir: str, n: int) -> None:
-    """Write tiles_golden_{lww,max,t,dem}.parquet for an n-image fixture."""
+    """Write tiles_golden_{lww,max,t,dem}.parquet + windows_golden.parquet
+    for an n-image fixture."""
     from concurrent.futures import ProcessPoolExecutor
 
     slab = max(500, n // 16)
@@ -625,6 +682,10 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
         pq.write_table(_golden_table(store, temporal, dem), path + ".tmp",
                        compression="zstd")
         os.replace(path + ".tmp", path)
+    wpath = os.path.join(out_dir, "windows_golden.parquet")
+    pq.write_table(_golden_windows(agg["lww"]), wpath + ".tmp",
+                   compression="zstd")
+    os.replace(wpath + ".tmp", wpath)
 
 
 def images_count_for_sf(sf: float) -> int:
@@ -646,7 +707,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v5-tilegolden"
+FIXTURE_LAYOUT_VERSION = "v6-wingolden"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -675,7 +736,8 @@ def ensure_fixtures(sf: float) -> str:
     generate_rois(os.path.join(d, "rois.parquet"), FIXTURE_GRID)
     generate_rois_global(os.path.join(d, "rois_global.parquet"), GLOBAL_GRID)
     generate_zones(os.path.join(d, "zones.parquet"), FIXTURE_GRID)
-    if not os.path.exists(os.path.join(d, "tiles_golden_lww.parquet")):
+    if not (os.path.exists(os.path.join(d, "tiles_golden_lww.parquet"))
+            and os.path.exists(os.path.join(d, "windows_golden.parquet"))):
         generate_tile_goldens(d, n)
     with open(marker + ".tmp", "w") as f:
         f.write(FIXTURE_LAYOUT_VERSION + "\n")

@@ -494,16 +494,27 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 4,
 
 # ------------------------------------------------- embedding cosine near-dup
 def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
-                            threshold: float = 0.95):
+                            threshold: float = 0.95,
+                            max_broadcast_rows: int = 2_000_000):
     """Exact cosine near-dup pairs via brute force vs a broadcast matrix.
 
     The full (id, unit-vector) matrix is ``ray.put`` once; each batch does one
     float64 matmul against it. Exact (matches the SQL oracle bit-for-bit in
-    ordering-independent comparisons); the sub-quadratic path for true scale
-    is ops.ann.lsh_bucket_neardup.
+    ordering-independent comparisons). The broadcast side grows with the
+    table, so this is the small/medium-corpus exactness baseline —
+    ``max_broadcast_rows`` hard-stops an accidental web-scale invocation;
+    the sub-quadratic path for true scale is ops.ann.lsh_bucket_neardup.
     """
     import ray
 
+    n = ds.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact O(N^2) baseline; input has "
+            f"{n} rows > max_broadcast_rows={max_broadcast_rows}. Use "
+            f"ops.ann.lsh_bucket_neardup for corpora at scale, or raise the "
+            f"cap explicitly if you really want the exact all-pairs run."
+        )
     mat_pdf = ds.select_columns([id_col, vec_col]).to_pandas()
     ids = mat_pdf[id_col].to_numpy()
     m = np.stack(mat_pdf[vec_col].to_numpy()).astype(np.float64)

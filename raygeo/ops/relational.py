@@ -117,7 +117,9 @@ def revenue_by_nation(lineitem_ds, orders_path: str, customer_path: str,
         ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(partial_rev, batch_format="pyarrow", batch_size=65536)
 
-    orders = rd.read_parquet(orders_path, columns=["o_orderkey", "o_custkey"])
+    from ..util import read_parquet_clean
+
+    orders = read_parquet_clean(orders_path, columns=["o_orderkey", "o_custkey"])
     joined = rev.join(
         orders,
         join_type="inner",

@@ -70,3 +70,32 @@ def binary_views(col) -> list:
         data = memoryview(arr.buffers()[2])
         out.extend(data[offs[i] : offs[i + 1]] for i in range(n))
     return out
+
+
+def read_parquet_clean(path, columns=None, **kw):
+    """``ray.data.read_parquet`` with file-level schema metadata dropped.
+
+    The provided testdata parquet carries pandas metadata whose
+    ``pa.Schema`` is unhashable; that defeats Ray Data's block-schema
+    dedup (``unify_schemas`` set() fast path) and logs a warning per map
+    task. Passing an explicit metadata-free schema keeps every downstream
+    block schema hashable with no extra pipeline stage.
+    """
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    p = path
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if parts:
+            p = parts[0]
+    try:
+        sch = pq.read_schema(p).remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+    except Exception:
+        sch = None  # fall back to Ray's own schema inference
+    return rd.read_parquet(path, columns=columns, schema=sch, **kw)

@@ -73,11 +73,10 @@ def main() -> int:
 
 
 def _run(args) -> int:
-    import ray.data as rd
-
     from raygeo.channels import DEM_CHANNELS, RGB_CHANNELS
     from raygeo.cube import CubeSpec, create
     from raygeo.ops.ingest import ingest
+    from raygeo.util import read_parquet_clean
 
     if args.cmd == "ingest":
         g = _grid(args.grid)
@@ -85,7 +84,7 @@ def _run(args) -> int:
         create(CubeSpec(title=os.path.basename(args.cube), grid=g,
                         channels=channels), args.cube, exists_ok=True)
         t0 = time.monotonic()
-        images = rd.read_parquet(args.images,
+        images = read_parquet_clean(args.images,
                                  columns=["image_id", "bytes", "w", "h"])
         tiles = ingest(images, g, cube_path=args.cube, mode=args.mode,
                        channels=channels)
@@ -99,7 +98,7 @@ def _run(args) -> int:
         from raygeo.engine import load
 
         images = (
-            rd.read_parquet(args.images,
+            read_parquet_clean(args.images,
                             columns=["image_id", "bytes", "w", "h"])
             if args.images else None
         )
