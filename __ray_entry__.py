@@ -582,9 +582,9 @@ def _q_docs_simhash(sf_dir: str):
 
 def _q_docs_simhash_neardup(sf_dir: str):
     """SimHash near-dup pairs, Hamming <= 3, via the pigeonhole block-table
-    bucketing (exact recall for the hd bound; see ops.dedup). Rows-only:
-    simhash is not SQL-expressible, and hd=0 collisions of different texts
-    exist in the corpus (verified), so no equal-text oracle applies."""
+    bucketing (exact recall for the hd bound; see ops.dedup). Checked
+    against a brute-force all-pairs hamming join in SQL (md5-based token
+    hashes make the simhash itself DuckDB-computable)."""
     import ray.data as rd
 
     from raygeo.ops.dedup import simhash_neardup_pairs
@@ -764,9 +764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_langid": _q_docs_langid,
-        "docs_simhash": _q_docs_simhash,  # rows-only (hash not in SQL)
-        "docs_simhash_neardup": _q_docs_simhash_neardup,  # rows-only
-        "docs_fingerprint": _q_docs_fingerprint,  # rows-only
+        "docs_simhash": _q_docs_simhash,
+        "docs_simhash_neardup": _q_docs_simhash_neardup,  # brute-force hamming oracle
+        "docs_fingerprint": _q_docs_fingerprint,
         "docs_neardup_exact": _q_docs_neardup_exact,
         "docs_minhash_07": _q_docs_minhash_07,  # exact-Jaccard oracle (full recall on fixture corpus)
         "docs_dedup_keep": _q_docs_dedup_keep,  # components via recursive-CTE oracle
@@ -800,6 +800,32 @@ tx_u AS (
 """
 
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','that','for','it']"
+
+
+
+# simhash token-hash parity: engine uses first-8-bytes-of-md5 per whitespace
+# token precisely so DuckDB can compute the identical 64-bit value
+_SIMHASH_CTE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id,
+    sum(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)::UHUGEINT AS hu
+  FROM bits GROUP BY doc_id
+),
+shu AS (
+  SELECT d.doc_id, coalesce(s.hu, 0)::UBIGINT AS h
+  FROM documents d LEFT JOIN sh s USING (doc_id)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1162,6 +1188,35 @@ FROM m
         "docs_exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text
+""",
+        "docs_simhash": _SIMHASH_CTE + """
+SELECT doc_id,
+  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+            THEN h::HUGEINT - 18446744073709551616::HUGEINT
+            ELSE h::HUGEINT END AS BIGINT) AS simhash64
+FROM shu
+""",
+        "docs_simhash_neardup": _SIMHASH_CTE + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.h, b.h))::BIGINT AS hamming
+FROM shu a JOIN shu b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+""",
+        "docs_fingerprint": r"""
+WITH fp AS (
+  SELECT doc_id,
+    CASE WHEN length(text) <= 8
+         THEN ('0x' || substr(md5(text), 1, 16))::UBIGINT
+         ELSE list_min(list_transform(generate_series(1, length(text) - 7, 4),
+                p -> ('0x' || substr(md5(substr(text, p, 8)), 1, 16))::UBIGINT))
+    END AS hu
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+            THEN hu::HUGEINT - 18446744073709551616::HUGEINT
+            ELSE hu::HUGEINT END AS BIGINT) AS fingerprint
+FROM fp
 """,
         "docs_neardup_exact": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

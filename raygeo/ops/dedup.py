@@ -315,7 +315,7 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------------- SimHash
 class SimHash:
-    """64-bit SimHash over word tokens (deterministic crc32-based).
+    """64-bit SimHash over whitespace tokens (md5-based token hashes).
 
     Vectorized: the whole batch's tokens are hashed into one flat uint64
     array, expanded to a (n_tokens, 64) ±1 contribution matrix in a single
@@ -324,6 +324,13 @@ class SimHash:
     version allocated a 64-element array per token; VERDICT r1 #4).
     Bit-identical to the scalar definition: bit b of the hash is set iff
     sum over tokens of sign(bit b of token-hash) is > 0.
+
+    The token hash is the first 8 bytes (big-endian) of md5(token) — chosen
+    because DuckDB computes the identical value
+    (``('0x' || substr(md5(t), 1, 16))::UBIGINT``), which makes the whole
+    simhash SQL-expressible and hence oracle-checkable end to end. Hashing
+    is amortized over the batch vocabulary (np.unique + one digest per
+    distinct token), so cost tracks distinct-token count, not token count.
     """
 
     def __init__(self, text_col: str, id_col: str):
@@ -333,17 +340,17 @@ class SimHash:
 
     @staticmethod
     def _token_hashes(flat_tokens: list[str]) -> np.ndarray:
-        import zlib
+        import hashlib
 
-        return np.fromiter(
-            (
-                (zlib.crc32(t.encode()) << 32 | zlib.crc32(t[::-1].encode()))
-                & ((1 << 64) - 1)
-                for t in flat_tokens
-            ),
+        uniq, inv = np.unique(np.asarray(flat_tokens, dtype=object),
+                              return_inverse=True)
+        hu = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+             for t in uniq),
             dtype=np.uint64,
-            count=len(flat_tokens),
+            count=len(uniq),
         )
+        return hu[inv]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()

@@ -145,8 +145,12 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=None
 class Fingerprint:
     """Winnowing-style rolling-hash document fingerprint (int64).
 
-    Rolling crc32 over a sliding char window; fingerprint = min hash of the
-    window set (robust to small edits at the margins; deterministic).
+    Rolling hash over a sliding char window (stride 4); fingerprint = min
+    hash of the window set (robust to small edits at the margins;
+    deterministic). The window hash is the first 8 bytes (big-endian) of
+    md5(window) so DuckDB computes the identical value and the whole
+    fingerprint is SQL-expressible (``min`` over ``generate_series``
+    window positions) — corpus text is ASCII, so char == byte offsets.
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
@@ -155,19 +159,30 @@ class Fingerprint:
         self.id_col = id_col
         self.window = window
 
+    @staticmethod
+    def _h64(b: bytes) -> int:
+        import hashlib
+
+        return int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+
     def fp_one(self, text: str) -> int:
         b = text.encode()
         w = self.window
         if len(b) <= w:
-            return zlib.crc32(b)
-        hs = [zlib.crc32(b[i : i + w]) for i in range(0, len(b) - w + 1, 4)]
-        return int(min(hs))
+            return self._h64(b)
+        return min(self._h64(b[i:i + w]) for i in range(0, len(b) - w + 1, 4))
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vals = np.fromiter(
+            (self.fp_one(t) for t in df[self.text_col]),
+            dtype=np.uint64, count=len(df),
+        ).astype(np.int64)  # modular wrap matches the SQL BIGINT reinterpret
         return pd.DataFrame(
             {
                 self.id_col: df[self.id_col],
-                "fingerprint": df[self.text_col].map(self.fp_one).astype("int64"),
+                "fingerprint": vals,
             }
         )
 

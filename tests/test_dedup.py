@@ -51,11 +51,11 @@ def test_minhash_signature_matches_object_arithmetic():
 
 
 def _scalar_simhash(text: str) -> int:
+    import hashlib
+
     acc = np.zeros(64, dtype=np.int64)
     for tok in text.split():
-        h = (zlib.crc32(tok.encode()) << 32 | zlib.crc32(tok[::-1].encode())) & (
-            (1 << 64) - 1
-        )
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     bits_out = (acc > 0).astype(np.uint64)
