@@ -256,6 +256,29 @@ def _q_normalize_bands(sf_dir: str):
                                            columns=["image_id", "bytes"]))
 
 
+def _q_video_frame_stats(sf_dir: str):
+    """Video frame-sample pipeline (multimodal plumbing, every_n=2): RGV1
+    container parse + per-frame raygeo-codec decode in an actor-pool
+    map_batches stage. Value-checked against per-frame goldens stored at
+    generation time (the oracle filters frame_no % 2 = 0 itself)."""
+    from raygeo.ops.multimodal import video_frame_stats
+
+    d = _fix(sf_dir)
+    return video_frame_stats(
+        _rpq(f"{d}/videos.parquet", columns=["video_id", "bytes"]), every_n=2)
+
+
+def _q_audio_features(sf_dir: str):
+    """Audio feature extraction over int16 PCM binary (fully real decode:
+    np.frombuffer needs no external codec). Engine re-derives features from
+    bytes; oracle reads the generation-time goldens."""
+    from raygeo.ops.multimodal import audio_features
+
+    d = _fix(sf_dir)
+    return audio_features(
+        _rpq(f"{d}/audio.parquet", columns=["audio_id", "bytes"]))
+
+
 def _q_caption_roundtrip(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -772,6 +795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep": _q_docs_dedup_keep,  # components via recursive-CTE oracle
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
         "image_features": _q_image_features,  # fixed-point golden check
+        "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
+        "audio_features": _q_audio_features,  # golden check (real PCM decode)
         # embeddings
         "emb_knn": _q_emb_knn,
         "emb_ivf_knn": _q_emb_ivf_knn,  # rows-only (approximate)
@@ -987,6 +1012,15 @@ FROM read_parquet('{FIX_SF001}/tiles_golden_dem.parquet')
         "roi_load_window": f"""
 SELECT roi_id, n_valid_px, pix_sum, pix_min, pix_max
 FROM read_parquet('{FIX_SF001}/windows_golden.parquet')
+""",
+        "video_frame_stats": f"""
+SELECT video_id, frame_no, pix_sum
+FROM read_parquet('{FIX_SF001}/video_frames_golden.parquet')
+WHERE frame_no % 2 = 0
+""",
+        "audio_features": f"""
+SELECT audio_id, n_samples, peak, zero_crossings, rms_fp
+FROM read_parquet('{FIX_SF001}/audio.parquet')
 """,
         "dedup_phash": f"""
 SELECT phash, min(image_id) AS image_id, count(*)::BIGINT AS n_dups

@@ -597,6 +597,130 @@ def _golden_table(store: dict, temporal: bool, dem: bool = False) -> pa.Table:
     return pa.table(out, schema=GOLDEN_TILES_SCHEMA)
 
 
+# ---- multimodal fixtures: video containers + PCM audio ---------------------
+# Video: a deterministic container format ("RGV1": magic + uint16 frame
+# count + per-frame uint32 length prefix + raygeo-codec frame payload).
+# Parsing the container and decoding frames is REAL work the engine does;
+# only the stand-in for a production codec (h264 etc.) is synthetic — the
+# sandbox has no av/ffmpeg (see ops.multimodal.decode_external_image).
+# Audio: int16 little-endian PCM — fully real decode via np.frombuffer.
+
+VIDEOS_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("n_frames", pa.int32()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fps", pa.int32()),
+    ]
+)
+
+VIDEO_FRAMES_GOLDEN_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("frame_no", pa.int32()),
+        ("pix_sum", pa.int64()),
+    ]
+)
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.string()),
+        ("bytes", pa.binary()),  # int16 LE PCM mono
+        ("sr", pa.int32()),
+        # goldens (ops.multimodal.AudioFeatures oracle)
+        ("n_samples", pa.int64()),
+        ("peak", pa.int64()),
+        ("zero_crossings", pa.int64()),
+        ("rms_fp", pa.int64()),  # round(rms(float64) * 1e6)
+    ]
+)
+
+VIDEO_MAGIC = b"RGV1"
+
+
+def pack_video(frames_encoded: list[bytes]) -> bytes:
+    import struct
+
+    parts = [VIDEO_MAGIC, struct.pack("<H", len(frames_encoded))]
+    for f in frames_encoded:
+        parts.append(struct.pack("<I", len(f)))
+        parts.append(f)
+    return b"".join(parts)
+
+
+def _make_video_row(i: int) -> tuple[dict, list[dict]]:
+    video_id = f"vid-{i:06d}"
+    n_frames = 2 + i % 7
+    w = h = 32
+    frames, goldens = [], []
+    for k in range(n_frames):
+        pix = pixels_of(f"{video_id}/f{k}", w, h)
+        fmt = FMT_CYCLE[(i + k) % 3]
+        buf = encode(pix, fmt)
+        decoded = decode(buf) if fmt == "dctq" else pix
+        frames.append(buf)
+        goldens.append({
+            "video_id": video_id,
+            "frame_no": k,
+            "pix_sum": int(decoded.astype(np.int64).sum()),
+        })
+    row = {"video_id": video_id, "bytes": pack_video(frames),
+           "n_frames": n_frames, "w": w, "h": h, "fps": 30}
+    return row, goldens
+
+
+def generate_videos(n_videos: int, out_path: str, golden_path: str) -> None:
+    rows, gold = [], []
+    for i in range(n_videos):
+        r, g = _make_video_row(i)
+        rows.append(r)
+        gold.extend(g)
+    t = pa.table({k: [r[k] for r in rows] for k in VIDEOS_SCHEMA.names},
+                 schema=VIDEOS_SCHEMA)
+    pq.write_table(t, out_path + ".tmp", compression="zstd")
+    os.replace(out_path + ".tmp", out_path)
+    gt = pa.table({k: [g[k] for g in gold]
+                   for k in VIDEO_FRAMES_GOLDEN_SCHEMA.names},
+                  schema=VIDEO_FRAMES_GOLDEN_SCHEMA)
+    pq.write_table(gt, golden_path + ".tmp", compression="zstd")
+    os.replace(golden_path + ".tmp", golden_path)
+
+
+def _make_audio_row(i: int) -> dict:
+    audio_id = f"aud-{i:06d}"
+    hv = _h32(audio_id)
+    rng = np.random.Generator(np.random.PCG64(hv))
+    sr = 16000
+    n = 8000 + hv % 8000
+    ts = np.arange(n, dtype=np.float64) / sr
+    f1 = 100.0 + hv % 400
+    f2 = 500.0 + (hv // 7) % 2000
+    x = (0.5 * np.sin(2 * np.pi * f1 * ts)
+         + 0.3 * np.sin(2 * np.pi * f2 * ts)
+         + 0.1 * rng.standard_normal(n))
+    pcm = np.clip(np.rint(x * 20000), -32768, 32767).astype("<i2")
+    f64 = pcm.astype(np.float64)
+    return {
+        "audio_id": audio_id,
+        "bytes": pcm.tobytes(),
+        "sr": sr,
+        "n_samples": n,
+        "peak": int(np.abs(pcm.astype(np.int32)).max()),
+        "zero_crossings": int(np.sum((pcm[:-1] < 0) != (pcm[1:] < 0))),
+        "rms_fp": int(round(float(np.sqrt(np.mean(f64 * f64))) * 1e6)),
+    }
+
+
+def generate_audio(n_rows: int, out_path: str) -> None:
+    rows = [_make_audio_row(i) for i in range(n_rows)]
+    t = pa.table({k: [r[k] for r in rows] for k in AUDIO_SCHEMA.names},
+                 schema=AUDIO_SCHEMA)
+    pq.write_table(t, out_path + ".tmp", compression="zstd")
+    os.replace(out_path + ".tmp", out_path)
+
+
 # load(roi) window queries (K5): fixed boxes, exact binary coordinates so
 # the pixel-window floor/ceil math is bit-identical everywhere
 LOAD_WINDOW_ROIS = (
@@ -707,7 +831,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v6-wingolden"
+FIXTURE_LAYOUT_VERSION = "v7-avmodal"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -739,6 +863,11 @@ def ensure_fixtures(sf: float) -> str:
     if not (os.path.exists(os.path.join(d, "tiles_golden_lww.parquet"))
             and os.path.exists(os.path.join(d, "windows_golden.parquet"))):
         generate_tile_goldens(d, n)
+    if not os.path.exists(os.path.join(d, "videos.parquet")):
+        generate_videos(max(50, n // 20), os.path.join(d, "videos.parquet"),
+                        os.path.join(d, "video_frames_golden.parquet"))
+    if not os.path.exists(os.path.join(d, "audio.parquet")):
+        generate_audio(max(100, n // 10), os.path.join(d, "audio.parquet"))
     with open(marker + ".tmp", "w") as f:
         f.write(FIXTURE_LAYOUT_VERSION + "\n")
     os.replace(marker + ".tmp", marker)

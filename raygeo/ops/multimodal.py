@@ -247,12 +247,113 @@ def decode_external_image(buf: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError("unreachable in sandbox")
 
 
-def sample_video_frames(buf: bytes, every_n: int = 30) -> list[np.ndarray]:
-    """Video frame sampling — STUB (no av/ffmpeg in container); deterministic
-    fake for plumbing tests: treats the buffer as a single raygeo-coded frame
-    repeated, samples frame 0."""
-    try:
-        import av  # noqa: F401
-    except ImportError:
-        return [decode(buf)]
-    raise NotImplementedError("unreachable in sandbox")
+def parse_video_container(buf) -> list:
+    """RGV1 container parse: magic + uint16 frame count + per-frame uint32
+    length prefix + raygeo-codec payload.
+
+    The container format is the sandbox stand-in for a production codec
+    (no av/ffmpeg here — see :func:`decode_external_image` for the stub
+    boundary); the parse, per-frame decode, batching and output layout are
+    all real engine work.
+    """
+    import struct
+
+    mv = memoryview(buf)
+    if bytes(mv[:4]) != b"RGV1":
+        raise ValueError("not an RGV1 video container")
+    n = struct.unpack_from("<H", mv, 4)[0]
+    off = 6
+    frames = []
+    for _ in range(n):
+        ln = struct.unpack_from("<I", mv, off)[0]
+        off += 4
+        frames.append(mv[off:off + ln])
+        off += ln
+    return frames
+
+
+def sample_video_frames(buf, every_n: int = 2) -> list[np.ndarray]:
+    """Decode every ``every_n``-th frame of an RGV1 container."""
+    frames = parse_video_container(buf)
+    return [decode(frames[k]) for k in range(0, len(frames), every_n)]
+
+
+class VideoFrameStats:
+    """Actor-pool frame-sample stage: container parse + per-frame decode +
+    per-frame stats. One output row per sampled frame — the flat layout a
+    downstream frame-level pipeline (dedup, embedding) consumes."""
+
+    def __init__(self, every_n: int = 2):
+        self.every_n = every_n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("video_id").to_pylist()
+        bufs = binary_views(t.column("bytes"))
+        out_id, out_fno, out_ps = [], [], []
+        for vid, buf in zip(ids, bufs):
+            frames = parse_video_container(buf)
+            for k in range(0, len(frames), self.every_n):
+                pix = decode(frames[k])
+                out_id.append(vid)
+                out_fno.append(k)
+                out_ps.append(int(pix.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "video_id": pa.array(out_id, pa.string()),
+                "frame_no": pa.array(out_fno, pa.int32()),
+                "pix_sum": pa.array(out_ps, pa.int64()),
+            }
+        )
+
+
+def video_frame_stats(ds, every_n: int = 2, batch_size: int = 64):
+    """Frame-sample pipeline over a video table (large binary payloads ->
+    small batches so batch x concurrency stays in worker heap)."""
+    return ds.map_batches(
+        VideoFrameStats(every_n),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+
+
+class AudioFeatures:
+    """Actor-pool audio feature extraction over int16 LE PCM binary.
+
+    Fully real decode (``np.frombuffer``) — PCM needs no external library.
+    Features: sample count, peak amplitude, zero-crossing count, RMS at
+    1e-6 fixed point (int64, exact cross-engine compare).
+    """
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("audio_id").to_pylist()
+        bufs = binary_views(t.column("bytes"))
+        n_out = np.empty(len(ids), np.int64)
+        peak = np.empty(len(ids), np.int64)
+        zcr = np.empty(len(ids), np.int64)
+        rms = np.empty(len(ids), np.int64)
+        for j, buf in enumerate(bufs):
+            pcm = np.frombuffer(buf, dtype="<i2")
+            f64 = pcm.astype(np.float64)
+            n_out[j] = len(pcm)
+            peak[j] = int(np.abs(pcm.astype(np.int32)).max()) if len(pcm) else 0
+            zcr[j] = int(np.sum((pcm[:-1] < 0) != (pcm[1:] < 0)))
+            rms[j] = int(round(float(np.sqrt(np.mean(f64 * f64))) * 1e6)) if len(pcm) else 0
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, pa.string()),
+                "n_samples": pa.array(n_out, pa.int64()),
+                "peak": pa.array(peak, pa.int64()),
+                "zero_crossings": pa.array(zcr, pa.int64()),
+                "rms_fp": pa.array(rms, pa.int64()),
+            }
+        )
+
+
+def audio_features(ds, batch_size: int = 512):
+    return ds.map_batches(
+        AudioFeatures(),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+    )

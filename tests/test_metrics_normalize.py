@@ -159,3 +159,62 @@ def test_event_timeline_and_gantt(ray_session, fixtures_sf0001, tmp_path):
     assert tl.worker.nunique() >= 1 and (tl.worker != "?").all()
     g = gantt_ascii(cube)
     assert "partitions" in g and "#" in g
+
+
+def test_video_container_roundtrip():
+    """RGV1 pack/parse + frame decode roundtrip, including the lossy codec."""
+    import numpy as np
+
+    from raygeo.codec import decode, encode
+    from raygeo.fixtures import pack_video, pixels_of
+    from raygeo.ops.multimodal import parse_video_container, sample_video_frames
+
+    frames = [pixels_of(f"v/f{k}", 32, 32) for k in range(5)]
+    encoded = [encode(f, fmt) for f, fmt in zip(frames, ["raw", "pngz", "dctq", "raw", "pngz"])]
+    buf = pack_video(encoded)
+    parsed = parse_video_container(buf)
+    assert len(parsed) == 5
+    for k in (0, 1, 3, 4):  # lossless formats roundtrip exactly
+        assert np.array_equal(decode(parsed[k]), frames[k])
+    sampled = sample_video_frames(buf, every_n=2)
+    assert len(sampled) == 3  # frames 0, 2, 4
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_video_container(b"XXXX" + buf[4:])
+
+
+def test_video_frame_stats_matches_goldens(ray_session, fixtures_sf0001):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raygeo.ops.multimodal import video_frame_stats
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    got = (video_frame_stats(
+        read_parquet_clean(f"{d}/videos.parquet", columns=["video_id", "bytes"]),
+        every_n=2).to_pandas()
+        .sort_values(["video_id", "frame_no"]).reset_index(drop=True))
+    exp = pq.read_table(f"{d}/video_frames_golden.parquet").to_pandas()
+    exp = exp[exp.frame_no % 2 == 0].sort_values(
+        ["video_id", "frame_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_audio_features_matches_goldens(ray_session, fixtures_sf0001):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raygeo.ops.multimodal import audio_features
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    got = (audio_features(
+        read_parquet_clean(f"{d}/audio.parquet", columns=["audio_id", "bytes"]))
+        .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    exp = (pq.read_table(f"{d}/audio.parquet",
+                         columns=["audio_id", "n_samples", "peak",
+                                  "zero_crossings", "rms_fp"])
+           .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
