@@ -1020,7 +1020,7 @@ WHERE frame_no % 2 = 0
 """,
         "audio_features": f"""
 SELECT audio_id, n_samples, peak, zero_crossings, rms_fp
-FROM read_parquet('{FIX_SF001}/audio.parquet')
+FROM read_parquet('{FIX_SF001}/audio.parquet/*.parquet')
 """,
         "dedup_phash": f"""
 SELECT phash, min(image_id) AS image_id, count(*)::BIGINT AS n_dups

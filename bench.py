@@ -119,6 +119,8 @@ def run_bench() -> dict:
         "emb_knn",
         "q1_pricing",
         "docs_token_stats",
+        "video_frame_stats",
+        "audio_features",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -671,16 +671,40 @@ def _make_video_row(i: int) -> tuple[dict, list[dict]]:
     return row, goldens
 
 
-def generate_videos(n_videos: int, out_path: str, golden_path: str) -> None:
+def _write_parts(tables: list[pa.Table], out_dir: str) -> None:
+    """Atomic dir-of-parts parquet write (parallel Ray reads need multiple
+    files — a single file is one read task, a serial bottleneck)."""
+    import shutil
+
+    tmp = out_dir + ".tmpdir"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for k, t in enumerate(tables):
+        pq.write_table(t, os.path.join(tmp, f"part-{k:05d}.parquet"),
+                       compression="zstd")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    elif os.path.exists(out_dir):
+        os.remove(out_dir)  # supersedes an old single-file layout
+    os.replace(tmp, out_dir)
+
+
+def generate_videos(n_videos: int, out_path: str, golden_path: str,
+                    n_parts: int = 16) -> None:
     rows, gold = [], []
     for i in range(n_videos):
         r, g = _make_video_row(i)
         rows.append(r)
         gold.extend(g)
-    t = pa.table({k: [r[k] for r in rows] for k in VIDEOS_SCHEMA.names},
-                 schema=VIDEOS_SCHEMA)
-    pq.write_table(t, out_path + ".tmp", compression="zstd")
-    os.replace(out_path + ".tmp", out_path)
+
+    def tbl(rs):
+        return pa.table({k: [r[k] for r in rs] for k in VIDEOS_SCHEMA.names},
+                        schema=VIDEOS_SCHEMA)
+
+    per = max(1, (n_videos + n_parts - 1) // n_parts)
+    _write_parts([tbl(rows[lo:lo + per]) for lo in range(0, n_videos, per)],
+                 out_path)
     gt = pa.table({k: [g[k] for g in gold]
                    for k in VIDEO_FRAMES_GOLDEN_SCHEMA.names},
                   schema=VIDEO_FRAMES_GOLDEN_SCHEMA)
@@ -713,12 +737,16 @@ def _make_audio_row(i: int) -> dict:
     }
 
 
-def generate_audio(n_rows: int, out_path: str) -> None:
+def generate_audio(n_rows: int, out_path: str, n_parts: int = 16) -> None:
     rows = [_make_audio_row(i) for i in range(n_rows)]
-    t = pa.table({k: [r[k] for r in rows] for k in AUDIO_SCHEMA.names},
-                 schema=AUDIO_SCHEMA)
-    pq.write_table(t, out_path + ".tmp", compression="zstd")
-    os.replace(out_path + ".tmp", out_path)
+
+    def tbl(rs):
+        return pa.table({k: [r[k] for r in rs] for k in AUDIO_SCHEMA.names},
+                        schema=AUDIO_SCHEMA)
+
+    per = max(1, (n_rows + n_parts - 1) // n_parts)
+    _write_parts([tbl(rows[lo:lo + per]) for lo in range(0, n_rows, per)],
+                 out_path)
 
 
 # load(roi) window queries (K5): fixed boxes, exact binary coordinates so

@@ -204,3 +204,43 @@ def fetch_dataset(source: ParquetImageSource, roi: dict | None = None,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ----------------------------------------------------------- extent index (S4)
+def ensure_extent_index(cache_dir: str, fetch, parts=("s", "m", "l")) -> list[str]:
+    """One-time idempotent fetch of extent-index GeoParquet files (S4: the
+    reference's ``_download_arcticdem_extent``, ``datasets/arcticdem.py:63-122``
+    — download+unzip N index files once at setup, skip when cached).
+
+    ``fetch(part) -> bytes`` is the transport hook: HTTP in production, any
+    callable in tests (no network in this sandbox). Files are written
+    atomically (tmp + rename) so concurrent/re-entrant setup is safe, and
+    each part is skipped independently when already present. Returns the
+    cached file paths; the caller reads them once on the driver and
+    ``ray.put``s the result as the broadcast small side of the spatial join
+    (S5 — ops.spatial_join.RoiImageJoin / ops.zonal).
+    """
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    paths = []
+    for part in parts:
+        path = os.path.join(cache_dir, f"extent_{part}.parquet")
+        if not os.path.exists(path):
+            buf = fetch(part)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, path)
+        paths.append(path)
+    return paths
+
+
+def load_extent_index(paths: list[str]):
+    """Read cached extent-index parts into one Arrow table (bbox columns),
+    ready for a single ``ray.put``. Small side by construction — the index
+    holds one row per source tile/footprint, not per pixel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pa.concat_tables([pq.read_table(p) for p in paths])

@@ -70,3 +70,67 @@ def test_fetch_actor_cache_hits(fixtures_sf0001):
     assert out1.num_rows == out2.num_rows == 8
     assert actor.stats["cache_hits"] == 8
     assert actor.stats["fetched"] == 8
+
+
+def test_extent_index_one_time_setup(tmp_path):
+    """S4: fetch each index part exactly once; re-entry is a no-op; the
+    loaded index is one small Arrow table ready for broadcast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raygeo.sources import ensure_extent_index, load_extent_index
+
+    calls = []
+
+    def fake_fetch(part: str) -> bytes:
+        calls.append(part)
+        t = pa.table({
+            "tile": [f"{part}-0", f"{part}-1"],
+            "lon_min": [0.0, 0.5], "lat_min": [0.0, 0.5],
+            "lon_max": [0.5, 1.0], "lat_max": [0.5, 1.0],
+        })
+        import io
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        return buf.getvalue()
+
+    cache = str(tmp_path / "extent_cache")
+    p1 = ensure_extent_index(cache, fake_fetch)
+    assert sorted(calls) == ["l", "m", "s"]
+    p2 = ensure_extent_index(cache, fake_fetch)  # cached: no new fetches
+    assert sorted(calls) == ["l", "m", "s"]
+    assert p1 == p2
+    idx = load_extent_index(p1)
+    assert idx.num_rows == 6
+    assert set(idx.column_names) >= {"tile", "lon_min", "lat_max"}
+
+
+def test_extent_index_broadcast_join(ray_session, fixtures_sf0001, tmp_path):
+    """S4 -> S5 flow: the cached extent index becomes the broadcast small
+    side of the ROI x footprint join (one ray.put, read in every task)."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatial_join import roi_image_join
+    from raygeo.sources import ensure_extent_index, load_extent_index
+    from raygeo.util import read_parquet_clean
+
+    zones = pq.read_table(f"{fixtures_sf0001}/zones.parquet")
+
+    def fetch(part: str) -> bytes:
+        import io
+        buf = io.BytesIO()
+        lo = {"s": 0, "m": 16, "l": 32}[part]
+        t = zones.slice(lo, 16).rename_columns(
+            ["roi_id" if c == "zone_id" else c for c in zones.column_names])
+        pq.write_table(t, buf)
+        return buf.getvalue()
+
+    paths = ensure_extent_index(str(tmp_path / "c"), fetch)
+    idx = load_extent_index(paths)
+    assert idx.num_rows == 48
+    images = read_parquet_clean(f"{fixtures_sf0001}/images.parquet",
+                                columns=["image_id", "w", "h"])
+    out = roi_image_join(images, idx, FIXTURE_GRID).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"roi_id", "image_id"}
