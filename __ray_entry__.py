@@ -626,6 +626,16 @@ def _q_docs_fingerprint(sf_dir: str):
     return fingerprint(_rpq(f"{sf_dir}/documents.parquet"))
 
 
+def _q_docs_clean_corpus(sf_dir: str):
+    """Composed end-to-end corpus pipeline (ops.corpus.clean_corpus):
+    quality filter -> exact-content dedup keep-min -> clean corpus rows.
+    The full composition is replayed in SQL (quality thresholds + GROUP BY
+    text keep-min), so the pipeline is value-checked end to end."""
+    from raygeo.ops.corpus import clean_corpus
+
+    return clean_corpus(_rpq(f"{sf_dir}/documents.parquet"))
+
+
 def _q_docs_neardup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -793,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardup_exact": _q_docs_neardup_exact,
         "docs_minhash_07": _q_docs_minhash_07,  # exact-Jaccard oracle (full recall on fixture corpus)
         "docs_dedup_keep": _q_docs_dedup_keep,  # components via recursive-CTE oracle
+        "docs_clean_corpus": _q_docs_clean_corpus,  # composed pipeline, SQL-replayed
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
         "image_features": _q_image_features,  # fixed-point golden check
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
@@ -1222,6 +1233,27 @@ FROM m
         "docs_exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text
+""",
+        "docs_clean_corpus": """
+WITH t AS (
+  SELECT doc_id, text,
+    regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+    len(toks)::BIGINT AS n_tokens,
+    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS tok_chars
+  FROM t
+),
+q AS (
+  SELECT doc_id, text, n_tokens FROM m
+  WHERE n_tokens >= 5
+    AND CAST(tok_chars AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)
+        BETWEEN 2.0 AND 12.0
+),
+d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text)
+SELECT q.doc_id, q.n_tokens FROM q JOIN d USING (doc_id)
 """,
         "docs_simhash": _SIMHASH_CTE + """
 SELECT doc_id,

@@ -160,3 +160,28 @@ def test_simhash_neardup_matches_bruteforce():
     assert sorted(zip(got["id_a"], got["id_b"], got["hamming"])) == [
         (int(a), int(b), int(h)) for a, b, h in exp
     ]
+
+
+def test_clean_corpus_filters_and_dedups(ray_session):
+    """Composed pipeline: low-quality docs drop, duplicate content keeps
+    the min doc_id, clean docs pass through with their token counts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import clean_corpus
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",   # keep
+            "a b c d e f g h",                               # mean len 1 -> drop
+            "the quick brown fox jumps over the lazy dog",   # dup of 1 -> drop
+            "short",                                         # < 5 tokens -> drop
+            "another perfectly reasonable document with words",  # keep
+            "supercalifragilisticexpialidocious " * 6,       # mean len > 12 -> drop
+        ],
+    })
+    out = clean_corpus(rd.from_pandas(docs)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == [1, 5]
+    assert out.n_tokens.tolist() == [9, 6]
