@@ -185,3 +185,26 @@ def test_clean_corpus_filters_and_dedups(ray_session):
         "doc_id").reset_index(drop=True)
     assert out.doc_id.tolist() == [1, 5]
     assert out.n_tokens.tolist() == [9, 6]
+
+
+def test_lsh_hot_bucket_star_verify(ray_session):
+    """All-identical vectors land in one bucket per table; over max_bucket
+    the star verify must bound work and keep the duplicate-group edges."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import lsh_bucket_neardup
+
+    n = 3000
+    vec = np.full(8, 0.5)
+    docs = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [vec.tolist()] * n,
+    })
+    out = lsh_bucket_neardup(rd.from_pandas(docs), threshold=0.99,
+                             max_bucket=256)
+    # star pairs: every id pairs with the min id exactly once
+    assert len(out) == n - 1
+    assert (out["id_a"] == 0).all()
+    assert set(out["id_b"]) == set(range(1, n))
+    assert (out["cos_sim"] >= 0.99).all()
