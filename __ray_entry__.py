@@ -561,6 +561,25 @@ def _q_events_pairing(sf_dir: str):
                           start_type="view", end_type="click")
 
 
+def _q_events_asof(sf_dir: str):
+    """Dataset-vs-dataset as-of join (ops.asof): each click event matched to
+    its user's most recent prior-or-equal view event. One co-partitioning
+    hash shuffle; per-group sort + searchsorted. DuckDB ASOF JOIN oracle."""
+    from raygeo.ops.asof import asof_join
+
+    ev = _rpq(f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    # rename BEFORE the join: rename after map_groups would run Ray's
+    # Project over pandas blocks, which 2.49 cannot rename
+    views = ev.filter(expr="event_type == 'view'").rename_columns(
+        {"event_id": "view_event_id"})
+    out = asof_join(clicks, views, by="user_id", on="ts",
+                    left_keep=["event_id"], right_keep=["view_event_id"],
+                    right_suffix="")
+    return out.select_columns(["event_id", "view_event_id", "lag_us"])
+
+
 def _q_docs_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -791,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_sessionize,
+        "events_asof": _q_events_asof,  # DuckDB ASOF JOIN oracle
         "events_pairing": _q_events_pairing,
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
@@ -1168,6 +1188,13 @@ SELECT s.user_id, s.event_id,
   CAST(min(epoch_us(e.ts)) - epoch_us(s.ts) AS BIGINT) AS wait_us
 FROM s JOIN e ON e.user_id = s.user_id AND e.ts > s.ts
 GROUP BY s.user_id, s.event_id, s.ts
+""",
+        "events_asof": """
+SELECT c.event_id, v.event_id AS view_event_id,
+       date_diff('microsecond', v.ts, c.ts)::BIGINT AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
 """,
         "docs_token_stats": r"""
 SELECT doc_id,

@@ -218,3 +218,34 @@ def test_audio_features_matches_goldens(ray_session, fixtures_sf0001):
                                   "zero_crossings", "rms_fp"])
            .to_pandas().sort_values("audio_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_join_semantics(ray_session):
+    """As-of inner join: latest right row at-or-before each left row per
+    key; ties match (<=); left rows with no prior right row drop; int
+    dtypes survive the union's null-padding."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.asof import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 3],
+        "t": [10, 5, 2, 7, 4],
+        "lid": [100, 101, 102, 103, 104],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2, 2],
+        "t": [3, 7, 7, 9],
+        "rid": [900, 901, 902, 903],
+    })
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="k", on="t", left_keep=["lid"], right_keep=["rid"],
+                    right_suffix="").to_pandas().sort_values("lid")
+    # lid 100 (t=10) -> rid 901 (t=7); lid 101 (t=5) -> rid 900 (t=3);
+    # lid 102 (t=2) -> none; lid 103 (t=7) -> rid 902 (tie, <=);
+    # lid 104 (k=3) -> none
+    assert out.lid.tolist() == [100, 101, 103]
+    assert out.rid.tolist() == [901, 900, 902]
+    assert out.lag_us.tolist() == [3, 2, 0]
+    assert str(out.lid.dtype) == "int64" and str(out.rid.dtype) == "int64"
