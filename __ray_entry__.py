@@ -580,6 +580,26 @@ def _q_events_asof(sf_dir: str):
     return out.select_columns(["event_id", "view_event_id", "lag_us"])
 
 
+def _q_docs_export_shards(sf_dir: str):
+    """Resumable sharded corpus export (ops.export): one parquet file per
+    doc_id%%16 shard, atomic data-then-marker commits, re-runs skip
+    completed shards. The query reports per-shard row counts (the write
+    itself goes to scratch and is torn down); shard function is
+    SQL-trivial, so the report is value-checked."""
+    import shutil
+    import tempfile
+
+    from raygeo.ops.export import export_sharded
+
+    out_dir = tempfile.mkdtemp(prefix="raygeo_export_")
+    try:
+        docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        rep = export_sharded(docs, out_dir, "doc_id", num_shards=16).to_pandas()
+        return rep.sort_values("shard").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _q_docs_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -811,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_sessionize,
         "events_asof": _q_events_asof,  # DuckDB ASOF JOIN oracle
+        "docs_export_shards": _q_docs_export_shards,  # resumable sharded sink
         "events_pairing": _q_events_pairing,
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
@@ -1188,6 +1209,10 @@ SELECT s.user_id, s.event_id,
   CAST(min(epoch_us(e.ts)) - epoch_us(s.ts) AS BIGINT) AS wait_us
 FROM s JOIN e ON e.user_id = s.user_id AND e.ts > s.ts
 GROUP BY s.user_id, s.event_id, s.ts
+""",
+        "docs_export_shards": """
+SELECT (doc_id % 16)::BIGINT AS shard, count(*)::BIGINT AS n_rows
+FROM documents GROUP BY 1
 """,
         "events_asof": """
 SELECT c.event_id, v.event_id AS view_event_id,

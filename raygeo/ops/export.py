@@ -1,0 +1,81 @@
+"""Resumable sharded parquet export: one directory, one file per key shard.
+
+The generic write-side counterpart of the cube's per-tile lineage commits
+(ops.ingest): output is partitioned by a deterministic shard of a key
+column, each shard commits atomically (tmp file -> rename -> done marker,
+data before marker), and a re-run anti-joins completed shards out BEFORE
+the shuffle — a crashed export resumes by recomputing only missing shards.
+Never one giant file: shard count bounds both the largest output object
+and the blast radius of a retry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import zlib
+
+
+def _shard_of(col, num_shards: int) -> np.ndarray:
+    """Deterministic shard id per value: ``value % num_shards`` for integer
+    keys (SQL-trivial, balanced for id-like keys), crc32 for strings."""
+    vals = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(vals.dtype, np.integer):
+        return (vals % num_shards).astype(np.int64)
+    return np.array(
+        [zlib.crc32(str(v).encode()) % num_shards for v in vals],
+        dtype=np.int64,
+    )
+
+
+def completed_shards(out_dir: str) -> set[int]:
+    if not os.path.isdir(out_dir):
+        return set()
+    return {
+        int(f[len("shard-"):-len(".done")])
+        for f in os.listdir(out_dir)
+        if f.startswith("shard-") and f.endswith(".done")
+    }
+
+
+def export_sharded(ds, out_dir: str, shard_col: str, num_shards: int = 16):
+    """Export ``ds`` to ``out_dir`` as one parquet file per shard.
+
+    Returns a Dataset of (shard, n_rows) for the shards written THIS run;
+    already-committed shards are skipped before any shuffle work. The data
+    file is renamed into place before its ``.done`` marker is written, so a
+    crash leaves either nothing or data-without-marker — both re-run
+    cleanly (marker-less data is overwritten by the recompute).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = _shard_of(t.column(shard_col), num_shards)
+        t = t.append_column("__shard", pa.array(shard, pa.int64()))
+        if done:
+            keep = ~np.isin(shard, list(done))
+            t = t.filter(pa.array(keep))
+        return t
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["__shard"].iloc[0])
+        body = g.drop(columns="__shard").sort_values(shard_col)
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp,
+                       compression="zstd")
+        os.replace(tmp, path)  # data first ...
+        marker = os.path.join(out_dir, f"shard-{shard:05d}.done")
+        with open(marker + ".tmp", "w") as f:
+            f.write(f"{len(body)}\n")
+        os.replace(marker + ".tmp", marker)  # ... marker second
+        return pd.DataFrame({"shard": [shard], "n_rows": [len(body)]})
+
+    return ds.map_batches(add_shard, batch_format="pyarrow",
+                          batch_size=8192).groupby("__shard").map_groups(
+        write_shard, batch_format="pandas")

@@ -95,3 +95,40 @@ def test_two_processes_share_one_cube(fixtures_sf0001, tmp_path):
                              columns=["image_id", "bytes", "w", "h"])
     exp = load(clean, union_roi, images_ds=images).stats()
     assert got == exp
+
+
+def test_export_sharded_resume(ray_session, tmp_path):
+    """Sharded export: atomic per-shard commits; a re-run recomputes ONLY
+    shards whose markers are missing; total content is complete and
+    deterministic."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.ops.export import completed_shards, export_sharded
+
+    docs = pd.DataFrame({
+        "doc_id": range(1000),
+        "text": [f"doc number {i}" for i in range(1000)],
+    })
+    out = str(tmp_path / "corpus_out")
+    r1 = export_sharded(rd.from_pandas(docs), out, "doc_id", num_shards=8)
+    r1 = r1.to_pandas().sort_values("shard").reset_index(drop=True)
+    assert r1.shard.tolist() == list(range(8))
+    assert r1.n_rows.sum() == 1000
+    assert completed_shards(out) == set(range(8))
+    # re-run: everything committed -> zero shards rewritten
+    r2 = export_sharded(rd.from_pandas(docs), out, "doc_id", num_shards=8)
+    assert len(r2.to_pandas()) == 0
+    # crash simulation: drop two markers; only those shards recompute
+    import os
+    for s in (2, 5):
+        os.remove(os.path.join(out, f"shard-{s:05d}.done"))
+    r3 = export_sharded(rd.from_pandas(docs), out, "doc_id", num_shards=8)
+    assert sorted(r3.to_pandas().shard.tolist()) == [2, 5]
+    # full content round-trip (data files only; .done markers sit alongside)
+    import glob
+
+    back = pq.read_table(sorted(glob.glob(os.path.join(out, "*.parquet")))).to_pandas()
+    assert len(back) == 1000
+    assert set(back.doc_id) == set(range(1000))
