@@ -484,6 +484,19 @@ def _q_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape: segment-filtered customers (broadcast key set) x
+    date-filtered orders x shipdate-filtered lineitems via a partitioned
+    hash join with map-side revenue partials; top-k unshipped orders."""
+    from raygeo.ops.relational import q3_shipping
+
+    return q3_shipping(
+        _rpq(f"{sf_dir}/lineitem.parquet"),
+        f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/customer.parquet",
+    )
+
+
 def _q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -825,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / engine plumbing (testdata tables)
         "q1_pricing": _q_q1_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
+        "q3_shipping": _q_q3_shipping,
         "top_orders": _q_top_orders,
         "top_parts": _q_top_parts,
         "events_hourly": _q_events_hourly,
@@ -1143,6 +1157,20 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
+""",
+        "q3_shipping": """
+SELECT l_orderkey,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT AS revenue_c4,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey
+LIMIT 10
 """,
         "top_orders": """
 SELECT l_orderkey,

@@ -308,3 +308,79 @@ def sliding_window_hourly(events_ds, window_hours: int = 3):
         )
 
     return hourly.groupby("event_type").map_groups(trailing, batch_format="pandas")
+
+
+def q3_shipping(lineitem_ds, orders_path: str, customer_path: str,
+                segment: str = "BUILDING", cutoff: str = "1995-03-15",
+                k: int = 10, num_partitions: int | None = None):
+    """TPC-H Q3 shape: unshipped-order revenue ranking.
+
+    Plan: the segment-qualified custkey set is a broadcast sorted array
+    (customer is a dimension table); orders are date- and custkey-filtered
+    at the read side; lineitem pre-aggregates revenue per orderkey map-side
+    before the partitioned hash join with the filtered orders; a tiny
+    final groupby + top-k sort ranks the orders. Fact tables are never
+    broadcast; the join input carries one partial row per orderkey per
+    batch, not raw line items.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from ..util import cluster_cpus, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = max(8, min(64, cluster_cpus()))
+    cutoff_ts = np.datetime64(cutoff)
+
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_mktsegment"])
+    seg_keys = np.sort(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), segment))
+        .column("c_custkey").to_numpy()
+    )
+    seg_ref = ray.put(seg_keys)
+
+    orders = read_parquet_clean(
+        orders_path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        ck = ray.get(seg_ref)
+        od = t.column("o_orderdate").to_numpy()
+        okc = t.column("o_custkey").to_numpy()
+        pos, found = _sorted_probe(ck, okc)
+        keep = (od < cutoff_ts) & found
+        return t.filter(pa.array(keep)).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(ofilter, batch_format="pyarrow",
+                                  batch_size=65536)
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy()
+        keep = sd > cutoff_ts
+        t = t.filter(pa.array(keep))
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64)
+        )
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "revenue_c4": cents})
+        g = df.groupby("l_orderkey", sort=False)["revenue_c4"].sum().reset_index()
+        return table_from_pandas(g)
+
+    rev = lineitem_ds.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    joined = rev.join(orders_f, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("l_orderkey").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"),
+        Min("o_orderdate", alias_name="o_orderdate"),
+    )
+    top = agg.sort(["revenue_c4", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]).limit(k).to_pandas()
+    top["o_orderdate"] = top["o_orderdate"].dt.strftime("%Y-%m-%d")
+    return top[["l_orderkey", "revenue_c4", "o_orderdate"]]
