@@ -593,6 +593,16 @@ def _q_events_asof(sf_dir: str):
     return out.select_columns(["event_id", "view_event_id", "lag_us"])
 
 
+def _q_docs_hash_split(sf_dir: str):
+    """Deterministic train/val/test split assignment (ops.corpus.hash_split):
+    md5-bucket thresholds, stable under any resharding; per-row label
+    value-checked against the identical md5 arithmetic in SQL."""
+    from raygeo.ops.corpus import hash_split
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(docs, "doc_id").select_columns(["doc_id", "split"])
+
+
 def _q_docs_export_shards(sf_dir: str):
     """Resumable sharded corpus export (ops.export): one parquet file per
     doc_id%%16 shard, atomic data-then-marker commits, re-runs skip
@@ -846,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_sessionize,
         "events_asof": _q_events_asof,  # DuckDB ASOF JOIN oracle
         "docs_export_shards": _q_docs_export_shards,  # resumable sharded sink
+        "docs_hash_split": _q_docs_hash_split,  # deterministic split labels
         "events_pairing": _q_events_pairing,
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
@@ -1237,6 +1248,18 @@ SELECT s.user_id, s.event_id,
   CAST(min(epoch_us(e.ts)) - epoch_us(s.ts) AS BIGINT) AS wait_us
 FROM s JOIN e ON e.user_id = s.user_id AND e.ts > s.ts
 GROUP BY s.user_id, s.event_id, s.ts
+""",
+        "docs_hash_split": """
+WITH h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS b
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN b < CAST(round(0.8 * 4294967296) AS UBIGINT) THEN 'train'
+       WHEN b < CAST(round(0.9 * 4294967296) AS UBIGINT) THEN 'val'
+       ELSE 'test' END AS split
+FROM h
 """,
         "docs_export_shards": """
 SELECT (doc_id % 16)::BIGINT AS shard, count(*)::BIGINT AS n_rows

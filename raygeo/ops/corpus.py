@@ -78,3 +78,54 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         Min("n_tokens", alias_name="n_tokens"),
     )
     return agg.select_columns([id_col, "n_tokens"])
+
+
+class _HashSplitStage:
+    """Deterministic split assignment from the key's md5 — stable across
+    runs, machines and partitionings (never ``random()``: resharding the
+    input must not reshuffle the split)."""
+
+    def __init__(self, key_col: str, fractions: dict[str, float]):
+        self.key_col = key_col
+        self.names = list(fractions)
+        cum, acc = [], 0.0
+        for n in self.names:
+            acc += fractions[n]
+            cum.append(acc)
+        if abs(acc - 1.0) > 1e-9:
+            raise ValueError("split fractions must sum to 1")
+        # integer thresholds over the md5-derived 32-bit bucket space
+        self.bounds = [int(round(c * (1 << 32))) for c in cum]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        keys = df[self.key_col].astype(str)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(k.encode()).digest()[:4], "big")
+             for k in keys),
+            dtype=np.int64, count=len(df),
+        )
+        idx = np.searchsorted(np.asarray(self.bounds), h, side="right")
+        idx = np.clip(idx, 0, len(self.names) - 1)
+        out = df.copy()
+        out["split"] = np.asarray(self.names, dtype=object)[idx]
+        return out
+
+
+def hash_split(ds, key_col: str, fractions: dict[str, float] | None = None):
+    """Assign every row a deterministic train/val/test split label.
+
+    ``h = first 4 bytes of md5(str(key))`` as an integer bucket in
+    [0, 2^32); fraction boundaries partition that space. DuckDB computes
+    the identical value (``('0x' || substr(md5(k), 1, 8))::UBIGINT``), so
+    the assignment is oracle-checkable row by row.
+    """
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    return ds.map_batches(
+        _HashSplitStage(key_col, fractions),
+        batch_format="pandas",
+        batch_size=8192,
+        num_cpus=1,
+    )

@@ -208,3 +208,23 @@ def test_lsh_hot_bucket_star_verify(ray_session):
     assert (out["id_a"] == 0).all()
     assert set(out["id_b"]) == set(range(1, n))
     assert (out["cos_sim"] >= 0.99).all()
+
+
+def test_hash_split_deterministic_fractions(ray_session):
+    """Split labels are a pure function of the key (stable under
+    resharding) and fractions land near their targets."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import hash_split
+
+    docs = pd.DataFrame({"doc_id": range(20000)})
+    out = hash_split(rd.from_pandas(docs), "doc_id").to_pandas()
+    frac = out.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # re-run over a different sharding: identical labels
+    out2 = hash_split(rd.from_pandas(docs).repartition(13), "doc_id").to_pandas()
+    m = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (m.split_a == m.split_b).all()
