@@ -121,6 +121,8 @@ def run_bench() -> dict:
         "docs_token_stats",
         "video_frame_stats",
         "audio_features",
+        "q3_shipping",
+        "events_asof",
     ]
     for name in bench_queries:
         timed(name, qs[name])
