@@ -249,3 +249,44 @@ def test_asof_join_semantics(ray_session):
     assert out.rid.tolist() == [901, 900, 902]
     assert out.lag_us.tolist() == [3, 2, 0]
     assert str(out.lid.dtype) == "int64" and str(out.rid.dtype) == "int64"
+
+
+def test_langid_nonenglish_arms_match_sql_oracle(ray_session, tmp_path):
+    """The fixture corpus is all-English, so the de/fr/es/zh tie-break arms
+    of the docs_langid SQL oracle were structurally mirrored but never
+    exercised (NOTES r1 gap). Run engine vs oracle on a synthetic
+    multilingual table to pin all arms."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from raygeo.ops.text import lang_id
+
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [
+            "the quick brown fox and the lazy dog with some words",
+            "der schnelle braune fuchs und die katze nicht mit oder auch",
+            "le renard brun rapide et le chien les mots dans une pour",
+            "el zorro marrón rápido y el perro con las palabras para una",
+            "的 快速 棕色 狐狸 和 懒惰 的 狗 在 一个",
+            "the der le el mixed up words everywhere the the",
+            "",
+            "12345 67890 !!!",
+        ],
+    })
+    got = lang_id(rd.from_pandas(docs)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    import pyarrow as pa
+
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    exp = con.execute(entrymod.oracle_sql()["docs_langid"]).fetchdf()
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)
