@@ -45,6 +45,10 @@ def completed_shards(out_dir: str) -> set[int]:
 def export_sharded(ds, out_dir: str, shard_col: str, num_shards: int = 16):
     """Export ``ds`` to ``out_dir`` as one parquet file per shard.
 
+    Size ``num_shards`` to the data, not the cluster: shards are the unit
+    of retry and of output-file size (aim for ~0.5-2 GB per shard file at
+    scale — 100 TB wants tens of thousands of shards, not 16).
+
     Returns a Dataset of (shard, n_rows) for the shards written THIS run;
     already-committed shards are skipped before any shuffle work. The data
     file is renamed into place before its ``.done`` marker is written, so a

@@ -57,6 +57,12 @@ def main() -> int:
     p_rep = sub.add_parser("report", help="partition metrics + Gantt")
     p_rep.add_argument("--cube", required=True)
 
+    p_exp = sub.add_parser("export", help="resumable sharded parquet export")
+    p_exp.add_argument("--input", required=True, help="input parquet path")
+    p_exp.add_argument("--out", required=True, help="output shard directory")
+    p_exp.add_argument("--shard-col", required=True)
+    p_exp.add_argument("--num-shards", type=int, default=64)
+
     args = ap.parse_args()
 
     import ray
@@ -92,6 +98,18 @@ def _run(args) -> int:
         wall = time.monotonic() - t0
         print(json.dumps({"op": "ingest", "tiles_committed": n,
                           "wall_sec": round(wall, 3)}))
+        return 0
+
+    if args.cmd == "export":
+        from raygeo.ops.export import export_sharded
+
+        t0 = time.monotonic()
+        rep = export_sharded(read_parquet_clean(args.input), args.out,
+                             args.shard_col, num_shards=args.num_shards)
+        rep = rep.to_pandas()
+        print(json.dumps({"op": "export", "shards_written": len(rep),
+                          "rows_written": int(rep.n_rows.sum()) if len(rep) else 0,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
         return 0
 
     if args.cmd == "load":
