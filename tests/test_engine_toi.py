@@ -378,3 +378,34 @@ def test_visualize_state_ascii(ray_session, fixtures_sf0001, tmp_path):
     n = ingest(images, g, cube_path=cube).count()
     art = visualize_state(cube)
     assert art.count("#") == n  # one cell per committed tile at this size
+
+
+def test_toi_snap_kernels_match_pandas_get_indexer():
+    """snap_nearest/pad/bfill claim pandas get_indexer parity (J6,
+    core/toi.py analog) — pin it property-style over random axes/queries."""
+    import numpy as np
+    import pandas as pd
+
+    from raygeo.toi import snap_bfill, snap_nearest, snap_pad
+
+    for seed in range(20):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        n_axis = int(rng.integers(2, 12))
+        base = np.datetime64("2024-01-01", "s")
+        axis = np.sort(rng.choice(
+            np.arange(0, 10_000_000, 97), size=n_axis, replace=False
+        )).astype("timedelta64[s]") + base
+        ts = (rng.integers(-100_000, 10_100_000, size=50)
+              .astype("timedelta64[s]") + base)
+        idx = pd.DatetimeIndex(axis.astype("datetime64[ns]"))
+        q = pd.DatetimeIndex(ts.astype("datetime64[ns]"))
+        assert np.array_equal(
+            snap_nearest(axis, ts), idx.get_indexer(q, method="nearest")
+        ), f"nearest seed {seed}"
+        pad = idx.get_indexer(q, method="pad")
+        assert np.array_equal(snap_pad(axis, ts), pad), f"pad seed {seed}"
+        bf = idx.get_indexer(q, method="bfill")
+        # pandas encodes 'after axis end' as -1; the kernel returns len(axis)
+        got_bf = snap_bfill(axis, ts)
+        got_bf = np.where(got_bf == len(axis), -1, got_bf)
+        assert np.array_equal(got_bf, bf), f"bfill seed {seed}"
