@@ -228,3 +228,32 @@ def test_hash_split_deterministic_fractions(ray_session):
     out2 = hash_split(rd.from_pandas(docs).repartition(13), "doc_id").to_pandas()
     m = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
     assert (m.split_a == m.split_b).all()
+
+
+def test_ivf_centroids_order_independent(ray_session):
+    """ADVICE r1 #9 follow-through: the IVF centroid sample is hash-based,
+    so reshuffling/reordering the input must not change assignments or
+    results."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import ivf_knn
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n, dim = 2000, 16
+    vecs = rng.normal(size=(n, dim))
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    qdf = pd.DataFrame({"query_id": np.array([7, 1234], dtype=np.int64),
+                        "embedding": [vecs[7].tolist(), vecs[1234].tolist()]})
+
+    def run(order):
+        ds = rd.from_pandas(df.iloc[order].reset_index(drop=True))
+        out = ivf_knn(ds, qdf, k=5).to_pandas()
+        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    a = run(np.arange(n))
+    b = run(rng.permutation(n))
+    pd.testing.assert_frame_equal(a, b)
