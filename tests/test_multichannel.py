@@ -226,3 +226,28 @@ def test_rgb_pack_is_default_and_unchanged(fixtures_sf0001):
         "tile_id"
     )
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_alphaearth_shape_64xfloat32_ingest(fixtures_sf0001):
+    """The reference's widest channel spec is AlphaEarth: 64 x float32
+    (datasets/alphaearth.py:38-46). The pack math, wire codecs and mosaic
+    fold must carry 64 channels; cross-plan equality must hold too."""
+    import ray.data as rd
+
+    spec = tuple(Channel(f"emb{i:02d}", "float32", float("nan"))
+                 for i in range(64))
+    pk = ChannelPack(spec)
+    assert pk.nbytes_px == 64 * 4
+
+    def run(map_side):
+        ds = rd.read_parquet(f"{fixtures_sf0001}/images.parquet").limit(120)
+        return (ingest(ds, FIXTURE_GRID, channels=spec,
+                       map_side_combine=map_side, combine_batch_size=64)
+                .to_pandas().sort_values("tile_id").reset_index(drop=True)
+                [["tile_id", "n_frags", "n_valid_px", "pix_sum"]])
+
+    a = run(True)
+    assert len(a) > 0 and (a.n_valid_px > 0).any()
+    b = run(False)
+    assert a.equals(b)
