@@ -317,8 +317,11 @@ def generate_images(
 
     def write_part(k: int, ipc: bytes) -> None:
         table = pa.ipc.open_stream(pa.py_buffer(ipc)).read_all()
+        # bytes payloads are already compressed (pngz/dctq) or incompressible
+        # noise (raw) — re-compressing them burns CPU on every read; store
+        # them raw, compress only the metadata columns
         pq.write_table(table, os.path.join(tmp, f"part-{k:05d}.parquet"),
-                       compression="zstd")
+                       compression={"bytes": "NONE"})
 
     if len(chunks) <= 1:
         for k, ch in enumerate(chunks):
@@ -681,8 +684,9 @@ def _write_parts(tables: list[pa.Table], out_dir: str) -> None:
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     for k, t in enumerate(tables):
+        comp = {"bytes": "NONE"} if "bytes" in t.column_names else "zstd"
         pq.write_table(t, os.path.join(tmp, f"part-{k:05d}.parquet"),
-                       compression="zstd")
+                       compression=comp)
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     elif os.path.exists(out_dir):
@@ -859,7 +863,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v7-avmodal"
+FIXTURE_LAYOUT_VERSION = "v8-storedbytes"
 
 
 def ensure_fixtures(sf: float) -> str:
