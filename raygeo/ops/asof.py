@@ -64,7 +64,10 @@ def asof_join(left_ds, right_ds, by: str, on: str,
 
     def group_asof(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g[side_col] == 0]
-        r = g[g[side_col] == 1].sort_values(on, kind="mergesort")
+        # sort ties by the payload columns too: group arrival order depends
+        # on the shuffle, so an `on`-only sort would make equal-timestamp
+        # matches nondeterministic across runs
+        r = g[g[side_col] == 1].sort_values([on] + rcols, kind="mergesort")
         empty = {
             **{c: pd.Series(dtype=g[c].dtype) for c in lcols},
             **{c + right_suffix: pd.Series(dtype=g[c].dtype) for c in rcols},

@@ -25,6 +25,9 @@ def _shard_of(col, num_shards: int) -> np.ndarray:
     keys (SQL-trivial, balanced for id-like keys), crc32 for strings."""
     vals = col.to_numpy(zero_copy_only=False)
     if np.issubdtype(vals.dtype, np.integer):
+        # numpy % is floored (non-negative result) even for negative keys;
+        # note SQL's % keeps the sign — the docs_export_shards oracle only
+        # matches because its keys are non-negative ids
         return (vals % num_shards).astype(np.int64)
     return np.array(
         [zlib.crc32(str(v).encode()) % num_shards for v in vals],
