@@ -58,16 +58,24 @@ def record_partition(
 
 
 def read_records(cube_path: str) -> list[dict]:
+    """All ledger records: compacted parquet segments + loose JSON commits,
+    deduped by partition_id (latest commit_ts wins — compaction may crash
+    between writing a segment and deleting the loose files it covers)."""
     d = _lineage_dir(cube_path)
     if not os.path.isdir(d):
         return []
-    out = []
+    out = _read_segments(d)
     for name in sorted(os.listdir(d)):
-        if not name.startswith("part-"):
+        if not (name.startswith("part-") and name.endswith(".json")):
             continue
         with open(os.path.join(d, name)) as f:
             out.append(json.load(f))
-    return out
+    best: dict[str, dict] = {}
+    for r in out:
+        prev = best.get(r["partition_id"])
+        if prev is None or r["commit_ts"] >= prev["commit_ts"]:
+            best[r["partition_id"]] = r
+    return [best[k] for k in sorted(best)]
 
 
 def loaded_partitions(cube_path: str) -> set[str]:
@@ -100,3 +108,67 @@ def partition_metrics(cube_path: str) -> list[dict]:
         }
         for r in read_records(cube_path)
     ]
+
+
+# ---------------------------------------------------------------- compaction
+# At 100 TB a cube has millions of tiles; one loose JSON per tile is fine as
+# the COMMIT granularity (atomic tmp+rename) but poison as the steady state.
+# LSM answer: roll loose records into parquet ledger segments after a
+# successful run. Crash anywhere mid-compaction leaves records present in
+# both a segment and loose files — the read path dedups by partition_id
+# (latest commit_ts wins), so compaction is safe to re-run at any time.
+
+_SEGMENT_PREFIX = "ledger-"
+
+
+def compact(cube_path: str) -> int:
+    """Roll loose per-tile JSON records into one parquet segment.
+
+    Returns the number of records compacted. Order: write + rename the
+    segment FIRST, then delete the loose files it covers — a crash between
+    the two leaves duplicates, never loss.
+    """
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _lineage_dir(cube_path)
+    if not os.path.isdir(d):
+        return 0
+    loose = [n for n in sorted(os.listdir(d))
+             if n.startswith("part-") and n.endswith(".json")]
+    if not loose:
+        return 0
+    recs = []
+    for name in loose:
+        with open(os.path.join(d, name)) as f:
+            recs.append(json.load(f))
+    table = pa.table({
+        "partition_id": [r["partition_id"] for r in recs],
+        "patch_ids": [r["patch_ids"] for r in recs],
+        "row_count": [r["row_count"] for r in recs],
+        "bytes": [r["bytes"] for r in recs],
+        "wall_ms": [r["wall_ms"] for r in recs],
+        "commit_ts": [r["commit_ts"] for r in recs],
+        "worker": [r.get("worker", "") for r in recs],
+    })
+    seg = os.path.join(d, f"{_SEGMENT_PREFIX}{_uuid.uuid4().hex}.parquet")
+    pq.write_table(table, seg + ".tmp", compression="zstd")
+    os.replace(seg + ".tmp", seg)
+    for name in loose:
+        try:
+            os.remove(os.path.join(d, name))
+        except FileNotFoundError:
+            pass
+    return len(recs)
+
+
+def _read_segments(d: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith(_SEGMENT_PREFIX) and name.endswith(".parquet"):
+            out.extend(pq.read_table(os.path.join(d, name)).to_pylist())
+    return out

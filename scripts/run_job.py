@@ -95,8 +95,12 @@ def _run(args) -> int:
         tiles = ingest(images, g, cube_path=args.cube, mode=args.mode,
                        channels=channels)
         n = tiles.count()  # consume: commits per-tile data + lineage
+        from raygeo import lineage
+
+        n_compacted = lineage.compact(args.cube)  # bound ledger file count
         wall = time.monotonic() - t0
         print(json.dumps({"op": "ingest", "tiles_committed": n,
+                          "ledger_compacted": n_compacted,
                           "wall_sec": round(wall, 3)}))
         return 0
 

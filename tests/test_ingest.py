@@ -366,3 +366,48 @@ def test_ingest_matches_stored_goldens(fixtures_sf0001):
         got = norm(ingest(images, grid, **kw).to_pandas())
         exp = norm(pq.read_table(f"{d}/tiles_golden_{name}.parquet").to_pandas())
         pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lineage_compaction(fixtures_sf0001, tmp_path):
+    """Ledger compaction: loose per-tile JSONs roll into a parquet segment;
+    reads are identical before/after; a crash-duplicate (record in both
+    segment and loose file) dedups to the latest commit; resume still
+    sees every partition."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from raygeo import lineage
+    from raygeo.cube import Channel, CubeSpec, create
+
+    cube = str(tmp_path / "cube")
+    create(CubeSpec("t", FIXTURE_GRID, (Channel("rgb", "uint8", 0.0, ncomp=3),)),
+           cube)
+    ds = rd.read_parquet(f"{fixtures_sf0001}/images.parquet").limit(150)
+    ingest(ds, FIXTURE_GRID, cube_path=cube).to_pandas()
+    before = lineage.read_records(cube)
+    assert len(before) > 0
+    n = lineage.compact(cube)
+    assert n == len(before)
+    after = lineage.read_records(cube)
+    assert after == before
+    ldir = os.path.join(cube, "lineage")
+    assert not any(f.endswith(".json") for f in os.listdir(ldir))
+    # resume: a second ingest over the compacted ledger is a no-op
+    t2 = ingest(ds, FIXTURE_GRID, cube_path=cube).to_pandas()
+    assert len(t2) == 0
+    # crash-duplicate: stale loose record for one tile must lose to the
+    # segment's newer commit_ts
+    stale = dict(before[0])
+    stale["commit_ts"] = 0.0
+    stale["row_count"] = -999
+    with open(os.path.join(ldir, f"part-{stale['partition_id']}.json"), "w") as f:
+        json.dump(stale, f)
+    recs = {r["partition_id"]: r for r in lineage.read_records(cube)}
+    assert recs[stale["partition_id"]]["row_count"] != -999
+    # compact again: dedup persists, loose file consumed
+    lineage.compact(cube)
+    recs2 = {r["partition_id"]: r for r in lineage.read_records(cube)}
+    assert recs2[stale["partition_id"]]["row_count"] != -999
