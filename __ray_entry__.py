@@ -497,6 +497,20 @@ def _q_q3_shipping(sf_dir: str):
     )
 
 
+def _q_orders_quantiles(sf_dir: str):
+    """Distributed grouped quantiles via bounded histograms: per-batch
+    (key, bucket) counts -> histogram groupby (volume = keys x buckets, not
+    rows) -> rank pick on the tiny cumulative histogram. Deterministic
+    one-bucket discretization, replayed exactly in SQL (window-function
+    cumulative + percentile_disc rank)."""
+    from raygeo.ops.relational import grouped_bucket_quantiles
+
+    return grouped_bucket_quantiles(
+        _rpq(f"{sf_dir}/orders.parquet",
+             columns=["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority", "o_totalprice")
+
+
 def _q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -849,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": _q_q1_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
         "q3_shipping": _q_q3_shipping,
+        "orders_quantiles": _q_orders_quantiles,  # histogram quantiles, SQL-replayed
         "top_orders": _q_top_orders,
         "top_parts": _q_top_parts,
         "events_hourly": _q_events_hourly,
@@ -1168,6 +1183,29 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
+""",
+        "orders_quantiles": """
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 1000 AS bucket
+  FROM orders
+),
+h AS (
+  SELECT o_orderpriority, bucket, count(*)::BIGINT AS n
+  FROM b GROUP BY 1, 2
+),
+c AS (
+  SELECT o_orderpriority, bucket, n,
+         sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS total
+  FROM h
+),
+qv(q) AS (VALUES (0.5), (0.9), (0.99))
+SELECT o_orderpriority, q,
+       min(bucket * 1000)::BIGINT AS bucket_lo_cents
+FROM c, qv
+WHERE cum >= greatest(1, CAST(ceil(q * total) AS BIGINT))
+GROUP BY 1, 2
 """,
         "q3_shipping": """
 SELECT l_orderkey,

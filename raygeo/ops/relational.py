@@ -384,3 +384,53 @@ def q3_shipping(lineitem_ds, orders_path: str, customer_path: str,
                    descending=[True, False, False]).limit(k).to_pandas()
     top["o_orderdate"] = top["o_orderdate"].dt.strftime("%Y-%m-%d")
     return top[["l_orderkey", "revenue_c4", "o_orderdate"]]
+
+
+def grouped_bucket_quantiles(ds, key_col: str, value_col: str,
+                             bucket_cents: int = 1000,
+                             qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Distributed grouped quantiles via a bounded histogram.
+
+    Exact per-group quantiles need a per-group sort — a group holding
+    billions of rows at corpus scale. Instead each batch emits per
+    (key, value-bucket) counts (bucket = integer cents // ``bucket_cents``),
+    the groupby reduces histograms (volume bounded by keys x buckets, NOT
+    rows), and the driver picks the bucket containing each rank from the
+    tiny cumulative histogram. The result is deterministic and
+    SQL-replayable: quantile resolution is one bucket (``bucket_cents``
+    cents), an explicit, documented discretization — not a sketch.
+
+    Returns (key, q, bucket_lo_cents) — the inclusive lower bound of the
+    bucket holding the percentile_disc-rank element.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pylist(),
+            "bucket": (np.rint(t.column(value_col).to_numpy() * 100)
+                       .astype(np.int64) // bucket_cents),
+        })
+        g = df.groupby(["k", "bucket"], sort=False).size().rename("n").reset_index()
+        return table_from_pandas(g)
+
+    hist = (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["k", "bucket"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # keys x buckets rows — small by construction
+
+    out_k, out_q, out_lo = [], [], []
+    for k, g in hist.groupby("k"):
+        g = g.sort_values("bucket")
+        cum = g.n.cumsum().to_numpy()
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(1, int(np.ceil(q * total)))  # percentile_disc rank
+            idx = int(np.searchsorted(cum, rank))
+            out_k.append(k)
+            out_q.append(q)
+            out_lo.append(int(g.bucket.to_numpy()[idx]) * bucket_cents)
+    return pd.DataFrame({key_col: out_k, "q": out_q,
+                         "bucket_lo_cents": out_lo}).sort_values(
+        [key_col, "q"]).reset_index(drop=True)
