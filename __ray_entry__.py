@@ -588,6 +588,17 @@ def _q_events_pairing(sf_dir: str):
                           start_type="view", end_type="click")
 
 
+def _q_events_kmv_users(sf_dir: str):
+    """Value-checkable distinct-count sketch (KMV): per event_type, the k=64
+    smallest md5-32 hashes of distinct user_ids estimate the cardinality
+    with pure integer arithmetic — a deterministic sketch DuckDB replays
+    exactly (unlike HLL). Shuffle carries <= k rows per group per batch."""
+    from raygeo.ops.dedup import kmv_distinct
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 def _q_events_asof(sf_dir: str):
     """Dataset-vs-dataset as-of join (ops.asof): each click event matched to
     its user's most recent prior-or-equal view event. One co-partitioning
@@ -870,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_sessionize,
         "events_asof": _q_events_asof,  # DuckDB ASOF JOIN oracle
+        "events_kmv_users": _q_events_kmv_users,  # deterministic KMV sketch
         "docs_export_shards": _q_docs_export_shards,  # resumable sharded sink
         "docs_hash_split": _q_docs_hash_split,  # deterministic split labels
         "events_pairing": _q_events_pairing,
@@ -1302,6 +1314,25 @@ FROM h
         "docs_export_shards": """
 SELECT (doc_id % 16)::BIGINT AS shard, count(*)::BIGINT AS n_rows
 FROM documents GROUP BY 1
+""",
+        "events_kmv_users": """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+)
+SELECT event_type,
+  CASE WHEN nd < 64 THEN (nd * 1000)::BIGINT
+       ELSE ((63::HUGEINT * 4294967296 * 1000) // hv::HUGEINT)::BIGINT
+  END AS est_x1000
+FROM r
+WHERE rn = least(nd, 64)
 """,
         "events_asof": """
 SELECT c.event_id, v.event_id AS view_event_id,

@@ -257,3 +257,25 @@ def test_ivf_centroids_order_independent(ray_session):
     a = run(np.arange(n))
     b = run(rng.permutation(n))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmv_distinct_accuracy_and_determinism(ray_session):
+    """KMV sketch: exact below k, ~10% accurate above k, deterministic
+    under resharding."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import kmv_distinct
+
+    df = pd.DataFrame({
+        "grp": ["small"] * 200 + ["big"] * 8000,
+        "val": [f"s{i % 30}" for i in range(200)]
+               + [f"b{i % 2000}" for i in range(8000)],
+    })
+    out = kmv_distinct(rd.from_pandas(df), "grp", "val", k=256).to_pandas()
+    est = dict(zip(out.grp, out.est_x1000))
+    assert est["small"] == 30 * 1000  # below k: exact distinct-hash count
+    assert abs(est["big"] / 1000 - 2000) / 2000 < 0.2  # ~1/sqrt(k) error
+    out2 = kmv_distinct(rd.from_pandas(df).repartition(7), "grp", "val",
+                        k=256).to_pandas()
+    assert dict(zip(out2.grp, out2.est_x1000)) == est
