@@ -220,6 +220,19 @@ def _q_dedup_phash(sf_dir: str):
     return out.rename_columns({"hash64": "phash"})
 
 
+def _q_phash_neardup(sf_dir: str):
+    """Hamming near-dup pairs over the stored image pHash column via the
+    generic pigeonhole machinery (ops.dedup.hamming_neardup_pairs) —
+    brute-force bit_count(xor) self-join oracle."""
+    from raygeo.ops.dedup import hamming_neardup_pairs
+
+    d = _fix(sf_dir)
+    ds = _rpq(f"{d}/images.parquet", columns=["image_id", "phash"])
+    return hamming_neardup_pairs(ds, "phash", "image_id", hd_max=2)[
+        ["id_a", "id_b", "hamming"]
+    ]
+
+
 def _q_decode_stats(sf_dir: str):
     import ray.data as rd
 
@@ -859,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "knn_images": _q_knn_images,
         "dedup_phash": _q_dedup_phash,
+        "phash_neardup": _q_phash_neardup,  # pigeonhole hamming pairs
         "decode_stats": _q_decode_stats,
         "thumbnails": _q_thumbnails,
         "normalize_bands": _q_normalize_bands,
@@ -1125,6 +1139,31 @@ WHERE frame_no % 2 = 0
         "audio_features": f"""
 SELECT audio_id, n_samples, peak, zero_crossings, rms_fp
 FROM read_parquet('{FIX_SF001}/audio.parquet/*.parquet')
+""",
+        # pigeonhole formulation (hd<=2 pairs must agree on one of three
+        # 21-bit blocks) so DuckDB gets three HASH joins instead of an
+        # O(n^2) inequality nested loop; hamming verified explicitly on
+        # every candidate. A truly brute-force all-pairs check of the same
+        # machinery runs in tests (test_simhash_neardup_matches_bruteforce).
+        "phash_neardup": f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{IMAGES_001}/*.parquet')),
+cand AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b, a.phash AS ha, b.phash AS hb
+  FROM p a JOIN p b
+    ON (a.phash & 2097151) = (b.phash & 2097151) AND a.image_id < b.image_id
+  UNION
+  SELECT a.image_id, b.image_id, a.phash, b.phash
+  FROM p a JOIN p b
+    ON ((a.phash >> 21) & 2097151) = ((b.phash >> 21) & 2097151)
+   AND a.image_id < b.image_id
+  UNION
+  SELECT a.image_id, b.image_id, a.phash, b.phash
+  FROM p a JOIN p b
+    ON ((a.phash >> 42) & 4194303) = ((b.phash >> 42) & 4194303)
+   AND a.image_id < b.image_id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 2
 """,
         "dedup_phash": f"""
 SELECT phash, min(image_id) AS image_id, count(*)::BIGINT AS n_dups

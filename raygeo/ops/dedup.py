@@ -400,24 +400,39 @@ def _popcount64(v: np.ndarray) -> np.ndarray:
 def simhash_neardup_pairs(ds, text_col: str, id_col: str, hd_max: int = 3,
                           max_bucket: int = 4096):
     """SimHash near-dup pairs with Hamming distance <= ``hd_max`` — exact
-    recall via the pigeonhole block scheme.
+    recall via the pigeonhole block scheme (see
+    :func:`hamming_neardup_pairs` for the generic machinery)."""
+    return hamming_neardup_pairs(simhash(ds, text_col, id_col), "simhash64",
+                                 id_col, hd_max=hd_max, max_bucket=max_bucket)
+
+
+def hamming_neardup_pairs(hashes, hash_col: str, id_col: str,
+                          hd_max: int = 3, max_bucket: int = 4096):
+    """Near-dup pairs over ANY precomputed 64-bit hash column (simhash,
+    pHash, fingerprints) with Hamming distance <= ``hd_max`` — exact recall
+    via the pigeonhole block scheme.
 
     The 64-bit hash is split into ``hd_max + 1`` equal blocks; two hashes
     within Hamming distance ``hd_max`` must agree on at least one whole
-    block, so bucketing each doc ``hd_max + 1`` times on (block_id,
+    block, so bucketing each row ``hd_max + 1`` times on (block_id,
     block_value) guarantees every qualifying pair shares a bucket
     (deterministic recall — unlike random-projection LSH). In-bucket verify
     is a vectorized XOR + popcount; cross-block duplicate pairs dedup with a
     keyed groupby, never on the driver.
 
-    Plan:  simhash -> flat_map blocks -> groupby(block_id, block_val)
+    Plan:  hashes -> flat_map blocks -> groupby(block_id, block_val)
            -> map_groups(hamming verify) -> groupby(pair).first
 
-    Hot buckets (>= ``max_bucket`` docs, e.g. a corpus of one repeated
+    Hot buckets (>= ``max_bucket`` rows, e.g. a corpus of one repeated
     boilerplate page): star expansion against the min id keeps components
     intact at O(b) per bucket.
     """
-    hashes = simhash(ds, text_col, id_col)
+    if hash_col != "simhash64":
+        def _std(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t.column(id_col),
+                             "simhash64": t.column(hash_col)})
+        hashes = hashes.map_batches(_std, batch_format="pyarrow",
+                                    batch_size=16384)
     n_blocks = hd_max + 1
     block_bits = 64 // n_blocks
 
@@ -443,8 +458,48 @@ def simhash_neardup_pairs(ds, text_col: str, id_col: str, hd_max: int = 3,
             }
         )
 
+    # two consumers below (bucket counts, then the pair verify) — pin the
+    # banded rows once instead of recomputing the hash pipeline per consumer
+    # (they spill to disk rather than hold heap at scale)
     blocks = hashes.map_batches(to_blocks, batch_format="pyarrow",
-                                batch_size=8192)
+                                batch_size=8192).materialize()
+
+    # Singleton-bucket prefilter: on a corpus of mostly-distinct hashes
+    # almost every (block_id, block_val) bucket has ONE member, and
+    # map_groups pays ~ms of Python per group — 30k singleton groups cost
+    # more than the real work. Count members with the vectorized aggregate
+    # path (map-side partial sums, no per-group Python), keep only
+    # multi-member bucket keys (a small set by construction: |collisions|,
+    # not |rows|), broadcast them, and filter before the map_groups.
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "bkey": (t.column("block_id").to_numpy().astype(np.int64)
+                     << np.int64(58))
+            | t.column("block_val").to_numpy(),
+        })
+        g = df.groupby("bkey", sort=False).size().rename("n").reset_index()
+        return table_from_pandas(g)
+
+    counts = (blocks.map_batches(bucket_partial, batch_format="pyarrow",
+                                 batch_size=65536)
+              .groupby("bkey").aggregate(Sum("n", alias_name="n")))
+    hot = counts.filter(expr="n > 1").select_columns(["bkey"]).to_pandas()
+    hot_ref = ray.put(np.sort(hot["bkey"].to_numpy()))
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        keys = ((t.column("block_id").to_numpy().astype(np.int64)
+                 << np.int64(58))
+                | t.column("block_val").to_numpy())
+        hk = ray.get(hot_ref)
+        pos = np.clip(np.searchsorted(hk, keys), 0, max(len(hk) - 1, 0))
+        mask = hk[pos] == keys if len(hk) else np.zeros(len(keys), bool)
+        return t.filter(pa.array(mask))
+
+    blocks = blocks.map_batches(keep_hot, batch_format="pyarrow",
+                                batch_size=65536)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype=g[id_col].dtype),
