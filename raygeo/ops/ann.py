@@ -284,7 +284,14 @@ def lsh_bucket_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             }
         )
 
-    pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
+    from .dedup import _prefilter_hot_buckets
+
+    # pin once for the two consumers (bucket counts + verify), then drop
+    # singleton buckets — group count, not collision count, is what makes
+    # per-bucket map_groups expensive on mostly-distinct corpora
+    bucketed = bucketed.materialize()
+    hot_only = _prefilter_hot_buckets(bucketed, ("table_id", "bucket"))
+    pairs = hot_only.groupby(["table_id", "bucket"]).map_groups(
         verify, batch_format="pandas"
     )
     # cross-table dedup of identical pairs: keyed groupby, never a driver set

@@ -158,6 +158,52 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
     return np.min(vals, axis=1).astype(np.int64)
 
 
+def _prefilter_hot_buckets(blocks, id_cols: tuple[str, str]):
+    """Drop singleton buckets before a per-bucket ``map_groups``.
+
+    ``map_groups`` costs ~ms of Python per group; on mostly-distinct
+    corpora nearly every bucket has one member, so the group count — not
+    the collision count — dominates. Member counts run through the
+    vectorized aggregate path (map-side partial sums), the multi-member
+    bucket keys (small by construction: |collisions|) broadcast once, and
+    a vectorized filter keeps only their rows. Bucket keys pack into one
+    wrapping int64 — a pack collision can only let an extra singleton
+    through (harmless), never split a real bucket.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    a_col, b_col = id_cols
+
+    def pack(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (t.column(a_col).to_numpy().astype(np.int64)
+                    * np.int64(-7046029254386353131)
+                    + t.column(b_col).to_numpy().astype(np.int64))
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"bkey": pack(t)})
+             .groupby("bkey", sort=False).size().rename("n").reset_index())
+        return table_from_pandas(g)
+
+    counts = (blocks.map_batches(bucket_partial, batch_format="pyarrow",
+                                 batch_size=65536)
+              .groupby("bkey").aggregate(Sum("n", alias_name="n")))
+    hot = counts.filter(expr="n > 1").select_columns(["bkey"]).to_pandas()
+    hot_ref = ray.put(np.sort(hot["bkey"].to_numpy()))
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        keys = pack(t)
+        hk = ray.get(hot_ref)
+        if len(hk) == 0:
+            return t.slice(0, 0)
+        pos = np.clip(np.searchsorted(hk, keys), 0, len(hk) - 1)
+        return t.filter(pa.array(hk[pos] == keys))
+
+    return blocks.map_batches(keep_hot, batch_format="pyarrow",
+                              batch_size=65536)
+
+
 class MinHashBands:
     """doc -> (band_id, band_hash, doc id, shingles) rows.
 
@@ -299,8 +345,10 @@ def minhash_lsh_pairs(
             return empty
         return pd.DataFrame({"id_a": ia_out, "id_b": ib_out, "jaccard": j_out})
 
+    banded = banded.materialize()  # two consumers: bucket counts + verify
+    hot_only = _prefilter_hot_buckets(banded, ("band_id", "band_hash"))
     verified = (
-        banded.groupby(["band_id", "band_hash"])
+        hot_only.groupby(["band_id", "band_hash"])
         .map_groups(verify_bucket, batch_format="pandas")
     )
     # cross-band dedup of identical pairs: keyed groupby, never a driver set
@@ -464,42 +512,9 @@ def hamming_neardup_pairs(hashes, hash_col: str, id_col: str,
     blocks = hashes.map_batches(to_blocks, batch_format="pyarrow",
                                 batch_size=8192).materialize()
 
-    # Singleton-bucket prefilter: on a corpus of mostly-distinct hashes
-    # almost every (block_id, block_val) bucket has ONE member, and
-    # map_groups pays ~ms of Python per group — 30k singleton groups cost
-    # more than the real work. Count members with the vectorized aggregate
-    # path (map-side partial sums, no per-group Python), keep only
-    # multi-member bucket keys (a small set by construction: |collisions|,
-    # not |rows|), broadcast them, and filter before the map_groups.
-    import ray
-    from ray.data.aggregate import Sum
-
-    def bucket_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "bkey": (t.column("block_id").to_numpy().astype(np.int64)
-                     << np.int64(58))
-            | t.column("block_val").to_numpy(),
-        })
-        g = df.groupby("bkey", sort=False).size().rename("n").reset_index()
-        return table_from_pandas(g)
-
-    counts = (blocks.map_batches(bucket_partial, batch_format="pyarrow",
-                                 batch_size=65536)
-              .groupby("bkey").aggregate(Sum("n", alias_name="n")))
-    hot = counts.filter(expr="n > 1").select_columns(["bkey"]).to_pandas()
-    hot_ref = ray.put(np.sort(hot["bkey"].to_numpy()))
-
-    def keep_hot(t: pa.Table) -> pa.Table:
-        keys = ((t.column("block_id").to_numpy().astype(np.int64)
-                 << np.int64(58))
-                | t.column("block_val").to_numpy())
-        hk = ray.get(hot_ref)
-        pos = np.clip(np.searchsorted(hk, keys), 0, max(len(hk) - 1, 0))
-        mask = hk[pos] == keys if len(hk) else np.zeros(len(keys), bool)
-        return t.filter(pa.array(mask))
-
-    blocks = blocks.map_batches(keep_hot, batch_format="pyarrow",
-                                batch_size=65536)
+    # singleton buckets dominate group count on mostly-distinct corpora —
+    # drop them before the per-bucket map_groups (see _prefilter_hot_buckets)
+    blocks = _prefilter_hot_buckets(blocks, ("block_id", "block_val"))
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype=g[id_col].dtype),
