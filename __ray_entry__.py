@@ -861,6 +861,71 @@ def _q_emb_lsh_neardup(sf_dir: str):
     return lsh_bucket_neardup(ds, threshold=0.4)[["id_a", "id_b"]]
 
 
+def _q_docs_top_terms(sf_dir: str):
+    """Corpus-level term frequency: map-side (term, tf, df) partials ->
+    small vocabulary groupby -> top-k sort. The shuffle carries one row
+    per distinct term per batch, never token streams."""
+    from raygeo.ops.corpus import top_terms
+
+    return top_terms(_rpq(f"{sf_dir}/documents.parquet",
+                          columns=["text"]), k=50)
+
+
+def _q_docs_tfidf(sf_dir: str):
+    """Per-doc top term by tf/df: pass 1 folds the corpus df table
+    (vocabulary-sized), broadcast once; pass 2 probes it per batch.
+    tf/df is one int64/int64 IEEE double division — bit-exact across
+    engines, unlike log-based idf."""
+    from raygeo.ops.corpus import tfidf_top_term
+
+    return tfidf_top_term(_rpq(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]))
+
+
+def _q_urgent_revenue(sf_dir: str):
+    """Large⋈large semi-join with a Bloom prefilter: constant-size bitmap
+    of qualifying orderkeys folded from per-batch partials, broadcast once;
+    probe side drops definite non-members before the exact partitioned
+    hash join (exactness never depends on the filter)."""
+    from raygeo.ops.relational import bloom_semijoin_shipmode
+
+    li = _rpq(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_returnflag",
+                       "l_extendedprice", "l_discount"])
+    return bloom_semijoin_shipmode(li, f"{sf_dir}/orders.parquet")
+
+
+def _q_top_parts_per_brand(sf_dir: str):
+    """Grouped top-k (the row_number()-window analog): map-side partial
+    top-k caps the shuffle at k rows per (group, batch); keyed map_groups
+    finishes the rank — hot groups cost the same as cold ones."""
+    from raygeo.ops.relational import grouped_topk
+
+    pt = _rpq(f"{sf_dir}/part.parquet",
+              columns=["p_brand", "p_retailprice", "p_partkey"])
+    return grouped_topk(pt, "p_brand", "p_retailprice", "p_partkey", k=2)
+
+
+# overlapping windows inside the fixture events' Jan-2024 span: a true
+# range join (an event can land in several intervals), not bucketing
+_EVENT_INTERVALS = [
+    ("w1", "2024-01-01", "2024-01-12"),
+    ("w2", "2024-01-08", "2024-01-20"),
+    ("w3", "2024-01-15", "2024-01-29"),
+    ("mid", "2024-01-10", "2024-01-18"),
+]
+
+
+def _q_events_interval_join(sf_dir: str):
+    """Point-in-interval range join against a broadcast interval set with
+    per-interval partial aggregation (K rows per batch through the
+    shuffle)."""
+    from raygeo.ops.relational import interval_range_join
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return interval_range_join(ev, _EVENT_INTERVALS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -899,6 +964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_export_shards": _q_docs_export_shards,  # resumable sharded sink
         "docs_hash_split": _q_docs_hash_split,  # deterministic split labels
         "events_pairing": _q_events_pairing,
+        "urgent_revenue": _q_urgent_revenue,  # bloom-prefiltered semi-join
+        "top_parts_per_brand": _q_top_parts_per_brand,  # grouped top-k (window rank)
+        "events_interval_join": _q_events_interval_join,  # overlapping range join
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -912,6 +980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep": _q_docs_dedup_keep,  # components via recursive-CTE oracle
         "docs_clean_corpus": _q_docs_clean_corpus,  # composed pipeline, SQL-replayed
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
+        "docs_top_terms": _q_docs_top_terms,  # corpus term frequency top-k
+        "docs_tfidf": _q_docs_tfidf,  # per-doc top tf/df term, bit-exact score
         "image_features": _q_image_features,  # fixed-point golden check
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
@@ -1583,6 +1653,63 @@ inter AS (
 SELECT id_a, id_b
 FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+""",
+        "docs_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+)
+SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks GROUP BY term ORDER BY tf DESC, term LIMIT 50
+""",
+        "docs_tfidf": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+tfs AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+j AS (
+  SELECT t.doc_id, t.term, t.tf, d.df, CAST(t.tf AS DOUBLE) / d.df AS score
+  FROM tfs t JOIN dfs d USING (term)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM j
+)
+SELECT doc_id, term, tf, df, score FROM r WHERE rn = 1
+""",
+        "urgent_revenue": """
+SELECT l_returnflag,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4,
+  COUNT(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+        "top_parts_per_brand": """
+WITH r AS (
+  SELECT p_brand, p_partkey,
+    CAST(round(p_retailprice * 100) AS BIGINT) AS p_retailprice_c,
+    row_number() OVER (PARTITION BY p_brand
+                       ORDER BY round(p_retailprice * 100) DESC, p_partkey) AS rank
+  FROM part
+)
+SELECT p_brand, p_partkey, p_retailprice_c, rank::BIGINT AS rank
+FROM r WHERE rank <= 2
+""",
+        "events_interval_join": """
+WITH iv(interval_id, s, e) AS (VALUES
+  ('w1', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-12 00:00:00'),
+  ('w2', TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-20 00:00:00'),
+  ('w3', TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-29 00:00:00'),
+  ('mid', TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-18 00:00:00'))
+SELECT interval_id, COUNT(*)::BIGINT AS n_events,
+  SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events JOIN iv ON ts >= s AND ts < e
+GROUP BY interval_id
 """,
         "emb_knn": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),

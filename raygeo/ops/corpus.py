@@ -27,6 +27,9 @@ import pyarrow as pa
 from .text import TOKEN_RE
 from ..util import cluster_cpus
 
+# token class over lower(text); the DuckDB oracle uses the identical RE2
+LOWER_TOKEN_RE = r"[0-9a-z_]+"
+
 
 class _HashQualityStage:
     """Single pass: content hash + token stats + quality keep flag."""
@@ -131,4 +134,127 @@ def hash_split(ds, key_col: str, fractions: dict[str, float] | None = None):
         batch_format="pandas",
         batch_size=8192,
         num_cpus=1,
+    )
+
+
+class _TermFreqPartial:
+    """Per-batch partial (term -> tf, df).
+
+    Documents are whole rows, so a batch sees each doc completely: the
+    per-batch distinct-(doc, term) count is an exact partial of corpus
+    document frequency, and the groupby that follows only ships one row
+    per distinct term per batch — never raw token streams.
+    """
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+        self.tok = re.compile(LOWER_TOKEN_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.lower().str.findall(self.tok)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "df": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"d": ex.index.to_numpy(), "term": ex.to_numpy()})
+        tf = pairs["term"].value_counts()
+        dfc = pairs.drop_duplicates()["term"].value_counts()
+        out = pd.DataFrame({"term": tf.index.to_numpy(),
+                            "tf": tf.to_numpy().astype("int64")})
+        out["df"] = dfc.reindex(out["term"]).to_numpy().astype("int64")
+        return out
+
+
+def term_stats(docs_ds, text_col: str = "text"):
+    """Corpus-level (term, tf, df) over ASCII word tokens of lower(text)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus
+
+    partial = docs_ds.select_columns([text_col]).map_batches(
+        _TermFreqPartial(text_col), batch_format="pandas",
+        batch_size=4096, num_cpus=1,
+    )
+    partial = partial.repartition(max(8, min(64, cluster_cpus())))
+    return partial.groupby("term").aggregate(
+        Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+
+
+def top_terms(docs_ds, k: int = 50, text_col: str = "text"):
+    """Top-k corpus terms by total frequency (ties broken by term asc)."""
+    agg = term_stats(docs_ds, text_col)
+    return agg.sort(["tf", "term"], descending=[True, False]).limit(k)
+
+
+class _TfidfTopTerm:
+    """Per-doc argmax of tf/df against a broadcast document-frequency table.
+
+    The df side is the *vocabulary* (Heaps-law sublinear in corpus size),
+    broadcast once via ``ray.put`` as a sorted term array + df array and
+    probed with searchsorted — never a shuffle join of token streams.
+    Scoring uses tf/df (one IEEE-754 double division of two int64s), which
+    is bit-exact across engines — unlike log-based idf, whose libm rounding
+    may differ — so the DuckDB oracle value-matches to the last bit.
+    """
+
+    def __init__(self, df_ref, text_col: str, id_col: str):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(LOWER_TOKEN_RE)
+        self.terms, self.dfs = ray.get(df_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.lower().str.findall(self.tok)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({self.id_col: pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        pairs = (pd.DataFrame({"pos": ex.index.to_numpy(),
+                               "term": ex.to_numpy()})
+                 .groupby(["pos", "term"], sort=False).size()
+                 .rename("tf").reset_index())
+        idx = np.searchsorted(self.terms, pairs["term"].to_numpy())
+        pairs["df"] = self.dfs[idx]
+        pairs["score"] = pairs["tf"].to_numpy() / pairs["df"].to_numpy()
+        # deterministic per-doc argmax: score desc, then term asc
+        pairs = pairs.sort_values(["pos", "score", "term"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        best = pairs.drop_duplicates("pos", keep="first")
+        out = pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy()[best["pos"].to_numpy()],
+            "term": best["term"].to_numpy(),
+            "tf": best["tf"].to_numpy().astype("int64"),
+            "df": best["df"].to_numpy().astype("int64"),
+            "score": best["score"].to_numpy(),
+        })
+        return out
+
+
+def tfidf_top_term(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """For every doc, its highest-scoring term by tf/df (rarity-weighted).
+
+    Two streaming passes over documents: pass 1 folds the corpus df table
+    (one row per distinct term per batch into a small groupby); pass 2
+    probes the broadcast vocabulary per batch. The vocabulary pull to the
+    driver is the one materialization, and it is vocabulary-sized, not
+    corpus-sized.
+    """
+    import ray
+
+    stats = term_stats(docs_ds, text_col).to_pandas()
+    order = np.argsort(stats["term"].to_numpy())
+    terms = stats["term"].to_numpy()[order]
+    dfs = stats["df"].to_numpy()[order].astype("int64")
+    df_ref = ray.put((terms, dfs))
+
+    return docs_ds.select_columns([text_col, id_col]).map_batches(
+        _TfidfTopTerm, fn_constructor_args=(df_ref, text_col, id_col),
+        batch_format="pandas", batch_size=4096, concurrency=(1, 8),
     )

@@ -434,3 +434,185 @@ def grouped_bucket_quantiles(ds, key_col: str, value_col: str,
     return pd.DataFrame({key_col: out_k, "q": out_q,
                          "bucket_lo_cents": out_lo}).sort_values(
         [key_col, "q"]).reset_index(drop=True)
+
+
+def _bloom_hash(keys: np.ndarray, m_bits: int, salt: np.uint64) -> np.ndarray:
+    """Vectorized multiply-xorshift hash of int64 keys into [0, m_bits)."""
+    x = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + salt
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x % np.uint64(m_bits)).astype(np.int64)
+
+
+_BLOOM_SALTS = (np.uint64(0xA5A5A5A5A5A5A5A5), np.uint64(0x0123456789ABCDEF))
+
+
+def _bloom_build(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """Bitmap (uint8 array of m_bits/8 bytes) with every key's k=2 bits set."""
+    bm = np.zeros(m_bits // 8, dtype=np.uint8)
+    for salt in _BLOOM_SALTS:
+        pos = _bloom_hash(keys, m_bits, salt)
+        np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bm
+
+
+def _bloom_maybe(bm: np.ndarray, keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """Membership mask: True = possibly present, False = definitely absent."""
+    ok = np.ones(len(keys), dtype=bool)
+    for salt in _BLOOM_SALTS:
+        pos = _bloom_hash(keys, m_bits, salt)
+        ok &= (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    return ok
+
+
+def bloom_semijoin_shipmode(lineitem_ds, orders_path: str,
+                            priority: str = "1-URGENT",
+                            m_bits: int = 1 << 20,
+                            num_partitions: int | None = None):
+    """Revenue of lineitems whose order has the given priority, by return flag.
+
+    The large⋈large semi-join pattern for 100 TB: a *fixed-size* Bloom
+    filter of the qualifying orderkeys is folded from per-batch partial
+    bitmaps (the driver ORs num_batches × m/8-byte arrays — constant in
+    data size) and broadcast once; the probe side drops definite
+    non-members before the exact partitioned hash join, so the shuffle
+    carries only survivors (qualifying fraction + false positives) instead
+    of the whole fact table. Exactness never depends on the filter — the
+    keyed join verifies every survivor.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = max(8, min(64, cluster_cpus()))
+
+    orders = read_parquet_clean(
+        orders_path, columns=["o_orderkey", "o_orderpriority"])
+
+    def obloom(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("o_orderpriority"), priority)
+        keys = t.filter(keep).column("o_orderkey").to_numpy()
+        bm = _bloom_build(keys, m_bits)
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    parts = orders.map_batches(obloom, batch_format="pyarrow",
+                               batch_size=65536).take_all()
+    bm = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in parts:  # constant-size state per batch, not data-size
+        bm |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bm_ref = ray.put(bm)
+
+    def okeys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("o_orderpriority"), priority)
+        return t.filter(keep).select(["o_orderkey"])
+
+    orders_q = orders.map_batches(okeys, batch_format="pyarrow",
+                                  batch_size=65536)
+
+    def lprobe(t: pa.Table) -> pa.Table:
+        bmap = ray.get(bm_ref)
+        lk = t.column("l_orderkey").to_numpy()
+        t = t.filter(pa.array(_bloom_maybe(bmap, lk, m_bits)))
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev_c4 = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "l_returnflag": t.column("l_returnflag").to_numpy(),
+                           "revenue_c4": rev_c4, "n": np.int64(1)})
+        g = (df.groupby(["l_orderkey", "l_returnflag"], sort=False)
+             .agg(revenue_c4=("revenue_c4", "sum"), n=("n", "sum"))
+             .reset_index())
+        return table_from_pandas(g)
+
+    survivors = lineitem_ds.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(lprobe, batch_format="pyarrow", batch_size=65536)
+
+    joined = survivors.join(orders_q, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("l_orderkey",), right_on=("o_orderkey",))
+    return joined.groupby("l_returnflag").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"),
+        Sum("n", alias_name="n_items"),
+    )
+
+
+def grouped_topk(ds, group_col: str, order_col: str, id_col: str,
+                 k: int = 2, cents: bool = True):
+    """Top-k rows per group by order_col desc (ties: id_col asc) with rank.
+
+    The window-function ``row_number() OVER (PARTITION BY g ORDER BY v)``
+    analog: a map-side partial top-k per group per batch caps the shuffle
+    at k rows per (group, batch), then a keyed ``map_groups`` finishes the
+    rank — skew-proof because a hot group contributes at most k rows per
+    batch regardless of its size.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if cents:
+            df = df.assign(
+                _v=np.rint(df[order_col].to_numpy() * 100).astype("int64"))
+        else:
+            df = df.assign(_v=df[order_col])
+        df = df.sort_values([group_col, "_v", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return (df.groupby(group_col, sort=False).head(k)
+                [[group_col, id_col, "_v"]])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_v", id_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+        out = df.rename(columns={"_v": f"{order_col}_c" if cents else order_col})
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    partials = ds.select_columns([group_col, order_col, id_col]).map_batches(
+        partial, batch_format="pandas", batch_size=65536)
+    return partials.groupby(group_col).map_groups(
+        final, batch_format="pandas")
+
+
+def interval_range_join(events_ds, intervals: list[tuple[str, str, str]]):
+    """Events × interval-set range join with per-interval aggregates.
+
+    ``intervals`` is a small broadcast side of (interval_id, start, end)
+    half-open [start, end) windows that MAY OVERLAP — each event lands in
+    every interval containing its ts (a true range join, not bucketing).
+    The per-batch kernel is one vectorized mask per interval (K small);
+    output is a per-batch partial (interval_id, n, value_cents) folded by
+    a K-row groupby. For large K the mask loop becomes searchsorted over
+    interval endpoints; the shuffle volume (K rows per batch) is the same.
+    """
+    from ray.data.aggregate import Sum
+
+    ids = [i for i, _, _ in intervals]
+    starts = np.array([np.datetime64(s, "us") for _, s, _ in intervals])
+    ends = np.array([np.datetime64(e, "us") for _, _, e in intervals])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy()
+        val = t.column("value").to_numpy()
+        cents = np.rint(val * 100).astype(np.int64)
+        out_id, out_n, out_c = [], [], []
+        for j, iid in enumerate(ids):
+            m = (ts >= starts[j]) & (ts < ends[j])
+            n = int(m.sum())
+            if n:
+                out_id.append(iid)
+                out_n.append(n)
+                out_c.append(int(cents[m].sum()))
+        return pa.table({
+            "interval_id": pa.array(out_id, type=pa.string()),
+            "n_events": pa.array(out_n, type=pa.int64()),
+            "value_cents": pa.array(out_c, type=pa.int64()),
+        })
+
+    partials = events_ds.select_columns(["ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("interval_id").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
+    )

@@ -1,0 +1,110 @@
+"""Round-2 relational/corpus extensions: bloom semi-join exactness,
+grouped top-k vs a serial window-rank oracle, overlapping-interval range
+join double-counting, and corpus term stats / tf-idf determinism across
+partitionings."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raygeo.ops.relational import (
+    _bloom_build,
+    _bloom_maybe,
+    grouped_topk,
+    interval_range_join,
+)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.Generator(np.random.PCG64(3))
+    members = rng.choice(10_000_000, size=30_000, replace=False).astype(np.int64)
+    bm = _bloom_build(members, 1 << 20)
+    assert _bloom_maybe(bm, members, 1 << 20).all()  # zero false negatives
+    probe = rng.choice(10_000_000, size=100_000, replace=False).astype(np.int64)
+    non = probe[~np.isin(probe, members)]
+    fp = _bloom_maybe(bm, non, 1 << 20).mean()
+    assert fp < 0.02  # m=1M bits, n=30k, k=2 -> ~0.3% expected
+
+
+def _rank_oracle(df, k):
+    df = df.assign(_v=np.rint(df.p_retailprice.to_numpy() * 100).astype("int64"))
+    df = df.sort_values(["p_brand", "_v", "p_partkey"],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("p_brand", sort=False).head(k).copy()
+    out["rank"] = out.groupby("p_brand", sort=False).cumcount() + 1
+    return out[["p_brand", "p_partkey", "_v", "rank"]].rename(
+        columns={"_v": "p_retailprice_c"})
+
+
+def test_grouped_topk_matches_serial_rank(ray_session):
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 5000
+    df = pd.DataFrame({
+        "p_brand": [f"B{i % 7}" for i in range(n)],
+        # few distinct prices -> exercises the tie-break heavily
+        "p_retailprice": rng.integers(1, 20, size=n) / 4.0,
+        "p_partkey": np.arange(n, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(13)  # group rows scattered over blocks
+    got = (grouped_topk(ds, "p_brand", "p_retailprice", "p_partkey", k=3)
+           .to_pandas()
+           .sort_values(["p_brand", "rank"]).reset_index(drop=True))
+    exp = (_rank_oracle(df, 3)
+           .sort_values(["p_brand", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["p_brand", "p_partkey", "p_retailprice_c", "rank"]], exp,
+        check_dtype=False)
+
+
+def test_interval_join_counts_overlaps_twice(ray_session):
+    import ray.data as rd
+
+    ts = pd.to_datetime(["2024-01-02", "2024-01-09", "2024-01-16"])
+    df = pd.DataFrame({"ts": ts, "value": [1.0, 2.0, 4.0]})
+    iv = [("a", "2024-01-01", "2024-01-10"), ("b", "2024-01-08", "2024-01-20")]
+    got = (interval_range_join(rd.from_pandas(df).repartition(3), iv)
+           .to_pandas().set_index("interval_id"))
+    # 01-09 event overlaps both windows -> contributes to a AND b
+    assert got.loc["a", "n_events"] == 2 and got.loc["a", "value_cents"] == 300
+    assert got.loc["b", "n_events"] == 2 and got.loc["b", "value_cents"] == 600
+
+
+def test_term_stats_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.corpus import term_stats
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the cat sat", "THE the dog", "cat cat cat",
+                 "", "dog. the!", "sat"],
+    })
+    outs = []
+    for parts in (1, 5):
+        ds = rd.from_pandas(docs).repartition(parts)
+        outs.append(term_stats(ds).to_pandas()
+                    .sort_values("term").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    row = outs[0].set_index("term")
+    assert row.loc["the", "tf"] == 4 and row.loc["the", "df"] == 3
+    assert row.loc["cat", "tf"] == 4 and row.loc["cat", "df"] == 2
+
+
+def test_tfidf_top_term_tiebreak(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.corpus import tfidf_top_term
+
+    # 'aa' and 'bb' both appear once in doc 0 and have equal df=1:
+    # equal scores -> term-asc tie-break must pick 'aa' deterministically
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": ["bb aa common", "common common"],
+    })
+    got = (tfidf_top_term(rd.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.loc[0, "term"] == "aa" and got.loc[0, "df"] == 1
+    assert got.loc[1, "term"] == "common"
+    assert got.loc[1, "score"] == pytest.approx(2 / 2)
