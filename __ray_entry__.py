@@ -926,6 +926,52 @@ def _q_events_interval_join(sf_dir: str):
     return interval_range_join(ev, _EVENT_INTERVALS)
 
 
+def _q_docs_inverted_index(sf_dir: str):
+    """term -> sorted posting list; map side ships distinct (term, doc)
+    pairs (the index payload itself), keyed map_groups folds each term's
+    postings — sharded by the groupby's term-hash partitioning."""
+    from raygeo.ops.corpus import inverted_index
+
+    return inverted_index(_rpq(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]))
+
+
+def _q_events_zscore(sf_dir: str):
+    """Per-group standardization (AVG/STDDEV OVER (PARTITION BY) analog):
+    integer-cents moment fold -> groups-sized broadcast -> streaming
+    standardize. Double divide/sqrt are correctly rounded, so z-scores are
+    bit-identical to the SQL oracle."""
+    from raygeo.ops.relational import grouped_zscore
+
+    ev = _rpq(f"{sf_dir}/events.parquet",
+              columns=["event_id", "event_type", "value"])
+    return grouped_zscore(ev)
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _q_orders_pivot(sf_dir: str):
+    """Pivot orders to one column per priority, summed by order year. The
+    map side emits already-pivoted partials (one row per year per batch),
+    so the shuffle is years x batches rows regardless of order count."""
+    import pyarrow as pa
+
+    from raygeo.ops.relational import pivot_sum
+
+    orders = _rpq(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def add_year(t):
+        y = (t.column("o_orderdate").to_numpy().astype("datetime64[Y]")
+             .astype(int) + 1970)
+        return t.append_column("o_year", pa.array(y.astype("int64")))
+
+    withy = orders.map_batches(add_year, batch_format="pyarrow")
+    return pivot_sum(withy, "o_year", "o_orderpriority", "o_totalprice",
+                     _PRIORITIES)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -967,6 +1013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_revenue": _q_urgent_revenue,  # bloom-prefiltered semi-join
         "top_parts_per_brand": _q_top_parts_per_brand,  # grouped top-k (window rank)
         "events_interval_join": _q_events_interval_join,  # overlapping range join
+        "events_zscore": _q_events_zscore,  # per-group standardization
+        "orders_pivot": _q_orders_pivot,  # map-side pivoted partials
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -982,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
         "docs_top_terms": _q_docs_top_terms,  # corpus term frequency top-k
         "docs_tfidf": _q_docs_tfidf,  # per-doc top tf/df term, bit-exact score
+        "docs_inverted_index": _q_docs_inverted_index,  # posting lists
         "image_features": _q_image_features,  # fixed-point golden check
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
@@ -1710,6 +1759,46 @@ SELECT interval_id, COUNT(*)::BIGINT AS n_events,
   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM events JOIN iv ON ts >= s AND ts < e
 GROUP BY interval_id
+""",
+        "docs_inverted_index": """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+    unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+)
+SELECT term, count(*)::BIGINT AS n_docs,
+  string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY term
+""",
+        "events_zscore": """
+WITH c AS (
+  SELECT event_id, event_type,
+    CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(value_cents)::BIGINT AS s,
+    sum(value_cents * value_cents)::BIGINT AS ss
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.value_cents,
+  (c.value_cents - (s::DOUBLE / n))
+    / sqrt((ss::DOUBLE / n) - (s::DOUBLE / n) * (s::DOUBLE / n)) AS zscore
+FROM c JOIN m USING (event_type)
+""",
+        "orders_pivot": """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+  SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sum_1_urgent,
+  SUM(CASE WHEN o_orderpriority = '2-HIGH'
+      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sum_2_high,
+  SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sum_3_medium,
+  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sum_4_not_specified,
+  SUM(CASE WHEN o_orderpriority = '5-LOW'
+      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sum_5_low
+FROM orders GROUP BY 1
 """,
         "emb_knn": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -258,3 +258,39 @@ def tfidf_top_term(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         _TfidfTopTerm, fn_constructor_args=(df_ref, text_col, id_col),
         batch_format="pandas", batch_size=4096, concurrency=(1, 8),
     )
+
+
+def inverted_index(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Build a term -> posting-list index (sorted distinct doc ids).
+
+    The map side emits distinct (term, doc) pairs per batch (dedup within
+    the doc happens before the shuffle); the keyed ``map_groups`` folds
+    each term's postings into a sorted comma-joined list. Postings ARE the
+    index payload, so the shuffle volume here is the output size — at
+    corpus scale you shard this by term hash (the groupby already does)
+    and write one postings shard per partition.
+    """
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        tok = re.compile(LOWER_TOKEN_RE)
+        toks = df[text_col].str.lower().str.findall(tok)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "term": ex.to_numpy(),
+            id_col: df[id_col].to_numpy()[ex.index.to_numpy()],
+        })
+        return out.drop_duplicates()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].unique())
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "n_docs": np.int64(len(ids)),
+            "postings": [",".join(str(i) for i in ids)],
+        })
+
+    partial = docs_ds.select_columns([text_col, id_col]).map_batches(
+        pairs, batch_format="pandas", batch_size=4096, num_cpus=1)
+    return partial.groupby("term").map_groups(fold, batch_format="pandas")

@@ -616,3 +616,91 @@ def interval_range_join(events_ds, intervals: list[tuple[str, str, str]]):
         Sum("n_events", alias_name="n_events"),
         Sum("value_cents", alias_name="value_cents"),
     )
+
+
+def grouped_zscore(events_ds, key_col: str = "event_type",
+                   value_col: str = "value", id_col: str = "event_id"):
+    """Per-group standardization (the AVG/STDDEV OVER (PARTITION BY) analog).
+
+    Two streaming passes: pass 1 folds per-group (n, sum, sum-of-squares)
+    in integer cents — a groups-sized table pulled to the driver and
+    broadcast; pass 2 standardizes each row against its group's moments.
+    All arithmetic that feeds the float output is integer sums followed by
+    IEEE double divide/sqrt (both correctly rounded), so the z-scores are
+    bit-identical to the SQL oracle's same-formula computation.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"k": t.column(key_col).to_pandas(),
+                           "n": np.int64(1), "s": cents, "ss": cents * cents})
+        g = (df.groupby("k", sort=False)
+             .agg(n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+             .reset_index())
+        return table_from_pandas(g)
+
+    mom = (events_ds.select_columns([key_col, value_col])
+           .map_batches(moments, batch_format="pyarrow", batch_size=65536)
+           .groupby("k").aggregate(Sum("n", alias_name="n"),
+                                   Sum("s", alias_name="s"),
+                                   Sum("ss", alias_name="ss"))
+           .to_pandas())
+    keys = mom["k"].to_numpy()
+    order = np.argsort(keys)
+    mom_ref = ray.put((keys[order],
+                       mom["n"].to_numpy()[order].astype(np.int64),
+                       mom["s"].to_numpy()[order].astype(np.int64),
+                       mom["ss"].to_numpy()[order].astype(np.int64)))
+
+    def standardize(t: pa.Table) -> pa.Table:
+        ks, ns, sums, sumsqs = ray.get(mom_ref)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, k)
+        n = ns[idx].astype(np.float64)
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        mean = sums[idx] / n
+        # population variance from integer sums: E[x^2] - E[x]^2
+        var = sumsqs[idx] / n - mean * mean
+        sd = np.sqrt(var)
+        z = (cents - mean) / sd
+        return pa.table({
+            id_col: t.column(id_col),
+            key_col: t.column(key_col),
+            "value_cents": pa.array(cents, type=pa.int64()),
+            "zscore": pa.array(z, type=pa.float64()),
+        })
+
+    return events_ds.select_columns([id_col, key_col, value_col]).map_batches(
+        standardize, batch_format="pyarrow", batch_size=65536)
+
+
+def pivot_sum(ds, row_col: str, col_col: str, value_col: str,
+              categories: list[str]):
+    """Pivot: one output column per category, summed in integer cents.
+
+    The category set is declared up front (small, fixed), so the map side
+    emits an already-pivoted partial — one row per row_col value per batch
+    with K category columns — and the groupby just sums columns. No
+    two-phase discovery pass, no per-category shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = [f"sum_{c.lower().replace('-', '_').replace(' ', '_')}"
+            for c in categories]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"r": t.column(row_col).to_pandas(),
+                           "c": t.column(col_col).to_pandas()})
+        for cat, name in zip(categories, cols):
+            df[name] = np.where(df["c"].to_numpy() == cat, cents, 0)
+        g = (df.drop(columns="c").groupby("r", sort=False).sum()
+             .reset_index().rename(columns={"r": row_col}))
+        return table_from_pandas(g)
+
+    partials = ds.select_columns([row_col, col_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby(row_col).aggregate(
+        *[Sum(c, alias_name=c) for c in cols])

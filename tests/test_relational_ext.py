@@ -108,3 +108,63 @@ def test_tfidf_top_term_tiebreak(ray_session):
     assert got.loc[0, "term"] == "aa" and got.loc[0, "df"] == 1
     assert got.loc[1, "term"] == "common"
     assert got.loc[1, "score"] == pytest.approx(2 / 2)
+
+
+def test_inverted_index_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.corpus import inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([5, 3, 9, 1], dtype=np.int64),
+        "text": ["x y", "y y z", "x", "z x"],
+    })
+    outs = []
+    for parts in (1, 4):
+        ds = rd.from_pandas(docs).repartition(parts)
+        outs.append(inverted_index(ds).to_pandas()
+                    .sort_values("term").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    row = outs[0].set_index("term")
+    assert row.loc["x", "postings"] == "1,5,9"  # sorted, distinct
+    assert row.loc["y", "n_docs"] == 2  # within-doc dups collapse
+
+
+def test_grouped_zscore_moments(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import grouped_zscore
+
+    df = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "event_type": ["a"] * 4 + ["b"] * 4,
+        "value": [1.0, 2.0, 3.0, 4.0, 10.0, 10.0, 20.0, 20.0],
+    })
+    got = (grouped_zscore(rd.from_pandas(df).repartition(4)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # group a: mean 250c, population sd = sqrt(mean(x^2)-mean^2)
+    cents = np.array([100, 200, 300, 400], dtype=np.int64)
+    mean = cents.sum() / 4.0
+    sd = np.sqrt((cents * cents).sum() / 4.0 - mean * mean)
+    np.testing.assert_array_equal(
+        got.loc[:3, "zscore"].to_numpy(), (cents - mean) / sd)
+    # group b is symmetric two-point -> z = ±1 exactly
+    np.testing.assert_array_equal(
+        got.loc[4:, "zscore"].to_numpy(), np.array([-1.0, -1.0, 1.0, 1.0]))
+
+
+def test_pivot_sum_categories(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import pivot_sum
+
+    df = pd.DataFrame({
+        "g": np.array([1, 1, 2, 2, 2], dtype=np.int64),
+        "cat": ["hi", "lo", "hi", "hi", "zz"],  # 'zz' not declared -> dropped
+        "v": [1.0, 2.0, 3.0, 4.0, 99.0],
+    })
+    got = (pivot_sum(rd.from_pandas(df).repartition(3), "g", "cat", "v",
+                     ["hi", "lo"]).to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    assert got.loc[0, "sum_hi"] == 100 and got.loc[0, "sum_lo"] == 200
+    assert got.loc[1, "sum_hi"] == 700 and got.loc[1, "sum_lo"] == 0
