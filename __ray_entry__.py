@@ -972,6 +972,17 @@ def _q_orders_pivot(sf_dir: str):
                      _PRIORITIES)
 
 
+def _q_emb_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column: per-element quantization
+    to int64 micro-units (floor(x*1e6+0.5), exactly-rounded IEEE ops) makes
+    the vector-mean fold an integer sum — associative, order-independent,
+    and value-identical to the SQL replay."""
+    from raygeo.ops.ann import label_centroids
+
+    return label_centroids(_rpq(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding", "label"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -1039,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_knn": _q_emb_ivf_knn,  # rows-only (approximate)
         "emb_neardup": _q_emb_neardup,
         "emb_lsh_neardup": _q_emb_lsh_neardup,  # rows-only (probabilistic)
+        "emb_centroids": _q_emb_centroids,  # quantized vector-mean aggregate
     }
 
 
@@ -1759,6 +1771,19 @@ SELECT interval_id, COUNT(*)::BIGINT AS n_events,
   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM events JOIN iv ON ts >= s AND ts < e
 GROUP BY interval_id
+""",
+        "emb_centroids": """
+WITH d AS (
+  SELECT label, embedding, unnest(range(len(embedding))) AS dim FROM embeddings
+),
+u AS (
+  SELECT label, dim,
+    CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM d
+)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim, sum(q)::BIGINT AS sum_q,
+  count(*)::BIGINT AS n, sum(q)::DOUBLE / count(*) AS mean_q
+FROM u GROUP BY label, dim
 """,
         "docs_inverted_index": """
 WITH toks AS (

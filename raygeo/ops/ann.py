@@ -304,3 +304,54 @@ def lsh_bucket_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                              "id_b": pd.Series(dtype="int64"),
                              "cos_sim": pd.Series(dtype="float64")})
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _list_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """Zero-copy (n, dim) view of a list<float> (or Ray tensor-ext) column."""
+    arr = col.combine_chunks()
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1)
+    # Ray's ArrowTensorArray (from_pandas of ndarray cells) -> (n, dim) direct
+    return np.asarray(arr.to_numpy(zero_copy_only=False))
+
+
+def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
+    """Per-label centroid of an embedding column (the vector-mean aggregate).
+
+    Floats are quantized per element to int64 micro-units
+    (``floor(x * 1e6 + 0.5)`` — every step an exactly-rounded IEEE op, so
+    the quantized value is bit-identical in any engine) and summed as
+    integers: the fold is associative/commutative, immune to summation
+    order, and the map side ships one (label, dim)-vector partial per
+    batch. Output is long-form (label, dim, sum_q, n, mean_q) with
+    mean_q = sum_q / n as one exact double division.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import table_from_pandas
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _list_matrix(t.column(vec_col)).astype(np.float64)
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)  # (n, dim)
+        labels = t.column(label_col).to_numpy()
+        dim = q.shape[1]
+        df = pd.DataFrame({"label": np.repeat(labels, dim).astype(np.int64),
+                           "dim": np.tile(np.arange(dim, dtype=np.int64),
+                                          len(labels)),
+                           "sum_q": q.ravel(), "n": np.int64(1)})
+        g = (df.groupby(["label", "dim"], sort=False)
+             .agg(sum_q=("sum_q", "sum"), n=("n", "sum")).reset_index())
+        return table_from_pandas(g)
+
+    agg = ds.select_columns([vec_col, label_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096,
+    ).groupby(["label", "dim"]).aggregate(
+        Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("sum_q").to_numpy()
+        n = t.column("n").to_numpy()
+        return t.append_column("mean_q", pa.array(s / n, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

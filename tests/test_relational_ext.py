@@ -168,3 +168,26 @@ def test_pivot_sum_categories(ray_session):
            .sort_values("g").reset_index(drop=True))
     assert got.loc[0, "sum_hi"] == 100 and got.loc[0, "sum_lo"] == 200
     assert got.loc[1, "sum_hi"] == 700 and got.loc[1, "sum_lo"] == 0
+
+
+def test_label_centroids_quantized_exact(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import label_centroids
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    labels = np.repeat(np.array([0, 1], dtype=np.int32), 20)
+    df = pd.DataFrame({"embedding": list(vecs), "label": labels})
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        outs.append(label_centroids(ds).to_pandas()
+                    .sort_values(["label", "dim"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # order-independent fold
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    exp0 = q[:20].sum(axis=0)
+    got0 = outs[0][outs[0].label == 0].sort_values("dim")["sum_q"].to_numpy()
+    np.testing.assert_array_equal(got0, exp0)
+    assert (outs[0]["mean_q"].to_numpy()
+            == outs[0]["sum_q"].to_numpy() / outs[0]["n"].to_numpy()).all()
