@@ -983,6 +983,36 @@ def _q_emb_centroids(sf_dir: str):
                                 columns=["embedding", "label"]))
 
 
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP analog: only the finest (year, priority) level is
+    folded distributed; subtotals and the grand total derive from that
+    groups-sized aggregate in a final single-block map."""
+    import pyarrow as pa
+
+    from raygeo.ops.relational import rollup_sum
+
+    orders = _rpq(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def add_year(t):
+        y = (t.column("o_orderdate").to_numpy().astype("datetime64[Y]")
+             .astype(int) + 1970)
+        return t.append_column("o_year", pa.array(y.astype("int64")))
+
+    withy = orders.map_batches(add_year, batch_format="pyarrow")
+    return rollup_sum(withy, "o_year", "o_orderpriority", "o_totalprice")
+
+
+def _q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group — the KMV sketch's exact sibling:
+    per-batch distinct pairs collapse repeats before the shuffle, so the
+    exchange carries distinct pairs only (the exact answer's floor)."""
+    from raygeo.ops.relational import grouped_distinct_count
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_distinct_count(ev, "event_type", "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -1026,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": _q_events_interval_join,  # overlapping range join
         "events_zscore": _q_events_zscore,  # per-group standardization
         "orders_pivot": _q_orders_pivot,  # map-side pivoted partials
+        "orders_rollup": _q_orders_rollup,  # rollup from finest-level fold
+        "events_distinct_users": _q_events_distinct_users,  # exact count-distinct
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -1771,6 +1803,17 @@ SELECT interval_id, COUNT(*)::BIGINT AS n_events,
   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM events JOIN iv ON ts >= s AND ts < e
 GROUP BY interval_id
+""",
+        "orders_rollup": """
+SELECT coalesce(year(o_orderdate)::VARCHAR, 'ALL') AS o_year,
+  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+  SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS value_cents,
+  COUNT(*)::BIGINT AS n_rows
+FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+""",
+        "events_distinct_users": """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type
 """,
         "emb_centroids": """
 WITH d AS (

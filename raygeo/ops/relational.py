@@ -704,3 +704,68 @@ def pivot_sum(ds, row_col: str, col_col: str, value_col: str,
         partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby(row_col).aggregate(
         *[Sum(c, alias_name=c) for c in cols])
+
+
+def rollup_sum(ds, row_col: str, col_col: str, value_col: str):
+    """GROUP BY ROLLUP(a, b) analog: subtotal and grand-total rows.
+
+    Only the finest granularity (a, b) is folded distributed (map-side
+    partials, one row per (a, b) per batch); the coarser levels are
+    derived from that tiny aggregate in a final single-block map — never a
+    second pass over the data. NULL group keys are encoded as the string
+    'ALL' so the schema stays non-nullable."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"a": t.column(row_col).to_pandas().astype(str),
+                           "b": t.column(col_col).to_pandas().astype(str),
+                           "v": cents, "n": np.int64(1)})
+        g = (df.groupby(["a", "b"], sort=False)
+             .agg(v=("v", "sum"), n=("n", "sum")).reset_index())
+        return table_from_pandas(g)
+
+    fine = ds.select_columns([row_col, col_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).groupby(["a", "b"]).aggregate(Sum("v", alias_name="v"),
+                                    Sum("n", alias_name="n"))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        lvl_a = (df.groupby("a", as_index=False).agg(v=("v", "sum"),
+                                                     n=("n", "sum")))
+        lvl_a["b"] = "ALL"
+        total = pd.DataFrame({"a": ["ALL"], "b": ["ALL"],
+                              "v": [df["v"].sum()], "n": [df["n"].sum()]})
+        out = pd.concat([df[["a", "b", "v", "n"]], lvl_a[["a", "b", "v", "n"]],
+                         total], ignore_index=True)
+        return out.rename(columns={"a": row_col, "b": col_col,
+                                   "v": "value_cents", "n": "n_rows"})
+
+    # the fine aggregate is groups-sized: collapse to one block and expand
+    return fine.repartition(1).map_batches(expand, batch_format="pandas",
+                                           batch_size=None)
+
+
+def grouped_distinct_count(ds, key_col: str, distinct_col: str):
+    """Exact COUNT(DISTINCT x) per group (the KMV sketch's exact sibling).
+
+    Map side emits per-batch distinct (key, x) pairs — the first dedup
+    level, collapsing within-batch repeats before any shuffle; a keyed
+    groupby then collapses cross-batch repeats and a pandas nunique per
+    group finishes. Shuffle volume is the number of distinct pairs, the
+    information-theoretic minimum for an exact answer (the sketch path is
+    the constant-memory alternative when that is too much)."""
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key_col: t.column(key_col).to_pandas(),
+                           distinct_col: t.column(distinct_col).to_pandas()})
+        return table_from_pandas(df.drop_duplicates())
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n_distinct": np.int64(g[distinct_col].nunique()),
+        })
+
+    partial = ds.select_columns([key_col, distinct_col]).map_batches(
+        pairs, batch_format="pyarrow", batch_size=65536)
+    return partial.groupby(key_col).map_groups(fold, batch_format="pandas")

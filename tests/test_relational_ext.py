@@ -191,3 +191,35 @@ def test_label_centroids_quantized_exact(ray_session):
     np.testing.assert_array_equal(got0, exp0)
     assert (outs[0]["mean_q"].to_numpy()
             == outs[0]["sum_q"].to_numpy() / outs[0]["n"].to_numpy()).all()
+
+
+def test_rollup_levels(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import rollup_sum
+
+    df = pd.DataFrame({
+        "y": np.array([2020, 2020, 2021], dtype=np.int64),
+        "p": ["a", "b", "a"],
+        "v": [1.0, 2.0, 4.0],
+    })
+    got = (rollup_sum(rd.from_pandas(df).repartition(3), "y", "p", "v")
+           .to_pandas().set_index(["y", "p"]))
+    assert got.loc[("2020", "a"), "value_cents"] == 100
+    assert got.loc[("2020", "ALL"), "value_cents"] == 300  # subtotal
+    assert got.loc[("ALL", "ALL"), "value_cents"] == 700  # grand total
+    assert got.loc[("ALL", "ALL"), "n_rows"] == 3
+
+
+def test_grouped_distinct_count_cross_batch(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import grouped_distinct_count
+
+    # user 7 repeats for 'a' across many partitions: must count once
+    df = pd.DataFrame({"k": ["a"] * 6 + ["b"] * 2,
+                       "u": [7, 7, 7, 8, 9, 7, 7, 7]})
+    got = (grouped_distinct_count(rd.from_pandas(df).repartition(5), "k", "u")
+           .to_pandas().set_index("k"))
+    assert got.loc["a", "n_distinct"] == 3
+    assert got.loc["b", "n_distinct"] == 1
