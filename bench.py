@@ -123,6 +123,9 @@ def run_bench() -> dict:
         "audio_features",
         "q3_shipping",
         "events_asof",
+        "urgent_revenue",
+        "docs_tfidf",
+        "emb_centroids",
     ]
     for name in bench_queries:
         timed(name, qs[name])
