@@ -1013,6 +1013,32 @@ def _q_events_distinct_users(sf_dir: str):
     return grouped_distinct_count(ev, "event_type", "user_id")
 
 
+_SEARCH_TERMS = ["hash", "join", "batch"]
+
+
+def _q_docs_search(sf_dir: str):
+    """Conjunctive keyword search as one streaming pass (no index): keep
+    docs containing ALL query terms, rank score = total term occurrences."""
+    from raygeo.ops.corpus import search_all_terms
+
+    return search_all_terms(_rpq(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]), _SEARCH_TERMS)
+
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel over first-occurrence times: wide per-user Min
+    aggregate (absent = sentinel) -> vectorized strict-order chain ->
+    K-row histogram fold. No single-block collapse at any stage."""
+    from raygeo.ops.relational import funnel_counts
+
+    ev = _rpq(f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ev, _FUNNEL_STAGES)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -1058,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot": _q_orders_pivot,  # map-side pivoted partials
         "orders_rollup": _q_orders_rollup,  # rollup from finest-level fold
         "events_distinct_users": _q_events_distinct_users,  # exact count-distinct
+        "events_funnel": _q_events_funnel,  # ordered-sequence funnel
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -1074,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms": _q_docs_top_terms,  # corpus term frequency top-k
         "docs_tfidf": _q_docs_tfidf,  # per-doc top tf/df term, bit-exact score
         "docs_inverted_index": _q_docs_inverted_index,  # posting lists
+        "docs_search": _q_docs_search,  # conjunctive streaming search
         "image_features": _q_image_features,  # fixed-point golden check
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
@@ -1803,6 +1831,32 @@ SELECT interval_id, COUNT(*)::BIGINT AS n_events,
   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM events JOIN iv ON ts >= s AND ts < e
 GROUP BY interval_id
+""",
+        "docs_search": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+m AS (
+  SELECT doc_id, count(*)::BIGINT AS match_tf, count(DISTINCT term) AS nt
+  FROM toks WHERE term IN ('hash', 'join', 'batch') GROUP BY doc_id
+)
+SELECT doc_id, match_tf FROM m WHERE nt = 3
+""",
+        "events_funnel": """
+WITH f AS (
+  SELECT user_id,
+    min(ts) FILTER (WHERE event_type = 'view') AS t0,
+    min(ts) FILTER (WHERE event_type = 'click') AS t1,
+    min(ts) FILTER (WHERE event_type = 'purchase') AS t2
+  FROM events GROUP BY user_id
+)
+SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+  count(*) FILTER (WHERE t0 IS NOT NULL)::BIGINT AS n_users FROM f
+UNION ALL SELECT 1, 'click',
+  count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0) FROM f
+UNION ALL SELECT 2, 'purchase',
+  count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0 AND t2 > t1) FROM f
 """,
         "orders_rollup": """
 SELECT coalesce(year(o_orderdate)::VARCHAR, 'ALL') AS o_year,

@@ -294,3 +294,45 @@ def inverted_index(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     partial = docs_ds.select_columns([text_col, id_col]).map_batches(
         pairs, batch_format="pandas", batch_size=4096, num_cpus=1)
     return partial.groupby("term").map_groups(fold, batch_format="pandas")
+
+
+class _SearchStage:
+    """Conjunctive keyword search: one streaming pass, no index required.
+
+    For each doc: keep iff every query term occurs; rank score = total
+    occurrences of query terms. The query term set is tiny and lives in
+    the actor; per-batch work is the same vectorized tokenize as the
+    other corpus stages plus a K-column membership test.
+    """
+
+    def __init__(self, terms: list[str], text_col: str, id_col: str):
+        self.terms = sorted(terms)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(LOWER_TOKEN_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.lower().str.findall(self.tok)
+        ex = toks.explode().dropna()
+        ex = ex[ex.isin(self.terms)]
+        if len(ex) == 0:
+            return pd.DataFrame({self.id_col: pd.Series([], dtype="int64"),
+                                 "match_tf": pd.Series([], dtype="int64")})
+        hits = (pd.DataFrame({"pos": ex.index.to_numpy(), "t": ex.to_numpy()})
+                .groupby(["pos", "t"], sort=False).size().rename("c")
+                .reset_index())
+        per_doc = hits.groupby("pos", sort=False).agg(
+            n_terms=("t", "nunique"), match_tf=("c", "sum")).reset_index()
+        keep = per_doc[per_doc["n_terms"] == len(self.terms)]
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy()[keep["pos"].to_numpy()],
+            "match_tf": keep["match_tf"].to_numpy().astype("int64"),
+        })
+
+
+def search_all_terms(docs_ds, terms: list[str], text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Docs containing ALL query terms, with total-match-count rank score."""
+    return docs_ds.select_columns([text_col, id_col]).map_batches(
+        _SearchStage(terms, text_col, id_col), batch_format="pandas",
+        batch_size=4096, num_cpus=1)

@@ -769,3 +769,73 @@ def grouped_distinct_count(ds, key_col: str, distinct_col: str):
     partial = ds.select_columns([key_col, distinct_col]).map_batches(
         pairs, batch_format="pyarrow", batch_size=65536)
     return partial.groupby(key_col).map_groups(fold, batch_format="pandas")
+
+
+_FUNNEL_ABSENT = np.int64(1 << 62)  # sentinel: stage never reached
+
+
+def funnel_counts(events_ds, stages: list[str],
+                  user_col: str = "user_id", type_col: str = "event_type"):
+    """Ordered funnel: users reaching stage i with strictly increasing
+    first-occurrence timestamps through stages 0..i.
+
+    Fully distributed and vectorized: the map side emits one WIDE partial
+    row per user per batch (first-occurrence int64 ts per stage, absent =
+    sentinel), the keyed groupby Min-folds each stage column, and the
+    strict-order chain comparison runs vectorized over the one-row-per-
+    user aggregate (safe at any batch boundary). A final K-row partial
+    histogram folds the counts. Shuffle volume is users x batches wide
+    rows; no single-block collapse anywhere.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    cols = [f"ts_{i}" for i in range(len(stages))]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"u": t.column(user_col).to_numpy(),
+                           "s": t.column(type_col).to_pandas(),
+                           "ts": t.column("ts").to_numpy().astype(
+                               "datetime64[us]").astype(np.int64)})
+        out = None
+        for i, s in enumerate(stages):
+            g = (df[df["s"] == s].groupby("u", sort=False)["ts"].min()
+                 .rename(cols[i]))
+            out = g.to_frame() if out is None else out.join(g, how="outer")
+        if out is None or len(out) == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.int64()) for c in cols}})
+        for c in cols:
+            if c not in out.columns:
+                out[c] = np.float64(np.nan)
+        filled = out[cols].fillna(np.float64(_FUNNEL_ABSENT)).astype(np.int64)
+        filled.insert(0, "u", out.index.to_numpy())
+        return table_from_pandas(filled.reset_index(drop=True))
+
+    mins = events_ds.select_columns([user_col, type_col, "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).groupby("u").aggregate(*[Min(c, alias_name=c) for c in cols])
+
+    def chain(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ok = np.ones(n, dtype=bool)
+        prev = np.full(n, np.int64(-1))
+        reached = np.zeros((n, len(stages)), dtype=np.int64)
+        for i, c in enumerate(cols):
+            ts = t.column(c).to_numpy()
+            ok = ok & (ts != _FUNNEL_ABSENT) & (ts > prev)
+            reached[:, i] = ok
+            prev = np.where(ok, ts, prev)
+        sums = reached.sum(axis=0)
+        return pa.table({"stage_idx": pa.array(range(len(stages)), pa.int64()),
+                         "n_users": pa.array(sums, pa.int64())})
+
+    counts = mins.map_batches(chain, batch_format="pyarrow", batch_size=65536)
+    agg = counts.groupby("stage_idx").aggregate(
+        Sum("n_users", alias_name="n_users"))
+
+    def name_stages(t: pa.Table) -> pa.Table:
+        idx = t.column("stage_idx").to_numpy()
+        return t.append_column(
+            "stage", pa.array([stages[i] for i in idx], pa.string()))
+
+    return agg.map_batches(name_stages, batch_format="pyarrow")

@@ -223,3 +223,41 @@ def test_grouped_distinct_count_cross_batch(ray_session):
            .to_pandas().set_index("k"))
     assert got.loc["a", "n_distinct"] == 3
     assert got.loc["b", "n_distinct"] == 1
+
+
+def test_funnel_strict_order_and_batches(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import funnel_counts
+
+    ts = pd.to_datetime([
+        "2024-01-01", "2024-01-02", "2024-01-03",   # u1: full ordered funnel
+        "2024-01-05", "2024-01-04",                 # u2: click BEFORE view
+        "2024-01-06",                               # u3: view only
+    ])
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "event_type": ["view", "click", "purchase", "view", "click", "view"],
+        "ts": ts,
+    })
+    got = (funnel_counts(rd.from_pandas(df).repartition(4),
+                         ["view", "click", "purchase"])
+           .to_pandas().sort_values("stage_idx").reset_index(drop=True))
+    # u2's click precedes its view: reaches stage 0 only
+    assert got["n_users"].tolist() == [3, 1, 1]
+
+
+def test_search_all_terms_conjunctive(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.corpus import search_all_terms
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["alpha beta alpha", "alpha", "beta beta", "Alpha BETA"],
+    })
+    got = (search_all_terms(rd.from_pandas(docs).repartition(2),
+                            ["alpha", "beta"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 3]  # both terms required
+    assert got["match_tf"].tolist() == [3, 2]  # rank = total occurrences
