@@ -1039,6 +1039,23 @@ def _q_events_funnel(sf_dir: str):
     return funnel_counts(ev, _FUNNEL_STAGES)
 
 
+def _q_mosaic_overview(sf_dir: str):
+    """Level-1 overview pyramid (COG/GDAL build-overviews analog): each
+    child tile 2x2-max-pools map-side (payload shrinks 4x before the
+    shuffle), a keyed map_groups pastes <=4 quadrants per parent. Checked
+    against generation-time golden parents painted by an independent
+    serial numpy pass."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.overview import overview_level
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return overview_level(tiles, FIXTURE_GRID.chunk)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -1059,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,
         "ingest_mosaic_max": _q_ingest_mosaic_max,
         "ingest_mosaic_dem": _q_ingest_mosaic_dem,
+        "mosaic_overview": _q_mosaic_overview,  # pyramid level-1, golden-checked
         "toi_snap": _q_toi_snap,
         "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
         "tile_skew_report": _q_tile_skew_report,
@@ -1321,6 +1339,10 @@ FROM read_parquet('{FIX_SF001}/tiles_golden_dem.parquet')
         "roi_load_window": f"""
 SELECT roi_id, n_valid_px, pix_sum, pix_min, pix_max
 FROM read_parquet('{FIX_SF001}/windows_golden.parquet')
+""",
+        "mosaic_overview": f"""
+SELECT tile_id, ptx, pty, n_children, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/overview_golden.parquet')
 """,
         "video_frame_stats": f"""
 SELECT video_id, frame_no, pix_sum

@@ -842,6 +842,53 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_windows(agg["lww"]), wpath + ".tmp",
                    compression="zstd")
     os.replace(wpath + ".tmp", wpath)
+    opath = os.path.join(out_dir, "overview_golden.parquet")
+    pq.write_table(_golden_overview(agg["lww"]), opath + ".tmp",
+                   compression="zstd")
+    os.replace(opath + ".tmp", opath)
+
+
+def _golden_overview(lww: dict) -> pa.Table:
+    """Level-1 overview pyramid of the golden LWW mosaic: each parent tile
+    is its four children 2x2-max-pooled into quadrants. Serial numpy,
+    independent of the engine's distributed pool/assemble plan (shares only
+    the per-pixel pooling definition: pooled value = max over the block's
+    VALID pixels, pooled validity = any valid)."""
+    g = FIXTURE_GRID
+    half = g.chunk // 2
+    parents: dict[tuple[int, int], list] = {}
+    for (tx, ty), (canvas, mask, _) in lww.items():
+        masked = np.where(mask[:, :, None], canvas, 0)
+        pooled = masked.reshape(half, 2, half, 2, 3).max(axis=(1, 3))
+        pmask = mask.reshape(half, 2, half, 2).any(axis=(1, 3))
+        key = (tx // 2, ty // 2)
+        st = parents.get(key)
+        if st is None:
+            st = parents[key] = [
+                np.zeros((g.chunk, g.chunk, 3), np.uint8),
+                np.zeros((g.chunk, g.chunk), bool), 0]
+        pc, pm, _n = st
+        r0, c0 = (ty % 2) * half, (tx % 2) * half
+        pc[r0:r0 + half, c0:c0 + half] = pooled
+        pm[r0:r0 + half, c0:c0 + half] = pmask
+        st[2] += 1
+    out: dict[str, list] = {"tile_id": [], "ptx": [], "pty": [],
+                            "n_children": [], "n_valid_px": [], "pix_sum": []}
+    for (ptx, pty), (pc, pm, nch) in sorted(parents.items()):
+        out["tile_id"].append(f"ov1-{ptx}-{pty}")
+        out["ptx"].append(ptx)
+        out["pty"].append(pty)
+        out["n_children"].append(nch)
+        out["n_valid_px"].append(int(pm.sum()))
+        out["pix_sum"].append(int(pc[pm].astype(np.int64).sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "ptx": pa.array(out["ptx"], pa.int64()),
+        "pty": pa.array(out["pty"], pa.int64()),
+        "n_children": pa.array(out["n_children"], pa.int64()),
+        "n_valid_px": pa.array(out["n_valid_px"], pa.int64()),
+        "pix_sum": pa.array(out["pix_sum"], pa.int64()),
+    })
 
 
 def images_count_for_sf(sf: float) -> int:
@@ -863,7 +910,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v8-storedbytes"
+FIXTURE_LAYOUT_VERSION = "v9-overview"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -893,7 +940,8 @@ def ensure_fixtures(sf: float) -> str:
     generate_rois_global(os.path.join(d, "rois_global.parquet"), GLOBAL_GRID)
     generate_zones(os.path.join(d, "zones.parquet"), FIXTURE_GRID)
     if not (os.path.exists(os.path.join(d, "tiles_golden_lww.parquet"))
-            and os.path.exists(os.path.join(d, "windows_golden.parquet"))):
+            and os.path.exists(os.path.join(d, "windows_golden.parquet"))
+            and os.path.exists(os.path.join(d, "overview_golden.parquet"))):
         generate_tile_goldens(d, n)
     if not os.path.exists(os.path.join(d, "videos.parquet")):
         generate_videos(max(50, n // 20), os.path.join(d, "videos.parquet"),

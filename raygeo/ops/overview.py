@@ -1,0 +1,112 @@
+"""Overview-pyramid generation: level-1 tiles from 2x2 blocks of level-0
+mosaic tiles.
+
+The raster-engine "build overviews" step (GDAL/COG-style pyramids; the
+reference's chunk-grid cubes would grow the same levels for zoomed-out
+reads). Ray-Data-first plan:
+
+    tiles -> map_batches(pool)        # per child tile: decompress, 2x2
+                                      #   max-pool canvas+mask (vectorized
+                                      #   block reshape), emit ONE quadrant
+                                      #   row - pooled payload is 1/4 the
+                                      #   child's bytes, so the shuffle
+                                      #   carries a quarter of the mosaic
+    -> groupby(parent).map_groups     # paste <=4 quadrants, emit parent
+                                      #   tile row + stats
+
+Pooling semantics (shared with the fixtures golden as a per-pixel
+definition only): pooled value = max over the 2x2 block's VALID pixels,
+pooled validity = any valid. Invalid pixels are zeroed before the max, so
+for unsigned channels the masked max is exact; higher levels apply the
+same operator to the previous level's output (associative).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..channels import RGB_CHANNELS, ChannelPack
+
+OVERVIEW_SCHEMA = pa.schema(
+    [
+        ("parent_id", pa.string()),
+        ("ptx", pa.int64()),
+        ("pty", pa.int64()),
+        ("q_row", pa.int64()),
+        ("q_col", pa.int64()),
+        ("pooled_z", pa.binary()),  # zlib pack-layout (half, half) canvas
+        ("pmask_z", pa.binary()),  # zlib uint8 (half, half) validity
+    ]
+)
+
+
+def _block_pool(a: np.ndarray, half: int) -> np.ndarray:
+    """2x2 max-pool of (2*half, 2*half[, nc]) -> (half, half[, nc])."""
+    if a.ndim == 3:
+        return a.reshape(half, 2, half, 2, a.shape[2]).max(axis=(1, 3))
+    return a.reshape(half, 2, half, 2).max(axis=(1, 3))
+
+
+def overview_level(tiles_ds, chunk: int, pack: ChannelPack | None = None,
+                   level: int = 1):
+    """Level-``level`` overview tiles (summary rows) from level-0 tiles."""
+    if level != 1:
+        raise NotImplementedError("compose overview_level for higher levels")
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    half = chunk // 2
+
+    def pool(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in OVERVIEW_SCHEMA.names}
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            pooled = []
+            for a in canvas:
+                m = mask[:, :, None] if a.ndim == 3 else mask
+                pooled.append(_block_pool(np.where(m, a, 0), half))
+            pmask = mask.reshape(half, 2, half, 2).any(axis=(1, 3))
+            tx, ty = int(txs[j]), int(tys[j])
+            out["parent_id"].append(f"ov1-{tx // 2}-{ty // 2}")
+            out["ptx"].append(tx // 2)
+            out["pty"].append(ty // 2)
+            out["q_row"].append(ty % 2)
+            out["q_col"].append(tx % 2)
+            out["pooled_z"].append(zlib.compress(pack.to_bytes(pooled), 1))
+            out["pmask_z"].append(
+                zlib.compress(pmask.astype(np.uint8).tobytes(), 1))
+        return pa.table(out, schema=OVERVIEW_SCHEMA)
+
+    def assemble(g: pa.Table) -> pa.Table:
+        canvas = pack.alloc(chunk, chunk)
+        mask = np.zeros((chunk, chunk), bool)
+        for j in range(g.num_rows):
+            quad = pack.from_bytes(
+                zlib.decompress(g.column("pooled_z")[j].as_py()), half, half)
+            qmask = np.frombuffer(
+                zlib.decompress(g.column("pmask_z")[j].as_py()),
+                np.uint8).reshape(half, half).astype(bool)
+            r0 = int(g.column("q_row")[j].as_py()) * half
+            c0 = int(g.column("q_col")[j].as_py()) * half
+            for dst, src in zip(canvas, quad):
+                dst[r0:r0 + half, c0:c0 + half] = src
+            mask[r0:r0 + half, c0:c0 + half] = qmask
+        return pa.table({
+            "tile_id": pa.array([g.column("parent_id")[0].as_py()]),
+            "ptx": pa.array([g.column("ptx")[0].as_py()], pa.int64()),
+            "pty": pa.array([g.column("pty")[0].as_py()], pa.int64()),
+            "n_children": pa.array([g.num_rows], pa.int64()),
+            "n_valid_px": pa.array([int(mask.sum())], pa.int64()),
+            "pix_sum": pa.array([pack.pix_sum(canvas, mask)], pa.int64()),
+        })
+
+    quads = tiles_ds.map_batches(pool, batch_format="pyarrow", batch_size=64)
+    return quads.groupby("parent_id").map_groups(assemble,
+                                                 batch_format="pyarrow")

@@ -411,3 +411,31 @@ def test_lineage_compaction(fixtures_sf0001, tmp_path):
     lineage.compact(cube)
     recs2 = {r["partition_id"]: r for r in lineage.read_records(cube)}
     assert recs2[stale["partition_id"]]["row_count"] != -999
+
+
+def test_overview_matches_golden(ray_session, fixtures_sf0001):
+    """Engine pyramid (distributed pool + quadrant assemble) must equal the
+    serial generation-time golden parents, and sums must be conserved:
+    every valid child pixel contributes to exactly one pooled block."""
+    import pyarrow.parquet as pq
+
+    from raygeo import fixtures
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.overview import overview_level
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    tiles = ingest(read_parquet_clean(f"{d}/images.parquet",
+                                      columns=["image_id", "bytes", "w", "h"]),
+                   fixtures.FIXTURE_GRID)
+    got = (overview_level(tiles, fixtures.FIXTURE_GRID.chunk).to_pandas()
+           .sort_values("tile_id").reset_index(drop=True))
+    gold = (pq.read_table(f"{d}/overview_golden.parquet").to_pandas()
+            .sort_values("tile_id").reset_index(drop=True))
+    assert got[["tile_id", "ptx", "pty", "n_children", "n_valid_px",
+                "pix_sum"]].equals(gold)
+    # pooled validity is ANY-of-4: parent valid px count is bounded by the
+    # children's and at least a quarter of it
+    lww = pq.read_table(f"{d}/tiles_golden_lww.parquet").to_pandas()
+    assert gold["n_valid_px"].sum() <= lww["n_valid_px"].sum()
+    assert 4 * gold["n_valid_px"].sum() >= lww["n_valid_px"].sum()
