@@ -1056,6 +1056,27 @@ def _q_mosaic_overview(sf_dir: str):
     return overview_level(tiles, FIXTURE_GRID.chunk)
 
 
+def _q_docs_sample(sf_dir: str):
+    """Deterministic uniform k-sample = k smallest md5 key hashes: pure
+    function of the key set (resharding can't change it); map side keeps
+    batch-local bottom-k so the final sort sees k rows per batch."""
+    from raygeo.ops.corpus import sample_bottom_k
+
+    return sample_bottom_k(_rpq(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]), "doc_id", k=100)
+
+
+def _q_orders_fulfillment(sf_dir: str):
+    """LEFT OUTER partitioned join: orders with no lineitems survive with
+    zero revenue. Revenue is exactly pre-aggregated per orderkey before
+    the join so preserved left rows are never duplicated."""
+    from raygeo.ops.relational import orders_fulfillment
+
+    li = _rpq(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    return orders_fulfillment(li, f"{sf_dir}/orders.parquet")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -1103,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,  # rollup from finest-level fold
         "events_distinct_users": _q_events_distinct_users,  # exact count-distinct
         "events_funnel": _q_events_funnel,  # ordered-sequence funnel
+        "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -1120,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf": _q_docs_tfidf,  # per-doc top tf/df term, bit-exact score
         "docs_inverted_index": _q_docs_inverted_index,  # posting lists
         "docs_search": _q_docs_search,  # conjunctive streaming search
+        "docs_sample": _q_docs_sample,  # deterministic bottom-k sample
         "image_features": _q_image_features,  # fixed-point golden check
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
@@ -1853,6 +1876,23 @@ SELECT interval_id, COUNT(*)::BIGINT AS n_events,
   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM events JOIN iv ON ts >= s AND ts < e
 GROUP BY interval_id
+""",
+        "docs_sample": """
+SELECT doc_id,
+  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT AS h
+FROM documents ORDER BY h, doc_id LIMIT 100
+""",
+        "orders_fulfillment": """
+WITH rev AS (
+  SELECT l_orderkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+  count(*) FILTER (WHERE rev.l_orderkey IS NULL)::BIGINT AS n_empty,
+  coalesce(sum(rev.revenue_c4), 0)::BIGINT AS revenue_c4
+FROM orders o LEFT JOIN rev ON o.o_orderkey = rev.l_orderkey
+GROUP BY o_orderstatus
 """,
         "docs_search": """
 WITH toks AS (

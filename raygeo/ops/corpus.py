@@ -336,3 +336,31 @@ def search_all_terms(docs_ds, terms: list[str], text_col: str = "text",
     return docs_ds.select_columns([text_col, id_col]).map_batches(
         _SearchStage(terms, text_col, id_col), batch_format="pandas",
         batch_size=4096, num_cpus=1)
+
+
+def sample_bottom_k(ds, key_col: str, k: int = 100):
+    """Deterministic uniform k-sample without replacement: the k smallest
+    md5-hash values of the key.
+
+    Resharding/reordering the input cannot change the sample (the sample
+    is a pure function of the key set), and the map side keeps only its
+    batch-local k smallest rows, so the final sort sees k rows per batch
+    — never the dataset. The same md5 idiom as hash_split makes the
+    selection DuckDB-replayable row by row.
+    """
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].astype(str)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+             for s in keys),
+            dtype=np.int64, count=len(df),
+        )
+        out = pd.DataFrame({key_col: df[key_col], "h": h})
+        return out.nsmallest(k, ["h", key_col])
+
+    return (ds.select_columns([key_col])
+            .map_batches(partial, batch_format="pandas", batch_size=8192,
+                         num_cpus=1)
+            .sort(["h", key_col]).limit(k))

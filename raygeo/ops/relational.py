@@ -839,3 +839,65 @@ def funnel_counts(events_ds, stages: list[str],
             "stage", pa.array([stages[i] for i in idx], pa.string()))
 
     return agg.map_batches(name_stages, batch_format="pyarrow")
+
+
+def orders_fulfillment(lineitem_ds, orders_path: str,
+                       num_partitions: int | None = None):
+    """Per-orderstatus fulfillment report via a LEFT OUTER partitioned join.
+
+    Orders with no lineitems must survive (revenue 0, counted as empty):
+    lineitem revenue is exactly pre-aggregated to one row per orderkey
+    (map-side partials + keyed groupby) BEFORE the left join — joining
+    partials directly would duplicate the preserved left rows. The outer
+    join itself is the same hash-shuffle exchange as the inner joins, with
+    null-probe rows kept."""
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = max(8, min(64, cluster_cpus()))
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev_c4 = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "revenue_c4": rev_c4})
+        g = (df.groupby("l_orderkey", sort=False)["revenue_c4"].sum()
+             .reset_index())
+        return table_from_pandas(g)
+
+    rev = lineitem_ds.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536
+                  ).groupby("l_orderkey").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"))
+
+    orders = read_parquet_clean(orders_path,
+                                columns=["o_orderkey", "o_orderstatus"])
+    joined = orders.join(rev, join_type="left_outer",
+                         num_partitions=num_partitions,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def opartial(t: pa.Table) -> pa.Table:
+        rv = t.column("revenue_c4").to_numpy(zero_copy_only=False)
+        empty = pd.isna(rv)
+        df = pd.DataFrame({
+            "o_orderstatus": t.column("o_orderstatus").to_pandas(),
+            "n_orders": np.int64(1),
+            "n_empty": empty.astype(np.int64),
+            "revenue_c4": np.where(empty, 0, rv).astype(np.int64),
+        })
+        g = (df.groupby("o_orderstatus", sort=False)
+             .agg(n_orders=("n_orders", "sum"), n_empty=("n_empty", "sum"),
+                  revenue_c4=("revenue_c4", "sum")).reset_index())
+        return table_from_pandas(g)
+
+    return joined.map_batches(opartial, batch_format="pyarrow",
+                              batch_size=65536
+                              ).groupby("o_orderstatus").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("n_empty", alias_name="n_empty"),
+        Sum("revenue_c4", alias_name="revenue_c4"))

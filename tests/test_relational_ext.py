@@ -261,3 +261,52 @@ def test_search_all_terms_conjunctive(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got["doc_id"].tolist() == [0, 3]  # both terms required
     assert got["match_tf"].tolist() == [3, 2]  # rank = total occurrences
+
+
+def test_sample_bottom_k_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.corpus import sample_bottom_k
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    outs = []
+    for parts in (1, 9):
+        ds = rd.from_pandas(df).repartition(parts)
+        outs.append(sample_bottom_k(ds, "doc_id", k=20).to_pandas()
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 20
+    assert outs[0]["h"].is_monotonic_increasing
+
+
+def test_left_outer_fulfillment_keeps_empty_orders(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.ops.relational import orders_fulfillment
+
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 2], dtype=np.int64),
+        "l_extendedprice": [10.0, 20.0, 5.0],
+        "l_discount": [0.0, 0.1, 0.0],
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1, 2, 3], dtype=np.int64),  # 3 has no items
+        "o_orderstatus": ["F", "F", "O"],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        opath = os.path.join(d, "orders.parquet")
+        pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                       opath)
+        got = (orders_fulfillment(rd.from_pandas(li).repartition(2), opath,
+                                  num_partitions=4)
+               .to_pandas().set_index("o_orderstatus"))
+    assert got.loc["O", "n_orders"] == 1 and got.loc["O", "n_empty"] == 1
+    assert got.loc["O", "revenue_c4"] == 0
+    assert got.loc["F", "n_empty"] == 0
+    # 10.00*100*100 + 20.00*100*90 + 5.00*100*100
+    assert got.loc["F", "revenue_c4"] == 100000 + 180000 + 50000
