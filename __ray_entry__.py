@@ -1077,6 +1077,18 @@ def _q_orders_fulfillment(sf_dir: str):
     return orders_fulfillment(li, f"{sf_dir}/orders.parquet")
 
 
+def _q_customers_no_urgent(sf_dir: str):
+    """Distributed anti-join: stream the fact side into an exact distinct
+    key set (bounded by the dimension's cardinality), probe the dimension
+    against it, keep non-members."""
+    from raygeo.ops.relational import inactive_customers
+
+    orders = _rpq(f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_orderpriority"])
+    return inactive_customers(orders, f"{sf_dir}/customer.parquet",
+                              priority="1-URGENT")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -1125,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,  # exact count-distinct
         "events_funnel": _q_events_funnel,  # ordered-sequence funnel
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
+        "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -1881,6 +1894,11 @@ GROUP BY interval_id
 SELECT doc_id,
   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT AS h
 FROM documents ORDER BY h, doc_id LIMIT 100
+""",
+        "customers_no_urgent": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
 """,
         "orders_fulfillment": """
 WITH rev AS (

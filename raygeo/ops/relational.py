@@ -901,3 +901,34 @@ def orders_fulfillment(lineitem_ds, orders_path: str,
         Sum("n_orders", alias_name="n_orders"),
         Sum("n_empty", alias_name="n_empty"),
         Sum("revenue_c4", alias_name="revenue_c4"))
+
+
+def inactive_customers(orders_ds, customer_path: str,
+                       priority: str | None = None):
+    """Customers with no (priority-filtered) orders: the distributed anti-join.
+
+    The fact side (orders) streams into an exact distinct-custkey set —
+    map-side per-batch distinct collapses repeats before the shuffle, the
+    keyed groupby collapses across batches, and the result is bounded by
+    the CUSTOMER table's cardinality (dimension-sized), so pulling it to
+    the driver and probing the dimension against it broadcast-style is
+    scale-safe. Output: one row per inactive customer."""
+    import pyarrow.parquet as pq
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if priority is not None:
+            t = t.filter(pc.equal(t.column("o_orderpriority"), priority))
+        u = np.unique(t.column("o_custkey").to_numpy())
+        return pa.table({"o_custkey": pa.array(u, pa.int64())})
+
+    cols = ["o_custkey"] + ([] if priority is None else ["o_orderpriority"])
+    distinct = (orders_ds.select_columns(cols)
+                .map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+                .groupby("o_custkey").count())
+    active = np.sort(distinct.to_pandas()["o_custkey"].to_numpy())
+
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_mktsegment"])
+    ck = cust.column("c_custkey").to_numpy()
+    _, found = _sorted_probe(active, ck)
+    out = cust.filter(pa.array(~found))
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)

@@ -310,3 +310,31 @@ def test_left_outer_fulfillment_keeps_empty_orders(ray_session):
     assert got.loc["F", "n_empty"] == 0
     # 10.00*100*100 + 20.00*100*90 + 5.00*100*100
     assert got.loc["F", "revenue_c4"] == 100000 + 180000 + 50000
+
+
+def test_anti_join_inactive_customers(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.ops.relational import inactive_customers
+
+    orders = pd.DataFrame({
+        "o_custkey": np.array([1, 1, 2, 4], dtype=np.int64),
+        "o_orderpriority": ["1-URGENT", "5-LOW", "5-LOW", "1-URGENT"],
+    })
+    cust = pd.DataFrame({
+        "c_custkey": np.array([1, 2, 3, 4], dtype=np.int64),
+        "c_mktsegment": ["A", "B", "C", "D"],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        cpath = os.path.join(d, "customer.parquet")
+        pq.write_table(pa.Table.from_pandas(cust, preserve_index=False), cpath)
+        ds = rd.from_pandas(orders).repartition(3)
+        got_all = inactive_customers(ds, cpath)
+        got_urgent = inactive_customers(ds, cpath, priority="1-URGENT")
+    assert got_all["c_custkey"].tolist() == [3]  # only 3 never ordered
+    assert got_urgent["c_custkey"].tolist() == [2, 3]  # 2 never urgent
