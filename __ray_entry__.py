@@ -1053,7 +1053,9 @@ def _q_mosaic_overview(sf_dir: str):
     tiles = ingest(_rpq(f"{d}/images.parquet",
                         columns=["image_id", "bytes", "w", "h"]),
                    FIXTURE_GRID)
-    return overview_level(tiles, FIXTURE_GRID.chunk)
+    ov = overview_level(tiles, FIXTURE_GRID.chunk)
+    return ov.select_columns(["tile_id", "tx", "ty", "n_children",
+                              "n_valid_px", "pix_sum"])
 
 
 def _q_docs_sample(sf_dir: str):
@@ -1377,7 +1379,7 @@ SELECT roi_id, n_valid_px, pix_sum, pix_min, pix_max
 FROM read_parquet('{FIX_SF001}/windows_golden.parquet')
 """,
         "mosaic_overview": f"""
-SELECT tile_id, ptx, pty, n_children, n_valid_px, pix_sum
+SELECT tile_id, ptx AS tx, pty AS ty, n_children, n_valid_px, pix_sum
 FROM read_parquet('{FIX_SF001}/overview_golden.parquet')
 """,
         "video_frame_stats": f"""

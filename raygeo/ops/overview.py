@@ -1,9 +1,9 @@
-"""Overview-pyramid generation: level-1 tiles from 2x2 blocks of level-0
+"""Overview-pyramid generation: level-L tiles from 2x2 blocks of level-(L-1)
 mosaic tiles.
 
 The raster-engine "build overviews" step (GDAL/COG-style pyramids; the
 reference's chunk-grid cubes would grow the same levels for zoomed-out
-reads). Ray-Data-first plan:
+reads). Ray-Data-first plan, applied once per level:
 
     tiles -> map_batches(pool)        # per child tile: decompress, 2x2
                                       #   max-pool canvas+mask (vectorized
@@ -12,13 +12,16 @@ reads). Ray-Data-first plan:
                                       #   child's bytes, so the shuffle
                                       #   carries a quarter of the mosaic
     -> groupby(parent).map_groups     # paste <=4 quadrants, emit parent
-                                      #   tile row + stats
+                                      #   tile row (stats + px_z/mask_z in
+                                      #   the level-0 layout, so levels
+                                      #   CHAIN: level L input = level L-1
+                                      #   output)
 
 Pooling semantics (shared with the fixtures golden as a per-pixel
 definition only): pooled value = max over the 2x2 block's VALID pixels,
 pooled validity = any valid. Invalid pixels are zeroed before the max, so
-for unsigned channels the masked max is exact; higher levels apply the
-same operator to the previous level's output (associative).
+for unsigned channels the masked max is exact; the operator is associative,
+which is exactly why higher levels are its self-composition.
 """
 
 from __future__ import annotations
@@ -42,6 +45,19 @@ OVERVIEW_SCHEMA = pa.schema(
     ]
 )
 
+LEVEL_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.string()),
+        ("tx", pa.int64()),
+        ("ty", pa.int64()),
+        ("n_children", pa.int64()),
+        ("n_valid_px", pa.int64()),
+        ("pix_sum", pa.int64()),
+        ("px_z", pa.binary()),
+        ("mask_z", pa.binary()),
+    ]
+)
+
 
 def _block_pool(a: np.ndarray, half: int) -> np.ndarray:
     """2x2 max-pool of (2*half, 2*half[, nc]) -> (half, half[, nc])."""
@@ -50,12 +66,7 @@ def _block_pool(a: np.ndarray, half: int) -> np.ndarray:
     return a.reshape(half, 2, half, 2).max(axis=(1, 3))
 
 
-def overview_level(tiles_ds, chunk: int, pack: ChannelPack | None = None,
-                   level: int = 1):
-    """Level-``level`` overview tiles (summary rows) from level-0 tiles."""
-    if level != 1:
-        raise NotImplementedError("compose overview_level for higher levels")
-    pack = pack or ChannelPack(RGB_CHANNELS)
+def _one_level(tiles_ds, chunk: int, pack: ChannelPack, level: int):
     half = chunk // 2
 
     def pool(t: pa.Table) -> pa.Table:
@@ -74,7 +85,7 @@ def overview_level(tiles_ds, chunk: int, pack: ChannelPack | None = None,
                 pooled.append(_block_pool(np.where(m, a, 0), half))
             pmask = mask.reshape(half, 2, half, 2).any(axis=(1, 3))
             tx, ty = int(txs[j]), int(tys[j])
-            out["parent_id"].append(f"ov1-{tx // 2}-{ty // 2}")
+            out["parent_id"].append(f"ov{level}-{tx // 2}-{ty // 2}")
             out["ptx"].append(tx // 2)
             out["pty"].append(ty // 2)
             out["q_row"].append(ty % 2)
@@ -98,15 +109,39 @@ def overview_level(tiles_ds, chunk: int, pack: ChannelPack | None = None,
             for dst, src in zip(canvas, quad):
                 dst[r0:r0 + half, c0:c0 + half] = src
             mask[r0:r0 + half, c0:c0 + half] = qmask
-        return pa.table({
-            "tile_id": pa.array([g.column("parent_id")[0].as_py()]),
-            "ptx": pa.array([g.column("ptx")[0].as_py()], pa.int64()),
-            "pty": pa.array([g.column("pty")[0].as_py()], pa.int64()),
-            "n_children": pa.array([g.num_rows], pa.int64()),
-            "n_valid_px": pa.array([int(mask.sum())], pa.int64()),
-            "pix_sum": pa.array([pack.pix_sum(canvas, mask)], pa.int64()),
-        })
+        return pa.table(
+            {
+                "tile_id": [g.column("parent_id")[0].as_py()],
+                "tx": [g.column("ptx")[0].as_py()],
+                "ty": [g.column("pty")[0].as_py()],
+                "n_children": [g.num_rows],
+                "n_valid_px": [int(mask.sum())],
+                "pix_sum": [pack.pix_sum(canvas, mask)],
+                "px_z": [zlib.compress(pack.to_bytes(canvas), 1)],
+                "mask_z": [zlib.compress(mask.astype(np.uint8).tobytes(), 1)],
+            },
+            schema=LEVEL_SCHEMA,
+        )
 
     quads = tiles_ds.map_batches(pool, batch_format="pyarrow", batch_size=64)
     return quads.groupby("parent_id").map_groups(assemble,
                                                  batch_format="pyarrow")
+
+
+def overview_level(tiles_ds, chunk: int, pack: ChannelPack | None = None,
+                   level: int = 1):
+    """Level-``level`` overview tiles from level-0 mosaic tiles.
+
+    Output rows carry the SAME physical layout as level-0 tiles
+    (tx/ty/px_z/mask_z + stats), so the operator chains: level L is the
+    L-fold self-composition of the one-level pool+assemble — each step
+    quarters both the tile count and the shuffle payload, so the whole
+    pyramid costs < 2x one level.
+    """
+    if level < 1:
+        raise ValueError("level must be >= 1")
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    out = tiles_ds
+    for lv in range(1, level + 1):
+        out = _one_level(out, chunk, pack, lv)
+    return out

@@ -428,14 +428,62 @@ def test_overview_matches_golden(ray_session, fixtures_sf0001):
     tiles = ingest(read_parquet_clean(f"{d}/images.parquet",
                                       columns=["image_id", "bytes", "w", "h"]),
                    fixtures.FIXTURE_GRID)
-    got = (overview_level(tiles, fixtures.FIXTURE_GRID.chunk).to_pandas()
-           .sort_values("tile_id").reset_index(drop=True))
-    gold = (pq.read_table(f"{d}/overview_golden.parquet").to_pandas()
+    lvl1 = (overview_level(tiles, fixtures.FIXTURE_GRID.chunk).to_pandas()
             .sort_values("tile_id").reset_index(drop=True))
-    assert got[["tile_id", "ptx", "pty", "n_children", "n_valid_px",
-                "pix_sum"]].equals(gold)
+    got = lvl1[["tile_id", "tx", "ty", "n_children", "n_valid_px", "pix_sum"]]
+    gold = (pq.read_table(f"{d}/overview_golden.parquet").to_pandas()
+            .sort_values("tile_id").reset_index(drop=True)
+            .rename(columns={"ptx": "tx", "pty": "ty"}))
+    assert got.equals(gold)
     # pooled validity is ANY-of-4: parent valid px count is bounded by the
     # children's and at least a quarter of it
     lww = pq.read_table(f"{d}/tiles_golden_lww.parquet").to_pandas()
     assert gold["n_valid_px"].sum() <= lww["n_valid_px"].sum()
     assert 4 * gold["n_valid_px"].sum() >= lww["n_valid_px"].sum()
+
+
+def test_overview_level2_is_self_composition(ray_session, fixtures_sf0001):
+    """Level-2 pyramid must equal a serial 2x2 pool of the (golden-verified)
+    level-1 canvases: the operator is associative and chains."""
+    import zlib
+
+    import numpy as np
+
+    from raygeo import fixtures
+    from raygeo.channels import RGB_CHANNELS, ChannelPack
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.overview import overview_level
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    chunk = fixtures.FIXTURE_GRID.chunk
+    half = chunk // 2
+    pack = ChannelPack(RGB_CHANNELS)
+    tiles = ingest(read_parquet_clean(f"{d}/images.parquet",
+                                      columns=["image_id", "bytes", "w", "h"]),
+                   fixtures.FIXTURE_GRID)
+    lvl1 = overview_level(tiles, chunk, level=1).to_pandas()
+    got2 = (overview_level(tiles, chunk, level=2).to_pandas()
+            .sort_values("tile_id").reset_index(drop=True))
+
+    # serial composition over level-1 output canvases
+    parents = {}
+    for _, row in lvl1.iterrows():
+        canvas = pack.from_bytes(zlib.decompress(row.px_z), chunk, chunk)[0]
+        mask = np.frombuffer(zlib.decompress(row.mask_z),
+                             np.uint8).reshape(chunk, chunk).astype(bool)
+        pooled = np.where(mask[:, :, None], canvas, 0).reshape(
+            half, 2, half, 2, 3).max(axis=(1, 3))
+        pmask = mask.reshape(half, 2, half, 2).any(axis=(1, 3))
+        key = (row.tx // 2, row.ty // 2)
+        pc, pm = parents.setdefault(
+            key, [np.zeros((chunk, chunk, 3), np.uint8),
+                  np.zeros((chunk, chunk), bool)])
+        r0, c0 = (row.ty % 2) * half, (row.tx % 2) * half
+        pc[r0:r0 + half, c0:c0 + half] = pooled
+        pm[r0:r0 + half, c0:c0 + half] = pmask
+    assert len(got2) == len(parents)
+    for _, row in got2.iterrows():
+        pc, pm = parents[(row.tx, row.ty)]
+        assert row.n_valid_px == int(pm.sum())
+        assert row.pix_sum == int(pc[pm].astype(np.int64).sum())
