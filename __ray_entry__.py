@@ -1091,6 +1091,32 @@ def _q_customers_no_urgent(sf_dir: str):
                               priority="1-URGENT")
 
 
+def _q_toi_snap_padbfill(sf_dir: str):
+    """The pad/bfill TOI snap variants (reference method='pad'/'bfill'):
+    last step <= t and first step >= t, -1 / len(axis) out of range —
+    one searchsorted per batch alongside the nearest-snap kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raygeo.toi import snap_bfill, snap_pad
+
+    axis = np.array(TOI_AXIS, dtype="datetime64[us]")
+
+    def snap(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy()
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "pad_idx": pa.array(snap_pad(axis, ts).astype("int64"),
+                                pa.int64()),
+            "bfill_idx": pa.array(snap_bfill(axis, ts).astype("int64"),
+                                  pa.int64()),
+        })
+
+    return _rpq(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts"]).map_batches(
+        snap, batch_format="pyarrow", batch_size=65536)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -1113,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_mosaic_dem": _q_ingest_mosaic_dem,
         "mosaic_overview": _q_mosaic_overview,  # pyramid level-1, golden-checked
         "toi_snap": _q_toi_snap,
+        "toi_snap_padbfill": _q_toi_snap_padbfill,  # pad/bfill variants
         "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
         "tile_skew_report": _q_tile_skew_report,
         # relational / engine plumbing (testdata tables)
@@ -1464,6 +1491,17 @@ r AS (
   FROM events e CROSS JOIN ax
 )
 SELECT event_id, CAST(i AS BIGINT) AS t_idx FROM r WHERE rn = 1
+""",
+        "toi_snap_padbfill": f"""
+WITH ax AS (
+  SELECT i, t FROM (VALUES {", ".join(
+      f"({i}, TIMESTAMP '{t}')" for i, t in enumerate(TOI_AXIS))}) AS v(i, t)
+)
+SELECT e.event_id,
+  coalesce((SELECT max(i) FROM ax WHERE ax.t <= e.ts), -1)::BIGINT AS pad_idx,
+  coalesce((SELECT min(i) FROM ax WHERE ax.t >= e.ts),
+           {len(TOI_AXIS)})::BIGINT AS bfill_idx
+FROM events e
 """,
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,
