@@ -338,3 +338,77 @@ def test_anti_join_inactive_customers(ray_session):
         got_urgent = inactive_customers(ds, cpath, priority="1-URGENT")
     assert got_all["c_custkey"].tolist() == [3]  # only 3 never ordered
     assert got_urgent["c_custkey"].tolist() == [2, 3]  # 2 never urgent
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),        # user
+                          st.integers(0, 2),        # stage index
+                          st.integers(0, 1000)),    # ts offset (seconds)
+                min_size=1, max_size=60))
+def test_funnel_matches_serial_oracle(events):
+    """Property: the distributed funnel chain equals a per-user serial
+    first-occurrence strict-order walk (pure-kernel check, no Ray)."""
+    stages = ["s0", "s1", "s2"]
+    df = pd.DataFrame({
+        "u": [u for u, _, _ in events],
+        "s": [stages[s] for _, s, _ in events],
+        "ts": [t for _, _, t in events],
+    })
+    # serial oracle
+    exp = np.zeros(3, dtype=int)
+    for _, g in df.groupby("u"):
+        firsts = g.groupby("s")["ts"].min()
+        prev, ok = -1, True
+        for i, s in enumerate(stages):
+            ok = ok and s in firsts.index and firsts[s] > prev
+            if not ok:
+                break
+            exp[i] += 1
+            prev = firsts[s]
+    # vectorized chain (the engine's kernel, applied to the wide fold)
+    wide = df.pivot_table(index="u", columns="s", values="ts", aggfunc="min")
+    n = len(wide)
+    okv = np.ones(n, dtype=bool)
+    prev = np.full(n, -1, dtype=float)
+    got = np.zeros(3, dtype=int)
+    for i, s in enumerate(stages):
+        ts = (wide[s].to_numpy(dtype=float) if s in wide.columns
+              else np.full(n, np.nan))
+        okv = okv & ~np.isnan(ts) & (ts > prev)
+        got[i] = int(okv.sum())
+        prev = np.where(okv, ts, prev)
+    np.testing.assert_array_equal(got, exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),       # group
+                          st.integers(0, 9),       # value
+                          st.integers(0, 999)),    # id
+                min_size=1, max_size=80, unique_by=lambda e: e[2]))
+def test_grouped_topk_partial_cap_is_lossless(rows):
+    """Property: batch-local top-k partials never drop a global top-k row,
+    for ANY split of the input into batches (the map-side cap argument)."""
+    k = 3
+    df = pd.DataFrame({"g": [g for g, _, _ in rows],
+                       "v": [v for _, v, _ in rows],
+                       "i": [i for _, _, i in rows]})
+
+    def topk(frame):
+        s = frame.sort_values(["g", "v", "i"], ascending=[True, False, True],
+                              kind="mergesort")
+        return s.groupby("g", sort=False).head(k)
+
+    direct = topk(df).sort_values(["g", "v", "i"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort").reset_index(drop=True)
+    # arbitrary 3-way split -> partial top-k -> merge -> final top-k
+    parts = [df.iloc[i::3] for i in range(3)]
+    merged = topk(pd.concat([topk(p) for p in parts]))
+    merged = merged.sort_values(["g", "v", "i"],
+                                ascending=[True, False, True],
+                                kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, direct)
