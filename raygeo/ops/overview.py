@@ -19,9 +19,11 @@ reads). Ray-Data-first plan, applied once per level:
 
 Pooling semantics (shared with the fixtures golden as a per-pixel
 definition only): pooled value = max over the 2x2 block's VALID pixels,
-pooled validity = any valid. Invalid pixels are zeroed before the max, so
-for unsigned channels the masked max is exact; the operator is associative,
-which is exactly why higher levels are its self-composition.
+pooled validity = any valid. Invalid pixels are filled with the dtype's
+minimum (-inf for floats) before the max so they can never beat a valid
+value of any sign, and all-invalid blocks are normalized to zero after
+pooling. The operator is associative, which is exactly why higher levels
+are its self-composition.
 """
 
 from __future__ import annotations
@@ -66,6 +68,25 @@ def _block_pool(a: np.ndarray, half: int) -> np.ndarray:
     return a.reshape(half, 2, half, 2).max(axis=(1, 3))
 
 
+def _dtype_min(dt: np.dtype):
+    if dt.kind == "f":
+        return np.array(-np.inf, dtype=dt)
+    if dt.kind == "b":
+        return np.array(False)
+    return np.array(np.iinfo(dt).min, dtype=dt)
+
+
+def _masked_pool(a: np.ndarray, mask: np.ndarray, half: int) -> np.ndarray:
+    """Valid-masked 2x2 max-pool: invalid filled with dtype-min so they
+    never beat a valid value of any sign; all-invalid blocks -> 0."""
+    m = mask[:, :, None] if a.ndim == 3 else mask
+    pooled = _block_pool(np.where(m, a, _dtype_min(a.dtype)), half)
+    pmask = mask.reshape(half, 2, half, 2).any(axis=(1, 3))
+    pm = pmask[:, :, None] if pooled.ndim == 3 else pmask
+    zero = np.zeros((), dtype=a.dtype)
+    return np.where(pm, pooled, zero).astype(a.dtype, copy=False)
+
+
 def _one_level(tiles_ds, chunk: int, pack: ChannelPack, level: int):
     half = chunk // 2
 
@@ -79,10 +100,7 @@ def _one_level(tiles_ds, chunk: int, pack: ChannelPack, level: int):
             canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
             mask = np.frombuffer(zlib.decompress(mask_z[j]),
                                  np.uint8).reshape(chunk, chunk).astype(bool)
-            pooled = []
-            for a in canvas:
-                m = mask[:, :, None] if a.ndim == 3 else mask
-                pooled.append(_block_pool(np.where(m, a, 0), half))
+            pooled = [_masked_pool(a, mask, half) for a in canvas]
             pmask = mask.reshape(half, 2, half, 2).any(axis=(1, 3))
             tx, ty = int(txs[j]), int(tys[j])
             out["parent_id"].append(f"ov{level}-{tx // 2}-{ty // 2}")

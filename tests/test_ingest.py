@@ -487,3 +487,21 @@ def test_overview_level2_is_self_composition(ray_session, fixtures_sf0001):
         pc, pm = parents[(row.tx, row.ty)]
         assert row.n_valid_px == int(pm.sum())
         assert row.pix_sum == int(pc[pm].astype(np.int64).sum())
+
+
+def test_masked_pool_negative_floats():
+    """An invalid 0 must never beat a valid negative float (DEM case)."""
+    import numpy as np
+
+    from raygeo.ops.overview import _masked_pool
+
+    a = np.array([[-5.0, -7.0], [-6.0, -8.0]], dtype=np.float32)
+    mask = np.array([[True, False], [True, False]])
+    out = _masked_pool(a, mask, 1)
+    assert out.shape == (1, 1)
+    assert out[0, 0] == np.float32(-5.0)  # max over VALID, not over fill
+    none = _masked_pool(a, np.zeros((2, 2), bool), 1)
+    assert none[0, 0] == 0.0  # all-invalid block normalized to zero
+    b = np.array([[3, 9], [1, 2]], dtype=np.int16)
+    m2 = np.array([[True, False], [True, True]])
+    assert _masked_pool(b, m2, 1)[0, 0] == 3  # invalid 9 excluded
