@@ -1039,6 +1039,16 @@ def _q_events_funnel(sf_dir: str):
     return funnel_counts(ev, _FUNNEL_STAGES)
 
 
+def _q_events_retention(sf_dir: str):
+    """Cohort retention matrix: distinct users per (first-active day,
+    day offset). One user-keyed shuffle; map side collapses to distinct
+    (user, day) pairs per batch so count-distinct becomes a plain Sum."""
+    from raygeo.ops.relational import cohort_retention
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
 def _q_mosaic_overview(sf_dir: str):
     """Level-1 overview pyramid (COG/GDAL build-overviews analog): each
     child tile 2x2-max-pools map-side (payload shrinks 4x before the
@@ -1165,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,  # rollup from finest-level fold
         "events_distinct_users": _q_events_distinct_users,  # exact count-distinct
         "events_funnel": _q_events_funnel,  # ordered-sequence funnel
+        "events_retention": _q_events_retention,  # cohort retention matrix
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
         # text / dedup (documents)
@@ -1977,6 +1988,15 @@ UNION ALL SELECT 1, 'click',
   count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0) FROM f
 UNION ALL SELECT 2, 'purchase',
   count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0 AND t2 > t1) FROM f
+""",
+        "events_retention": """
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY user_id)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+  datediff('day', f.cohort, a.day)::BIGINT AS day_offset,
+  count(*)::BIGINT AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
 """,
         "orders_rollup": """
 SELECT coalesce(year(o_orderdate)::VARCHAR, 'ALL') AS o_year,

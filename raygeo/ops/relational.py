@@ -932,3 +932,57 @@ def inactive_customers(orders_ds, customer_path: str,
     _, found = _sorted_probe(active, ck)
     out = cust.filter(pa.array(~found))
     return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def cohort_retention(events_ds, user_col: str = "user_id"):
+    """Cohort retention matrix: users bucketed by first-active day, distinct
+    users counted per (cohort_day, day_offset) cell.
+
+    The training-dashboard classic (and a generalized self-join shape: each
+    user's rows joined against that user's own MIN). Fully distributed, one
+    user-keyed shuffle:
+
+    - map side collapses each batch to its distinct (user, epoch-day) pairs,
+      so the shuffle carries at most one row per user per active day per
+      batch — a hot user is absorbed map-side;
+    - ``groupby(user).map_groups`` sees all of one user's days, derives the
+      cohort (min day) and emits one (cohort_day, day_offset) row per
+      distinct active day — count-distinct-users becomes a plain Sum because
+      each user contributes each offset at most once;
+    - a final small keyed Sum folds the matrix cells.
+
+    Output: (cohort_day 'YYYY-MM-DD' str, day_offset int64, n_users int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy()
+        day = (t.column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
+        return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
+                         "day": pa.array(df["day"].to_numpy(), pa.int64())})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy())
+        return pd.DataFrame({
+            "cohort_day": np.full(len(days), days[0], dtype=np.int64),
+            "day_offset": days - days[0],
+            "n": np.ones(len(days), dtype=np.int64),
+        })
+
+    cells = (events_ds.select_columns([user_col, "ts"])
+             .map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+             .groupby("u").map_groups(per_user, batch_format="pandas")
+             .groupby(["cohort_day", "day_offset"])
+             .aggregate(Sum("n", alias_name="n_users")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        days = t.column("cohort_day").to_numpy().astype("datetime64[D]")
+        return pa.table({
+            "cohort_day": pa.array(np.datetime_as_string(days, unit="D")),
+            "day_offset": t.column("day_offset").cast(pa.int64()),
+            "n_users": t.column("n_users").cast(pa.int64()),
+        })
+
+    return cells.map_batches(finalize, batch_format="pyarrow")

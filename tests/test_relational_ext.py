@@ -412,3 +412,30 @@ def test_grouped_topk_partial_cap_is_lossless(rows):
                                 ascending=[True, False, True],
                                 kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, direct)
+
+
+def test_cohort_retention_cells(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import cohort_retention
+
+    ts = pd.to_datetime([
+        "2024-01-01 09:00", "2024-01-01 17:00",  # u1 day0 twice (dedup)
+        "2024-01-03 08:00",                      # u1 offset 2
+        "2024-01-02 12:00",                      # u2 cohort = Jan 2
+        "2024-01-03 23:59",                      # u2 offset 1
+    ])
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        "ts": ts,
+    })
+    got = (cohort_retention(rd.from_pandas(df).repartition(3))
+           .to_pandas()
+           .sort_values(["cohort_day", "day_offset"])
+           .reset_index(drop=True))
+    assert got.values.tolist() == [
+        ["2024-01-01", 0, 1],   # u1 first day (same-day repeat collapsed)
+        ["2024-01-01", 2, 1],   # u1 active on Jan 3
+        ["2024-01-02", 0, 1],   # u2 first day
+        ["2024-01-02", 1, 1],   # u2 active on Jan 3
+    ]
