@@ -475,6 +475,40 @@ def _q_ingest_mosaic(sf_dir: str):
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"])
 
 
+def _q_ingest_mosaic_median(sf_dir: str):
+    """Exact per-pixel lower-median composite (cloud-free-compositing
+    analog). Non-associative, so it rides the fragment plan: one
+    groupby(tile_id) brings every fragment of a tile to one task, a single
+    vectorized depth-stack sort yields the order statistic. Value-checked
+    against an independently painted NaN-stack median golden."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.composite import ingest_median
+
+    d = _fix(sf_dir)
+    tiles = ingest_median(_rpq(f"{d}/images.parquet",
+                               columns=["image_id", "bytes", "w", "h"]),
+                          FIXTURE_GRID)
+    return tiles.select_columns(
+        ["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"])
+
+
+def _q_mosaic_change(sf_dir: str):
+    """Change detection between two mosaic variants of the same grid (LWW
+    latest-observation vs max brightest-composite): tag + union + one keyed
+    groupby, per-pixel compare inside the group task. Value-checked against
+    a generation-time golden diff of the serial LWW/max paints."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.composite import mosaic_change
+    from raygeo.ops.ingest import ingest
+
+    d = _fix(sf_dir)
+    imgs = f"{d}/images.parquet"
+    cols = ["image_id", "bytes", "w", "h"]
+    lww = ingest(_rpq(imgs, columns=cols), FIXTURE_GRID, mode="lww")
+    mx = ingest(_rpq(imgs, columns=cols), FIXTURE_GRID, mode="max")
+    return mosaic_change(lww, mx, FIXTURE_GRID.chunk)
+
+
 # ----- training-data ops over the provided testdata tables -----
 def _q_q1_pricing(sf_dir: str):
     import ray.data as rd
@@ -1148,6 +1182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_mosaic_max": _q_ingest_mosaic_max,
         "ingest_mosaic_dem": _q_ingest_mosaic_dem,
         "mosaic_overview": _q_mosaic_overview,  # pyramid level-1, golden-checked
+        "ingest_mosaic_median": _q_ingest_mosaic_median,  # exact median composite
+        "mosaic_change": _q_mosaic_change,  # lww-vs-max change detection
         "toi_snap": _q_toi_snap,
         "toi_snap_padbfill": _q_toi_snap_padbfill,  # pad/bfill variants
         "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
@@ -1411,6 +1447,14 @@ FROM read_parquet('{FIX_SF001}/tiles_golden_t.parquet')
         "ingest_mosaic_dem": f"""
 SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
 FROM read_parquet('{FIX_SF001}/tiles_golden_dem.parquet')
+""",
+        "ingest_mosaic_median": f"""
+SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/tiles_golden_med.parquet')
+""",
+        "mosaic_change": f"""
+SELECT tile_id, tx, ty, n_valid_px, n_diff_px, abs_diff_sum
+FROM read_parquet('{FIX_SF001}/mosaic_diff_golden.parquet')
 """,
         "roi_load_window": f"""
 SELECT roi_id, n_valid_px, pix_sum, pix_min, pix_max

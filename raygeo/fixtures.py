@@ -499,13 +499,15 @@ GOLDEN_TILES_SCHEMA = pa.schema(
 )
 
 
-def _golden_slab(args: tuple[int, int]) -> dict:
-    lo, hi = args
+def _golden_slab(args: tuple) -> dict:
+    lo, hi = args[0], args[1]
+    want_med = bool(args[2]) if len(args) > 2 else False
     g = FIXTURE_GRID
     n_steps = len(TEMPORAL_GRID.times)
     lww: dict = {}
     mx: dict = {}
     tmp: dict = {}
+    med: dict = {}
     for i in range(lo, hi):
         image_id, pix, fmt, w, h = _raw_pixels(i)
         decoded = decode(encode(pix, fmt)) if fmt == "dctq" else pix
@@ -526,6 +528,9 @@ def _golden_slab(args: tuple[int, int]) -> dict:
                     continue
                 sl_t = np.s_[r0 - tr0:r1 - tr0, c0 - tc0:c1 - tc0]
                 frag = decoded[r0 - rl:r1 - rl, c0 - cl:c1 - cl]
+                if want_med:
+                    med.setdefault((tx, ty), []).append(
+                        (r0 - tr0, c0 - tc0, frag.copy()))
                 for key, store, is_max in (
                     ((tx, ty), lww, False),
                     ((tx, ty), mx, True),
@@ -547,7 +552,7 @@ def _golden_slab(args: tuple[int, int]) -> dict:
                         canvas[sl_t] = frag
                     mask[sl_t] = True
                     st[2] += 1
-    return {"lww": lww, "max": mx, "t": tmp}
+    return {"lww": lww, "max": mx, "t": tmp, "med": med}
 
 
 def _merge_slab_into(dst: dict, src: dict, is_max: bool) -> None:
@@ -809,25 +814,100 @@ def _golden_windows(lww: dict) -> pa.Table:
     return pa.table(out, schema=WINDOWS_GOLDEN_SCHEMA)
 
 
+# Median goldens keep per-tile fragment lists in memory while painting
+# (~3 B x total coverage), so they are only generated for fixture sizes the
+# correctness gate actually uses (sf <= 0.01); the engine's median op has no
+# such bound — only its oracle does.
+MEDIAN_GOLDEN_MAX = 12000
+
+
+def _golden_median(med: dict) -> pa.Table:
+    """Exact per-pixel lower-median composite, painted independently of the
+    engine's fold: per tile, fragments stack into a NaN-padded float cube,
+    one sort along depth (NaN sorts last), and the (count-1)//2 order
+    statistic is gathered per pixel."""
+    g = FIXTURE_GRID
+    out: dict[str, list] = {k: [] for k in GOLDEN_TILES_SCHEMA.names}
+    for (tx, ty) in sorted(med):
+        frags = med[(tx, ty)]
+        stack = np.full((len(frags), g.chunk, g.chunk, 3), np.nan, np.float32)
+        for layer, (y0, x0, fr) in enumerate(frags):
+            stack[layer, y0:y0 + fr.shape[0], x0:x0 + fr.shape[1]] = fr
+        count = np.isfinite(stack[..., 0]).sum(axis=0)
+        stack.sort(axis=0)
+        idx = (np.maximum(count - 1, 0) // 2)[None, :, :, None]
+        medv = np.take_along_axis(stack, idx, axis=0)[0]
+        valid = count > 0
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_frags"].append(len(frags))
+        out["n_valid_px"].append(int(valid.sum()))
+        out["pix_sum"].append(int(medv[valid].astype(np.int64).sum()))
+    return pa.table(out, schema=GOLDEN_TILES_SCHEMA)
+
+
+def _golden_diff(lww: dict, mx: dict) -> pa.Table:
+    """Per-tile change stats between the LWW and max golden mosaics."""
+    out = {"tile_id": [], "tx": [], "ty": [], "n_valid_px": [],
+           "n_diff_px": [], "abs_diff_sum": []}
+    for (tx, ty) in sorted(lww):
+        ca, ma, _ = lww[(tx, ty)]
+        cb, mb, _ = mx[(tx, ty)]
+        bothv = ma & mb
+        ne = (ca != cb).any(axis=2)
+        d = np.abs(ca.astype(np.int64) - cb.astype(np.int64)).sum(axis=2)
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_valid_px"].append(int((ma | mb).sum()))
+        out["n_diff_px"].append(int(((ne & bothv) | (ma != mb)).sum()))
+        out["abs_diff_sum"].append(int(d[bothv].sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int32()),
+        "ty": pa.array(out["ty"], pa.int32()),
+        "n_valid_px": pa.array(out["n_valid_px"], pa.int64()),
+        "n_diff_px": pa.array(out["n_diff_px"], pa.int64()),
+        "abs_diff_sum": pa.array(out["abs_diff_sum"], pa.int64()),
+    })
+
+
 def generate_tile_goldens(out_dir: str, n: int) -> None:
-    """Write tiles_golden_{lww,max,t,dem}.parquet + windows_golden.parquet
-    for an n-image fixture."""
+    """Write tiles_golden_{lww,max,t,dem[,med]}.parquet +
+    windows_golden.parquet + mosaic_diff_golden.parquet for an n-image
+    fixture."""
     from concurrent.futures import ProcessPoolExecutor
 
+    want_med = n <= MEDIAN_GOLDEN_MAX
     slab = max(500, n // 16)
-    slabs = [(lo, min(lo + slab, n)) for lo in range(0, n, slab)]
+    slabs = [(lo, min(lo + slab, n), want_med) for lo in range(0, n, slab)]
     agg = {"lww": {}, "max": {}, "t": {}}
+    med: dict = {}
+
+    def fold_result(res):
+        for k in agg:
+            _merge_slab_into(agg[k], res[k], k == "max")
+        for key, lst in res.get("med", {}).items():
+            med.setdefault(key, []).extend(lst)
+
     if len(slabs) <= 1:
-        results = map(_golden_slab, slabs)
-        for res in results:
-            for k in agg:
-                _merge_slab_into(agg[k], res[k], k == "max")
+        for res in map(_golden_slab, slabs):
+            fold_result(res)
     else:
         workers = min(16, os.cpu_count() or 4, len(slabs))
         with ProcessPoolExecutor(max_workers=workers) as ex:
             for res in ex.map(_golden_slab, slabs):  # ordered: ascending pno
-                for k in agg:
-                    _merge_slab_into(agg[k], res[k], k == "max")
+                fold_result(res)
+    if want_med:
+        path = os.path.join(out_dir, "tiles_golden_med.parquet")
+        pq.write_table(_golden_median(med), path + ".tmp", compression="zstd")
+        os.replace(path + ".tmp", path)
+        med.clear()
+    dpath = os.path.join(out_dir, "mosaic_diff_golden.parquet")
+    pq.write_table(_golden_diff(agg["lww"], agg["max"]), dpath + ".tmp",
+                   compression="zstd")
+    os.replace(dpath + ".tmp", dpath)
     for name, (store, temporal, dem) in {
         "lww": (agg["lww"], False, False),
         "max": (agg["max"], False, False),
@@ -910,7 +990,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v9-overview"
+FIXTURE_LAYOUT_VERSION = "v10-composite"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -941,7 +1021,10 @@ def ensure_fixtures(sf: float) -> str:
     generate_zones(os.path.join(d, "zones.parquet"), FIXTURE_GRID)
     if not (os.path.exists(os.path.join(d, "tiles_golden_lww.parquet"))
             and os.path.exists(os.path.join(d, "windows_golden.parquet"))
-            and os.path.exists(os.path.join(d, "overview_golden.parquet"))):
+            and os.path.exists(os.path.join(d, "overview_golden.parquet"))
+            and os.path.exists(os.path.join(d, "mosaic_diff_golden.parquet"))
+            and (n > MEDIAN_GOLDEN_MAX or os.path.exists(
+                os.path.join(d, "tiles_golden_med.parquet")))):
         generate_tile_goldens(d, n)
     if not os.path.exists(os.path.join(d, "videos.parquet")):
         generate_videos(max(50, n // 20), os.path.join(d, "videos.parquet"),

@@ -1,6 +1,8 @@
 """Ingest/mosaic end-to-end vs a brute-force numpy oracle, + resume test."""
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -505,3 +507,83 @@ def test_masked_pool_negative_floats():
     b = np.array([[3, 9], [1, 2]], dtype=np.int16)
     m2 = np.array([[True, False], [True, True]])
     assert _masked_pool(b, m2, 1)[0, 0] == 3  # invalid 9 excluded
+
+
+def test_median_fold_small_synthetic(ray_session):
+    """Exact lower-median semantics on hand-built overlapping fragments:
+    odd count -> true middle, even count -> lower middle, singleton px."""
+    import ray.data as rd
+
+    from raygeo.channels import RGB_CHANNELS, ChannelPack
+    from raygeo.ops.composite import make_median_fold
+
+    pack = ChannelPack(RGB_CHANNELS)
+    chunk = 8
+
+    def frag_row(y0, x0, h, w, value):
+        fr = np.full((h, w, 3), value, np.uint8)
+        return {"tile_id": "0-0", "tx": 0, "ty": 0, "y_off": y0, "x_off": x0,
+                "fh": h, "fw": w, "px": pack.to_bytes([fr])}
+
+    # px (0,0): values 10,30,20 -> median 20; px (0,1): 10,30 -> lower 10;
+    # px (7,7): only 99
+    rows = [frag_row(0, 0, 1, 2, 10), frag_row(0, 0, 1, 2, 30),
+            frag_row(0, 0, 1, 1, 20), frag_row(7, 7, 1, 1, 99)]
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    out = make_median_fold(chunk, pack)(t).to_pandas()
+    assert out["n_frags"][0] == 4 and out["n_valid_px"][0] == 3
+    # 3*(20 + 10 + 99) summed across the 3 identical RGB components
+    assert out["pix_sum"][0] == 3 * (20 + 10 + 99)
+
+    import zlib
+    canvas = pack.from_bytes(zlib.decompress(out["px_z"][0]), chunk, chunk)[0]
+    assert canvas[0, 0, 0] == 20 and canvas[0, 1, 0] == 10
+    assert canvas[7, 7, 0] == 99
+
+
+def test_median_ingest_matches_golden(ray_session, fixtures_sf0001):
+    """Distributed median composite == independently painted NaN-stack
+    golden, at every tile."""
+    import pyarrow.parquet as pq
+
+    from raygeo import fixtures
+    from raygeo.ops.composite import ingest_median
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    tiles = ingest_median(
+        read_parquet_clean(f"{d}/images.parquet",
+                           columns=["image_id", "bytes", "w", "h"]),
+        fixtures.FIXTURE_GRID)
+    got = (tiles.select_columns(["tile_id", "n_frags", "n_valid_px",
+                                 "pix_sum"])
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    exp = (pq.read_table(f"{d}/tiles_golden_med.parquet",
+                         columns=["tile_id", "n_frags", "n_valid_px",
+                                  "pix_sum"])
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_mosaic_change_matches_golden(ray_session, fixtures_sf0001):
+    """lww-vs-max change detection == golden diff of the serial paints."""
+    import pyarrow.parquet as pq
+
+    from raygeo import fixtures
+    from raygeo.ops.composite import mosaic_change
+    from raygeo.ops.ingest import ingest
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    cols = ["image_id", "bytes", "w", "h"]
+    lww = ingest(read_parquet_clean(f"{d}/images.parquet", columns=cols),
+                 fixtures.FIXTURE_GRID, mode="lww")
+    mx = ingest(read_parquet_clean(f"{d}/images.parquet", columns=cols),
+                fixtures.FIXTURE_GRID, mode="max")
+    got = (mosaic_change(lww, mx, fixtures.FIXTURE_GRID.chunk)
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    exp = (pq.read_table(f"{d}/mosaic_diff_golden.parquet")
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    # sanity: max-composite must differ somewhere from latest-observation
+    assert got["n_diff_px"].sum() > 0
