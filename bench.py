@@ -126,6 +126,9 @@ def run_bench() -> dict:
         "urgent_revenue",
         "docs_tfidf",
         "emb_centroids",
+        "ingest_mosaic_median",
+        "mosaic_change",
+        "events_retention",
     ]
     for name in bench_queries:
         timed(name, qs[name])
