@@ -494,19 +494,18 @@ def _q_ingest_mosaic_median(sf_dir: str):
 
 def _q_mosaic_change(sf_dir: str):
     """Change detection between two mosaic variants of the same grid (LWW
-    latest-observation vs max brightest-composite): tag + union + one keyed
-    groupby, per-pixel compare inside the group task. Value-checked against
-    a generation-time golden diff of the serial LWW/max paints."""
+    latest-observation vs max brightest-composite), fused single-pass plan:
+    decode once, shuffle once, fold the tile group under both modes and
+    diff in place. Value-checked against a generation-time golden diff of
+    the serial LWW/max paints (the general two-Dataset ``mosaic_change``
+    is exercised by tests)."""
     from raygeo.fixtures import FIXTURE_GRID
-    from raygeo.ops.composite import mosaic_change
-    from raygeo.ops.ingest import ingest
+    from raygeo.ops.composite import mosaic_change_from_images
 
     d = _fix(sf_dir)
-    imgs = f"{d}/images.parquet"
-    cols = ["image_id", "bytes", "w", "h"]
-    lww = ingest(_rpq(imgs, columns=cols), FIXTURE_GRID, mode="lww")
-    mx = ingest(_rpq(imgs, columns=cols), FIXTURE_GRID, mode="max")
-    return mosaic_change(lww, mx, FIXTURE_GRID.chunk)
+    imgs = _rpq(f"{d}/images.parquet",
+                columns=["image_id", "bytes", "w", "h"])
+    return mosaic_change_from_images(imgs, FIXTURE_GRID)
 
 
 # ----- training-data ops over the provided testdata tables -----

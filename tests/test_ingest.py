@@ -587,3 +587,23 @@ def test_mosaic_change_matches_golden(ray_session, fixtures_sf0001):
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
     # sanity: max-composite must differ somewhere from latest-observation
     assert got["n_diff_px"].sum() > 0
+
+
+def test_mosaic_change_fused_matches_golden(ray_session, fixtures_sf0001):
+    """Fused single-pass change plan == golden diff (and so == the general
+    two-Dataset plan, which the test above pins to the same golden)."""
+    import pyarrow.parquet as pq
+
+    from raygeo import fixtures
+    from raygeo.ops.composite import mosaic_change_from_images
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    got = (mosaic_change_from_images(
+               read_parquet_clean(f"{d}/images.parquet",
+                                  columns=["image_id", "bytes", "w", "h"]),
+               fixtures.FIXTURE_GRID)
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    exp = (pq.read_table(f"{d}/mosaic_diff_golden.parquet")
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
