@@ -1082,6 +1082,39 @@ def _q_events_retention(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_mosaic_components(sf_dir: str):
+    """Distributed connected-component labeling (raster->vector
+    polygonize-lite): per-tile min-propagation labeling in parallel, driver
+    union-find over the O(perimeter) border records only, broadcast relabel
+    + keyed aggregate. Value-checked against a serial row-run union-find
+    golden — two independent algorithms, identical output."""
+    from raygeo.fixtures import COMPONENTS_THRESHOLD, FIXTURE_GRID
+    from raygeo.ops.components import mosaic_components
+    from raygeo.ops.ingest import ingest
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return mosaic_components(tiles, FIXTURE_GRID, COMPONENTS_THRESHOLD)
+
+
+def _q_temporal_trend(sf_dir: str):
+    """Per-pixel OLS trend over the temporal mosaic steps (TCTrend analog,
+    ``datasets/tctrend.py``): one spatial-keyed groupby of the temporal
+    tiles, vectorized integer-moment regression per pixel, fixed-point
+    slope. Value-checked against the generation-time golden trend."""
+    from raygeo.fixtures import TEMPORAL_GRID
+    from raygeo.ops.composite import temporal_trend
+    from raygeo.ops.ingest import ingest
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   TEMPORAL_GRID)
+    return temporal_trend(tiles, TEMPORAL_GRID.chunk)
+
+
 def _q_mosaic_overview(sf_dir: str):
     """Level-1 overview pyramid (COG/GDAL build-overviews analog): each
     child tile 2x2-max-pools map-side (payload shrinks 4x before the
@@ -1183,6 +1216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_overview": _q_mosaic_overview,  # pyramid level-1, golden-checked
         "ingest_mosaic_median": _q_ingest_mosaic_median,  # exact median composite
         "mosaic_change": _q_mosaic_change,  # lww-vs-max change detection
+        "mosaic_components": _q_mosaic_components,  # distributed CCL
+        "temporal_trend": _q_temporal_trend,  # per-pixel trend (TCTrend)
         "toi_snap": _q_toi_snap,
         "toi_snap_padbfill": _q_toi_snap_padbfill,  # pad/bfill variants
         "roi_load_window": _q_roi_load_window,  # rows-only (mosaic pixels)
@@ -1454,6 +1489,14 @@ FROM read_parquet('{FIX_SF001}/tiles_golden_med.parquet')
         "mosaic_change": f"""
 SELECT tile_id, tx, ty, n_valid_px, n_diff_px, abs_diff_sum
 FROM read_parquet('{FIX_SF001}/mosaic_diff_golden.parquet')
+""",
+        "mosaic_components": f"""
+SELECT comp_id, area, y0, x0, y1, x1
+FROM read_parquet('{FIX_SF001}/components_golden.parquet')
+""",
+        "temporal_trend": f"""
+SELECT tile_id, tx, ty, n_px_trend, n_px_pos, slope_fp_sum
+FROM read_parquet('{FIX_SF001}/trend_golden.parquet')
 """,
         "roi_load_window": f"""
 SELECT roi_id, n_valid_px, pix_sum, pix_min, pix_max

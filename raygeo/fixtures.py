@@ -873,9 +873,149 @@ def _golden_diff(lww: dict, mx: dict) -> pa.Table:
     })
 
 
+# Foreground threshold for the connected-components golden: valid pixels
+# whose R+G+B sum clears this. 600 sits ~1.7 sigma above the noise-like
+# pixel sum's mean, giving a sub-percolation foreground (many small
+# components) at every fixture scale.
+COMPONENTS_THRESHOLD = 600
+
+
+def _golden_components(lww: dict) -> pa.Table:
+    """Global 4-connected components of the thresholded LWW mosaic, labeled
+    by a serial ROW-RUN UNION-FIND — deliberately a different algorithm from
+    the engine's per-tile min-propagation + border merge (shares only the
+    pure per-pixel foreground definition). Component id = min linear pixel
+    index (y * width + x) over the component: stable and derivable by both
+    sides."""
+    g = FIXTURE_GRID
+    W, H = g.width, g.height
+    fg = np.zeros((H, W), bool)
+    for (tx, ty), (canvas, mask, _) in lww.items():
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        s = canvas.astype(np.int64).sum(axis=2)
+        fg[tr0:tr1, tc0:tc1] = mask & (s >= COMPONENTS_THRESHOLD)
+
+    parent: list[int] = []
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # run id -> (row, col_start, col_end); per-row list for adjacency scan
+    run_meta: list[tuple[int, int, int]] = []
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, run_id)
+    for y in range(H):
+        row = fg[y]
+        d = np.diff(row.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if row[0]:
+            starts = np.concatenate([[0], starts])
+        if row[-1]:
+            ends = np.concatenate([ends, [W]])
+        cur_runs = []
+        pi = 0
+        for s0, e0 in zip(starts, ends):
+            rid = len(run_meta)
+            run_meta.append((y, int(s0), int(e0)))
+            parent.append(rid)
+            cur_runs.append((int(s0), int(e0), rid))
+            # union with overlapping runs in the previous row (4-conn)
+            while pi > 0 and prev_runs[pi - 1][1] > s0:
+                pi -= 1
+            while pi < len(prev_runs) and prev_runs[pi][0] < e0:
+                if prev_runs[pi][1] > s0:
+                    union(rid, prev_runs[pi][2])
+                if prev_runs[pi][1] <= e0:
+                    pi += 1
+                else:
+                    break
+        prev_runs = cur_runs
+
+    comp: dict[int, list] = {}  # root -> [min_lin, area, y0, x0, y1, x1]
+    for rid, (y, s0, e0) in enumerate(run_meta):
+        root = find(rid)
+        lin = y * W + s0
+        st = comp.get(root)
+        if st is None:
+            comp[root] = [lin, e0 - s0, y, s0, y, e0 - 1]
+        else:
+            st[0] = min(st[0], lin)
+            st[1] += e0 - s0
+            st[2] = min(st[2], y)
+            st[3] = min(st[3], s0)
+            st[4] = max(st[4], y)
+            st[5] = max(st[5], e0 - 1)
+    rows = sorted(comp.values())
+    return pa.table({
+        "comp_id": pa.array([r[0] for r in rows], pa.int64()),
+        "area": pa.array([r[1] for r in rows], pa.int64()),
+        "y0": pa.array([r[2] for r in rows], pa.int64()),
+        "x0": pa.array([r[3] for r in rows], pa.int64()),
+        "y1": pa.array([r[4] for r in rows], pa.int64()),
+        "x1": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+def _golden_trend(tmp: dict) -> pa.Table:
+    """Per-pixel OLS slope over the temporal mosaic steps, aggregated per
+    spatial tile. v = R+G+B (int); slope over steps where the pixel is
+    valid (needs >= 2); slope_fp = round(slope * 1e6) — integer-input
+    float64 division is correctly rounded, so cross-engine bit-exact."""
+    g = FIXTURE_GRID
+    spatial: dict[tuple[int, int], list] = {}
+    for (ti, tx, ty), (canvas, mask, _) in tmp.items():
+        spatial.setdefault((tx, ty), []).append((ti, canvas, mask))
+    out = {"tile_id": [], "tx": [], "ty": [], "n_px_trend": [],
+           "n_px_pos": [], "slope_fp_sum": []}
+    for (tx, ty) in sorted(spatial):
+        steps = spatial[(tx, ty)]
+        k = g.chunk
+        n = np.zeros((k, k), np.int64)
+        st = np.zeros((k, k), np.int64)
+        stt = np.zeros((k, k), np.int64)
+        sv = np.zeros((k, k), np.int64)
+        stv = np.zeros((k, k), np.int64)
+        for ti, canvas, mask in steps:
+            v = canvas.astype(np.int64).sum(axis=2)
+            m = mask
+            n += m
+            st += np.where(m, ti, 0)
+            stt += np.where(m, ti * ti, 0)
+            sv += np.where(m, v, 0)
+            stv += np.where(m, ti * v, 0)
+        den = n * stt - st * st
+        ok = (n >= 2) & (den > 0)
+        slope = np.zeros((k, k), np.float64)
+        slope[ok] = (n[ok] * stv[ok] - st[ok] * sv[ok]) / den[ok]
+        slope_fp = np.round(slope * 1e6).astype(np.int64)
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_px_trend"].append(int(ok.sum()))
+        out["n_px_pos"].append(int((slope_fp[ok] > 0).sum()))
+        out["slope_fp_sum"].append(int(slope_fp[ok].sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int32()),
+        "ty": pa.array(out["ty"], pa.int32()),
+        "n_px_trend": pa.array(out["n_px_trend"], pa.int64()),
+        "n_px_pos": pa.array(out["n_px_pos"], pa.int64()),
+        "slope_fp_sum": pa.array(out["slope_fp_sum"], pa.int64()),
+    })
+
+
 def generate_tile_goldens(out_dir: str, n: int) -> None:
     """Write tiles_golden_{lww,max,t,dem[,med]}.parquet +
-    windows_golden.parquet + mosaic_diff_golden.parquet for an n-image
+    windows_golden.parquet + mosaic_diff_golden.parquet +
+    components_golden.parquet + trend_golden.parquet for an n-image
     fixture."""
     from concurrent.futures import ProcessPoolExecutor
 
@@ -908,6 +1048,14 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_diff(agg["lww"], agg["max"]), dpath + ".tmp",
                    compression="zstd")
     os.replace(dpath + ".tmp", dpath)
+    cpath = os.path.join(out_dir, "components_golden.parquet")
+    pq.write_table(_golden_components(agg["lww"]), cpath + ".tmp",
+                   compression="zstd")
+    os.replace(cpath + ".tmp", cpath)
+    tpath = os.path.join(out_dir, "trend_golden.parquet")
+    pq.write_table(_golden_trend(agg["t"]), tpath + ".tmp",
+                   compression="zstd")
+    os.replace(tpath + ".tmp", tpath)
     for name, (store, temporal, dem) in {
         "lww": (agg["lww"], False, False),
         "max": (agg["max"], False, False),
@@ -990,7 +1138,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v10-composite"
+FIXTURE_LAYOUT_VERSION = "v11-components-trend"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1023,6 +1171,8 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "windows_golden.parquet"))
             and os.path.exists(os.path.join(d, "overview_golden.parquet"))
             and os.path.exists(os.path.join(d, "mosaic_diff_golden.parquet"))
+            and os.path.exists(os.path.join(d, "components_golden.parquet"))
+            and os.path.exists(os.path.join(d, "trend_golden.parquet"))
             and (n > MEDIAN_GOLDEN_MAX or os.path.exists(
                 os.path.join(d, "tiles_golden_med.parquet")))):
         generate_tile_goldens(d, n)

@@ -288,3 +288,83 @@ def mosaic_change_from_images(images_ds, grid: GridSpec,
     n_blocks = max(8, min(64, cluster_cpus()))
     return frags.repartition(n_blocks).groupby("tile_id").map_groups(
         fold_both, batch_format="pyarrow")
+
+
+def temporal_trend(temporal_tiles_ds, chunk: int, channels=None):
+    """Per-pixel OLS trend over a temporal mosaic's time steps, aggregated
+    per spatial tile — the engine analog of the reference's TCTrend
+    dataset, whose bands are per-pixel trend statistics over yearly
+    composites (``datasets/tctrend.py``).
+
+    Input: tiles from a temporal ingest (tile_id ``"{step}-{tx}-{ty}"``).
+    Plan: parse the spatial key map-side, one ``groupby(spatial key)``
+    (<= n_steps rows per group), and a fully vectorized per-pixel
+    regression inside the group: slope = (n*Stv - St*Sv) / (n*Stt - St^2)
+    over the steps where the pixel is valid (needs >= 2). v = the integer
+    sum of all channel components. slope_fp = round(slope * 1e6): the
+    inputs to the division are exact int64s, float64 division is correctly
+    rounded, so the fixed-point result is bit-stable across plans and
+    engines.
+
+    Output per spatial tile: n_px_trend (pixels with a defined slope),
+    n_px_pos (slope_fp > 0), slope_fp_sum.
+    """
+    pack = ChannelPack(tuple(channels)) if channels else ChannelPack(
+        RGB_CHANNELS)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        tids = t.column("tile_id").to_pylist()
+        steps = [int(s.split("-", 1)[0]) for s in tids]
+        spatial = [s.split("-", 1)[1] for s in tids]
+        return pa.table({
+            "skey": pa.array(spatial, pa.string()),
+            "step": pa.array(steps, pa.int64()),
+            "tx": t.column("tx"),
+            "ty": t.column("ty"),
+            "px_z": t.column("px_z"),
+            "mask_z": t.column("mask_z"),
+        })
+
+    def trend(group: pa.Table) -> pa.Table:
+        n = np.zeros((chunk, chunk), np.int64)
+        st = np.zeros((chunk, chunk), np.int64)
+        stt = np.zeros((chunk, chunk), np.int64)
+        sv = np.zeros((chunk, chunk), np.int64)
+        stv = np.zeros((chunk, chunk), np.int64)
+        px_v = binary_views(group.column("px_z"))
+        mk_v = binary_views(group.column("mask_z"))
+        steps = group.column("step").to_numpy()
+        for j in range(group.num_rows):
+            canvas = pack.from_bytes(zlib.decompress(px_v[j]), chunk, chunk)
+            m = np.frombuffer(zlib.decompress(mk_v[j]),
+                              np.uint8).reshape(chunk, chunk).astype(bool)
+            v = np.zeros((chunk, chunk), np.int64)
+            for a in canvas:
+                s = a.astype(np.int64)
+                v += s.sum(axis=2) if s.ndim == 3 else s
+            ti = int(steps[j])
+            n += m
+            st += np.where(m, ti, 0)
+            stt += np.where(m, ti * ti, 0)
+            sv += np.where(m, v, 0)
+            stv += np.where(m, ti * v, 0)
+        den = n * stt - st * st
+        ok = (n >= 2) & (den > 0)
+        slope = np.zeros((chunk, chunk), np.float64)
+        slope[ok] = (n[ok] * stv[ok] - st[ok] * sv[ok]) / den[ok]
+        slope_fp = np.round(slope * 1e6).astype(np.int64)
+        return pa.table({
+            "tile_id": pa.array([group.column("skey")[0].as_py()],
+                                pa.string()),
+            "tx": pa.array([group.column("tx")[0].as_py()], pa.int32()),
+            "ty": pa.array([group.column("ty")[0].as_py()], pa.int32()),
+            "n_px_trend": pa.array([int(ok.sum())], pa.int64()),
+            "n_px_pos": pa.array([int((slope_fp[ok] > 0).sum())],
+                                 pa.int64()),
+            "slope_fp_sum": pa.array([int(slope_fp[ok].sum())], pa.int64()),
+        })
+
+    return (temporal_tiles_ds
+            .select_columns(["tile_id", "tx", "ty", "px_z", "mask_z"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("skey").map_groups(trend, batch_format="pyarrow"))
