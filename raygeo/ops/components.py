@@ -241,16 +241,19 @@ def mosaic_components(tiles_ds, grid: GridSpec, threshold: int,
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-    remap = {x: find(x) for x in list(parent)}
-    remap_ref = ray.put(remap)
+    keys = np.array(sorted(parent), dtype=np.int64)
+    roots = np.array([find(int(k)) for k in keys], dtype=np.int64)
+    remap_ref = ray.put((keys, roots))
 
     def relabel(t: pa.Table) -> pa.Table:
-        m = ray.get(remap_ref)
-        if not m:
-            return t.append_column("comp_id", t.column("label"))
+        ks, rs = ray.get(remap_ref)
         lab = t.column("label").to_numpy()
-        out = np.array([m.get(int(v), int(v)) for v in lab], dtype=np.int64)
-        return t.append_column("comp_id", pa.array(out, pa.int64()))
+        if len(ks):
+            pos = np.searchsorted(ks, lab)
+            pos_c = np.clip(pos, 0, len(ks) - 1)
+            hit = ks[pos_c] == lab
+            lab = np.where(hit, rs[pos_c], lab)
+        return t.append_column("comp_id", pa.array(lab, pa.int64()))
 
     comps = combined.filter(expr="kind == 'c'").select_columns(
         ["label", "area", "y0", "x0", "y1", "x1"]
