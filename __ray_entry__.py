@@ -1193,6 +1193,52 @@ def _q_toi_snap_padbfill(sf_dir: str):
         snap, batch_format="pyarrow", batch_size=65536)
 
 
+def _q_events_lag_gaps(sf_dir: str):
+    """LAG-window analog: per-user consecutive-event gap stats (max gap,
+    count of gaps > 1h) — one keyed shuffle, vectorized diff per group."""
+    from raygeo.ops.window import user_gap_stats
+
+    return user_gap_stats(_rpq(f"{sf_dir}/events.parquet"),
+                          gap_threshold_s=3600)
+
+
+def _q_orders_cum_crossing(sf_dir: str):
+    """Running-SUM window analog: first order where each customer's
+    cumulative cents total reaches $100k (strictly-increasing cumsum ->
+    binary-search crossing per group)."""
+    from raygeo.ops.window import cumulative_first_crossing
+
+    return cumulative_first_crossing(_rpq(f"{sf_dir}/orders.parquet"),
+                                     threshold_cents=10_000_000)
+
+
+def _q_events_gapfill(sf_dir: str):
+    """generate_series LEFT JOIN analog: dense zero-filled hourly series
+    per event type, filled AFTER the tumbling partial fold."""
+    from raygeo.ops.window import gapfill_hourly
+
+    return gapfill_hourly(_rpq(f"{sf_dir}/events.parquet"))
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 correlated-subquery shape, decorrelated: per-part avg-qty
+    fold (dimension-bounded) broadcast; exact integer 5*qty*cnt < sum
+    comparison; single-row output."""
+    from raygeo.ops.window import small_qty_revenue
+
+    return small_qty_revenue(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/part.parquet", brand="Brand#13")
+
+
+def _q_docs_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: k=10 smallest md5-rank doc_ids per
+    language (row_number OVER (PARTITION BY lang ORDER BY md5) analog)."""
+    from raygeo.ops.window import stratified_sample
+
+    return stratified_sample(_rpq(f"{sf_dir}/documents.parquet"),
+                             group_col="lang", key_col="doc_id", k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geocube core (fixture images)
@@ -1248,6 +1294,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,  # cohort retention matrix
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
+        "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
+        "orders_cum_crossing": _q_orders_cum_crossing,  # running-sum crossing
+        "events_gapfill": _q_events_gapfill,  # dense zero-filled series
+        "small_qty_revenue": _q_small_qty_revenue,  # Q17 correlated-subquery shape
+        "docs_stratified_sample": _q_docs_stratified_sample,  # per-stratum sample
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -2036,6 +2087,84 @@ FROM documents ORDER BY h, doc_id LIMIT 100
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderpriority = '1-URGENT')
+""",
+        "events_lag_gaps": """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+  coalesce(max((tu - prev) // 1000000), 0)::BIGINT AS max_gap_s,
+  count(*) FILTER (WHERE (tu - prev) // 1000000 > 3600)::BIGINT AS n_gaps_gt
+FROM s GROUP BY user_id
+""",
+        "orders_cum_crossing": """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), w AS (
+  SELECT o_custkey, o_orderdate,
+         sum(cents) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM o
+), c AS (
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS cross_date,
+         cum AS cum_cents, rn AS n_orders_to_cross,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY rn) AS k
+  FROM w WHERE cum >= 10000000
+)
+SELECT o_custkey, cross_date, cum_cents::BIGINT AS cum_cents,
+       n_orders_to_cross::BIGINT AS n_orders_to_cross
+FROM c WHERE k = 1
+""",
+        "events_gapfill": """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+         count(*)::BIGINT AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(hour_bucket) AS lo, max(hour_bucket) AS hi
+  FROM h GROUP BY 1
+), axis AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi)) AS hour_bucket
+  FROM b
+)
+SELECT a.event_type, a.hour_bucket,
+       coalesce(h.n_events, 0)::BIGINT AS n_events,
+       coalesce(h.value_cents, 0)::BIGINT AS value_cents
+FROM axis a LEFT JOIN h USING (event_type, hour_bucket)
+""",
+        "small_qty_revenue": """
+WITH pq_ AS (
+  SELECT l_partkey, sum(CAST(round(l_quantity) AS BIGINT)) AS s,
+         count(*) AS c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13' GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_items,
+  coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)::BIGINT
+    AS revenue_cents
+FROM lineitem l JOIN pq_ ON pq_.l_partkey = l.l_partkey
+WHERE 5 * CAST(round(l_quantity) AS BIGINT) * c < s
+""",
+        "docs_stratified_sample": """
+WITH h AS (
+  SELECT lang, doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT AS h
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, h,
+    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+  FROM h
+)
+SELECT lang, doc_id, h, rnk::BIGINT AS rnk FROM r WHERE rnk <= 10
 """,
         "orders_fulfillment": """
 WITH rev AS (

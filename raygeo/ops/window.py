@@ -1,0 +1,249 @@
+"""Sequence / window-function analogs the reference's streaming shapes imply
+(LAG deltas, running cumulative sums, dense gap-filled series, the
+correlated-subquery avg filter) plus stratified sampling.
+
+All monetary math is integer cents (per-row ROUND then SUM) so results are
+bit-exact and summation-order independent; date/ts math is integer epoch
+buckets. Every op keeps the shuffle bounded: raw rows shuffle at most once
+(keyed by the partition column the window needs), partials everywhere else.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import table_from_pandas
+
+
+def user_gap_stats(events_ds, gap_threshold_s: int = 3600,
+                   user_col: str = "user_id"):
+    """Per-user LAG(ts) gap statistics: max inter-event gap and the number
+    of gaps exceeding ``gap_threshold_s``.
+
+    The ``ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, id)`` analog.
+    Consecutive-event deltas need each user's full event order, so the one
+    unavoidable exchange is a keyed shuffle of the pruned (user, ts, id)
+    columns; the per-group kernel is a vectorized sort + ``np.diff`` (no
+    Python over rows). Ties on ts break by event_id so the delta sequence
+    is deterministic under any shuffle order. Output is one row per user —
+    bounded by user cardinality, not events.
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(ts) > 1:
+            gaps = np.diff(ts) // 1_000_000  # whole seconds, floor
+            max_gap = int(gaps.max())
+            n_big = int((gaps > gap_threshold_s).sum())
+        else:
+            max_gap, n_big = 0, 0
+        return pd.DataFrame({
+            user_col: [g[user_col].iloc[0]],
+            "n_events": np.int64(len(g)),
+            "max_gap_s": np.int64(max_gap),
+            "n_gaps_gt": np.int64(n_big),
+        })
+
+    return (events_ds.select_columns([user_col, "ts", "event_id"])
+            .groupby(user_col)
+            .map_groups(per_user, batch_format="pandas"))
+
+
+def cumulative_first_crossing(orders_ds, threshold_cents: int,
+                              key_col: str = "o_custkey"):
+    """Per-customer running revenue: the first order at which the cumulative
+    integer-cents total reaches ``threshold_cents``.
+
+    The ``SUM() OVER (PARTITION BY k ORDER BY date, id ROWS UNBOUNDED
+    PRECEDING)`` analog. One keyed shuffle of the pruned order columns,
+    then a vectorized per-group ``cumsum`` + ``searchsorted`` (the running
+    sum is strictly increasing — prices are positive — so the first
+    crossing is a binary search, not a scan). Customers that never cross
+    are dropped (SQL ``WHERE cum >= T`` + first-row qualify). Output is at
+    most one row per customer.
+    """
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        cents = np.rint(g.o_totalprice.to_numpy() * 100).astype(np.int64)
+        cum = np.cumsum(cents)
+        i = int(np.searchsorted(cum, threshold_cents))
+        if i >= len(cum):
+            return pd.DataFrame({key_col: pd.Series([], dtype=np.int64),
+                                 "cross_date": pd.Series([], dtype=str),
+                                 "cum_cents": pd.Series([], dtype=np.int64),
+                                 "n_orders_to_cross": pd.Series([], dtype=np.int64)})
+        d = g.o_orderdate.iloc[i]
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "cross_date": [pd.Timestamp(d).strftime("%Y-%m-%d")],
+            "cum_cents": np.int64(cum[i]),
+            "n_orders_to_cross": np.int64(i + 1),
+        })
+
+    return (orders_ds.select_columns(
+                [key_col, "o_orderdate", "o_orderkey", "o_totalprice"])
+            .groupby(key_col)
+            .map_groups(per_cust, batch_format="pandas"))
+
+
+def gapfill_hourly(events_ds):
+    """Dense gap-filled hourly series per event type: every hour between a
+    type's first and last event appears, absent hours as explicit zeros.
+
+    The ``generate_series LEFT JOIN`` analog. The distributed part is the
+    existing tumbling partial fold (one row per (type, hour) per batch —
+    raw events never shuffle); the fill runs per type over that already
+    hours×types-bounded aggregate, as a vectorized dense reindex (allocate
+    the [min,max] axis, scatter the sparse counts in). Emitting zeros from
+    the map side instead would ship empty hours per batch — the fill
+    belongs after the fold.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        bucket = df.ts.astype("datetime64[ns]").astype("int64") // (3600 * 10**9)
+        cents = np.rint(df.value * 100).astype("int64")
+        g = (pd.DataFrame({"event_type": df.event_type, "hour_bucket": bucket,
+                           "value_cents": cents})
+             .groupby(["event_type", "hour_bucket"], sort=False)
+             .agg(n_events=("value_cents", "size"),
+                  value_cents=("value_cents", "sum"))
+             .reset_index())
+        return table_from_pandas(g)
+
+    hourly = (events_ds.select_columns(["event_type", "ts", "value"])
+              .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+              .groupby(["event_type", "hour_bucket"])
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("value_cents", alias_name="value_cents")))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(g.hour_bucket.min()), int(g.hour_bucket.max())
+        n = hi - lo + 1
+        dense_n = np.zeros(n, dtype=np.int64)
+        dense_c = np.zeros(n, dtype=np.int64)
+        idx = g.hour_bucket.to_numpy() - lo
+        dense_n[idx] = g.n_events.to_numpy()
+        dense_c[idx] = g.value_cents.to_numpy()
+        return pd.DataFrame({
+            "event_type": np.repeat(g.event_type.iloc[0], n),
+            "hour_bucket": np.arange(lo, hi + 1, dtype=np.int64),
+            "n_events": dense_n,
+            "value_cents": dense_c,
+        })
+
+    return hourly.groupby("event_type").map_groups(fill, batch_format="pandas")
+
+
+def small_qty_revenue(lineitem_ds, part_path: str, brand: str):
+    """TPC-H Q17 shape: revenue of small-quantity lineitems for one brand,
+    where "small" means below 20% of that part's own average quantity.
+
+    The correlated-subquery (``l_quantity < 0.2 * (SELECT avg ... WHERE
+    p_partkey = l_partkey)``) decorrelated the scale-safe way: per-part
+    (sum_qty, count) folds map-side into a partkey-bounded aggregate
+    (part is a dimension table — its cardinality, not lineitem's, bounds
+    the state), which broadcasts once; the probe pass filters and sums in
+    a single streaming map. The 0.2·avg comparison is exact integer math:
+    ``5·qty·cnt < sum_qty`` (quantities are integral), so no float
+    threshold can disagree with the oracle.
+
+    Output: one row (n_items, revenue_cents).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(part_path, columns=["p_partkey", "p_brand"])
+    brand_keys = np.sort(
+        part.filter(pc.equal(part.column("p_brand"), brand))
+        .column("p_partkey").to_numpy())
+    bk_ref = ray.put(brand_keys)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        bk = ray.get(bk_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.searchsorted(bk, lp)
+        found = bk[np.clip(pos, 0, len(bk) - 1)] == lp
+        t = t.filter(pa.array(found))
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        df = pd.DataFrame({"l_partkey": t.column("l_partkey").to_numpy(),
+                           "sum_qty": qty, "cnt": np.int64(1)})
+        g = (df.groupby("l_partkey", sort=False)
+             .agg(sum_qty=("sum_qty", "sum"), cnt=("cnt", "sum")).reset_index())
+        return table_from_pandas(g)
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    avgs = (lineitem_ds.select_columns(cols[:2])
+            .map_batches(qty_partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("l_partkey")
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # bounded by the part dimension, not lineitem
+    order = np.argsort(avgs.l_partkey.to_numpy())
+    avg_ref = ray.put((avgs.l_partkey.to_numpy()[order],
+                       avgs.sum_qty.to_numpy()[order].astype(np.int64),
+                       avgs.cnt.to_numpy()[order].astype(np.int64)))
+
+    def probe(t: pa.Table) -> pa.Table:
+        pk, s, c = ray.get(avg_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pk, lp)
+        posc = np.clip(pos, 0, max(len(pk) - 1, 0))
+        found = (len(pk) > 0) & (pk[posc] == lp) if len(pk) else np.zeros(len(lp), bool)
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        small = found & (5 * qty * c[posc] < s[posc])
+        price = t.column("l_extendedprice").to_numpy()
+        cents = np.rint(price * 100).astype(np.int64)
+        return pa.table({
+            "n_items": pa.array([int(small.sum())], pa.int64()),
+            "revenue_cents": pa.array([int(cents[small].sum())], pa.int64()),
+        })
+
+    parts = lineitem_ds.select_columns(cols).map_batches(
+        probe, batch_format="pyarrow", batch_size=65536)
+    out = parts.to_pandas()  # one row per batch
+    return pd.DataFrame({"n_items": [np.int64(out.n_items.sum())],
+                         "revenue_cents": [np.int64(out.revenue_cents.sum())]})
+
+
+def stratified_sample(ds, group_col: str, key_col: str, k: int):
+    """Deterministic stratified sample: the k smallest md5-rank keys PER
+    GROUP (the ``row_number() OVER (PARTITION BY g ORDER BY md5(key))``
+    analog of the global bottom-k sample).
+
+    Map side keeps each batch's k smallest per group (a hot stratum
+    contributes at most k rows per batch to the shuffle); the keyed
+    ``map_groups`` finishes rank ≤ k. The sample is a pure function of
+    the key set — resharding cannot change it — and md5 makes the rank
+    value DuckDB-computable for row-by-row oracle checks.
+    """
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].astype(str)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+             for s in keys),
+            dtype=np.int64, count=len(df))
+        out = pd.DataFrame({group_col: df[group_col],
+                            key_col: df[key_col], "h": h})
+        out = out.sort_values(["h", key_col], kind="mergesort")
+        return out.groupby(group_col, sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", key_col], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.select_columns([group_col, key_col])
+            .map_batches(partial, batch_format="pandas", batch_size=8192)
+            .groupby(group_col)
+            .map_groups(final, batch_format="pandas"))

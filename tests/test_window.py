@@ -1,0 +1,137 @@
+"""Window-function analogs (raygeo/ops/window.py): LAG gap stats, running
+cumulative crossing, dense gap-fill, Q17 decorrelation, stratified sample —
+each against a serial pandas/numpy oracle, partition-invariant."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raygeo.ops.window import (
+    cumulative_first_crossing,
+    gapfill_hourly,
+    stratified_sample,
+    user_gap_stats,
+)
+
+
+def _events(n=4000, users=37, seed=5):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ts = (np.datetime64("2024-03-01T00:00:00", "us")
+          + rng.integers(0, 14 * 86400, size=n) * np.timedelta64(1, "s"))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, size=n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "buy"], size=n),
+        "ts": ts,
+        "value": rng.integers(0, 10_000, size=n) / 100.0,
+    })
+
+
+def test_user_gap_stats_matches_serial(ray_session):
+    import ray.data as rd
+
+    df = _events()
+    out = user_gap_stats(rd.from_pandas(df).repartition(11),
+                         gap_threshold_s=7200).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+
+    rows = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(t) // 1_000_000 if len(t) > 1 else np.array([], np.int64)
+        rows.append((u, len(g), int(gaps.max()) if len(gaps) else 0,
+                     int((gaps > 7200).sum())))
+    exp = pd.DataFrame(rows, columns=["user_id", "n_events", "max_gap_s",
+                                      "n_gaps_gt"])
+    pd.testing.assert_frame_equal(
+        out.astype({"n_events": np.int64}), exp.astype({"n_events": np.int64}),
+        check_dtype=False)
+
+
+def test_cumulative_crossing_first_order(ray_session):
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    n = 3000
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_custkey": rng.integers(0, 120, size=n).astype(np.int64),
+        "o_orderdate": (np.datetime64("2023-01-01")
+                        + rng.integers(0, 700, size=n).astype("timedelta64[D]")),
+        "o_totalprice": rng.integers(100, 400_000, size=n) / 100.0,
+    })
+    thr = 1_500_000
+    out = cumulative_first_crossing(
+        rd.from_pandas(df).repartition(9), threshold_cents=thr).to_pandas()
+    out = out.sort_values("o_custkey").reset_index(drop=True)
+
+    rows = []
+    for c, g in df.groupby("o_custkey"):
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        cum = np.cumsum(np.rint(g.o_totalprice.to_numpy() * 100).astype(np.int64))
+        hit = np.nonzero(cum >= thr)[0]
+        if len(hit):
+            i = hit[0]
+            rows.append((c, pd.Timestamp(g.o_orderdate.iloc[i]).strftime("%Y-%m-%d"),
+                         int(cum[i]), int(i + 1)))
+    exp = pd.DataFrame(rows, columns=["o_custkey", "cross_date", "cum_cents",
+                                      "n_orders_to_cross"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_gapfill_dense_axis_and_zeros(ray_session):
+    import ray.data as rd
+
+    df = _events(n=500, seed=7)
+    # force a hole: drop every event in one specific hour for one type
+    hour = df.ts.astype("datetime64[ns]").astype("int64") // (3600 * 10**9)
+    some = df[df.event_type == "view"]
+    if len(some):
+        kill = hour[some.index[0]]
+        df = df[~((df.event_type == "view") & (hour == kill))]
+    out = gapfill_hourly(rd.from_pandas(df).repartition(7)).to_pandas()
+
+    for et, g in out.groupby("event_type"):
+        g = g.sort_values("hour_bucket")
+        b = g.hour_bucket.to_numpy()
+        assert np.array_equal(b, np.arange(b[0], b[-1] + 1))  # dense
+        sub = df[df.event_type == et]
+        h = (sub.ts.astype("datetime64[ns]").astype("int64")
+             // (3600 * 10**9)).value_counts()
+        exp_n = np.array([int(h.get(x, 0)) for x in b])
+        assert np.array_equal(g.n_events.to_numpy(), exp_n)
+        cents = np.rint(sub.value.to_numpy() * 100).astype(np.int64)
+        exp_c = pd.Series(cents).groupby(
+            (sub.ts.astype("datetime64[ns]").astype("int64")
+             // (3600 * 10**9)).to_numpy()).sum()
+        got_c = dict(zip(b, g.value_cents.to_numpy()))
+        for hb, v in exp_c.items():
+            assert got_c[hb] == v
+
+
+def test_stratified_sample_partition_invariant(ray_session):
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr"], size=900),
+        "doc_id": [f"doc-{i:05d}" for i in range(900)],
+    })
+    a = stratified_sample(rd.from_pandas(df).repartition(3),
+                          "lang", "doc_id", k=7).to_pandas()
+    b = stratified_sample(rd.from_pandas(df.sample(frac=1, random_state=0))
+                          .repartition(17), "lang", "doc_id", k=7).to_pandas()
+    ka = a.sort_values(["lang", "rnk"]).reset_index(drop=True)
+    kb = b.sort_values(["lang", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ka, kb)
+    assert (ka.groupby("lang").size() == 7).all()
+    # rank-1 row per lang is the global min-md5 doc of that lang
+    for lang, g in df.groupby("lang"):
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+             for s in g.doc_id), dtype=np.int64, count=len(g))
+        best = g.doc_id.to_numpy()[np.lexsort((g.doc_id.to_numpy(), h))][0]
+        assert ka[(ka.lang == lang) & (ka.rnk == 1)].doc_id.iloc[0] == best
