@@ -1193,6 +1193,34 @@ def _q_toi_snap_padbfill(sf_dir: str):
         snap, batch_format="pyarrow", batch_size=65536)
 
 
+def _q_rasterize_zones(sf_dir: str):
+    """Vector -> raster burn: zone boxes painted onto the chunk grid with
+    pixel-center semantics, max-zone_id winner; per-(tile, zone) pixel
+    counts. Oracle burns every pixel row-by-row in SQL."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.rasterize import rasterize_zones
+    import ray.data as rd
+
+    d = _fix(sf_dir)
+    zones = rd.from_arrow(pq.read_table(f"{d}/zones.parquet"))
+    return rasterize_zones(zones, FIXTURE_GRID)
+
+
+def _q_footprint_overlap(sf_dir: str):
+    """PBSM spatial self-join: per-image overlap degree over footprint
+    boxes inside [-0.25, 0.25]^2, owner-cell duplicate avoidance."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatial_join import footprint_overlap_degree
+
+    d = _fix(sf_dir)
+    ds = _rpq(f"{d}/images.parquet",
+              columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"])
+    return footprint_overlap_degree(ds, FIXTURE_GRID,
+                                    bound=(-0.25, -0.25, 0.25, 0.25))
+
+
 def _q_events_lag_gaps(sf_dir: str):
     """LAG-window analog: per-user consecutive-event gap stats (max gap,
     count of gaps > 1h) — one keyed shuffle, vectorized diff per group."""
@@ -1294,6 +1322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,  # cohort retention matrix
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
+        "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
+        "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
         "orders_cum_crossing": _q_orders_cum_crossing,  # running-sum crossing
         "events_gapfill": _q_events_gapfill,  # dense zero-filled series
@@ -2087,6 +2117,40 @@ FROM documents ORDER BY h, doc_id LIMIT 100
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderpriority = '1-URGENT')
+""",
+        "rasterize_zones": f"""
+WITH z AS (
+  SELECT zone_id,
+    greatest(0, least(2048, CAST(ceil((lon_min + 1.0) / {RES} - 0.5) AS BIGINT))) AS cl,
+    greatest(0, least(2048, CAST(ceil((lon_max + 1.0) / {RES} - 0.5) AS BIGINT))) AS ch,
+    greatest(0, least(2048, CAST(ceil((1.0 - lat_max) / {RES} - 0.5) AS BIGINT))) AS rl,
+    greatest(0, least(2048, CAST(ceil((1.0 - lat_min) / {RES} - 0.5) AS BIGINT))) AS rh
+  FROM read_parquet('{ZONES_001}')
+), px AS (
+  SELECT zone_id, cc.c AS c, rr.r AS r
+  FROM z,
+       LATERAL (SELECT unnest(generate_series(z.cl, z.ch - 1)) AS c) cc,
+       LATERAL (SELECT unnest(generate_series(z.rl, z.rh - 1)) AS r) rr
+  WHERE z.ch > z.cl AND z.rh > z.rl
+), win AS (
+  SELECT c, r, max(zone_id) AS zone_id FROM px GROUP BY c, r
+)
+SELECT (c // 128)::VARCHAR || '-' || (r // 128)::VARCHAR AS tile_id,
+       zone_id, count(*)::BIGINT AS n_px
+FROM win GROUP BY 1, 2
+""",
+        "footprint_overlap": f"""
+WITH s AS (
+  SELECT image_id, lon_min, lat_min, lon_max, lat_max
+  FROM read_parquet('{IMAGES_001}/*.parquet')
+  WHERE lon_min >= -0.25 AND lon_max <= 0.25
+    AND lat_min >= -0.25 AND lat_max <= 0.25
+)
+SELECT a.image_id, count(*)::BIGINT AS n_overlaps
+FROM s a JOIN s b ON a.image_id <> b.image_id
+  AND a.lon_min < b.lon_max AND b.lon_min < a.lon_max
+  AND a.lat_min < b.lat_max AND b.lat_min < a.lat_max
+GROUP BY 1
 """,
         "events_lag_gaps": """
 WITH s AS (

@@ -1,0 +1,122 @@
+"""Vector -> raster burn: paint a zone-id plane onto the cube grid.
+
+The inverse of the zonal join (``ops/zonal.py``): instead of aggregating
+raster pixels into vector zones, the zones themselves are rasterized onto
+the chunk grid — the "burn" step every geocube stack needs for masks and
+label planes (rasterio's ``features.rasterize`` re-expressed as a Ray Data
+pipeline; the reference's chunk-alignment math ``core/backend.py:241-261``
+provides the pixel frame).
+
+Pixel-center semantics (GDAL default): a pixel belongs to a zone iff its
+CENTER lies inside the half-open zone box ``[lon_min, lon_max) x
+(lat_min, lat_max]``. With center ``x = x0 + (c + 0.5) * res`` the covered
+column range is ``[ceil((lon_min-x0)/res - 0.5), ceil((lon_max-x0)/res -
+0.5))`` — pure floor/ceil arithmetic, so the whole operator is replayable
+in ANSI SQL (the DuckDB oracle burns every pixel row-by-row and must agree
+exactly).
+
+Overlap rule: the lexicographically greatest zone_id wins (deterministic,
+order-independent — matches SQL ``max(zone_id)`` per pixel).
+
+Scale plan (features x pixels, neither broadcast):
+- ``flat_map`` zones -> one row per (covering tile, zone) with the zone's
+  pixel window CLIPPED to that tile — O(features x tiles-per-feature)
+  rows, each a few ints; the feature table never broadcasts and the
+  shuffle never carries pixels;
+- ``groupby(tile)`` paints each tile's plane independently: fragments
+  sorted by zone_id ascending, later paints overwrite earlier ones
+  (= max-id wins), one vectorized slice-assign per fragment;
+- output is per-(tile, zone) pixel counts via one ``bincount`` per tile —
+  bounded by zones-touching-tile, not pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..grid import GridSpec
+from ..util import table_from_pandas
+
+
+def _center_window(grid: GridSpec, lon_min, lat_min, lon_max, lat_max):
+    """Half-open pixel-center windows (col_lo, col_hi, row_lo, row_hi)."""
+    cl = np.ceil((np.asarray(lon_min) - grid.x0) / grid.res - 0.5).astype(np.int64)
+    ch = np.ceil((np.asarray(lon_max) - grid.x0) / grid.res - 0.5).astype(np.int64)
+    rl = np.ceil((grid.y1 - np.asarray(lat_max)) / grid.res - 0.5).astype(np.int64)
+    rh = np.ceil((grid.y1 - np.asarray(lat_min)) / grid.res - 0.5).astype(np.int64)
+    cl = np.clip(cl, 0, grid.width)
+    ch = np.clip(ch, 0, grid.width)
+    rl = np.clip(rl, 0, grid.height)
+    rh = np.clip(rh, 0, grid.height)
+    return cl, ch, rl, rh
+
+
+def rasterize_zones(zones_ds, grid: GridSpec):
+    """Burn zone boxes onto the grid; return (tile_id, zone_id, n_px).
+
+    ``zones_ds`` columns: zone_id (string), lon_min/lat_min/lon_max/lat_max.
+    Only burned pixels are reported (tiles or zones with zero coverage are
+    absent), and each pixel counts toward exactly one zone (the winner).
+    """
+
+    c = grid.chunk
+
+    def fragments(t: pa.Table) -> pa.Table:
+        zid = np.asarray(t.column("zone_id").to_pylist(), dtype=object)
+        cl, ch, rl, rh = _center_window(
+            grid,
+            t.column("lon_min").to_numpy(), t.column("lat_min").to_numpy(),
+            t.column("lon_max").to_numpy(), t.column("lat_max").to_numpy())
+        valid = (ch > cl) & (rh > rl)
+        idx = np.nonzero(valid)[0]
+        out_z, out_tx, out_ty = [], [], []
+        out_cl, out_ch, out_rl, out_rh = [], [], [], []
+        for i in idx:
+            tx_lo, tx_hi = cl[i] // c, (ch[i] - 1) // c
+            ty_lo, ty_hi = rl[i] // c, (rh[i] - 1) // c
+            for tx in range(tx_lo, tx_hi + 1):
+                for ty in range(ty_lo, ty_hi + 1):
+                    out_z.append(zid[i])
+                    out_tx.append(tx)
+                    out_ty.append(ty)
+                    out_cl.append(max(cl[i], tx * c))
+                    out_ch.append(min(ch[i], (tx + 1) * c))
+                    out_rl.append(max(rl[i], ty * c))
+                    out_rh.append(min(rh[i], (ty + 1) * c))
+        return pa.table({
+            "zone_id": pa.array(out_z, pa.string()),
+            "tx": pa.array(out_tx, pa.int64()),
+            "ty": pa.array(out_ty, pa.int64()),
+            "cl": pa.array(out_cl, pa.int64()),
+            "ch": pa.array(out_ch, pa.int64()),
+            "rl": pa.array(out_rl, pa.int64()),
+            "rh": pa.array(out_rh, pa.int64()),
+        })
+
+    frags = zones_ds.select_columns(
+        ["zone_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+    ).map_batches(fragments, batch_format="pyarrow", batch_size=8192)
+
+    def paint(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("zone_id", kind="mergesort")  # max id paints last
+        tx, ty = int(g.tx.iloc[0]), int(g.ty.iloc[0])
+        ids = g.zone_id.to_numpy()
+        plane = np.full((c, c), -1, dtype=np.int32)
+        c0, r0 = tx * c, ty * c
+        for i in range(len(g)):
+            plane[g.rl.iat[i] - r0:g.rh.iat[i] - r0,
+                  g.cl.iat[i] - c0:g.ch.iat[i] - c0] = i
+        counts = np.bincount(plane[plane >= 0].ravel(), minlength=len(g))
+        keep = counts > 0
+        out = pd.DataFrame({
+            "tile_id": f"{tx}-{ty}",
+            "zone_id": ids[keep],
+            "n_px": counts[keep].astype(np.int64),
+        })
+        # collapse duplicate zone rows (same id burned from several input rows)
+        return (out.groupby(["tile_id", "zone_id"], as_index=False, sort=False)
+                .agg(n_px=("n_px", "sum")))
+
+    return frags.groupby(["tx", "ty"]).map_groups(paint, batch_format="pandas")

@@ -230,3 +230,95 @@ def roi_image_join(
         batch_size=8192,
         num_cpus=1,
     )
+
+
+def footprint_overlap_degree(images_ds, grid: GridSpec,
+                             bound: tuple[float, float, float, float]):
+    """Spatial SELF-join: per-image count of other images whose footprint
+    boxes strictly overlap — the all-pairs neighbor-degree report.
+
+    The Partition-Based Spatial Merge (PBSM) join re-expressed on Ray Data
+    (the classic duplicate-avoidance technique; the reference's chunk grid
+    doubles as the partition grid):
+
+    - each image fans out to every chunk CELL its bbox touches (analytic,
+      no index build) — the one keyed shuffle, carrying only (cell, id,
+      4 floats);
+    - pairs are found per cell with a vectorized all-pairs bbox test
+      (cells bound the candidate set; a denser grid level bounds it
+      tighter when footprints shrink relative to cells);
+    - a pair spanning k shared cells is REPORTED ONCE: only the owner cell
+      — the cell containing the intersection box's west-north corner,
+      which provably lies in both images' cell covers — emits it
+      (duplicate-avoidance without a distinct-shuffle);
+    - per-image degree partials fold through a final small keyed groupby.
+
+    ``bound`` (x_min, y_min, x_max, y_max) restricts the join to images
+    whose bbox lies entirely inside it (makes the brute SQL oracle
+    tractable; pass the grid extent to join everything).
+
+    Output: (image_id, n_overlaps), images with zero overlaps absent.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    bx0, by0, bx1, by1 = bound
+
+    def fanout(t: pa.Table) -> pa.Table:
+        lon_min = t.column("lon_min").to_numpy()
+        lat_min = t.column("lat_min").to_numpy()
+        lon_max = t.column("lon_max").to_numpy()
+        lat_max = t.column("lat_max").to_numpy()
+        keep = ((lon_min >= bx0) & (lon_max <= bx1)
+                & (lat_min >= by0) & (lat_max <= by1))
+        t = t.filter(pa.array(keep))
+        lon_min, lat_min = lon_min[keep], lat_min[keep]
+        lon_max, lat_max = lon_max[keep], lat_max[keep]
+        idx, tx, ty = grid.explode_tiles(lon_min, lat_min, lon_max, lat_max)
+        return pa.table({
+            "tx": pa.array(tx, pa.int64()),
+            "ty": pa.array(ty, pa.int64()),
+            "image_id": pa.array(
+                np.asarray(t.column("image_id").to_pylist(), object)[idx],
+                pa.string()),
+            "lon_min": pa.array(lon_min[idx]), "lat_min": pa.array(lat_min[idx]),
+            "lon_max": pa.array(lon_max[idx]), "lat_max": pa.array(lat_max[idx]),
+        })
+
+    cols = ["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+    frags = images_ds.select_columns(cols).map_batches(
+        fanout, batch_format="pyarrow", batch_size=8192)
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        tx, ty = int(g.tx.iloc[0]), int(g.ty.iloc[0])
+        x0 = g.lon_min.to_numpy()
+        y0 = g.lat_min.to_numpy()
+        x1 = g.lon_max.to_numpy()
+        y1 = g.lat_max.to_numpy()
+        i, j = np.triu_indices(n, k=1)
+        ov = ((x0[i] < x1[j]) & (x0[j] < x1[i])
+              & (y0[i] < y1[j]) & (y0[j] < y1[i]))
+        i, j = i[ov], j[ov]
+        # owner cell: the one containing the intersection's west-north corner.
+        # Same float path as explode_tiles (floor to pixel, THEN // chunk) so
+        # borderline rounding can never disagree with the fan-out cover.
+        px = np.maximum(x0[i], x0[j])
+        py = np.minimum(y1[i], y1[j])
+        own_tx = np.floor((px - grid.x0) / grid.res).astype(np.int64) // grid.chunk
+        own_ty = np.floor((grid.y1 - py) / grid.res).astype(np.int64) // grid.chunk
+        own = (own_tx == tx) & (own_ty == ty)
+        i, j = i[own], j[own]
+        ids = g.image_id.to_numpy()
+        s = pd.Series(np.concatenate([ids[i], ids[j]]))
+        d = s.value_counts()
+        return pd.DataFrame({"image_id": d.index.to_numpy(),
+                             "n": d.to_numpy().astype(np.int64)})
+
+    return (frags.groupby(["tx", "ty"]).map_groups(
+                cell_pairs, batch_format="pandas")
+            .groupby("image_id")
+            .aggregate(Sum("n", alias_name="n_overlaps")))

@@ -1,0 +1,85 @@
+"""rasterize_zones (vector->raster burn) and footprint_overlap_degree (PBSM
+self-join) vs serial numpy oracles on random boxes — including boxes that
+cross tile borders and pairs sharing several cells (the duplicate-avoidance
+case)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raygeo.grid import GridSpec
+from raygeo.ops.rasterize import _center_window, rasterize_zones
+from raygeo.ops.spatial_join import footprint_overlap_degree
+
+GRID = GridSpec(name="t", crs="EPSG:4326", x0=-1.0, y1=1.0, res=2.0**-6,
+                width=128, height=128, chunk=16)
+
+
+def _boxes(n, seed, max_w=0.4):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    x0 = rng.uniform(-1.1, 0.9, n)
+    y0 = rng.uniform(-1.1, 0.9, n)
+    w = rng.uniform(0.02, max_w, n)
+    h = rng.uniform(0.02, max_w, n)
+    return x0, y0, x0 + w, y0 + h
+
+
+def test_rasterize_matches_serial_burn(ray_session):
+    import ray.data as rd
+
+    n = 40
+    x0, y0, x1, y1 = _boxes(n, seed=2)
+    ids = np.array([f"z-{i:03d}" for i in range(n)], dtype=object)
+    zones = pd.DataFrame({"zone_id": ids, "lon_min": x0, "lat_min": y0,
+                          "lon_max": x1, "lat_max": y1})
+    out = rasterize_zones(rd.from_pandas(zones).repartition(5), GRID).to_pandas()
+
+    # serial oracle: paint the whole plane, max-rank (== max-id, ids sorted)
+    plane = np.full((GRID.height, GRID.width), -1, dtype=np.int64)
+    order = np.argsort(ids)
+    cl, ch, rl, rh = _center_window(GRID, x0, y0, x1, y1)
+    for k in order:  # ascending id -> later overwrite == max id wins
+        plane[rl[k]:rh[k], cl[k]:ch[k]] = k
+    rows = []
+    for ty in range(GRID.height // GRID.chunk):
+        for tx in range(GRID.width // GRID.chunk):
+            sub = plane[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            vals, counts = np.unique(sub[sub >= 0], return_counts=True)
+            for v, c in zip(vals, counts):
+                rows.append((f"{tx}-{ty}", ids[v], int(c)))
+    exp = pd.DataFrame(rows, columns=["tile_id", "zone_id", "n_px"])
+
+    key = ["tile_id", "zone_id"]
+    got = out.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # conservation: every burned pixel counted exactly once
+    assert got.n_px.sum() == int((plane >= 0).sum())
+
+
+def test_footprint_overlap_degree_no_double_count(ray_session):
+    import ray.data as rd
+
+    n = 300
+    x0, y0, x1, y1 = _boxes(n, seed=7, max_w=0.5)  # wide: spans many cells
+    ids = [f"im-{i:04d}" for i in range(n)]
+    df = pd.DataFrame({"image_id": ids, "lon_min": x0, "lat_min": y0,
+                       "lon_max": x1, "lat_max": y1})
+    bound = (-1.0, -1.0, 1.0, 1.0)
+    out = footprint_overlap_degree(
+        rd.from_pandas(df).repartition(7), GRID, bound).to_pandas()
+
+    keep = (x0 >= -1.0) & (x1 <= 1.0) & (y0 >= -1.0) & (y1 <= 1.0)
+    idx = np.nonzero(keep)[0]
+    deg = {}
+    for a in range(len(idx)):
+        for b in range(a + 1, len(idx)):
+            i, j = idx[a], idx[b]
+            if (x0[i] < x1[j] and x0[j] < x1[i]
+                    and y0[i] < y1[j] and y0[j] < y1[i]):
+                deg[ids[i]] = deg.get(ids[i], 0) + 1
+                deg[ids[j]] = deg.get(ids[j], 0) + 1
+    exp = (pd.DataFrame(sorted(deg.items()), columns=["image_id", "n_overlaps"])
+           .astype({"n_overlaps": np.int64}))
+    got = out.sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
