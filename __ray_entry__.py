@@ -1193,6 +1193,37 @@ def _q_toi_snap_padbfill(sf_dir: str):
         snap, batch_format="pyarrow", batch_size=65536)
 
 
+def _q_mosaic_gradient(sf_dir: str):
+    """Halo-exchange stencil: per-tile 4-neighbor absolute-gradient stats.
+    Interior pairs fold map-side; only O(perimeter) edge strips shuffle.
+    Value-checked against a golden painted from the GLOBAL plane."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.stencil import gradient_stats
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return gradient_stats(tiles, FIXTURE_GRID)
+
+
+def _q_mosaic_resample(sf_dir: str):
+    """NN grid warp onto the 3x-coarser half-pixel-shifted WARP_GRID: each
+    source tile analytically computes its target-pixel inverse image,
+    ships cropped fragments keyed by target tile (gather, no global
+    plane). Value-checked against a global-plane golden warp."""
+    from raygeo.fixtures import FIXTURE_GRID, WARP_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.stencil import resample_nn
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return resample_nn(tiles, FIXTURE_GRID, WARP_GRID)
+
+
 def _q_rasterize_zones(sf_dir: str):
     """Vector -> raster burn: zone boxes painted onto the chunk grid with
     pixel-center semantics, max-zone_id winner; per-(tile, zone) pixel
@@ -1322,6 +1353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,  # cohort retention matrix
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
+        "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
+        "mosaic_resample": _q_mosaic_resample,  # NN grid warp (gather)
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
@@ -1578,6 +1611,14 @@ FROM read_parquet('{FIX_SF001}/components_golden.parquet')
         "temporal_trend": f"""
 SELECT tile_id, tx, ty, n_px_trend, n_px_pos, slope_fp_sum
 FROM read_parquet('{FIX_SF001}/trend_golden.parquet')
+""",
+        "mosaic_gradient": f"""
+SELECT tile_id, tx, ty, n_pairs, abs_grad_sum
+FROM read_parquet('{FIX_SF001}/gradient_golden.parquet')
+""",
+        "mosaic_resample": f"""
+SELECT tile_id, tx, ty, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/resample_golden.parquet')
 """,
         "roi_load_window": f"""
 SELECT roi_id, n_valid_px, pix_sum, pix_min, pix_max

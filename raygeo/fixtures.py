@@ -87,6 +87,21 @@ TEMPORAL_GRID = GridSpec(
     ),
 )
 
+# warp target frame for the resample op: 3x coarser, half-pixel-shifted
+# origin. All params exact binary (2^-11 shift, 3*2^-10 res), so the
+# nearest-neighbor center mapping floor((x'-x0)/res) is exact float math in
+# numpy AND replayable by the golden painter without rounding divergence.
+WARP_GRID = GridSpec(
+    name="unit_warp",
+    crs="EPSG:4326",
+    x0=-1.0 + 2.0**-11,
+    y1=1.0 - 2.0**-11,
+    res=3.0 * 2.0**-10,
+    width=682,
+    height=682,
+    chunk=128,
+)
+
 HOT_TILE = (5, 5)  # 10% of rows land here (i % 10 == 0)
 FMT_CYCLE = ("raw", "pngz", "dctq")
 W_CYCLE = (32, 64, 128)
@@ -1012,6 +1027,97 @@ def _golden_trend(tmp: dict) -> pa.Table:
     })
 
 
+def _full_plane(lww: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Assemble the global RGB plane + validity + v=R+G+B from lww tiles."""
+    g = FIXTURE_GRID
+    rgb = np.zeros((g.height, g.width, 3), np.uint8)
+    valid = np.zeros((g.height, g.width), bool)
+    for (tx, ty), (canvas, mask, _) in lww.items():
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        rgb[tr0:tr1, tc0:tc1] = canvas
+        valid[tr0:tr1, tc0:tc1] = mask
+    v = rgb.astype(np.int64).sum(axis=2)
+    return rgb, valid, v
+
+
+def _golden_gradient(lww: dict) -> pa.Table:
+    """Per-tile 4-neighbor absolute-gradient stats from the GLOBAL plane —
+    a deliberately different decomposition from the engine's halo
+    exchange (shares only the per-pixel v = R+G+B definition). A pair is
+    counted when both pixels are valid and belongs to its left/top
+    pixel's tile."""
+    g = FIXTURE_GRID
+    _, valid, v = _full_plane(lww)
+    dh = np.abs(np.diff(v, axis=1))
+    bh = valid[:, :-1] & valid[:, 1:]
+    dv = np.abs(np.diff(v, axis=0))
+    bv = valid[:-1, :] & valid[1:, :]
+    out = {"tile_id": [], "tx": [], "ty": [], "n_pairs": [],
+           "abs_grad_sum": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        h_b = bh[tr0:tr1, tc0:min(tc1, g.width - 1)]
+        h_d = dh[tr0:tr1, tc0:min(tc1, g.width - 1)]
+        v_b = bv[tr0:min(tr1, g.height - 1), tc0:tc1]
+        v_d = dv[tr0:min(tr1, g.height - 1), tc0:tc1]
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_pairs"].append(int(h_b.sum()) + int(v_b.sum()))
+        out["abs_grad_sum"].append(int(h_d[h_b].sum()) + int(v_d[v_b].sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+        "abs_grad_sum": pa.array(out["abs_grad_sum"], pa.int64()),
+    })
+
+
+def _golden_resample(lww: dict) -> pa.Table:
+    """NN warp of the global plane onto WARP_GRID; per-target-tile stats.
+    Sampling uses the same center-mapping float formula as the engine
+    (exact binary grids => bit-identical), but gathers from the global
+    plane rather than per-source-tile fragments."""
+    src, dst = FIXTURE_GRID, WARP_GRID
+    rgb, valid, _ = _full_plane(lww)
+    cprime = np.arange(dst.width, dtype=np.float64)
+    rprime = np.arange(dst.height, dtype=np.float64)
+    scol = np.floor((dst.x0 + (cprime + 0.5) * dst.res - src.x0)
+                    / src.res).astype(np.int64)
+    srow = np.floor((src.y1 - (dst.y1 - (rprime + 0.5) * dst.res))
+                    / src.res).astype(np.int64)
+    ok_c = (scol >= 0) & (scol < src.width)
+    ok_r = (srow >= 0) & (srow < src.height)
+    warped = np.zeros((dst.height, dst.width, 3), np.uint8)
+    wvalid = np.zeros((dst.height, dst.width), bool)
+    ix = np.ix_(srow[ok_r], scol[ok_c])
+    warped[np.ix_(ok_r, ok_c)] = rgb[ix]
+    wvalid[np.ix_(ok_r, ok_c)] = valid[ix]
+    out = {"tile_id": [], "tx": [], "ty": [], "n_valid_px": [], "pix_sum": []}
+    for ty in range(dst.n_ty):
+        for tx in range(dst.n_tx):
+            tc0, tc1, tr0, tr1 = dst.tile_pixel_window(tx, ty)
+            m = wvalid[tr0:tr1, tc0:tc1]
+            nv = int(m.sum())
+            if nv == 0:
+                continue
+            ps = int(np.where(m[:, :, None], warped[tr0:tr1, tc0:tc1], 0)
+                     .astype(np.int64).sum())
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["n_valid_px"].append(nv)
+            out["pix_sum"].append(ps)
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "n_valid_px": pa.array(out["n_valid_px"], pa.int64()),
+        "pix_sum": pa.array(out["pix_sum"], pa.int64()),
+    })
+
+
 def generate_tile_goldens(out_dir: str, n: int) -> None:
     """Write tiles_golden_{lww,max,t,dem[,med]}.parquet +
     windows_golden.parquet + mosaic_diff_golden.parquet +
@@ -1056,6 +1162,14 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_trend(agg["t"]), tpath + ".tmp",
                    compression="zstd")
     os.replace(tpath + ".tmp", tpath)
+    gpath = os.path.join(out_dir, "gradient_golden.parquet")
+    pq.write_table(_golden_gradient(agg["lww"]), gpath + ".tmp",
+                   compression="zstd")
+    os.replace(gpath + ".tmp", gpath)
+    rpath = os.path.join(out_dir, "resample_golden.parquet")
+    pq.write_table(_golden_resample(agg["lww"]), rpath + ".tmp",
+                   compression="zstd")
+    os.replace(rpath + ".tmp", rpath)
     for name, (store, temporal, dem) in {
         "lww": (agg["lww"], False, False),
         "max": (agg["max"], False, False),
@@ -1138,7 +1252,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v11-components-trend"
+FIXTURE_LAYOUT_VERSION = "v12-stencil-warp"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1173,6 +1287,8 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "mosaic_diff_golden.parquet"))
             and os.path.exists(os.path.join(d, "components_golden.parquet"))
             and os.path.exists(os.path.join(d, "trend_golden.parquet"))
+            and os.path.exists(os.path.join(d, "gradient_golden.parquet"))
+            and os.path.exists(os.path.join(d, "resample_golden.parquet"))
             and (n > MEDIAN_GOLDEN_MAX or os.path.exists(
                 os.path.join(d, "tiles_golden_med.parquet")))):
         generate_tile_goldens(d, n)

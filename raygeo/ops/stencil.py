@@ -1,0 +1,286 @@
+"""Neighborhood raster ops over mosaic tiles: the halo-exchange stencil
+(gradient statistics) and the nearest-neighbor grid warp (resample onto a
+different GridSpec).
+
+Both consume the ingest pipeline's tile rows (tile_id/tx/ty + compressed
+px_z/mask_z canvases — ``ops/ingest.py`` layout) and are checked against
+generation-time goldens painted by an independent serial full-plane pass
+(``fixtures._golden_gradient`` / ``_golden_resample``).
+
+Gradient (the stencil/halo pattern every focal raster op needs — hillshade,
+slope, convolution all share it; reference analog: any `rio`-style focal
+statistic over the cube window):
+
+- the kernel is the 4-neighbor first difference of v = sum of channel
+  values per pixel; a PAIR (p, right/down neighbor) is counted when BOTH
+  pixels are valid, and belongs to p's tile;
+- per-tile interior pairs are computed MAP-SIDE (no data movement at all);
+  only the O(perimeter) halo strips cross tiles: each tile sends its FIRST
+  column/row west/north and keys its own LAST column/row to itself, so the
+  one keyed shuffle carries 2 strips in + 2 strips kept per tile — never a
+  canvas;
+- a tile absent from the mosaic contributes nothing (its mask is empty),
+  matching the golden's treatment of unpainted pixels as invalid.
+
+Resample / warp (gather form): each SOURCE tile computes — analytically,
+from the two GridSpecs — exactly which target pixels nearest-neighbor
+sample from it (the center-mapping ``floor((x'-x0)/res)`` is monotonic, so
+the inverse image is a contiguous pixel range), crops that fragment, and
+keys it to the covering TARGET tiles; a keyed ``map_groups`` assembles each
+target tile. The shuffle carries each mosaic byte at most once (tiles
+shrink when downsampling), and no global plane is ever materialized.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..channels import RGB_CHANNELS, ChannelPack
+from ..grid import GridSpec
+
+GRAD_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'self' | 'edge_e' | 'edge_s' | 'halo_w' | 'halo_n'
+    ("n_pairs", pa.int64()),
+    ("abs_grad_sum", pa.int64()),
+    ("v", pa.binary()),      # int64 strip values (edges/halos only)
+    ("m", pa.binary()),      # uint8 strip validity
+])
+
+
+def _vsum(canvas: list[np.ndarray], pack: ChannelPack) -> np.ndarray:
+    """Per-pixel scalar value v: integer channel sum (RGB -> R+G+B)."""
+    v = np.zeros(canvas[0].shape[:2], np.int64)
+    for a in canvas:
+        if a.ndim == 3:
+            v += a.astype(np.int64).sum(axis=2)
+        else:
+            v += a.astype(np.int64)
+    return v
+
+
+def gradient_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile 4-neighbor absolute-gradient statistics with halo exchange.
+
+    Output: (tile_id, tx, ty, n_pairs, abs_grad_sum) — pairs whose LEFT/TOP
+    pixel lies in the tile, including the pairs that straddle the tile's
+    east/south border (via the exchanged strips).
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in GRAD_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, n_pairs=0, s=0, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["n_pairs"].append(n_pairs)
+            out["abs_grad_sum"].append(s)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            # interior pairs, entirely map-side
+            bh = mask[:, :-1] & mask[:, 1:]
+            bv = mask[:-1, :] & mask[1:, :]
+            s = int(np.abs(np.diff(v, axis=1))[bh].sum()
+                    + np.abs(np.diff(v, axis=0))[bv].sum())
+            row((tx, ty), "self", int(bh.sum()) + int(bv.sum()), s)
+            # own last column/row stay keyed to this tile; first column/row
+            # travel to the west/north neighbor (if it exists on the grid)
+            row((tx, ty), "edge_e", v=v[:, -1].tobytes(),
+                m=mask[:, -1].astype(np.uint8).tobytes())
+            row((tx, ty), "edge_s", v=v[-1, :].tobytes(),
+                m=mask[-1, :].astype(np.uint8).tobytes())
+            if tx > 0:
+                row((tx - 1, ty), "halo_w", v=v[:, 0].tobytes(),
+                    m=mask[:, 0].astype(np.uint8).tobytes())
+            if ty > 0:
+                row((tx, ty - 1), "halo_n", v=v[0, :].tobytes(),
+                    m=mask[0, :].astype(np.uint8).tobytes())
+        return pa.table(out, schema=GRAD_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        if "self" not in kinds:
+            return pa.table({"tile_id": pa.array([], pa.string()),
+                             "tx": pa.array([], pa.int64()),
+                             "ty": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "abs_grad_sum": pa.array([], pa.int64())})
+        strips: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        n_pairs = 0
+        s = 0
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                n_pairs += int(g.column("n_pairs")[j].as_py())
+                s += int(g.column("abs_grad_sum")[j].as_py())
+            else:
+                strips[kind] = (
+                    np.frombuffer(g.column("v")[j].as_py(), np.int64),
+                    np.frombuffer(g.column("m")[j].as_py(),
+                                  np.uint8).astype(bool))
+        for edge, halo in (("edge_e", "halo_w"), ("edge_s", "halo_n")):
+            if edge in strips and halo in strips:
+                ev, em = strips[edge]
+                hv, hm = strips[halo]
+                both = em & hm
+                n_pairs += int(both.sum())
+                s += int(np.abs(ev - hv)[both].sum())
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({"tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+                         "tx": pa.array([tx], pa.int64()),
+                         "ty": pa.array([ty], pa.int64()),
+                         "n_pairs": pa.array([n_pairs], pa.int64()),
+                         "abs_grad_sum": pa.array([s], pa.int64())})
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")
+
+
+# ---- nearest-neighbor grid warp --------------------------------------------
+
+RESAMPLE_FRAG_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("r0", pa.int64()),  # fragment origin within the target tile
+    ("c0", pa.int64()),
+    ("h", pa.int64()),
+    ("w", pa.int64()),
+    ("px_z", pa.binary()),
+    ("mask_z", pa.binary()),
+])
+
+
+def _center_sources(dst: GridSpec, src: GridSpec):
+    """Source pixel index sampled by each target pixel center (sc, sr)."""
+    cprime = np.arange(dst.width, dtype=np.float64)
+    rprime = np.arange(dst.height, dtype=np.float64)
+    x = dst.x0 + (cprime + 0.5) * dst.res
+    y = dst.y1 - (rprime + 0.5) * dst.res
+    sc = np.floor((x - src.x0) / src.res).astype(np.int64)
+    sr = np.floor((src.y1 - y) / src.res).astype(np.int64)
+    return sc, sr
+
+
+def resample_nn(tiles_ds, src_grid: GridSpec, dst_grid: GridSpec,
+                pack: ChannelPack | None = None):
+    """Warp mosaic tiles from ``src_grid`` onto ``dst_grid`` by
+    nearest-neighbor center sampling; per-target-tile stats.
+
+    Target pixels whose source sample is outside the source grid (or in a
+    tile absent from the mosaic) stay invalid. Output: (tile_id, tx, ty,
+    n_valid_px, pix_sum) per target tile with >= 1 valid pixel.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    s_chunk, d_chunk = src_grid.chunk, dst_grid.chunk
+    sc, sr = _center_sources(dst_grid, src_grid)
+
+    def fragments(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in RESAMPLE_FRAG_SCHEMA.names}
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            stx, sty = int(txs[j]), int(tys[j])
+            tc0, tc1 = stx * s_chunk, min((stx + 1) * s_chunk, src_grid.width)
+            tr0, tr1 = sty * s_chunk, min((sty + 1) * s_chunk, src_grid.height)
+            # target pixels sampling inside this source tile (sc/sr monotonic)
+            c_lo = int(np.searchsorted(sc, tc0, side="left"))
+            c_hi = int(np.searchsorted(sc, tc1 - 1, side="right"))
+            r_lo = int(np.searchsorted(sr, tr0, side="left"))
+            r_hi = int(np.searchsorted(sr, tr1 - 1, side="right"))
+            if c_hi <= c_lo or r_hi <= r_lo:
+                continue
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]),
+                                     s_chunk, s_chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(s_chunk, s_chunk
+                                                   ).astype(bool)
+            rows = sr[r_lo:r_hi] - tr0
+            cols = sc[c_lo:c_hi] - tc0
+            samp = [a[np.ix_(rows, cols)] for a in canvas]
+            smask = mask[np.ix_(rows, cols)]
+            # split the target-pixel block by target tile boundaries
+            for dty in range(r_lo // d_chunk, (r_hi - 1) // d_chunk + 1):
+                fr0 = max(r_lo, dty * d_chunk)
+                fr1 = min(r_hi, (dty + 1) * d_chunk)
+                for dtx in range(c_lo // d_chunk, (c_hi - 1) // d_chunk + 1):
+                    fc0 = max(c_lo, dtx * d_chunk)
+                    fc1 = min(c_hi, (dtx + 1) * d_chunk)
+                    sl = np.s_[fr0 - r_lo:fr1 - r_lo, fc0 - c_lo:fc1 - c_lo]
+                    sub = [a[sl] for a in samp]
+                    subm = smask[sl]
+                    if not subm.any():
+                        continue
+                    out["tile_id"].append(f"{dtx}-{dty}")
+                    out["tx"].append(dtx)
+                    out["ty"].append(dty)
+                    out["r0"].append(fr0 - dty * d_chunk)
+                    out["c0"].append(fc0 - dtx * d_chunk)
+                    out["h"].append(fr1 - fr0)
+                    out["w"].append(fc1 - fc0)
+                    out["px_z"].append(
+                        zlib.compress(pack.to_bytes(sub), 1))
+                    out["mask_z"].append(zlib.compress(
+                        subm.astype(np.uint8).tobytes(), 1))
+        return pa.table(out, schema=RESAMPLE_FRAG_SCHEMA)
+
+    frags = tiles_ds.map_batches(fragments, batch_format="pyarrow",
+                                 batch_size=64)
+
+    def assemble(g: pa.Table) -> pa.Table:
+        dtx = int(g.column("tx")[0].as_py())
+        dty = int(g.column("ty")[0].as_py())
+        th = min(d_chunk, dst_grid.height - dty * d_chunk)
+        tw = min(d_chunk, dst_grid.width - dtx * d_chunk)
+        canvas = pack.alloc(th, tw)
+        mask = np.zeros((th, tw), bool)
+        for j in range(g.num_rows):
+            h = int(g.column("h")[j].as_py())
+            w = int(g.column("w")[j].as_py())
+            r0 = int(g.column("r0")[j].as_py())
+            c0 = int(g.column("c0")[j].as_py())
+            sub = pack.from_bytes(
+                zlib.decompress(g.column("px_z")[j].as_py()), h, w)
+            subm = np.frombuffer(
+                zlib.decompress(g.column("mask_z")[j].as_py()),
+                np.uint8).reshape(h, w).astype(bool)
+            for dst_a, src_a in zip(canvas, sub):
+                dst_a[r0:r0 + h, c0:c0 + w] = src_a
+            mask[r0:r0 + h, c0:c0 + w] = subm
+        return pa.table({
+            "tile_id": pa.array([f"{dtx}-{dty}"], pa.string()),
+            "tx": pa.array([dtx], pa.int64()),
+            "ty": pa.array([dty], pa.int64()),
+            "n_valid_px": pa.array([int(mask.sum())], pa.int64()),
+            "pix_sum": pa.array([pack.pix_sum(canvas, mask)], pa.int64()),
+        })
+
+    return frags.groupby("tile_id").map_groups(assemble,
+                                               batch_format="pyarrow")
