@@ -1193,6 +1193,30 @@ def _q_toi_snap_padbfill(sf_dir: str):
         snap, batch_format="pyarrow", batch_size=65536)
 
 
+def _q_nearest_zone(sf_dir: str):
+    """Spatial kNN join (k=1): every image assigned to its nearest zone
+    center — broadcast small-side NN assignment, bit-deterministic IEEE
+    distance, smallest-zone_id tie-break."""
+    import pyarrow.parquet as pq
+
+    from raygeo.ops.zonal import nearest_zone
+
+    d = _fix(sf_dir)
+    ds = _rpq(f"{d}/images.parquet",
+              columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"])
+    return nearest_zone(ds, pq.read_table(f"{d}/zones.parquet"))
+
+
+def _q_emb_kmeans(sf_dir: str):
+    """Iterative Lloyd k-means (2 rounds, k=8) with exact integer-
+    quantized distances and floor(sum/n) centroid updates — the SQL
+    oracle unrolls both rounds as CTEs and must match row-by-row."""
+    from raygeo.ops.ann import kmeans_quantized
+
+    return kmeans_quantized(_rpq(f"{sf_dir}/embeddings.parquet"),
+                            k=8, rounds=2)
+
+
 def _q_mosaic_gradient(sf_dir: str):
     """Halo-exchange stencil: per-tile 4-neighbor absolute-gradient stats.
     Interior pairs fold map-side; only O(perimeter) edge strips shuffle.
@@ -1389,6 +1413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup": _q_emb_neardup,
         "emb_lsh_neardup": _q_emb_lsh_neardup,  # rows-only (probabilistic)
         "emb_centroids": _q_emb_centroids,  # quantized vector-mean aggregate
+        "emb_kmeans": _q_emb_kmeans,  # iterative Lloyd, integer-exact
+        "nearest_zone": _q_nearest_zone,  # spatial kNN join (k=1)
     }
 
 
@@ -2341,6 +2367,55 @@ u AS (
 SELECT label::BIGINT AS label, dim::BIGINT AS dim, sum(q)::BIGINT AS sum_q,
   count(*)::BIGINT AS n, sum(q)::DOUBLE / count(*) AS mean_q
 FROM u GROUP BY label, dim
+""",
+        "emb_kmeans": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+c0 AS (SELECT vec_id AS cid, dim, qv AS cv FROM q WHERE vec_id < 8),
+a1 AS (
+  SELECT q.vec_id, c0.cid, sum((q.qv - c0.cv) * (q.qv - c0.cv)) AS dist
+  FROM q JOIN c0 USING (dim) GROUP BY q.vec_id, c0.cid
+),
+b1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM a1) WHERE rn = 1
+),
+c1 AS (
+  SELECT b1.cid, q.dim,
+    CAST(floor(sum(q.qv)::DOUBLE / count(*)) AS BIGINT) AS cv
+  FROM q JOIN b1 USING (vec_id) GROUP BY b1.cid, q.dim
+),
+a2 AS (
+  SELECT q.vec_id, c1.cid, sum((q.qv - c1.cv) * (q.qv - c1.cv)) AS dist
+  FROM q JOIN c1 USING (dim) GROUP BY q.vec_id, c1.cid
+)
+SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cid, dist::BIGINT AS dist
+FROM (
+  SELECT vec_id, cid, dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM a2) WHERE rn = 1
+""",
+        "nearest_zone": f"""
+WITH i AS (
+  SELECT image_id, (lon_min + lon_max) / 2.0 AS ix,
+         (lat_min + lat_max) / 2.0 AS iy
+  FROM read_parquet('{IMAGES_001}/*.parquet')
+), z AS (
+  SELECT zone_id, (lon_min + lon_max) / 2.0 AS zx,
+         (lat_min + lat_max) / 2.0 AS zy
+  FROM read_parquet('{ZONES_001}')
+)
+SELECT image_id, zone_id FROM (
+  SELECT i.image_id, z.zone_id,
+    row_number() OVER (PARTITION BY i.image_id
+      ORDER BY (i.ix - z.zx) * (i.ix - z.zx)
+             + (i.iy - z.zy) * (i.iy - z.zy), z.zone_id) AS rn
+  FROM i, z) WHERE rn = 1
 """,
         "docs_inverted_index": """
 WITH toks AS (

@@ -355,3 +355,95 @@ def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
         return t.append_column("mean_q", pa.array(s / n, type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_quantized(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                     k: int = 8, rounds: int = 2):
+    """Iterative Lloyd k-means with engine-exact integer arithmetic.
+
+    The distributed iterative-algorithm shape (centroid state tiny, data
+    streamed every round):
+
+    - vectors quantize ONCE per batch to int64 micro-units (``floor(x*1e6
+      + 0.5)`` — exactly-rounded IEEE ops, bit-identical in any engine),
+      so distances are exact integer sums and the argmin can never flip on
+      float summation order;
+    - seeds are the k smallest ``id_col`` rows (deterministic, no RNG);
+    - each round: centroids broadcast (``ray.put``), one streaming
+      assign + per-(cid, dim) partial-sum pass, a k*dim-row groupby, and a
+      driver-side centroid update ``floor(sum / n)`` (single correctly-
+      rounded double divide + floor — cross-engine deterministic). Empty
+      clusters drop, matching the SQL replay's inner joins;
+    - ties in the argmin break toward the smaller cid.
+
+    Returns the final assignment: (vec_id, cid, dist) — dist the exact
+    integer squared distance in micro-units^2.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import table_from_pandas
+
+    def quant(t: pa.Table) -> np.ndarray:
+        m = _list_matrix(t.column(vec_col)).astype(np.float64)
+        return np.floor(m * 1e6 + 0.5).astype(np.int64)
+
+    # seeds: the k smallest ids (tiny filtered read, never a full collect)
+    seed_t = ds.filter(expr=f"{id_col} < {k}").select_columns(
+        [id_col, vec_col]).take_all()
+    seed_t = sorted(seed_t, key=lambda r: r[id_col])
+    cids = np.array([r[id_col] for r in seed_t], dtype=np.int64)
+    cmat = np.floor(np.array([np.asarray(r[vec_col], np.float64)
+                              for r in seed_t]) * 1e6 + 0.5).astype(np.int64)
+
+    def assign(q: np.ndarray, cm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # (n, k) exact integer squared distances; argmin -> first (min cid)
+        d = ((q[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)
+        return best, d[np.arange(len(q)), best]
+
+    for _ in range(rounds - 1):
+        ref = ray.put((cids, cmat))
+
+        def partial(t: pa.Table) -> pa.Table:
+            cs, cm = ray.get(ref)
+            q = quant(t)
+            best, _ = assign(q, cm)
+            dim = q.shape[1]
+            df = pd.DataFrame({
+                "cid": np.repeat(cs[best], dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), len(q)),
+                "sum_q": q.ravel(), "n": np.int64(1),
+            })
+            g = (df.groupby(["cid", "dim"], sort=False)
+                 .agg(sum_q=("sum_q", "sum"), n=("n", "sum")).reset_index())
+            return table_from_pandas(g)
+
+        agg = (ds.select_columns([vec_col, id_col])
+               .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+               .groupby(["cid", "dim"])
+               .aggregate(Sum("sum_q", alias_name="sum_q"),
+                          Sum("n", alias_name="n"))
+               .to_pandas())  # k x dim rows
+        agg = agg.sort_values(["cid", "dim"])
+        cids = agg.cid.unique().astype(np.int64)  # empty clusters drop
+        dim = int(agg.dim.max()) + 1
+        cmat = np.floor(
+            agg.sum_q.to_numpy().astype(np.float64)
+            / agg.n.to_numpy()).astype(np.int64).reshape(len(cids), dim)
+
+    ref = ray.put((cids, cmat))
+
+    def final(t: pa.Table) -> pa.Table:
+        cs, cm = ray.get(ref)
+        q = quant(t)
+        best, dist = assign(q, cm)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "cid": pa.array(cs[best], pa.int64()),
+            "dist": pa.array(dist, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        final, batch_format="pyarrow", batch_size=4096)

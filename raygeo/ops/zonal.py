@@ -94,3 +94,46 @@ def zonal_stats(
         Sum("n_images", alias_name="n_images"),
         Sum("pix_sum_total", alias_name="pix_sum_total"),
     )
+
+
+def nearest_zone(images_ds, zones: pa.Table):
+    """Spatial kNN JOIN (k=1): assign every image to its nearest zone by
+    center-to-center squared distance — the broadcast-side nearest-
+    neighbor assignment (each image vs the small zone table; the zone side
+    is embedded once, never shuffled).
+
+    Centers are ``(min + max) / 2`` and the distance ``dx*dx + dy*dy`` —
+    each step one correctly-rounded IEEE double op in a fixed order, so
+    the argmin is bit-deterministic and replayable in SQL. Ties break
+    toward the lexicographically smaller zone_id (zones pre-sorted, argmin
+    returns the first minimum).
+
+    Output: (image_id, zone_id) — one row per image.
+    """
+    import pandas as pd
+
+    order = np.argsort(np.asarray(zones.column("zone_id").to_pylist(),
+                                  dtype=object), kind="stable")
+    zid = np.asarray(zones.column("zone_id").to_pylist(), object)[order]
+    zx = ((zones.column("lon_min").to_numpy()
+           + zones.column("lon_max").to_numpy()) / 2.0)[order]
+    zy = ((zones.column("lat_min").to_numpy()
+           + zones.column("lat_max").to_numpy()) / 2.0)[order]
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ix = (t.column("lon_min").to_numpy()
+              + t.column("lon_max").to_numpy()) / 2.0
+        iy = (t.column("lat_min").to_numpy()
+              + t.column("lat_max").to_numpy()) / 2.0
+        dx = ix[:, None] - zx[None, :]
+        dy = iy[:, None] - zy[None, :]
+        d = dx * dx + dy * dy
+        best = d.argmin(axis=1)
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "zone_id": pa.array(zid[best], pa.string()),
+        })
+
+    cols = ["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+    return images_ds.select_columns(cols).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=8192)

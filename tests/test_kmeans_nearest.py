@@ -1,0 +1,95 @@
+"""kmeans_quantized vs a serial integer Lloyd oracle (partition-invariant),
+nearest_zone vs brute-force argmin."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raygeo.ops.ann import kmeans_quantized
+from raygeo.ops.zonal import nearest_zone
+
+
+def _serial_kmeans(vecs, ids, k, rounds):
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    seeds = order[np.isin(ids[order], np.sort(ids)[:0])]  # unused
+    seed_idx = np.array([np.nonzero(ids == i)[0][0] for i in range(k)])
+    cids = ids[seed_idx].astype(np.int64)
+    cmat = q[seed_idx]
+    for r in range(rounds):
+        d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)
+        if r == rounds - 1:
+            return ids, cids[best], d[np.arange(len(q)), best]
+        new_cids, new_rows = [], []
+        for ci in range(len(cids)):
+            m = best == ci
+            if not m.any():
+                continue
+            new_cids.append(cids[ci])
+            new_rows.append(np.floor(
+                q[m].sum(axis=0).astype(np.float64) / m.sum()).astype(np.int64))
+        cids = np.array(new_cids, np.int64)
+        cmat = np.stack(new_rows)
+
+
+def test_kmeans_matches_serial_and_is_partition_invariant(ray_session):
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n, dim, k = 400, 12, 6
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    def run(parts, frame):
+        ds = rd.from_pandas(frame).repartition(parts)
+        out = kmeans_quantized(ds, k=k, rounds=3).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    a = run(3, df)
+    b = run(11, df.sample(frac=1, random_state=1))
+    pd.testing.assert_frame_equal(a, b)
+
+    sid, scid, sdist = _serial_kmeans(vecs, ids, k, rounds=3)
+    exp = (pd.DataFrame({"vec_id": sid, "cid": scid, "dist": sdist})
+           .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, exp, check_dtype=False)
+
+
+def test_nearest_zone_brute(ray_session):
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    nz, ni = 20, 500
+    zx0 = rng.uniform(-1, 0.8, nz)
+    zy0 = rng.uniform(-1, 0.8, nz)
+    zones = pa.table({
+        "zone_id": [f"z-{i:02d}" for i in range(nz)],
+        "lon_min": zx0, "lat_min": zy0,
+        "lon_max": zx0 + 0.2, "lat_max": zy0 + 0.2,
+    })
+    ix0 = rng.uniform(-1, 0.9, ni)
+    iy0 = rng.uniform(-1, 0.9, ni)
+    imgs = pd.DataFrame({
+        "image_id": [f"im-{i:04d}" for i in range(ni)],
+        "lon_min": ix0, "lat_min": iy0,
+        "lon_max": ix0 + 0.1, "lat_max": iy0 + 0.1,
+    })
+    out = nearest_zone(rd.from_pandas(imgs).repartition(5), zones).to_pandas()
+    out = out.sort_values("image_id").reset_index(drop=True)
+
+    zx = (zx0 + zx0 + 0.2) / 2.0
+    zy = (zy0 + zy0 + 0.2) / 2.0
+    # brute oracle with explicit (dist, zone_id) lexicographic tie-break
+    rows = []
+    zid = [f"z-{i:02d}" for i in range(nz)]
+    for i in range(ni):
+        cx = (ix0[i] + ix0[i] + 0.1) / 2.0
+        cy = (iy0[i] + iy0[i] + 0.1) / 2.0
+        d = (cx - zx) * (cx - zx) + (cy - zy) * (cy - zy)
+        best = min(range(nz), key=lambda j: (d[j], zid[j]))
+        rows.append((f"im-{i:04d}", zid[best]))
+    exp = pd.DataFrame(rows, columns=["image_id", "zone_id"])
+    pd.testing.assert_frame_equal(out, exp)
