@@ -1193,6 +1193,14 @@ def _q_toi_snap_padbfill(sf_dir: str):
         snap, batch_format="pyarrow", batch_size=65536)
 
 
+def _q_events_period_overlap(sf_dir: str):
+    """Set-op segmentation (INTERSECT/EXCEPT analog): users active in
+    period A, B, or both — one pass, per-user bool-max flag fold."""
+    from raygeo.ops.window import user_period_overlap
+
+    return user_period_overlap(_rpq(f"{sf_dir}/events.parquet"))
+
+
 def _q_nearest_zone(sf_dir: str):
     """Spatial kNN join (k=1): every image assigned to its nearest zone
     center — broadcast small-side NN assignment, bit-deterministic IEEE
@@ -1265,15 +1273,24 @@ def _q_rasterize_zones(sf_dir: str):
 
 def _q_footprint_overlap(sf_dir: str):
     """PBSM spatial self-join: per-image overlap degree over footprint
-    boxes inside [-0.25, 0.25]^2, owner-cell duplicate avoidance."""
+    boxes inside [-0.25, 0.25]^2, owner-cell duplicate avoidance. The
+    bound predicate is ALSO pushed into the parquet read (row-group +
+    row-level pruning) so out-of-bound rows never enter the pipeline."""
+    import pyarrow.dataset as pds
+
     from raygeo.fixtures import FIXTURE_GRID
     from raygeo.ops.spatial_join import footprint_overlap_degree
 
     d = _fix(sf_dir)
+    bound = (-0.25, -0.25, 0.25, 0.25)
+    pred = ((pds.field("lon_min") >= bound[0])
+            & (pds.field("lat_min") >= bound[1])
+            & (pds.field("lon_max") <= bound[2])
+            & (pds.field("lat_max") <= bound[3]))
     ds = _rpq(f"{d}/images.parquet",
-              columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"])
-    return footprint_overlap_degree(ds, FIXTURE_GRID,
-                                    bound=(-0.25, -0.25, 0.25, 0.25))
+              columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"],
+              filter=pred)
+    return footprint_overlap_degree(ds, FIXTURE_GRID, bound=bound)
 
 
 def _q_events_lag_gaps(sf_dir: str):
@@ -1386,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill": _q_events_gapfill,  # dense zero-filled series
         "small_qty_revenue": _q_small_qty_revenue,  # Q17 correlated-subquery shape
         "docs_stratified_sample": _q_docs_stratified_sample,  # per-stratum sample
+        "events_period_overlap": _q_events_period_overlap,  # set-op segmentation
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -2284,6 +2302,22 @@ SELECT count(*)::BIGINT AS n_items,
     AS revenue_cents
 FROM lineitem l JOIN pq_ ON pq_.l_partkey = l.l_partkey
 WHERE 5 * CAST(round(l_quantity) AS BIGINT) * c < s
+""",
+        "events_period_overlap": """
+WITH f AS (
+  SELECT user_id,
+    max(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        THEN 1 ELSE 0 END) AS in_a,
+    max(CASE WHEN ts >= TIMESTAMP '2024-01-01 06:00:00'
+              AND ts < TIMESTAMP '2024-01-01 12:00:00'
+        THEN 1 ELSE 0 END) AS in_b
+  FROM events GROUP BY user_id
+)
+SELECT category, count(*)::BIGINT AS n_users FROM (
+  SELECT CASE WHEN in_a = 1 AND in_b = 1 THEN 'both'
+              WHEN in_a = 1 THEN 'only_a' ELSE 'only_b' END AS category
+  FROM f WHERE in_a = 1 OR in_b = 1) GROUP BY category
 """,
         "docs_stratified_sample": """
 WITH h AS (

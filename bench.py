@@ -129,6 +129,10 @@ def run_bench() -> dict:
         "ingest_mosaic_median",
         "mosaic_change",
         "events_retention",
+        "mosaic_gradient",
+        "rasterize_zones",
+        "footprint_overlap",
+        "emb_kmeans",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -247,3 +247,53 @@ def stratified_sample(ds, group_col: str, key_col: str, k: int):
             .map_batches(partial, batch_format="pandas", batch_size=8192)
             .groupby(group_col)
             .map_groups(final, batch_format="pandas"))
+
+
+def user_period_overlap(events_ds,
+                        a: tuple[str, str] = ("2024-01-01T00:00:00",
+                                              "2024-01-01T06:00:00"),
+                        b: tuple[str, str] = ("2024-01-01T06:00:00",
+                                              "2024-01-01T12:00:00"),
+                        user_col: str = "user_id"):
+    """Set-operation segmentation: users active in period A, period B, or
+    both (INTERSECT / EXCEPT over per-period distinct-user sets, computed
+    in ONE pass — never two scans + a set shuffle).
+
+    Map side folds each batch to at most one (user, in_a, in_b) flag row
+    per user (bool-max partial — a hot user collapses map-side); the keyed
+    groupby Max-folds the flags; a 3-row category count fold finishes.
+    Output: (category in {'both','only_a','only_b'}, n_users).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    a0, a1 = np.datetime64(a[0], "us"), np.datetime64(a[1], "us")
+    b0, b1 = np.datetime64(b[0], "us"), np.datetime64(b[1], "us")
+
+    def flags(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy()
+        u = t.column(user_col).to_numpy()
+        in_a = ((ts >= a0) & (ts < a1)).astype(np.int64)
+        in_b = ((ts >= b0) & (ts < b1)).astype(np.int64)
+        df = (pd.DataFrame({"u": u, "in_a": in_a, "in_b": in_b})
+              .groupby("u", sort=False).max().reset_index())
+        df = df[(df.in_a > 0) | (df.in_b > 0)]
+        return table_from_pandas(df)
+
+    folded = (events_ds.select_columns([user_col, "ts"])
+              .map_batches(flags, batch_format="pyarrow", batch_size=65536)
+              .groupby("u")
+              .aggregate(Max("in_a", alias_name="in_a"),
+                         Max("in_b", alias_name="in_b")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        ia = t.column("in_a").to_numpy()
+        ib = t.column("in_b").to_numpy()
+        cat = np.where(ia & ib, "both", np.where(ia > 0, "only_a", "only_b"))
+        df = (pd.DataFrame({"category": cat, "n_users": np.int64(1)})
+              .groupby("category", sort=False).sum().reset_index())
+        return table_from_pandas(df)
+
+    return (folded.map_batches(classify, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("category").aggregate(Sum("n_users",
+                                               alias_name="n_users")))

@@ -135,3 +135,29 @@ def test_stratified_sample_partition_invariant(ray_session):
              for s in g.doc_id), dtype=np.int64, count=len(g))
         best = g.doc_id.to_numpy()[np.lexsort((g.doc_id.to_numpy(), h))][0]
         assert ka[(ka.lang == lang) & (ka.rnk == 1)].doc_id.iloc[0] == best
+
+
+def test_period_overlap_categories(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.window import user_period_overlap
+
+    df = _events(n=2500, users=60, seed=13)
+    a = ("2024-03-02T00:00:00", "2024-03-04T00:00:00")
+    b = ("2024-03-04T00:00:00", "2024-03-06T00:00:00")
+    out = user_period_overlap(rd.from_pandas(df).repartition(9), a=a,
+                              b=b).to_pandas()
+    got = dict(zip(out.category, out.n_users))
+
+    ts = df.ts.to_numpy().astype("datetime64[us]")
+    in_a = pd.Series(
+        (ts >= np.datetime64(a[0])) & (ts < np.datetime64(a[1]))
+    ).groupby(df.user_id.to_numpy()).max()
+    in_b = pd.Series(
+        (ts >= np.datetime64(b[0])) & (ts < np.datetime64(b[1]))
+    ).groupby(df.user_id.to_numpy()).max()
+    exp = {"both": int((in_a & in_b).sum()),
+           "only_a": int((in_a & ~in_b).sum()),
+           "only_b": int((~in_a & in_b).sum())}
+    exp = {k: v for k, v in exp.items() if v > 0}
+    assert got == exp
