@@ -1193,6 +1193,39 @@ def _q_toi_snap_padbfill(sf_dir: str):
         snap, batch_format="pyarrow", batch_size=65536)
 
 
+def _q_catalog_tile_cover(sf_dir: str):
+    """JSONL source path: a STAC-item-style catalog (id, bbox, datetime)
+    read via ``ray.data.read_json`` -> analytic tile-range math per item.
+    The oracle parses the same lines with DuckDB read_json_auto — json
+    floats are shortest-roundtrip so both engines see identical doubles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID, ensure_catalog_jsonl
+
+    d = _fix(sf_dir)
+    path = ensure_catalog_jsonl(d)
+    g = FIXTURE_GRID
+
+    def cover(t: pa.Table) -> pa.Table:
+        bbox = t.column("bbox").to_pylist()
+        arr = np.asarray(bbox, dtype=np.float64)  # (n, 4) w s e n
+        tx_lo, tx_hi, ty_lo, ty_hi, valid = g.tile_ranges(
+            arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+        n_tiles = np.where(valid,
+                           (tx_hi - tx_lo + 1) * (ty_hi - ty_lo + 1), 0)
+        return pa.table({
+            "id": t.column("id"),
+            "n_tiles": pa.array(n_tiles, pa.int64()),
+            "tx_lo": pa.array(np.where(valid, tx_lo, -1), pa.int64()),
+            "ty_lo": pa.array(np.where(valid, ty_lo, -1), pa.int64()),
+        })
+
+    return rd.read_json(path).map_batches(cover, batch_format="pyarrow",
+                                          batch_size=8192)
+
+
 def _q_events_period_overlap(sf_dir: str):
     """Set-op segmentation (INTERSECT/EXCEPT analog): users active in
     period A, B, or both — one pass, per-user bool-max flag fold."""
@@ -1396,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
         "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
         "mosaic_resample": _q_mosaic_resample,  # NN grid warp (gather)
+        "catalog_tile_cover": _q_catalog_tile_cover,  # JSONL source path
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
@@ -2202,6 +2236,23 @@ FROM documents ORDER BY h, doc_id LIMIT 100
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderpriority = '1-URGENT')
+""",
+        "catalog_tile_cover": f"""
+WITH w AS (
+  SELECT id,
+    greatest(0, least(2048, CAST(floor((bbox[1] + 1.0) / {RES}) AS BIGINT))) AS cl,
+    greatest(0, least(2048, CAST(ceil((bbox[3] + 1.0) / {RES}) AS BIGINT))) AS ch,
+    greatest(0, least(2048, CAST(floor((1.0 - bbox[4]) / {RES}) AS BIGINT))) AS rl,
+    greatest(0, least(2048, CAST(ceil((1.0 - bbox[2]) / {RES}) AS BIGINT))) AS rh
+  FROM read_json_auto('{FIX_SF001}/catalog.jsonl/*.jsonl')
+)
+SELECT id,
+  CASE WHEN ch > cl AND rh > rl
+    THEN ((ch - 1) // 128 - cl // 128 + 1) * ((rh - 1) // 128 - rl // 128 + 1)
+    ELSE 0 END::BIGINT AS n_tiles,
+  (CASE WHEN ch > cl AND rh > rl THEN cl // 128 ELSE -1 END)::BIGINT AS tx_lo,
+  (CASE WHEN ch > cl AND rh > rl THEN rl // 128 ELSE -1 END)::BIGINT AS ty_lo
+FROM w
 """,
         "rasterize_zones": f"""
 WITH z AS (

@@ -1305,3 +1305,48 @@ def ensure_fixtures(sf: float) -> str:
 
 def ensure_fixtures_for_dir(sf_dir: str) -> str:
     return ensure_fixtures(sf_of_dir(sf_dir))
+
+
+def ensure_catalog_jsonl(fix_dir: str) -> str:
+    """Idempotently derive a STAC-item-style JSONL catalog from the image
+    table: one line per image — {"id", "bbox": [w, s, e, n], "datetime"}.
+
+    A *different serialization of the same metadata* so the engine's JSONL
+    source path (``ray.data.read_json``) is exercised with full SQL parity
+    (DuckDB ``read_json_auto`` parses the identical doubles: json floats
+    are shortest-roundtrip, exact both ways). One .jsonl part per parquet
+    part keeps the read parallel. Separate marker — added lazily to
+    already-built fixture dirs without a layout-version regen."""
+    import glob as _glob
+    import json
+    import shutil
+
+    out = os.path.join(fix_dir, "catalog.jsonl")
+    if os.path.isdir(out):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    parts = sorted(_glob.glob(os.path.join(fix_dir, "images.parquet",
+                                           "*.parquet")))
+    for k, part in enumerate(parts):
+        t = pq.read_table(part, columns=["image_id", "lon_min", "lat_min",
+                                         "lon_max", "lat_max"])
+        ids = t.column("image_id").to_pylist()
+        w = t.column("lon_min").to_pylist()
+        s = t.column("lat_min").to_pylist()
+        e = t.column("lon_max").to_pylist()
+        n = t.column("lat_max").to_pylist()
+        with open(os.path.join(tmp, f"part-{k:05d}.jsonl"), "w") as f:
+            for j in range(len(ids)):
+                dt = str(timestamp_of(ids[j])) + "Z"
+                f.write(json.dumps({"id": ids[j],
+                                    "bbox": [w[j], s[j], e[j], n[j]],
+                                    "datetime": dt}) + "\n")
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):  # lost a benign race only
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
