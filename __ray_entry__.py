@@ -292,6 +292,18 @@ def _q_audio_features(sf_dir: str):
         _rpq(f"{d}/audio.parquet", columns=["audio_id", "bytes"]))
 
 
+def _q_video_scene_changes(sf_dir: str):
+    """Per-video frame-diff temporal stats (scene-change analog): the
+    window is intra-row, so the stage streams with no shuffle. Oracle
+    replays the LAG window over the per-frame goldens."""
+    from raygeo.ops.multimodal import video_scene_changes
+
+    d = _fix(sf_dir)
+    return video_scene_changes(_rpq(f"{d}/videos.parquet",
+                                    columns=["video_id", "bytes"]),
+                               threshold=10_000)
+
+
 def _q_caption_roundtrip(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -1458,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": _q_docs_sample,  # deterministic bottom-k sample
         "image_features": _q_image_features,  # fixed-point golden check
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
+        "video_scene_changes": _q_video_scene_changes,  # frame-diff windows
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
         # embeddings
         "emb_knn": _q_emb_knn,
@@ -1710,6 +1723,18 @@ FROM read_parquet('{FIX_SF001}/overview_golden.parquet')
 SELECT video_id, frame_no, pix_sum
 FROM read_parquet('{FIX_SF001}/video_frames_golden.parquet')
 WHERE frame_no % 2 = 0
+""",
+        "video_scene_changes": f"""
+WITH d AS (
+  SELECT video_id, pix_sum,
+    pix_sum - lag(pix_sum) OVER (PARTITION BY video_id
+                                 ORDER BY frame_no) AS delta
+  FROM read_parquet('{FIX_SF001}/video_frames_golden.parquet')
+)
+SELECT video_id, count(*)::BIGINT AS n_frames,
+  count(*) FILTER (WHERE abs(delta) > 10000)::BIGINT AS n_changes,
+  coalesce(max(abs(delta)), 0)::BIGINT AS max_delta
+FROM d GROUP BY video_id
 """,
         "audio_features": f"""
 SELECT audio_id, n_samples, peak, zero_crossings, rms_fp

@@ -317,6 +317,47 @@ def video_frame_stats(ds, every_n: int = 2, batch_size: int = 64):
     )
 
 
+class VideoSceneChanges:
+    """Per-video temporal frame-diff (scene-change detection analog): parse
+    the container, decode every frame, and fold the consecutive
+    |pix_sum(k) - pix_sum(k-1)| deltas — the temporal window is intra-row,
+    so the stage is a pure streaming map (no shuffle at any scale)."""
+
+    def __init__(self, threshold: int = 10_000):
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("video_id").to_pylist()
+        bufs = binary_views(t.column("bytes"))
+        out_id, out_nf, out_nc, out_md = [], [], [], []
+        for vid, buf in zip(ids, bufs):
+            frames = parse_video_container(buf)
+            ps = np.fromiter(
+                (int(decode(f).astype(np.int64).sum()) for f in frames),
+                dtype=np.int64, count=len(frames))
+            d = np.abs(np.diff(ps)) if len(ps) > 1 else np.array([], np.int64)
+            out_id.append(vid)
+            out_nf.append(len(ps))
+            out_nc.append(int((d > self.threshold).sum()))
+            out_md.append(int(d.max()) if len(d) else 0)
+        return pa.table({
+            "video_id": pa.array(out_id, pa.string()),
+            "n_frames": pa.array(out_nf, pa.int64()),
+            "n_changes": pa.array(out_nc, pa.int64()),
+            "max_delta": pa.array(out_md, pa.int64()),
+        })
+
+
+def video_scene_changes(ds, threshold: int = 10_000, batch_size: int = 64):
+    """Scene-change report per video (frame-diff temporal statistics)."""
+    return ds.map_batches(
+        VideoSceneChanges(threshold),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+
+
 class AudioFeatures:
     """Actor-pool audio feature extraction over int16 LE PCM binary.
 

@@ -54,13 +54,16 @@ GRAD_PARTIAL_SCHEMA = pa.schema([
 
 
 def _vsum(canvas: list[np.ndarray], pack: ChannelPack) -> np.ndarray:
-    """Per-pixel scalar value v: integer channel sum (RGB -> R+G+B)."""
+    """Per-pixel scalar value v: channel sum as exact int64 (RGB -> R+G+B).
+
+    Float channels enter at 1e-3 fixed point (``round(x * 1000)`` — the
+    same quantization ``ChannelPack.pix_sum`` uses), so gradients stay
+    integer-exact for every pack, not just uint8 RGB."""
     v = np.zeros(canvas[0].shape[:2], np.int64)
     for a in canvas:
-        if a.ndim == 3:
-            v += a.astype(np.int64).sum(axis=2)
-        else:
-            v += a.astype(np.int64)
+        q = (np.round(a.astype(np.float64) * 1000).astype(np.int64)
+             if a.dtype.kind == "f" else a.astype(np.int64))
+        v += q.sum(axis=2) if a.ndim == 3 else q
     return v
 
 

@@ -109,3 +109,47 @@ def test_resample_matches_full_plane(ray_session):
     got = out.sort_values(["tx", "ty"]).reset_index(drop=True)
     exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_gradient_multichannel_float_pack(ray_session):
+    """Gradient over a DEM-shaped float32+bool pack: v enters at the same
+    1e-3 fixed point as ChannelPack.pix_sum, so stats stay integer-exact."""
+    import ray.data as rd
+
+    from raygeo.channels import DEM_CHANNELS
+
+    rng = np.random.Generator(np.random.PCG64(15))
+    pack = ChannelPack(DEM_CHANNELS)
+    grid = GridSpec(name="g", crs="EPSG:4326", x0=0.0, y1=1.0, res=2.0**-6,
+                    width=32, height=32, chunk=16)
+    rows = []
+    dem = np.zeros((32, 32), np.float64)
+    dmask = np.zeros((32, 32), bool)
+    valid = np.zeros((32, 32), bool)
+    for ty in range(2):
+        for tx in range(2):
+            d = np.round(rng.uniform(0, 4000, (16, 16)), 3).astype(np.float32)
+            b = rng.random((16, 16)) < 0.5
+            m = rng.random((16, 16)) < 0.85
+            d[~m] = 0
+            tc0, tc1, tr0, tr1 = grid.tile_pixel_window(tx, ty)
+            dem[tr0:tr1, tc0:tc1] = d.astype(np.float64)
+            dmask[tr0:tr1, tc0:tc1] = b
+            valid[tr0:tr1, tc0:tc1] = m
+            rows.append({
+                "tile_id": f"{tx}-{ty}", "tx": tx, "ty": ty,
+                "px_z": zlib.compress(pack.to_bytes(
+                    [d, b.astype(bool)]), 1),
+                "mask_z": zlib.compress(m.astype(np.uint8).tobytes(), 1),
+            })
+    out = gradient_stats(rd.from_items(rows), grid, pack=pack).to_pandas()
+
+    v = (np.round(dem * 1000).astype(np.int64)
+         + np.round(dmask.astype(np.float64) * 0).astype(np.int64)
+         + dmask.astype(np.int64))
+    dh, bh = np.abs(np.diff(v, axis=1)), valid[:, :-1] & valid[:, 1:]
+    dv, bv = np.abs(np.diff(v, axis=0)), valid[:-1, :] & valid[1:, :]
+    total_pairs = int(bh.sum()) + int(bv.sum())
+    total_sum = int(dh[bh].sum()) + int(dv[bv].sum())
+    assert out.n_pairs.sum() == total_pairs
+    assert out.abs_grad_sum.sum() == total_sum
