@@ -1338,6 +1338,19 @@ def _q_footprint_overlap(sf_dir: str):
     return footprint_overlap_degree(ds, FIXTURE_GRID, bound=bound)
 
 
+def _q_q5_local_volume(sf_dir: str):
+    """TPC-H Q5 star join: region/nation/customer/supplier broadcast as
+    sorted probes, lineitem⋈orders the one partitioned hash join,
+    out-of-region suppliers dropped map-side before any shuffle."""
+    from raygeo.ops.relational import q5_local_volume
+
+    return q5_local_volume(
+        _rpq(f"{sf_dir}/lineitem.parquet"),
+        f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet",
+        f"{sf_dir}/supplier.parquet", f"{sf_dir}/nation.parquet",
+        f"{sf_dir}/region.parquet")
+
+
 def _q_events_lag_gaps(sf_dir: str):
     """LAG-window analog: per-user consecutive-event gap stats (max gap,
     count of gaps > 1h) — one keyed shuffle, vectorized diff per group."""
@@ -1444,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_tile_cover": _q_catalog_tile_cover,  # JSONL source path
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
+        "q5_local_volume": _q_q5_local_volume,  # 6-table star join
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
         "orders_cum_crossing": _q_orders_cum_crossing,  # running-sum crossing
         "events_gapfill": _q_events_gapfill,  # dense zero-filled series
@@ -2312,6 +2326,18 @@ FROM s a JOIN s b ON a.image_id <> b.image_id
   AND a.lon_min < b.lon_max AND b.lon_min < a.lon_max
   AND a.lat_min < b.lat_max AND b.lat_min < a.lat_max
 GROUP BY 1
+""",
+        "q5_local_volume": """
+SELECT n_name,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY n_name
 """,
         "events_lag_gaps": """
 WITH s AS (

@@ -1007,3 +1007,119 @@ def cohort_retention(events_ds, user_col: str = "user_id"):
         })
 
     return cells.map_batches(finalize, batch_format="pyarrow")
+
+
+def q5_local_volume(lineitem_ds, orders_path: str, customer_path: str,
+                    supplier_path: str, nation_path: str, region_path: str,
+                    region: str = "ASIA", date_lo: str = "1996-01-01",
+                    date_hi: str = "1998-01-01",
+                    num_partitions: int | None = None):
+    """TPC-H Q5 shape: revenue per nation where supplier and customer share
+    the nation, restricted to one region and an order-date range.
+
+    The 6-table star-join plan: region -> nation -> {customer, supplier}
+    are genuinely dimension-sized and broadcast as sorted probe arrays;
+    the fact⋈fact step (lineitem ⋈ date-filtered orders) is the one
+    partitioned hash join. lineitem rows resolve their supplier nation
+    MAP-SIDE (dropping out-of-region suppliers before any shuffle) and
+    pre-aggregate per (orderkey, nation); the customer-nation equality is
+    checked after the join against the broadcast customer probe. Shuffle
+    volume: surviving per-(orderkey, nation) partials + filtered orders.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = max(8, min(64, cluster_cpus()))
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    nation = pq.read_table(nation_path,
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(region_path, columns=["r_regionkey", "r_name"])
+    rkeys = {r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region}
+    nat_rows = [r for r in nation.to_pylist() if r["n_regionkey"] in rkeys]
+    nat_keys = np.sort(np.array([r["n_nationkey"] for r in nat_rows],
+                                np.int64))
+    nat_names = np.array(
+        [r["n_name"] for r in sorted(nat_rows,
+                                     key=lambda x: x["n_nationkey"])],
+        dtype=object)
+
+    supp = pq.read_table(supplier_path, columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    so = np.argsort(sk)
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    cn = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    co = np.argsort(ck)
+    dim_ref = ray.put((sk[so], sn[so], ck[co], cn[co], nat_keys))
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        skk, snn, _, _, nk = ray.get(dim_ref)
+        ls = t.column("l_suppkey").to_numpy()
+        pos, found = _sorted_probe(skk, ls)
+        s_nat = np.where(found, snn[pos], -1)
+        _, in_reg = _sorted_probe(nk, s_nat)
+        keep = found & in_reg
+        t = t.filter(pa.array(keep))
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "s_nat": s_nat[keep], "revenue_c4": rev})
+        g = (df.groupby(["l_orderkey", "s_nat"], sort=False)["revenue_c4"]
+             .sum().reset_index())
+        return table_from_pandas(g)
+
+    rev = lineitem_ds.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    orders = read_parquet_clean(
+        orders_path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy()
+        return t.filter(pa.array((od >= d0) & (od < d1))).select(
+            ["o_orderkey", "o_custkey"])
+
+    orders_f = orders.map_batches(ofilter, batch_format="pyarrow",
+                                  batch_size=65536)
+    joined = rev.join(orders_f, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_only(t: pa.Table) -> pa.Table:
+        _, _, ckk, cnn, nk = ray.get(dim_ref)
+        oc = t.column("o_custkey").to_numpy()
+        pos, found = _sorted_probe(ckk, oc)
+        c_nat = np.where(found, cnn[pos], -2)
+        s_nat = t.column("s_nat").to_numpy()
+        keep = found & (c_nat == s_nat)
+        df = pd.DataFrame({
+            "n_nationkey": s_nat[keep],
+            "revenue_c4": t.column("revenue_c4").to_numpy()[keep],
+        })
+        g = (df.groupby("n_nationkey", sort=False)["revenue_c4"].sum()
+             .reset_index())
+        return table_from_pandas(g)
+
+    agg = (joined.map_batches(local_only, batch_format="pyarrow",
+                              batch_size=65536)
+           .groupby("n_nationkey")
+           .aggregate(Sum("revenue_c4", alias_name="revenue_c4")))
+
+    def name(t: pa.Table) -> pa.Table:
+        keys = t.column("n_nationkey").to_numpy()
+        idx = np.searchsorted(nat_keys, keys)
+        return pa.table({
+            "n_name": pa.array(nat_names[idx], pa.string()),
+            "revenue_c4": t.column("revenue_c4").cast(pa.int64()),
+        })
+
+    return agg.map_batches(name, batch_format="pyarrow")
