@@ -198,13 +198,11 @@ class _TfidfTopTerm:
     may differ — so the DuckDB oracle value-matches to the last bit.
     """
 
-    def __init__(self, df_ref, text_col: str, id_col: str):
-        import ray
-
+    def __init__(self, vocab, text_col: str, id_col: str):
         self.text_col = text_col
         self.id_col = id_col
         self.tok = re.compile(LOWER_TOKEN_RE)
-        self.terms, self.dfs = ray.get(df_ref)
+        self.terms, self.dfs = vocab
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks = df[self.text_col].str.lower().str.findall(self.tok)
@@ -252,11 +250,18 @@ def tfidf_top_term(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     order = np.argsort(stats["term"].to_numpy())
     terms = stats["term"].to_numpy()[order]
     dfs = stats["df"].to_numpy()[order].astype("int64")
-    df_ref = ray.put((terms, dfs))
+    # the vocabulary is Heaps-law small: ship it BY VALUE in the actor
+    # ctor args (serialized once per actor) instead of an ObjectRef —
+    # a ref in fn_constructor_args makes Ray log a restart-safety error
+    # per actor (ray#53727). ray.put stays the pattern for big sides.
 
     return docs_ds.select_columns([text_col, id_col]).map_batches(
-        _TfidfTopTerm, fn_constructor_args=(df_ref, text_col, id_col),
+        _TfidfTopTerm, fn_constructor_args=((terms, dfs), text_col, id_col),
         batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+        # deterministic stage, args live in the plan: disable actor restart
+        # so Ray stops logging the restart-safety error per actor (#53727);
+        # a lost actor re-executes through Ray Data's task retry instead
+        max_restarts=0,
     )
 
 
