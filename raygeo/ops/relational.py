@@ -86,10 +86,10 @@ def revenue_by_nation(lineitem_ds, orders_path: str, customer_path: str,
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from ..util import cluster_cpus
+    from ..util import join_partitions
 
     if num_partitions is None:
-        num_partitions = max(8, min(64, cluster_cpus()))
+        num_partitions = join_partitions(orders_path)
 
     cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
@@ -328,10 +328,10 @@ def q3_shipping(lineitem_ds, orders_path: str, customer_path: str,
     import ray
     from ray.data.aggregate import Min, Sum
 
-    from ..util import cluster_cpus, read_parquet_clean
+    from ..util import join_partitions, read_parquet_clean
 
     if num_partitions is None:
-        num_partitions = max(8, min(64, cluster_cpus()))
+        num_partitions = join_partitions(orders_path)
     cutoff_ts = np.datetime64(cutoff)
 
     cust = pq.read_table(customer_path, columns=["c_custkey", "c_mktsegment"])
@@ -484,10 +484,10 @@ def bloom_semijoin_shipmode(lineitem_ds, orders_path: str,
     import ray
     from ray.data.aggregate import Sum
 
-    from ..util import cluster_cpus, read_parquet_clean
+    from ..util import join_partitions, read_parquet_clean
 
     if num_partitions is None:
-        num_partitions = max(8, min(64, cluster_cpus()))
+        num_partitions = join_partitions(orders_path)
 
     orders = read_parquet_clean(
         orders_path, columns=["o_orderkey", "o_orderpriority"])
@@ -853,10 +853,10 @@ def orders_fulfillment(lineitem_ds, orders_path: str,
     null-probe rows kept."""
     from ray.data.aggregate import Sum
 
-    from ..util import cluster_cpus, read_parquet_clean
+    from ..util import join_partitions, read_parquet_clean
 
     if num_partitions is None:
-        num_partitions = max(8, min(64, cluster_cpus()))
+        num_partitions = join_partitions(orders_path)
 
     def lpartial(t: pa.Table) -> pa.Table:
         price = t.column("l_extendedprice").to_numpy()
@@ -977,7 +977,7 @@ def cohort_retention(events_ds, user_col: str = "user_id"):
 
     base = pairs_of(events_ds)
     mins = base.groupby("u").aggregate(Min("day", alias_name="cohort"))
-    n_parts = max(8, min(64, cluster_cpus()))
+    n_parts = max(8, min(16, cluster_cpus()))
     joined = pairs_of(events_ds).join(
         mins, join_type="inner", num_partitions=n_parts, on=("u",))
 
@@ -1030,10 +1030,10 @@ def q5_local_volume(lineitem_ds, orders_path: str, customer_path: str,
     import ray
     from ray.data.aggregate import Sum
 
-    from ..util import cluster_cpus, read_parquet_clean
+    from ..util import join_partitions, read_parquet_clean
 
     if num_partitions is None:
-        num_partitions = max(8, min(64, cluster_cpus()))
+        num_partitions = join_partitions(orders_path)
     d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
 
     nation = pq.read_table(nation_path,

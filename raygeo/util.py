@@ -99,3 +99,28 @@ def read_parquet_clean(path, columns=None, **kw):
     except Exception:
         sch = None  # fall back to Ray's own schema inference
     return rd.read_parquet(path, columns=columns, schema=sch, **kw)
+
+
+def join_partitions(*paths, target_bytes: int = 64 << 20, lo: int = 8,
+                    hi: int | None = None) -> int:
+    """Data-aware hash-join partition count.
+
+    The hash-shuffle actor pool costs ~linear ramp-up in partition count,
+    so partitions should track the JOIN INPUT VOLUME, not just CPUs: one
+    partition per ~64 MB of input (the pre-aggregated probe side is
+    bounded by the key cardinality of these files), clamped to
+    [lo, max(64, 2x cluster CPUs)]. Small joins stop paying for a
+    32-actor ramp; big inputs still fan out with the cluster.
+    """
+    import glob as _glob
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for f in _glob.glob(os.path.join(p, "*.parquet")):
+                total += os.path.getsize(f)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    if hi is None:
+        hi = max(64, 2 * cluster_cpus())
+    return int(min(hi, max(lo, total // target_bytes + 1)))
