@@ -1318,24 +1318,23 @@ def _q_rasterize_zones(sf_dir: str):
 
 def _q_footprint_overlap(sf_dir: str):
     """PBSM spatial self-join: per-image overlap degree over footprint
-    boxes inside [-0.25, 0.25]^2, owner-cell duplicate avoidance. The
-    bound predicate is ALSO pushed into the parquet read (row-group +
-    row-level pruning) so out-of-bound rows never enter the pipeline."""
-    import pyarrow.dataset as pds
+    boxes inside [-0.25, 0.25]^2, owner-cell duplicate avoidance.
 
+    Row-filter pushdown (read_parquet filter=) was MEASURED 3-4x SLOWER
+    here (13 s vs 3.6 s at sf0.1): with a filter expression the scanner
+    abandons the column-pruned fast path and materializes whole fragments
+    of this wide table (incl. the GB-scale bytes column) before
+    projecting. Column pruning + the vectorized in-pipeline bound mask is
+    the honest fast plan for this layout; pushdown pays off only when the
+    filter columns are sorted/row-group-clustered."""
     from raygeo.fixtures import FIXTURE_GRID
     from raygeo.ops.spatial_join import footprint_overlap_degree
 
     d = _fix(sf_dir)
-    bound = (-0.25, -0.25, 0.25, 0.25)
-    pred = ((pds.field("lon_min") >= bound[0])
-            & (pds.field("lat_min") >= bound[1])
-            & (pds.field("lon_max") <= bound[2])
-            & (pds.field("lat_max") <= bound[3]))
     ds = _rpq(f"{d}/images.parquet",
-              columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"],
-              filter=pred)
-    return footprint_overlap_degree(ds, FIXTURE_GRID, bound=bound)
+              columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"])
+    return footprint_overlap_degree(ds, FIXTURE_GRID,
+                                    bound=(-0.25, -0.25, 0.25, 0.25))
 
 
 def _q_q5_local_volume(sf_dir: str):
