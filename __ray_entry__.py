@@ -1387,6 +1387,34 @@ def _q_small_qty_revenue(sf_dir: str):
                              f"{sf_dir}/part.parquet", brand="Brand#13")
 
 
+def _q_docs_normalize(sf_dir: str):
+    """Corpus text normalization (lowercase, strip punctuation, collapse
+    whitespace) — md5 of the normalized text checks the transform row by
+    row against DuckDB's regexp_replace."""
+    from raygeo.ops.text import normalize_texts
+
+    return normalize_texts(_rpq(f"{sf_dir}/documents.parquet"))
+
+
+def _q_orders_exact_median(sf_dir: str):
+    """Exact per-priority median order value via a full-resolution
+    integer-cents histogram fold (domain-bounded shuffle, no raw-row
+    sort)."""
+    from raygeo.ops.relational import grouped_exact_median
+
+    return grouped_exact_median(_rpq(f"{sf_dir}/orders.parquet"),
+                                "o_orderpriority", "o_totalprice")
+
+
+def _q_orders_rank(sf_dir: str):
+    """Exact RANK()/percent_rank() of every order within its priority —
+    histogram-based distributed ranking, no raw-row sort anywhere."""
+    from raygeo.ops.relational import grouped_rank
+
+    return grouped_rank(_rpq(f"{sf_dir}/orders.parquet"),
+                        "o_orderpriority", "o_totalprice", "o_orderkey")
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: k=10 smallest md5-rank doc_ids per
     language (row_number OVER (PARTITION BY lang ORDER BY md5) analog)."""
@@ -1463,6 +1491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,  # Q17 correlated-subquery shape
         "docs_stratified_sample": _q_docs_stratified_sample,  # per-stratum sample
         "events_period_overlap": _q_events_period_overlap,  # set-op segmentation
+        "docs_normalize": _q_docs_normalize,  # text normalization, md5 row parity
+        "orders_exact_median": _q_orders_exact_median,  # exact grouped median
+        "orders_rank": _q_orders_rank,  # full-output window ranking
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
@@ -2403,6 +2434,37 @@ SELECT count(*)::BIGINT AS n_items,
     AS revenue_cents
 FROM lineitem l JOIN pq_ ON pq_.l_partkey = l.l_partkey
 WHERE 5 * CAST(round(l_quantity) AS BIGINT) * c < s
+""",
+        "docs_normalize": """
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[^0-9a-z]+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, length(norm)::BIGINT AS norm_len, md5(norm) AS norm_md5
+FROM n
+""",
+        "orders_exact_median": """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+  quantile_disc(cents, 0.5)::BIGINT AS median_cents
+FROM c GROUP BY o_orderpriority
+""",
+        "orders_rank": """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+  rank() OVER (PARTITION BY o_orderpriority ORDER BY cents)::BIGINT AS rnk,
+  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents)::DOUBLE
+    AS pct_rank
+FROM c
 """,
         "events_period_overlap": """
 WITH f AS (

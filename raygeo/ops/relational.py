@@ -1123,3 +1123,102 @@ def q5_local_volume(lineitem_ds, orders_path: str, customer_path: str,
         })
 
     return agg.map_batches(name, batch_format="pyarrow")
+
+
+def grouped_exact_median(ds, key_col: str, value_col: str):
+    """EXACT per-group median (percentile_disc 0.5) via a full-resolution
+    integer-cents histogram fold — the bucketed-quantile op's exact
+    sibling for bounded-domain values.
+
+    The shuffle carries distinct (key, cents) pairs with counts — bounded
+    by the VALUE DOMAIN x keys, not the row count (prices are cents in
+    [0, ~5e7]: at any scale the histogram stops growing once the domain
+    is saturated). The median is the rank-ceil(n/2) element of the
+    cumulative histogram: exact, deterministic, no sort of raw rows
+    anywhere. Output: (key, n_rows, median_cents).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"k": t.column(key_col).to_pandas(), "cents": cents})
+        g = df.groupby(["k", "cents"], sort=False).size().rename("n").reset_index()
+        return table_from_pandas(g)
+
+    hist = (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["k", "cents"])
+            .aggregate(Sum("n", alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        rank = (total + 1) // 2  # ceil(n/2): percentile_disc(0.5)
+        idx = int(np.searchsorted(cum, rank))
+        return pd.DataFrame({key_col: [g["k"].iloc[0]],
+                             "n_rows": np.int64(total),
+                             "median_cents": np.int64(g["cents"].to_numpy()[idx])})
+
+    return hist.groupby("k").map_groups(pick, batch_format="pandas")
+
+
+def grouped_rank(ds, key_col: str, value_col: str, id_col: str):
+    """Exact RANK() / percent_rank() of EVERY row within its group — the
+    full-output window-ranking op (grouped_topk's unbounded sibling).
+
+    Distributed ranking without a global sort: pass 1 folds the
+    domain-bounded (key, cents) histogram (same shape as the exact
+    median); the per-key cumulative histogram — key-cardinality x domain
+    sized, NOT row-count sized — broadcasts; pass 2 streams every row and
+    assigns rank = (# strictly smaller) + 1 by binary search. Ties share
+    a rank exactly like SQL RANK(); percent_rank = (rank-1)/(n-1) is one
+    exact IEEE division. No raw-row sort or shuffle anywhere — the only
+    exchanges are histogram partials and the broadcast.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"k": t.column(key_col).to_pandas(), "cents": cents})
+        g = df.groupby(["k", "cents"], sort=False).size().rename("n").reset_index()
+        return table_from_pandas(g)
+
+    hist = (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["k", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # keys x distinct-values rows (domain-bounded)
+
+    lut = {}
+    for k, g in hist.groupby("k"):
+        g = g.sort_values("cents")
+        cents = g["cents"].to_numpy()
+        n = g["n"].to_numpy()
+        before = np.concatenate(([0], np.cumsum(n)[:-1]))
+        lut[k] = (cents, before, int(n.sum()))
+    lut_ref = ray.put(lut)
+
+    def assign(t: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        keys = t.column(key_col).to_pylist()
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        rank = np.empty(len(keys), np.int64)
+        pr = np.empty(len(keys), np.float64)
+        for k in set(keys):
+            sel = np.array([x == k for x in keys])
+            cs, before, total = table[k]
+            pos = np.searchsorted(cs, cents[sel])
+            r = before[pos] + 1
+            rank[sel] = r
+            pr[sel] = (r - 1) / (total - 1) if total > 1 else 0.0
+        return pa.table({
+            id_col: t.column(id_col),
+            key_col: t.column(key_col),
+            "rnk": pa.array(rank, pa.int64()),
+            "pct_rank": pa.array(pr, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, key_col, value_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=65536)

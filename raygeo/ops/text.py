@@ -195,3 +195,35 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_size=4096,
         num_cpus=1,
     )
+
+
+def normalize_texts(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Text normalization (the pre-dedup cleanup every corpus pipeline
+    runs): lowercase, non-alphanumerics -> space, whitespace collapsed,
+    trimmed. Pure streaming map; output carries the md5 of the normalized
+    text so the oracle checks the TRANSFORM row by row, not just lengths.
+
+    The character classes are plain ASCII ranges, identical under Python
+    re and RE2/DuckDB regex semantics.
+    """
+    import hashlib
+    import re as _re
+
+    class _Norm:
+        def __init__(self):
+            self.nonword = _re.compile(r"[^0-9a-z]+")
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            norm = (df[text_col].str.lower()
+                    .str.replace(self.nonword, " ", regex=True)
+                    .str.strip())
+            h = [hashlib.md5(s.encode()).hexdigest() for s in norm]
+            return pd.DataFrame({
+                id_col: df[id_col],
+                "norm_len": norm.str.len().astype("int64"),
+                "norm_md5": h,
+            })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _Norm, batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+        max_restarts=0)

@@ -439,3 +439,41 @@ def test_cohort_retention_cells(ray_session):
         ["2024-01-02", 0, 1],   # u2 first day
         ["2024-01-02", 1, 1],   # u2 active on Jan 3
     ]
+
+
+def test_grouped_rank_and_median_match_serial(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import grouped_exact_median, grouped_rank
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    n = 4000
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_orderpriority": rng.choice(["A", "B", "C"], size=n),
+        # few distinct prices -> heavy ties exercise RANK semantics
+        "o_totalprice": rng.integers(1, 60, size=n) / 4.0,
+    })
+    ds = rd.from_pandas(df).repartition(13)
+
+    ranked = grouped_rank(ds, "o_orderpriority", "o_totalprice",
+                          "o_orderkey").to_pandas()
+    ranked = ranked.sort_values("o_orderkey").reset_index(drop=True)
+    cents = np.rint(df.o_totalprice.to_numpy() * 100).astype(np.int64)
+    exp_rank = np.empty(n, np.int64)
+    exp_pr = np.empty(n, np.float64)
+    for k, g in df.assign(c=cents).groupby("o_orderpriority"):
+        c = g.c.to_numpy()
+        r = np.array([(c < x).sum() + 1 for x in c], np.int64)
+        exp_rank[g.index.to_numpy()] = r
+        exp_pr[g.index.to_numpy()] = (r - 1) / (len(c) - 1)
+    assert np.array_equal(ranked.rnk.to_numpy(), exp_rank)
+    assert np.array_equal(ranked.pct_rank.to_numpy(), exp_pr)
+
+    med = grouped_exact_median(rd.from_pandas(df).repartition(7),
+                               "o_orderpriority", "o_totalprice").to_pandas()
+    for _, row in med.iterrows():
+        c = np.sort(cents[df.o_orderpriority.to_numpy() == row.o_orderpriority])
+        rank = (len(c) + 1) // 2
+        assert row.median_cents == c[rank - 1]
+        assert row.n_rows == len(c)
