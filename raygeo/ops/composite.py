@@ -139,20 +139,196 @@ def make_median_fold(chunk: int, pack: ChannelPack):
     return median_fold
 
 
+SUB_PIECE_SCHEMA = pa.schema([
+    ("sub_key", pa.string()),
+    ("tile_id", pa.string()),
+    ("tx", pa.int32()),
+    ("ty", pa.int32()),
+    ("qy", pa.int32()),
+    ("qx", pa.int32()),
+    ("y_off", pa.int32()),  # piece origin within the SUB-tile
+    ("x_off", pa.int32()),
+    ("fh", pa.int32()),
+    ("fw", pa.int32()),
+    ("own", pa.int32()),  # 1 iff this sub-tile holds the fragment's corner
+    ("px", pa.binary()),
+])
+
+SUB_RESULT_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int32()),
+    ("ty", pa.int32()),
+    ("qy", pa.int32()),
+    ("qx", pa.int32()),
+    ("n_frags_owned", pa.int64()),
+    ("n_valid_px", pa.int64()),
+    ("px", pa.binary()),
+    ("mask", pa.binary()),
+])
+
+
 def ingest_median(images_ds, grid: GridSpec, batch_size: int = 64,
-                  channels=None):
+                  channels=None, sub_split: int = 4):
     """images Dataset -> median-composite tiles Dataset (lazy).
 
-    Fragment plan: decode+explode task pool -> bounded repartition ->
-    one ``groupby(tile_id)`` -> exact median fold per tile.
+    Fragment plan with SPATIAL skew decomposition: exact medians are
+    per-pixel, so a tile splits losslessly into ``sub_split^2`` sub-tiles
+    that fold independently — the hot tile (every fragment of a popular
+    tile must meet the order statistic) stops being one straggler task
+    and becomes sub_split^2 parallel tasks of 1/sub_split^2 the area.
+    Depth (overlap count) stays the irreducible knob; spatial splitting
+    bounds the per-TASK cost at depth x (chunk/sub_split)^2. A second,
+    tiny keyed groupby pastes the sub-results (mosaic-sized, one row per
+    sub-tile) into the final tile canvas — output is bit-identical to the
+    unsplit plan (``sub_split=1`` keeps the single-group path).
+
+    ``n_frags`` stays exact under the split: each fragment is counted by
+    the one sub-tile containing its corner (owner-flag), never per piece.
     """
     pack = ChannelPack(tuple(channels)) if channels else ChannelPack(
         RGB_CHANNELS)
     frags = fragments_dataset(images_ds, grid, num_salts=1,
                               batch_size=batch_size, pack=pack)
     n_blocks = max(8, min(64, cluster_cpus()))
-    return frags.repartition(n_blocks).groupby("tile_id").map_groups(
-        make_median_fold(grid.chunk, pack), batch_format="pyarrow")
+    chunk = grid.chunk
+    if sub_split <= 1 or chunk % sub_split:
+        return frags.repartition(n_blocks).groupby("tile_id").map_groups(
+            make_median_fold(chunk, pack), batch_format="pyarrow")
+
+    sub = chunk // sub_split
+
+    def split(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in SUB_PIECE_SCHEMA.names}
+        px = binary_views(t.column("px"))
+        y_off = t.column("y_off").to_numpy()
+        x_off = t.column("x_off").to_numpy()
+        fh = t.column("fh").to_numpy()
+        fw = t.column("fw").to_numpy()
+        tids = t.column("tile_id").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(t.num_rows):
+            chans = pack.from_bytes(px[j], int(fh[j]), int(fw[j]))
+            y0, x0 = int(y_off[j]), int(x_off[j])
+            y1, x1 = y0 + int(fh[j]), x0 + int(fw[j])
+            for qy in range(y0 // sub, (y1 - 1) // sub + 1):
+                for qx in range(x0 // sub, (x1 - 1) // sub + 1):
+                    py0, py1 = max(y0, qy * sub), min(y1, (qy + 1) * sub)
+                    px0, px1 = max(x0, qx * sub), min(x1, (qx + 1) * sub)
+                    sl = np.s_[py0 - y0:py1 - y0, px0 - x0:px1 - x0]
+                    piece = [a[sl] for a in chans]
+                    out["sub_key"].append(f"{tids[j]}#{qy}-{qx}")
+                    out["tile_id"].append(tids[j])
+                    out["tx"].append(int(txs[j]))
+                    out["ty"].append(int(tys[j]))
+                    out["qy"].append(qy)
+                    out["qx"].append(qx)
+                    out["y_off"].append(py0 - qy * sub)
+                    out["x_off"].append(px0 - qx * sub)
+                    out["fh"].append(py1 - py0)
+                    out["fw"].append(px1 - px0)
+                    out["own"].append(int(qy == y0 // sub and qx == x0 // sub))
+                    out["px"].append(pack.to_bytes(
+                        [np.ascontiguousarray(a) for a in piece]))
+        return pa.table(out, schema=SUB_PIECE_SCHEMA)
+
+    pieces = frags.map_batches(split, batch_format="pyarrow",
+                               batch_size=2048)
+
+    def sub_fold(group: pa.Table) -> pa.Table:
+        y_off = group.column("y_off").to_numpy()
+        x_off = group.column("x_off").to_numpy()
+        fh = group.column("fh").to_numpy()
+        fw = group.column("fw").to_numpy()
+        px = binary_views(group.column("px"))
+        n = group.num_rows
+
+        count = np.zeros((sub, sub), np.int32)
+        for j in range(n):
+            count[y_off[j]:y_off[j] + fh[j], x_off[j]:x_off[j] + fw[j]] += 1
+        depth = int(count.max()) if n else 0
+        valid = count > 0
+
+        proto = pack.alloc(sub, sub)
+        stacks = []
+        for a in proto:
+            sdt, sent = _stack_dtype(a.dtype)
+            stacks.append(np.full((max(depth, 1),) + a.shape, sent, dtype=sdt))
+        fill = np.zeros((sub, sub), np.int32)
+        for j in range(n):
+            ys = np.s_[y_off[j]:y_off[j] + fh[j]]
+            xs = np.s_[x_off[j]:x_off[j] + fw[j]]
+            frag = pack.from_bytes(px[j], int(fh[j]), int(fw[j]))
+            layer = fill[ys, xs]
+            rr = np.arange(y_off[j], y_off[j] + fh[j])[:, None]
+            cc = np.arange(x_off[j], x_off[j] + fw[j])[None, :]
+            for st, fr in zip(stacks, frag):
+                st[layer, rr, cc] = fr
+            fill[ys, xs] += 1
+
+        med_idx = np.maximum(count - 1, 0) // 2
+        canvas = []
+        for st, a in zip(stacks, proto):
+            st.sort(axis=0)
+            idx = med_idx
+            if st.ndim == 4:
+                idx = med_idx[:, :, None]
+            med = np.take_along_axis(st, idx[None, ...], axis=0)[0]
+            canvas.append(med.astype(a.dtype, copy=False))
+        canvas = pack.fill_invalid(canvas, valid)
+        return pa.table(
+            {
+                "tile_id": [group.column("tile_id")[0].as_py()],
+                "tx": [group.column("tx")[0].as_py()],
+                "ty": [group.column("ty")[0].as_py()],
+                "qy": [group.column("qy")[0].as_py()],
+                "qx": [group.column("qx")[0].as_py()],
+                "n_frags_owned": [int(group.column("own").to_numpy().sum())],
+                "n_valid_px": [int(valid.sum())],
+                "px": [pack.to_bytes(canvas)],
+                "mask": [valid.astype(np.uint8).tobytes()],
+            },
+            schema=SUB_RESULT_SCHEMA,
+        )
+
+    sub_results = pieces.repartition(n_blocks).groupby("sub_key").map_groups(
+        sub_fold, batch_format="pyarrow")
+
+    def assemble(group: pa.Table) -> pa.Table:
+        canvas = pack.alloc(chunk, chunk)
+        valid = np.zeros((chunk, chunk), bool)
+        n_frags = 0
+        for j in range(group.num_rows):
+            qy = int(group.column("qy")[j].as_py())
+            qx = int(group.column("qx")[j].as_py())
+            piece = pack.from_bytes(group.column("px")[j].as_py(), sub, sub)
+            pmask = np.frombuffer(group.column("mask")[j].as_py(),
+                                  np.uint8).reshape(sub, sub).astype(bool)
+            ys = np.s_[qy * sub:(qy + 1) * sub]
+            xs = np.s_[qx * sub:(qx + 1) * sub]
+            for dst, src in zip(canvas, piece):
+                dst[ys, xs] = src
+            valid[ys, xs] = pmask
+            n_frags += int(group.column("n_frags_owned")[j].as_py())
+        px_z = zlib.compress(
+            b"".join(np.ascontiguousarray(c).tobytes() for c in canvas), 1)
+        mask_z = zlib.compress(valid.astype(np.uint8).tobytes(), 1)
+        return pa.table(
+            {
+                "tile_id": [group.column("tile_id")[0].as_py()],
+                "tx": [group.column("tx")[0].as_py()],
+                "ty": [group.column("ty")[0].as_py()],
+                "n_frags": [n_frags],
+                "n_valid_px": [int(valid.sum())],
+                "pix_sum": [pack.pix_sum(canvas, valid)],
+                "px_z": [px_z],
+                "mask_z": [mask_z],
+            },
+            schema=MEDIAN_TILE_SCHEMA,
+        )
+
+    return sub_results.groupby("tile_id").map_groups(
+        assemble, batch_format="pyarrow")
 
 
 def mosaic_change(tiles_a, tiles_b, chunk: int, channels=None):
