@@ -146,6 +146,7 @@ SUB_PIECE_SCHEMA = pa.schema([
     ("ty", pa.int32()),
     ("qy", pa.int32()),
     ("qx", pa.int32()),
+    ("patch_no", pa.int64()),  # preserved so LWW folds keep their order
     ("y_off", pa.int32()),  # piece origin within the SUB-tile
     ("x_off", pa.int32()),
     ("fh", pa.int32()),
@@ -153,6 +154,53 @@ SUB_PIECE_SCHEMA = pa.schema([
     ("own", pa.int32()),  # 1 iff this sub-tile holds the fragment's corner
     ("px", pa.binary()),
 ])
+
+
+def _split_to_subtiles(frags, pack: ChannelPack, sub: int,
+                       batch_size: int = 2048):
+    """Fragments -> sub-tile piece rows (the spatial skew decomposition
+    shared by every per-pixel fragment fold: median, change, ...)."""
+
+    def split(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in SUB_PIECE_SCHEMA.names}
+        px = binary_views(t.column("px"))
+        y_off = t.column("y_off").to_numpy()
+        x_off = t.column("x_off").to_numpy()
+        fh = t.column("fh").to_numpy()
+        fw = t.column("fw").to_numpy()
+        pno = t.column("patch_no").to_numpy()
+        tids = t.column("tile_id").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(t.num_rows):
+            chans = pack.from_bytes(px[j], int(fh[j]), int(fw[j]))
+            y0, x0 = int(y_off[j]), int(x_off[j])
+            y1, x1 = y0 + int(fh[j]), x0 + int(fw[j])
+            for qy in range(y0 // sub, (y1 - 1) // sub + 1):
+                for qx in range(x0 // sub, (x1 - 1) // sub + 1):
+                    py0, py1 = max(y0, qy * sub), min(y1, (qy + 1) * sub)
+                    px0, px1 = max(x0, qx * sub), min(x1, (qx + 1) * sub)
+                    sl = np.s_[py0 - y0:py1 - y0, px0 - x0:px1 - x0]
+                    piece = [a[sl] for a in chans]
+                    out["sub_key"].append(f"{tids[j]}#{qy}-{qx}")
+                    out["tile_id"].append(tids[j])
+                    out["tx"].append(int(txs[j]))
+                    out["ty"].append(int(tys[j]))
+                    out["qy"].append(qy)
+                    out["qx"].append(qx)
+                    out["patch_no"].append(int(pno[j]))
+                    out["y_off"].append(py0 - qy * sub)
+                    out["x_off"].append(px0 - qx * sub)
+                    out["fh"].append(py1 - py0)
+                    out["fw"].append(px1 - px0)
+                    out["own"].append(
+                        int(qy == y0 // sub and qx == x0 // sub))
+                    out["px"].append(pack.to_bytes(
+                        [np.ascontiguousarray(a) for a in piece]))
+        return pa.table(out, schema=SUB_PIECE_SCHEMA)
+
+    return frags.map_batches(split, batch_format="pyarrow",
+                             batch_size=batch_size)
 
 SUB_RESULT_SCHEMA = pa.schema([
     ("tile_id", pa.string()),
@@ -196,44 +244,7 @@ def ingest_median(images_ds, grid: GridSpec, batch_size: int = 64,
             make_median_fold(chunk, pack), batch_format="pyarrow")
 
     sub = chunk // sub_split
-
-    def split(t: pa.Table) -> pa.Table:
-        out: dict[str, list] = {k: [] for k in SUB_PIECE_SCHEMA.names}
-        px = binary_views(t.column("px"))
-        y_off = t.column("y_off").to_numpy()
-        x_off = t.column("x_off").to_numpy()
-        fh = t.column("fh").to_numpy()
-        fw = t.column("fw").to_numpy()
-        tids = t.column("tile_id").to_pylist()
-        txs = t.column("tx").to_numpy()
-        tys = t.column("ty").to_numpy()
-        for j in range(t.num_rows):
-            chans = pack.from_bytes(px[j], int(fh[j]), int(fw[j]))
-            y0, x0 = int(y_off[j]), int(x_off[j])
-            y1, x1 = y0 + int(fh[j]), x0 + int(fw[j])
-            for qy in range(y0 // sub, (y1 - 1) // sub + 1):
-                for qx in range(x0 // sub, (x1 - 1) // sub + 1):
-                    py0, py1 = max(y0, qy * sub), min(y1, (qy + 1) * sub)
-                    px0, px1 = max(x0, qx * sub), min(x1, (qx + 1) * sub)
-                    sl = np.s_[py0 - y0:py1 - y0, px0 - x0:px1 - x0]
-                    piece = [a[sl] for a in chans]
-                    out["sub_key"].append(f"{tids[j]}#{qy}-{qx}")
-                    out["tile_id"].append(tids[j])
-                    out["tx"].append(int(txs[j]))
-                    out["ty"].append(int(tys[j]))
-                    out["qy"].append(qy)
-                    out["qx"].append(qx)
-                    out["y_off"].append(py0 - qy * sub)
-                    out["x_off"].append(px0 - qx * sub)
-                    out["fh"].append(py1 - py0)
-                    out["fw"].append(px1 - px0)
-                    out["own"].append(int(qy == y0 // sub and qx == x0 // sub))
-                    out["px"].append(pack.to_bytes(
-                        [np.ascontiguousarray(a) for a in piece]))
-        return pa.table(out, schema=SUB_PIECE_SCHEMA)
-
-    pieces = frags.map_batches(split, batch_format="pyarrow",
-                               batch_size=2048)
+    pieces = _split_to_subtiles(frags, pack, sub)
 
     def sub_fold(group: pa.Table) -> pa.Table:
         y_off = group.column("y_off").to_numpy()
@@ -414,7 +425,8 @@ def mosaic_change(tiles_a, tiles_b, chunk: int, channels=None):
 
 def mosaic_change_from_images(images_ds, grid: GridSpec,
                               modes: tuple[str, str] = ("lww", "max"),
-                              batch_size: int = 64, channels=None):
+                              batch_size: int = 64, channels=None,
+                              sub_split: int = 1):
     """Fused single-pass change detection straight from the image table.
 
     The general :func:`mosaic_change` runs two full ingests (two decodes of
@@ -424,6 +436,15 @@ def mosaic_change_from_images(images_ds, grid: GridSpec,
     task, which folds the group twice (once per mode, reusing the ingest
     fold kernel) and diffs the two canvases in place — measured ~2x less
     wall than the two-ingest plan at 100k images.
+
+    ``sub_split`` > 1 applies the median's spatial skew decomposition
+    (the diff stats are additive over disjoint regions, so the final row
+    is a Sum of sub-tile partials). MEASURED A LOSS here at sf0.1 (6.4s
+    -> 13-18s): the LWW/max fold is linear in fragment bytes, so the hot
+    tile is no straggler, and the split pass (extra byte copy + 16x rows
+    through the sort-groupby) is pure overhead. Default stays 1; the knob
+    exists because a fold with superlinear per-task cost (the median's
+    depth-stack sort) DOES pay — see :func:`ingest_median`.
     """
     from .ingest import _fold_group
 
@@ -432,9 +453,10 @@ def mosaic_change_from_images(images_ds, grid: GridSpec,
     mode_a, mode_b = modes
     chunk = grid.chunk
 
-    def fold_both(group: pa.Table) -> pa.Table:
-        ca, wa, _ = _fold_group(group, chunk, pack, mode_a)
-        cb, wb, _ = _fold_group(group, chunk, pack, mode_b)
+    def fold_both(group: pa.Table, size: int | None = None) -> pa.Table:
+        sz = size or chunk
+        ca, wa, _ = _fold_group(group, sz, pack, mode_a)
+        cb, wb, _ = _fold_group(group, sz, pack, mode_b)
         ma, mb = wa >= 0, wb >= 0
         bothv = ma & mb
         diff = ma != mb
@@ -447,8 +469,13 @@ def mosaic_change_from_images(images_ds, grid: GridSpec,
             else:
                 dd, ne = d, a != b
             diff = diff | (ne & bothv)
-            scale = 1000.0 if a.dtype.kind == "f" else 1.0
-            adiff += int(round(float(dd[bothv].sum()) * scale))
+            if a.dtype.kind == "f":
+                # per-PIXEL 1e-3 quantization: associative, so the
+                # sub-tile decomposition sums to the identical total
+                adiff += int(np.round(dd[bothv] * 1000.0)
+                             .astype(np.int64).sum())
+            else:
+                adiff += int(dd[bothv].astype(np.int64).sum())
         return pa.table({
             "tile_id": pa.array([group.column("tile_id")[0].as_py()],
                                 pa.string()),
@@ -462,8 +489,42 @@ def mosaic_change_from_images(images_ds, grid: GridSpec,
     frags = fragments_dataset(images_ds, grid, num_salts=1,
                               batch_size=batch_size, pack=pack)
     n_blocks = max(8, min(64, cluster_cpus()))
-    return frags.repartition(n_blocks).groupby("tile_id").map_groups(
-        fold_both, batch_format="pyarrow")
+    if sub_split <= 1 or chunk % sub_split:
+        return frags.repartition(n_blocks).groupby("tile_id").map_groups(
+            fold_both, batch_format="pyarrow")
+
+    # spatial skew decomposition (same as the median): both folds and the
+    # diff stats are per-pixel, and the quantized diff sums are plain
+    # ADDITIVE over disjoint regions — so the final per-tile row is a
+    # Sum-aggregate of sub-tile partials, no canvas reassembly at all.
+    from ray.data.aggregate import Max, Sum
+
+    sub = chunk // sub_split
+    pieces = _split_to_subtiles(frags, pack, sub)
+
+    def fold_sub(group: pa.Table) -> pa.Table:
+        t = fold_both(group, size=sub)
+        return t
+
+    sub_rows = pieces.repartition(n_blocks).groupby("sub_key").map_groups(
+        fold_sub, batch_format="pyarrow")
+    agg = sub_rows.groupby("tile_id").aggregate(
+        Max("tx", alias_name="tx"), Max("ty", alias_name="ty"),
+        Sum("n_valid_px", alias_name="n_valid_px"),
+        Sum("n_diff_px", alias_name="n_diff_px"),
+        Sum("abs_diff_sum", alias_name="abs_diff_sum"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx").cast(pa.int32()),
+            "ty": t.column("ty").cast(pa.int32()),
+            "n_valid_px": t.column("n_valid_px").cast(pa.int64()),
+            "n_diff_px": t.column("n_diff_px").cast(pa.int64()),
+            "abs_diff_sum": t.column("abs_diff_sum").cast(pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow")
 
 
 def temporal_trend(temporal_tiles_ds, chunk: int, channels=None):
