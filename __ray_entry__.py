@@ -1415,6 +1415,16 @@ def _q_orders_rank(sf_dir: str):
                         "o_orderpriority", "o_totalprice", "o_orderkey")
 
 
+def _q_docs_pack_sequences(sf_dir: str):
+    """Sequence packing (LLM-training bin assignment): sharded next-fit
+    over (tokens desc, doc_id) order; the oracle replays the identical
+    scan with a per-shard recursive CTE."""
+    from raygeo.ops.corpus import pack_sequences
+
+    return pack_sequences(_rpq(f"{sf_dir}/documents.parquet"),
+                          capacity=256, n_shards=4)
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: k=10 smallest md5-rank doc_ids per
     language (row_number OVER (PARTITION BY lang ORDER BY md5) analog)."""
@@ -1492,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,  # per-stratum sample
         "events_period_overlap": _q_events_period_overlap,  # set-op segmentation
         "docs_normalize": _q_docs_normalize,  # text normalization, md5 row parity
+        "docs_pack_sequences": _q_docs_pack_sequences,  # LLM sequence packing
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
         "orders_rank": _q_orders_rank,  # full-output window ranking
         # text / dedup (documents)
@@ -2434,6 +2445,30 @@ SELECT count(*)::BIGINT AS n_items,
     AS revenue_cents
 FROM lineitem l JOIN pq_ ON pq_.l_partkey = l.l_partkey
 WHERE 5 * CAST(round(l_quantity) AS BIGINT) * c < s
+""",
+        "docs_pack_sequences": r"""
+WITH RECURSIVE m AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 4 AS shard,
+    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+), ordered AS (
+  SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+    row_number() OVER (PARTITION BY shard
+                       ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM m
+), packed AS (
+  SELECT shard, doc_id, n_tokens, rn, n_tokens AS fill, 0::BIGINT AS bin_no
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+    CASE WHEN p.fill + o.n_tokens <= 256 THEN p.fill + o.n_tokens
+         ELSE o.n_tokens END,
+    CASE WHEN p.fill + o.n_tokens <= 256 THEN p.bin_no
+         ELSE p.bin_no + 1 END
+  FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, bin_no FROM packed
 """,
         "docs_normalize": """
 WITH n AS (

@@ -369,3 +369,69 @@ def sample_bottom_k(ds, key_col: str, k: int = 100):
             .map_batches(partial, batch_format="pandas", batch_size=8192,
                          num_cpus=1)
             .sort(["h", key_col]).limit(k))
+
+
+def pack_sequences(docs_ds, capacity: int = 256, n_shards: int = 4,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Sequence packing for LLM training: assign documents to fixed
+    token-budget bins (next-fit over a deterministic order) — the step
+    that turns a cleaned corpus into dense training sequences.
+
+    Packing is inherently sequential, so it shards first: docs hash to
+    ``n_shards`` independent streams (the same md5 bucket idiom as
+    hash_split — DuckDB computes identical shard ids), each shard packs
+    next-fit over its (token_count desc, doc_id) order, and shards pack
+    in parallel with no coordination. Bin quality is within-shard
+    next-fit-decreasing; ``n_shards`` trades parallelism against
+    cross-shard fill (shards never share bins — at corpus scale one
+    shard per worker keeps the scan O(rows/shard)).
+
+    Tokens = whitespace-delimited (``\\S+``), the docs_token_stats
+    definition. Docs longer than ``capacity`` get a bin of their own
+    (next-fit semantics: the running bin closes, the big doc fills a new
+    one — never dropped silently).
+
+    Output: (doc_id, shard, n_tokens, bin_no) — bin_no is 0-based within
+    the shard. Oracle: a per-shard recursive CTE replays the identical
+    next-fit scan.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum  # noqa: F401  (symmetry w/ siblings)
+
+    tok = re.compile(r"\S+")
+
+    def with_meta(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df[text_col].str.findall(tok).str.len().astype("int64")
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+             for s in df[id_col].astype(str)),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({id_col: df[id_col],
+                             "shard": (h % n_shards).astype(np.int64),
+                             "n_tokens": n_tok})
+
+    meta = docs_ds.select_columns([id_col, text_col]).map_batches(
+        with_meta, batch_format="pandas", batch_size=4096)
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", id_col], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+        toks = g.n_tokens.to_numpy()
+        bins = np.empty(len(g), np.int64)
+        fill, b = 0, 0
+        first = True
+        for i, t in enumerate(toks):  # next-fit: O(rows/shard) scan
+            if first:
+                fill, b, first = int(t), 0, False
+            elif fill + t <= capacity:
+                fill += int(t)
+            else:
+                b += 1
+                fill = int(t)
+            bins[i] = b
+        g["bin_no"] = bins
+        return g[[id_col, "shard", "n_tokens", "bin_no"]]
+
+    return meta.groupby("shard").map_groups(pack_shard,
+                                            batch_format="pandas")

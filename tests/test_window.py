@@ -161,3 +161,46 @@ def test_period_overlap_categories(ray_session):
            "only_b": int((~in_a & in_b).sum())}
     exp = {k: v for k, v in exp.items() if v > 0}
     assert got == exp
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.corpus import pack_sequences
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    docs = pd.DataFrame({
+        "doc_id": [f"d-{i:04d}" for i in range(300)],
+        "text": [" ".join(["w"] * int(t))
+                 for t in rng.integers(1, 400, size=300)],
+    })
+    cap = 256
+    out = pack_sequences(rd.from_pandas(docs).repartition(7),
+                         capacity=cap, n_shards=3).to_pandas()
+    assert len(out) == 300
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        # bins are consecutive starting at 0 and next-fit-consistent
+        assert g.bin_no.iloc[0] == 0
+        fill, b = 0, 0
+        for _, row in g.iterrows():
+            t = int(row.n_tokens)
+            if fill == 0 or fill + t > cap:
+                if fill != 0:
+                    b += 1
+                fill = t
+            else:
+                fill += t
+            assert row.bin_no == b
+        # every bin except possibly oversize-single-doc bins fits capacity
+        sums = g.groupby("bin_no").n_tokens.agg(["sum", "size"])
+        over = sums[sums["sum"] > cap]
+        assert (over["size"] == 1).all()
+    # partition invariance
+    out2 = pack_sequences(
+        rd.from_pandas(docs.sample(frac=1, random_state=2)).repartition(13),
+        capacity=cap, n_shards=3).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b2 = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b2)
