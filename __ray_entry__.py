@@ -1425,6 +1425,15 @@ def _q_docs_pack_sequences(sf_dir: str):
                           capacity=256, n_shards=4)
 
 
+def _q_docs_cooccurrence(sf_dir: str):
+    """Top-term document co-occurrence edges (PMI/graph-edge extraction):
+    pairs bounded to the broadcast top-20 vocabulary, k-bit membership
+    per doc map-side, one small keyed fold."""
+    from raygeo.ops.corpus import term_cooccurrence
+
+    return term_cooccurrence(_rpq(f"{sf_dir}/documents.parquet"), top_k=20)
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: k=10 smallest md5-rank doc_ids per
     language (row_number OVER (PARTITION BY lang ORDER BY md5) analog)."""
@@ -1503,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_period_overlap": _q_events_period_overlap,  # set-op segmentation
         "docs_normalize": _q_docs_normalize,  # text normalization, md5 row parity
         "docs_pack_sequences": _q_docs_pack_sequences,  # LLM sequence packing
+        "docs_cooccurrence": _q_docs_cooccurrence,  # top-term doc co-occurrence
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
         "orders_rank": _q_orders_rank,  # full-output window ranking
         # text / dedup (documents)
@@ -2469,6 +2479,22 @@ WITH RECURSIVE m AS (
   FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT doc_id, shard, n_tokens, bin_no FROM packed
+""",
+        "docs_cooccurrence": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+), tt AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tf FROM toks GROUP BY term
+    ORDER BY tf DESC, term LIMIT 20)
+), dterm AS (
+  SELECT DISTINCT doc_id, term FROM toks
+  WHERE term IN (SELECT term FROM tt)
+)
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
+FROM dterm a JOIN dterm b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2
 """,
         "docs_normalize": """
 WITH n AS (

@@ -435,3 +435,56 @@ def pack_sequences(docs_ds, capacity: int = 256, n_shards: int = 4,
 
     return meta.groupby("shard").map_groups(pack_shard,
                                             batch_format="pandas")
+
+
+def term_cooccurrence(docs_ds, top_k: int = 20, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Document co-occurrence counts between the corpus's top-k terms —
+    the graph-edge extraction step (PMI / embedding-training pairs).
+
+    Unbounded per-doc term-pair explosion is quadratic in vocabulary; the
+    scale-safe plan restricts pairs to the TOP-K global terms: pass 1 is
+    the existing term-frequency fold + a k-row driver pull; pass 2 maps
+    each doc to its distinct top-term subset (a k-bit membership mask —
+    one int per doc) and emits the <= k(k-1)/2 present pairs as count
+    partials. Shuffle volume: at most k^2/2 rows per batch.
+
+    Output: (term_a, term_b, n_docs) with term_a < term_b.
+    """
+    from ray.data.aggregate import Sum
+
+    top = top_terms(docs_ds, k=top_k, text_col=text_col).to_pandas()
+    terms = np.sort(top["term"].to_numpy())
+
+    class _Pairs:
+        def __init__(self):
+            self.tok = re.compile(LOWER_TOKEN_RE)
+            self.terms = terms
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df[text_col].str.lower().str.findall(self.tok)
+            rows_a, rows_b, ns = [], [], []
+            counts: dict[tuple[str, str], int] = {}
+            for doc_terms in toks:
+                present = np.unique(np.asarray(doc_terms, dtype=object))
+                idx = np.searchsorted(self.terms, present)
+                ok = (idx < len(self.terms))
+                idx = idx[ok]
+                hit = idx[self.terms[idx] == present[ok]]
+                hit = np.unique(hit)
+                for a in range(len(hit)):
+                    for b in range(a + 1, len(hit)):
+                        key = (self.terms[hit[a]], self.terms[hit[b]])
+                        counts[key] = counts.get(key, 0) + 1
+            for (a, b), n in counts.items():
+                rows_a.append(a)
+                rows_b.append(b)
+                ns.append(n)
+            return pd.DataFrame({"term_a": rows_a, "term_b": rows_b,
+                                 "n_docs": np.array(ns, np.int64)})
+
+    partials = docs_ds.select_columns([text_col]).map_batches(
+        _Pairs, batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+        max_restarts=0)
+    return partials.groupby(["term_a", "term_b"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"))
