@@ -1301,6 +1301,41 @@ def _q_mosaic_resample(sf_dir: str):
     return resample_nn(tiles, FIXTURE_GRID, WARP_GRID)
 
 
+def _q_mosaic_zonal(sf_dir: str):
+    """Zonal join over the MOSAIC (composite tiles, not source images):
+    broadcast zones, per-tile partials, tiny keyed fold — canvases never
+    shuffle. Golden = serial full-plane zonal paint."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.zonal import mosaic_zonal
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return mosaic_zonal(tiles, pq.read_table(f"{d}/zones.parquet"),
+                        FIXTURE_GRID)
+
+
+def _q_mosaic_overview_l2(sf_dir: str):
+    """Level-2 overview pyramid: the one-level pool/assemble applied
+    twice (the operator chains — level L input = level L-1 output).
+    Golden = two-fold self-composition of the serial pool."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.overview import overview_level
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    ov = overview_level(tiles, FIXTURE_GRID.chunk, level=2)
+    return ov.select_columns(["tile_id", "tx", "ty", "n_children",
+                              "n_valid_px", "pix_sum"])
+
+
 def _q_rasterize_zones(sf_dir: str):
     """Vector -> raster burn: zone boxes painted onto the chunk grid with
     pixel-center semantics, max-zone_id winner; per-(tile, zone) pixel
@@ -1502,6 +1537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_resample": _q_mosaic_resample,  # NN grid warp (gather)
         "catalog_tile_cover": _q_catalog_tile_cover,  # JSONL source path
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
+        "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
+        "mosaic_overview_l2": _q_mosaic_overview_l2,  # chained pyramid level 2
         "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
         "q5_local_volume": _q_q5_local_volume,  # 6-table star join
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
@@ -1783,6 +1820,14 @@ FROM read_parquet('{FIX_SF001}/windows_golden.parquet')
         "mosaic_overview": f"""
 SELECT tile_id, ptx AS tx, pty AS ty, n_children, n_valid_px, pix_sum
 FROM read_parquet('{FIX_SF001}/overview_golden.parquet')
+""",
+        "mosaic_overview_l2": f"""
+SELECT tile_id, ptx AS tx, pty AS ty, n_children, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/overview2_golden.parquet')
+""",
+        "mosaic_zonal": f"""
+SELECT zone_id, n_px, v_sum
+FROM read_parquet('{FIX_SF001}/mosaic_zonal_golden.parquet')
 """,
         "video_frame_stats": f"""
 SELECT video_id, frame_no, pix_sum

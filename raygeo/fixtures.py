@@ -1188,18 +1188,29 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_overview(agg["lww"]), opath + ".tmp",
                    compression="zstd")
     os.replace(opath + ".tmp", opath)
+    o2path = os.path.join(out_dir, "overview2_golden.parquet")
+    pq.write_table(_golden_overview(agg["lww"], level=2), o2path + ".tmp",
+                   compression="zstd")
+    os.replace(o2path + ".tmp", o2path)
+    zpath = os.path.join(out_dir, "mosaic_zonal_golden.parquet")
+    pq.write_table(
+        _golden_mosaic_zonal(agg["lww"],
+                             os.path.join(out_dir, "zones.parquet")),
+        zpath + ".tmp", compression="zstd")
+    os.replace(zpath + ".tmp", zpath)
 
 
-def _golden_overview(lww: dict) -> pa.Table:
-    """Level-1 overview pyramid of the golden LWW mosaic: each parent tile
-    is its four children 2x2-max-pooled into quadrants. Serial numpy,
-    independent of the engine's distributed pool/assemble plan (shares only
-    the per-pixel pooling definition: pooled value = max over the block's
-    VALID pixels, pooled validity = any valid)."""
+def _pool_tiles_once(tiles: dict) -> dict:
+    """One pyramid level: children 2x2-max-pooled into parent quadrants.
+    Input/output: (tx, ty) -> [canvas uint8 HxWx3, mask bool, n_children].
+    Serial numpy, independent of the engine's distributed pool/assemble
+    plan (shares only the per-pixel pooling definition: pooled value =
+    max over the block's VALID pixels, pooled validity = any valid)."""
     g = FIXTURE_GRID
     half = g.chunk // 2
     parents: dict[tuple[int, int], list] = {}
-    for (tx, ty), (canvas, mask, _) in lww.items():
+    for (tx, ty), st_in in tiles.items():
+        canvas, mask = st_in[0], st_in[1]
         masked = np.where(mask[:, :, None], canvas, 0)
         pooled = masked.reshape(half, 2, half, 2, 3).max(axis=(1, 3))
         pmask = mask.reshape(half, 2, half, 2).any(axis=(1, 3))
@@ -1214,10 +1225,19 @@ def _golden_overview(lww: dict) -> pa.Table:
         pc[r0:r0 + half, c0:c0 + half] = pooled
         pm[r0:r0 + half, c0:c0 + half] = pmask
         st[2] += 1
+    return parents
+
+
+def _golden_overview(lww: dict, level: int = 1) -> pa.Table:
+    """Level-``level`` overview pyramid of the golden LWW mosaic via
+    ``level``-fold self-composition of the one-level pool."""
+    tiles = lww
+    for _ in range(level):
+        tiles = _pool_tiles_once(tiles)
     out: dict[str, list] = {"tile_id": [], "ptx": [], "pty": [],
                             "n_children": [], "n_valid_px": [], "pix_sum": []}
-    for (ptx, pty), (pc, pm, nch) in sorted(parents.items()):
-        out["tile_id"].append(f"ov1-{ptx}-{pty}")
+    for (ptx, pty), (pc, pm, nch) in sorted(tiles.items()):
+        out["tile_id"].append(f"ov{level}-{ptx}-{pty}")
         out["ptx"].append(ptx)
         out["pty"].append(pty)
         out["n_children"].append(nch)
@@ -1230,6 +1250,36 @@ def _golden_overview(lww: dict) -> pa.Table:
         "n_children": pa.array(out["n_children"], pa.int64()),
         "n_valid_px": pa.array(out["n_valid_px"], pa.int64()),
         "pix_sum": pa.array(out["pix_sum"], pa.int64()),
+    })
+
+
+def _golden_mosaic_zonal(lww: dict, zones_path: str) -> pa.Table:
+    """Per-zone statistics over the golden LWW MOSAIC plane (not source
+    images): pixel-center membership (the rasterize window semantics), a
+    pixel counts toward EVERY zone containing its center (zones may
+    overlap; no winner), v = R+G+B of valid mosaic pixels."""
+    zt = pq.read_table(zones_path)
+    _, valid, v = _full_plane(lww)
+    g = FIXTURE_GRID
+    zl = np.ceil((zt.column("lon_min").to_numpy() - g.x0) / g.res - 0.5)
+    zh = np.ceil((zt.column("lon_max").to_numpy() - g.x0) / g.res - 0.5)
+    rl = np.ceil((g.y1 - zt.column("lat_max").to_numpy()) / g.res - 0.5)
+    rh = np.ceil((g.y1 - zt.column("lat_min").to_numpy()) / g.res - 0.5)
+    cl = np.clip(zl.astype(np.int64), 0, g.width)
+    ch = np.clip(zh.astype(np.int64), 0, g.width)
+    rlo = np.clip(rl.astype(np.int64), 0, g.height)
+    rhi = np.clip(rh.astype(np.int64), 0, g.height)
+    ids = zt.column("zone_id").to_pylist()
+    out = {"zone_id": [], "n_px": [], "v_sum": []}
+    for i, zid in enumerate(ids):
+        m = valid[rlo[i]:rhi[i], cl[i]:ch[i]]
+        out["zone_id"].append(zid)
+        out["n_px"].append(int(m.sum()))
+        out["v_sum"].append(int(v[rlo[i]:rhi[i], cl[i]:ch[i]][m].sum()))
+    return pa.table({
+        "zone_id": pa.array(out["zone_id"], pa.string()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "v_sum": pa.array(out["v_sum"], pa.int64()),
     })
 
 
@@ -1252,7 +1302,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v12-stencil-warp"
+FIXTURE_LAYOUT_VERSION = "v13-ov2-mzonal"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1289,6 +1339,8 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "trend_golden.parquet"))
             and os.path.exists(os.path.join(d, "gradient_golden.parquet"))
             and os.path.exists(os.path.join(d, "resample_golden.parquet"))
+            and os.path.exists(os.path.join(d, "overview2_golden.parquet"))
+            and os.path.exists(os.path.join(d, "mosaic_zonal_golden.parquet"))
             and (n > MEDIAN_GOLDEN_MAX or os.path.exists(
                 os.path.join(d, "tiles_golden_med.parquet")))):
         generate_tile_goldens(d, n)

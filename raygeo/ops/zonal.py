@@ -137,3 +137,80 @@ def nearest_zone(images_ds, zones: pa.Table):
     cols = ["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
     return images_ds.select_columns(cols).map_batches(
         per_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def mosaic_zonal(tiles_ds, zones: pa.Table, grid: GridSpec,
+                 pack=None):
+    """Raster<->vector zonal join over MOSAIC TILES (the composite, not
+    the source images — the post-ingest analytics pass every cube stack
+    runs): per zone, valid-pixel count and v = channel-sum total.
+
+    Pixel-center membership (identical window arithmetic to the
+    rasterize burn, ``ops/rasterize._center_window``), overlapping zones
+    each count the pixel (no winner). The zone table is dimension-sized
+    and broadcasts in the task closure; each tile batch emits one
+    (zone, n_px, v_sum) partial per intersecting zone, folded by a tiny
+    keyed groupby — tile canvases never shuffle.
+    """
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+    from .rasterize import _center_window
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    cl, ch, rl, rh = _center_window(
+        grid,
+        zones.column("lon_min").to_numpy(), zones.column("lat_min").to_numpy(),
+        zones.column("lon_max").to_numpy(), zones.column("lat_max").to_numpy())
+    zids = np.asarray(zones.column("zone_id").to_pylist(), dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_z, out_n, out_v = [], [], []
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            tc0, tc1 = tx * chunk, min((tx + 1) * chunk, grid.width)
+            tr0, tr1 = ty * chunk, min((ty + 1) * chunk, grid.height)
+            hit = np.nonzero((cl < tc1) & (ch > tc0)
+                             & (rl < tr1) & (rh > tr0))[0]
+            if len(hit) == 0:
+                continue
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = np.zeros((chunk, chunk), np.int64)
+            for a in canvas:
+                q = (np.round(a.astype(np.float64) * 1000).astype(np.int64)
+                     if a.dtype.kind == "f" else a.astype(np.int64))
+                v += q.sum(axis=2) if a.ndim == 3 else q
+            for i in hit:
+                c0, c1 = max(cl[i], tc0) - tc0, min(ch[i], tc1) - tc0
+                r0, r1 = max(rl[i], tr0) - tr0, min(rh[i], tr1) - tr0
+                m = mask[r0:r1, c0:c1]
+                n = int(m.sum())
+                if n == 0:
+                    # still emit: zones with zero valid pixels must appear
+                    out_z.append(zids[i])
+                    out_n.append(0)
+                    out_v.append(0)
+                    continue
+                out_z.append(zids[i])
+                out_n.append(n)
+                out_v.append(int(v[r0:r1, c0:c1][m].sum()))
+        return pa.table({
+            "zone_id": pa.array(out_z, pa.string()),
+            "n_px": pa.array(out_n, pa.int64()),
+            "v_sum": pa.array(out_v, pa.int64()),
+        })
+
+    return (tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=64)
+            .groupby("zone_id")
+            .aggregate(Sum("n_px", alias_name="n_px"),
+                       Sum("v_sum", alias_name="v_sum")))
