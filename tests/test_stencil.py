@@ -153,3 +153,38 @@ def test_gradient_multichannel_float_pack(ray_session):
     total_sum = int(dh[bh].sum()) + int(dv[bv].sum())
     assert out.n_pairs.sum() == total_pairs
     assert out.abs_grad_sum.sum() == total_sum
+
+
+def test_mosaic_zonal_matches_full_plane(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.ops.rasterize import _center_window
+    from raygeo.ops.zonal import mosaic_zonal
+
+    rows, plane, valid = _random_mosaic(seed=23, p_absent=0.2)
+    rng = np.random.Generator(np.random.PCG64(24))
+    nz = 15
+    zx = rng.uniform(0.05, 0.8, nz)
+    zy = rng.uniform(0.05, 0.8, nz)
+    zones = pa.table({
+        "zone_id": [f"z-{i:02d}" for i in range(nz)],
+        "lon_min": zx, "lat_min": zy,
+        "lon_max": zx + 0.15, "lat_max": zy + 0.15,
+    })
+    out = mosaic_zonal(rd.from_items(rows).repartition(5), zones,
+                       SRC).to_pandas().sort_values("zone_id")
+
+    v = plane.astype(np.int64).sum(axis=2)
+    cl, ch, rl, rh = _center_window(
+        SRC, zones.column("lon_min").to_numpy(),
+        zones.column("lat_min").to_numpy(),
+        zones.column("lon_max").to_numpy(),
+        zones.column("lat_max").to_numpy())
+    got = {r.zone_id: (r.n_px, r.v_sum) for r in out.itertuples()}
+    for i in range(nz):
+        m = valid[rl[i]:rh[i], cl[i]:ch[i]]
+        exp = (int(m.sum()), int(v[rl[i]:rh[i], cl[i]:ch[i]][m].sum()))
+        # zones touching only absent tiles may be omitted entirely — that
+        # is only legal when their expected count is zero
+        assert got.get(f"z-{i:02d}", (0, 0)) == exp
