@@ -379,7 +379,6 @@ def kmeans_quantized(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     Returns the final assignment: (vec_id, cid, dist) — dist the exact
     integer squared distance in micro-units^2.
     """
-    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
@@ -389,10 +388,17 @@ def kmeans_quantized(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         m = _list_matrix(t.column(vec_col)).astype(np.float64)
         return np.floor(m * 1e6 + 0.5).astype(np.int64)
 
-    # seeds: the k smallest ids (tiny filtered read, never a full collect)
-    seed_t = ds.filter(expr=f"{id_col} < {k}").select_columns(
-        [id_col, vec_col]).take_all()
-    seed_t = sorted(seed_t, key=lambda r: r[id_col])
+    # seeds: the k smallest ids — map-side bottom-k partial caps the final
+    # sort at k rows per batch (works for any id range, not just 0-based)
+    def bottom_k(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        keep = np.argsort(ids, kind="stable")[:k]
+        return t.select([id_col, vec_col]).take(pa.array(np.sort(keep)))
+
+    seed_t = (ds.select_columns([id_col, vec_col])
+              .map_batches(bottom_k, batch_format="pyarrow",
+                           batch_size=8192)
+              .sort(id_col).limit(k).take_all())
     cids = np.array([r[id_col] for r in seed_t], dtype=np.int64)
     cmat = np.floor(np.array([np.asarray(r[vec_col], np.float64)
                               for r in seed_t]) * 1e6 + 0.5).astype(np.int64)

@@ -209,7 +209,6 @@ SUB_RESULT_SCHEMA = pa.schema([
     ("qy", pa.int32()),
     ("qx", pa.int32()),
     ("n_frags_owned", pa.int64()),
-    ("n_valid_px", pa.int64()),
     ("px", pa.binary()),
     ("mask", pa.binary()),
 ])
@@ -295,7 +294,6 @@ def ingest_median(images_ds, grid: GridSpec, batch_size: int = 64,
                 "qy": [group.column("qy")[0].as_py()],
                 "qx": [group.column("qx")[0].as_py()],
                 "n_frags_owned": [int(group.column("own").to_numpy().sum())],
-                "n_valid_px": [int(valid.sum())],
                 "px": [pack.to_bytes(canvas)],
                 "mask": [valid.astype(np.uint8).tobytes()],
             },
@@ -321,6 +319,10 @@ def ingest_median(images_ds, grid: GridSpec, batch_size: int = 64,
                 dst[ys, xs] = src
             valid[ys, xs] = pmask
             n_frags += int(group.column("n_frags_owned")[j].as_py())
+        # sub-tiles no fragment touched were never pasted: normalize them
+        # to the channel nodata exactly like the unsplit plan's
+        # fill_invalid (idempotent on the already-filled piece regions)
+        canvas = pack.fill_invalid(canvas, valid)
         px_z = zlib.compress(
             b"".join(np.ascontiguousarray(c).tobytes() for c in canvas), 1)
         mask_z = zlib.compress(valid.astype(np.uint8).tobytes(), 1)
@@ -405,8 +407,14 @@ def mosaic_change(tiles_a, tiles_b, chunk: int, channels=None):
                 else:
                     dd, ne = d, a != b
                 diff = diff | (ne & bothv)
-                scale = 1000.0 if a.dtype.kind == "f" else 1.0
-                adiff += int(round(float(dd[bothv].sum()) * scale))
+                if a.dtype.kind == "f":
+                    # per-PIXEL 1e-3 quantization — the ONE definition of
+                    # float abs_diff_sum engine-wide (matches the fused
+                    # plan and stays associative for its sub-tile split)
+                    adiff += int(np.round(dd[bothv] * 1000.0)
+                                 .astype(np.int64).sum())
+                else:
+                    adiff += int(dd[bothv].astype(np.int64).sum())
             out.update({"n_valid_px": [int(either.sum())],
                         "n_diff_px": [int(diff.sum())],
                         "abs_diff_sum": [adiff]})

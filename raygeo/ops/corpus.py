@@ -397,8 +397,6 @@ def pack_sequences(docs_ds, capacity: int = 256, n_shards: int = 4,
     """
     import hashlib
 
-    from ray.data.aggregate import Sum  # noqa: F401  (symmetry w/ siblings)
-
     tok = re.compile(r"\S+")
 
     def with_meta(df: pd.DataFrame) -> pd.DataFrame:

@@ -37,7 +37,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ..grid import GridSpec
-from ..util import table_from_pandas
 
 
 def _center_window(grid: GridSpec, lon_min, lat_min, lon_max, lat_max):

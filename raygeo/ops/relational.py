@@ -934,7 +934,8 @@ def inactive_customers(orders_ds, customer_path: str,
     return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
 
 
-def cohort_retention(events_ds, user_col: str = "user_id"):
+def cohort_retention(events_ds, user_col: str = "user_id",
+                     num_partitions: int | None = None):
     """Cohort retention matrix: users bucketed by first-active day, distinct
     users counted per (cohort_day, day_offset) cell.
 
@@ -977,7 +978,12 @@ def cohort_retention(events_ds, user_col: str = "user_id"):
 
     base = pairs_of(events_ds)
     mins = base.groupby("u").aggregate(Min("day", alias_name="cohort"))
-    n_parts = max(8, min(16, cluster_cpus()))
+    # the join inputs are DERIVED datasets (distinct pairs / per-user
+    # mins — far smaller than raw events), so the byte-aware
+    # join_partitions helper has no file size to read; a deliberate low
+    # cap keeps the actor-pool ramp proportional to that reduced volume.
+    # Callers joining genuinely huge pair sets should raise it.
+    n_parts = num_partitions or max(8, min(16, cluster_cpus()))
     joined = pairs_of(events_ds).join(
         mins, join_type="inner", num_partitions=n_parts, on=("u",))
 
@@ -1202,12 +1208,13 @@ def grouped_rank(ds, key_col: str, value_col: str, id_col: str):
 
     def assign(t: pa.Table) -> pa.Table:
         table = ray.get(lut_ref)
-        keys = t.column(key_col).to_pylist()
+        keys = pd.Series(t.column(key_col).to_pylist())
+        codes, uniques = pd.factorize(keys, sort=False)
         cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
         rank = np.empty(len(keys), np.int64)
         pr = np.empty(len(keys), np.float64)
-        for k in set(keys):
-            sel = np.array([x == k for x in keys])
+        for ci, k in enumerate(uniques):  # one vectorized pass per key
+            sel = codes == ci
             cs, before, total = table[k]
             pos = np.searchsorted(cs, cents[sel])
             r = before[pos] + 1

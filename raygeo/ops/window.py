@@ -169,8 +169,11 @@ def small_qty_revenue(lineitem_ds, part_path: str, brand: str):
     def qty_partial(t: pa.Table) -> pa.Table:
         bk = ray.get(bk_ref)
         lp = t.column("l_partkey").to_numpy()
-        pos = np.searchsorted(bk, lp)
-        found = bk[np.clip(pos, 0, len(bk) - 1)] == lp
+        if len(bk) == 0:
+            found = np.zeros(len(lp), dtype=bool)
+        else:
+            pos = np.searchsorted(bk, lp)
+            found = bk[np.clip(pos, 0, len(bk) - 1)] == lp
         t = t.filter(pa.array(found))
         qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
         df = pd.DataFrame({"l_partkey": t.column("l_partkey").to_numpy(),

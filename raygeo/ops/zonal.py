@@ -209,8 +209,19 @@ def mosaic_zonal(tiles_ds, zones: pa.Table, grid: GridSpec,
             "v_sum": pa.array(out_v, pa.int64()),
         })
 
-    return (tiles_ds.map_batches(partial, batch_format="pyarrow",
-                                 batch_size=64)
+    import ray.data as rd
+
+    # seed one zero partial per zone: a zone lying entirely over ABSENT
+    # tiles emits no per-tile partial, but must still appear with
+    # (0, 0) — exactly like the golden's full-plane paint
+    zeros = rd.from_arrow(pa.table({
+        "zone_id": pa.array(list(zids), pa.string()),
+        "n_px": pa.array([0] * len(zids), pa.int64()),
+        "v_sum": pa.array([0] * len(zids), pa.int64()),
+    }))
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=64)
+    return (partials.union(zeros)
             .groupby("zone_id")
             .aggregate(Sum("n_px", alias_name="n_px"),
                        Sum("v_sum", alias_name="v_sum")))

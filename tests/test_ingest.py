@@ -637,3 +637,32 @@ def test_median_sub_split_plans_bit_identical(ray_session, fixtures_sf0001):
         assert _z.decompress(pa_) == _z.decompress(pb_)
     for ma_, mb_ in zip(a.mask_z, b.mask_z):
         assert _z.decompress(ma_) == _z.decompress(mb_)
+
+
+def test_median_sub_split_dem_pack_bit_identical(ray_session, fixtures_sf0001):
+    """Same cross-plan equality for a float32+bool pack: uncovered
+    sub-tiles must carry the channel NODATA (NaN), not alloc zeros."""
+    import ray.data as rd
+
+    from raygeo.channels import DEM_CHANNELS
+    from raygeo.fixtures import FIXTURE_GRID, ensure_fixtures
+    from raygeo.ops.composite import ingest_median
+    from raygeo.util import read_parquet_clean
+
+    d = ensure_fixtures(0.001)
+
+    def run(s):
+        images = read_parquet_clean(
+            f"{d}/images.parquet", columns=["image_id", "bytes", "w", "h"])
+        out = ingest_median(images, FIXTURE_GRID, channels=DEM_CHANNELS,
+                            sub_split=s).to_pandas()
+        return out.sort_values("tile_id").reset_index(drop=True)
+
+    a, b = run(1), run(4)
+    assert (a.tile_id == b.tile_id).all()
+    for col in ["n_frags", "n_valid_px", "pix_sum"]:
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
+    import zlib as _z
+
+    for pa_, pb_ in zip(a.px_z, b.px_z):
+        assert _z.decompress(pa_) == _z.decompress(pb_)
