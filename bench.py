@@ -133,6 +133,9 @@ def run_bench() -> dict:
         "rasterize_zones",
         "footprint_overlap",
         "emb_kmeans",
+        "nearest_zone",
+        "orders_rank",
+        "docs_pack_sequences",
     ]
     for name in bench_queries:
         timed(name, qs[name])
