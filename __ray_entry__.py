@@ -1460,6 +1460,15 @@ def _q_docs_pack_sequences(sf_dir: str):
                           capacity=256, n_shards=4)
 
 
+def _q_docs_epoch_shuffle(sf_dir: str):
+    """Deterministic seeded epoch shuffle: md5(seed||id) permutation ->
+    (shard, position); reproducible across runs and resharding."""
+    from raygeo.ops.corpus import epoch_shuffle
+
+    return epoch_shuffle(_rpq(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]), seed=7, n_shards=8)
+
+
 def _q_docs_cooccurrence(sf_dir: str):
     """Top-term document co-occurrence edges (PMI/graph-edge extraction):
     pairs bounded to the broadcast top-20 vocabulary, k-bit membership
@@ -1550,6 +1559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": _q_docs_normalize,  # text normalization, md5 row parity
         "docs_pack_sequences": _q_docs_pack_sequences,  # LLM sequence packing
         "docs_cooccurrence": _q_docs_cooccurrence,  # top-term doc co-occurrence
+        "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
         "orders_rank": _q_orders_rank,  # full-output window ranking
         # text / dedup (documents)
@@ -2524,6 +2534,17 @@ WITH RECURSIVE m AS (
   FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT doc_id, shard, n_tokens, bin_no FROM packed
+""",
+        "docs_epoch_shuffle": """
+WITH k AS (
+  SELECT doc_id,
+    (('0x' || substr(md5('7:' || doc_id), 1, 16))::UBIGINT >> 1)::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, (h % 8)::BIGINT AS shard,
+  (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
+    AS pos
+FROM k
 """,
         "docs_cooccurrence": """
 WITH toks AS (

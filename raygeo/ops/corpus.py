@@ -486,3 +486,40 @@ def term_cooccurrence(docs_ds, top_k: int = 20, text_col: str = "text",
         max_restarts=0)
     return partials.groupby(["term_a", "term_b"]).aggregate(
         Sum("n_docs", alias_name="n_docs"))
+
+
+def epoch_shuffle(docs_ds, seed: int = 0, n_shards: int = 8,
+                  id_col: str = "doc_id"):
+    """Deterministic training-epoch shuffle: every row gets a (shard,
+    position) under a seeded pseudo-random permutation — the distributed
+    shuffle-for-SGD step, reproducible across runs and resharding.
+
+    Key = md5(seed || id): changing ``seed`` re-permutes every epoch;
+    the permutation is a pure function of (seed, id set) so a resumed or
+    re-run epoch reads the identical order. Shard = key mod n_shards
+    (NOT a range-split of the hash: mod mixes the orderless low bits);
+    position = rank of the key within the shard. One keyed shuffle of
+    (id, key) pairs; payload columns stay where they are and join back
+    by id when the training reader consumes the plan.
+    """
+    import hashlib
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        pref = f"{seed}:".encode()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(pref + s.encode()).digest()[:8],
+                            "big") >> 1  # keep it positive in int64
+             for s in df[id_col].astype(str)),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({id_col: df[id_col], "h": h,
+                             "shard": (h % n_shards).astype(np.int64)})
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col], kind="mergesort").reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g[[id_col, "shard", "pos"]]
+
+    return (docs_ds.select_columns([id_col])
+            .map_batches(keyed, batch_format="pandas", batch_size=8192)
+            .groupby("shard")
+            .map_groups(rank_shard, batch_format="pandas"))
