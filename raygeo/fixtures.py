@@ -1344,7 +1344,11 @@ def ensure_fixtures(sf: float) -> str:
             and (n > MEDIAN_GOLDEN_MAX or os.path.exists(
                 os.path.join(d, "tiles_golden_med.parquet")))):
         generate_tile_goldens(d, n)
-    if not os.path.exists(os.path.join(d, "videos.parquet")):
+    if not (os.path.exists(os.path.join(d, "videos.parquet"))
+            and os.path.exists(
+                os.path.join(d, "video_frames_golden.parquet"))):
+        # the golden is written AFTER the table: a crash between the two
+        # must re-run generation (it is idempotent), not skip it forever
         generate_videos(max(50, n // 20), os.path.join(d, "videos.parquet"),
                         os.path.join(d, "video_frames_golden.parquet"))
     if not os.path.exists(os.path.join(d, "audio.parquet")):

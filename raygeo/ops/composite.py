@@ -344,6 +344,31 @@ def ingest_median(images_ds, grid: GridSpec, batch_size: int = 64,
         assemble, batch_format="pyarrow")
 
 
+
+def _diff_stats(ca, ma, cb, mb):
+    """Per-pixel change statistics between two canvases: the ONE
+    definition shared by the two-Dataset and fused change plans.
+    Float channels quantize per pixel at 1e-3 (associative — safe under
+    the sub-tile decomposition); integer channels diff exactly.
+    Returns (n_valid_px, n_diff_px, abs_diff_sum)."""
+    either, bothv = ma | mb, ma & mb
+    diff = ma != mb
+    adiff = 0
+    for a, b in zip(ca, cb):
+        d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+        if d.ndim == 3:
+            dd = d.sum(axis=2)
+            ne = (a != b).any(axis=2)
+        else:
+            dd, ne = d, a != b
+        diff = diff | (ne & bothv)
+        if a.dtype.kind == "f":
+            adiff += int(np.round(dd[bothv] * 1000.0).astype(np.int64).sum())
+        else:
+            adiff += int(dd[bothv].astype(np.int64).sum())
+    return int(either.sum()), int(diff.sum()), adiff
+
+
 def mosaic_change(tiles_a, tiles_b, chunk: int, channels=None):
     """Per-tile change stats between two mosaic variants of the same grid.
 
@@ -396,27 +421,8 @@ def mosaic_change(tiles_a, tiles_b, chunk: int, channels=None):
                         "abs_diff_sum": [0]})
         else:
             (ca, ma), (cb, mb) = decoded[0], decoded[1]
-            either, bothv = ma | mb, ma & mb
-            diff = ma != mb
-            adiff = 0
-            for a, b in zip(ca, cb):
-                d = np.abs(a.astype(np.float64) - b.astype(np.float64))
-                if d.ndim == 3:
-                    dd = d.sum(axis=2)
-                    ne = (a != b).any(axis=2)
-                else:
-                    dd, ne = d, a != b
-                diff = diff | (ne & bothv)
-                if a.dtype.kind == "f":
-                    # per-PIXEL 1e-3 quantization — the ONE definition of
-                    # float abs_diff_sum engine-wide (matches the fused
-                    # plan and stays associative for its sub-tile split)
-                    adiff += int(np.round(dd[bothv] * 1000.0)
-                                 .astype(np.int64).sum())
-                else:
-                    adiff += int(dd[bothv].astype(np.int64).sum())
-            out.update({"n_valid_px": [int(either.sum())],
-                        "n_diff_px": [int(diff.sum())],
+            nv, nd, adiff = _diff_stats(ca, ma, cb, mb)
+            out.update({"n_valid_px": [nv], "n_diff_px": [nd],
                         "abs_diff_sum": [adiff]})
         return pa.table({
             "tile_id": pa.array(out["tile_id"], pa.string()),
@@ -465,32 +471,14 @@ def mosaic_change_from_images(images_ds, grid: GridSpec,
         sz = size or chunk
         ca, wa, _ = _fold_group(group, sz, pack, mode_a)
         cb, wb, _ = _fold_group(group, sz, pack, mode_b)
-        ma, mb = wa >= 0, wb >= 0
-        bothv = ma & mb
-        diff = ma != mb
-        adiff = 0
-        for a, b in zip(ca, cb):
-            d = np.abs(a.astype(np.float64) - b.astype(np.float64))
-            if d.ndim == 3:
-                dd = d.sum(axis=2)
-                ne = (a != b).any(axis=2)
-            else:
-                dd, ne = d, a != b
-            diff = diff | (ne & bothv)
-            if a.dtype.kind == "f":
-                # per-PIXEL 1e-3 quantization: associative, so the
-                # sub-tile decomposition sums to the identical total
-                adiff += int(np.round(dd[bothv] * 1000.0)
-                             .astype(np.int64).sum())
-            else:
-                adiff += int(dd[bothv].astype(np.int64).sum())
+        nv, nd, adiff = _diff_stats(ca, wa >= 0, cb, wb >= 0)
         return pa.table({
             "tile_id": pa.array([group.column("tile_id")[0].as_py()],
                                 pa.string()),
             "tx": pa.array([group.column("tx")[0].as_py()], pa.int32()),
             "ty": pa.array([group.column("ty")[0].as_py()], pa.int32()),
-            "n_valid_px": pa.array([int((ma | mb).sum())], pa.int64()),
-            "n_diff_px": pa.array([int(diff.sum())], pa.int64()),
+            "n_valid_px": pa.array([nv], pa.int64()),
+            "n_diff_px": pa.array([nd], pa.int64()),
             "abs_diff_sum": pa.array([adiff], pa.int64()),
         })
 

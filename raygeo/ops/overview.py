@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..channels import RGB_CHANNELS, ChannelPack
+from ..util import binary_views
 
 OVERVIEW_SCHEMA = pa.schema(
     [
@@ -92,8 +93,8 @@ def _one_level(tiles_ds, chunk: int, pack: ChannelPack, level: int):
 
     def pool(t: pa.Table) -> pa.Table:
         out: dict[str, list] = {k: [] for k in OVERVIEW_SCHEMA.names}
-        px_z = t.column("px_z").to_pylist()
-        mask_z = t.column("mask_z").to_pylist()
+        px_z = binary_views(t.column("px_z"))
+        mask_z = binary_views(t.column("mask_z"))
         txs = t.column("tx").to_numpy()
         tys = t.column("ty").to_numpy()
         for j in range(len(t)):

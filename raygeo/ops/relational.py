@@ -976,15 +976,23 @@ def cohort_retention(events_ds, user_col: str = "user_id",
         return ds.select_columns([user_col, "ts"]).map_batches(
             pairs, batch_format="pyarrow", batch_size=65536)
 
-    base = pairs_of(events_ds)
-    mins = base.groupby("u").aggregate(Min("day", alias_name="cohort"))
+    # GLOBAL distinct on (u, day): the per-batch drop_duplicates above only
+    # dedups within one map bundle — a user active the same day in two
+    # bundles would otherwise be counted twice by the final cell Sum
+    # (measured: 5x inflation at 200k events / 11 blocks). The distinct
+    # set is users x active-days bounded; it is consumed twice (Min fold +
+    # join probe) and recomputes rather than materializing.
+    distinct = (pairs_of(events_ds)
+                .groupby(["u", "day"]).count()
+                .select_columns(["u", "day"]))
+    mins = distinct.groupby("u").aggregate(Min("day", alias_name="cohort"))
     # the join inputs are DERIVED datasets (distinct pairs / per-user
     # mins — far smaller than raw events), so the byte-aware
     # join_partitions helper has no file size to read; a deliberate low
     # cap keeps the actor-pool ramp proportional to that reduced volume.
     # Callers joining genuinely huge pair sets should raise it.
     n_parts = num_partitions or max(8, min(16, cluster_cpus()))
-    joined = pairs_of(events_ds).join(
+    joined = distinct.join(
         mins, join_type="inner", num_partitions=n_parts, on=("u",))
 
     def to_cells(t: pa.Table) -> pa.Table:

@@ -129,7 +129,11 @@ def _run(args) -> int:
                    {"roi_id": "job", "lon_min": lon_min, "lat_min": lat_min,
                     "lon_max": lon_max, "lat_max": lat_max},
                    images_ds=images)
-        print(json.dumps({"op": "load", **win.stats()}))
+        if isinstance(win, dict):  # temporal cube: one window per step
+            print(json.dumps({"op": "load", "steps": {
+                t: w.stats() for t, w in win.items()}}))
+        else:
+            print(json.dumps({"op": "load", **win.stats()}))
         return 0
 
     if args.cmd == "report":

@@ -477,3 +477,30 @@ def test_grouped_rank_and_median_match_serial(ray_session):
         rank = (len(c) + 1) // 2
         assert row.median_cents == c[rank - 1]
         assert row.n_rows == len(c)
+
+
+def test_cohort_retention_cross_batch_dedup(ray_session):
+    """Regression: a user active the same day in MULTIPLE map bundles must
+    count once (5x inflation before the global distinct was added)."""
+    import ray.data as rd
+
+    from raygeo.ops.relational import cohort_retention
+
+    rng = np.random.Generator(np.random.PCG64(1))
+    n = 150_000  # >> one 65536-row map bundle
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": (np.datetime64("2024-01-01")
+               + rng.integers(0, 10 * 86400, n).astype("timedelta64[s]")),
+    })
+    out = cohort_retention(rd.from_pandas(df).repartition(9)).to_pandas()
+    d = df.assign(day=df.ts.to_numpy().astype("datetime64[D]"))
+    pairs = d[["user_id", "day"]].drop_duplicates()
+    coh = pairs.groupby("user_id").day.min().rename("cohort")
+    j = pairs.merge(coh, on="user_id")
+    cells = j.groupby([j.cohort.dt.strftime("%Y-%m-%d"),
+                       (j.day - j.cohort).dt.days]).user_id.nunique()
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
+    assert len(got) == len(cells)
+    for (cd, off), n_users in cells.items():
+        assert got[(cd, off)] == n_users
