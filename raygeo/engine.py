@@ -146,6 +146,25 @@ def load(
             np.array([lon_max]), np.array([lat_max]),
         )
     )
+    if len(boxes) > 1:
+        # the assembled window is the UNION BBOX of all boxes: an
+        # antimeridian-split ROI (strips at both grid edges) or disjoint
+        # multi-ROI input would allocate a near-grid-wide driver array
+        # with everything between invalid. Refuse the silent blowup and
+        # tell the caller to load per strip/ROI instead.
+        bcl, bch, brl, brh = g.pixel_window(
+            np.array([b[0] for b in boxes]), np.array([b[1] for b in boxes]),
+            np.array([b[2] for b in boxes]), np.array([b[3] for b in boxes]))
+        covered_px = int(((bch - bcl) * (brh - brl)).sum())
+        union_px = (ch - cl) * (rh - rl)
+        if covered_px > 0 and union_px > 8 * covered_px:
+            raise ValueError(
+                "ROI spans disjoint boxes whose union bbox is "
+                f"{union_px / covered_px:.0f}x their covered area — the "
+                "assembled window would be mostly invalid driver memory. "
+                "Load each box/ROI separately (e.g. the two sides of an "
+                "antimeridian split)."
+            )
     return _load_window(cube_path, spec, covered_ids, (cl, ch, rl, rh),
                         t_sel, images_ds, persist, num_salts)
 

@@ -68,8 +68,14 @@ def read_records(cube_path: str) -> list[dict]:
     for name in sorted(os.listdir(d)):
         if not (name.startswith("part-") and name.endswith(".json")):
             continue
-        with open(os.path.join(d, name)) as f:
-            out.append(json.load(f))
+        try:
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+        except FileNotFoundError:
+            # raced a concurrent compact() that deleted the loose file
+            # after covering it with a segment — the segment read above
+            # (or the next read) already has the record
+            continue
     best: dict[str, dict] = {}
     for r in out:
         prev = best.get(r["partition_id"])
@@ -81,20 +87,6 @@ def read_records(cube_path: str) -> list[dict]:
 def loaded_partitions(cube_path: str) -> set[str]:
     """Completed tile/partition ids (ledger read, accessor.py:155-166 analog)."""
     return {r["partition_id"] for r in read_records(cube_path)}
-
-
-def loaded_patches(cube_path: str) -> set[str]:
-    """Union of patch ids across committed partitions — the dedup index.
-
-    NOTE: a patch spanning multiple tiles appears in several records; it only
-    counts as loaded for anti-join purposes once ALL its tiles committed, so
-    callers that filter at patch granularity should use
-    :func:`fully_loaded_patches` with the expected tile count.
-    """
-    out: set[str] = set()
-    for r in read_records(cube_path):
-        out.update(r["patch_ids"])
-    return out
 
 
 def partition_metrics(cube_path: str) -> list[dict]:
@@ -128,6 +120,21 @@ def compact(cube_path: str) -> int:
     segment FIRST, then delete the loose files it covers — a crash between
     the two leaves duplicates, never loss.
     """
+    d = _lineage_dir(cube_path)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.endswith(".parquet.tmp"):
+                # a crashed previous compaction's half-written segment: its
+                # loose records were never deleted, so drop it. The age
+                # check protects a CONCURRENT compaction's in-flight tmp
+                # (segment names are uuid-unique, so only a dead writer's
+                # file can be stale).
+                p = os.path.join(d, name)
+                try:
+                    if time.time() - os.path.getmtime(p) > 600:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
     import uuid as _uuid
 
     import pyarrow as pa

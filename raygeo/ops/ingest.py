@@ -91,6 +91,29 @@ TILE_SCHEMA = pa.schema(
 )
 
 
+
+def _clip_fragment(grid, tx, ty, cl, chh, rl, rhh, img_h, img_w):
+    """Intersect an image's pixel window with one tile and clamp the source
+    slice to the decoded image (non-exact-binary grid resolutions can
+    re-derive a window one pixel wider than the image). The ONE definition
+    shared by both physical plans — tests require them bit-identical.
+
+    Returns (tr0, tc0, r0, c0, sr0, sr1, sc0, sc1) or None when empty;
+    the target slice is rows [r0-tr0, r0-tr0+(sr1-sr0)) etc.
+    """
+    tc0, tc1, tr0, tr1 = grid.tile_pixel_window(tx, ty)
+    c0, c1 = max(cl, tc0), min(chh, tc1)
+    r0, r1 = max(rl, tr0), min(rhh, tr1)
+    if c1 <= c0 or r1 <= r0:
+        return None
+    sr0, sc0 = r0 - rl, c0 - cl
+    sr1 = min(r1 - rl, img_h)
+    sc1 = min(c1 - cl, img_w)
+    if sr1 <= sr0 or sc1 <= sc0:
+        return None
+    return tr0, tc0, r0, c0, sr0, sr1, sc0, sc1
+
+
 class DecodeExplode:
     """Stateful decode + footprint + fragment-explode stage (actor pool).
 
@@ -140,18 +163,12 @@ class DecodeExplode:
                 decoded[i] = pk.derive(decode(bufs[i]))
             chans = decoded[i]
             tx, ty = int(txs[k]), int(tys[k])
-            tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
-            c0, c1 = max(int(cl[i]), tc0), min(int(chh[i]), tc1)
-            r0, r1 = max(int(rl[i]), tr0), min(int(rhh[i]), tr1)
-            if c1 <= c0 or r1 <= r0:
+            clip = _clip_fragment(g, tx, ty, int(cl[i]), int(chh[i]),
+                                  int(rl[i]), int(rhh[i]),
+                                  chans[0].shape[0], chans[0].shape[1])
+            if clip is None:
                 continue
-            # clamp to the decoded image (inexact-resolution windows can be
-            # one pixel wider than the image; see DecodeFoldPartial)
-            sr0, sc0 = r0 - int(rl[i]), c0 - int(cl[i])
-            sr1 = min(r1 - int(rl[i]), chans[0].shape[0])
-            sc1 = min(c1 - int(cl[i]), chans[0].shape[1])
-            if sr1 <= sr0 or sc1 <= sc0:
-                continue
+            tr0, tc0, r0, c0, sr0, sr1, sc0, sc1 = clip
             r1 = r0 + (sr1 - sr0)
             c1 = c0 + (sc1 - sc0)
             frag = pk.region(chans, np.s_[sr0:sr1], np.s_[sc0:sc1])
@@ -473,21 +490,19 @@ class DecodeFoldPartial:
                     tid = f"{tx}-{ty}" if ti is None else f"{ti}-{tx}-{ty}"
                     if tid in self.done or (self.only is not None and tid not in self.only):
                         continue
-                    tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
-                    c0, c1 = max(int(cl[i]), tc0), min(int(chh[i]), tc1)
-                    r0, r1 = max(int(rl[i]), tr0), min(int(rhh[i]), tr1)
-                    if c1 <= c0 or r1 <= r0:
-                        continue
+                    tc0_, tc1_, tr0_, tr1_ = g.tile_pixel_window(tx, ty)
+                    if (min(int(chh[i]), tc1_) <= max(int(cl[i]), tc0_)
+                            or min(int(rhh[i]), tr1_)
+                            <= max(int(rl[i]), tr0_)):
+                        continue  # cheap reject BEFORE decoding the image
                     if chans is None:
                         chans = pk.derive(decode(bufs[i]))
-                    # with non-exact-binary grid resolutions the floor/ceil
-                    # re-derived window can exceed the image by one pixel —
-                    # clamp the source slice and shrink the target to match
-                    sr0, sc0 = r0 - int(rl[i]), c0 - int(cl[i])
-                    sr1 = min(r1 - int(rl[i]), chans[0].shape[0])
-                    sc1 = min(c1 - int(cl[i]), chans[0].shape[1])
-                    if sr1 <= sr0 or sc1 <= sc0:
+                    clip = _clip_fragment(
+                        g, tx, ty, int(cl[i]), int(chh[i]), int(rl[i]),
+                        int(rhh[i]), chans[0].shape[0], chans[0].shape[1])
+                    if clip is None:
                         continue
+                    tr0, tc0, r0, c0, sr0, sr1, sc0, sc1 = clip
                     r1 = r0 + (sr1 - sr0)
                     c1 = c0 + (sc1 - sc0)
                     key = (ti, tx, ty)
@@ -665,6 +680,11 @@ def make_merge_fold(chunk: int, cube_path: str | None, mode: str = "lww",
             lineage.record_partition(
                 cube_path,
                 tile_id,
+                # patch-granularity dedup is deliberately NOT ledger-based:
+                # recording every contributing patch id would make the hot
+                # tile's record O(patches). Resume anti-joins at TILE
+                # granularity (loaded_partitions); in-flight patch dedup is
+                # the per-actor LRU in sources.py.
                 [],
                 row_count=1,
                 n_bytes=len(px_z) + len(mask_z),
@@ -683,12 +703,19 @@ def fragments_dataset(
     batch_size: int = 64,
     pack: ChannelPack | None = None,
 ):
-    """images Dataset -> fragments Dataset (decode+explode task pool)."""
+    """images Dataset -> fragments Dataset (decode+explode task pool).
+
+    ``concurrency`` bounds the stage's parallelism when given (an
+    ``(min, max)`` tuple or int, passed straight to ``map_batches``);
+    None lets the streaming executor size the task pool.
+    """
+    kw = {} if concurrency is None else {"concurrency": concurrency}
     return images_ds.map_batches(
         DecodeExplode(grid, num_salts, pack),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
+        **kw,
     )
 
 
@@ -742,12 +769,17 @@ def ingest(
         # batch for very large chunks so a task can't accumulate unbounded
         # canvases.
         per_partial = (pack.nbytes_px + 2) * grid.chunk * grid.chunk
-        fold_cap = max(64, (1 << 30) // per_partial)
+        # floor 8 (not 64): at production-size chunks (3600^2 RGB ~ 65 MB
+        # per canvas) a 64-image floor would hold ~4 GB of canvases in one
+        # task — the byte budget must win over the batching floor
+        fold_cap = max(8, (1 << 30) // per_partial)
+        conc_kw = {} if concurrency is None else {"concurrency": concurrency}
         partials = images_ds.map_batches(
             DecodeFoldPartial(grid, (done, only_tiles), mode=mode, pack=pack),
             batch_format="pyarrow",
             batch_size=int(min(combine_batch_size, fold_cap)),
             num_cpus=1,
+            **conc_kw,
         )
         # combiner tree: block-local merge of same-tile partials before the
         # global shuffle (~(batch/num_tiles)x less sort input). num_cpus=0.5
