@@ -409,3 +409,16 @@ def test_toi_snap_kernels_match_pandas_get_indexer():
         got_bf = snap_bfill(axis, ts)
         got_bf = np.where(got_bf == len(axis), -1, got_bf)
         assert np.array_equal(got_bf, bf), f"bfill seed {seed}"
+
+
+def test_load_wrapped_roi_refuses_window_blowup(ray_session, fixtures_sf0001,
+                                                tmp_path):
+    """An antimeridian-wrapping ROI normalizes to thin strips at both grid
+    edges; assembling their UNION bbox would allocate a near-grid-wide,
+    mostly-invalid driver array — load() must refuse with guidance."""
+    g = FIXTURE_GRID
+    cube = _mk_cube(tmp_path / "cube", g)
+    roi = {"roi_id": "wrap", "lon_min": 0.9, "lat_min": -0.05,
+           "lon_max": -0.9, "lat_max": 0.05}  # wraps: min > max
+    with pytest.raises(ValueError, match="disjoint boxes"):
+        load(cube, roi)
