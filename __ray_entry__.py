@@ -1385,6 +1385,49 @@ def _q_q5_local_volume(sf_dir: str):
         f"{sf_dir}/region.parquet")
 
 
+def _q_priority_shipping(sf_dir: str):
+    """TPC-H Q12 shape: per return flag, line items shipped in 1996 split
+    by their order's priority class — map-side count partials, one
+    partitioned lineitem⋈orders hash join, 3-row CASE fold."""
+    from raygeo.ops.relational import priority_shipping
+
+    return priority_shipping(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/orders.parquet")
+
+
+def _q_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive brand x qty-band revenue; banded
+    map-side partials per part key, partitioned join vs brand-filtered
+    part, single-row integer-cents answer."""
+    from raygeo.ops.relational import discounted_revenue
+
+    return discounted_revenue(_rpq(f"{sf_dir}/lineitem.parquet"),
+                              f"{sf_dir}/part.parquet")
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 —
+    aggregate-then-semi-join decorrelation; only the <=20 surviving keys
+    touch the driver and broadcast back as tiny filters."""
+    from raygeo.ops.relational import large_orders
+
+    return large_orders(_rpq(f"{sf_dir}/lineitem.parquet"),
+                        f"{sf_dir}/orders.parquet",
+                        f"{sf_dir}/customer.parquet",
+                        qty_threshold=300, k=20)
+
+
+def _q_user_top_event(sf_dir: str):
+    """Grouped categorical mode: each user's most frequent event type
+    (ties -> lexicographically smallest), via (user, type) count partials
+    and one keyed groupby — the window row_number()=1 analog."""
+    from raygeo.ops.relational import grouped_mode
+
+    return grouped_mode(_rpq(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"]),
+                        "user_id", "event_type")
+
+
 def _q_events_lag_gaps(sf_dir: str):
     """LAG-window analog: per-user consecutive-event gap stats (max gap,
     count of gaps > 1h) — one keyed shuffle, vectorized diff per group."""
@@ -1550,6 +1593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_overview_l2": _q_mosaic_overview_l2,  # chained pyramid level 2
         "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
         "q5_local_volume": _q_q5_local_volume,  # 6-table star join
+        "priority_shipping": _q_priority_shipping,  # Q12 shape, CASE fold
+        "discounted_revenue": _q_discounted_revenue,  # Q19 disjunctive bands
+        "large_orders": _q_large_orders,  # Q18 aggregate-then-semi-join
+        "user_top_event": _q_user_top_event,  # grouped categorical mode
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
         "orders_cum_crossing": _q_orders_cum_crossing,  # running-sum crossing
         "events_gapfill": _q_events_gapfill,  # dense zero-filled series
@@ -2444,6 +2491,53 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND r_name = 'ASIA'
   AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
 GROUP BY n_name
+""",
+        "priority_shipping": """
+SELECT l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+""",
+        "discounted_revenue": """
+SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)::BIGINT
+  AS revenue_c4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11'
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12'
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13'
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+""",
+        "large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum_qty > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+  sum_qty::BIGINT AS sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY sum_qty DESC, o_orderkey LIMIT 20
+""",
+        "user_top_event": """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS top_value, cnt FROM r WHERE rn = 1
 """,
         "events_lag_gaps": """
 WITH s AS (

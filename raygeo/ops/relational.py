@@ -1237,3 +1237,259 @@ def grouped_rank(ds, key_col: str, value_col: str, id_col: str):
 
     return ds.select_columns([id_col, key_col, value_col]).map_batches(
         assign, batch_format="pyarrow", batch_size=65536)
+
+
+def priority_shipping(lineitem_ds, orders_path: str,
+                      date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+                      high: tuple[str, ...] = ("1-URGENT", "2-HIGH"),
+                      num_partitions: int | None = None):
+    """TPC-H Q12 shape: line items shipped in a date window, classified by
+    their order's priority — per return flag, how many came from
+    high-priority vs low-priority orders.
+
+    Plan: lineitem pre-aggregates map-side to one (l_orderkey,
+    l_returnflag, n) partial per key per batch (the shuffle carries
+    counts, never raw line items); the fact⋈fact step is a partitioned
+    hash join against orders (both sides hash-shuffle on the order key —
+    orders grows with SF so it is never broadcast); the post-join CASE
+    fold is another map-side partial into a 3-row final groupby.
+    All-integer counts: bit-exact vs the SQL oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import join_partitions, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(orders_path)
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy()
+        t = t.filter(pa.array((sd >= d0) & (sd < d1)))
+        df = pd.DataFrame({
+            "l_orderkey": t.column("l_orderkey").to_numpy(),
+            "l_returnflag": t.column("l_returnflag").to_pylist(),
+        })
+        g = (df.groupby(["l_orderkey", "l_returnflag"], sort=False)
+             .size().rename("n").reset_index())
+        return table_from_pandas(g)
+
+    lcounts = lineitem_ds.select_columns(
+        ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    orders = read_parquet_clean(
+        orders_path, columns=["o_orderkey", "o_orderpriority"])
+    joined = lcounts.join(orders, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    high_set = frozenset(high)
+
+    def case_fold(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority").to_pylist()
+        n = t.column("n").to_numpy()
+        is_high = np.fromiter((p in high_set for p in pr), bool, len(pr))
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pylist(),
+            "high_line_count": np.where(is_high, n, 0),
+            "low_line_count": np.where(is_high, 0, n),
+        })
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return table_from_pandas(g)
+
+    return (joined.map_batches(case_fold, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("l_returnflag")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count")))
+
+
+def discounted_revenue(lineitem_ds, part_path: str,
+                       bands: list[tuple[str, int, int]] | None = None,
+                       num_partitions: int | None = None):
+    """TPC-H Q19 shape: revenue from brand-specific quantity bands
+    (disjunctive brand × qty-range predicate), single-row answer.
+
+    Plan: each lineitem row lands in zero or more qty bands; the map side
+    folds one row per (l_partkey, band sums…) per batch — rows outside
+    every band never leave the scan task. The banded partials then meet
+    part in a partitioned hash join on the part key (part grows with SF:
+    broadcast would re-ship a dimension that can be multi-GB at 100 TB);
+    part is pre-filtered map-side to the banded brands, so the join's
+    right side is ~3/25 of the table. The brand picks its band's sum
+    post-join; integer cents throughout.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import join_partitions, read_parquet_clean
+
+    if bands is None:
+        bands = [("Brand#11", 1, 11), ("Brand#12", 10, 20),
+                 ("Brand#13", 20, 30)]
+    brand_to_band = {b: i for i, (b, _, _) in enumerate(bands)}
+    qty_lo = min(lo for _, lo, _ in bands)
+    qty_hi = max(hi for _, _, hi in bands)
+    if num_partitions is None:
+        num_partitions = join_partitions(part_path)
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        keep = (qty >= qty_lo) & (qty <= qty_hi)
+        t, qty = t.filter(pa.array(keep)), qty[keep]
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        cols = {"l_partkey": t.column("l_partkey").to_numpy()}
+        for i, (_, lo, hi) in enumerate(bands):
+            in_band = (qty >= lo) & (qty <= hi)
+            cols[f"rev_b{i}"] = np.where(in_band, cents, 0)
+        df = pd.DataFrame(cols)
+        g = df.groupby("l_partkey", sort=False).sum().reset_index()
+        return table_from_pandas(g)
+
+    partials = lineitem_ds.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    banded_brands = frozenset(brand_to_band)
+
+    def pfilter(t: pa.Table) -> pa.Table:
+        br = t.column("p_brand").to_pylist()
+        keep = np.fromiter((b in banded_brands for b in br), bool, len(br))
+        return t.filter(pa.array(keep))
+
+    part = read_parquet_clean(
+        part_path, columns=["p_partkey", "p_brand"]
+    ).map_batches(pfilter, batch_format="pyarrow", batch_size=65536)
+
+    joined = partials.join(part, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_partkey",), right_on=("p_partkey",))
+
+    def pick(t: pa.Table) -> pa.Table:
+        br = t.column("p_brand").to_pylist()
+        band = np.fromiter((brand_to_band[b] for b in br), np.int64, len(br))
+        sums = np.stack([t.column(f"rev_b{i}").to_numpy()
+                         for i in range(len(bands))], axis=1)
+        rev = sums[np.arange(len(br)), band]
+        return pa.table({"one": pa.array(np.zeros(1, np.int64)),
+                         "revenue_c4": pa.array([int(rev.sum())], pa.int64())})
+
+    agg = (joined.map_batches(pick, batch_format="pyarrow", batch_size=65536)
+           .groupby("one").aggregate(Sum("revenue_c4",
+                                         alias_name="revenue_c4"))
+           .to_pandas())  # ≤ 1 row by construction (single-group aggregate)
+    total = int(agg["revenue_c4"].sum()) if len(agg) else 0
+    return pa.table({"revenue_c4": pa.array([total], pa.int64())})
+
+
+def large_orders(lineitem_ds, orders_path: str, customer_path: str,
+                 qty_threshold: int = 300, k: int = 20):
+    """TPC-H Q18 shape: customers whose orders exceed a total-quantity
+    threshold — HAVING-subquery decorrelated into an aggregate-then-
+    semi-join plan.
+
+    Plan: map-side per-orderkey qty partials → one keyed groupby → filter
+    > threshold → top-k (sum_qty DESC, orderkey ASC). Only the ≤k
+    surviving keys come to the driver (a bounded aggregate result, not
+    data); they broadcast back as a tiny semi-join filter over orders,
+    and the ≤k matching custkeys do the same over customer. No
+    grows-with-SF table is ever broadcast or collected.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import read_parquet_clean
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "sum_qty": qty})
+        g = df.groupby("l_orderkey", sort=False)["sum_qty"].sum().reset_index()
+        return table_from_pandas(g)
+
+    big = (lineitem_ds.select_columns(["l_orderkey", "l_quantity"])
+           .map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+           .groupby("l_orderkey")
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+           .filter(expr=f"sum_qty > {qty_threshold}")
+           .sort(["sum_qty", "l_orderkey"], descending=[True, False])
+           .limit(k))
+    big_df = big.to_pandas()  # ≤ k rows by construction
+    if big_df.empty:
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "c_custkey": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.string()),
+                         "total_cents": pa.array([], pa.int64()),
+                         "sum_qty": pa.array([], pa.int64())})
+    okeys = set(big_df["l_orderkey"].tolist())
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy()
+        keep = np.fromiter((x in okeys for x in ok), bool, len(ok))
+        return t.filter(pa.array(keep))
+
+    orows = read_parquet_clean(
+        orders_path, columns=["o_orderkey", "o_custkey", "o_orderdate",
+                              "o_totalprice"]
+    ).map_batches(ofilter, batch_format="pyarrow",
+                  batch_size=65536).to_pandas()  # ≤ k rows
+
+    ckeys = set(orows["o_custkey"].tolist())
+
+    def cfilter(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy()
+        keep = np.fromiter((x in ckeys for x in ck), bool, len(ck))
+        return t.filter(pa.array(keep))
+
+    crows = read_parquet_clean(
+        customer_path, columns=["c_custkey", "c_name"]
+    ).map_batches(cfilter, batch_format="pyarrow",
+                  batch_size=65536).to_pandas()  # ≤ k rows
+
+    df = (big_df.merge(orows, left_on="l_orderkey", right_on="o_orderkey")
+          .merge(crows, left_on="o_custkey", right_on="c_custkey"))
+    df = df.sort_values(["sum_qty", "o_orderkey"],
+                        ascending=[False, True]).head(k)
+    return pa.table({
+        "c_name": pa.array(df["c_name"].tolist(), pa.string()),
+        "c_custkey": pa.array(df["c_custkey"].to_numpy(), pa.int64()),
+        "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+        "o_orderdate": pa.array(
+            [str(d)[:10] for d in df["o_orderdate"].tolist()], pa.string()),
+        "total_cents": pa.array(
+            np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            pa.int64()),
+        "sum_qty": pa.array(df["sum_qty"].to_numpy(), pa.int64()),
+    })
+
+
+def grouped_mode(ds, key_col: str, value_col: str):
+    """Most-frequent value per key (grouped mode / categorical argmax);
+    ties break to the lexicographically smallest value — matching a
+    row_number() OVER (ORDER BY cnt DESC, value) = 1 window oracle.
+
+    Plan: per-batch (key, value) count partials (the shuffle carries at
+    most |distinct values| rows per key per batch), ONE keyed groupby,
+    and the argmax picked inside ``map_groups`` — no second shuffle, no
+    window sort.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": t.column(key_col).to_pandas(),
+                           "v": t.column(value_col).to_pandas()})
+        g = df.groupby(["k", "v"], sort=False).size().rename("cnt").reset_index()
+        return table_from_pandas(g)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("v", sort=False)["cnt"].sum().reset_index()
+             .sort_values(["cnt", "v"], ascending=[False, True]))
+        top = s.iloc[0]
+        return pd.DataFrame({key_col: [g["k"].iloc[0]],
+                             "top_value": [top["v"]],
+                             "cnt": [int(top["cnt"])]})
+
+    return (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("k").map_groups(pick, batch_format="pandas"))

@@ -504,3 +504,93 @@ def test_cohort_retention_cross_batch_dedup(ray_session):
     assert len(got) == len(cells)
     for (cd, off), n_users in cells.items():
         assert got[(cd, off)] == n_users
+
+
+def test_grouped_mode_tiebreak_and_partitioning(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import grouped_mode
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 20_000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, size=n).astype(np.int64),
+        "event_type": rng.choice(["b", "a", "c", "d"], size=n),
+    })
+    # force an exact tie for one user: the winner must be the smaller value
+    tie = pd.DataFrame({"user_id": np.full(10, 999, np.int64),
+                        "event_type": ["zz"] * 5 + ["aa"] * 5})
+    df = pd.concat([df, tie], ignore_index=True)
+
+    got = (grouped_mode(rd.from_pandas(df).repartition(9),
+                        "user_id", "event_type")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    cnt = df.groupby(["user_id", "event_type"]).size().rename("cnt").reset_index()
+    cnt = cnt.sort_values(["user_id", "cnt", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+    exp = cnt.groupby("user_id", sort=True).head(1).reset_index(drop=True)
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["top_value"].tolist() == exp["event_type"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    assert got.loc[got.user_id == 999, "top_value"].iloc[0] == "aa"
+
+
+def test_large_orders_matches_serial(ray_session):
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    from raygeo.ops.relational import large_orders
+    from raygeo.util import read_parquet_clean
+
+    got = large_orders(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet"),
+        f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet",
+        qty_threshold=250, k=10).to_pandas()
+    exp = duckdb.sql(f"""
+        WITH big AS (
+          SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+          FROM '{sf_dir}/lineitem.parquet' GROUP BY 1 HAVING sum_qty > 250)
+        SELECT c_name, o_orderkey, sum_qty::BIGINT AS sum_qty
+        FROM big JOIN '{sf_dir}/orders.parquet' ON o_orderkey = l_orderkey
+        JOIN '{sf_dir}/customer.parquet' ON c_custkey = o_custkey
+        ORDER BY sum_qty DESC, o_orderkey LIMIT 10
+    """).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["sum_qty"].tolist() == exp["sum_qty"].tolist()
+    assert got["c_name"].tolist() == exp["c_name"].tolist()
+
+
+def test_discounted_revenue_band_edges(ray_session):
+    """Band-edge rows (qty exactly at lo/hi) and multi-band-eligible parts
+    must count exactly once, under the part's own brand band."""
+    import ray.data as rd
+
+    from raygeo.ops.relational import discounted_revenue
+
+    parts = pd.DataFrame({
+        "p_partkey": np.arange(6, dtype=np.int64),
+        "p_brand": ["Brand#11", "Brand#12", "Brand#13",
+                    "Brand#11", "Brand#99", "Brand#12"],
+    })
+    li = pd.DataFrame({
+        "l_partkey": np.array([0, 0, 1, 2, 3, 4, 5, 5], np.int64),
+        # part0: qty 11 (in) + 12 (out); part1: 10 (edge in); part2: 30 (edge in)
+        # part3: 1 (edge in); part4: any (brand out); part5: 9 (out) + 20 (in)
+        "l_quantity": [11.0, 12.0, 10.0, 30.0, 1.0, 15.0, 9.0, 20.0],
+        "l_extendedprice": [100.0] * 8,
+        "l_discount": [0.0] * 8,
+    })
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        ppath = f"{td}/part.parquet"
+        pq.write_table(pa.Table.from_pandas(parts), ppath)
+        got = discounted_revenue(rd.from_pandas(li).repartition(3), ppath)
+        rev = got.column("revenue_c4").to_pylist()[0]
+    # qualifying rows: 5 x (10000 cents * 100) = 5_000_000
+    assert rev == 5 * 10000 * 100
