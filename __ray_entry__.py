@@ -1238,6 +1238,52 @@ def _q_catalog_tile_cover(sf_dir: str):
                                           batch_size=8192)
 
 
+def _q_docs_scrub(sf_dir: str):
+    """Deny-list term scrub (contamination-removal/PII-redaction shape):
+    whole-word replace + hit count; md5 of the scrubbed text gives the
+    oracle row-by-row parity on the transform itself."""
+    from raygeo.ops.text import scrub_texts
+
+    return scrub_texts(_rpq(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]))
+
+
+def _q_csv_cell_histogram(sf_dir: str):
+    """CSV source path: the image catalog serialized as CSV parts (floats
+    via repr = shortest round-trip, so DuckDB's reader parses identical
+    doubles), read via ``ray.data.read_csv`` -> per-item center cell ->
+    count per tile. Third serialization of the catalog metadata after
+    parquet and JSONL."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from raygeo.fixtures import ensure_catalog_csv
+    from raygeo.util import table_from_pandas
+
+    path = ensure_catalog_csv(_fix(sf_dir))
+    res = 0.0009765625  # FIXTURE_GRID res; formula mirrored in the oracle
+
+    def cells(t: pa.Table) -> pa.Table:
+        cx = (t.column("lon_min").to_numpy()
+              + t.column("lon_max").to_numpy()) / 2.0
+        cy = (t.column("lat_min").to_numpy()
+              + t.column("lat_max").to_numpy()) / 2.0
+        col = np.clip(np.floor((cx + 1.0) / res), 0, 2047).astype(np.int64)
+        row = np.clip(np.floor((1.0 - cy) / res), 0, 2047).astype(np.int64)
+        df = pd.DataFrame({"tx": col // 128, "ty": row // 128})
+        g = (df.groupby(["tx", "ty"], sort=False).size()
+             .rename("n_images").reset_index())
+        return table_from_pandas(g)
+
+    return (rd.read_csv(path)
+            .map_batches(cells, batch_format="pyarrow", batch_size=8192)
+            .groupby(["tx", "ty"])
+            .aggregate(Sum("n_images", alias_name="n_images")))
+
+
 def _q_events_period_overlap(sf_dir: str):
     """Set-op segmentation (INTERSECT/EXCEPT analog): users active in
     period A, B, or both — one pass, per-user bool-max flag fold."""
@@ -1588,6 +1634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
         "mosaic_resample": _q_mosaic_resample,  # NN grid warp (gather)
         "catalog_tile_cover": _q_catalog_tile_cover,  # JSONL source path
+        "csv_cell_histogram": _q_csv_cell_histogram,  # CSV source path
+        "docs_scrub": _q_docs_scrub,  # deny-list scrub, md5 row parity
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_overview_l2": _q_mosaic_overview_l2,  # chained pyramid level 2
@@ -1692,9 +1740,12 @@ shu AS (
 
 def oracle_sql() -> dict[str, str]:
     # make sure the sf0.01 fixture files the SQL references exist
-    from raygeo.fixtures import ensure_fixtures
+    from raygeo.fixtures import (ensure_catalog_csv, ensure_catalog_jsonl,
+                                 ensure_fixtures)
 
     ensure_fixtures(0.01)
+    ensure_catalog_jsonl(FIX_SF001)
+    ensure_catalog_csv(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -2445,6 +2496,25 @@ SELECT id,
   (CASE WHEN ch > cl AND rh > rl THEN cl // 128 ELSE -1 END)::BIGINT AS tx_lo,
   (CASE WHEN ch > cl AND rh > rl THEN rl // 128 ELSE -1 END)::BIGINT AS ty_lo
 FROM w
+""",
+        "csv_cell_histogram": f"""
+WITH c AS (
+  SELECT (lon_min + lon_max) / 2.0 AS cx, (lat_min + lat_max) / 2.0 AS cy
+  FROM read_csv('{FIX_SF001}/catalog.csv/*.csv')
+)
+SELECT
+  (greatest(0, least(2047,
+     CAST(floor((cx + 1.0) / {RES}) AS BIGINT))) // 128)::BIGINT AS tx,
+  (greatest(0, least(2047,
+     CAST(floor((1.0 - cy) / {RES}) AS BIGINT))) // 128)::BIGINT AS ty,
+  count(*)::BIGINT AS n_images
+FROM c GROUP BY 1, 2
+""",
+        "docs_scrub": r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\b(spark|hash|vector)\b'))::BIGINT AS n_hits,
+  md5(regexp_replace(text, '\b(spark|hash|vector)\b', '[X]', 'g')) AS scrub_md5
+FROM documents
 """,
         "rasterize_zones": f"""
 WITH z AS (

@@ -1406,3 +1406,43 @@ def ensure_catalog_jsonl(fix_dir: str) -> str:
             raise
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def ensure_catalog_csv(fix_dir: str) -> str:
+    """Idempotently derive a CSV sidecar catalog from the image table:
+    ``id,lon_min,lat_min,lon_max,lat_max`` — the third serialization of the
+    same metadata, exercising the engine's CSV source path
+    (``ray.data.read_csv``) with full SQL parity. Floats are written with
+    ``repr`` (shortest round-trip), so DuckDB's CSV reader parses the
+    identical doubles. One .csv part per parquet part keeps the read
+    parallel; separate marker — added lazily, no layout-version regen."""
+    import glob as _glob
+    import shutil
+
+    out = os.path.join(fix_dir, "catalog.csv")
+    if os.path.isdir(out):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    parts = sorted(_glob.glob(os.path.join(fix_dir, "images.parquet",
+                                           "*.parquet")))
+    for k, part in enumerate(parts):
+        t = pq.read_table(part, columns=["image_id", "lon_min", "lat_min",
+                                         "lon_max", "lat_max"])
+        ids = t.column("image_id").to_pylist()
+        w = t.column("lon_min").to_pylist()
+        s = t.column("lat_min").to_pylist()
+        e = t.column("lon_max").to_pylist()
+        n = t.column("lat_max").to_pylist()
+        with open(os.path.join(tmp, f"part-{k:05d}.csv"), "w") as f:
+            f.write("image_id,lon_min,lat_min,lon_max,lat_max\n")
+            for j in range(len(ids)):
+                f.write(f"{ids[j]},{w[j]!r},{s[j]!r},{e[j]!r},{n[j]!r}\n")
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):  # lost a benign race only
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -227,3 +227,39 @@ def normalize_texts(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         _Norm, batch_format="pandas", batch_size=4096, concurrency=(1, 8),
         max_restarts=0)
+
+
+def scrub_texts(docs_ds, deny: tuple[str, ...] = ("spark", "hash", "vector"),
+                repl: str = "[X]", text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Deny-list term scrub — the contamination-removal / PII-redaction
+    shape of a training-data pipeline: replace every whole-word occurrence
+    of a deny-listed term, report the hit count and the md5 of the
+    scrubbed text so the oracle checks the transform row by row.
+
+    The pattern is a plain alternation inside ``\\b`` word boundaries over
+    lowercase ASCII terms — identical semantics under Python ``re`` and
+    RE2/DuckDB. Compiled once per actor; pandas drives the per-row C loop.
+    """
+    import hashlib
+    import re as _re
+
+    pat_src = r"\b(" + "|".join(_re.escape(t) for t in deny) + r")\b"
+
+    class _Scrub:
+        def __init__(self):
+            self.pat = _re.compile(pat_src)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hits = df[text_col].str.count(self.pat).astype("int64")
+            scrubbed = df[text_col].str.replace(self.pat, repl, regex=True)
+            h = [hashlib.md5(s.encode()).hexdigest() for s in scrubbed]
+            return pd.DataFrame({
+                id_col: df[id_col],
+                "n_hits": hits,
+                "scrub_md5": h,
+            })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _Scrub, batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+        max_restarts=0)

@@ -290,3 +290,59 @@ def test_langid_nonenglish_arms_match_sql_oracle(ray_session, tmp_path):
     exp = exp.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
                                   check_dtype=False)
+
+
+def test_scrub_texts_word_boundaries(ray_session):
+    """Whole-word semantics: 'spark' hits, 'sparkle'/'rehash' don't; md5
+    parity vs a serial Python re pass on adversarial boundary cases."""
+    import hashlib
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.text import scrub_texts
+
+    texts = [
+        "spark and hash meet vector",          # 3 hits
+        "sparkle rehashed vectors",            # 0 hits (no whole words)
+        "spark.spark,spark spark!",            # punctuation boundaries: 4
+        "hashhash hash-hash",                  # 2 (hyphen is a boundary)
+        "",                                    # empty row survives
+        "vector",                              # entire text is a hit
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (scrub_texts(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    pat = re.compile(r"\b(spark|hash|vector)\b")
+    exp_hits = [len(pat.findall(t)) for t in texts]
+    exp_md5 = [hashlib.md5(pat.sub("[X]", t).encode()).hexdigest()
+               for t in texts]
+    assert got["n_hits"].tolist() == exp_hits
+    assert got["scrub_md5"].tolist() == exp_md5
+    assert exp_hits == [3, 0, 4, 2, 0, 1]
+
+
+def test_csv_catalog_roundtrip_exact(ray_session, fixtures_sf0001):
+    """CSV floats written with repr round-trip bit-exactly through
+    ray.data.read_csv, and the cell histogram is partition-invariant."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.fixtures import ensure_catalog_csv
+
+    d = fixtures_sf0001
+    path = ensure_catalog_csv(d)
+    csv = rd.read_csv(path).to_pandas().sort_values("image_id")
+    parts = sorted(glob.glob(f"{d}/images.parquet/*.parquet"))
+    import pyarrow as pa
+    ref = pa.concat_tables([
+        pq.read_table(p, columns=["image_id", "lon_min", "lat_min",
+                                  "lon_max", "lat_max"]) for p in parts
+    ]).to_pandas().sort_values("image_id")
+    for c in ["lon_min", "lat_min", "lon_max", "lat_max"]:
+        assert np.array_equal(csv[c].to_numpy(), ref[c].to_numpy())  # bit-exact
