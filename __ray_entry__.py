@@ -1365,6 +1365,22 @@ def _q_mosaic_zonal(sf_dir: str):
                         FIXTURE_GRID)
 
 
+def _q_mosaic_histogram(sf_dir: str):
+    """Global value histogram of the mosaic (stretch/normalization-bounds
+    statistics): per-tile bincount partials, one tiny keyed fold — the
+    shuffle is bounded by the value domain, never the raster size.
+    Golden = np.bincount over the serial full-plane paint."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.zonal import mosaic_histogram
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return mosaic_histogram(tiles, FIXTURE_GRID)
+
+
 def _q_mosaic_overview_l2(sf_dir: str):
     """Level-2 overview pyramid: the one-level pool/assemble applied
     twice (the operator chains — level L input = level L-1 output).
@@ -1638,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_scrub": _q_docs_scrub,  # deny-list scrub, md5 row parity
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
+        "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
         "mosaic_overview_l2": _q_mosaic_overview_l2,  # chained pyramid level 2
         "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
         "q5_local_volume": _q_q5_local_volume,  # 6-table star join
@@ -1746,6 +1763,9 @@ def oracle_sql() -> dict[str, str]:
     ensure_fixtures(0.01)
     ensure_catalog_jsonl(FIX_SF001)
     ensure_catalog_csv(FIX_SF001)
+    from raygeo.fixtures import ensure_histogram_golden
+
+    ensure_histogram_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -1936,6 +1956,10 @@ FROM read_parquet('{FIX_SF001}/overview2_golden.parquet')
         "mosaic_zonal": f"""
 SELECT zone_id, n_px, v_sum
 FROM read_parquet('{FIX_SF001}/mosaic_zonal_golden.parquet')
+""",
+        "mosaic_histogram": f"""
+SELECT v_bin, n_px
+FROM read_parquet('{FIX_SF001}/histogram_golden.parquet')
 """,
         "video_frame_stats": f"""
 SELECT video_id, frame_no, pix_sum

@@ -1446,3 +1446,41 @@ def ensure_catalog_csv(fix_dir: str) -> str:
             raise
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def ensure_histogram_golden(fix_dir: str) -> str:
+    """Idempotently derive histogram_golden.parquet: the global value
+    histogram (v = R+G+B per valid pixel) of the serial LWW mosaic paint.
+
+    Reuses the independent slab painter (`_golden_slab` — images are a
+    pure function of their index, no engine code on the paint path) and a
+    plain ``np.bincount`` over the assembled plane. Separate marker (file
+    presence): added lazily to existing fixture dirs, no layout-version
+    regen."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    out = os.path.join(fix_dir, "histogram_golden.parquet")
+    if os.path.exists(out):
+        return out
+    n = images_count_for_sf(sf_of_dir(fix_dir))
+    slab = max(500, n // 16)
+    slabs = [(lo, min(lo + slab, n), False) for lo in range(0, n, slab)]
+    lww: dict = {}
+    if len(slabs) <= 1:
+        for res in map(_golden_slab, slabs):
+            _merge_slab_into(lww, res["lww"], False)
+    else:
+        workers = min(16, os.cpu_count() or 4, len(slabs))
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for res in ex.map(_golden_slab, slabs):  # ordered: ascending pno
+                _merge_slab_into(lww, res["lww"], False)
+    _, valid, v = _full_plane(lww)
+    counts = np.bincount(v[valid], minlength=766)
+    occ = np.nonzero(counts)[0]
+    t = pa.table({
+        "v_bin": pa.array(occ.astype(np.int64), pa.int64()),
+        "n_px": pa.array(counts[occ].astype(np.int64), pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

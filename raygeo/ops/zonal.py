@@ -225,3 +225,60 @@ def mosaic_zonal(tiles_ds, zones: pa.Table, grid: GridSpec,
             .groupby("zone_id")
             .aggregate(Sum("n_px", alias_name="n_px"),
                        Sum("v_sum", alias_name="v_sum")))
+
+
+def mosaic_histogram(tiles_ds, grid: GridSpec, pack=None):
+    """Global value histogram of the MOSAIC (the band-statistics pass a
+    raster engine runs before choosing stretch/normalization bounds):
+    per valid pixel v = channel sum (floats quantized x1000, like
+    ``mosaic_zonal``), one row per occupied bin.
+
+    Per-tile partial ``np.bincount`` map-side; the shuffle carries at most
+    |bins| rows per batch (bounded by the value domain, NOT the raster
+    size), folded by one tiny keyed groupby. Canvases never shuffle.
+    """
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        vs, cs = [], []
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = np.zeros((chunk, chunk), np.int64)
+            for a in canvas:
+                q = (np.round(a.astype(np.float64) * 1000).astype(np.int64)
+                     if a.dtype.kind == "f" else a.astype(np.int64))
+                v += q.sum(axis=2) if a.ndim == 3 else q
+            vals = v[mask]
+            if len(vals) == 0:
+                continue
+            u, c = np.unique(vals, return_counts=True)  # negatives OK
+            vs.append(u)
+            cs.append(c.astype(np.int64))
+        if not vs:
+            return pa.table({"v_bin": pa.array([], pa.int64()),
+                             "n_px": pa.array([], pa.int64())})
+        allv, allc = np.concatenate(vs), np.concatenate(cs)
+        u2, inv = np.unique(allv, return_inverse=True)
+        out = np.zeros(len(u2), np.int64)
+        np.add.at(out, inv, allc)
+        return pa.table({
+            "v_bin": pa.array(u2, pa.int64()),
+            "n_px": pa.array(out, pa.int64()),
+        })
+
+    return (tiles_ds.select_columns(["px_z", "mask_z"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=64,
+                         num_cpus=1)
+            .groupby("v_bin")
+            .aggregate(Sum("n_px", alias_name="n_px")))

@@ -346,3 +346,27 @@ def test_csv_catalog_roundtrip_exact(ray_session, fixtures_sf0001):
     ]).to_pandas().sort_values("image_id")
     for c in ["lon_min", "lat_min", "lon_max", "lat_max"]:
         assert np.array_equal(csv[c].to_numpy(), ref[c].to_numpy())  # bit-exact
+
+
+def test_mosaic_histogram_matches_serial_paint(ray_session, fixtures_sf0001):
+    """Distributed per-tile bin fold == np.bincount over the independent
+    serial full-plane paint; mass check vs the lww golden's valid count."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID, ensure_histogram_golden
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.zonal import mosaic_histogram
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    tiles = ingest(read_parquet_clean(
+        f"{d}/images.parquet", columns=["image_id", "bytes", "w", "h"]),
+        FIXTURE_GRID)
+    got = (mosaic_histogram(tiles, FIXTURE_GRID)
+           .to_pandas().sort_values("v_bin").reset_index(drop=True))
+    exp = (pq.read_table(ensure_histogram_golden(d))
+           .to_pandas().sort_values("v_bin").reset_index(drop=True))
+    assert got["v_bin"].tolist() == exp["v_bin"].tolist()
+    assert got["n_px"].tolist() == exp["n_px"].tolist()
+    lww = pq.read_table(f"{d}/tiles_golden_lww.parquet")
+    assert got["n_px"].sum() == lww.column("n_valid_px").to_numpy().sum()
