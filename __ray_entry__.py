@@ -916,6 +916,17 @@ def _q_docs_top_terms(sf_dir: str):
                           columns=["text"]), k=50)
 
 
+def _q_docs_heavy_hitters(sf_dir: str):
+    """Two-pass heavy hitters: Misra-Gries candidate sketch (O(sketch_k)
+    state per worker, corpus-size independent) + exact verify pass over
+    the broadcast candidates — the bounded-state sibling of
+    docs_top_terms, with an exact SQL-checkable answer."""
+    from raygeo.ops.corpus import heavy_hitters
+
+    return heavy_hitters(_rpq(f"{sf_dir}/documents.parquet",
+                              columns=["text"]), k=10, sketch_k=256)
+
+
 def _q_docs_tfidf(sf_dir: str):
     """Per-doc top term by tf/df: pass 1 folds the corpus df table
     (vocabulary-sized), broadcast once; pass 2 probes it per batch.
@@ -1688,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": _q_docs_clean_corpus,  # composed pipeline, SQL-replayed
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
         "docs_top_terms": _q_docs_top_terms,  # corpus term frequency top-k
+        "docs_heavy_hitters": _q_docs_heavy_hitters,  # two-pass Misra-Gries
         "docs_tfidf": _q_docs_tfidf,  # per-doc top tf/df term, bit-exact score
         "docs_inverted_index": _q_docs_inverted_index,  # posting lists
         "docs_search": _q_docs_search,  # conjunctive streaming search
@@ -2444,6 +2456,14 @@ WITH toks AS (
 )
 SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks GROUP BY term ORDER BY tf DESC, term LIMIT 50
+""",
+        "docs_heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+)
+SELECT term, count(*)::BIGINT AS tf
+FROM toks GROUP BY term ORDER BY tf DESC, term LIMIT 10
 """,
         "docs_tfidf": """
 WITH toks AS (

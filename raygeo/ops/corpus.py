@@ -523,3 +523,72 @@ def epoch_shuffle(docs_ds, seed: int = 0, n_shards: int = 8,
             .map_batches(keyed, batch_format="pandas", batch_size=8192)
             .groupby("shard")
             .map_groups(rank_shard, batch_format="pandas"))
+
+
+def heavy_hitters(docs_ds, k: int = 10, sketch_k: int = 256,
+                  text_col: str = "text"):
+    """Two-pass EXACT heavy hitters with bounded scan state: Misra-Gries
+    candidate sketch, then an exact verify pass over the candidates only.
+
+    Pass 1 folds a Misra-Gries summary per batch (exact batch counts,
+    compressed by decrementing the (sketch_k+1)-th largest — the classic
+    mergeable-summaries compress). Summaries merge by term-wise SUM then a
+    driver-side re-compress: per-worker state is O(sketch_k) no matter the
+    corpus size — unlike the exact ``top_terms`` fold, whose shuffle
+    carries the entire vocabulary. MG guarantee: every term with frequency
+    > N/(sketch_k+1) survives; with sketch_k >> k the true top-k are
+    candidates (the standard two-pass heavy-hitter assumption).
+
+    Pass 2 exact-counts the <= sketch_k candidates (broadcast sorted term
+    array, integer partials) and emits the exact top-k (ties -> term asc),
+    so the final answer is SQL-checkable despite the sketch.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    tok = re.compile(LOWER_TOKEN_RE)
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[text_col].str.lower().str.findall(tok).explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        vc = ex.value_counts()  # exact within the batch, sorted desc
+        if len(vc) > sketch_k:
+            thresh = int(vc.iloc[sketch_k])
+            vc = vc - thresh
+            vc = vc[vc > 0]
+        return pd.DataFrame({"term": vc.index.to_numpy(),
+                             "cnt": vc.to_numpy().astype("int64")})
+
+    merged = (docs_ds.select_columns([text_col])
+              .map_batches(mg_partial, batch_format="pandas",
+                           batch_size=4096, num_cpus=1)
+              .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())  # <= sketch_k x n_batches rows, tiny
+    merged = merged.sort_values(["cnt", "term"], ascending=[False, True])
+    if len(merged) > sketch_k:  # final MG compress of the merged summary
+        thresh = int(merged["cnt"].iloc[sketch_k])
+        merged = merged[merged["cnt"] > thresh]
+    cands = np.sort(merged["term"].to_numpy().astype(object))
+    cands_ref = ray.put(cands)
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cands_ref)
+        ex = df[text_col].str.lower().str.findall(tok).explode().dropna()
+        if len(ex) == 0 or len(cs) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype="int64")})
+        terms = ex.to_numpy().astype(object)
+        pos = np.searchsorted(cs, terms)
+        pos_c = np.clip(pos, 0, len(cs) - 1)
+        keep = cs[pos_c] == terms
+        vc = pd.Series(terms[keep]).value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(),
+                             "tf": vc.to_numpy().astype("int64")})
+
+    return (docs_ds.select_columns([text_col])
+            .map_batches(exact_partial, batch_format="pandas",
+                         batch_size=4096, num_cpus=1)
+            .groupby("term").aggregate(Sum("tf", alias_name="tf"))
+            .sort(["tf", "term"], descending=[True, False]).limit(k))

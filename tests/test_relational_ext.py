@@ -594,3 +594,36 @@ def test_discounted_revenue_band_edges(ray_session):
         rev = got.column("revenue_c4").to_pylist()[0]
     # qualifying rows: 5 x (10000 cents * 100) = 5_000_000
     assert rev == 5 * 10000 * 100
+
+
+def test_heavy_hitters_exact_under_compression(ray_session):
+    """Vocabulary >> sketch_k so the per-batch Misra-Gries compress
+    actually fires; the two-pass answer must still be the EXACT top-k."""
+    import ray.data as rd
+
+    from raygeo.ops.corpus import heavy_hitters
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    # 2000 distinct tail words + 12 heavy words
+    tail = [f"w{i:04d}" for i in range(2000)]
+    heavy = [f"hot{i}" for i in range(12)]
+    texts = []
+    for d in range(400):
+        words = list(rng.choice(tail, size=30))
+        for i, h in enumerate(heavy):
+            if d % (i + 1) == 0:  # hot0 in every doc, hot11 in every 12th
+                words.append(h)
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    df = pd.DataFrame({"text": texts})
+
+    got = (heavy_hitters(rd.from_pandas(df).repartition(8),
+                         k=8, sketch_k=64)
+           .to_pandas().reset_index(drop=True))
+
+    vc = pd.Series(" ".join(texts).split()).value_counts()
+    ex = pd.DataFrame({"term": vc.index.to_numpy(), "tf": vc.to_numpy()})
+    ex = (ex.sort_values(["tf", "term"], ascending=[False, True])
+          .head(8).reset_index(drop=True))
+    assert got["term"].tolist() == ex["term"].tolist()
+    assert got["tf"].tolist() == ex["tf"].tolist()
