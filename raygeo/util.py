@@ -124,3 +124,28 @@ def join_partitions(*paths, target_bytes: int = 64 << 20, lo: int = 8,
     if hi is None:
         hi = max(64, 2 * cluster_cpus())
     return int(min(hi, max(lo, total // target_bytes + 1)))
+
+
+def drop_empty_blocks(materialized_ds, schema: "pa.Schema"):  # noqa: F821
+    """Rebuild a MATERIALIZED dataset from its non-empty block refs.
+
+    ``repartition(n)`` on a dataset with fewer rows than ``n`` emits 0-row
+    blocks that carry NO schema; those blocks survive groupbys and even
+    further repartitions untouched (``map_batches`` never calls the fn on
+    them) and poison ``Dataset.join``'s Arrow hash join with
+    "No match for FieldRef" errors. Dropping them is zero-copy — the
+    object refs are reused, nothing is read or rewritten. Falls back to a
+    single empty block with the EXPLICIT schema when everything is empty.
+    """
+    import pyarrow as pa  # noqa: F811
+    import ray.data as rd
+
+    refs = []
+    for bundle in materialized_ds.iter_internal_ref_bundles():
+        for bref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(bref)
+    if not refs:
+        empty = pa.table({f.name: pa.array([], f.type) for f in schema})
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(refs)
