@@ -1594,6 +1594,19 @@ def _q_docs_cooccurrence(sf_dir: str):
     return term_cooccurrence(_rpq(f"{sf_dir}/documents.parquet"), top_k=20)
 
 
+def _q_terms_pagerank(sf_dir: str):
+    """Iterative integer-exact PageRank over the top-term co-occurrence
+    graph: node-bounded rank state broadcast per round (the k-means
+    centroid pattern), edges streamed through map_batches partials.
+    Oracle unrolls both rounds as CTEs with the identical floor
+    divisions."""
+    from raygeo.ops.corpus import term_cooccurrence
+    from raygeo.ops.graph import pagerank
+
+    edges = term_cooccurrence(_rpq(f"{sf_dir}/documents.parquet"), top_k=20)
+    return pagerank(edges, "term_a", "term_b", rounds=2)
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: k=10 smallest md5-rank doc_ids per
     language (row_number OVER (PARTITION BY lang ORDER BY md5) analog)."""
@@ -1682,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": _q_docs_normalize,  # text normalization, md5 row parity
         "docs_pack_sequences": _q_docs_pack_sequences,  # LLM sequence packing
         "docs_cooccurrence": _q_docs_cooccurrence,  # top-term doc co-occurrence
+        "terms_pagerank": _q_terms_pagerank,  # iterative integer PageRank
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
         "orders_rank": _q_orders_rank,  # full-output window ranking
@@ -2753,6 +2767,48 @@ SELECT doc_id, (h % 8)::BIGINT AS shard,
   (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
     AS pos
 FROM k
+""",
+        "terms_pagerank": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+), tt AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tf FROM toks GROUP BY term
+    ORDER BY tf DESC, term LIMIT 20)
+), dterm AS (
+  SELECT DISTINCT doc_id, term FROM toks
+  WHERE term IN (SELECT term FROM tt)
+), e0 AS (
+  SELECT a.term AS ta, b.term AS tb
+  FROM dterm a JOIN dterm b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+), edges AS (
+  SELECT ta AS s, tb AS t FROM e0 UNION ALL SELECT tb AS s, ta AS t FROM e0
+), deg AS (
+  SELECT s, count(*)::BIGINT AS outdeg FROM edges GROUP BY s
+), r0 AS (
+  SELECT s AS node, 1000000000000::BIGINT AS r FROM deg
+), s0 AS (
+  SELECT node, (r * 85 // 100) // outdeg AS c
+  FROM r0 JOIN deg ON deg.s = r0.node
+), r1 AS (
+  SELECT r0.node,
+    (150000000000 + coalesce(sum(s0.c), 0))::BIGINT AS r
+  FROM r0 LEFT JOIN edges ON edges.t = r0.node
+  LEFT JOIN s0 ON s0.node = edges.s
+  GROUP BY r0.node
+), s1 AS (
+  SELECT node, (r * 85 // 100) // outdeg AS c
+  FROM r1 JOIN deg ON deg.s = r1.node
+), r2 AS (
+  SELECT r1.node,
+    (150000000000 + coalesce(sum(s1.c), 0))::BIGINT AS r
+  FROM r1 LEFT JOIN edges ON edges.t = r1.node
+  LEFT JOIN s1 ON s1.node = edges.s
+  GROUP BY r1.node
+)
+SELECT node, r AS rank FROM r2
 """,
         "docs_cooccurrence": """
 WITH toks AS (

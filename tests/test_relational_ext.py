@@ -627,3 +627,44 @@ def test_heavy_hitters_exact_under_compression(ray_session):
           .head(8).reset_index(drop=True))
     assert got["term"].tolist() == ex["term"].tolist()
     assert got["tf"].tolist() == ex["tf"].tolist()
+
+
+def test_pagerank_matches_serial_and_conserves_shape(ray_session):
+    """Distributed integer PageRank == serial numpy replay on a random
+    graph, independent of edge partitioning; ranks sum near total mass."""
+    import ray.data as rd
+
+    from raygeo.ops.graph import pagerank
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n_nodes, n_edges = 60, 400
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    df = (pd.DataFrame({"term_a": [f"n{x:02d}" for x in a],
+                        "term_b": [f"n{x:02d}" for x in b]})
+          .drop_duplicates())
+
+    got = (pagerank(rd.from_pandas(df).repartition(7), rounds=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # serial replay with identical integer ops
+    edges = pd.concat([df.rename(columns={"term_a": "s", "term_b": "t"}),
+                       df.rename(columns={"term_a": "t", "term_b": "s"})])
+    nodes = np.sort(edges["s"].unique())
+    idx = {n: i for i, n in enumerate(nodes)}
+    s = edges["s"].map(idx).to_numpy()
+    t = edges["t"].map(idx).to_numpy()
+    outdeg = np.bincount(s, minlength=len(nodes)).astype(np.int64)
+    q = 10**12
+    r = np.full(len(nodes), q, dtype=np.int64)
+    for _ in range(2):
+        send = (r * 85 // 100) // outdeg
+        inc = np.zeros(len(nodes), np.int64)
+        np.add.at(inc, t, send[s])
+        r = q * 15 // 100 + inc
+    assert got["node"].tolist() == list(nodes)
+    assert got["rank"].tolist() == r.tolist()
+    total = len(nodes) * q
+    assert abs(got["rank"].sum() - total) < total * 0.01  # floor-loss only
