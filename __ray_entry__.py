@@ -1594,6 +1594,62 @@ def _q_docs_cooccurrence(sf_dir: str):
     return term_cooccurrence(_rpq(f"{sf_dir}/documents.parquet"), top_k=20)
 
 
+def _q_events_props_stats(sf_dir: str):
+    """Semi-structured payload parse: extract the integer 'k' field from
+    the JSON props column (compiled-regex fast path; json.loads parity
+    pinned by the offline test), fold count/sum/min/max per event type."""
+    from raygeo.ops.relational import json_props_stats
+
+    return json_props_stats(_rpq(f"{sf_dir}/events.parquet",
+                                 columns=["event_type", "props"]))
+
+
+def _q_docs_source_stats(sf_dir: str):
+    """Per-source corpus accounting: documents, characters, tokens per
+    source — map-side partials, one row per source per batch."""
+    from raygeo.ops.corpus import source_stats
+
+    return source_stats(_rpq(f"{sf_dir}/documents.parquet",
+                             columns=["source", "n_chars", "text"]))
+
+
+def _q_mosaic_timeseries(sf_dir: str):
+    """Per-time-step totals of the temporal cube (the cube 'calendar'
+    report): tiles, valid pixels and value mass per t — a tiny keyed fold
+    over the temporal ingest's per-tile stats."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from raygeo.fixtures import TEMPORAL_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.util import table_from_pandas
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   TEMPORAL_GRID)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.array([int(s.split("-", 1)[0])
+                       for s in t.column("tile_id").to_pylist()], np.int64)
+        df = pd.DataFrame({
+            "t": ts,
+            "n_tiles": 1,
+            "n_valid_px": t.column("n_valid_px").to_numpy(),
+            "pix_sum": t.column("pix_sum").to_numpy(),
+        }).groupby("t", sort=False).sum().reset_index()
+        return table_from_pandas(df)
+
+    return (tiles.map_batches(partial, batch_format="pyarrow",
+                              batch_size=256)
+            .groupby("t")
+            .aggregate(Sum("n_tiles", alias_name="n_tiles"),
+                       Sum("n_valid_px", alias_name="n_valid_px"),
+                       Sum("pix_sum", alias_name="pix_sum")))
+
+
 def _q_terms_pagerank(sf_dir: str):
     """Iterative integer-exact PageRank over the top-term co-occurrence
     graph: node-bounded rank state broadcast per round (the k-means
@@ -1696,6 +1752,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": _q_docs_pack_sequences,  # LLM sequence packing
         "docs_cooccurrence": _q_docs_cooccurrence,  # top-term doc co-occurrence
         "terms_pagerank": _q_terms_pagerank,  # iterative integer PageRank
+        "events_props_stats": _q_events_props_stats,  # JSON payload parse
+        "docs_source_stats": _q_docs_source_stats,  # per-source accounting
+        "mosaic_timeseries": _q_mosaic_timeseries,  # per-t cube totals
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
         "orders_rank": _q_orders_rank,  # full-output window ranking
@@ -2767,6 +2826,30 @@ SELECT doc_id, (h % 8)::BIGINT AS shard,
   (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
     AS pos
 FROM k
+""",
+        "events_props_stats": """
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+  count(k)::BIGINT AS n_with_key,
+  coalesce(sum(k), 0)::BIGINT AS sum_k,
+  min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM e GROUP BY event_type
+""",
+        "docs_source_stats": """
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(n_chars)::BIGINT AS sum_chars,
+  sum(len(regexp_extract_all(lower(text), '[0-9a-z_]+')))::BIGINT AS n_tokens
+FROM documents GROUP BY source
+""",
+        "mosaic_timeseries": f"""
+SELECT CAST(split_part(tile_id, '-', 1) AS BIGINT) AS t,
+  count(*)::BIGINT AS n_tiles, sum(n_valid_px)::BIGINT AS n_valid_px,
+  sum(pix_sum)::BIGINT AS pix_sum
+FROM read_parquet('{FIX_SF001}/tiles_golden_t.parquet') GROUP BY 1
 """,
         "terms_pagerank": """
 WITH toks AS (

@@ -592,3 +592,30 @@ def heavy_hitters(docs_ds, k: int = 10, sketch_k: int = 256,
                          batch_size=4096, num_cpus=1)
             .groupby("term").aggregate(Sum("tf", alias_name="tf"))
             .sort(["tf", "term"], descending=[True, False]).limit(k))
+
+
+def source_stats(docs_ds, text_col: str = "text"):
+    """Per-source corpus accounting (the first dashboard of any
+    training-data pipeline): documents, characters and tokens per source.
+    Map-side partials; the shuffle carries one row per source per batch.
+    """
+    from ray.data.aggregate import Sum
+
+    tok = re.compile(LOWER_TOKEN_RE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ntok = df[text_col].str.lower().str.count(tok).astype("int64")
+        g = pd.DataFrame({
+            "source": df["source"],
+            "n_docs": 1,
+            "sum_chars": df["n_chars"].astype("int64"),
+            "n_tokens": ntok,
+        }).groupby("source", sort=False).sum().reset_index()
+        return g
+
+    return (docs_ds.select_columns(["source", "n_chars", text_col])
+            .map_batches(partial, batch_format="pandas", batch_size=4096)
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"),
+                       Sum("n_tokens", alias_name="n_tokens")))

@@ -668,3 +668,35 @@ def test_pagerank_matches_serial_and_conserves_shape(ray_session):
     assert got["rank"].tolist() == r.tolist()
     total = len(nodes) * q
     assert abs(got["rank"].sum() - total) < total * 0.01  # floor-loss only
+
+
+def test_json_props_regex_parity_with_real_parse(ray_session):
+    """The regex fast path must agree with an actual json.loads on both
+    well-formed payloads and rows missing the key."""
+    import json
+
+    import ray.data as rd
+
+    from raygeo.ops.relational import json_props_stats
+
+    props = ['{"k": 87}', '{"k": -3}', '{"k":0}', '{ "k" : 12 }',
+             '{"other": 5}', '{}', '{"k": 7, "j": 1}']
+    df = pd.DataFrame({"event_type": ["a", "a", "b", "b", "a", "b", "a"],
+                       "props": props})
+    got = (json_props_stats(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+    rows = []
+    for et, p in zip(df.event_type, df.props):
+        d = json.loads(p)
+        rows.append({"event_type": et, "k": d.get("k")})
+    r = pd.DataFrame(rows)
+    exp = r.groupby("event_type").agg(
+        n_events=("k", "size"), n_with_key=("k", "count"),
+        sum_k=("k", lambda s: int(s.dropna().sum())),
+        min_k=("k", "min"), max_k=("k", "max")).reset_index()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["n_with_key"].tolist() == exp["n_with_key"].tolist()
+    assert got["sum_k"].tolist() == exp["sum_k"].tolist()
+    assert got["min_k"].tolist() == [int(x) for x in exp["min_k"]]
+    assert got["max_k"].tolist() == [int(x) for x in exp["max_k"]]
