@@ -1650,6 +1650,20 @@ def _q_mosaic_timeseries(sf_dir: str):
                        Sum("pix_sum", alias_name="pix_sum")))
 
 
+def _q_events_late_data(sf_dir: str):
+    """Watermark / allowed-lateness semantics over the replayable event
+    log (event_id = arrival order): distributed prefix-max via bucketed
+    scan — per-bucket max-ts partials, driver prefix fold broadcast as
+    bucket floors, one keyed shuffle with a vectorized cummax per bucket.
+    Arrival order = md5 permutation of event_id (deterministic
+    out-of-order replay; the time-ordered fixture log would never drop).
+    SQL oracle: max(ts) OVER (ORDER BY md5-key) running window."""
+    from raygeo.ops.window import late_data_stats
+
+    return late_data_stats(_rpq(f"{sf_dir}/events.parquet"),
+                           lateness_s=14 * 86400)  # ~half the log span
+
+
 def _q_terms_pagerank(sf_dir: str):
     """Iterative integer-exact PageRank over the top-term co-occurrence
     graph: node-bounded rank state broadcast per round (the k-means
@@ -1755,6 +1769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,  # JSON payload parse
         "docs_source_stats": _q_docs_source_stats,  # per-source accounting
         "mosaic_timeseries": _q_mosaic_timeseries,  # per-t cube totals
+        "events_late_data": _q_events_late_data,  # watermark/lateness drop
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
         "orders_rank": _q_orders_rank,  # full-output window ranking
@@ -2850,6 +2865,23 @@ SELECT CAST(split_part(tile_id, '-', 1) AS BIGINT) AS t,
   count(*)::BIGINT AS n_tiles, sum(n_valid_px)::BIGINT AS n_valid_px,
   sum(pix_sum)::BIGINT AS pix_sum
 FROM read_parquet('{FIX_SF001}/tiles_golden_t.parquet') GROUP BY 1
+""",
+        "events_late_data": """
+WITH w AS (
+  SELECT event_type,
+    epoch_us(ts) AS ts_us,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    epoch_us(max(ts) OVER (
+      ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT,
+               event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS wm_us
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+  count(*) FILTER (WHERE wm_us - ts_us > 1209600000000)::BIGINT AS n_dropped,
+  coalesce(sum(CASE WHEN wm_us - ts_us > 1209600000000 THEN 0 ELSE cents END),
+           0)::BIGINT AS accepted_cents
+FROM w GROUP BY event_type
 """,
         "terms_pagerank": """
 WITH toks AS (

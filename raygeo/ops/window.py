@@ -300,3 +300,100 @@ def user_period_overlap(events_ds,
                                batch_size=65536)
             .groupby("category").aggregate(Sum("n_users",
                                                alias_name="n_users")))
+
+
+def late_data_stats(events_ds, lateness_s: int = 3600, n_buckets: int = 256):
+    """Watermark / allowed-lateness semantics (the streaming-engine
+    contract, evaluated deterministically over a replayable log).
+
+    The fixture log is perfectly time-ordered, so ARRIVAL order is defined
+    as the md5 permutation of ``event_id`` (the seeded-shuffle replay used
+    by ``docs_epoch_shuffle``) — a deterministic out-of-order arrival both
+    engines compute identically. The watermark at an event's arrival is
+    ``max(ts of everything that arrived before or with it) - lateness``;
+    an event is DROPPED iff its ts is older than that watermark. Output:
+    per event type, arrivals, drops, integer-cents sum of accepted events.
+
+    Distributed prefix-max without a global sort: the md5 arrival key is
+    uniform over [0, 2^64), so its top bits bucket arrivals into
+    ``n_buckets`` ranges directly (no span prescan); pass 1 folds
+    per-bucket max-ts partials (tiny), the driver prefix-maxes them into
+    broadcast "watermark floor before bucket b"; pass 2 is ONE keyed
+    shuffle — each bucket group sorts by arrival key and runs a vectorized
+    cummax seeded with its floor. Raw rows shuffle exactly once.
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    lat_us = int(lateness_s) * 1_000_000
+
+    def arrival_key(eids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(str(int(e)).encode()).digest()[:8],
+                            "big") for e in eids),
+            dtype=np.uint64, count=len(eids))
+
+    def bucket_of(h: np.ndarray) -> np.ndarray:
+        # uniform md5 keys: equal-width ranges over [0, 2^64)
+        return (h // np.uint64((1 << 64) // n_buckets)).astype(np.int64)
+
+    def bmax_partial(t: pa.Table) -> pa.Table:
+        h = arrival_key(t.column("event_id").to_numpy())
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = (pd.DataFrame({"b": np.minimum(bucket_of(h), n_buckets - 1),
+                            "mx": ts})
+              .groupby("b", sort=False)["mx"].max().reset_index())
+        return table_from_pandas(df)
+
+    bmax = (events_ds.select_columns(["event_id", "ts"])
+            .map_batches(bmax_partial, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("b").aggregate(Max("mx", alias_name="mx"))
+            .to_pandas().sort_values("b"))
+    floors = np.full(n_buckets, np.iinfo(np.int64).min, dtype=np.int64)
+    run = np.iinfo(np.int64).min
+    by_b = dict(zip(bmax["b"].astype(int), bmax["mx"].astype(np.int64)))
+    for b in range(n_buckets):
+        floors[b] = run  # max ts of all COMPLETE buckets before b
+        run = max(run, by_b.get(b, run))
+    floors_ref = ray.put(floors)
+
+    def tag(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy()
+        h = arrival_key(e)
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "b": pa.array(np.minimum(bucket_of(h), n_buckets - 1), pa.int64()),
+            "h": pa.array(h, pa.uint64()),
+            "event_id": pa.array(e, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fl = ray.get(floors_ref)
+        g = g.sort_values(["h", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        wm = np.maximum.accumulate(
+            np.maximum(ts, fl[int(g["b"].iloc[0])]))
+        dropped = (wm - ts) > lat_us
+        out = pd.DataFrame({
+            "event_type": g["event_type"],
+            "n_events": 1,
+            "n_dropped": dropped.astype("int64"),
+            "accepted_cents": np.where(dropped, 0, g["cents"].to_numpy()),
+        }).groupby("event_type", sort=False).sum().reset_index()
+        return out
+
+    return (events_ds.select_columns(["event_id", "ts", "value",
+                                      "event_type"])
+            .map_batches(tag, batch_format="pyarrow", batch_size=65536)
+            .groupby("b").map_groups(scan_bucket, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_dropped", alias_name="n_dropped"),
+                       Sum("accepted_cents", alias_name="accepted_cents")))

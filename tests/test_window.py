@@ -204,3 +204,50 @@ def test_pack_sequences_invariants(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b2 = out2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b2)
+
+
+def test_late_data_watermark_matches_serial(ray_session):
+    """Bucketed distributed prefix-max == serial replay in md5-arrival
+    order; drops must be non-trivial (both classes present) and invariant
+    to input partitioning."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.window import late_data_stats
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    n = 30_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (np.datetime64("2024-01-01")
+               + rng.integers(0, 30 * 86400, n).astype("timedelta64[s]")),
+        "value": rng.uniform(0, 100, n).round(2),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    lateness = 14 * 86400
+
+    got = (late_data_stats(rd.from_pandas(df).repartition(11),
+                           lateness_s=lateness, n_buckets=64)
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+    # serial oracle: replay in (md5(event_id), event_id) order
+    h = np.array([int.from_bytes(
+        hashlib.md5(str(int(e)).encode()).digest()[:8], "big")
+        for e in df.event_id], dtype=np.uint64)
+    order = np.lexsort((df.event_id.to_numpy(), h))
+    ts = df.ts.to_numpy().astype("datetime64[us]").astype(np.int64)[order]
+    wm = np.maximum.accumulate(ts)
+    dropped = (wm - ts) > lateness * 1_000_000
+    cents = np.rint(df.value.to_numpy() * 100).astype(np.int64)[order]
+    et = df.event_type.to_numpy()[order]
+    exp = (pd.DataFrame({"event_type": et, "n_events": 1,
+                         "n_dropped": dropped.astype(np.int64),
+                         "accepted_cents": np.where(dropped, 0, cents)})
+           .groupby("event_type").sum().reset_index())
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["n_dropped"].tolist() == exp["n_dropped"].tolist()
+    assert got["accepted_cents"].tolist() == exp["accepted_cents"].tolist()
+    assert 0 < got["n_dropped"].sum() < n  # both classes exercised
