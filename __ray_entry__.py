@@ -888,6 +888,26 @@ def _q_emb_ivf_knn(sf_dir: str):
     return res[["query_id", "rank", "vec_id", "recall_at_k"]]
 
 
+def _q_emb_pq_knn(sf_dir: str):
+    """Product-quantization ADC top-k with a per-query recall_at_k column
+    vs exact brute force. Rows-only: approximate by construction (codes
+    are a 32x compression of the vectors)."""
+    from raygeo.ops.ann import brute_force_knn, pq_knn
+
+    ds = _rpq(f"{sf_dir}/embeddings.parquet")
+    q = _read_query_vecs(sf_dir)
+    res = pq_knn(ds, q, k=10).to_pandas()
+    exact = brute_force_knn(ds, q, k=10).to_pandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].agg(set)
+    pq_sets = res.groupby("query_id")["vec_id"].agg(set)
+    recall = {
+        qid: len(pq_sets.get(qid, set()) & exact_sets[qid]) / len(exact_sets[qid])
+        for qid in exact_sets.index
+    }
+    res["recall_at_k"] = res["query_id"].map(recall).astype("float64")
+    return res[["query_id", "rank", "vec_id", "recall_at_k"]]
+
+
 def _q_emb_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -1799,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings
         "emb_knn": _q_emb_knn,
         "emb_ivf_knn": _q_emb_ivf_knn,  # rows-only (approximate)
+        "emb_pq_knn": _q_emb_pq_knn,  # rows-only (PQ/ADC, approximate)
         "emb_neardup": _q_emb_neardup,
         "emb_lsh_neardup": _q_emb_lsh_neardup,  # rows-only (probabilistic)
         "emb_centroids": _q_emb_centroids,  # quantized vector-mean aggregate

@@ -93,3 +93,36 @@ def test_nearest_zone_brute(ray_session):
         rows.append((f"im-{i:04d}", zid[best]))
     exp = pd.DataFrame(rows, columns=["image_id", "zone_id"])
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_pq_knn_recall_and_partition_invariance(ray_session):
+    """PQ/ADC + exact rerank: recall@10 vs brute force stays high and the
+    result is identical under different input partitionings."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import brute_force_knn, pq_knn
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    n, d = 3000, 64
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs)})
+    q = pd.DataFrame({"query_id": np.arange(5, dtype=np.int64),
+                      "embedding": list(rng.normal(size=(5, d)))})
+
+    outs = []
+    for parts in (4, 13):
+        ds = rd.from_pandas(df).repartition(parts)
+        outs.append(pq_knn(ds, q, k=10, rerank=20).to_pandas()
+                    .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    exact = (brute_force_knn(rd.from_pandas(df), q, k=10).to_pandas()
+             .groupby("query_id")["vec_id"].agg(set))
+    got = outs[0].groupby("query_id")["vec_id"].agg(set)
+    # iid Gaussian is PQ's worst case (no cluster structure); the wider
+    # rerank shortlist keeps recall usable even there
+    recall = np.mean([len(got[i] & exact[i]) / 10 for i in exact.index])
+    assert recall >= 0.6, recall
