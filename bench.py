@@ -136,6 +136,12 @@ def run_bench() -> dict:
         "nearest_zone",
         "orders_rank",
         "docs_pack_sequences",
+        "priority_shipping",
+        "docs_heavy_hitters",
+        "terms_pagerank",
+        "events_late_data",
+        "emb_pq_knn",
+        "mosaic_histogram",
     ]
     for name in bench_queries:
         timed(name, qs[name])
