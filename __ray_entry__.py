@@ -1412,6 +1412,22 @@ def _q_mosaic_histogram(sf_dir: str):
     return mosaic_histogram(tiles, FIXTURE_GRID)
 
 
+def _q_mosaic_hillshade(sf_dir: str):
+    """Hillshade over the mosaic (the classic DEM derivative; second focal
+    op on the gradient's halo-exchange pattern — both forward differences
+    per pixel, border pixels reconstructed from exchanged strips).
+    Golden = shade_q over the serial full-plane paint."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.stencil import hillshade_stats
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return hillshade_stats(tiles, FIXTURE_GRID)
+
+
 def _q_mosaic_overview_l2(sf_dir: str):
     """Level-2 overview pyramid: the one-level pool/assemble applied
     twice (the operator chains — level L input = level L-1 output).
@@ -1508,6 +1524,17 @@ def _q_large_orders(sf_dir: str):
                         f"{sf_dir}/orders.parquet",
                         f"{sf_dir}/customer.parquet",
                         qty_threshold=300, k=20)
+
+
+def _q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: returned-item revenue per customer in a quarter,
+    top-20 — map-side returned-row partials, one partitioned fact join,
+    partial-then-final customer fold, tiny broadcast name fetch."""
+    from raygeo.ops.relational import returned_revenue
+
+    return returned_revenue(_rpq(f"{sf_dir}/lineitem.parquet"),
+                            f"{sf_dir}/orders.parquet",
+                            f"{sf_dir}/customer.parquet")
 
 
 def _q_user_top_event(sf_dir: str):
@@ -1769,12 +1796,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
+        "mosaic_hillshade": _q_mosaic_hillshade,  # focal shade, halo exchange
         "mosaic_overview_l2": _q_mosaic_overview_l2,  # chained pyramid level 2
         "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
         "q5_local_volume": _q_q5_local_volume,  # 6-table star join
         "priority_shipping": _q_priority_shipping,  # Q12 shape, CASE fold
         "discounted_revenue": _q_discounted_revenue,  # Q19 disjunctive bands
         "large_orders": _q_large_orders,  # Q18 aggregate-then-semi-join
+        "returned_revenue": _q_returned_revenue,  # Q10 top returned revenue
         "user_top_event": _q_user_top_event,  # grouped categorical mode
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
         "orders_cum_crossing": _q_orders_cum_crossing,  # running-sum crossing
@@ -1887,6 +1916,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_histogram_golden
 
     ensure_histogram_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_hillshade_golden
+
+    ensure_hillshade_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -2081,6 +2113,10 @@ FROM read_parquet('{FIX_SF001}/mosaic_zonal_golden.parquet')
         "mosaic_histogram": f"""
 SELECT v_bin, n_px
 FROM read_parquet('{FIX_SF001}/histogram_golden.parquet')
+""",
+        "mosaic_hillshade": f"""
+SELECT tile_id, tx, ty, n_px, shade_sum
+FROM read_parquet('{FIX_SF001}/hillshade_golden.parquet')
 """,
         "video_frame_stats": f"""
 SELECT video_id, frame_no, pix_sum
@@ -2749,6 +2785,17 @@ SELECT c_name, c_custkey, o_orderkey,
 FROM big JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY sum_qty DESC, o_orderkey LIMIT 20
+""",
+        "returned_revenue": """
+SELECT c_name, c_custkey,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_name, c_custkey
+ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
 """,
         "user_top_event": """
 WITH c AS (

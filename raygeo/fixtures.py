@@ -1484,3 +1484,62 @@ def ensure_histogram_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_hillshade_golden(fix_dir: str) -> str:
+    """Idempotently derive hillshade_golden.parquet: per-tile quantized
+    hillshade sums from the serial full-plane LWW paint.
+
+    Shares ONLY the pure per-pixel derivations with the engine (the
+    decode/paint path of `_golden_slab` and the `shade_q` per-pixel
+    formula) — the halo-exchange decomposition is not touched. A pixel
+    counts when it, its east and its south neighbor are all valid on the
+    GLOBAL plane (so tile borders exercise the engine's strip exchange).
+    Separate marker file; no layout-version regen."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    from .ops.stencil import shade_q
+
+    out = os.path.join(fix_dir, "hillshade_golden.parquet")
+    if os.path.exists(out):
+        return out
+    n = images_count_for_sf(sf_of_dir(fix_dir))
+    slab = max(500, n // 16)
+    slabs = [(lo, min(lo + slab, n), False) for lo in range(0, n, slab)]
+    lww: dict = {}
+    if len(slabs) <= 1:
+        for res in map(_golden_slab, slabs):
+            _merge_slab_into(lww, res["lww"], False)
+    else:
+        workers = min(16, os.cpu_count() or 4, len(slabs))
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for res in ex.map(_golden_slab, slabs):  # ordered: ascending pno
+                _merge_slab_into(lww, res["lww"], False)
+    g = FIXTURE_GRID
+    _, valid, v = _full_plane(lww)
+    ok = valid[:-1, :-1] & valid[:-1, 1:] & valid[1:, :-1]
+    dx = v[:-1, 1:] - v[:-1, :-1]
+    dy = v[1:, :-1] - v[:-1, :-1]
+    sq = np.zeros_like(dx)
+    sq[ok] = shade_q(dx[ok], dy[ok])
+    rows = {"tile_id": [], "tx": [], "ty": [], "n_px": [], "shade_sum": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        # owner pixels of the tile, clipped to the (H-1, W-1) diff plane
+        m = ok[tr0:min(tr1, g.height - 1), tc0:min(tc1, g.width - 1)]
+        sval = sq[tr0:tr0 + m.shape[0], tc0:tc0 + m.shape[1]]
+        rows["tile_id"].append(f"{tx}-{ty}")
+        rows["tx"].append(tx)
+        rows["ty"].append(ty)
+        rows["n_px"].append(int(m.sum()))
+        rows["shade_sum"].append(int(sval[m].sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "n_px": pa.array(rows["n_px"], pa.int64()),
+        "shade_sum": pa.array(rows["shade_sum"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

@@ -1568,3 +1568,92 @@ def json_props_stats(events_ds, key: str = "k"):
                        Sum("sum_k", alias_name="sum_k"),
                        Min("min_k", alias_name="min_k"),
                        Max("max_k", alias_name="max_k")))
+
+
+def returned_revenue(lineitem_ds, orders_path: str, customer_path: str,
+                     date_lo: str = "1996-01-01", date_hi: str = "1996-04-01",
+                     k: int = 20, num_partitions: int | None = None):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in a
+    quarter, top-k customers.
+
+    lineitem pre-aggregates map-side to (l_orderkey, revenue) partials over
+    returned rows only; orders date-filter map-side; the fact⋈fact step is
+    the one partitioned hash join. The per-customer fold after the join is
+    again partial-then-final, and only the k winning custkeys broadcast
+    back to fetch names — no grows-with-SF table is broadcast or
+    collected.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import join_partitions, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(orders_path)
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        rf = t.column("l_returnflag").to_pylist()
+        keep = np.fromiter((x == "R" for x in rf), bool, len(rf))
+        t = t.filter(pa.array(keep))
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "revenue_c4": rev})
+        g = df.groupby("l_orderkey", sort=False)["revenue_c4"].sum().reset_index()
+        return table_from_pandas(g)
+
+    rev = lineitem_ds.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    orders = read_parquet_clean(
+        orders_path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy()
+        return t.filter(pa.array((od >= d0) & (od < d1))).select(
+            ["o_orderkey", "o_custkey"])
+
+    orders_f = orders.map_batches(ofilter, batch_format="pyarrow",
+                                  batch_size=65536)
+    joined = rev.join(orders_f, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cpartial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_custkey": t.column("o_custkey").to_numpy(),
+                           "revenue_c4": t.column("revenue_c4").to_numpy()})
+        g = df.groupby("c_custkey", sort=False)["revenue_c4"].sum().reset_index()
+        return table_from_pandas(g)
+
+    top = (joined.map_batches(cpartial, batch_format="pyarrow",
+                              batch_size=65536)
+           .groupby("c_custkey")
+           .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+           .sort(["revenue_c4", "c_custkey"], descending=[True, False])
+           .limit(k)
+           .to_pandas())  # <= k rows by construction
+    if top.empty:
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "c_custkey": pa.array([], pa.int64()),
+                         "revenue_c4": pa.array([], pa.int64())})
+    ckeys = set(top["c_custkey"].tolist())
+
+    def cfilter(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy()
+        keep = np.fromiter((x in ckeys for x in ck), bool, len(ck))
+        return t.filter(pa.array(keep))
+
+    names = read_parquet_clean(
+        customer_path, columns=["c_custkey", "c_name"]
+    ).map_batches(cfilter, batch_format="pyarrow",
+                  batch_size=65536).to_pandas()  # <= k rows
+    df = top.merge(names, on="c_custkey").sort_values(
+        ["revenue_c4", "c_custkey"], ascending=[False, True])
+    return pa.table({
+        "c_name": pa.array(df["c_name"].tolist(), pa.string()),
+        "c_custkey": pa.array(df["c_custkey"].to_numpy(), pa.int64()),
+        "revenue_c4": pa.array(df["revenue_c4"].to_numpy(), pa.int64()),
+    })

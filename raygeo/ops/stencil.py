@@ -287,3 +287,149 @@ def resample_nn(tiles_ds, src_grid: GridSpec, dst_grid: GridSpec,
 
     return frags.groupby("tile_id").map_groups(assemble,
                                                batch_format="pyarrow")
+
+
+def shade_q(dx: np.ndarray, dy: np.ndarray,
+            azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
+            z_factor: float = 0.01) -> np.ndarray:
+    """Quantized hillshade of forward differences (PURE per-pixel formula —
+    shared with the lazy golden painter, which is allowed to reuse exactly
+    these per-pixel derivations and nothing of the distributed plan).
+
+    Standard illumination model: shade = sin(alt)·cos(slope) +
+    cos(alt)·sin(slope)·cos(az − aspect), negatives clipped to 0, then
+    floor(shade · 1e6) as int64 so per-tile sums are order-independent."""
+    slope = np.arctan(z_factor * np.hypot(dx, dy))
+    aspect = np.arctan2(dy.astype(np.float64), dx.astype(np.float64))
+    az = np.deg2rad(azimuth_deg)
+    alt = np.deg2rad(altitude_deg)
+    shade = (np.sin(alt) * np.cos(slope)
+             + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+    return np.floor(np.maximum(shade, 0.0) * 1e6).astype(np.int64)
+
+
+def hillshade_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile hillshade statistics with halo exchange — the second focal
+    op on the gradient's exchange pattern, needing BOTH forward
+    differences per pixel: shade(p) = f(v[r,c+1]−v[r,c], v[r+1,c]−v[r,c]),
+    defined where p, its east and its south neighbor are all valid.
+
+    Interior pixels (r<last, c<last) compute entirely MAP-SIDE. A tile's
+    own last column/row strips stay keyed to itself; its FIRST column/row
+    travel west/north (identical strip shapes to ``gradient_stats``), and
+    the merge reconstructs the three border cases (last column, last row,
+    corner) from (edge, halo) strip pairs. Absent neighbors contribute no
+    halo, matching the golden's invalid-pixel treatment.
+
+    Output: (tile_id, tx, ty, n_px, shade_sum).
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in GRAD_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, n=0, s=0, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["n_pairs"].append(n)
+            out["abs_grad_sum"].append(s)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            ok = mask[:-1, :-1] & mask[:-1, 1:] & mask[1:, :-1]
+            dx = (v[:-1, 1:] - v[:-1, :-1])[ok]
+            dy = (v[1:, :-1] - v[:-1, :-1])[ok]
+            row((tx, ty), "self", int(ok.sum()),
+                int(shade_q(dx, dy).sum()))
+            row((tx, ty), "edge_e", v=v[:, -1].tobytes(),
+                m=mask[:, -1].astype(np.uint8).tobytes())
+            row((tx, ty), "edge_s", v=v[-1, :].tobytes(),
+                m=mask[-1, :].astype(np.uint8).tobytes())
+            if tx > 0:
+                row((tx - 1, ty), "halo_w", v=v[:, 0].tobytes(),
+                    m=mask[:, 0].astype(np.uint8).tobytes())
+            if ty > 0:
+                row((tx, ty - 1), "halo_n", v=v[0, :].tobytes(),
+                    m=mask[0, :].astype(np.uint8).tobytes())
+        return pa.table(out, schema=GRAD_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        if "self" not in kinds:
+            return pa.table({"tile_id": pa.array([], pa.string()),
+                             "tx": pa.array([], pa.int64()),
+                             "ty": pa.array([], pa.int64()),
+                             "n_px": pa.array([], pa.int64()),
+                             "shade_sum": pa.array([], pa.int64())})
+        strips: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        n = 0
+        s = 0
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                n += int(g.column("n_pairs")[j].as_py())
+                s += int(g.column("abs_grad_sum")[j].as_py())
+            else:
+                strips[kind] = (
+                    np.frombuffer(g.column("v")[j].as_py(), np.int64),
+                    np.frombuffer(g.column("m")[j].as_py(),
+                                  np.uint8).astype(bool))
+        ee = strips.get("edge_e")
+        es = strips.get("edge_s")
+        hw = strips.get("halo_w")
+        hn = strips.get("halo_n")
+        if ee is not None and hw is not None:
+            # last column, rows 0..last-1: east diff from the halo, south
+            # diff within the own edge strip
+            ev, em = ee
+            hv, hm = hw
+            ok = em[:-1] & em[1:] & hm[:-1]
+            dx = (hv[:-1] - ev[:-1])[ok]
+            dy = (ev[1:] - ev[:-1])[ok]
+            n += int(ok.sum())
+            s += int(shade_q(dx, dy).sum())
+        if es is not None and hn is not None:
+            # last row, cols 0..last-1
+            ev, em = es
+            hv, hm = hn
+            ok = em[:-1] & em[1:] & hm[:-1]
+            dx = (ev[1:] - ev[:-1])[ok]
+            dy = (hv[:-1] - ev[:-1])[ok]
+            n += int(ok.sum())
+            s += int(shade_q(dx, dy).sum())
+        if ee is not None and hw is not None and hn is not None:
+            # corner (last, last): needs both halos' last elements
+            ev, em = ee
+            hwv, hwm = hw
+            hnv, hnm = hn
+            if em[-1] and hwm[-1] and hnm[-1]:
+                dx = np.array([hwv[-1] - ev[-1]], np.int64)
+                dy = np.array([hnv[-1] - ev[-1]], np.int64)
+                n += 1
+                s += int(shade_q(dx, dy).sum())
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({"tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+                         "tx": pa.array([tx], pa.int64()),
+                         "ty": pa.array([ty], pa.int64()),
+                         "n_px": pa.array([n], pa.int64()),
+                         "shade_sum": pa.array([s], pa.int64())})
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")

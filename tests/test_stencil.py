@@ -188,3 +188,27 @@ def test_mosaic_zonal_matches_full_plane(ray_session):
         # zones touching only absent tiles may be omitted entirely — that
         # is only legal when their expected count is zero
         assert got.get(f"z-{i:02d}", (0, 0)) == exp
+
+
+def test_hillshade_matches_full_plane_golden(ray_session, fixtures_sf0001):
+    """Halo-exchange hillshade == shade_q over the serial full-plane paint
+    (border pixels cross tile strips; identical row set and sums)."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID, ensure_hillshade_golden
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.stencil import hillshade_stats
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    tiles = ingest(read_parquet_clean(
+        f"{d}/images.parquet", columns=["image_id", "bytes", "w", "h"]),
+        FIXTURE_GRID)
+    got = (hillshade_stats(tiles, FIXTURE_GRID)
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    exp = (pq.read_table(ensure_hillshade_golden(d))
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    assert got["tile_id"].tolist() == exp["tile_id"].tolist()
+    assert got["n_px"].tolist() == exp["n_px"].tolist()
+    assert got["shade_sum"].tolist() == exp["shade_sum"].tolist()
+    assert got["shade_sum"].abs().sum() > 0
