@@ -1537,6 +1537,27 @@ def _q_returned_revenue(sf_dir: str):
                             f"{sf_dir}/customer.parquet")
 
 
+def _q_events_cube(sf_dir: str):
+    """GROUP BY CUBE analog over (event_type, weekday): all four grouping
+    sets derived from one distributed fine-grain fold."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from raygeo.ops.relational import cube_sum
+
+    ds = _rpq(f"{sf_dir}/events.parquet", columns=["event_type", "ts",
+                                                   "value"])
+
+    def add_weekday(t: pa.Table) -> pa.Table:
+        # ISO weekday (Mon=1..Sun=7) — matches DuckDB isodow()
+        wd = (pd.to_datetime(t.column("ts").to_numpy()).dayofweek + 1).astype(str)
+        return t.append_column("weekday", pa.array(wd, pa.string()))
+
+    ds = ds.map_batches(add_weekday, batch_format="pyarrow",
+                        batch_size=65536)
+    return cube_sum(ds, "event_type", "weekday", "value")
+
+
 def _q_user_top_event(sf_dir: str):
     """Grouped categorical mode: each user's most frequent event type
     (ties -> lexicographically smallest), via (user, type) count partials
@@ -1804,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_revenue": _q_discounted_revenue,  # Q19 disjunctive bands
         "large_orders": _q_large_orders,  # Q18 aggregate-then-semi-join
         "returned_revenue": _q_returned_revenue,  # Q10 top returned revenue
+        "events_cube": _q_events_cube,  # CUBE grouping sets
         "user_top_event": _q_user_top_event,  # grouped categorical mode
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
         "orders_cum_crossing": _q_orders_cum_crossing,  # running-sum crossing
@@ -2796,6 +2818,17 @@ WHERE l_returnflag = 'R'
   AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
 GROUP BY c_name, c_custkey
 ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+""",
+        "events_cube": """
+WITH e AS (
+  SELECT event_type, CAST(isodow(ts) AS VARCHAR) AS weekday,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+  coalesce(weekday, 'ALL') AS weekday,
+  sum(cents)::BIGINT AS value_cents, count(*)::BIGINT AS n_rows
+FROM e GROUP BY CUBE(event_type, weekday)
 """,
         "user_top_event": """
 WITH c AS (

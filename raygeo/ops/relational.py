@@ -1657,3 +1657,47 @@ def returned_revenue(lineitem_ds, orders_path: str, customer_path: str,
         "c_custkey": pa.array(df["c_custkey"].to_numpy(), pa.int64()),
         "revenue_c4": pa.array(df["revenue_c4"].to_numpy(), pa.int64()),
     })
+
+
+def cube_sum(ds, row_col: str, col_col: str, value_col: str):
+    """GROUP BY CUBE(a, b) analog: all four grouping sets — (a, b),
+    (a, ALL), (ALL, b), (ALL, ALL).
+
+    Same shape as ``rollup_sum``: only the finest (a, b) granularity is
+    folded distributed; every coarser set derives from that tiny aggregate
+    in one single-block map — never a second pass over the data. NULL
+    group keys encode as 'ALL'.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"a": t.column(row_col).to_pandas().astype(str),
+                           "b": t.column(col_col).to_pandas().astype(str),
+                           "v": cents, "n": np.int64(1)})
+        g = (df.groupby(["a", "b"], sort=False)
+             .agg(v=("v", "sum"), n=("n", "sum")).reset_index())
+        return table_from_pandas(g)
+
+    fine = ds.select_columns([row_col, col_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).groupby(["a", "b"]).aggregate(Sum("v", alias_name="v"),
+                                    Sum("n", alias_name="n"))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        lvl_a = df.groupby("a", as_index=False).agg(v=("v", "sum"),
+                                                    n=("n", "sum"))
+        lvl_a["b"] = "ALL"
+        lvl_b = df.groupby("b", as_index=False).agg(v=("v", "sum"),
+                                                    n=("n", "sum"))
+        lvl_b["a"] = "ALL"
+        total = pd.DataFrame({"a": ["ALL"], "b": ["ALL"],
+                              "v": [df["v"].sum()], "n": [df["n"].sum()]})
+        cols = ["a", "b", "v", "n"]
+        out = pd.concat([df[cols], lvl_a[cols], lvl_b[cols], total],
+                        ignore_index=True)
+        return out.rename(columns={"a": row_col, "b": col_col,
+                                   "v": "value_cents", "n": "n_rows"})
+
+    return fine.repartition(1).map_batches(expand, batch_format="pandas",
+                                           batch_size=None)
