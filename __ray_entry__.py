@@ -1294,17 +1294,21 @@ def _q_csv_cell_histogram(sf_dir: str):
     from raygeo.fixtures import ensure_catalog_csv
     from raygeo.util import table_from_pandas
 
+    from raygeo.fixtures import FIXTURE_GRID
+
     path = ensure_catalog_csv(_fix(sf_dir))
-    res = 0.0009765625  # FIXTURE_GRID res; formula mirrored in the oracle
+    fg = FIXTURE_GRID  # oracle mirrors the same RES/extent/chunk constants
 
     def cells(t: pa.Table) -> pa.Table:
         cx = (t.column("lon_min").to_numpy()
               + t.column("lon_max").to_numpy()) / 2.0
         cy = (t.column("lat_min").to_numpy()
               + t.column("lat_max").to_numpy()) / 2.0
-        col = np.clip(np.floor((cx + 1.0) / res), 0, 2047).astype(np.int64)
-        row = np.clip(np.floor((1.0 - cy) / res), 0, 2047).astype(np.int64)
-        df = pd.DataFrame({"tx": col // 128, "ty": row // 128})
+        col = np.clip(np.floor((cx - fg.x0) / fg.res), 0,
+                      fg.width - 1).astype(np.int64)
+        row = np.clip(np.floor((fg.y1 - cy) / fg.res), 0,
+                      fg.height - 1).astype(np.int64)
+        df = pd.DataFrame({"tx": col // fg.chunk, "ty": row // fg.chunk})
         g = (df.groupby(["tx", "ty"], sort=False).size()
              .rename("n_images").reset_index())
         return table_from_pandas(g)

@@ -1363,21 +1363,16 @@ def ensure_fixtures_for_dir(sf_dir: str) -> str:
     return ensure_fixtures(sf_of_dir(sf_dir))
 
 
-def ensure_catalog_jsonl(fix_dir: str) -> str:
-    """Idempotently derive a STAC-item-style JSONL catalog from the image
-    table: one line per image — {"id", "bbox": [w, s, e, n], "datetime"}.
-
-    A *different serialization of the same metadata* so the engine's JSONL
-    source path (``ray.data.read_json``) is exercised with full SQL parity
-    (DuckDB ``read_json_auto`` parses the identical doubles: json floats
-    are shortest-roundtrip, exact both ways). One .jsonl part per parquet
-    part keeps the read parallel. Separate marker — added lazily to
-    already-built fixture dirs without a layout-version regen."""
+def _ensure_catalog_sidecar(fix_dir: str, name: str, ext: str,
+                            write_part) -> str:
+    """Shared scaffold for lazily-derived catalog sidecars (JSONL/CSV):
+    marker = directory presence; one part per image-parquet part keeps the
+    read parallel; atomic tmp-dir rename tolerates concurrent builders.
+    ``write_part(f, ids, w, s, e, n)`` does the per-part serialization."""
     import glob as _glob
-    import json
     import shutil
 
-    out = os.path.join(fix_dir, "catalog.jsonl")
+    out = os.path.join(fix_dir, name)
     if os.path.isdir(out):
         return out
     tmp = out + ".tmp"
@@ -1388,17 +1383,12 @@ def ensure_catalog_jsonl(fix_dir: str) -> str:
     for k, part in enumerate(parts):
         t = pq.read_table(part, columns=["image_id", "lon_min", "lat_min",
                                          "lon_max", "lat_max"])
-        ids = t.column("image_id").to_pylist()
-        w = t.column("lon_min").to_pylist()
-        s = t.column("lat_min").to_pylist()
-        e = t.column("lon_max").to_pylist()
-        n = t.column("lat_max").to_pylist()
-        with open(os.path.join(tmp, f"part-{k:05d}.jsonl"), "w") as f:
-            for j in range(len(ids)):
-                dt = str(timestamp_of(ids[j])) + "Z"
-                f.write(json.dumps({"id": ids[j],
-                                    "bbox": [w[j], s[j], e[j], n[j]],
-                                    "datetime": dt}) + "\n")
+        with open(os.path.join(tmp, f"part-{k:05d}.{ext}"), "w") as f:
+            write_part(f, t.column("image_id").to_pylist(),
+                       t.column("lon_min").to_pylist(),
+                       t.column("lat_min").to_pylist(),
+                       t.column("lon_max").to_pylist(),
+                       t.column("lat_max").to_pylist())
     try:
         os.replace(tmp, out)
     except OSError:
@@ -1406,62 +1396,54 @@ def ensure_catalog_jsonl(fix_dir: str) -> str:
             raise
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def ensure_catalog_jsonl(fix_dir: str) -> str:
+    """Idempotently derive a STAC-item-style JSONL catalog from the image
+    table: one line per image — {"id", "bbox": [w, s, e, n], "datetime"}.
+    A *different serialization of the same metadata* so the engine's JSONL
+    source path (``ray.data.read_json``) is exercised with full SQL parity
+    (json floats are shortest-roundtrip, exact both ways)."""
+    import json
+
+    def write_part(f, ids, w, s, e, n):
+        for j in range(len(ids)):
+            dt = str(timestamp_of(ids[j])) + "Z"
+            f.write(json.dumps({"id": ids[j],
+                                "bbox": [w[j], s[j], e[j], n[j]],
+                                "datetime": dt}) + "\n")
+
+    return _ensure_catalog_sidecar(fix_dir, "catalog.jsonl", "jsonl",
+                                   write_part)
 
 
 def ensure_catalog_csv(fix_dir: str) -> str:
     """Idempotently derive a CSV sidecar catalog from the image table:
-    ``id,lon_min,lat_min,lon_max,lat_max`` — the third serialization of the
-    same metadata, exercising the engine's CSV source path
-    (``ray.data.read_csv``) with full SQL parity. Floats are written with
-    ``repr`` (shortest round-trip), so DuckDB's CSV reader parses the
-    identical doubles. One .csv part per parquet part keeps the read
-    parallel; separate marker — added lazily, no layout-version regen."""
-    import glob as _glob
-    import shutil
+    ``id,lon_min,lat_min,lon_max,lat_max`` — the third serialization of
+    the same metadata, exercising the engine's CSV source path with full
+    SQL parity (floats written with ``repr`` = shortest round-trip)."""
 
-    out = os.path.join(fix_dir, "catalog.csv")
-    if os.path.isdir(out):
-        return out
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    parts = sorted(_glob.glob(os.path.join(fix_dir, "images.parquet",
-                                           "*.parquet")))
-    for k, part in enumerate(parts):
-        t = pq.read_table(part, columns=["image_id", "lon_min", "lat_min",
-                                         "lon_max", "lat_max"])
-        ids = t.column("image_id").to_pylist()
-        w = t.column("lon_min").to_pylist()
-        s = t.column("lat_min").to_pylist()
-        e = t.column("lon_max").to_pylist()
-        n = t.column("lat_max").to_pylist()
-        with open(os.path.join(tmp, f"part-{k:05d}.csv"), "w") as f:
-            f.write("image_id,lon_min,lat_min,lon_max,lat_max\n")
-            for j in range(len(ids)):
-                f.write(f"{ids[j]},{w[j]!r},{s[j]!r},{e[j]!r},{n[j]!r}\n")
-    try:
-        os.replace(tmp, out)
-    except OSError:
-        if not os.path.isdir(out):  # lost a benign race only
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    def write_part(f, ids, w, s, e, n):
+        f.write("image_id,lon_min,lat_min,lon_max,lat_max\n")
+        for j in range(len(ids)):
+            f.write(f"{ids[j]},{w[j]!r},{s[j]!r},{e[j]!r},{n[j]!r}\n")
+
+    return _ensure_catalog_sidecar(fix_dir, "catalog.csv", "csv", write_part)
 
 
-def ensure_histogram_golden(fix_dir: str) -> str:
-    """Idempotently derive histogram_golden.parquet: the global value
-    histogram (v = R+G+B per valid pixel) of the serial LWW mosaic paint.
+_LWW_PLANE_CACHE: dict = {}
 
-    Reuses the independent slab painter (`_golden_slab` — images are a
-    pure function of their index, no engine code on the paint path) and a
-    plain ``np.bincount`` over the assembled plane. Separate marker (file
-    presence): added lazily to existing fixture dirs, no layout-version
-    regen."""
+
+def _paint_lww_plane(fix_dir: str):
+    """Serial LWW full-plane paint for lazy goldens: slab fold (ascending
+    pno, the generation-time order) -> (rgb, valid, v) via `_full_plane`.
+    Process-cached so back-to-back lazy ensures (histogram + hillshade on
+    first oracle run) paint once."""
     from concurrent.futures import ProcessPoolExecutor
 
-    out = os.path.join(fix_dir, "histogram_golden.parquet")
-    if os.path.exists(out):
-        return out
+    key = os.path.abspath(fix_dir)
+    if key in _LWW_PLANE_CACHE:
+        return _LWW_PLANE_CACHE[key]
     n = images_count_for_sf(sf_of_dir(fix_dir))
     slab = max(500, n // 16)
     slabs = [(lo, min(lo + slab, n), False) for lo in range(0, n, slab)]
@@ -1474,7 +1456,20 @@ def ensure_histogram_golden(fix_dir: str) -> str:
         with ProcessPoolExecutor(max_workers=workers) as ex:
             for res in ex.map(_golden_slab, slabs):  # ordered: ascending pno
                 _merge_slab_into(lww, res["lww"], False)
-    _, valid, v = _full_plane(lww)
+    plane = (_full_plane(lww), lww)
+    _LWW_PLANE_CACHE[key] = plane
+    return plane
+
+
+def ensure_histogram_golden(fix_dir: str) -> str:
+    """Idempotently derive histogram_golden.parquet: the global value
+    histogram (v = R+G+B per valid pixel) of the serial LWW mosaic paint.
+    Shares only the pure paint path (`_paint_lww_plane`); separate marker,
+    no layout-version regen."""
+    out = os.path.join(fix_dir, "histogram_golden.parquet")
+    if os.path.exists(out):
+        return out
+    (_, valid, v), _lww = _paint_lww_plane(fix_dir)
     counts = np.bincount(v[valid], minlength=766)
     occ = np.nonzero(counts)[0]
     t = pa.table({
@@ -1496,27 +1491,13 @@ def ensure_hillshade_golden(fix_dir: str) -> str:
     counts when it, its east and its south neighbor are all valid on the
     GLOBAL plane (so tile borders exercise the engine's strip exchange).
     Separate marker file; no layout-version regen."""
-    from concurrent.futures import ProcessPoolExecutor
-
     from .ops.stencil import shade_q
 
     out = os.path.join(fix_dir, "hillshade_golden.parquet")
     if os.path.exists(out):
         return out
-    n = images_count_for_sf(sf_of_dir(fix_dir))
-    slab = max(500, n // 16)
-    slabs = [(lo, min(lo + slab, n), False) for lo in range(0, n, slab)]
-    lww: dict = {}
-    if len(slabs) <= 1:
-        for res in map(_golden_slab, slabs):
-            _merge_slab_into(lww, res["lww"], False)
-    else:
-        workers = min(16, os.cpu_count() or 4, len(slabs))
-        with ProcessPoolExecutor(max_workers=workers) as ex:
-            for res in ex.map(_golden_slab, slabs):  # ordered: ascending pno
-                _merge_slab_into(lww, res["lww"], False)
     g = FIXTURE_GRID
-    _, valid, v = _full_plane(lww)
+    (_, valid, v), lww = _paint_lww_plane(fix_dir)
     ok = valid[:-1, :-1] & valid[:-1, 1:] & valid[1:, :-1]
     dx = v[:-1, 1:] - v[:-1, :-1]
     dy = v[1:, :-1] - v[:-1, :-1]

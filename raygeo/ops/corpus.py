@@ -548,18 +548,21 @@ def heavy_hitters(docs_ds, k: int = 10, sketch_k: int = 256,
 
     tok = re.compile(LOWER_TOKEN_RE)
 
-    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def mg_partial(df: pd.DataFrame):
+        import pyarrow as _pa
+
         ex = df[text_col].str.lower().str.findall(tok).explode().dropna()
-        if len(ex) == 0:
-            return pd.DataFrame({"term": pd.Series([], dtype=object),
-                                 "cnt": pd.Series([], dtype="int64")})
+        if len(ex) == 0:  # explicit types: empty object cols degrade schemas
+            return _pa.table({"term": _pa.array([], _pa.string()),
+                              "cnt": _pa.array([], _pa.int64())})
         vc = ex.value_counts()  # exact within the batch, sorted desc
         if len(vc) > sketch_k:
             thresh = int(vc.iloc[sketch_k])
             vc = vc - thresh
             vc = vc[vc > 0]
-        return pd.DataFrame({"term": vc.index.to_numpy(),
-                             "cnt": vc.to_numpy().astype("int64")})
+        return _pa.table({"term": _pa.array(vc.index.tolist(), _pa.string()),
+                          "cnt": _pa.array(vc.to_numpy().astype("int64"),
+                                           _pa.int64())})
 
     merged = (docs_ds.select_columns([text_col])
               .map_batches(mg_partial, batch_format="pandas",
@@ -573,19 +576,22 @@ def heavy_hitters(docs_ds, k: int = 10, sketch_k: int = 256,
     cands = np.sort(merged["term"].to_numpy().astype(object))
     cands_ref = ray.put(cands)
 
-    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def exact_partial(df: pd.DataFrame):
+        import pyarrow as _pa
+
         cs = ray.get(cands_ref)
         ex = df[text_col].str.lower().str.findall(tok).explode().dropna()
         if len(ex) == 0 or len(cs) == 0:
-            return pd.DataFrame({"term": pd.Series([], dtype=object),
-                                 "tf": pd.Series([], dtype="int64")})
+            return _pa.table({"term": _pa.array([], _pa.string()),
+                              "tf": _pa.array([], _pa.int64())})
         terms = ex.to_numpy().astype(object)
         pos = np.searchsorted(cs, terms)
         pos_c = np.clip(pos, 0, len(cs) - 1)
         keep = cs[pos_c] == terms
         vc = pd.Series(terms[keep]).value_counts()
-        return pd.DataFrame({"term": vc.index.to_numpy(),
-                             "tf": vc.to_numpy().astype("int64")})
+        return _pa.table({"term": _pa.array(vc.index.tolist(), _pa.string()),
+                          "tf": _pa.array(vc.to_numpy().astype("int64"),
+                                          _pa.int64())})
 
     return (docs_ds.select_columns([text_col])
             .map_batches(exact_partial, batch_format="pandas",

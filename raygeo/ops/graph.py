@@ -62,24 +62,37 @@ def pagerank(edges_ds, src_col: str = "term_a", dst_col: str = "term_b",
         sym, batch_format="pyarrow", batch_size=65536).materialize()
 
     # node-bounded state: outdegree fold, collected once (the broadcast
-    # small side — vocabulary-sized, like the k-means centroid table)
+    # small side — vocabulary-sized, like the k-means centroid table).
+    # Destinations fold in with outdeg 0 so a directed graph's SINK nodes
+    # (never a source) still get rank rows instead of crashing the
+    # incoming-mass scatter.
     def deg_partial(t: pa.Table) -> pa.Table:
-        g = (pd.DataFrame({"s": t.column("s").to_pylist()})
-             .groupby("s", sort=False).size().rename("outdeg").reset_index())
-        return table_from_pandas(g)
+        src = (pd.DataFrame({"n": t.column("s").to_pylist()})
+               .groupby("n", sort=False).size().rename("outdeg")
+               .reset_index())
+        dst = pd.DataFrame({"n": pd.unique(np.asarray(
+            t.column("t").to_pylist(), dtype=object))})
+        dst["outdeg"] = np.int64(0)
+        g = pd.concat([src, dst], ignore_index=True)
+        return pa.table({"n": pa.array(g["n"].tolist(), pa.string()),
+                         "outdeg": pa.array(g["outdeg"].to_numpy(np.int64),
+                                            pa.int64())})
 
     deg = (edges.map_batches(deg_partial, batch_format="pyarrow",
                              batch_size=65536)
-           .groupby("s").aggregate(Sum("outdeg", alias_name="outdeg"))
+           .groupby("n").aggregate(Sum("outdeg", alias_name="outdeg"))
            .to_pandas())
-    nodes = np.sort(deg["s"].to_numpy().astype(object))
-    outdeg = (deg.set_index("s").loc[nodes, "outdeg"]
+    nodes = np.sort(deg["n"].to_numpy().astype(object))
+    outdeg = (deg.set_index("n").loc[nodes, "outdeg"]
               .to_numpy().astype(np.int64))
     base = q * (d_den - d_num) // d_den
     ranks = np.full(len(nodes), q, dtype=np.int64)
 
     for _ in range(rounds):
-        send = (ranks * d_num // d_den) // outdeg
+        # sinks (outdeg 0) send nothing; their damped mass simply decays
+        send = np.where(outdeg > 0,
+                        (ranks * d_num // d_den)
+                        // np.maximum(outdeg, 1), 0)
         state_ref = ray.put((nodes, send))
 
         def contrib(t: pa.Table) -> pa.Table:

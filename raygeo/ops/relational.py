@@ -1298,7 +1298,15 @@ def priority_shipping(lineitem_ds, orders_path: str,
         })
         g = (df.groupby(["l_orderkey", "l_returnflag"], sort=False)
              .size().rename("n").reset_index())
-        return table_from_pandas(g)
+        # explicit types: a batch wholly outside the date window would
+        # otherwise emit an empty OBJECT column that degrades to float64
+        # and poisons downstream schema unification / the hash join
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "l_returnflag": pa.array(g["l_returnflag"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
 
     lcounts = lineitem_ds.select_columns(
         ["l_orderkey", "l_returnflag", "l_shipdate"]
@@ -1322,7 +1330,13 @@ def priority_shipping(lineitem_ds, orders_path: str,
             "low_line_count": np.where(is_high, 0, n),
         })
         g = df.groupby("l_returnflag", sort=False).sum().reset_index()
-        return table_from_pandas(g)
+        return pa.table({
+            "l_returnflag": pa.array(g["l_returnflag"].tolist(), pa.string()),
+            "high_line_count": pa.array(
+                g["high_line_count"].to_numpy(np.int64), pa.int64()),
+            "low_line_count": pa.array(
+                g["low_line_count"].to_numpy(np.int64), pa.int64()),
+        })
 
     return (joined.map_batches(case_fold, batch_format="pyarrow",
                                batch_size=65536)
@@ -1450,12 +1464,11 @@ def large_orders(lineitem_ds, orders_path: str, customer_path: str,
                          "o_orderdate": pa.array([], pa.string()),
                          "total_cents": pa.array([], pa.int64()),
                          "sum_qty": pa.array([], pa.int64())})
-    okeys = set(big_df["l_orderkey"].tolist())
+    okeys = np.sort(big_df["l_orderkey"].to_numpy(np.int64))
 
     def ofilter(t: pa.Table) -> pa.Table:
         ok = t.column("o_orderkey").to_numpy()
-        keep = np.fromiter((x in okeys for x in ok), bool, len(ok))
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(np.isin(ok, okeys)))
 
     orows = read_parquet_clean(
         orders_path, columns=["o_orderkey", "o_custkey", "o_orderdate",
@@ -1463,12 +1476,11 @@ def large_orders(lineitem_ds, orders_path: str, customer_path: str,
     ).map_batches(ofilter, batch_format="pyarrow",
                   batch_size=65536).to_pandas()  # ≤ k rows
 
-    ckeys = set(orows["o_custkey"].tolist())
+    ckeys = np.sort(orows["o_custkey"].to_numpy(np.int64))
 
     def cfilter(t: pa.Table) -> pa.Table:
         ck = t.column("c_custkey").to_numpy()
-        keep = np.fromiter((x in ckeys for x in ck), bool, len(ck))
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(np.isin(ck, ckeys)))
 
     crows = read_parquet_clean(
         customer_path, columns=["c_custkey", "c_name"]
@@ -1503,10 +1515,16 @@ def grouped_mode(ds, key_col: str, value_col: str):
     window sort.
     """
     def partial(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(key_col).type
+        vt = t.schema.field(value_col).type
         df = pd.DataFrame({"k": t.column(key_col).to_pandas(),
                            "v": t.column(value_col).to_pandas()})
         g = df.groupby(["k", "v"], sort=False).size().rename("cnt").reset_index()
-        return table_from_pandas(g)
+        # explicit types so empty partials cannot degrade the schema
+        return pa.table({"k": pa.array(g["k"].tolist(), kt),
+                         "v": pa.array(g["v"].tolist(), vt),
+                         "cnt": pa.array(g["cnt"].to_numpy(np.int64),
+                                         pa.int64())})
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         s = (g.groupby("v", sort=False)["cnt"].sum().reset_index()
@@ -1556,8 +1574,11 @@ def json_props_stats(events_ds, key: str = "k"):
             min_k=("min_k", "min"),
             max_k=("max_k", "max"),
         ).reset_index()
-        g["min_k"] = g["min_k"].astype("int64")
-        g["max_k"] = g["max_k"].astype("int64")
+        # a group whose batch rows ALL lack the key folds min/max as NaN:
+        # emit nullable Int64 (Ray's Min/Max ignore nulls), never a cast
+        # that crashes on NaN
+        g["min_k"] = g["min_k"].round().astype("Int64")
+        g["max_k"] = g["max_k"].round().astype("Int64")
         return g
 
     return (events_ds.select_columns(["event_type", "props"])
@@ -1639,12 +1660,11 @@ def returned_revenue(lineitem_ds, orders_path: str, customer_path: str,
         return pa.table({"c_name": pa.array([], pa.string()),
                          "c_custkey": pa.array([], pa.int64()),
                          "revenue_c4": pa.array([], pa.int64())})
-    ckeys = set(top["c_custkey"].tolist())
+    ckeys = np.sort(top["c_custkey"].to_numpy(np.int64))
 
     def cfilter(t: pa.Table) -> pa.Table:
         ck = t.column("c_custkey").to_numpy()
-        keep = np.fromiter((x in ckeys for x in ck), bool, len(ck))
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(np.isin(ck, ckeys)))
 
     names = read_parquet_clean(
         customer_path, columns=["c_custkey", "c_name"]

@@ -67,28 +67,27 @@ def _vsum(canvas: list[np.ndarray], pack: ChannelPack) -> np.ndarray:
     return v
 
 
-def gradient_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
-    """Per-tile 4-neighbor absolute-gradient statistics with halo exchange.
-
-    Output: (tile_id, tx, ty, n_pairs, abs_grad_sum) — pairs whose LEFT/TOP
-    pixel lies in the tile, including the pairs that straddle the tile's
-    east/south border (via the exchanged strips).
-    """
-    pack = pack or ChannelPack(RGB_CHANNELS)
+def _exchange_emit(grid: GridSpec, pack: ChannelPack, self_stat):
+    """Shared strip-exchange emitter for focal ops (gradient, hillshade —
+    any op whose border pixels need neighbor strips): computes the
+    map-side per-tile statistic ``(n, s) = self_stat(v, mask)`` and emits
+    the exchange protocol — own last column/row strips stay keyed to the
+    tile ('edge_e'/'edge_s'), first column/row travel to the west/north
+    neighbor ('halo_w'/'halo_n'). ONE copy of the protocol: a strip-schema
+    change cannot silently diverge between ops."""
     chunk = grid.chunk
-    n_tx, n_ty = grid.n_tx, grid.n_ty
 
     def emit(t: pa.Table) -> pa.Table:
         out: dict[str, list] = {k: [] for k in GRAD_PARTIAL_SCHEMA.names}
 
-        def row(tile, kind, n_pairs=0, s=0, v=b"", m=b""):
+        def row(tile, kind, n=0, stat=0, v=b"", m=b""):
             tx, ty = tile
             out["tile_id"].append(f"{tx}-{ty}")
             out["tx"].append(tx)
             out["ty"].append(ty)
             out["kind"].append(kind)
-            out["n_pairs"].append(n_pairs)
-            out["abs_grad_sum"].append(s)
+            out["n_pairs"].append(n)
+            out["abs_grad_sum"].append(stat)
             out["v"].append(v)
             out["m"].append(m)
 
@@ -102,14 +101,8 @@ def gradient_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
                                  np.uint8).reshape(chunk, chunk).astype(bool)
             v = _vsum(canvas, pack)
             tx, ty = int(txs[j]), int(tys[j])
-            # interior pairs, entirely map-side
-            bh = mask[:, :-1] & mask[:, 1:]
-            bv = mask[:-1, :] & mask[1:, :]
-            s = int(np.abs(np.diff(v, axis=1))[bh].sum()
-                    + np.abs(np.diff(v, axis=0))[bv].sum())
-            row((tx, ty), "self", int(bh.sum()) + int(bv.sum()), s)
-            # own last column/row stay keyed to this tile; first column/row
-            # travel to the west/north neighbor (if it exists on the grid)
+            n, stat = self_stat(v, mask)
+            row((tx, ty), "self", n, stat)
             row((tx, ty), "edge_e", v=v[:, -1].tobytes(),
                 m=mask[:, -1].astype(np.uint8).tobytes())
             row((tx, ty), "edge_s", v=v[-1, :].tobytes(),
@@ -121,6 +114,28 @@ def gradient_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
                 row((tx, ty - 1), "halo_n", v=v[0, :].tobytes(),
                     m=mask[0, :].astype(np.uint8).tobytes())
         return pa.table(out, schema=GRAD_PARTIAL_SCHEMA)
+
+    return emit
+
+
+def gradient_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile 4-neighbor absolute-gradient statistics with halo exchange.
+
+    Output: (tile_id, tx, ty, n_pairs, abs_grad_sum) — pairs whose LEFT/TOP
+    pixel lies in the tile, including the pairs that straddle the tile's
+    east/south border (via the exchanged strips).
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+
+    def self_stat(v: np.ndarray, mask: np.ndarray):
+        # interior pairs, entirely map-side
+        bh = mask[:, :-1] & mask[:, 1:]
+        bv = mask[:-1, :] & mask[1:, :]
+        stat = int(np.abs(np.diff(v, axis=1))[bh].sum()
+                   + np.abs(np.diff(v, axis=0))[bv].sum())
+        return int(bh.sum()) + int(bv.sum()), stat
+
+    emit = _exchange_emit(grid, pack, self_stat)
 
     partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
                                     batch_size=64)
@@ -324,48 +339,15 @@ def hillshade_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
     Output: (tile_id, tx, ty, n_px, shade_sum).
     """
     pack = pack or ChannelPack(RGB_CHANNELS)
-    chunk = grid.chunk
 
-    def emit(t: pa.Table) -> pa.Table:
-        out: dict[str, list] = {k: [] for k in GRAD_PARTIAL_SCHEMA.names}
+    def self_stat(v: np.ndarray, mask: np.ndarray):
+        # interior pixels (r<last, c<last) with east+south neighbors valid
+        ok = mask[:-1, :-1] & mask[:-1, 1:] & mask[1:, :-1]
+        dx = (v[:-1, 1:] - v[:-1, :-1])[ok]
+        dy = (v[1:, :-1] - v[:-1, :-1])[ok]
+        return int(ok.sum()), int(shade_q(dx, dy).sum())
 
-        def row(tile, kind, n=0, s=0, v=b"", m=b""):
-            tx, ty = tile
-            out["tile_id"].append(f"{tx}-{ty}")
-            out["tx"].append(tx)
-            out["ty"].append(ty)
-            out["kind"].append(kind)
-            out["n_pairs"].append(n)
-            out["abs_grad_sum"].append(s)
-            out["v"].append(v)
-            out["m"].append(m)
-
-        px_z = t.column("px_z").to_pylist()
-        mask_z = t.column("mask_z").to_pylist()
-        txs = t.column("tx").to_numpy()
-        tys = t.column("ty").to_numpy()
-        for j in range(len(t)):
-            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
-            mask = np.frombuffer(zlib.decompress(mask_z[j]),
-                                 np.uint8).reshape(chunk, chunk).astype(bool)
-            v = _vsum(canvas, pack)
-            tx, ty = int(txs[j]), int(tys[j])
-            ok = mask[:-1, :-1] & mask[:-1, 1:] & mask[1:, :-1]
-            dx = (v[:-1, 1:] - v[:-1, :-1])[ok]
-            dy = (v[1:, :-1] - v[:-1, :-1])[ok]
-            row((tx, ty), "self", int(ok.sum()),
-                int(shade_q(dx, dy).sum()))
-            row((tx, ty), "edge_e", v=v[:, -1].tobytes(),
-                m=mask[:, -1].astype(np.uint8).tobytes())
-            row((tx, ty), "edge_s", v=v[-1, :].tobytes(),
-                m=mask[-1, :].astype(np.uint8).tobytes())
-            if tx > 0:
-                row((tx - 1, ty), "halo_w", v=v[:, 0].tobytes(),
-                    m=mask[:, 0].astype(np.uint8).tobytes())
-            if ty > 0:
-                row((tx, ty - 1), "halo_n", v=v[0, :].tobytes(),
-                    m=mask[0, :].astype(np.uint8).tobytes())
-        return pa.table(out, schema=GRAD_PARTIAL_SCHEMA)
+    emit = _exchange_emit(grid, pack, self_stat)
 
     partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
                                     batch_size=64)

@@ -339,27 +339,6 @@ def late_data_stats(events_ds, lateness_s: int = 3600, n_buckets: int = 256):
         # uniform md5 keys: equal-width ranges over [0, 2^64)
         return (h // np.uint64((1 << 64) // n_buckets)).astype(np.int64)
 
-    def bmax_partial(t: pa.Table) -> pa.Table:
-        h = arrival_key(t.column("event_id").to_numpy())
-        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
-        df = (pd.DataFrame({"b": np.minimum(bucket_of(h), n_buckets - 1),
-                            "mx": ts})
-              .groupby("b", sort=False)["mx"].max().reset_index())
-        return table_from_pandas(df)
-
-    bmax = (events_ds.select_columns(["event_id", "ts"])
-            .map_batches(bmax_partial, batch_format="pyarrow",
-                         batch_size=65536)
-            .groupby("b").aggregate(Max("mx", alias_name="mx"))
-            .to_pandas().sort_values("b"))
-    floors = np.full(n_buckets, np.iinfo(np.int64).min, dtype=np.int64)
-    run = np.iinfo(np.int64).min
-    by_b = dict(zip(bmax["b"].astype(int), bmax["mx"].astype(np.int64)))
-    for b in range(n_buckets):
-        floors[b] = run  # max ts of all COMPLETE buckets before b
-        run = max(run, by_b.get(b, run))
-    floors_ref = ray.put(floors)
-
     def tag(t: pa.Table) -> pa.Table:
         e = t.column("event_id").to_numpy()
         h = arrival_key(e)
@@ -373,6 +352,35 @@ def late_data_stats(events_ds, lateness_s: int = 3600, n_buckets: int = 256):
             "cents": pa.array(cents, pa.int64()),
             "event_type": t.column("event_type"),
         })
+
+    # tag once, reuse for both passes: the md5 arrival key is the
+    # dominant per-row cost, and the tagged column set IS this op's own
+    # shuffle volume, so materializing it adds no asymptotic footprint
+    # while halving the hash work
+    tagged = (events_ds.select_columns(["event_id", "ts", "value",
+                                        "event_type"])
+              .map_batches(tag, batch_format="pyarrow",
+                           batch_size=65536)
+              .materialize())
+
+    def bmax_from_tagged(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"b": t.column("b").to_numpy(),
+                            "mx": t.column("ts_us").to_numpy()})
+              .groupby("b", sort=False)["mx"].max().reset_index())
+        return table_from_pandas(df)
+
+    bmax = (tagged.select_columns(["b", "ts_us"])
+            .map_batches(bmax_from_tagged, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("b").aggregate(Max("mx", alias_name="mx"))
+            .to_pandas().sort_values("b"))
+    floors = np.full(n_buckets, np.iinfo(np.int64).min, dtype=np.int64)
+    run = np.iinfo(np.int64).min
+    by_b = dict(zip(bmax["b"].astype(int), bmax["mx"].astype(np.int64)))
+    for b in range(n_buckets):
+        floors[b] = run  # max ts of all COMPLETE buckets before b
+        run = max(run, by_b.get(b, run))
+    floors_ref = ray.put(floors)
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         fl = ray.get(floors_ref)
@@ -389,9 +397,7 @@ def late_data_stats(events_ds, lateness_s: int = 3600, n_buckets: int = 256):
         }).groupby("event_type", sort=False).sum().reset_index()
         return out
 
-    return (events_ds.select_columns(["event_id", "ts", "value",
-                                      "event_type"])
-            .map_batches(tag, batch_format="pyarrow", batch_size=65536)
+    return (tagged
             .groupby("b").map_groups(scan_bucket, batch_format="pandas")
             .groupby("event_type")
             .aggregate(Sum("n_events", alias_name="n_events"),

@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..codec import decode
+from .stencil import _vsum
 from ..util import binary_views
 from ..fixtures import footprint_of
 from ..grid import GridSpec
@@ -184,11 +185,7 @@ def mosaic_zonal(tiles_ds, zones: pa.Table, grid: GridSpec,
             canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
             mask = np.frombuffer(zlib.decompress(mask_z[j]),
                                  np.uint8).reshape(chunk, chunk).astype(bool)
-            v = np.zeros((chunk, chunk), np.int64)
-            for a in canvas:
-                q = (np.round(a.astype(np.float64) * 1000).astype(np.int64)
-                     if a.dtype.kind == "f" else a.astype(np.int64))
-                v += q.sum(axis=2) if a.ndim == 3 else q
+            v = _vsum(canvas, pack)  # shared 1e-3 fixed-point quantization
             for i in hit:
                 c0, c1 = max(cl[i], tc0) - tc0, min(ch[i], tc1) - tc0
                 r0, r1 = max(rl[i], tr0) - tr0, min(rh[i], tr1) - tr0
@@ -254,11 +251,7 @@ def mosaic_histogram(tiles_ds, grid: GridSpec, pack=None):
             canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
             mask = np.frombuffer(zlib.decompress(mask_z[j]),
                                  np.uint8).reshape(chunk, chunk).astype(bool)
-            v = np.zeros((chunk, chunk), np.int64)
-            for a in canvas:
-                q = (np.round(a.astype(np.float64) * 1000).astype(np.int64)
-                     if a.dtype.kind == "f" else a.astype(np.int64))
-                v += q.sum(axis=2) if a.ndim == 3 else q
+            v = _vsum(canvas, pack)  # shared 1e-3 fixed-point quantization
             vals = v[mask]
             if len(vals) == 0:
                 continue

@@ -680,8 +680,12 @@ def test_json_props_regex_parity_with_real_parse(ray_session):
     from raygeo.ops.relational import json_props_stats
 
     props = ['{"k": 87}', '{"k": -3}', '{"k":0}', '{ "k" : 12 }',
-             '{"other": 5}', '{}', '{"k": 7, "j": 1}']
-    df = pd.DataFrame({"event_type": ["a", "a", "b", "b", "a", "b", "a"],
+             '{"other": 5}', '{}', '{"k": 7, "j": 1}',
+             # a group that NEVER carries the key (min/max must fold as
+             # null, not crash the int cast)
+             '{"z": 1}', '{}']
+    df = pd.DataFrame({"event_type": ["a", "a", "b", "b", "a", "b", "a",
+                                      "c", "c"],
                        "props": props})
     got = (json_props_stats(rd.from_pandas(df).repartition(3))
            .to_pandas().sort_values("event_type").reset_index(drop=True))
@@ -698,5 +702,30 @@ def test_json_props_regex_parity_with_real_parse(ray_session):
     assert got["n_events"].tolist() == exp["n_events"].tolist()
     assert got["n_with_key"].tolist() == exp["n_with_key"].tolist()
     assert got["sum_k"].tolist() == exp["sum_k"].tolist()
-    assert got["min_k"].tolist() == [int(x) for x in exp["min_k"]]
-    assert got["max_k"].tolist() == [int(x) for x in exp["max_k"]]
+    for c in ("min_k", "max_k"):
+        for gv, ev in zip(got[c], exp[c]):
+            assert (pd.isna(gv) and pd.isna(ev)) or int(gv) == int(ev)
+
+
+def test_pagerank_directed_sink_nodes(ray_session):
+    """Directed mode: destination-only (sink) nodes get rank rows and
+    absorb incoming mass without crashing the scatter."""
+    import ray.data as rd
+
+    from raygeo.ops.graph import pagerank
+
+    df = pd.DataFrame({"term_a": ["a", "a", "b"],
+                       "term_b": ["b", "sink", "sink"]})
+    got = (pagerank(rd.from_pandas(df), rounds=2, undirected=False)
+           .to_pandas().set_index("node")["rank"])
+    assert set(got.index) == {"a", "b", "sink"}
+    q = 10**12
+    # serial replay: a->b, a->sink, b->sink
+    r = {n: q for n in ["a", "b", "sink"]}
+    for _ in range(2):
+        send_a = (r["a"] * 85 // 100) // 2
+        send_b = (r["b"] * 85 // 100) // 1
+        r = {"a": q * 15 // 100,
+             "b": q * 15 // 100 + send_a,
+             "sink": q * 15 // 100 + send_a + send_b}
+    assert got.to_dict() == r
