@@ -269,6 +269,40 @@ def _q_normalize_bands(sf_dir: str):
                                            columns=["image_id", "bytes"]))
 
 
+def _q_image_patchify(sf_dir: str):
+    """ViT patch assembly check: explode every image into 16x16 patches
+    (edges clipped, exact tiling), fold back per image — n_patches and
+    the patch-sum total must reproduce the stored pix_sum exactly, so the
+    oracle needs no decode at all."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from raygeo.ops.multimodal import image_patches
+
+    d = _fix(sf_dir)
+    patches = image_patches(_rpq(f"{d}/images.parquet",
+                                 columns=["image_id", "bytes"]), size=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"image_id": t.column("image_id").to_pylist(),
+                            "patch_sum": t.column("patch_sum").to_numpy(),
+                            "n_patches": 1})
+              .groupby("image_id", sort=False).sum().reset_index())
+        return pa.table({
+            "image_id": pa.array(df["image_id"].tolist(), pa.string()),
+            "n_patches": pa.array(df["n_patches"].to_numpy("int64"),
+                                  pa.int64()),
+            "total": pa.array(df["patch_sum"].to_numpy("int64"), pa.int64()),
+        })
+
+    return (patches.map_batches(partial, batch_format="pyarrow",
+                                batch_size=65536)
+            .groupby("image_id")
+            .aggregate(Sum("n_patches", alias_name="n_patches"),
+                       Sum("total", alias_name="total")))
+
+
 def _q_video_frame_stats(sf_dir: str):
     """Video frame-sample pipeline (multimodal plumbing, every_n=2): RGV1
     container parse + per-frame raygeo-codec decode in an actor-pool
@@ -1868,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search": _q_docs_search,  # conjunctive streaming search
         "docs_sample": _q_docs_sample,  # deterministic bottom-k sample
         "image_features": _q_image_features,  # fixed-point golden check
+        "image_patchify": _q_image_patchify,  # ViT patch tiling, pix_sum-exact
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
         "video_scene_changes": _q_video_scene_changes,  # frame-diff windows
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
@@ -2143,6 +2178,12 @@ FROM read_parquet('{FIX_SF001}/histogram_golden.parquet')
         "mosaic_hillshade": f"""
 SELECT tile_id, tx, ty, n_px, shade_sum
 FROM read_parquet('{FIX_SF001}/hillshade_golden.parquet')
+""",
+        "image_patchify": f"""
+SELECT image_id,
+  (((w + 15) // 16) * ((h + 15) // 16))::BIGINT AS n_patches,
+  pix_sum AS total
+FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "video_frame_stats": f"""
 SELECT video_id, frame_no, pix_sum

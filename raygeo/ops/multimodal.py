@@ -398,3 +398,58 @@ def audio_features(ds, batch_size: int = 512):
         batch_size=batch_size,
         num_cpus=1,
     )
+
+
+class PatchExplode:
+    """ViT-style training-data assembly: decode each image and explode it
+    into ``size`` x ``size`` pixel patches (edge patches clipped, so the
+    patches tile the image EXACTLY — per-image patch-sum totals conserve
+    pix_sum, which is what makes the op SQL-checkable without goldens).
+
+    One output row per patch: (image_id, px, py, pw, ph, patch_sum).
+    flat_map shape as a vectorized map_batches: per-image numpy
+    block-reduce (cumsum-free reshape for the full-patch interior, two
+    strip sums for the clipped edges), never a Python loop over pixels.
+    """
+
+    def __init__(self, size: int = 16):
+        self.size = size
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = self.size
+        bufs = binary_views(t.column("bytes"))
+        ids = t.column("image_id").to_pylist()
+        a_id, a_px, a_py, a_pw, a_ph, a_sum = [], [], [], [], [], []
+        for i, b in enumerate(bufs):
+            img = decode(b).astype(np.int64).sum(axis=2)  # (h, w) v-plane
+            h, w = img.shape
+            npx = (w + k - 1) // k
+            npy = (h + k - 1) // k
+            # pad to the patch grid, then ONE reshape-sum per image; the
+            # patch coordinate columns are meshgrid/clip kernels — no
+            # Python loop over patches
+            pad = np.zeros((npy * k, npx * k), np.int64)
+            pad[:h, :w] = img
+            sums = pad.reshape(npy, k, npx, k).sum(axis=(1, 3))
+            py, px = np.divmod(np.arange(npy * npx, dtype=np.int64), npx)
+            a_id.append(np.full(npy * npx, ids[i], dtype=object))
+            a_px.append(px)
+            a_py.append(py)
+            a_pw.append(np.minimum(k, w - px * k))
+            a_ph.append(np.minimum(k, h - py * k))
+            a_sum.append(sums.reshape(-1))
+        return pa.table({
+            "image_id": pa.array(np.concatenate(a_id), pa.string()),
+            "px": pa.array(np.concatenate(a_px), pa.int64()),
+            "py": pa.array(np.concatenate(a_py), pa.int64()),
+            "pw": pa.array(np.concatenate(a_pw), pa.int64()),
+            "ph": pa.array(np.concatenate(a_ph), pa.int64()),
+            "patch_sum": pa.array(np.concatenate(a_sum), pa.int64()),
+        })
+
+
+def image_patches(images_ds, size: int = 16, batch_size: int = 256):
+    """images -> one row per ViT patch (exact tiling, conserves pix_sum)."""
+    return images_ds.select_columns(["image_id", "bytes"]).map_batches(
+        PatchExplode(size), batch_format="pyarrow", batch_size=batch_size,
+        num_cpus=1)

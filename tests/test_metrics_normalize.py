@@ -370,3 +370,34 @@ def test_mosaic_histogram_matches_serial_paint(ray_session, fixtures_sf0001):
     assert got["n_px"].tolist() == exp["n_px"].tolist()
     lww = pq.read_table(f"{d}/tiles_golden_lww.parquet")
     assert got["n_px"].sum() == lww.column("n_valid_px").to_numpy().sum()
+
+
+def test_image_patches_tile_exactly(ray_session):
+    """Patch explosion tiles each image exactly: clipped edge sizes, patch
+    count ((w+15)//16)*((h+15)//16), and per-image sum conservation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.codec import encode
+    from raygeo.ops.multimodal import image_patches
+
+    rng = np.random.Generator(np.random.PCG64(2))
+    rows = []
+    for i, (w, h) in enumerate([(16, 16), (17, 31), (48, 33), (15, 15)]):
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append({"image_id": f"t-{i}", "bytes": encode(pix, "raw"),
+                     "w": w, "h": h,
+                     "pix_sum": int(pix.astype(np.int64).sum())})
+    df = pd.DataFrame(rows)
+    out = image_patches(rd.from_pandas(df), size=16).to_pandas()
+    g = out.groupby("image_id").agg(n=("patch_sum", "size"),
+                                    total=("patch_sum", "sum"),
+                                    max_pw=("pw", "max"), min_pw=("pw", "min"))
+    for r in df.itertuples():
+        expect_n = ((r.w + 15) // 16) * ((r.h + 15) // 16)
+        assert g.loc[r.image_id, "n"] == expect_n
+        assert g.loc[r.image_id, "total"] == r.pix_sum
+    # 17-wide image: edge patch is 1 pixel wide
+    assert g.loc["t-1", "min_pw"] == 1
