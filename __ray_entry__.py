@@ -1700,6 +1700,18 @@ def _q_docs_cooccurrence(sf_dir: str):
     return term_cooccurrence(_rpq(f"{sf_dir}/documents.parquet"), top_k=20)
 
 
+def _q_terms_pagerank_join(sf_dir: str):
+    """The ranks-as-Dataset PageRank (partitioned hash join per round —
+    the scale path when the node set grows with the data and the rank
+    vector cannot broadcast). Bit-identical to terms_pagerank; shares its
+    unrolled-CTE oracle."""
+    from raygeo.ops.corpus import term_cooccurrence
+    from raygeo.ops.graph import pagerank_dataset
+
+    edges = term_cooccurrence(_rpq(f"{sf_dir}/documents.parquet"), top_k=20)
+    return pagerank_dataset(edges, "term_a", "term_b", rounds=2)
+
+
 def _q_events_props_stats(sf_dir: str):
     """Semi-structured payload parse: extract the integer 'k' field from
     the JSON props column (compiled-regex fast path; json.loads parity
@@ -1875,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": _q_docs_pack_sequences,  # LLM sequence packing
         "docs_cooccurrence": _q_docs_cooccurrence,  # top-term doc co-occurrence
         "terms_pagerank": _q_terms_pagerank,  # iterative integer PageRank
+        "terms_pagerank_join": _q_terms_pagerank_join,  # ranks-as-Dataset plan
         "events_props_stats": _q_events_props_stats,  # JSON payload parse
         "docs_source_stats": _q_docs_source_stats,  # per-source accounting
         "mosaic_timeseries": _q_mosaic_timeseries,  # per-t cube totals
@@ -3030,6 +3043,48 @@ SELECT event_type, count(*)::BIGINT AS n_events,
 FROM w GROUP BY event_type
 """,
         "terms_pagerank": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+), tt AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tf FROM toks GROUP BY term
+    ORDER BY tf DESC, term LIMIT 20)
+), dterm AS (
+  SELECT DISTINCT doc_id, term FROM toks
+  WHERE term IN (SELECT term FROM tt)
+), e0 AS (
+  SELECT a.term AS ta, b.term AS tb
+  FROM dterm a JOIN dterm b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+), edges AS (
+  SELECT ta AS s, tb AS t FROM e0 UNION ALL SELECT tb AS s, ta AS t FROM e0
+), deg AS (
+  SELECT s, count(*)::BIGINT AS outdeg FROM edges GROUP BY s
+), r0 AS (
+  SELECT s AS node, 1000000000000::BIGINT AS r FROM deg
+), s0 AS (
+  SELECT node, (r * 85 // 100) // outdeg AS c
+  FROM r0 JOIN deg ON deg.s = r0.node
+), r1 AS (
+  SELECT r0.node,
+    (150000000000 + coalesce(sum(s0.c), 0))::BIGINT AS r
+  FROM r0 LEFT JOIN edges ON edges.t = r0.node
+  LEFT JOIN s0 ON s0.node = edges.s
+  GROUP BY r0.node
+), s1 AS (
+  SELECT node, (r * 85 // 100) // outdeg AS c
+  FROM r1 JOIN deg ON deg.s = r1.node
+), r2 AS (
+  SELECT r1.node,
+    (150000000000 + coalesce(sum(s1.c), 0))::BIGINT AS r
+  FROM r1 LEFT JOIN edges ON edges.t = r1.node
+  LEFT JOIN s1 ON s1.node = edges.s
+  GROUP BY r1.node
+)
+SELECT node, r AS rank FROM r2
+""",
+        "terms_pagerank_join": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
   FROM documents

@@ -729,3 +729,27 @@ def test_pagerank_directed_sink_nodes(ray_session):
              "b": q * 15 // 100 + send_a,
              "sink": q * 15 // 100 + send_a + send_b}
     assert got.to_dict() == r
+
+
+def test_pagerank_dataset_matches_broadcast(ray_session):
+    """The ranks-as-Dataset (partitioned-join) variant is bit-identical to
+    the broadcast-state variant on the same graph, directed and not."""
+    import ray.data as rd
+
+    from raygeo.ops.graph import pagerank, pagerank_dataset
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    a = rng.integers(0, 40, 200)
+    b = rng.integers(0, 40, 200)
+    keep = a != b
+    df = (pd.DataFrame({"term_a": [f"n{x:02d}" for x in a[keep]],
+                        "term_b": [f"n{x:02d}" for x in b[keep]]})
+          .drop_duplicates())
+    for und in (True, False):
+        exp = (pagerank(rd.from_pandas(df), rounds=2, undirected=und)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        got = (pagerank_dataset(rd.from_pandas(df).repartition(5),
+                                rounds=2, undirected=und)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert got["node"].tolist() == exp["node"].tolist()
+        assert got["rank"].tolist() == exp["rank"].tolist()
