@@ -1303,6 +1303,17 @@ def _q_catalog_tile_cover(sf_dir: str):
                                           batch_size=8192)
 
 
+def _q_name_neighbors(sf_dir: str):
+    """String similarity join (entity-resolution shape): all customer-name
+    pairs at edit distance exactly 1, via FastSS deletion-neighborhood
+    bucketing + in-bucket exact verify — never the O(V^2) self-join the
+    oracle runs."""
+    from raygeo.ops.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(_rpq(f"{sf_dir}/customer.parquet",
+                                    columns=["c_name"]), "c_name")
+
+
 def _q_docs_scrub(sf_dir: str):
     """Deny-list term scrub (contamination-removal/PII-redaction shape):
     whole-word replace + hit count; md5 of the scrubbed text gives the
@@ -1864,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_tile_cover": _q_catalog_tile_cover,  # JSONL source path
         "csv_cell_histogram": _q_csv_cell_histogram,  # CSV source path
         "docs_scrub": _q_docs_scrub,  # deny-list scrub, md5 row parity
+        "name_neighbors": _q_name_neighbors,  # ed-1 similarity join
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
@@ -2778,6 +2790,11 @@ SELECT
      CAST(floor((1.0 - cy) / {RES}) AS BIGINT))) // 128)::BIGINT AS ty,
   count(*)::BIGINT AS n_images
 FROM c GROUP BY 1, 2
+""",
+        "name_neighbors": """
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b
+ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
 """,
         "docs_scrub": r"""
 SELECT doc_id,

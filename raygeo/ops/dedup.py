@@ -726,3 +726,78 @@ def kmv_distinct(ds, key_col: str, value_col: str, k: int = 64):
     return (ds.select_columns([key_col, value_col])
             .map_batches(partial, batch_format="pyarrow", batch_size=65536)
             .groupby("k").map_groups(finish, batch_format="pandas"))
+
+
+def _ed1(a: str, b: str) -> bool:
+    """Exact edit-distance-==-1 check (len diff <= 1 by construction)."""
+    if a == b:
+        return False
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a with ONE insertion: two-pointer scan
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit_distance_pairs(ds, col: str, num_partitions: int = 8):
+    """String similarity JOIN: all distinct value pairs at edit distance
+    exactly 1 (the spelling-variant / entity-resolution shape), via
+    FastSS deletion-neighborhood bucketing — never the O(V^2) self-join.
+
+    Each value emits its <= len+1 distinct single-deletion keys plus
+    itself; two strings within edit distance 1 ALWAYS share a key
+    (substitution: both drop the differing position; insert/delete: the
+    longer one's deletion equals the shorter string). Candidates come
+    from ONE partitioned hash self-join on the key (a per-bucket
+    ``map_groups`` measured 6x slower: tens of thousands of Python group
+    calls), the exact verify runs vectorized over the candidate batches,
+    and a final keyed distinct removes multi-key duplicates. Never a
+    driver-side pair set (the MinHash lesson).
+    """
+    from ray.data.aggregate import Count
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        vals = pd.unique(np.asarray(t.column(col).to_pylist(), dtype=object))
+        out_k, out_v = [], []
+        for v in vals:
+            ks = {v}
+            for i in range(len(v)):
+                ks.add(v[:i] + v[i + 1:])
+            out_k.extend(ks)
+            out_v.extend([v] * len(ks))
+        return pa.table({"k": pa.array(out_k, pa.string()),
+                         "v": pa.array(out_v, pa.string())})
+
+    keys = (ds.select_columns([col])
+            .map_batches(keys_of, batch_format="pyarrow", batch_size=8192)
+            .materialize())  # consumed by both join sides
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"k2": t.column("k"), "v2": t.column("v")})
+
+    right = keys.map_batches(rename, batch_format="pyarrow")
+    cand = keys.join(right, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("k",), right_on=("k2",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("v").to_pylist(), dtype=object)
+        b = np.asarray(t.column("v2").to_pylist(), dtype=object)
+        keep = a < b  # each unordered pair once
+        a, b = a[keep], b[keep]
+        ok = np.fromiter((_ed1(x, y) for x, y in zip(a, b)), bool, len(a))
+        return pa.table({"name_a": pa.array(a[ok], pa.string()),
+                         "name_b": pa.array(b[ok], pa.string())})
+
+    pairs = cand.map_batches(verify, batch_format="pyarrow",
+                             batch_size=65536)
+    # multi-key duplicates (one pair can share several deletion keys):
+    # keyed distinct, never a driver-side set
+    return (pairs.groupby(["name_a", "name_b"])
+            .aggregate(Count(alias_name="n_keys"))
+            .select_columns(["name_a", "name_b"]))

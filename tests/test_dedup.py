@@ -279,3 +279,42 @@ def test_kmv_distinct_accuracy_and_determinism(ray_session):
     out2 = kmv_distinct(rd.from_pandas(df).repartition(7), "grp", "val",
                         k=256).to_pandas()
     assert dict(zip(out2.grp, out2.est_x1000)) == est
+
+
+def test_edit_distance_pairs_exact(ray_session):
+    """FastSS deletion-neighborhood join == brute-force ed==1 pairs on a
+    vocabulary covering substitution, insertion, deletion and tricky
+    non-matches (ed=2, transposition)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import _ed1, edit_distance_pairs
+
+    vocab = ["spark", "spork", "sparks", "park", "stark", "spar",
+             "sprak",  # transposition: ed 2 from spark
+             "clark", "clerk", "click", "clock", "block", "black",
+             "aa", "ab", "a", "b", "abc"]
+    df = pd.DataFrame({"c_name": vocab})
+    got = (edit_distance_pairs(rd.from_pandas(df).repartition(4), "c_name")
+           .to_pandas().sort_values(["name_a", "name_b"])
+           .reset_index(drop=True))
+
+    def ed(a, b):
+        import itertools
+        n, m = len(a), len(b)
+        d = list(range(m + 1))
+        for i in range(1, n + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, m + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, d[j] = d[j], cur
+        return d[m]
+
+    exp = sorted((a, b) for i, a in enumerate(vocab)
+                 for b in vocab[i + 1:] if ed(*sorted((a, b))) == 1)
+    exp = sorted((min(a, b), max(a, b)) for a, b in exp)
+    assert list(map(tuple, got.values)) == exp
+    assert not _ed1("spark", "sprak")  # transposition is ed 2
+    assert ("sprak", "spark") not in exp and ("spark", "sprak") not in exp
