@@ -1779,6 +1779,15 @@ def _q_mosaic_timeseries(sf_dir: str):
                        Sum("pix_sum", alias_name="pix_sum")))
 
 
+def _q_events_ohlc(sf_dir: str):
+    """OHLC downsample bars per (event_type, day): open/close are
+    associative (arrival-key, value) folds — partials carry their own
+    first/last keys so merges stay exact; no window sort anywhere."""
+    from raygeo.ops.window import ohlc_bars
+
+    return ohlc_bars(_rpq(f"{sf_dir}/events.parquet"), freq_s=86400)
+
+
 def _q_events_late_data(sf_dir: str):
     """Watermark / allowed-lateness semantics over the replayable event
     log (event_id = arrival order): distributed prefix-max via bucketed
@@ -1904,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": _q_docs_source_stats,  # per-source accounting
         "mosaic_timeseries": _q_mosaic_timeseries,  # per-t cube totals
         "events_late_data": _q_events_late_data,  # watermark/lateness drop
+        "events_ohlc": _q_events_ohlc,  # OHLC downsample bars
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
         "orders_rank": _q_orders_rank,  # full-output window ranking
@@ -3041,6 +3051,27 @@ SELECT CAST(split_part(tile_id, '-', 1) AS BIGINT) AS t,
   count(*)::BIGINT AS n_tiles, sum(n_valid_px)::BIGINT AS n_valid_px,
   sum(pix_sum)::BIGINT AS pix_sum
 FROM read_parquet('{FIX_SF001}/tiles_golden_t.parquet') GROUP BY 1
+""",
+        "events_ohlc": """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,
+    CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+  FROM events
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, bucket::BIGINT AS bucket,
+  max(CASE WHEN rn_a = 1 THEN cents END)::BIGINT AS open_c,
+  max(cents)::BIGINT AS high_c, min(cents)::BIGINT AS low_c,
+  max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT AS close_c,
+  count(*)::BIGINT AS n_events
+FROM r
+GROUP BY 1, 2
 """,
         "events_late_data": """
 WITH w AS (

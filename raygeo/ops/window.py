@@ -403,3 +403,73 @@ def late_data_stats(events_ds, lateness_s: int = 3600, n_buckets: int = 256):
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("n_dropped", alias_name="n_dropped"),
                        Sum("accepted_cents", alias_name="accepted_cents")))
+
+
+def ohlc_bars(events_ds, freq_s: int = 86400):
+    """Time-series downsample into OHLC bars per event type (the
+    financial-bars / sensor-resample classic): per (event_type, bucket):
+    open = value of the FIRST event, close = the LAST (both by
+    (ts, event_id) — deterministic under any partitioning), high/low =
+    integer-cents extremes, n = count.
+
+    First/last are associative folds over (key, value) pairs — each batch
+    partial carries its own (min_key, open) / (max_key, close), so the
+    shuffle moves one row per (type, bucket) per batch and the final
+    merge just re-folds partials. No window sort anywhere.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    f_us = int(freq_s) * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = t.column("event_id").to_numpy()
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "bucket": ts // f_us,
+            "ts": ts, "eid": eid, "cents": cents,
+        })
+        rows = []
+        for (et, bk), g in df.groupby(["event_type", "bucket"], sort=False):
+            order = np.lexsort((g["eid"].to_numpy(), g["ts"].to_numpy()))
+            c = g["cents"].to_numpy()
+            rows.append({
+                "event_type": et, "bucket": int(bk),
+                # arrival keys travel with the partial so merges stay exact
+                "open_ts": int(g["ts"].to_numpy()[order[0]]),
+                "open_eid": int(g["eid"].to_numpy()[order[0]]),
+                "open_c": int(c[order[0]]),
+                "close_ts": int(g["ts"].to_numpy()[order[-1]]),
+                "close_eid": int(g["eid"].to_numpy()[order[-1]]),
+                "close_c": int(c[order[-1]]),
+                "high_c": int(c.max()), "low_c": int(c.min()),
+                "n_events": len(g),
+            })
+        out = pd.DataFrame(rows)
+        return pa.Table.from_pandas(out, preserve_index=False) if len(out) \
+            else pa.table({k: pa.array([], pa.int64() if k != "event_type"
+                                       else pa.string())
+                           for k in ["event_type", "bucket", "open_ts",
+                                     "open_eid", "open_c", "close_ts",
+                                     "close_eid", "close_c", "high_c",
+                                     "low_c", "n_events"]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        oo = np.lexsort((g["open_eid"].to_numpy(), g["open_ts"].to_numpy()))
+        co = np.lexsort((g["close_eid"].to_numpy(), g["close_ts"].to_numpy()))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "bucket": [int(g["bucket"].iloc[0])],
+            "open_c": [int(g["open_c"].to_numpy()[oo[0]])],
+            "high_c": [int(g["high_c"].max())],
+            "low_c": [int(g["low_c"].min())],
+            "close_c": [int(g["close_c"].to_numpy()[co[-1]])],
+            "n_events": [int(g["n_events"].sum())],
+        })
+
+    return (events_ds.select_columns(["event_type", "ts", "event_id",
+                                      "value"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["event_type", "bucket"])
+            .map_groups(merge, batch_format="pandas"))

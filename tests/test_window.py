@@ -251,3 +251,42 @@ def test_late_data_watermark_matches_serial(ray_session):
     assert got["n_dropped"].tolist() == exp["n_dropped"].tolist()
     assert got["accepted_cents"].tolist() == exp["accepted_cents"].tolist()
     assert 0 < got["n_dropped"].sum() < n  # both classes exercised
+
+
+def test_ohlc_partial_merge_partition_invariant(ray_session):
+    """Open/close fold correctness across batch boundaries: shuffled input
+    partitions must give identical bars to a serial pandas replay."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.window import ohlc_bars
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    n = 50_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (np.datetime64("2024-03-01")
+               + rng.integers(0, 5 * 86400, n).astype("timedelta64[s]")),
+        "event_type": rng.choice(["x", "y"], n),
+        "value": rng.uniform(0, 50, n).round(2),
+    })
+    # shuffle row order so batch boundaries scatter each bucket's events
+    df = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+    got = (ohlc_bars(rd.from_pandas(df).repartition(9), freq_s=86400)
+           .to_pandas().sort_values(["event_type", "bucket"])
+           .reset_index(drop=True))
+
+    d = df.assign(
+        cents=np.rint(df.value.to_numpy() * 100).astype(np.int64),
+        ts_us=df.ts.to_numpy().astype("datetime64[us]").astype(np.int64))
+    d["bucket"] = d.ts_us // (86400 * 1_000_000)
+    d = d.sort_values(["ts_us", "event_id"], kind="mergesort")
+    exp = d.groupby(["event_type", "bucket"]).agg(
+        open_c=("cents", "first"), close_c=("cents", "last"),
+        high_c=("cents", "max"), low_c=("cents", "min"),
+        n_events=("cents", "size")).reset_index().sort_values(
+        ["event_type", "bucket"]).reset_index(drop=True)
+    for c in ["open_c", "high_c", "low_c", "close_c", "n_events"]:
+        assert got[c].tolist() == exp[c].tolist(), c
