@@ -1082,6 +1082,17 @@ def _q_orders_pivot(sf_dir: str):
                      _PRIORITIES)
 
 
+def _q_emb_gram(sf_dir: str):
+    """Distributed Gram-matrix fold (the PCA/linear-probe scatter
+    aggregate): one int64 Q^T Q matmul per batch, d^2 shuffle rows per
+    batch (dimension-bounded), keyed Sum fold — integer-exact vs the
+    unnest self-join oracle."""
+    from raygeo.ops.ann import gram_matrix
+
+    return gram_matrix(_rpq(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"]))
+
+
 def _q_emb_centroids(sf_dir: str):
     """Per-label centroid of the embedding column: per-element quantization
     to int64 micro-units (floor(x*1e6+0.5), exactly-rounded IEEE ops) makes
@@ -1948,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup": _q_emb_neardup,
         "emb_lsh_neardup": _q_emb_lsh_neardup,  # rows-only (probabilistic)
         "emb_centroids": _q_emb_centroids,  # quantized vector-mean aggregate
+        "emb_gram": _q_emb_gram,  # Gram/scatter-matrix tensor fold
         "emb_kmeans": _q_emb_kmeans,  # iterative Lloyd, integer-exact
         "nearest_zone": _q_nearest_zone,  # spatial kNN join (k=1)
     }
@@ -3306,6 +3318,16 @@ FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
         "events_distinct_users": """
 SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct
 FROM events GROUP BY event_type
+""",
+        "emb_gram": """
+WITH x AS (
+  SELECT vec_id, ii.i AS i,
+    CAST(floor(embedding[ii.i + 1] * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) ii
+)
+SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::BIGINT AS gram_q
+FROM x a JOIN x b USING (vec_id)
+GROUP BY 1, 2
 """,
         "emb_centroids": """
 WITH d AS (

@@ -525,3 +525,34 @@ def pq_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
         scan, batch_format="pyarrow", batch_size=4096)
     return sims.groupby("query_id").map_groups(_topk_group(k),
                                                batch_format="pandas")
+
+
+def gram_matrix(ds, vec_col: str = "embedding", quant: float = 1000.0):
+    """Distributed Gram / scatter-matrix fold — the tensor aggregate
+    behind PCA, linear probes and whitening: G = Σ x xᵀ over all vectors.
+
+    Vectors quantize per element to integer milli-units
+    (``floor(x * 1000 + 0.5)`` — each step exactly-rounded IEEE, so any
+    engine computes the identical int), and each batch contributes ONE
+    int64 ``Qᵀ @ Q`` matmul; the shuffle carries d² rows per batch
+    (dimension-bounded, never data-bounded), folded by a keyed Sum.
+    Milli-units leave ~1e16 headroom per cell at a billion rows
+    (q² ≈ 1e7 per element-pair) — the 1e6 quantization the centroid ops
+    use would overflow int64 there. Output: (i, j, gram_q) — d² rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _list_matrix(t.column(vec_col))
+        q = np.floor(m * quant + 0.5).astype(np.int64)
+        g = q.T @ q  # (d, d) int64
+        d = g.shape[0]
+        i, j = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({"i": pa.array(i, pa.int64()),
+                         "j": pa.array(j, pa.int64()),
+                         "gram_q": pa.array(g.reshape(-1), pa.int64())})
+
+    return (ds.select_columns([vec_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+            .groupby(["i", "j"])
+            .aggregate(Sum("gram_q", alias_name="gram_q")))

@@ -126,3 +126,28 @@ def test_pq_knn_recall_and_partition_invariance(ray_session):
     # rerank shortlist keeps recall usable even there
     recall = np.mean([len(got[i] & exact[i]) / 10 for i in exact.index])
     assert recall >= 0.6, recall
+
+
+def test_gram_matrix_partition_invariant_and_exact(ray_session):
+    """Gram fold == single numpy Q^T Q on the quantized matrix, identical
+    across partitionings; symmetric by construction."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import gram_matrix
+
+    rng = np.random.Generator(np.random.PCG64(6))
+    m = rng.normal(size=(500, 64))
+    df = pd.DataFrame({"embedding": list(m)})
+    outs = []
+    for parts in (2, 9):
+        g = (gram_matrix(rd.from_pandas(df).repartition(parts))
+             .to_pandas().sort_values(["i", "j"]).reset_index(drop=True))
+        outs.append(g)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    q = np.floor(m * 1000 + 0.5).astype(np.int64)
+    exp = (q.T @ q).reshape(-1)
+    assert outs[0]["gram_q"].to_numpy().tolist() == exp.tolist()
+    gm = outs[0].pivot(index="i", columns="j", values="gram_q").to_numpy()
+    assert (gm == gm.T).all()
