@@ -1488,6 +1488,22 @@ def _q_mosaic_hillshade(sf_dir: str):
     return hillshade_stats(tiles, FIXTURE_GRID)
 
 
+def _q_mosaic_equalize(sf_dir: str):
+    """Chained mosaic plan: distributed histogram fold -> driver CDF LUT
+    broadcast -> per-tile remap. All-integer; golden = the same LUT over
+    the serial full-plane paint. The mosaic materializes once (it is the
+    op's own product) so the two passes share it."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.zonal import mosaic_equalize
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID).materialize()
+    return mosaic_equalize(tiles, FIXTURE_GRID)
+
+
 def _q_mosaic_overview_l2(sf_dir: str):
     """Level-2 overview pyramid: the one-level pool/assemble applied
     twice (the operator chains — level L input = level L-1 output).
@@ -1900,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
         "mosaic_hillshade": _q_mosaic_hillshade,  # focal shade, halo exchange
+        "mosaic_equalize": _q_mosaic_equalize,  # chained hist->LUT->remap
         "mosaic_overview_l2": _q_mosaic_overview_l2,  # chained pyramid level 2
         "footprint_overlap": _q_footprint_overlap,  # PBSM spatial self-join
         "q5_local_volume": _q_q5_local_volume,  # 6-table star join
@@ -2027,6 +2044,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_hillshade_golden
 
     ensure_hillshade_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_equalize_golden
+
+    ensure_equalize_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -2225,6 +2245,10 @@ FROM read_parquet('{FIX_SF001}/histogram_golden.parquet')
         "mosaic_hillshade": f"""
 SELECT tile_id, tx, ty, n_px, shade_sum
 FROM read_parquet('{FIX_SF001}/hillshade_golden.parquet')
+""",
+        "mosaic_equalize": f"""
+SELECT tile_id, tx, ty, n_valid_px, eq_sum
+FROM read_parquet('{FIX_SF001}/equalize_golden.parquet')
 """,
         "image_patchify": f"""
 SELECT image_id,

@@ -1524,3 +1524,40 @@ def ensure_hillshade_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_equalize_golden(fix_dir: str, levels: int = 256) -> str:
+    """Idempotently derive equalize_golden.parquet: per-tile equalized
+    value sums from the serial full-plane paint + the identical integer
+    CDF LUT (floor(cum * (levels-1) / total)). Shares only the paint and
+    the pure LUT arithmetic; the distributed histogram/remap plan is not
+    touched. Separate marker; no layout regen."""
+    out = os.path.join(fix_dir, "equalize_golden.parquet")
+    if os.path.exists(out):
+        return out
+    g = FIXTURE_GRID
+    (_, valid, v), lww = _paint_lww_plane(fix_dir)
+    counts = np.bincount(v[valid], minlength=766)
+    total = int(counts.sum())
+    lut = (np.cumsum(counts) * (levels - 1) // max(total, 1)).astype(np.int64)
+    rows = {"tile_id": [], "tx": [], "ty": [], "n_valid_px": [],
+            "eq_sum": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        m = valid[tr0:tr1, tc0:tc1]
+        vals = v[tr0:tr1, tc0:tc1][m]
+        rows["tile_id"].append(f"{tx}-{ty}")
+        rows["tx"].append(tx)
+        rows["ty"].append(ty)
+        rows["n_valid_px"].append(int(m.sum()))
+        rows["eq_sum"].append(int(lut[vals].sum()) if len(vals) else 0)
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "n_valid_px": pa.array(rows["n_valid_px"], pa.int64()),
+        "eq_sum": pa.array(rows["eq_sum"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

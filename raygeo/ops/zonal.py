@@ -275,3 +275,63 @@ def mosaic_histogram(tiles_ds, grid: GridSpec, pack=None):
                          num_cpus=1)
             .groupby("v_bin")
             .aggregate(Sum("n_px", alias_name="n_px")))
+
+
+def mosaic_equalize(tiles_ds, grid: GridSpec, pack=None,
+                    levels: int = 256):
+    """Histogram equalization of the mosaic (the contrast-stretch classic)
+    — a CHAINED plan: the global value histogram folds distributed
+    (``mosaic_histogram``), the driver turns the 766-bin CDF into an
+    integer LUT (``floor(cum * (levels-1) / total)`` — exact), broadcasts
+    it, and a second pass remaps every tile. Output per tile:
+    (tile_id, tx, ty, n_valid_px, eq_sum) with eq_sum = Σ lut[v] over
+    valid pixels — all-integer, golden-checkable.
+
+    The tiles dataset is consumed twice (histogram + remap): callers pass
+    a materialized mosaic (it is the op's own product, O(cube) not
+    O(source images)) or accept one upstream recompute.
+    """
+    import zlib
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    hist = mosaic_histogram(tiles_ds, grid, pack).to_pandas()
+    hist = hist.sort_values("v_bin")
+    vmax = int(hist["v_bin"].max()) if len(hist) else 0
+    counts = np.zeros(vmax + 1, np.int64)
+    counts[hist["v_bin"].to_numpy()] = hist["n_px"].to_numpy()
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    lut = (cum * (levels - 1) // max(total, 1)).astype(np.int64)
+
+    import ray
+
+    lut_ref = ray.put(lut)
+
+    def remap(t: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        out_sum = np.zeros(len(t), np.int64)
+        out_n = np.zeros(len(t), np.int64)
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            vals = v[mask]
+            out_n[j] = len(vals)
+            out_sum[j] = int(lt[vals].sum()) if len(vals) else 0
+        return pa.table({
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx").cast(pa.int64()),
+            "ty": t.column("ty").cast(pa.int64()),
+            "n_valid_px": pa.array(out_n, pa.int64()),
+            "eq_sum": pa.array(out_sum, pa.int64()),
+        })
+
+    return tiles_ds.map_batches(remap, batch_format="pyarrow",
+                                batch_size=64, num_cpus=1)

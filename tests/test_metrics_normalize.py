@@ -401,3 +401,29 @@ def test_image_patches_tile_exactly(ray_session):
         assert g.loc[r.image_id, "total"] == r.pix_sum
     # 17-wide image: edge patch is 1 pixel wide
     assert g.loc["t-1", "min_pw"] == 1
+
+
+def test_mosaic_equalize_matches_serial_lut(ray_session, fixtures_sf0001):
+    """Chained histogram -> LUT -> remap == the same integer LUT applied
+    to the serial full-plane paint; equalized means must span the range."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID, ensure_equalize_golden
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.zonal import mosaic_equalize
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    tiles = ingest(read_parquet_clean(
+        f"{d}/images.parquet", columns=["image_id", "bytes", "w", "h"]),
+        FIXTURE_GRID).materialize()
+    got = (mosaic_equalize(tiles, FIXTURE_GRID)
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    exp = (pq.read_table(ensure_equalize_golden(d))
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    assert got["tile_id"].tolist() == exp["tile_id"].tolist()
+    assert got["n_valid_px"].tolist() == exp["n_valid_px"].tolist()
+    assert got["eq_sum"].tolist() == exp["eq_sum"].tolist()
+    # equalization sanity: mean equalized value sits mid-range
+    mean_eq = got["eq_sum"].sum() / max(got["n_valid_px"].sum(), 1)
+    assert 64 < mean_eq < 192
