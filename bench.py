@@ -142,6 +142,9 @@ def run_bench() -> dict:
         "events_late_data",
         "emb_pq_knn",
         "mosaic_histogram",
+        "events_ohlc",
+        "emb_gram",
+        "returned_revenue",
     ]
     for name in bench_queries:
         timed(name, qs[name])
