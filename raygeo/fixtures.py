@@ -1537,6 +1537,8 @@ def ensure_equalize_golden(fix_dir: str, levels: int = 256) -> str:
         return out
     g = FIXTURE_GRID
     (_, valid, v), lww = _paint_lww_plane(fix_dir)
+    # RGB v-plane is non-negative; engine-side the LUT indexes from the
+    # min bin (negative-capable float packs), which for RGB is the same
     counts = np.bincount(v[valid], minlength=766)
     total = int(counts.sum())
     lut = (np.cumsum(counts) * (levels - 1) // max(total, 1)).astype(np.int64)

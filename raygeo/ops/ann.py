@@ -543,7 +543,7 @@ def gram_matrix(ds, vec_col: str = "embedding", quant: float = 1000.0):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        m = _list_matrix(t.column(vec_col))
+        m = _list_matrix(t.column(vec_col)).astype(np.float64)
         q = np.floor(m * quant + 0.5).astype(np.int64)
         g = q.T @ q  # (d, d) int64
         d = g.shape[0]

@@ -773,9 +773,16 @@ def edit_distance_pairs(ds, col: str, num_partitions: int = 8):
         return pa.table({"k": pa.array(out_k, pa.string()),
                          "v": pa.array(out_v, pa.string())})
 
-    keys = (ds.select_columns([col])
-            .map_batches(keys_of, batch_format="pyarrow", batch_size=8192)
-            .materialize())  # consumed by both join sides
+    from ..util import drop_empty_blocks
+
+    # consumed by both join sides; drop_empty_blocks strips the
+    # schema-less 0-row blocks a small repartitioned input can carry
+    # (they crash the Arrow hash join with "No match for FieldRef")
+    keys = drop_empty_blocks(
+        ds.select_columns([col])
+        .map_batches(keys_of, batch_format="pyarrow", batch_size=8192)
+        .materialize(),
+        pa.schema([("k", pa.string()), ("v", pa.string())]))
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"k2": t.column("k"), "v2": t.column("v")})

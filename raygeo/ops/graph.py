@@ -158,8 +158,14 @@ def pagerank_dataset(edges_ds, src_col: str = "term_a",
         return pa.table({"s": pa.array(s, pa.string()),
                          "t": pa.array(d, pa.string())})
 
-    edges = edges_ds.select_columns([src_col, dst_col]).map_batches(
-        sym, batch_format="pyarrow", batch_size=65536).materialize()
+    node_schema = pa.schema([("n", pa.string()), ("outdeg", pa.int64())])
+    edge_schema = pa.schema([("s", pa.string()), ("t", pa.string())])
+    # a repartitioned-small edges_ds can carry schema-less 0-row blocks
+    # into the join; clean them like every other join input here
+    edges = drop_empty_blocks(
+        edges_ds.select_columns([src_col, dst_col]).map_batches(
+            sym, batch_format="pyarrow", batch_size=65536).materialize(),
+        edge_schema)
 
     def deg_partial(t: pa.Table) -> pa.Table:
         src = (pd.DataFrame({"n": t.column("s").to_pylist()})
@@ -172,8 +178,6 @@ def pagerank_dataset(edges_ds, src_col: str = "term_a",
         return pa.table({"n": pa.array(g["n"].tolist(), pa.string()),
                          "outdeg": pa.array(g["outdeg"].to_numpy(np.int64),
                                             pa.int64())})
-
-    node_schema = pa.schema([("n", pa.string()), ("outdeg", pa.int64())])
     nodes = drop_empty_blocks(
         edges.map_batches(deg_partial, batch_format="pyarrow",
                           batch_size=65536)
@@ -223,7 +227,13 @@ def pagerank_dataset(edges_ds, src_col: str = "term_a",
                             on=("n",), right_on=("t",))
 
         def fold(t: pa.Table) -> pa.Table:
-            c = t.column("c").to_pandas().fillna(0).to_numpy(np.int64)
+            import pyarrow.compute as pc
+
+            # fill_null in Arrow: the column stays int64 end to end — a
+            # pandas round-trip would degrade nullable blocks to float64
+            # and silently round mass above 2^53 (the grows-with-data
+            # regime this plan exists for)
+            c = pc.fill_null(t.column("c"), 0).cast(pa.int64()).to_numpy()
             return pa.table({
                 "n": t.column("n"),
                 "outdeg": t.column("outdeg"),

@@ -417,8 +417,6 @@ def ohlc_bars(events_ds, freq_s: int = 86400):
     shuffle moves one row per (type, bucket) per batch and the final
     merge just re-folds partials. No window sort anywhere.
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     f_us = int(freq_s) * 1_000_000
 
     def partial(t: pa.Table) -> pa.Table:

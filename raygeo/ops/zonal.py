@@ -300,19 +300,23 @@ def mosaic_equalize(tiles_ds, grid: GridSpec, pack=None,
 
     hist = mosaic_histogram(tiles_ds, grid, pack).to_pandas()
     hist = hist.sort_values("v_bin")
+    # mosaic_histogram supports NEGATIVE bins (float packs quantize x1000
+    # around zero) — index the LUT from vmin, never raw values, or
+    # negative bins wrap-index and silently corrupt the CDF
+    vmin = int(hist["v_bin"].min()) if len(hist) else 0
     vmax = int(hist["v_bin"].max()) if len(hist) else 0
-    counts = np.zeros(vmax + 1, np.int64)
-    counts[hist["v_bin"].to_numpy()] = hist["n_px"].to_numpy()
+    counts = np.zeros(vmax - vmin + 1, np.int64)
+    counts[hist["v_bin"].to_numpy() - vmin] = hist["n_px"].to_numpy()
     total = int(counts.sum())
     cum = np.cumsum(counts)
     lut = (cum * (levels - 1) // max(total, 1)).astype(np.int64)
 
     import ray
 
-    lut_ref = ray.put(lut)
+    lut_ref = ray.put((lut, vmin))
 
     def remap(t: pa.Table) -> pa.Table:
-        lt = ray.get(lut_ref)
+        lt, v0 = ray.get(lut_ref)
         px_z = t.column("px_z").to_pylist()
         mask_z = t.column("mask_z").to_pylist()
         out_sum = np.zeros(len(t), np.int64)
@@ -324,7 +328,7 @@ def mosaic_equalize(tiles_ds, grid: GridSpec, pack=None,
             v = _vsum(canvas, pack)
             vals = v[mask]
             out_n[j] = len(vals)
-            out_sum[j] = int(lt[vals].sum()) if len(vals) else 0
+            out_sum[j] = int(lt[vals - v0].sum()) if len(vals) else 0
         return pa.table({
             "tile_id": t.column("tile_id"),
             "tx": t.column("tx").cast(pa.int64()),
