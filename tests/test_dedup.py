@@ -318,3 +318,17 @@ def test_edit_distance_pairs_exact(ray_session):
     assert list(map(tuple, got.values)) == exp
     assert not _ed1("spark", "sprak")  # transposition is ed 2
     assert ("sprak", "spark") not in exp and ("spark", "sprak") not in exp
+
+
+def test_edit_distance_pairs_tiny_overpartitioned(ray_session):
+    """Regression: more partitions than rows must not crash the hash join
+    (schema-less empty blocks are stripped from both sides)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import edit_distance_pairs
+
+    df = pd.DataFrame({"c_name": ["ab", "ac", "zz"]})
+    got = (edit_distance_pairs(rd.from_pandas(df).repartition(32), "c_name")
+           .to_pandas().sort_values(["name_a", "name_b"]))
+    assert list(map(tuple, got.values)) == [("ab", "ac")]

@@ -151,3 +151,24 @@ def test_gram_matrix_partition_invariant_and_exact(ray_session):
     assert outs[0]["gram_q"].to_numpy().tolist() == exp.tolist()
     gm = outs[0].pivot(index="i", columns="j", values="gram_q").to_numpy()
     assert (gm == gm.T).all()
+
+
+def test_gram_matrix_float32_input_matches_double(ray_session):
+    """Regression: list<float32> inputs (the fixture's storage dtype) must
+    quantize through float64 — float32 boundary values would otherwise
+    quantize off-by-one vs the double-precision oracle."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import gram_matrix
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    m64 = rng.normal(size=(300, 64))
+    df32 = pd.DataFrame({"embedding": list(m64.astype(np.float32))})
+    got = (gram_matrix(rd.from_pandas(df32))
+           .to_pandas().sort_values(["i", "j"]).reset_index(drop=True))
+    q = np.floor(m64.astype(np.float32).astype(np.float64) * 1000
+                 + 0.5).astype(np.int64)
+    exp = (q.T @ q).reshape(-1)
+    assert got["gram_q"].to_numpy().tolist() == exp.tolist()

@@ -427,3 +427,72 @@ def test_mosaic_equalize_matches_serial_lut(ray_session, fixtures_sf0001):
     # equalization sanity: mean equalized value sits mid-range
     mean_eq = got["eq_sum"].sum() / max(got["n_valid_px"].sum(), 1)
     assert 64 < mean_eq < 192
+
+
+def test_mosaic_histogram_equalize_negative_bins(ray_session):
+    """Float packs quantize x1000 around zero: histogram bins can be
+    NEGATIVE, and the equalize LUT must index from the min bin instead of
+    wrap-indexing. Synthetic DEM tiles with negative values, replayed
+    serially."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.channels import DEM_CHANNELS, ChannelPack
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import mosaic_equalize, mosaic_histogram
+
+    pack = ChannelPack(DEM_CHANNELS)
+    g = FIXTURE_GRID
+    c = g.chunk
+    rng = np.random.Generator(np.random.PCG64(12))
+    rows = []
+    for j, (tx, ty) in enumerate([(0, 0), (1, 0), (2, 1)]):
+        dem = rng.uniform(-5.0, 5.0, size=(c, c)).astype(np.float32)
+        dm = rng.uniform(size=(c, c)) < 0.9
+        mask = (rng.uniform(size=(c, c)) < 0.8).astype(np.uint8)
+        chans = pack.alloc(c, c)
+        chans[0][:] = dem.reshape(chans[0].shape)
+        chans[1][:] = dm.reshape(chans[1].shape)
+        rows.append({
+            "tile_id": f"{tx}-{ty}", "tx": tx, "ty": ty,
+            "px_z": zlib.compress(pack.to_bytes(chans), 1),
+            "mask_z": zlib.compress(mask.tobytes(), 1),
+        })
+    tiles = rd.from_arrow(pa.Table.from_pylist(rows))
+
+    hist = (mosaic_histogram(tiles, g, pack)
+            .to_pandas().sort_values("v_bin").reset_index(drop=True))
+    assert (hist["v_bin"] < 0).any()  # negative bins actually exercised
+
+    got = (mosaic_equalize(tiles, g, pack)
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+
+    # serial replay with identical integer arithmetic
+    vs, per_tile = [], {}
+    for r in rows:
+        chans = pack.from_bytes(zlib.decompress(r["px_z"]), c, c)
+        mask = np.frombuffer(zlib.decompress(r["mask_z"]),
+                             np.uint8).reshape(c, c).astype(bool)
+        v = np.zeros((c, c), np.int64)
+        for a in chans:
+            q = (np.round(a.astype(np.float64) * 1000).astype(np.int64)
+                 if a.dtype.kind == "f" else a.astype(np.int64))
+            v += q.sum(axis=2) if a.ndim == 3 else q
+        per_tile[r["tile_id"]] = v[mask]
+        vs.append(v[mask])
+    allv = np.concatenate(vs)
+    u, cnt = np.unique(allv, return_counts=True)
+    exp_hist = dict(zip(u.tolist(), cnt.tolist()))
+    assert dict(zip(hist["v_bin"], hist["n_px"])) == exp_hist
+    vmin = int(u.min())
+    counts = np.zeros(int(u.max()) - vmin + 1, np.int64)
+    counts[u - vmin] = cnt
+    lut = (np.cumsum(counts) * 255 // len(allv)).astype(np.int64)
+    for r in got.itertuples():
+        vals = per_tile[r.tile_id]
+        assert r.eq_sum == int(lut[vals - vmin].sum())
+        assert r.n_valid_px == len(vals)
