@@ -840,6 +840,18 @@ def _q_docs_dedup_keep(sf_dir: str):
     return dedup_keep_list(ds, pairs, "doc_id")
 
 
+def _q_docs_dedup_best(sf_dir: str):
+    """Quality-aware dedup decision: same clusters as docs_dedup_keep, but
+    the kept copy is the cluster's LONGEST document (n_chars, tie -> min
+    id) — the keep-best policy; oracle extends the recursive-CTE cluster
+    replay with a per-cluster window rank."""
+    from raygeo.ops.dedup import dedup_keep_best, minhash_lsh_pairs
+
+    ds = _rpq(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", jaccard_threshold=0.7)
+    return dedup_keep_best(ds, pairs, "doc_id", "n_chars")
+
+
 def _q_docs_minhash_07(sf_dir: str):
     import ray.data as rd
 
@@ -1956,6 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardup_exact": _q_docs_neardup_exact,
         "docs_minhash_07": _q_docs_minhash_07,  # exact-Jaccard oracle (full recall on fixture corpus)
         "docs_dedup_keep": _q_docs_dedup_keep,  # components via recursive-CTE oracle
+        "docs_dedup_best": _q_docs_dedup_best,  # keep-best (longest) policy
         "docs_clean_corpus": _q_docs_clean_corpus,  # composed pipeline, SQL-replayed
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
         "docs_top_terms": _q_docs_top_terms,  # corpus term frequency top-k
@@ -2715,6 +2728,40 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster_rep,
   CAST(min(r) = id AS INTEGER) AS keep
 FROM reach GROUP BY id
+""",
+        "docs_dedup_best": """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+clus AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+rk AS (
+  SELECT c.doc_id, c.cluster_rep,
+    row_number() OVER (PARTITION BY c.cluster_rep
+                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM clus c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_rep, CAST(rn = 1 AS INTEGER) AS keep FROM rk
 """,
         "docs_ngram_jaccard": """
 WITH t AS (SELECT doc_id, text FROM documents),

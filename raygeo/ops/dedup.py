@@ -808,3 +808,76 @@ def edit_distance_pairs(ds, col: str, num_partitions: int = 8):
     return (pairs.groupby(["name_a", "name_b"])
             .aggregate(Count(alias_name="n_keys"))
             .select_columns(["name_a", "name_b"]))
+
+
+def dedup_keep_best(ds, pairs: pd.DataFrame, id_col: str, score_col: str):
+    """Quality-aware near-dup dedup decision: like :func:`dedup_keep_list`
+    (min-id cluster representative) but the KEPT document is the cluster's
+    best by ``score_col`` (ties -> smaller id) — the "keep the longest /
+    highest-quality copy" policy real corpus pipelines use instead of
+    keep-first.
+
+    Scale shape: union-find still runs driver-side on the (small by
+    contract) verified pairs; the members' scores come from ONE broadcast
+    semi-join pass over the corpus (np.isin filter, collects only
+    |members| rows); the decision broadcasts back. The corpus never
+    shuffles.
+
+    Returns (id_col, cluster_rep, keep:int32).
+    """
+    import ray
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    # ALL pair members (roots included — `parent` only holds non-roots,
+    # and the root's own score must compete for the keep decision)
+    all_members = set(pairs["id_a"]) | set(pairs["id_b"])
+    rep = {x: find(x) for x in all_members}
+    members = np.sort(np.array(list(all_members), dtype=np.int64))
+
+    def member_scores(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        keep = np.isin(ids, members)
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "score": t.column(score_col).filter(pa.array(keep))
+            .cast(pa.int64()),
+        })
+
+    mdf = (ds.select_columns([id_col, score_col])
+           .map_batches(member_scores, batch_format="pyarrow",
+                        batch_size=16384)
+           .to_pandas())  # |members| rows — bounded by the pair volume
+    mdf["root"] = [rep[i] for i in mdf[id_col]]
+    mdf = mdf.sort_values(["root", "score", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    best = dict(zip(mdf.drop_duplicates("root")["root"],
+                    mdf.drop_duplicates("root")[id_col]))
+    state_ref = ray.put((rep, best))
+
+    def decide(t: pa.Table) -> pa.Table:
+        m, bst = ray.get(state_ref)
+        ids = t.column(id_col).to_pylist()
+        reps = [m.get(i, i) for i in ids]
+        keep = [1 if bst.get(r, r) == i else 0 for i, r in zip(ids, reps)]
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster_rep": pa.array(reps, t.schema.field(id_col).type),
+            "keep": pa.array(keep, pa.int32()),
+        })
+
+    return ds.select_columns([id_col]).map_batches(
+        decide, batch_format="pyarrow", batch_size=16384)

@@ -332,3 +332,32 @@ def test_edit_distance_pairs_tiny_overpartitioned(ray_session):
     got = (edit_distance_pairs(rd.from_pandas(df).repartition(32), "c_name")
            .to_pandas().sort_values(["name_a", "name_b"]))
     assert list(map(tuple, got.values)) == [("ab", "ac")]
+
+
+def test_dedup_keep_best_picks_highest_score(ray_session):
+    """Keep-best policy: the kept copy is the cluster's max score (ties ->
+    min id), INCLUDING when the best copy is the min-id root and when it
+    is not; cluster_rep stays the min id either way."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import dedup_keep_best
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20],
+        "n_chars": [5, 9, 7, 8, 8, 4],  # cluster A best=2; B tie -> 10
+    })
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    out = (dedup_keep_best(rd.from_pandas(docs).repartition(3), pairs,
+                           "doc_id", "n_chars")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["cluster_rep"].tolist() == [1, 1, 1, 10, 10, 20]
+    assert out["keep"].tolist() == [0, 1, 0, 1, 0, 1]
+
+    # best copy IS the root: root's own score must compete
+    docs2 = pd.DataFrame({"doc_id": [1, 2], "n_chars": [9, 5]})
+    pairs2 = pd.DataFrame({"id_a": [1], "id_b": [2]})
+    out2 = (dedup_keep_best(rd.from_pandas(docs2), pairs2,
+                            "doc_id", "n_chars")
+            .to_pandas().sort_values("doc_id"))
+    assert out2["keep"].tolist() == [1, 0]
