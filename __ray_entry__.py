@@ -303,6 +303,19 @@ def _q_image_patchify(sf_dir: str):
                        Sum("total", alias_name="total")))
 
 
+def _q_images_clean_corpus(sf_dir: str):
+    """Composed multimodal cleaning pipeline: real decode -> integer
+    milli-brightness quality gate -> exact phash dedup (keep min id) ->
+    one-row corpus summary; the oracle replays the identical integer
+    arithmetic from the golden pix_sum column."""
+    from raygeo.ops.multimodal import images_clean_corpus
+
+    d = _fix(sf_dir)
+    return images_clean_corpus(_rpq(f"{d}/images.parquet",
+                                    columns=["image_id", "bytes", "w", "h",
+                                             "phash"]))
+
+
 def _q_video_frame_stats(sf_dir: str):
     """Video frame-sample pipeline (multimodal plumbing, every_n=2): RGV1
     container parse + per-frame raygeo-codec decode in an actor-pool
@@ -1979,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": _q_docs_sample,  # deterministic bottom-k sample
         "image_features": _q_image_features,  # fixed-point golden check
         "image_patchify": _q_image_patchify,  # ViT patch tiling, pix_sum-exact
+        "images_clean_corpus": _q_images_clean_corpus,  # composed clean pipeline
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
         "video_scene_changes": _q_video_scene_changes,  # frame-diff windows
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
@@ -2262,6 +2276,21 @@ FROM read_parquet('{FIX_SF001}/hillshade_golden.parquet')
         "mosaic_equalize": f"""
 SELECT tile_id, tx, ty, n_valid_px, eq_sum
 FROM read_parquet('{FIX_SF001}/equalize_golden.parquet')
+""",
+        "images_clean_corpus": f"""
+WITH s AS (
+  SELECT CAST(substr(image_id, 5) AS BIGINT) AS pno, phash,
+    CASE WHEN w * h >= 2048
+          AND (pix_sum * 1000) // (w * h * 3) BETWEEN 147000 AND 148500
+         THEN 1 ELSE 0 END AS q
+  FROM read_parquet('{IMAGES_001}/*.parquet')
+), kept AS (
+  SELECT phash, min(pno) AS pno FROM s WHERE q = 1 GROUP BY phash
+)
+SELECT (SELECT count(*) FROM s)::BIGINT AS n_images,
+  (SELECT sum(q) FROM s)::BIGINT AS n_quality,
+  (SELECT count(*) FROM kept)::BIGINT AS n_kept,
+  (SELECT coalesce(sum(pno), 0) FROM kept)::BIGINT AS kept_pno_sum
 """,
         "image_patchify": f"""
 SELECT image_id,

@@ -453,3 +453,73 @@ def image_patches(images_ds, size: int = 16, batch_size: int = 256):
     return images_ds.select_columns(["image_id", "bytes"]).map_batches(
         PatchExplode(size), batch_format="pyarrow", batch_size=batch_size,
         num_cpus=1)
+
+
+def images_clean_corpus(images_ds, min_px: int = 2048,
+                        mb_lo: int = 147000, mb_hi: int = 148500):
+    """Composed multimodal cleaning pipeline (the image-side sibling of
+    ``docs_clean_corpus``): decode -> integer milli-brightness quality
+    gate -> exact phash dedup (keep min id) -> corpus summary.
+
+    The decode is REAL (mean brightness from pixels); the oracle replays
+    the identical integer arithmetic from the generation-time golden
+    ``pix_sum`` column — decode parity is the fixture invariant. The
+    per-image stage output (id number, phash, quality flag) is
+    metadata-sized and materializes once for the two aggregate branches;
+    the dedup fold ships one row per distinct phash per batch. Output:
+    one row (n_images, n_quality, n_kept, kept_pno_sum).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    class _Stage:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bufs = binary_views(t.column("bytes"))
+            ids = t.column("image_id").to_pylist()
+            w = t.column("w").to_numpy().astype(np.int64)
+            h = t.column("h").to_numpy().astype(np.int64)
+            ph = t.column("phash").to_numpy()
+            ps = np.fromiter(
+                (int(decode(b).astype(np.int64).sum()) for b in bufs),
+                np.int64, len(bufs))
+            mb = ps * 1000 // (w * h * 3)
+            q = (w * h >= min_px) & (mb >= mb_lo) & (mb <= mb_hi)
+            pno = np.fromiter((int(i.rsplit("-", 1)[1]) for i in ids),
+                              np.int64, len(ids))
+            return pa.table({
+                "pno": pa.array(pno, pa.int64()),
+                "phash": pa.array(ph, pa.int64()),
+                "q": pa.array(q.astype(np.int64), pa.int64()),
+            })
+
+    stage = images_ds.select_columns(
+        ["image_id", "bytes", "w", "h", "phash"]
+    ).map_batches(_Stage(), batch_format="pyarrow", batch_size=256,
+                  num_cpus=1).materialize()  # metadata-sized
+
+    totals = stage.aggregate(Sum("q"), Sum("pno"))
+    n_images = stage.count()
+    n_quality = int(totals["sum(q)"] or 0)
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"phash": t.column("phash").to_numpy(),
+                           "pno": t.column("pno").to_numpy()})
+        g = df.groupby("phash", sort=False)["pno"].min().reset_index()
+        return pa.table({"phash": pa.array(g["phash"].to_numpy(), pa.int64()),
+                         "pno": pa.array(g["pno"].to_numpy(), pa.int64())})
+
+    kept = (stage.filter(expr="q == 1")
+            .map_batches(dedup_partial, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("phash").aggregate(Min("pno", alias_name="pno")))
+    kagg = kept.aggregate(Sum("pno"))
+    n_kept = kept.count()
+    kept_pno_sum = int(kagg["sum(pno)"] or 0)
+    return pa.table({
+        "n_images": pa.array([n_images], pa.int64()),
+        "n_quality": pa.array([n_quality], pa.int64()),
+        "n_kept": pa.array([n_kept], pa.int64()),
+        "kept_pno_sum": pa.array([kept_pno_sum], pa.int64()),
+    })

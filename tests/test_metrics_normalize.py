@@ -496,3 +496,36 @@ def test_mosaic_histogram_equalize_negative_bins(ray_session):
         vals = per_tile[r.tile_id]
         assert r.eq_sum == int(lut[vals - vmin].sum())
         assert r.n_valid_px == len(vals)
+
+
+def test_images_clean_corpus_invariants(ray_session, fixtures_sf0001):
+    """Composed pipeline sanity: monotone counts, dedup actually removed
+    phash duplicates, and the summary matches a duckdb replay from the
+    golden columns."""
+    import duckdb
+
+    from raygeo.ops.multimodal import images_clean_corpus
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    out = images_clean_corpus(read_parquet_clean(
+        f"{d}/images.parquet",
+        columns=["image_id", "bytes", "w", "h", "phash"])).to_pandas()
+    r = out.iloc[0]
+    assert r.n_images >= r.n_quality >= r.n_kept > 0
+    exp = duckdb.sql(f"""
+        WITH s AS (
+          SELECT CAST(substr(image_id, 5) AS BIGINT) AS pno, phash,
+            CASE WHEN w * h >= 2048
+                  AND (pix_sum * 1000) // (w * h * 3)
+                      BETWEEN 147000 AND 148500
+                 THEN 1 ELSE 0 END AS q
+          FROM read_parquet('{d}/images.parquet/*.parquet')
+        ), kept AS (SELECT phash, min(pno) AS pno FROM s WHERE q = 1
+                    GROUP BY phash)
+        SELECT (SELECT count(*) FROM s), (SELECT sum(q) FROM s),
+               (SELECT count(*) FROM kept),
+               (SELECT coalesce(sum(pno), 0) FROM kept)
+    """).fetchone()
+    assert (r.n_images, r.n_quality, r.n_kept, r.kept_pno_sum) == \
+        tuple(int(x) for x in exp)
