@@ -1794,6 +1794,21 @@ def _q_docs_source_stats(sf_dir: str):
                              columns=["source", "n_chars", "text"]))
 
 
+def _q_temporal_coverage(sf_dir: str):
+    """Per-pixel valid-observation count over the temporal stack (the
+    cloud-free-looks QA histogram): one spatial-keyed groupby over the
+    temporal tiles, mask planes only — canvases never decode."""
+    from raygeo.fixtures import TEMPORAL_GRID
+    from raygeo.ops.composite import temporal_coverage
+    from raygeo.ops.ingest import ingest
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   TEMPORAL_GRID)
+    return temporal_coverage(tiles, TEMPORAL_GRID)
+
+
 def _q_mosaic_timeseries(sf_dir: str):
     """Per-time-step totals of the temporal cube (the cube 'calendar'
     report): tiles, valid pixels and value mass per t — a tiny keyed fold
@@ -1965,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,  # JSON payload parse
         "docs_source_stats": _q_docs_source_stats,  # per-source accounting
         "mosaic_timeseries": _q_mosaic_timeseries,  # per-t cube totals
+        "temporal_coverage": _q_temporal_coverage,  # per-pixel looks histogram
         "events_late_data": _q_events_late_data,  # watermark/lateness drop
         "events_ohlc": _q_events_ohlc,  # OHLC downsample bars
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
@@ -2074,6 +2090,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_equalize_golden
 
     ensure_equalize_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_coverage_golden
+
+    ensure_coverage_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -3157,6 +3176,10 @@ SELECT source, count(*)::BIGINT AS n_docs,
   sum(n_chars)::BIGINT AS sum_chars,
   sum(len(regexp_extract_all(lower(text), '[0-9a-z_]+')))::BIGINT AS n_tokens
 FROM documents GROUP BY source
+""",
+        "temporal_coverage": f"""
+SELECT tile_id, coverage, n_px
+FROM read_parquet('{FIX_SF001}/coverage_golden.parquet')
 """,
         "mosaic_timeseries": f"""
 SELECT CAST(split_part(tile_id, '-', 1) AS BIGINT) AS t,

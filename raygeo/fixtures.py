@@ -1563,3 +1563,49 @@ def ensure_equalize_golden(fix_dir: str, levels: int = 256) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_coverage_golden(fix_dir: str) -> str:
+    """Idempotently derive coverage_golden.parquet: per spatial tile, the
+    histogram of per-pixel valid-observation counts across the temporal
+    axis — from the serial slab paint's TEMPORAL store (independent of
+    the engine's keyed-groupby plan). Separate marker; no layout regen."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    out = os.path.join(fix_dir, "coverage_golden.parquet")
+    if os.path.exists(out):
+        return out
+    n = images_count_for_sf(sf_of_dir(fix_dir))
+    slab = max(500, n // 16)
+    slabs = [(lo, min(lo + slab, n), False) for lo in range(0, n, slab)]
+    tmp: dict = {}
+    if len(slabs) <= 1:
+        for res in map(_golden_slab, slabs):
+            _merge_slab_into(tmp, res["t"], False)
+    else:
+        workers = min(16, os.cpu_count() or 4, len(slabs))
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for res in ex.map(_golden_slab, slabs):  # ordered: ascending pno
+                _merge_slab_into(tmp, res["t"], False)
+    n_steps = len(TEMPORAL_GRID.times)
+    c = TEMPORAL_GRID.chunk
+    cov: dict[tuple[int, int], np.ndarray] = {}
+    for (ti, tx, ty), (_, mask, _n) in tmp.items():
+        a = cov.setdefault((tx, ty), np.zeros((c, c), np.int64))
+        a += mask.astype(np.int64)
+    rows = {"tile_id": [], "coverage": [], "n_px": []}
+    for (tx, ty) in sorted(cov):
+        counts = np.bincount(cov[(tx, ty)].reshape(-1),
+                             minlength=n_steps + 1)
+        for lvl in np.nonzero(counts)[0]:
+            rows["tile_id"].append(f"{tx}-{ty}")
+            rows["coverage"].append(int(lvl))
+            rows["n_px"].append(int(counts[lvl]))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "coverage": pa.array(rows["coverage"], pa.int64()),
+        "n_px": pa.array(rows["n_px"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

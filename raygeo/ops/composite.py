@@ -601,3 +601,48 @@ def temporal_trend(temporal_tiles_ds, chunk: int, channels=None):
             .select_columns(["tile_id", "tx", "ty", "px_z", "mask_z"])
             .map_batches(keyed, batch_format="pyarrow")
             .groupby("skey").map_groups(trend, batch_format="pyarrow"))
+
+
+def temporal_coverage(tiles_ds, grid: GridSpec, pack=None):
+    """Per-pixel valid-observation count over the temporal stack — the
+    remote-sensing QA classic ("how many cloud-free looks does each pixel
+    have"): for every spatial tile, the histogram of per-pixel coverage
+    counts across the cube's time steps.
+
+    One keyed groupby on the SPATIAL tile (each group holds at most
+    n_steps temporal variants); the per-group kernel sums mask planes and
+    bincounts — canvases never decode (masks only), and the shuffle
+    carries mask bytes, O(n_steps x tile) per group. Output: one row per
+    (tile, coverage) level with its pixel count (coverage 0 = pixels
+    invalid at every present step of a tile that exists somewhere).
+    """
+    import zlib
+
+    import pandas as pd
+
+    n_steps = len(grid.times)
+    chunk = grid.chunk
+
+    def key_of(t: pa.Table) -> pa.Table:
+        sid = [s.split("-", 1)[1] for s in t.column("tile_id").to_pylist()]
+        return pa.table({
+            "sp_id": pa.array(sid, pa.string()),
+            "mask_z": t.column("mask_z"),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cov = np.zeros((chunk, chunk), np.int64)
+        for mz in g["mask_z"]:
+            cov += np.frombuffer(zlib.decompress(mz),
+                                 np.uint8).reshape(chunk, chunk)
+        counts = np.bincount(cov.reshape(-1), minlength=n_steps + 1)
+        occ = np.nonzero(counts)[0]
+        return pd.DataFrame({
+            "tile_id": g["sp_id"].iloc[0],
+            "coverage": occ.astype(np.int64),
+            "n_px": counts[occ].astype(np.int64),
+        })
+
+    return (tiles_ds.select_columns(["tile_id", "mask_z"])
+            .map_batches(key_of, batch_format="pyarrow", batch_size=64)
+            .groupby("sp_id").map_groups(fold, batch_format="pandas"))

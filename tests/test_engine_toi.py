@@ -422,3 +422,29 @@ def test_load_wrapped_roi_refuses_window_blowup(ray_session, fixtures_sf0001,
            "lon_max": -0.9, "lat_max": 0.05}  # wraps: min > max
     with pytest.raises(ValueError, match="disjoint boxes"):
         load(cube, roi)
+
+
+def test_temporal_coverage_matches_golden(ray_session, fixtures_sf0001):
+    """Spatial-keyed coverage fold == serial temporal-plane replay; mass
+    check: sum over levels of lvl*n_px == total valid px of the t-tiles."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import TEMPORAL_GRID, ensure_coverage_golden
+    from raygeo.ops.composite import temporal_coverage
+    from raygeo.ops.ingest import ingest
+    from raygeo.util import read_parquet_clean
+
+    d = fixtures_sf0001
+    tiles = ingest(read_parquet_clean(
+        f"{d}/images.parquet", columns=["image_id", "bytes", "w", "h"]),
+        TEMPORAL_GRID)
+    got = (temporal_coverage(tiles, TEMPORAL_GRID)
+           .to_pandas().sort_values(["tile_id", "coverage"])
+           .reset_index(drop=True))
+    exp = (pq.read_table(ensure_coverage_golden(d))
+           .to_pandas().sort_values(["tile_id", "coverage"])
+           .reset_index(drop=True))
+    assert got.values.tolist() == exp.values.tolist()
+    t_golden = pq.read_table(f"{d}/tiles_golden_t.parquet")
+    mass = (got["coverage"] * got["n_px"]).sum()
+    assert mass == t_golden.column("n_valid_px").to_numpy().sum()
