@@ -1855,6 +1855,25 @@ def _q_events_ohlc(sf_dir: str):
     return ohlc_bars(_rpq(f"{sf_dir}/events.parquet"), freq_s=86400)
 
 
+def _q_docs_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth at doc-count checkpoints: term ->
+    min-doc-id fold (associative first-appearance), cumulative histogram
+    against checkpoints."""
+    from raygeo.ops.corpus import vocab_growth
+
+    return vocab_growth(_rpq(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]))
+
+
+def _q_events_transitions(sf_dir: str):
+    """Markov transition-matrix estimation: per-user consecutive
+    event-type bigrams in (ts, event_id) order, one user-keyed shuffle,
+    |types|^2-row final fold. LAG-on-categorical SQL oracle."""
+    from raygeo.ops.window import event_transitions
+
+    return event_transitions(_rpq(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_late_data(sf_dir: str):
     """Watermark / allowed-lateness semantics over the replayable event
     log (event_id = arrival order): distributed prefix-max via bucketed
@@ -1983,6 +2002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_coverage": _q_temporal_coverage,  # per-pixel looks histogram
         "events_late_data": _q_events_late_data,  # watermark/lateness drop
         "events_ohlc": _q_events_ohlc,  # OHLC downsample bars
+        "docs_vocab_growth": _q_docs_vocab_growth,  # Heaps-law checkpoints
+        "events_transitions": _q_events_transitions,  # Markov bigram matrix
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
         "orders_rank": _q_orders_rank,  # full-output window ranking
@@ -3206,6 +3227,30 @@ SELECT event_type, bucket::BIGINT AS bucket,
   max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT AS close_c,
   count(*)::BIGINT AS n_events
 FROM r
+GROUP BY 1, 2
+""",
+        "docs_vocab_growth": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+), firsts AS (
+  SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term
+), ck AS (SELECT unnest([100, 200, 300, 400, 500]) AS n_docs)
+SELECT n_docs::BIGINT AS n_docs,
+  (SELECT count(*) FROM firsts WHERE first_doc < n_docs)::BIGINT
+    AS vocab_size
+FROM ck
+""",
+        "events_transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+  count(*)::BIGINT AS n
+FROM s WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """,
         "events_late_data": """

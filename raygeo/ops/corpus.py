@@ -625,3 +625,51 @@ def source_stats(docs_ds, text_col: str = "text"):
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("sum_chars", alias_name="sum_chars"),
                        Sum("n_tokens", alias_name="n_tokens")))
+
+
+def vocab_growth(docs_ds, checkpoints: tuple[int, ...] = (100, 200, 300,
+                                                          400, 500),
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Vocabulary-growth (Heaps-law) report: |vocab of the first k docs|
+    at each checkpoint, where "first" is doc-id order.
+
+    Sequential on its face, but first-appearance is an associative Min:
+    fold (term -> min doc id) with per-batch partials and one keyed
+    groupby (vocabulary-sized, never token streams), then bucket the
+    first-appearance ids against the checkpoints — a cumulative histogram
+    on the driver over |vocab| rows.
+    """
+    from ray.data.aggregate import Min
+
+    tok = re.compile(LOWER_TOKEN_RE)
+
+    def partial(df: pd.DataFrame):
+        import pyarrow as _pa
+
+        toks = df[text_col].str.lower().str.findall(tok)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return _pa.table({"term": _pa.array([], _pa.string()),
+                              "first_doc": _pa.array([], _pa.int64())})
+        ids = df[id_col].to_numpy()
+        pairs = pd.DataFrame({"term": ex.to_numpy(),
+                              "first_doc": ids[ex.index.to_numpy()]})
+        g = pairs.groupby("term", sort=False)["first_doc"].min().reset_index()
+        return _pa.table({
+            "term": _pa.array(g["term"].tolist(), _pa.string()),
+            "first_doc": _pa.array(g["first_doc"].to_numpy(np.int64),
+                                   _pa.int64()),
+        })
+
+    firsts = (docs_ds.select_columns([id_col, text_col])
+              .map_batches(partial, batch_format="pandas", batch_size=4096)
+              .groupby("term").aggregate(Min("first_doc",
+                                             alias_name="first_doc"))
+              .to_pandas())  # vocabulary-sized
+    fd = np.sort(firsts["first_doc"].to_numpy())
+    ck = np.asarray(checkpoints, np.int64)
+    vocab = np.searchsorted(fd, ck, side="left")  # first_doc < k
+    return pa.table({
+        "n_docs": pa.array(ck, pa.int64()),
+        "vocab_size": pa.array(vocab.astype(np.int64), pa.int64()),
+    })

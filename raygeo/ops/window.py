@@ -471,3 +471,34 @@ def ohlc_bars(events_ds, freq_s: int = 86400):
             .map_batches(partial, batch_format="pyarrow", batch_size=65536)
             .groupby(["event_type", "bucket"])
             .map_groups(merge, batch_format="pandas"))
+
+
+def event_transitions(events_ds, user_col: str = "user_id"):
+    """Per-user event-sequence bigram counts folded into the global
+    transition matrix (the Markov-chain estimation step of behavioral
+    modeling): consecutive (prev_type -> next_type) pairs in each user's
+    (ts, event_id) order.
+
+    Consecutive pairs need each user's full order, so the ONE exchange is
+    a user-keyed shuffle of the pruned (user, ts, id, type) columns; the
+    per-group kernel is a vectorized sort + shift, and per-group partial
+    counts make the final fold a |types|^2-row groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(), g["ts"].to_numpy()))
+        et = g["event_type"].to_numpy()[order]
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [],
+                                 "n": []})
+        pairs = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:],
+                              "n": np.int64(1)})
+        return (pairs.groupby(["from_type", "to_type"], sort=False)
+                .sum().reset_index())
+
+    return (events_ds.select_columns([user_col, "ts", "event_id",
+                                      "event_type"])
+            .groupby(user_col).map_groups(per_user, batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))

@@ -290,3 +290,40 @@ def test_ohlc_partial_merge_partition_invariant(ray_session):
         ["event_type", "bucket"]).reset_index(drop=True)
     for c in ["open_c", "high_c", "low_c", "close_c", "n_events"]:
         assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_event_transitions_matches_serial(ray_session):
+    """Bigram transition counts == serial per-user replay, robust to
+    partitioning and single-event users."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.window import event_transitions
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n = 20_000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (np.datetime64("2024-01-01")
+               + rng.integers(0, 86400, n).astype("timedelta64[s]")),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    lonely = pd.DataFrame({"user_id": [999], "event_id": [n],
+                           "ts": [np.datetime64("2024-01-01")],
+                           "event_type": ["a"]})
+    df = pd.concat([df, lonely], ignore_index=True)
+    got = (event_transitions(rd.from_pandas(df).repartition(7))
+           .to_pandas().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+
+    d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = d.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame({"from_type": prev, "to_type": d["event_type"]}
+                         ).dropna()
+    exp = (pairs.groupby(["from_type", "to_type"]).size().rename("n")
+           .reset_index().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["n"].sum() == len(df) - df["user_id"].nunique()
