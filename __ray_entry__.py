@@ -915,6 +915,20 @@ def _q_image_features(sf_dir: str):
     )
 
 
+def _q_audio_frame_rms(sf_dir: str):
+    """Frame-level audio features: fixed 1024-sample windows, per-frame
+    RMS fixed point, per-clip envelope fold (min/max frame RMS) —
+    intra-row windowing, zero shuffle. Golden replays the deterministic
+    PCM generator, never the engine's decode path."""
+    from raygeo.fixtures import ensure_audio_frames_golden
+    from raygeo.ops.multimodal import audio_frame_rms
+
+    d = _fix(sf_dir)
+    ensure_audio_frames_golden(d)
+    return audio_frame_rms(_rpq(f"{d}/audio.parquet",
+                                columns=["audio_id", "bytes"]))
+
+
 def _q_emb_knn(sf_dir: str):
     import ray.data as rd
 
@@ -2033,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
         "video_scene_changes": _q_video_scene_changes,  # frame-diff windows
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
+        "audio_frame_rms": _q_audio_frame_rms,  # frame-level RMS envelope
         # embeddings
         "emb_knn": _q_emb_knn,
         "emb_ivf_knn": _q_emb_ivf_knn,  # rows-only (approximate)
@@ -3598,6 +3613,10 @@ SELECT year(o_orderdate)::BIGINT AS o_year,
   SUM(CASE WHEN o_orderpriority = '5-LOW'
       THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)::BIGINT AS sum_5_low
 FROM orders GROUP BY 1
+""",
+        "audio_frame_rms": f"""
+SELECT audio_id, n_frames, min_frame_rms_fp, max_frame_rms_fp
+FROM read_parquet('{FIX_SF001}/audio_frames_golden.parquet')
 """,
         "emb_knn": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),

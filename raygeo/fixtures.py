@@ -1609,3 +1609,42 @@ def ensure_coverage_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_audio_frames_golden(fix_dir: str, frame: int = 1024) -> str:
+    """Idempotently derive audio_frames_golden.parquet: per-clip frame-RMS
+    stats replayed from the deterministic PCM generator (`_make_audio_row`
+    is a pure function of the clip index — the golden never touches the
+    engine's byte-decode path). Separate marker; no layout regen."""
+    out = os.path.join(fix_dir, "audio_frames_golden.parquet")
+    if os.path.exists(out):
+        return out
+    n_imgs = images_count_for_sf(sf_of_dir(fix_dir))
+    n_rows = max(100, n_imgs // 10)
+    rows = {"audio_id": [], "n_frames": [], "min_frame_rms_fp": [],
+            "max_frame_rms_fp": []}
+    for i in range(n_rows):
+        r = _make_audio_row(i)
+        pcm = np.frombuffer(r["bytes"], dtype="<i2")
+        nf = len(pcm) // frame
+        rows["audio_id"].append(r["audio_id"])
+        if nf == 0:
+            rows["n_frames"].append(0)
+            rows["min_frame_rms_fp"].append(0)
+            rows["max_frame_rms_fp"].append(0)
+            continue
+        f64 = pcm[:nf * frame].astype(np.float64).reshape(nf, frame)
+        rms = np.round(np.sqrt((f64 * f64).mean(axis=1)) * 1e6
+                       ).astype(np.int64)
+        rows["n_frames"].append(nf)
+        rows["min_frame_rms_fp"].append(int(rms.min()))
+        rows["max_frame_rms_fp"].append(int(rms.max()))
+    t = pa.table({
+        "audio_id": pa.array(rows["audio_id"], pa.string()),
+        "n_frames": pa.array(rows["n_frames"], pa.int64()),
+        "min_frame_rms_fp": pa.array(rows["min_frame_rms_fp"], pa.int64()),
+        "max_frame_rms_fp": pa.array(rows["max_frame_rms_fp"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out
