@@ -2109,6 +2109,34 @@ shu AS (
 """
 
 
+_DEDUP_CLUSTER_CTE = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # make sure the sf0.01 fixture files the SQL references exist
     from raygeo.fixtures import (ensure_catalog_csv, ensure_catalog_jsonl,
@@ -2129,6 +2157,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_coverage_golden
 
     ensure_coverage_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_audio_frames_golden
+
+    ensure_audio_frames_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -2784,60 +2815,12 @@ SELECT id_a, id_b
 FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
 """,
-        "docs_dedup_keep": """
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id,
-    unnest(list_transform(generate_series(1, len(toks) - 1),
-                          i -> toks[i] || ' ' || toks[i + 1])) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-  WHERE len(toks) >= 2
-),
-cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
-  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-),
-prs AS (
-  SELECT id_a, id_b
-  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
-),
-edges AS (SELECT id_a AS a, id_b AS b FROM prs
-          UNION ALL SELECT id_b, id_a FROM prs),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
-)
+        "docs_dedup_keep": _DEDUP_CLUSTER_CTE + """
 SELECT id AS doc_id, min(r) AS cluster_rep,
   CAST(min(r) = id AS INTEGER) AS keep
 FROM reach GROUP BY id
 """,
-        "docs_dedup_best": """
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id,
-    unnest(list_transform(generate_series(1, len(toks) - 1),
-                          i -> toks[i] || ' ' || toks[i + 1])) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-  WHERE len(toks) >= 2
-),
-cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
-  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-),
-prs AS (
-  SELECT id_a, id_b
-  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
-),
-edges AS (SELECT id_a AS a, id_b AS b FROM prs
-          UNION ALL SELECT id_b, id_a FROM prs),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
-),
+        "docs_dedup_best": _DEDUP_CLUSTER_CTE + """,
 clus AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
 rk AS (
   SELECT c.doc_id, c.cluster_rep,

@@ -517,6 +517,7 @@ GOLDEN_TILES_SCHEMA = pa.schema(
 def _golden_slab(args: tuple) -> dict:
     lo, hi = args[0], args[1]
     want_med = bool(args[2]) if len(args) > 2 else False
+    only_t = bool(args[3]) if len(args) > 3 else False  # temporal store only
     g = FIXTURE_GRID
     n_steps = len(TEMPORAL_GRID.times)
     lww: dict = {}
@@ -546,11 +547,12 @@ def _golden_slab(args: tuple) -> dict:
                 if want_med:
                     med.setdefault((tx, ty), []).append(
                         (r0 - tr0, c0 - tc0, frag.copy()))
-                for key, store, is_max in (
+                targets = (((int(ti), tx, ty), tmp, False),) if only_t else (
                     ((tx, ty), lww, False),
                     ((tx, ty), mx, True),
                     ((int(ti), tx, ty), tmp, False),
-                ):
+                )
+                for key, store, is_max in targets:
                     st = store.get(key)
                     if st is None:
                         st = store[key] = [
@@ -1577,7 +1579,8 @@ def ensure_coverage_golden(fix_dir: str) -> str:
         return out
     n = images_count_for_sf(sf_of_dir(fix_dir))
     slab = max(500, n // 16)
-    slabs = [(lo, min(lo + slab, n), False) for lo in range(0, n, slab)]
+    # only_t: skip painting the lww/max canvas stores this golden discards
+    slabs = [(lo, min(lo + slab, n), False, True) for lo in range(0, n, slab)]
     tmp: dict = {}
     if len(slabs) <= 1:
         for res in map(_golden_slab, slabs):

@@ -603,7 +603,7 @@ def temporal_trend(temporal_tiles_ds, chunk: int, channels=None):
             .groupby("skey").map_groups(trend, batch_format="pyarrow"))
 
 
-def temporal_coverage(tiles_ds, grid: GridSpec, pack=None):
+def temporal_coverage(tiles_ds, grid: GridSpec):
     """Per-pixel valid-observation count over the temporal stack — the
     remote-sensing QA classic ("how many cloud-free looks does each pixel
     have"): for every spatial tile, the histogram of per-pixel coverage
@@ -616,8 +616,6 @@ def temporal_coverage(tiles_ds, grid: GridSpec, pack=None):
     (tile, coverage) level with its pixel count (coverage 0 = pixels
     invalid at every present step of a tile that exists somewhere).
     """
-    import zlib
-
     import pandas as pd
 
     n_steps = len(grid.times)

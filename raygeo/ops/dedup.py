@@ -625,6 +625,30 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
 
 
 # ----------------------------------------------------- dedup keep decision
+def _min_root_union_find(pairs: pd.DataFrame) -> dict:
+    """Driver-side union-find over verified pair ids with MIN-ID roots:
+    returns {member -> component-minimum id} for every id in any pair
+    (roots included). Shared by the keep-first and keep-best policies so
+    their cluster_rep semantics cannot diverge."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = set(pairs["id_a"]) | set(pairs["id_b"])
+    return {x: find(x) for x in members}
+
+
 def dedup_keep_list(ds, pairs: pd.DataFrame, id_col: str):
     """Connected-component dedup decision over verified near-dup pairs.
 
@@ -642,23 +666,7 @@ def dedup_keep_list(ds, pairs: pd.DataFrame, id_col: str):
     """
     import ray
 
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # min-id root so the representative is the component minimum
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    rep = {x: find(x) for x in parent}
+    rep = _min_root_union_find(pairs)
     rep_ref = ray.put(rep)
 
     def decide(t: pa.Table) -> pa.Table:
@@ -827,26 +835,8 @@ def dedup_keep_best(ds, pairs: pd.DataFrame, id_col: str, score_col: str):
     """
     import ray
 
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    # ALL pair members (roots included — `parent` only holds non-roots,
-    # and the root's own score must compete for the keep decision)
-    all_members = set(pairs["id_a"]) | set(pairs["id_b"])
-    rep = {x: find(x) for x in all_members}
-    members = np.sort(np.array(list(all_members), dtype=np.int64))
+    rep = _min_root_union_find(pairs)
+    members = np.sort(np.array(list(rep), dtype=np.int64))
 
     def member_scores(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy()

@@ -469,8 +469,7 @@ def images_clean_corpus(images_ds, min_px: int = 2048,
     the dedup fold ships one row per distinct phash per batch. Output:
     one row (n_images, n_quality, n_kept, kept_pno_sum).
     """
-    import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Count, Min, Sum
 
     class _Stage:
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -497,9 +496,9 @@ def images_clean_corpus(images_ds, min_px: int = 2048,
     ).map_batches(_Stage(), batch_format="pyarrow", batch_size=256,
                   num_cpus=1).materialize()  # metadata-sized
 
-    totals = stage.aggregate(Sum("q"), Sum("pno"))
-    n_images = stage.count()
+    totals = stage.aggregate(Sum("q"), Count())
     n_quality = int(totals["sum(q)"] or 0)
+    n_images = int(totals["count()"] or 0)
 
     def dedup_partial(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -514,8 +513,10 @@ def images_clean_corpus(images_ds, min_px: int = 2048,
             .map_batches(dedup_partial, batch_format="pyarrow",
                          batch_size=65536)
             .groupby("phash").aggregate(Min("pno", alias_name="pno")))
-    kagg = kept.aggregate(Sum("pno"))
-    n_kept = kept.count()
+    # one aggregate pass over the kept set (count + sum together — a
+    # separate .count() would re-execute the dedup shuffle)
+    kagg = kept.aggregate(Count(), Sum("pno"))
+    n_kept = int(kagg["count()"] or 0)
     kept_pno_sum = int(kagg["sum(pno)"] or 0)
     return pa.table({
         "n_images": pa.array([n_images], pa.int64()),

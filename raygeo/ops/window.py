@@ -490,8 +490,13 @@ def event_transitions(events_ds, user_col: str = "user_id"):
         order = np.lexsort((g["event_id"].to_numpy(), g["ts"].to_numpy()))
         et = g["event_type"].to_numpy()[order]
         if len(et) < 2:
-            return pd.DataFrame({"from_type": [], "to_type": [],
-                                 "n": []})
+            # typed empties: untyped lists promote 'n' to float64 through
+            # concat and diverge from the BIGINT oracle
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            })
         pairs = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:],
                               "n": np.int64(1)})
         return (pairs.groupby(["from_type", "to_type"], sort=False)
