@@ -1673,6 +1673,16 @@ def _q_events_cube(sf_dir: str):
     return cube_sum(ds, "event_type", "weekday", "value")
 
 
+def _q_parts_copurchase(sf_dir: str):
+    """Market-basket affinity: top co-purchased part pairs — exact
+    distinct (order, part), one partitioned hash self-join on the order
+    key, map-side pair-count partials, top-k."""
+    from raygeo.ops.relational import copurchase_pairs
+
+    return copurchase_pairs(_rpq(f"{sf_dir}/lineitem.parquet"),
+                            f"{sf_dir}/lineitem.parquet", k=25)
+
+
 def _q_user_top_event(sf_dir: str):
     """Grouped categorical mode: each user's most frequent event type
     (ties -> lexicographically smallest), via (user, type) count partials
@@ -1997,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_revenue": _q_discounted_revenue,  # Q19 disjunctive bands
         "large_orders": _q_large_orders,  # Q18 aggregate-then-semi-join
         "returned_revenue": _q_returned_revenue,  # Q10 top returned revenue
+        "parts_copurchase": _q_parts_copurchase,  # market-basket pairs
         "events_cube": _q_events_cube,  # CUBE grouping sets
         "user_top_event": _q_user_top_event,  # grouped categorical mode
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
@@ -3064,6 +3075,17 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
   coalesce(weekday, 'ALL') AS weekday,
   sum(cents)::BIGINT AS value_cents, count(*)::BIGINT AS n_rows
 FROM e GROUP BY CUBE(event_type, weekday)
+""",
+        "parts_copurchase": """
+WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM dp a JOIN dp b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT pa AS part_a, pb AS part_b, count(*)::BIGINT AS n_orders
+FROM pr GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 25
 """,
         "user_top_event": """
 WITH c AS (

@@ -1721,3 +1721,71 @@ def cube_sum(ds, row_col: str, col_col: str, value_col: str):
 
     return fine.repartition(1).map_batches(expand, batch_format="pandas",
                                            batch_size=None)
+
+
+def copurchase_pairs(lineitem_ds, lineitem_path: str, k: int = 25,
+                     num_partitions: int | None = None):
+    """Market-basket affinity: part pairs co-purchased in the same order,
+    top-k by order count — the association-rule mining input.
+
+    Plan: exact distinct (order, part) via map-side dedup partials + one
+    keyed groupby (a per-batch-only dedup would double-count pairs whose
+    rows straddle batches — the cohort-retention lesson); then ONE
+    partitioned hash self-join on the order key (per-order pair explosion
+    is bounded by lines-per-order, so join output is ~O(rows x avg
+    basket)); pair-count partials fold map-side before the final small
+    groupby + top-k. Join inputs pass through ``drop_empty_blocks``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, drop_empty_blocks, join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions(lineitem_path)
+
+    def dpartial(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"o": t.column("l_orderkey").to_numpy(),
+                            "p": t.column("l_partkey").to_numpy()})
+              .drop_duplicates())
+        return pa.table({"o": pa.array(df["o"].to_numpy(np.int64), pa.int64()),
+                         "p": pa.array(df["p"].to_numpy(np.int64), pa.int64())})
+
+    dp_schema = pa.schema([("o", pa.int64()), ("p", pa.int64())])
+    dp = drop_empty_blocks(
+        lineitem_ds.select_columns(["l_orderkey", "l_partkey"])
+        .map_batches(dpartial, batch_format="pyarrow", batch_size=65536)
+        # bound the sort-groupby's blocks x partitions cost (measured
+        # 22.7s -> ~3s on 60k rows at sf0.01 without it)
+        .repartition(max(8, min(64, cluster_cpus())))
+        .groupby(["o", "p"]).count().select_columns(["o", "p"])
+        .materialize(), dp_schema)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"o2": t.column("o"), "p2": t.column("p")})
+
+    right = dp.map_batches(rename, batch_format="pyarrow")
+    joined = dp.join(right, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("o",), right_on=("o2",))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        a = t.column("p").to_numpy()
+        b = t.column("p2").to_numpy()
+        keep = a < b
+        df = (pd.DataFrame({"part_a": a[keep], "part_b": b[keep],
+                            "n_orders": np.int64(1)})
+              .groupby(["part_a", "part_b"], sort=False).sum().reset_index())
+        return pa.table({
+            "part_a": pa.array(df["part_a"].to_numpy(np.int64), pa.int64()),
+            "part_b": pa.array(df["part_b"].to_numpy(np.int64), pa.int64()),
+            "n_orders": pa.array(df["n_orders"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    return (joined.map_batches(pair_partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(["part_a", "part_b"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"))
+            .sort(["n_orders", "part_a", "part_b"],
+                  descending=[True, False, False])
+            .limit(k))

@@ -753,3 +753,29 @@ def test_pagerank_dataset_matches_broadcast(ray_session):
                .to_pandas().sort_values("node").reset_index(drop=True))
         assert got["node"].tolist() == exp["node"].tolist()
         assert got["rank"].tolist() == exp["rank"].tolist()
+
+
+def test_copurchase_pairs_exact_and_batch_safe(ray_session):
+    """Pair counts are exact when an order's lines straddle batches (the
+    global distinct prevents double counting), ties break by part ids."""
+    import ray.data as rd
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raygeo.ops.relational import copurchase_pairs
+
+    # order 1: parts (1,2,2,3) — dup line of part 2 must not inflate
+    # order 2: parts (1,2); order 3: parts (1,2) -> pair (1,2) count 3
+    df = pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 1, 1, 2, 2, 3, 3], np.int64),
+        "l_partkey": np.array([1, 2, 2, 3, 1, 2, 1, 2], np.int64),
+    })
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/li.parquet"
+        pq.write_table(pa.Table.from_pandas(df), p)
+        got = (copurchase_pairs(rd.from_pandas(df).repartition(5), p, k=10)
+               .to_pandas().reset_index(drop=True))
+    assert got.iloc[0].tolist() == [1, 2, 3]
+    assert sorted(map(tuple, got.values)) == [(1, 2, 3), (1, 3, 1), (2, 3, 1)]
