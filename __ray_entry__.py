@@ -351,6 +351,19 @@ def _q_video_scene_changes(sf_dir: str):
                                threshold=10_000)
 
 
+def _q_video_scene_lengths(sf_dir: str):
+    """Shot segmentation per video: scenes split at frame-diff boundaries,
+    per-video scene count + min/max length. Intra-row window, zero
+    shuffle; oracle replays LAG + running-sum scene ids over the
+    per-frame goldens."""
+    from raygeo.ops.multimodal import video_scene_lengths
+
+    d = _fix(sf_dir)
+    return video_scene_lengths(_rpq(f"{d}/videos.parquet",
+                                    columns=["video_id", "bytes"]),
+                               threshold=10_000)
+
+
 def _q_caption_roundtrip(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -2057,6 +2070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_clean_corpus": _q_images_clean_corpus,  # composed clean pipeline
         "video_frame_stats": _q_video_frame_stats,  # per-frame golden check
         "video_scene_changes": _q_video_scene_changes,  # frame-diff windows
+        "video_scene_lengths": _q_video_scene_lengths,  # shot segmentation
         "audio_features": _q_audio_features,  # golden check (real PCM decode)
         "audio_frame_rms": _q_audio_frame_rms,  # frame-level RMS envelope
         # embeddings
@@ -3622,6 +3636,25 @@ FROM orders GROUP BY 1
         "audio_frame_rms": f"""
 SELECT audio_id, n_frames, min_frame_rms_fp, max_frame_rms_fp
 FROM read_parquet('{FIX_SF001}/audio_frames_golden.parquet')
+""",
+        "video_scene_lengths": f"""
+WITH f AS (
+  SELECT video_id, frame_no, pix_sum,
+    CASE WHEN abs(pix_sum - lag(pix_sum) OVER (PARTITION BY video_id
+         ORDER BY frame_no)) > 10000 THEN 1 ELSE 0 END AS cut
+  FROM read_parquet('{FIX_SF001}/video_frames_golden.parquet')
+), s AS (
+  SELECT video_id,
+    sum(cut) OVER (PARTITION BY video_id ORDER BY frame_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS scene
+  FROM f
+), sl AS (
+  SELECT video_id, scene, count(*) AS len FROM s GROUP BY 1, 2
+)
+SELECT video_id, count(*)::BIGINT AS n_scenes,
+  max(len)::BIGINT AS max_scene_len, min(len)::BIGINT AS min_scene_len
+FROM sl GROUP BY video_id
 """,
         "emb_knn": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -569,3 +569,50 @@ def audio_frame_rms(ds, frame: int = 1024, batch_size: int = 512):
     return ds.select_columns(["audio_id", "bytes"]).map_batches(
         AudioFrameRms(frame), batch_format="pyarrow",
         batch_size=batch_size, num_cpus=1)
+
+
+class VideoSceneLengths:
+    """Scene SEGMENTATION per video (the shot-boundary pass a video
+    training pipeline runs before clip sampling): frames split into
+    scenes at |pix_sum diff| > threshold boundaries; per video the scene
+    count and min/max scene length. Intra-row temporal window — a pure
+    streaming map, no shuffle at any scale."""
+
+    def __init__(self, threshold: int = 10_000):
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("video_id").to_pylist()
+        bufs = binary_views(t.column("bytes"))
+        out_id, out_ns, out_mx, out_mn = [], [], [], []
+        for vid, buf in zip(ids, bufs):
+            frames = parse_video_container(buf)
+            ps = np.fromiter(
+                (int(decode(f).astype(np.int64).sum()) for f in frames),
+                dtype=np.int64, count=len(frames))
+            if len(ps) == 0:
+                out_id.append(vid)
+                out_ns.append(0)
+                out_mx.append(0)
+                out_mn.append(0)
+                continue
+            cuts = np.nonzero(np.abs(np.diff(ps))
+                              > self.threshold)[0] + 1
+            bounds = np.concatenate([[0], cuts, [len(ps)]])
+            lens = np.diff(bounds)
+            out_id.append(vid)
+            out_ns.append(len(lens))
+            out_mx.append(int(lens.max()))
+            out_mn.append(int(lens.min()))
+        return pa.table({
+            "video_id": pa.array(out_id, pa.string()),
+            "n_scenes": pa.array(out_ns, pa.int64()),
+            "max_scene_len": pa.array(out_mx, pa.int64()),
+            "min_scene_len": pa.array(out_mn, pa.int64()),
+        })
+
+
+def video_scene_lengths(ds, threshold: int = 10_000, batch_size: int = 64):
+    return ds.map_batches(VideoSceneLengths(threshold),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          num_cpus=1)
