@@ -348,7 +348,8 @@ def _q_video_scene_changes(sf_dir: str):
     d = _fix(sf_dir)
     return video_scene_changes(_rpq(f"{d}/videos.parquet",
                                     columns=["video_id", "bytes"]),
-                               threshold=10_000)
+                               threshold=3_000)  # ~p75 of frame diffs:
+    # 10_000 exceeded the fixture's max diff (8841) and detected nothing
 
 
 def _q_video_scene_lengths(sf_dir: str):
@@ -361,7 +362,7 @@ def _q_video_scene_lengths(sf_dir: str):
     d = _fix(sf_dir)
     return video_scene_lengths(_rpq(f"{d}/videos.parquet",
                                     columns=["video_id", "bytes"]),
-                               threshold=10_000)
+                               threshold=3_000)
 
 
 def _q_caption_roundtrip(sf_dir: str):
@@ -2422,7 +2423,7 @@ WITH d AS (
   FROM read_parquet('{FIX_SF001}/video_frames_golden.parquet')
 )
 SELECT video_id, count(*)::BIGINT AS n_frames,
-  count(*) FILTER (WHERE abs(delta) > 10000)::BIGINT AS n_changes,
+  count(*) FILTER (WHERE abs(delta) > 3000)::BIGINT AS n_changes,
   coalesce(max(abs(delta)), 0)::BIGINT AS max_delta
 FROM d GROUP BY video_id
 """,
@@ -3641,7 +3642,7 @@ FROM read_parquet('{FIX_SF001}/audio_frames_golden.parquet')
 WITH f AS (
   SELECT video_id, frame_no, pix_sum,
     CASE WHEN abs(pix_sum - lag(pix_sum) OVER (PARTITION BY video_id
-         ORDER BY frame_no)) > 10000 THEN 1 ELSE 0 END AS cut
+         ORDER BY frame_no)) > 3000 THEN 1 ELSE 0 END AS cut
   FROM read_parquet('{FIX_SF001}/video_frames_golden.parquet')
 ), s AS (
   SELECT video_id,
