@@ -1697,6 +1697,24 @@ def _q_parts_copurchase(sf_dir: str):
                             f"{sf_dir}/lineitem.parquet", k=25)
 
 
+def _q_customers_rfm(sf_dir: str):
+    """RFM segmentation input: per customer recency/frequency/monetary —
+    map-side partials, one keyed groupby, all-integer."""
+    from raygeo.ops.relational import customer_rfm
+
+    return customer_rfm(_rpq(f"{sf_dir}/orders.parquet"))
+
+
+def _q_emb_label_affinity(sf_dir: str):
+    """Class-affinity matrix WITHOUT pairwise work: sum of all cross-pair
+    dot products per label pair = dot of the per-label quantized vector
+    sums (linearity); one dimension-bounded fold + a driver matmul on the
+    tiny sum table. Oracle replays the same identity in SQL."""
+    from raygeo.ops.ann import label_affinity
+
+    return label_affinity(_rpq(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_user_top_event(sf_dir: str):
     """Grouped categorical mode: each user's most frequent event type
     (ties -> lexicographically smallest), via (user, type) count partials
@@ -2022,6 +2040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,  # Q18 aggregate-then-semi-join
         "returned_revenue": _q_returned_revenue,  # Q10 top returned revenue
         "parts_copurchase": _q_parts_copurchase,  # market-basket pairs
+        "customers_rfm": _q_customers_rfm,  # RFM segmentation input
+        "emb_label_affinity": _q_emb_label_affinity,  # class-affinity matrix
         "events_cube": _q_events_cube,  # CUBE grouping sets
         "user_top_event": _q_user_top_event,  # grouped categorical mode
         "events_lag_gaps": _q_events_lag_gaps,  # LAG-window gap stats
@@ -3101,6 +3121,30 @@ pr AS (
 SELECT pa AS part_a, pb AS part_b, count(*)::BIGINT AS n_orders
 FROM pr GROUP BY 1, 2
 ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+""",
+        "customers_rfm": """
+SELECT o_custkey AS c_custkey,
+  (DATE '1998-08-01' - max(o_orderdate)::DATE)::BIGINT AS recency_days,
+  count(*)::BIGINT AS frequency,
+  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS monetary_cents
+FROM orders GROUP BY 1
+""",
+        "emb_label_affinity": """
+WITH x AS (
+  SELECT label, ii.i AS i,
+    CAST(floor(embedding[ii.i + 1] * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) ii
+), s AS (
+  SELECT label, i, sum(q)::BIGINT AS sq FROM x GROUP BY 1, 2
+), n AS (
+  SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1
+)
+SELECT a.label::BIGINT AS label_a, b.label::BIGINT AS label_b,
+  sum(a.sq * b.sq)::BIGINT AS dot_q2,
+  (any_value(na.n) * any_value(nb.n))::BIGINT AS n_pairs
+FROM s a JOIN s b ON a.i = b.i AND a.label <= b.label
+JOIN n na ON na.label = a.label JOIN n nb ON nb.label = b.label
+GROUP BY 1, 2
 """,
         "user_top_event": """
 WITH c AS (

@@ -556,3 +556,68 @@ def gram_matrix(ds, vec_col: str = "embedding", quant: float = 1000.0):
             .map_batches(partial, batch_format="pyarrow", batch_size=4096)
             .groupby(["i", "j"])
             .aggregate(Sum("gram_q", alias_name="gram_q")))
+
+
+def label_affinity(ds, vec_col: str = "embedding", label_col: str = "label",
+                   quant: float = 1000.0):
+    """Class-affinity matrix: for every label pair, the SUM of dot
+    products over all cross pairs of vectors — computed WITHOUT any
+    pairwise work via linearity: sum_ij <x_i, y_j> = <S_a, S_b> where S
+    is the per-label quantized vector sum.
+
+    Distributed part = one per-label integer vector-sum fold (labels x d
+    rows, dimension-bounded like the centroid op); the label-pair cross
+    dots are a driver-side |labels|^2 matmul on the tiny sum table.
+    Output: (label_a, label_b, dot_q2, n_pairs) for label_a <= label_b.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _list_matrix(t.column(vec_col)).astype(np.float64)
+        q = np.floor(m * quant + 0.5).astype(np.int64)
+        lab = t.column(label_col).to_numpy().astype(np.int64)
+        df = pd.DataFrame(q)
+        df["label"] = lab
+        g = df.groupby("label", sort=False).agg(["sum", "size"])
+        sums = g.xs("sum", axis=1, level=1).to_numpy().astype(np.int64)
+        n = g.xs("size", axis=1, level=1).to_numpy()[:, 0].astype(np.int64)
+        labels = g.index.to_numpy().astype(np.int64)
+        d = sums.shape[1]
+        out_lab = np.repeat(labels, d)
+        out_i = np.tile(np.arange(d, dtype=np.int64), len(labels))
+        return pa.table({
+            "label": pa.array(out_lab, pa.int64()),
+            "i": pa.array(out_i, pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(n, d), pa.int64()),
+        })
+
+    folded = (ds.select_columns([vec_col, label_col])
+              .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+              .groupby(["label", "i"])
+              .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+              .to_pandas())  # labels x d rows, dimension-bounded
+    labels = np.sort(folded["label"].unique())
+    d = int(folded["i"].max()) + 1
+    S = np.zeros((len(labels), d), np.int64)
+    N = np.zeros(len(labels), np.int64)
+    lut = {int(l): k for k, l in enumerate(labels)}
+    for r in folded.itertuples():
+        k = lut[int(r.label)]
+        S[k, int(r.i)] = int(r.s)
+        if int(r.i) == 0:
+            N[k] = int(r.n)
+    G = S @ S.T  # |labels|^2 cross dots of sums == sum of pairwise dots
+    out = {"label_a": [], "label_b": [], "dot_q2": [], "n_pairs": []}
+    for a in range(len(labels)):
+        for b in range(a, len(labels)):
+            out["label_a"].append(int(labels[a]))
+            out["label_b"].append(int(labels[b]))
+            out["dot_q2"].append(int(G[a, b]))
+            out["n_pairs"].append(int(N[a] * N[b]))
+    return pa.table({
+        "label_a": pa.array(out["label_a"], pa.int64()),
+        "label_b": pa.array(out["label_b"], pa.int64()),
+        "dot_q2": pa.array(out["dot_q2"], pa.int64()),
+        "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+    })

@@ -1789,3 +1789,50 @@ def copurchase_pairs(lineitem_ds, lineitem_path: str, k: int = 25,
             .sort(["n_orders", "part_a", "part_b"],
                   descending=[True, False, False])
             .limit(k))
+
+
+def customer_rfm(orders_ds, asof: str = "1998-08-01"):
+    """RFM segmentation input (the CRM classic): per customer the days
+    since the last order (recency), order count (frequency) and total
+    spend in integer cents (monetary). One map-side partial fold + one
+    keyed groupby; all-integer.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    asof_d = np.datetime64(asof, "D")
+
+    def partial(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy().astype("datetime64[D]")
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100
+                        ).astype(np.int64)
+        df = pd.DataFrame({
+            "c_custkey": t.column("o_custkey").to_numpy(),
+            "last_day": od.astype(np.int64),
+            "frequency": np.int64(1),
+            "monetary_cents": cents,
+        }).groupby("c_custkey", sort=False).agg(
+            last_day=("last_day", "max"),
+            frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum")).reset_index()
+        return table_from_pandas(df)
+
+    agg = (orders_ds.select_columns(["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("c_custkey")
+           .aggregate(Max("last_day", alias_name="last_day"),
+                      Sum("frequency", alias_name="frequency"),
+                      Sum("monetary_cents", alias_name="monetary_cents")))
+
+    asof_i = int(asof_d.astype(np.int64))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rec = asof_i - t.column("last_day").to_numpy()
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "recency_days": pa.array(rec.astype(np.int64), pa.int64()),
+            "frequency": t.column("frequency").cast(pa.int64()),
+            "monetary_cents": t.column("monetary_cents").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

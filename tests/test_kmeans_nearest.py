@@ -172,3 +172,31 @@ def test_gram_matrix_float32_input_matches_double(ray_session):
                  + 0.5).astype(np.int64)
     exp = (q.T @ q).reshape(-1)
     assert got["gram_q"].to_numpy().tolist() == exp.tolist()
+
+
+def test_label_affinity_equals_bruteforce_pairs(ray_session):
+    """The linearity identity: per-label-pair dot sums from vector sums
+    == brute-force sum over all cross pairs of quantized dots."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import label_affinity
+
+    rng = np.random.Generator(np.random.PCG64(15))
+    n, d = 200, 8
+    m = rng.normal(size=(n, d))
+    lab = rng.integers(0, 3, n).astype(np.int64)
+    df = pd.DataFrame({"embedding": list(m.astype(np.float32)),
+                       "label": lab})
+    got = (label_affinity(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values(["label_a", "label_b"])
+           .reset_index(drop=True))
+    q = np.floor(m.astype(np.float32).astype(np.float64) * 1000
+                 + 0.5).astype(np.int64)
+    G = q @ q.T
+    for r in got.itertuples():
+        ia = np.nonzero(lab == r.label_a)[0]
+        ib = np.nonzero(lab == r.label_b)[0]
+        assert r.dot_q2 == int(G[np.ix_(ia, ib)].sum())
+        assert r.n_pairs == len(ia) * len(ib)
