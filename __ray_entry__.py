@@ -1213,6 +1213,17 @@ def _q_events_funnel(sf_dir: str):
     return funnel_counts(ev, _FUNNEL_STAGES)
 
 
+def _q_events_funnel_windowed(sf_dir: str):
+    """Funnel with a 7-day conversion budget from stage-1 entry: each
+    later stage's earliest qualifying event depends on the previous
+    stage's chosen time — per-user searchsorted chain after one keyed
+    shuffle; SQL oracle chains the min-after-previous joins."""
+    from raygeo.ops.window import windowed_funnel
+
+    return windowed_funnel(_rpq(f"{sf_dir}/events.parquet"),
+                           tuple(_FUNNEL_STAGES), window_s=7 * 86400)
+
+
 def _q_events_retention(sf_dir: str):
     """Cohort retention matrix: distinct users per (first-active day,
     day offset). One user-keyed shuffle; map side collapses to distinct
@@ -2017,7 +2028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot": _q_orders_pivot,  # map-side pivoted partials
         "orders_rollup": _q_orders_rollup,  # rollup from finest-level fold
         "events_distinct_users": _q_events_distinct_users,  # exact count-distinct
-        "events_funnel": _q_events_funnel,  # ordered-sequence funnel
+        "events_funnel": _q_events_funnel,
+        "events_funnel_windowed": _q_events_funnel_windowed,  # 7-day budget  # ordered-sequence funnel
         "events_retention": _q_events_retention,  # cohort retention matrix
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
@@ -3545,6 +3557,30 @@ UNION ALL SELECT 1, 'click',
   count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0) FROM f
 UNION ALL SELECT 2, 'purchase',
   count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0 AND t2 > t1) FROM f
+""",
+        "events_funnel_windowed": """
+WITH u AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT u.user_id, u.t1, min(e.ts) AS t2
+  FROM u JOIN events e ON e.user_id = u.user_id
+  WHERE e.event_type = 'click' AND e.ts > u.t1
+    AND epoch_us(e.ts) <= epoch_us(u.t1) + 604800000000
+  GROUP BY 1, 2
+), s3 AS (
+  SELECT s2.user_id, min(e.ts) AS t3
+  FROM s2 JOIN events e ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND epoch_us(e.ts) <= epoch_us(s2.t1) + 604800000000
+  GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS stage, 'view' AS stage_name,
+         (SELECT count(*) FROM u)::BIGINT AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+) WHERE n_users > 0
 """,
         "events_retention": """
 WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

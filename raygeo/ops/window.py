@@ -507,3 +507,67 @@ def event_transitions(events_ds, user_col: str = "user_id"):
             .groupby(user_col).map_groups(per_user, batch_format="pandas")
             .groupby(["from_type", "to_type"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def windowed_funnel(events_ds, stages: tuple[str, ...],
+                    window_s: int = 7 * 86400,
+                    user_col: str = "user_id"):
+    """Conversion funnel WITH a time budget: a user converts stage k only
+    if stage k's first qualifying event lands within ``window_s`` of the
+    user's stage-1 entry — the product-analytics variant the unwindowed
+    Min-fold funnel cannot express (each later stage's earliest qualifying
+    time depends on the previous stage's chosen time).
+
+    Per-user sequential semantics need each user's ordered events: ONE
+    keyed shuffle of the pruned columns, a vectorized searchsorted chain
+    per group (ts-sorted arrays per stage, no Python over events), then a
+    K-row histogram fold. Output: (stage, stage_name, n_users).
+    """
+    from ray.data.aggregate import Sum
+
+    stage_ix = {sname: k for k, sname in enumerate(stages)}
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        per_stage = [ts[et == sname] for sname in stages]
+        if len(per_stage[0]) == 0:
+            depth = 0
+        else:
+            t0 = per_stage[0][0]
+            deadline = t0 + window_s * 1_000_000
+            depth = 1
+            cur = t0
+            for k in range(1, len(stages)):
+                arr = per_stage[k]
+                # first event of stage k strictly AFTER the previous
+                # stage's chosen time, and within the window of stage 1
+                pos = np.searchsorted(arr, cur, side="right")
+                if pos < len(arr) and arr[pos] <= deadline:
+                    cur = arr[pos]
+                    depth += 1
+                else:
+                    break
+        out = pd.DataFrame({"stage": np.arange(1, depth + 1, dtype=np.int64),
+                            "n_users": np.int64(1)})
+        return out
+
+    hist = (events_ds.select_columns([user_col, "ts", "event_id",
+                                      "event_type"])
+            .groupby(user_col).map_groups(per_user, batch_format="pandas")
+            .groupby("stage").aggregate(Sum("n_users",
+                                            alias_name="n_users")))
+
+    names = list(stages)
+
+    def name(t: pa.Table) -> pa.Table:
+        st = t.column("stage").to_numpy()
+        return pa.table({
+            "stage": pa.array(st.astype(np.int64), pa.int64()),
+            "stage_name": pa.array([names[int(x) - 1] for x in st],
+                                   pa.string()),
+            "n_users": t.column("n_users").cast(pa.int64()),
+        })
+
+    return hist.map_batches(name, batch_format="pyarrow")

@@ -327,3 +327,33 @@ def test_event_transitions_matches_serial(ray_session):
            .reset_index(drop=True))
     assert got["n"].tolist() == exp["n"].tolist()
     assert got["n"].sum() == len(df) - df["user_id"].nunique()
+
+
+def test_windowed_funnel_budget_enforced(ray_session):
+    """The window budget must cut conversions the unwindowed funnel would
+    count: user A converts in-window, user B's click is past the budget,
+    user C's purchase precedes the click (order enforced)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.window import windowed_funnel
+
+    d0 = np.datetime64("2024-01-01")
+    h = np.timedelta64(3600, "s")
+    rows = [
+        (1, d0, "view"), (1, d0 + 2 * h, "click"), (1, d0 + 3 * h, "purchase"),
+        (2, d0, "view"), (2, d0 + 300 * h, "click"),  # > 7-day budget
+        (3, d0, "view"), (3, d0 + 1 * h, "purchase"), (3, d0 + 2 * h, "click"),
+    ]
+    df = pd.DataFrame({"user_id": [r[0] for r in rows],
+                       "ts": [r[1] for r in rows],
+                       "event_type": [r[2] for r in rows],
+                       "event_id": np.arange(len(rows), dtype=np.int64)})
+    got = (windowed_funnel(rd.from_pandas(df).repartition(3),
+                           ("view", "click", "purchase"),
+                           window_s=7 * 86400)
+           .to_pandas().sort_values("stage").reset_index(drop=True))
+    # stage1: all 3; stage2: users 1,3 (user 2 late); stage3: user 1 only
+    # (user 3's purchase precedes its click)
+    assert got["n_users"].tolist() == [3, 2, 1]
