@@ -2029,7 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,  # rollup from finest-level fold
         "events_distinct_users": _q_events_distinct_users,  # exact count-distinct
         "events_funnel": _q_events_funnel,
-        "events_funnel_windowed": _q_events_funnel_windowed,  # 7-day budget  # ordered-sequence funnel
+        "events_funnel_windowed": _q_events_funnel_windowed,  # 7-day budget
         "events_retention": _q_events_retention,  # cohort retention matrix
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join

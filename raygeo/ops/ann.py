@@ -316,6 +316,16 @@ def _list_matrix(col: pa.ChunkedArray) -> np.ndarray:
     return np.asarray(arr.to_numpy(zero_copy_only=False))
 
 
+def _quantized_matrix(col, quant: float) -> np.ndarray:
+    """list<float> column -> int64 fixed-point matrix: float64 upcast
+    FIRST (fixture vectors are float32; float32*quant+0.5 quantizes
+    off-by-one vs a double-precision oracle near boundaries), then the
+    exactly-rounded floor(x*quant + 0.5). The single copy of the
+    engine-exact quantization contract (centroids/gram/affinity)."""
+    m = _list_matrix(col).astype(np.float64)
+    return np.floor(m * quant + 0.5).astype(np.int64)
+
+
 def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
     """Per-label centroid of an embedding column (the vector-mean aggregate).
 
@@ -332,8 +342,7 @@ def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
     from ..util import table_from_pandas
 
     def partial(t: pa.Table) -> pa.Table:
-        m = _list_matrix(t.column(vec_col)).astype(np.float64)
-        q = np.floor(m * 1e6 + 0.5).astype(np.int64)  # (n, dim)
+        q = _quantized_matrix(t.column(vec_col), 1e6)  # (n, dim)
         labels = t.column(label_col).to_numpy()
         dim = q.shape[1]
         df = pd.DataFrame({"label": np.repeat(labels, dim).astype(np.int64),
@@ -543,8 +552,7 @@ def gram_matrix(ds, vec_col: str = "embedding", quant: float = 1000.0):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        m = _list_matrix(t.column(vec_col)).astype(np.float64)
-        q = np.floor(m * quant + 0.5).astype(np.int64)
+        q = _quantized_matrix(t.column(vec_col), quant)
         g = q.T @ q  # (d, d) int64
         d = g.shape[0]
         i, j = np.divmod(np.arange(d * d, dtype=np.int64), d)
@@ -573,8 +581,7 @@ def label_affinity(ds, vec_col: str = "embedding", label_col: str = "label",
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        m = _list_matrix(t.column(vec_col)).astype(np.float64)
-        q = np.floor(m * quant + 0.5).astype(np.int64)
+        q = _quantized_matrix(t.column(vec_col), quant)
         lab = t.column(label_col).to_numpy().astype(np.int64)
         df = pd.DataFrame(q)
         df["label"] = lab
@@ -597,6 +604,11 @@ def label_affinity(ds, vec_col: str = "embedding", label_col: str = "label",
               .groupby(["label", "i"])
               .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
               .to_pandas())  # labels x d rows, dimension-bounded
+    if folded.empty:  # zero input rows: empty typed result, never NaN math
+        return pa.table({"label_a": pa.array([], pa.int64()),
+                         "label_b": pa.array([], pa.int64()),
+                         "dot_q2": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64())})
     labels = np.sort(folded["label"].unique())
     d = int(folded["i"].max()) + 1
     S = np.zeros((len(labels), d), np.int64)

