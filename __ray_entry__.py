@@ -775,6 +775,16 @@ def _q_docs_token_stats(sf_dir: str):
     return token_stats(_rpq(f"{sf_dir}/documents.parquet"))
 
 
+def _q_docs_bpe_tokens(sf_dir: str):
+    """Token budgeting under a BPE-ish (GPT-2-style, lookahead-free)
+    pretokenizer: per-doc pretoken counts — the RE2-compatible subset so
+    the oracle segments identically."""
+    from raygeo.ops.text import bpe_token_counts
+
+    return bpe_token_counts(_rpq(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]))
+
+
 def _q_docs_quality(sf_dir: str):
     import ray.data as rd
 
@@ -2080,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank": _q_orders_rank,  # full-output window ranking
         # text / dedup (documents)
         "docs_token_stats": _q_docs_token_stats,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,  # BPE-ish pretokenizer budget
         "docs_quality": _q_docs_quality,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_langid": _q_docs_langid,
@@ -2723,6 +2734,18 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper,
   len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::BIGINT AS n_punct
 FROM documents
+""",
+        "docs_bpe_tokens": """
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks)::BIGINT AS n_pretokens,
+  len(list_filter(toks, x -> NOT regexp_matches(x, '^\s+$')))::BIGINT
+    AS n_text_pretokens
+FROM t
 """,
         "docs_quality": f"""
 WITH t AS (

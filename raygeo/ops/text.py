@@ -263,3 +263,43 @@ def scrub_texts(docs_ds, deny: tuple[str, ...] = ("spark", "hash", "vector"),
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         _Scrub, batch_format="pandas", batch_size=4096, concurrency=(1, 8),
         max_restarts=0)
+
+
+# GPT-2-style pretokenizer, restricted to a lookahead-free RE2-compatible
+# subset so Python re and DuckDB produce the identical segmentation
+# (leftmost-first alternation in both engines): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts(docs_ds, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Token budgeting under a BPE-ish pretokenizer (the sequence-length
+    accounting a training pipeline runs before packing): per doc the
+    pretoken count and the count of non-whitespace pretokens.
+
+    Pure streaming map; the compiled pattern lives in the actor. The
+    pattern is deliberately a lookahead-free subset of the GPT-2
+    pretokenizer so the oracle's RE2 segmentation is identical.
+    """
+    import re as _re
+
+    class _Bpe:
+        def __init__(self):
+            self.pat = _re.compile(BPE_ISH_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df[text_col].str.findall(self.pat)
+            n_all = toks.map(len).astype("int64")
+            n_text = toks.map(
+                lambda ts: sum(1 for t in ts if not t.isspace())
+            ).astype("int64")
+            return pd.DataFrame({
+                id_col: df[id_col],
+                "n_pretokens": n_all,
+                "n_text_pretokens": n_text,
+            })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _Bpe, batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+        max_restarts=0)

@@ -529,3 +529,35 @@ def test_images_clean_corpus_invariants(ray_session, fixtures_sf0001):
     """).fetchone()
     assert (r.n_images, r.n_quality, r.n_kept, r.kept_pno_sum) == \
         tuple(int(x) for x in exp)
+
+
+def test_bpe_pretokenizer_adversarial_parity(ray_session):
+    """Python re and the RE2 oracle pattern segment identically on
+    adversarial inputs (double spaces, newlines, contractions, digits,
+    punctuation runs) — incl. counts of whitespace pretokens."""
+    import re
+
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.text import BPE_ISH_RE, bpe_token_counts
+
+    texts = ["it's  a test\n\nnew42 line!", "  lead", "tail  ",
+             "don't we'll i'm 3.14...", "", "a,b;c", "x" * 100]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (bpe_token_counts(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pat = re.compile(BPE_ISH_RE)
+    for i, t in enumerate(texts):
+        toks = pat.findall(t)
+        assert got.loc[i, "n_pretokens"] == len(toks)
+        assert got.loc[i, "n_text_pretokens"] == sum(
+            1 for x in toks if not x.isspace())
+    # the RE2 side segments identically (the oracle's own pattern)
+    duck_pat = "'" + BPE_ISH_RE.replace("'", "''") + "'"
+    for t in texts:
+        dk = duckdb.sql(
+            f"SELECT regexp_extract_all(?, {duck_pat})",
+            params=[t]).fetchone()[0]
+        assert dk == pat.findall(t)
