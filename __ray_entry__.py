@@ -889,6 +889,17 @@ def _q_docs_dedup_best(sf_dir: str):
     return dedup_keep_best(ds, pairs, "doc_id", "n_chars")
 
 
+def _q_docs_substring_dups(sf_dir: str):
+    """Substring-level duplicate pairs (exact 50-char span shared): window
+    hashes + one partitioned hash self-join + keyed distinct — the
+    suffix-array-lite pass that catches span plagiarism shingle Jaccard
+    misses."""
+    from raygeo.ops.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(_rpq(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id", "text"]))
+
+
 def _q_docs_minhash_07(sf_dir: str):
     import ray.data as rd
 
@@ -2101,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_07": _q_docs_minhash_07,  # exact-Jaccard oracle (full recall on fixture corpus)
         "docs_dedup_keep": _q_docs_dedup_keep,  # components via recursive-CTE oracle
         "docs_dedup_best": _q_docs_dedup_best,  # keep-best (longest) policy
+        "docs_substring_dups": _q_docs_substring_dups,  # exact-span pairs
         "docs_clean_corpus": _q_docs_clean_corpus,  # composed pipeline, SQL-replayed
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,  # exact-Jaccard oracle
         "docs_top_terms": _q_docs_top_terms,  # corpus term frequency top-k
@@ -2895,6 +2907,17 @@ inter AS (
 SELECT id_a, id_b
 FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.7
+""",
+        "docs_substring_dups": """
+WITH w AS (
+  SELECT doc_id, md5(substr(text, i, 50)) AS h
+  FROM documents,
+       unnest(generate_series(1, greatest(len(text) - 49, 0), 10)) AS t(i)
+  WHERE len(text) >= 50
+), d AS (SELECT DISTINCT doc_id, h FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """,
         "docs_dedup_keep": _DEDUP_CLUSTER_CTE + """
 SELECT id AS doc_id, min(r) AS cluster_rep,

@@ -871,3 +871,74 @@ def dedup_keep_best(ds, pairs: pd.DataFrame, id_col: str, score_col: str):
 
     return ds.select_columns([id_col]).map_batches(
         decide, batch_format="pyarrow", batch_size=16384)
+
+
+def substring_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        window: int = 50, stride: int = 10,
+                        num_partitions: int = 8):
+    """Substring-level duplicate detection (the suffix-array-lite pass:
+    docs sharing any exact ``window``-char span, caught even when shingle
+    Jaccard stays below threshold): hash every stride-spaced window,
+    candidates from ONE partitioned hash self-join on the window hash,
+    distinct (id_a, id_b) pairs via a keyed groupby — pairs never touch
+    the driver.
+
+    Window hashes are md5 of the exact substring so the oracle computes
+    the identical keys (ASCII corpus: Python slicing == SQL substr).
+
+    Recall semantics: with ``stride`` > 1 a shared span is detected only
+    when it aligns mod stride in BOTH documents (full-prefix duplicates —
+    the dominant real-world case — always align at 0). ``stride=1`` gives
+    full recall at window-count cost; the oracle samples with the SAME
+    stride, so the check is exact for the sampled window set either way.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from ..util import drop_empty_blocks
+
+    def windows(df: pd.DataFrame):
+        import pyarrow as _pa
+
+        out_h, out_id = [], []
+        for i, txt in zip(df[id_col], df[text_col]):
+            n = len(txt)
+            if n < window:
+                continue
+            seen = set()
+            for p in range(0, n - window + 1, stride):
+                h = hashlib.md5(txt[p:p + window].encode()).hexdigest()
+                if h not in seen:  # per-doc distinct, like the oracle
+                    seen.add(h)
+                    out_h.append(h)
+                    out_id.append(int(i))
+        return _pa.table({"h": _pa.array(out_h, _pa.string()),
+                          "d": _pa.array(out_id, _pa.int64())})
+
+    keys = drop_empty_blocks(
+        ds.select_columns([id_col, text_col])
+        .map_batches(windows, batch_format="pandas", batch_size=4096)
+        .materialize(),
+        pa.schema([("h", pa.string()), ("d", pa.int64())]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"h2": t.column("h"), "d2": t.column("d")})
+
+    right = keys.map_batches(rename, batch_format="pyarrow")
+    cand = keys.join(right, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("h",), right_on=("h2",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a = t.column("d").to_numpy()
+        b = t.column("d2").to_numpy()
+        keep = a < b
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    return (cand.map_batches(pairs, batch_format="pyarrow",
+                             batch_size=65536)
+            .groupby(["id_a", "id_b"])
+            .aggregate(Count(alias_name="n_windows"))
+            .select_columns(["id_a", "id_b"]))

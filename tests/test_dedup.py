@@ -361,3 +361,43 @@ def test_dedup_keep_best_picks_highest_score(ray_session):
                             "doc_id", "n_chars")
             .to_pandas().sort_values("doc_id"))
     assert out2["keep"].tolist() == [1, 0]
+
+
+def test_substring_dup_pairs_span_detection(ray_session):
+    """Docs sharing an exact 50-char span pair up even when the rest of
+    the text differs completely; stride-offset spans still detected when
+    they cover a full aligned window."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import substring_dup_pairs
+
+    span = "the quick brown fox jumps over the lazy dog again and again"  # 60
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # prefixes congruent mod stride (10 and 30): strided windowing
+            # detects shared spans only when both sides align mod stride
+            "A" * 10 + span + " tail one",
+            "B" * 30 + span + " other tail",
+            "no shared span here at all just unrelated words " + "z" * 30,
+            "short",
+        ],
+    })
+    got = (substring_dup_pairs(rd.from_pandas(docs).repartition(3),
+                               window=50, stride=10)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    assert (1, 2) in set(map(tuple, got.values))
+    assert all(a in (1, 2) and b in (1, 2) for a, b in got.values)
+
+    # unaligned prefixes (5 vs 29): the strided sample misses the span —
+    # the documented recall trade; stride=1 recovers it
+    docs2 = docs.copy()
+    docs2.loc[0, "text"] = "A" * 5 + span
+    docs2.loc[1, "text"] = "B" * 29 + span
+    miss = substring_dup_pairs(rd.from_pandas(docs2), window=50,
+                               stride=10).to_pandas()
+    assert len(miss) == 0
+    hit = substring_dup_pairs(rd.from_pandas(docs2), window=50,
+                              stride=1).to_pandas()
+    assert (1, 2) in set(map(tuple, hit[["id_a", "id_b"]].values))
