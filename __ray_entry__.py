@@ -1698,6 +1698,92 @@ def _q_returned_revenue(sf_dir: str):
                             f"{sf_dir}/customer.parquet")
 
 
+def _q_returned_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: per priority, orders in a quarter with at least
+    one returned line — exact distinct returned keys, one partitioned
+    semi-join, 5-row fold."""
+    from raygeo.ops.relational import returned_order_priority
+
+    return returned_order_priority(_rpq(f"{sf_dir}/lineitem.parquet"),
+                                   f"{sf_dir}/orders.parquet")
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo vs total revenue for one month — per-partkey
+    map-side fold, partitioned lineitem⋈part join, 1-row integer answer."""
+    from raygeo.ops.relational import promo_revenue
+
+    return promo_revenue(_rpq(f"{sf_dir}/lineitem.parquet"),
+                         f"{sf_dir}/part.parquet")
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: max-revenue supplier(s) of a quarter — supplier
+    fold, scalar max, tie-inclusive winner filter, tiny name fetch."""
+    from raygeo.ops.relational import top_supplier
+
+    return top_supplier(_rpq(f"{sf_dir}/lineitem.parquet"),
+                        f"{sf_dir}/supplier.parquet")
+
+
+def _q_bi_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    dimension probes broadcast, one partitioned lineitem⋈orders join."""
+    from raygeo.ops.relational import bi_nation_volume
+
+    return bi_nation_volume(
+        _rpq(f"{sf_dir}/lineitem.parquet"), f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/customer.parquet", f"{sf_dir}/supplier.parquet",
+        f"{sf_dir}/nation.parquet")
+
+
+def _q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose revenue exceeds 1/1500 of the global
+    total — HAVING vs a global scalar, exact integer threshold."""
+    from raygeo.ops.relational import important_parts
+
+    return important_parts(_rpq(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per (brand, size) with brand
+    + deny-list exclusions — two exact distinct folds, one partitioned
+    join."""
+    from raygeo.ops.relational import supplier_part_counts
+
+    return supplier_part_counts(_rpq(f"{sf_dir}/lineitem.parquet"),
+                                f"{sf_dir}/part.parquet",
+                                f"{sf_dir}/supplier.parquet")
+
+
+def _q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, per segment — scalar-pair threshold + partitioned anti-join."""
+    from raygeo.ops.relational import idle_rich_customers
+
+    return idle_rich_customers(_rpq(f"{sf_dir}/orders.parquet"),
+                               f"{sf_dir}/customer.parquet")
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: cheapest supplier per small part — packed argmin
+    fold + one partitioned join, ties to the smaller suppkey."""
+    from raygeo.ops.relational import min_cost_supplier
+
+    return min_cost_supplier(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/part.parquet")
+
+
+def _q_customer_order_histogram(sf_dir: str):
+    """TPC-H Q13 shape: customers per order count incl. zero-order
+    customers — per-custkey count fold, partitioned LEFT OUTER join,
+    domain-bounded histogram fold."""
+    from raygeo.ops.relational import customer_order_histogram
+
+    return customer_order_histogram(_rpq(f"{sf_dir}/orders.parquet"),
+                                    f"{sf_dir}/customer.parquet")
+
+
 def _q_events_cube(sf_dir: str):
     """GROUP BY CUBE analog over (event_type, weekday): all four grouping
     sets derived from one distributed fine-grain fold."""
@@ -2072,6 +2158,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_revenue": _q_discounted_revenue,  # Q19 disjunctive bands
         "large_orders": _q_large_orders,  # Q18 aggregate-then-semi-join
         "returned_revenue": _q_returned_revenue,  # Q10 top returned revenue
+        "returned_order_priority": _q_returned_order_priority,  # Q4 EXISTS
+        "promo_revenue": _q_promo_revenue,  # Q14 promo share
+        "top_supplier": _q_top_supplier,  # Q15 max-revenue supplier
+        "customer_order_histogram": _q_customer_order_histogram,  # Q13
+        "bi_nation_volume": _q_bi_nation_volume,  # Q7 two-nation volume
+        "important_parts": _q_important_parts,  # Q11 global-scalar HAVING
+        "supplier_part_counts": _q_supplier_part_counts,  # Q16 distinct cnt
+        "idle_rich_customers": _q_idle_rich_customers,  # Q22 anti-join
+        "min_cost_supplier": _q_min_cost_supplier,  # Q2 argmin fold
         "parts_copurchase": _q_parts_copurchase,  # market-basket pairs
         "customers_rfm": _q_customers_rfm,  # RFM segmentation input
         "emb_label_affinity": _q_emb_label_affinity,  # class-affinity matrix
@@ -3157,6 +3252,114 @@ WHERE l_returnflag = 'R'
   AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
 GROUP BY c_name, c_custkey
 ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+""",
+        "returned_order_priority": """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+        "promo_revenue": """
+SELECT
+  coalesce(sum(CASE WHEN p_type LIKE 'PROMO%'
+    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) END), 0)::BIGINT
+    AS promo_c4,
+  coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)::BIGINT
+    AS total_c4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+""",
+        "top_supplier": """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS total_c4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_c4
+FROM r JOIN supplier USING (s_suppkey)
+WHERE total_c4 = (SELECT max(total_c4) FROM r)
+ORDER BY s_suppkey
+""",
+        "customer_order_histogram": """
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+FROM co GROUP BY c_count
+""",
+        "bi_nation_volume": """
+SELECT supp_nation, cust_nation, l_year,
+  sum(revenue_c4)::BIGINT AS revenue_c4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS revenue_c4
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+)
+GROUP BY 1, 2, 3
+""",
+        "important_parts": """
+WITH pv AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS value_c4
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, value_c4 FROM pv
+WHERE value_c4 * 1500 > (SELECT sum(value_c4) FROM pv)
+""",
+        "supplier_part_counts": """
+WITH ds AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, p_size::BIGINT AS p_size,
+  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM ds JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+GROUP BY 1, 2
+""",
+        "idle_rich_customers": """
+WITH pos AS (
+  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+  WHERE c_acctbal > 0
+    AND c_mktsegment IN ('MACHINERY', 'BUILDING', 'AUTOMOBILE')
+), thr AS (SELECT sum(cents)::BIGINT AS s, count(*)::BIGINT AS n FROM pos)
+SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+  sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS totacctbal_cents
+FROM customer, thr
+WHERE c_mktsegment IN ('MACHINERY', 'BUILDING', 'AUTOMOBILE')
+  AND CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '1999-01-01')
+GROUP BY 1
+""",
+        "min_cost_supplier": """
+WITH m AS (
+  SELECT l_partkey,
+    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000000
+        + l_suppkey) AS packed
+  FROM lineitem GROUP BY 1
+)
+SELECT p_partkey, (packed % 1000000000)::BIGINT AS s_suppkey,
+  (packed // 1000000000)::BIGINT AS min_cents
+FROM m JOIN part ON p_partkey = l_partkey
+WHERE p_size < 15
 """,
         "events_cube": """
 WITH e AS (

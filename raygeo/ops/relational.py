@@ -1836,3 +1836,717 @@ def customer_rfm(orders_ds, asof: str = "1998-08-01"):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def returned_order_priority(lineitem_ds, orders_path: str,
+                            date_lo: str = "1996-07-01",
+                            date_hi: str = "1996-10-01",
+                            num_partitions: int | None = None):
+    """TPC-H Q4 shape: per order priority, how many orders placed in a
+    quarter had at least one returned line (EXISTS semi-join count;
+    reference Q4's late-lines predicate adapted to this schema's
+    ``l_returnflag``).
+
+    Plan: the EXISTS decorelates to an exact distinct of returned order
+    keys (map-side unique partials + one keyed groupby — per-batch-only
+    dedup would overcount across blocks), then ONE partitioned hash
+    semi-join against the date-filtered orders; the per-priority count is
+    a 5-row partial-then-final fold. Neither fact table is broadcast or
+    collected.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, drop_empty_blocks, join_partitions, \
+        read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(orders_path)
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def rpartial(t: pa.Table) -> pa.Table:
+        rf = t.column("l_returnflag").to_pylist()
+        keep = np.fromiter((x == "R" for x in rf), bool, len(rf))
+        ok = np.unique(t.column("l_orderkey").to_numpy()[keep])
+        return pa.table({"l_orderkey": pa.array(ok, pa.int64())})
+
+    rk_schema = pa.schema([("l_orderkey", pa.int64())])
+    rkeys = drop_empty_blocks(
+        lineitem_ds.select_columns(["l_orderkey", "l_returnflag"])
+        .map_batches(rpartial, batch_format="pyarrow", batch_size=65536)
+        .repartition(max(8, min(64, cluster_cpus())))
+        .groupby("l_orderkey").count().select_columns(["l_orderkey"])
+        .materialize(), rk_schema)
+
+    orders = read_parquet_clean(
+        orders_path, columns=["o_orderkey", "o_orderdate",
+                              "o_orderpriority"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy()
+        return t.filter(pa.array((od >= d0) & (od < d1))).select(
+            ["o_orderkey", "o_orderpriority"])
+
+    orders_f = orders.map_batches(ofilter, batch_format="pyarrow",
+                                  batch_size=65536)
+    joined = rkeys.join(orders_f, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def ppartial(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"o_orderpriority":
+                            t.column("o_orderpriority").to_pylist()})
+              .groupby("o_orderpriority", sort=False).size()
+              .rename("order_count").reset_index())
+        return pa.table({
+            "o_orderpriority": pa.array(df["o_orderpriority"].tolist(),
+                                        pa.string()),
+            "order_count": pa.array(df["order_count"].to_numpy(np.int64),
+                                    pa.int64()),
+        })
+
+    return (joined.map_batches(ppartial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("o_orderpriority")
+            .aggregate(Sum("order_count", alias_name="order_count")))
+
+
+def promo_revenue(lineitem_ds, part_path: str,
+                  date_lo: str = "1996-09-01", date_hi: str = "1996-10-01",
+                  promo_prefix: str = "PROMO",
+                  num_partitions: int | None = None):
+    """TPC-H Q14 shape: share of a month's revenue from promo parts —
+    one row (promo_c4, total_c4), both exact integer cents*1e2.
+
+    Plan: lineitem folds map-side to per-partkey revenue partials inside
+    the date window (the shuffle carries one row per part key per batch,
+    never raw line items); part is the partitioned-join side (it grows
+    with SF — never broadcast); the promo/total CASE fold is a
+    dimension-bounded two-cell aggregate.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import join_partitions, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(part_path)
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy()
+        t = t.filter(pa.array((sd >= d0) & (sd < d1)))
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        g = (pd.DataFrame({"l_partkey": t.column("l_partkey").to_numpy(),
+                           "revenue_c4": rev})
+             .groupby("l_partkey", sort=False)["revenue_c4"].sum()
+             .reset_index())
+        return pa.table({
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "revenue_c4": pa.array(g["revenue_c4"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    rev = lineitem_ds.select_columns(
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    part = read_parquet_clean(part_path, columns=["p_partkey", "p_type"])
+    joined = rev.join(part, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_partkey",), right_on=("p_partkey",))
+
+    def case_fold(t: pa.Table) -> pa.Table:
+        ptype = t.column("p_type").to_pylist()
+        r = t.column("revenue_c4").to_numpy()
+        is_promo = np.fromiter((x.startswith(promo_prefix) for x in ptype),
+                               bool, len(ptype))
+        return pa.table({
+            "promo_c4": pa.array([int(r[is_promo].sum())], pa.int64()),
+            "total_c4": pa.array([int(r.sum())], pa.int64()),
+        })
+
+    agg = (joined.map_batches(case_fold, batch_format="pyarrow",
+                              batch_size=65536)
+           .aggregate(Sum("promo_c4", alias_name="promo_c4"),
+                      Sum("total_c4", alias_name="total_c4")))
+    return pa.table({
+        "promo_c4": pa.array([int(agg["promo_c4"] or 0)], pa.int64()),
+        "total_c4": pa.array([int(agg["total_c4"] or 0)], pa.int64()),
+    })
+
+
+def top_supplier(lineitem_ds, supplier_path: str,
+                 date_lo: str = "1996-01-01", date_hi: str = "1996-04-01"):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a quarter
+    (the revenue-view + WHERE total = (SELECT max(...)) decorrelation).
+
+    Plan: per-suppkey revenue fold (map-side partials, one keyed groupby);
+    the global max is a scalar aggregate over that supplier-bounded
+    result; only the winning key(s) — ties included — are collected and
+    broadcast back as a tiny filter to fetch names. Output sorted by
+    s_suppkey for determinism under ties.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from ..util import read_parquet_clean
+
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy()
+        t = t.filter(pa.array((sd >= d0) & (sd < d1)))
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        g = (pd.DataFrame({"s_suppkey": t.column("l_suppkey").to_numpy(),
+                           "total_c4": rev})
+             .groupby("s_suppkey", sort=False)["total_c4"].sum()
+             .reset_index())
+        return pa.table({
+            "s_suppkey": pa.array(g["s_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "total_c4": pa.array(g["total_c4"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    per_supp = (lineitem_ds.select_columns(
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_c4", alias_name="total_c4"))
+        .materialize())
+
+    best = per_supp.aggregate(Max("total_c4", alias_name="max_c4"))
+    max_c4 = best["max_c4"]
+    if max_c4 is None:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_c4": pa.array([], pa.int64())})
+    max_c4 = int(max_c4)
+
+    def wfilter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("total_c4"), pa.scalar(max_c4)))
+
+    winners = (per_supp.map_batches(wfilter, batch_format="pyarrow")
+               .to_pandas())  # ties only: a handful of rows
+    skeys = np.sort(winners["s_suppkey"].to_numpy(np.int64))
+
+    def sfilter(t: pa.Table) -> pa.Table:
+        sk = t.column("s_suppkey").to_numpy()
+        return t.filter(pa.array(np.isin(sk, skeys)))
+
+    names = read_parquet_clean(
+        supplier_path, columns=["s_suppkey", "s_name"]
+    ).map_batches(sfilter, batch_format="pyarrow",
+                  batch_size=65536).to_pandas()
+    df = winners.merge(names, on="s_suppkey").sort_values("s_suppkey")
+    return pa.table({
+        "s_suppkey": pa.array(df["s_suppkey"].to_numpy(np.int64), pa.int64()),
+        "s_name": pa.array(df["s_name"].tolist(), pa.string()),
+        "total_c4": pa.array(df["total_c4"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def customer_order_histogram(orders_ds, customer_path: str,
+                             exclude_priority: str = "1-URGENT",
+                             num_partitions: int | None = None):
+    """TPC-H Q13 shape: distribution of customers by order count (orders
+    below an excluded priority class), INCLUDING zero-order customers —
+    the LEFT OUTER join + count histogram.
+
+    Plan: orders fold map-side to per-custkey count partials + one keyed
+    groupby; customer LEFT-joins those counts on the partitioned hash
+    join (customer grows with SF — never broadcast; absent matches
+    surface as nulls and fill to 0 with an int64-preserving
+    ``pc.fill_null``); the final histogram is a domain-bounded
+    (counts-per-customer) partial-then-final fold.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, drop_empty_blocks, join_partitions, \
+        read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(customer_path)
+
+    def opartial(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority").to_pylist()
+        keep = np.fromiter((x != exclude_priority for x in pr), bool, len(pr))
+        g = (pd.DataFrame({"k": t.column("o_custkey").to_numpy()[keep]})
+             .groupby("k", sort=False).size().rename("n").reset_index())
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    cnt_schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+    counts = drop_empty_blocks(
+        orders_ds.select_columns(["o_custkey", "o_orderpriority"])
+        .map_batches(opartial, batch_format="pyarrow", batch_size=65536)
+        .repartition(max(8, min(64, cluster_cpus())))
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+        .materialize(), cnt_schema)
+
+    customer = read_parquet_clean(customer_path, columns=["c_custkey"])
+    joined = customer.join(counts, join_type="left_outer",
+                           num_partitions=num_partitions,
+                           on=("c_custkey",), right_on=("k",))
+
+    def hpartial(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t.column("n"), 0).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"c_count": n.astype(np.int64)})
+             .groupby("c_count", sort=False).size().rename("custdist")
+             .reset_index())
+        return pa.table({
+            "c_count": pa.array(g["c_count"].to_numpy(np.int64), pa.int64()),
+            "custdist": pa.array(g["custdist"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    return (joined.map_batches(hpartial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist")))
+
+
+def bi_nation_volume(lineitem_ds, orders_path: str, customer_path: str,
+                     supplier_path: str, nation_path: str,
+                     nation_a: str = "NATION_3", nation_b: str = "NATION_7",
+                     date_lo: str = "1995-01-01", date_hi: str = "1997-01-01",
+                     num_partitions: int | None = None):
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    (supp_nation, cust_nation, l_year, revenue_c4) for both directions.
+
+    Plan mirrors ``q5_local_volume``: supplier/nation (and the
+    customer→nation map) are genuinely dimension-sized and broadcast as
+    sorted probes; out-of-pair supplier rows are dropped map-side BEFORE
+    the one partitioned lineitem⋈orders hash join, so the shuffle carries
+    only per-(orderkey, year) partials of the two surviving nations.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import join_partitions, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(orders_path)
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    import pyarrow.parquet as pq
+    import ray
+
+    nat = pq.read_table(nation_path).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = pq.read_table(supplier_path,
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    order_ix = np.argsort(supp["s_suppkey"].to_numpy(np.int64))
+    s_nation = np.array([name_of[int(x)] for x in
+                         supp["s_nationkey"].to_numpy()[order_ix]])
+    cust = pq.read_table(customer_path,
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    c_ix = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    c_nation = np.array([name_of[int(x)] for x in
+                         cust["c_nationkey"].to_numpy()[c_ix]])
+    supp_ref = ray.put((sk, s_nation))
+    cust_ref = ray.put((ck, c_nation))
+    pair = {nation_a, nation_b}
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        skeys, snames = ray.get(supp_ref)
+        sd = t.column("l_shipdate").to_numpy()
+        t = t.filter(pa.array((sd >= d0) & (sd < d1)))
+        lsupp = t.column("l_suppkey").to_numpy()
+        pos, found = _sorted_probe(skeys, lsupp)
+        sn = np.where(found, snames[np.clip(pos, 0, len(skeys) - 1)], "")
+        keep = np.isin(sn, list(pair))
+        t = t.filter(pa.array(keep))
+        sn = sn[keep]
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        year = t.column("l_shipdate").to_numpy().astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        g = (pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "supp_nation": sn, "l_year": year,
+                           "revenue_c4": rev})
+             .groupby(["l_orderkey", "supp_nation", "l_year"], sort=False)
+             ["revenue_c4"].sum().reset_index())
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "supp_nation": pa.array(g["supp_nation"].tolist(), pa.string()),
+            "l_year": pa.array(g["l_year"].to_numpy(np.int64), pa.int64()),
+            "revenue_c4": pa.array(g["revenue_c4"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    rev = lineitem_ds.select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+         "l_discount"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    orders = read_parquet_clean(orders_path,
+                                columns=["o_orderkey", "o_custkey"])
+    joined = rev.join(orders, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        ckeys, cnames = ray.get(cust_ref)
+        oc = t.column("o_custkey").to_numpy()
+        pos, found = _sorted_probe(ckeys, oc)
+        cn = np.where(found, cnames[np.clip(pos, 0, len(ckeys) - 1)], "")
+        sn = np.asarray(t.column("supp_nation").to_pylist())
+        keep = ((np.char.equal(sn.astype(str), nation_a)
+                 & np.char.equal(cn.astype(str), nation_b))
+                | (np.char.equal(sn.astype(str), nation_b)
+                   & np.char.equal(cn.astype(str), nation_a)))
+        g = (pd.DataFrame({"supp_nation": sn[keep], "cust_nation": cn[keep],
+                           "l_year": t.column("l_year").to_numpy()[keep],
+                           "revenue_c4":
+                           t.column("revenue_c4").to_numpy()[keep]})
+             .groupby(["supp_nation", "cust_nation", "l_year"], sort=False)
+             ["revenue_c4"].sum().reset_index())
+        return pa.table({
+            "supp_nation": pa.array(g["supp_nation"].tolist(), pa.string()),
+            "cust_nation": pa.array(g["cust_nation"].tolist(), pa.string()),
+            "l_year": pa.array(g["l_year"].to_numpy(np.int64), pa.int64()),
+            "revenue_c4": pa.array(g["revenue_c4"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    return (joined.map_batches(final_partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_c4", alias_name="revenue_c4")))
+
+
+def important_parts(lineitem_ds, multiplier: int = 1500):
+    """TPC-H Q11 shape: parts whose total revenue exceeds a fixed fraction
+    (1/multiplier) of the global total — the HAVING-vs-global-scalar
+    decorrelation.
+
+    Plan: one per-partkey fold (map-side partials, keyed groupby,
+    materialized once); the global total is a scalar aggregate over that
+    part-bounded result; the filter compares ``value_c4 > total //
+    multiplier`` — exactly equivalent to ``value_c4 * multiplier >
+    total`` for integers, with no overflow at any scale.
+    """
+    from ray.data.aggregate import Sum
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        g = (pd.DataFrame({"l_partkey": t.column("l_partkey").to_numpy(),
+                           "value_c4": rev})
+             .groupby("l_partkey", sort=False)["value_c4"].sum()
+             .reset_index())
+        return pa.table({
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "value_c4": pa.array(g["value_c4"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    per_part = (lineitem_ds.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_partkey")
+        .aggregate(Sum("value_c4", alias_name="value_c4"))
+        .materialize())
+
+    total = per_part.aggregate(Sum("value_c4", alias_name="t"))["t"]
+    if total is None:
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "value_c4": pa.array([], pa.int64())})
+    floor_thr = int(total) // int(multiplier)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("value_c4"),
+                                   pa.scalar(floor_thr)))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def supplier_part_counts(lineitem_ds, part_path: str, supplier_path: str,
+                         exclude_brand: str = "Brand#45",
+                         num_partitions: int | None = None):
+    """TPC-H Q16 shape: distinct supplier count per (p_brand, p_size),
+    excluding one brand and a deny-list of suppliers (negative account
+    balance standing in for Q16's complaints subquery; this schema has no
+    partsupp, so lineitem is the part↔supplier link).
+
+    Plan: exact distinct (partkey, suppkey) via map-side dedup partials +
+    one keyed groupby; deny-listed suppliers drop map-side against a
+    broadcast sorted key array (the deny list is a filtered dimension —
+    genuinely small); ONE partitioned hash join against the brand-filtered
+    part table; then a second exact distinct on (brand, size, suppkey)
+    before the final count fold (the same supplier may serve many parts of
+    one (brand, size) cell).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, drop_empty_blocks, join_partitions, \
+        read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(part_path)
+
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(supplier_path,
+                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    deny = np.sort(supp.loc[supp["s_acctbal"] < 0,
+                            "s_suppkey"].to_numpy(np.int64))
+
+    def dpartial(t: pa.Table) -> pa.Table:
+        sk = t.column("l_suppkey").to_numpy()
+        ok = ~np.isin(sk, deny)
+        df = (pd.DataFrame({"pk": t.column("l_partkey").to_numpy()[ok],
+                            "sk": sk[ok]})
+              .drop_duplicates())
+        return pa.table({
+            "pk": pa.array(df["pk"].to_numpy(np.int64), pa.int64()),
+            "sk": pa.array(df["sk"].to_numpy(np.int64), pa.int64()),
+        })
+
+    ps_schema = pa.schema([("pk", pa.int64()), ("sk", pa.int64())])
+    ps = drop_empty_blocks(
+        lineitem_ds.select_columns(["l_partkey", "l_suppkey"])
+        .map_batches(dpartial, batch_format="pyarrow", batch_size=65536)
+        .repartition(max(8, min(64, cluster_cpus())))
+        .groupby(["pk", "sk"]).count().select_columns(["pk", "sk"])
+        .materialize(), ps_schema)
+
+    part = read_parquet_clean(part_path,
+                              columns=["p_partkey", "p_brand", "p_size"])
+
+    def pfilter(t: pa.Table) -> pa.Table:
+        br = t.column("p_brand").to_pylist()
+        keep = np.fromiter((b != exclude_brand for b in br), bool, len(br))
+        return t.filter(pa.array(keep))
+
+    part_f = part.map_batches(pfilter, batch_format="pyarrow",
+                              batch_size=65536)
+    joined = ps.join(part_f, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("pk",), right_on=("p_partkey",))
+
+    def bspartial(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"p_brand": t.column("p_brand").to_pylist(),
+                            "p_size": t.column("p_size").to_numpy()
+                            .astype(np.int64),
+                            "sk": t.column("sk").to_numpy()})
+              .drop_duplicates())
+        return pa.table({
+            "p_brand": pa.array(df["p_brand"].tolist(), pa.string()),
+            "p_size": pa.array(df["p_size"].to_numpy(np.int64), pa.int64()),
+            "sk": pa.array(df["sk"].to_numpy(np.int64), pa.int64()),
+        })
+
+    bss_schema = pa.schema([("p_brand", pa.string()), ("p_size", pa.int64()),
+                            ("sk", pa.int64())])
+    bss = drop_empty_blocks(
+        joined.map_batches(bspartial, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby(["p_brand", "p_size", "sk"]).count()
+        .select_columns(["p_brand", "p_size", "sk"])
+        .materialize(), bss_schema)
+
+    def cpartial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"p_brand": t.column("p_brand").to_pylist(),
+                           "p_size": t.column("p_size").to_numpy()})
+             .groupby(["p_brand", "p_size"], sort=False).size()
+             .rename("supplier_cnt").reset_index())
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "p_size": pa.array(g["p_size"].to_numpy(np.int64), pa.int64()),
+            "supplier_cnt": pa.array(g["supplier_cnt"].to_numpy(np.int64),
+                                     pa.int64()),
+        })
+
+    return (bss.map_batches(cpartial, batch_format="pyarrow",
+                            batch_size=65536)
+            .groupby(["p_brand", "p_size"])
+            .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt")))
+
+
+def idle_rich_customers(orders_ds, customer_path: str,
+                        segments: tuple[str, ...] = ("MACHINERY", "BUILDING",
+                                                     "AUTOMOBILE"),
+                        recent: str = "1999-01-01",
+                        num_partitions: int | None = None):
+    """TPC-H Q22 shape: per segment, count + total balance of customers
+    whose balance exceeds the segment-set's positive-balance average and
+    who placed no RECENT orders (global-avg filter + anti-join).
+
+    Plan: the average decorelates to an exact integer comparison
+    ``cents * n > sum`` against two scalars folded from customer
+    partials (no float average anywhere); recent order custkeys fold to
+    an exact distinct; the NOT EXISTS is a partitioned LEFT OUTER join
+    with a null-match filter — neither fact table is broadcast.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, drop_empty_blocks, join_partitions, \
+        read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(customer_path)
+    seg_set = frozenset(segments)
+    r0 = np.datetime64(recent)
+
+    customer = read_parquet_clean(
+        customer_path, columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def thr_partial(t: pa.Table) -> pa.Table:
+        seg = t.column("c_mktsegment").to_pylist()
+        bal = t.column("c_acctbal").to_numpy()
+        keep = np.fromiter((s in seg_set for s in seg), bool, len(seg)) & (
+            bal > 0)
+        cents = np.rint(bal[keep] * 100).astype(np.int64)
+        return pa.table({"s": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([len(cents)], pa.int64())})
+
+    thr = (customer.map_batches(thr_partial, batch_format="pyarrow",
+                                batch_size=65536)
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    s_total, n_total = int(thr["s"] or 0), int(thr["n"] or 0)
+
+    def rpartial(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy()
+        ck = np.unique(t.column("o_custkey").to_numpy()[od >= r0])
+        return pa.table({"k": pa.array(ck, pa.int64())})
+
+    def mark(t: pa.Table) -> pa.Table:
+        # a non-key marker column: left_outer output coalesces/drops the
+        # bare join key, so null-match detection needs a payload column
+        return pa.table({"k": t.column("k").cast(pa.int64()),
+                         "hit": pa.array(np.ones(len(t), np.int64),
+                                         pa.int64())})
+
+    rk_schema = pa.schema([("k", pa.int64()), ("hit", pa.int64())])
+    recent_keys = drop_empty_blocks(
+        orders_ds.select_columns(["o_custkey", "o_orderdate"])
+        .map_batches(rpartial, batch_format="pyarrow", batch_size=65536)
+        .repartition(max(8, min(64, cluster_cpus())))
+        .groupby("k").count().select_columns(["k"])
+        .map_batches(mark, batch_format="pyarrow")
+        .materialize(), rk_schema)
+
+    def cfilter(t: pa.Table) -> pa.Table:
+        seg = t.column("c_mktsegment").to_pylist()
+        bal = t.column("c_acctbal").to_numpy()
+        cents = np.rint(bal * 100).astype(np.int64)
+        keep = np.fromiter((s in seg_set for s in seg), bool, len(seg)) & (
+            cents * n_total > s_total)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "cents": pa.array(np.rint(t.column("c_acctbal").to_numpy()
+                                      * 100).astype(np.int64), pa.int64()),
+        })
+
+    cand = customer.map_batches(cfilter, batch_format="pyarrow",
+                                batch_size=65536)
+    joined = cand.join(recent_keys, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("c_custkey",), right_on=("k",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        miss = pc.is_null(t.column("hit")).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"c_mktsegment":
+                           np.asarray(t.column("c_mktsegment")
+                                      .to_pylist())[miss],
+                           "cents": t.column("cents").to_numpy()[miss]})
+             .groupby("c_mktsegment", sort=False)
+             .agg(numcust=("cents", "size"),
+                  totacctbal_cents=("cents", "sum")).reset_index())
+        return pa.table({
+            "c_mktsegment": pa.array(g["c_mktsegment"].tolist(), pa.string()),
+            "numcust": pa.array(g["numcust"].to_numpy(np.int64), pa.int64()),
+            "totacctbal_cents": pa.array(
+                g["totacctbal_cents"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (joined.map_batches(fold, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("c_mktsegment")
+            .aggregate(Sum("numcust", alias_name="numcust"),
+                       Sum("totacctbal_cents",
+                           alias_name="totacctbal_cents")))
+
+
+_PACK_BASE = 1_000_000_000  # suppkey < 1e9; cents*1e9 + suppkey < 2^63
+
+
+def min_cost_supplier(lineitem_ds, part_path: str, max_size: int = 15,
+                      num_partitions: int | None = None):
+    """TPC-H Q2 shape: for each small part, the supplier offering the
+    cheapest sale — correlated-min decorrelated as an associative argmin
+    fold (min over ``cents * 1e9 + suppkey`` packs value and tie-break
+    into one int64; ties resolve to the smaller suppkey by construction).
+
+    Plan: per-partkey packed-min partials + one keyed groupby (Min), then
+    ONE partitioned hash join against the size-filtered part table and a
+    vectorized unpack — no sort, no window, no driver materialization.
+    """
+    from ray.data.aggregate import Min
+
+    from ..util import drop_empty_blocks, join_partitions, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(part_path)
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        price = np.rint(t.column("l_extendedprice").to_numpy()
+                        * 100).astype(np.int64)
+        packed = price * _PACK_BASE + t.column("l_suppkey").to_numpy()
+        g = (pd.DataFrame({"l_partkey": t.column("l_partkey").to_numpy(),
+                           "packed": packed})
+             .groupby("l_partkey", sort=False)["packed"].min().reset_index())
+        return pa.table({
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "packed": pa.array(g["packed"].to_numpy(np.int64), pa.int64()),
+        })
+
+    pp_schema = pa.schema([("l_partkey", pa.int64()), ("packed", pa.int64())])
+    per_part = drop_empty_blocks(
+        lineitem_ds.select_columns(
+            ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_partkey")
+        .aggregate(Min("packed", alias_name="packed"))
+        .materialize(), pp_schema)
+
+    part = read_parquet_clean(part_path, columns=["p_partkey", "p_size"])
+
+    def pfilter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("p_size"),
+                                pa.scalar(max_size))).select(["p_partkey"])
+
+    part_f = part.map_batches(pfilter, batch_format="pyarrow",
+                              batch_size=65536)
+    joined = per_part.join(part_f, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_partkey",), right_on=("p_partkey",))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        packed = t.column("packed").to_numpy()
+        return pa.table({
+            "p_partkey": t.column("l_partkey").cast(pa.int64()),
+            "s_suppkey": pa.array(packed % _PACK_BASE, pa.int64()),
+            "min_cents": pa.array(packed // _PACK_BASE, pa.int64()),
+        })
+
+    return joined.map_batches(unpack, batch_format="pyarrow")

@@ -779,3 +779,274 @@ def test_copurchase_pairs_exact_and_batch_safe(ray_session):
                .to_pandas().reset_index(drop=True))
     assert got.iloc[0].tolist() == [1, 2, 3]
     assert sorted(map(tuple, got.values)) == [(1, 2, 3), (1, 3, 1), (2, 3, 1)]
+
+
+def test_returned_order_priority_matches_serial(ray_session):
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    from raygeo.ops.relational import returned_order_priority
+    from raygeo.util import read_parquet_clean
+
+    got = (returned_order_priority(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet"),
+        f"{sf_dir}/orders.parquet")
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    exp = duckdb.sql(f"""
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM '{sf_dir}/orders.parquet'
+        WHERE o_orderdate >= DATE '1996-07-01'
+          AND o_orderdate < DATE '1996-10-01'
+          AND EXISTS (SELECT 1 FROM '{sf_dir}/lineitem.parquet'
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert got["order_count"].tolist() == exp["order_count"].tolist()
+
+
+def test_promo_revenue_matches_serial(ray_session):
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    from raygeo.ops.relational import promo_revenue
+    from raygeo.util import read_parquet_clean
+
+    got = promo_revenue(read_parquet_clean(f"{sf_dir}/lineitem.parquet"),
+                        f"{sf_dir}/part.parquet")
+    exp = duckdb.sql(f"""
+        SELECT
+          coalesce(sum(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) END),
+            0)::BIGINT AS promo_c4,
+          coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)::BIGINT
+            AS total_c4
+        FROM '{sf_dir}/lineitem.parquet'
+        JOIN '{sf_dir}/part.parquet' ON p_partkey = l_partkey
+        WHERE l_shipdate >= DATE '1996-09-01'
+          AND l_shipdate < DATE '1996-10-01'
+    """).df()
+    assert got.column("promo_c4").to_pylist() == [int(exp["promo_c4"][0])]
+    assert got.column("total_c4").to_pylist() == [int(exp["total_c4"][0])]
+
+
+def test_top_supplier_tie_inclusive(ray_session):
+    """Two suppliers tying on max revenue must BOTH be returned, sorted."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.ops.relational import top_supplier
+
+    li = pd.DataFrame({
+        "l_suppkey": np.array([7, 7, 3, 5, 5], np.int64),
+        "l_shipdate": pd.to_datetime(["1996-02-01"] * 5),
+        # supp 7: 100+100=200; supp 3: 150; supp 5: 100+100=200 (tie)
+        "l_extendedprice": [100.0, 100.0, 150.0, 100.0, 100.0],
+        "l_discount": [0.0] * 5,
+    })
+    supp = pd.DataFrame({
+        "s_suppkey": np.array([3, 5, 7], np.int64),
+        "s_name": ["s-three", "s-five", "s-seven"],
+    })
+    with tempfile.TemporaryDirectory() as td:
+        spath = f"{td}/supplier.parquet"
+        pq.write_table(pa.Table.from_pandas(supp), spath)
+        got = top_supplier(rd.from_pandas(li).repartition(3), spath)
+    assert got.column("s_suppkey").to_pylist() == [5, 7]
+    assert got.column("s_name").to_pylist() == ["s-five", "s-seven"]
+    assert got.column("total_c4").to_pylist() == [2_000_000, 2_000_000]
+
+
+def test_customer_order_histogram_zero_bin(ray_session):
+    """Customers with no (qualifying) orders must land in the c_count=0
+    bin — the LEFT OUTER semantics the plain inner-join plan would drop.
+    Excluded-priority orders must not count."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.ops.relational import customer_order_histogram
+
+    orders = pd.DataFrame({
+        "o_custkey": np.array([1, 1, 2, 3, 3, 3], np.int64),
+        "o_orderpriority": ["5-LOW", "5-LOW", "1-URGENT",
+                            "5-LOW", "5-LOW", "5-LOW"],
+    })
+    cust = pd.DataFrame({"c_custkey": np.arange(1, 6, dtype=np.int64)})
+    with tempfile.TemporaryDirectory() as td:
+        cpath = f"{td}/customer.parquet"
+        pq.write_table(pa.Table.from_pandas(cust), cpath)
+        got = (customer_order_histogram(
+            rd.from_pandas(orders).repartition(3), cpath)
+            .to_pandas().sort_values("c_count").reset_index(drop=True))
+    # cust1: 2 orders; cust2: 0 (urgent excluded); cust3: 3; cust4,5: 0
+    assert got["c_count"].tolist() == [0, 2, 3]
+    assert got["custdist"].tolist() == [3, 1, 1]
+
+
+def test_bi_nation_volume_matches_serial(ray_session):
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    from raygeo.ops.relational import bi_nation_volume
+    from raygeo.util import read_parquet_clean
+
+    got = (bi_nation_volume(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet"),
+        f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet",
+        f"{sf_dir}/supplier.parquet", f"{sf_dir}/nation.parquet")
+        .to_pandas()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True))
+    exp = duckdb.sql(f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT
+            AS revenue_c4
+        FROM '{sf_dir}/supplier.parquet', '{sf_dir}/lineitem.parquet',
+             '{sf_dir}/orders.parquet', '{sf_dir}/customer.parquet',
+             '{sf_dir}/nation.parquet' n1, '{sf_dir}/nation.parquet' n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).df()
+    assert got["supp_nation"].tolist() == exp["supp_nation"].tolist()
+    assert got["cust_nation"].tolist() == exp["cust_nation"].tolist()
+    assert got["l_year"].tolist() == exp["l_year"].tolist()
+    assert got["revenue_c4"].tolist() == exp["revenue_c4"].tolist()
+
+
+def test_important_parts_threshold_exact(ray_session):
+    """value*multiplier > total must agree bit-exactly with the integer
+    floor-threshold filter, including a part exactly AT the threshold."""
+    import ray.data as rd
+
+    from raygeo.ops.relational import important_parts
+
+    # three parts: values 100, 100, 800 -> total 1000.  multiplier 10 ->
+    # threshold total/10 = 100: parts at exactly 100 are NOT important.
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 2, 3, 3], np.int64),
+        "l_extendedprice": [1.0, 1.0, 4.0, 4.0],
+        "l_discount": [0.0] * 4,
+    })
+    got = (important_parts(rd.from_pandas(li).repartition(3), multiplier=10)
+           .to_pandas().sort_values("l_partkey").reset_index(drop=True))
+    assert got["l_partkey"].tolist() == [3]
+    assert got["value_c4"].tolist() == [80000]
+
+
+def test_supplier_part_counts_matches_serial(ray_session):
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    from raygeo.ops.relational import supplier_part_counts
+    from raygeo.util import read_parquet_clean
+
+    got = (supplier_part_counts(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet"),
+        f"{sf_dir}/part.parquet", f"{sf_dir}/supplier.parquet")
+        .to_pandas().sort_values(["p_brand", "p_size"])
+        .reset_index(drop=True))
+    exp = duckdb.sql(f"""
+        WITH ds AS (SELECT DISTINCT l_partkey, l_suppkey
+                    FROM '{sf_dir}/lineitem.parquet'
+                    WHERE l_suppkey NOT IN
+                      (SELECT s_suppkey FROM '{sf_dir}/supplier.parquet'
+                       WHERE s_acctbal < 0))
+        SELECT p_brand, p_size::BIGINT AS p_size,
+          count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM ds JOIN '{sf_dir}/part.parquet' ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert got["p_brand"].tolist() == exp["p_brand"].tolist()
+    assert got["p_size"].tolist() == exp["p_size"].tolist()
+    assert got["supplier_cnt"].tolist() == exp["supplier_cnt"].tolist()
+
+
+def test_idle_rich_customers_threshold_and_antijoin(ray_session):
+    """Boundary: a customer exactly AT the average is excluded (> not >=);
+    a rich customer WITH a recent order is excluded by the anti-join."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.ops.relational import idle_rich_customers
+
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(1, 6, dtype=np.int64),
+        "c_mktsegment": ["MACHINERY"] * 5,
+        # positives: 10, 20, 30 -> avg 20.  cust2 at exactly 20 excluded.
+        # cust3 (30) idle -> IN.  cust4 (30) has a recent order -> OUT.
+        # cust5 negative -> below avg anyway.
+        "c_acctbal": [10.0, 20.0, 30.0, 30.0, -5.0],
+    })
+    orders = pd.DataFrame({
+        "o_custkey": np.array([4], np.int64),
+        "o_orderdate": pd.to_datetime(["2000-06-01"]),
+    })
+    # cust4's balance participates in the average: positives are
+    # 10, 20, 30, 30 -> avg 22.5; cust3 and cust4 are above, cust4 has
+    # the recent order -> only cust3 survives.
+    with tempfile.TemporaryDirectory() as td:
+        cpath = f"{td}/customer.parquet"
+        pq.write_table(pa.Table.from_pandas(cust), cpath)
+        got = (idle_rich_customers(
+            rd.from_pandas(orders).repartition(2), cpath,
+            segments=("MACHINERY",), recent="1999-01-01")
+            .to_pandas())
+    assert got["c_mktsegment"].tolist() == ["MACHINERY"]
+    assert got["numcust"].tolist() == [1]
+    assert got["totacctbal_cents"].tolist() == [3000]
+
+
+def test_min_cost_supplier_tiebreak(ray_session):
+    """Equal min prices must resolve to the smaller suppkey via the
+    packed argmin, across batches."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.ops.relational import min_cost_supplier
+
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 1, 1, 2, 2], np.int64),
+        "l_suppkey": np.array([9, 4, 6, 2, 8], np.int64),
+        # part1: min price 5.0 shared by supp 9 and 4 -> supp 4 wins
+        "l_extendedprice": [5.0, 5.0, 7.0, 3.0, 2.0],
+    })
+    parts = pd.DataFrame({
+        "p_partkey": np.array([1, 2, 3], np.int64),
+        "p_size": np.array([5, 30, 5], np.int32),  # part2 filtered out
+    })
+    with tempfile.TemporaryDirectory() as td:
+        ppath = f"{td}/part.parquet"
+        pq.write_table(pa.Table.from_pandas(parts), ppath)
+        got = (min_cost_supplier(
+            rd.from_pandas(li).repartition(4), ppath, max_size=15)
+            .to_pandas().sort_values("p_partkey").reset_index(drop=True))
+    assert got["p_partkey"].tolist() == [1]
+    assert got["s_suppkey"].tolist() == [4]
+    assert got["min_cents"].tolist() == [500]
