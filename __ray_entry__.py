@@ -2029,6 +2029,42 @@ def _q_events_ohlc(sf_dir: str):
     return ohlc_bars(_rpq(f"{sf_dir}/events.parquet"), freq_s=86400)
 
 
+def _q_events_mad_outliers(sf_dir: str):
+    """Robust per-type anomaly count: exact median + MAD off two
+    domain-bounded histogram folds, |x-med| > 3*MAD."""
+    from raygeo.ops.relational import mad_outliers
+
+    return mad_outliers(_rpq(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"]))
+
+
+def _q_emb_kcenter(sf_dir: str):
+    """Greedy k-center coreset selection: integer-exact farthest-point
+    traversal, centers broadcast per round, data streamed."""
+    from raygeo.ops.ann import kcenter_greedy
+
+    return kcenter_greedy(_rpq(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]), k=4)
+
+
+def _q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: 8-gram overlap vs the held-out slice —
+    benchmark n-gram set folded once + broadcast, training pass pure map."""
+    from raygeo.ops.corpus import decontaminate
+
+    return decontaminate(_rpq(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]))
+
+
+def _q_docs_bigrams(sf_dir: str):
+    """Corpus bigram count table (n-gram LM input): Counter partials,
+    one keyed groupby, bounded top-k."""
+    from raygeo.ops.corpus import bigram_top
+
+    return bigram_top(_rpq(f"{sf_dir}/documents.parquet",
+                           columns=["text"]))
+
+
 def _q_docs_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth at doc-count checkpoints: term ->
     min-doc-id fold (associative first-appearance), cumulative histogram
@@ -2190,6 +2226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_data": _q_events_late_data,  # watermark/lateness drop
         "events_ohlc": _q_events_ohlc,  # OHLC downsample bars
         "docs_vocab_growth": _q_docs_vocab_growth,  # Heaps-law checkpoints
+        "docs_decontaminate": _q_docs_decontaminate,  # benchmark n-gram hits
+        "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
+        "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
+        "docs_bigrams": _q_docs_bigrams,  # bigram LM count table
         "events_transitions": _q_events_transitions,  # Markov bigram matrix
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
@@ -3568,6 +3608,82 @@ SELECT event_type, bucket::BIGINT AS bucket,
   count(*)::BIGINT AS n_events
 FROM r
 GROUP BY 1, 2
+""",
+        "events_mad_outliers": """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+m AS (
+  SELECT event_type, quantile_disc(cents, 0.5)::BIGINT AS med
+  FROM c GROUP BY 1
+),
+a AS (
+  SELECT c.event_type, med, abs(cents - med) AS dev
+  FROM c JOIN m USING (event_type)
+),
+md AS (
+  SELECT event_type, quantile_disc(dev, 0.5)::BIGINT AS mad
+  FROM a GROUP BY 1
+)
+SELECT a.event_type, any_value(a.med)::BIGINT AS median_cents,
+  any_value(md.mad)::BIGINT AS mad_cents,
+  sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM a JOIN md USING (event_type) GROUP BY a.event_type
+""",
+        "emb_kcenter": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+s0 AS (SELECT min(vec_id) AS vec_id FROM embeddings),
+c0 AS (SELECT dim, qv FROM q JOIN s0 USING (vec_id)),
+d1 AS (SELECT q.vec_id, sum((q.qv - c0.qv) * (q.qv - c0.qv)) AS dist
+       FROM q JOIN c0 USING (dim) GROUP BY q.vec_id),
+s1 AS (SELECT vec_id, dist FROM d1 ORDER BY dist DESC, vec_id LIMIT 1),
+c1 AS (SELECT dim, qv FROM q WHERE vec_id = (SELECT vec_id FROM s1)),
+e2 AS (SELECT q.vec_id, sum((q.qv - c1.qv) * (q.qv - c1.qv)) AS dist
+       FROM q JOIN c1 USING (dim) GROUP BY q.vec_id),
+d2 AS (SELECT d1.vec_id, least(d1.dist, e2.dist) AS dist
+       FROM d1 JOIN e2 USING (vec_id)),
+s2 AS (SELECT vec_id, dist FROM d2 ORDER BY dist DESC, vec_id LIMIT 1),
+c2 AS (SELECT dim, qv FROM q WHERE vec_id = (SELECT vec_id FROM s2)),
+e3 AS (SELECT q.vec_id, sum((q.qv - c2.qv) * (q.qv - c2.qv)) AS dist
+       FROM q JOIN c2 USING (dim) GROUP BY q.vec_id),
+d3 AS (SELECT d2.vec_id, least(d2.dist, e3.dist) AS dist
+       FROM d2 JOIN e3 USING (vec_id)),
+s3 AS (SELECT vec_id, dist FROM d3 ORDER BY dist DESC, vec_id LIMIT 1)
+SELECT 0::BIGINT AS sel_round, vec_id::BIGINT AS vec_id, 0::BIGINT AS dist
+FROM s0
+UNION ALL SELECT 1, vec_id, dist::BIGINT FROM s1
+UNION ALL SELECT 2, vec_id, dist::BIGINT FROM s2
+UNION ALL SELECT 3, vec_id, dist::BIGINT FROM s3
+""",
+        "docs_decontaminate": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, array_to_string(l[i.i + 1:i.i + 8], ' ') AS ngram
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 7, 0))) AS i) i
+),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 7 = 0)
+SELECT doc_id, count(DISTINCT ngram)::BIGINT AS n_hits
+FROM ng WHERE doc_id % 7 <> 0 AND ngram IN (SELECT ngram FROM bench)
+GROUP BY doc_id
+""",
+        "docs_bigrams": """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[0-9a-z_]+') AS l FROM documents
+),
+bg AS (
+  SELECT l[i.i + 1] AS w1, l[i.i + 2] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 1, 0))) AS i) i
+)
+SELECT w1, w2, count(*)::BIGINT AS n FROM bg
+GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30
 """,
         "docs_vocab_growth": """
 WITH toks AS (

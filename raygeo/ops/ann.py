@@ -633,3 +633,82 @@ def label_affinity(ds, vec_col: str = "embedding", label_col: str = "label",
         "dot_q2": pa.array(out["dot_q2"], pa.int64()),
         "n_pairs": pa.array(out["n_pairs"], pa.int64()),
     })
+
+
+def kcenter_greedy(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                   k: int = 4):
+    """Greedy k-center (farthest-point traversal) coreset selection — the
+    classic diversity-sampling pass over an embedding table (Gonzalez'
+    2-approximation; the data-selection step before curriculum/dedup).
+
+    Engine-exact integer arithmetic end to end: vectors quantize once to
+    int64 micro-units (the shared ``_quantized_matrix`` contract), so the
+    farthest-point argmax can never flip on float summation order. Seed =
+    smallest ``id_col``; each round broadcasts the ≤k selected centers,
+    one streaming pass computes every point's min squared distance to
+    them, each batch emits its single best (max dist, tie → min id)
+    candidate row carrying the winning vector, and the driver reduces the
+    O(#blocks) candidate rows — center state is k·dim ints, data is never
+    collected. Returns (sel_round, vec_id, dist): dist = exact integer
+    squared distance to the previously selected set at selection time.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    qds = ds.select_columns([id_col, vec_col]).materialize()
+    seed = qds.aggregate(Min(id_col, alias_name="m"))["m"]
+    if seed is None:
+        return pa.table({"sel_round": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    seed = int(seed)
+
+    def fetch_vec(target: int):
+        def grab(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy()
+            hit = ids == target
+            if not hit.any():
+                return pa.table({"qv": pa.array([], pa.list_(pa.int64()))})
+            qm = _quantized_matrix(t.column(vec_col), 1e6)
+            return pa.table({"qv": pa.array([qm[hit][0].tolist()],
+                                            pa.list_(pa.int64()))})
+        rows = qds.map_batches(grab, batch_format="pyarrow").take_all()
+        return np.asarray(rows[0]["qv"], dtype=np.int64)
+
+    centers = [fetch_vec(seed)]
+    out_rounds, out_ids, out_dists = [0], [seed], [0]
+
+    for r in range(1, k):
+        c_ref = ray.put(np.stack(centers))
+
+        def best_of_batch(t: pa.Table) -> pa.Table:
+            cm = ray.get(c_ref)
+            qm = _quantized_matrix(t.column(vec_col), 1e6)
+            ids = t.column(id_col).to_numpy().astype(np.int64)
+            dmin = None
+            for c in cm:
+                diff = qm - c[None, :]
+                d = np.einsum("ij,ij->i", diff, diff)
+                dmin = d if dmin is None else np.minimum(dmin, d)
+            order = np.lexsort((ids, -dmin))
+            b = order[0]
+            return pa.table({
+                "dist": pa.array([int(dmin[b])], pa.int64()),
+                "vec_id": pa.array([int(ids[b])], pa.int64()),
+                "qv": pa.array([qm[b].tolist()], pa.list_(pa.int64())),
+            })
+
+        cand = qds.map_batches(best_of_batch, batch_format="pyarrow"
+                               ).take_all()  # one row per block
+        cand.sort(key=lambda row: (-row["dist"], row["vec_id"]))
+        win = cand[0]
+        centers.append(np.asarray(win["qv"], dtype=np.int64))
+        out_rounds.append(r)
+        out_ids.append(int(win["vec_id"]))
+        out_dists.append(int(win["dist"]))
+
+    return pa.table({
+        "sel_round": pa.array(out_rounds, pa.int64()),
+        "vec_id": pa.array(out_ids, pa.int64()),
+        "dist": pa.array(out_dists, pa.int64()),
+    })

@@ -673,3 +673,126 @@ def vocab_growth(docs_ds, checkpoints: tuple[int, ...] = (100, 200, 300,
         "n_docs": pa.array(ck, pa.int64()),
         "vocab_size": pa.array(vocab.astype(np.int64), pa.int64()),
     })
+
+
+class _NgramSetPartial:
+    """Per-batch distinct word n-grams (space-joined strings)."""
+
+    def __init__(self, n: int, text_col: str):
+        self.n = n
+        self.text_col = text_col
+        self.tok = re.compile(LOWER_TOKEN_RE)
+
+    def doc_ngrams(self, text: str) -> set:
+        ws = self.tok.findall(text.lower())
+        n = self.n
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        acc = set()
+        for t in df[self.text_col]:
+            acc |= self.doc_ngrams(t)
+        return pd.DataFrame({"ngram": pd.Series(sorted(acc), dtype=object)})
+
+
+class _ContaminationCount:
+    """Distinct benchmark n-grams per training doc (broadcast set probe)."""
+
+    def __init__(self, bench_ref, n: int, bench_mod: int, text_col: str,
+                 id_col: str):
+        self.bench_ref = bench_ref
+        self.helper = _NgramSetPartial(n, text_col)
+        self.bench_mod = bench_mod
+        self.text_col = text_col
+        self.id_col = id_col
+        self._bench = None
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        if self._bench is None:
+            self._bench = ray.get(self.bench_ref)
+        bench = self._bench
+        train = df[df[self.id_col] % self.bench_mod != 0]
+        hits = np.fromiter(
+            (len(self.helper.doc_ngrams(t) & bench)
+             for t in train[self.text_col]),
+            dtype=np.int64, count=len(train))
+        keep = hits > 0
+        return pd.DataFrame({
+            self.id_col: train[self.id_col].to_numpy()[keep],
+            "n_hits": hits[keep],
+        })
+
+
+def decontaminate(docs_ds, n: int = 8, bench_mod: int = 7,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination: flag training documents sharing any
+    word-level n-gram with the held-out benchmark subset (docs whose id ≡ 0
+    mod ``bench_mod`` stand in for the benchmark suite).
+
+    The classic contamination check (GPT-3 App. C / PaLM style: 8-13-gram
+    overlap against eval sets). Plan: one streaming pass over the
+    benchmark slice folds per-batch DISTINCT n-gram partials to a
+    driver-side set (the benchmark is fixtures-small by construction —
+    eval suites don't grow with corpus size) broadcast once via
+    ``ray.put``; the training pass is a pure map (set probe per doc, no
+    shuffle at all). Returns (doc_id, n_hits) for contaminated docs,
+    n_hits = DISTINCT shared n-grams.
+    """
+    import ray
+
+    bench_parts = (docs_ds.select_columns([id_col, text_col])
+                   .map_batches(
+                       lambda df, _h=_NgramSetPartial(n, text_col):
+                       _h(df[df[id_col] % bench_mod == 0]),
+                       batch_format="pandas", batch_size=4096, num_cpus=1)
+                   .to_pandas())
+    bench = frozenset(bench_parts["ngram"].tolist())
+    bench_ref = ray.put(bench)
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _ContaminationCount(bench_ref, n, bench_mod, text_col, id_col),
+        batch_format="pandas", batch_size=4096, num_cpus=1)
+
+
+class _BigramPartial:
+    """Per-batch bigram counts over lower-token streams."""
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+        self.tok = re.compile(LOWER_TOKEN_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        acc = Counter()
+        for t in df[self.text_col]:
+            ws = self.tok.findall(t.lower())
+            acc.update(zip(ws, ws[1:]))
+        if not acc:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        items = sorted(acc.items())
+        return pd.DataFrame({
+            "w1": [k[0] for k, _ in items],
+            "w2": [k[1] for k, _ in items],
+            "n": pd.Series([v for _, v in items], dtype="int64"),
+        })
+
+
+def bigram_top(docs_ds, k: int = 30, text_col: str = "text"):
+    """Top-k corpus bigrams (the n-gram LM count table input): map-side
+    Counter partials per batch — the shuffle carries one row per distinct
+    bigram per batch, never token streams — then one keyed groupby + a
+    bounded top-k sort. Ties break lexicographically."""
+    from ray.data.aggregate import Sum
+
+    partial = docs_ds.select_columns([text_col]).map_batches(
+        _BigramPartial(text_col), batch_format="pandas",
+        batch_size=4096, num_cpus=1)
+    partial = partial.repartition(max(8, min(64, cluster_cpus())))
+    return (partial.groupby(["w1", "w2"])
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "w1", "w2"], descending=[True, False, False])
+            .limit(k))

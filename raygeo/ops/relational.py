@@ -2550,3 +2550,59 @@ def min_cost_supplier(lineitem_ds, part_path: str, max_size: int = 15,
         })
 
     return joined.map_batches(unpack, batch_format="pyarrow")
+
+
+def mad_outliers(events_ds, key_col: str = "event_type",
+                 value_col: str = "value", sigma: int = 3):
+    """Robust per-group anomaly count: rows whose |x - median| exceeds
+    ``sigma`` x MAD (median absolute deviation) — the outlier gate a
+    quality pipeline runs before training-data admission.
+
+    Both medians are EXACT via the domain-bounded histogram fold (the
+    ``grouped_exact_median`` contract: the shuffle carries distinct
+    (key, cents) pairs with counts, never raw rows). Pass 1 folds the
+    value histogram -> per-key median (keys are few; broadcast as a dict).
+    Pass 2 folds the |x - med| histogram once and reads BOTH the MAD and
+    the outlier count off the same cumulative histogram — two scans
+    total, all-integer, deterministic. Output: (key, median_cents,
+    mad_cents, n_outliers).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus
+
+    med_rows = grouped_exact_median(events_ds, key_col, value_col).to_pandas()
+    med_of = dict(zip(med_rows[key_col], med_rows["median_cents"]))
+
+    def dev_partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pandas()
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        med = keys.map(med_of).to_numpy(np.int64)
+        g = (pd.DataFrame({"k": keys, "dev": np.abs(cents - med)})
+             .groupby(["k", "dev"], sort=False).size().rename("n")
+             .reset_index())
+        return table_from_pandas(g)
+
+    hist = (events_ds.select_columns([key_col, value_col])
+            .map_batches(dev_partial, batch_format="pyarrow",
+                         batch_size=65536)
+            .repartition(max(8, min(64, cluster_cpus())))
+            .groupby(["k", "dev"])
+            .aggregate(Sum("n", alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("dev")
+        devs = g["dev"].to_numpy()
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        rank = (total + 1) // 2  # percentile_disc(0.5)
+        mad = int(devs[int(np.searchsorted(cum, rank))])
+        cut = int(np.searchsorted(devs, sigma * mad, side="right"))
+        n_out = int(total - (cum[cut - 1] if cut > 0 else 0))
+        key = g["k"].iloc[0]
+        return pd.DataFrame({key_col: [key],
+                             "median_cents": np.int64(med_of[key]),
+                             "mad_cents": np.int64(mad),
+                             "n_outliers": np.int64(n_out)})
+
+    return hist.groupby("k").map_groups(pick, batch_format="pandas")

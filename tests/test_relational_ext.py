@@ -1050,3 +1050,108 @@ def test_min_cost_supplier_tiebreak(ray_session):
     assert got["p_partkey"].tolist() == [1]
     assert got["s_suppkey"].tolist() == [4]
     assert got["min_cents"].tolist() == [500]
+
+
+def test_decontaminate_overlap_and_exclusions(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.corpus import decontaminate
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3], np.int64),  # 0 = benchmark (mod 7)
+        "text": [
+            f"BENCH {shared} tail words here",
+            f"prefix {shared} and more",          # contaminated: 1 hit
+            "totally unrelated text with no overlap at all whatsoever",
+            f"{shared} {shared}",                 # dup ngram counted once
+        ],
+    })
+    got = (decontaminate(rd.from_pandas(docs).repartition(3), n=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 3]
+    # doc3 contains the shared 8-gram at several positions plus rolled
+    # windows crossing the repeat; count DISTINCT shared ngrams >= 1
+    assert got.loc[0, "n_hits"] == 1
+    assert got.loc[1, "n_hits"] >= 1
+
+
+def test_bigram_top_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.corpus import bigram_top
+
+    docs = pd.DataFrame({"text": ["a b a b c", "b c b c", "a b"] * 7})
+    a = (bigram_top(rd.from_pandas(docs).repartition(1), k=5)
+         .to_pandas().reset_index(drop=True))
+    b = (bigram_top(rd.from_pandas(docs).repartition(9), k=5)
+         .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # serial oracle
+    from collections import Counter
+    c = Counter()
+    for t in docs["text"]:
+        ws = t.split()
+        c.update(zip(ws, ws[1:]))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(a["w1"], a["w2"], a["n"])) == [
+        (w1, w2, n) for (w1, w2), n in exp]
+
+
+def test_kcenter_matches_serial_greedy(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import kcenter_greedy
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n, d, k = 200, 8, 5
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [v for v in vecs]})
+    got = kcenter_greedy(rd.from_pandas(df).repartition(7),
+                         k=k).to_pandas()
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    sel = [0]  # index of min id
+    dists = [0]
+    dmin = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for _ in range(k - 1):
+        diff = q - q[sel[-1]][None, :]
+        dmin = np.minimum(dmin, np.einsum("ij,ij->i", diff, diff))
+        order = np.lexsort((ids, -dmin))
+        sel.append(int(order[0]))
+        dists.append(int(dmin[order[0]]))
+    assert got["vec_id"].tolist() == [int(ids[i]) for i in sel]
+    assert got["dist"].tolist() == dists
+    assert got["sel_round"].tolist() == list(range(k))
+
+
+def test_mad_outliers_matches_serial(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import mad_outliers
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    n = 4000
+    df = pd.DataFrame({
+        "event_type": [f"t{i % 3}" for i in range(n)],
+        # coarse grid -> heavy ties; includes rows exactly AT 3*MAD
+        "value": rng.integers(-20, 21, size=n) / 4.0,
+    })
+    got = (mad_outliers(rd.from_pandas(df).repartition(11))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+    rows = []
+    for t, g in df.groupby("event_type"):
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        v = np.sort(cents)
+        med = int(v[(len(v) + 1) // 2 - 1])
+        dev = np.sort(np.abs(cents - med))
+        mad = int(dev[(len(dev) + 1) // 2 - 1])
+        rows.append((t, med, mad, int((np.abs(cents - med) > 3 * mad).sum())))
+    exp = pd.DataFrame(rows, columns=["event_type", "median_cents",
+                                      "mad_cents", "n_outliers"])
+    pd.testing.assert_frame_equal(
+        got[["event_type", "median_cents", "mad_cents", "n_outliers"]],
+        exp, check_dtype=False)
