@@ -1507,6 +1507,21 @@ def _q_mosaic_gradient(sf_dir: str):
     return gradient_stats(tiles, FIXTURE_GRID)
 
 
+def _q_mosaic_dilate(sf_dir: str):
+    """3x3 focal-max (morphological dilate) with FULL 8-neighbor halo
+    exchange incl. corner pixels; interior folds map-side, only
+    O(perimeter) ring/halo strips shuffle. Golden: global-plane paint."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.stencil import dilate_stats
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return dilate_stats(tiles, FIXTURE_GRID)
+
+
 def _q_mosaic_resample(sf_dir: str):
     """NN grid warp onto the 3x-coarser half-pixel-shifted WARP_GRID: each
     source tile analytically computes its target-pixel inverse image,
@@ -2177,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
         "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
+        "mosaic_dilate": _q_mosaic_dilate,  # 8-neighbor focal max
         "mosaic_resample": _q_mosaic_resample,  # NN grid warp (gather)
         "catalog_tile_cover": _q_catalog_tile_cover,  # JSONL source path
         "csv_cell_histogram": _q_csv_cell_histogram,  # CSV source path
@@ -2546,6 +2562,10 @@ FROM read_parquet('{FIX_SF001}/trend_golden.parquet')
         "mosaic_gradient": f"""
 SELECT tile_id, tx, ty, n_pairs, abs_grad_sum
 FROM read_parquet('{FIX_SF001}/gradient_golden.parquet')
+""",
+        "mosaic_dilate": f"""
+SELECT tile_id, tx, ty, n_px, dilate_sum
+FROM read_parquet('{FIX_SF001}/dilate_golden.parquet')
 """,
         "mosaic_resample": f"""
 SELECT tile_id, tx, ty, n_valid_px, pix_sum

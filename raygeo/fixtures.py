@@ -1076,6 +1076,44 @@ def _golden_gradient(lww: dict) -> pa.Table:
     })
 
 
+def _golden_dilate(lww: dict) -> pa.Table:
+    """Per-tile 3x3 focal-max (dilate) stats from the GLOBAL plane — a
+    deliberately different decomposition from the engine's 8-neighbor
+    ring/halo exchange (shares only v = R+G+B). A pixel counts when its
+    3x3 window holds >=1 valid pixel; its dilated value is the window's
+    valid max."""
+    g = FIXTURE_GRID
+    _, valid, v = _full_plane(lww)
+    H, W = v.shape
+    NEG = -(1 << 62)
+    P = np.full((H + 2, W + 2), NEG, np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = np.where(valid, v, NEG)
+    M[1:-1, 1:-1] = valid
+    mx = np.full((H, W), NEG, np.int64)
+    anyv = np.zeros((H, W), bool)
+    for dr in range(3):
+        for dc in range(3):
+            mx = np.maximum(mx, P[dr:dr + H, dc:dc + W])
+            anyv |= M[dr:dr + H, dc:dc + W]
+    out = {"tile_id": [], "tx": [], "ty": [], "n_px": [], "dilate_sum": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        sel = anyv[tr0:tr1, tc0:tc1]
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_px"].append(int(sel.sum()))
+        out["dilate_sum"].append(int(mx[tr0:tr1, tc0:tc1][sel].sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "dilate_sum": pa.array(out["dilate_sum"], pa.int64()),
+    })
+
+
 def _golden_resample(lww: dict) -> pa.Table:
     """NN warp of the global plane onto WARP_GRID; per-target-tile stats.
     Sampling uses the same center-mapping float formula as the engine
@@ -1168,6 +1206,10 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_gradient(agg["lww"]), gpath + ".tmp",
                    compression="zstd")
     os.replace(gpath + ".tmp", gpath)
+    dlpath = os.path.join(out_dir, "dilate_golden.parquet")
+    pq.write_table(_golden_dilate(agg["lww"]), dlpath + ".tmp",
+                   compression="zstd")
+    os.replace(dlpath + ".tmp", dlpath)
     rpath = os.path.join(out_dir, "resample_golden.parquet")
     pq.write_table(_golden_resample(agg["lww"]), rpath + ".tmp",
                    compression="zstd")
@@ -1304,7 +1346,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v13-ov2-mzonal"
+FIXTURE_LAYOUT_VERSION = "v14-dilate"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1340,6 +1382,7 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "components_golden.parquet"))
             and os.path.exists(os.path.join(d, "trend_golden.parquet"))
             and os.path.exists(os.path.join(d, "gradient_golden.parquet"))
+            and os.path.exists(os.path.join(d, "dilate_golden.parquet"))
             and os.path.exists(os.path.join(d, "resample_golden.parquet"))
             and os.path.exists(os.path.join(d, "overview2_golden.parquet"))
             and os.path.exists(os.path.join(d, "mosaic_zonal_golden.parquet"))

@@ -415,3 +415,199 @@ def hillshade_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
 
     return partials.groupby("tile_id").map_groups(merge,
                                                   batch_format="pyarrow")
+
+
+# ---- 3x3 focal max (morphological dilate) ----------------------------------
+
+DILATE_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    # 'self' | own ring strips 'ring_{n,s,w,e}' | neighbor strips
+    # 'nbr_{n,s,w,e}' | corner pixels 'nbr_{nw,ne,sw,se}_c'
+    ("kind", pa.string()),
+    ("n_px", pa.int64()),
+    ("dilate_sum", pa.int64()),
+    ("v", pa.binary()),   # int64 strip values
+    ("m", pa.binary()),   # uint8 strip validity
+])
+
+_NEG = -(1 << 62)  # invalid-pixel sentinel for the max fold
+
+
+def _focal_max(V: np.ndarray, M: np.ndarray):
+    """(sum of 3x3 valid-max, count of any-valid windows) per interior
+    position of a padded (h+2, w+2) frame; returns the (h, w) planes."""
+    Vs = np.where(M, V, _NEG)
+    h, w = V.shape[0] - 2, V.shape[1] - 2
+    mx = np.full((h, w), _NEG, np.int64)
+    any_v = np.zeros((h, w), bool)
+    for dr in range(3):
+        for dc in range(3):
+            mx = np.maximum(mx, Vs[dr:dr + h, dc:dc + w])
+            any_v |= M[dr:dr + h, dc:dc + w]
+    return mx, any_v
+
+
+def dilate_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile 3x3 focal-max (morphological dilate) statistics with a FULL
+    8-neighborhood halo exchange — the focal op whose corner pixels need
+    diagonal neighbors, unlike the 4-neighbor gradient/hillshade exchange.
+
+    Semantics: for every pixel whose 3x3 window contains >=1 valid mosaic
+    pixel, the dilated value is the max channel-sum v over the window's
+    valid pixels; output (tile_id, tx, ty, n_px, dilate_sum) where n_px
+    counts such pixels and dilate_sum their dilated values.
+
+    Plan: interior pixels (windows fully inside the tile) fold MAP-SIDE;
+    each tile keeps its outer-2 ring strips keyed to itself and sends one
+    1-px-wide strip to each of its 4 edge neighbors plus one corner pixel
+    to each of its 4 diagonal neighbors — the keyed shuffle carries
+    O(perimeter) per tile, never a canvas. The merge rebuilds only the
+    (chunk+2)-padded ring frame and computes the border pixels.
+    Value-checked against a golden painted from the GLOBAL plane
+    (fixtures._golden_dilate) and a serial oracle in tests.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in DILATE_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, n=0, stat=0, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["n_px"].append(n)
+            out["dilate_sum"].append(stat)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            # interior: windows fully inside the tile -> no padding needed
+            # (_focal_max on the unpadded (chunk, chunk) tile yields the
+            # (chunk-2, chunk-2) interior positions exactly)
+            imx, iany = _focal_max(v, mask)
+            row((tx, ty), "self", int(iany.sum()), int(imx[iany].sum()))
+
+            def strip(vs, ms):
+                return vs.astype(np.int64).tobytes(), \
+                    ms.astype(np.uint8).tobytes()
+
+            for kind, vs, ms in (
+                ("ring_n", v[0:2, :], mask[0:2, :]),
+                ("ring_s", v[-2:, :], mask[-2:, :]),
+                ("ring_w", v[:, 0:2], mask[:, 0:2]),
+                ("ring_e", v[:, -2:], mask[:, -2:]),
+            ):
+                b, m = strip(vs, ms)
+                row((tx, ty), kind, v=b, m=m)
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0]),
+                     ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1]),
+                     ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :]),
+                     ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", v[0:1, 0], mask[0:1, 0]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", v[0:1, -1],
+                      mask[0:1, -1]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", v[-1:, 0], mask[-1:, 0]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", v[-1:, -1],
+                      mask[-1:, -1])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b, m = strip(np.ascontiguousarray(vs),
+                                 np.ascontiguousarray(ms))
+                    row((ntx, nty), kind, v=b, m=m)
+        return pa.table(out, schema=DILATE_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    # receiver-side placement of each strip kind into the padded ring frame
+    # (padded coords: tile pixel (r, c) -> (r + 1, c + 1))
+    def _place(P, M, kind, vs, ms):
+        c = chunk
+        if kind == "ring_n":
+            P[1:3, 1:c + 1] = vs.reshape(2, c)
+            M[1:3, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_s":
+            P[c - 1:c + 1, 1:c + 1] = vs.reshape(2, c)
+            M[c - 1:c + 1, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_w":
+            P[1:c + 1, 1:3] = vs.reshape(c, 2)
+            M[1:c + 1, 1:3] = ms.reshape(c, 2)
+        elif kind == "ring_e":
+            P[1:c + 1, c - 1:c + 1] = vs.reshape(c, 2)
+            M[1:c + 1, c - 1:c + 1] = ms.reshape(c, 2)
+        elif kind == "nbr_n":
+            P[0, 1:c + 1] = vs
+            M[0, 1:c + 1] = ms
+        elif kind == "nbr_s":
+            P[c + 1, 1:c + 1] = vs
+            M[c + 1, 1:c + 1] = ms
+        elif kind == "nbr_w":
+            P[1:c + 1, 0] = vs
+            M[1:c + 1, 0] = ms
+        elif kind == "nbr_e":
+            P[1:c + 1, c + 1] = vs
+            M[1:c + 1, c + 1] = ms
+        elif kind == "nbr_nw_c":
+            P[0, 0], M[0, 0] = vs[0], ms[0]
+        elif kind == "nbr_ne_c":
+            P[0, c + 1], M[0, c + 1] = vs[0], ms[0]
+        elif kind == "nbr_sw_c":
+            P[c + 1, 0], M[c + 1, 0] = vs[0], ms[0]
+        elif kind == "nbr_se_c":
+            P[c + 1, c + 1], M[c + 1, c + 1] = vs[0], ms[0]
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        if "self" not in kinds:
+            # halo strips sent to an absent tile: nothing to dilate
+            return pa.table({"tile_id": pa.array([], pa.string()),
+                             "tx": pa.array([], pa.int64()),
+                             "ty": pa.array([], pa.int64()),
+                             "n_px": pa.array([], pa.int64()),
+                             "dilate_sum": pa.array([], pa.int64())})
+        c = chunk
+        P = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        n_px = 0
+        s = 0
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                n_px += int(g.column("n_px")[j].as_py())
+                s += int(g.column("dilate_sum")[j].as_py())
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place(P, M, kind, vs, ms)
+        mx, any_v = _focal_max(P, M)
+        border = np.zeros((c, c), bool)
+        border[0, :] = border[-1, :] = True
+        border[:, 0] = border[:, -1] = True
+        sel = border & any_v
+        n_px += int(sel.sum())
+        s += int(mx[sel].sum())
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({"tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+                         "tx": pa.array([tx], pa.int64()),
+                         "ty": pa.array([ty], pa.int64()),
+                         "n_px": pa.array([n_px], pa.int64()),
+                         "dilate_sum": pa.array([s], pa.int64())})
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")

@@ -212,3 +212,39 @@ def test_hillshade_matches_full_plane_golden(ray_session, fixtures_sf0001):
     assert got["n_px"].tolist() == exp["n_px"].tolist()
     assert got["shade_sum"].tolist() == exp["shade_sum"].tolist()
     assert got["shade_sum"].abs().sum() > 0
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_dilate_matches_full_plane(ray_session, seed):
+    import ray.data as rd
+
+    from raygeo.ops.stencil import dilate_stats
+
+    rows, plane, valid = _random_mosaic(seed=seed)
+    out = (dilate_stats(rd.from_items(rows).repartition(5), SRC)
+           .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True))
+
+    v = plane.astype(np.int64).sum(axis=2)
+    H, W = v.shape
+    NEG = -(1 << 62)
+    P = np.full((H + 2, W + 2), NEG, np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = np.where(valid, v, NEG)
+    M[1:-1, 1:-1] = valid
+    mx = np.full((H, W), NEG, np.int64)
+    anyv = np.zeros((H, W), bool)
+    for dr in range(3):
+        for dc in range(3):
+            mx = np.maximum(mx, P[dr:dr + H, dc:dc + W])
+            anyv |= M[dr:dr + H, dc:dc + W]
+    present = sorted({(r["tx"], r["ty"]) for r in rows})
+    exp = []
+    for (tx, ty) in present:
+        tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+        sel = anyv[tr0:tr1, tc0:tc1]
+        exp.append((tx, ty, int(sel.sum()),
+                    int(mx[tr0:tr1, tc0:tc1][sel].sum())))
+    exp_df = (pd.DataFrame(exp, columns=["tx", "ty", "n_px", "dilate_sum"])
+              .sort_values(["tx", "ty"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["tx", "ty", "n_px", "dilate_sum"]], exp_df, check_dtype=False)
