@@ -548,6 +548,49 @@ def _q_ingest_mosaic(sf_dir: str):
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"])
 
 
+def _q_ingest_mosaic_update(sf_dir: str):
+    """Incremental ingest (the reference's steady-state loop): first 60%
+    of the patches batch-ingest into a fresh cube, the remainder folds in
+    via ingest_update — the final tiles must be bit-identical to the
+    one-shot batch, so the BATCH golden is the oracle."""
+    import shutil
+    import tempfile
+
+    from raygeo.fixtures import FIXTURE_GRID, images_count_for_sf, sf_of_dir
+    from raygeo.ops.ingest import ingest, ingest_update
+
+    d = _fix(sf_dir)
+    cut = int(images_count_for_sf(sf_of_dir(sf_dir)) * 0.6)
+    images = _rpq(f"{d}/images.parquet",
+                  columns=["image_id", "bytes", "w", "h"])
+
+    def split(lt: bool):
+        import pyarrow as pa
+
+        def f(t):
+            keep = [(int(i.rsplit("-", 1)[1]) < cut) == lt
+                    for i in t.column("image_id").to_pylist()]
+            return t.filter(pa.array(keep))
+        return f
+
+    cube = tempfile.mkdtemp(prefix="raygeo_upd_")
+    try:
+        from raygeo.cube import Channel, CubeSpec, create
+
+        create(CubeSpec("u", FIXTURE_GRID,
+                        (Channel("rgb", "uint8", 0),)), cube)
+        ingest(images.map_batches(split(True), batch_format="pyarrow"),
+               FIXTURE_GRID, cube_path=cube).materialize()
+        ingest_update(images.map_batches(split(False),
+                                         batch_format="pyarrow"),
+                      FIXTURE_GRID, cube).materialize()
+        tiles = _rpq(f"{cube}/tiles").select_columns(
+            ["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"])
+        return tiles.to_pandas()
+    finally:
+        shutil.rmtree(cube, ignore_errors=True)
+
+
 def _q_ingest_mosaic_median(sf_dir: str):
     """Exact per-pixel lower-median composite (cloud-free-compositing
     analog). Non-associative, so it rides the fragment plan: one
@@ -2152,6 +2195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_bands": _q_normalize_bands,
         "caption_roundtrip": _q_caption_roundtrip,
         "ingest_mosaic": _q_ingest_mosaic,
+        "ingest_mosaic_update": _q_ingest_mosaic_update,  # incremental
         "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,
         "ingest_mosaic_max": _q_ingest_mosaic_max,
         "ingest_mosaic_dem": _q_ingest_mosaic_dem,
@@ -2528,6 +2572,10 @@ SELECT query_id, rank, image_id FROM (
         # are not ANSI-SQL-expressible; the goldens make the driver compare
         # value-exact anyway, same pattern as the per-image golden columns)
         "ingest_mosaic": f"""
+SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
+FROM read_parquet('{FIX_SF001}/tiles_golden_lww.parquet')
+""",
+        "ingest_mosaic_update": f"""
 SELECT tile_id, tx, ty, n_frags, n_valid_px, pix_sum
 FROM read_parquet('{FIX_SF001}/tiles_golden_lww.parquet')
 """,

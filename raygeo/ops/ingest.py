@@ -829,3 +829,118 @@ def ingest(
         make_merge_fold(grid.chunk, cube_path, mode, pack), batch_format="pyarrow"
     )
     return tiles
+
+
+def ingest_update(
+    images_ds,
+    grid: GridSpec,
+    cube_path: str,
+    mode: str = "lww",
+    channels=None,
+    **ingest_kw,
+):
+    """Incremental ingest: fold a NEW batch of patches into an EXISTING
+    cube — the reference's actual steady-state loop (procedural_download
+    merging fresh patches into committed chunks, ``backends/threaded.py:
+    103-139`` + the K4 NaN-border merge ``core/backend.py:263-272``).
+
+    Semantics: the incoming batch is the later arrival — where an incoming
+    pixel is valid it overwrites the stored tile (``mode="lww"``; the
+    reference's arrival-order LWW with NaN-merge keeping stored data under
+    incoming nodata borders), or folds per-pixel max (``mode="max"``).
+    With incoming patch numbers all AFTER the stored ones this is
+    bit-identical to a one-shot batch ingest of the union (the sorted-LWW
+    refinement; cross-plan equality test in tests/test_ingest.py).
+
+    Plan: the new batch runs the normal fold/combine/shuffle pipeline with
+    NO ledger anti-join (committed tiles must accept updates), producing
+    one merged incoming canvas per touched tile; a final per-tile stage
+    reads that tile's stored parquet (the cube layout is one file per
+    tile — a point read, never a scan), merges, and commits data-then-
+    record exactly like the batch sink. Untouched tiles never move.
+    Idempotent: re-applying the same batch reproduces the same bytes.
+    Returns the updated tiles Dataset (touched tiles only).
+    """
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ..cube import TILES_DIR
+
+    pack = ChannelPack(tuple(channels)) if channels else ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    new_tiles = ingest(images_ds, grid, cube_path=None, mode=mode,
+                       channels=channels, **ingest_kw)
+    tdir = os.path.join(cube_path, TILES_DIR)
+
+    def apply_update(t: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        os.makedirs(tdir, exist_ok=True)
+        out_rows = []
+        px_v = binary_views(t.column("px_z"))
+        mz_v = binary_views(t.column("mask_z"))
+        for j in range(t.num_rows):
+            tile_id = t.column("tile_id")[j].as_py()
+            new_canvas = pack.from_bytes(zlib.decompress(px_v[j]),
+                                         chunk, chunk)
+            new_mask = np.frombuffer(
+                zlib.decompress(mz_v[j]), np.uint8
+            ).reshape(chunk, chunk).astype(bool)
+            n_frags = int(t.column("n_frags")[j].as_py())
+            stored_path = os.path.join(tdir, f"part-{tile_id}.parquet")
+            if os.path.exists(stored_path):
+                st = pq.read_table(stored_path)
+                # writable copies: from_bytes returns read-only buffer
+                # views and the merge mutates in place
+                canvas = [np.array(c) for c in pack.from_bytes(
+                    zlib.decompress(st.column("px_z")[0].as_py()),
+                    chunk, chunk)]
+                mask = np.frombuffer(
+                    zlib.decompress(st.column("mask_z")[0].as_py()),
+                    np.uint8).reshape(chunk, chunk).astype(bool)
+                n_frags += int(st.column("n_frags")[0].as_py())
+                if mode == "max":
+                    # NOT pack.max_where: its else-branch copies src onto
+                    # every non-"both" pixel, clobbering stored-only px
+                    both = new_mask & mask
+                    pack.assign_where(canvas, new_canvas, new_mask & ~mask)
+                    for d, s, nc in zip(canvas, new_canvas, pack.ncomps):
+                        w = both[..., None] if nc > 1 else both
+                        np.maximum(d, s, out=d, where=w)
+                else:  # incoming batch is the later arrival: it wins
+                    pack.assign_where(canvas, new_canvas, new_mask)
+                mask = mask | new_mask
+            else:
+                canvas, mask = new_canvas, new_mask
+            canvas = pack.fill_invalid(canvas, mask)
+            px_z = zlib.compress(
+                b"".join(np.ascontiguousarray(c).tobytes() for c in canvas),
+                1)
+            mask_z = zlib.compress(mask.astype(np.uint8).tobytes(), 1)
+            row = pa.table({
+                "tile_id": [tile_id],
+                "tx": [t.column("tx")[j].as_py()],
+                "ty": [t.column("ty")[j].as_py()],
+                "n_frags": [n_frags],
+                "n_valid_px": [int(mask.sum())],
+                "pix_sum": [pack.pix_sum(canvas, mask)],
+                "px_z": [px_z],
+                "mask_z": [mask_z],
+            }, schema=TILE_SCHEMA)
+            tmp = os.path.join(tdir, f".tmp-{tile_id}-{uuid.uuid4().hex}")
+            pq.write_table(row, tmp)
+            os.replace(tmp, stored_path)
+            lineage.record_partition(
+                cube_path, tile_id, [], row_count=1,
+                n_bytes=len(px_z) + len(mask_z),
+                wall_ms=(time.monotonic() - t0) * 1e3,
+            )
+            out_rows.append(row)
+        if not out_rows:
+            return pa.table({k: [] for k in TILE_SCHEMA.names},
+                            schema=TILE_SCHEMA)
+        return pa.concat_tables(out_rows)
+
+    return new_tiles.map_batches(apply_update, batch_format="pyarrow",
+                                 batch_size=16)

@@ -666,3 +666,75 @@ def test_median_sub_split_dem_pack_bit_identical(ray_session, fixtures_sf0001):
 
     for pa_, pb_ in zip(a.px_z, b.px_z):
         assert _z.decompress(pa_) == _z.decompress(pb_)
+
+
+def _tile_bytes(cube: str):
+    """tile_id -> (px_z, mask_z, n_frags) for every committed tile file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for p in sorted(glob.glob(os.path.join(cube, "tiles",
+                                           "part-*.parquet"))):
+        t = pq.read_table(p)
+        out[t.column("tile_id")[0].as_py()] = (
+            t.column("px_z")[0].as_py(), t.column("mask_z")[0].as_py(),
+            t.column("n_frags")[0].as_py())
+    return out
+
+
+@pytest.mark.parametrize("mode", ["lww", "max"])
+def test_ingest_update_equals_batch(fixtures_sf0001, tmp_path, mode):
+    """Incremental ingest of a later patch batch into an existing cube must
+    be bit-identical to the one-shot batch ingest of the union (sorted-LWW
+    refinement: incoming pnos all follow the stored ones; max mode is
+    order-free)."""
+    import ray.data as rd
+
+    from raygeo.cube import Channel, CubeSpec, create
+    from raygeo.ops.ingest import ingest_update
+
+    ds = rd.read_parquet(f"{fixtures_sf0001}/images.parquet").limit(300)
+    # split on patch number: pno = int suffix of image_id
+    import pyarrow.compute as _pc
+
+    def pno_lt(t, cut):
+        ids = t.column("image_id").to_pylist()
+        keep = [int(i.rsplit("-", 1)[1]) < cut for i in ids]
+        return t.filter(pa.array(keep))
+
+    a = ds.map_batches(lambda t: pno_lt(t, 180), batch_format="pyarrow")
+    b = ds.map_batches(
+        lambda t: t.filter(
+            pa.array([int(i.rsplit("-", 1)[1]) >= 180
+                      for i in t.column("image_id").to_pylist()])),
+        batch_format="pyarrow")
+
+    spec = CubeSpec("u", FIXTURE_GRID, (Channel("rgb", "uint8", 0),))
+    cube_inc = str(tmp_path / "cube_inc")
+    create(spec, cube_inc)
+    ingest(a, FIXTURE_GRID, cube_path=cube_inc, mode=mode).materialize()
+    upd = ingest_update(b, FIXTURE_GRID, cube_inc, mode=mode).to_pandas()
+    assert len(upd) > 0
+
+    cube_batch = str(tmp_path / "cube_batch")
+    create(spec, cube_batch)
+    ingest(ds, FIXTURE_GRID, cube_path=cube_batch, mode=mode).materialize()
+
+    ti, tb = _tile_bytes(cube_inc), _tile_bytes(cube_batch)
+    assert set(ti) == set(tb)
+    import zlib as _z
+
+    for tid in tb:
+        assert ti[tid][2] == tb[tid][2], tid  # n_frags
+        assert _z.decompress(ti[tid][1]) == _z.decompress(tb[tid][1]), tid
+        assert _z.decompress(ti[tid][0]) == _z.decompress(tb[tid][0]), tid
+
+    # idempotence: re-applying the same update leaves every byte unchanged
+    ingest_update(b, FIXTURE_GRID, cube_inc, mode=mode).materialize()
+    ti2 = _tile_bytes(cube_inc)
+    for tid in ti:
+        assert _z.decompress(ti2[tid][0]) == _z.decompress(ti[tid][0])
+        assert _z.decompress(ti2[tid][1]) == _z.decompress(ti[tid][1])
