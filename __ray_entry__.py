@@ -2087,6 +2087,24 @@ def _q_events_ohlc(sf_dir: str):
     return ohlc_bars(_rpq(f"{sf_dir}/events.parquet"), freq_s=86400)
 
 
+def _q_emb_range_search(sf_dir: str):
+    """Exact radius similarity search: broadcast probe matrix, pure map,
+    integer distances — the epsilon-neighborhood dual of emb_knn."""
+    from raygeo.ops.ann import range_search
+
+    return range_search(_rpq(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]))
+
+
+def _q_nation_balance(sf_dir: str):
+    """FULL OUTER join shape: per-nation rich-customer vs rich-supplier
+    aggregates, missing sides coalesced to zero."""
+    from raygeo.ops.relational import nation_balance
+
+    return nation_balance(f"{sf_dir}/customer.parquet",
+                          f"{sf_dir}/supplier.parquet")
+
+
 def _q_events_mad_outliers(sf_dir: str):
     """Robust per-type anomaly count: exact median + MAD off two
     domain-bounded histogram folds, |x-med| > 3*MAD."""
@@ -2289,6 +2307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _q_docs_decontaminate,  # benchmark n-gram hits
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
+        "emb_range_search": _q_emb_range_search,  # radius neighborhood
+        "nation_balance": _q_nation_balance,  # FULL OUTER join shape
         "docs_bigrams": _q_docs_bigrams,  # bigram LM count table
         "events_transitions": _q_events_transitions,  # Markov bigram matrix
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
@@ -3676,6 +3696,39 @@ SELECT event_type, bucket::BIGINT AS bucket,
   count(*)::BIGINT AS n_events
 FROM r
 GROUP BY 1, 2
+""",
+        "emb_range_search": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+probes AS (SELECT vec_id AS pid, dim, qv AS pv FROM q WHERE vec_id % 100 = 0)
+SELECT pid, q.vec_id, sum((q.qv - pv) * (q.qv - pv))::BIGINT AS dist
+FROM q JOIN probes USING (dim) WHERE q.vec_id <> pid
+GROUP BY 1, 2 HAVING dist < 1500000000000
+""",
+        "nation_balance": """
+WITH c AS (
+  SELECT c_nationkey AS nk,
+    sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS cust_cents,
+    count(*)::BIGINT AS n_cust
+  FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000
+  GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nk,
+    sum(CAST(round(s_acctbal * 100) AS BIGINT))::BIGINT AS supp_cents,
+    count(*)::BIGINT AS n_supp
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+)
+SELECT coalesce(c.nk, s.nk)::BIGINT AS n_nationkey,
+  coalesce(cust_cents, 0)::BIGINT AS cust_cents,
+  coalesce(n_cust, 0)::BIGINT AS n_cust,
+  coalesce(supp_cents, 0)::BIGINT AS supp_cents,
+  coalesce(n_supp, 0)::BIGINT AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
 """,
         "events_mad_outliers": """
 WITH c AS (

@@ -712,3 +712,58 @@ def kcenter_greedy(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         "vec_id": pa.array(out_ids, pa.int64()),
         "dist": pa.array(out_dists, pa.int64()),
     })
+
+
+def range_search(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                 probe_mod: int = 100, radius: int = 1_500_000_000_000):
+    """Exact radius similarity search: all (probe, vector) pairs with
+    integer squared distance < radius (probes = rows with id ≡ 0 mod
+    ``probe_mod``; self-pairs excluded) — the epsilon-neighborhood dual of
+    top-k kNN.
+
+    Probes are dimension-few by construction: collected once, broadcast as
+    a quantized matrix, and every batch emits only its in-radius pairs —
+    a pure map over the table, no shuffle. Distances use the shared
+    ``_quantized_matrix`` int64 contract, so results are bit-exact vs the
+    SQL oracle at any partitioning.
+    """
+    import ray
+
+    def probe_grab(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        hit = (ids % probe_mod) == 0
+        if not hit.any():
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.list_(pa.int64()))})
+        qm = _quantized_matrix(t.column(vec_col), 1e6)[hit]
+        return pa.table({
+            "pid": pa.array(ids[hit].astype(np.int64), pa.int64()),
+            "qv": pa.array([r.tolist() for r in qm], pa.list_(pa.int64())),
+        })
+
+    probes = ds.select_columns([id_col, vec_col]).map_batches(
+        probe_grab, batch_format="pyarrow").to_pandas()
+    pids = probes["pid"].to_numpy(np.int64)
+    pm = np.asarray([np.asarray(v, np.int64) for v in probes["qv"]])
+    p_ref = ray.put((pids, pm))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids_p, mat_p = ray.get(p_ref)
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        out_p, out_v, out_d = [], [], []
+        for i, pid in enumerate(ids_p):
+            diff = qm - mat_p[i][None, :]
+            d = np.einsum("ij,ij->i", diff, diff)
+            keep = (d < radius) & (ids != pid)
+            out_p.append(np.full(int(keep.sum()), pid, np.int64))
+            out_v.append(ids[keep])
+            out_d.append(d[keep])
+        return pa.table({
+            "pid": pa.array(np.concatenate(out_p), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "dist": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        scan, batch_format="pyarrow")

@@ -2606,3 +2606,97 @@ def mad_outliers(events_ds, key_col: str = "event_type",
                              "n_outliers": np.int64(n_out)})
 
     return hist.groupby("k").map_groups(pick, batch_format="pandas")
+
+
+def nation_balance(customer_path: str, supplier_path: str,
+                   segment: str = "MACHINERY", cust_min: float = 9000.0,
+                   supp_min: float = 5000.0,
+                   num_partitions: int | None = None):
+    """Per-nation rich-customer vs rich-supplier balance comparison — the
+    FULL OUTER join shape (nations present on either side survive, the
+    missing side coalesces to zero), completing the engine's join-type
+    matrix (inner / left_outer / semi / anti elsewhere).
+
+    Both sides pre-aggregate map-side to nation-bounded partials before
+    the join, so the full-outer exchange carries ≤ |nations| rows per
+    side regardless of scale.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus, drop_empty_blocks, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = 8
+
+    def cpartial(t: pa.Table) -> pa.Table:
+        seg = t.column("c_mktsegment").to_pylist()
+        bal = t.column("c_acctbal").to_numpy()
+        keep = np.fromiter((s == segment for s in seg), bool, len(seg)) & (
+            bal > cust_min)
+        g = (pd.DataFrame({"nk": t.column("c_nationkey").to_numpy()[keep]
+                           .astype(np.int64),
+                           "cust_cents": np.rint(bal[keep] * 100)
+                           .astype(np.int64), "n_cust": np.int64(1)})
+             .groupby("nk", sort=False).agg(
+                 cust_cents=("cust_cents", "sum"), n_cust=("n_cust", "sum"))
+             .reset_index())
+        return pa.table({
+            "nk": pa.array(g["nk"].to_numpy(np.int64), pa.int64()),
+            "cust_cents": pa.array(g["cust_cents"].to_numpy(np.int64),
+                                   pa.int64()),
+            "n_cust": pa.array(g["n_cust"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def spartial(t: pa.Table) -> pa.Table:
+        bal = t.column("s_acctbal").to_numpy()
+        keep = bal > supp_min
+        g = (pd.DataFrame({"snk": t.column("s_nationkey").to_numpy()[keep]
+                           .astype(np.int64),
+                           "supp_cents": np.rint(bal[keep] * 100)
+                           .astype(np.int64), "n_supp": np.int64(1)})
+             .groupby("snk", sort=False).agg(
+                 supp_cents=("supp_cents", "sum"), n_supp=("n_supp", "sum"))
+             .reset_index())
+        return pa.table({
+            "snk": pa.array(g["snk"].to_numpy(np.int64), pa.int64()),
+            "supp_cents": pa.array(g["supp_cents"].to_numpy(np.int64),
+                                   pa.int64()),
+            "n_supp": pa.array(g["n_supp"].to_numpy(np.int64), pa.int64()),
+        })
+
+    nparts = max(8, min(64, cluster_cpus()))
+    c_schema = pa.schema([("nk", pa.int64()), ("cust_cents", pa.int64()),
+                          ("n_cust", pa.int64())])
+    s_schema = pa.schema([("snk", pa.int64()), ("supp_cents", pa.int64()),
+                          ("n_supp", pa.int64())])
+    cust = drop_empty_blocks(
+        read_parquet_clean(customer_path,
+                           columns=["c_nationkey", "c_mktsegment",
+                                    "c_acctbal"])
+        .map_batches(cpartial, batch_format="pyarrow", batch_size=65536)
+        .repartition(nparts)
+        .groupby("nk").aggregate(Sum("cust_cents", alias_name="cust_cents"),
+                                 Sum("n_cust", alias_name="n_cust"))
+        .materialize(), c_schema)
+    supp = drop_empty_blocks(
+        read_parquet_clean(supplier_path,
+                           columns=["s_nationkey", "s_acctbal"])
+        .map_batches(spartial, batch_format="pyarrow", batch_size=65536)
+        .repartition(nparts)
+        .groupby("snk").aggregate(Sum("supp_cents", alias_name="supp_cents"),
+                                  Sum("n_supp", alias_name="n_supp"))
+        .materialize(), s_schema)
+
+    joined = cust.join(supp, join_type="full_outer",
+                       num_partitions=num_partitions,
+                       on=("nk",), right_on=("snk",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer emits ONE coalesced key column under the left
+        # key's name (non-null even for right-only rows)
+        out = {"n_nationkey": t.column("nk").cast(pa.int64())}
+        for col in ("cust_cents", "n_cust", "supp_cents", "n_supp"):
+            out[col] = pc.fill_null(t.column(col), 0).cast(pa.int64())
+        return pa.table(out)
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1155,3 +1155,64 @@ def test_mad_outliers_matches_serial(ray_session):
     pd.testing.assert_frame_equal(
         got[["event_type", "median_cents", "mad_cents", "n_outliers"]],
         exp, check_dtype=False)
+
+
+def test_range_search_matches_brute(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import range_search
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    n, d = 300, 6
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v for v in vecs]})
+    r = 4_000_000_000_000
+    got = (range_search(rd.from_pandas(df).repartition(7),
+                        probe_mod=50, radius=r)
+           .to_pandas().sort_values(["pid", "vec_id"])
+           .reset_index(drop=True))
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    exp = []
+    for pid in ids[ids % 50 == 0]:
+        diff = q - q[pid][None, :]
+        dist = np.einsum("ij,ij->i", diff, diff)
+        keep = (dist < r) & (ids != pid)
+        for v, dd in zip(ids[keep], dist[keep]):
+            exp.append((int(pid), int(v), int(dd)))
+    exp_df = (pd.DataFrame(exp, columns=["pid", "vec_id", "dist"])
+              .sort_values(["pid", "vec_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+
+
+def test_nation_balance_full_outer_sides(ray_session):
+    """Nations present on only ONE side must survive with the other side
+    coalesced to zero."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raygeo.ops.relational import nation_balance
+
+    cust = pd.DataFrame({
+        "c_nationkey": np.array([1, 1, 2], np.int32),
+        "c_mktsegment": ["MACHINERY"] * 3,
+        "c_acctbal": [9500.0, 9600.0, 9700.0],
+    })
+    supp = pd.DataFrame({
+        "s_nationkey": np.array([2, 3], np.int32),
+        "s_acctbal": [6000.0, 7000.0],
+    })
+    with tempfile.TemporaryDirectory() as td:
+        cp, sp = f"{td}/c.parquet", f"{td}/s.parquet"
+        pq.write_table(pa.Table.from_pandas(cust), cp)
+        pq.write_table(pa.Table.from_pandas(supp), sp)
+        got = (nation_balance(cp, sp).to_pandas()
+               .sort_values("n_nationkey").reset_index(drop=True))
+    assert got["n_nationkey"].tolist() == [1, 2, 3]
+    assert got["cust_cents"].tolist() == [1910000, 970000, 0]
+    assert got["n_cust"].tolist() == [2, 1, 0]
+    assert got["supp_cents"].tolist() == [0, 600000, 700000]
+    assert got["n_supp"].tolist() == [0, 1, 1]
