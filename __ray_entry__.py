@@ -2105,6 +2105,30 @@ def _q_nation_balance(sf_dir: str):
                           f"{sf_dir}/supplier.parquet")
 
 
+def _q_events_top_users_hourly(sf_dir: str):
+    """Windowed ranking composition: top-2 users per hour by event value —
+    row_number() OVER (PARTITION BY hour) via the skew-proof map-side
+    k-row-cap grouped top-k, over a derived hour-bucket column."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raygeo.ops.relational import grouped_topk
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        hb = (t.column("ts").to_numpy().astype("datetime64[s]")
+              .astype(np.int64) // 3600)
+        return pa.table({
+            "hour_bucket": pa.array(hb, pa.int64()),
+            "value": t.column("value"),
+            "user_id": t.column("user_id").cast(pa.int64()),
+        })
+
+    ev = _rpq(f"{sf_dir}/events.parquet",
+              columns=["ts", "user_id", "value"]).map_batches(
+        add_hour, batch_format="pyarrow", batch_size=65536)
+    return grouped_topk(ev, "hour_bucket", "value", "user_id", k=2)
+
+
 def _q_events_mad_outliers(sf_dir: str):
     """Robust per-type anomaly count: exact median + MAD off two
     domain-bounded histogram folds, |x-med| > 3*MAD."""
@@ -2307,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _q_docs_decontaminate,  # benchmark n-gram hits
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
+        "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "emb_range_search": _q_emb_range_search,  # radius neighborhood
         "nation_balance": _q_nation_balance,  # FULL OUTER join shape
         "docs_bigrams": _q_docs_bigrams,  # bigram LM count table
@@ -3696,6 +3721,18 @@ SELECT event_type, bucket::BIGINT AS bucket,
   count(*)::BIGINT AS n_events
 FROM r
 GROUP BY 1, 2
+""",
+        "events_top_users_hourly": """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+    user_id, CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT hour_bucket, user_id, value_c, rank FROM (
+  SELECT hour_bucket, user_id, value_c,
+    row_number() OVER (PARTITION BY hour_bucket
+                       ORDER BY value_c DESC, user_id) AS rank
+  FROM e) WHERE rank <= 2
 """,
         "emb_range_search": """
 WITH q AS (

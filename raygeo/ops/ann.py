@@ -741,8 +741,13 @@ def range_search(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             "qv": pa.array([r.tolist() for r in qm], pa.list_(pa.int64())),
         })
 
+    empty = pa.table({"pid": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
     probes = ds.select_columns([id_col, vec_col]).map_batches(
         probe_grab, batch_format="pyarrow").to_pandas()
+    if probes.empty:  # no id divisible by probe_mod -> empty pair table
+        return empty
     pids = probes["pid"].to_numpy(np.int64)
     pm = np.asarray([np.asarray(v, np.int64) for v in probes["qv"]])
     p_ref = ray.put((pids, pm))
@@ -751,7 +756,9 @@ def range_search(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         ids_p, mat_p = ray.get(p_ref)
         qm = _quantized_matrix(t.column(vec_col), 1e6)
         ids = t.column(id_col).to_numpy().astype(np.int64)
-        out_p, out_v, out_d = [], [], []
+        out_p = [np.empty(0, np.int64)]
+        out_v = [np.empty(0, np.int64)]
+        out_d = [np.empty(0, np.int64)]
         for i, pid in enumerate(ids_p):
             diff = qm - mat_p[i][None, :]
             d = np.einsum("ij,ij->i", diff, diff)

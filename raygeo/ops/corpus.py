@@ -713,7 +713,10 @@ class _ContaminationCount:
         if self._bench is None:
             self._bench = ray.get(self.bench_ref)
         bench = self._bench
-        train = df[df[self.id_col] % self.bench_mod != 0]
+        # bench_mod None: the benchmark is external (bench_ds) and every
+        # corpus doc is a training doc
+        train = (df if self.bench_mod is None
+                 else df[df[self.id_col] % self.bench_mod != 0])
         hits = np.fromiter(
             (len(self.helper.doc_ngrams(t) & bench)
              for t in train[self.text_col]),
@@ -726,32 +729,43 @@ class _ContaminationCount:
 
 
 def decontaminate(docs_ds, n: int = 8, bench_mod: int = 7,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_ds=None):
     """Benchmark decontamination: flag training documents sharing any
-    word-level n-gram with the held-out benchmark subset (docs whose id ≡ 0
-    mod ``bench_mod`` stand in for the benchmark suite).
+    word-level n-gram with a held-out benchmark set.
 
     The classic contamination check (GPT-3 App. C / PaLM style: 8-13-gram
-    overlap against eval sets). Plan: one streaming pass over the
-    benchmark slice folds per-batch DISTINCT n-gram partials to a
-    driver-side set (the benchmark is fixtures-small by construction —
-    eval suites don't grow with corpus size) broadcast once via
-    ``ray.put``; the training pass is a pure map (set probe per doc, no
-    shuffle at all). Returns (doc_id, n_hits) for contaminated docs,
-    n_hits = DISTINCT shared n-grams.
+    overlap against eval sets). In production pass the REAL eval suite as
+    ``bench_ds`` — a fixed external set whose size does not grow with the
+    corpus, which is what justifies folding its distinct n-grams to the
+    driver and broadcasting once via ``ray.put``. With ``bench_ds=None``
+    the mod-``bench_mod`` id slice of the corpus stands in for tests and
+    oracles; note that THIS predicate selects a constant FRACTION of the
+    corpus, so it is only a fixture-scale stand-in, not the scale plan.
+    The training pass is a pure map (set probe per doc, no shuffle).
+    Returns (doc_id, n_hits) for contaminated docs, n_hits = DISTINCT
+    shared n-grams.
     """
     import ray
 
-    bench_parts = (docs_ds.select_columns([id_col, text_col])
-                   .map_batches(
-                       lambda df, _h=_NgramSetPartial(n, text_col):
-                       _h(df[df[id_col] % bench_mod == 0]),
-                       batch_format="pandas", batch_size=4096, num_cpus=1)
+    src = bench_ds if bench_ds is not None else docs_ds
+    helper = _NgramSetPartial(n, text_col)
+    if bench_ds is not None:
+        def bpartial(df, _h=helper):
+            return _h(df)
+    else:
+        def bpartial(df, _h=helper):
+            return _h(df[df[id_col] % bench_mod == 0])
+    cols = [text_col] if bench_ds is not None else [id_col, text_col]
+    bench_parts = (src.select_columns(cols)
+                   .map_batches(bpartial, batch_format="pandas",
+                                batch_size=4096, num_cpus=1)
                    .to_pandas())
     bench = frozenset(bench_parts["ngram"].tolist())
     bench_ref = ray.put(bench)
+    mod = None if bench_ds is not None else bench_mod
     return docs_ds.select_columns([id_col, text_col]).map_batches(
-        _ContaminationCount(bench_ref, n, bench_mod, text_col, id_col),
+        _ContaminationCount(bench_ref, n, mod, text_col, id_col),
         batch_format="pandas", batch_size=4096, num_cpus=1)
 
 

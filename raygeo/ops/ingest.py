@@ -875,12 +875,15 @@ def ingest_update(
     tdir = os.path.join(cube_path, TILES_DIR)
 
     def apply_update(t: pa.Table) -> pa.Table:
-        t0 = time.monotonic()
+        import hashlib
+
         os.makedirs(tdir, exist_ok=True)
         out_rows = []
         px_v = binary_views(t.column("px_z"))
         mz_v = binary_views(t.column("mask_z"))
         for j in range(t.num_rows):
+            t0 = time.monotonic()  # per tile: the ledger's wall_ms is
+            # per-partition, not cumulative-across-the-batch
             tile_id = t.column("tile_id")[j].as_py()
             new_canvas = pack.from_bytes(zlib.decompress(px_v[j]),
                                          chunk, chunk)
@@ -888,9 +891,28 @@ def ingest_update(
                 zlib.decompress(mz_v[j]), np.uint8
             ).reshape(chunk, chunk).astype(bool)
             n_frags = int(t.column("n_frags")[j].as_py())
+            # idempotence token: the incoming merged canvas is a pure
+            # function of the update batch, so its content hash identifies
+            # the update. It rides the tile file's SCHEMA METADATA — the
+            # same atomic rename as the data — so a Ray task retry (or a
+            # second consumption of the returned lazy dataset) that finds
+            # its own token already applied skips the read-modify-write
+            # instead of double-counting n_frags. (Two genuinely distinct
+            # updates with bit-identical incoming canvases coalesce — the
+            # merged values are unchanged by construction; only n_frags
+            # would differ, documented.)
+            token = hashlib.md5(
+                bytes(px_v[j]) + bytes(mz_v[j]) + mode.encode()
+            ).hexdigest().encode()
             stored_path = os.path.join(tdir, f"part-{tile_id}.parquet")
             if os.path.exists(stored_path):
                 st = pq.read_table(stored_path)
+                meta = st.schema.metadata or {}
+                if meta.get(b"raygeo_update_token") == token:
+                    out_rows.append(
+                        st.replace_schema_metadata(None).select(
+                            TILE_SCHEMA.names).cast(TILE_SCHEMA))
+                    continue
                 # writable copies: from_bytes returns read-only buffer
                 # views and the merge mutates in place
                 canvas = [np.array(c) for c in pack.from_bytes(
@@ -929,7 +951,9 @@ def ingest_update(
                 "mask_z": [mask_z],
             }, schema=TILE_SCHEMA)
             tmp = os.path.join(tdir, f".tmp-{tile_id}-{uuid.uuid4().hex}")
-            pq.write_table(row, tmp)
+            pq.write_table(
+                row.replace_schema_metadata({b"raygeo_update_token": token}),
+                tmp)
             os.replace(tmp, stored_path)
             lineage.record_partition(
                 cube_path, tile_id, [], row_count=1,

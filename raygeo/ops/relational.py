@@ -2140,32 +2140,37 @@ def bi_nation_volume(lineitem_ds, orders_path: str, customer_path: str,
 
     nat = pq.read_table(nation_path).to_pandas()
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
-    supp = pq.read_table(supplier_path,
-                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
-    order_ix = np.argsort(supp["s_suppkey"].to_numpy(np.int64))
-    s_nation = np.array([name_of[int(x)] for x in
-                         supp["s_nationkey"].to_numpy()[order_ix]])
-    cust = pq.read_table(customer_path,
-                         columns=["c_custkey", "c_nationkey"]).to_pandas()
-    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
-    c_ix = np.argsort(cust["c_custkey"].to_numpy(np.int64))
-    c_nation = np.array([name_of[int(x)] for x in
-                         cust["c_nationkey"].to_numpy()[c_ix]])
-    supp_ref = ray.put((sk, s_nation))
-    cust_ref = ray.put((ck, c_nation))
-    pair = {nation_a, nation_b}
+    key_of = {v: k for k, v in name_of.items()}
+    ka, kb = np.int64(key_of[nation_a]), np.int64(key_of[nation_b])
+    # probes carry int NATIONKEYS, never name strings: the broadcast is
+    # one int64 per dimension row and the map-side filter is two integer
+    # compares; names materialize only in the |nations|-bounded final fold
+    supp = pq.read_table(supplier_path, columns=["s_suppkey",
+                                                 "s_nationkey"])
+    s_keys = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    order_ix = np.argsort(s_keys)
+    sk = s_keys[order_ix]
+    s_nk = supp.column("s_nationkey").to_numpy().astype(
+        np.int64)[order_ix]
+    cust = pq.read_table(customer_path, columns=["c_custkey",
+                                                 "c_nationkey"])
+    c_keys = cust.column("c_custkey").to_numpy().astype(np.int64)
+    c_ix = np.argsort(c_keys)
+    ck = c_keys[c_ix]
+    c_nk = cust.column("c_nationkey").to_numpy().astype(np.int64)[c_ix]
+    supp_ref = ray.put((sk, s_nk))
+    cust_ref = ray.put((ck, c_nk))
 
     def lpartial(t: pa.Table) -> pa.Table:
-        skeys, snames = ray.get(supp_ref)
+        skeys, snk = ray.get(supp_ref)
         sd = t.column("l_shipdate").to_numpy()
         t = t.filter(pa.array((sd >= d0) & (sd < d1)))
         lsupp = t.column("l_suppkey").to_numpy()
         pos, found = _sorted_probe(skeys, lsupp)
-        sn = np.where(found, snames[np.clip(pos, 0, len(skeys) - 1)], "")
-        keep = np.isin(sn, list(pair))
+        nk = np.where(found, snk[np.clip(pos, 0, len(skeys) - 1)], -1)
+        keep = (nk == ka) | (nk == kb)
         t = t.filter(pa.array(keep))
-        sn = sn[keep]
+        nk = nk[keep]
         price = t.column("l_extendedprice").to_numpy()
         disc = t.column("l_discount").to_numpy()
         rev = np.rint(price * 100).astype(np.int64) * (
@@ -2173,14 +2178,14 @@ def bi_nation_volume(lineitem_ds, orders_path: str, customer_path: str,
         year = t.column("l_shipdate").to_numpy().astype(
             "datetime64[Y]").astype(np.int64) + 1970
         g = (pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
-                           "supp_nation": sn, "l_year": year,
+                           "s_nk": nk, "l_year": year,
                            "revenue_c4": rev})
-             .groupby(["l_orderkey", "supp_nation", "l_year"], sort=False)
+             .groupby(["l_orderkey", "s_nk", "l_year"], sort=False)
              ["revenue_c4"].sum().reset_index())
         return pa.table({
             "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
                                    pa.int64()),
-            "supp_nation": pa.array(g["supp_nation"].tolist(), pa.string()),
+            "s_nk": pa.array(g["s_nk"].to_numpy(np.int64), pa.int64()),
             "l_year": pa.array(g["l_year"].to_numpy(np.int64), pa.int64()),
             "revenue_c4": pa.array(g["revenue_c4"].to_numpy(np.int64),
                                    pa.int64()),
@@ -2198,24 +2203,24 @@ def bi_nation_volume(lineitem_ds, orders_path: str, customer_path: str,
                       on=("l_orderkey",), right_on=("o_orderkey",))
 
     def final_partial(t: pa.Table) -> pa.Table:
-        ckeys, cnames = ray.get(cust_ref)
+        ckeys, cnk = ray.get(cust_ref)
         oc = t.column("o_custkey").to_numpy()
         pos, found = _sorted_probe(ckeys, oc)
-        cn = np.where(found, cnames[np.clip(pos, 0, len(ckeys) - 1)], "")
-        sn = np.asarray(t.column("supp_nation").to_pylist())
-        keep = ((np.char.equal(sn.astype(str), nation_a)
-                 & np.char.equal(cn.astype(str), nation_b))
-                | (np.char.equal(sn.astype(str), nation_b)
-                   & np.char.equal(cn.astype(str), nation_a)))
-        g = (pd.DataFrame({"supp_nation": sn[keep], "cust_nation": cn[keep],
+        cn = np.where(found, cnk[np.clip(pos, 0, len(ckeys) - 1)], -1)
+        sn = t.column("s_nk").to_numpy()
+        keep = ((sn == ka) & (cn == kb)) | ((sn == kb) & (cn == ka))
+        g = (pd.DataFrame({"s_nk": sn[keep], "c_nk": cn[keep],
                            "l_year": t.column("l_year").to_numpy()[keep],
                            "revenue_c4":
                            t.column("revenue_c4").to_numpy()[keep]})
-             .groupby(["supp_nation", "cust_nation", "l_year"], sort=False)
+             .groupby(["s_nk", "c_nk", "l_year"], sort=False)
              ["revenue_c4"].sum().reset_index())
+        # names materialize HERE: at most |nations|^2 x years rows
         return pa.table({
-            "supp_nation": pa.array(g["supp_nation"].tolist(), pa.string()),
-            "cust_nation": pa.array(g["cust_nation"].tolist(), pa.string()),
+            "supp_nation": pa.array(
+                [name_of[int(x)] for x in g["s_nk"]], pa.string()),
+            "cust_nation": pa.array(
+                [name_of[int(x)] for x in g["c_nk"]], pa.string()),
             "l_year": pa.array(g["l_year"].to_numpy(np.int64), pa.int64()),
             "revenue_c4": pa.array(g["revenue_c4"].to_numpy(np.int64),
                                    pa.int64()),

@@ -732,9 +732,12 @@ def test_ingest_update_equals_batch(fixtures_sf0001, tmp_path, mode):
         assert _z.decompress(ti[tid][1]) == _z.decompress(tb[tid][1]), tid
         assert _z.decompress(ti[tid][0]) == _z.decompress(tb[tid][0]), tid
 
-    # idempotence: re-applying the same update leaves every byte unchanged
+    # idempotence: re-applying the same update (the Ray-retry / second-
+    # consumption case) leaves every byte AND every n_frags count
+    # unchanged — the update token short-circuits the read-modify-write
     ingest_update(b, FIXTURE_GRID, cube_inc, mode=mode).materialize()
     ti2 = _tile_bytes(cube_inc)
     for tid in ti:
+        assert ti2[tid][2] == ti[tid][2], tid  # n_frags must NOT recount
         assert _z.decompress(ti2[tid][0]) == _z.decompress(ti[tid][0])
         assert _z.decompress(ti2[tid][1]) == _z.decompress(ti[tid][1])

@@ -1216,3 +1216,44 @@ def test_nation_balance_full_outer_sides(ray_session):
     assert got["n_cust"].tolist() == [2, 1, 0]
     assert got["supp_cents"].tolist() == [0, 600000, 700000]
     assert got["n_supp"].tolist() == [0, 1, 1]
+
+
+def test_range_search_no_probes_returns_empty(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import range_search
+
+    df = pd.DataFrame({
+        "vec_id": np.arange(1, 40, dtype=np.int64),  # no multiple of 100
+        "embedding": [np.ones(4, np.float32) for _ in range(39)],
+    })
+    got = range_search(rd.from_pandas(df).repartition(3), probe_mod=100)
+    out = got.to_pandas() if hasattr(got, "to_pandas") else got
+    import pyarrow as pa
+
+    if isinstance(out, pa.Table):
+        out = out.to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["pid", "vec_id", "dist"]
+
+
+def test_decontaminate_external_bench_ds(ray_session):
+    """With an external benchmark set, EVERY corpus doc is a training doc
+    (no mod-slice exclusion) and hits count against the external set."""
+    import ray.data as rd
+
+    from raygeo.ops.corpus import decontaminate
+
+    shared = "one two three four five six seven eight"
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 7, 14], np.int64),  # all ≡ 0 mod 7
+        "text": [f"{shared} tail", "clean text with no overlap here at all",
+                 f"lead in {shared}"],
+    })
+    bench = pd.DataFrame({"text": [f"bench doc holding {shared} inside"]})
+    got = (decontaminate(rd.from_pandas(docs).repartition(2), n=8,
+                         bench_ds=rd.from_pandas(bench))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 0 and 14 overlap; doc 7 does not; mod-7 ids are NOT excluded
+    assert got["doc_id"].tolist() == [0, 14]
+    assert got["n_hits"].tolist() == [1, 1]
