@@ -2129,6 +2129,36 @@ def _q_events_top_users_hourly(sf_dir: str):
     return grouped_topk(ev, "hour_bucket", "value", "user_id", k=2)
 
 
+def _q_orders_p90(sf_dir: str):
+    """Exact interpolated percentile_cont(0.9) per priority off the
+    domain-bounded integer histogram fold — DuckDB-bit-exact operand
+    order (1-f)*lo + f*hi."""
+    from raygeo.ops.relational import grouped_quantile_cont
+
+    return grouped_quantile_cont(
+        _rpq(f"{sf_dir}/orders.parquet",
+             columns=["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority", "o_totalprice", q=0.9)
+
+
+def _q_docs_context_windows(sf_dir: str):
+    """LLM pretraining chunker: strided fixed-length token windows per
+    doc, last window clipped — pure per-row flat map, zero shuffle."""
+    from raygeo.ops.corpus import context_windows
+
+    return context_windows(_rpq(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]))
+
+
+def _q_emb_dim_stats(sf_dir: str):
+    """Per-dimension embedding min/max/sum/count (the normalization FIT
+    pass) — dimension-bounded associative fold, quantized int64."""
+    from raygeo.ops.ann import dim_stats
+
+    return dim_stats(_rpq(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"]))
+
+
 def _q_events_mad_outliers(sf_dir: str):
     """Robust per-type anomaly count: exact median + MAD off two
     domain-bounded histogram folds, |x-med| > 3*MAD."""
@@ -2332,6 +2362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
+        "orders_p90": _q_orders_p90,  # interpolated percentile_cont
+        "docs_context_windows": _q_docs_context_windows,  # LLM chunker
+        "emb_dim_stats": _q_emb_dim_stats,  # normalization fit pass
         "emb_range_search": _q_emb_range_search,  # radius neighborhood
         "nation_balance": _q_nation_balance,  # FULL OUTER join shape
         "docs_bigrams": _q_docs_bigrams,  # bigram LM count table
@@ -3721,6 +3754,38 @@ SELECT event_type, bucket::BIGINT AS bucket,
   count(*)::BIGINT AS n_events
 FROM r
 GROUP BY 1, 2
+""",
+        "orders_p90": """
+SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p_value
+FROM orders GROUP BY 1
+""",
+        "docs_context_windows": """
+WITH toks AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[0-9a-z_]+'))::BIGINT AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 64 THEN (n - 17) // 48 ELSE 0 END AS extra
+  FROM toks WHERE n > 0
+)
+SELECT doc_id, (i.i * 48)::BIGINT AS win_start,
+  least(64, n - i.i * 48)::BIGINT AS win_len
+FROM w, LATERAL (SELECT unnest(range(extra + 1)) AS i) i
+""",
+        "emb_dim_stats": """
+WITH q AS (
+  SELECT d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+)
+SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n_rows,
+  min(qv)::BIGINT AS min_q, max(qv)::BIGINT AS max_q,
+  sum(qv)::BIGINT AS sum_q
+FROM q GROUP BY 1
 """,
         "events_top_users_hourly": """
 WITH e AS (

@@ -774,3 +774,38 @@ def range_search(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         scan, batch_format="pyarrow")
+
+
+def dim_stats(ds, vec_col: str = "embedding"):
+    """Per-dimension embedding statistics (the feature-scaling /
+    normalization FIT pass): quantized int64 min / max / sum / count per
+    dimension — an associative fold whose shuffle is bounded by the
+    DIMENSION count, never the row count.
+
+    Uses the shared ``_quantized_matrix`` 1e-6 fixed-point contract so the
+    vector aggregate is summation-order independent and bit-exact vs the
+    SQL oracle. Output: (dim, n_rows, min_q, max_q, sum_q).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        d = qm.shape[1] if len(qm) else 0
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n_rows": pa.array(np.full(d, len(qm), np.int64), pa.int64()),
+            "min_q": pa.array(qm.min(axis=0) if len(qm) else
+                              np.empty(0, np.int64), pa.int64()),
+            "max_q": pa.array(qm.max(axis=0) if len(qm) else
+                              np.empty(0, np.int64), pa.int64()),
+            "sum_q": pa.array(qm.sum(axis=0, dtype=np.int64) if len(qm) else
+                              np.empty(0, np.int64), pa.int64()),
+        })
+
+    return (ds.select_columns([vec_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+            .groupby("dim")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Min("min_q", alias_name="min_q"),
+                       Max("max_q", alias_name="max_q"),
+                       Sum("sum_q", alias_name="sum_q")))

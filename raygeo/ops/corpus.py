@@ -810,3 +810,46 @@ def bigram_top(docs_ds, k: int = 30, text_col: str = "text"):
             .aggregate(Sum("n", alias_name="n"))
             .sort(["n", "w1", "w2"], descending=[True, False, False])
             .limit(k))
+
+
+class _ContextWindows:
+    """Strided fixed-length token windows per doc (intra-row, no shuffle)."""
+
+    def __init__(self, win: int, stride: int, text_col: str, id_col: str):
+        self.win = win
+        self.stride = stride
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(LOWER_TOKEN_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, starts, lens = [], [], []
+        for did, t in zip(df[self.id_col], df[self.text_col]):
+            n = len(self.tok.findall(t.lower()))
+            if n == 0:
+                continue
+            s = 0
+            while s < n:
+                ids_out.append(did)
+                starts.append(s)
+                lens.append(min(self.win, n - s))
+                if s + self.win >= n:
+                    break
+                s += self.stride
+        return pd.DataFrame({
+            self.id_col: pd.Series(ids_out, dtype="int64"),
+            "win_start": pd.Series(starts, dtype="int64"),
+            "win_len": pd.Series(lens, dtype="int64"),
+        })
+
+
+def context_windows(docs_ds, win: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Strided context-window extraction (the LLM pretraining chunker):
+    each doc emits fixed-length token windows at ``stride`` offsets, the
+    final window clipped to the doc end (and emitted once even when the
+    doc is shorter than one window). Pure per-row map — zero shuffle;
+    the flat-map row expansion is bounded by tokens/stride."""
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _ContextWindows(win, stride, text_col, id_col),
+        batch_format="pandas", batch_size=4096, num_cpus=1)

@@ -2705,3 +2705,52 @@ def nation_balance(customer_path: str, supplier_path: str,
         return pa.table(out)
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_quantile_cont(ds, key_col: str, value_col: str, q: float = 0.9):
+    """EXACT per-group linearly-interpolated quantile (percentile_cont /
+    DuckDB quantile_cont) via the same domain-bounded integer histogram
+    fold as ``grouped_exact_median`` — no raw-row sort at any scale.
+
+    The interpolation reproduces DuckDB bit-for-bit: rank r = (n-1)*q,
+    result = (1-f)*v[lo] + f*v[lo+1] with f = r - floor(r) — the exact
+    operand order matters in IEEE arithmetic and is pinned by test.
+    Output: (key, n_rows, p_value) with p_value float64.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"k": t.column(key_col).to_pandas(),
+                           "cents": cents})
+        g = (df.groupby(["k", "cents"], sort=False).size().rename("n")
+             .reset_index())
+        return table_from_pandas(g)
+
+    hist = (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .repartition(max(8, min(64, cluster_cpus())))
+            .groupby(["k", "cents"])
+            .aggregate(Sum("n", alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy()
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        r = (total - 1) * q
+        lo = int(np.floor(r))
+        f = r - lo
+        v_lo = float(vals[int(np.searchsorted(cum, lo + 1))])
+        if lo + 1 < total:
+            v_hi = float(vals[int(np.searchsorted(cum, lo + 2))])
+            p = (1 - f) * v_lo + f * v_hi
+        else:
+            p = v_lo
+        return pd.DataFrame({key_col: [g["k"].iloc[0]],
+                             "n_rows": np.int64(total),
+                             "p_value": np.float64(p)})
+
+    return hist.groupby("k").map_groups(pick, batch_format="pandas")

@@ -1257,3 +1257,51 @@ def test_decontaminate_external_bench_ds(ray_session):
     # doc 0 and 14 overlap; doc 7 does not; mod-7 ids are NOT excluded
     assert got["doc_id"].tolist() == [0, 14]
     assert got["n_hits"].tolist() == [1, 1]
+
+
+def test_quantile_cont_matches_duckdb_bits(ray_session):
+    """The (1-f)*lo + f*hi operand order must match DuckDB's quantile_cont
+    to the last bit, incl. heavy ties and tiny groups."""
+    import duckdb
+    import ray.data as rd
+
+    from raygeo.ops.relational import grouped_quantile_cont
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    n = 3000
+    df = pd.DataFrame({
+        "k": [f"g{i % 4}" for i in range(n)],
+        "v": rng.integers(0, 40, size=n) / 8.0,  # coarse grid: ties
+    })
+    df.loc[df.k == "g3", "v"] = 7.25  # constant group
+    got = (grouped_quantile_cont(rd.from_pandas(df).repartition(9),
+                                 "k", "v", q=0.9)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, count(*)::BIGINT AS n_rows,
+          quantile_cont(CAST(round(v * 100) AS BIGINT), 0.9) AS p_value
+        FROM df GROUP BY 1 ORDER BY 1""").df()
+    assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+    assert got["p_value"].tolist() == exp["p_value"].tolist()  # bit-exact
+
+
+def test_context_windows_edges(ray_session):
+    """Doc shorter than one window -> one clipped window; exact-multiple
+    lengths must not emit a trailing empty window."""
+    import ray.data as rd
+
+    from raygeo.ops.corpus import context_windows
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], np.int64),
+        "text": ["w " * 5,            # 5 tokens: one window len 5
+                 "w " * 64,           # exactly one window len 64
+                 "w " * 65,           # windows at 0 (64) and 48 (17)
+                 ""],                 # zero tokens: no windows
+    })
+    got = (context_windows(rd.from_pandas(docs).repartition(3),
+                           win=64, stride=48)
+           .to_pandas().sort_values(["doc_id", "win_start"])
+           .reset_index(drop=True))
+    assert got[["doc_id", "win_start", "win_len"]].values.tolist() == [
+        [1, 0, 5], [2, 0, 64], [3, 0, 64], [3, 48, 17]]
