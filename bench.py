@@ -145,6 +145,11 @@ def run_bench() -> dict:
         "events_ohlc",
         "emb_gram",
         "returned_revenue",
+        "mosaic_dilate",
+        "customer_order_histogram",
+        "docs_decontaminate",
+        "emb_kcenter",
+        "orders_p90",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -852,6 +852,13 @@ def ingest_update(
     bit-identical to a one-shot batch ingest of the union (the sorted-LWW
     refinement; cross-plan equality test in tests/test_ingest.py).
 
+    Concurrency contract: WITHIN a job each tile is updated by exactly one
+    task (the new batch's groupby(tile_id) merge emits one row per tile).
+    ACROSS jobs run updates sequentially per cube — there is no
+    cross-process optimistic-concurrency retry here (the reference
+    documents the same single-writer caveat, ``accessor.py:403-407``);
+    two concurrent updater jobs hitting one tile race read-modify-write.
+
     Plan: the new batch runs the normal fold/combine/shuffle pipeline with
     NO ledger anti-join (committed tiles must accept updates), producing
     one merged incoming canvas per touched tile; a final per-tile stage
