@@ -1565,6 +1565,20 @@ def _q_mosaic_dilate(sf_dir: str):
     return dilate_stats(tiles, FIXTURE_GRID)
 
 
+def _q_mosaic_erode(sf_dir: str):
+    """3x3 focal-min (morphological erode) on the same 8-neighbor
+    exchange as dilate — only the reduction differs."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.stencil import erode_stats
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return erode_stats(tiles, FIXTURE_GRID)
+
+
 def _q_mosaic_resample(sf_dir: str):
     """NN grid warp onto the 3x-coarser half-pixel-shifted WARP_GRID: each
     source tile analytically computes its target-pixel inverse image,
@@ -2309,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
         "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
         "mosaic_dilate": _q_mosaic_dilate,  # 8-neighbor focal max
+        "mosaic_erode": _q_mosaic_erode,  # focal min, same exchange
         "mosaic_resample": _q_mosaic_resample,  # NN grid warp (gather)
         "catalog_tile_cover": _q_catalog_tile_cover,  # JSONL source path
         "csv_cell_histogram": _q_csv_cell_histogram,  # CSV source path
@@ -2692,6 +2707,10 @@ FROM read_parquet('{FIX_SF001}/gradient_golden.parquet')
         "mosaic_dilate": f"""
 SELECT tile_id, tx, ty, n_px, dilate_sum
 FROM read_parquet('{FIX_SF001}/dilate_golden.parquet')
+""",
+        "mosaic_erode": f"""
+SELECT tile_id, tx, ty, n_px, dilate_sum
+FROM read_parquet('{FIX_SF001}/erode_golden.parquet')
 """,
         "mosaic_resample": f"""
 SELECT tile_id, tx, ty, n_valid_px, pix_sum

@@ -1076,7 +1076,7 @@ def _golden_gradient(lww: dict) -> pa.Table:
     })
 
 
-def _golden_dilate(lww: dict) -> pa.Table:
+def _golden_dilate(lww: dict, minimize: bool = False) -> pa.Table:
     """Per-tile 3x3 focal-max (dilate) stats from the GLOBAL plane — a
     deliberately different decomposition from the engine's 8-neighbor
     ring/halo exchange (shares only v = R+G+B). A pixel counts when its
@@ -1085,16 +1085,17 @@ def _golden_dilate(lww: dict) -> pa.Table:
     g = FIXTURE_GRID
     _, valid, v = _full_plane(lww)
     H, W = v.shape
-    NEG = -(1 << 62)
-    P = np.full((H + 2, W + 2), NEG, np.int64)
+    sent = (1 << 62) if minimize else -(1 << 62)
+    op = np.minimum if minimize else np.maximum
+    P = np.full((H + 2, W + 2), sent, np.int64)
     M = np.zeros((H + 2, W + 2), bool)
-    P[1:-1, 1:-1] = np.where(valid, v, NEG)
+    P[1:-1, 1:-1] = np.where(valid, v, sent)
     M[1:-1, 1:-1] = valid
-    mx = np.full((H, W), NEG, np.int64)
+    mx = np.full((H, W), sent, np.int64)
     anyv = np.zeros((H, W), bool)
     for dr in range(3):
         for dc in range(3):
-            mx = np.maximum(mx, P[dr:dr + H, dc:dc + W])
+            mx = op(mx, P[dr:dr + H, dc:dc + W])
             anyv |= M[dr:dr + H, dc:dc + W]
     out = {"tile_id": [], "tx": [], "ty": [], "n_px": [], "dilate_sum": []}
     for (tx, ty) in sorted(lww):
@@ -1210,6 +1211,10 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_dilate(agg["lww"]), dlpath + ".tmp",
                    compression="zstd")
     os.replace(dlpath + ".tmp", dlpath)
+    erpath = os.path.join(out_dir, "erode_golden.parquet")
+    pq.write_table(_golden_dilate(agg["lww"], minimize=True),
+                   erpath + ".tmp", compression="zstd")
+    os.replace(erpath + ".tmp", erpath)
     rpath = os.path.join(out_dir, "resample_golden.parquet")
     pq.write_table(_golden_resample(agg["lww"]), rpath + ".tmp",
                    compression="zstd")
@@ -1346,7 +1351,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v14-dilate"
+FIXTURE_LAYOUT_VERSION = "v15-erode"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1383,6 +1388,7 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "trend_golden.parquet"))
             and os.path.exists(os.path.join(d, "gradient_golden.parquet"))
             and os.path.exists(os.path.join(d, "dilate_golden.parquet"))
+            and os.path.exists(os.path.join(d, "erode_golden.parquet"))
             and os.path.exists(os.path.join(d, "resample_golden.parquet"))
             and os.path.exists(os.path.join(d, "overview2_golden.parquet"))
             and os.path.exists(os.path.join(d, "mosaic_zonal_golden.parquet"))

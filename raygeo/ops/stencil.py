@@ -433,23 +433,32 @@ DILATE_PARTIAL_SCHEMA = pa.schema([
 ])
 
 _NEG = -(1 << 62)  # invalid-pixel sentinel for the max fold
+_POS = 1 << 62   # invalid-pixel sentinel for the min (erode) fold
 
 
-def _focal_max(V: np.ndarray, M: np.ndarray):
-    """(sum of 3x3 valid-max, count of any-valid windows) per interior
-    position of a padded (h+2, w+2) frame; returns the (h, w) planes."""
-    Vs = np.where(M, V, _NEG)
+def _focal_reduce(V: np.ndarray, M: np.ndarray, minimize: bool = False):
+    """(3x3 valid-extremum, any-valid flag) per interior position of a
+    padded (h+2, w+2) frame; returns the (h, w) planes. ``minimize``
+    selects the erosion (focal min) fold, else dilation (focal max)."""
+    sent = _POS if minimize else _NEG
+    op = np.minimum if minimize else np.maximum
+    Vs = np.where(M, V, sent)
     h, w = V.shape[0] - 2, V.shape[1] - 2
-    mx = np.full((h, w), _NEG, np.int64)
+    mx = np.full((h, w), sent, np.int64)
     any_v = np.zeros((h, w), bool)
     for dr in range(3):
         for dc in range(3):
-            mx = np.maximum(mx, Vs[dr:dr + h, dc:dc + w])
+            mx = op(mx, Vs[dr:dr + h, dc:dc + w])
             any_v |= M[dr:dr + h, dc:dc + w]
     return mx, any_v
 
 
-def dilate_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+def _focal_max(V: np.ndarray, M: np.ndarray):
+    return _focal_reduce(V, M, minimize=False)
+
+
+def dilate_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+                 minimize: bool = False):
     """Per-tile 3x3 focal-max (morphological dilate) statistics with a FULL
     8-neighborhood halo exchange — the focal op whose corner pixels need
     diagonal neighbors, unlike the 4-neighbor gradient/hillshade exchange.
@@ -499,7 +508,7 @@ def dilate_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
             # interior: windows fully inside the tile -> no padding needed
             # (_focal_max on the unpadded (chunk, chunk) tile yields the
             # (chunk-2, chunk-2) interior positions exactly)
-            imx, iany = _focal_max(v, mask)
+            imx, iany = _focal_reduce(v, mask, minimize)
             row((tx, ty), "self", int(iany.sum()), int(imx[iany].sum()))
 
             def strip(vs, ms):
@@ -594,7 +603,7 @@ def dilate_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
                 ms = np.frombuffer(g.column("m")[j].as_py(),
                                    np.uint8).astype(bool)
                 _place(P, M, kind, vs, ms)
-        mx, any_v = _focal_max(P, M)
+        mx, any_v = _focal_reduce(P, M, minimize)
         border = np.zeros((c, c), bool)
         border[0, :] = border[-1, :] = True
         border[:, 0] = border[:, -1] = True
@@ -611,3 +620,12 @@ def dilate_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
 
     return partials.groupby("tile_id").map_groups(merge,
                                                   batch_format="pyarrow")
+
+
+def erode_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """3x3 focal-min (morphological erode): the min-fold sibling of
+    :func:`dilate_stats` on the identical 8-neighbor ring/halo exchange —
+    output columns (tile_id, tx, ty, n_px, dilate_sum) where the stat is
+    the window's valid MIN. One exchange implementation serves both
+    morphology ops; only the reduction differs."""
+    return dilate_stats(tiles_ds, grid, pack, minimize=True)

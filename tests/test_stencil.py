@@ -214,19 +214,22 @@ def test_hillshade_matches_full_plane_golden(ray_session, fixtures_sf0001):
     assert got["shade_sum"].abs().sum() > 0
 
 
-@pytest.mark.parametrize("seed", [2, 9])
-def test_dilate_matches_full_plane(ray_session, seed):
+@pytest.mark.parametrize("seed,minimize", [(2, False), (9, False),
+                                           (2, True), (11, True)])
+def test_dilate_matches_full_plane(ray_session, seed, minimize):
     import ray.data as rd
 
-    from raygeo.ops.stencil import dilate_stats
+    from raygeo.ops.stencil import dilate_stats, erode_stats
 
+    op_fn = erode_stats if minimize else dilate_stats
     rows, plane, valid = _random_mosaic(seed=seed)
-    out = (dilate_stats(rd.from_items(rows).repartition(5), SRC)
+    out = (op_fn(rd.from_items(rows).repartition(5), SRC)
            .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True))
 
     v = plane.astype(np.int64).sum(axis=2)
     H, W = v.shape
-    NEG = -(1 << 62)
+    NEG = (1 << 62) if minimize else -(1 << 62)
+    red = np.minimum if minimize else np.maximum
     P = np.full((H + 2, W + 2), NEG, np.int64)
     M = np.zeros((H + 2, W + 2), bool)
     P[1:-1, 1:-1] = np.where(valid, v, NEG)
@@ -235,7 +238,7 @@ def test_dilate_matches_full_plane(ray_session, seed):
     anyv = np.zeros((H, W), bool)
     for dr in range(3):
         for dc in range(3):
-            mx = np.maximum(mx, P[dr:dr + H, dc:dc + W])
+            mx = red(mx, P[dr:dr + H, dc:dc + W])
             anyv |= M[dr:dr + H, dc:dc + W]
     present = sorted({(r["tx"], r["ty"]) for r in rows})
     exp = []
