@@ -365,6 +365,17 @@ def _q_video_scene_lengths(sf_dir: str):
                                threshold=3_000)
 
 
+def _q_image_augment(sf_dir: str):
+    """Geometric augmentations (hflip/vflip/rot180) with bit-exact
+    involution guards; flips conserve the pixel sum, so the stored
+    generation-time golden is the oracle."""
+    from raygeo.ops.multimodal import augment_check
+
+    d = _fix(sf_dir)
+    return augment_check(_rpq(f"{d}/images.parquet",
+                              columns=["image_id", "bytes"]))
+
+
 def _q_caption_roundtrip(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -2280,6 +2291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "thumbnails": _q_thumbnails,
         "normalize_bands": _q_normalize_bands,
         "caption_roundtrip": _q_caption_roundtrip,
+        "image_augment": _q_image_augment,  # flip kernels, sum-conserving
         "ingest_mosaic": _q_ingest_mosaic,
         "ingest_mosaic_update": _q_ingest_mosaic_update,  # incremental
         "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,
@@ -2818,6 +2830,9 @@ GROUP BY phash
 """,
         "decode_stats": f"""
 SELECT image_id, w, h, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
+""",
+        "image_augment": f"""
+SELECT image_id, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "thumbnails": f"""
 SELECT image_id, thumb_sum FROM read_parquet('{IMAGES_001}/*.parquet')

