@@ -179,3 +179,37 @@ def _read_segments(d: str) -> list[dict]:
         if name.startswith(_SEGMENT_PREFIX) and name.endswith(".parquet"):
             out.extend(pq.read_table(os.path.join(d, name)).to_pylist())
     return out
+
+
+def fsck(cube_path: str):
+    """Cube consistency audit: cross-check tile data files vs lineage
+    records. The data-then-record commit order means a crash can leave
+    data-without-record (safe: the tile recomputes idempotently) but
+    NEVER record-without-data — a record pointing at missing data is
+    corruption (manual deletion, partial restore) and is flagged.
+
+    Returns a pandas DataFrame (tile_id, has_data, has_record, status)
+    with status in {'ok', 'recompute' (data only), 'missing_data'
+    (record only — corrupt)}.
+    """
+    import os
+
+    import pandas as pd
+
+    from .cube import TILES_DIR
+
+    tdir = os.path.join(cube_path, TILES_DIR)
+    data = set()
+    if os.path.isdir(tdir):
+        for f in os.listdir(tdir):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                data.add(f[len("part-"):-len(".parquet")])
+    records = loaded_partitions(cube_path)
+    rows = []
+    for tid in sorted(data | records):
+        has_d, has_r = tid in data, tid in records
+        status = ("ok" if has_d and has_r
+                  else "recompute" if has_d else "missing_data")
+        rows.append((tid, has_d, has_r, status))
+    return pd.DataFrame(rows, columns=["tile_id", "has_data",
+                                       "has_record", "status"])

@@ -132,3 +132,84 @@ def test_export_sharded_resume(ray_session, tmp_path):
     back = pq.read_table(sorted(glob.glob(os.path.join(out, "*.parquet")))).to_pandas()
     assert len(back) == 1000
     assert set(back.doc_id) == set(range(1000))
+
+
+UPDATE_CHILD = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+import pyarrow as pa
+import ray.data as rd
+from raygeo.fixtures import FIXTURE_GRID, ensure_fixtures
+from raygeo.ops.ingest import ingest, ingest_update
+d = ensure_fixtures(0.001)
+images = rd.read_parquet(f"{d}/images.parquet",
+                         columns=["image_id", "bytes", "w", "h"]).limit(300)
+
+def part(t, lo, hi):
+    keep = [lo <= int(i.rsplit("-", 1)[1]) < hi
+            for i in t.column("image_id").to_pylist()]
+    return t.filter(pa.array(keep))
+
+if %(phase)d == 0:
+    ingest(images.map_batches(lambda t: part(t, 0, 180),
+                              batch_format="pyarrow"),
+           FIXTURE_GRID, cube_path=%(cube)r).materialize()
+else:
+    ingest_update(images.map_batches(lambda t: part(t, 180, 300),
+                                     batch_format="pyarrow"),
+                  FIXTURE_GRID, %(cube)r).materialize()
+ray.shutdown()
+"""
+
+
+def test_update_from_fresh_process_equals_batch(fixtures_sf0001, tmp_path):
+    """The reference's steady-state loop across PROCESS lifetimes: one
+    process batch-ingests, a later fresh process folds in new patches via
+    ingest_update — final tile bytes must equal the one-shot union."""
+    import subprocess
+    import zlib as _z
+
+    import ray.data as rd
+
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import Channel, CubeSpec, create
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from tests.test_ingest import _tile_bytes
+
+    spec = CubeSpec("u", FIXTURE_GRID, (Channel("rgb", "uint8", 0),))
+    cube_inc = str(tmp_path / "cube_inc")
+    create(spec, cube_inc)
+    for phase in (0, 1):  # sequential: the documented one-updater contract
+        p = subprocess.run(
+            [sys.executable, "-c",
+             UPDATE_CHILD % {"repo": REPO, "cube": cube_inc,
+                             "phase": phase}],
+            cwd=REPO, capture_output=True, text=True,
+            env=dict(os.environ, RAY_ADDRESS="local"), timeout=300)
+        assert p.returncode == 0, p.stderr[-2000:]
+
+    cube_batch = str(tmp_path / "cube_batch")
+    create(spec, cube_batch)
+    ds = rd.read_parquet(f"{fixtures_sf0001}/images.parquet").limit(300)
+    ingest(ds, FIXTURE_GRID, cube_path=cube_batch).materialize()
+
+    ti, tb = _tile_bytes(cube_inc), _tile_bytes(cube_batch)
+    assert set(ti) == set(tb)
+    for tid in tb:
+        assert ti[tid][2] == tb[tid][2]
+        assert _z.decompress(ti[tid][0]) == _z.decompress(tb[tid][0])
+
+    # fsck: a healthy cube is all-ok; removing one record flags recompute
+    from raygeo.lineage import fsck
+
+    rep = fsck(cube_inc)
+    assert (rep["status"] == "ok").all()
+    victim = rep["tile_id"].iloc[0]
+    os.remove(os.path.join(cube_inc, "lineage", f"part-{victim}.json"))
+    rep2 = fsck(cube_inc).set_index("tile_id")
+    assert rep2.loc[victim, "status"] == "recompute"
+    assert (rep2.drop(victim)["status"] == "ok").all()
