@@ -2184,6 +2184,26 @@ def _q_emb_dim_stats(sf_dir: str):
                           columns=["embedding"]))
 
 
+def _q_events_export_hive(sf_dir: str):
+    """Native hive-partitioned parquet sink round-trip: write events
+    partitioned by type, read back per partition with a pruned scan,
+    count — the oracle checks the sink layout + pruned read, not the
+    in-memory input."""
+    import shutil
+    import tempfile
+
+    from raygeo.ops.export import export_hive_partitioned
+
+    out = tempfile.mkdtemp(prefix="raygeo_hive_")
+    try:
+        return export_hive_partitioned(
+            _rpq(f"{sf_dir}/events.parquet",
+                 columns=["event_id", "event_type"]),
+            out, "event_type", "event_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_events_mad_outliers(sf_dir: str):
     """Robust per-type anomaly count: exact median + MAD off two
     domain-bounded histogram folds, |x-med| > 3*MAD."""
@@ -2388,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _q_docs_decontaminate,  # benchmark n-gram hits
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
+        "events_export_hive": _q_events_export_hive,  # native hive sink
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -3788,6 +3809,10 @@ SELECT event_type, bucket::BIGINT AS bucket,
   count(*)::BIGINT AS n_events
 FROM r
 GROUP BY 1, 2
+""",
+        "events_export_hive": """
+SELECT event_type, count(*)::BIGINT AS n_rows
+FROM events GROUP BY 1
 """,
         "orders_p90": """
 SELECT o_orderpriority, count(*)::BIGINT AS n_rows,

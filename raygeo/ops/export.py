@@ -86,3 +86,45 @@ def export_sharded(ds, out_dir: str, shard_col: str, num_shards: int = 16):
     return ds.map_batches(add_shard, batch_format="pyarrow",
                           batch_size=8192).groupby("__shard").map_groups(
         write_shard, batch_format="pandas")
+
+
+def export_hive_partitioned(ds, out_dir: str, partition_col: str,
+                            count_col: str):
+    """Hive-style partitioned export through Ray Data's NATIVE parquet
+    sink (``write_parquet(partition_cols=[...])`` — one directory per
+    partition value), then a partition-PRUNED read-back that touches only
+    one partition's files per value.
+
+    Returns the per-partition row counts computed FROM THE READ-BACK (so
+    the round-trip — sink layout, hive path encoding, pruned scan — is
+    what the oracle checks, not the in-memory input). Output:
+    (partition value, n_rows).
+    """
+    import pyarrow.dataset as pads
+
+    from ..util import read_parquet_clean  # noqa: F401 (doc anchor)
+
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
+    # read back per partition value with DIRECTORY-level pruning: the
+    # hive layout puts each value under '<col>=<value>/', so reading that
+    # path touches only the one partition's files (pyarrow's hive filter
+    # can't bind partition columns through Ray's reader — path pruning is
+    # the portable form)
+    dataset = pads.dataset(out_dir, partitioning="hive")
+    values = sorted(
+        dataset.to_table(columns=[partition_col])
+        .column(partition_col).unique().to_pylist())
+    rows = []
+    for v in values:
+        import os
+
+        import ray.data as rd
+
+        part = rd.read_parquet(
+            os.path.join(out_dir, f"{partition_col}={v}"),
+            columns=[count_col])
+        rows.append((v, part.count()))
+    return pa.table({
+        partition_col: pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+    })
