@@ -177,6 +177,18 @@ def _q_polar_tile_cover(sf_dir: str):
     return roi_tiles(normalize_rois(t, POLAR_GRID), POLAR_GRID)
 
 
+def _q_images_cell_rollup(sf_dir: str):
+    """H3/S2-style cellToParent rollup: per-cell image counts at level 6
+    AND level 5, coarse rows derived from the fine fold in one pass; the
+    SQL oracle re-derives the Morton bit interleave arithmetically."""
+    from raygeo.ops.spatial_join import cell_rollup
+
+    d = _fix(sf_dir)
+    return cell_rollup(_rpq(f"{d}/images.parquet",
+                            columns=["lon_min", "lat_min",
+                                     "lon_max", "lat_max"]))
+
+
 def _q_zonal_stats(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -2312,6 +2324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_bands": _q_normalize_bands,
         "caption_roundtrip": _q_caption_roundtrip,
         "image_augment": _q_image_augment,  # flip kernels, sum-conserving
+        "images_cell_rollup": _q_images_cell_rollup,  # cellToParent fold
         "ingest_mosaic": _q_ingest_mosaic,
         "ingest_mosaic_update": _q_ingest_mosaic_update,  # incremental
         "ingest_mosaic_temporal": _q_ingest_mosaic_temporal,
@@ -2854,6 +2867,40 @@ SELECT image_id, w, h, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
 """,
         "image_augment": f"""
 SELECT image_id, pix_sum FROM read_parquet('{IMAGES_001}/*.parquet')
+""",
+        "images_cell_rollup": f"""
+WITH c AS (
+  SELECT image_id, (lon_min + lon_max) / 2.0 AS cx,
+         (lat_min + lat_max) / 2.0 AS cy
+  FROM read_parquet('{IMAGES_001}/*.parquet')
+),
+q AS (
+  SELECT image_id,
+    least(63, greatest(0,
+      CAST(trunc((cx + 1.0) / 2.0 * 64) AS BIGINT))) AS ix,
+    least(63, greatest(0,
+      CAST(trunc((cy + 1.0) / 2.0 * 64) AS BIGINT))) AS iy
+  FROM c
+),
+m AS (
+  SELECT image_id,
+    (6::BIGINT << 58)
+      + sum((((ix >> b.b) & 1) << (2 * b.b))
+            + (((iy >> b.b) & 1) << (2 * b.b + 1))) AS cell6,
+    (5::BIGINT << 58)
+      + sum(CASE WHEN b.b < 5 THEN
+              ((((ix >> 1) >> b.b) & 1) << (2 * b.b))
+              + ((((iy >> 1) >> b.b) & 1) << (2 * b.b + 1))
+            ELSE 0 END) AS cell5
+  FROM q, LATERAL (SELECT unnest(range(6)) AS b) b
+  GROUP BY image_id, ix, iy
+)
+SELECT cell::BIGINT AS cell, lvl::BIGINT AS lvl,
+  count(*)::BIGINT AS n_images
+FROM (
+  SELECT cell6 AS cell, 6 AS lvl FROM m
+  UNION ALL SELECT cell5, 5 FROM m
+) GROUP BY 1, 2
 """,
         "thumbnails": f"""
 SELECT image_id, thumb_sum FROM read_parquet('{IMAGES_001}/*.parquet')

@@ -322,3 +322,53 @@ def footprint_overlap_degree(images_ds, grid: GridSpec,
                 cell_pairs, batch_format="pandas")
             .groupby("image_id")
             .aggregate(Sum("n", alias_name="n_overlaps")))
+
+
+def cell_rollup(images_ds, level: int = 6,
+                x0: float = -1.0, y0: float = -1.0,
+                x1: float = 1.0, y1: float = 1.0):
+    """Multi-resolution cell aggregation (the H3/S2 ``cellToParent``
+    rollup): images counted per Z-order quadtree cell at ``level`` AND at
+    the parent level, the coarse rows derived from the fine fold — one
+    pass over the data, counts per level shuffled as cell-bounded
+    partials. Output: (cell, lvl, n_images) for lvl ∈ {level, level-1}.
+
+    The cell id IS the engine's partition key (Morton-packed int64,
+    ``raygeo/cells.py``) — numerically-near cells are spatially near, so
+    the same key serves hash AND range partitioning; the SQL oracle
+    re-derives the bit interleave arithmetically.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .. import cells
+
+    def partial(t: pa.Table) -> pa.Table:
+        cx = (t.column("lon_min").to_numpy()
+              + t.column("lon_max").to_numpy()) / 2.0
+        cy = (t.column("lat_min").to_numpy()
+              + t.column("lat_max").to_numpy()) / 2.0
+        c6 = cells.cell_of(cx, cy, level, x0=x0, y0=y0, x1=x1, y1=y1)
+        c5 = cells.parent(c6)
+        df = pd.DataFrame({
+            "cell": np.concatenate([c6, c5]),
+            "lvl": np.concatenate([
+                np.full(len(c6), level, np.int64),
+                np.full(len(c5), level - 1, np.int64)]),
+            "n_images": np.int64(1),
+        })
+        g = (df.groupby(["cell", "lvl"], sort=False)["n_images"].sum()
+             .reset_index())
+        return pa.table({
+            "cell": pa.array(g["cell"].to_numpy(np.int64), pa.int64()),
+            "lvl": pa.array(g["lvl"].to_numpy(np.int64), pa.int64()),
+            "n_images": pa.array(g["n_images"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    return (images_ds.select_columns(["lon_min", "lat_min", "lon_max",
+                                      "lat_max"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["cell", "lvl"])
+            .aggregate(Sum("n_images", alias_name="n_images")))
