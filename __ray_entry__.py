@@ -2196,6 +2196,15 @@ def _q_emb_dim_stats(sf_dir: str):
                           columns=["embedding"]))
 
 
+def _q_events_value_trend(sf_dir: str):
+    """TCTrend in relational form: per-type integer-exact OLS slope
+    moments, returned as an exact fraction — one five-moment fold."""
+    from raygeo.ops.relational import grouped_value_trend
+
+    return grouped_value_trend(_rpq(f"{sf_dir}/events.parquet",
+                                    columns=["event_type", "ts", "value"]))
+
+
 def _q_events_export_hive(sf_dir: str):
     """Native hive-partitioned parquet sink round-trip: write events
     partitioned by type, read back per partition with a pruned scan,
@@ -2422,6 +2431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_export_hive": _q_events_export_hive,  # native hive sink
+        "events_value_trend": _q_events_value_trend,  # integer OLS moments
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -3860,6 +3870,24 @@ GROUP BY 1, 2
         "events_export_hive": """
 SELECT event_type, count(*)::BIGINT AS n_rows
 FROM events GROUP BY 1
+""",
+        "events_value_trend": """
+WITH m AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) - 219144 AS t,
+    CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+a AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(t)::HUGEINT AS st,
+    sum(v)::HUGEINT AS sv, sum(t * v)::HUGEINT AS stv,
+    sum(t * t)::HUGEINT AS st2
+  FROM m GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n,
+  (n * stv - st * sv)::BIGINT AS slope_num,
+  (n * st2 - st * st)::BIGINT AS slope_den
+FROM a
 """,
         "orders_p90": """
 SELECT o_orderpriority, count(*)::BIGINT AS n_rows,

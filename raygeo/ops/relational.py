@@ -2754,3 +2754,63 @@ def grouped_quantile_cont(ds, key_col: str, value_col: str, q: float = 0.9):
                              "p_value": np.float64(p)})
 
     return hist.groupby("k").map_groups(pick, batch_format="pandas")
+
+
+# epoch hours at 1995-01-01 (the testdata's first order date): rebasing the
+# time axis keeps every OLS moment far from int64 overflow at any SF
+_TREND_T0_HOURS = 219144
+
+
+def grouped_value_trend(events_ds, key_col: str = "event_type",
+                        ts_col: str = "ts", value_col: str = "value"):
+    """Per-group integer-exact OLS slope moments of value-vs-time — the
+    reference's TCTrend statistic (per-pixel temporal regression,
+    ``datasets/tctrend.py``) in relational form over an event stream.
+
+    One pass folds the five moments (n, Σt, Σv, Σtv, Σt²) map-side with
+    t = epoch-hours rebased to the corpus start (bounds every product
+    within int64 at any scale); the slope is returned as an exact
+    integer fraction (num = nΣtv − ΣtΣv, den = nΣt² − (Σt)²) so no
+    float division can diverge between engines.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        hours = (t.column(ts_col).to_numpy().astype("datetime64[s]")
+                 .astype(np.int64) // 3600) - _TREND_T0_HOURS
+        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pandas(),
+            "n": np.int64(1), "sum_t": hours, "sum_v": cents,
+            "sum_tv": hours * cents, "sum_t2": hours * hours,
+        })
+        g = df.groupby("k", sort=False).sum().reset_index()
+        return table_from_pandas(g)
+
+    agg = (events_ds.select_columns([key_col, ts_col, value_col])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("k")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_t", alias_name="sum_t"),
+                      Sum("sum_v", alias_name="sum_v"),
+                      Sum("sum_tv", alias_name="sum_tv"),
+                      Sum("sum_t2", alias_name="sum_t2")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # key-bounded rows: exact Python-int products (n*Σtv can exceed
+        # int64 at extreme row counts even though every MOMENT fits)
+        n = t.column("n").to_pylist()
+        st = t.column("sum_t").to_pylist()
+        sv = t.column("sum_v").to_pylist()
+        stv = t.column("sum_tv").to_pylist()
+        st2 = t.column("sum_t2").to_pylist()
+        num = [a * b - c * d for a, b, c, d in zip(n, stv, st, sv)]
+        den = [a * b - c * c for a, b, c in zip(n, st2, st)]
+        return pa.table({
+            key_col: t.column("k"),
+            "n": pa.array(n, pa.int64()),
+            "slope_num": pa.array(num, pa.int64()),
+            "slope_den": pa.array(den, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
