@@ -629,3 +629,74 @@ def erode_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
     the window's valid MIN. One exchange implementation serves both
     morphology ops; only the reduction differs."""
     return dilate_stats(tiles_ds, grid, pack, minimize=True)
+
+
+def gradient_stats_incremental(tiles_ds, grid: GridSpec, touched: set,
+                               prior, pack: ChannelPack | None = None):
+    """Incremental view maintenance for the gradient stencil: after an
+    incremental cube update (``ops.ingest.ingest_update``) recompute the
+    per-tile gradient statistics ONLY where they could have changed, and
+    splice them into the prior result.
+
+    Dependency analysis (from the exchange protocol): gradient(T) reads
+    T plus T's east and south neighbors. So a changed-tile set U affects
+    outputs A = U ∪ west(U) ∪ north(U), and recomputing A needs inputs
+    I = A ∪ east(A) ∪ south(A). The refresh scans only I (a map-side
+    broadcast-set filter — point reads at cube layout granularity),
+    recomputes A, and keeps every other prior row untouched.
+    Result == full recompute, bit for bit (pinned by test).
+
+    ``prior`` is the previous full stats table (pa.Table or Dataset);
+    returns a pa.Table (A is update-sized, the splice is row-bounded by
+    the prior result, which is tile-count-bounded — never pixel data).
+    """
+    import pyarrow.compute as pc
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def _parse(tid: str) -> tuple:
+        tx, ty = tid.split("-", 1)
+        return int(tx), int(ty)
+
+    def _grow(base: set, deltas) -> set:
+        out = set(base)
+        for tx, ty in base:
+            for dx, dy in deltas:
+                nx, ny = tx + dx, ty + dy
+                if 0 <= nx < n_tx and 0 <= ny < n_ty:
+                    out.add((nx, ny))
+        return out
+
+    touched_t = {_parse(t) for t in touched}
+    affected_t = _grow(touched_t, [(-1, 0), (0, -1)])  # west, north
+    inputs_t = _grow(affected_t, [(1, 0), (0, 1)])     # east, south
+    affected = {f"{tx}-{ty}" for tx, ty in affected_t}
+    inputs = {f"{tx}-{ty}" for tx, ty in inputs_t}
+
+    import ray
+
+    in_ref = ray.put(frozenset(inputs))
+
+    def keep_inputs(t: pa.Table) -> pa.Table:
+        ids = t.column("tile_id").to_pylist()
+        inp = ray.get(in_ref)
+        return t.filter(pa.array([i in inp for i in ids]))
+
+    sub = tiles_ds.map_batches(keep_inputs, batch_format="pyarrow",
+                               batch_size=64)
+    fresh = gradient_stats(sub, grid, pack).to_arrow_refs()
+    fresh_t = pa.concat_tables([ray.get(r) for r in fresh])
+    # tiles in I \ A were scanned only as neighbor inputs; their own rows
+    # are incomplete (their east/south inputs were not loaded) — drop them
+    keep_a = pa.array([i in affected
+                       for i in fresh_t.column("tile_id").to_pylist()])
+    fresh_t = fresh_t.filter(keep_a)
+
+    prior_t = prior if isinstance(prior, pa.Table) else pa.concat_tables(
+        [ray.get(r) for r in prior.to_arrow_refs()])
+    drop = pa.array([i not in affected
+                     for i in prior_t.column("tile_id").to_pylist()])
+    kept = prior_t.filter(drop).select(fresh_t.column_names)
+    return pa.concat_tables([kept.cast(fresh_t.schema), fresh_t])

@@ -251,3 +251,54 @@ def test_dilate_matches_full_plane(ray_session, seed, minimize):
               .sort_values(["tx", "ty"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         out[["tx", "ty", "n_px", "dilate_sum"]], exp_df, check_dtype=False)
+
+
+def test_gradient_incremental_equals_full(ray_session, tmp_path):
+    """After an incremental cube update, the spliced refresh must equal a
+    full recompute bit for bit — incl. west/north neighbors of touched
+    tiles whose border pairs changed."""
+    import ray.data as rd
+
+    from raygeo.cube import Channel, CubeSpec, create
+    from raygeo.fixtures import ensure_fixtures
+    from raygeo.ops.ingest import ingest, ingest_update
+    from raygeo.ops.stencil import gradient_stats, gradient_stats_incremental
+    from raygeo.util import read_parquet_clean
+
+    d = ensure_fixtures(0.001)
+    FG = __import__("raygeo.fixtures", fromlist=["FIXTURE_GRID"]).FIXTURE_GRID
+    images = read_parquet_clean(f"{d}/images.parquet",
+                                columns=["image_id", "bytes", "w", "h"]
+                                ).limit(400)
+
+    def part(lo, hi):
+        def f(t):
+            import pyarrow as pa
+
+            keep = [lo <= int(i.rsplit("-", 1)[1]) < hi
+                    for i in t.column("image_id").to_pylist()]
+            return t.filter(pa.array(keep))
+        return f
+
+    cube = str(tmp_path / "cube")
+    create(CubeSpec("g", FG, (Channel("rgb", "uint8", 0),)), cube)
+    ingest(images.map_batches(part(0, 300), batch_format="pyarrow"),
+           FG, cube_path=cube).materialize()
+    tiles0 = read_parquet_clean(f"{cube}/tiles")
+    prior = gradient_stats(tiles0, FG)
+
+    upd = ingest_update(images.map_batches(part(300, 400),
+                                           batch_format="pyarrow"),
+                        FG, cube).to_pandas()
+    touched = set(upd["tile_id"])
+    assert touched
+
+    tiles1 = read_parquet_clean(f"{cube}/tiles")
+    got = (gradient_stats_incremental(tiles1, FG, touched, prior)
+           .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    full = (gradient_stats(read_parquet_clean(f"{cube}/tiles"), FG)
+            .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["tile_id", "tx", "ty", "n_pairs", "abs_grad_sum"]],
+        full[["tile_id", "tx", "ty", "n_pairs", "abs_grad_sum"]],
+        check_dtype=False)
