@@ -1588,6 +1588,50 @@ def _q_mosaic_dilate(sf_dir: str):
     return dilate_stats(tiles, FIXTURE_GRID)
 
 
+def _q_mosaic_gradient_refresh(sf_dir: str):
+    """Incremental view maintenance end-to-end: batch-ingest 60% of the
+    patches, compute gradient stats, fold in the remaining 40% via
+    ingest_update, then REFRESH only the affected tiles — the result must
+    equal the full-mosaic gradient golden."""
+    import shutil
+    import tempfile
+
+    from raygeo.cube import Channel, CubeSpec, create
+    from raygeo.fixtures import FIXTURE_GRID, images_count_for_sf, sf_of_dir
+    from raygeo.ops.ingest import ingest, ingest_update
+    from raygeo.ops.stencil import gradient_stats, gradient_stats_incremental
+
+    d = _fix(sf_dir)
+    cut = int(images_count_for_sf(sf_of_dir(sf_dir)) * 0.6)
+    images = _rpq(f"{d}/images.parquet",
+                  columns=["image_id", "bytes", "w", "h"])
+
+    def split(lt: bool):
+        import pyarrow as pa
+
+        def f(t):
+            keep = [(int(i.rsplit("-", 1)[1]) < cut) == lt
+                    for i in t.column("image_id").to_pylist()]
+            return t.filter(pa.array(keep))
+        return f
+
+    cube = tempfile.mkdtemp(prefix="raygeo_gref_")
+    try:
+        create(CubeSpec("g", FIXTURE_GRID,
+                        (Channel("rgb", "uint8", 0),)), cube)
+        ingest(images.map_batches(split(True), batch_format="pyarrow"),
+               FIXTURE_GRID, cube_path=cube).materialize()
+        prior = gradient_stats(_rpq(f"{cube}/tiles"), FIXTURE_GRID)
+        upd = ingest_update(images.map_batches(split(False),
+                                               batch_format="pyarrow"),
+                            FIXTURE_GRID, cube).to_pandas()
+        return gradient_stats_incremental(
+            _rpq(f"{cube}/tiles"), FIXTURE_GRID,
+            set(upd["tile_id"]), prior)
+    finally:
+        shutil.rmtree(cube, ignore_errors=True)
+
+
 def _q_mosaic_erode(sf_dir: str):
     """3x3 focal-min (morphological erode) on the same 8-neighbor
     exchange as dilate — only the reduction differs."""
@@ -2378,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
         "mosaic_dilate": _q_mosaic_dilate,  # 8-neighbor focal max
         "mosaic_erode": _q_mosaic_erode,  # focal min, same exchange
+        "mosaic_gradient_refresh": _q_mosaic_gradient_refresh,  # IVM
         "mosaic_resample": _q_mosaic_resample,  # NN grid warp (gather)
         "catalog_tile_cover": _q_catalog_tile_cover,  # JSONL source path
         "csv_cell_histogram": _q_csv_cell_histogram,  # CSV source path
@@ -2767,6 +2812,10 @@ FROM read_parquet('{FIX_SF001}/dilate_golden.parquet')
         "mosaic_erode": f"""
 SELECT tile_id, tx, ty, n_px, dilate_sum
 FROM read_parquet('{FIX_SF001}/erode_golden.parquet')
+""",
+        "mosaic_gradient_refresh": f"""
+SELECT tile_id, tx, ty, n_pairs, abs_grad_sum
+FROM read_parquet('{FIX_SF001}/gradient_golden.parquet')
 """,
         "mosaic_resample": f"""
 SELECT tile_id, tx, ty, n_valid_px, pix_sum
