@@ -2240,6 +2240,16 @@ def _q_emb_dim_stats(sf_dir: str):
                           columns=["embedding"]))
 
 
+def _q_parts_skyline(sf_dir: str):
+    """SKYLINE / Pareto front (min price, max size): local fronts fold
+    map-side (skyline algebra is associative), one tiny final merge."""
+    from raygeo.ops.relational import skyline_parts
+
+    return skyline_parts(_rpq(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_retailprice",
+                                       "p_size"]))
+
+
 def _q_events_value_trend(sf_dir: str):
     """TCTrend in relational form: per-type integer-exact OLS slope
     moments, returned as an exact fraction — one five-moment fold."""
@@ -2477,6 +2487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_export_hive": _q_events_export_hive,  # native hive sink
         "events_value_trend": _q_events_value_trend,  # integer OLS moments
+        "parts_skyline": _q_parts_skyline,  # Pareto-front operator
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -3919,6 +3930,18 @@ GROUP BY 1, 2
         "events_export_hive": """
 SELECT event_type, count(*)::BIGINT AS n_rows
 FROM events GROUP BY 1
+""",
+        "parts_skyline": """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+         p_size::BIGINT AS p_size
+  FROM part
+)
+SELECT p_partkey, price_c, p_size FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+    AND (q.price_c < p.price_c OR q.p_size > p.p_size))
 """,
         "events_value_trend": """
 WITH m AS (

@@ -2814,3 +2814,60 @@ def grouped_value_trend(events_ds, key_col: str = "event_type",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+    """Strict-dominance skyline sweep (minimize price_c, maximize p_size).
+
+    Sorted by (price asc, size desc): a row survives iff its size strictly
+    exceeds the best size among strictly cheaper rows AND it achieves the
+    max size within its own price class (equal-(price, size) duplicates
+    all survive — neither strictly dominates the other)."""
+    df = df.sort_values(["price_c", "p_size"],
+                        ascending=[True, False], kind="mergesort")
+    price = df["price_c"].to_numpy()
+    size = df["p_size"].to_numpy()
+    keep = np.zeros(len(df), bool)
+    best_cheaper = -(1 << 62)
+    i = 0
+    while i < len(df):
+        j = i
+        while j < len(df) and price[j] == price[i]:
+            j += 1
+        gmax = size[i]  # sorted desc within the price class
+        if gmax > best_cheaper:
+            keep[i:j] = size[i:j] == gmax
+        best_cheaper = max(best_cheaper, gmax)
+        i = j
+    return df[keep]
+
+
+def skyline_parts(part_ds):
+    """SKYLINE / Pareto-front operator: parts not strictly dominated in
+    (lower price, larger size) — the multi-objective shortlist query.
+
+    Distributed plan exploits skyline algebra: skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)), so each batch prunes to its LOCAL
+    skyline map-side (typically a tiny anti-correlated front) and one
+    final fold merges the partials — the shuffle carries fronts, never
+    the table. Output: (p_partkey, price_c, p_size).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_partkey": t.column("p_partkey").to_numpy(),
+            "price_c": np.rint(t.column("p_retailprice").to_numpy()
+                               * 100).astype(np.int64),
+            "p_size": t.column("p_size").to_numpy().astype(np.int64),
+        })
+        return table_from_pandas(_local_skyline(df))
+
+    parts = (part_ds.select_columns(["p_partkey", "p_retailprice", "p_size"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _local_skyline(df)
+
+    # single global fold over the union of tiny local fronts
+    return (parts.repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=1 << 30))

@@ -1305,3 +1305,28 @@ def test_context_windows_edges(ray_session):
            .reset_index(drop=True))
     assert got[["doc_id", "win_start", "win_len"]].values.tolist() == [
         [1, 0, 5], [2, 0, 64], [3, 0, 64], [3, 48, 17]]
+
+
+def test_skyline_strict_dominance_and_partitioning(ray_session):
+    """Duplicates of a front point both survive (no strict dominance);
+    same-price smaller-size and same-size pricier rows are dominated;
+    result is partitioning-invariant (skyline algebra associativity)."""
+    import ray.data as rd
+
+    from raygeo.ops.relational import skyline_parts
+
+    df = pd.DataFrame({
+        "p_partkey": np.arange(8, dtype=np.int64),
+        #                 front  dup   domA  domB  front  domC  front  domD
+        "p_retailprice": [1.00, 1.00, 1.00, 2.00, 2.00, 3.00, 0.50, 0.50],
+        "p_size": np.array([10, 10, 7, 10, 20, 15, 5, 4], np.int32),
+        # 0,1: equal-(price,size) duplicates -> both kept
+        # 2: same price, smaller size -> dominated by 0
+        # 3: same size as 0 but pricier -> dominated
+        # 4: pricier but bigger -> front; 5: dominated by 4
+        # 6: cheapest, small -> front; 7: same price smaller -> dominated
+    })
+    for parts in (1, 5):
+        got = (skyline_parts(rd.from_pandas(df).repartition(parts))
+               .to_pandas().sort_values("p_partkey").reset_index(drop=True))
+        assert got["p_partkey"].tolist() == [0, 1, 4, 6]
