@@ -1330,3 +1330,32 @@ def test_skyline_strict_dominance_and_partitioning(ray_session):
         got = (skyline_parts(rd.from_pandas(df).repartition(parts))
                .to_pandas().sort_values("p_partkey").reset_index(drop=True))
         assert got["p_partkey"].tolist() == [0, 1, 4, 6]
+
+
+def test_join_type_matrix_right_outer_and_semis(ray_session):
+    """Pin the remaining Dataset.join types the ops rely on implicitly:
+    right_outer mirrors left_outer (coalesced key under the LEFT name),
+    left_semi/left_anti partition the left side exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    right = rd.from_arrow(pa.table({"rk": [2, 3, 4], "b": [200, 300, 400]}))
+
+    ro = (left.join(right, join_type="right_outer", num_partitions=2,
+                    on=("k",), right_on=("rk",))
+          .to_pandas().sort_values("b").reset_index(drop=True))
+    assert ro["b"].tolist() == [200, 300, 400]
+    # left-missing row (rk=4) survives with a null left payload
+    assert ro["a"].isna().tolist() == [False, False, True]
+
+    semi = (left.join(right, join_type="left_semi", num_partitions=2,
+                      on=("k",), right_on=("rk",))
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    anti = (left.join(right, join_type="left_anti", num_partitions=2,
+                      on=("k",), right_on=("rk",))
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert semi["k"].tolist() == [2, 3]
+    assert anti["k"].tolist() == [1]
+    # semi ∪ anti == left, disjoint
+    assert sorted(semi["k"].tolist() + anti["k"].tolist()) == [1, 2, 3]
