@@ -1617,17 +1617,22 @@ def _q_mosaic_gradient_refresh(sf_dir: str):
 
     cube = tempfile.mkdtemp(prefix="raygeo_gref_")
     try:
+        import pyarrow as pa
+        import ray
+
         create(CubeSpec("g", FIXTURE_GRID,
                         (Channel("rgb", "uint8", 0),)), cube)
         ingest(images.map_batches(split(True), batch_format="pyarrow"),
                FIXTURE_GRID, cube_path=cube).materialize()
-        prior = gradient_stats(_rpq(f"{cube}/tiles"), FIXTURE_GRID)
+        # materialized BEFORE the update (a lazy prior would re-read
+        # post-update bytes — see gradient_stats_incremental's contract)
+        prior = pa.concat_tables([ray.get(r) for r in gradient_stats(
+            _rpq(f"{cube}/tiles"), FIXTURE_GRID).to_arrow_refs()])
         upd = ingest_update(images.map_batches(split(False),
                                                batch_format="pyarrow"),
                             FIXTURE_GRID, cube).to_pandas()
         return gradient_stats_incremental(
-            _rpq(f"{cube}/tiles"), FIXTURE_GRID,
-            set(upd["tile_id"]), prior)
+            cube, FIXTURE_GRID, set(upd["tile_id"]), prior)
     finally:
         shutil.rmtree(cube, ignore_errors=True)
 
@@ -3957,8 +3962,9 @@ a AS (
   FROM m GROUP BY 1
 )
 SELECT event_type, n::BIGINT AS n,
-  (n * stv - st * sv)::BIGINT AS slope_num,
-  (n * st2 - st * st)::BIGINT AS slope_den
+  CASE WHEN n * st2 - st * st = 0 THEN 0
+       ELSE ((n * stv - st * sv) * 1000000) // (n * st2 - st * st)
+  END::BIGINT AS slope_ppm
 FROM a
 """,
         "orders_p90": """

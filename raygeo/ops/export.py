@@ -100,26 +100,25 @@ def export_hive_partitioned(ds, out_dir: str, partition_col: str,
     what the oracle checks, not the in-memory input). Output:
     (partition value, n_rows).
     """
-    import pyarrow.dataset as pads
+    import os
+    import urllib.parse
 
-    from ..util import read_parquet_clean  # noqa: F401 (doc anchor)
+    import ray.data as rd
 
     ds.write_parquet(out_dir, partition_cols=[partition_col])
     # read back per partition value with DIRECTORY-level pruning: the
     # hive layout puts each value under '<col>=<value>/', so reading that
     # path touches only the one partition's files (pyarrow's hive filter
     # can't bind partition columns through Ray's reader — path pruning is
-    # the portable form)
-    dataset = pads.dataset(out_dir, partitioning="hive")
+    # the portable form). Partition values come from the directory NAMES
+    # (O(partitions)), never from scanning exported rows.
+    prefix = f"{partition_col}="
     values = sorted(
-        dataset.to_table(columns=[partition_col])
-        .column(partition_col).unique().to_pylist())
+        urllib.parse.unquote(d[len(prefix):])
+        for d in os.listdir(out_dir)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(out_dir, d)))
     rows = []
     for v in values:
-        import os
-
-        import ray.data as rd
-
         part = rd.read_parquet(
             os.path.join(out_dir, f"{partition_col}={v}"),
             columns=[count_col])

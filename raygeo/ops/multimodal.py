@@ -620,31 +620,28 @@ def video_scene_lengths(ds, threshold: int = 3_000, batch_size: int = 64):
 
 
 class AugmentCheck:
-    """Deterministic geometric augmentations (hflip / vflip / rot180) with
-    built-in involution checks — the training-data augmentation stage.
+    """Deterministic geometric augmentations (hflip / vflip / rot180) —
+    the training-data augmentation stage.
 
-    Per image: decode once, apply the three flips, assert each is its own
-    inverse bit-for-bit (hflip∘hflip == id etc. — a transposed-axis bug
-    cannot pass), and emit the augmented pixel sum, which geometric
-    flips conserve — giving the driver oracle an exact generation-time
-    golden (stored pix_sum) with zero extra stored columns."""
+    Per image: decode once, materialize the three flips, and emit the
+    mean augmented pixel sum. Geometric flips conserve the pixel sum, so
+    the stored generation-time golden value-checks the decode+augment
+    pipeline with zero extra stored columns; POSITIONAL correctness of
+    the flips (which a sum can't see) is pinned by the offline test
+    against hand-written expected arrays on a known tiny image."""
+
+    @staticmethod
+    def flips(img: np.ndarray) -> tuple:
+        """(hflip, vflip, rot180) as materialized arrays."""
+        return (np.ascontiguousarray(img[:, ::-1]),
+                np.ascontiguousarray(img[::-1, :]),
+                np.ascontiguousarray(img[::-1, ::-1]))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..codec import decode
-
         bufs = binary_views(t.column("bytes"))
         sums = np.empty(len(bufs), np.int64)
         for j, b in enumerate(bufs):
-            img = decode(b)
-            h = img[:, ::-1]
-            v = img[::-1, :]
-            r = img[::-1, ::-1]
-            # involution guards: each flip undone must reproduce the
-            # original bytes exactly
-            if not (np.array_equal(h[:, ::-1], img)
-                    and np.array_equal(v[::-1, :], img)
-                    and np.array_equal(r[::-1, ::-1], img)):
-                raise AssertionError("flip involution violated")
+            h, v, r = self.flips(decode(b))
             sums[j] = (int(h.astype(np.int64).sum())
                        + int(v.astype(np.int64).sum())
                        + int(r.astype(np.int64).sum())) // 3

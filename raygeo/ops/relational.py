@@ -1154,6 +1154,42 @@ def q5_local_volume(lineitem_ds, orders_path: str, customer_path: str,
     return agg.map_batches(name, batch_format="pyarrow")
 
 
+def sql_round_cents(values: np.ndarray) -> np.ndarray:
+    """value*100 -> int64 cents with SQL ``round()`` semantics
+    (half-AWAY-from-zero). ``np.rint`` rounds half-to-even and diverges
+    from every DuckDB oracle on exact .5-cent inputs (e.g. 0.125*100):
+    the histogram-fold ops use THIS so engine-vs-oracle parity holds on
+    every input, not just inputs that never land on a half cent."""
+    v = np.asarray(values, dtype=np.float64) * 100.0
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+        np.int64)
+
+
+def _grouped_cents_hist(ds, key_col: str, value_col: str):
+    """Shared domain-bounded (key, cents) histogram fold: map-side
+    distinct-pair count partials, bounded block count, one keyed groupby.
+    The single copy behind median / quantile_cont / MAD — a quantization
+    or repartition change cannot silently diverge between them."""
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = sql_round_cents(t.column(value_col).to_numpy())
+        df = pd.DataFrame({"k": t.column(key_col).to_pandas(), "cents": cents})
+        g = (df.groupby(["k", "cents"], sort=False).size().rename("n")
+             .reset_index())
+        return table_from_pandas(g)
+
+    return (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            # bound the block count before the sort-groupby: its cost grows
+            # with blocks x partitions, and partial blocks are tiny
+            .repartition(max(8, min(64, cluster_cpus())))
+            .groupby(["k", "cents"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def grouped_exact_median(ds, key_col: str, value_col: str):
     """EXACT per-group median (percentile_disc 0.5) via a full-resolution
     integer-cents histogram fold — the bucketed-quantile op's exact
@@ -1166,23 +1202,7 @@ def grouped_exact_median(ds, key_col: str, value_col: str):
     cumulative histogram: exact, deterministic, no sort of raw rows
     anywhere. Output: (key, n_rows, median_cents).
     """
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
-        df = pd.DataFrame({"k": t.column(key_col).to_pandas(), "cents": cents})
-        g = df.groupby(["k", "cents"], sort=False).size().rename("n").reset_index()
-        return table_from_pandas(g)
-
-    from ..util import cluster_cpus
-
-    hist = (ds.select_columns([key_col, value_col])
-            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
-            # bound the block count before the sort-groupby: its cost grows
-            # with blocks x partitions, and partial blocks are tiny
-            .repartition(max(8, min(64, cluster_cpus())))
-            .groupby(["k", "cents"])
-            .aggregate(Sum("n", alias_name="n")))
+    hist = _grouped_cents_hist(ds, key_col, value_col)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cents")
@@ -2581,7 +2601,7 @@ def mad_outliers(events_ds, key_col: str = "event_type",
 
     def dev_partial(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_pandas()
-        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
+        cents = sql_round_cents(t.column(value_col).to_numpy())
         med = keys.map(med_of).to_numpy(np.int64)
         g = (pd.DataFrame({"k": keys, "dev": np.abs(cents - med)})
              .groupby(["k", "dev"], sort=False).size().rename("n")
@@ -2717,23 +2737,7 @@ def grouped_quantile_cont(ds, key_col: str, value_col: str, q: float = 0.9):
     operand order matters in IEEE arithmetic and is pinned by test.
     Output: (key, n_rows, p_value) with p_value float64.
     """
-    from ray.data.aggregate import Sum
-
-    from ..util import cluster_cpus
-
-    def partial(t: pa.Table) -> pa.Table:
-        cents = np.rint(t.column(value_col).to_numpy() * 100).astype(np.int64)
-        df = pd.DataFrame({"k": t.column(key_col).to_pandas(),
-                           "cents": cents})
-        g = (df.groupby(["k", "cents"], sort=False).size().rename("n")
-             .reset_index())
-        return table_from_pandas(g)
-
-    hist = (ds.select_columns([key_col, value_col])
-            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
-            .repartition(max(8, min(64, cluster_cpus())))
-            .groupby(["k", "cents"])
-            .aggregate(Sum("n", alias_name="n")))
+    hist = _grouped_cents_hist(ds, key_col, value_col)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cents")
@@ -2768,10 +2772,14 @@ def grouped_value_trend(events_ds, key_col: str = "event_type",
     ``datasets/tctrend.py``) in relational form over an event stream.
 
     One pass folds the five moments (n, Σt, Σv, Σtv, Σt²) map-side with
-    t = epoch-hours rebased to the corpus start (bounds every product
-    within int64 at any scale); the slope is returned as an exact
-    integer fraction (num = nΣtv − ΣtΣv, den = nΣt² − (Σt)²) so no
-    float division can diverge between engines.
+    t = epoch-hours rebased to the corpus start (bounds every MOMENT
+    within int64 at any scale). The slope itself is returned as exact
+    parts-per-million: ``slope_ppm = trunc(1e6·(nΣtv − ΣtΣv) /
+    (nΣt² − (Σt)²))`` — the num/den pair is n²-scaled and can exceed
+    int64 for groups beyond ~6e5 rows, so it is formed in
+    arbitrary-precision Python ints over the key-bounded final rows and
+    only the bounded ppm value (truncating division, matching DuckDB
+    ``//``) is emitted. Zero-variance groups emit 0.
     """
     from ray.data.aggregate import Sum
 
@@ -2804,13 +2812,19 @@ def grouped_value_trend(events_ds, key_col: str = "event_type",
         sv = t.column("sum_v").to_pylist()
         stv = t.column("sum_tv").to_pylist()
         st2 = t.column("sum_t2").to_pylist()
-        num = [a * b - c * d for a, b, c, d in zip(n, stv, st, sv)]
-        den = [a * b - c * c for a, b, c in zip(n, st2, st)]
+        ppm = []
+        for a, b, c, d, e in zip(n, stv, st, sv, st2):
+            num = (a * b - c * d) * 1_000_000
+            den = a * e - c * c
+            if den == 0:
+                ppm.append(0)
+            else:  # truncating division toward zero: DuckDB's `//`
+                q = abs(num) // den
+                ppm.append(q if num >= 0 else -q)
         return pa.table({
             key_col: t.column("k"),
             "n": pa.array(n, pa.int64()),
-            "slope_num": pa.array(num, pa.int64()),
-            "slope_den": pa.array(den, pa.int64()),
+            "slope_ppm": pa.array(ppm, pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")

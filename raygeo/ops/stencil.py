@@ -453,8 +453,6 @@ def _focal_reduce(V: np.ndarray, M: np.ndarray, minimize: bool = False):
     return mx, any_v
 
 
-def _focal_max(V: np.ndarray, M: np.ndarray):
-    return _focal_reduce(V, M, minimize=False)
 
 
 def dilate_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
@@ -506,8 +504,8 @@ def dilate_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
             v = _vsum(canvas, pack)
             tx, ty = int(txs[j]), int(tys[j])
             # interior: windows fully inside the tile -> no padding needed
-            # (_focal_max on the unpadded (chunk, chunk) tile yields the
-            # (chunk-2, chunk-2) interior positions exactly)
+            # (_focal_reduce on the unpadded (chunk, chunk) tile yields
+            # the (chunk-2, chunk-2) interior positions exactly)
             imx, iany = _focal_reduce(v, mask, minimize)
             row((tx, ty), "self", int(iany.sum()), int(imx[iany].sum()))
 
@@ -631,7 +629,7 @@ def erode_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
     return dilate_stats(tiles_ds, grid, pack, minimize=True)
 
 
-def gradient_stats_incremental(tiles_ds, grid: GridSpec, touched: set,
+def gradient_stats_incremental(cube_path: str, grid: GridSpec, touched: set,
                                prior, pack: ChannelPack | None = None):
     """Incremental view maintenance for the gradient stencil: after an
     incremental cube update (``ops.ingest.ingest_update``) recompute the
@@ -641,17 +639,18 @@ def gradient_stats_incremental(tiles_ds, grid: GridSpec, touched: set,
     Dependency analysis (from the exchange protocol): gradient(T) reads
     T plus T's east and south neighbors. So a changed-tile set U affects
     outputs A = U ∪ west(U) ∪ north(U), and recomputing A needs inputs
-    I = A ∪ east(A) ∪ south(A). The refresh scans only I (a map-side
-    broadcast-set filter — point reads at cube layout granularity),
-    recomputes A, and keeps every other prior row untouched.
-    Result == full recompute, bit for bit (pinned by test).
+    I = A ∪ east(A) ∪ south(A). The refresh reads ONLY the |I| named
+    per-tile parquet files (the cube layout is one file per tile — true
+    point reads, refresh I/O is O(update), never O(cube)), recomputes A,
+    and keeps every other prior row untouched. Result == full recompute,
+    bit for bit (pinned by test).
 
-    ``prior`` is the previous full stats table (pa.Table or Dataset);
-    returns a pa.Table (A is update-sized, the splice is row-bounded by
-    the prior result, which is tile-count-bounded — never pixel data).
+    ``prior`` is the previous full stats table and MUST be materialized
+    (pa.Table, or a Dataset the caller already executed) BEFORE the cube
+    update is applied — a lazy Dataset passed here would re-read the
+    post-update tile bytes and make the splice vacuous. Returns a
+    pa.Table (row-bounded by the tile count — never pixel data).
     """
-    import pyarrow.compute as pc
-
     pack = pack or ChannelPack(RGB_CHANNELS)
 
     n_tx, n_ty = grid.n_tx, grid.n_ty
@@ -675,17 +674,25 @@ def gradient_stats_incremental(tiles_ds, grid: GridSpec, touched: set,
     affected = {f"{tx}-{ty}" for tx, ty in affected_t}
     inputs = {f"{tx}-{ty}" for tx, ty in inputs_t}
 
+    import os
+
     import ray
 
-    in_ref = ray.put(frozenset(inputs))
+    prior_t = prior if isinstance(prior, pa.Table) else pa.concat_tables(
+        [ray.get(r) for r in prior.to_arrow_refs()])
+    if not touched:  # no-op update -> no-op refresh
+        return prior_t
 
-    def keep_inputs(t: pa.Table) -> pa.Table:
-        ids = t.column("tile_id").to_pylist()
-        inp = ray.get(in_ref)
-        return t.filter(pa.array([i in inp for i in ids]))
+    from ..cube import TILES_DIR
+    from ..util import read_parquet_clean
 
-    sub = tiles_ds.map_batches(keep_inputs, batch_format="pyarrow",
-                               batch_size=64)
+    paths = [p for p in
+             (os.path.join(cube_path, TILES_DIR, f"part-{tid}.parquet")
+              for tid in sorted(inputs))
+             if os.path.exists(p)]
+    if not paths:
+        return prior_t
+    sub = read_parquet_clean(paths)
     fresh = gradient_stats(sub, grid, pack).to_arrow_refs()
     fresh_t = pa.concat_tables([ray.get(r) for r in fresh])
     # tiles in I \ A were scanned only as neighbor inputs; their own rows
@@ -694,8 +701,6 @@ def gradient_stats_incremental(tiles_ds, grid: GridSpec, touched: set,
                        for i in fresh_t.column("tile_id").to_pylist()])
     fresh_t = fresh_t.filter(keep_a)
 
-    prior_t = prior if isinstance(prior, pa.Table) else pa.concat_tables(
-        [ray.get(r) for r in prior.to_arrow_refs()])
     drop = pa.array([i not in affected
                      for i in prior_t.column("tile_id").to_pylist()])
     kept = prior_t.filter(drop).select(fresh_t.column_names)

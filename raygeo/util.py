@@ -88,7 +88,9 @@ def read_parquet_clean(path, columns=None, **kw):
     import ray.data as rd
 
     p = path
-    if os.path.isdir(path):
+    if isinstance(path, (list, tuple)):  # explicit file list (point reads)
+        p = path[0] if path else None
+    elif os.path.isdir(path):
         parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
         if parts:
             p = parts[0]

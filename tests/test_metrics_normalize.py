@@ -579,3 +579,18 @@ def test_augment_check_conserves_golden_sums(ray_session, fixtures_sf0001):
                            columns=["image_id", "pix_sum"]).to_pandas()
     golden = golden.set_index("image_id").loc[got.index]
     assert (got["pix_sum"] == golden["pix_sum"]).all()
+
+
+def test_augment_flips_positionally_correct():
+    """Pin flip POSITIONS (sum conservation can't see a wrong axis) on a
+    hand-written 2x3 image against explicit expected arrays."""
+    import numpy as np
+
+    from raygeo.ops.multimodal import AugmentCheck
+
+    img = np.array([[[1, 0, 0], [2, 0, 0], [3, 0, 0]],
+                    [[4, 0, 0], [5, 0, 0], [6, 0, 0]]], np.uint8)
+    h, v, r = AugmentCheck.flips(img)
+    assert h[:, :, 0].tolist() == [[3, 2, 1], [6, 5, 4]]
+    assert v[:, :, 0].tolist() == [[4, 5, 6], [1, 2, 3]]
+    assert r[:, :, 0].tolist() == [[6, 5, 4], [3, 2, 1]]

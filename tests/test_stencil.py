@@ -285,7 +285,13 @@ def test_gradient_incremental_equals_full(ray_session, tmp_path):
     ingest(images.map_batches(part(0, 300), batch_format="pyarrow"),
            FG, cube_path=cube).materialize()
     tiles0 = read_parquet_clean(f"{cube}/tiles")
-    prior = gradient_stats(tiles0, FG)
+    # materialize the prior BEFORE the update: a lazy Dataset would
+    # re-read post-update bytes and make the splice check vacuous
+    import pyarrow as pa_
+    import ray as ray_
+
+    prior = pa_.concat_tables(
+        [ray_.get(r) for r in gradient_stats(tiles0, FG).to_arrow_refs()])
 
     upd = ingest_update(images.map_batches(part(300, 400),
                                            batch_format="pyarrow"),
@@ -293,9 +299,11 @@ def test_gradient_incremental_equals_full(ray_session, tmp_path):
     touched = set(upd["tile_id"])
     assert touched
 
-    tiles1 = read_parquet_clean(f"{cube}/tiles")
-    got = (gradient_stats_incremental(tiles1, FG, touched, prior)
+    got = (gradient_stats_incremental(cube, FG, touched, prior)
            .to_pandas().sort_values("tile_id").reset_index(drop=True))
+    # no-op refresh is a no-op
+    same = gradient_stats_incremental(cube, FG, set(), prior)
+    assert same.equals(prior)
     full = (gradient_stats(read_parquet_clean(f"{cube}/tiles"), FG)
             .to_pandas().sort_values("tile_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(
