@@ -1359,3 +1359,50 @@ def test_join_type_matrix_right_outer_and_semis(ray_session):
     assert anti["k"].tolist() == [1]
     # semi ∪ anti == left, disjoint
     assert sorted(semi["k"].tolist() + anti["k"].tolist()) == [1, 2, 3]
+
+
+def test_sql_round_cents_matches_duckdb_round():
+    """Adversarial grid (k/8: exact .5 cents, negatives) — engine cents
+    must equal DuckDB's CAST(round(v*100) AS BIGINT) on every value."""
+    import duckdb
+
+    from raygeo.ops.relational import sql_round_cents
+
+    vals = np.concatenate([
+        np.arange(-40, 41) / 8.0,       # ±x.125 -> .5-cent classes
+        np.arange(-40, 41) / 16.0,
+        np.array([0.0, -0.005, 0.005, 1.115, -1.115]),
+    ])
+    got = sql_round_cents(vals).tolist()
+    df = pd.DataFrame({"v": vals})
+    exp = duckdb.sql(
+        "SELECT CAST(round(v * 100) AS BIGINT) c FROM df").df()["c"].tolist()
+    assert got == exp
+
+
+def test_local_skyline_property_random():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raygeo.ops.relational import _local_skyline
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                    min_size=1, max_size=40))
+    def run(pts):
+        df = pd.DataFrame({
+            "p_partkey": np.arange(len(pts), dtype=np.int64),
+            "price_c": np.array([p for p, _ in pts], np.int64),
+            "p_size": np.array([s for _, s in pts], np.int64),
+        })
+        got = set(_local_skyline(df)["p_partkey"])
+        exp = set()
+        for i, (pi, si) in enumerate(pts):
+            dominated = any(
+                qj <= pi and sj >= si and (qj < pi or sj > si)
+                for j, (qj, sj) in enumerate(pts) if j != i)
+            if not dominated:
+                exp.add(i)
+        assert got == exp
+
+    run()
