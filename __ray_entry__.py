@@ -2302,6 +2302,17 @@ def _q_emb_kcenter(sf_dir: str):
                                columns=["vec_id", "embedding"]), k=4)
 
 
+def _q_terms_components(sf_dir: str):
+    """Bounded-round min-label propagation over the top-term
+    co-occurrence graph (the CC / community-seeding iteration): label
+    state node-bounded + broadcast per round, edges streamed."""
+    from raygeo.ops.corpus import term_cooccurrence
+    from raygeo.ops.graph import label_propagation
+
+    edges = term_cooccurrence(_rpq(f"{sf_dir}/documents.parquet"), top_k=20)
+    return label_propagation(edges, "term_a", "term_b", rounds=3)
+
+
 def _q_docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: 8-gram overlap vs the held-out slice —
     benchmark n-gram set folded once + broadcast, training pass pure map."""
@@ -2488,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc": _q_events_ohlc,  # OHLC downsample bars
         "docs_vocab_growth": _q_docs_vocab_growth,  # Heaps-law checkpoints
         "docs_decontaminate": _q_docs_decontaminate,  # benchmark n-gram hits
+        "terms_components": _q_terms_components,  # min-label propagation
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_export_hive": _q_events_export_hive,  # native hive sink
@@ -4094,6 +4106,46 @@ FROM s0
 UNION ALL SELECT 1, vec_id, dist::BIGINT FROM s1
 UNION ALL SELECT 2, vec_id, dist::BIGINT FROM s2
 UNION ALL SELECT 3, vec_id, dist::BIGINT FROM s3
+""",
+        "terms_components": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+), tt AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tf FROM toks GROUP BY term
+    ORDER BY tf DESC, term LIMIT 20)
+), dterm AS (
+  SELECT DISTINCT doc_id, term FROM toks
+  WHERE term IN (SELECT term FROM tt)
+), e0 AS (
+  SELECT a.term AS ta, b.term AS tb
+  FROM dterm a JOIN dterm b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+), edges AS (
+  SELECT ta AS s, tb AS t FROM e0 UNION ALL SELECT tb AS s, ta AS t FROM e0
+), l0 AS (
+  SELECT s AS node,
+    (('0x' || substr(md5(s), 1, 16))::UBIGINT
+     & 9223372036854775807::UBIGINT)::BIGINT AS lab
+  FROM (SELECT DISTINCT s FROM edges)
+), l1 AS (
+  SELECT l0.node, least(l0.lab, coalesce(min(ls.lab), l0.lab)) AS lab
+  FROM l0 LEFT JOIN edges ON edges.t = l0.node
+  LEFT JOIN l0 ls ON ls.node = edges.s
+  GROUP BY l0.node, l0.lab
+), l2 AS (
+  SELECT l1.node, least(l1.lab, coalesce(min(ls.lab), l1.lab)) AS lab
+  FROM l1 LEFT JOIN edges ON edges.t = l1.node
+  LEFT JOIN l1 ls ON ls.node = edges.s
+  GROUP BY l1.node, l1.lab
+), l3 AS (
+  SELECT l2.node, least(l2.lab, coalesce(min(ls.lab), l2.lab)) AS lab
+  FROM l2 LEFT JOIN edges ON edges.t = l2.node
+  LEFT JOIN l2 ls ON ls.node = edges.s
+  GROUP BY l2.node, l2.lab
+)
+SELECT node AS term, lab::BIGINT AS label FROM l3
 """,
         "docs_decontaminate": """
 WITH toks AS (

@@ -250,3 +250,80 @@ def pagerank_dataset(edges_ds, src_col: str = "term_a",
                          "rank": t.column("r").cast(pa.int64())})
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def label_propagation(edges_ds, src_col: str = "term_a",
+                      dst_col: str = "term_b", rounds: int = 3):
+    """Bounded-round min-label propagation over an undirected edge set —
+    the connected-components / community-seeding iteration (label(v) <-
+    min(label(v), min over neighbors)). After ``rounds`` rounds every
+    node carries the minimum label within its ``rounds``-hop
+    neighborhood; the SQL oracle unrolls the same rounds, so the check is
+    exact whether or not components have converged.
+
+    Same distributed shape as :func:`pagerank`: the label state is
+    NODE-bounded (broadcast per round via ``ray.put``), edges stream
+    through map-side min partials + one keyed Min fold per round — raw
+    edges never accumulate anywhere. Labels are 63-bit md5 hashes of the
+    node key (the repo's DuckDB-reproducible hash convention).
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Min
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_pylist()
+        b = t.column(dst_col).to_pylist()
+        return pa.table({"s": pa.array(a + b, pa.string()),
+                         "t": pa.array(b + a, pa.string())})
+
+    edges = edges_ds.select_columns([src_col, dst_col]).map_batches(
+        sym, batch_format="pyarrow", batch_size=65536).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(
+            sorted(set(t.column("s").to_pylist())), pa.string())})
+
+    nodes = sorted(set(
+        r["node"] for r in edges.map_batches(
+            node_partial, batch_format="pyarrow").take_all()))
+
+    def h63(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                              "big") & ((1 << 63) - 1)
+
+    labels = {n: h63(n) for n in nodes}
+
+    for _ in range(rounds):
+        ref = ray.put(labels)
+
+        def send(t: pa.Table, _r=ref) -> pa.Table:
+            lab = ray.get(_r)
+            s = t.column("s").to_pylist()
+            tt = t.column("t").to_pylist()
+            df = pd.DataFrame({"node": tt,
+                               "lab": [lab[x] for x in s]})
+            g = df.groupby("node", sort=False)["lab"].min().reset_index()
+            return pa.table({
+                "node": pa.array(g["node"].tolist(), pa.string()),
+                "lab": pa.array(g["lab"].to_numpy(np.int64), pa.int64()),
+            })
+
+        incoming = (edges.map_batches(send, batch_format="pyarrow",
+                                      batch_size=65536)
+                    .groupby("node")
+                    .aggregate(Min("lab", alias_name="lab"))
+                    .take_all())  # node-bounded
+        new = dict(labels)
+        for r in incoming:
+            n = r["node"]
+            if r["lab"] < new[n]:
+                new[n] = int(r["lab"])
+        labels = new
+
+    ns = sorted(labels)
+    return pa.table({
+        "term": pa.array(ns, pa.string()),
+        "label": pa.array([labels[n] for n in ns], pa.int64()),
+    })

@@ -1406,3 +1406,49 @@ def test_local_skyline_property_random():
         assert got == exp
 
     run()
+
+
+def test_label_propagation_chain_and_rounds(ray_session):
+    """A path graph needs hop-count rounds: after r rounds each node has
+    the min label within r hops — NOT necessarily the component min.
+    Verify exact r-hop semantics and full convergence at diameter."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raygeo.ops.graph import label_propagation
+
+    def h63(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                              "big") & ((1 << 63) - 1)
+
+    # path a-b-c-d-e plus isolated pair x-y
+    edges = pd.DataFrame({
+        "term_a": ["a", "b", "c", "d", "x"],
+        "term_b": ["b", "c", "d", "e", "y"],
+    })
+    names = ["a", "b", "c", "d", "e", "x", "y"]
+    lab = {n: h63(n) for n in names}
+
+    def serial(rounds):
+        cur = dict(lab)
+        adj = {n: set() for n in names}
+        for _, r in edges.iterrows():
+            adj[r.term_a].add(r.term_b)
+            adj[r.term_b].add(r.term_a)
+        for _ in range(rounds):
+            cur = {n: min([cur[n]] + [cur[m] for m in adj[n]])
+                   for n in names}
+        return cur
+
+    for rounds in (1, 2, 4):
+        got = (label_propagation(rd.from_pandas(edges).repartition(3),
+                                 rounds=rounds)
+               .to_pandas().set_index("term")["label"].to_dict())
+        assert got == serial(rounds), rounds
+    # diameter-4 path: 4 rounds converge the whole component
+    conv = (label_propagation(rd.from_pandas(edges), rounds=4)
+            .to_pandas())
+    comp_abcde = conv[conv.term.isin(list("abcde"))]["label"].nunique()
+    comp_xy = conv[conv.term.isin(["x", "y"])]["label"].nunique()
+    assert comp_abcde == 1 and comp_xy == 1
