@@ -1222,6 +1222,19 @@ def _q_orders_pivot(sf_dir: str):
                      _PRIORITIES)
 
 
+def _q_orders_unpivot(sf_dir: str):
+    """Reshape round-trip: pivot orders to per-priority columns, then
+    UNPIVOT/melt back to (year, priority column, cents) rows — the melted
+    result must equal the direct two-key groupby."""
+    from raygeo.ops.relational import unpivot
+
+    pivoted = _q_orders_pivot(sf_dir)
+    cols = [f"sum_{c.lower().replace('-', '_').replace(' ', '_')}"
+            for c in _PRIORITIES]
+    return unpivot(pivoted, "o_year", cols, var_name="priority_col",
+                   value_name="value_cents")
+
+
 def _q_emb_gram(sf_dir: str):
     """Distributed Gram-matrix fold (the PCA/linear-probe scatter
     aggregate): one int64 Q^T Q matmul per batch, d^2 shuffle rows per
@@ -2438,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": _q_events_interval_join,  # overlapping range join
         "events_zscore": _q_events_zscore,  # per-group standardization
         "orders_pivot": _q_orders_pivot,  # map-side pivoted partials
+        "orders_unpivot": _q_orders_unpivot,  # UNPIVOT/melt round-trip
         "orders_rollup": _q_orders_rollup,  # rollup from finest-level fold
         "events_distinct_users": _q_events_distinct_users,  # exact count-distinct
         "events_funnel": _q_events_funnel,
@@ -4442,6 +4456,23 @@ SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
   count(*)::BIGINT AS n_users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2
+""",
+        "orders_unpivot": """
+WITH names(o_orderpriority, priority_col) AS (VALUES
+  ('1-URGENT', 'sum_1_urgent'), ('2-HIGH', 'sum_2_high'),
+  ('3-MEDIUM', 'sum_3_medium'), ('4-NOT SPECIFIED', 'sum_4_not_specified'),
+  ('5-LOW', 'sum_5_low')
+),
+g AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year, o_orderpriority,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS value_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_year, priority_col,
+  coalesce(value_cents, 0)::BIGINT AS value_cents
+FROM (SELECT DISTINCT o_year FROM g) y
+CROSS JOIN names
+LEFT JOIN g USING (o_year, o_orderpriority)
 """,
         "orders_rollup": """
 SELECT coalesce(year(o_orderdate)::VARCHAR, 'ALL') AS o_year,

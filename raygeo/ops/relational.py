@@ -2885,3 +2885,26 @@ def skyline_parts(part_ds):
     # single global fold over the union of tiny local fronts
     return (parts.repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=1 << 30))
+
+
+def unpivot(ds, id_col: str, value_cols: list[str], var_name: str = "var",
+            value_name: str = "value"):
+    """UNPIVOT / melt — the reshape inverse of :func:`pivot_sum`: each of
+    the K declared value columns becomes a (id, var, value) row. Pure
+    per-batch reshape (flat map ×K, K fixed and small); never a shuffle.
+    """
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column(id_col).combine_chunks()
+        out_id, out_var, out_val = [], [], []
+        for c in value_cols:
+            out_id.append(ids)
+            out_var.append(pa.array([c] * n, pa.string()))
+            out_val.append(t.column(c).cast(pa.int64()).combine_chunks())
+        return pa.table({
+            id_col: pa.concat_arrays(out_id),
+            var_name: pa.concat_arrays(out_var),
+            value_name: pa.concat_arrays(out_val),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow", batch_size=65536)
