@@ -616,17 +616,21 @@ def _q_ingest_mosaic_update(sf_dir: str):
 
 def _q_ingest_mosaic_median(sf_dir: str):
     """Exact per-pixel lower-median composite (cloud-free-compositing
-    analog). Non-associative, so it rides the fragment plan: one
-    groupby(tile_id) brings every fragment of a tile to one task, a single
-    vectorized depth-stack sort yields the order statistic. Value-checked
-    against an independently painted NaN-stack median golden."""
+    analog) via the BOUNDED-HISTOGRAM plan: a 256-bin per-pixel value
+    histogram is associative for uint8 channels, so the median rides the
+    same map-side partial-fold + combiner-tree shape as lww/max — the
+    merge task's peak memory is levels x chunk^2 regardless of overlap
+    depth (the depth-stack plan's OOM knob). Bit-identical to the
+    depth-stack plan (tests/test_ingest.py pins both adaptive extremes);
+    value-checked against an independently painted NaN-stack median
+    golden."""
     from raygeo.fixtures import FIXTURE_GRID
     from raygeo.ops.composite import ingest_median
 
     d = _fix(sf_dir)
     tiles = ingest_median(_rpq(f"{d}/images.parquet",
                                columns=["image_id", "bytes", "w", "h"]),
-                          FIXTURE_GRID)
+                          FIXTURE_GRID, plan="hist")
     return tiles.select_columns(
         ["tile_id", "tx", "ty", "n_frags", "n_valid_px", "pix_sum"])
 

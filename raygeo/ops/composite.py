@@ -9,17 +9,31 @@ plan: decode+explode emits per-tile fragments, one ``groupby(tile_id)``
 brings every fragment of a tile to one task, and the median is computed
 there in a single vectorized sort over a depth stack.
 
-Scale shape: the shuffle carries raw fragment pixels (O(total decoded
-bytes)) — exactly the cost the lww/max partial fold avoids, and the
-irreducible cost of an exact order statistic over arbitrary dtypes. The
-per-task peak is depth x chunk^2 x value-size, so depth (overlap count per
-pixel) is the scale knob: at web scale, bound depth per tile per epoch, or
-switch to the bounded-histogram fold for 8/16-bit channels (a 256/65536-bin
-per-pixel histogram IS associative and rides the partial-fold plan; not
-implemented here — depth in the reference's datasets is tens, not
-thousands). Hot-tile skew is inherent to exact medians (every fragment of a
-tile must meet one task) and is surfaced by tile_skew_report rather than
-hidden by salting.
+Scale shape, two plans (bit-identical outputs, pinned by tests):
+
+- ``plan="stack"``: the shuffle carries raw fragment pixels (O(total
+  decoded bytes)) and the per-task peak is depth x chunk^2 x value-size —
+  depth (overlap count per pixel) is the scale knob; ``sub_split``
+  decomposes hot tiles spatially. Works for ANY channel dtype.
+- ``plan="hist"`` (small-domain integer channels: uint8 / bool): a
+  per-pixel value histogram (256 / 2 bins) IS associative, so the exact
+  median rides the same map-side partial-fold + combiner-tree shape as
+  lww/max. The map stage is ADAPTIVE per (task, tile): once a tile's
+  accumulated fragment bytes in one task exceed the hist wire estimate
+  (the high-depth / hot-tile regime) it folds them into one bounded hist
+  partial; below that it forwards raw fragments (low depth — a dense hist
+  would INFLATE the shuffle). The combiner tree coalesces same-tile rows
+  block-locally under the same rule, and the final per-tile merge folds
+  fragments + hist partials into ONE fixed-size histogram — per-task peak
+  is levels x chunk^2 x 8 B regardless of depth, so the thousands-of-
+  overlaps hot tile that OOMs the depth stack streams through a ~100 MB
+  array at chunk=128. (At production 3600^2 chunks the hist array itself
+  is the budget — compose with a spatial split or keep ``stack`` +
+  ``sub_split``; the eligibility gate enforces this.)
+
+Hot-tile skew is inherent to exact medians (every fragment of a tile must
+meet one task) and is surfaced by tile_skew_report rather than hidden by
+salting; the hist plan bounds what that task must HOLD, not what it reads.
 
 Change detection (``mosaic_change``) compares two mosaic variants of the
 same grid per tile — e.g. lww (latest observation) vs max (brightest
@@ -215,8 +229,13 @@ SUB_RESULT_SCHEMA = pa.schema([
 
 
 def ingest_median(images_ds, grid: GridSpec, batch_size: int = 64,
-                  channels=None, sub_split: int = 4):
+                  channels=None, sub_split: int = 4, plan: str = "stack"):
     """images Dataset -> median-composite tiles Dataset (lazy).
+
+    ``plan``: "stack" (depth-stack fragment plan below — any dtype),
+    "hist" (:func:`ingest_median_hist` — bounded-histogram partial fold,
+    uint8/bool channels), or "auto" (hist when eligible, else stack).
+    Both plans produce bit-identical tiles (pinned by tests).
 
     Fragment plan with SPATIAL skew decomposition: exact medians are
     per-pixel, so a tile splits losslessly into ``sub_split^2`` sub-tiles
@@ -234,6 +253,14 @@ def ingest_median(images_ds, grid: GridSpec, batch_size: int = 64,
     """
     pack = ChannelPack(tuple(channels)) if channels else ChannelPack(
         RGB_CHANNELS)
+    if plan not in ("stack", "hist", "auto"):
+        raise ValueError(f"unknown median plan {plan!r}")
+    if plan == "hist" or (plan == "auto" and hist_comp_levels(pack)
+                          is not None
+                          and sum(hist_comp_levels(pack)) * grid.chunk
+                          * grid.chunk * 8 <= (4 << 30)):
+        return ingest_median_hist(images_ds, grid, batch_size=batch_size,
+                                  channels=channels)
     frags = fragments_dataset(images_ds, grid, num_salts=1,
                               batch_size=batch_size, pack=pack)
     n_blocks = max(8, min(64, cluster_cpus()))
@@ -343,6 +370,358 @@ def ingest_median(images_ds, grid: GridSpec, batch_size: int = 64,
     return sub_results.groupby("tile_id").map_groups(
         assemble, batch_format="pyarrow")
 
+
+# ---------------------------------------------------------------------------
+# bounded-histogram median plan (uint8 / bool channels)
+# ---------------------------------------------------------------------------
+
+_HIST_LEVELS = {"uint8": 256, "bool": 2}
+
+MEDIAN_MIX_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int32()),
+    ("ty", pa.int32()),
+    ("kind", pa.int32()),    # 0 = raw fragment, 1 = hist partial
+    ("n_frags", pa.int64()),
+    ("y_off", pa.int32()),   # kind 0 only
+    ("x_off", pa.int32()),
+    ("fh", pa.int32()),
+    ("fw", pa.int32()),
+    ("px", pa.binary()),     # kind 0: fragment channel bytes; kind 1: hist_z
+])
+
+
+def hist_comp_levels(pack: ChannelPack) -> list[int] | None:
+    """Per-COMPONENT bin counts for the hist plan, or None if ineligible
+    (any channel dtype outside the small-domain integer set)."""
+    levels: list[int] = []
+    for dt, nc in zip(pack.dtypes, pack.ncomps):
+        n = _HIST_LEVELS.get(dt.name)
+        if n is None:
+            return None
+        levels.extend([n] * nc)
+    return levels
+
+
+def _comp_values(chans: list[np.ndarray]) -> list[np.ndarray]:
+    """Channel arrays -> flat list of 2-D uint8 component planes."""
+    out = []
+    for a in chans:
+        if a.ndim == 3:
+            for c in range(a.shape[2]):
+                out.append(a[..., c].astype(np.uint8, copy=False))
+        else:
+            out.append(a.astype(np.uint8, copy=False))
+    return out
+
+
+def _hist_alloc(levels: list[int], area: int) -> list[np.ndarray]:
+    return [np.zeros((n, area), np.int64) for n in levels]
+
+
+def _hist_add_frags(hists: list[np.ndarray], frag_rows, pack: ChannelPack,
+                    chunk: int) -> None:
+    """Fold raw fragments into per-comp histograms — ONE bincount per comp
+    over all fragments' (value, pixel) pairs, never a depth stack."""
+    area = chunk * chunk
+    pair_idx: list[list[np.ndarray]] = [[] for _ in hists]
+    for (y0, x0, fh, fw, buf) in frag_rows:
+        chans = pack.from_bytes(buf, fh, fw)
+        pos = (np.arange(y0, y0 + fh, dtype=np.int64)[:, None] * chunk
+               + np.arange(x0, x0 + fw, dtype=np.int64)[None, :]).ravel()
+        for ci, v in enumerate(_comp_values(chans)):
+            pair_idx[ci].append(v.ravel().astype(np.int64) * area + pos)
+    for ci, (h, parts) in enumerate(zip(hists, pair_idx)):
+        if not parts:
+            continue
+        idx = np.concatenate(parts)
+        h += np.bincount(idx, minlength=h.shape[0] * area).reshape(
+            h.shape[0], area)
+
+
+def _hist_to_wire(hists: list[np.ndarray]) -> bytes:
+    return zlib.compress(
+        b"".join(h.astype(np.uint32).tobytes() for h in hists), 1)
+
+
+def _hist_from_wire(buf: bytes, levels: list[int], area: int) -> list[np.ndarray]:
+    raw = zlib.decompress(buf)
+    out, off = [], 0
+    for n in levels:
+        nb = n * area * 4
+        out.append(np.frombuffer(raw[off:off + nb], np.uint32)
+                   .reshape(n, area).astype(np.int64))
+        off += nb
+    return out
+
+
+def _median_from_hists(hists: list[np.ndarray], pack: ChannelPack,
+                       chunk: int):
+    """(canvas channel-list, valid HxW bool) — lower median per component:
+    smallest value v with cumulative count > (depth-1)//2, identical to the
+    depth-stack plan's order statistic at index (count-1)//2."""
+    counts = hists[0].sum(axis=0)  # same depth for every comp
+    valid = (counts > 0).reshape(chunk, chunk)
+    med_idx = np.maximum(counts - 1, 0) // 2
+    meds = []
+    for h in hists:
+        cum = np.cumsum(h, axis=0)
+        meds.append((cum > med_idx[None, :]).argmax(axis=0)
+                    .astype(np.uint8).reshape(chunk, chunk))
+    canvas, ci = [], 0
+    for dt, nc in zip(pack.dtypes, pack.ncomps):
+        if nc > 1:
+            a = np.stack(meds[ci:ci + nc], axis=2)
+        else:
+            a = meds[ci]
+        canvas.append(a.astype(dt, copy=False))
+        ci += nc
+    return canvas, valid
+
+
+class DecodeFoldHistAdaptive:
+    """Decode + adaptive map-side median partials (task pool).
+
+    Per (task, tile): accumulate fragments; at batch end, tiles whose
+    fragment bytes exceed ``hist_bytes // hist_gain`` (hist_gain ~ the
+    zlib ratio of a sparse hist — folding must SHRINK the shuffle) fold
+    into one hist-partial row, the rest forward as raw fragment rows.
+    Low-depth inputs therefore pay exactly the fragment plan's volume;
+    the hot tile's thousands of overlaps collapse map-side.
+    """
+
+    def __init__(self, grid: GridSpec, pack: ChannelPack | None = None,
+                 hist_gain: int = 8):
+        self.grid = grid
+        self.pack = pack or ChannelPack(RGB_CHANNELS)
+        self.levels = hist_comp_levels(self.pack)
+        if self.levels is None:
+            raise ValueError("hist median plan needs uint8/bool channels")
+        self.hist_thresh = (sum(self.levels) * grid.chunk * grid.chunk * 4
+                            // max(hist_gain, 1))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codec import decode
+        from ..fixtures import footprint_of
+        from .ingest import _clip_fragment
+
+        g, pk = self.grid, self.pack
+        chunk = g.chunk
+        ids = batch.column("image_id").to_pylist()
+        out = {k: [] for k in MEDIAN_MIX_SCHEMA.names}
+        if not ids:
+            return pa.table(out, schema=MEDIAN_MIX_SCHEMA)
+        bufs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        boxes = np.array([footprint_of(i, int(w), int(h), g)
+                          for i, w, h in zip(ids, ws, hs)]).reshape(-1, 4)
+        cl, chh, rl, rhh = g.pixel_window(boxes[:, 0], boxes[:, 1],
+                                          boxes[:, 2], boxes[:, 3])
+        acc: dict[tuple[int, int], tuple[list, list[int]]] = {}
+        for i in range(len(ids)):
+            if int(chh[i]) <= int(cl[i]) or int(rhh[i]) <= int(rl[i]):
+                continue
+            chans = None
+            tx_lo, tx_hi = int(cl[i]) // chunk, (int(chh[i]) - 1) // chunk
+            ty_lo, ty_hi = int(rl[i]) // chunk, (int(rhh[i]) - 1) // chunk
+            for tx in range(tx_lo, tx_hi + 1):
+                for ty in range(ty_lo, ty_hi + 1):
+                    if chans is None:
+                        chans = pk.derive(decode(bufs[i]))
+                    clip = _clip_fragment(g, tx, ty, int(cl[i]), int(chh[i]),
+                                          int(rl[i]), int(rhh[i]),
+                                          chans[0].shape[0], chans[0].shape[1])
+                    if clip is None:
+                        continue
+                    tr0, tc0, r0, c0, sr0, sr1, sc0, sc1 = clip
+                    frag = pk.region(chans, np.s_[sr0:sr1], np.s_[sc0:sc1])
+                    buf = pk.to_bytes([np.ascontiguousarray(a) for a in frag])
+                    rows, nbytes = acc.setdefault((tx, ty), ([], [0]))
+                    rows.append((r0 - tr0, c0 - tc0, sr1 - sr0, sc1 - sc0,
+                                 buf))
+                    nbytes[0] += len(buf)
+        area = chunk * chunk
+        for (tx, ty), (rows, nbytes) in acc.items():
+            tid = f"{tx}-{ty}"
+            if nbytes[0] > self.hist_thresh:
+                hists = _hist_alloc(self.levels, area)
+                _hist_add_frags(hists, rows, pk, chunk)
+                out["tile_id"].append(tid)
+                out["tx"].append(tx)
+                out["ty"].append(ty)
+                out["kind"].append(1)
+                out["n_frags"].append(len(rows))
+                out["y_off"].append(0)
+                out["x_off"].append(0)
+                out["fh"].append(0)
+                out["fw"].append(0)
+                out["px"].append(_hist_to_wire(hists))
+            else:
+                for (y0, x0, fh, fw, buf) in rows:
+                    out["tile_id"].append(tid)
+                    out["tx"].append(tx)
+                    out["ty"].append(ty)
+                    out["kind"].append(0)
+                    out["n_frags"].append(1)
+                    out["y_off"].append(y0)
+                    out["x_off"].append(x0)
+                    out["fh"].append(fh)
+                    out["fw"].append(fw)
+                    out["px"].append(buf)
+        return pa.table(out, schema=MEDIAN_MIX_SCHEMA)
+
+
+def _fold_mix_rows(group: pa.Table, levels: list[int], pack: ChannelPack,
+                   chunk: int):
+    """Fold mixed fragment/hist rows into (hists, n_frags)."""
+    area = chunk * chunk
+    hists = _hist_alloc(levels, area)
+    kinds = group.column("kind").to_numpy()
+    y_off = group.column("y_off").to_numpy()
+    x_off = group.column("x_off").to_numpy()
+    fh = group.column("fh").to_numpy()
+    fw = group.column("fw").to_numpy()
+    nf = group.column("n_frags").to_numpy()
+    px = binary_views(group.column("px"))
+    frag_rows = []
+    n_frags = 0
+    for j in range(group.num_rows):
+        n_frags += int(nf[j])
+        if kinds[j] == 1:
+            for h, h2 in zip(hists, _hist_from_wire(bytes(px[j]), levels,
+                                                    area)):
+                h += h2
+        else:
+            frag_rows.append((int(y_off[j]), int(x_off[j]), int(fh[j]),
+                              int(fw[j]), px[j]))
+    _hist_add_frags(hists, frag_rows, pack, chunk)
+    return hists, n_frags
+
+
+def make_hist_tree_combine(levels: list[int], pack: ChannelPack, chunk: int,
+                           hist_gain: int = 8):
+    """Block-local combine: same-tile mixed rows coalesce into one hist row
+    when their bytes exceed the hist wire estimate (same adaptive rule as
+    the map stage) — the combiner-tree step of the partial-fold plan."""
+    thresh = sum(levels) * chunk * chunk * 4 // max(hist_gain, 1)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        tids = t.column("tile_id").to_pylist()
+        by_tile: dict[str, list[int]] = {}
+        for j, tid in enumerate(tids):
+            by_tile.setdefault(tid, []).append(j)
+        px = binary_views(t.column("px"))
+        kinds = t.column("kind").to_numpy()
+        fold_tiles = {
+            tid: rows for tid, rows in by_tile.items()
+            if len(rows) > 1 and (
+                (kinds[rows] == 1).sum() > 1
+                or sum(len(px[j]) for j in rows if kinds[j] == 0) > thresh)
+        }
+        if not fold_tiles:
+            return t
+        keep = [j for j in range(t.num_rows)
+                if tids[j] not in fold_tiles]
+        out = {k: [] for k in MEDIAN_MIX_SCHEMA.names}
+        txc, tyc = t.column("tx"), t.column("ty")
+        for tid, rows in fold_tiles.items():
+            hists, n_frags = _fold_mix_rows(t.take(rows), levels, pack, chunk)
+            out["tile_id"].append(tid)
+            out["tx"].append(txc[rows[0]].as_py())
+            out["ty"].append(tyc[rows[0]].as_py())
+            out["kind"].append(1)
+            out["n_frags"].append(n_frags)
+            out["y_off"].append(0)
+            out["x_off"].append(0)
+            out["fh"].append(0)
+            out["fw"].append(0)
+            out["px"].append(_hist_to_wire(hists))
+        folded = pa.table(out, schema=MEDIAN_MIX_SCHEMA)
+        return pa.concat_tables([t.take(keep), folded]) if keep else folded
+
+    return combine
+
+
+def ingest_median_hist(images_ds, grid: GridSpec, batch_size: int = 64,
+                       channels=None, hist_gain: int = 8):
+    """Bounded-histogram exact median composite (uint8/bool channels).
+
+    See the module docstring: adaptive map-side hist partials ride the
+    lww/max partial-fold + combiner-tree shape; the final per-tile merge
+    streams every row into one fixed ``levels x chunk^2`` histogram —
+    per-task peak memory is independent of depth. Output is bit-identical
+    to :func:`ingest_median` (pinned by tests/test_ingest.py).
+    """
+    pack = ChannelPack(tuple(channels)) if channels else ChannelPack(
+        RGB_CHANNELS)
+    levels = hist_comp_levels(pack)
+    if levels is None:
+        raise ValueError(
+            "hist median plan needs uint8/bool channels; use plan='stack'")
+    hist_bytes = sum(levels) * grid.chunk * grid.chunk * 8
+    if hist_bytes > (4 << 30):
+        raise ValueError(
+            f"per-tile hist is {hist_bytes >> 20} MiB at chunk="
+            f"{grid.chunk}; compose a spatial split or use plan='stack'")
+    chunk = grid.chunk
+    # a map task's LIVE set is the batch's accumulated fragment buffers
+    # (decoded bytes, ~px_bytes x batch) plus ONE transient hist during a
+    # flush — hists are compressed and released per tile, so the batch cap
+    # follows fragment bytes, not hist size
+    per_img = pack.nbytes_px * 64 * 64  # fixture-scale estimate
+    fold_cap = max(64, (1 << 29) // max(per_img, 1))
+
+    mixed = images_ds.map_batches(
+        DecodeFoldHistAdaptive(grid, pack, hist_gain),
+        batch_format="pyarrow",
+        batch_size=int(min(batch_size * 32, fold_cap)),
+        num_cpus=1,
+    )
+    # combiner tree (num_cpus differs from the fold stage so Ray Data does
+    # NOT fuse them — a fused combine sees one fold output and no-ops)
+    mixed = mixed.map_batches(
+        make_hist_tree_combine(levels, pack, chunk, hist_gain),
+        batch_format="pyarrow", batch_size=4096, num_cpus=0.5)
+    n_merge = max(8, min(64, cluster_cpus()))
+
+    stack_fold = make_median_fold(chunk, pack)
+    thresh = sum(levels) * chunk * chunk * 4 // max(hist_gain, 1)
+
+    def merge(group: pa.Table) -> pa.Table:
+        # per-group adaptive kernel (outputs bit-identical): shallow
+        # all-fragment groups skip the levels x area histogram alloc and
+        # run the depth-stack sort; deep or hist-bearing groups stream
+        # through the bounded histogram
+        kinds = group.column("kind").to_numpy()
+        if (kinds == 0).all():
+            frag_bytes = sum(len(v) for v in binary_views(group.column("px")))
+            if frag_bytes <= thresh:
+                return stack_fold(group)
+        hists, n_frags = _fold_mix_rows(group, levels, pack, chunk)
+        canvas, valid = _median_from_hists(hists, pack, chunk)
+        canvas = pack.fill_invalid(canvas, valid)
+        px_z = zlib.compress(
+            b"".join(np.ascontiguousarray(c).tobytes() for c in canvas), 1)
+        mask_z = zlib.compress(valid.astype(np.uint8).tobytes(), 1)
+        return pa.table(
+            {
+                "tile_id": [group.column("tile_id")[0].as_py()],
+                "tx": [group.column("tx")[0].as_py()],
+                "ty": [group.column("ty")[0].as_py()],
+                "n_frags": [n_frags],
+                "n_valid_px": [int(valid.sum())],
+                "pix_sum": [pack.pix_sum(canvas, valid)],
+                "px_z": [px_z],
+                "mask_z": [mask_z],
+            },
+            schema=MEDIAN_TILE_SCHEMA,
+        )
+
+    return (mixed.repartition(n_merge).groupby("tile_id")
+            .map_groups(merge, batch_format="pyarrow"))
 
 
 def _diff_stats(ca, ma, cb, mb):

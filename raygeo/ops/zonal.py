@@ -246,32 +246,32 @@ def mosaic_histogram(tiles_ds, grid: GridSpec, pack=None):
     def partial(t: pa.Table) -> pa.Table:
         px_z = t.column("px_z").to_pylist()
         mask_z = t.column("mask_z").to_pylist()
-        vs, cs = [], []
+        vs = []
         for j in range(len(t)):
             canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
             mask = np.frombuffer(zlib.decompress(mask_z[j]),
                                  np.uint8).reshape(chunk, chunk).astype(bool)
             v = _vsum(canvas, pack)  # shared 1e-3 fixed-point quantization
             vals = v[mask]
-            if len(vals) == 0:
-                continue
-            u, c = np.unique(vals, return_counts=True)  # negatives OK
-            vs.append(u)
-            cs.append(c.astype(np.int64))
+            if len(vals):
+                vs.append(vals.ravel())
         if not vs:
             return pa.table({"v_bin": pa.array([], pa.int64()),
                              "n_px": pa.array([], pa.int64())})
-        allv, allc = np.concatenate(vs), np.concatenate(cs)
-        u2, inv = np.unique(allv, return_inverse=True)
-        out = np.zeros(len(u2), np.int64)
-        np.add.at(out, inv, allc)
+        # bincount over the OFFSET domain (values may be negative for float
+        # packs): O(n + domain) vs unique's O(n log n); domain is bounded by
+        # the quantized channel-sum range, never the raster size
+        allv = np.concatenate(vs)
+        mn = int(allv.min())
+        counts = np.bincount(allv - mn)
+        occ = np.nonzero(counts)[0]
         return pa.table({
-            "v_bin": pa.array(u2, pa.int64()),
-            "n_px": pa.array(out, pa.int64()),
+            "v_bin": pa.array(occ + mn, pa.int64()),
+            "n_px": pa.array(counts[occ].astype(np.int64), pa.int64()),
         })
 
     return (tiles_ds.select_columns(["px_z", "mask_z"])
-            .map_batches(partial, batch_format="pyarrow", batch_size=64,
+            .map_batches(partial, batch_format="pyarrow", batch_size=16,
                          num_cpus=1)
             .groupby("v_bin")
             .aggregate(Sum("n_px", alias_name="n_px")))
