@@ -85,8 +85,11 @@ TILE_SCHEMA = pa.schema(
         ("n_frags", pa.int64()),
         ("n_valid_px", pa.int64()),
         ("pix_sum", pa.int64()),
-        ("px_z", pa.binary()),  # zlib concat per-channel canvases, invalid=nodata
-        ("mask_z", pa.binary()),  # zlib uint8 (chunk, chunk) validity
+        # large_binary: a production-size canvas (3600^2 x 64 x float32 ~
+        # 3.3 GiB) overflows 32-bit binary offsets (ArrowCapacityError at
+        # 2 GiB); large offsets cost nothing at test scale
+        ("px_z", pa.large_binary()),  # zlib concat per-channel canvases, invalid=nodata
+        ("mask_z", pa.large_binary()),  # zlib uint8 (chunk, chunk) validity
     ]
 )
 
@@ -265,8 +268,8 @@ PARTIAL_SCHEMA = pa.schema(
         ("n_frags", pa.int64()),
         ("pno_lo", pa.int64()),  # min/max patch_no present — the range-
         ("pno_hi", pa.int64()),  # disjointness test for the fast merge path
-        ("canvas_z", pa.binary()),
-        ("winner_z", pa.binary()),
+        ("canvas_z", pa.large_binary()),  # see TILE_SCHEMA: 2 GiB offsets
+        ("winner_z", pa.large_binary()),
     ]
 )
 

@@ -29,6 +29,27 @@ def auto_concurrency(cap: int | None = None) -> tuple[int, int]:
     return (max(2, n // 2), max(2, n))
 
 
+def shuffle_partitions(requested: int, pools: int = 1) -> int:
+    """Cap a hash-join partition count so the plan's concurrently-live
+    aggregator pools cannot deadlock the cluster.
+
+    Ray 2.49's hash-shuffle join spawns one ``HashShuffleAggregator``
+    actor per partition, each reserving 0.125 CPU (+ ~0.9 GiB memory),
+    and a plan keeps ALL its joins' pools alive for the whole execution.
+    Observed live: 3 joins x 16 partitions inside one plan on a 4-CPU
+    session = 6 CPUs of aggregator reservations with 4 CPUs total ->
+    permanent "pending actor" deadlock (the executor never degrades).
+
+    ``pools`` = the number of joins that are simultaneously live in the
+    plan the caller is building. The cap spends at most HALF the cluster
+    CPUs on aggregator reservations (pools * parts * 0.125 <= cpus / 2),
+    leaving the rest for the map/reduce tasks themselves.
+    """
+    cpus = cluster_cpus()
+    cap = max(2, int(cpus * 4 // max(1, pools)))
+    return max(2, min(int(requested), cap))
+
+
 def table_from_pandas(df) -> "pa.Table":  # noqa: F821
     """``pa.Table.from_pandas`` minus the pandas schema metadata.
 

@@ -251,3 +251,77 @@ def test_alphaearth_shape_64xfloat32_ingest(fixtures_sf0001):
     assert len(a) > 0 and (a.n_valid_px > 0).any()
     b = run(False)
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reference_scale_3600_chunk_alphaearth_pack(fixtures_sf0001):
+    """Production-shape tile stress (SURVEY §7.4 hard-part 5, VERDICT r2
+    next-round #6): ONE 3600^2 chunk x 64 x float32 — the reference's
+    AlphaEarth spec (alphaearth.py:37-46, ~3.3 GiB per tile canvas) —
+    through ingest -> cube commit -> load(roi).
+
+    Memory envelope pinned here (documented in NOTES.md): the decode-fold
+    byte budget caps the batch at 8 images/task (the 1 GiB budget beats
+    the 64-image floor), the combiner holds <= 4 partials (~13 GiB worst
+    case, fits the 128 GiB node), blocks override target_max_block_size
+    to 4 GiB for the duration. Oracle: the 64 channels all derive the
+    same gray plane, and pix_sum rounds per channel, so the wide cube's
+    stats must equal exactly 64x a cheap 1-channel run on the same grid;
+    the load window must agree between the two cubes as well.
+    """
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from raygeo.engine import load
+    from raygeo.grid import GridSpec
+
+    grid = GridSpec(name="alphaearth_1tile", crs="EPSG:4326", x0=-1.0,
+                    y1=1.0, res=2.0**-11, width=3600, height=3600,
+                    chunk=3600)
+    wide = tuple(Channel(f"emb{i:02d}", "float32", float("nan"))
+                 for i in range(64))
+    narrow = (Channel("emb00", "float32", float("nan")),)
+
+    ctx = DataContext.get_current()
+    old_block = ctx.target_max_block_size
+    ctx.target_max_block_size = 4 << 30
+    cube_w = tempfile.mkdtemp(prefix="raygeo_ae64_")
+    cube_n = tempfile.mkdtemp(prefix="raygeo_ae01_")
+    try:
+        def run(channels, cube):
+            create(CubeSpec(title="ae", grid=grid, channels=channels),
+                   cube, overwrite=True)
+            images = rd.read_parquet(
+                f"{fixtures_sf0001}/images.parquet",
+                columns=["image_id", "bytes", "w", "h"]).limit(12)
+            t = (ingest(images, grid, cube_path=cube, channels=channels)
+                 .to_pandas())
+            return t.sort_values("tile_id").reset_index(drop=True)
+
+        tw = run(wide, cube_w)
+        tn = run(narrow, cube_n)
+        assert len(tw) == 1 and len(tn) == 1  # one production-size tile
+        assert int(tw.n_frags[0]) == int(tn.n_frags[0])
+        assert int(tw.n_valid_px[0]) == int(tn.n_valid_px[0]) > 0
+        assert int(tw.pix_sum[0]) == 64 * int(tn.pix_sum[0])
+
+        # load tail: a small ROI window out of the committed 3.3 GiB tile,
+        # anchored on a real image footprint so valid pixels exist in it
+        meta = pq.read_table(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "w", "h"]).to_pandas()
+        r0 = meta.iloc[0]
+        fp = footprint_of(r0.image_id, int(r0.w), int(r0.h), grid)
+        roi = {"roi_id": "r1", "lon_min": float(fp[0]),
+               "lat_min": float(fp[1]), "lon_max": float(fp[2]),
+               "lat_max": float(fp[3])}
+        sw = load(cube_w, roi).stats()
+        sn = load(cube_n, roi).stats()
+        assert sw["n_valid_px"] == sn["n_valid_px"] > 0
+        assert sw["pix_sum"] == 64 * sn["pix_sum"]
+    finally:
+        ctx.target_max_block_size = old_block
+        shutil.rmtree(cube_w, ignore_errors=True)
+        shutil.rmtree(cube_n, ignore_errors=True)
