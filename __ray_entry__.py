@@ -913,6 +913,16 @@ def _q_docs_quality(sf_dir: str):
     return quality_score(_rpq(f"{sf_dir}/documents.parquet"))
 
 
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition quality signals (Rae et al.
+    2021 Table A1): top-word / top-bigram / duplicated-trigram ratios
+    with exact integer-rational thresholds, flagged 0/1. Pure map."""
+    from raygeo.ops.corpus import repetition_signals
+
+    return repetition_signals(_rpq(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"]))
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -2676,6 +2686,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": _q_docs_token_stats,
         "docs_bpe_tokens": _q_docs_bpe_tokens,  # BPE-ish pretokenizer budget
         "docs_quality": _q_docs_quality,
+        "docs_repetition": _q_docs_repetition,  # Gopher repetition rules
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_langid": _q_docs_langid,
         "docs_simhash": _q_docs_simhash,
@@ -3412,6 +3423,53 @@ SELECT doc_id, n_tokens, stop_hits,
     AND CAST(tok_chars AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END)
         BETWEEN 2.0 AND 12.0 AS INTEGER) AS keep
 FROM m
+""",
+        "docs_repetition": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(l)::BIGINT AS n_tokens,
+    greatest(len(l) - 1, 0)::BIGINT AS n_2grams,
+    greatest(len(l) - 2, 0)::BIGINT AS n_3grams
+  FROM toks
+),
+w AS (SELECT doc_id, unnest(l) AS g FROM toks),
+topw AS (
+  SELECT doc_id, max(c)::BIGINT AS top_word_cnt
+  FROM (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, array_to_string(l[i.i + 1:i.i + 2], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 1, 0))) AS i) i
+),
+topb AS (
+  SELECT doc_id, max(c)::BIGINT AS top_2gram_cnt
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+),
+tg AS (
+  SELECT doc_id, array_to_string(l[i.i + 1:i.i + 3], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 2, 0))) AS i) i
+),
+dup3 AS (
+  SELECT doc_id,
+    coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT
+      AS dup_3gram_pos
+  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+  coalesce(topw.top_word_cnt, 0)::BIGINT AS top_word_cnt,
+  b.n_2grams, coalesce(topb.top_2gram_cnt, 0)::BIGINT AS top_2gram_cnt,
+  b.n_3grams, coalesce(dup3.dup_3gram_pos, 0)::BIGINT AS dup_3gram_pos,
+  CAST(coalesce(topw.top_word_cnt, 0) * 5 > b.n_tokens
+    OR coalesce(topb.top_2gram_cnt, 0) * 5 > b.n_2grams
+    OR coalesce(dup3.dup_3gram_pos, 0) * 2 > b.n_3grams AS BIGINT)
+    AS flagged
+FROM base b
+LEFT JOIN topw USING (doc_id)
+LEFT JOIN topb USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
 """,
         "docs_langid": r"""
 WITH t AS (

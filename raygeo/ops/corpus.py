@@ -853,3 +853,76 @@ def context_windows(docs_ds, win: int = 64, stride: int = 48,
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         _ContextWindows(win, stride, text_col, id_col),
         batch_format="pandas", batch_size=4096, num_cpus=1)
+
+
+class _RepetitionStage:
+    """Per-doc within-document repetition signals (one pass, no shuffle)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(LOWER_TOKEN_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_docs = len(df)
+        out = {
+            "n_tokens": np.zeros(n_docs, np.int64),
+            "top_word_cnt": np.zeros(n_docs, np.int64),
+            "n_2grams": np.zeros(n_docs, np.int64),
+            "top_2gram_cnt": np.zeros(n_docs, np.int64),
+            "n_3grams": np.zeros(n_docs, np.int64),
+            "dup_3gram_pos": np.zeros(n_docs, np.int64),
+        }
+        for j, text in enumerate(df[self.text_col]):
+            ws = self.tok.findall(text.lower())
+            n = len(ws)
+            out["n_tokens"][j] = n
+            if n == 0:
+                continue
+            arr = np.asarray(ws, dtype=object)
+            out["top_word_cnt"][j] = int(
+                np.unique(arr, return_counts=True)[1].max())
+            if n >= 2:
+                bg = np.asarray([f"{ws[i]} {ws[i + 1]}"
+                                 for i in range(n - 1)], dtype=object)
+                out["n_2grams"][j] = n - 1
+                out["top_2gram_cnt"][j] = int(
+                    np.unique(bg, return_counts=True)[1].max())
+            if n >= 3:
+                tg = np.asarray([" ".join(ws[i:i + 3])
+                                 for i in range(n - 2)], dtype=object)
+                out["n_3grams"][j] = n - 2
+                cnt = np.unique(tg, return_counts=True)[1]
+                out["dup_3gram_pos"][j] = int(cnt[cnt > 1].sum())
+        res = pd.DataFrame({self.id_col: df[self.id_col].to_numpy(), **out})
+        res["flagged"] = (
+            (res["top_word_cnt"] * 5 > res["n_tokens"])
+            | (res["top_2gram_cnt"] * 5 > res["n_2grams"])
+            | (res["dup_3gram_pos"] * 2 > res["n_3grams"])
+        ).astype(np.int64)
+        return res
+
+
+def repetition_signals(docs_ds, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Gopher-style within-document repetition quality signals.
+
+    The repetition family of the Gopher/MassiveText quality rules (Rae et
+    al. 2021, Table A1): documents dominated by one token, one bigram, or
+    by repeated trigram spans are low-quality (boilerplate, keyword spam,
+    degenerate generations) and get ``flagged``. Exact integer-rational
+    thresholds so DuckDB replays the rule bit-for-bit:
+
+    - ``top_word_cnt * 5  > n_tokens``  (top token > 1/5 of tokens)
+    - ``top_2gram_cnt * 5 > n_2grams``  (top bigram > 1/5 of bigrams)
+    - ``dup_3gram_pos * 2 > n_3grams``  (>1/2 of trigram positions lie in
+      trigrams occurring more than once)
+
+    Pure per-row map over token streams — zero shuffle at any corpus size;
+    the per-doc state is one token array. Returns one row per document:
+    (doc_id, n_tokens, top_word_cnt, n_2grams, top_2gram_cnt, n_3grams,
+    dup_3gram_pos, flagged 0/1).
+    """
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _RepetitionStage(text_col, id_col),
+        batch_format="pandas", batch_size=4096, num_cpus=1)

@@ -437,6 +437,17 @@ def minhash_lsh_pairs(
     with_a = cand.join(sub.map_batches(ren_a, batch_format="pyarrow"),
                        join_type="inner", num_partitions=jparts,
                        on=("id_a",), right_on=("ja",))
+    # the first join's empty hash partitions emit 0-row schema-less blocks
+    # that poison the SECOND join's left side (same FieldRef failure
+    # drop_empty_blocks documents) — guard the intermediate too
+    with_a = drop_empty_blocks(
+        with_a.map_batches(
+            lambda t: pa.table({"id_a": t.column("id_a").cast(pa.int64()),
+                                "id_b": t.column("id_b").cast(pa.int64()),
+                                "sh_a": t.column("sh_a")}),
+            batch_format="pyarrow").materialize(),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("sh_a", pa.binary())]))
     with_ab = with_a.join(sub.map_batches(ren_b, batch_format="pyarrow"),
                           join_type="inner", num_partitions=jparts,
                           on=("id_b",), right_on=("jb",))

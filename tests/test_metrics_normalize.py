@@ -594,3 +594,33 @@ def test_augment_flips_positionally_correct():
     assert h[:, :, 0].tolist() == [[3, 2, 1], [6, 5, 4]]
     assert v[:, :, 0].tolist() == [[4, 5, 6], [1, 2, 3]]
     assert r[:, :, 0].tolist() == [[6, 5, 4], [3, 2, 1]]
+
+
+def test_repetition_signals_adversarial(ray_session):
+    """Gopher repetition rules against hand-computed counts: a degenerate
+    one-token doc, a repeated-bigram doc, a trigram-looping doc, and a
+    clean doc that must NOT flag."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import repetition_signals
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "spam spam spam spam eggs",          # top word 4/5 -> flag
+            "big data big data big data works",  # top bigram 3/6 -> flag
+            "a b c a b c a b c",                 # every trigram dup -> flag
+            "one two three four five six seven", # clean
+            "",                                   # empty: all zeros, no flag
+        ],
+    })
+    out = (repetition_signals(rd.from_pandas(docs))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "top_word_cnt"] == 4 and out.loc[0, "flagged"] == 1
+    assert out.loc[1, "top_2gram_cnt"] == 3 and out.loc[1, "flagged"] == 1
+    # doc 2: trigrams at 7 positions, distinct {abc,bca,cab}=3+2+2 dups
+    assert out.loc[2, "n_3grams"] == 7
+    assert out.loc[2, "dup_3gram_pos"] == 7 and out.loc[2, "flagged"] == 1
+    assert out.loc[3, "flagged"] == 0
+    assert (out.loc[4] == 0).all()
