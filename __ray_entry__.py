@@ -838,6 +838,19 @@ def _q_events_kmv_users(sf_dir: str):
     return kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
+def _q_events_hll_users(sf_dir: str):
+    """Mergeable HyperLogLog distinct-count (p=8, m=256): register-max
+    folds map-side, one 256-byte sketch row per group per batch shuffles.
+    The ENTIRE estimator (registers, harmonic raw estimate, small-range
+    linear-counting switch) is integer-exact, so the DuckDB oracle replays
+    it bit-for-bit — including the ln() correction, which enters via a
+    fixed micro-unit table shared by engine and SQL."""
+    from raygeo.ops.dedup import hll_distinct
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return hll_distinct(ev, "event_type", "user_id")
+
+
 def _q_events_asof(sf_dir: str):
     """Dataset-vs-dataset as-of join (ops.asof): each click event matched to
     its user's most recent prior-or-equal view event. One co-partitioning
@@ -2594,7 +2607,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_sessionize,
         "events_asof": _q_events_asof,  # DuckDB ASOF JOIN oracle
-        "events_kmv_users": _q_events_kmv_users,  # deterministic KMV sketch
+        "events_kmv_users": _q_events_kmv_users,
+        "events_hll_users": _q_events_hll_users,  # mergeable HLL sketch  # deterministic KMV sketch
         "docs_export_shards": _q_docs_export_shards,  # resumable sharded sink
         "docs_hash_split": _q_docs_hash_split,  # deterministic split labels
         "events_pairing": _q_events_pairing,
@@ -2746,6 +2760,18 @@ tx_u AS (
 """
 
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','that','for','it']"
+
+
+def _hll_ln_sql() -> str:
+    """The HLL linear-counting micro-unit ln table as a SQL list literal —
+    generated from the SAME constant the engine uses (ops/dedup.py), so
+    engine and oracle share one spec by construction."""
+    from raygeo.ops.dedup import _HLL_LN_X1M
+
+    return ", ".join(str(v) for v in _HLL_LN_X1M)
+
+
+_HLL_LN_SQL = _hll_ln_sql()
 
 
 
@@ -3373,6 +3399,49 @@ SELECT event_type,
   END AS est_x1000
 FROM r
 WHERE rn = least(nd, 64)
+""",
+        "events_hll_users": f"""
+WITH h AS (
+  SELECT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM events
+),
+b AS (
+  SELECT event_type, CAST(hv >> 56 AS BIGINT) AS bucket,
+         CAST(hv & ((1::UBIGINT << 56) - 1) AS BIGINT) AS w
+  FROM h
+),
+reg AS (
+  SELECT event_type, bucket,
+    max(CASE WHEN w = 0 THEN 57 ELSE 57 - length(ltrim(bin(w), '0')) END)
+      AS rho
+  FROM b GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT event_type FROM reg),
+full_reg AS (
+  SELECT keys.event_type, g.bucket, coalesce(reg.rho, 0) AS rho
+  FROM keys CROSS JOIN (SELECT unnest(range(256)) AS bucket) g
+  LEFT JOIN reg ON reg.event_type = keys.event_type
+              AND reg.bucket = g.bucket
+),
+s AS (
+  SELECT event_type,
+    sum((1::BIGINT << (57 - rho))::HUGEINT) AS s2,
+    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+  FROM full_reg GROUP BY 1
+),
+e AS (
+  SELECT event_type, v_zero,
+    (1846528000::HUGEINT * 65536 * (1::BIGINT << 57)::HUGEINT)
+      // (2570790000::HUGEINT * s2) AS e_raw
+  FROM s
+)
+SELECT event_type,
+  CAST(CASE WHEN v_zero > 0 AND 2 * e_raw <= 1280
+       THEN (256::HUGEINT * ([{_HLL_LN_SQL}][CAST(v_zero AS INT)])::HUGEINT)
+            // 1000000
+       ELSE e_raw END AS BIGINT) AS hll_est
+FROM e
 """,
         "events_asof": """
 SELECT c.event_id, v.event_id AS view_event_id,

@@ -1205,3 +1205,93 @@ def substring_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             .groupby(["id_a", "id_b"])
             .aggregate(Count(alias_name="n_windows"))
             .select_columns(["id_a", "id_b"]))
+
+
+# ------------------------------------------------------------ HyperLogLog
+# Integer-exact HLL (p=8, m=256): every quantity below is integer
+# arithmetic over md5-derived hashes, so DuckDB replays the ENTIRE
+# estimator — registers, raw estimate, and the small-range linear-counting
+# correction — bit-for-bit. The correction's ln() enters via a fixed
+# 256-entry micro-unit table that is part of the operator spec (the SQL
+# oracle embeds the same literal), not a runtime float.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P          # 256 registers
+_HLL_Q = 64 - _HLL_P          # 56 suffix bits; rho in [1, 57]
+# alpha_256 = (7213/10000) / (1 + 1079/(1000*256)) as an exact rational
+_HLL_A_NUM = 7213 * 256000
+_HLL_A_DEN = 10000 * 257079
+
+
+def _hll_ln_table() -> tuple:
+    import math
+
+    return tuple(round(math.log(_HLL_M / v) * 1_000_000)
+                 for v in range(1, _HLL_M + 1))
+
+
+_HLL_LN_X1M = _hll_ln_table()
+
+
+def _hll_estimate(m_regs: np.ndarray) -> int:
+    """Deterministic integer HLL estimate from a 256-register array."""
+    s2 = 0  # sum of 2^(Q+1 - M_j), exact (rho <= Q+1 keeps terms integral)
+    for r in m_regs.tolist():
+        s2 += 1 << (_HLL_Q + 1 - int(r))
+    e_raw = (_HLL_A_NUM * _HLL_M * _HLL_M * (1 << (_HLL_Q + 1))) \
+        // (_HLL_A_DEN * s2)
+    v_zero = int((m_regs == 0).sum())
+    if v_zero > 0 and 2 * e_raw <= 5 * _HLL_M:
+        return (_HLL_M * _HLL_LN_X1M[v_zero - 1]) // 1_000_000
+    return e_raw
+
+
+def hll_distinct(ds, key_col: str, value_col: str):
+    """Grouped approximate distinct count via a mergeable HyperLogLog.
+
+    The sketch KMV cannot be: CONSTANT-size per group (256 bytes) no
+    matter how many distinct values stream through, and register-max is
+    associative+commutative, so per-batch partials fold map-side and the
+    shuffle carries ONE 256-byte row per group per batch. At 100 TB this
+    is the distinct-count plan: no value ever shuffles, only sketches.
+
+    Registers are a pure function of the value SET (max is order- and
+    duplication-insensitive), and the estimator — raw harmonic mean with
+    the Flajolet small-range linear-counting switch at E <= 5m/2 — is
+    exact integer arithmetic, so the whole pipeline is value-checkable
+    against SQL (same md5 hash convention as SimHash/KMV).
+
+    Returns (key, hll_est).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pylist(),
+            "v": [str(x) for x in t.column(value_col).to_pylist()],
+        })
+        out_k, out_r = [], []
+        for key, g in df.groupby("k", sort=False):
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
+                 for v in set(g["v"])), dtype=np.uint64)
+            buckets = (hs >> np.uint64(_HLL_Q)).astype(np.int64)
+            w = hs & np.uint64((1 << _HLL_Q) - 1)
+            rho = np.fromiter(
+                ((_HLL_Q + 1) - int(x).bit_length() if x else _HLL_Q + 1
+                 for x in w.tolist()), dtype=np.int64, count=len(w))
+            regs = np.zeros(_HLL_M, np.uint8)
+            np.maximum.at(regs, buckets, rho.astype(np.uint8))
+            out_k.append(key)
+            out_r.append(regs.tobytes())
+        return pa.table({"k": pa.array(out_k, pa.string()),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(_HLL_M, np.uint8)
+        for b in g["regs"]:
+            regs = np.maximum(regs, np.frombuffer(b, np.uint8))
+        return pd.DataFrame({key_col: [g["k"].iloc[0]],
+                             "hll_est": [np.int64(_hll_estimate(regs))]})
+
+    return (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("k").map_groups(finish, batch_format="pandas"))

@@ -510,3 +510,41 @@ def test_dedup_keep_join_path_matches_broadcast(ray_session):
     bb = run_best(10**9)
     jb = run_best(0)
     pd.testing.assert_frame_equal(bb, jb.astype(bb.dtypes.to_dict()))
+
+
+def test_hll_merge_associative_and_accurate(ray_session):
+    """HLL registers fold associatively (split input == whole input) and
+    the integer estimator lands within 3 sigma (~20%, se=1.04/sqrt(256))
+    at raw-regime cardinality."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import hll_distinct
+
+    n = 20000  # >> 5m/2 = 640: exercises the raw harmonic estimator
+    df = pd.DataFrame({"k": ["a"] * n + ["b"] * (n // 2),
+                       "v": list(range(n)) + list(range(n // 2))})
+    whole = (hll_distinct(rd.from_pandas(df), "k", "v")
+             .to_pandas().set_index("k")["hll_est"])
+    # order/partitioning insensitivity: shuffled, many small blocks
+    perm = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    split = (hll_distinct(rd.from_pandas(perm).repartition(13), "k", "v")
+             .to_pandas().set_index("k")["hll_est"])
+    assert whole.to_dict() == split.to_dict()
+    assert abs(whole["a"] - n) <= 0.20 * n
+    assert abs(whole["b"] - n // 2) <= 0.20 * (n // 2)
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    """Below the 5m/2 switch the linear-counting table is used and is
+    near-exact at tiny cardinalities."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import hll_distinct
+
+    df = pd.DataFrame({"k": ["x"] * 400, "v": [i % 40 for i in range(400)]})
+    out = (hll_distinct(rd.from_pandas(df), "k", "v")
+           .to_pandas().set_index("k")["hll_est"])
+    assert abs(out["x"] - 40) <= 4
