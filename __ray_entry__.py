@@ -1675,6 +1675,20 @@ def _q_nearest_zone(sf_dir: str):
     return nearest_zone(ds, pq.read_table(f"{d}/zones.parquet"))
 
 
+def _q_emb_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clustering bounds the
+    pairwise cosine work to within-cluster — the O(sum n_c^2) plan that
+    replaces the O(N^2) all-pairs broadcast at scale. Cluster assignment
+    (integer-exact Lloyd) AND the cosine>=2/5 test (1e-3 fixed point,
+    cross-multiplied; fixture embeddings are near-orthogonal, so the
+    paper's 0.96 finds nothing) are both SQL-replayable."""
+    from raygeo.ops.ann import semdedup_pairs
+
+    return semdedup_pairs(_rpq(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]),
+                          k=8, rounds=2, tau_num=2, tau_den=5)
+
+
 def _q_emb_kmeans(sf_dir: str):
     """Iterative Lloyd k-means (2 rounds, k=8) with exact integer-
     quantized distances and floor(sum/n) centroid updates — the SQL
@@ -2736,6 +2750,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroids": _q_emb_centroids,  # quantized vector-mean aggregate
         "emb_gram": _q_emb_gram,  # Gram/scatter-matrix tensor fold
         "emb_kmeans": _q_emb_kmeans,  # iterative Lloyd, integer-exact
+        "emb_semdedup": _q_emb_semdedup,  # cluster-bounded cosine near-dup
         "nearest_zone": _q_nearest_zone,  # spatial kNN join (k=1)
     }
 
@@ -4815,6 +4830,61 @@ FROM (
   SELECT vec_id, cid, dist,
     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
   FROM a2) WHERE rn = 1
+""",
+        "emb_semdedup": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+c0 AS (SELECT vec_id AS cid, dim, qv AS cv FROM q WHERE vec_id < 8),
+a1 AS (
+  SELECT q.vec_id, c0.cid, sum((q.qv - c0.cv) * (q.qv - c0.cv)) AS dist
+  FROM q JOIN c0 USING (dim) GROUP BY q.vec_id, c0.cid
+),
+b1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM a1) WHERE rn = 1
+),
+c1 AS (
+  SELECT b1.cid, q.dim,
+    CAST(floor(sum(q.qv)::DOUBLE / count(*)) AS BIGINT) AS cv
+  FROM q JOIN b1 USING (vec_id) GROUP BY b1.cid, q.dim
+),
+a2 AS (
+  SELECT q.vec_id, c1.cid, sum((q.qv - c1.cv) * (q.qv - c1.cv)) AS dist
+  FROM q JOIN c1 USING (dim) GROUP BY q.vec_id, c1.cid
+),
+b2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM a2) WHERE rn = 1
+),
+q3 AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+n2 AS (SELECT vec_id, sum(qv * qv) AS nn FROM q3 GROUP BY 1),
+p AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cid
+  FROM b2 x JOIN b2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+),
+d AS (
+  SELECT p.id_a, p.id_b, p.cid, sum(qa.qv * qb.qv) AS dot
+  FROM p
+  JOIN q3 qa ON qa.vec_id = p.id_a
+  JOIN q3 qb ON qb.vec_id = p.id_b AND qb.dim = qa.dim
+  GROUP BY 1, 2, 3
+)
+SELECT d.id_a::BIGINT AS id_a, d.id_b::BIGINT AS id_b, d.cid::BIGINT AS cid
+FROM d
+JOIN n2 na ON na.vec_id = d.id_a
+JOIN n2 nb ON nb.vec_id = d.id_b
+WHERE d.dot > 0 AND 25 * d.dot * d.dot >= 4 * na.nn * nb.nn
 """,
         "nearest_zone": f"""
 WITH i AS (

@@ -809,3 +809,80 @@ def dim_stats(ds, vec_col: str = "embedding"):
                        Min("min_q", alias_name="min_q"),
                        Max("max_q", alias_name="max_q"),
                        Sum("sum_q", alias_name="sum_q")))
+
+
+def semdedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                   k: int = 8, rounds: int = 2,
+                   tau_num: int = 24, tau_den: int = 25,
+                   max_cluster: int = 65536):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    k-means clustering + within-cluster exact cosine similarity.
+
+    The scale plan that makes embedding near-dup tractable where the
+    all-pairs broadcast (``dedup.embedding_near_dup``) cannot be: cluster
+    first (k grows ~sqrt(N), so expected cluster size stays bounded), then
+    compare ONLY within clusters — O(sum n_c^2 d) instead of O(N^2 d),
+    with each cluster's work an independent ``map_groups`` task after one
+    keyed shuffle of (id, vector) rows. Clusters larger than
+    ``max_cluster`` raise with sizing guidance rather than silently
+    running a quadratic task (the emb_neardup cap convention).
+
+    Exactness: clustering is ``kmeans_quantized`` (integer-exact, SQL-
+    replayable); the cosine test quantizes to 1e-3 fixed point and
+    compares ``tau_den^2 * dot^2 >= tau_num^2 * |a|^2 |b|^2`` with
+    ``dot > 0`` in int64 (bounds: d=64, |qv|<=1000 keeps every product
+    under 2^62 for tau_den <= 32), so DuckDB replays the whole pipeline —
+    cluster assignment AND similarity — bit-for-bit. Default threshold
+    tau = 24/25 = 0.96 cosine.
+
+    Returns (id_a, id_b, cid), id_a < id_b, one row per within-cluster
+    pair at cosine >= tau.
+    """
+    assign = kmeans_quantized(ds, vec_col, id_col, k=k, rounds=rounds)
+    labels = assign.select_columns([id_col, "cid"]).rename_columns(
+        {id_col: "aid"})
+
+    # Arrow hash joins reject list<float> payloads: vectors travel as
+    # fixed-width float32 binary through the ONE keyed shuffle
+    def pack(t: pa.Table) -> pa.Table:
+        m = _list_matrix(t.column(vec_col)).astype(np.float32)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "vb": pa.array([m[i].tobytes() for i in range(len(m))],
+                           pa.binary()),
+        })
+
+    joined = ds.select_columns([id_col, vec_col]).map_batches(
+        pack, batch_format="pyarrow", batch_size=4096).join(
+        labels, join_type="inner", num_partitions=8,
+        on=(id_col,), right_on=("aid",))
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "cid": pd.Series(dtype=np.int64)})
+        n = len(g)
+        if n < 2:
+            return empty
+        if n > max_cluster:
+            raise ValueError(
+                f"semdedup cluster of {n} rows exceeds max_cluster="
+                f"{max_cluster}; raise k so clusters stay bounded "
+                f"(SemDeDup uses k ~ sqrt(N))")
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack([np.frombuffer(v, np.float32).astype(np.float64)
+                      for v in g["vb"].to_numpy()[order]])
+        q = np.floor(m * 1e3 + 0.5).astype(np.int64)
+        dot = q @ q.T
+        n2 = np.diag(dot)
+        ia, ib = np.triu_indices(n, k=1)
+        d = dot[ia, ib]
+        ok = (d > 0) & (tau_den * tau_den * d * d
+                        >= tau_num * tau_num * n2[ia] * n2[ib])
+        cid = np.int64(g["cid"].iloc[0])
+        return pd.DataFrame({"id_a": ids[ia[ok]], "id_b": ids[ib[ok]],
+                             "cid": np.full(int(ok.sum()), cid, np.int64)})
+
+    return joined.groupby("cid").map_groups(pairs_of, batch_format="pandas")

@@ -200,3 +200,45 @@ def test_label_affinity_equals_bruteforce_pairs(ray_session):
         ib = np.nonzero(lab == r.label_b)[0]
         assert r.dot_q2 == int(G[np.ix_(ia, ib)].sum())
         assert r.n_pairs == len(ia) * len(ib)
+
+
+def test_semdedup_subset_of_exact_pairs(ray_session):
+    """Every SemDeDup pair satisfies the exact cosine test (soundness),
+    and within any ONE cluster no qualifying pair is missed
+    (completeness-within-cluster) — checked against a brute-force numpy
+    oracle over synthetic vectors with planted duplicates."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import semdedup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    # planted near-dups: rows 20..39 are noisy copies of rows 0..19
+    noisy = (base + rng.normal(scale=0.02, size=base.shape)
+             ).astype(np.float32)
+    m = np.vstack([base, noisy])
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": [v.tolist() for v in m]})
+    out = (semdedup_pairs(rd.from_pandas(df), k=4, rounds=2,
+                          tau_num=24, tau_den=25)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    q = np.floor(m.astype(np.float64) * 1e3 + 0.5).astype(np.int64)
+    dot = q @ q.T
+    n2 = np.diag(dot)
+    exact = {(a, b) for a in range(40) for b in range(a + 1, 40)
+             if dot[a, b] > 0
+             and 625 * dot[a, b] ** 2 >= 576 * n2[a] * n2[b]}
+    got = set(zip(out.id_a.tolist(), out.id_b.tolist()))
+    assert got <= exact  # soundness
+    # planted copies are extremely close; k-means puts a copy with its
+    # original, so the planted pairs must be recovered
+    planted = {(i, i + 20) for i in range(20)} & exact
+    assert planted <= got
+    # completeness within each emitted cluster
+    cl = dict(zip(out.id_a.tolist(), out.cid.tolist()))
+    for (a, b) in exact:
+        if cl.get(a) is not None and cl.get(a) == cl.get(b):
+            assert (a, b) in got
