@@ -2463,6 +2463,18 @@ def _q_docs_decontaminate(sf_dir: str):
                               columns=["doc_id", "text"]))
 
 
+def _q_docs_bloom_decontaminate(sf_dir: str):
+    """Decontamination for benchmark sets too big to broadcast exactly:
+    fixed-size Bloom bitmap (associative OR-fold) prunes the training
+    pass, a distributed hash semi-join verifies exactly — output equals
+    the broadcast-set plan bit-for-bit, shipping m/8 bytes per worker
+    instead of the whole n-gram set."""
+    from raygeo.ops.corpus import bloom_decontaminate
+
+    return bloom_decontaminate(_rpq(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id", "text"]))
+
+
 def _q_docs_bigrams(sf_dir: str):
     """Corpus bigram count table (n-gram LM input): Counter partials,
     one keyed groupby, bounded top-k."""
@@ -2693,6 +2705,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc": _q_events_ohlc,  # OHLC downsample bars
         "docs_vocab_growth": _q_docs_vocab_growth,  # Heaps-law checkpoints
         "docs_decontaminate": _q_docs_decontaminate,  # benchmark n-gram hits
+        "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,  # bloom+verify
         "terms_components": _q_terms_components,  # min-label propagation
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
@@ -4453,6 +4466,20 @@ WITH toks AS (
 SELECT node AS term, lab::BIGINT AS label FROM l3
 """,
         "docs_decontaminate": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, array_to_string(l[i.i + 1:i.i + 8], ' ') AS ngram
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 7, 0))) AS i) i
+),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 7 = 0)
+SELECT doc_id, count(DISTINCT ngram)::BIGINT AS n_hits
+FROM ng WHERE doc_id % 7 <> 0 AND ngram IN (SELECT ngram FROM bench)
+GROUP BY doc_id
+""",
+        "docs_bloom_decontaminate": """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
   FROM documents

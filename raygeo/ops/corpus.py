@@ -926,3 +926,97 @@ def repetition_signals(docs_ds, text_col: str = "text",
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         _RepetitionStage(text_col, id_col),
         batch_format="pandas", batch_size=4096, num_cpus=1)
+
+
+def _ngram_md5_keys(ngrams: list) -> np.ndarray:
+    """uint64 keys (first 8 md5 bytes) for n-gram strings, for Bloom use."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+         for g in ngrams), dtype=np.uint64, count=len(ngrams))
+
+
+def bloom_decontaminate(docs_ds, n: int = 8, bench_mod: int = 7,
+                        m_bits: int = 1 << 17,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_ds=None):
+    """``decontaminate()`` for benchmark sets too big to broadcast exactly.
+
+    The broadcast path folds the benchmark's DISTINCT n-grams into one
+    driver-side frozenset — memory grows with the benchmark. This variant
+    replaces the broadcast SET with a FIXED-size Bloom bitmap (associative
+    OR-fold of per-batch partial bitmaps, m/8 bytes each regardless of
+    n-gram count), so the training pass ships only ``m_bits/8`` bytes to
+    every worker. Bloom hits (false-positive-bounded: (1-e^{-2n/m})^2 per
+    probe) emit (doc, ngram) rows; the EXACT verify is a distributed hash
+    semi-join of those rows against the benchmark's distinct-n-gram rows,
+    so the output equals ``decontaminate()`` bit-for-bit — the filter only
+    prunes, never decides (the bloom_semijoin_shipmode contract, applied
+    to the GPT-3-style 8-gram contamination check).
+
+    Returns (doc_id, n_hits) for contaminated training docs.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .relational import _bloom_build, _bloom_maybe
+    from ..util import drop_empty_blocks, shuffle_partitions
+
+    helper = _NgramSetPartial(n, text_col)
+    src = bench_ds if bench_ds is not None else docs_ds
+    if bench_ds is not None:
+        def bpartial(df, _h=helper):
+            return _h(df)
+    else:
+        def bpartial(df, _h=helper):
+            return _h(df[df[id_col] % bench_mod == 0])
+    cols = [text_col] if bench_ds is not None else [id_col, text_col]
+    # benchmark distinct n-gram ROWS (stay distributed; benchmark-bounded)
+    bench_ng = (src.select_columns(cols)
+                .map_batches(bpartial, batch_format="pandas",
+                             batch_size=4096, num_cpus=1)
+                .groupby("ngram").aggregate(Count(alias_name="_n"))
+                .select_columns(["ngram"]))
+    bench_ng = drop_empty_blocks(
+        bench_ng.materialize(), pa.schema([("ngram", pa.string())]))
+
+    # fixed-size bitmap: per-batch partial OR (m/8 bytes per batch, constant
+    # in benchmark size), folded on the driver, broadcast once
+    def bbloom(t: pa.Table) -> pa.Table:
+        keys = _ngram_md5_keys(t.column("ngram").to_pylist())
+        bm = _bloom_build(keys.astype(np.int64), m_bits)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bm = np.zeros(m_bits // 8, np.uint8)
+    for row in bench_ng.map_batches(bbloom, batch_format="pyarrow",
+                                    batch_size=65536).take_all():
+        bm |= np.frombuffer(row["bm"], np.uint8)
+    bm_ref = ray.put(bm)
+
+    mod = None if bench_ds is not None else bench_mod
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bmap = ray.get(bm_ref)
+        train = df if mod is None else df[df[id_col] % mod != 0]
+        out_id, out_g = [], []
+        for doc_id, text in zip(train[id_col], train[text_col]):
+            ngs = sorted(helper.doc_ngrams(text))
+            if not ngs:
+                continue
+            keys = _ngram_md5_keys(ngs)
+            hit = _bloom_maybe(bmap, keys.astype(np.int64), m_bits)
+            for j in np.flatnonzero(hit):
+                out_id.append(doc_id)
+                out_g.append(ngs[j])
+        return pd.DataFrame({id_col: pd.Series(out_id, dtype=np.int64),
+                             "ngram": pd.Series(out_g, dtype=object)})
+
+    hits = docs_ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pandas", batch_size=4096, num_cpus=1)
+    bench_bg = bench_ng.map_batches(
+        lambda t: pa.table({"bg": t.column("ngram").cast(pa.string())}),
+        batch_format="pyarrow")
+    verified = hits.join(bench_bg, join_type="inner",
+                         num_partitions=shuffle_partitions(8),
+                         on=("ngram",), right_on=("bg",))
+    return (verified.groupby(id_col)
+            .aggregate(Count(alias_name="n_hits")))

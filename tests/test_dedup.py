@@ -548,3 +548,29 @@ def test_hll_small_range_linear_counting(ray_session):
     out = (hll_distinct(rd.from_pandas(df), "k", "v")
            .to_pandas().set_index("k")["hll_est"])
     assert abs(out["x"] - 40) <= 4
+
+
+def test_bloom_decontaminate_exact_under_false_positives(ray_session):
+    """With a deliberately tiny bitmap (high FP rate) the Bloom variant
+    must still equal the broadcast-set plan exactly — the filter prunes,
+    the semi-join decides."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import bloom_decontaminate, decontaminate
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(30)),
+        "text": [f"alpha beta gamma delta epsilon zeta eta theta doc{i}"
+                 if i % 3 else
+                 "alpha beta gamma delta epsilon zeta eta theta shared tail"
+                 for i in range(30)],
+    })
+    ds = rd.from_pandas(docs)
+    exact = (decontaminate(ds, n=8, bench_mod=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    bloom = (bloom_decontaminate(ds, n=8, bench_mod=3, m_bits=64)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        exact.astype({"doc_id": "int64", "n_hits": "int64"}),
+        bloom.astype({"doc_id": "int64", "n_hits": "int64"}))
