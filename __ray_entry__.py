@@ -1729,6 +1729,39 @@ def _q_mosaic_dilate(sf_dir: str):
     return dilate_stats(tiles, FIXTURE_GRID)
 
 
+def _q_mosaic_flowdir(sf_dir: str):
+    """D8 flow-direction histogram per tile (terrain routing): max
+    weighted drop over 8 neighbors, integer weights 100000/70711, ties to
+    the smaller code, code 8 = pit. Same O(perimeter) 8-neighbor halo
+    exchange as dilate/erode; golden painted from the GLOBAL plane."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.stencil import flowdir_stats
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return flowdir_stats(tiles, FIXTURE_GRID)
+
+
+def _q_mosaic_distance(sf_dir: str):
+    """Capped-L1 distance transform (gap analysis: how far is every
+    nodata pixel from observed data). ONE halo exchange is exact — the
+    separable min-plus DT re-sweeps the padded frame, and with cap <=
+    chunk every relevant source's L1 staircase crosses the 1-px halo ring
+    at a cell carrying the neighbor's own exact DT."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.stencil import distance_stats
+
+    d = _fix(sf_dir)
+    tiles = ingest(_rpq(f"{d}/images.parquet",
+                        columns=["image_id", "bytes", "w", "h"]),
+                   FIXTURE_GRID)
+    return distance_stats(tiles, FIXTURE_GRID)
+
+
 def _q_mosaic_gradient_refresh(sf_dir: str):
     """Incremental view maintenance end-to-end: batch-ingest 60% of the
     patches, compute gradient stats, fold in the remaining 40% via
@@ -2652,6 +2685,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_fulfillment": _q_orders_fulfillment,  # left-outer join report
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
         "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
+        "mosaic_flowdir": _q_mosaic_flowdir,  # D8 steepest-descent routing
+        "mosaic_distance": _q_mosaic_distance,  # capped-L1 chamfer DT
         "mosaic_dilate": _q_mosaic_dilate,  # 8-neighbor focal max
         "mosaic_erode": _q_mosaic_erode,  # focal min, same exchange
         "mosaic_gradient_refresh": _q_mosaic_gradient_refresh,  # IVM
@@ -3064,6 +3099,14 @@ FROM read_parquet('{FIX_SF001}/gradient_golden.parquet')
         "mosaic_dilate": f"""
 SELECT tile_id, tx, ty, n_px, dilate_sum
 FROM read_parquet('{FIX_SF001}/dilate_golden.parquet')
+""",
+        "mosaic_flowdir": f"""
+SELECT tile_id, tx, ty, dir_code, n_px
+FROM read_parquet('{FIX_SF001}/flowdir_golden.parquet')
+""",
+        "mosaic_distance": f"""
+SELECT tile_id, tx, ty, n_reached, dist_sum
+FROM read_parquet('{FIX_SF001}/distance_golden.parquet')
 """,
         "mosaic_erode": f"""
 SELECT tile_id, tx, ty, n_px, dilate_sum

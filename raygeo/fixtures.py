@@ -1115,6 +1115,91 @@ def _golden_dilate(lww: dict, minimize: bool = False) -> pa.Table:
     })
 
 
+def _golden_flowdir(lww: dict) -> pa.Table:
+    """Per-tile D8 flow-direction histogram from the GLOBAL plane — an
+    independent serial decomposition of ops.stencil.flowdir_stats (shares
+    only the per-pixel rule: code = argmax weighted drop over the 8
+    neighbors, weights 100000 cardinal / 70711 diagonal, ties to the
+    smaller code, 8 = valid pit, invalid centers excluded)."""
+    g = FIXTURE_GRID
+    _, valid, v = _full_plane(lww)
+    H, W = v.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    offs = ((0, 0, 1, 100000), (1, 1, 1, 70711), (2, 1, 0, 100000),
+            (3, 1, -1, 70711), (4, 0, -1, 100000), (5, -1, -1, 70711),
+            (6, -1, 0, 100000), (7, -1, 1, 70711))
+    best = np.zeros((H, W), np.int64)
+    code = np.full((H, W), 8, np.int64)
+    vc = P[1:-1, 1:-1]
+    for k, dr, dc, wt in offs:
+        vn = P[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        mn = M[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        drop = (vc - vn) * np.int64(wt)
+        ok = mn & (vc > vn) & (drop > best)
+        best = np.where(ok, drop, best)
+        code = np.where(ok, np.int64(k), code)
+    code = np.where(valid, code, np.int64(-1))
+    out = {"tile_id": [], "tx": [], "ty": [], "dir_code": [], "n_px": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        win = code[tr0:tr1, tc0:tc1]
+        hist = np.bincount(win[win >= 0], minlength=9).astype(np.int64)
+        out["tile_id"].extend([f"{tx}-{ty}"] * 9)
+        out["tx"].extend([tx] * 9)
+        out["ty"].extend([ty] * 9)
+        out["dir_code"].extend(range(9))
+        out["n_px"].extend(hist.tolist())
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "dir_code": pa.array(out["dir_code"], pa.int64()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+    })
+
+
+DIST_CAP = 64  # engine default cap = chunk // 2
+
+
+def _golden_distance(lww: dict) -> pa.Table:
+    """Per-tile capped-L1 distance-transform stats from the GLOBAL plane —
+    a serial two-pass (vertical then horizontal min-plus sweep) over the
+    whole 2048^2 plane, independent of the engine's per-tile DT + halo
+    re-sweep decomposition."""
+    g = FIXTURE_GRID
+    _, valid, _v = _full_plane(lww)
+    H, W = valid.shape
+    cap = DIST_CAP
+    f = np.where(valid, np.int64(0), np.int64(cap))
+    ridx = np.arange(H, dtype=np.int64)[:, None]
+    cidx = np.arange(W, dtype=np.int64)[None, :]
+    down = np.minimum.accumulate(f - ridx, axis=0) + ridx
+    up = np.minimum.accumulate((f + ridx)[::-1], axis=0)[::-1] - ridx
+    d = np.minimum(down, up)
+    right = np.minimum.accumulate(d - cidx, axis=1) + cidx
+    left = np.minimum.accumulate((d + cidx)[:, ::-1], axis=1)[:, ::-1] - cidx
+    d = np.minimum(np.minimum(right, left), np.int64(cap))
+    out = {"tile_id": [], "tx": [], "ty": [], "n_reached": [], "dist_sum": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        win = d[tr0:tr1, tc0:tc1]
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_reached"].append(int((win < cap).sum()))
+        out["dist_sum"].append(int(win.sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "n_reached": pa.array(out["n_reached"], pa.int64()),
+        "dist_sum": pa.array(out["dist_sum"], pa.int64()),
+    })
+
+
 def _golden_resample(lww: dict) -> pa.Table:
     """NN warp of the global plane onto WARP_GRID; per-target-tile stats.
     Sampling uses the same center-mapping float formula as the engine
@@ -1219,6 +1304,14 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_resample(agg["lww"]), rpath + ".tmp",
                    compression="zstd")
     os.replace(rpath + ".tmp", rpath)
+    fdpath = os.path.join(out_dir, "flowdir_golden.parquet")
+    pq.write_table(_golden_flowdir(agg["lww"]), fdpath + ".tmp",
+                   compression="zstd")
+    os.replace(fdpath + ".tmp", fdpath)
+    dtpath = os.path.join(out_dir, "distance_golden.parquet")
+    pq.write_table(_golden_distance(agg["lww"]), dtpath + ".tmp",
+                   compression="zstd")
+    os.replace(dtpath + ".tmp", dtpath)
     for name, (store, temporal, dem) in {
         "lww": (agg["lww"], False, False),
         "max": (agg["max"], False, False),
@@ -1351,7 +1444,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v15-erode"
+FIXTURE_LAYOUT_VERSION = "v16-flowdir-dist"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1390,6 +1483,8 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "dilate_golden.parquet"))
             and os.path.exists(os.path.join(d, "erode_golden.parquet"))
             and os.path.exists(os.path.join(d, "resample_golden.parquet"))
+            and os.path.exists(os.path.join(d, "flowdir_golden.parquet"))
+            and os.path.exists(os.path.join(d, "distance_golden.parquet"))
             and os.path.exists(os.path.join(d, "overview2_golden.parquet"))
             and os.path.exists(os.path.join(d, "mosaic_zonal_golden.parquet"))
             and (n > MEDIAN_GOLDEN_MAX or os.path.exists(

@@ -705,3 +705,346 @@ def gradient_stats_incremental(cube_path: str, grid: GridSpec, touched: set,
                      for i in prior_t.column("tile_id").to_pylist()])
     kept = prior_t.filter(drop).select(fresh_t.column_names)
     return pa.concat_tables([kept.cast(fresh_t.schema), fresh_t])
+
+
+# ------------------------------------------------------------- D8 flow dir
+# direction codes 0..7 (E, SE, S, SW, W, NW, N, NE) + 8 = pit (no valid
+# strictly-lower neighbor); weighted drop = (v_center - v_nbr) * weight,
+# weight 100000 for cardinal and 70711 (~1e5/sqrt(2)) for diagonal steps —
+# exact integer arithmetic, ties break toward the smaller code.
+_D8 = (
+    (0, 0, 1, 100000), (1, 1, 1, 70711), (2, 1, 0, 100000),
+    (3, 1, -1, 70711), (4, 0, -1, 100000), (5, -1, -1, 70711),
+    (6, -1, 0, 100000), (7, -1, 1, 70711),
+)
+
+FLOW_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),
+    ("hist", pa.binary()),   # 9 x int64 direction histogram (self rows)
+    ("v", pa.binary()),      # int64 strip values (edges/halos)
+    ("m", pa.binary()),      # uint8 strip validity
+])
+
+
+def _flowdir_codes(V: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """Per interior position of a padded (h+2, w+2) frame: D8 direction
+    code 0..7 (max weighted drop to a valid strictly-lower neighbor,
+    smallest code on ties), 8 for valid pits, -1 where the center is
+    invalid. Pure vectorized comparisons over the 8 shifted planes."""
+    h, w = V.shape[0] - 2, V.shape[1] - 2
+    vc = V[1:1 + h, 1:1 + w]
+    mc = M[1:1 + h, 1:1 + w]
+    best = np.full((h, w), 0, np.int64)
+    code = np.full((h, w), 8, np.int64)
+    for k, dr, dc, wt in _D8:
+        vn = V[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+        mn = M[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+        drop = (vc - vn) * np.int64(wt)
+        ok = mn & (vc > vn) & (drop > best)
+        best = np.where(ok, drop, best)
+        code = np.where(ok, np.int64(k), code)
+    return np.where(mc, code, np.int64(-1))
+
+
+def _hist9(codes: np.ndarray) -> np.ndarray:
+    sel = codes[codes >= 0]
+    return np.bincount(sel, minlength=9).astype(np.int64)
+
+
+def flowdir_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile D8 flow-direction histogram over the mosaic — the
+    hydrology/terrain-routing focal op (every pixel drains to its
+    steepest-descent neighbor; reference analog: any DEM derivative over
+    the cube window, like the hillshade at `accessors`-level).
+
+    Same single 8-neighbor halo exchange as dilate/erode: interior pixels
+    (3x3 window fully in-tile) fold MAP-SIDE into a 9-bin histogram; each
+    tile keeps its outer-2 ring keyed to itself and ships 1-px edge strips
+    + corner pixels to the 8 neighbors — the keyed shuffle carries
+    O(perimeter) per tile, never a canvas. Output: one row per (tile,
+    dir_code 0..8), n_px = valid pixels draining that way (8 = pit).
+    Value-checked against a golden painted from the GLOBAL plane
+    (fixtures._golden_flowdir).
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in FLOW_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, hist=b"", v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["hist"].append(hist)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            interior = _flowdir_codes(v, mask)
+            row((tx, ty), "self", hist=_hist9(interior).tobytes())
+
+            def strip(vs, ms):
+                return vs.astype(np.int64).tobytes(), \
+                    ms.astype(np.uint8).tobytes()
+
+            for kind, vs, ms in (
+                ("ring_n", v[0:2, :], mask[0:2, :]),
+                ("ring_s", v[-2:, :], mask[-2:, :]),
+                ("ring_w", v[:, 0:2], mask[:, 0:2]),
+                ("ring_e", v[:, -2:], mask[:, -2:]),
+            ):
+                b, m = strip(vs, ms)
+                row((tx, ty), kind, v=b, m=m)
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0]),
+                     ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1]),
+                     ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :]),
+                     ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", v[0:1, 0], mask[0:1, 0]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", v[0:1, -1],
+                      mask[0:1, -1]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", v[-1:, 0], mask[-1:, 0]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", v[-1:, -1],
+                      mask[-1:, -1])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b, m = strip(np.ascontiguousarray(vs),
+                                 np.ascontiguousarray(ms))
+                    row((ntx, nty), kind, v=b, m=m)
+        return pa.table(out, schema=FLOW_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def _place(P, M, kind, vs, ms):
+        c = chunk
+        if kind == "ring_n":
+            P[1:3, 1:c + 1] = vs.reshape(2, c)
+            M[1:3, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_s":
+            P[c - 1:c + 1, 1:c + 1] = vs.reshape(2, c)
+            M[c - 1:c + 1, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_w":
+            P[1:c + 1, 1:3] = vs.reshape(c, 2)
+            M[1:c + 1, 1:3] = ms.reshape(c, 2)
+        elif kind == "ring_e":
+            P[1:c + 1, c - 1:c + 1] = vs.reshape(c, 2)
+            M[1:c + 1, c - 1:c + 1] = ms.reshape(c, 2)
+        elif kind == "nbr_n":
+            P[0, 1:c + 1], M[0, 1:c + 1] = vs, ms
+        elif kind == "nbr_s":
+            P[c + 1, 1:c + 1], M[c + 1, 1:c + 1] = vs, ms
+        elif kind == "nbr_w":
+            P[1:c + 1, 0], M[1:c + 1, 0] = vs, ms
+        elif kind == "nbr_e":
+            P[1:c + 1, c + 1], M[1:c + 1, c + 1] = vs, ms
+        elif kind == "nbr_nw_c":
+            P[0, 0], M[0, 0] = vs[0], ms[0]
+        elif kind == "nbr_ne_c":
+            P[0, c + 1], M[0, c + 1] = vs[0], ms[0]
+        elif kind == "nbr_sw_c":
+            P[c + 1, 0], M[c + 1, 0] = vs[0], ms[0]
+        elif kind == "nbr_se_c":
+            P[c + 1, c + 1], M[c + 1, c + 1] = vs[0], ms[0]
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        empty = pa.table({"tile_id": pa.array([], pa.string()),
+                          "tx": pa.array([], pa.int64()),
+                          "ty": pa.array([], pa.int64()),
+                          "dir_code": pa.array([], pa.int64()),
+                          "n_px": pa.array([], pa.int64())})
+        if "self" not in kinds:
+            return empty
+        c = chunk
+        P = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        hist = np.zeros(9, np.int64)
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                hist += np.frombuffer(g.column("hist")[j].as_py(), np.int64)
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place(P, M, kind, vs, ms)
+        codes = _flowdir_codes(P, M)
+        border = np.zeros((c, c), bool)
+        border[0, :] = border[-1, :] = True
+        border[:, 0] = border[:, -1] = True
+        hist += _hist9(np.where(border, codes, np.int64(-1)))
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"] * 9, pa.string()),
+            "tx": pa.array([tx] * 9, pa.int64()),
+            "ty": pa.array([ty] * 9, pa.int64()),
+            "dir_code": pa.array(np.arange(9, dtype=np.int64), pa.int64()),
+            "n_px": pa.array(hist, pa.int64()),
+        })
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")
+
+
+# ------------------------------------------------- L1 distance transform
+def _sep_dt(f: np.ndarray, cap: int) -> np.ndarray:
+    """Exact L1 distance transform OF A FUNCTION: D(p) = min_q f(q) +
+    |p-q|_1, via two separable 1-D passes (vertical then horizontal),
+    each a forward/backward min-accumulate — fully vectorized, values
+    clamped to ``cap``."""
+    ridx = np.arange(f.shape[0], dtype=np.int64)[:, None]
+    cidx = np.arange(f.shape[1], dtype=np.int64)[None, :]
+    down = np.minimum.accumulate(f - ridx, axis=0) + ridx
+    up = np.minimum.accumulate((f + ridx)[::-1], axis=0)[::-1] - ridx
+    d = np.minimum(down, up)
+    right = np.minimum.accumulate(d - cidx, axis=1) + cidx
+    left = np.minimum.accumulate((d + cidx)[:, ::-1], axis=1)[:, ::-1] - cidx
+    return np.minimum(np.minimum(right, left), np.int64(cap))
+
+
+DIST_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),
+    ("d_z", pa.binary()),    # self rows: zlib int64 capped DT plane
+    ("v", pa.binary()),      # edge/halo strips: int64 DT values
+])
+
+
+def distance_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+                   cap: int | None = None):
+    """Per-tile L1 distance-to-nearest-valid-pixel statistics (capped
+    chamfer distance transform) — the gap-analysis / coverage-proximity
+    op (how far is every nodata pixel from observed data).
+
+    ONE halo exchange is EXACT, not iterative, because (a) the L1
+    transform is separable (``_sep_dt``: two 1-D min-plus passes compute
+    min_q f(q)+|p-q|_1 for arbitrary seed functions), and (b) with
+    ``cap <= chunk`` every relevant source lies in the 3x3 tile ring, and
+    any L1 staircase from a source q to a pixel p crosses this tile's
+    1-px halo ring at a cell r with |p-q| = |p-r| + |r-q| whose halo
+    value is the NEIGHBOR's own-tile-exact DT — including the single
+    corner cell for diagonal neighbors (the crossing rectangle always
+    contains it). So: per-tile local DT map-side, ship 1-px edge strips +
+    corner pixels + the tile's own capped plane through one keyed
+    shuffle, re-sweep the padded frame, done. Absent tiles hold no valid
+    pixels and contribute nothing, matching the golden.
+
+    Output (tile_id, tx, ty, n_reached, dist_sum): pixels with dist <
+    cap, and the sum of capped distances over all chunk^2 pixels.
+    Value-checked against a full-plane golden (fixtures._golden_distance).
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    cap = chunk // 2 if cap is None else cap
+    if cap > chunk:
+        raise ValueError(f"cap={cap} > chunk={chunk}: sources beyond the "
+                         "3x3 tile ring would be missed; raise chunk or "
+                         "lower cap")
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in DIST_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, d_z=b"", v=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["d_z"].append(d_z)
+            out["v"].append(v)
+
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            tx, ty = int(txs[j]), int(tys[j])
+            seed = np.where(mask, np.int64(0), np.int64(cap))
+            d = _sep_dt(seed, cap)
+            row((tx, ty), "self",
+                d_z=zlib.compress(d.tobytes(), 1))
+            sends = [((tx - 1, ty), "nbr_e", d[:, 0]),
+                     ((tx + 1, ty), "nbr_w", d[:, -1]),
+                     ((tx, ty - 1), "nbr_s", d[0, :]),
+                     ((tx, ty + 1), "nbr_n", d[-1, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", d[0:1, 0]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", d[0:1, -1]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", d[-1:, 0]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", d[-1:, -1])]
+            for (ntx, nty), kind, vs in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    row((ntx, nty), kind,
+                        v=np.ascontiguousarray(vs).astype(np.int64).tobytes())
+        return pa.table(out, schema=DIST_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        empty = pa.table({"tile_id": pa.array([], pa.string()),
+                          "tx": pa.array([], pa.int64()),
+                          "ty": pa.array([], pa.int64()),
+                          "n_reached": pa.array([], pa.int64()),
+                          "dist_sum": pa.array([], pa.int64())})
+        if "self" not in kinds:
+            return empty
+        c = chunk
+        P = np.full((c + 2, c + 2), np.int64(cap))
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                own = np.frombuffer(
+                    zlib.decompress(g.column("d_z")[j].as_py()),
+                    np.int64).reshape(c, c)
+                P[1:c + 1, 1:c + 1] = own
+                continue
+            vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+            if kind == "nbr_n":
+                P[0, 1:c + 1] = vs
+            elif kind == "nbr_s":
+                P[c + 1, 1:c + 1] = vs
+            elif kind == "nbr_w":
+                P[1:c + 1, 0] = vs
+            elif kind == "nbr_e":
+                P[1:c + 1, c + 1] = vs
+            elif kind == "nbr_nw_c":
+                P[0, 0] = vs[0]
+            elif kind == "nbr_ne_c":
+                P[0, c + 1] = vs[0]
+            elif kind == "nbr_sw_c":
+                P[c + 1, 0] = vs[0]
+            elif kind == "nbr_se_c":
+                P[c + 1, c + 1] = vs[0]
+        d = _sep_dt(P, cap)[1:c + 1, 1:c + 1]
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+            "tx": pa.array([tx], pa.int64()),
+            "ty": pa.array([ty], pa.int64()),
+            "n_reached": pa.array([int((d < cap).sum())], pa.int64()),
+            "dist_sum": pa.array([int(d.sum())], pa.int64()),
+        })
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")

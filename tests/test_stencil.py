@@ -310,3 +310,83 @@ def test_gradient_incremental_equals_full(ray_session, tmp_path):
         got[["tile_id", "tx", "ty", "n_pairs", "abs_grad_sum"]],
         full[["tile_id", "tx", "ty", "n_pairs", "abs_grad_sum"]],
         check_dtype=False)
+
+
+def test_flowdir_matches_full_plane(ray_session):
+    """D8 flow-direction histograms vs a serial padded-global-plane
+    oracle on a random mosaic with absent tiles and random validity."""
+    import ray.data as rd
+
+    from raygeo.ops.stencil import flowdir_stats
+
+    rows, plane, valid = _random_mosaic(seed=13)
+    out = flowdir_stats(rd.from_items(rows).repartition(5),
+                        SRC).to_pandas()
+    v = plane.astype(np.int64).sum(axis=2)
+    H, W = v.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    offs = ((0, 0, 1, 100000), (1, 1, 1, 70711), (2, 1, 0, 100000),
+            (3, 1, -1, 70711), (4, 0, -1, 100000), (5, -1, -1, 70711),
+            (6, -1, 0, 100000), (7, -1, 1, 70711))
+    best = np.zeros((H, W), np.int64)
+    code = np.full((H, W), 8, np.int64)
+    for k, dr, dc, wt in offs:
+        vn = P[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        mn = M[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        drop = (v - vn) * np.int64(wt)
+        ok = mn & (v > vn) & (drop > best)
+        best = np.where(ok, drop, best)
+        code = np.where(ok, np.int64(k), code)
+    code = np.where(valid, code, np.int64(-1))
+    present = {(r["tx"], r["ty"]) for r in rows}
+    exp_rows = []
+    for (tx, ty) in sorted(present):
+        tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+        win = code[tr0:tr1, tc0:tc1]
+        hist = np.bincount(win[win >= 0], minlength=9)
+        for k in range(9):
+            exp_rows.append((f"{tx}-{ty}", tx, ty, k, int(hist[k])))
+    exp = pd.DataFrame(exp_rows, columns=["tile_id", "tx", "ty",
+                                          "dir_code", "n_px"])
+    got = out.sort_values(["tx", "ty", "dir_code"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty", "dir_code"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_distance_matches_full_plane(ray_session):
+    """Capped-L1 distance transform vs a serial full-plane separable DT
+    oracle — absent tiles + random masks exercise the halo ring AND the
+    diagonal corner-cell path (cap spans whole tiles at chunk 16)."""
+    import ray.data as rd
+
+    from raygeo.ops.stencil import distance_stats
+
+    rows, plane, valid = _random_mosaic(seed=21, p_absent=0.4)
+    cap = 16  # == chunk: the maximum the single exchange supports
+    out = distance_stats(rd.from_items(rows).repartition(4),
+                         SRC, cap=cap).to_pandas()
+    H, W = valid.shape
+    f = np.where(valid, np.int64(0), np.int64(cap))
+    ridx = np.arange(H, dtype=np.int64)[:, None]
+    cidx = np.arange(W, dtype=np.int64)[None, :]
+    down = np.minimum.accumulate(f - ridx, axis=0) + ridx
+    up = np.minimum.accumulate((f + ridx)[::-1], axis=0)[::-1] - ridx
+    d = np.minimum(down, up)
+    right = np.minimum.accumulate(d - cidx, axis=1) + cidx
+    left = np.minimum.accumulate((d + cidx)[:, ::-1], axis=1)[:, ::-1] - cidx
+    d = np.minimum(np.minimum(right, left), np.int64(cap))
+    present = {(r["tx"], r["ty"]) for r in rows}
+    exp_rows = []
+    for (tx, ty) in sorted(present):
+        tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+        win = d[tr0:tr1, tc0:tc1]
+        exp_rows.append((f"{tx}-{ty}", tx, ty,
+                         int((win < cap).sum()), int(win.sum())))
+    exp = pd.DataFrame(exp_rows, columns=["tile_id", "tx", "ty",
+                                          "n_reached", "dist_sum"])
+    got = out.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
