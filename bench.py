@@ -150,6 +150,16 @@ def run_bench() -> dict:
         "docs_decontaminate",
         "emb_kcenter",
         "orders_p90",
+        # session-7 additions (mosaic_* share one materialized tile table;
+        # the ingest itself is measured by ingest_mosaic)
+        "mosaic_flowdir",
+        "mosaic_distance",
+        "mosaic_hillshade",
+        "mosaic_equalize",
+        "events_hll_users",
+        "docs_repetition",
+        "emb_semdedup",
+        "docs_bloom_decontaminate",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -970,12 +970,30 @@ def bloom_decontaminate(docs_ds, n: int = 8, bench_mod: int = 7,
         def bpartial(df, _h=helper):
             return _h(df[df[id_col] % bench_mod == 0])
     cols = [text_col] if bench_ds is not None else [id_col, text_col]
-    # benchmark distinct n-gram ROWS (stay distributed; benchmark-bounded)
+    # benchmark distinct n-gram ROWS (stay distributed; benchmark-bounded).
+    # distinct via ~16 coarse hash buckets + vectorized drop_duplicates per
+    # bucket — a groupby on the ngram itself pays Python per distinct key
+    # (the high-cardinality-groupby lesson, see graph/dedup pair-distinct)
+    nparts = 16
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        df = df.drop_duplicates(["ngram"])
+        # crc32, NOT hash(): Python string hashing is per-process salted,
+        # and the same ngram must land in the same bucket on every worker
+        pk = np.fromiter((zlib.crc32(g.encode()) % nparts
+                          for g in df["ngram"]),
+                         dtype=np.int64, count=len(df))
+        return pd.DataFrame({"pk": pk, "ngram": df["ngram"].to_numpy()})
+
     bench_ng = (src.select_columns(cols)
                 .map_batches(bpartial, batch_format="pandas",
                              batch_size=4096, num_cpus=1)
-                .groupby("ngram").aggregate(Count(alias_name="_n"))
-                .select_columns(["ngram"]))
+                .map_batches(bucketed, batch_format="pandas")
+                .groupby("pk")
+                .map_groups(lambda g: g.drop_duplicates(["ngram"])[["ngram"]],
+                            batch_format="pandas"))
     bench_ng = drop_empty_blocks(
         bench_ng.materialize(), pa.schema([("ngram", pa.string())]))
 
@@ -1020,3 +1038,40 @@ def bloom_decontaminate(docs_ds, n: int = 8, bench_mod: int = 7,
                          on=("ngram",), right_on=("bg",))
     return (verified.groupby(id_col)
             .aggregate(Count(alias_name="n_hits")))
+
+
+def weighted_sample(ds, key_col: str = "doc_id",
+                    weight_col: str = "n_chars", k: int = 64):
+    """Deterministic weighted bottom-k sample: priority = h(key) //
+    max(weight, 1) with h = the first 8 md5 bytes of the key — an
+    integer-exact analog of weighted reservoir sampling (A-ES keys
+    u^(1/w) are float; integer division keeps the whole draw
+    SQL-replayable) where doubling a row's weight roughly doubles its
+    selection odds. The k smallest priorities win, ties to the smaller
+    key.
+
+    Mergeable: per-batch bottom-k partials cap the final sort at k rows
+    per batch — the sampling shuffle never carries the corpus. Returns
+    (key, weight, priority) for the k sampled rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        w = np.maximum(np.asarray(t.column(weight_col).to_pylist(),
+                                  dtype=np.int64), 1)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8],
+                            "big") for x in keys),
+            dtype=np.uint64, count=len(keys))
+        pr = h // w.astype(np.uint64)
+        order = np.lexsort((np.asarray(keys), pr))[:k]
+        order = np.sort(order)
+        return pa.table({
+            key_col: pa.array([keys[i] for i in order], pa.int64()),
+            weight_col: pa.array(w[order].astype(np.int64), pa.int64()),
+            "priority": pa.array(pr[order], pa.uint64()),
+        })
+
+    return (ds.select_columns([key_col, weight_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .sort(["priority", key_col]).limit(k))

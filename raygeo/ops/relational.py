@@ -2908,3 +2908,43 @@ def unpivot(ds, id_col: str, value_cols: list[str], var_name: str = "var",
         })
 
     return ds.map_batches(melt, batch_format="pyarrow", batch_size=65536)
+
+
+def latest_state(ds, key_cols: list[str], ts_col: str, id_col: str,
+                 val_cols: list[str], n_buckets: int = 16):
+    """Streaming upsert compaction: the LATEST row per key (max ts, ties
+    to max id) — the changelog -> table materialization every
+    Delta/Hudi-style ingest runs (CDC compaction, "current state" reads).
+
+    Plan: per-batch vectorized compaction (sort + drop_duplicates keep
+    last — one surviving row per key per batch, so the shuffle carries
+    key-cardinality x batches rows, never the log), then ONE coarse-
+    bucket groupby (crc32 of the key into ``n_buckets``; a groupby on the
+    raw key would pay Python per distinct key — the high-cardinality-
+    groupby lesson) with the same vectorized compaction per bucket.
+    Equivalent to row_number() OVER (PARTITION BY key ORDER BY ts DESC,
+    id DESC) = 1.
+    """
+    import zlib as _zlib
+
+    cols = list(dict.fromkeys([*key_cols, ts_col, id_col, *val_cols]))
+    out_cols = cols
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort")
+        return df.drop_duplicates(key_cols, keep="last")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = compact(df)[out_cols].copy()
+        key_bytes = df[key_cols].astype(str).agg("\x1f".join, axis=1)
+        df["pk"] = np.fromiter(
+            (_zlib.crc32(s.encode()) % n_buckets for s in key_bytes),
+            dtype=np.int64, count=len(df))
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return compact(g)[out_cols]
+
+    return (ds.select_columns(cols)
+            .map_batches(partial, batch_format="pandas", batch_size=65536)
+            .groupby("pk").map_groups(finish, batch_format="pandas"))

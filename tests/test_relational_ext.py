@@ -1452,3 +1452,57 @@ def test_label_propagation_chain_and_rounds(ray_session):
     comp_abcde = conv[conv.term.isin(list("abcde"))]["label"].nunique()
     comp_xy = conv[conv.term.isin(["x", "y"])]["label"].nunique()
     assert comp_abcde == 1 and comp_xy == 1
+
+
+def test_latest_state_compaction(ray_session):
+    """Upsert compaction vs a pandas window oracle, with ts ties broken
+    by id and keys spread across many partitions."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.relational import latest_state
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime(rng.integers(0, 500, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.normal(size=n),
+    })
+    got = (latest_state(rd.from_pandas(df).repartition(7),
+                        ["user_id", "event_type"], "ts", "event_id",
+                        ["value"])
+           .to_pandas().sort_values(["user_id", "event_type"])
+           .reset_index(drop=True))
+    exp = (df.sort_values(["ts", "event_id"])
+           .drop_duplicates(["user_id", "event_type"], keep="last")
+           [["user_id", "event_type", "ts", "event_id", "value"]]
+           .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    """The weighted draw is partitioning-invariant and actually biased:
+    heavy rows appear far more often than light ones."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import weighted_sample
+
+    n = 4000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "n_chars": np.where(np.arange(n) % 10 == 0,
+                                           5000, 50).astype(np.int64)})
+    a = weighted_sample(rd.from_pandas(df), k=100).to_pandas()
+    b = weighted_sample(rd.from_pandas(df.sample(frac=1.0, random_state=5))
+                        .repartition(11), k=100).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    heavy = (a["n_chars"] == 5000).sum()
+    # heavy rows are 10% of the corpus but 100x the weight -> they must
+    # dominate the sample (expected ~90%+; require a loose majority)
+    assert heavy > 60
