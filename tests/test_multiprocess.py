@@ -213,3 +213,96 @@ def test_update_from_fresh_process_equals_batch(fixtures_sf0001, tmp_path):
     rep2 = fsck(cube_inc).set_index("tile_id")
     assert rep2.loc[victim, "status"] == "recompute"
     assert (rep2.drop(victim)["status"] == "ok").all()
+
+
+INGEST_CHILD = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+import ray.data as rd
+from raygeo.fixtures import ensure_fixtures, FIXTURE_GRID
+from raygeo.ops.ingest import ingest
+d = ensure_fixtures(0.001)
+images = rd.read_parquet(f"{d}/images.parquet",
+                         columns=["image_id", "bytes", "w", "h"])
+n = ingest(images, FIXTURE_GRID, cube_path=%(cube)r).count()
+print("INGESTED", n)
+ray.shutdown()
+"""
+
+
+def test_ingest_survives_sigkill_midrun(fixtures_sf0001, tmp_path):
+    """Checkpoint-resume under a HARD crash (the north rule's
+    'resumable from checkpoint' clause, adversarially): SIGKILL the whole
+    ingest process group mid-run — after >=1 atomic lineage commit,
+    before completion — then re-run in a fresh process. The rerun must
+    skip committed partitions (anti-join vs the ledger), finish the rest,
+    and the cube must be indistinguishable from a never-crashed one."""
+    import signal
+    import time
+
+    from raygeo import lineage
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, create
+    from raygeo.fixtures import FIXTURE_GRID
+
+    cube = str(tmp_path / "crash_cube")
+    create(CubeSpec("crash", FIXTURE_GRID, RGB_CHANNELS), cube)
+    src = INGEST_CHILD % {"repo": REPO, "cube": cube}
+    child = subprocess.Popen(
+        [sys.executable, "-c", src], cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, start_new_session=True,
+        env=dict(os.environ, RAY_ADDRESS="local"))
+    # wait for the first atomic commits, then kill the whole session group
+    # (driver + its private ray cluster) without any chance to clean up
+    deadline = time.time() + 240
+    committed_before = 0
+    total = FIXTURE_GRID.n_tx * FIXTURE_GRID.n_ty
+    while time.time() < deadline:
+        if child.poll() is not None:
+            break  # finished before we could kill: handled below
+        committed_before = len(lineage.loaded_partitions(cube))
+        if committed_before >= 1:
+            try:
+                os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass  # finished in the race window; handled below
+            break
+        time.sleep(0.02)
+    child.wait(timeout=60)
+    committed_before = len(lineage.loaded_partitions(cube))
+    assert committed_before >= 1, "never observed a commit to kill around"
+
+    # fresh process resumes; the ledger anti-join must skip finished work
+    child2 = subprocess.Popen(
+        [sys.executable, "-c", src], cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+        env=dict(os.environ, RAY_ADDRESS="local"))
+    out2, err2 = child2.communicate(timeout=300)
+    assert child2.returncode == 0, err2[-2000:]
+    n2 = int(out2.strip().splitlines()[-1].split()[-1])
+    done = lineage.loaded_partitions(cube)
+    assert len(done) == total  # complete after resume
+    if committed_before < total:
+        assert n2 == total - committed_before  # resumed, not redone
+    # a cache-only window over the whole extent equals a clean cube's
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    from raygeo.engine import load
+
+    roi = {"roi_id": "all", "lon_min": -0.49, "lat_min": -0.49,
+           "lon_max": 0.49, "lat_max": 0.49}
+    got = load(cube, roi, images_ds=None).stats()
+    clean = str(tmp_path / "clean_cube")
+    create(CubeSpec("clean", FIXTURE_GRID, RGB_CHANNELS), clean)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    exp = load(clean, roi, images_ds=images).stats()
+    assert got == exp
