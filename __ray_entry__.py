@@ -1800,6 +1800,42 @@ def _q_mosaic_distance(sf_dir: str):
     return distance_stats(tiles, FIXTURE_GRID)
 
 
+def _q_mosaic_overview_mean(sf_dir: str):
+    """Average-resample overview (GDAL 'average'): parent pixel =
+    floor(sum valid children / count) per component. Mean does not
+    self-compose, so the mergeable carrier is the (sum, count) quadrant
+    pair — still quarter-canvas shuffle payload."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.overview import overview_level_mean
+
+    return overview_level_mean(_tiles_lww(sf_dir), FIXTURE_GRID.chunk)
+
+
+def _q_mosaic_point_sample(sf_dir: str):
+    """Raster value extraction at vector points (zone centers): a point's
+    pixel lives in exactly one tile, so the broadcast point table + a
+    tiny keyed Sum over a zero-seed union reconstructs every point with
+    ZERO raster shuffle."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import point_sample
+
+    d = _fix(sf_dir)
+    return point_sample(_tiles_lww(sf_dir),
+                        pq.read_table(f"{d}/zones.parquet"), FIXTURE_GRID)
+
+
+def _q_mosaic_band_ratio(sf_dir: str):
+    """Raster band algebra (the NDVI shape): per-tile stats of
+    floor(1000*(R-G)/(R+G)) over valid pixels with R+G>0 — exact 1e-3
+    fixed point, pure per-tile map, zero shuffle."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import band_ratio_stats
+
+    return band_ratio_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
+
+
 def _q_mosaic_gradient_refresh(sf_dir: str):
     """Incremental view maintenance end-to-end: batch-ingest 60% of the
     patches, compute gradient stats, fold in the remaining 40% via
@@ -2713,6 +2749,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
         "mosaic_flowdir": _q_mosaic_flowdir,  # D8 steepest-descent routing
         "mosaic_distance": _q_mosaic_distance,  # capped-L1 chamfer DT
+        "mosaic_overview_mean": _q_mosaic_overview_mean,  # average resample
+        "mosaic_point_sample": _q_mosaic_point_sample,  # point query
+        "mosaic_band_ratio": _q_mosaic_band_ratio,  # NDVI-shape algebra
         "mosaic_dilate": _q_mosaic_dilate,  # 8-neighbor focal max
         "mosaic_erode": _q_mosaic_erode,  # focal min, same exchange
         "mosaic_gradient_refresh": _q_mosaic_gradient_refresh,  # IVM
@@ -3133,6 +3172,18 @@ FROM read_parquet('{FIX_SF001}/flowdir_golden.parquet')
         "mosaic_distance": f"""
 SELECT tile_id, tx, ty, n_reached, dist_sum
 FROM read_parquet('{FIX_SF001}/distance_golden.parquet')
+""",
+        "mosaic_overview_mean": f"""
+SELECT tile_id, tx, ty, n_children, n_valid_px, mean_sum
+FROM read_parquet('{FIX_SF001}/overview_mean_golden.parquet')
+""",
+        "mosaic_point_sample": f"""
+SELECT zone_id, valid, v
+FROM read_parquet('{FIX_SF001}/point_sample_golden.parquet')
+""",
+        "mosaic_band_ratio": f"""
+SELECT tile_id, tx, ty, n_px, ratio_sum
+FROM read_parquet('{FIX_SF001}/band_ratio_golden.parquet')
 """,
         "mosaic_erode": f"""
 SELECT tile_id, tx, ty, n_px, dilate_sum

@@ -154,6 +154,9 @@ def run_bench() -> dict:
         # the ingest itself is measured by ingest_mosaic)
         "mosaic_flowdir",
         "mosaic_distance",
+        "mosaic_overview_mean",
+        "mosaic_point_sample",
+        "mosaic_band_ratio",
         "mosaic_hillshade",
         "mosaic_equalize",
         "events_hll_users",

@@ -1200,6 +1200,102 @@ def _golden_distance(lww: dict) -> pa.Table:
     })
 
 
+def _golden_overview_mean(lww: dict) -> pa.Table:
+    """Level-1 average-resample overview from the GLOBAL plane: parent
+    pixel = floor(sum of valid child pixels / count) per RGB component —
+    serial full-plane decomposition, independent of the engine's
+    quadrant (sum, count) shuffle."""
+    g = FIXTURE_GRID
+    rgb, valid, _v = _full_plane(lww)
+    H, W = valid.shape
+    h2, w2 = H // 2, W // 2
+    cnt = valid.reshape(h2, 2, w2, 2).sum(axis=(1, 3)).astype(np.int64)
+    sums = np.where(valid[:, :, None], rgb.astype(np.int64), 0) \
+        .reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3))
+    pvalid = cnt > 0
+    means = np.floor_divide(sums, np.where(pvalid, cnt, 1)[:, :, None])
+    half = g.chunk // 2
+    # children present per parent from the lww tile set
+    kids: dict[tuple[int, int], int] = {}
+    for (tx, ty) in lww:
+        key = (tx // 2, ty // 2)
+        kids[key] = kids.get(key, 0) + 1
+    out = {"tile_id": [], "tx": [], "ty": [], "n_children": [],
+           "n_valid_px": [], "mean_sum": []}
+    del half
+    for (ptx, pty) in sorted(kids):
+        # parent (ptx, pty) = chunk x chunk window of the (H/2, W/2)
+        # pooled plane at (pty*chunk, ptx*chunk)
+        pr0, pc0 = pty * g.chunk, ptx * g.chunk
+        win_v = pvalid[pr0:pr0 + g.chunk, pc0:pc0 + g.chunk]
+        win_m = means[pr0:pr0 + g.chunk, pc0:pc0 + g.chunk]
+        out["tile_id"].append(f"ovm-{ptx}-{pty}")
+        out["tx"].append(ptx)
+        out["ty"].append(pty)
+        out["n_children"].append(kids[(ptx, pty)])
+        out["n_valid_px"].append(int(win_v.sum()))
+        out["mean_sum"].append(int(win_m[win_v].sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "n_children": pa.array(out["n_children"], pa.int64()),
+        "n_valid_px": pa.array(out["n_valid_px"], pa.int64()),
+        "mean_sum": pa.array(out["mean_sum"], pa.int64()),
+    })
+
+
+def _golden_point_sample(lww: dict, zones_path: str) -> pa.Table:
+    """Per-zone-center mosaic sample from the GLOBAL plane."""
+    g = FIXTURE_GRID
+    _rgb, valid, v = _full_plane(lww)
+    zt = pq.read_table(zones_path)
+    x = (zt.column("lon_min").to_numpy() + zt.column("lon_max").to_numpy()) / 2.0
+    y = (zt.column("lat_min").to_numpy() + zt.column("lat_max").to_numpy()) / 2.0
+    col = np.floor((x - g.x0) / g.res).astype(np.int64)
+    row = np.floor((g.y1 - y) / g.res).astype(np.int64)
+    ok = (col >= 0) & (col < g.width) & (row >= 0) & (row < g.height)
+    zids = zt.column("zone_id").to_pylist()
+    out_ok = np.zeros(len(zids), np.int64)
+    out_v = np.zeros(len(zids), np.int64)
+    idx = np.nonzero(ok)[0]
+    m = valid[row[idx], col[idx]]
+    out_ok[idx] = m.astype(np.int64)
+    out_v[idx] = np.where(m, v[row[idx], col[idx]], 0)
+    return pa.table({
+        "zone_id": pa.array(zids, pa.string()),
+        "valid": pa.array(out_ok, pa.int64()),
+        "v": pa.array(out_v, pa.int64()),
+    })
+
+
+def _golden_band_ratio(lww: dict) -> pa.Table:
+    """Per-tile 1e-3 fixed-point (R-G)/(R+G) stats from the GLOBAL plane."""
+    g = FIXTURE_GRID
+    rgb, valid, _v = _full_plane(lww)
+    a = rgb[:, :, 0].astype(np.int64)
+    b = rgb[:, :, 1].astype(np.int64)
+    sel = valid & (a + b > 0)
+    q = np.where(sel, np.floor_divide(1000 * (a - b),
+                                      np.where(sel, a + b, 1)), 0)
+    out = {"tile_id": [], "tx": [], "ty": [], "n_px": [], "ratio_sum": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        s = sel[tr0:tr1, tc0:tc1]
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_px"].append(int(s.sum()))
+        out["ratio_sum"].append(int(q[tr0:tr1, tc0:tc1][s].sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "ratio_sum": pa.array(out["ratio_sum"], pa.int64()),
+    })
+
+
 def _golden_resample(lww: dict) -> pa.Table:
     """NN warp of the global plane onto WARP_GRID; per-target-tile stats.
     Sampling uses the same center-mapping float formula as the engine
@@ -1304,6 +1400,20 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_resample(agg["lww"]), rpath + ".tmp",
                    compression="zstd")
     os.replace(rpath + ".tmp", rpath)
+    ompath = os.path.join(out_dir, "overview_mean_golden.parquet")
+    pq.write_table(_golden_overview_mean(agg["lww"]), ompath + ".tmp",
+                   compression="zstd")
+    os.replace(ompath + ".tmp", ompath)
+    pspath = os.path.join(out_dir, "point_sample_golden.parquet")
+    pq.write_table(
+        _golden_point_sample(agg["lww"],
+                             os.path.join(out_dir, "zones.parquet")),
+        pspath + ".tmp", compression="zstd")
+    os.replace(pspath + ".tmp", pspath)
+    brpath = os.path.join(out_dir, "band_ratio_golden.parquet")
+    pq.write_table(_golden_band_ratio(agg["lww"]), brpath + ".tmp",
+                   compression="zstd")
+    os.replace(brpath + ".tmp", brpath)
     fdpath = os.path.join(out_dir, "flowdir_golden.parquet")
     pq.write_table(_golden_flowdir(agg["lww"]), fdpath + ".tmp",
                    compression="zstd")
@@ -1444,7 +1554,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v16-flowdir-dist"
+FIXTURE_LAYOUT_VERSION = "v17-mean-points-ratio"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1485,6 +1595,9 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "resample_golden.parquet"))
             and os.path.exists(os.path.join(d, "flowdir_golden.parquet"))
             and os.path.exists(os.path.join(d, "distance_golden.parquet"))
+            and os.path.exists(os.path.join(d, "overview_mean_golden.parquet"))
+            and os.path.exists(os.path.join(d, "point_sample_golden.parquet"))
+            and os.path.exists(os.path.join(d, "band_ratio_golden.parquet"))
             and os.path.exists(os.path.join(d, "overview2_golden.parquet"))
             and os.path.exists(os.path.join(d, "mosaic_zonal_golden.parquet"))
             and (n > MEDIAN_GOLDEN_MAX or os.path.exists(

@@ -164,3 +164,117 @@ def overview_level(tiles_ds, chunk: int, pack: ChannelPack | None = None,
     for lv in range(1, level + 1):
         out = _one_level(out, chunk, pack, lv)
     return out
+
+
+MEAN_LEVEL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("n_children", pa.int64()),
+    ("n_valid_px", pa.int64()),
+    ("mean_sum", pa.int64()),
+])
+
+_MEAN_QUAD_SCHEMA = pa.schema([
+    ("parent_id", pa.string()),
+    ("ptx", pa.int64()),
+    ("pty", pa.int64()),
+    ("q_row", pa.int64()),
+    ("q_col", pa.int64()),
+    ("sums_z", pa.binary()),   # zlib nc x (half, half) int64 valid sums
+    ("cnt_z", pa.binary()),    # zlib (half, half) uint8 valid counts
+])
+
+
+def overview_level_mean(tiles_ds, chunk: int, pack: ChannelPack | None = None):
+    """Average-resample overview (GDAL 'average'): one pyramid level where
+    the parent pixel is floor(sum of VALID child pixels / count) per
+    channel, validity = any-valid.
+
+    Unlike max, mean does NOT self-compose (a mean of means is not the
+    mean), so the mergeable carrier is the (sum, count) pair: each child
+    tile ships int64 sum planes + a uint8 count plane per quadrant —
+    still 1/4-canvas payload — and the floor division happens ONCE at
+    assembly. Chaining further levels would keep carrying (sum, count);
+    this operator implements the single level every COG 'average'
+    overview needs and documents the composition rule. Float channels
+    enter at the shared 1e-3 fixed point. Returns one stats row per
+    parent: (tile_id, tx, ty, n_children, n_valid_px, mean_sum), where
+    mean_sum totals the per-channel floored means over valid parent
+    pixels.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    half = chunk // 2
+
+    def q1000(a: np.ndarray) -> np.ndarray:
+        if a.dtype.kind == "f":
+            return np.floor(a.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        return a.astype(np.int64)
+
+    def comp_planes(canvas) -> list:
+        planes = []
+        for a in canvas:
+            if a.ndim == 3:
+                planes.extend(a[:, :, k] for k in range(a.shape[2]))
+            else:
+                planes.append(a)
+        return planes
+
+    def pool(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in _MEAN_QUAD_SCHEMA.names}
+        px_z = binary_views(t.column("px_z"))
+        mask_z = binary_views(t.column("mask_z"))
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            cnt = mask.reshape(half, 2, half, 2).sum(axis=(1, 3),
+                                                     dtype=np.uint8)
+            sums = np.stack([
+                np.where(mask, q1000(a), 0)
+                .reshape(half, 2, half, 2).sum(axis=(1, 3))
+                for a in comp_planes(canvas)
+            ])  # (n_components, half, half) int64
+            tx, ty = int(txs[j]), int(tys[j])
+            out["parent_id"].append(f"ovm-{tx // 2}-{ty // 2}")
+            out["ptx"].append(tx // 2)
+            out["pty"].append(ty // 2)
+            out["q_row"].append(ty % 2)
+            out["q_col"].append(tx % 2)
+            out["sums_z"].append(zlib.compress(sums.tobytes(), 1))
+            out["cnt_z"].append(zlib.compress(cnt.tobytes(), 1))
+        return pa.table(out, schema=_MEAN_QUAD_SCHEMA)
+
+    nc = int(sum(pack.ncomps))
+
+    def assemble(g: pa.Table) -> pa.Table:
+        sums = np.zeros((nc, chunk, chunk), np.int64)
+        cnt = np.zeros((chunk, chunk), np.int64)
+        for j in range(g.num_rows):
+            qs = np.frombuffer(zlib.decompress(g.column("sums_z")[j].as_py()),
+                               np.int64).reshape(nc, half, half)
+            qc = np.frombuffer(zlib.decompress(g.column("cnt_z")[j].as_py()),
+                               np.uint8).reshape(half, half)
+            r0 = int(g.column("q_row")[j].as_py()) * half
+            c0 = int(g.column("q_col")[j].as_py()) * half
+            sums[:, r0:r0 + half, c0:c0 + half] = qs
+            cnt[r0:r0 + half, c0:c0 + half] = qc
+        valid = cnt > 0
+        means = np.floor_divide(sums, np.where(valid, cnt, 1)[None, :, :])
+        mean_sum = int(means[:, valid].sum())
+        ptx = int(g.column("ptx")[0].as_py())
+        pty = int(g.column("pty")[0].as_py())
+        return pa.table({
+            "tile_id": pa.array([f"ovm-{ptx}-{pty}"], pa.string()),
+            "tx": pa.array([ptx], pa.int64()),
+            "ty": pa.array([pty], pa.int64()),
+            "n_children": pa.array([g.num_rows], pa.int64()),
+            "n_valid_px": pa.array([int(valid.sum())], pa.int64()),
+            "mean_sum": pa.array([mean_sum], pa.int64()),
+        }, schema=MEAN_LEVEL_SCHEMA)
+
+    quads = tiles_ds.map_batches(pool, batch_format="pyarrow", batch_size=64)
+    return quads.groupby("parent_id").map_groups(assemble,
+                                                 batch_format="pyarrow")

@@ -339,3 +339,127 @@ def mosaic_equalize(tiles_ds, grid: GridSpec, pack=None,
 
     return tiles_ds.map_batches(remap, batch_format="pyarrow",
                                 batch_size=64, num_cpus=1)
+
+
+def point_sample(tiles_ds, points: pa.Table, grid: GridSpec, pack=None):
+    """Raster value extraction at vector points — the GIS point-query op
+    (label a point set from a mosaic; the read every training pipeline
+    runs to attach raster covariates to samples).
+
+    The point table is dimension-sized and broadcasts in the task
+    closure; a point's pixel lies in EXACTLY ONE tile, so each tile batch
+    gathers only its own points and the tiny keyed Sum over the zero
+    seed union reconstructs every point — ZERO shuffle of raster bytes.
+    Points outside the grid, over absent tiles, or on nodata pixels
+    report (valid=0, v=0). v = the shared 1e-3 fixed-point channel sum
+    (``stencil._vsum``). Returns (zone_id, valid, v).
+    """
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    x = (points.column("lon_min").to_numpy()
+         + points.column("lon_max").to_numpy()) / 2.0
+    y = (points.column("lat_min").to_numpy()
+         + points.column("lat_max").to_numpy()) / 2.0
+    col = np.floor((x - grid.x0) / grid.res).astype(np.int64)
+    row = np.floor((grid.y1 - y) / grid.res).astype(np.int64)
+    ok = (col >= 0) & (col < grid.width) & (row >= 0) & (row < grid.height)
+    pids = np.asarray(points.column("zone_id").to_pylist(), dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_i, out_ok, out_v = [], [], []
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            tc0, tr0 = tx * chunk, ty * chunk
+            hit = np.nonzero(ok & (col >= tc0) & (col < tc0 + chunk)
+                             & (row >= tr0) & (row < tr0 + chunk))[0]
+            if len(hit) == 0:
+                continue
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            r, c = row[hit] - tr0, col[hit] - tc0
+            m = mask[r, c]
+            out_i.extend(pids[hit].tolist())
+            out_ok.extend(m.astype(np.int64).tolist())
+            out_v.extend(np.where(m, v[r, c], 0).tolist())
+        return pa.table({
+            "zone_id": pa.array(out_i, pa.string()),
+            "valid": pa.array(out_ok, pa.int64()),
+            "v": pa.array(out_v, pa.int64()),
+        })
+
+    zeros = rd.from_arrow(pa.table({
+        "zone_id": pa.array(list(pids), pa.string()),
+        "valid": pa.array([0] * len(pids), pa.int64()),
+        "v": pa.array([0] * len(pids), pa.int64()),
+    }))
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=64)
+    return (partials.union(zeros)
+            .groupby("zone_id")
+            .aggregate(Sum("valid", alias_name="valid"),
+                       Sum("v", alias_name="v")))
+
+
+def band_ratio_stats(tiles_ds, grid: GridSpec, pack=None,
+                     num_comp: int = 0, den_comp: int = 1):
+    """Raster band algebra: per-tile stats of the normalized band
+    difference (A - B) / (A + B) — the NDVI/NDWI shape — in EXACT 1e-3
+    fixed point: q = floor(1000 * (A - B) / (A + B)) over valid pixels
+    with A + B > 0 (floor division, negatives floor toward -inf; the
+    golden uses the identical numpy floor_divide).
+
+    Pure per-tile map: raster algebra touches each tile once and
+    shuffles nothing but the one stats row per tile. Returns
+    (tile_id, tx, ty, n_px, ratio_sum).
+    """
+    import zlib
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    def stats(t: pa.Table) -> pa.Table:
+        out = {"tile_id": [], "tx": [], "ty": [], "n_px": [],
+               "ratio_sum": []}
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            rgb = canvas[0]  # components of the first channel (e.g. R, G)
+            a = rgb[:, :, num_comp].astype(np.int64)
+            b = rgb[:, :, den_comp].astype(np.int64)
+            sel = mask & (a + b > 0)
+            q = np.floor_divide(1000 * (a[sel] - b[sel]), (a + b)[sel])
+            out["tile_id"].append(f"{int(txs[j])}-{int(tys[j])}")
+            out["tx"].append(int(txs[j]))
+            out["ty"].append(int(tys[j]))
+            out["n_px"].append(int(sel.sum()))
+            out["ratio_sum"].append(int(q.sum()))
+        return pa.table({
+            "tile_id": pa.array(out["tile_id"], pa.string()),
+            "tx": pa.array(out["tx"], pa.int64()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            "n_px": pa.array(out["n_px"], pa.int64()),
+            "ratio_sum": pa.array(out["ratio_sum"], pa.int64()),
+        })
+
+    return tiles_ds.map_batches(stats, batch_format="pyarrow",
+                                batch_size=64)

@@ -390,3 +390,90 @@ def test_distance_matches_full_plane(ray_session):
     got = out.sort_values(["tx", "ty"]).reset_index(drop=True)
     exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_overview_mean_matches_full_plane(ray_session):
+    """Average-resample overview vs a serial pooled-plane oracle."""
+    import ray.data as rd
+
+    from raygeo.ops.overview import overview_level_mean
+
+    rows, plane, valid = _random_mosaic(seed=31)
+    out = overview_level_mean(rd.from_items(rows).repartition(4),
+                              SRC.chunk).to_pandas()
+    H, W = valid.shape
+    cnt = valid.reshape(H // 2, 2, W // 2, 2).sum(axis=(1, 3)).astype(np.int64)
+    sums = np.where(valid[:, :, None], plane.astype(np.int64), 0) \
+        .reshape(H // 2, 2, W // 2, 2, 3).sum(axis=(1, 3))
+    pvalid = cnt > 0
+    means = np.floor_divide(sums, np.where(pvalid, cnt, 1)[:, :, None])
+    kids = {}
+    for r in rows:
+        key = (r["tx"] // 2, r["ty"] // 2)
+        kids[key] = kids.get(key, 0) + 1
+    exp = []
+    c = SRC.chunk
+    for (ptx, pty) in sorted(kids):
+        pv = pvalid[pty * c:(pty + 1) * c, ptx * c:(ptx + 1) * c]
+        pm = means[pty * c:(pty + 1) * c, ptx * c:(ptx + 1) * c]
+        exp.append((f"ovm-{ptx}-{pty}", ptx, pty, kids[(ptx, pty)],
+                    int(pv.sum()), int(pm[pv].sum())))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "n_children",
+                                     "n_valid_px", "mean_sum"])
+    got = out.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_point_sample_and_band_ratio(ray_session):
+    """Point sampling (incl. out-of-grid and nodata points) and band-ratio
+    stats vs direct gathers from the assembled plane."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.ops.zonal import band_ratio_stats, point_sample
+
+    rows, plane, valid = _random_mosaic(seed=44, p_absent=0.35)
+    ds = rd.from_items(rows).repartition(3)
+    # points: a grid of centers incl. some guaranteed out-of-grid
+    xs = np.linspace(-0.2, 1.4, 9)  # grid spans x0=0 .. x0+96*2^-7=0.75
+    ys = np.linspace(0.1, 1.2, 9)
+    pts = pa.table({
+        "zone_id": pa.array([f"p-{i}" for i in range(9)], pa.string()),
+        "lon_min": pa.array(xs[:9]), "lon_max": pa.array(xs[:9]),
+        "lat_min": pa.array(ys[:9]), "lat_max": pa.array(ys[:9]),
+    })
+    got = (point_sample(ds, pts, SRC).to_pandas()
+           .sort_values("zone_id").reset_index(drop=True))
+    v = plane.astype(np.int64).sum(axis=2)
+    exp_rows = []
+    for i in range(9):
+        col = int(np.floor((xs[i] - SRC.x0) / SRC.res))
+        row = int(np.floor((SRC.y1 - ys[i]) / SRC.res))
+        if 0 <= col < SRC.width and 0 <= row < SRC.height and valid[row, col]:
+            exp_rows.append((f"p-{i}", 1, int(v[row, col])))
+        else:
+            exp_rows.append((f"p-{i}", 0, 0))
+    exp = (pd.DataFrame(exp_rows, columns=["zone_id", "valid", "v"])
+           .sort_values("zone_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    out = band_ratio_stats(ds, SRC).to_pandas()
+    a = plane[:, :, 0].astype(np.int64)
+    b = plane[:, :, 1].astype(np.int64)
+    sel = valid & (a + b > 0)
+    q = np.where(sel, np.floor_divide(1000 * (a - b),
+                                      np.where(sel, a + b, 1)), 0)
+    present = {(r["tx"], r["ty"]) for r in rows}
+    exp2 = []
+    for (tx, ty) in sorted(present):
+        tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+        s = sel[tr0:tr1, tc0:tc1]
+        exp2.append((f"{tx}-{ty}", tx, ty, int(s.sum()),
+                     int(q[tr0:tr1, tc0:tc1][s].sum())))
+    exp2 = pd.DataFrame(exp2, columns=["tile_id", "tx", "ty", "n_px",
+                                       "ratio_sum"])
+    got2 = out.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got2, exp2.sort_values(["tx", "ty"]).reset_index(drop=True),
+        check_dtype=False)
