@@ -2568,6 +2568,18 @@ def _q_docs_bloom_decontaminate(sf_dir: str):
                                     columns=["doc_id", "text"]))
 
 
+def _q_docs_lm_score(sf_dir: str):
+    """CCNet-shaped LM quality score, integer-exact: per bigram,
+    bits += bit_length(count(w1)) - bit_length(count(w1 w2)) — the
+    floor-log2 surrogate of -log2 P(w2|w1), replayed by DuckDB as
+    length(bin(c)). Model tables are vocabulary-bounded, broadcast once;
+    scoring is a pure streaming map."""
+    from raygeo.ops.corpus import lm_bits_score
+
+    return lm_bits_score(_rpq(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]))
+
+
 def _q_docs_bigrams(sf_dir: str):
     """Corpus bigram count table (n-gram LM input): Counter partials,
     one keyed groupby, bounded top-k."""
@@ -2819,6 +2831,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_range_search": _q_emb_range_search,  # radius neighborhood
         "nation_balance": _q_nation_balance,  # FULL OUTER join shape
         "docs_bigrams": _q_docs_bigrams,  # bigram LM count table
+        "docs_lm_score": _q_docs_lm_score,  # CCNet-shape perplexity filter
         "events_transitions": _q_events_transitions,  # Markov bigram matrix
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
@@ -4625,6 +4638,30 @@ bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 7 = 0)
 SELECT doc_id, count(DISTINCT ngram)::BIGINT AS n_hits
 FROM ng WHERE doc_id % 7 <> 0 AND ngram IN (SELECT ngram FROM bench)
 GROUP BY doc_id
+""",
+        "docs_lm_score": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+w AS (SELECT unnest(l) AS w FROM toks),
+c1 AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY 1),
+bg AS (
+  SELECT doc_id, l[i.i + 1] AS w1,
+         array_to_string(l[i.i + 1:i.i + 2], ' ') AS pair
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 1, 0))) AS i) i
+),
+c2 AS (SELECT pair, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id,
+    count(*)::BIGINT AS n_bigrams,
+    sum(length(bin(c1.c)) - length(bin(c2.c)))::BIGINT AS lm_bits
+  FROM bg JOIN c1 ON c1.w = bg.w1 JOIN c2 USING (pair)
+  GROUP BY 1
+)
+SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.lm_bits, 0) AS lm_bits
+FROM toks t LEFT JOIN scored s USING (doc_id)
 """,
         "docs_bigrams": """
 WITH toks AS (

@@ -1075,3 +1075,98 @@ def weighted_sample(ds, key_col: str = "doc_id",
     return (ds.select_columns([key_col, weight_col])
             .map_batches(partial, batch_format="pyarrow", batch_size=65536)
             .sort(["priority", key_col]).limit(k))
+
+
+def lm_bits_score(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-shaped language-model quality score, integer-exact.
+
+    The perplexity-filter pattern (CCNet / KenLM: score every document
+    under a corpus LM, gate on the score) with the log2 made EXACTLY
+    replayable: per adjacent token pair (w1, w2),
+
+        bits += bit_length(count(w1)) - bit_length(count(w1 w2))
+
+    i.e. the integer floor-log2 surrogate of -log2 P(w2|w1); DuckDB
+    computes the identical value as length(bin(c)). Two passes, both
+    scale-safe: (1) corpus unigram/bigram count tables — VOCABULARY-
+    bounded (Heaps-law sublinear), folded once and broadcast via
+    ray.put as sorted key arrays + bit-length arrays; (2) a pure
+    streaming map scoring each doc by searchsorted lookups — no shuffle
+    touches the corpus. Every doc's bigrams occur in the corpus (the doc
+    is in it), so lookups never miss. Returns (doc_id, n_bigrams,
+    lm_bits); higher bits-per-bigram = less predictable = lower quality
+    under the corpus model.
+    """
+    import ray
+
+    tok = re.compile(LOWER_TOKEN_RE)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u: dict = {}
+        b: dict = {}
+        for t in df[text_col]:
+            ws = tok.findall(t.lower())
+            for w in ws:
+                u[w] = u.get(w, 0) + 1
+            for i in range(len(ws) - 1):
+                k = ws[i] + " " + ws[i + 1]
+                b[k] = b.get(k, 0) + 1
+        keys = ["u\x1f" + k for k in u] + ["b\x1f" + k for k in b]
+        cnts = list(u.values()) + list(b.values())
+        return pd.DataFrame({"k": pd.Series(keys, dtype=object),
+                             "c": pd.Series(cnts, dtype=np.int64)})
+
+    # vocabulary-bounded fold: coarse crc32 buckets + vectorized sum —
+    # never a Python call per distinct key
+    nparts = 16
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib as _z
+
+        g = df.groupby("k", sort=False)["c"].sum().reset_index()
+        g["pk"] = np.fromiter((_z.crc32(s.encode()) % nparts
+                               for s in g["k"]), dtype=np.int64,
+                              count=len(g))
+        return g
+
+    counts = (docs_ds.select_columns([text_col])
+              .map_batches(count_partial, batch_format="pandas",
+                           batch_size=4096, num_cpus=1)
+              .map_batches(bucketed, batch_format="pandas")
+              .groupby("pk")
+              .map_groups(lambda g: g.groupby("k", sort=False)["c"].sum()
+                          .reset_index(), batch_format="pandas")
+              .to_pandas())  # vocab + bigram-vocab rows: Heaps-bounded
+    is_u = counts["k"].str.startswith("u\x1f")
+    u_keys = np.sort(counts.loc[is_u, "k"].str[2:].to_numpy(dtype=object))
+    u_bits = np.zeros(len(u_keys), np.int64)
+    uc = dict(zip(counts.loc[is_u, "k"].str[2:], counts.loc[is_u, "c"]))
+    for i, k in enumerate(u_keys):
+        u_bits[i] = int(uc[k]).bit_length()
+    b_keys = np.sort(counts.loc[~is_u, "k"].str[2:].to_numpy(dtype=object))
+    bc = dict(zip(counts.loc[~is_u, "k"].str[2:], counts.loc[~is_u, "c"]))
+    b_bits = np.zeros(len(b_keys), np.int64)
+    for i, k in enumerate(b_keys):
+        b_bits[i] = int(bc[k]).bit_length()
+    model_ref = ray.put((u_keys, u_bits, b_keys, b_bits))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        uk, ub, bk, bb = ray.get(model_ref)
+        out_id = df[id_col].to_numpy()
+        n_bg = np.zeros(len(df), np.int64)
+        bits = np.zeros(len(df), np.int64)
+        for j, t in enumerate(df[text_col]):
+            ws = tok.findall(t.lower())
+            if len(ws) < 2:
+                continue
+            w1 = np.asarray(ws[:-1], dtype=object)
+            pair = np.asarray([ws[i] + " " + ws[i + 1]
+                               for i in range(len(ws) - 1)], dtype=object)
+            n_bg[j] = len(pair)
+            bits[j] = int(ub[np.searchsorted(uk, w1)].sum()
+                          - bb[np.searchsorted(bk, pair)].sum())
+        return pd.DataFrame({id_col: out_id, "n_bigrams": n_bg,
+                             "lm_bits": bits})
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas", batch_size=4096, num_cpus=1)

@@ -624,3 +624,23 @@ def test_repetition_signals_adversarial(ray_session):
     assert out.loc[2, "dup_3gram_pos"] == 7 and out.loc[2, "flagged"] == 1
     assert out.loc[3, "flagged"] == 0
     assert (out.loc[4] == 0).all()
+
+
+def test_lm_bits_score_hand_computed(ray_session):
+    """Integer floor-log2 LM bits vs hand counts on a tiny corpus."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import lm_bits_score
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b", "a b", "c"],
+    })
+    out = (lm_bits_score(rd.from_pandas(docs))
+           .to_pandas().set_index("doc_id").sort_index())
+    # counts: a=3, b=3, c=1; pairs: 'a b'=3, 'b a'=1
+    # bits('a b') = bl(3)-bl(3) = 0; bits('b a') = bl(3)-bl(1) = 1
+    assert out.loc[0, "n_bigrams"] == 3 and out.loc[0, "lm_bits"] == 1
+    assert out.loc[1, "n_bigrams"] == 1 and out.loc[1, "lm_bits"] == 0
+    assert out.loc[2, "n_bigrams"] == 0 and out.loc[2, "lm_bits"] == 0
