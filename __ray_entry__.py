@@ -878,6 +878,19 @@ def _q_events_hll_users(sf_dir: str):
     return hll_distinct(ev, "event_type", "user_id")
 
 
+def _q_events_dedup_window(sf_dir: str):
+    """Streaming delivery-dedup (at-least-once suppression): drop events
+    within 90s of their (user, type) key's previous event — LAG
+    semantics. Payloads never shuffle; one coarse-bucket exchange of
+    key/ts/id rows, vectorized sort+diff per bucket."""
+    from raygeo.ops.window import dedup_within_gap
+
+    ev = _rpq(f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_type", "ts", "event_id"])
+    return dedup_within_gap(ev, ["user_id", "event_type"], "ts",
+                            "event_id", gap_us=90_000_000)
+
+
 def _q_events_latest_state(sf_dir: str):
     """Streaming upsert compaction (CDC changelog -> current-state table):
     latest row per (user, event_type) by max ts, ties to max event_id.
@@ -1836,6 +1849,32 @@ def _q_mosaic_band_ratio(sf_dir: str):
     return band_ratio_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
 
 
+def _q_mosaic_aspect(sf_dir: str):
+    """Aspect-class histograms (terrain orientation): central-difference
+    gradient sectors, integer-exact — sector boundaries are sign and
+    |dx| vs |dy| comparisons, never atan2 floats. Cardinal-only 1-px
+    halo exchange."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import aspect_stats
+
+    return aspect_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
+
+
+def _q_mosaic_zonal_majority(sf_dir: str):
+    """Zonal MODE: per zone the most frequent mosaic v value (ties to
+    smallest v) — the categorical landcover-per-polygon shape. Partials
+    are (zone, value, cnt) rows bounded by zones x distinct values,
+    never pixels."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import zonal_majority
+
+    d = _fix(sf_dir)
+    return zonal_majority(_tiles_lww(sf_dir),
+                          pq.read_table(f"{d}/zones.parquet"), FIXTURE_GRID)
+
+
 def _q_mosaic_gradient_refresh(sf_dir: str):
     """Incremental view maintenance end-to-end: batch-ingest 60% of the
     patches, compute gradient stats, fold in the remaining 40% via
@@ -2741,6 +2780,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_users": _q_events_kmv_users,
         "events_hll_users": _q_events_hll_users,  # mergeable HLL sketch
         "events_latest_state": _q_events_latest_state,  # CDC compaction
+        "events_dedup_window": _q_events_dedup_window,  # delivery dedup
         "docs_weighted_sample": _q_docs_weighted_sample,  # weighted bottom-k  # deterministic KMV sketch
         "docs_export_shards": _q_docs_export_shards,  # resumable sharded sink
         "docs_hash_split": _q_docs_hash_split,  # deterministic split labels
@@ -2762,6 +2802,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_flowdir": _q_mosaic_flowdir,  # D8 steepest-descent routing
         "mosaic_distance": _q_mosaic_distance,  # capped-L1 chamfer DT
         "mosaic_overview_mean": _q_mosaic_overview_mean,  # average resample
+        "mosaic_aspect": _q_mosaic_aspect,  # integer aspect sectors
+        "mosaic_zonal_majority": _q_mosaic_zonal_majority,  # zonal mode
         "mosaic_point_sample": _q_mosaic_point_sample,  # point query
         "mosaic_band_ratio": _q_mosaic_band_ratio,  # NDVI-shape algebra
         "mosaic_dilate": _q_mosaic_dilate,  # 8-neighbor focal max
@@ -3190,6 +3232,14 @@ FROM read_parquet('{FIX_SF001}/distance_golden.parquet')
 SELECT tile_id, tx, ty, n_children, n_valid_px, mean_sum
 FROM read_parquet('{FIX_SF001}/overview_mean_golden.parquet')
 """,
+        "mosaic_aspect": f"""
+SELECT tile_id, tx, ty, aspect_class, n_px
+FROM read_parquet('{FIX_SF001}/aspect_golden.parquet')
+""",
+        "mosaic_zonal_majority": f"""
+SELECT zone_id, top_v, cnt
+FROM read_parquet('{FIX_SF001}/zonal_majority_golden.parquet')
+""",
         "mosaic_point_sample": f"""
 SELECT zone_id, valid, v
 FROM read_parquet('{FIX_SF001}/point_sample_golden.parquet')
@@ -3603,6 +3653,15 @@ SELECT event_type,
             // 1000000
        ELSE e_raw END AS BIGINT) AS hll_est
 FROM e
+""",
+        "events_dedup_window": """
+SELECT event_id FROM (
+  SELECT event_id,
+    date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id), ts) AS gap_us
+  FROM events)
+WHERE gap_us IS NULL OR gap_us > 90000000
 """,
         "events_latest_state": """
 SELECT user_id, event_type, ts, event_id, value FROM (

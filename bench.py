@@ -157,6 +157,12 @@ def run_bench() -> dict:
         "mosaic_overview_mean",
         "mosaic_point_sample",
         "mosaic_band_ratio",
+        "mosaic_aspect",
+        "mosaic_zonal_majority",
+        "events_dedup_window",
+        "events_latest_state",
+        "docs_weighted_sample",
+        "docs_lm_score",
         "mosaic_hillshade",
         "mosaic_equalize",
         "events_hll_users",

@@ -1296,6 +1296,84 @@ def _golden_band_ratio(lww: dict) -> pa.Table:
     })
 
 
+def _golden_aspect(lww: dict) -> pa.Table:
+    """Per-tile aspect-class histogram from the GLOBAL plane — identical
+    integer sector rule to ops.stencil._aspect_classes, serial
+    decomposition."""
+    g = FIXTURE_GRID
+    _, valid, v = _full_plane(lww)
+    H, W = v.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    mc = M[1:-1, 1:-1]
+    e, wst = P[1:-1, 2:], P[1:-1, :-2]
+    s, n = P[2:, 1:-1], P[:-2, 1:-1]
+    ok = (mc & M[1:-1, 2:] & M[1:-1, :-2] & M[2:, 1:-1] & M[:-2, 1:-1])
+    dx = e - wst
+    dy = s - n
+    q = np.where((dx > 0) & (dy >= 0), 0,
+                 np.where((dx <= 0) & (dy > 0), 1,
+                          np.where((dx < 0) & (dy <= 0), 2, 3)))
+    cls = 2 * q + (np.abs(dy) > np.abs(dx)).astype(np.int64)
+    cls = np.where((dx == 0) & (dy == 0), np.int64(8), cls)
+    cls = np.where(ok, cls, np.int64(-1))
+    out = {"tile_id": [], "tx": [], "ty": [], "aspect_class": [], "n_px": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        win = cls[tr0:tr1, tc0:tc1]
+        hist = np.bincount(win[win >= 0], minlength=9).astype(np.int64)
+        out["tile_id"].extend([f"{tx}-{ty}"] * 9)
+        out["tx"].extend([tx] * 9)
+        out["ty"].extend([ty] * 9)
+        out["aspect_class"].extend(range(9))
+        out["n_px"].extend(hist.tolist())
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "aspect_class": pa.array(out["aspect_class"], pa.int64()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+    })
+
+
+def _golden_zonal_majority(lww: dict, zones_path: str) -> pa.Table:
+    """Per-zone modal v value from the GLOBAL plane (ties to smallest v;
+    empty zones -> (-1, 0))."""
+    from .ops.rasterize import _center_window
+
+    g = FIXTURE_GRID
+    _, valid, v = _full_plane(lww)
+    zt = pq.read_table(zones_path)
+    cl, ch, rl, rh = _center_window(
+        g, zt.column("lon_min").to_numpy(), zt.column("lat_min").to_numpy(),
+        zt.column("lon_max").to_numpy(), zt.column("lat_max").to_numpy())
+    out = {"zone_id": [], "top_v": [], "cnt": []}
+    for i, zid in enumerate(zt.column("zone_id").to_pylist()):
+        c0, c1 = max(0, cl[i]), min(g.width, ch[i])
+        r0, r1 = max(0, rl[i]), min(g.height, rh[i])
+        out["zone_id"].append(zid)
+        if c1 <= c0 or r1 <= r0:
+            out["top_v"].append(-1)
+            out["cnt"].append(0)
+            continue
+        m = valid[r0:r1, c0:c1]
+        if not m.any():
+            out["top_v"].append(-1)
+            out["cnt"].append(0)
+            continue
+        vals, cnts = np.unique(v[r0:r1, c0:c1][m], return_counts=True)
+        best = np.lexsort((vals, -cnts))[0]
+        out["top_v"].append(int(vals[best]))
+        out["cnt"].append(int(cnts[best]))
+    return pa.table({
+        "zone_id": pa.array(out["zone_id"], pa.string()),
+        "top_v": pa.array(out["top_v"], pa.int64()),
+        "cnt": pa.array(out["cnt"], pa.int64()),
+    })
+
+
 def _golden_resample(lww: dict) -> pa.Table:
     """NN warp of the global plane onto WARP_GRID; per-target-tile stats.
     Sampling uses the same center-mapping float formula as the engine
@@ -1400,6 +1478,16 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_resample(agg["lww"]), rpath + ".tmp",
                    compression="zstd")
     os.replace(rpath + ".tmp", rpath)
+    appath = os.path.join(out_dir, "aspect_golden.parquet")
+    pq.write_table(_golden_aspect(agg["lww"]), appath + ".tmp",
+                   compression="zstd")
+    os.replace(appath + ".tmp", appath)
+    zmpath = os.path.join(out_dir, "zonal_majority_golden.parquet")
+    pq.write_table(
+        _golden_zonal_majority(agg["lww"],
+                               os.path.join(out_dir, "zones.parquet")),
+        zmpath + ".tmp", compression="zstd")
+    os.replace(zmpath + ".tmp", zmpath)
     ompath = os.path.join(out_dir, "overview_mean_golden.parquet")
     pq.write_table(_golden_overview_mean(agg["lww"]), ompath + ".tmp",
                    compression="zstd")
@@ -1554,7 +1642,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v17-mean-points-ratio"
+FIXTURE_LAYOUT_VERSION = "v18-aspect-majority"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1598,6 +1686,9 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "overview_mean_golden.parquet"))
             and os.path.exists(os.path.join(d, "point_sample_golden.parquet"))
             and os.path.exists(os.path.join(d, "band_ratio_golden.parquet"))
+            and os.path.exists(os.path.join(d, "aspect_golden.parquet"))
+            and os.path.exists(
+                os.path.join(d, "zonal_majority_golden.parquet"))
             and os.path.exists(os.path.join(d, "overview2_golden.parquet"))
             and os.path.exists(os.path.join(d, "mosaic_zonal_golden.parquet"))
             and (n > MEDIAN_GOLDEN_MAX or os.path.exists(

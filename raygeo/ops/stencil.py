@@ -1048,3 +1048,157 @@ def distance_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
 
     return partials.groupby("tile_id").map_groups(merge,
                                                   batch_format="pyarrow")
+
+
+def _aspect_classes(V: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """Per interior position of a padded (h+2, w+2) frame: aspect class
+    0..7 from central differences (dx = east - west, dy = south - north),
+    8 = flat, -1 = excluded (center or any cardinal neighbor invalid).
+    Classes are quadrant-halved: class = 2*q + (|dy| > |dx|) with
+    quadrants q: 0 (dx>0, dy>=0), 1 (dx<=0, dy>0), 2 (dx<0, dy<=0),
+    3 (dx>=0, dy<0) — every boundary assigned by integer comparisons."""
+    h, w = V.shape[0] - 2, V.shape[1] - 2
+    mc = M[1:1 + h, 1:1 + w]
+    e, wst = V[1:1 + h, 2:2 + w], V[1:1 + h, 0:w]
+    s, n = V[2:2 + h, 1:1 + w], V[0:h, 1:1 + w]
+    ok = (mc & M[1:1 + h, 2:2 + w] & M[1:1 + h, 0:w]
+          & M[2:2 + h, 1:1 + w] & M[0:h, 1:1 + w])
+    dx = e - wst
+    dy = s - n
+    q = np.where((dx > 0) & (dy >= 0), 0,
+                 np.where((dx <= 0) & (dy > 0), 1,
+                          np.where((dx < 0) & (dy <= 0), 2, 3)))
+    cls = 2 * q + (np.abs(dy) > np.abs(dx)).astype(np.int64)
+    cls = np.where((dx == 0) & (dy == 0), np.int64(8), cls)
+    return np.where(ok, cls, np.int64(-1))
+
+
+def aspect_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile aspect-class histogram (terrain orientation): central-
+    difference gradient sectors over the mosaic, integer-exact (sector
+    boundaries are sign/|dx| vs |dy| comparisons, never atan2 floats).
+
+    Cardinal-only 1-px halo exchange (central differences need no
+    corners): interior pixels fold map-side into a 9-bin histogram, each
+    tile ships 4 edge strips and keys its outer ring to itself. Output
+    one row per (tile, class 0..8); golden painted from the GLOBAL plane
+    (fixtures._golden_aspect).
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in FLOW_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, hist=b"", v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["hist"].append(hist)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            interior = _aspect_classes(v, mask)
+            row((tx, ty), "self", hist=_hist9(interior).tobytes())
+
+            def strip(vs, ms):
+                return vs.astype(np.int64).tobytes(), \
+                    ms.astype(np.uint8).tobytes()
+
+            for kind, vs, ms in (
+                ("ring_n", v[0:2, :], mask[0:2, :]),
+                ("ring_s", v[-2:, :], mask[-2:, :]),
+                ("ring_w", v[:, 0:2], mask[:, 0:2]),
+                ("ring_e", v[:, -2:], mask[:, -2:]),
+            ):
+                b, m = strip(vs, ms)
+                row((tx, ty), kind, v=b, m=m)
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0]),
+                     ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1]),
+                     ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :]),
+                     ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b, m = strip(np.ascontiguousarray(vs),
+                                 np.ascontiguousarray(ms))
+                    row((ntx, nty), kind, v=b, m=m)
+        return pa.table(out, schema=FLOW_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def _place(P, M, kind, vs, ms):
+        c = chunk
+        if kind == "ring_n":
+            P[1:3, 1:c + 1] = vs.reshape(2, c)
+            M[1:3, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_s":
+            P[c - 1:c + 1, 1:c + 1] = vs.reshape(2, c)
+            M[c - 1:c + 1, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_w":
+            P[1:c + 1, 1:3] = vs.reshape(c, 2)
+            M[1:c + 1, 1:3] = ms.reshape(c, 2)
+        elif kind == "ring_e":
+            P[1:c + 1, c - 1:c + 1] = vs.reshape(c, 2)
+            M[1:c + 1, c - 1:c + 1] = ms.reshape(c, 2)
+        elif kind == "nbr_n":
+            P[0, 1:c + 1], M[0, 1:c + 1] = vs, ms
+        elif kind == "nbr_s":
+            P[c + 1, 1:c + 1], M[c + 1, 1:c + 1] = vs, ms
+        elif kind == "nbr_w":
+            P[1:c + 1, 0], M[1:c + 1, 0] = vs, ms
+        elif kind == "nbr_e":
+            P[1:c + 1, c + 1], M[1:c + 1, c + 1] = vs, ms
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        empty = pa.table({"tile_id": pa.array([], pa.string()),
+                          "tx": pa.array([], pa.int64()),
+                          "ty": pa.array([], pa.int64()),
+                          "aspect_class": pa.array([], pa.int64()),
+                          "n_px": pa.array([], pa.int64())})
+        if "self" not in kinds:
+            return empty
+        c = chunk
+        P = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        hist = np.zeros(9, np.int64)
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                hist += np.frombuffer(g.column("hist")[j].as_py(), np.int64)
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place(P, M, kind, vs, ms)
+        codes = _aspect_classes(P, M)
+        border = np.zeros((c, c), bool)
+        border[0, :] = border[-1, :] = True
+        border[:, 0] = border[:, -1] = True
+        hist += _hist9(np.where(border, codes, np.int64(-1)))
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"] * 9, pa.string()),
+            "tx": pa.array([tx] * 9, pa.int64()),
+            "ty": pa.array([ty] * 9, pa.int64()),
+            "aspect_class": pa.array(np.arange(9, dtype=np.int64),
+                                     pa.int64()),
+            "n_px": pa.array(hist, pa.int64()),
+        })
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")

@@ -571,3 +571,48 @@ def windowed_funnel(events_ds, stages: tuple[str, ...],
         })
 
     return hist.map_batches(name, batch_format="pyarrow")
+
+
+def dedup_within_gap(events_ds, key_cols: list[str], ts_col: str,
+                     id_col: str, gap_us: int, n_buckets: int = 16):
+    """Streaming delivery-dedup: drop events closer than ``gap_us`` to
+    their key's PREVIOUS event — the at-least-once-delivery suppression
+    every event pipeline runs (LAG semantics: an event survives iff it is
+    its key's first, or ts - lag(ts) > gap; same-ts duplicates order by
+    id and collapse).
+
+    Plan: project to the 4 key/ts/id columns (payloads never move), ONE
+    coarse-bucket shuffle (crc32 of the key into ``n_buckets`` — the
+    high-cardinality-groupby lesson), per-bucket vectorized sort + diff
+    across ALL keys at once (np.diff over the key-sorted frame with a
+    key-boundary reset). Returns the surviving (id) rows.
+    """
+    import zlib as _z
+
+    import numpy as np
+    import pandas as pd
+
+    cols = [*key_cols, ts_col, id_col]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_cols].astype(str).agg("\x1f".join, axis=1)
+        out = df[cols].copy()
+        out["pk"] = np.fromiter(
+            (_z.crc32(s.encode()) % n_buckets for s in key),
+            dtype=np.int64, count=len(df))
+        out["_key"] = key.to_numpy()
+        return out
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_key", ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = g["_key"].to_numpy()[1:] == g["_key"].to_numpy()[:-1]
+        gap = ts[1:] - ts[:-1]
+        keep = np.ones(len(g), bool)
+        keep[1:] = ~same | (gap > gap_us)
+        return g.loc[keep, [id_col]]
+
+    return (events_ds.select_columns(cols)
+            .map_batches(bucket, batch_format="pandas", batch_size=65536)
+            .groupby("pk").map_groups(survivors, batch_format="pandas"))

@@ -463,3 +463,90 @@ def band_ratio_stats(tiles_ds, grid: GridSpec, pack=None,
 
     return tiles_ds.map_batches(stats, batch_format="pyarrow",
                                 batch_size=64)
+
+
+def zonal_majority(tiles_ds, zones: pa.Table, grid: GridSpec, pack=None):
+    """Zonal MODE (majority vote): per zone, the most frequent v value
+    among valid mosaic pixels (ties to the smallest v) — the categorical
+    analog of mosaic_zonal's sum, the landcover-class-per-polygon shape.
+
+    Per-tile partials emit (zone, v, cnt) rows — bounded by zones x the
+    tile's distinct v values, never pixels — then one keyed groupby per
+    zone argmaxes. A zero seed keeps empty zones present with
+    (v=-1, cnt=0). Returns (zone_id, top_v, cnt).
+    """
+    import zlib
+
+    import ray.data as rd
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+    from .rasterize import _center_window
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    cl, ch, rl, rh = _center_window(
+        grid,
+        zones.column("lon_min").to_numpy(), zones.column("lat_min").to_numpy(),
+        zones.column("lon_max").to_numpy(), zones.column("lat_max").to_numpy())
+    zids = np.asarray(zones.column("zone_id").to_pylist(), dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_z, out_v, out_c = [], [], []
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            tc0, tc1 = tx * chunk, min((tx + 1) * chunk, grid.width)
+            tr0, tr1 = ty * chunk, min((ty + 1) * chunk, grid.height)
+            hit = np.nonzero((cl < tc1) & (ch > tc0)
+                             & (rl < tr1) & (rh > tr0))[0]
+            if len(hit) == 0:
+                continue
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            for i in hit:
+                c0, c1 = max(cl[i], tc0) - tc0, min(ch[i], tc1) - tc0
+                r0, r1 = max(rl[i], tr0) - tr0, min(rh[i], tr1) - tr0
+                m = mask[r0:r1, c0:c1]
+                if not m.any():
+                    continue
+                vals, cnts = np.unique(v[r0:r1, c0:c1][m],
+                                       return_counts=True)
+                out_z.extend([zids[i]] * len(vals))
+                out_v.extend(vals.tolist())
+                out_c.extend(cnts.astype(np.int64).tolist())
+        return pa.table({
+            "zone_id": pa.array(out_z, pa.string()),
+            "v": pa.array(out_v, pa.int64()),
+            "cnt": pa.array(out_c, pa.int64()),
+        })
+
+    zeros = rd.from_arrow(pa.table({
+        "zone_id": pa.array(list(zids), pa.string()),
+        "v": pa.array([-1] * len(zids), pa.int64()),
+        "cnt": pa.array([0] * len(zids), pa.int64()),
+    }))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("v", sort=False)["cnt"].sum().reset_index()
+             .sort_values(["cnt", "v"], ascending=[False, True]))
+        s = s[s["cnt"] > 0]
+        if len(s) == 0:
+            return pd.DataFrame({"zone_id": [g["zone_id"].iloc[0]],
+                                 "top_v": np.array([-1], np.int64),
+                                 "cnt": np.array([0], np.int64)})
+        top = s.iloc[0]
+        return pd.DataFrame({"zone_id": [g["zone_id"].iloc[0]],
+                             "top_v": np.array([top["v"]], np.int64),
+                             "cnt": np.array([top["cnt"]], np.int64)})
+
+    import pandas as pd  # noqa: F811
+
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=64)
+    return (partials.union(zeros)
+            .groupby("zone_id").map_groups(pick, batch_format="pandas"))

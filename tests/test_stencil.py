@@ -477,3 +477,43 @@ def test_point_sample_and_band_ratio(ray_session):
     pd.testing.assert_frame_equal(
         got2, exp2.sort_values(["tx", "ty"]).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_aspect_matches_full_plane(ray_session):
+    """Aspect-class histograms vs the serial global-plane sector rule on
+    a random mosaic with absent tiles."""
+    import ray.data as rd
+
+    from raygeo.ops.stencil import aspect_stats
+
+    rows, plane, valid = _random_mosaic(seed=55)
+    out = aspect_stats(rd.from_items(rows).repartition(4), SRC).to_pandas()
+    v = plane.astype(np.int64).sum(axis=2)
+    H, W = v.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    e, wst = P[1:-1, 2:], P[1:-1, :-2]
+    s, n = P[2:, 1:-1], P[:-2, 1:-1]
+    ok = (valid & M[1:-1, 2:] & M[1:-1, :-2] & M[2:, 1:-1] & M[:-2, 1:-1])
+    dx, dy = e - wst, s - n
+    q = np.where((dx > 0) & (dy >= 0), 0,
+                 np.where((dx <= 0) & (dy > 0), 1,
+                          np.where((dx < 0) & (dy <= 0), 2, 3)))
+    cls = 2 * q + (np.abs(dy) > np.abs(dx)).astype(np.int64)
+    cls = np.where((dx == 0) & (dy == 0), np.int64(8), cls)
+    cls = np.where(ok, cls, np.int64(-1))
+    present = {(r["tx"], r["ty"]) for r in rows}
+    exp_rows = []
+    for (tx, ty) in sorted(present):
+        tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+        win = cls[tr0:tr1, tc0:tc1]
+        hist = np.bincount(win[win >= 0], minlength=9)
+        for k in range(9):
+            exp_rows.append((f"{tx}-{ty}", tx, ty, k, int(hist[k])))
+    exp = pd.DataFrame(exp_rows, columns=["tile_id", "tx", "ty",
+                                          "aspect_class", "n_px"])
+    got = out.sort_values(["tx", "ty", "aspect_class"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty", "aspect_class"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

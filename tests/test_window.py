@@ -357,3 +357,30 @@ def test_windowed_funnel_budget_enforced(ray_session):
     # stage1: all 3; stage2: users 1,3 (user 2 late); stage3: user 1 only
     # (user 3's purchase precedes its click)
     assert got["n_users"].tolist() == [3, 2, 1]
+
+
+def test_dedup_within_gap_lag_semantics(ray_session):
+    """Gap dedup vs a pandas LAG oracle, incl. same-ts duplicates."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.window import dedup_within_gap
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "event_type": rng.choice(["a", "b"], n),
+        "ts": pd.to_datetime(rng.integers(0, 400, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    got = set(dedup_within_gap(rd.from_pandas(df).repartition(9),
+                               ["user_id", "event_type"], "ts", "event_id",
+                               gap_us=5_000_000)
+              .to_pandas()["event_id"])
+    s = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+    prev = s.groupby(["user_id", "event_type"])["ts"].shift()
+    gap = (s["ts"] - prev).dt.total_seconds() * 1e6
+    exp = set(s.loc[gap.isna() | (gap > 5_000_000), "event_id"])
+    assert got == exp
