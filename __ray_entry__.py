@@ -2619,6 +2619,41 @@ def _q_docs_lm_score(sf_dir: str):
                               columns=["doc_id", "text"]))
 
 
+def _q_docs_dsir(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023): hashed-bigram
+    target-vs-raw log-ratio with the integer bit_length surrogate —
+    fixed 8192-bucket model arrays regardless of corpus size, broadcast
+    once; scoring a pure map. SQL replays every term via md5 bucketing
+    and length(bin(c))."""
+    from raygeo.ops.corpus import dsir_scores
+
+    return dsir_scores(_rpq(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]))
+
+
+def _q_images_export_webdataset(sf_dir: str):
+    """WebDataset-style sharded tar export (the multimodal training-
+    loader sink): one tar per md5(id)%8 shard, members <id>.img /
+    <id>.txt sorted by id, atomic data-then-marker commits, resume skips
+    completed shards. The manifest (shard, n_samples, caption_chars) is
+    value-checked; the tars go to scratch and are torn down."""
+    import shutil
+    import tempfile
+
+    from raygeo.ops.export import export_webdataset
+
+    out_dir = tempfile.mkdtemp(prefix="raygeo_wds_")
+    try:
+        d = _fix(sf_dir)
+        images = _rpq(f"{d}/images.parquet",
+                      columns=["image_id", "bytes", "caption"])
+        rep = export_webdataset(images, out_dir, n_shards=8).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return rep[["shard", "n_samples", "caption_chars"]].sort_values(
+        "shard").reset_index(drop=True)
+
+
 def _q_docs_bigrams(sf_dir: str):
     """Corpus bigram count table (n-gram LM input): Counter partials,
     one keyed groupby, bounded top-k."""
@@ -2874,6 +2909,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance": _q_nation_balance,  # FULL OUTER join shape
         "docs_bigrams": _q_docs_bigrams,  # bigram LM count table
         "docs_lm_score": _q_docs_lm_score,  # CCNet-shape perplexity filter
+        "docs_dsir": _q_docs_dsir,  # importance-resampling selection
+        "images_export_webdataset": _q_images_export_webdataset,  # tar sink
         "events_transitions": _q_events_transitions,  # Markov bigram matrix
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,  # seeded training shuffle
         "orders_exact_median": _q_orders_exact_median,  # exact grouped median
@@ -4721,6 +4758,48 @@ scored AS (
 SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
        coalesce(s.lm_bits, 0) AS lm_bits
 FROM toks t LEFT JOIN scored s USING (doc_id)
+""",
+        "images_export_webdataset": f"""
+SELECT CAST(('0x' || substr(md5(image_id), 1, 8))::UBIGINT % 8 AS BIGINT)
+         AS shard,
+       count(*)::BIGINT AS n_samples,
+       sum(length(caption))::BIGINT AS caption_chars
+FROM read_parquet('{IMAGES_001}/*.parquet')
+GROUP BY 1 ORDER BY 1
+""",
+        "docs_dsir": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(array_to_string(l[i.i + 1:i.i + 2], ' ')),
+                         1, 8))::UBIGINT % 8192 AS BIGINT) AS b
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 1, 0))) AS i) i
+),
+ct AS (SELECT b, count(*)::BIGINT AS c FROM bg WHERE doc_id % 9 = 0 GROUP BY 1),
+cr AS (SELECT b, count(*)::BIGINT AS c FROM bg WHERE doc_id % 9 <> 0 GROUP BY 1),
+nn AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM ct) AS n_t,
+         (SELECT coalesce(sum(c), 0) FROM cr) AS n_r
+),
+scored AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+    sum(CASE WHEN ct.c IS NULL THEN 0 ELSE length(bin(ct.c)) END
+        - CASE WHEN cr.c IS NULL THEN 0 ELSE length(bin(cr.c)) END)::BIGINT
+      AS bits,
+    count(*)::BIGINT
+      * (length(bin((SELECT n_r FROM nn)))
+         - length(bin((SELECT n_t FROM nn))))::BIGINT AS cterm
+  FROM bg LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+  WHERE bg.doc_id % 9 <> 0
+  GROUP BY 1
+)
+SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.bits + s.cterm, 0) AS dsir_score
+FROM (SELECT doc_id FROM toks WHERE doc_id % 9 <> 0) t
+LEFT JOIN scored s USING (doc_id)
 """,
         "docs_bigrams": """
 WITH toks AS (

@@ -1170,3 +1170,85 @@ def lm_bits_score(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas", batch_size=4096, num_cpus=1)
+
+
+def dsir_scores(docs_ds, target_mod: int = 9, n_buckets: int = 8192,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    with integer-exact scoring: hashed-bigram importance weight of every
+    raw document against a target-domain slice,
+
+        score = sum_g [bl(c_tgt(g)) - bl(N_tgt) - bl(c_raw(g)) + bl(N_raw)]
+
+    over the doc's bigrams g hashed into ``n_buckets`` md5 buckets, with
+    bl = bit_length (bl(0) = 0) — the floor-log2 surrogate of
+    log p_tgt(g)/p_raw(g) that DuckDB replays exactly (length(bin(c))
+    guarded at 0). The bucketed model is FIXED-size (two n_buckets count
+    arrays) regardless of corpus scale — DSIR's entire point — folded
+    once, broadcast once; scoring is a pure streaming map. The target
+    stands in as the mod-``target_mod`` id slice (same fixture-scale
+    convention as decontaminate; pass a real target via its own table in
+    production). Returns (doc_id, n_bigrams, dsir_score) for raw
+    (non-target) docs.
+    """
+    import ray
+
+    tok = re.compile(LOWER_TOKEN_RE)
+
+    def buckets_of(text: str) -> np.ndarray:
+        ws = tok.findall(text.lower())
+        if len(ws) < 2:
+            return np.empty(0, np.int64)
+        return np.fromiter(
+            (int.from_bytes(
+                hashlib.md5((ws[i] + " " + ws[i + 1]).encode()).digest()[:4],
+                "big") % n_buckets for i in range(len(ws) - 1)),
+            dtype=np.int64, count=len(ws) - 1)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tgt = np.zeros(n_buckets, np.int64)
+        raw = np.zeros(n_buckets, np.int64)
+        for doc_id, t in zip(df[id_col], df[text_col]):
+            b = buckets_of(t)
+            if len(b) == 0:
+                continue
+            acc = tgt if doc_id % target_mod == 0 else raw
+            np.add.at(acc, b, 1)
+        return pd.DataFrame({"tgt": [tgt.tobytes()], "raw": [raw.tobytes()]})
+
+    parts = (docs_ds.select_columns([id_col, text_col])
+             .map_batches(count_partial, batch_format="pandas",
+                          batch_size=4096, num_cpus=1).take_all())
+    tgt = np.zeros(n_buckets, np.int64)
+    raw = np.zeros(n_buckets, np.int64)
+    for r in parts:  # fixed n_buckets*8 B per batch, associative fold
+        tgt += np.frombuffer(r["tgt"], np.int64)
+        raw += np.frombuffer(r["raw"], np.int64)
+
+    def bl(a: np.ndarray) -> np.ndarray:
+        # Python int.bit_length: always exact (bl(0) = 0); n_buckets-sized
+        return np.fromiter((int(x).bit_length() for x in a.tolist()),
+                           np.int64, count=len(a))
+
+    blt, blr = bl(tgt), bl(raw)
+    n_t, n_r = int(tgt.sum()), int(raw.sum())
+    const = n_r.bit_length() - n_t.bit_length()
+    ref = ray.put((blt, blr))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        t_bits, r_bits = ray.get(ref)
+        keep = df[id_col].to_numpy() % target_mod != 0
+        sub = df[keep]
+        n_bg = np.zeros(len(sub), np.int64)
+        sc = np.zeros(len(sub), np.int64)
+        for j, t in enumerate(sub[text_col]):
+            b = buckets_of(t)
+            n_bg[j] = len(b)
+            if len(b):
+                sc[j] = int(t_bits[b].sum() - r_bits[b].sum()
+                            + len(b) * const)
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "n_bigrams": n_bg, "dsir_score": sc})
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas", batch_size=4096, num_cpus=1)

@@ -127,3 +127,74 @@ def export_hive_partitioned(ds, out_dir: str, partition_col: str,
         partition_col: pa.array([r[0] for r in rows], pa.string()),
         "n_rows": pa.array([r[1] for r in rows], pa.int64()),
     })
+
+
+def export_webdataset(images_ds, out_dir: str, n_shards: int = 8,
+                      id_col: str = "image_id", bytes_col: str = "bytes",
+                      caption_col: str = "caption"):
+    """WebDataset-style sharded tar export of (image, caption) samples —
+    the training-loader sink format for multimodal data (one tar per
+    shard; each sample = two members ``<id>.img`` and ``<id>.txt``,
+    members sorted by id for deterministic bytes).
+
+    shard = md5(id) % n_shards — deterministic and SQL-replayable, so
+    resharding the INPUT never moves a sample and the manifest is
+    value-checkable. Same atomic data-then-marker commit and resume
+    contract as ``export_sharded`` (completed shards skip before any
+    shuffle). Returns the manifest Dataset (shard, n_samples,
+    caption_chars, tar_bytes) for shards written this run.
+    """
+    import hashlib
+    import io
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        shard = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big") % n_shards for i in ids),
+            dtype=np.int64, count=len(ids))
+        t = t.append_column("__shard", pa.array(shard, pa.int64()))
+        if done:
+            t = t.filter(pa.array(~np.isin(shard, list(done))))
+        return t
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["__shard"].iloc[0])
+        g = g.sort_values(id_col)
+        buf = io.BytesIO()
+        cap_chars = 0
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for _, r in g.iterrows():
+                for suffix, payload in (
+                    (".img", bytes(r[bytes_col])),
+                    (".txt", str(r[caption_col]).encode()),
+                ):
+                    info = tarfile.TarInfo(name=f"{r[id_col]}{suffix}")
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic archive bytes
+                    tar.addfile(info, io.BytesIO(payload))
+                cap_chars += len(str(r[caption_col]))
+        body = buf.getvalue()
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, path)  # data first ...
+        marker = os.path.join(out_dir, f"shard-{shard:05d}.done")
+        with open(marker + ".tmp", "w") as f:
+            f.write(f"{len(g)}\n")
+        os.replace(marker + ".tmp", marker)  # ... marker second
+        return pd.DataFrame({"shard": [shard],
+                             "n_samples": [len(g)],
+                             "caption_chars": [cap_chars],
+                             "tar_bytes": [len(body)]})
+
+    cols = [id_col, bytes_col, caption_col]
+    return (images_ds.select_columns(cols)
+            .map_batches(add_shard, batch_format="pyarrow", batch_size=2048)
+            .groupby("__shard").map_groups(write_shard,
+                                           batch_format="pandas"))

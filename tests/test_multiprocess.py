@@ -306,3 +306,52 @@ def test_ingest_survives_sigkill_midrun(fixtures_sf0001, tmp_path):
                              columns=["image_id", "bytes", "w", "h"])
     exp = load(clean, roi, images_ds=images).stats()
     assert got == exp
+
+
+def test_webdataset_roundtrip_and_resume(ray_session, fixtures_sf0001,
+                                         tmp_path):
+    """Tar shards re-read with tarfile: caption byte-equality and pixel
+    decode for every sample; a second run writes nothing (resume)."""
+    import hashlib
+    import tarfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.codec import decode
+    from raygeo.ops.export import export_webdataset
+
+    out = str(tmp_path / "wds")
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "caption"])
+    rep = export_webdataset(images, out, n_shards=4).to_pandas()
+    assert rep["n_samples"].sum() == images.count()
+
+    src = pq.read_table(f"{fixtures_sf0001}/images.parquet",
+                        columns=["image_id", "bytes", "caption"])
+    by_id = {i: (b, c) for i, b, c in zip(
+        src.column("image_id").to_pylist(),
+        src.column("bytes").to_pylist(),
+        src.column("caption").to_pylist())}
+    seen = 0
+    for shard in range(4):
+        with tarfile.open(f"{out}/shard-{shard:05d}.tar") as tar:
+            members = tar.getmembers()
+            img = {m.name[:-4]: tar.extractfile(m).read()
+                   for m in members if m.name.endswith(".img")}
+            txt = {m.name[:-4]: tar.extractfile(m).read()
+                   for m in members if m.name.endswith(".txt")}
+        assert set(img) == set(txt)
+        for iid, payload in img.items():
+            b, c = by_id[iid]
+            exp_shard = int.from_bytes(
+                hashlib.md5(iid.encode()).digest()[:4], "big") % 4
+            assert exp_shard == shard
+            assert txt[iid].decode() == c              # caption equality
+            np.testing.assert_array_equal(decode(payload), decode(b))
+            seen += 1
+    assert seen == len(by_id)
+    # resume: everything committed -> second run writes nothing
+    rep2 = export_webdataset(images, out, n_shards=4).to_pandas()
+    assert len(rep2) == 0
