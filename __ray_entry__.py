@@ -570,7 +570,11 @@ def _tiles_lww(sf_dir: str):
     ingest it embeds. The consumers are read-only (stencils, zonal,
     overviews, histograms), and the ingest itself is measured by the
     ingest_mosaic entry, so one session-scoped materialization serves them
-    all — the object-store cost is 256 compressed tile rows."""
+    all — the object-store cost is 256 compressed tile rows at fixture
+    scale. At 100 TB the analog is NOT an in-memory pin: ingest once with
+    cube_path=... and have consumers read_parquet the cube directory
+    back (the resumable on-disk form); the object store then only holds
+    the blocks in flight."""
     d = _fix(sf_dir)
     ds = _TILES_LWW_CACHE.get(d)
     if ds is None:
@@ -1746,6 +1750,23 @@ def _q_emb_semdedup(sf_dir: str):
     return semdedup_pairs(_rpq(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"]),
                           k=8, rounds=2, tau_num=2, tau_den=5)
+
+
+def _q_emb_semdedup_keep(sf_dir: str):
+    """SemDeDup end-to-end decision: cluster-bounded cosine pairs feed
+    the DISTRIBUTED component machinery (min-label + pointer jumping;
+    driver never holds the pair set), one keep per embedding (component
+    min id wins). Oracle: the semdedup pair CTEs + a recursive reach
+    CTE."""
+    from raygeo.ops.ann import semdedup_pairs
+    from raygeo.ops.dedup import dedup_keep_list
+
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    pairs = semdedup_pairs(emb, k=8, rounds=2, tau_num=2,
+                           tau_den=5).select_columns(["id_a", "id_b"])
+    ids = _rpq(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return dedup_keep_list(ids, pairs, "vec_id")
 
 
 def _q_emb_kmeans(sf_dir: str):
@@ -2956,6 +2977,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_gram": _q_emb_gram,  # Gram/scatter-matrix tensor fold
         "emb_kmeans": _q_emb_kmeans,  # iterative Lloyd, integer-exact
         "emb_semdedup": _q_emb_semdedup,  # cluster-bounded cosine near-dup
+        "emb_semdedup_keep": _q_emb_semdedup_keep,  # end-to-end decision
         "nearest_zone": _q_nearest_zone,  # spatial kNN join (k=1)
     }
 
@@ -5165,6 +5187,71 @@ FROM (
   SELECT vec_id, cid, dist,
     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
   FROM a2) WHERE rn = 1
+""",
+        "emb_semdedup_keep": """WITH RECURSIVE q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+c0 AS (SELECT vec_id AS cid, dim, qv AS cv FROM q WHERE vec_id < 8),
+a1 AS (
+  SELECT q.vec_id, c0.cid, sum((q.qv - c0.cv) * (q.qv - c0.cv)) AS dist
+  FROM q JOIN c0 USING (dim) GROUP BY q.vec_id, c0.cid
+),
+b1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM a1) WHERE rn = 1
+),
+c1 AS (
+  SELECT b1.cid, q.dim,
+    CAST(floor(sum(q.qv)::DOUBLE / count(*)) AS BIGINT) AS cv
+  FROM q JOIN b1 USING (vec_id) GROUP BY b1.cid, q.dim
+),
+a2 AS (
+  SELECT q.vec_id, c1.cid, sum((q.qv - c1.cv) * (q.qv - c1.cv)) AS dist
+  FROM q JOIN c1 USING (dim) GROUP BY q.vec_id, c1.cid
+),
+b2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM a2) WHERE rn = 1
+),
+q3 AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+n2 AS (SELECT vec_id, sum(qv * qv) AS nn FROM q3 GROUP BY 1),
+p AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cid
+  FROM b2 x JOIN b2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+),
+d AS (
+  SELECT p.id_a, p.id_b, p.cid, sum(qa.qv * qb.qv) AS dot
+  FROM p
+  JOIN q3 qa ON qa.vec_id = p.id_a
+  JOIN q3 qb ON qb.vec_id = p.id_b AND qb.dim = qa.dim
+  GROUP BY 1, 2, 3
+),
+prs AS (
+  SELECT d.id_a, d.id_b FROM d
+  JOIN n2 na ON na.vec_id = d.id_a
+  JOIN n2 nb ON nb.vec_id = d.id_b
+  WHERE d.dot > 0 AND 25 * d.dot * d.dot >= 4 * na.nn * nb.nn
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id::BIGINT AS vec_id, min(r)::BIGINT AS cluster_rep,
+  CAST(min(r) = id AS INTEGER) AS keep
+FROM reach GROUP BY id
 """,
         "emb_semdedup": """
 WITH q AS (

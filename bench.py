@@ -163,6 +163,7 @@ def run_bench() -> dict:
         "events_latest_state",
         "docs_weighted_sample",
         "docs_lm_score",
+        "docs_dsir",
         "mosaic_hillshade",
         "mosaic_equalize",
         "events_hll_users",
