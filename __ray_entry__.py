@@ -1769,6 +1769,26 @@ def _q_emb_semdedup_keep(sf_dir: str):
     return dedup_keep_list(ids, pairs, "vec_id")
 
 
+def _q_zone_top_images(sf_dir: str):
+    """Per-region exemplar selection: top-3 brightest images per nearest
+    zone — the spatial-group top-k shape (broadcast kNN assignment, then
+    the skew-proof map-side partial top-k: a hot zone contributes at
+    most k rows per batch)."""
+    import pyarrow.parquet as pq
+
+    from raygeo.ops.relational import grouped_topk
+    from raygeo.ops.zonal import nearest_zone
+
+    d = _fix(sf_dir)
+    images = _rpq(f"{d}/images.parquet",
+                  columns=["image_id", "lon_min", "lat_min", "lon_max",
+                           "lat_max", "pix_sum"])
+    assigned = nearest_zone(images, pq.read_table(f"{d}/zones.parquet"),
+                            keep_cols=("pix_sum",))
+    return grouped_topk(assigned, "zone_id", "pix_sum", "image_id",
+                        k=3, cents=False)
+
+
 def _q_emb_kmeans(sf_dir: str):
     """Iterative Lloyd k-means (2 rounds, k=8) with exact integer-
     quantized distances and floor(sum/n) centroid updates — the SQL
@@ -2978,7 +2998,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": _q_emb_kmeans,  # iterative Lloyd, integer-exact
         "emb_semdedup": _q_emb_semdedup,  # cluster-bounded cosine near-dup
         "emb_semdedup_keep": _q_emb_semdedup_keep,  # end-to-end decision
-        "nearest_zone": _q_nearest_zone,  # spatial kNN join (k=1)
+        "nearest_zone": _q_nearest_zone,
+        "zone_top_images": _q_zone_top_images,  # spatial group top-k  # spatial kNN join (k=1)
     }
 
 
@@ -5324,6 +5345,29 @@ SELECT image_id, zone_id FROM (
       ORDER BY (i.ix - z.zx) * (i.ix - z.zx)
              + (i.iy - z.zy) * (i.iy - z.zy), z.zone_id) AS rn
   FROM i, z) WHERE rn = 1
+""",
+        "zone_top_images": f"""
+WITH i AS (
+  SELECT image_id, pix_sum, (lon_min + lon_max) / 2.0 AS ix,
+         (lat_min + lat_max) / 2.0 AS iy
+  FROM read_parquet('{IMAGES_001}/*.parquet')
+), z AS (
+  SELECT zone_id, (lon_min + lon_max) / 2.0 AS zx,
+         (lat_min + lat_max) / 2.0 AS zy
+  FROM read_parquet('{ZONES_001}')
+), assigned AS (
+  SELECT image_id, pix_sum, zone_id FROM (
+    SELECT i.image_id, i.pix_sum, z.zone_id,
+      row_number() OVER (PARTITION BY i.image_id
+        ORDER BY (i.ix - z.zx) * (i.ix - z.zx)
+               + (i.iy - z.zy) * (i.iy - z.zy), z.zone_id) AS rn
+    FROM i, z) WHERE rn = 1
+)
+SELECT zone_id, image_id, pix_sum, rank FROM (
+  SELECT zone_id, image_id, pix_sum,
+    row_number() OVER (PARTITION BY zone_id
+                       ORDER BY pix_sum DESC, image_id) AS rank
+  FROM assigned) WHERE rank <= 3
 """,
         "docs_inverted_index": """
 WITH toks AS (

@@ -97,7 +97,7 @@ def zonal_stats(
     )
 
 
-def nearest_zone(images_ds, zones: pa.Table):
+def nearest_zone(images_ds, zones: pa.Table, keep_cols: tuple = ()):
     """Spatial kNN JOIN (k=1): assign every image to its nearest zone by
     center-to-center squared distance — the broadcast-side nearest-
     neighbor assignment (each image vs the small zone table; the zone side
@@ -130,12 +130,14 @@ def nearest_zone(images_ds, zones: pa.Table):
         dy = iy[:, None] - zy[None, :]
         d = dx * dx + dy * dy
         best = d.argmin(axis=1)
-        return pa.table({
-            "image_id": t.column("image_id"),
-            "zone_id": pa.array(zid[best], pa.string()),
-        })
+        out = {"image_id": t.column("image_id"),
+               "zone_id": pa.array(zid[best], pa.string())}
+        for c in keep_cols:  # pass-through payload (e.g. pix_sum)
+            out[c] = t.column(c)
+        return pa.table(out)
 
-    cols = ["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+    cols = ["image_id", "lon_min", "lat_min", "lon_max", "lat_max",
+            *keep_cols]
     return images_ds.select_columns(cols).map_batches(
         per_batch, batch_format="pyarrow", batch_size=8192)
 
