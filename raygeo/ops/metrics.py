@@ -172,3 +172,51 @@ def gantt_ascii(cube_path: str, width: int = 80) -> str:
                 bar[k] = "#"
         out.append(f"{worker:>24} |{''.join(bar)}|")
     return "\n".join(out)
+
+
+def timeline_svg(cube_path: str, width: int = 960, row_h: int = 8) -> str:
+    """Gantt timeline of per-partition ingest work as a standalone SVG
+    string — the reference's task-timeline plot (``core/backend.py:
+    95-185``) without a plotting dependency (SVG is text; this sandbox
+    has no matplotlib).
+
+    One bar per committed partition: start = commit_ts - wall_ms, end =
+    commit_ts, rows sorted by start. Bar color encodes relative duration
+    (longer = darker) so stragglers and skew pop visually. Deterministic
+    for a given ledger. Render with any browser or embed in reports.
+    """
+    from .. import lineage
+
+    recs = sorted(lineage.read_records(cube_path),
+                  key=lambda r: (r["commit_ts"] - r["wall_ms"] / 1e3,
+                                 r["partition_id"]))
+    if not recs:
+        return ('<svg xmlns="http://www.w3.org/2000/svg" width="200" '
+                'height="20"><text x="4" y="14">empty ledger</text></svg>')
+    t0 = min(r["commit_ts"] - r["wall_ms"] / 1e3 for r in recs)
+    t1 = max(r["commit_ts"] for r in recs)
+    span = max(t1 - t0, 1e-6)
+    max_ms = max(r["wall_ms"] for r in recs) or 1.0
+    pad, label_w = 4, 90
+    h = pad * 2 + row_h * len(recs) + 16
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{h}" font-family="monospace" font-size="{row_h - 1}">',
+        f'<text x="{pad}" y="{h - 4}">span {span:.3f}s, '
+        f'{len(recs)} partitions, max {max_ms:.0f}ms</text>',
+    ]
+    plot_w = width - label_w - 2 * pad
+    for i, r in enumerate(recs):
+        s = (r["commit_ts"] - r["wall_ms"] / 1e3 - t0) / span
+        w = max(r["wall_ms"] / 1e3 / span, 1e-4)
+        x = label_w + pad + s * plot_w
+        y = pad + i * row_h
+        shade = 230 - int(180 * (r["wall_ms"] / max_ms))
+        parts.append(
+            f'<rect x="{x:.1f}" y="{y}" width="{max(w * plot_w, 1):.1f}" '
+            f'height="{row_h - 1}" fill="rgb({shade},{shade},255)"/>')
+        parts.append(
+            f'<text x="{pad}" y="{y + row_h - 2}">'
+            f'{r["partition_id"][:12]}</text>')
+    parts.append("</svg>")
+    return "\n".join(parts)

@@ -644,3 +644,27 @@ def test_lm_bits_score_hand_computed(ray_session):
     assert out.loc[0, "n_bigrams"] == 3 and out.loc[0, "lm_bits"] == 1
     assert out.loc[1, "n_bigrams"] == 1 and out.loc[1, "lm_bits"] == 0
     assert out.loc[2, "n_bigrams"] == 0 and out.loc[2, "lm_bits"] == 0
+
+
+def test_timeline_svg_renders_ledger(ray_session, fixtures_sf0001, tmp_path):
+    """The Gantt SVG is valid XML with one bar per committed partition."""
+    import xml.etree.ElementTree as ET
+
+    import ray.data as rd
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.metrics import timeline_svg
+
+    cube = str(tmp_path / "cube")
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    n = ingest(images, FIXTURE_GRID, cube_path=cube).count()
+    svg = timeline_svg(cube)
+    root = ET.fromstring(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = root.findall(f"{ns}rect")
+    assert len(rects) == n
+    assert all(float(r.get("width")) >= 1.0 for r in rects)
+    # empty ledger degrades gracefully
+    assert "empty ledger" in timeline_svg(str(tmp_path / "nope"))
