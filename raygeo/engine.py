@@ -435,3 +435,41 @@ def visualize_state(cube_path: str, max_width: int = 80) -> str:
         grid_chars = np.where(panels[t], "#", ".")
         out.extend("".join(r) for r in grid_chars)
     return "\n".join(out)
+
+
+def state_svg(cube_path: str, cell: int = 6) -> str:
+    """Tile-occupancy map as a standalone SVG (the graphical
+    ``visualize_state``, ``accessor.py:483-498`` — SVG is text, so no
+    plotting dependency). One square per grid tile, filled when
+    committed; temporal cubes stack one panel per time step."""
+    spec = load_spec(cube_path)
+    g = spec.grid
+    st = current_state(cube_path)
+    txs = st.column("tx").to_numpy()
+    tys = st.column("ty").to_numpy()
+    ts = st.column("t").to_pylist()
+    panels: dict = {}
+    for tx, ty, t in zip(txs, tys, ts):
+        panels.setdefault(t, set()).add((int(tx), int(ty)))
+    if not panels:
+        panels[None] = set()
+    keys = sorted(panels, key=lambda v: (v is not None, v))
+    pad, title_h = 4, 12
+    panel_h = g.n_ty * cell + title_h
+    width = g.n_tx * cell + 2 * pad
+    height = len(keys) * (panel_h + pad) + pad
+    parts = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+             f'height="{height}" font-family="monospace" font-size="10">']
+    for p, t in enumerate(keys):
+        oy = pad + p * (panel_h + pad)
+        label = "(atemporal)" if t is None else str(t)
+        parts.append(f'<text x="{pad}" y="{oy + 10}">{label} '
+                     f'{len(panels[t])}/{g.n_tx * g.n_ty}</text>')
+        done = panels[t]
+        for (tx, ty) in sorted(done):
+            parts.append(
+                f'<rect x="{pad + tx * cell}" '
+                f'y="{oy + title_h + ty * cell}" width="{cell - 1}" '
+                f'height="{cell - 1}" fill="rgb(60,100,220)"/>')
+    parts.append("</svg>")
+    return "\n".join(parts)

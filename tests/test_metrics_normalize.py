@@ -668,3 +668,25 @@ def test_timeline_svg_renders_ledger(ray_session, fixtures_sf0001, tmp_path):
     assert all(float(r.get("width")) >= 1.0 for r in rects)
     # empty ledger degrades gracefully
     assert "empty ledger" in timeline_svg(str(tmp_path / "nope"))
+
+
+def test_state_svg_matches_commit_count(ray_session, fixtures_sf0001,
+                                        tmp_path):
+    import xml.etree.ElementTree as ET
+
+    import ray.data as rd
+
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, create
+    from raygeo.engine import state_svg
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import ingest
+
+    cube = str(tmp_path / "cube")
+    create(CubeSpec("viz", FIXTURE_GRID, RGB_CHANNELS), cube)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    n = ingest(images, FIXTURE_GRID, cube_path=cube).count()
+    root = ET.fromstring(state_svg(cube))
+    ns = "{http://www.w3.org/2000/svg}"
+    assert len(root.findall(f"{ns}rect")) == n
