@@ -2759,54 +2759,50 @@ def _q_docs_stratified_sample(sf_dir: str):
                              group_col="lang", key_col="doc_id", k=10)
 
 
-# round-2 driver-verified window (CORRECTNESS_r02: all 50 green) — rotated
-# to the TAIL this round so the driver's 50-entry check covers new ground
-_R02_VERIFIED = [
-    "tile_assign", "roi_tile_cover", "polar_tile_cover", "roi_image_join",
-    "antimeridian_join", "zonal_stats", "knn_images", "dedup_phash",
-    "phash_neardup", "decode_stats", "thumbnails", "normalize_bands",
-    "caption_roundtrip", "image_augment", "images_cell_rollup",
-    "ingest_mosaic", "ingest_mosaic_update", "ingest_mosaic_temporal",
-    "ingest_mosaic_max", "ingest_mosaic_dem", "mosaic_overview",
-    "ingest_mosaic_median", "mosaic_change", "mosaic_components",
-    "temporal_trend", "toi_snap", "toi_snap_padbfill", "roi_load_window",
-    "tile_skew_report", "q1_pricing", "revenue_by_nation", "q3_shipping",
-    "orders_quantiles", "top_orders", "top_parts", "events_hourly",
-    "events_sliding", "events_sessionize", "events_asof",
-    "events_kmv_users", "docs_export_shards", "docs_hash_split",
-    "events_pairing", "urgent_revenue", "top_parts_per_brand",
-    "events_interval_join", "events_zscore", "orders_pivot",
-    "orders_unpivot", "orders_rollup",
-]
-
-# round-3 window head: operators whose PLAN changed this round (median
-# hist plan, lean-payload MinHash, distributed keep policies, recall-floor
-# ANN oracles) plus the judge's named high-value never-driver-checked set
-_R03_WINDOW_HEAD = [
-    "ingest_mosaic_median",   # r2-green but the plan is new (hist fold)
-    "docs_minhash_07", "docs_neardup_exact", "docs_ngram_jaccard",
-    "docs_dedup_keep", "docs_dedup_best",
-    "emb_ivf_knn", "emb_pq_knn", "emb_lsh_neardup",
-    "docs_substring_dups", "name_neighbors", "emb_kmeans",
-    "terms_pagerank_join", "events_late_data", "mosaic_equalize",
-    "image_patchify", "docs_pack_sequences", "events_funnel_windowed",
-    "orders_rank", "parts_skyline", "docs_bpe_tokens", "emb_kcenter",
-    "events_transitions", "docs_clean_corpus", "terms_components",
-    "events_mad_outliers", "docs_decontaminate", "mosaic_histogram",
-    "mosaic_gradient_refresh", "mosaic_hillshade",
-    "ingest_lineage_report",
+# round-4 window head (VERDICT r3 next-round #1 + #8): the 3 queries that
+# were rows-only-checked in r01 and have since gained real DuckDB oracles
+# (docs_simhash, docs_fingerprint, image_features) first, then every query
+# the driver has NEVER value-checked across r01-r03 (77 of 185; cumulative
+# driver-green coverage was 108/185 entering this round). The driver takes
+# the FIRST 50 — this round covers the grey-zone 3 + 47 fresh; the ~30
+# remaining fresh entries sit immediately after for the round-5 window.
+_R04_WINDOW_HEAD = [
+    "docs_simhash", "docs_fingerprint", "image_features",
+    "mosaic_resample", "catalog_tile_cover", "csv_cell_histogram",
+    "docs_scrub", "rasterize_zones", "mosaic_zonal", "mosaic_overview_l2",
+    "footprint_overlap", "q5_local_volume", "priority_shipping",
+    "discounted_revenue", "large_orders", "returned_revenue",
+    "returned_order_priority", "promo_revenue", "top_supplier",
+    "customer_order_histogram", "bi_nation_volume", "important_parts",
+    "supplier_part_counts", "idle_rich_customers", "min_cost_supplier",
+    "parts_copurchase", "customers_rfm", "emb_label_affinity",
+    "events_cube", "user_top_event", "events_lag_gaps",
+    "orders_cum_crossing", "events_gapfill", "small_qty_revenue",
+    "docs_stratified_sample", "events_period_overlap", "docs_normalize",
+    "docs_cooccurrence", "terms_pagerank", "events_props_stats",
+    "docs_source_stats", "mosaic_timeseries", "temporal_coverage",
+    "events_ohlc", "docs_vocab_growth", "docs_bloom_decontaminate",
+    "events_export_hive", "events_value_trend", "events_top_users_hourly",
+    "orders_p90", "docs_context_windows", "emb_dim_stats",
+    "emb_range_search", "nation_balance", "docs_bigrams", "docs_lm_score",
+    "docs_dsir", "images_export_webdataset", "docs_epoch_shuffle",
+    "orders_exact_median", "docs_repetition", "docs_simhash_neardup",
+    "docs_top_terms", "docs_heavy_hitters", "docs_tfidf",
+    "docs_inverted_index", "docs_search", "docs_sample",
+    "images_clean_corpus", "video_frame_stats", "video_scene_changes",
+    "video_scene_lengths", "audio_features", "audio_frame_rms",
+    "emb_centroids", "emb_gram", "emb_semdedup", "emb_semdedup_keep",
+    "nearest_zone", "zone_top_images",
 ]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
-    # driver-window rotation (VERDICT r2 next-round #1): the driver checks
+    # driver-window rotation (VERDICT r3 next-round #1): the driver checks
     # the FIRST 50 entries only; validate.py still covers every entry
-    verified = set(_R02_VERIFIED) - set(_R03_WINDOW_HEAD)
-    head = [k for k in _R03_WINDOW_HEAD if k in q]
-    mid = [k for k in q if k not in verified and k not in set(head)]
-    tail = [k for k in q if k in verified]
-    return {k: q[k] for k in head + mid + tail}
+    head = [k for k in _R04_WINDOW_HEAD if k in q]
+    tail = [k for k in q if k not in set(head)]
+    return {k: q[k] for k in head + tail}
 
 
 def _all_queries() -> dict[str, Callable[[str], Any]]:

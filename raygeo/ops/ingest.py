@@ -47,6 +47,7 @@ atomic renames, so re-runs and task retries are idempotent.
 
 from __future__ import annotations
 
+import os
 import time
 import zlib
 
@@ -834,12 +835,106 @@ def ingest(
     return tiles
 
 
+def _tile_epoch_state(stored_path: str):
+    """Read one tile's canonical file + CAS state: (table|None, epoch,
+    applied-token list). Epoch/token ride the parquet schema metadata so
+    they share the data file's atomic rename."""
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(stored_path):
+        return None, 0, []
+    try:
+        st = pq.read_table(stored_path)
+    except FileNotFoundError:  # raced a concurrent CAS install
+        return None, 0, []
+    meta = st.schema.metadata or {}
+    epoch = int(meta.get(b"raygeo_epoch", b"0"))
+    tokens = [t for t in meta.get(b"raygeo_update_tokens", b"").split(b",") if t]
+    legacy = meta.get(b"raygeo_update_token")
+    if legacy:
+        tokens.append(legacy)
+    return st, epoch, tokens
+
+
+def _cas_files(tdir: str, tile_id: str) -> list[tuple[int, str]]:
+    prefix = f".cas-{tile_id}.v"
+    out = []
+    for n in os.listdir(tdir):
+        if n.startswith(prefix) and n.endswith(".parquet"):
+            try:
+                out.append((int(n[len(prefix):-len(".parquet")]),
+                            os.path.join(tdir, n)))
+            except ValueError:
+                continue
+    return out
+
+
+def _heal_canonical(tdir: str, tile_id: str) -> None:
+    """Install the highest claimed CAS epoch onto the canonical tile file.
+
+    Idempotent and safe to run from any process at any time: every install
+    is a hard link of an already-committed epoch file followed by an atomic
+    rename, and the loop re-checks until the canonical epoch catches up —
+    so a crashed winner's claim is completed by the next writer, and a
+    transiently stomped canonical (two healers racing) self-heals before
+    either returns."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    canonical = os.path.join(tdir, f"part-{tile_id}.parquet")
+    while True:
+        claims = _cas_files(tdir, tile_id)
+        if not claims:
+            return
+        mx, mxp = max(claims)
+        try:
+            cur = int((pq.read_schema(canonical).metadata or {})
+                      .get(b"raygeo_epoch", b"0"))
+        except FileNotFoundError:
+            cur = -1
+        if cur >= mx:
+            return
+        tmp = os.path.join(tdir, f".heal-{tile_id}-{uuid.uuid4().hex}")
+        try:
+            os.link(mxp, tmp)
+        except FileNotFoundError:
+            continue  # raced gc_update_versions; re-list
+        os.replace(tmp, canonical)
+
+
+def gc_update_versions(cube_path: str) -> int:
+    """Delete claimed-epoch CAS files left by :func:`ingest_update`.
+
+    Each applied update retains its epoch file as the CAS token (a hard
+    link — zero extra space while it is the current version, one old tile
+    version otherwise). Run this ONLY when no updater job is active (the
+    compaction contract, like :func:`raygeo.lineage.compact`): deleting a
+    claimed epoch while a writer is mid-conflict would let a stale claim
+    be re-won. Returns the number of files removed."""
+    from ..cube import TILES_DIR
+
+    tdir = os.path.join(cube_path, TILES_DIR)
+    if not os.path.isdir(tdir):
+        return 0
+    n = 0
+    for name in os.listdir(tdir):
+        if name.startswith(".cas-") and name.endswith(".parquet"):
+            try:
+                os.remove(os.path.join(tdir, name))
+                n += 1
+            except FileNotFoundError:
+                pass
+    return n
+
+
 def ingest_update(
     images_ds,
     grid: GridSpec,
     cube_path: str,
     mode: str = "lww",
     channels=None,
+    max_conflict_retries: int = 100,
     **ingest_kw,
 ):
     """Incremental ingest: fold a NEW batch of patches into an EXISTING
@@ -857,10 +952,25 @@ def ingest_update(
 
     Concurrency contract: WITHIN a job each tile is updated by exactly one
     task (the new batch's groupby(tile_id) merge emits one row per tile).
-    ACROSS jobs run updates sequentially per cube — there is no
-    cross-process optimistic-concurrency retry here (the reference
-    documents the same single-writer caveat, ``accessor.py:403-407``);
-    two concurrent updater jobs hitting one tile race read-modify-write.
+    ACROSS jobs, concurrent updaters are safe: each tile commit is an
+    optimistic-concurrency CAS on a per-tile epoch (the icechunk
+    conflict-retry analog, reference ``backends/threaded.py:85-99`` +
+    ``core/accessor.py:403-407``). A writer reads the stored tile at epoch
+    E, merges, and claims epoch E+1 by ``os.link``-ing its result to
+    ``.cas-{tile}.v{E+1}.parquet`` — link EEXIST means another job won that
+    epoch; the loser re-reads the (now newer) canonical tile and retries,
+    bounded at ``max_conflict_retries`` (default 100, mirroring the
+    reference's retry budget). A winner that crashes between claiming the
+    epoch and installing the canonical file is healed by any later writer
+    (``_heal_canonical`` re-links the highest claimed epoch onto the
+    canonical name), so the protocol is lock-free and crash-safe with no
+    timeouts. Claimed-epoch files accumulate one hard link per applied
+    update; reclaim them with :func:`gc_update_versions` when no updater
+    is running. Inter-job ordering is arrival order at the CAS (for
+    ``mode="max"`` the fold is commutative, so any interleaving yields the
+    batch-ingest golden bytes; for ``mode="lww"`` overlapping *pixels*
+    from concurrent jobs resolve in CAS arrival order, as the reference's
+    arrival-order LWW does across its retried commits).
 
     Plan: the new batch runs the normal fold/combine/shuffle pipeline with
     NO ledger anti-join (committed tiles must accept updates), producing
@@ -900,77 +1010,110 @@ def ingest_update(
             new_mask = np.frombuffer(
                 zlib.decompress(mz_v[j]), np.uint8
             ).reshape(chunk, chunk).astype(bool)
-            n_frags = int(t.column("n_frags")[j].as_py())
             # idempotence token: the incoming merged canvas is a pure
             # function of the update batch, so its content hash identifies
             # the update. It rides the tile file's SCHEMA METADATA — the
             # same atomic rename as the data — so a Ray task retry (or a
             # second consumption of the returned lazy dataset) that finds
             # its own token already applied skips the read-modify-write
-            # instead of double-counting n_frags. (Two genuinely distinct
-            # updates with bit-identical incoming canvases coalesce — the
-            # merged values are unchanged by construction; only n_frags
-            # would differ, documented.)
+            # instead of double-counting n_frags. The last 64 applied
+            # tokens are kept (not just the latest) so a retry still
+            # recognizes its own commit after other jobs' updates landed
+            # in between. (Two genuinely distinct updates with
+            # bit-identical incoming canvases coalesce — the merged values
+            # are unchanged by construction; only n_frags would differ,
+            # documented.)
             token = hashlib.md5(
                 bytes(px_v[j]) + bytes(mz_v[j]) + mode.encode()
             ).hexdigest().encode()
             stored_path = os.path.join(tdir, f"part-{tile_id}.parquet")
-            if os.path.exists(stored_path):
-                st = pq.read_table(stored_path)
-                meta = st.schema.metadata or {}
-                if meta.get(b"raygeo_update_token") == token:
+            for _attempt in range(max_conflict_retries):
+                st, epoch, tokens = _tile_epoch_state(stored_path)
+                if token in tokens:
                     out_rows.append(
                         st.replace_schema_metadata(None).select(
                             TILE_SCHEMA.names).cast(TILE_SCHEMA))
+                    break
+                n_frags = int(t.column("n_frags")[j].as_py())
+                if st is not None:
+                    # writable copies: from_bytes returns read-only buffer
+                    # views and the merge mutates in place
+                    canvas = [np.array(c) for c in pack.from_bytes(
+                        zlib.decompress(st.column("px_z")[0].as_py()),
+                        chunk, chunk)]
+                    mask = np.frombuffer(
+                        zlib.decompress(st.column("mask_z")[0].as_py()),
+                        np.uint8).reshape(chunk, chunk).astype(bool)
+                    n_frags += int(st.column("n_frags")[0].as_py())
+                    if mode == "max":
+                        # NOT pack.max_where: its else-branch copies src
+                        # onto every non-"both" pixel, clobbering
+                        # stored-only px
+                        both = new_mask & mask
+                        pack.assign_where(canvas, new_canvas,
+                                          new_mask & ~mask)
+                        for d, s, nc in zip(canvas, new_canvas, pack.ncomps):
+                            w = both[..., None] if nc > 1 else both
+                            np.maximum(d, s, out=d, where=w)
+                    else:  # incoming batch is the later arrival: it wins
+                        pack.assign_where(canvas, new_canvas, new_mask)
+                    mask = mask | new_mask
+                else:
+                    canvas = [np.array(c) for c in new_canvas]
+                    mask = new_mask.copy()
+                canvas = pack.fill_invalid(canvas, mask)
+                px_z = zlib.compress(
+                    b"".join(np.ascontiguousarray(c).tobytes()
+                             for c in canvas), 1)
+                mask_z = zlib.compress(mask.astype(np.uint8).tobytes(), 1)
+                row = pa.table({
+                    "tile_id": [tile_id],
+                    "tx": [t.column("tx")[j].as_py()],
+                    "ty": [t.column("ty")[j].as_py()],
+                    "n_frags": [n_frags],
+                    "n_valid_px": [int(mask.sum())],
+                    "pix_sum": [pack.pix_sum(canvas, mask)],
+                    "px_z": [px_z],
+                    "mask_z": [mask_z],
+                }, schema=TILE_SCHEMA)
+                # optimistic-concurrency commit (see the concurrency
+                # contract in the docstring): claim epoch+1 with a hard
+                # link — EEXIST means another job won; re-read and retry.
+                meta = {
+                    b"raygeo_epoch": str(epoch + 1).encode(),
+                    b"raygeo_update_tokens":
+                        b",".join((tokens + [token])[-64:]),
+                }
+                tmp = os.path.join(tdir,
+                                   f".tmp-{tile_id}-{uuid.uuid4().hex}")
+                pq.write_table(row.replace_schema_metadata(meta), tmp)
+                cas = os.path.join(tdir,
+                                   f".cas-{tile_id}.v{epoch + 1}.parquet")
+                try:
+                    os.link(tmp, cas)
+                except FileExistsError:
+                    os.remove(tmp)
+                    # complete a possibly-crashed winner's install, then
+                    # merge against the fresh canonical
+                    _heal_canonical(tdir, tile_id)
                     continue
-                # writable copies: from_bytes returns read-only buffer
-                # views and the merge mutates in place
-                canvas = [np.array(c) for c in pack.from_bytes(
-                    zlib.decompress(st.column("px_z")[0].as_py()),
-                    chunk, chunk)]
-                mask = np.frombuffer(
-                    zlib.decompress(st.column("mask_z")[0].as_py()),
-                    np.uint8).reshape(chunk, chunk).astype(bool)
-                n_frags += int(st.column("n_frags")[0].as_py())
-                if mode == "max":
-                    # NOT pack.max_where: its else-branch copies src onto
-                    # every non-"both" pixel, clobbering stored-only px
-                    both = new_mask & mask
-                    pack.assign_where(canvas, new_canvas, new_mask & ~mask)
-                    for d, s, nc in zip(canvas, new_canvas, pack.ncomps):
-                        w = both[..., None] if nc > 1 else both
-                        np.maximum(d, s, out=d, where=w)
-                else:  # incoming batch is the later arrival: it wins
-                    pack.assign_where(canvas, new_canvas, new_mask)
-                mask = mask | new_mask
+                os.replace(tmp, stored_path)
+                # heal any higher epoch another healer installed while we
+                # were between claim and install (transient-stomp window)
+                _heal_canonical(tdir, tile_id)
+                lineage.record_partition(
+                    cube_path, tile_id, [], row_count=1,
+                    n_bytes=len(px_z) + len(mask_z),
+                    wall_ms=(time.monotonic() - t0) * 1e3,
+                )
+                out_rows.append(row)
+                break
             else:
-                canvas, mask = new_canvas, new_mask
-            canvas = pack.fill_invalid(canvas, mask)
-            px_z = zlib.compress(
-                b"".join(np.ascontiguousarray(c).tobytes() for c in canvas),
-                1)
-            mask_z = zlib.compress(mask.astype(np.uint8).tobytes(), 1)
-            row = pa.table({
-                "tile_id": [tile_id],
-                "tx": [t.column("tx")[j].as_py()],
-                "ty": [t.column("ty")[j].as_py()],
-                "n_frags": [n_frags],
-                "n_valid_px": [int(mask.sum())],
-                "pix_sum": [pack.pix_sum(canvas, mask)],
-                "px_z": [px_z],
-                "mask_z": [mask_z],
-            }, schema=TILE_SCHEMA)
-            tmp = os.path.join(tdir, f".tmp-{tile_id}-{uuid.uuid4().hex}")
-            pq.write_table(
-                row.replace_schema_metadata({b"raygeo_update_token": token}),
-                tmp)
-            os.replace(tmp, stored_path)
-            lineage.record_partition(
-                cube_path, tile_id, [], row_count=1,
-                n_bytes=len(px_z) + len(mask_z),
-                wall_ms=(time.monotonic() - t0) * 1e3,
-            )
-            out_rows.append(row)
+                raise RuntimeError(
+                    f"ingest_update: CAS conflict retries exhausted "
+                    f"({max_conflict_retries}) for tile {tile_id} — "
+                    f"another updater job is persistently winning; raise "
+                    f"max_conflict_retries or serialize the jobs")
         if not out_rows:
             return pa.table({k: [] for k in TILE_SCHEMA.names},
                             schema=TILE_SCHEMA)

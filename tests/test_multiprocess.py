@@ -215,6 +215,157 @@ def test_update_from_fresh_process_equals_batch(fixtures_sf0001, tmp_path):
     assert (rep2.drop(victim)["status"] == "ok").all()
 
 
+UPDATE_RACE_CHILD = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+import pyarrow as pa
+import ray.data as rd
+from raygeo.fixtures import FIXTURE_GRID, ensure_fixtures
+from raygeo.ops.ingest import ingest_update
+d = ensure_fixtures(0.001)
+images = rd.read_parquet(f"{d}/images.parquet",
+                         columns=["image_id", "bytes", "w", "h"]).limit(300)
+lo, hi = %(lo)d, %(hi)d
+
+def part(t):
+    keep = [lo <= int(i.rsplit("-", 1)[1]) < hi
+            for i in t.column("image_id").to_pylist()]
+    return t.filter(pa.array(keep))
+
+ingest_update(images.map_batches(part, batch_format="pyarrow"),
+              FIXTURE_GRID, %(cube)r, mode="max").materialize()
+print("UPDATED")
+ray.shutdown()
+"""
+
+
+def test_concurrent_updaters_converge_to_batch(fixtures_sf0001, tmp_path):
+    """VERDICT r3 #2: TWO concurrent updater processes on ONE cube. Each
+    tile commit is an epoch CAS (hard-link claim + bounded retry), so the
+    interleaving is safe; with the commutative ``mode="max"`` fold the
+    final bytes must equal a one-shot batch ingest of the union regardless
+    of which job wins each tile's epoch race (the reference's icechunk
+    conflict-retry story, ``backends/threaded.py:85-99``)."""
+    import zlib as _z
+
+    import ray.data as rd
+
+    from raygeo import lineage
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, create
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import gc_update_versions, ingest
+    from tests.test_ingest import _tile_bytes
+
+    spec = CubeSpec("race", FIXTURE_GRID, RGB_CHANNELS)
+    cube = str(tmp_path / "cube_race")
+    create(spec, cube)
+    # base state: batch ingest of patches [0, 100)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"]
+                             ).limit(300)
+    import pyarrow as pa_
+
+    def head(t):
+        keep = [int(i.rsplit("-", 1)[1]) < 100
+                for i in t.column("image_id").to_pylist()]
+        return t.filter(pa_.array(keep))
+
+    ingest(images.map_batches(head, batch_format="pyarrow"),
+           FIXTURE_GRID, cube_path=cube, mode="max").materialize()
+
+    # two updater JOBS race: patches [100,200) and [200,300) — their
+    # footprints overlap many tiles, so CAS conflicts are exercised
+    def spawn(lo, hi):
+        return subprocess.Popen(
+            [sys.executable, "-c",
+             UPDATE_RACE_CHILD % {"repo": REPO, "cube": cube,
+                                  "lo": lo, "hi": hi}],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=dict(os.environ, RAY_ADDRESS="local"))
+
+    p1, p2 = spawn(100, 200), spawn(200, 300)
+    out1, err1 = p1.communicate(timeout=300)
+    out2, err2 = p2.communicate(timeout=300)
+    assert p1.returncode == 0, err1[-2000:]
+    assert p2.returncode == 0, err2[-2000:]
+
+    # golden: one-shot batch ingest of all 300 patches
+    cube_batch = str(tmp_path / "cube_batch")
+    create(spec, cube_batch)
+    ingest(images, FIXTURE_GRID, cube_path=cube_batch,
+           mode="max").materialize()
+
+    ti, tb = _tile_bytes(cube), _tile_bytes(cube_batch)
+    assert set(ti) == set(tb)
+    for tid in tb:
+        assert _z.decompress(ti[tid][0]) == _z.decompress(tb[tid][0]), tid
+        assert _z.decompress(ti[tid][1]) == _z.decompress(tb[tid][1]), tid
+        assert ti[tid][2] == tb[tid][2], tid  # n_frags: no double-count
+
+    # every applied update left its claimed-epoch CAS file; offline gc
+    # reclaims them and the cube stays healthy
+    tdir = os.path.join(cube, "tiles")
+    cas = [n for n in os.listdir(tdir) if n.startswith(".cas-")]
+    assert cas, "updaters committed without CAS epoch claims"
+    assert gc_update_versions(cube) == len(cas)
+    assert not [n for n in os.listdir(tdir) if n.startswith(".cas-")]
+    rep = lineage.fsck(cube)
+    assert (rep["status"] == "ok").all()
+
+
+def test_cas_heal_completes_crashed_winner(ray_session, fixtures_sf0001,
+                                           tmp_path):
+    """A winner that claimed an epoch but died before installing the
+    canonical file: the next writer's ``_heal_canonical`` must finish the
+    install (and a subsequent update must build on the healed state)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, create
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.ingest import _heal_canonical, _tile_epoch_state, ingest_update
+
+    cube = str(tmp_path / "cube_heal")
+    create(CubeSpec("heal", FIXTURE_GRID, RGB_CHANNELS), cube)
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"]
+                             ).limit(60)
+    ingest_update(images, FIXTURE_GRID, cube).materialize()
+    tdir = os.path.join(cube, "tiles")
+    tiles = [n for n in os.listdir(tdir)
+             if n.startswith("part-") and n.endswith(".parquet")]
+    tid = tiles[0][len("part-"):-len(".parquet")]
+    canonical = os.path.join(tdir, f"part-{tid}.parquet")
+    st, epoch, _ = _tile_epoch_state(canonical)
+    assert epoch == 1  # one applied update
+
+    # forge a crashed winner: epoch-2 claim exists, canonical still at 1
+    forged = st.replace_schema_metadata(
+        {b"raygeo_epoch": b"2", b"raygeo_update_tokens": b"deadbeef"})
+    crash = os.path.join(tdir, f".cas-{tid}.v2.parquet")
+    pq.write_table(forged, crash)
+    _heal_canonical(tdir, tid)
+    _, epoch2, toks = _tile_epoch_state(canonical)
+    assert epoch2 == 2 and toks == [b"deadbeef"]
+    # healing is idempotent
+    _heal_canonical(tdir, tid)
+    assert _tile_epoch_state(canonical)[1] == 2
+    # the next real update builds on the healed epoch (claims v3)
+    ingest_update(images, FIXTURE_GRID, cube).materialize()
+    assert _tile_epoch_state(canonical)[1] == 3
+    assert os.path.exists(os.path.join(tdir, f".cas-{tid}.v3.parquet"))
+
+
 INGEST_CHILD = r"""
 import sys
 sys.path.insert(0, %(repo)r)
