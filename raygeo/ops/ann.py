@@ -653,29 +653,34 @@ def kcenter_greedy(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     squared distance to the previously selected set at selection time.
     """
     import ray
-    from ray.data.aggregate import Min
 
     qds = ds.select_columns([id_col, vec_col]).materialize()
-    seed = qds.aggregate(Min(id_col, alias_name="m"))["m"]
-    if seed is None:
+
+    # seed = smallest id, WITH its vector, in ONE candidate pass (VERDICT
+    # r3 #7: the old Min-aggregate + full-scan fetch_vec cost two passes
+    # for one row): each block emits its (min id, vector) candidate, the
+    # driver reduces O(#blocks) rows — same shape as the round loop below.
+    def seed_of_batch(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.list_(pa.int64()))})
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        b = int(np.argmin(ids))
+        return pa.table({"vec_id": pa.array([int(ids[b])], pa.int64()),
+                         "qv": pa.array([qm[b].tolist()],
+                                        pa.list_(pa.int64()))})
+
+    cand0 = qds.map_batches(seed_of_batch, batch_format="pyarrow"
+                            ).take_all()
+    if not cand0:
         return pa.table({"sel_round": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
                          "dist": pa.array([], pa.int64())})
-    seed = int(seed)
+    cand0.sort(key=lambda row: row["vec_id"])
+    seed = int(cand0[0]["vec_id"])
 
-    def fetch_vec(target: int):
-        def grab(t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_numpy()
-            hit = ids == target
-            if not hit.any():
-                return pa.table({"qv": pa.array([], pa.list_(pa.int64()))})
-            qm = _quantized_matrix(t.column(vec_col), 1e6)
-            return pa.table({"qv": pa.array([qm[hit][0].tolist()],
-                                            pa.list_(pa.int64()))})
-        rows = qds.map_batches(grab, batch_format="pyarrow").take_all()
-        return np.asarray(rows[0]["qv"], dtype=np.int64)
-
-    centers = [fetch_vec(seed)]
+    centers = [np.asarray(cand0[0]["qv"], dtype=np.int64)]
     out_rounds, out_ids, out_dists = [0], [seed], [0]
 
     for r in range(1, k):
@@ -852,9 +857,15 @@ def semdedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                            pa.binary()),
         })
 
-    joined = ds.select_columns([id_col, vec_col]).map_batches(
-        pack, batch_format="pyarrow", batch_size=4096).join(
-        labels, join_type="inner", num_partitions=8,
+    from ..util import auto_join_partitions
+
+    # materialize the packed-vector side: one streaming pass, and its
+    # exact size makes the join partition count data-aware (VERDICT r3 #4)
+    packed = ds.select_columns([id_col, vec_col]).map_batches(
+        pack, batch_format="pyarrow", batch_size=4096).materialize()
+    joined = packed.join(
+        labels, join_type="inner",
+        num_partitions=auto_join_partitions(packed, pools=1),
         on=(id_col,), right_on=("aid",))
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:

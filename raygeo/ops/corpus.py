@@ -959,7 +959,7 @@ def bloom_decontaminate(docs_ds, n: int = 8, bench_mod: int = 7,
     from ray.data.aggregate import Count
 
     from .relational import _bloom_build, _bloom_maybe
-    from ..util import drop_empty_blocks, shuffle_partitions
+    from ..util import drop_empty_blocks
 
     helper = _NgramSetPartial(n, text_col)
     src = bench_ds if bench_ds is not None else docs_ds
@@ -1033,8 +1033,11 @@ def bloom_decontaminate(docs_ds, n: int = 8, bench_mod: int = 7,
     bench_bg = bench_ng.map_batches(
         lambda t: pa.table({"bg": t.column("ngram").cast(pa.string())}),
         batch_format="pyarrow")
+    from ..util import auto_join_partitions
+
     verified = hits.join(bench_bg, join_type="inner",
-                         num_partitions=shuffle_partitions(8),
+                         num_partitions=auto_join_partitions(bench_ng,
+                                                             pools=1),
                          on=("ngram",), right_on=("bg",))
     return (verified.groupby(id_col)
             .aggregate(Count(alias_name="n_hits")))

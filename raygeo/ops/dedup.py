@@ -333,9 +333,8 @@ def minhash_lsh_pairs(
     """
     from ray.data.aggregate import Count
 
-    from ..util import drop_empty_blocks, shuffle_partitions
+    from ..util import auto_join_partitions, drop_empty_blocks
 
-    jparts = shuffle_partitions(8, pools=2)  # with_a + with_ab live at once
     mk = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
               use_words=use_words)
     banded = ds.select_columns([text_col, id_col]).map_batches(
@@ -414,6 +413,9 @@ def minhash_lsh_pairs(
                        np.int64)]))
         return pa.table({"cid": pa.array(u, pa.int64())})
 
+    # with_a + with_ab live at once -> pools=2; sized from the
+    # materialized candidate side (VERDICT r3 #4)
+    jparts = auto_join_partitions(cand, pools=2)
     ids_ds = (cand.map_batches(cand_ids, batch_format="pyarrow",
                                batch_size=65536)
               .groupby("cid").aggregate(Count(alias_name="_n"))
@@ -434,6 +436,7 @@ def minhash_lsh_pairs(
         return pa.table({"jb": t.column(id_col).cast(pa.int64()),
                          "sh_b": t.column("sh")})
 
+    jparts = auto_join_partitions(cand, sub, pools=2)
     with_a = cand.join(sub.map_batches(ren_a, batch_format="pyarrow"),
                        join_type="inner", num_partitions=jparts,
                        on=("id_a",), right_on=("ja",))
@@ -792,12 +795,18 @@ def _keep_first_broadcast(ds, rep: dict, id_col: str):
     )
 
 
-def _keep_first_join(ds, reps_ds, id_col: str, num_partitions: int = 16):
+def _keep_first_join(ds, reps_ds, id_col: str,
+                     num_partitions: int | None = None):
     """Decision pass, join flavor (member set too big to broadcast): one
-    left-outer hash join corpus ⋈ reps; null match -> self-representing."""
-    from ..util import shuffle_partitions
+    left-outer hash join corpus ⋈ reps; null match -> self-representing.
+    ``num_partitions=None`` sizes the join from the materialized reps side
+    (``util.auto_join_partitions``)."""
+    from ..util import auto_join_partitions, shuffle_partitions
 
-    num_partitions = shuffle_partitions(num_partitions, pools=1)
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(reps_ds, pools=1)
+    else:
+        num_partitions = shuffle_partitions(num_partitions, pools=1)
 
     def decide(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
@@ -821,7 +830,7 @@ def _keep_first_join(ds, reps_ds, id_col: str, num_partitions: int = 16):
 
 def dedup_keep_list(ds, pairs, id_col: str,
                     broadcast_cap: int = 2_000_000,
-                    num_partitions: int = 16):
+                    num_partitions: int | None = None):
     """Connected-component dedup decision over verified near-dup pairs.
 
     What a training-data pipeline actually consumes from near-dup detection:
@@ -922,7 +931,7 @@ def _ed1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
-def edit_distance_pairs(ds, col: str, num_partitions: int = 8):
+def edit_distance_pairs(ds, col: str, num_partitions: int | None = None):
     """String similarity JOIN: all distinct value pairs at edit distance
     exactly 1 (the spelling-variant / entity-resolution shape), via
     FastSS deletion-neighborhood bucketing — never the O(V^2) self-join.
@@ -965,6 +974,10 @@ def edit_distance_pairs(ds, col: str, num_partitions: int = 8):
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"k2": t.column("k"), "v2": t.column("v")})
 
+    from ..util import auto_join_partitions
+
+    if num_partitions is None:  # sized from the materialized key side x2
+        num_partitions = auto_join_partitions(keys, keys, pools=1)
     right = keys.map_batches(rename, batch_format="pyarrow")
     cand = keys.join(right, join_type="inner",
                      num_partitions=num_partitions,
@@ -989,19 +1002,22 @@ def edit_distance_pairs(ds, col: str, num_partitions: int = 8):
 
 
 def _keep_best_join(ds, reps_ds, id_col: str, score_col: str,
-                    num_partitions: int = 16):
+                    num_partitions: int | None = None):
     """Keep-best decision, all-join flavor: member scores via one inner
     join corpus ⋈ reps, per-cluster winner via a keyed fold (max score,
     tie -> min id), decision via two left-outer joins. Nothing
     member-sized ever reaches the driver."""
     from ray.data.aggregate import Min
 
-    from ..util import shuffle_partitions
+    from ..util import auto_join_partitions, shuffle_partitions
 
     # THREE joins live in this one plan (scored, withrep, full) -> three
     # aggregator pools at once; uncapped 3 x 16 x 0.125 CPU deadlocked a
     # 4-CPU session outright (pending-actor livelock, observed).
-    num_partitions = shuffle_partitions(num_partitions, pools=3)
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(reps_ds, pools=3)
+    else:
+        num_partitions = shuffle_partitions(num_partitions, pools=3)
 
     scored = ds.select_columns([id_col, score_col]).join(
         reps_ds, join_type="inner", num_partitions=num_partitions,
@@ -1070,7 +1086,7 @@ def _keep_best_join(ds, reps_ds, id_col: str, score_col: str,
 
 def dedup_keep_best(ds, pairs, id_col: str, score_col: str,
                     broadcast_cap: int = 2_000_000,
-                    num_partitions: int = 16):
+                    num_partitions: int | None = None):
     """Quality-aware near-dup dedup decision: like :func:`dedup_keep_list`
     (min-id cluster representative) but the KEPT document is the cluster's
     best by ``score_col`` (ties -> smaller id) — the "keep the longest /
@@ -1138,7 +1154,7 @@ def dedup_keep_best(ds, pairs, id_col: str, score_col: str,
 
 def substring_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         window: int = 50, stride: int = 10,
-                        num_partitions: int = 8):
+                        num_partitions: int | None = None):
     """Substring-level duplicate detection (the suffix-array-lite pass:
     docs sharing any exact ``window``-char span, caught even when shingle
     Jaccard stays below threshold): hash every stride-spaced window,
@@ -1188,6 +1204,10 @@ def substring_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"h2": t.column("h"), "d2": t.column("d")})
 
+    from ..util import auto_join_partitions
+
+    if num_partitions is None:  # sized from the materialized key side x2
+        num_partitions = auto_join_partitions(keys, keys, pools=1)
     right = keys.map_batches(rename, batch_format="pyarrow")
     cand = keys.join(right, join_type="inner",
                      num_partitions=num_partitions,

@@ -418,6 +418,12 @@ def merge_packed(parts: list[dict], chunk: int, pack: ChannelPack,
     }
 
 
+# per-worker-process cache of resolved broadcast skip sets (keyed by the
+# ObjectRef hex): ray.get deserializes a large set on every call, so resolve
+# once per process, not once per task
+_SKIP_CACHE: dict = {}
+
+
 class DecodeFoldPartial:
     """Combiner stage: decode + explode + MAP-SIDE partial mosaic fold.
 
@@ -444,14 +450,44 @@ class DecodeFoldPartial:
     prestarted workers instead of paying a fresh actor-pool ramp per query.
     """
 
-    def __init__(self, grid: GridSpec, skip: tuple[set, set | None] = (set(), None),
+    def __init__(self, grid: GridSpec, skip=(set(), None),
                  mode: str = "lww", pack: ChannelPack | None = None):
         self.grid = grid
-        self.done, self.only = skip
+        # ``skip`` is a (done, only) tuple OR a ``ray.ObjectRef`` to one
+        # (VERDICT r3 #3): a multi-million-tile resume set must travel the
+        # object store ONCE as a broadcast, not ride the pickled callable
+        # into every task spec. Resolution is lazy (first __call__) and
+        # cached per worker process.
+        self._skip = skip
         self.mode = mode  # "lww" (§4.4) or "max" (A1 temporal-collapse analog)
         self.pack = pack or ChannelPack(RGB_CHANNELS)
 
+    @property
+    def done(self):
+        self._resolve_skip()
+        return self._done
+
+    @property
+    def only(self):
+        self._resolve_skip()
+        return self._only
+
+    def _resolve_skip(self):
+        if not hasattr(self, "_done"):
+            skip = self._skip
+            if not isinstance(skip, tuple):
+                import ray
+
+                key = skip.hex()
+                got = _SKIP_CACHE.get(key)
+                if got is None:
+                    got = _SKIP_CACHE[key] = ray.get(skip)
+                skip = got
+            self._done, self._only = skip
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._resolve_skip()
+        done, only = self._done, self._only  # locals: tile loop is hot
         g = self.grid
         pk = self.pack
         ids = batch.column("image_id").to_pylist()
@@ -492,7 +528,7 @@ class DecodeFoldPartial:
             for tx in range(tx_lo, tx_hi + 1):
                 for ty in range(ty_lo, ty_hi + 1):
                     tid = f"{tx}-{ty}" if ti is None else f"{ti}-{tx}-{ty}"
-                    if tid in self.done or (self.only is not None and tid not in self.only):
+                    if tid in done or (only is not None and tid not in only):
                         continue
                     tc0_, tc1_, tr0_, tr1_ = g.tile_pixel_window(tx, ty)
                     if (min(int(chh[i]), tc1_) <= max(int(cl[i]), tc0_)
@@ -778,8 +814,15 @@ def ingest(
         # task — the byte budget must win over the batching floor
         fold_cap = max(8, (1 << 30) // per_partial)
         conc_kw = {} if concurrency is None else {"concurrency": concurrency}
+        # broadcast the resume/ROI tile sets (VERDICT r3 #3, mirroring the
+        # fragment plan below): ray.put once, workers ray.get from the
+        # object store — the pickled callable in every task spec stays
+        # O(1) even at a multi-million-tile resume
+        skip = (done, only_tiles)
+        if done or only_tiles is not None:
+            skip = ray.put(skip)
         partials = images_ds.map_batches(
-            DecodeFoldPartial(grid, (done, only_tiles), mode=mode, pack=pack),
+            DecodeFoldPartial(grid, skip, mode=mode, pack=pack),
             batch_format="pyarrow",
             batch_size=int(min(combine_batch_size, fold_cap)),
             num_cpus=1,

