@@ -1255,3 +1255,91 @@ def dsir_scores(docs_ds, target_mod: int = 9, n_buckets: int = 8192,
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas", batch_size=4096, num_cpus=1)
+
+
+def bm25_topk(docs_ds, terms: list[str], text_col: str = "text",
+              id_col: str = "doc_id", k: int = 15, q: int = 10**6):
+    """BM25 ranking for a fixed query-term set, integer-exact — the
+    retrieval scorer a real corpus pipeline runs next to TF-IDF.
+
+    BM25 with k1 = 6/5, b = 3/4 rewrites rationally (N docs, S total
+    tokens, dl doc length, tf term frequency, all from the shared
+    ``[0-9a-z_]+`` lowercase tokenizer)::
+
+        tf*(k1+1) / (tf + k1*((1-b) + b*dl*N/S))
+          = 44*S*tf / (20*S*tf + 6*S + 18*dl*N)
+
+    scaled by ``q`` under floor division, and idf uses the integer
+    bit-length log2 surrogate (the lm_score/HLL trick):
+    ``idf = max(1, bitlen(N+1) - bitlen(df))``. Every operation is int,
+    so DuckDB replays score and ranking bit-for-bit.
+
+    Plan: pass 1 folds the corpus constants (N, S, per-term df) via a
+    tiny keyed sum — 2+len(terms) rows ever reach the driver; pass 2
+    probes each batch against the broadcast constants and keeps its
+    LOCAL top-k, so the final exact sort+limit sees k rows per batch,
+    never the corpus. Scores use Python ints (44*S*tf*q overflows int64
+    near ~10^12 tokens; candidates are term-bearing docs only).
+    Returns (id_col, bm25_q6) — the global top-k, ties to smaller id.
+    """
+    from ray.data.aggregate import Sum
+
+    tok = re.compile(LOWER_TOKEN_RE)
+    tset = list(dict.fromkeys(terms))
+
+    def const_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(tok)
+        lens = toks.str.len().to_numpy(np.int64)
+        nz = lens > 0
+        keys = ["_N", "_S"]
+        vals = [int(nz.sum()), int(lens.sum())]
+        for t in tset:
+            keys.append(f"t:{t}")
+            vals.append(int(sum(1 for ts in toks[nz] if t in ts)))
+        return pd.DataFrame({"k": keys,
+                             "v": pd.Series(vals, dtype=np.int64)})
+
+    consts = (docs_ds.select_columns([text_col])
+              .map_batches(const_partial, batch_format="pandas",
+                           batch_size=4096, num_cpus=1)
+              .groupby("k").aggregate(Sum("v", alias_name="v"))
+              .to_pandas())
+    cmap = dict(zip(consts["k"], consts["v"].astype(int)))
+    big_n, big_s = int(cmap.get("_N", 0)), int(cmap.get("_S", 0))
+    dfs = {t: int(cmap.get(f"t:{t}", 0)) for t in tset}
+    if big_n == 0 or big_s == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "bm25_q6": pa.array([], pa.int64())})
+    idf = {t: max(1, (big_n + 1).bit_length() - dfs[t].bit_length())
+           for t in tset if dfs[t] > 0}
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(tok)
+        ids = df[id_col].to_numpy(np.int64)
+        out_id, out_s = [], []
+        for i, ts in enumerate(toks):
+            dl = len(ts)
+            if dl == 0:
+                continue
+            score = 0
+            hit = False
+            for t, w in idf.items():
+                tf = ts.count(t)
+                if tf == 0:
+                    continue
+                hit = True
+                score += w * ((44 * big_s * tf * q)
+                              // (20 * big_s * tf + 6 * big_s
+                                  + 18 * dl * big_n))
+            if hit:
+                out_id.append(int(ids[i]))
+                out_s.append(score)
+        loc = pd.DataFrame({id_col: pd.Series(out_id, dtype=np.int64),
+                            "bm25_q6": pd.Series(out_s, dtype=np.int64)})
+        return loc.sort_values(["bm25_q6", id_col],
+                               ascending=[False, True]).head(k)
+
+    local = docs_ds.select_columns([id_col, text_col]).map_batches(
+        score_topk, batch_format="pandas", batch_size=4096, num_cpus=1)
+    return local.sort(["bm25_q6", id_col],
+                      descending=[True, False]).limit(k)

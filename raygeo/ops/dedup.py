@@ -1315,3 +1315,82 @@ def hll_distinct(ds, key_col: str, value_col: str):
     return (ds.select_columns([key_col, value_col])
             .map_batches(partial, batch_format="pyarrow", batch_size=65536)
             .groupby("k").map_groups(finish, batch_format="pandas"))
+
+
+# ------------------------------------------------- Count-Min frequency sketch
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_bucket(j: int, v: str) -> int:
+    return int.from_bytes(
+        hashlib.md5(f"{j}:{v}".encode()).digest()[:8], "big") % _CMS_W
+
+
+def cms_counts(ds, value_col: str, probe_mod: int = 100):
+    """Count-Min sketch frequency estimation, probed on a deterministic
+    key set (completes the mergeable-sketch family next to Misra-Gries /
+    HLL / KMV / Bloom: CMS answers POINT-FREQUENCY queries where MG only
+    keeps the heavy tail).
+
+    The sketch is d x w = 4 x 64 int64 counters — 2 KB of state no matter
+    how many rows stream through — and cell-wise SUM is associative, so
+    per-batch partials fold map-side and the shuffle carries at most
+    d*w rows per batch. Estimates are the classic min over rows; they
+    only ever OVERCOUNT (est >= true), which the test pins.
+
+    Hashes are ``md5(f"{j}:{value}")`` so DuckDB replays the sketch
+    bit-for-bit (the SimHash/KMV/HLL convention). Probe set = values
+    divisible by ``probe_mod`` — a pure function of the data, no
+    driver-chosen sample. Returns (value_col, cms_est, exact_n).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_pylist()
+        if not vals:
+            return pa.table({"j": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int32()),
+                             "c": pa.array([], pa.int64())})
+        vc = pd.Series(vals).value_counts()
+        cells = np.zeros((_CMS_D, _CMS_W), np.int64)
+        for v, n in vc.items():
+            s = str(v)
+            for j in range(_CMS_D):
+                cells[j, _cms_bucket(j, s)] += int(n)
+        jj, bb = np.nonzero(cells)
+        return pa.table({"j": pa.array(jj.astype(np.int32), pa.int32()),
+                         "bucket": pa.array(bb.astype(np.int32), pa.int32()),
+                         "c": pa.array(cells[jj, bb], pa.int64())})
+
+    cell_rows = (ds.select_columns([value_col])
+                 .map_batches(cell_partial, batch_format="pyarrow",
+                              batch_size=65536)
+                 .groupby(["j", "bucket"])
+                 .aggregate(Sum("c", alias_name="c"))
+                 .to_pandas())  # <= d*w = 256 rows, the sketch itself
+    cms = np.zeros((_CMS_D, _CMS_W), np.int64)
+    cms[cell_rows["j"].to_numpy(), cell_rows["bucket"].to_numpy()] = (
+        cell_rows["c"].to_numpy())
+
+    def probe_filter(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col).to_numpy(zero_copy_only=False),
+                       np.int64)
+        return t.filter(pa.array(v % probe_mod == 0))
+
+    exact = (ds.select_columns([value_col])
+             .map_batches(probe_filter, batch_format="pyarrow")
+             .groupby(value_col)
+             .aggregate(Count(alias_name="exact_n"))
+             .to_pandas())  # probe-set sized
+    est = np.fromiter(
+        (min(int(cms[j, _cms_bucket(j, str(int(v)))])
+             for j in range(_CMS_D))
+         for v in exact[value_col]),
+        dtype=np.int64, count=len(exact))
+    return pa.table({
+        value_col: pa.array(exact[value_col].to_numpy(np.int64),
+                            pa.int64()),
+        "cms_est": pa.array(est, pa.int64()),
+        "exact_n": pa.array(exact["exact_n"].to_numpy(np.int64),
+                            pa.int64()),
+    })

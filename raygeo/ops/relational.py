@@ -2948,3 +2948,44 @@ def latest_state(ds, key_cols: list[str], ts_col: str, id_col: str,
     return (ds.select_columns(cols)
             .map_batches(partial, batch_format="pandas", batch_size=65536)
             .groupby("pk").map_groups(finish, batch_format="pandas"))
+
+
+def ntile_stats(ds, group_col: str, price_col: str, key_col: str,
+                n: int = 4):
+    """NTILE(n) window-function analog with per-tile stats: within each
+    group, rank rows by (price desc, key asc), split into ``n`` tiles of
+    near-equal size (larger tiles first — the SQL NTILE contract), and
+    report per (group, tile) the row count and min/max/sum of the price
+    in cents.
+
+    Exact NTILE needs each group's full ordered extent, so the plan is
+    one ``groupby(group_col).map_groups`` — the same shape as the other
+    window-function analogs (orders_rank's row_number). Group count is
+    the partition bound; at 100 TB per-group sorts are what a SQL engine
+    pays for NTILE too, and the approximate alternative (histogram
+    quantile boundaries, see orders_p90's plan) is the escape hatch when
+    per-group extents stop fitting a task.
+    """
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        pc = np.rint(g[price_col].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((g[key_col].to_numpy(), -pc))
+        pc = pc[order]
+        cnt = len(pc)
+        q, r = divmod(cnt, n)
+        sizes = np.full(n, q, np.int64)
+        sizes[:r] += 1
+        tile_of = np.repeat(np.arange(1, n + 1, dtype=np.int64), sizes)
+        df = pd.DataFrame({"tile": tile_of, "pc": pc})
+        agg = df.groupby("tile")["pc"].agg(["size", "min", "max", "sum"])
+        agg = agg.reset_index()
+        return pd.DataFrame({
+            group_col: g[group_col].iloc[0],
+            "tile": agg["tile"].astype(np.int64),
+            "n_rows": agg["size"].astype(np.int64),
+            "min_price_c": agg["min"].astype(np.int64),
+            "max_price_c": agg["max"].astype(np.int64),
+            "sum_price_c": agg["sum"].astype(np.int64),
+        })
+
+    return (ds.select_columns([group_col, price_col, key_col])
+            .groupby(group_col).map_groups(tiles, batch_format="pandas"))

@@ -616,3 +616,71 @@ def dedup_within_gap(events_ds, key_cols: list[str], ts_col: str,
     return (events_ds.select_columns(cols)
             .map_batches(bucket, batch_format="pandas", batch_size=65536)
             .groupby("pk").map_groups(survivors, batch_format="pandas"))
+
+
+def ewma_last(events_ds, key_col: str, ts_col: str, id_col: str,
+              value_col: str, alpha_num: int = 1, alpha_den: int = 4,
+              q: int = 10**6, n_buckets: int = 16):
+    """Per-key integer EWMA, final value — the streaming smoothed-state
+    register every metrics pipeline keeps per entity.
+
+    Recurrence over the key's events ordered by (ts, id), values in
+    cents (the repo's fixed-point money convention), state scaled by
+    ``q``::
+
+        s_1 = vc_1 * q
+        s_t = (alpha_num * vc_t * q + (alpha_den - alpha_num) * s_{t-1})
+              // alpha_den
+
+    Integer floor division makes the recurrence exact and SQL-replayable
+    (a recursive CTE steps the same rows); values must be NON-NEGATIVE —
+    DuckDB's ``//`` truncates toward zero while Python floors, so the
+    semantics only agree on the non-negative domain (guarded here).
+
+    Plan: project to 4 columns, ONE coarse-bucket shuffle (crc32 of the
+    key — the high-cardinality-groupby lesson), then a per-bucket pass.
+    The recurrence is inherently SEQUENTIAL per key (each state depends
+    on the previous), so the per-bucket fold is a single ordered Python
+    loop — O(rows in bucket), parallel ACROSS buckets, with payloads
+    never shuffled. Returns (key_col, ewma_q, n_events).
+    """
+    import zlib as _z
+
+    cols = [key_col, ts_col, id_col, value_col]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["pk"] = np.fromiter(
+            (_z.crc32(str(k).encode()) % n_buckets for k in df[key_col]),
+            dtype=np.int64, count=len(df))
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        vc = np.rint(g[value_col].to_numpy() * 100).astype(np.int64)
+        if len(vc) and vc.min() < 0:
+            raise ValueError("ewma_last needs non-negative values (the "
+                             "floor-vs-truncate division boundary)")
+        keys = g[key_col].to_numpy()
+        out_k, out_s, out_n = [], [], []
+        s, n, cur = 0, 0, None
+        a, d = alpha_num, alpha_den
+        for i in range(len(g)):
+            k = keys[i]
+            if k != cur:
+                if cur is not None:
+                    out_k.append(cur); out_s.append(s); out_n.append(n)
+                cur, s, n = k, int(vc[i]) * q, 1
+            else:
+                s = (a * int(vc[i]) * q + (d - a) * s) // d
+                n += 1
+        if cur is not None:
+            out_k.append(cur); out_s.append(s); out_n.append(n)
+        return pd.DataFrame({key_col: out_k,
+                             "ewma_q6": pd.Series(out_s, dtype=np.int64),
+                             "n_events": pd.Series(out_n, dtype=np.int64)})
+
+    return (events_ds.select_columns(cols)
+            .map_batches(bucket, batch_format="pandas", batch_size=65536)
+            .groupby("pk").map_groups(fold, batch_format="pandas"))

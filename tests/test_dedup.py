@@ -574,3 +574,25 @@ def test_bloom_decontaminate_exact_under_false_positives(ray_session):
     pd.testing.assert_frame_equal(
         exact.astype({"doc_id": "int64", "n_hits": "int64"}),
         bloom.astype({"doc_id": "int64", "n_hits": "int64"}))
+
+
+def test_cms_counts_overestimates_and_merges(ray_session):
+    """CMS invariants: est >= exact for every probe; the sketch is a pure
+    function of the multiset (partitioning-invariant)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import cms_counts
+
+    rows = pd.DataFrame({"user_id": ([100] * 7 + [200] * 3 + [150] * 5
+                                     + list(range(1, 40)))})
+    a = cms_counts(rd.from_pandas(rows), "user_id", probe_mod=50
+                   ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert a.user_id.tolist() == [100, 150, 200]
+    assert a.exact_n.tolist() == [7, 5, 3]
+    assert (a.cms_est >= a.exact_n).all()
+    # partitioning invariance: 8 blocks vs 1
+    b = cms_counts(rd.from_pandas(rows).repartition(8), "user_id",
+                   probe_mod=50).to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+    assert a.equals(b)

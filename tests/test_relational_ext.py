@@ -1506,3 +1506,92 @@ def test_weighted_sample_deterministic_and_biased(ray_session):
     # heavy rows are 10% of the corpus but 100x the weight -> they must
     # dominate the sample (expected ~90%+; require a loose majority)
     assert heavy > 60
+
+
+def test_ntile_stats_matches_duckdb(ray_session):
+    """NTILE tile assignment must match SQL NTILE exactly (larger tiles
+    first), including groups smaller than n."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.relational import ntile_stats
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "o_orderpriority": rng.choice(["A", "B", "C"], 57),
+        "o_totalprice": np.round(rng.uniform(1, 999, 57), 2),
+        "o_orderkey": np.arange(57),
+    })
+    # a group smaller than n tiles
+    df.loc[df.index[:2], "o_orderpriority"] = "TINY"
+    df = pd.concat([df[df.o_orderpriority != "TINY"],
+                    df[df.o_orderpriority == "TINY"].head(2)])
+    got = (ntile_stats(rd.from_pandas(df), "o_orderpriority",
+                       "o_totalprice", "o_orderkey", n=4)
+           .to_pandas().sort_values(["o_orderpriority", "tile"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH t AS (
+          SELECT o_orderpriority,
+            CAST(round(o_totalprice*100) AS BIGINT) AS pc,
+            ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY round(o_totalprice*100) DESC,
+                                    o_orderkey) AS tile
+          FROM df)
+        SELECT o_orderpriority, tile::BIGINT AS tile,
+               count(*)::BIGINT AS n_rows, min(pc) AS min_price_c,
+               max(pc) AS max_price_c, sum(pc)::BIGINT AS sum_price_c
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert got.astype({"tile": "int64"}).equals(
+        exp.astype({"tile": "int64"}))
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    """BM25 integer score equals the serial formula; top-k order is
+    (score desc, id asc); partitioning cannot change the result."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": range(30),
+        "text": [f"hash join batch {'hash ' * (i % 5)}stream pipeline "
+                 f"{'join ' * (i % 3)}data" if i % 4 else "no query terms"
+                 for i in range(30)],
+    })
+    terms = ["hash", "join", "batch"]
+    got = bm25_topk(rd.from_pandas(docs), terms, k=5).to_pandas()
+
+    tok = re.compile(r"[0-9a-z_]+")
+    toks = {r.doc_id: tok.findall(r.text.lower()) for r in docs.itertuples()}
+    N = sum(1 for t in toks.values() if t)
+    S = sum(len(t) for t in toks.values())
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    idf = {t: max(1, (N + 1).bit_length() - dfs[t].bit_length())
+           for t in terms if dfs[t]}
+    exp = []
+    for d, ts in toks.items():
+        dl = len(ts)
+        sc, hit = 0, False
+        for t, w in idf.items():
+            tf = ts.count(t)
+            if tf:
+                hit = True
+                sc += w * ((44 * S * tf * 10**6)
+                           // (20 * S * tf + 6 * S + 18 * dl * N))
+        if hit and dl:
+            exp.append((d, sc))
+    exp.sort(key=lambda r: (-r[1], r[0]))
+    exp = pd.DataFrame(exp[:5], columns=["doc_id", "bm25_q6"])
+    assert got.reset_index(drop=True).astype("int64").equals(
+        exp.astype("int64"))
+    got8 = bm25_topk(rd.from_pandas(docs).repartition(8), terms,
+                     k=5).to_pandas()
+    assert got8.reset_index(drop=True).astype("int64").equals(
+        exp.astype("int64"))

@@ -384,3 +384,50 @@ def test_dedup_within_gap_lag_semantics(ray_session):
     gap = (s["ts"] - prev).dt.total_seconds() * 1e6
     exp = set(s.loc[gap.isna() | (gap > 5_000_000), "event_id"])
     assert got == exp
+
+
+def test_ewma_last_recurrence_and_buckets(ray_session):
+    """Integer EWMA: matches the serial recurrence; bucketing/partitioning
+    cannot change it; negative values are refused (the floor-vs-truncate
+    division boundary)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from raygeo.ops.window import ewma_last
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 9, n),
+        "ts": pd.to_datetime(rng.randint(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n),
+        "value": np.round(rng.uniform(0, 50, n), 2),
+    })
+    got = ewma_last(rd.from_pandas(df), "user_id", "ts", "event_id",
+                    "value").to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+
+    exp_rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        vc = np.rint(g.value.to_numpy() * 100).astype(np.int64)
+        s = int(vc[0]) * 10**6
+        for v in vc[1:]:
+            s = (int(v) * 10**6 + 3 * s) // 4
+        exp_rows.append((uid, s, len(g)))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "ewma_q6", "n_events"]
+                       ).sort_values("user_id").reset_index(drop=True)
+    assert got.astype("int64").equals(exp.astype("int64"))
+
+    # partitioning invariance
+    got8 = ewma_last(rd.from_pandas(df).repartition(8), "user_id", "ts",
+                     "event_id", "value").to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+    assert got8.astype("int64").equals(exp.astype("int64"))
+
+    bad = df.copy()
+    bad.loc[0, "value"] = -1.0
+    with pytest.raises(Exception, match="non-negative"):
+        ewma_last(rd.from_pandas(bad), "user_id", "ts", "event_id",
+                  "value").materialize()
