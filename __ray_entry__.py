@@ -28,6 +28,7 @@ IMAGES_G_001 = f"{FIX_SF001}/images_global.parquet"
 ROIS_001 = f"{FIX_SF001}/rois.parquet"
 ROIS_G_001 = f"{FIX_SF001}/rois_global.parquet"
 ZONES_001 = f"{FIX_SF001}/zones.parquet"
+PLANE_001 = f"{FIX_SF001}/plane_pixels.parquet"
 
 
 def _rpq(path, columns=None, **kw):
@@ -1890,6 +1891,72 @@ def _q_mosaic_band_ratio(sf_dir: str):
     return band_ratio_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
 
 
+def _q_mosaic_morans(sf_dir: str):
+    """Per-tile integer moments of global Moran's-I spatial
+    autocorrelation (rook contiguity): global I assembles exactly from
+    6 per-tile int64 moments, so the distributed op IS the moment fold.
+    Interior pairs + self moments fold map-side (the gradient_stats
+    exchange); only O(perimeter) strips cross tiles. Oracle: DuckDB
+    recomputes every moment from the independent serial plane dump."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import morans_moments
+
+    return morans_moments(_tiles_lww(sf_dir), FIXTURE_GRID)
+
+
+def _q_mosaic_contours(sf_dir: str):
+    """Marching-squares case-code histogram at iso=384 (the vectorizing
+    step of raster contouring): per 2x2 all-valid block one of 16
+    crossing topologies, blocks owned by their top-left pixel's tile.
+    Interior blocks map-side; east/south border blocks need the
+    neighbor's first column/row + the SE corner pixel — O(perimeter)
+    strips. Oracle: DuckDB replays via three neighbor self-joins over
+    the plane dump."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import contour_cases
+
+    return contour_cases(_tiles_lww(sf_dir), FIXTURE_GRID, iso=384)
+
+
+def _q_mosaic_otsu(sf_dir: str):
+    """Exact integer Otsu threshold criterion table: the distributed part
+    is the mosaic value histogram (shuffle bounded by the value domain);
+    the 765-row between-class-variance sweep is integer driver math —
+    crit_q = (sum0*cnt1 - cnt0*sum1)^2 // (cnt0*cnt1), is_otsu marks the
+    argmax (smaller t on ties). DuckDB replays with HUGEINT."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import otsu_table
+
+    return otsu_table(_tiles_lww(sf_dir), FIXTURE_GRID)
+
+
+def _q_mosaic_idw(sf_dir: str):
+    """Inverse-distance-weighted raster interpolation at the zone-center
+    points: integer weights w = 1e6 // (1 + d^2) over the 25x25 box,
+    idw_q = sum(w*v) // sum(w). The probe table broadcasts; tiles emit
+    (sum_w, sum_wv) partials — zero raster bytes shuffle. Oracle: DuckDB
+    range-joins the plane dump."""
+    import pyarrow.parquet as _pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import idw_sample
+
+    zones = _pq.read_table(f"{_fix(sf_dir)}/zones.parquet")
+    return idw_sample(_tiles_lww(sf_dir), zones, FIXTURE_GRID)
+
+
+def _q_mosaic_flowlen(sf_dir: str):
+    """D8 flow-path length per tile — the ITERATIVE terrain op: in-tile
+    vectorized pointer doubling after ONE canvas+halo exchange, then
+    cross-tile doubling over the O(perimeter) border-node graph only
+    (bucketed self-joins, <= ceil(log2(765)) rounds since v strictly
+    decreases every hop). Golden: serial full-plane pointer doubling."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import flowlen_stats
+
+    return flowlen_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
+
+
 def _q_mosaic_aspect(sf_dir: str):
     """Aspect-class histograms (terrain orientation): central-difference
     gradient sectors, integer-exact — sector boundaries are sign and
@@ -2924,6 +2991,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": _q_customers_no_urgent,  # distributed anti-join
         "mosaic_gradient": _q_mosaic_gradient,  # halo-exchange stencil
         "mosaic_flowdir": _q_mosaic_flowdir,  # D8 steepest-descent routing
+        "mosaic_flowlen": _q_mosaic_flowlen,  # iterative D8 path length
+        "mosaic_morans": _q_mosaic_morans,  # spatial-autocorrelation moments
+        "mosaic_contours": _q_mosaic_contours,  # marching-squares cases
+        "mosaic_otsu": _q_mosaic_otsu,  # exact integer Otsu table
+        "mosaic_idw": _q_mosaic_idw,  # IDW interpolation at points
         "mosaic_distance": _q_mosaic_distance,  # capped-L1 chamfer DT
         "mosaic_overview_mean": _q_mosaic_overview_mean,  # average resample
         "mosaic_aspect": _q_mosaic_aspect,  # integer aspect sectors
@@ -3351,6 +3423,109 @@ FROM read_parquet('{FIX_SF001}/dilate_golden.parquet')
         "mosaic_flowdir": f"""
 SELECT tile_id, tx, ty, dir_code, n_px
 FROM read_parquet('{FIX_SF001}/flowdir_golden.parquet')
+""",
+        "mosaic_flowlen": f"""
+SELECT tile_id, tx, ty, n_px, len_sum, max_len, n_pits
+FROM read_parquet('{FIX_SF001}/flowlen_golden.parquet')
+""",
+        # the spatialstats family has REAL SQL oracles: DuckDB recomputes
+        # each statistic from scratch over the serial plane dump
+        # (plane_pixels.parquet), not a golden compare
+        "mosaic_morans": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+pr AS (
+  SELECT a.x // 128 AS tx, a.y // 128 AS ty, a.v AS va, b.v AS vb
+  FROM px a JOIN px b ON b.y = a.y AND b.x = a.x + 1
+  UNION ALL
+  SELECT a.x // 128, a.y // 128, a.v, b.v
+  FROM px a JOIN px b ON b.x = a.x AND b.y = a.y + 1
+),
+pairs AS (
+  SELECT tx, ty, count(*)::BIGINT AS w_pairs, sum(va*vb)::BIGINT AS vv_sum,
+         sum(va+vb)::BIGINT AS vpv_sum
+  FROM pr GROUP BY 1, 2
+),
+selfs AS (
+  SELECT x // 128 AS tx, y // 128 AS ty, count(*)::BIGINT AS n_px,
+         sum(v)::BIGINT AS v_sum, sum(v*v)::BIGINT AS v2_sum
+  FROM px GROUP BY 1, 2
+)
+SELECT CAST(s.tx AS VARCHAR) || '-' || CAST(s.ty AS VARCHAR) AS tile_id,
+  s.tx, s.ty, s.n_px, s.v_sum, s.v2_sum,
+  COALESCE(p.w_pairs, 0)::BIGINT AS w_pairs,
+  COALESCE(p.vv_sum, 0)::BIGINT AS vv_sum,
+  COALESCE(p.vpv_sum, 0)::BIGINT AS vpv_sum
+FROM selfs s LEFT JOIN pairs p ON p.tx = s.tx AND p.ty = s.ty
+""",
+        "mosaic_contours": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+blocks AS (
+  SELECT a.x // 128 AS tx, a.y // 128 AS ty,
+    (CASE WHEN a.v >= 384 THEN 1 ELSE 0 END
+     + CASE WHEN b.v >= 384 THEN 2 ELSE 0 END
+     + CASE WHEN c.v >= 384 THEN 4 ELSE 0 END
+     + CASE WHEN d.v >= 384 THEN 8 ELSE 0 END) AS case_code
+  FROM px a
+  JOIN px b ON b.y = a.y AND b.x = a.x + 1
+  JOIN px d ON d.y = a.y + 1 AND d.x = a.x
+  JOIN px c ON c.y = a.y + 1 AND c.x = a.x + 1
+)
+SELECT CAST(tx AS VARCHAR) || '-' || CAST(ty AS VARCHAR) AS tile_id,
+  tx, ty, case_code::BIGINT AS case_code, count(*)::BIGINT AS n_blocks
+FROM blocks GROUP BY 1, 2, 3, 4
+""",
+        "mosaic_otsu": f"""
+WITH px AS (SELECT v FROM read_parquet('{PLANE_001}')),
+h AS (SELECT v, count(*)::BIGINT AS c FROM px GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n, sum(v * c)::BIGINT AS s FROM h),
+ts AS (SELECT unnest(range(765)) AS t),
+cum AS (
+  SELECT ts.t,
+    COALESCE((SELECT sum(c) FROM h WHERE h.v <= ts.t), 0)::BIGINT AS cnt0,
+    COALESCE((SELECT sum(v * c) FROM h WHERE h.v <= ts.t), 0)::BIGINT AS sum0
+  FROM ts
+),
+crit AS (
+  SELECT c.t, c.cnt0, c.sum0,
+    CASE WHEN c.cnt0 > 0 AND c.cnt0 < tot.n THEN
+      CAST(((c.sum0::HUGEINT * (tot.n - c.cnt0)
+             - (tot.s - c.sum0)::HUGEINT * c.cnt0)
+            * (c.sum0::HUGEINT * (tot.n - c.cnt0)
+               - (tot.s - c.sum0)::HUGEINT * c.cnt0))
+           // (c.cnt0::HUGEINT * (tot.n - c.cnt0)) AS BIGINT)
+    ELSE 0 END AS crit_q
+  FROM cum c CROSS JOIN tot
+)
+SELECT t::BIGINT AS t, cnt0, sum0, crit_q,
+  CASE WHEN row_number() OVER (ORDER BY crit_q DESC, t ASC) = 1
+       THEN 1 ELSE 0 END::BIGINT AS is_otsu
+FROM crit
+""",
+        "mosaic_idw": f"""
+WITH z AS (
+  SELECT zone_id,
+    CAST(floor(((lon_min + lon_max) / 2.0 - (-1.0)) / 0.0009765625)
+         AS BIGINT) AS pc,
+    CAST(floor((1.0 - (lat_min + lat_max) / 2.0) / 0.0009765625)
+         AS BIGINT) AS pr
+  FROM read_parquet('{ZONES_001}')
+),
+zi AS (SELECT * FROM z
+       WHERE pc >= 0 AND pc < 2048 AND pr >= 0 AND pr < 2048),
+w AS (
+  SELECT zi.zone_id,
+    sum(1000000 // (1 + (p.y - zi.pr) * (p.y - zi.pr)
+                      + (p.x - zi.pc) * (p.x - zi.pc)))::BIGINT AS w_sum,
+    sum((1000000 // (1 + (p.y - zi.pr) * (p.y - zi.pr)
+                       + (p.x - zi.pc) * (p.x - zi.pc)))
+        * p.v)::BIGINT AS wv_sum
+  FROM zi JOIN read_parquet('{PLANE_001}') p
+    ON p.y BETWEEN zi.pr - 12 AND zi.pr + 12
+   AND p.x BETWEEN zi.pc - 12 AND zi.pc + 12
+  GROUP BY 1
+)
+SELECT zone_id, w_sum, wv_sum, (wv_sum // w_sum)::BIGINT AS idw_q
+FROM w WHERE w_sum > 0
 """,
         "mosaic_distance": f"""
 SELECT tile_id, tx, ty, n_reached, dist_sum

@@ -1115,6 +1115,96 @@ def _golden_dilate(lww: dict, minimize: bool = False) -> pa.Table:
     })
 
 
+def _golden_plane_pixels(lww: dict) -> pa.Table:
+    """VALID-pixel dump of the serial LWW plane: (y, x, v) rows, v = the
+    shared R+G+B channel sum. This is the oracle SUBSTRATE for the
+    spatial-statistics family (morans/contours/otsu/idw): DuckDB
+    recomputes each statistic FROM SCRATCH over these rows, so the
+    driver's check is a real independent SQL replay, not a golden
+    compare."""
+    _, valid, v = _full_plane(lww)
+    ys, xs = np.nonzero(valid)
+    return pa.table({
+        "y": pa.array(ys.astype(np.int64), pa.int64()),
+        "x": pa.array(xs.astype(np.int64), pa.int64()),
+        "v": pa.array(v[ys, xs], pa.int64()),
+    })
+
+
+def _golden_flowlen(lww: dict) -> pa.Table:
+    """Per-tile D8 flow-path-length stats from the GLOBAL plane — serial
+    full-plane pointer doubling, independent of the engine's two-level
+    (in-tile chase + border-node graph) decomposition in
+    ops.spatialstats.flowlen_stats. Shares only the per-pixel D8 rule
+    (same as _golden_flowdir) and the definition: path length = hops to
+    the terminal pit, pit itself = 0."""
+    g = FIXTURE_GRID
+    _, valid, v = _full_plane(lww)
+    H, W = v.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    offs = ((0, 0, 1, 100000), (1, 1, 1, 70711), (2, 1, 0, 100000),
+            (3, 1, -1, 70711), (4, 0, -1, 100000), (5, -1, -1, 70711),
+            (6, -1, 0, 100000), (7, -1, 1, 70711))
+    best = np.zeros((H, W), np.int64)
+    code = np.full((H, W), 8, np.int64)
+    tr = np.zeros((H, W), np.int64)
+    tc = np.zeros((H, W), np.int64)
+    vc = P[1:-1, 1:-1]
+    for k, dr, dc, wt in offs:
+        vn = P[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        mn = M[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        drop = (vc - vn) * np.int64(wt)
+        ok = mn & (vc > vn) & (drop > best)
+        best = np.where(ok, drop, best)
+        code = np.where(ok, np.int64(k), code)
+        tr = np.where(ok, np.int64(dr), tr)
+        tc = np.where(ok, np.int64(dc), tc)
+    rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    flat_t = ((rr + tr) * W + (cc + tc)).ravel()
+    ptr = np.full(H * W, -9, np.int64)
+    d = np.zeros(H * W, np.int64)
+    vf, cf = valid.ravel(), code.ravel()
+    ptr[vf & (cf == 8)] = -1
+    mov = vf & (cf < 8)
+    ptr[mov] = flat_t[mov]
+    d[mov] = 1
+    while True:
+        act = np.nonzero(ptr >= 0)[0]
+        if len(act) == 0:
+            break
+        j = ptr[act]
+        d[act] += d[j]
+        ptr[act] = ptr[j]
+    dlen = d.reshape(H, W)
+    out = {"tile_id": [], "tx": [], "ty": [], "n_px": [], "len_sum": [],
+           "max_len": [], "n_pits": []}
+    for (tx, ty) in sorted(lww):
+        tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+        m = valid[tr0:tr1, tc0:tc1]
+        if not m.any():
+            continue
+        dw = dlen[tr0:tr1, tc0:tc1][m]
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["n_px"].append(int(m.sum()))
+        out["len_sum"].append(int(dw.sum()))
+        out["max_len"].append(int(dw.max()))
+        out["n_pits"].append(int((code[tr0:tr1, tc0:tc1][m] == 8).sum()))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "tx": pa.array(out["tx"], pa.int64()),
+        "ty": pa.array(out["ty"], pa.int64()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "len_sum": pa.array(out["len_sum"], pa.int64()),
+        "max_len": pa.array(out["max_len"], pa.int64()),
+        "n_pits": pa.array(out["n_pits"], pa.int64()),
+    })
+
+
 def _golden_flowdir(lww: dict) -> pa.Table:
     """Per-tile D8 flow-direction histogram from the GLOBAL plane — an
     independent serial decomposition of ops.stencil.flowdir_stats (shares
@@ -1506,6 +1596,14 @@ def generate_tile_goldens(out_dir: str, n: int) -> None:
     pq.write_table(_golden_flowdir(agg["lww"]), fdpath + ".tmp",
                    compression="zstd")
     os.replace(fdpath + ".tmp", fdpath)
+    flpath = os.path.join(out_dir, "flowlen_golden.parquet")
+    pq.write_table(_golden_flowlen(agg["lww"]), flpath + ".tmp",
+                   compression="zstd")
+    os.replace(flpath + ".tmp", flpath)
+    pxpath = os.path.join(out_dir, "plane_pixels.parquet")
+    pq.write_table(_golden_plane_pixels(agg["lww"]), pxpath + ".tmp",
+                   compression="zstd")
+    os.replace(pxpath + ".tmp", pxpath)
     dtpath = os.path.join(out_dir, "distance_golden.parquet")
     pq.write_table(_golden_distance(agg["lww"]), dtpath + ".tmp",
                    compression="zstd")
@@ -1642,7 +1740,7 @@ def fixture_dir(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf:g}")
 
 
-FIXTURE_LAYOUT_VERSION = "v18-aspect-majority"
+FIXTURE_LAYOUT_VERSION = "v19-flowlen-plane"
 
 
 def ensure_fixtures(sf: float) -> str:
@@ -1682,6 +1780,8 @@ def ensure_fixtures(sf: float) -> str:
             and os.path.exists(os.path.join(d, "erode_golden.parquet"))
             and os.path.exists(os.path.join(d, "resample_golden.parquet"))
             and os.path.exists(os.path.join(d, "flowdir_golden.parquet"))
+            and os.path.exists(os.path.join(d, "flowlen_golden.parquet"))
+            and os.path.exists(os.path.join(d, "plane_pixels.parquet"))
             and os.path.exists(os.path.join(d, "distance_golden.parquet"))
             and os.path.exists(os.path.join(d, "overview_mean_golden.parquet"))
             and os.path.exists(os.path.join(d, "point_sample_golden.parquet"))

@@ -1,0 +1,897 @@
+"""Spatial-statistics raster ops over mosaic tiles: Moran's-I moments,
+marching-squares contour cases, Otsu threshold table, IDW interpolation,
+and D8 flow-path length (the iterative pointer-doubling op).
+
+All five consume the ingest pipeline's tile rows (tile_id/tx/ty +
+compressed px_z/mask_z canvases — ``ops/ingest.py`` layout) on the shared
+per-pixel scalar v = channel sum (``stencil._vsum``; reference analog:
+band statistics over the loaded cube window, ``core/accessor.py`` load →
+xarray reductions).
+
+Verification strategy: morans/contours/otsu/idw have REAL DuckDB oracles
+over the generation-time ``plane_pixels.parquet`` dump (the independent
+serial LWW paint), so the driver recomputes the statistic from scratch in
+SQL; flowlen's all-pairs path chase is not ANSI-SQL-expressible at raster
+scale and checks against ``fixtures._golden_flowlen`` (the serial
+pointer-doubling paint), like flowdir/distance.
+
+Scale notes (the 100 TB bar):
+
+- morans / contours: the gradient/dilate halo discipline — interior
+  folds MAP-SIDE, only O(perimeter) strips cross tiles, never a canvas.
+- otsu: rides ``zonal.mosaic_histogram`` (shuffle bounded by the value
+  domain, not the raster); the 765-row criterion table is driver-side
+  integer math on a dimension-sized input.
+- idw: the probe table is dimension-sized and broadcasts; each tile
+  contributes (Σw, Σwv) partials for the probes whose radius box
+  intersects it — zero raster bytes shuffle.
+- flowlen: ONE keyed exchange carries each compressed canvas exactly
+  once (+ O(perimeter) halos) — path routing needs the full tile code
+  plane, unlike purely focal ops; the cross-tile phase then runs on the
+  O(perimeter) border-node graph via pointer doubling in O(log path)
+  bucketed self-join rounds. Path length is bounded by the value domain
+  (v strictly decreases every hop), so rounds ≤ ceil(log2(765)) = 10.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..channels import RGB_CHANNELS, ChannelPack
+from ..grid import GridSpec
+from .stencil import _D8, _flowdir_codes, _vsum
+
+# ---------------------------------------------------------------- Moran's I
+
+MORANS_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'self' | 'edge_e' | 'edge_s' | 'halo_e' | 'halo_s'
+    ("stats", pa.binary()),  # 6 x int64: n_px v_sum v2_sum w_pairs vv vpv
+    ("v", pa.binary()),
+    ("m", pa.binary()),
+])
+
+
+def morans_moments(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile integer moments of global Moran's-I spatial
+    autocorrelation under rook (4-neighbor) contiguity.
+
+    Global Moran's I assembles exactly from per-tile integer moments::
+
+        I = (n / W) * Σ_pairs (v_i - μ)(v_j - μ) / Σ_i (v_i - μ)²
+
+    expands over (n_px, v_sum, v2_sum, w_pairs, vv_sum, vpv_sum) — so the
+    Dataset returns those six moments per tile (a pair belongs to its
+    left/top pixel's tile, both pixels valid) and the scalar assembles
+    from 6 tiny sums. All moments are int64-safe: v ≤ 765 (or the 1e-3
+    fixed-point float quantization), pairs per tile ≤ 2·chunk².
+
+    Same exchange as ``stencil.gradient_stats``: interior pairs and the
+    self moments fold MAP-SIDE; only the first/last row/column strips
+    cross tiles. Output: (tile_id, tx, ty, n_px, v_sum, v2_sum, w_pairs,
+    vv_sum, vpv_sum), one row per tile with ≥1 valid pixel.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in MORANS_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, stats=b"", v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["stats"].append(stats)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            sel = v[mask]
+            if len(sel) == 0:
+                continue
+            bh = mask[:, :-1] & mask[:, 1:]
+            bv = mask[:-1, :] & mask[1:, :]
+            a_h, b_h = v[:, :-1][bh], v[:, 1:][bh]
+            a_v, b_v = v[:-1, :][bv], v[1:, :][bv]
+            stats = np.array([
+                len(sel), int(sel.sum()), int((sel * sel).sum()),
+                int(bh.sum()) + int(bv.sum()),
+                int((a_h * b_h).sum()) + int((a_v * b_v).sum()),
+                int((a_h + b_h).sum()) + int((a_v + b_v).sum()),
+            ], np.int64)
+            row((tx, ty), "self", stats=stats.tobytes())
+            row((tx, ty), "edge_e", v=v[:, -1].tobytes(),
+                m=mask[:, -1].astype(np.uint8).tobytes())
+            row((tx, ty), "edge_s", v=v[-1, :].tobytes(),
+                m=mask[-1, :].astype(np.uint8).tobytes())
+            if tx > 0:
+                row((tx - 1, ty), "halo_e", v=v[:, 0].tobytes(),
+                    m=mask[:, 0].astype(np.uint8).tobytes())
+            if ty > 0:
+                row((tx, ty - 1), "halo_s", v=v[0, :].tobytes(),
+                    m=mask[0, :].astype(np.uint8).tobytes())
+        return pa.table(out, schema=MORANS_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+    names = ["n_px", "v_sum", "v2_sum", "w_pairs", "vv_sum", "vpv_sum"]
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        empty = pa.table({"tile_id": pa.array([], pa.string()),
+                          "tx": pa.array([], pa.int64()),
+                          "ty": pa.array([], pa.int64()),
+                          **{k: pa.array([], pa.int64()) for k in names}})
+        if "self" not in kinds:
+            return empty
+        acc = np.zeros(6, np.int64)
+        strips: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                acc += np.frombuffer(g.column("stats")[j].as_py(), np.int64)
+            else:
+                strips[kind] = (
+                    np.frombuffer(g.column("v")[j].as_py(), np.int64),
+                    np.frombuffer(g.column("m")[j].as_py(),
+                                  np.uint8).astype(bool))
+        for edge, halo in (("edge_e", "halo_e"), ("edge_s", "halo_s")):
+            if edge in strips and halo in strips:
+                ev, em = strips[edge]
+                hv, hm = strips[halo]
+                both = em & hm
+                a, b = ev[both], hv[both]
+                acc[3] += int(both.sum())
+                acc[4] += int((a * b).sum())
+                acc[5] += int((a + b).sum())
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        cols = {"tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+                "tx": pa.array([tx], pa.int64()),
+                "ty": pa.array([ty], pa.int64())}
+        for k, val in zip(names, acc):
+            cols[k] = pa.array([int(val)], pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")
+
+
+# -------------------------------------------- marching-squares contour cases
+
+CONTOUR_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    # 'self' | 'edge_e' | 'edge_s' | 'halo_e' | 'halo_s' | 'halo_se'
+    ("kind", pa.string()),
+    ("hist", pa.binary()),   # 16 x int64 case histogram (self rows)
+    ("v", pa.binary()),
+    ("m", pa.binary()),
+])
+
+
+def _case_codes(a, b, c, d, iso: int) -> np.ndarray:
+    """Marching-squares 4-bit case per 2x2 block: bit0=TL(a), bit1=TR(b),
+    bit2=BR(c), bit3=BL(d); a corner sets its bit when v >= iso."""
+    return ((a >= iso).astype(np.int64)
+            + 2 * (b >= iso).astype(np.int64)
+            + 4 * (c >= iso).astype(np.int64)
+            + 8 * (d >= iso).astype(np.int64))
+
+
+def contour_cases(tiles_ds, grid: GridSpec, iso: int,
+                  pack: ChannelPack | None = None):
+    """Marching-squares case-code histogram per tile at iso-level ``iso``
+    — the vectorizing step of raster contouring (each 2x2 pixel block
+    classifies into one of 16 crossing topologies; the contour polylines
+    are a pure function of the case plane).
+
+    A block counts when ALL FOUR pixels are valid and belongs to its
+    top-left pixel's tile. Interior blocks fold MAP-SIDE; the blocks on a
+    tile's east/south border need the neighbor's first column/row plus
+    the SE-diagonal corner pixel — O(perimeter) strips, never a canvas.
+    Output: (tile_id, tx, ty, case_code, n_blocks), nonzero cases only.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in CONTOUR_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, hist=b"", v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["hist"].append(hist)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            ok = (mask[:-1, :-1] & mask[:-1, 1:]
+                  & mask[1:, 1:] & mask[1:, :-1])
+            codes = _case_codes(v[:-1, :-1], v[:-1, 1:], v[1:, 1:],
+                                v[1:, :-1], iso)
+            hist = np.bincount(codes[ok], minlength=16).astype(np.int64)
+            row((tx, ty), "self", hist=hist.tobytes())
+            row((tx, ty), "edge_e", v=v[:, -1].tobytes(),
+                m=mask[:, -1].astype(np.uint8).tobytes())
+            row((tx, ty), "edge_s", v=v[-1, :].tobytes(),
+                m=mask[-1, :].astype(np.uint8).tobytes())
+            if tx > 0:
+                row((tx - 1, ty), "halo_e", v=v[:, 0].tobytes(),
+                    m=mask[:, 0].astype(np.uint8).tobytes())
+            if ty > 0:
+                row((tx, ty - 1), "halo_s", v=v[0, :].tobytes(),
+                    m=mask[0, :].astype(np.uint8).tobytes())
+            if tx > 0 and ty > 0:
+                row((tx - 1, ty - 1), "halo_se", v=v[0:1, 0].tobytes(),
+                    m=mask[0:1, 0].astype(np.uint8).tobytes())
+        return pa.table(out, schema=CONTOUR_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        empty = pa.table({"tile_id": pa.array([], pa.string()),
+                          "tx": pa.array([], pa.int64()),
+                          "ty": pa.array([], pa.int64()),
+                          "case_code": pa.array([], pa.int64()),
+                          "n_blocks": pa.array([], pa.int64())})
+        if "self" not in kinds:
+            return empty
+        hist = np.zeros(16, np.int64)
+        strips: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                hist += np.frombuffer(g.column("hist")[j].as_py(), np.int64)
+            else:
+                strips[kind] = (
+                    np.frombuffer(g.column("v")[j].as_py(), np.int64),
+                    np.frombuffer(g.column("m")[j].as_py(),
+                                  np.uint8).astype(bool))
+        c = chunk
+
+        def fold(a, am, b, bm, cc, cm, d, dm):
+            ok = am & bm & cm & dm
+            if ok.any():
+                codes = _case_codes(a[ok], b[ok], cc[ok], d[ok], iso)
+                np.add.at(hist, codes, 1)
+
+        if "edge_e" in strips and "halo_e" in strips:
+            ev, em = strips["edge_e"]
+            hv, hm = strips["halo_e"]
+            # blocks (r, c-1), r in 0..c-2: TL=own[r] TR=halo[r]
+            # BR=halo[r+1] BL=own[r+1]
+            fold(ev[:-1], em[:-1], hv[:-1], hm[:-1],
+                 hv[1:], hm[1:], ev[1:], em[1:])
+        if "edge_s" in strips and "halo_s" in strips:
+            sv, sm = strips["edge_s"]
+            hv, hm = strips["halo_s"]
+            # blocks (c-1, x), x in 0..c-2: TL=own[x] TR=own[x+1]
+            # BR=halo[x+1] BL=halo[x]
+            fold(sv[:-1], sm[:-1], sv[1:], sm[1:],
+                 hv[1:], hm[1:], hv[:-1], hm[:-1])
+        if ("edge_e" in strips and "halo_e" in strips
+                and "halo_s" in strips and "halo_se" in strips):
+            ev, em = strips["edge_e"]
+            hev, hem = strips["halo_e"]
+            hsv, hsm = strips["halo_s"]
+            cv, cm2 = strips["halo_se"]
+            # corner block (c-1, c-1): TL=own(c-1,c-1) TR=E-col0[c-1]
+            # BR=SE(0,0) BL=S-row0[c-1]
+            fold(ev[c - 1:c], em[c - 1:c], hev[c - 1:c], hem[c - 1:c],
+                 cv[0:1], cm2[0:1], hsv[c - 1:c], hsm[c - 1:c])
+        occ = np.nonzero(hist)[0]
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"] * len(occ), pa.string()),
+            "tx": pa.array([tx] * len(occ), pa.int64()),
+            "ty": pa.array([ty] * len(occ), pa.int64()),
+            "case_code": pa.array(occ.astype(np.int64), pa.int64()),
+            "n_blocks": pa.array(hist[occ], pa.int64()),
+        })
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- Otsu threshold
+
+def otsu_table(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+               domain: tuple[int, int] = (0, 765)) -> pa.Table:
+    """Exact integer Otsu criterion table over the mosaic value histogram
+    — the automatic global-threshold op (binarize a band before
+    morphology / components).
+
+    For every candidate threshold t (class 0 = v ≤ t, class 1 = v > t)
+    the between-class variance rewrites rationally::
+
+        σ²_B(t) = (sum0·cnt1 - sum1·cnt0)² / (cnt0·cnt1 · n²)
+
+    Dropping the constant n², the table reports the exact integer floor
+    ``crit_q = (sum0·cnt1 - cnt0·sum1)² // (cnt0·cnt1)`` (Python big ints
+    — the square overflows int64; the floor fits: ≤ (n/2)²·vmax² <
+    2^63). ``is_otsu`` marks the argmax row, smaller t on ties — integer
+    comparisons only, so DuckDB replays the whole table bit-for-bit.
+
+    Plan: the distributed part IS ``zonal.mosaic_histogram`` (map-side
+    bincount partials, shuffle bounded by the value domain); the
+    criterion sweep is driver-side integer math over the ≤766-row
+    histogram. Returns an Arrow table (t, cnt0, sum0, crit_q, is_otsu)
+    for t in [domain[0], domain[1]).
+    """
+    from .zonal import mosaic_histogram
+
+    hist = mosaic_histogram(tiles_ds, grid, pack).to_pandas()
+    lo, hi = domain
+    counts = np.zeros(hi - lo + 1, np.int64)
+    if len(hist):
+        vb = hist["v_bin"].to_numpy()
+        if vb.min() < lo or vb.max() > hi:
+            raise ValueError(f"histogram bins outside domain [{lo},{hi}]")
+        counts[vb - lo] = hist["n_px"].to_numpy()
+    n = int(counts.sum())
+    s = int((counts * (np.arange(hi - lo + 1) + lo)).sum())
+    ts, cnt0s, sum0s, crits = [], [], [], []
+    c0, s0 = 0, 0
+    for t in range(lo, hi):
+        c0 += int(counts[t - lo])
+        s0 += int(counts[t - lo]) * t
+        c1 = n - c0
+        if c0 > 0 and c1 > 0:
+            num = s0 * c1 - (s - s0) * c0
+            crit = (num * num) // (c0 * c1)
+        else:
+            crit = 0
+        ts.append(t)
+        cnt0s.append(c0)
+        sum0s.append(s0)
+        crits.append(crit)
+    best = max(range(len(ts)), key=lambda i: (crits[i], -ts[i])) \
+        if ts else -1
+    return pa.table({
+        "t": pa.array(ts, pa.int64()),
+        "cnt0": pa.array(cnt0s, pa.int64()),
+        "sum0": pa.array(sum0s, pa.int64()),
+        "crit_q": pa.array(crits, pa.int64()),
+        "is_otsu": pa.array([1 if i == best else 0
+                             for i in range(len(ts))], pa.int64()),
+    })
+
+
+# ------------------------------------------------------- IDW interpolation
+
+def idw_sample(tiles_ds, points: pa.Table, grid: GridSpec,
+               pack: ChannelPack | None = None, radius: int = 12,
+               q: int = 10**6):
+    """Inverse-distance-weighted interpolation of the mosaic at vector
+    points — the spatial-interpolation read (fill a sample's covariate
+    from the surrounding raster, not just the one pixel under it).
+
+    Exact integer weights over the (2·radius+1)² pixel box around the
+    point's pixel: ``w = q // (1 + d²)`` with d² = Δrow² + Δcol² (floor
+    division), estimate ``idw_q = Σ(w·v) // Σw``. Every step is integer,
+    so a DuckDB range join over the plane dump replays it bit-for-bit.
+
+    The point table is dimension-sized and broadcasts in the task
+    closure; each tile computes (Σw, Σwv) partials for the points whose
+    box intersects its window — ZERO raster bytes shuffle, one tiny
+    keyed Sum reassembles each point. Points with no valid pixel in the
+    box (or off-grid) are dropped, matching the SQL's WHERE w_sum > 0.
+    Returns (zone_id, w_sum, wv_sum, idw_q).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    x = (points.column("lon_min").to_numpy()
+         + points.column("lon_max").to_numpy()) / 2.0
+    y = (points.column("lat_min").to_numpy()
+         + points.column("lat_max").to_numpy()) / 2.0
+    col = np.floor((x - grid.x0) / grid.res).astype(np.int64)
+    row = np.floor((grid.y1 - y) / grid.res).astype(np.int64)
+    ok = (col >= 0) & (col < grid.width) & (row >= 0) & (row < grid.height)
+    pids = np.asarray(points.column("zone_id").to_pylist(), dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_i, out_w, out_wv = [], [], []
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            tc0, tr0 = tx * chunk, ty * chunk
+            hit = np.nonzero(ok
+                             & (col + radius >= tc0)
+                             & (col - radius < tc0 + chunk)
+                             & (row + radius >= tr0)
+                             & (row - radius < tr0 + chunk))[0]
+            if len(hit) == 0:
+                continue
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            for i in hit:
+                pr, pc = int(row[i]) - tr0, int(col[i]) - tc0
+                r0, r1 = max(pr - radius, 0), min(pr + radius + 1, chunk)
+                c0, c1 = max(pc - radius, 0), min(pc + radius + 1, chunk)
+                sub_m = mask[r0:r1, c0:c1]
+                if not sub_m.any():
+                    continue
+                dr = np.arange(r0, r1) - pr
+                dc = np.arange(c0, c1) - pc
+                d2 = dr[:, None] * dr[:, None] + dc[None, :] * dc[None, :]
+                w = np.where(sub_m, q // (1 + d2), 0).astype(np.int64)
+                out_i.append(pids[i])
+                out_w.append(int(w.sum()))
+                out_wv.append(int((w * v[r0:r1, c0:c1]).sum()))
+        return pa.table({
+            "zone_id": pa.array(out_i, pa.string()),
+            "w_sum": pa.array(out_w, pa.int64()),
+            "wv_sum": pa.array(out_wv, pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t.column("w_sum").to_numpy()
+        wv = t.column("wv_sum").to_numpy()
+        keep = w > 0
+        return pa.table({
+            "zone_id": t.column("zone_id").filter(pa.array(keep)),
+            "w_sum": pa.array(w[keep], pa.int64()),
+            "wv_sum": pa.array(wv[keep], pa.int64()),
+            "idw_q": pa.array(wv[keep] // w[keep], pa.int64()),
+        })
+
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=64)
+    return (partials.groupby("zone_id")
+            .aggregate(Sum("w_sum", alias_name="w_sum"),
+                       Sum("wv_sum", alias_name="wv_sum"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------- D8 flow-path length
+
+FLOWLEN_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    # 'self' (canvas passthrough) | 'nbr_*' halo strips
+    ("kind", pa.string()),
+    ("v", pa.binary()),
+    ("m", pa.binary()),
+])
+
+FLOWLEN_MID_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'stat' | 'node' | 'exit'
+    ("node", pa.int64()),   # node/exit-target global id (row*width+col)
+    ("nxt", pa.int64()),    # node continuation target; -1 = pit-resolved
+    ("d", pa.int64()),      # node: steps to nxt | stat: n_pits
+    ("n", pa.int64()),      # stat: n_px | exit: pixel count
+    ("s", pa.int64()),      # stat: pit len_sum | exit: Σ steps-to-entry
+    ("mx", pa.int64()),     # stat: pit max len | exit: max steps-to-entry
+])
+
+_D8_OFF = {k: (dr, dc) for k, dr, dc, _w in _D8}
+
+
+def _chase(codes: np.ndarray, chunk: int, gy0: int, gx0: int, width: int):
+    """In-tile pointer doubling over a tile's D8 code plane.
+
+    Returns (ptr, d, tgt): per flattened tile cell, ptr = -1 (pit-resolved,
+    d = full in-tile path length), -2 (exits the tile, d = steps up to and
+    including the hop out, tgt = entered cell's global id), or -9 invalid.
+    Rounds are log2 of the max path length, which the strictly-decreasing
+    v bounds by the value domain."""
+    c = chunk
+    rr, cc = np.divmod(np.arange(c * c), c)
+    code_f = codes.ravel()
+    ptr = np.full(c * c, -9, np.int64)
+    d = np.zeros(c * c, np.int64)
+    tgt = np.full(c * c, -1, np.int64)
+    ptr[code_f == 8] = -1
+    for k, (dr, dc_) in _D8_OFF.items():
+        sel = code_f == k
+        if not sel.any():
+            continue
+        tr, tc = rr[sel] + dr, cc[sel] + dc_
+        inside = (tr >= 0) & (tr < c) & (tc >= 0) & (tc < c)
+        idx = np.nonzero(sel)[0]
+        ptr[idx[inside]] = tr[inside] * c + tc[inside]
+        d[idx] = 1
+        out = idx[~inside]
+        ptr[out] = -2
+        tgt[out] = ((gy0 + tr[~inside]) * width + (gx0 + tc[~inside]))
+    for _ in range(32):
+        act = np.nonzero(ptr >= 0)[0]
+        if len(act) == 0:
+            break
+        j = ptr[act]
+        d[act] += d[j]
+        tgt[act] = np.where(ptr[j] == -2, tgt[j], tgt[act])
+        ptr[act] = ptr[j]
+    return ptr, d, tgt
+
+
+def flowlen_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+                  max_rounds: int = 16):
+    """Per-tile D8 flow-path-length statistics — the ITERATIVE terrain op
+    (how many steepest-descent hops until each pixel's flow reaches a
+    pit), the routing sibling of ``stencil.flowdir_stats``.
+
+    Exactness argument: v strictly decreases on every hop (the flowdir
+    rule requires a strictly lower neighbor), so path length ≤ the value
+    domain (765 for RGB) and the pointer-doubling recursion converges in
+    ≤ ceil(log2(domain)) rounds at BOTH levels.
+
+    Plan (two-level pointer doubling):
+
+    1. ONE keyed exchange: each tile keys its own compressed canvas to
+       itself (bytes pass through UNRECOMPRESSED) plus 1-px halo strips
+       to its 8 neighbors. Per tile, the merge computes the D8 code
+       plane (halo-exact borders) and chases every valid pixel IN-TILE
+       via vectorized pointer doubling, emitting: per-tile 'stat' rows
+       (pixels resolved to an in-tile pit), 'node' rows (the O(perimeter)
+       border-ring cells' continuations), and 'exit' groups (interior
+       pixels leaving toward a neighbor cell, grouped by entry cell).
+    2. The cross-tile phase doubles over the border-node graph ONLY —
+       O(perimeter/area) of the raster — via bucketed self-joins with a
+       one-scalar-per-round convergence check (the CC/pagerank
+       discipline: no driver-side graph).
+    3. Exit groups join the resolved nodes (bucketed hash join) and a
+       final keyed sum folds per-tile totals.
+
+    Output: (tile_id, tx, ty, n_px, len_sum, max_len, n_pits) per tile
+    with ≥1 valid pixel. Checked against ``fixtures._golden_flowlen`` —
+    a serial full-plane pointer-doubling paint.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ..util import auto_join_partitions
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    width = grid.width
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in FLOWLEN_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            # canvas passthrough: already compressed, no re-encode
+            row((tx, ty), "self", v=px_z[j], m=mask_z[j])
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+
+            def strip(vs, ms):
+                return vs.astype(np.int64).tobytes(), \
+                    ms.astype(np.uint8).tobytes()
+
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0]),
+                     ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1]),
+                     ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :]),
+                     ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", v[0:1, 0], mask[0:1, 0]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", v[0:1, -1],
+                      mask[0:1, -1]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", v[-1:, 0], mask[-1:, 0]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", v[-1:, -1],
+                      mask[-1:, -1])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b, m = strip(np.ascontiguousarray(vs),
+                                 np.ascontiguousarray(ms))
+                    row((ntx, nty), kind, v=b, m=m)
+        return pa.table(out, schema=FLOWLEN_PARTIAL_SCHEMA)
+
+    def _place(P, M, kind, vs, ms):
+        c = chunk
+        if kind == "nbr_n":
+            P[0, 1:c + 1], M[0, 1:c + 1] = vs, ms
+        elif kind == "nbr_s":
+            P[c + 1, 1:c + 1], M[c + 1, 1:c + 1] = vs, ms
+        elif kind == "nbr_w":
+            P[1:c + 1, 0], M[1:c + 1, 0] = vs, ms
+        elif kind == "nbr_e":
+            P[1:c + 1, c + 1], M[1:c + 1, c + 1] = vs, ms
+        elif kind == "nbr_nw_c":
+            P[0, 0], M[0, 0] = vs[0], ms[0]
+        elif kind == "nbr_ne_c":
+            P[0, c + 1], M[0, c + 1] = vs[0], ms[0]
+        elif kind == "nbr_sw_c":
+            P[c + 1, 0], M[c + 1, 0] = vs[0], ms[0]
+        elif kind == "nbr_se_c":
+            P[c + 1, c + 1], M[c + 1, c + 1] = vs[0], ms[0]
+
+    def resolve_tile(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        out: dict[str, list] = {k: [] for k in FLOWLEN_MID_SCHEMA.names}
+        if "self" not in kinds:
+            return pa.table(out, schema=FLOWLEN_MID_SCHEMA)
+        c = chunk
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        P = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                canvas = pack.from_bytes(
+                    zlib.decompress(g.column("v")[j].as_py()), c, c)
+                mask = np.frombuffer(
+                    zlib.decompress(g.column("m")[j].as_py()),
+                    np.uint8).reshape(c, c).astype(bool)
+                P[1:c + 1, 1:c + 1] = _vsum(canvas, pack)
+                M[1:c + 1, 1:c + 1] = mask
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place(P, M, kind, vs, ms)
+        codes = _flowdir_codes(P, M)
+        gy0, gx0 = ty * c, tx * c
+        ptr, d, tgt = _chase(codes, c, gy0, gx0, width)
+        valid = codes.ravel() >= 0
+        if not valid.any():
+            return pa.table(out, schema=FLOWLEN_MID_SCHEMA)
+
+        def row(kind, node=-1, nxt=-1, dd=0, n=0, s=0, mx=0):
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["node"].append(int(node))
+            out["nxt"].append(int(nxt))
+            out["d"].append(int(dd))
+            out["n"].append(int(n))
+            out["s"].append(int(s))
+            out["mx"].append(int(mx))
+
+        pit_res = valid & (ptr == -1)
+        n_pits = int((codes.ravel() == 8).sum())
+        row("stat", dd=n_pits, n=int(valid.sum()),
+            s=int(d[pit_res].sum()),
+            mx=int(d[pit_res].max()) if pit_res.any() else 0)
+        # exit groups: interior pixels leaving, keyed by entry cell
+        ex = np.nonzero(valid & (ptr == -2))[0]
+        if len(ex):
+            et, ed = tgt[ex], d[ex]
+            order = np.argsort(et, kind="stable")
+            et, ed = et[order], ed[order]
+            cut = np.ones(len(et), bool)
+            cut[1:] = et[1:] != et[:-1]
+            starts = np.nonzero(cut)[0]
+            ends = np.append(starts[1:], len(et))
+            for a, b in zip(starts, ends):
+                row("exit", node=et[a], n=b - a,
+                    s=int(ed[a:b].sum()), mx=int(ed[a:b].max()))
+        # border-ring node continuations
+        rr, cc2 = np.divmod(np.arange(c * c), c)
+        ring = valid & ((rr == 0) | (rr == c - 1) | (cc2 == 0)
+                        | (cc2 == c - 1))
+        for i in np.nonzero(ring)[0]:
+            nid = (gy0 + rr[i]) * width + (gx0 + cc2[i])
+            row("node", node=nid,
+                nxt=-1 if ptr[i] == -1 else tgt[i], dd=d[i])
+        return pa.table(out, schema=FLOWLEN_MID_SCHEMA)
+
+    mid = (tiles_ds.select_columns(["tile_id", "tx", "ty", "px_z", "mask_z"])
+           .map_batches(emit, batch_format="pyarrow", batch_size=64)
+           .groupby("tile_id").map_groups(resolve_tile,
+                                          batch_format="pyarrow")
+           # three consumers below (stat / node / exit splits) — one
+           # materialization of the O(tiles + perimeter) mid table
+           .materialize())
+
+    stats = mid.filter(expr="kind == 'stat'")
+    exits = (mid.filter(expr="kind == 'exit'")
+             .select_columns(["tile_id", "tx", "ty", "node", "n", "s", "mx"])
+             .materialize())
+    nodes = (mid.filter(expr="kind == 'node'")
+             .select_columns(["node", "nxt", "d"]).materialize())
+
+    def stat_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx").cast(pa.int64()),
+            "ty": t.column("ty").cast(pa.int64()),
+            "n_px": t.column("n").cast(pa.int64()),
+            "len_sum": t.column("s").cast(pa.int64()),
+            "max_len": t.column("mx").cast(pa.int64()),
+            "n_pits": t.column("d").cast(pa.int64()),
+        })
+
+    if nodes.count() == 0:
+        # empty mosaic / no valid ring cells => no exits either
+        return stats.map_batches(stat_rows, batch_format="pyarrow")
+    nparts = auto_join_partitions(nodes, pools=1)
+
+    # cross-tile pointer doubling over the border-node graph
+    for _ in range(max_rounds):
+        unresolved = int(nodes.filter(expr="nxt >= 0").count())
+        if unresolved == 0:
+            break
+
+        def key_a(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.greater_equal(t.column("nxt"), 0))
+            return pa.table({
+                "pk": pa.array((keep.column("nxt").to_numpy() % nparts)
+                               .astype(np.int32), pa.int32()),
+                "side": pa.array(np.zeros(len(keep), np.int8), pa.int8()),
+                "node": keep.column("node"),
+                "nxt": keep.column("nxt"),
+                "d": keep.column("d"),
+            })
+
+        def key_b(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "pk": pa.array((t.column("node").to_numpy() % nparts)
+                               .astype(np.int32), pa.int32()),
+                "side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+                "node": t.column("node"),
+                "nxt": t.column("nxt"),
+                "d": t.column("d"),
+            })
+
+        def jump(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy()
+            nd = g.column("node").to_numpy()
+            nx = g.column("nxt").to_numpy()
+            dd = g.column("d").to_numpy()
+            b = side == 1
+            lut_n, lut_x, lut_d = nd[b], nx[b], dd[b]
+            order = np.argsort(lut_n, kind="stable")
+            lut_n, lut_x, lut_d = lut_n[order], lut_x[order], lut_d[order]
+            a = np.nonzero(side == 0)[0]
+            if len(a) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "nxt": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            pos = np.searchsorted(lut_n, nx[a])
+            # every exit target is a valid border-ring cell, so the
+            # lookup is total — a miss means a partitioning bug
+            if not (lut_n[pos] == nx[a]).all():
+                raise RuntimeError("flowlen: dangling border-node target")
+            return pa.table({
+                "node": pa.array(nd[a], pa.int64()),
+                "nxt": pa.array(lut_x[pos], pa.int64()),
+                "d": pa.array(dd[a] + lut_d[pos], pa.int64()),
+            })
+
+        done = nodes.filter(expr="nxt < 0")
+        jumped = (nodes.map_batches(key_a, batch_format="pyarrow")
+                  .union(nodes.map_batches(key_b, batch_format="pyarrow"))
+                  .groupby("pk").map_groups(jump, batch_format="pyarrow"))
+        nodes = done.select_columns(["node", "nxt", "d"]).union(jumped) \
+            .materialize()
+    else:
+        raise RuntimeError("flowlen: pointer doubling did not converge")
+
+    # join exit groups to resolved node lengths (bucketed hash join)
+    def key_exit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pa.array((t.column("node").to_numpy() % nparts)
+                           .astype(np.int32), pa.int32()),
+            "side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx").cast(pa.int64()),
+            "ty": t.column("ty").cast(pa.int64()),
+            "node": t.column("node"),
+            "n": t.column("n"),
+            "s": t.column("s"),
+            "mx": t.column("mx"),
+        })
+
+    def key_len(t: pa.Table) -> pa.Table:
+        z = pa.array([""] * len(t), pa.string())
+        zero = pa.array(np.zeros(len(t), np.int64), pa.int64())
+        return pa.table({
+            "pk": pa.array((t.column("node").to_numpy() % nparts)
+                           .astype(np.int32), pa.int32()),
+            "side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            "tile_id": z, "tx": zero, "ty": zero,
+            "node": t.column("node"),
+            "n": zero, "s": t.column("d"), "mx": zero,
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        node = g.column("node").to_numpy()
+        b = side == 1
+        lut_n = node[b]
+        lut_l = g.column("s").to_numpy()[b]
+        order = np.argsort(lut_n, kind="stable")
+        lut_n, lut_l = lut_n[order], lut_l[order]
+        a = np.nonzero(side == 0)[0]
+        cols = {"tile_id": [], "tx": [], "ty": [], "n_px": [],
+                "len_sum": [], "max_len": [], "n_pits": []}
+        if len(a) == 0:
+            return pa.table({k: pa.array(v, pa.string() if k == "tile_id"
+                                         else pa.int64())
+                             for k, v in cols.items()})
+        pos = np.searchsorted(lut_n, node[a])
+        if not (lut_n[pos] == node[a]).all():
+            raise RuntimeError("flowlen: exit target missing a length")
+        ll = lut_l[pos]
+        n = g.column("n").to_numpy()[a]
+        s = g.column("s").to_numpy()[a]
+        mx = g.column("mx").to_numpy()[a]
+        tids = g.column("tile_id").to_pylist()
+        return pa.table({
+            "tile_id": pa.array([tids[i] for i in a], pa.string()),
+            "tx": pa.array(g.column("tx").to_numpy()[a], pa.int64()),
+            "ty": pa.array(g.column("ty").to_numpy()[a], pa.int64()),
+            "n_px": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+            "len_sum": pa.array(s + n * ll, pa.int64()),
+            "max_len": pa.array(mx + ll, pa.int64()),
+            "n_pits": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+        })
+
+    exit_contrib = (exits.map_batches(key_exit, batch_format="pyarrow")
+                    .union(nodes.map_batches(key_len,
+                                             batch_format="pyarrow"))
+                    .groupby("pk").map_groups(attach,
+                                              batch_format="pyarrow"))
+
+    return (stats.map_batches(stat_rows, batch_format="pyarrow")
+            .union(exit_contrib)
+            .groupby("tile_id")
+            .aggregate(Max("tx", alias_name="tx"),
+                       Max("ty", alias_name="ty"),
+                       Sum("n_px", alias_name="n_px"),
+                       Sum("len_sum", alias_name="len_sum"),
+                       Max("max_len", alias_name="max_len"),
+                       Sum("n_pits", alias_name="n_pits")))
