@@ -1343,3 +1343,118 @@ def bm25_topk(docs_ds, terms: list[str], text_col: str = "text",
         score_topk, batch_format="pandas", batch_size=4096, num_cpus=1)
     return local.sort(["bm25_q6", id_col],
                       descending=[True, False]).limit(k)
+
+
+def cdc_chunks(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 8, mod: int = 64, n_buckets: int | None = None):
+    """Content-defined chunking (the rolling-window boundary rule behind
+    chunk-level dedup / delta storage — FastCDC/rsync family): a chunk
+    boundary falls after 1-indexed position i when
+    ``md5(text[i-k:i]) % mod == 0``; chunks are the segments between
+    boundaries plus the tail. Because boundaries depend only on LOCAL
+    content, an insertion early in a document shifts at most one chunk —
+    which is why chunk hashes, unlike fixed-size blocks, survive edits
+    and expose cross-document duplication.
+
+    Chunk hashes are the md5 top-15-hex integer (60 bits, int64-safe —
+    the SimHash/KMV convention) so DuckDB replays boundary rule, chunk
+    split, and hash bit-for-bit.
+
+    Plan: one text pass emits per-doc stats + the doc's DISTINCT chunk
+    hashes; the hash rows shuffle ONCE into coarse buckets (crc-style
+    ``h % nparts`` — the high-cardinality-groupby lesson) where a
+    vectorized count marks hashes seen in ≥2 docs and folds per-doc
+    shared counts; a final keyed Sum reassembles. Returns
+    (doc_id, n_chunks, max_chunk_len, n_shared_chunks).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus as _ccpus
+
+    nparts = n_buckets or max(8, _ccpus())
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs, ncs, mls = [], [], [], []
+        for did, text in zip(df[id_col], df[text_col]):
+            t = text or ""
+            L = len(t)
+            chunks = []
+            prev = 0
+            for i in range(k, L + 1):
+                w = t[i - k:i]
+                if int(hashlib.md5(w.encode()).hexdigest()[:16], 16) \
+                        % mod == 0:
+                    chunks.append(t[prev:i])
+                    prev = i
+            if prev < L:
+                chunks.append(t[prev:])
+            # sentinel row carries the per-doc stats
+            ids.append(did)
+            hs.append(-1)
+            ncs.append(len(chunks))
+            mls.append(max((len(c) for c in chunks), default=0))
+            seen = {int(hashlib.md5(c.encode()).hexdigest()[:15], 16)
+                    for c in chunks}
+            for h in seen:
+                ids.append(did)
+                hs.append(h)
+                ncs.append(0)
+                mls.append(0)
+        return pd.DataFrame({id_col: ids,
+                             "h": pd.Series(hs, dtype=np.int64),
+                             "n_chunks": pd.Series(ncs, dtype=np.int64),
+                             "max_chunk_len": pd.Series(mls,
+                                                        dtype=np.int64)})
+
+    rows = (docs_ds.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pandas", batch_size=2048,
+                         num_cpus=1)
+            .materialize())  # two consumers: stats rows + hash buckets
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["h"] >= 0]
+        return pd.DataFrame({id_col: d[id_col],
+                             "h": d["h"].to_numpy(np.int64),
+                             "pk": d["h"].to_numpy(np.int64) % nparts})
+
+    def shared_fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        uniq, inv, cnt = np.unique(h, return_inverse=True,
+                                   return_counts=True)
+        hit = cnt[inv] >= 2  # rows are distinct per doc already
+        d = g[hit]
+        if len(d) == 0:
+            return pd.DataFrame({id_col: [], "n_shared_chunks":
+                                 pd.Series([], dtype=np.int64)})
+        agg = d.groupby(id_col, sort=False).size().reset_index(
+            name="n_shared_chunks")
+        agg["n_shared_chunks"] = agg["n_shared_chunks"].astype(np.int64)
+        return agg
+
+    shared = (rows.map_batches(bucket, batch_format="pandas")
+              .groupby("pk").map_groups(shared_fold, batch_format="pandas"))
+
+    def stats_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["h"] < 0]
+        return pd.DataFrame({
+            id_col: d[id_col],
+            "n_chunks": d["n_chunks"].to_numpy(np.int64),
+            "max_chunk_len": d["max_chunk_len"].to_numpy(np.int64),
+            "n_shared_chunks": np.zeros(len(d), np.int64),
+        })
+
+    def pad_shared(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_chunks": np.zeros(len(df), np.int64),
+            "max_chunk_len": np.zeros(len(df), np.int64),
+            "n_shared_chunks": df["n_shared_chunks"].to_numpy(np.int64),
+        })
+
+    return (rows.map_batches(stats_rows, batch_format="pandas")
+            .union(shared.map_batches(pad_shared, batch_format="pandas"))
+            .groupby(id_col)
+            .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                       Sum("max_chunk_len", alias_name="max_chunk_len"),
+                       Sum("n_shared_chunks",
+                           alias_name="n_shared_chunks")))

@@ -2989,3 +2989,142 @@ def ntile_stats(ds, group_col: str, price_col: str, key_col: str,
 
     return (ds.select_columns([group_col, price_col, key_col])
             .groupby(group_col).map_groups(tiles, batch_format="pandas"))
+
+
+def regr_moments(ds, group_col: str, x_col: str, y_col: str,
+                 q: int = 10**6):
+    """Per-group integer-exact OLS regression moments + fixed-point slope
+    (the REGR_SLOPE window/aggregate family): x = rint(x_col), y = cents
+    rint(100*y_col), slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) scaled by
+    ``q`` under TRUNCATING division (DuckDB's ``//`` truncates toward
+    zero while Python floors — the sign-adjusted trunc matches both).
+
+    Map-side per-batch partial moments (5 int64 sums per group), one
+    tiny keyed Sum, then a driver-free finish map computing the slope in
+    PYTHON ints — nΣxy overflows int64 near ~10^19, so the final
+    arithmetic never touches numpy. Groups with zero x-variance are
+    dropped (slope undefined), matching the SQL's den > 0 filter.
+    Returns (group, n_rows, sum_x, sum_y_c, sum_xy, sum_x2, slope_q6).
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(df[x_col].to_numpy(np.float64)).astype(np.int64)
+        y = np.rint(df[y_col].to_numpy(np.float64) * 100).astype(np.int64)
+        g = pd.DataFrame({group_col: df[group_col], "x": x, "y": y,
+                          "xy": x * y, "x2": x * x})
+        agg = g.groupby(group_col, sort=False).agg(
+            n_rows=("x", "size"), sum_x=("x", "sum"), sum_y_c=("y", "sum"),
+            sum_xy=("xy", "sum"), sum_x2=("x2", "sum")).reset_index()
+        return agg.astype({c: np.int64 for c in agg.columns
+                           if c != group_col})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in df.itertuples(index=False):
+            n, sx, sy = int(r.n_rows), int(r.sum_x), int(r.sum_y_c)
+            sxy, sx2 = int(r.sum_xy), int(r.sum_x2)
+            den = n * sx2 - sx * sx
+            if den <= 0:
+                continue
+            num = (n * sxy - sx * sy) * q
+            slope = -((-num) // den) if num < 0 else num // den
+            out.append((getattr(r, group_col), n, sx, sy, sxy, sx2, slope))
+        return pd.DataFrame(out, columns=[group_col, "n_rows", "sum_x",
+                                          "sum_y_c", "sum_xy", "sum_x2",
+                                          "slope_q6"])
+
+    from ray.data.aggregate import Sum
+
+    return (ds.select_columns([group_col, x_col, y_col])
+            .map_batches(partial, batch_format="pandas", batch_size=65536,
+                         num_cpus=1)
+            .groupby(group_col)
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_x", alias_name="sum_x"),
+                       Sum("sum_y_c", alias_name="sum_y_c"),
+                       Sum("sum_xy", alias_name="sum_xy"),
+                       Sum("sum_x2", alias_name="sum_x2"))
+            .map_batches(finish, batch_format="pandas"))
+
+
+def herfindahl(fact_ds, dim: pd.DataFrame, fact_key: str, dim_key: str,
+               group_col: str, value_col: str, q: int = 10**6):
+    """Market-concentration index (Herfindahl–Hirschman) per group: each
+    entity's share of the group total, HHI = Σ share² reported as the
+    exact integer floor ``hhi_q = q·Σ rev_i² // (Σ rev_i)²`` (all
+    revenues non-negative, so floor == trunc on both sides).
+
+    Entity revenue folds map-side into cents; the dimension table
+    (entity → group) is dimension-sized and broadcasts in the closure;
+    Σ rev² runs in PYTHON ints inside the per-group finish (rev² sums
+    overflow int64 at ~10^5 entities × 10^9 cents). Returns
+    (group_col, n_entities, total_c, hhi_q6).
+    """
+    from ray.data.aggregate import Sum
+
+    lut = dict(zip(dim[dim_key].astype(np.int64),
+                   dim[group_col].astype(np.int64)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df[value_col].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({fact_key: df[fact_key].astype(np.int64),
+                          "c": cents})
+        agg = g.groupby(fact_key, sort=False)["c"].sum().reset_index()
+        return agg.astype(np.int64)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        grp = df[fact_key].map(lut)
+        keep = grp.notna()
+        return pd.DataFrame({group_col: grp[keep].astype(np.int64),
+                             "c": df["c"][keep].astype(np.int64)})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        revs = [int(v) for v in g["c"]]
+        total = sum(revs)
+        if total <= 0:
+            return pd.DataFrame(columns=[group_col, "n_entities",
+                                         "total_c", "hhi_q6"])
+        hhi = q * sum(r * r for r in revs) // (total * total)
+        return pd.DataFrame({group_col: [int(g[group_col].iloc[0])],
+                             "n_entities": [len(revs)],
+                             "total_c": [total],
+                             "hhi_q6": [hhi]}).astype(np.int64)
+
+    return (fact_ds.select_columns([fact_key, value_col])
+            .map_batches(partial, batch_format="pandas", batch_size=65536,
+                         num_cpus=1)
+            .groupby(fact_key).aggregate(Sum("c", alias_name="c"))
+            .map_batches(attach, batch_format="pandas")
+            .groupby(group_col).map_groups(finish, batch_format="pandas"))
+
+
+def percent_rank(ds, group_col: str, value_col: str, key_col: str):
+    """PERCENT_RANK window analog as an exact rational: within each
+    group, rows order by (value cents, key) — the tiebreak makes ranks
+    unique, so percent_rank = (row_number − 1) / (n − 1) and the result
+    reports the exact integer pair (pr_num, pr_den); den is 0 for
+    singleton groups, exactly as the SQL replay computes it.
+
+    Same per-group plan as the other window analogs (orders_rank,
+    ntile_stats): group count bounds the partitions. Returns
+    (key_col, group_col, val_c, pr_num, pr_den).
+    """
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        vc = np.rint(g[value_col].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        keys = g[key_col].to_numpy()
+        order = np.lexsort((keys, vc))
+        n = len(g)
+        out = pd.DataFrame({
+            key_col: keys[order],
+            group_col: np.full(n, np.int64(g[group_col].iloc[0]), np.int64)
+            if np.issubdtype(type(g[group_col].iloc[0]), np.integer)
+            else g[group_col].iloc[0],
+            "val_c": vc[order],
+            "pr_num": np.arange(n, dtype=np.int64),
+            "pr_den": np.full(n, n - 1, np.int64),
+        })
+        return out
+
+    return (ds.select_columns([group_col, value_col, key_col])
+            .groupby(group_col).map_groups(ranks, batch_format="pandas"))

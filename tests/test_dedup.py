@@ -596,3 +596,59 @@ def test_cms_counts_overestimates_and_merges(ray_session):
                    probe_mod=50).to_pandas().sort_values(
         "user_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cdc_chunks_shared_and_edge_cases(ray_session):
+    """Content-defined chunking vs a serial oracle: two docs sharing a
+    long middle (shared chunks survive the differing prefix — the CDC
+    property), a unique doc, an empty doc, and a doc shorter than the
+    window."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import cdc_chunks
+
+    import random as _random
+
+    _rng = _random.Random(42)
+    # long pseudo-random common region: P(no boundary window) ~ (63/64)^2000
+    common = "".join(_rng.choice("abcdefghij m") for _ in range(2000))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["PREFIX_A " + common, "ANOTHER_PREFIX " + common,
+                 "completely unrelated content with words " * 10,
+                 "", "tiny"],
+    })
+
+    def oracle(t, k=8, mod=64):
+        L = len(t)
+        chunks, prev = [], 0
+        for i in range(k, L + 1):
+            h = int(hashlib.md5(t[i - k:i].encode()).hexdigest()[:16], 16)
+            if h % mod == 0:
+                chunks.append(t[prev:i])
+                prev = i
+        if prev < L:
+            chunks.append(t[prev:])
+        return chunks
+
+    per_doc = {r.doc_id: oracle(r.text) for r in docs.itertuples()}
+    hsets = {d: {hashlib.md5(c.encode()).hexdigest()[:15]
+                 for c in ch} for d, ch in per_doc.items()}
+    from collections import Counter
+    cnt = Counter(h for hs in hsets.values() for h in hs)
+    got = (cdc_chunks(rd.from_pandas(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for r in got.itertuples():
+        ch = per_doc[r.doc_id]
+        assert r.n_chunks == len(ch)
+        assert r.max_chunk_len == max((len(c) for c in ch), default=0)
+        assert r.n_shared_chunks == sum(
+            1 for h in hsets[r.doc_id] if cnt[h] >= 2)
+    # the CDC property did fire: docs 1 and 2 share chunks despite
+    # different prefixes
+    assert got[got.doc_id == 1]["n_shared_chunks"].iloc[0] > 0
+    assert got[got.doc_id == 4]["n_chunks"].iloc[0] == 0
+    assert got[got.doc_id == 5]["n_chunks"].iloc[0] == 1

@@ -1595,3 +1595,107 @@ def test_bm25_topk_matches_bruteforce(ray_session):
                      k=5).to_pandas()
     assert got8.reset_index(drop=True).astype("int64").equals(
         exp.astype("int64"))
+
+
+def test_regr_moments_matches_duckdb(ray_session):
+    """OLS slope moments + truncating fixed-point slope vs DuckDB
+    REGR-family replay, including a negative-slope group and a
+    zero-variance group (dropped)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.relational import regr_moments
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(1, 51, 400)
+    df = pd.DataFrame({
+        "g": rng.choice(["up", "down", "flat"], 400),
+        "x": x.astype(float),
+        "y": np.round(x * 3.5 + rng.uniform(-20, 20, 400), 2),
+    })
+    df.loc[df.g == "down", "y"] = np.round(
+        200 - df.loc[df.g == "down", "x"] * 2.25, 2)
+    df.loc[df.g == "flat", "x"] = 7.0  # zero variance -> dropped
+    got = (regr_moments(rd.from_pandas(df), "g", "x", "y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH m AS (
+          SELECT g, count(*)::BIGINT AS n_rows,
+            sum(CAST(round(x) AS BIGINT))::BIGINT AS sum_x,
+            sum(CAST(round(y*100) AS BIGINT))::BIGINT AS sum_y_c,
+            sum(CAST(round(x) AS BIGINT)
+                * CAST(round(y*100) AS BIGINT))::BIGINT AS sum_xy,
+            sum(CAST(round(x) AS BIGINT)
+                * CAST(round(x) AS BIGINT))::BIGINT AS sum_x2
+          FROM df GROUP BY 1)
+        SELECT g, n_rows, sum_x, sum_y_c, sum_xy, sum_x2,
+          CAST(((n_rows::HUGEINT*sum_xy - sum_x::HUGEINT*sum_y_c)*1000000)
+               // (n_rows::HUGEINT*sum_x2 - sum_x::HUGEINT*sum_x)
+               AS BIGINT) AS slope_q6
+        FROM m WHERE n_rows::HUGEINT*sum_x2 - sum_x::HUGEINT*sum_x > 0
+        ORDER BY g""").df()
+    assert set(got["g"]) == {"up", "down"}
+    assert got["slope_q6"][got.g == "down"].iloc[0] < 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_herfindahl_monopoly_and_uniform(ray_session):
+    """HHI pins: a single-entity group scores exactly q; k equal
+    entities score exactly q // k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.relational import herfindahl
+
+    fact = pd.DataFrame({
+        "ek": [1, 1, 2, 3, 4, 5],
+        "val": [5.0, 7.0, 12.0, 4.0, 4.0, 4.0],
+    })
+    dim = pd.DataFrame({"ek": [1, 2, 3, 4, 5],
+                        "grp": [10, 10, 20, 20, 20]})
+    got = (herfindahl(rd.from_pandas(fact), dim, "ek", "ek", "grp", "val")
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    # grp 10: revs 1200, 1200 -> HHI = 1e6 * (2*1200^2) // 2400^2 = 500000
+    # grp 20: revs 400, 400, 400 -> 1e6 // 3 = 333333
+    assert got.loc[0, "grp"] == 10 and got.loc[0, "hhi_q6"] == 500000
+    assert got.loc[1, "grp"] == 20 and got.loc[1, "hhi_q6"] == 333333
+    assert got.loc[0, "n_entities"] == 2 and got.loc[1, "n_entities"] == 3
+    mono = herfindahl(
+        rd.from_pandas(fact[fact.ek == 3]), dim, "ek", "ek", "grp",
+        "val").to_pandas()
+    assert mono["hhi_q6"].iloc[0] == 10**6
+
+
+def test_percent_rank_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.relational import percent_rank
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "c_custkey": np.arange(101, dtype=np.int64),
+        "c_nationkey": np.append(rng.randint(0, 5, 100).astype(np.int32),
+                                 np.int32(99)),  # singleton group
+        "c_acctbal": np.round(rng.uniform(-999, 9999, 101), 2),
+    })
+    got = (percent_rank(rd.from_pandas(df), "c_nationkey", "c_acctbal",
+                        "c_custkey")
+           .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+          CAST(round(c_acctbal*100) AS BIGINT) AS val_c,
+          (row_number() OVER w - 1)::BIGINT AS pr_num,
+          (count(*) OVER (PARTITION BY c_nationkey) - 1)::BIGINT AS pr_den
+        FROM df
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY round(c_acctbal*100), c_custkey)
+        ORDER BY c_custkey""").df()
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    # singleton group reports den 0
+    assert got[got.c_nationkey == 99]["pr_den"].iloc[0] == 0
