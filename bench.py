@@ -170,6 +170,20 @@ def run_bench() -> dict:
         "docs_repetition",
         "emb_semdedup",
         "docs_bloom_decontaminate",
+        # session-8 additions (round 4)
+        "mosaic_morans",
+        "mosaic_contours",
+        "mosaic_otsu",
+        "mosaic_idw",
+        "mosaic_flowlen",
+        "events_cms_counts",
+        "events_ewma",
+        "orders_ntile",
+        "docs_bm25",
+        "lineitem_regr",
+        "supplier_hhi",
+        "customers_percent_rank",
+        "docs_cdc_chunks",
     ]
     for name in bench_queries:
         timed(name, qs[name])
