@@ -2340,6 +2340,21 @@ def _q_parts_copurchase(sf_dir: str):
                             f"{sf_dir}/lineitem.parquet", k=25)
 
 
+def _q_parts_triangles(sf_dir: str):
+    """Per-node triangle counts over the >=2-order co-purchase graph —
+    the compact-forward node-iterator: degree-ordered orientation bounds
+    every out-neighborhood by O(sqrt(m)), wedges check the closing edge
+    against the packed-pair edge set, all exchanges coarse-bucketed."""
+    from raygeo.ops.graph import triangle_counts
+    from raygeo.ops.relational import copurchase_pairs
+
+    edges = copurchase_pairs(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/lineitem.parquet", k=None,
+                             min_count=2)
+    return (triangle_counts(edges, "part_a", "part_b")
+            .rename_columns({"node": "part"}).sort("part"))
+
+
 def _q_customers_rfm(sf_dir: str):
     """RFM segmentation input: per customer recency/frequency/monetary —
     map-side partials, one keyed groupby, all-integer."""
@@ -3039,6 +3054,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": _q_docs_bm25,  # integer-exact BM25 top-k
         "lineitem_regr": _q_lineitem_regr,  # integer-exact OLS slope
         "supplier_hhi": _q_supplier_hhi,  # Herfindahl concentration
+        "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
         "customers_percent_rank": _q_customers_percent_rank,  # exact rational
         "docs_cdc_chunks": _q_docs_cdc_chunks,  # content-defined chunking
         "events_funnel": _q_events_funnel,
@@ -4440,6 +4456,27 @@ SELECT s_nationkey::BIGINT AS s_nationkey, count(*)::BIGINT AS n_entities,
   CAST((1000000::HUGEINT * sum(c::HUGEINT * c))
        // (sum(c)::HUGEINT * sum(c)) AS BIGINT) AS hhi_q6
 FROM j GROUP BY 1 HAVING sum(c) > 0
+""",
+        "parts_triangles": """
+WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.pb = e2.pa
+  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node::BIGINT AS part, count(*)::BIGINT AS n_tri
+FROM nodes GROUP BY 1 ORDER BY 1
 """,
         "customers_percent_rank": """
 SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,

@@ -1367,23 +1367,25 @@ def cdc_chunks(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     shared counts; a final keyed Sum reassembles. Returns
     (doc_id, n_chunks, max_chunk_len, n_shared_chunks).
     """
-    from ray.data.aggregate import Sum
-
-    from ..util import cluster_cpus as _ccpus
+    from ..util import bucketed_fold, cluster_cpus as _ccpus
 
     nparts = n_buckets or max(8, _ccpus())
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
         ids, hs, ncs, mls = [], [], [], []
         for did, text in zip(df[id_col], df[text_col]):
             t = text or ""
             L = len(t)
+            # ASCII fast path: byte offsets == char offsets, so encode
+            # ONCE and slice bytes (saves a str-slice + encode per
+            # window — the window loop is the query's hot inner loop)
+            tb = t.encode() if t.isascii() else None
             chunks = []
             prev = 0
             for i in range(k, L + 1):
-                w = t[i - k:i]
-                if int(hashlib.md5(w.encode()).hexdigest()[:16], 16) \
-                        % mod == 0:
+                w = tb[i - k:i] if tb is not None else t[i - k:i].encode()
+                if int.from_bytes(md5(w).digest()[:8], "big") % mod == 0:
                     chunks.append(t[prev:i])
                     prev = i
             if prev < L:
@@ -1406,8 +1408,11 @@ def cdc_chunks(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                              "max_chunk_len": pd.Series(mls,
                                                         dtype=np.int64)})
 
+    # batch_size sized for the window loop, not bytes: 2048-doc batches
+    # left most of the cluster idle on a 5k-doc corpus (3 tasks for a
+    # CPU-bound md5 loop — measured 10.8 s; 256-doc batches fan out wide)
     rows = (docs_ds.select_columns([id_col, text_col])
-            .map_batches(explode, batch_format="pandas", batch_size=2048,
+            .map_batches(explode, batch_format="pandas", batch_size=256,
                          num_cpus=1)
             .materialize())  # two consumers: stats rows + hash buckets
 
@@ -1451,10 +1456,16 @@ def cdc_chunks(docs_ds, text_col: str = "text", id_col: str = "doc_id",
             "n_shared_chunks": df["n_shared_chunks"].to_numpy(np.int64),
         })
 
-    return (rows.map_batches(stats_rows, batch_format="pandas")
-            .union(shared.map_batches(pad_shared, batch_format="pandas"))
-            .groupby(id_col)
-            .aggregate(Sum("n_chunks", alias_name="n_chunks"),
-                       Sum("max_chunk_len", alias_name="max_chunk_len"),
-                       Sum("n_shared_chunks",
-                           alias_name="n_shared_chunks")))
+    # per-doc reassembly: coarse-bucket fold, not a per-key
+    # sort-aggregate (~0.1 ms/key Python x 5k+ docs)
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(id_col, sort=False)
+               [["n_chunks", "max_chunk_len", "n_shared_chunks"]]
+               .sum().reset_index())
+        for c in ("n_chunks", "max_chunk_len", "n_shared_chunks"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    both = (rows.map_batches(stats_rows, batch_format="pandas")
+            .union(shared.map_batches(pad_shared, batch_format="pandas")))
+    return bucketed_fold(both, id_col, doc_fold)

@@ -493,3 +493,249 @@ def connected_components_pairs(pairs_ds, id_a: str = "id_a",
             break
         prev_total = total
     return labels.select_columns(["node", "rep"])
+
+
+def triangle_counts(edges_ds, a_col: str = "part_a", b_col: str = "part_b",
+                    num_buckets: int | None = None):
+    """Per-node triangle participation counts over an undirected int64
+    edge Dataset (rows distinct with a < b) — the community-density
+    primitive (clustering-coefficient numerator, bundle detection over
+    the co-purchase graph).
+
+    The compact-forward / node-iterator plan, all exchanges on coarse
+    bucket keys (never a per-key sort-groupby — the CC lesson above):
+
+    1. degrees: endpoints explode, one bucketed count fold;
+    2. orientation u→v iff (deg(u), u) < (deg(v), v): two bucketed lut
+       attaches (edges keyed by one endpoint, degree rows the in-bucket
+       lut). Ordering by degree bounds every out-neighborhood by
+       O(sqrt(m)) — the classic wedge-explosion guarantee;
+    3. wedges: oriented edges bucket by SOURCE; each source's
+       out-neighbor pairs become candidate closing edges, checked
+       against the ORIGINAL edge set bucketed by the normalized
+       (min, max) pair key;
+    4. each matched triangle (u, v, w) explodes to 3 node rows; one
+       final bucketed count fold.
+
+    Node ids must be non-negative and < 2^31 (the in-bucket pair probe
+    packs a pair into one int64); violated ids raise. Returns a Dataset
+    (node int64, n_tri int64) over nodes in ≥1 triangle.
+    """
+    from ..util import cluster_cpus
+
+    nb = num_buckets or max(8, 2 * cluster_cpus())
+    # three consumers (degree explode, orientation attach, closing-edge
+    # lut) — materialize the O(m) edge list once instead of re-running
+    # the caller's upstream pipeline per consumer (measured 9.4 s ->
+    # ~4 s on the sf0.1 co-purchase graph)
+    edges_ds = edges_ds.select_columns([a_col, b_col]).materialize()
+
+    def explode_endpoints(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy().astype(np.int64)
+        b = t.column(b_col).to_numpy().astype(np.int64)
+        n = np.concatenate([a, b])
+        return pa.table({"pk": pa.array(n % nb, pa.int64()),
+                         "node": pa.array(n, pa.int64())})
+
+    def deg_fold(g: pa.Table) -> pa.Table:
+        u, c = np.unique(g.column("node").to_numpy(), return_counts=True)
+        return pa.table({"pk": pa.array(u % nb, pa.int64()),
+                         "node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())})
+
+    degrees = (edges_ds.select_columns([a_col, b_col])
+               .map_batches(explode_endpoints, batch_format="pyarrow",
+                            batch_size=65536)
+               .groupby("pk").map_groups(deg_fold, batch_format="pyarrow")
+               .materialize())
+
+    _AT_SCHEMA = pa.schema([("pk", pa.int64()), ("side", pa.int8()),
+                            ("a", pa.int64()), ("b", pa.int64()),
+                            ("deg_a", pa.int64()), ("deg_b", pa.int64())])
+
+    def _attach(key_col: str, deg_col: str):
+        """One bucketed lut pass: fill edges' deg column for key_col."""
+
+        def key_edges(t: pa.Table) -> pa.Table:
+            # first pass sees the caller's raw (a_col, b_col) edges,
+            # the second sees the internal (a, b, deg_a, deg_b) rows
+            acol = "a" if "a" in t.schema.names else a_col
+            bcol = "b" if "b" in t.schema.names else b_col
+            k = t.column(acol if key_col == "a" else bcol).to_numpy()
+            z = np.zeros(len(t), np.int64)
+            da = (t.column("deg_a").to_numpy()
+                  if "deg_a" in t.schema.names else z)
+            return pa.table({
+                "pk": pa.array(k.astype(np.int64) % nb, pa.int64()),
+                "side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+                "a": t.column(acol).cast(pa.int64()),
+                "b": t.column(bcol).cast(pa.int64()),
+                "deg_a": pa.array(da, pa.int64()),
+                "deg_b": pa.array(z, pa.int64()),
+            }, schema=_AT_SCHEMA)
+
+        def key_degs(t: pa.Table) -> pa.Table:
+            z = np.zeros(len(t), np.int64)
+            return pa.table({
+                "pk": t.column("pk"),
+                "side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+                "a": t.column("node"),
+                "b": pa.array(z, pa.int64()),
+                "deg_a": t.column("deg"),
+                "deg_b": pa.array(z, pa.int64()),
+            }, schema=_AT_SCHEMA)
+
+        def fill(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy()
+            lut = side == 1
+            lut_n = g.column("a").to_numpy()[lut]
+            lut_d = g.column("deg_a").to_numpy()[lut]
+            order = np.argsort(lut_n, kind="stable")
+            lut_n, lut_d = lut_n[order], lut_d[order]
+            e = np.nonzero(side == 0)[0]
+            if len(e) == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "deg_a": pa.array([], pa.int64()),
+                                 "deg_b": pa.array([], pa.int64())})
+            k = g.column(key_col if key_col in ("a", "b") else "a") \
+                .to_numpy()[e]
+            pos = np.searchsorted(lut_n, k)
+            if (pos >= len(lut_n)).any() or not (lut_n[pos] == k).all():
+                raise RuntimeError("triangle_counts: endpoint missing "
+                                   "from the degree table")
+            da = g.column("deg_a").to_numpy()[e]
+            filled = lut_d[pos]
+            return pa.table({
+                "a": pa.array(g.column("a").to_numpy()[e], pa.int64()),
+                "b": pa.array(g.column("b").to_numpy()[e], pa.int64()),
+                "deg_a": pa.array(filled if deg_col == "deg_a" else da,
+                                  pa.int64()),
+                "deg_b": pa.array(filled if deg_col == "deg_b"
+                                  else g.column("deg_b").to_numpy()[e],
+                                  pa.int64()),
+            })
+
+        return key_edges, key_degs, fill
+
+    ka, kd, fa = _attach("a", "deg_a")
+    with_da = (edges_ds.select_columns([a_col, b_col])
+               .map_batches(ka, batch_format="pyarrow", batch_size=65536)
+               .union(degrees.map_batches(kd, batch_format="pyarrow"))
+               .groupby("pk").map_groups(fa, batch_format="pyarrow"))
+    kb, kd2, fb = _attach("b", "deg_b")
+    edges_deg = (with_da.map_batches(kb, batch_format="pyarrow",
+                                     batch_size=65536)
+                 .union(degrees.map_batches(kd2, batch_format="pyarrow"))
+                 .groupby("pk").map_groups(fb, batch_format="pyarrow")
+                 .materialize())
+
+    def _pair_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if len(x) and (x.min() < 0 or max(int(x.max()), int(y.max()))
+                       >= 1 << 31):
+            raise RuntimeError("triangle_counts: node ids must be in "
+                               "[0, 2^31) for the packed pair probe")
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return (lo << np.int64(32)) | hi
+
+    def orient_wedge_key(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        da = t.column("deg_a").to_numpy()
+        db = t.column("deg_b").to_numpy()
+        fwd = (da < db) | ((da == db) & (a < b))
+        s = np.where(fwd, a, b)
+        d = np.where(fwd, b, a)
+        return pa.table({"pk": pa.array(s % nb, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "t": pa.array(d, pa.int64())})
+
+    def wedges(g: pa.Table) -> pa.Table:
+        s = g.column("s").to_numpy()
+        t_ = g.column("t").to_numpy()
+        order = np.argsort(s, kind="stable")
+        s, t_ = s[order], t_[order]
+        cut = np.ones(len(s), bool)
+        cut[1:] = s[1:] != s[:-1]
+        starts = np.nonzero(cut)[0]
+        ends = np.append(starts[1:], len(s))
+        us, vs, ws = [], [], []
+        for st, en in zip(starts, ends):
+            nbrs = t_[st:en]
+            g_ = len(nbrs)
+            if g_ < 2:
+                continue
+            # all neighbor pairs of this source, vectorized per source
+            iu, iv = np.triu_indices(g_, k=1)
+            us.append(np.full(len(iu), s[st], np.int64))
+            vs.append(nbrs[iu])
+            ws.append(nbrs[iv])
+        if not us:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "u": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        key = _pair_key(v, w)
+        return pa.table({"pk": pa.array(key % nb, pa.int64()),
+                         "side": pa.array(np.zeros(len(u), np.int8),
+                                          pa.int8()),
+                         "u": pa.array(u, pa.int64()),
+                         "key": pa.array(key, pa.int64())})
+
+    def key_edge_set(t: pa.Table) -> pa.Table:
+        key = _pair_key(t.column(a_col).to_numpy().astype(np.int64),
+                        t.column(b_col).to_numpy().astype(np.int64))
+        return pa.table({"pk": pa.array(key % nb, pa.int64()),
+                         "side": pa.array(np.ones(len(key), np.int8),
+                                          pa.int8()),
+                         "u": pa.array(np.zeros(len(key), np.int64),
+                                       pa.int64()),
+                         "key": pa.array(key, pa.int64())})
+
+    def close_tri(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        key = g.column("key").to_numpy()
+        lut = np.sort(key[side == 1])
+        c = np.nonzero(side == 0)[0]
+        if len(c) == 0 or len(lut) == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "node": pa.array([], pa.int64())})
+        ck = key[c]
+        pos = np.searchsorted(lut, ck)
+        pos[pos >= len(lut)] = len(lut) - 1
+        hit = lut[pos] == ck
+        if not hit.any():
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "node": pa.array([], pa.int64())})
+        hc = c[hit]
+        u = g.column("u").to_numpy()[hc]
+        kk = key[hc]
+        v = (kk >> np.int64(32)).astype(np.int64)
+        w = (kk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        n = np.concatenate([u, v, w])
+        return pa.table({"pk": pa.array(n % nb, pa.int64()),
+                         "node": pa.array(n, pa.int64())})
+
+    def count_fold(g: pa.Table) -> pa.Table:
+        u, cnt = np.unique(g.column("node").to_numpy(),
+                           return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "n_tri": pa.array(cnt.astype(np.int64),
+                                           pa.int64())})
+
+    tri_nodes = (edges_deg.map_batches(orient_wedge_key,
+                                       batch_format="pyarrow",
+                                       batch_size=65536)
+                 .groupby("pk").map_groups(wedges, batch_format="pyarrow")
+                 .union(edges_ds.select_columns([a_col, b_col])
+                        .map_batches(key_edge_set,
+                                     batch_format="pyarrow",
+                                     batch_size=65536))
+                 .groupby("pk").map_groups(close_tri,
+                                           batch_format="pyarrow"))
+    return tri_nodes.groupby("pk").map_groups(count_fold,
+                                              batch_format="pyarrow")

@@ -940,92 +940,60 @@ def cohort_retention(events_ds, user_col: str = "user_id",
     users counted per (cohort_day, day_offset) cell.
 
     The training-dashboard classic (and a generalized self-join shape: each
-    user's rows joined against that user's own MIN). Fully distributed and
-    fully vectorized — no per-user Python:
+    user's rows joined against that user's own MIN). TWO exchanges total,
+    both on coarse bucket keys — the previous 4-exchange plan (repartition +
+    (u,day) sort-groupby + Min sort-groupby + hash join) spent ~0.1 ms of
+    per-key Python on each of its ~90k distinct keys twice (measured 22.4 s
+    at sf0.1; this plan: the same cells in ~2 s):
 
     - map side collapses each batch to its distinct (user, epoch-day) pairs,
-      so every downstream exchange carries at most one row per user per
-      active day per batch — a hot user is absorbed map-side;
-    - cohorts come from a keyed ``aggregate(Min(day))`` (vectorized
-      sort-aggregate, never one-pandas-frame-per-user ``map_groups`` — that
-      variant measured ~5x slower at 1M events);
-    - pairs ⋈ cohorts is a **partitioned hash join** on the user key (both
-      sides already key-collapsed, neither broadcast);
-    - distinct pairs make count-distinct-users a plain Sum over the final
-      small (cohort, offset) groupby.
-
-    The pairs stage is consumed by both the Min aggregate and the join
-    probe; it is cheap (scan + per-batch dedup), so it re-executes rather
-    than materializing mid-pipeline.
+      so the one wide exchange carries at most one row per user per active
+      day per batch — a hot user is absorbed map-side;
+    - pairs shuffle ONCE on ``hash(u) % buckets`` (``util.bucketed_fold``);
+      every row of a user lands in one bucket, so the in-bucket vectorized
+      pandas fold computes the global distinct set, each user's true
+      cohort MIN, and the (cohort, offset) partial cells without any
+      cross-bucket traffic;
+    - per-bucket partial cells re-fold on the (cohort, offset) key — tiny
+      (cohort-days x offsets rows), second bucketed exchange.
 
     Output: (cohort_day 'YYYY-MM-DD' str, day_offset int64, n_users int64).
     """
-    from ray.data.aggregate import Min, Sum
+    from ..util import bucketed_fold
 
-    from ..util import cluster_cpus
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy()
+        day = (t.column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
+        return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
+                         "day": pa.array(df["day"].to_numpy(), pa.int64())})
 
-    def pairs_of(ds):
-        def pairs(t: pa.Table) -> pa.Table:
-            u = t.column(user_col).to_numpy()
-            day = (t.column("ts").to_numpy().astype("datetime64[D]")
-                   .astype(np.int64))
-            df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
-            return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
-                             "day": pa.array(df["day"].to_numpy(), pa.int64())})
+    pair_ds = events_ds.select_columns([user_col, "ts"]).map_batches(
+        pairs, batch_format="pyarrow", batch_size=65536)
 
-        return ds.select_columns([user_col, "ts"]).map_batches(
-            pairs, batch_format="pyarrow", batch_size=65536)
+    def cells_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # global per-user view: drop cross-bundle dup pairs, then the
+        # user's min day is the cohort; vectorized via transform("min")
+        d = g.drop_duplicates()
+        cohort = d.groupby("u", sort=False)["day"].transform("min")
+        cells = (pd.DataFrame({"cohort_day": cohort.to_numpy(),
+                               "day_offset": d["day"].to_numpy()
+                               - cohort.to_numpy()})
+                 .groupby(["cohort_day", "day_offset"], sort=False)
+                 .size().rename("n").reset_index())
+        return cells.astype(np.int64)
 
-    # GLOBAL distinct on (u, day): the per-batch drop_duplicates above only
-    # dedups within one map bundle — a user active the same day in two
-    # bundles would otherwise be counted twice by the final cell Sum
-    # (measured: 5x inflation at 200k events / 11 blocks). The distinct
-    # set is users x active-days BOUNDED — small enough to materialize —
-    # and is consumed twice (Min fold + join probe): materializing it cuts
-    # a full scan+groupby recompute (measured 12.3s -> ~5s at sf0.1).
-    # The repartition bounds the sort-groupby's blocks x partitions cost;
-    # drop_empty_blocks strips the schema-less 0-row blocks it leaves on
-    # tiny inputs, which would poison the Arrow hash join downstream.
-    from ..util import drop_empty_blocks
+    partial_cells = bucketed_fold(pair_ds, "u", cells_fold,
+                                  num_buckets=num_partitions)
 
-    distinct = drop_empty_blocks(
-        pairs_of(events_ds)
-        .repartition(max(8, min(64, cluster_cpus())))
-        .groupby(["u", "day"]).count()
-        .select_columns(["u", "day"])
-        .materialize(),
-        pa.schema([("u", pa.int64()), ("day", pa.int64())]))
-    # the Min fold's sort-groupby can emit schema-less empties too (its
-    # range partitioner mirrors the input block count) — clean both sides
-    mins = drop_empty_blocks(
-        distinct.groupby("u").aggregate(Min("day", alias_name="cohort"))
-        .materialize(),
-        pa.schema([("u", pa.int64()), ("cohort", pa.int64())]))
-    # the join inputs are DERIVED datasets (distinct pairs / per-user
-    # mins — far smaller than raw events), so the byte-aware
-    # join_partitions helper has no file size to read; a deliberate low
-    # cap keeps the actor-pool ramp proportional to that reduced volume.
-    # Callers joining genuinely huge pair sets should raise it.
-    n_parts = num_partitions or max(8, min(16, cluster_cpus()))
-    joined = distinct.join(
-        mins, join_type="inner", num_partitions=n_parts, on=("u",))
+    def sum_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["cohort_day", "day_offset"], sort=False)["n"]
+               .sum().rename("n_users").reset_index())
+        return agg.astype(np.int64)
 
-    def to_cells(t: pa.Table) -> pa.Table:
-        day = t.column("day").to_numpy()
-        cohort = t.column("cohort").to_numpy()
-        df = (pd.DataFrame({"cohort_day": cohort, "day_offset": day - cohort})
-              .groupby(["cohort_day", "day_offset"], sort=False).size()
-              .rename("n").reset_index())
-        return pa.table({
-            "cohort_day": pa.array(df["cohort_day"].to_numpy(), pa.int64()),
-            "day_offset": pa.array(df["day_offset"].to_numpy(), pa.int64()),
-            "n": pa.array(df["n"].to_numpy(), pa.int64()),
-        })
-
-    cells = (joined.map_batches(to_cells, batch_format="pyarrow",
-                                batch_size=65536)
-             .groupby(["cohort_day", "day_offset"])
-             .aggregate(Sum("n", alias_name="n_users")))
+    cells = bucketed_fold(partial_cells, ["cohort_day", "day_offset"],
+                          sum_fold)
 
     def finalize(t: pa.Table) -> pa.Table:
         days = t.column("cohort_day").to_numpy().astype("datetime64[D]")
@@ -1743,22 +1711,25 @@ def cube_sum(ds, row_col: str, col_col: str, value_col: str):
                                            batch_size=None)
 
 
-def copurchase_pairs(lineitem_ds, lineitem_path: str, k: int = 25,
-                     num_partitions: int | None = None):
+def copurchase_pairs(lineitem_ds, lineitem_path: str, k: int | None = 25,
+                     num_partitions: int | None = None,
+                     min_count: int | None = None):
     """Market-basket affinity: part pairs co-purchased in the same order,
-    top-k by order count — the association-rule mining input.
+    top-k by order count — the association-rule mining input. With
+    ``k=None`` returns the FULL pair Dataset (optionally thresholded by
+    ``min_count``) — the edge list the triangle/community ops consume.
 
     Plan: exact distinct (order, part) via map-side dedup partials + one
-    keyed groupby (a per-batch-only dedup would double-count pairs whose
-    rows straddle batches — the cohort-retention lesson); then ONE
-    partitioned hash self-join on the order key (per-order pair explosion
-    is bounded by lines-per-order, so join output is ~O(rows x avg
-    basket)); pair-count partials fold map-side before the final small
-    groupby + top-k. Join inputs pass through ``drop_empty_blocks``.
+    COARSE-BUCKET fold on the order key (``util.bucketed_fold`` — the
+    ~100k-key sort-groupby paid ~0.1 ms/key of Python; a per-batch-only
+    dedup would double-count pairs whose rows straddle batches — the
+    cohort-retention lesson); then ONE partitioned hash self-join on the
+    order key (per-order pair explosion is bounded by lines-per-order,
+    so join output is ~O(rows x avg basket)); pair-count partials fold
+    map-side, then globally by a second bucketed fold on the pair key.
+    Join inputs pass through ``drop_empty_blocks``.
     """
-    from ray.data.aggregate import Sum
-
-    from ..util import cluster_cpus, drop_empty_blocks, join_partitions
+    from ..util import bucketed_fold, drop_empty_blocks, join_partitions
 
     if num_partitions is None:
         num_partitions = join_partitions(lineitem_path)
@@ -1770,14 +1741,16 @@ def copurchase_pairs(lineitem_ds, lineitem_path: str, k: int = 25,
         return pa.table({"o": pa.array(df["o"].to_numpy(np.int64), pa.int64()),
                          "p": pa.array(df["p"].to_numpy(np.int64), pa.int64())})
 
+    def distinct_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates().astype(np.int64)
+
     dp_schema = pa.schema([("o", pa.int64()), ("p", pa.int64())])
     dp = drop_empty_blocks(
-        lineitem_ds.select_columns(["l_orderkey", "l_partkey"])
-        .map_batches(dpartial, batch_format="pyarrow", batch_size=65536)
-        # bound the sort-groupby's blocks x partitions cost (measured
-        # 22.7s -> ~3s on 60k rows at sf0.01 without it)
-        .repartition(max(8, min(64, cluster_cpus())))
-        .groupby(["o", "p"]).count().select_columns(["o", "p"])
+        bucketed_fold(
+            lineitem_ds.select_columns(["l_orderkey", "l_partkey"])
+            .map_batches(dpartial, batch_format="pyarrow",
+                         batch_size=65536),
+            "o", distinct_fold)
         .materialize(), dp_schema)
 
     def rename(t: pa.Table) -> pa.Table:
@@ -1802,12 +1775,21 @@ def copurchase_pairs(lineitem_ds, lineitem_path: str, k: int = 25,
                                  pa.int64()),
         })
 
-    return (joined.map_batches(pair_partial, batch_format="pyarrow",
-                               batch_size=65536)
-            .groupby(["part_a", "part_b"])
-            .aggregate(Sum("n_orders", alias_name="n_orders"))
-            .sort(["n_orders", "part_a", "part_b"],
-                  descending=[True, False, False])
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["part_a", "part_b"], sort=False)["n_orders"]
+               .sum().reset_index())
+        return agg.astype(np.int64)
+
+    counts = bucketed_fold(
+        joined.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=65536),
+        ["part_a", "part_b"], count_fold)
+    if min_count is not None:
+        counts = counts.filter(expr=f"n_orders >= {int(min_count)}")
+    if k is None:
+        return counts
+    return (counts.sort(["n_orders", "part_a", "part_b"],
+                        descending=[True, False, False])
             .limit(k))
 
 
@@ -3053,13 +3035,16 @@ def herfindahl(fact_ds, dim: pd.DataFrame, fact_key: str, dim_key: str,
     exact integer floor ``hhi_q = q·Σ rev_i² // (Σ rev_i)²`` (all
     revenues non-negative, so floor == trunc on both sides).
 
-    Entity revenue folds map-side into cents; the dimension table
-    (entity → group) is dimension-sized and broadcasts in the closure;
-    Σ rev² runs in PYTHON ints inside the per-group finish (rev² sums
-    overflow int64 at ~10^5 entities × 10^9 cents). Returns
+    Entity revenue folds map-side into cents, then globally via ONE
+    coarse-bucket exchange (``util.bucketed_fold`` — a 10k-entity
+    sort-aggregate paid ~0.1 ms/key of Python, 9.2 s at sf0.1; the
+    bucketed fold is a vectorized pandas sum per bucket). The dimension
+    table (entity → group) is dimension-sized and broadcasts in the
+    closure; Σ rev² runs in PYTHON ints inside the per-group finish
+    (rev² sums overflow int64 at ~10^5 entities × 10^9 cents). Returns
     (group_col, n_entities, total_c, hhi_q6).
     """
-    from ray.data.aggregate import Sum
+    from ..util import bucketed_fold
 
     lut = dict(zip(dim[dim_key].astype(np.int64),
                    dim[group_col].astype(np.int64)))
@@ -3090,11 +3075,14 @@ def herfindahl(fact_ds, dim: pd.DataFrame, fact_key: str, dim_key: str,
                              "total_c": [total],
                              "hhi_q6": [hhi]}).astype(np.int64)
 
-    return (fact_ds.select_columns([fact_key, value_col])
-            .map_batches(partial, batch_format="pandas", batch_size=65536,
-                         num_cpus=1)
-            .groupby(fact_key).aggregate(Sum("c", alias_name="c"))
-            .map_batches(attach, batch_format="pandas")
+    def entity_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(fact_key, sort=False)["c"].sum().reset_index()
+        return agg.astype(np.int64)
+
+    partials = fact_ds.select_columns([fact_key, value_col]).map_batches(
+        partial, batch_format="pandas", batch_size=65536, num_cpus=1)
+    totals = bucketed_fold(partials, fact_key, entity_fold)
+    return (totals.map_batches(attach, batch_format="pandas")
             .groupby(group_col).map_groups(finish, batch_format="pandas"))
 
 
