@@ -1,0 +1,118 @@
+"""triangle_counts + util.bucketed_fold: exactness against brute force.
+
+The triangle op is the degree-ordered compact-forward plan
+(``ops/graph.py``); the brute-force oracle here enumerates all node
+triples over the same edge set. bucketed_fold is the engine-wide
+high-cardinality fold primitive — its contract (global per-key result,
+any bucket count) is what every converted call site relies on.
+"""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _brute_triangles(edges):
+    """node -> number of triangles containing it, by triple enumeration."""
+    es = {tuple(e) for e in edges}
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for n in (a, b, c):
+                out[n] = out.get(n, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_triangle_counts_match_brute_force(ray_session, seed):
+    import ray.data as rd
+
+    from raygeo.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(seed)
+    n_nodes, n_edges = 40, 160
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    edges = sorted({(int(x), int(y)) for x, y in zip(lo, hi)})
+
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["part_a", "part_b"]))
+    got = (triangle_counts(ds.repartition(5), "part_a", "part_b")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = _brute_triangles(edges)
+    assert dict(zip(got["node"], got["n_tri"])) == want
+    # total participation = 3x the triangle count
+    assert got["n_tri"].sum() % 3 == 0
+
+
+def test_triangle_counts_empty_and_no_triangles(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.graph import triangle_counts
+
+    # a path graph has zero triangles
+    ds = rd.from_pandas(pd.DataFrame({"part_a": [0, 1, 2],
+                                      "part_b": [1, 2, 3]}))
+    got = triangle_counts(ds, "part_a", "part_b").to_pandas()
+    assert len(got) == 0
+
+
+def test_triangle_counts_rejects_wide_ids(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.graph import triangle_counts
+
+    ds = rd.from_pandas(pd.DataFrame({"part_a": [1 << 31], "part_b": [1]}))
+    with pytest.raises(Exception, match="2\\^31|node ids"):
+        triangle_counts(ds, "part_a", "part_b").materialize()
+
+
+@pytest.mark.parametrize("nb", [1, 3, 16])
+def test_bucketed_fold_global_per_key(ray_session, nb):
+    """Result is key-global and independent of the bucket count."""
+    import ray.data as rd
+
+    from raygeo.util import bucketed_fold
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.integers(0, 500, 5000).astype(np.int64),
+                       "v": rng.integers(0, 100, 5000).astype(np.int64)})
+
+    def fold(g):
+        agg = g.groupby("k", sort=False)["v"].sum().reset_index()
+        return agg.astype(np.int64)
+
+    got = (bucketed_fold(rd.from_pandas(df).repartition(7), "k", fold,
+                         num_buckets=nb)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k", sort=False)["v"].sum().reset_index()
+            .astype(np.int64).sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucketed_fold_multi_column_key(ray_session):
+    import ray.data as rd
+
+    from raygeo.util import bucketed_fold
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"a": rng.integers(0, 30, 2000).astype(np.int64),
+                       "b": rng.integers(0, 30, 2000).astype(np.int64),
+                       "v": np.ones(2000, np.int64)})
+
+    def fold(g):
+        agg = g.groupby(["a", "b"], sort=False)["v"].sum().reset_index()
+        return agg.astype(np.int64)
+
+    got = (bucketed_fold(rd.from_pandas(df).repartition(4), ["a", "b"],
+                         fold)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = (df.groupby(["a", "b"], sort=False)["v"].sum().reset_index()
+            .astype(np.int64).sort_values(["a", "b"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
