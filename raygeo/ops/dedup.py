@@ -67,18 +67,27 @@ def exact_dedup(ds, key_col: str, id_col: str, precomputed_hash: str | None = No
         )
         return table_from_pandas(part)
 
-    from ..util import cluster_cpus
+    from ..util import bucketed_fold
 
     cols = [c for c in {key_col if precomputed_hash is None else precomputed_hash, id_col}]
     partial = ds.select_columns(cols).map_batches(
         add_hash, batch_format="pyarrow", batch_size=16384
     )
-    # bound the sort-shuffle block count (sort cost grows with blocks x
-    # partitions; many small partial blocks make the groupby overhead-bound)
-    partial = partial.repartition(max(8, min(64, cluster_cpus())))
-    return partial.groupby("hash64").aggregate(
-        Min(id_col, alias_name=id_col), Sum("n_dups", alias_name="n_dups")
-    )
+
+    # global fold over the hash key rides the coarse-bucket primitive —
+    # a per-key sort-aggregate over ~O(rows) distinct hashes paid
+    # measured 7.1 s at sf0.1 (100k keys); the bucketed fold is one
+    # shuffle + a vectorized pandas reduce per bucket
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("hash64", sort=False)
+               .agg(**{id_col: (id_col, "min"),
+                       "n_dups": ("n_dups", "sum")})
+               .reset_index())
+        agg["hash64"] = agg["hash64"].astype(np.int64)
+        agg["n_dups"] = agg["n_dups"].astype(np.int64)
+        return agg
+
+    return bucketed_fold(partial, "hash64", fold)
 
 
 # ------------------------------------------------------------- shingles utils

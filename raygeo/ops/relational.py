@@ -1856,10 +1856,8 @@ def returned_order_priority(lineitem_ds, orders_path: str,
     a 5-row partial-then-final fold. Neither fact table is broadcast or
     collected.
     """
-    from ray.data.aggregate import Sum
-
-    from ..util import cluster_cpus, drop_empty_blocks, join_partitions, \
-        read_parquet_clean
+    from ..util import bucketed_fold, drop_empty_blocks, \
+        join_partitions, read_parquet_clean
 
     if num_partitions is None:
         num_partitions = join_partitions(orders_path)
@@ -1871,12 +1869,16 @@ def returned_order_priority(lineitem_ds, orders_path: str,
         ok = np.unique(t.column("l_orderkey").to_numpy()[keep])
         return pa.table({"l_orderkey": pa.array(ok, pa.int64())})
 
+    def dfold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates().astype(np.int64)
+
     rk_schema = pa.schema([("l_orderkey", pa.int64())])
     rkeys = drop_empty_blocks(
-        lineitem_ds.select_columns(["l_orderkey", "l_returnflag"])
-        .map_batches(rpartial, batch_format="pyarrow", batch_size=65536)
-        .repartition(max(8, min(64, cluster_cpus())))
-        .groupby("l_orderkey").count().select_columns(["l_orderkey"])
+        bucketed_fold(
+            lineitem_ds.select_columns(["l_orderkey", "l_returnflag"])
+            .map_batches(rpartial, batch_format="pyarrow",
+                         batch_size=65536),
+            "l_orderkey", dfold)
         .materialize(), rk_schema)
 
     orders = read_parquet_clean(
@@ -1905,6 +1907,8 @@ def returned_order_priority(lineitem_ds, orders_path: str,
             "order_count": pa.array(df["order_count"].to_numpy(np.int64),
                                     pa.int64()),
         })
+
+    from ray.data.aggregate import Sum
 
     return (joined.map_batches(ppartial, batch_format="pyarrow",
                                batch_size=65536)

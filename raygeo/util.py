@@ -220,8 +220,11 @@ def bucketed_fold(ds, key_cols, fold, num_buckets: int | None = None,
         df[bucket_col] = (h % nb).astype("int64")
         return df
 
-    def run(g: "pd.DataFrame") -> "pd.DataFrame":
-        return fold(g.drop(columns=[bucket_col]))
+    def run(g: "pd.DataFrame"):
+        # emit Arrow so downstream fused Project/rename operators never
+        # see pandas blocks (Ray 2.49's Project calls rename_columns on
+        # the block object — pandas blocks crash it)
+        return table_from_pandas(fold(g.drop(columns=[bucket_col])))
 
     return (ds.map_batches(tag, batch_format="pandas")
             .groupby(bucket_col).map_groups(run, batch_format="pandas"))
