@@ -1957,6 +1957,49 @@ def _q_mosaic_flowlen(sf_dir: str):
     return flowlen_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
 
 
+def _q_mosaic_box_sums(sf_dir: str):
+    """Box sums over the mosaic via a DISTRIBUTED summed-area table —
+    the 2D prefix SCAN: per-tile col/row strip vectors scan along tile
+    columns/rows, tile totals are O(n_tiles) driver metadata, probe
+    corners broadcast; only O(pixels/chunk) strips ever shuffle. Oracle
+    re-sums the plane dump per zone bbox."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from raygeo.fixtures import FIXTURE_GRID as g
+    from raygeo.ops.integral import integral_box_stats
+
+    z = _pq.read_table(f"{_fix(sf_dir)}/zones.parquet")
+    res = g.res
+    zone_names = z.column("zone_id").to_pylist()  # dimension-sized
+    boxes = _pa.table({
+        "probe_id": _pa.array(np.arange(len(zone_names), dtype=np.int64),
+                              _pa.int64()),
+        "c0": _pa.array(np.floor((z.column("lon_min").to_numpy() - g.x0)
+                                 / res).astype(np.int64), _pa.int64()),
+        "c1": _pa.array(np.floor((z.column("lon_max").to_numpy() - g.x0)
+                                 / res).astype(np.int64), _pa.int64()),
+        "r0": _pa.array(np.floor((g.y1 - z.column("lat_max").to_numpy())
+                                 / res).astype(np.int64), _pa.int64()),
+        "r1": _pa.array(np.floor((g.y1 - z.column("lat_min").to_numpy())
+                                 / res).astype(np.int64), _pa.int64()),
+    })
+    out = integral_box_stats(_tiles_lww(sf_dir), g, boxes)
+
+    def rename(t: _pa.Table) -> _pa.Table:
+        idx = t.column("probe_id").to_numpy()
+        return _pa.table({
+            "zone_id": _pa.array([zone_names[i] for i in idx],
+                                 _pa.string()),
+            "n_valid": t.column("n_valid"),
+            "v_sum": t.column("v_sum")})
+
+    return (out.filter(expr="n_valid > 0")
+            .map_batches(rename, batch_format="pyarrow")
+            .sort("zone_id"))
+
+
 def _q_mosaic_aspect(sf_dir: str):
     """Aspect-class histograms (terrain orientation): central-difference
     gradient sectors, integer-exact — sector boundaries are sign and
@@ -3055,6 +3098,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regr": _q_lineitem_regr,  # integer-exact OLS slope
         "supplier_hhi": _q_supplier_hhi,  # Herfindahl concentration
         "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
+        "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "customers_percent_rank": _q_customers_percent_rank,  # exact rational
         "docs_cdc_chunks": _q_docs_cdc_chunks,  # content-defined chunking
         "events_funnel": _q_events_funnel,
@@ -4456,6 +4500,27 @@ SELECT s_nationkey::BIGINT AS s_nationkey, count(*)::BIGINT AS n_entities,
   CAST((1000000::HUGEINT * sum(c::HUGEINT * c))
        // (sum(c)::HUGEINT * sum(c)) AS BIGINT) AS hhi_q6
 FROM j GROUP BY 1 HAVING sum(c) > 0
+""",
+        "mosaic_box_sums": f"""
+WITH raw AS (
+  SELECT zone_id,
+    CAST(floor((lon_min - (-1.0)) / 0.0009765625) AS BIGINT) AS c0,
+    CAST(floor((lon_max - (-1.0)) / 0.0009765625) AS BIGINT) AS c1,
+    CAST(floor((1.0 - lat_max) / 0.0009765625) AS BIGINT) AS r0,
+    CAST(floor((1.0 - lat_min) / 0.0009765625) AS BIGINT) AS r1
+  FROM read_parquet('{ZONES_001}')
+),
+z AS (
+  SELECT zone_id,
+    greatest(c0, 0) AS c0, least(c1, 2047) AS c1,
+    greatest(r0, 0) AS r0, least(r1, 2047) AS r1
+  FROM raw
+)
+SELECT z.zone_id, count(p.v)::BIGINT AS n_valid, sum(p.v)::BIGINT AS v_sum
+FROM z JOIN read_parquet('{PLANE_001}') p
+  ON p.y >= z.r0 AND p.y <= z.r1 AND p.x >= z.c0 AND p.x <= z.c1
+GROUP BY 1 HAVING count(p.v) > 0
+ORDER BY 1
 """,
         "parts_triangles": """
 WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

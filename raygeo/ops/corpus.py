@@ -75,12 +75,17 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_size=4096,
         num_cpus=1,
     )
-    partial = partial.repartition(max(8, min(64, cluster_cpus())))
-    agg = partial.groupby("hash64").aggregate(
-        Min(id_col, alias_name=id_col),
-        Min("n_tokens", alias_name="n_tokens"),
-    )
-    return agg.select_columns([id_col, "n_tokens"])
+    from ..util import bucketed_fold
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("hash64", sort=False)
+               .agg(**{id_col: (id_col, "min"),
+                       "n_tokens": ("n_tokens", "min")})
+               .reset_index())
+        return agg.astype(np.int64)
+
+    return (bucketed_fold(partial, "hash64", fold)
+            .select_columns([id_col, "n_tokens"]))
 
 
 class _HashSplitStage:
@@ -664,11 +669,19 @@ def vocab_growth(docs_ds, checkpoints: tuple[int, ...] = (100, 200, 300,
                                    _pa.int64()),
         })
 
-    firsts = (docs_ds.select_columns([id_col, text_col])
-              .map_batches(partial, batch_format="pandas", batch_size=4096)
-              .groupby("term").aggregate(Min("first_doc",
-                                             alias_name="first_doc"))
-              .to_pandas())  # vocabulary-sized
+    from ..util import bucketed_fold
+
+    def min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("term", sort=False)["first_doc"].min()
+               .reset_index())
+        agg["first_doc"] = agg["first_doc"].astype(np.int64)
+        return agg
+
+    firsts = (bucketed_fold(
+        docs_ds.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pandas", batch_size=512),
+        "term", min_fold)
+        .to_pandas())  # vocabulary-sized
     fd = np.sort(firsts["first_doc"].to_numpy())
     ck = np.asarray(checkpoints, np.int64)
     vocab = np.searchsorted(fd, ck, side="left")  # first_doc < k
@@ -805,12 +818,12 @@ def bigram_top(docs_ds, k: int = 30, text_col: str = "text"):
     bounded top-k sort. Ties break lexicographically."""
     from ray.data.aggregate import Sum
 
+    from ..util import bucketed_sum
+
     partial = docs_ds.select_columns([text_col]).map_batches(
         _BigramPartial(text_col), batch_format="pandas",
-        batch_size=4096, num_cpus=1)
-    partial = partial.repartition(max(8, min(64, cluster_cpus())))
-    return (partial.groupby(["w1", "w2"])
-            .aggregate(Sum("n", alias_name="n"))
+        batch_size=512, num_cpus=1)
+    return (bucketed_sum(partial, ["w1", "w2"], "n")
             .sort(["n", "w1", "w2"], descending=[True, False, False])
             .limit(k))
 

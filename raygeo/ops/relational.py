@@ -853,7 +853,8 @@ def orders_fulfillment(lineitem_ds, orders_path: str,
     null-probe rows kept."""
     from ray.data.aggregate import Sum
 
-    from ..util import join_partitions, read_parquet_clean
+    from ..util import bucketed_sum, join_partitions, \
+        read_parquet_clean
 
     if num_partitions is None:
         num_partitions = join_partitions(orders_path)
@@ -869,11 +870,13 @@ def orders_fulfillment(lineitem_ds, orders_path: str,
              .reset_index())
         return table_from_pandas(g)
 
-    rev = lineitem_ds.select_columns(
-        ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536
-                  ).groupby("l_orderkey").aggregate(
-        Sum("revenue_c4", alias_name="revenue_c4"))
+    rev = bucketed_sum(
+        lineitem_ds.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536),
+        "l_orderkey", "revenue_c4",
+        clean_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("revenue_c4", pa.int64())]))
 
     orders = read_parquet_clean(orders_path,
                                 columns=["o_orderkey", "o_orderstatus"])
@@ -921,10 +924,14 @@ def inactive_customers(orders_ds, customer_path: str,
         u = np.unique(t.column("o_custkey").to_numpy())
         return pa.table({"o_custkey": pa.array(u, pa.int64())})
 
+    from ..util import bucketed_distinct
+
     cols = ["o_custkey"] + ([] if priority is None else ["o_orderpriority"])
-    distinct = (orders_ds.select_columns(cols)
-                .map_batches(pairs, batch_format="pyarrow", batch_size=65536)
-                .groupby("o_custkey").count())
+    distinct = bucketed_distinct(
+        orders_ds.select_columns(cols)
+        .map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        "o_custkey",
+        clean_schema=pa.schema([("o_custkey", pa.int64())]))
     active = np.sort(distinct.to_pandas()["o_custkey"].to_numpy())
 
     cust = pq.read_table(customer_path, columns=["c_custkey", "c_mktsegment"])
@@ -1437,10 +1444,12 @@ def large_orders(lineitem_ds, orders_path: str, customer_path: str,
         g = df.groupby("l_orderkey", sort=False)["sum_qty"].sum().reset_index()
         return table_from_pandas(g)
 
-    big = (lineitem_ds.select_columns(["l_orderkey", "l_quantity"])
-           .map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
-           .groupby("l_orderkey")
-           .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+    from ..util import bucketed_sum
+
+    big = (bucketed_sum(
+        lineitem_ds.select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(lpartial, batch_format="pyarrow", batch_size=65536),
+        "l_orderkey", "sum_qty")
            .filter(expr=f"sum_qty > {qty_threshold}")
            .sort(["sum_qty", "l_orderkey"], descending=[True, False])
            .limit(k))
@@ -1637,10 +1646,12 @@ def returned_revenue(lineitem_ds, orders_path: str, customer_path: str,
         g = df.groupby("c_custkey", sort=False)["revenue_c4"].sum().reset_index()
         return table_from_pandas(g)
 
-    top = (joined.map_batches(cpartial, batch_format="pyarrow",
-                              batch_size=65536)
-           .groupby("c_custkey")
-           .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    from ..util import bucketed_sum
+
+    top = (bucketed_sum(
+        joined.map_batches(cpartial, batch_format="pyarrow",
+                           batch_size=65536),
+        "c_custkey", "revenue_c4")
            .sort(["revenue_c4", "c_custkey"], descending=[True, False])
            .limit(k)
            .to_pandas())  # <= k rows by construction
@@ -1818,13 +1829,21 @@ def customer_rfm(orders_ds, asof: str = "1998-08-01"):
             monetary_cents=("monetary_cents", "sum")).reset_index()
         return table_from_pandas(df)
 
-    agg = (orders_ds.select_columns(["o_custkey", "o_orderdate",
-                                     "o_totalprice"])
-           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
-           .groupby("c_custkey")
-           .aggregate(Max("last_day", alias_name="last_day"),
-                      Sum("frequency", alias_name="frequency"),
-                      Sum("monetary_cents", alias_name="monetary_cents")))
+    from ..util import bucketed_fold
+
+    def rfm_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("c_custkey", sort=False)
+               .agg(last_day=("last_day", "max"),
+                    frequency=("frequency", "sum"),
+                    monetary_cents=("monetary_cents", "sum"))
+               .reset_index())
+        return out.astype(np.int64)
+
+    agg = bucketed_fold(
+        orders_ds.select_columns(["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "c_custkey", rfm_fold)
 
     asof_i = int(asof_d.astype(np.int64))
 
@@ -2089,13 +2108,13 @@ def customer_order_histogram(orders_ds, customer_path: str,
             "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
         })
 
+    from ..util import bucketed_sum
+
     cnt_schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
-    counts = drop_empty_blocks(
+    counts = bucketed_sum(
         orders_ds.select_columns(["o_custkey", "o_orderpriority"])
-        .map_batches(opartial, batch_format="pyarrow", batch_size=65536)
-        .repartition(max(8, min(64, cluster_cpus())))
-        .groupby("k").aggregate(Sum("n", alias_name="n"))
-        .materialize(), cnt_schema)
+        .map_batches(opartial, batch_format="pyarrow", batch_size=65536),
+        "k", "n", clean_schema=cnt_schema)
 
     customer = read_parquet_clean(customer_path, columns=["c_custkey"])
     joined = customer.join(counts, join_type="left_outer",
@@ -2329,13 +2348,13 @@ def supplier_part_counts(lineitem_ds, part_path: str, supplier_path: str,
             "sk": pa.array(df["sk"].to_numpy(np.int64), pa.int64()),
         })
 
+    from ..util import bucketed_distinct
+
     ps_schema = pa.schema([("pk", pa.int64()), ("sk", pa.int64())])
-    ps = drop_empty_blocks(
+    ps = bucketed_distinct(
         lineitem_ds.select_columns(["l_partkey", "l_suppkey"])
-        .map_batches(dpartial, batch_format="pyarrow", batch_size=65536)
-        .repartition(max(8, min(64, cluster_cpus())))
-        .groupby(["pk", "sk"]).count().select_columns(["pk", "sk"])
-        .materialize(), ps_schema)
+        .map_batches(dpartial, batch_format="pyarrow", batch_size=65536),
+        ["pk", "sk"], clean_schema=ps_schema)
 
     part = read_parquet_clean(part_path,
                               columns=["p_partkey", "p_brand", "p_size"])

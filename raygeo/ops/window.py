@@ -183,11 +183,13 @@ def small_qty_revenue(lineitem_ds, part_path: str, brand: str):
         return table_from_pandas(g)
 
     cols = ["l_partkey", "l_quantity", "l_extendedprice"]
-    avgs = (lineitem_ds.select_columns(cols[:2])
-            .map_batches(qty_partial, batch_format="pyarrow", batch_size=65536)
-            .groupby("l_partkey")
-            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                       Sum("cnt", alias_name="cnt"))
+    from ..util import bucketed_sum
+
+    avgs = (bucketed_sum(
+        lineitem_ds.select_columns(cols[:2])
+        .map_batches(qty_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        "l_partkey", ["sum_qty", "cnt"])
             .to_pandas())  # bounded by the part dimension, not lineitem
     order = np.argsort(avgs.l_partkey.to_numpy())
     avg_ref = ray.put((avgs.l_partkey.to_numpy()[order],

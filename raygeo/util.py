@@ -192,7 +192,7 @@ def join_partitions(*paths, target_bytes: int = 64 << 20, lo: int = 8,
 
 
 def bucketed_fold(ds, key_cols, fold, num_buckets: int | None = None,
-                  bucket_col: str = "_cb"):
+                  bucket_col: str = "_cb", clean_schema=None):
     """Global per-key fold paying O(num_buckets), not O(num_keys), Python
     overhead.
 
@@ -208,6 +208,12 @@ def bucketed_fold(ds, key_cols, fold, num_buckets: int | None = None,
 
     ``fold`` gets the bucket's rows with ``bucket_col`` already stripped
     and returns a DataFrame (any schema — it need not echo the keys).
+
+    ``clean_schema``: the bucket groupby's sort partitioner can emit
+    schema-less 0-row blocks on small inputs; those poison a downstream
+    ``Dataset.join``. Passing the output pa.Schema materializes the fold
+    and strips them (``drop_empty_blocks``) — set it whenever the result
+    feeds a join.
     """
     import pandas as pd
 
@@ -226,8 +232,42 @@ def bucketed_fold(ds, key_cols, fold, num_buckets: int | None = None,
         # the block object — pandas blocks crash it)
         return table_from_pandas(fold(g.drop(columns=[bucket_col])))
 
-    return (ds.map_batches(tag, batch_format="pandas")
-            .groupby(bucket_col).map_groups(run, batch_format="pandas"))
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby(bucket_col).map_groups(run, batch_format="pandas"))
+    if clean_schema is not None:
+        out = drop_empty_blocks(out.materialize(), clean_schema)
+    return out
+
+
+def bucketed_sum(ds, key_cols, value_cols, num_buckets: int | None = None,
+                 clean_schema=None):
+    """Global keyed int64 SUM via :func:`bucketed_fold` — the common
+    post-map-side-partial reduce (one row per key, values summed)."""
+    import numpy as np
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+
+    def fold(g):
+        agg = g.groupby(keys, sort=False)[vals].sum().reset_index()
+        for c in vals:
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return bucketed_fold(ds, keys, fold, num_buckets=num_buckets,
+                         clean_schema=clean_schema)
+
+
+def bucketed_distinct(ds, key_cols, num_buckets: int | None = None,
+                      clean_schema=None):
+    """Global distinct key tuples via :func:`bucketed_fold` (map-side
+    per-batch dedup still belongs in the caller's partial)."""
+
+    def fold(g):
+        return g.drop_duplicates()
+
+    return bucketed_fold(ds, key_cols, fold, num_buckets=num_buckets,
+                         clean_schema=clean_schema)
 
 
 def drop_empty_blocks(materialized_ds, schema: "pa.Schema"):  # noqa: F821
