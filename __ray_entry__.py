@@ -1957,6 +1957,18 @@ def _q_mosaic_flowlen(sf_dir: str):
     return flowlen_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
 
 
+def _q_events_running_total(sf_dir: str):
+    """Per-event cumulative revenue — the 1D distributed prefix scan:
+    hour-range buckets, driver prefix of O(#hours) bucket sums, one keyed
+    exchange scans each bucket under the (ts, event_id) order. Oracle is
+    the SQL window frame replay."""
+    from raygeo.ops.window import running_total
+
+    ev = _rpq(f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "value"])
+    return running_total(ev).sort("event_id")
+
+
 def _q_mosaic_box_sums(sf_dir: str):
     """Box sums over the mosaic via a DISTRIBUTED summed-area table —
     the 2D prefix SCAN: per-tile col/row strip vectors scan along tile
@@ -3099,6 +3111,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": _q_supplier_hhi,  # Herfindahl concentration
         "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
+        "events_running_total": _q_events_running_total,  # 1D prefix scan
         "customers_percent_rank": _q_customers_percent_rank,  # exact rational
         "docs_cdc_chunks": _q_docs_cdc_chunks,  # content-defined chunking
         "events_funnel": _q_events_funnel,
@@ -4521,6 +4534,15 @@ FROM z JOIN read_parquet('{PLANE_001}') p
   ON p.y >= z.r0 AND p.y <= z.r1 AND p.x >= z.c0 AND p.x <= z.c1
 GROUP BY 1 HAVING count(p.v) > 0
 ORDER BY 1
+""",
+        "events_running_total": """
+SELECT event_id,
+  sum(CAST(round(value * 100) AS BIGINT))
+    OVER (ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+    AS running_cents
+FROM events
+ORDER BY event_id
 """,
         "parts_triangles": """
 WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

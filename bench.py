@@ -184,6 +184,10 @@ def run_bench() -> dict:
         "supplier_hhi",
         "customers_percent_rank",
         "docs_cdc_chunks",
+        # session-9 additions (round 4)
+        "parts_triangles",
+        "mosaic_box_sums",
+        "events_running_total",
     ]
     for name in bench_queries:
         timed(name, qs[name])

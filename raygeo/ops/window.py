@@ -686,3 +686,69 @@ def ewma_last(events_ds, key_col: str, ts_col: str, id_col: str,
     return (events_ds.select_columns(cols)
             .map_batches(bucket, batch_format="pandas", batch_size=65536)
             .groupby("pk").map_groups(fold, batch_format="pandas"))
+
+
+def running_total(events_ds, value_col: str = "value",
+                  ts_col: str = "ts", id_col: str = "event_id"):
+    """Per-event running total (cumulative revenue / burn-down counters) —
+    the 1D distributed prefix SCAN, sibling of the 2D summed-area table
+    (``ops/integral.py``): SUM OVER (ORDER BY ts, id) for EVERY row
+    without a global sort.
+
+    Plan: rows range-bucket by epoch HOUR (order-preserving, so the scan
+    decomposes); per-bucket sums are O(#hours) bounded metadata whose
+    driver-side exclusive prefix gives each bucket its starting offset
+    (broadcast once); one keyed exchange then scans each bucket locally
+    under the deterministic (ts, id) order. Same-timestamp rows always
+    share a bucket, so the tiebreak never crosses the exchange.
+
+    Returns (id_col, running_cents) — exact int64 cents.
+    """
+    import ray
+
+    HOUR_US = 3_600_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        cents = np.rint(t.column(value_col).to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "b": pa.array(ts // HOUR_US, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            id_col: t.column(id_col).cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    tagged = (events_ds.select_columns([ts_col, value_col, id_col])
+              .map_batches(tag, batch_format="pyarrow", batch_size=65536)
+              .materialize())  # two consumers: bucket sums + the scan
+
+    def bsum(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"b": t.column("b").to_numpy(),
+                            "s": t.column("cents").to_numpy()})
+              .groupby("b", sort=False)["s"].sum().reset_index())
+        return table_from_pandas(df.astype(np.int64))
+
+    from ray.data.aggregate import Sum
+
+    # hours are bounded metadata (the tile-totals discipline): the keyed
+    # fold output is O(#hours) rows, pulled once for the driver prefix
+    bsums = (tagged.map_batches(bsum, batch_format="pyarrow",
+                                batch_size=65536)
+             .groupby("b").aggregate(Sum("s", alias_name="s"))
+             .to_pandas().sort_values("b"))
+    offs = dict(zip(
+        bsums["b"].astype(np.int64),
+        np.concatenate([[0], bsums["s"].to_numpy(np.int64)[:-1].cumsum()]),
+    ))
+    offs_ref = ray.put(offs)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offs_ref)[int(g["b"].iloc[0])]
+        g = g.sort_values(["ts_us", id_col], kind="mergesort")
+        run = g["cents"].to_numpy(np.int64).cumsum() + off
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             "running_cents": run.astype(np.int64)})
+
+    return tagged.groupby("b").map_groups(scan, batch_format="pandas")
