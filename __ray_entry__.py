@@ -1969,6 +1969,17 @@ def _q_events_running_total(sf_dir: str):
     return running_total(ev).sort("event_id")
 
 
+def _q_mosaic_blur(sf_dir: str):
+    """5x5 binomial blur per-tile stats — the WIDE-halo stencil (radius
+    2): 2-px edge strips + 2x2 corner blocks exchange, absent tiles
+    bordering valid ones still own centers (merge runs on halo-only
+    groups). Oracle re-derives every center from the plane dump."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import blur_stats
+
+    return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
+
+
 def _q_mosaic_box_sums(sf_dir: str):
     """Box sums over the mosaic via a DISTRIBUTED summed-area table —
     the 2D prefix SCAN: per-tile col/row strip vectors scan along tile
@@ -3111,6 +3122,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": _q_supplier_hhi,  # Herfindahl concentration
         "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
+        "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "events_running_total": _q_events_running_total,  # 1D prefix scan
         "customers_percent_rank": _q_customers_percent_rank,  # exact rational
         "docs_cdc_chunks": _q_docs_cdc_chunks,  # content-defined chunking
@@ -4543,6 +4555,25 @@ SELECT event_id,
     AS running_cents
 FROM events
 ORDER BY event_id
+""",
+        "mosaic_blur": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+d AS (SELECT * FROM (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1))
+      AS t(d, w)),
+contrib AS (
+  SELECT p.y + dy.d AS cy, p.x + dx.d AS cx,
+         sum(CAST(dy.w * dx.w AS BIGINT) * p.v) AS num,
+         sum(CAST(dy.w * dx.w AS BIGINT)) AS den
+  FROM px p, d dy, d dx
+  GROUP BY 1, 2
+),
+cc AS (SELECT * FROM contrib
+       WHERE cy BETWEEN 0 AND 2047 AND cx BETWEEN 0 AND 2047)
+SELECT concat(CAST(cx // 128 AS VARCHAR), '-',
+              CAST(cy // 128 AS VARCHAR)) AS tile_id,
+  (cx // 128)::BIGINT AS tx, (cy // 128)::BIGINT AS ty,
+  count(*)::BIGINT AS n_px, sum(num // den)::BIGINT AS blur_q_sum
+FROM cc GROUP BY 1, 2, 3 ORDER BY 1
 """,
         "parts_triangles": """
 WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -188,6 +188,7 @@ def run_bench() -> dict:
         "parts_triangles",
         "mosaic_box_sums",
         "events_running_total",
+        "mosaic_blur",
     ]
     for name in bench_queries:
         timed(name, qs[name])

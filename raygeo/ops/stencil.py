@@ -1202,3 +1202,219 @@ def aspect_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
 
     return partials.groupby("tile_id").map_groups(merge,
                                                   batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- 5x5 blur
+
+BLUR_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    # 'self' | own outer-4 rings 'ring_{n,s,w,e}' | neighbor 2-px strips
+    # 'nbr_{n,s,w,e}' | 2x2 corner blocks 'nbr_{nw,ne,sw,se}_c'
+    ("kind", pa.string()),
+    ("n_px", pa.int64()),
+    ("blur_q_sum", pa.int64()),
+    ("v", pa.binary()),
+    ("m", pa.binary()),
+])
+
+_B5 = np.array([1, 4, 6, 4, 1], np.int64)
+
+
+def _blur_numden(v: np.ndarray, m: np.ndarray):
+    """Separable 5x5 binomial weighted sums over valid pixels: returns
+    (num, den) of shape (H-4, W-4) — centers whose window lies inside."""
+    vm = v * m
+    # rows pass
+    num_r = sum(int(_B5[k]) * vm[:, k:vm.shape[1] - 4 + k]
+                for k in range(5))
+    den_r = sum(int(_B5[k]) * m[:, k:m.shape[1] - 4 + k]
+                for k in range(5))
+    num = sum(int(_B5[k]) * num_r[k:num_r.shape[0] - 4 + k, :]
+              for k in range(5))
+    den = sum(int(_B5[k]) * den_r[k:den_r.shape[0] - 4 + k, :]
+              for k in range(5))
+    return num, den
+
+
+def blur_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile 5x5 binomial-blur statistics — the WIDE-halo focal op
+    (radius 2): every existing stencil exchanges 1-px halos; a 5x5 kernel
+    needs 2-px edge strips and 2x2 corner blocks, and an ABSENT tile
+    bordering a valid one still owns blur centers (its ring pixels see
+    the neighbor through the halo), so the merge also runs on groups
+    with no 'self' row.
+
+    Semantics: for every grid pixel whose 5x5 window holds >=1 valid
+    mosaic pixel, blur_q = (Σ w·v) // (Σ w) over the window's valid
+    pixels with binomial weights w = [1,4,6,4,1]⊗[1,4,6,4,1]. Output
+    (tile_id, tx, ty, n_px, blur_q_sum) per tile owning >=1 such center.
+
+    Plan: interior centers (windows inside the tile) fold MAP-SIDE; the
+    keyed exchange carries own outer-4 ring strips + 2-px halo strips +
+    2x2 corner blocks — O(perimeter), never a canvas. Oracle: DuckDB
+    re-derives every center from the plane dump (weights by |d| CASE).
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in BLUR_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, n=0, stat=0, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["n_px"].append(n)
+            out["blur_q_sum"].append(stat)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk)
+            v = _vsum(canvas, pack)
+            mi = mask.astype(np.int64)
+            tx, ty = int(txs[j]), int(tys[j])
+            num, den = _blur_numden(v, mi)
+            ok = den > 0
+            row((tx, ty), "self", int(ok.sum()),
+                int((num[ok] // den[ok]).sum()))
+
+            def strip(vs, ms):
+                return (np.ascontiguousarray(vs).astype(np.int64).tobytes(),
+                        np.ascontiguousarray(ms).astype(np.uint8).tobytes())
+
+            for kind, vs, ms in (
+                ("ring_n", v[0:4, :], mask[0:4, :]),
+                ("ring_s", v[-4:, :], mask[-4:, :]),
+                ("ring_w", v[:, 0:4], mask[:, 0:4]),
+                ("ring_e", v[:, -4:], mask[:, -4:]),
+            ):
+                b, m = strip(vs, ms)
+                row((tx, ty), kind, v=b, m=m)
+            sends = [
+                ((tx - 1, ty), "nbr_e", v[:, 0:2], mask[:, 0:2]),
+                ((tx + 1, ty), "nbr_w", v[:, -2:], mask[:, -2:]),
+                ((tx, ty - 1), "nbr_s", v[0:2, :], mask[0:2, :]),
+                ((tx, ty + 1), "nbr_n", v[-2:, :], mask[-2:, :]),
+                ((tx - 1, ty - 1), "nbr_se_c", v[0:2, 0:2],
+                 mask[0:2, 0:2]),
+                ((tx + 1, ty - 1), "nbr_sw_c", v[0:2, -2:],
+                 mask[0:2, -2:]),
+                ((tx - 1, ty + 1), "nbr_ne_c", v[-2:, 0:2],
+                 mask[-2:, 0:2]),
+                ((tx + 1, ty + 1), "nbr_nw_c", v[-2:, -2:],
+                 mask[-2:, -2:]),
+            ]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b, m = strip(vs, ms)
+                    row((ntx, nty), kind, v=b, m=m)
+        return pa.table(out, schema=BLUR_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.select_columns(
+        ["tile_id", "tx", "ty", "px_z", "mask_z"]
+    ).map_batches(emit, batch_format="pyarrow", batch_size=64)
+
+    def _place(P, M, kind, vs, ms):
+        c = chunk
+        if kind == "ring_n":
+            P[2:6, 2:c + 2] = vs.reshape(4, c)
+            M[2:6, 2:c + 2] = ms.reshape(4, c)
+        elif kind == "ring_s":
+            P[c - 2:c + 2, 2:c + 2] = vs.reshape(4, c)
+            M[c - 2:c + 2, 2:c + 2] = ms.reshape(4, c)
+        elif kind == "ring_w":
+            P[2:c + 2, 2:6] = vs.reshape(c, 4)
+            M[2:c + 2, 2:6] = ms.reshape(c, 4)
+        elif kind == "ring_e":
+            P[2:c + 2, c - 2:c + 2] = vs.reshape(c, 4)
+            M[2:c + 2, c - 2:c + 2] = ms.reshape(c, 4)
+        elif kind == "nbr_n":
+            P[0:2, 2:c + 2] = vs.reshape(2, c)
+            M[0:2, 2:c + 2] = ms.reshape(2, c)
+        elif kind == "nbr_s":
+            P[c + 2:c + 4, 2:c + 2] = vs.reshape(2, c)
+            M[c + 2:c + 4, 2:c + 2] = ms.reshape(2, c)
+        elif kind == "nbr_w":
+            P[2:c + 2, 0:2] = vs.reshape(c, 2)
+            M[2:c + 2, 0:2] = ms.reshape(c, 2)
+        elif kind == "nbr_e":
+            P[2:c + 2, c + 2:c + 4] = vs.reshape(c, 2)
+            M[2:c + 2, c + 2:c + 4] = ms.reshape(c, 2)
+        elif kind == "nbr_nw_c":
+            P[0:2, 0:2] = vs.reshape(2, 2)
+            M[0:2, 0:2] = ms.reshape(2, 2)
+        elif kind == "nbr_ne_c":
+            P[0:2, c + 2:c + 4] = vs.reshape(2, 2)
+            M[0:2, c + 2:c + 4] = ms.reshape(2, 2)
+        elif kind == "nbr_sw_c":
+            P[c + 2:c + 4, 0:2] = vs.reshape(2, 2)
+            M[c + 2:c + 4, 0:2] = ms.reshape(2, 2)
+        elif kind == "nbr_se_c":
+            P[c + 2:c + 4, c + 2:c + 4] = vs.reshape(2, 2)
+            M[c + 2:c + 4, c + 2:c + 4] = ms.reshape(2, 2)
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        c = chunk
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        P = np.zeros((c + 4, c + 4), np.int64)
+        M = np.zeros((c + 4, c + 4), np.int64)
+        n_self = 0
+        s_self = 0
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                n_self = int(g.column("n_px")[j].as_py())
+                s_self = int(g.column("blur_q_sum")[j].as_py())
+                continue
+            vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+            ms = np.frombuffer(g.column("m")[j].as_py(), np.uint8) \
+                .astype(np.int64)
+            _place(P, M, kind, vs, ms)
+        # padded frame covers tile pixels at offset +2; compute every
+        # center, then keep only the outer-2 border ring (interior came
+        # from the map side — and is WRONG here: the frame holds rings
+        # only)
+        num, den = _blur_numden(P, M)  # (c, c): centers = tile pixels
+        border = np.zeros((c, c), bool)
+        border[0:2, :] = True
+        border[-2:, :] = True
+        border[:, 0:2] = True
+        border[:, -2:] = True
+        ok = border & (den > 0)
+        n = n_self + int(ok.sum())
+        s = s_self + int((num[ok] // den[ok]).sum())
+        if n == 0:
+            return pa.table({k: pa.array([], BLUR_OUT_SCHEMA.field(k).type)
+                             for k in BLUR_OUT_SCHEMA.names})
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+            "tx": pa.array([tx], pa.int64()),
+            "ty": pa.array([ty], pa.int64()),
+            "n_px": pa.array([n], pa.int64()),
+            "blur_q_sum": pa.array([s], pa.int64()),
+        })
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")
+
+
+BLUR_OUT_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("n_px", pa.int64()),
+    ("blur_q_sum", pa.int64()),
+])

@@ -230,3 +230,39 @@ def test_flowlen_matches_full_plane(ray_session, seed, p_absent):
         })
     e = pd.DataFrame(exp)
     pd.testing.assert_frame_equal(_canon(got[e.columns]), _canon(e))
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_blur_matches_full_plane(ray_session, seed):
+    """5x5 binomial blur vs a serial full-plane paint, including centers
+    in ABSENT tiles that see valid neighbors through the 2-px halo."""
+    import ray.data as rd
+
+    from raygeo.ops.stencil import blur_stats
+
+    rows, v, valid = _random_mosaic(seed, p_absent=0.4)
+    got = (blur_stats(rd.from_items(rows).repartition(5), G)
+           .to_pandas().set_index("tile_id"))
+    b5 = np.array([1, 4, 6, 4, 1], np.int64)
+    K = np.outer(b5, b5)
+    H, W = v.shape
+    exp: dict[str, list[int]] = {}
+    for cy in range(H):
+        for cx in range(W):
+            y0, y1 = max(cy - 2, 0), min(cy + 3, H)
+            x0, x1 = max(cx - 2, 0), min(cx + 3, W)
+            ky0, kx0 = y0 - (cy - 2), x0 - (cx - 2)
+            m = valid[y0:y1, x0:x1]
+            w = K[ky0:ky0 + (y1 - y0), kx0:kx0 + (x1 - x0)]
+            den = int(w[m].sum())
+            if den == 0:
+                continue
+            num = int((w[m] * v[y0:y1, x0:x1][m]).sum())
+            tid = f"{cx // G.chunk}-{cy // G.chunk}"
+            ns = exp.setdefault(tid, [0, 0])
+            ns[0] += 1
+            ns[1] += num // den
+    assert set(got.index) == set(exp)
+    for tid, (n, s) in exp.items():
+        assert int(got.loc[tid, "n_px"]) == n, tid
+        assert int(got.loc[tid, "blur_q_sum"]) == s, tid
