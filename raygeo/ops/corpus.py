@@ -67,8 +67,6 @@ class _HashQualityStage:
 
 def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     """documents -> deduplicated quality-filtered (doc_id, n_tokens)."""
-    from ray.data.aggregate import Min
-
     partial = docs_ds.select_columns([text_col, id_col]).map_batches(
         _HashQualityStage(text_col, id_col),
         batch_format="pandas",
@@ -647,7 +645,6 @@ def vocab_growth(docs_ds, checkpoints: tuple[int, ...] = (100, 200, 300,
     first-appearance ids against the checkpoints — a cumulative histogram
     on the driver over |vocab| rows.
     """
-    from ray.data.aggregate import Min
 
     tok = re.compile(LOWER_TOKEN_RE)
 
@@ -816,7 +813,6 @@ def bigram_top(docs_ds, k: int = 30, text_col: str = "text"):
     Counter partials per batch — the shuffle carries one row per distinct
     bigram per batch, never token streams — then one keyed groupby + a
     bounded top-k sort. Ties break lexicographically."""
-    from ray.data.aggregate import Sum
 
     from ..util import bucketed_sum
 

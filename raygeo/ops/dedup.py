@@ -46,7 +46,6 @@ def exact_dedup(ds, key_col: str, id_col: str, precomputed_hash: str | None = No
     ``precomputed_hash`` is given (e.g. the images table's ``phash``), that
     int64 column is the key directly.
     """
-    from ray.data.aggregate import Min, Sum
 
     def add_hash(t: pa.Table) -> pa.Table:
         if precomputed_hash is not None:
@@ -180,7 +179,6 @@ def _prefilter_hot_buckets(blocks, id_cols: tuple[str, str]):
     through (harmless), never split a real bucket.
     """
     import ray
-    from ray.data.aggregate import Sum
 
     a_col, b_col = id_cols
 
@@ -343,7 +341,6 @@ def minhash_lsh_pairs(
     and the per-bucket cost drops to O(b). Buckets at or under the cap emit
     the full candidate pair set.
     """
-    from ray.data.aggregate import Count
 
     from ..util import auto_join_partitions, drop_empty_blocks
 
@@ -1021,7 +1018,6 @@ def _keep_best_join(ds, reps_ds, id_col: str, score_col: str,
     join corpus ⋈ reps, per-cluster winner via a keyed fold (max score,
     tie -> min id), decision via two left-outer joins. Nothing
     member-sized ever reaches the driver."""
-    from ray.data.aggregate import Min
 
     from ..util import auto_join_partitions, shuffle_partitions
 

@@ -1433,8 +1433,6 @@ def large_orders(lineitem_ds, orders_path: str, customer_path: str,
     and the ≤k matching custkeys do the same over customer. No
     grows-with-SF table is ever broadcast or collected.
     """
-    from ray.data.aggregate import Sum
-
     from ..util import read_parquet_clean
 
     def lpartial(t: pa.Table) -> pa.Table:
@@ -1601,7 +1599,6 @@ def returned_revenue(lineitem_ds, orders_path: str, customer_path: str,
     back to fetch names — no grows-with-SF table is broadcast or
     collected.
     """
-    from ray.data.aggregate import Sum
 
     from ..util import join_partitions, read_parquet_clean
 
@@ -1810,7 +1807,6 @@ def customer_rfm(orders_ds, asof: str = "1998-08-01"):
     spend in integer cents (monetary). One map-side partial fold + one
     keyed groupby; all-integer.
     """
-    from ray.data.aggregate import Max, Sum
 
     asof_d = np.datetime64(asof, "D")
 
@@ -2092,8 +2088,7 @@ def customer_order_histogram(orders_ds, customer_path: str,
     """
     from ray.data.aggregate import Sum
 
-    from ..util import cluster_cpus, drop_empty_blocks, join_partitions, \
-        read_parquet_clean
+    from ..util import join_partitions, read_parquet_clean
 
     if num_partitions is None:
         num_partitions = join_partitions(customer_path)
@@ -2324,8 +2319,7 @@ def supplier_part_counts(lineitem_ds, part_path: str, supplier_path: str,
     """
     from ray.data.aggregate import Sum
 
-    from ..util import cluster_cpus, drop_empty_blocks, join_partitions, \
-        read_parquet_clean
+    from ..util import drop_empty_blocks, join_partitions, read_parquet_clean
 
     if num_partitions is None:
         num_partitions = join_partitions(part_path)

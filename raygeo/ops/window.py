@@ -158,7 +158,6 @@ def small_qty_revenue(lineitem_ds, part_path: str, brand: str):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Sum
 
     part = pq.read_table(part_path, columns=["p_partkey", "p_brand"])
     brand_keys = np.sort(
