@@ -191,6 +191,14 @@ def run_bench() -> dict:
         "mosaic_blur",
     ]
     for name in bench_queries:
+        if name == "ingest_mosaic_median":
+            # warm the session-scoped shared tile table as its OWN line so
+            # the first mosaic_* consumer doesn't absorb the build cost
+            # (the ingest itself is already measured by ingest_mosaic)
+            t0 = time.monotonic()
+            entrymod._tiles_lww(SF_DIR)
+            timings["shared_tiles_build"] = round(time.monotonic() - t0, 3)
+            counts["shared_tiles_build"] = 256
         timed(name, qs[name])
 
     headline_sec = sum(timings[n] for n in headline_names)
