@@ -1980,6 +1980,77 @@ def _q_mosaic_blur(sf_dir: str):
     return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_mosaic_flowaccum(sf_dir: str):
+    """D8 flow ACCUMULATION (upstream contributing cells + channel-cell
+    extraction) — the third leg of the terrain routing trio: one
+    canvas+halo exchange derives halo-exact code planes, round 0 walks
+    every valid cell in-tile (visits plane map-side), later rounds re-key
+    only O(perimeter) cross-border walker groups against the materialized
+    compressed code planes. Oracle = serial full-plane walk golden
+    (ensure_flowaccum_golden) sharing only the pure D8 rule."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import flowaccum_stats
+
+    return flowaccum_stats(_tiles_lww(sf_dir),
+                           FIXTURE_GRID).sort("tile_id")
+
+
+def _q_mosaic_focal_median(sf_dir: str):
+    """3x3 focal LOWER median (quantile_disc semantics) per-tile stats on
+    the generic ring-exchange focal engine — interior windows fold
+    map-side, only O(perimeter) ring strips shuffle. Oracle re-derives
+    every window median from the plane dump via quantile_disc(0.5)."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import focal_median_stats
+
+    return focal_median_stats(_tiles_lww(sf_dir),
+                              FIXTURE_GRID).sort("tile_id")
+
+
+def _q_mosaic_curvature(sf_dir: str):
+    """Discrete Laplacian + terrain-ruggedness (TRI) per-tile moments —
+    the curvature/roughness terrain pair on the shared ring exchange.
+    Oracle replays both folds with an 8-offset plane self-join."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import curvature_stats
+
+    return curvature_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
+
+
+def _q_mosaic_hotspots(sf_dir: str):
+    """Getis-Ord-Gi*-shaped hot-spot counts: a pixel is hot iff its 3x3
+    window mean strictly exceeds the GLOBAL mean, decided by integer
+    cross-multiplication (ws * N > wc * V) — no float, no sqrt. The
+    global scalars come free from the tile table's pix_sum/n_valid_px
+    metadata columns (no extra raster pass)."""
+    import pyarrow.compute as _pc
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import hotspot_stats
+
+    import ray as _ray
+
+    tiles = _tiles_lww(sf_dir)
+    V = N = 0
+    for r in tiles.select_columns(["pix_sum", "n_valid_px"]).to_arrow_refs():
+        t = _ray.get(r)
+        V += int(_pc.sum(t.column("pix_sum")).as_py() or 0)
+        N += int(_pc.sum(t.column("n_valid_px")).as_py() or 0)
+    return hotspot_stats(tiles, FIXTURE_GRID, V, N).sort("tile_id")
+
+
+def _q_mosaic_variogram(sf_dir: str):
+    """Empirical semivariogram moments at pixel lags 1/2/4 along +x/+y —
+    the geostatistics op: interior pairs fold map-side, only max-lag-wide
+    border strips shuffle, then a 6-key scalar fold. Oracle is a plane
+    self-join at each (axis, lag)."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import variogram_stats
+
+    return variogram_stats(_tiles_lww(sf_dir),
+                           FIXTURE_GRID).sort(["axis", "lag"])
+
+
 def _q_mosaic_box_sums(sf_dir: str):
     """Box sums over the mosaic via a DISTRIBUTED summed-area table —
     the 2D prefix SCAN: per-tile col/row strip vectors scan along tile
@@ -3123,6 +3194,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
+        "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
+        "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
+        "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
+        "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
+        "mosaic_variogram": _q_mosaic_variogram,  # semivariance lags
         "events_running_total": _q_events_running_total,  # 1D prefix scan
         "customers_percent_rank": _q_customers_percent_rank,  # exact rational
         "docs_cdc_chunks": _q_docs_cdc_chunks,  # content-defined chunking
@@ -3376,6 +3452,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_audio_frames_golden
 
     ensure_audio_frames_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_flowaccum_golden
+
+    ensure_flowaccum_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -3569,6 +3648,10 @@ FROM read_parquet('{FIX_SF001}/flowdir_golden.parquet')
         "mosaic_flowlen": f"""
 SELECT tile_id, tx, ty, n_px, len_sum, max_len, n_pits
 FROM read_parquet('{FIX_SF001}/flowlen_golden.parquet')
+""",
+        "mosaic_flowaccum": f"""
+SELECT tile_id, tx, ty, n_px, acc_sum, acc_max, n_channel
+FROM read_parquet('{FIX_SF001}/flowaccum_golden.parquet')
 """,
         # the spatialstats family has REAL SQL oracles: DuckDB recomputes
         # each statistic from scratch over the serial plane dump
@@ -4574,6 +4657,89 @@ SELECT concat(CAST(cx // 128 AS VARCHAR), '-',
   (cx // 128)::BIGINT AS tx, (cy // 128)::BIGINT AS ty,
   count(*)::BIGINT AS n_px, sum(num // den)::BIGINT AS blur_q_sum
 FROM cc GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_focal_median": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+d AS (SELECT * FROM (VALUES (-1), (0), (1)) AS t(d)),
+win AS (
+  SELECT p.y + dy.d AS cy, p.x + dx.d AS cx, p.v
+  FROM px p, d dy, d dx
+),
+w2 AS (SELECT * FROM win WHERE cy BETWEEN 0 AND 2047 AND cx BETWEEN 0 AND 2047),
+med AS (SELECT cy, cx, quantile_disc(v, 0.5) AS med FROM w2 GROUP BY 1, 2)
+SELECT concat(CAST(cx // 128 AS VARCHAR), '-',
+              CAST(cy // 128 AS VARCHAR)) AS tile_id,
+  (cx // 128)::BIGINT AS tx, (cy // 128)::BIGINT AS ty,
+  count(*)::BIGINT AS n_px, sum(med)::BIGINT AS med_sum
+FROM med GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_curvature": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+offs AS (SELECT * FROM (VALUES
+  (-1, -1, FALSE), (-1, 0, TRUE), (-1, 1, FALSE),
+  (0, -1, TRUE), (0, 1, TRUE),
+  (1, -1, FALSE), (1, 0, TRUE), (1, 1, FALSE)) AS t(dy, dx, four)),
+-- shift each valid pixel onto the centers it neighbors: the join below
+-- is then a single (y, x) equi-join (a center+offset join key makes the
+-- planner fall off the hash path)
+n8 AS (SELECT p.y - o.dy AS cy, p.x - o.dx AS cx, p.v, o.four
+       FROM px p, offs o),
+ctr AS (
+  SELECT c.y, c.x,
+    sum(CASE WHEN n.four THEN n.v - c.v ELSE 0 END) AS lap,
+    sum(abs(n.v - c.v)) AS tri
+  FROM px c JOIN n8 n ON n.cy = c.y AND n.cx = c.x
+  GROUP BY 1, 2
+)
+SELECT concat(CAST(x // 128 AS VARCHAR), '-',
+              CAST(y // 128 AS VARCHAR)) AS tile_id,
+  (x // 128)::BIGINT AS tx, (y // 128)::BIGINT AS ty,
+  count(*)::BIGINT AS n_px, sum(lap)::BIGINT AS lap_sum,
+  sum(tri)::BIGINT AS tri_sum
+FROM ctr GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_hotspots": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+g AS (SELECT sum(v) AS V, count(*) AS N FROM px),
+offs AS (SELECT * FROM (VALUES (-1), (0), (1)) AS t(d)),
+n9 AS (SELECT p.y - dy.d AS cy, p.x - dx.d AS cx, p.v
+       FROM px p, offs dy, offs dx),
+win AS (
+  SELECT c.y, c.x, sum(n.v) AS ws, count(n.v) AS wc
+  FROM px c JOIN n9 n ON n.cy = c.y AND n.cx = c.x
+  GROUP BY 1, 2
+)
+SELECT concat(CAST(w.x // 128 AS VARCHAR), '-',
+              CAST(w.y // 128 AS VARCHAR)) AS tile_id,
+  (w.x // 128)::BIGINT AS tx, (w.y // 128)::BIGINT AS ty,
+  count(*)::BIGINT AS n_px,
+  sum(CASE WHEN w.ws * g.N > w.wc * g.V THEN 1 ELSE 0 END)::BIGINT AS n_hot,
+  sum(CASE WHEN w.ws * g.N > w.wc * g.V
+      THEN w.ws * g.N - w.wc * g.V ELSE 0 END)::BIGINT AS hot_excess_sum
+FROM win w, g GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_variogram": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+lags AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(lag)),
+xs AS (SELECT p.y AS cy, p.x - l.lag AS cx, p.v, l.lag
+       FROM px p, lags l),
+ys AS (SELECT p.y - l.lag AS cy, p.x AS cx, p.v, l.lag
+       FROM px p, lags l),
+xp AS (
+  SELECT 'x' AS axis, b.lag::BIGINT AS lag,
+    count(*)::BIGINT AS n_pairs,
+    sum((b.v - a.v) * (b.v - a.v))::BIGINT AS gamma2
+  FROM px a JOIN xs b ON b.cy = a.y AND b.cx = a.x
+  GROUP BY 1, 2
+),
+yp AS (
+  SELECT 'y' AS axis, b.lag::BIGINT AS lag,
+    count(*)::BIGINT AS n_pairs,
+    sum((b.v - a.v) * (b.v - a.v))::BIGINT AS gamma2
+  FROM px a JOIN ys b ON b.cy = a.y AND b.cx = a.x
+  GROUP BY 1, 2
+)
+SELECT * FROM xp UNION ALL SELECT * FROM yp ORDER BY axis, lag
 """,
         "parts_triangles": """
 WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

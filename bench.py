@@ -189,6 +189,12 @@ def run_bench() -> dict:
         "mosaic_box_sums",
         "events_running_total",
         "mosaic_blur",
+        # session-10 additions (round 4)
+        "mosaic_focal_median",
+        "mosaic_curvature",
+        "mosaic_hotspots",
+        "mosaic_variogram",
+        "mosaic_flowaccum",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

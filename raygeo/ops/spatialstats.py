@@ -933,3 +933,333 @@ def flowlen_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
                        Sum("len_sum", alias_name="len_sum"),
                        Max("max_len", alias_name="max_len"),
                        Sum("n_pits", alias_name="n_pits")))
+
+
+# ---- D8 flow accumulation (upstream contributing cells) ---------------------
+
+FLOWACC_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'self' | 'nbr_*' halo strips
+    ("v", pa.binary()),
+    ("m", pa.binary()),
+])
+
+FLOWACC_MID_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'vis' (int64 plane) | 'codes' (int8 plane)
+    ("z", pa.binary()),     # compressed plane bytes
+    ("node", pa.int64()),   # 'walk' rows: entered global cell id
+    ("n", pa.int64()),      # 'walk' rows: path count entering there
+])
+
+
+def _acc_nxt_ext(codes: np.ndarray, chunk: int, gy0: int, gx0: int,
+                 width: int):
+    """Per flattened tile cell: in-tile next index (or -1) and exit-target
+    global id (or -1) from the D8 code plane."""
+    c = chunk
+    rr, cc2 = np.divmod(np.arange(c * c), c)
+    code_f = codes.ravel()
+    nxt = np.full(c * c, -1, np.int64)
+    ext = np.full(c * c, -1, np.int64)
+    for k, (dr, dc_) in _D8_OFF.items():
+        sel = code_f == k
+        if not sel.any():
+            continue
+        tr, tc = rr[sel] + dr, cc2[sel] + dc_
+        inside = (tr >= 0) & (tr < c) & (tc >= 0) & (tc < c)
+        idx = np.nonzero(sel)[0]
+        nxt[idx[inside]] = tr[inside] * c + tc[inside]
+        ext[idx[~inside]] = ((gy0 + tr[~inside]) * width
+                             + (gx0 + tc[~inside]))
+    return nxt, ext
+
+
+def _acc_walk(nxt: np.ndarray, ext: np.ndarray, starts: np.ndarray,
+              counts: np.ndarray, vis: np.ndarray):
+    """Vectorized in-tile walk: every (start, count) walker adds ``count``
+    visits at each cell along its D8 path (start and pit inclusive);
+    walkers stepping out return as (entered global id, count) groups.
+    Converging paths merge each step (np.unique), so the work per step is
+    bounded by live DISTINCT positions."""
+    cur, cnt = starts, counts
+    out_t: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    for _ in range(4096):
+        if len(cur) == 0:
+            break
+        u, inv = np.unique(cur, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cnt)
+        cur, cnt = u, s
+        vis[cur] += cnt
+        ex = ext[cur]
+        exiting = ex >= 0
+        if exiting.any():
+            out_t.append(ex[exiting])
+            out_n.append(cnt[exiting])
+        nx = nxt[cur]
+        cont = nx >= 0
+        cur, cnt = nx[cont], cnt[cont]
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("flowaccum: in-tile walk did not converge")
+    if out_t:
+        return np.concatenate(out_t), np.concatenate(out_n)
+    return np.empty(0, np.int64), np.empty(0, np.int64)
+
+
+def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+                    channel_t: int = 5, max_rounds: int = 64):
+    """D8 flow-ACCUMULATION statistics — the third leg of the terrain
+    routing trio (flowdir -> flowlen -> flowaccum): for every valid pixel,
+    ``acc(p)`` = number of valid cells (including p itself) whose
+    steepest-descent path passes through p; cells with ``acc >= channel_t``
+    are channel (stream-network) cells.
+
+    Plan: ONE canvas+halo exchange computes each tile's halo-exact D8 code
+    plane; round 0 walks EVERY valid cell in-tile (vectorized wave with
+    converging-path merge — work per step is bounded by live distinct
+    positions), accumulating a per-tile visits plane and emitting
+    O(perimeter) cross-border walker groups ``(entered cell, path count)``.
+    Each later round re-keys the walkers by their target tile and walks
+    them against the MATERIALIZED compressed code planes (no canvas ever
+    moves again); rounds end when no walker crosses a border — v strictly
+    decreases every hop, so crossings are finite and few. The final keyed
+    merge sums each tile's visit-plane partials.
+
+    Output: (tile_id, tx, ty, n_px, acc_sum, acc_max, n_channel) per tile
+    with >=1 valid pixel. Checked against ``fixtures.ensure_flowaccum_golden``
+    — a serial full-plane walk sharing only the pure ``_flowdir_codes``
+    rule — plus random-mosaic oracles in tests.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    width = grid.width
+    c = chunk
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in FLOWACC_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            row((tx, ty), "self", v=px_z[j], m=mask_z[j])
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), c, c)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(c, c).astype(bool)
+            v = _vsum(canvas, pack)
+
+            def strip(vs, ms):
+                return (np.ascontiguousarray(vs).astype(np.int64).tobytes(),
+                        np.ascontiguousarray(ms).astype(np.uint8).tobytes())
+
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0]),
+                     ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1]),
+                     ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :]),
+                     ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", v[0:1, 0], mask[0:1, 0]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", v[0:1, -1],
+                      mask[0:1, -1]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", v[-1:, 0], mask[-1:, 0]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", v[-1:, -1],
+                      mask[-1:, -1])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b_, m_ = strip(vs, ms)
+                    row((ntx, nty), kind, v=b_, m=m_)
+        return pa.table(out, schema=FLOWACC_PARTIAL_SCHEMA)
+
+    def _place(P, M, kind, vs, ms):
+        if kind == "nbr_n":
+            P[0, 1:c + 1], M[0, 1:c + 1] = vs, ms
+        elif kind == "nbr_s":
+            P[c + 1, 1:c + 1], M[c + 1, 1:c + 1] = vs, ms
+        elif kind == "nbr_w":
+            P[1:c + 1, 0], M[1:c + 1, 0] = vs, ms
+        elif kind == "nbr_e":
+            P[1:c + 1, c + 1], M[1:c + 1, c + 1] = vs, ms
+        elif kind == "nbr_nw_c":
+            P[0, 0], M[0, 0] = vs[0], ms[0]
+        elif kind == "nbr_ne_c":
+            P[0, c + 1], M[0, c + 1] = vs[0], ms[0]
+        elif kind == "nbr_sw_c":
+            P[c + 1, 0], M[c + 1, 0] = vs[0], ms[0]
+        elif kind == "nbr_se_c":
+            P[c + 1, c + 1], M[c + 1, c + 1] = vs[0], ms[0]
+
+    def _mid_row(out, tx, ty, kind, z=b"", node=-1, n=0):
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["kind"].append(kind)
+        out["z"].append(z)
+        out["node"].append(int(node))
+        out["n"].append(int(n))
+
+    def round0(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        out: dict[str, list] = {k: [] for k in FLOWACC_MID_SCHEMA.names}
+        if "self" not in kinds:
+            return pa.table(out, schema=FLOWACC_MID_SCHEMA)
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        P = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                canvas = pack.from_bytes(
+                    zlib.decompress(g.column("v")[j].as_py()), c, c)
+                mask = np.frombuffer(
+                    zlib.decompress(g.column("m")[j].as_py()),
+                    np.uint8).reshape(c, c).astype(bool)
+                P[1:c + 1, 1:c + 1] = _vsum(canvas, pack)
+                M[1:c + 1, 1:c + 1] = mask
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place(P, M, kind, vs, ms)
+        codes = _flowdir_codes(P, M)
+        valid = codes.ravel() >= 0
+        if not valid.any():
+            return pa.table(out, schema=FLOWACC_MID_SCHEMA)
+        gy0, gx0 = ty * c, tx * c
+        nxt, ext = _acc_nxt_ext(codes, c, gy0, gx0, width)
+        vis = np.zeros(c * c, np.int64)
+        starts = np.nonzero(valid)[0]
+        wt, wn = _acc_walk(nxt, ext, starts,
+                           np.ones(len(starts), np.int64), vis)
+        _mid_row(out, tx, ty, "codes",
+                 z=zlib.compress(codes.astype(np.int8).tobytes(), 1))
+        _mid_row(out, tx, ty, "vis",
+                 z=zlib.compress(vis.tobytes(), 1))
+        for t_, n_ in zip(wt, wn):
+            _mid_row(out, tx, ty, "walk", node=t_, n=n_)
+        return pa.table(out, schema=FLOWACC_MID_SCHEMA)
+
+    mid = (tiles_ds.select_columns(["tile_id", "tx", "ty", "px_z", "mask_z"])
+           .map_batches(emit, batch_format="pyarrow", batch_size=64)
+           .groupby("tile_id").map_groups(round0, batch_format="pyarrow")
+           .materialize())
+
+    codes_tbl = mid.filter(expr="kind == 'codes'").materialize()
+    vis_parts = [mid.filter(expr="kind == 'vis'")
+                 .select_columns(["tile_id", "tx", "ty", "z"])
+                 .materialize()]
+    walkers = mid.filter(expr="kind == 'walk'") \
+                 .select_columns(["node", "n"]).materialize()
+
+    def key_walkers(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        gx = node % width
+        gy = node // width
+        tx = gx // c
+        ty = gy // c
+        tid = [f"{a}-{b}" for a, b in zip(tx, ty)]
+        return pa.table({
+            "tile_id": pa.array(tid, pa.string()),
+            "tx": pa.array(tx, pa.int64()),
+            "ty": pa.array(ty, pa.int64()),
+            "kind": pa.array(["walk"] * len(t), pa.string()),
+            "z": pa.array([b""] * len(t), pa.binary()),
+            "node": t.column("node"),
+            "n": t.column("n"),
+        }, schema=FLOWACC_MID_SCHEMA)
+
+    def roundk(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        out: dict[str, list] = {k: [] for k in FLOWACC_MID_SCHEMA.names}
+        if "codes" not in kinds:  # pragma: no cover - defensive
+            raise RuntimeError("flowaccum: walker entered a codeless tile")
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        gy0, gx0 = ty * c, tx * c
+        codes = None
+        nodes: list[int] = []
+        ns: list[int] = []
+        for j, kind in enumerate(kinds):
+            if kind == "codes":
+                codes = np.frombuffer(
+                    zlib.decompress(g.column("z")[j].as_py()),
+                    np.int8).reshape(c, c)
+            elif kind == "walk":
+                nodes.append(int(g.column("node")[j].as_py()))
+                ns.append(int(g.column("n")[j].as_py()))
+        if not nodes:
+            return pa.table(out, schema=FLOWACC_MID_SCHEMA)
+        nxt, ext = _acc_nxt_ext(codes.astype(np.int64), c, gy0, gx0, width)
+        node_a = np.asarray(nodes, np.int64)
+        starts = (node_a // width - gy0) * c + (node_a % width - gx0)
+        vis = np.zeros(c * c, np.int64)
+        wt, wn = _acc_walk(nxt, ext, starts, np.asarray(ns, np.int64), vis)
+        _mid_row(out, tx, ty, "vis", z=zlib.compress(vis.tobytes(), 1))
+        for t_, n_ in zip(wt, wn):
+            _mid_row(out, tx, ty, "walk", node=t_, n=n_)
+        return pa.table(out, schema=FLOWACC_MID_SCHEMA)
+
+    for _ in range(max_rounds):
+        if int(walkers.count()) == 0:
+            break
+        stepped = (walkers.map_batches(key_walkers, batch_format="pyarrow")
+                   .union(codes_tbl)
+                   .groupby("tile_id")
+                   .map_groups(roundk, batch_format="pyarrow")
+                   .materialize())
+        vis_parts.append(stepped.filter(expr="kind == 'vis'")
+                         .select_columns(["tile_id", "tx", "ty", "z"])
+                         .materialize())
+        walkers = stepped.filter(expr="kind == 'walk'") \
+                         .select_columns(["node", "n"]).materialize()
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("flowaccum: cross-tile rounds did not converge")
+
+    allvis = vis_parts[0]
+    for p in vis_parts[1:]:
+        allvis = allvis.union(p)
+
+    OUT_SCHEMA = pa.schema([
+        ("tile_id", pa.string()), ("tx", pa.int64()), ("ty", pa.int64()),
+        ("n_px", pa.int64()), ("acc_sum", pa.int64()),
+        ("acc_max", pa.int64()), ("n_channel", pa.int64()),
+    ])
+
+    def finish(g: pa.Table) -> pa.Table:
+        acc = np.zeros(c * c, np.int64)
+        for z in g.column("z").to_pylist():
+            acc += np.frombuffer(zlib.decompress(z), np.int64)
+        pos = acc > 0
+        if not pos.any():
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in OUT_SCHEMA})
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+            "tx": pa.array([tx], pa.int64()),
+            "ty": pa.array([ty], pa.int64()),
+            "n_px": pa.array([int(pos.sum())], pa.int64()),
+            "acc_sum": pa.array([int(acc.sum())], pa.int64()),
+            "acc_max": pa.array([int(acc.max())], pa.int64()),
+            "n_channel": pa.array([int((acc >= channel_t).sum())],
+                                  pa.int64()),
+        }, schema=OUT_SCHEMA)
+
+    return allvis.groupby("tile_id").map_groups(finish,
+                                                batch_format="pyarrow")

@@ -1418,3 +1418,456 @@ BLUR_OUT_SCHEMA = pa.schema([
     ("n_px", pa.int64()),
     ("blur_q_sum", pa.int64()),
 ])
+
+
+# ---- generic 3x3 ring-exchange focal engine ---------------------------------
+#
+# dilate/erode predate this engine and keep their own (oracle-green, stable)
+# emit/merge; new 3x3 focal ops plug a single vectorized ``reduce_fn`` into
+# the shared ring protocol below instead of re-implementing the exchange.
+
+RING_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    # 'self' | own ring strips 'ring_{n,s,w,e}' | neighbor strips
+    # 'nbr_{n,s,w,e}' | corner pixels 'nbr_{nw,ne,sw,se}_c'
+    ("kind", pa.string()),
+    ("n", pa.int64()),
+    ("s1", pa.int64()),
+    ("s2", pa.int64()),
+    ("v", pa.binary()),   # int64 strip values
+    ("m", pa.binary()),   # uint8 strip validity
+])
+
+
+def ring_focal_stats(tiles_ds, grid: GridSpec, reduce_fn,
+                     pack: ChannelPack | None = None,
+                     names=("n_px", "s1_sum", "s2_sum")):
+    """Generic per-tile 3x3 focal statistic with the FULL 8-neighborhood
+    ring/halo exchange (the ``dilate_stats`` plan, reduction-agnostic).
+
+    ``reduce_fn(P, M) -> (sel, s1, s2)`` is a pure vectorized kernel over a
+    PADDED ``(h+2, w+2)`` int64 value frame ``P`` and bool validity ``M``:
+    it returns, for the ``(h, w)`` center positions, a bool selection plane
+    and one or two int64 stat planes (``s2`` may be ``None``). The engine
+    computes interior positions MAP-SIDE (windows fully inside the tile —
+    zero data movement) and border positions in the keyed merge from the
+    O(perimeter) exchanged ring frame; output is one row per tile:
+    ``(tile_id, tx, ty, n, s1_sum[, s2_sum])`` where ``n = sel.sum()`` and
+    each stat plane sums over ``sel``.
+
+    Reference analog: the focal/windowed raster statistics the reference
+    computes over loaded cube windows (smart-geocubes core/accessor.py
+    load-window path); here the window never materializes — only strips
+    move. Scale: identical envelope to dilate_stats (O(perimeter) shuffle
+    per tile, never a canvas).
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    two = names[2] is not None and len(names) > 2
+
+    def _stats(sel, s1, s2, region):
+        ok = sel & region
+        return (int(ok.sum()), int(s1[ok].sum()),
+                int(s2[ok].sum()) if s2 is not None else 0)
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in RING_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, n=0, a=0, b=0, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["n"].append(n)
+            out["s1"].append(a)
+            out["s2"].append(b)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        c = chunk
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), c, c)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(c, c).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            # interior map-side: pad with invalid; border ring positions
+            # (whose windows cross the tile) are excluded here and computed
+            # by the merge from the exchanged frame.
+            P = np.zeros((c + 2, c + 2), np.int64)
+            M = np.zeros((c + 2, c + 2), bool)
+            P[1:c + 1, 1:c + 1] = v
+            M[1:c + 1, 1:c + 1] = mask
+            sel, s1, s2 = reduce_fn(P, M)
+            inner = np.zeros((c, c), bool)
+            inner[1:-1, 1:-1] = True
+            row((tx, ty), "self", *_stats(sel, s1, s2, inner))
+
+            def strip(vs, ms):
+                return (np.ascontiguousarray(vs).astype(np.int64).tobytes(),
+                        np.ascontiguousarray(ms).astype(np.uint8).tobytes())
+
+            for kind, vs, ms in (
+                ("ring_n", v[0:2, :], mask[0:2, :]),
+                ("ring_s", v[-2:, :], mask[-2:, :]),
+                ("ring_w", v[:, 0:2], mask[:, 0:2]),
+                ("ring_e", v[:, -2:], mask[:, -2:]),
+            ):
+                b_, m_ = strip(vs, ms)
+                row((tx, ty), kind, v=b_, m=m_)
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0]),
+                     ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1]),
+                     ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :]),
+                     ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", v[0:1, 0], mask[0:1, 0]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", v[0:1, -1],
+                      mask[0:1, -1]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", v[-1:, 0], mask[-1:, 0]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", v[-1:, -1],
+                      mask[-1:, -1])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b_, m_ = strip(vs, ms)
+                    row((ntx, nty), kind, v=b_, m=m_)
+        return pa.table(out, schema=RING_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def _place(P, M, kind, vs, ms):
+        c = chunk
+        if kind == "ring_n":
+            P[1:3, 1:c + 1] = vs.reshape(2, c)
+            M[1:3, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_s":
+            P[c - 1:c + 1, 1:c + 1] = vs.reshape(2, c)
+            M[c - 1:c + 1, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_w":
+            P[1:c + 1, 1:3] = vs.reshape(c, 2)
+            M[1:c + 1, 1:3] = ms.reshape(c, 2)
+        elif kind == "ring_e":
+            P[1:c + 1, c - 1:c + 1] = vs.reshape(c, 2)
+            M[1:c + 1, c - 1:c + 1] = ms.reshape(c, 2)
+        elif kind == "nbr_n":
+            P[0, 1:c + 1], M[0, 1:c + 1] = vs, ms
+        elif kind == "nbr_s":
+            P[c + 1, 1:c + 1], M[c + 1, 1:c + 1] = vs, ms
+        elif kind == "nbr_w":
+            P[1:c + 1, 0], M[1:c + 1, 0] = vs, ms
+        elif kind == "nbr_e":
+            P[1:c + 1, c + 1], M[1:c + 1, c + 1] = vs, ms
+        elif kind == "nbr_nw_c":
+            P[0, 0], M[0, 0] = vs[0], ms[0]
+        elif kind == "nbr_ne_c":
+            P[0, c + 1], M[0, c + 1] = vs[0], ms[0]
+        elif kind == "nbr_sw_c":
+            P[c + 1, 0], M[c + 1, 0] = vs[0], ms[0]
+        elif kind == "nbr_se_c":
+            P[c + 1, c + 1], M[c + 1, c + 1] = vs[0], ms[0]
+
+    out_fields = [("tile_id", pa.string()), ("tx", pa.int64()),
+                  ("ty", pa.int64()), (names[0], pa.int64()),
+                  (names[1], pa.int64())]
+    if two:
+        out_fields.append((names[2], pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    def merge(g: pa.Table) -> pa.Table:
+        # NOTE: no early return on a missing 'self' row — an ABSENT tile
+        # bordering valid ones can still own centers whose windows draw
+        # entirely from the received halo strips (the blur/plane-oracle
+        # convention); a truly empty frame falls out via n == 0 below.
+        kinds = g.column("kind").to_pylist()
+        c = chunk
+        P = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        n = a = b = 0
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                n += int(g.column("n")[j].as_py())
+                a += int(g.column("s1")[j].as_py())
+                b += int(g.column("s2")[j].as_py())
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place(P, M, kind, vs, ms)
+        sel, s1, s2 = reduce_fn(P, M)
+        border = np.zeros((c, c), bool)
+        border[0, :] = border[-1, :] = True
+        border[:, 0] = border[:, -1] = True
+        dn, da, db = _stats(sel, s1, s2, border)
+        n, a, b = n + dn, a + da, b + db
+        if n == 0:
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in out_schema})
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        cols = {"tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+                "tx": pa.array([tx], pa.int64()),
+                "ty": pa.array([ty], pa.int64()),
+                names[0]: pa.array([n], pa.int64()),
+                names[1]: pa.array([a], pa.int64())}
+        if two:
+            cols[names[2]] = pa.array([b], pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")
+
+
+def _shift_stack(P: np.ndarray, M: np.ndarray):
+    """(9, h, w) stacks of the 3x3 window values/validity per center."""
+    h, w = P.shape[0] - 2, P.shape[1] - 2
+    S = np.empty((9, h, w), np.int64)
+    C = np.empty((9, h, w), bool)
+    i = 0
+    for dr in range(3):
+        for dc in range(3):
+            S[i] = P[dr:dr + h, dc:dc + w]
+            C[i] = M[dr:dr + h, dc:dc + w]
+            i += 1
+    return S, C
+
+
+def focal_median_stats(tiles_ds, grid: GridSpec,
+                       pack: ChannelPack | None = None):
+    """3x3 focal LOWER median (rank ceil(k/2) of the window's k valid
+    values — DuckDB ``quantile_disc(v, 0.5)`` semantics, so the oracle is
+    an exact SQL replay over the plane dump). Output per tile:
+    (tile_id, tx, ty, n_px, med_sum) over pixels whose window has >=1
+    valid value. The despeckle/denoise focal op of the family."""
+
+    def reduce_fn(P, M):
+        S, C = _shift_stack(P, M)
+        Sv = np.where(C, S, _POS)
+        Sv.sort(axis=0)
+        k = C.sum(axis=0)
+        sel = k > 0
+        idx = np.maximum((k + 1) // 2 - 1, 0)
+        med = np.take_along_axis(Sv, idx[None], axis=0)[0]
+        med[~sel] = 0
+        return sel, med, None
+
+    return ring_focal_stats(tiles_ds, grid, reduce_fn, pack,
+                            names=("n_px", "med_sum", None))
+
+
+def curvature_stats(tiles_ds, grid: GridSpec,
+                    pack: ChannelPack | None = None):
+    """Discrete Laplacian + terrain-ruggedness (TRI) statistics per tile.
+
+    For every pixel p with a valid center value and >=1 valid 8-neighbor:
+    ``lap = sum(v_n - v_p)`` over the VALID 4-neighbors (0 if none) and
+    ``tri = sum(|v_n - v_p|)`` over the valid 8-neighbors. Output
+    (tile_id, tx, ty, n_px, lap_sum, tri_sum) — the curvature/roughness
+    terrain pair on the shared ring exchange."""
+
+    def reduce_fn(P, M):
+        S, C = _shift_stack(P, M)
+        center_v, center_m = S[4], C[4]
+        nbr = [i for i in range(9) if i != 4]
+        four = [1, 3, 5, 7]  # N, W, E, S offsets in row-major 3x3 order
+        diff = S - center_v[None]
+        validn = C & center_m[None]
+        anyn = np.zeros_like(center_m)
+        lap = np.zeros(center_v.shape, np.int64)
+        tri = np.zeros(center_v.shape, np.int64)
+        for i in nbr:
+            anyn |= validn[i]
+            tri += np.where(validn[i], np.abs(diff[i]), 0)
+            if i in four:
+                lap += np.where(validn[i], diff[i], 0)
+        sel = center_m & anyn
+        return sel, lap, tri
+
+    return ring_focal_stats(tiles_ds, grid, reduce_fn, pack,
+                            names=("n_px", "lap_sum", "tri_sum"))
+
+
+def hotspot_stats(tiles_ds, grid: GridSpec, v_global: int, n_global: int,
+                  pack: ChannelPack | None = None):
+    """Getis-Ord-Gi*-shaped hot-spot analysis, integer-exact.
+
+    For every valid pixel, the 3x3 window's valid (sum ws, count wc) is
+    compared against the GLOBAL mean by cross-multiplication:
+    hot iff ``ws * n_global > wc * v_global`` (window mean strictly above
+    the global mean — the Gi* numerator's sign, with no sqrt/float).
+    ``v_global``/``n_global`` come free from the tile table's pix_sum /
+    n_valid_px metadata columns — no extra raster pass. Output per tile:
+    (tile_id, tx, ty, n_px, n_hot, hot_excess_sum) where hot_excess_sum
+    sums ``ws * n_global - wc * v_global`` over hot pixels."""
+    V, N = int(v_global), int(n_global)
+
+    def reduce_fn(P, M):
+        S, C = _shift_stack(P, M)
+        ws = np.where(C, S, 0).sum(axis=0)
+        wc = C.sum(axis=0).astype(np.int64)
+        sel = C[4]
+        excess = ws * N - wc * V
+        hot = (excess > 0) & sel
+        return sel, hot.astype(np.int64), np.where(hot, excess, 0)
+
+    return ring_focal_stats(tiles_ds, grid, reduce_fn, pack,
+                            names=("n_px", "n_hot", "hot_excess_sum"))
+
+
+# ---- empirical semivariogram (axis-aligned pixel lags) ----------------------
+
+VARIO_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("kind", pa.string()),   # 'stat' | 'edge_e' | 'edge_s' | 'halo_e' | 'halo_s'
+    ("axis", pa.string()),   # stat rows only: 'x' | 'y'
+    ("lag", pa.int64()),
+    ("n_pairs", pa.int64()),
+    ("gamma2", pa.int64()),  # sum of squared differences (2N * gamma(h))
+    ("v", pa.binary()),      # int64 strip values (edge/halo rows)
+    ("m", pa.binary()),      # uint8 strip validity
+])
+
+
+def variogram_stats(tiles_ds, grid: GridSpec, lags=(1, 2, 4),
+                    pack: ChannelPack | None = None):
+    """Empirical semivariogram moments at axis-aligned pixel lags — the
+    geostatistics op (kriging's first step): for each lag h and axis,
+    ``gamma2(h) = sum((v(p) - v(p+h))^2)`` and ``n_pairs(h)`` over all
+    pairs of VALID pixels h apart along +x / +y. Output: one row per
+    (axis, lag) — ``(axis, lag, n_pairs, gamma2)`` — integer-exact, so the
+    DuckDB oracle replays it with a plane self-join.
+
+    Plan: pairs fully inside a tile fold MAP-SIDE; a pair straddling an
+    east/south tile border needs only the neighbor's first ``max(lag)``
+    columns/rows, so each tile keeps its own last-``max(lag)`` strips keyed
+    to itself and sends its first strips west/north — the one keyed
+    exchange carries O(max_lag * perimeter) per tile, never a canvas. The
+    final fold is a 2*len(lags)-key groupby of scalar partials.
+
+    Overflow: |v| <= 765 (RGB) so d^2 <= 585k; 2^63/585k ~ 1.6e13 pairs —
+    safe far beyond any per-plane scale here (per-lag pair count <= pixel
+    count)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    H = max(lags)
+    assert H <= chunk, "strip exchange covers lags up to one chunk"
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in VARIO_PARTIAL_SCHEMA.names}
+
+        def row(tile_id, kind, axis="", lag=0, n=0, g2=0, v=b"", m=b""):
+            out["tile_id"].append(tile_id)
+            out["kind"].append(kind)
+            out["axis"].append(axis)
+            out["lag"].append(lag)
+            out["n_pairs"].append(n)
+            out["gamma2"].append(g2)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        c = chunk
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), c, c)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(c, c).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            me = f"{tx}-{ty}"
+            # interior pairs, entirely map-side
+            for h in lags:
+                bx = mask[:, :-h] & mask[:, h:]
+                dx = v[:, h:] - v[:, :-h]
+                by = mask[:-h, :] & mask[h:, :]
+                dy = v[h:, :] - v[:-h, :]
+                row(me, "stat", "x", h, int(bx.sum()),
+                    int((dx[bx].astype(np.int64) ** 2).sum()))
+                row(me, "stat", "y", h, int(by.sum()),
+                    int((dy[by].astype(np.int64) ** 2).sum()))
+
+            def strip(vs, ms):
+                return (np.ascontiguousarray(vs).astype(np.int64).tobytes(),
+                        np.ascontiguousarray(ms).astype(np.uint8).tobytes())
+
+            b_, m_ = strip(v[:, -H:], mask[:, -H:])
+            row(me, "edge_e", v=b_, m=m_)
+            b_, m_ = strip(v[-H:, :], mask[-H:, :])
+            row(me, "edge_s", v=b_, m=m_)
+            if tx > 0:
+                b_, m_ = strip(v[:, :H], mask[:, :H])
+                row(f"{tx - 1}-{ty}", "halo_e", v=b_, m=m_)
+            if ty > 0:
+                b_, m_ = strip(v[:H, :], mask[:H, :])
+                row(f"{tx}-{ty - 1}", "halo_s", v=b_, m=m_)
+        return pa.table(out, schema=VARIO_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        agg: dict[tuple, list] = {}
+        strips: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        c = chunk
+        for j, kind in enumerate(kinds):
+            if kind == "stat":
+                key = (g.column("axis")[j].as_py(),
+                       int(g.column("lag")[j].as_py()))
+                cur = agg.setdefault(key, [0, 0])
+                cur[0] += int(g.column("n_pairs")[j].as_py())
+                cur[1] += int(g.column("gamma2")[j].as_py())
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                shape = (c, H) if kind in ("edge_e", "halo_e") else (H, c)
+                strips[kind] = (vs.reshape(shape), ms.reshape(shape))
+        # straddling pairs: own last-H strip x neighbor first-H strip.
+        # pair (col c-H+i) + h lands at halo col i + h - H when i + h >= H.
+        for edge, halo, ax in (("edge_e", "halo_e", "x"),
+                               ("edge_s", "halo_s", "y")):
+            if edge not in strips or halo not in strips:
+                continue
+            ev, em = strips[edge]
+            hv, hm = strips[halo]
+            if ax == "y":
+                ev, em, hv, hm = ev.T, em.T, hv.T, hm.T
+            for h in lags:
+                for i in range(H - h, H):
+                    pcol = i + h - H
+                    both = em[:, i] & hm[:, pcol]
+                    d = hv[:, pcol] - ev[:, i]
+                    cur = agg.setdefault((ax, h), [0, 0])
+                    cur[0] += int(both.sum())
+                    cur[1] += int((d[both].astype(np.int64) ** 2).sum())
+        if not agg:
+            return pa.table({"axis": pa.array([], pa.string()),
+                             "lag": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "gamma2": pa.array([], pa.int64())})
+        keys = sorted(agg)
+        return pa.table({
+            "axis": pa.array([k[0] for k in keys], pa.string()),
+            "lag": pa.array([k[1] for k in keys], pa.int64()),
+            "n_pairs": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "gamma2": pa.array([agg[k][1] for k in keys], pa.int64()),
+        })
+
+    per_tile = partials.groupby("tile_id").map_groups(
+        merge, batch_format="pyarrow")
+    return (per_tile.groupby(["axis", "lag"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                       Sum("gamma2", alias_name="gamma2")))

@@ -1,0 +1,241 @@
+"""Generic ring-exchange focal ops (focal median, curvature/TRI, Gi*-style
+hot spots) vs serial full-plane oracles on random mosaics with absent tiles
+and random validity — exercises interior map-side folds AND the exchanged
+border ring, independent of the fixture goldens."""
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raygeo.channels import RGB_CHANNELS, ChannelPack
+from raygeo.grid import GridSpec
+from raygeo.ops.stencil import (curvature_stats, focal_median_stats,
+                                hotspot_stats)
+
+SRC = GridSpec(name="s", crs="EPSG:4326", x0=0.0, y1=1.0, res=2.0**-7,
+               width=96, height=96, chunk=16)
+
+_POS = 1 << 62
+
+
+def _random_mosaic(seed, p_absent=0.3):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pack = ChannelPack(RGB_CHANNELS)
+    rows = []
+    plane = np.zeros((SRC.height, SRC.width, 3), np.uint8)
+    valid = np.zeros((SRC.height, SRC.width), bool)
+    for ty in range(SRC.n_ty):
+        for tx in range(SRC.n_tx):
+            if rng.random() < p_absent:
+                continue
+            canvas = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            mask = rng.random((16, 16)) < 0.8
+            canvas[~mask] = 0
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            plane[tr0:tr1, tc0:tc1] = canvas
+            valid[tr0:tr1, tc0:tc1] = mask
+            rows.append({
+                "tile_id": f"{tx}-{ty}", "tx": tx, "ty": ty,
+                "px_z": zlib.compress(pack.to_bytes([canvas]), 1),
+                "mask_z": zlib.compress(mask.astype(np.uint8).tobytes(), 1),
+            })
+    return rows, plane, valid
+
+
+def _window_stacks(plane, valid):
+    """(9, H, W) padded window stacks of the full plane."""
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    S = np.empty((9, H, W), np.int64)
+    C = np.empty((9, H, W), bool)
+    i = 0
+    for dr in range(3):
+        for dc in range(3):
+            S[i] = P[dr:dr + H, dc:dc + W]
+            C[i] = M[dr:dr + H, dc:dc + W]
+            i += 1
+    return S, C
+
+
+def _per_tile(rows, sel, *planes):
+    # every grid tile with >=1 selected center appears — including ABSENT
+    # tiles whose border centers draw from neighbor halos (median).
+    exp = []
+    del rows
+    for tx in range(SRC.n_tx):
+      for ty in range(SRC.n_ty):
+        tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+        s = sel[tr0:tr1, tc0:tc1]
+        if not s.any():
+            continue
+        vals = [int(p[tr0:tr1, tc0:tc1][s].sum()) for p in planes]
+        exp.append((f"{tx}-{ty}", tx, ty, int(s.sum()), *vals))
+    return exp
+
+
+def _check(got, exp, cols):
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty"] + cols)
+    got = got.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_focal_median_matches_full_plane(ray_session, seed):
+    import ray.data as rd
+
+    rows, plane, valid = _random_mosaic(seed=seed)
+    got = focal_median_stats(rd.from_items(rows).repartition(5),
+                             SRC).to_pandas()
+    S, C = _window_stacks(plane, valid)
+    Sv = np.where(C, S, _POS)
+    Sv.sort(axis=0)
+    k = C.sum(axis=0)
+    sel = k > 0
+    idx = np.maximum((k + 1) // 2 - 1, 0)
+    med = np.take_along_axis(Sv, idx[None], axis=0)[0]
+    med[~sel] = 0
+    _check(got, _per_tile(rows, sel, med), ["n_px", "med_sum"])
+
+
+def test_curvature_matches_full_plane(ray_session):
+    import ray.data as rd
+
+    rows, plane, valid = _random_mosaic(seed=29, p_absent=0.4)
+    got = curvature_stats(rd.from_items(rows).repartition(4),
+                          SRC).to_pandas()
+    S, C = _window_stacks(plane, valid)
+    center_v, center_m = S[4], C[4]
+    lap = np.zeros(center_v.shape, np.int64)
+    tri = np.zeros(center_v.shape, np.int64)
+    anyn = np.zeros_like(center_m)
+    for i in range(9):
+        if i == 4:
+            continue
+        vn = C[i] & center_m
+        anyn |= vn
+        tri += np.where(vn, np.abs(S[i] - center_v), 0)
+        if i in (1, 3, 5, 7):
+            lap += np.where(vn, S[i] - center_v, 0)
+    sel = center_m & anyn
+    _check(got, _per_tile(rows, sel, lap, tri),
+           ["n_px", "lap_sum", "tri_sum"])
+
+
+def test_hotspot_matches_full_plane(ray_session):
+    import ray.data as rd
+
+    rows, plane, valid = _random_mosaic(seed=41)
+    v = plane.astype(np.int64).sum(axis=2)
+    V, N = int(v[valid].sum()), int(valid.sum())
+    got = hotspot_stats(rd.from_items(rows).repartition(5),
+                        SRC, V, N).to_pandas()
+    S, C = _window_stacks(plane, valid)
+    ws = np.where(C, S, 0).sum(axis=0)
+    wc = C.sum(axis=0).astype(np.int64)
+    sel = C[4]
+    excess = ws * N - wc * V
+    hot = (excess > 0) & sel
+    _check(got, _per_tile(rows, sel, hot.astype(np.int64),
+                          np.where(hot, excess, 0)),
+           ["n_px", "n_hot", "hot_excess_sum"])
+    # the hot selection is non-trivial on random data
+    assert 0 < got.n_hot.sum() < got.n_px.sum()
+
+
+@pytest.mark.parametrize("seed,p_absent", [(7, 0.3), (51, 0.45)])
+def test_variogram_matches_full_plane(ray_session, seed, p_absent):
+    import ray.data as rd
+
+    from raygeo.ops.stencil import variogram_stats
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    got = (variogram_stats(rd.from_items(rows).repartition(5), SRC)
+           .to_pandas().sort_values(["axis", "lag"]).reset_index(drop=True))
+    v = plane.astype(np.int64).sum(axis=2)
+    exp = []
+    for ax in ("x", "y"):
+        for h in (1, 2, 4):
+            if ax == "x":
+                b = valid[:, :-h] & valid[:, h:]
+                d = v[:, h:] - v[:, :-h]
+            else:
+                b = valid[:-h, :] & valid[h:, :]
+                d = v[h:, :] - v[:-h, :]
+            exp.append((ax, h, int(b.sum()), int((d[b] ** 2).sum())))
+    exp = pd.DataFrame(exp, columns=["axis", "lag", "n_pairs", "gamma2"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # straddling pairs actually crossed tiles: interior-only count is lower
+    interior = 0
+    for r in rows:
+        tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(r["tx"], r["ty"])
+        m = valid[tr0:tr1, tc0:tc1]
+        for h in (1, 2, 4):
+            interior += int((m[:, :-h] & m[:, h:]).sum())
+            interior += int((m[:-h, :] & m[h:, :]).sum())
+    assert got.n_pairs.sum() > interior
+
+
+@pytest.mark.parametrize("seed,p_absent", [(11, 0.3), (77, 0.5)])
+def test_flowaccum_matches_full_plane(ray_session, seed, p_absent):
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import _D8_OFF, flowaccum_stats
+    from raygeo.ops.stencil import _flowdir_codes
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    got = flowaccum_stats(rd.from_items(rows).repartition(5), SRC,
+                          channel_t=3).to_pandas()
+    # serial full-plane walk (independent decomposition: no tiles at all)
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    nxt = np.full(H * W, -1, np.int64)
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        nxt[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    acc = np.zeros(H * W, np.int64)
+    cur = np.nonzero(codes >= 0)[0]
+    cnt = np.ones(len(cur), np.int64)
+    for _ in range(10000):
+        if len(cur) == 0:
+            break
+        u, inv = np.unique(cur, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cnt)
+        cur, cnt = u, s
+        acc[cur] += cnt
+        nx = nxt[cur]
+        cont = nx >= 0
+        cur, cnt = nx[cont], cnt[cont]
+    acc = acc.reshape(H, W)
+    exp = []
+    for tx in range(SRC.n_tx):
+        for ty in range(SRC.n_ty):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            a = acc[tr0:tr1, tc0:tc1]
+            pos = a > 0
+            if not pos.any():
+                continue
+            exp.append((f"{tx}-{ty}", tx, ty, int(pos.sum()),
+                        int(a.sum()), int(a.max()),
+                        int((a >= 3).sum())))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "n_px",
+                                     "acc_sum", "acc_max", "n_channel"])
+    got = got.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # cross-tile flow actually happened: some tile's acc exceeds its own
+    # cell count contribution only if paths enter from neighbors
+    assert got.acc_max.max() > 1
