@@ -1166,12 +1166,35 @@ def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
     walkers = mid.filter(expr="kind == 'walk'") \
                  .select_columns(["node", "n"]).materialize()
 
+    # cross-tile rounds are bucketed SPATIALLY (the flowlen discipline):
+    # flow chains are local, so grouping walkers by the target tile's
+    # G x G SUPER-BLOCK lets one task hop tile-to-tile inside the block
+    # until the chain leaves it — chains zig-zagging along a tile border
+    # no longer pay one Ray round per crossing; most resolve in 1-2
+    # global rounds.
+    import math
+
+    from ..util import cluster_cpus
+
+    G = max(1, int(math.sqrt((n_tx * n_ty) / max(1, 2 * cluster_cpus()))))
+    nbx = (n_tx + G - 1) // G
+
+    def add_sb(t: pa.Table) -> pa.Table:
+        tx = t.column("tx").to_numpy()
+        ty = t.column("ty").to_numpy()
+        sb = (ty // G) * nbx + tx // G
+        return t.append_column("sb", pa.array(sb, pa.int64()))
+
+    codes_sb = codes_tbl.map_batches(add_sb,
+                                     batch_format="pyarrow").materialize()
+
     def key_walkers(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy()
         gx = node % width
         gy = node // width
         tx = gx // c
         ty = gy // c
+        sb = (ty // G) * nbx + tx // G
         tid = [f"{a}-{b}" for a, b in zip(tx, ty)]
         return pa.table({
             "tile_id": pa.array(tid, pa.string()),
@@ -1181,45 +1204,76 @@ def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
             "z": pa.array([b""] * len(t), pa.binary()),
             "node": t.column("node"),
             "n": t.column("n"),
-        }, schema=FLOWACC_MID_SCHEMA)
+            "sb": pa.array(sb, pa.int64()),
+        })
 
     def roundk(g: pa.Table) -> pa.Table:
         kinds = g.column("kind").to_pylist()
         out: dict[str, list] = {k: [] for k in FLOWACC_MID_SCHEMA.names}
-        if "codes" not in kinds:  # pragma: no cover - defensive
-            raise RuntimeError("flowaccum: walker entered a codeless tile")
-        tx = int(g.column("tx")[0].as_py())
-        ty = int(g.column("ty")[0].as_py())
-        gy0, gx0 = ty * c, tx * c
-        codes = None
-        nodes: list[int] = []
-        ns: list[int] = []
+        sb = int(g.column("sb")[0].as_py())
+        codes_of: dict[tuple, np.ndarray] = {}
+        pending: dict[tuple, list] = {}
+        txs = g.column("tx").to_numpy()
+        tys = g.column("ty").to_numpy()
         for j, kind in enumerate(kinds):
+            key = (int(txs[j]), int(tys[j]))
             if kind == "codes":
-                codes = np.frombuffer(
+                codes_of[key] = np.frombuffer(
                     zlib.decompress(g.column("z")[j].as_py()),
                     np.int8).reshape(c, c)
             elif kind == "walk":
-                nodes.append(int(g.column("node")[j].as_py()))
-                ns.append(int(g.column("n")[j].as_py()))
-        if not nodes:
+                pending.setdefault(key, [[], []])
+                pending[key][0].append(int(g.column("node")[j].as_py()))
+                pending[key][1].append(int(g.column("n")[j].as_py()))
+        if not pending:
             return pa.table(out, schema=FLOWACC_MID_SCHEMA)
-        nxt, ext = _acc_nxt_ext(codes.astype(np.int64), c, gy0, gx0, width)
-        node_a = np.asarray(nodes, np.int64)
-        starts = (node_a // width - gy0) * c + (node_a % width - gx0)
-        vis = np.zeros(c * c, np.int64)
-        wt, wn = _acc_walk(nxt, ext, starts, np.asarray(ns, np.int64), vis)
-        _mid_row(out, tx, ty, "vis", z=zlib.compress(vis.tobytes(), 1))
-        for t_, n_ in zip(wt, wn):
-            _mid_row(out, tx, ty, "walk", node=t_, n=n_)
+        cache: dict[tuple, tuple] = {}
+        vis_of: dict[tuple, np.ndarray] = {}
+        for _pop in range(1_000_000):  # defensive bound; v decreases/hop
+            if not pending:
+                break
+            (ttx, tty), (nodes, ns) = pending.popitem()
+            if (ttx, tty) not in codes_of:  # pragma: no cover - defensive
+                raise RuntimeError("flowaccum: walker entered codeless tile")
+            if (ttx, tty) not in cache:
+                cache[(ttx, tty)] = _acc_nxt_ext(
+                    codes_of[(ttx, tty)].astype(np.int64), c,
+                    tty * c, ttx * c, width)
+            nxt, ext = cache[(ttx, tty)]
+            node_a = np.asarray(nodes, np.int64)
+            starts = ((node_a // width - tty * c) * c
+                      + (node_a % width - ttx * c))
+            vis = vis_of.setdefault((ttx, tty), np.zeros(c * c, np.int64))
+            wt, wn = _acc_walk(nxt, ext, starts,
+                               np.asarray(ns, np.int64), vis)
+            if not len(wt):
+                continue
+            etx = (wt % width) // c
+            ety = (wt // width) // c
+            esb = (ety // G) * nbx + etx // G
+            stay = esb == sb
+            for t_, n_ in zip(wt[~stay], wn[~stay]):
+                _mid_row(out, int(ttx), int(tty), "walk", node=t_, n=n_)
+            if stay.any():
+                packed = ety[stay] * np.int64(n_tx) + etx[stay]
+                for p in np.unique(packed):
+                    m = packed == p
+                    key2 = (int(p % n_tx), int(p // n_tx))
+                    q = pending.setdefault(key2, [[], []])
+                    q[0].extend(wt[stay][m].tolist())
+                    q[1].extend(wn[stay][m].tolist())
+        else:  # pragma: no cover - defensive
+            raise RuntimeError("flowaccum: in-block chase did not converge")
+        for (ttx, tty), vis in vis_of.items():
+            _mid_row(out, ttx, tty, "vis", z=zlib.compress(vis.tobytes(), 1))
         return pa.table(out, schema=FLOWACC_MID_SCHEMA)
 
     for _ in range(max_rounds):
         if int(walkers.count()) == 0:
             break
         stepped = (walkers.map_batches(key_walkers, batch_format="pyarrow")
-                   .union(codes_tbl)
-                   .groupby("tile_id")
+                   .union(codes_sb)
+                   .groupby("sb")
                    .map_groups(roundk, batch_format="pyarrow")
                    .materialize())
         vis_parts.append(stepped.filter(expr="kind == 'vis'")
