@@ -2427,6 +2427,63 @@ def _q_idle_rich_customers(sf_dir: str):
                                f"{sf_dir}/customer.parquet")
 
 
+def _q_q6_band_revenue(sf_dir: str):
+    """TPC-H Q6 shape: one map-side fold, single-row exact integer
+    forecast-revenue answer — no join, no shuffle."""
+    from raygeo.ops.relational import q6_band_revenue
+
+    return q6_band_revenue(_rpq(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_q9_profit(sf_dir: str):
+    """TPC-H Q9 shape (profit = revenue; no partsupp in schema): per
+    (supplier nation, order year) for name-matched parts — part keys +
+    supplier nation map broadcast as sorted probes, one partitioned
+    lineitem⋈orders join, |nations|x|years| final fold."""
+    from raygeo.ops.relational import q9_profit
+
+    return q9_profit(_rpq(f"{sf_dir}/lineitem.parquet"),
+                     f"{sf_dir}/orders.parquet", f"{sf_dir}/part.parquet",
+                     f"{sf_dir}/supplier.parquet",
+                     f"{sf_dir}/nation.parquet")
+
+
+def _q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: per order year, nation share of a part type's
+    region revenue as exact integer moments (num, den) — dimension probes
+    broadcast, one partitioned join, |years| fold."""
+    from raygeo.ops.relational import q8_market_share
+
+    return q8_market_share(
+        _rpq(f"{sf_dir}/lineitem.parquet"), f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/customer.parquet", f"{sf_dir}/supplier.parquet",
+        f"{sf_dir}/nation.parquet", f"{sf_dir}/region.parquet",
+        f"{sf_dir}/part.parquet")
+
+
+def _q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (sole latest shipper of a multi-supplier order):
+    one bucketed per-order fold does the EXISTS/NOT-EXISTS decorrelation
+    vectorized; supplier-bounded final count, top-20."""
+    from raygeo.ops.relational import q21_waiting_suppliers
+
+    return q21_waiting_suppliers(_rpq(f"{sf_dir}/lineitem.parquet"),
+                                 f"{sf_dir}/supplier.parquet",
+                                 f"{sf_dir}/nation.parquet")
+
+
+def _q_q20_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (excess SHARE: >half of a part's window volume):
+    part-key probe filter map-side, bucketed per-part fold with the exact
+    2*qty > total cross-multiply, supplier-bounded finish."""
+    from raygeo.ops.relational import q20_excess_suppliers
+
+    return q20_excess_suppliers(_rpq(f"{sf_dir}/lineitem.parquet"),
+                                f"{sf_dir}/part.parquet",
+                                f"{sf_dir}/supplier.parquet",
+                                f"{sf_dir}/nation.parquet")
+
+
 def _q_min_cost_supplier(sf_dir: str):
     """TPC-H Q2 shape: cheapest supplier per small part — packed argmin
     fold + one partitioned join, ties to the smaller suppkey."""
@@ -3195,6 +3252,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
+        "q6_band_revenue": _q_q6_band_revenue,  # Q6 map-side fold
+        "q9_profit": _q_q9_profit,  # Q9 nation x year profit
+        "q8_market_share": _q_q8_market_share,  # Q8 exact share moments
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # Q21 sole-max
+        "q20_excess_suppliers": _q_q20_excess_suppliers,  # Q20 half-share
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -4740,6 +4802,98 @@ yp AS (
   GROUP BY 1, 2
 )
 SELECT * FROM xp UNION ALL SELECT * FROM yp ORDER BY axis, lag
+""",
+        "q6_band_revenue": """
+SELECT
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS revenue_c4,
+  count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24
+""",
+        "q9_profit": """
+SELECT n.n_name AS nation,
+  year(o.o_orderdate)::BIGINT AS o_year,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS profit_c4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q8_market_share": """
+WITH rev AS (
+  SELECT year(o.o_orderdate)::BIGINT AS o_year,
+    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4,
+    CASE WHEN n2.n_name = 'NATION_2' THEN 1 ELSE 0 END AS is_share
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1997-01-01'
+)
+SELECT o_year,
+  sum(CASE WHEN is_share = 1 THEN rev_c4 ELSE 0 END)::BIGINT
+    AS share_num_c4,
+  sum(rev_c4)::BIGINT AS share_den_c4
+FROM rev GROUP BY 1 ORDER BY 1
+""",
+        "q21_waiting_suppliers": """
+WITH d2 AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+  FROM lineitem GROUP BY 1, 2
+),
+om AS (SELECT l_orderkey, max(smax) AS omax, count(*) AS nsupp
+       FROM d2 GROUP BY 1),
+att AS (
+  SELECT d2.l_orderkey, d2.l_suppkey
+  FROM d2 JOIN om ON om.l_orderkey = d2.l_orderkey
+  WHERE d2.smax = om.omax
+),
+natt AS (SELECT l_orderkey, count(*) AS n FROM att GROUP BY 1),
+win AS (
+  SELECT a.l_suppkey
+  FROM att a
+  JOIN natt ON natt.l_orderkey = a.l_orderkey AND natt.n = 1
+  JOIN om ON om.l_orderkey = a.l_orderkey AND om.nsupp >= 2
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM win JOIN supplier s ON s.s_suppkey = win.l_suppkey
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+""",
+        "q20_excess_suppliers": """
+WITH base AS (
+  SELECT l.l_partkey, l.l_suppkey,
+    CAST(round(l.l_quantity) AS BIGINT) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%gear%'
+    AND l.l_shipdate >= DATE '1996-01-01'
+    AND l.l_shipdate < DATE '1997-01-01'
+),
+ps AS (SELECT l_partkey, l_suppkey, sum(qty) AS sqty
+       FROM base GROUP BY 1, 2),
+pt AS (SELECT l_partkey, sum(sqty) AS total FROM ps GROUP BY 1),
+win AS (
+  SELECT ps.l_suppkey, ps.l_partkey
+  FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+  WHERE 2 * ps.sqty > pt.total
+)
+SELECT s.s_name, count(*)::BIGINT AS n_parts
+FROM win JOIN supplier s ON s.s_suppkey = win.l_suppkey
+GROUP BY 1 ORDER BY 1
 """,
         "parts_triangles": """
 WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

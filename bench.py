@@ -195,6 +195,11 @@ def run_bench() -> dict:
         "mosaic_hotspots",
         "mosaic_variogram",
         "mosaic_flowaccum",
+        "q6_band_revenue",
+        "q9_profit",
+        "q8_market_share",
+        "q21_waiting_suppliers",
+        "q20_excess_suppliers",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

@@ -3133,3 +3133,465 @@ def percent_rank(ds, group_col: str, value_col: str, key_col: str):
 
     return (ds.select_columns([group_col, value_col, key_col])
             .groupby(group_col).map_groups(ranks, batch_format="pandas"))
+
+
+def q6_band_revenue(lineitem_ds, date_lo: str = "1996-01-01",
+                    date_hi: str = "1997-01-01", disc_lo: int = 5,
+                    disc_hi: int = 7, qty_lt: int = 24):
+    """TPC-H Q6 shape: forecast-revenue-change — one map-side fold over
+    lineitem, single-row exact integer answer (revenue_c4 = sum of
+    price_cents * discount_cents over the year/discount-band/quantity
+    filter; n_lines counts qualifying rows). No join, no shuffle: the
+    partials are a 2-cell Sum."""
+    from ray.data.aggregate import Sum
+
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy()
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        disc_c = np.rint(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        price_c = np.rint(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        keep = ((sd >= d0) & (sd < d1) & (disc_c >= disc_lo)
+                & (disc_c <= disc_hi) & (qty < qty_lt))
+        return pa.table({
+            "revenue_c4": pa.array([int((price_c[keep]
+                                         * disc_c[keep]).sum())],
+                                   pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    agg = (lineitem_ds.select_columns(
+        ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"),
+                   Sum("n_lines", alias_name="n_lines")))
+    return pa.table({
+        "revenue_c4": pa.array([int(agg["revenue_c4"] or 0)], pa.int64()),
+        "n_lines": pa.array([int(agg["n_lines"] or 0)], pa.int64()),
+    })
+
+
+def q9_profit(lineitem_ds, orders_path: str, part_path: str,
+              supplier_path: str, nation_path: str,
+              name_word: str = "bolt", num_partitions: int | None = None):
+    """TPC-H Q9 shape (adapted: no partsupp table, so profit = revenue):
+    per (supplier nation, order year) revenue for parts whose name
+    contains ``name_word`` — (nation, o_year, profit_c4).
+
+    Plan: the matching part keys and the supplier→nationkey map are
+    dimension-sized sorted probes broadcast once (``ray.put``); lineitem
+    folds map-side to per-(orderkey, s_nationkey) partials AFTER both
+    probes filter/annotate, the one partitioned hash join attaches
+    o_orderdate, and the final fold is |nations| x |years| bounded.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import join_partitions, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(orders_path)
+    nat = pq.read_table(nation_path).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    part = pq.read_table(part_path, columns=["p_partkey", "p_name"])
+    keep = np.fromiter((name_word in x for x in
+                        part.column("p_name").to_pylist()), bool,
+                       len(part))
+    pkeys = np.sort(part.column("p_partkey").to_numpy()
+                    .astype(np.int64)[keep])
+    supp = pq.read_table(supplier_path, columns=["s_suppkey",
+                                                 "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    ix = np.argsort(sk)
+    sk = sk[ix]
+    snk = supp.column("s_nationkey").to_numpy().astype(np.int64)[ix]
+    probes_ref = ray.put((pkeys, sk, snk))
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        pk, skeys, snat = ray.get(probes_ref)
+        lp = t.column("l_partkey").to_numpy()
+        if len(pk) == 0:
+            found = np.zeros(len(lp), bool)
+        else:
+            posc = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            found = pk[posc] == lp
+        t = t.filter(pa.array(found))
+        if len(t) == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "s_nk": pa.array([], pa.int64()),
+                             "profit_c4": pa.array([], pa.int64())})
+        ls = t.column("l_suppkey").to_numpy()
+        spos, sfound = _sorted_probe(skeys, ls)
+        nk = np.where(sfound, snat[spos], -1)
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        g = (pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "s_nk": nk, "profit_c4": rev})
+             .groupby(["l_orderkey", "s_nk"], sort=False)["profit_c4"]
+             .sum().reset_index())
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "s_nk": pa.array(g["s_nk"].to_numpy(np.int64), pa.int64()),
+            "profit_c4": pa.array(g["profit_c4"].to_numpy(np.int64),
+                                  pa.int64()),
+        })
+
+    rev = lineitem_ds.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    orders = read_parquet_clean(orders_path,
+                                columns=["o_orderkey", "o_orderdate"])
+    joined = rev.join(orders, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        year = t.column("o_orderdate").to_numpy().astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        g = (pd.DataFrame({"s_nk": t.column("s_nk").to_numpy(),
+                           "o_year": year,
+                           "profit_c4": t.column("profit_c4").to_numpy()})
+             .groupby(["s_nk", "o_year"], sort=False)["profit_c4"].sum()
+             .reset_index())
+        return pa.table({
+            "s_nk": pa.array(g["s_nk"].to_numpy(np.int64), pa.int64()),
+            "o_year": pa.array(g["o_year"].to_numpy(np.int64), pa.int64()),
+            "profit_c4": pa.array(g["profit_c4"].to_numpy(np.int64),
+                                  pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (joined.map_batches(year_partial, batch_format="pyarrow")
+           .groupby(["s_nk", "o_year"])
+           .aggregate(Sum("profit_c4", alias_name="profit_c4")))
+
+    def to_names(t: pa.Table) -> pa.Table:
+        nk = t.column("s_nk").to_pylist()
+        return pa.table({
+            "nation": pa.array([name_of[int(k)] for k in nk], pa.string()),
+            "o_year": t.column("o_year"),
+            "profit_c4": t.column("profit_c4"),
+        })
+
+    return agg.map_batches(to_names,
+                           batch_format="pyarrow").sort(["nation", "o_year"])
+
+
+def q8_market_share(lineitem_ds, orders_path: str, customer_path: str,
+                    supplier_path: str, nation_path: str, region_path: str,
+                    part_path: str, region: str = "ASIA",
+                    share_nation: str = "NATION_2",
+                    p_type: str = "ECONOMY",
+                    date_lo: str = "1995-01-01", date_hi: str = "1997-01-01",
+                    num_partitions: int | None = None):
+    """TPC-H Q8 shape: per order year, the share of ``p_type`` revenue
+    (orders by customers of ``region``) supplied by ``share_nation`` —
+    exact integer moments (o_year, share_num_c4, share_den_c4), the share
+    itself being the rational num/den (no float division cross-engine).
+
+    Plan mirrors q5/q7: part-type keys, supplier→nation and
+    customer→(nation→region) maps broadcast as sorted int probes;
+    lineitem folds map-side; the one partitioned hash join attaches
+    (o_custkey, o_orderdate); region filter + year fold happen map-side
+    after the join; final fold is |years| bounded."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import join_partitions, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(orders_path)
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+    nat = pq.read_table(nation_path).to_pandas()
+    reg = pq.read_table(region_path).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    share_nk = int(nat.loc[nat["n_name"] == share_nation,
+                           "n_nationkey"].iloc[0])
+    region_of = dict(zip(nat["n_nationkey"].astype(int),
+                         nat["n_regionkey"].astype(int)))
+
+    part = pq.read_table(part_path, columns=["p_partkey", "p_type"])
+    keep = np.fromiter((x == p_type for x in
+                        part.column("p_type").to_pylist()), bool, len(part))
+    pkeys = np.sort(part.column("p_partkey").to_numpy()
+                    .astype(np.int64)[keep])
+    supp = pq.read_table(supplier_path, columns=["s_suppkey",
+                                                 "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    ix = np.argsort(sk)
+    sk = sk[ix]
+    snk = supp.column("s_nationkey").to_numpy().astype(np.int64)[ix]
+    cust = pq.read_table(customer_path, columns=["c_custkey",
+                                                 "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy().astype(np.int64)
+    cx = np.argsort(ck)
+    ck = ck[cx]
+    crk = np.asarray([region_of[int(k)] for k in
+                      cust.column("c_nationkey").to_numpy()[cx]],
+                     np.int64)
+    probes_ref = ray.put((pkeys, sk, snk, ck, crk))
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        pk, skeys, snat, _, _ = ray.get(probes_ref)
+        lp = t.column("l_partkey").to_numpy()
+        if len(pk) == 0:
+            found = np.zeros(len(lp), bool)
+        else:
+            posc = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            found = pk[posc] == lp
+        t = t.filter(pa.array(found))
+        if len(t) == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "share_c4": pa.array([], pa.int64()),
+                             "total_c4": pa.array([], pa.int64())})
+        ls = t.column("l_suppkey").to_numpy()
+        spos, sfound = _sorted_probe(skeys, ls)
+        nk = np.where(sfound, snat[spos], -1)
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        g = (pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(),
+                           "share_c4": np.where(nk == share_nk, rev, 0),
+                           "total_c4": rev})
+             .groupby("l_orderkey", sort=False)[["share_c4", "total_c4"]]
+             .sum().reset_index())
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "share_c4": pa.array(g["share_c4"].to_numpy(np.int64),
+                                 pa.int64()),
+            "total_c4": pa.array(g["total_c4"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    rev = lineitem_ds.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    orders = read_parquet_clean(
+        orders_path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = rev.join(orders, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        _, _, _, ckeys, creg = ray.get(probes_ref)
+        od = t.column("o_orderdate").to_numpy()
+        t = t.filter(pa.array((od >= d0) & (od < d1)))
+        if len(t) == 0:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "share_num_c4": pa.array([], pa.int64()),
+                             "share_den_c4": pa.array([], pa.int64())})
+        oc = t.column("o_custkey").to_numpy()
+        cpos, cfound = _sorted_probe(ckeys, oc)
+        rk = np.where(cfound, creg[cpos], -1)
+        t = t.filter(pa.array(rk == rkey))
+        if len(t) == 0:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "share_num_c4": pa.array([], pa.int64()),
+                             "share_den_c4": pa.array([], pa.int64())})
+        year = t.column("o_orderdate").to_numpy().astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        g = (pd.DataFrame({"o_year": year,
+                           "share_num_c4":
+                               t.column("share_c4").to_numpy(),
+                           "share_den_c4":
+                               t.column("total_c4").to_numpy()})
+             .groupby("o_year", sort=False)[["share_num_c4",
+                                             "share_den_c4"]]
+             .sum().reset_index())
+        return pa.table({
+            "o_year": pa.array(g["o_year"].to_numpy(np.int64), pa.int64()),
+            "share_num_c4": pa.array(g["share_num_c4"].to_numpy(np.int64),
+                                     pa.int64()),
+            "share_den_c4": pa.array(g["share_den_c4"].to_numpy(np.int64),
+                                     pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    return (joined.map_batches(year_partial, batch_format="pyarrow")
+            .groupby("o_year")
+            .aggregate(Sum("share_num_c4", alias_name="share_num_c4"),
+                       Sum("share_den_c4", alias_name="share_den_c4"))
+            .sort("o_year"))
+
+
+def q21_waiting_suppliers(lineitem_ds, supplier_path: str, nation_path: str,
+                          nation: str | None = None, k: int = 20):
+    """TPC-H Q21 shape (adapted: the schema has no commit/receipt dates,
+    so "kept the order waiting" = the supplier is the SOLE owner of a
+    multi-supplier order's latest ship date — the same EXISTS / NOT
+    EXISTS decorrelation): per supplier, the count of such orders;
+    top-``k`` by (numwait desc, s_name asc).
+
+    Plan: ONE bucketed fold on l_orderkey does the whole correlated
+    subquery vectorized per bucket (order max date, distinct-supplier
+    count, sole-attainer test — same-order rows always share a bucket);
+    winners emerge as (suppkey, 1) partials whose final fold is
+    supplier-dimension bounded. Optional ``nation`` filters via the
+    broadcast nationkey probe before counting."""
+    import pyarrow.parquet as pq
+
+    from ..util import bucketed_fold
+
+    supp = pq.read_table(supplier_path,
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    name_of = dict(zip(supp.column("s_suppkey").to_pylist(),
+                       supp.column("s_name").to_pylist()))
+    nk_of = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_nationkey").to_pylist()))
+    want_nk = None
+    if nation is not None:
+        nat = pq.read_table(nation_path).to_pandas()
+        want_nk = int(nat.loc[nat["n_name"] == nation,
+                              "n_nationkey"].iloc[0])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d2 = (df.groupby(["l_orderkey", "l_suppkey"], sort=False)
+              ["l_shipdate"].max().reset_index())
+        grp = d2.groupby("l_orderkey", sort=False)
+        omax = grp["l_shipdate"].transform("max")
+        nsupp = grp["l_suppkey"].transform("size")
+        attain = d2["l_shipdate"] == omax
+        natt = attain.groupby(d2["l_orderkey"], sort=False) \
+            .transform("sum")
+        win = d2.loc[attain & (natt == 1) & (nsupp >= 2), "l_suppkey"]
+        out = win.value_counts().rename_axis("s_suppkey") \
+            .reset_index(name="numwait")
+        return out
+
+    parts = bucketed_fold(
+        lineitem_ds.select_columns(["l_orderkey", "l_suppkey",
+                                    "l_shipdate"]),
+        "l_orderkey", fold)
+
+    # the per-bucket partials are supplier-dimension bounded
+    # (<= |supplier| x n_buckets rows): the finish runs driver-side on
+    # that bounded pull — schema-stable even when no order qualifies
+    df = parts.to_pandas()
+    if len(df):
+        df = (df.groupby("s_suppkey", sort=False)["numwait"]
+              .sum().reset_index())
+        if want_nk is not None:
+            df = df[df["s_suppkey"].map(nk_of) == want_nk]
+        df["s_name"] = df["s_suppkey"].map(name_of)
+        df = df.sort_values(["numwait", "s_name"],
+                            ascending=[False, True]).head(k)
+    else:
+        df = pd.DataFrame({"s_name": [], "numwait": []})
+    return pa.table({
+        "s_name": pa.array(df["s_name"].tolist(), pa.string()),
+        "numwait": pa.array(df["numwait"].to_numpy(np.int64),
+                            pa.int64()),
+    })
+
+
+def q20_excess_suppliers(lineitem_ds, part_path: str, supplier_path: str,
+                         nation_path: str, name_word: str = "gear",
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1997-01-01",
+                         nation: str | None = None):
+    """TPC-H Q20 shape (adapted: no partsupp availability, so "excess
+    share" replaces "excess stock"): suppliers who shipped MORE THAN HALF
+    of some ``name_word`` part's total volume inside the date window —
+    (s_name, n_parts) with n_parts = how many such parts, sorted by name.
+
+    Plan: part keys broadcast (sorted probe) filter lineitem map-side;
+    one bucketed fold on l_partkey computes per-part totals and the
+    2*supplier_qty > total winners vectorized per bucket (same-part rows
+    share a bucket); distinct winner (suppkey, partkey) pairs are
+    supplier-x-matched-part bounded, so the count-per-supplier finishes
+    in one tiny task. The integer cross-multiply keeps the half-share
+    test exact."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import bucketed_fold
+
+    d0, d1 = np.datetime64(date_lo), np.datetime64(date_hi)
+    part = pq.read_table(part_path, columns=["p_partkey", "p_name"])
+    keep = np.fromiter((name_word in x for x in
+                        part.column("p_name").to_pylist()), bool,
+                       len(part))
+    pkeys = np.sort(part.column("p_partkey").to_numpy()
+                    .astype(np.int64)[keep])
+    pk_ref = ray.put(pkeys)
+    supp = pq.read_table(supplier_path,
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    name_of = dict(zip(supp.column("s_suppkey").to_pylist(),
+                       supp.column("s_name").to_pylist()))
+    nk_of = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_nationkey").to_pylist()))
+    want_nk = None
+    if nation is not None:
+        nat = pq.read_table(nation_path).to_pandas()
+        want_nk = int(nat.loc[nat["n_name"] == nation,
+                              "n_nationkey"].iloc[0])
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        sd = t.column("l_shipdate").to_numpy()
+        t = t.filter(pa.array((sd >= d0) & (sd < d1)))
+        lp = t.column("l_partkey").to_numpy()
+        if len(pk) == 0 or len(lp) == 0:
+            found = np.zeros(len(lp), bool)
+        else:
+            posc = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            found = pk[posc] == lp
+        t = t.filter(pa.array(found))
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        g = (pd.DataFrame({"l_partkey": t.column("l_partkey").to_numpy(),
+                           "l_suppkey": t.column("l_suppkey").to_numpy(),
+                           "qty": qty})
+             .groupby(["l_partkey", "l_suppkey"], sort=False)["qty"].sum()
+             .reset_index())
+        return pa.table({
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "l_suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "qty": pa.array(g["qty"].to_numpy(np.int64), pa.int64()),
+        })
+
+    pre = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"]
+    ).map_batches(lpartial, batch_format="pyarrow", batch_size=65536)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"]
+             .sum().reset_index())
+        total = g.groupby("l_partkey", sort=False)["qty"].transform("sum")
+        win = g.loc[2 * g["qty"] > total, ["l_suppkey", "l_partkey"]]
+        return win
+
+    winners = bucketed_fold(pre, "l_partkey", fold)
+
+    # winner pairs are supplier x matched-part bounded: driver-side
+    # finish on the bounded pull — schema-stable when no part has a
+    # majority supplier
+    df = winners.to_pandas()
+    if len(df):
+        df = df.drop_duplicates()
+        cnt = (df.groupby("l_suppkey", sort=False)["l_partkey"].size()
+               .rename_axis("s_suppkey").reset_index(name="n_parts"))
+        if want_nk is not None:
+            cnt = cnt[cnt["s_suppkey"].map(nk_of) == want_nk]
+        cnt["s_name"] = cnt["s_suppkey"].map(name_of)
+        cnt = cnt.sort_values("s_name")
+    else:
+        cnt = pd.DataFrame({"s_name": [], "n_parts": []})
+    return pa.table({
+        "s_name": pa.array(cnt["s_name"].tolist(), pa.string()),
+        "n_parts": pa.array(cnt["n_parts"].to_numpy(np.int64),
+                            pa.int64()),
+    })

@@ -1699,3 +1699,111 @@ def test_percent_rank_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got[exp.columns], exp)
     # singleton group reports den 0
     assert got[got.c_nationkey == 99]["pr_den"].iloc[0] == 0
+
+
+def _tpch_tail_fixture(tmp_path, seed=5, n_orders=400, n_parts=60,
+                       n_supp=12):
+    """Random mini star schema on disk for the Q6/Q8/Q9/Q20/Q21 shapes."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(6), "n_name": [f"NATION_{i}" for i in
+                                                range(6)],
+        "n_regionkey": np.arange(6) % 3})
+    region = pd.DataFrame({"r_regionkey": np.arange(3),
+                           "r_name": ["ASIA", "EUROPE", "AFRICA"]})
+    words = ["bolt", "gear", "widget"]
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_parts),
+        "p_name": [f"{rng.choice(['red', 'big'])} "
+                   f"{words[i % 3]}" for i in range(n_parts)],
+        "p_type": [["ECONOMY", "SMALL"][i % 2] for i in range(n_parts)]})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(n_supp),
+        "s_name": [f"Supplier#{i:04d}" for i in range(n_supp)],
+        "s_nationkey": rng.integers(0, 6, n_supp)})
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(50),
+        "c_nationkey": rng.integers(0, 6, 50)})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_orders),
+        "o_custkey": rng.integers(0, 50, n_orders),
+        "o_orderdate": (np.datetime64("1995-01-01")
+                        + rng.integers(0, 900, n_orders)
+                        .astype("timedelta64[D]"))})
+    n_li = n_orders * 4
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_orders, n_li),
+        "l_partkey": rng.integers(0, n_parts, n_li),
+        "l_suppkey": rng.integers(0, n_supp, n_li),
+        "l_quantity": rng.integers(1, 50, n_li).astype(float),
+        "l_extendedprice": np.round(rng.uniform(10, 5000, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100, 2),
+        "l_shipdate": (np.datetime64("1995-01-01")
+                       + rng.integers(0, 1000, n_li)
+                       .astype("timedelta64[D]"))})
+    # give some parts a dominant supplier so Q20 has deterministic winners
+    dom = (lineitem["l_partkey"] % 5 == 0) & (rng.random(n_li) < 0.8)
+    lineitem.loc[dom, "l_suppkey"] = 0
+    paths = {}
+    for name, df in [("nation", nation), ("region", region),
+                     ("part", part), ("supplier", supplier),
+                     ("customer", customer), ("orders", orders),
+                     ("lineitem", lineitem)]:
+        p = str(tmp_path / f"{name}.parquet")
+        df.to_parquet(p)
+        paths[name] = p
+    return paths
+
+
+def test_tpch_tail_shapes_match_duckdb(ray_session, tmp_path):
+    """Q6/Q9/Q8/Q21/Q20 adapted shapes vs a DuckDB replay on a random
+    mini star schema — covers probe filters, the partitioned joins, the
+    bucketed per-order/per-part folds, and exact integer money/share
+    arithmetic."""
+    import duckdb
+    import pandas as pd
+
+    from raygeo.ops.relational import (q6_band_revenue, q8_market_share,
+                                       q9_profit, q20_excess_suppliers,
+                                       q21_waiting_suppliers)
+    from raygeo.util import read_parquet_clean
+
+    paths = _tpch_tail_fixture(tmp_path)
+    li = read_parquet_clean(paths["lineitem"])
+    con = duckdb.connect()
+    for n, p in paths.items():
+        con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{p}')")
+
+    import __ray_entry__ as entrymod
+    sql = entrymod.oracle_sql()
+
+    got = q6_band_revenue(li).to_pandas()
+    exp = con.execute(sql["q6_band_revenue"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got = q9_profit(li, paths["orders"], paths["part"], paths["supplier"],
+                    paths["nation"]).to_pandas().reset_index(drop=True)
+    exp = con.execute(sql["q9_profit"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got = q8_market_share(li, paths["orders"], paths["customer"],
+                          paths["supplier"], paths["nation"],
+                          paths["region"], paths["part"]) \
+        .to_pandas().reset_index(drop=True)
+    exp = con.execute(sql["q8_market_share"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got.share_num_c4 <= got.share_den_c4).all()
+
+    got = q21_waiting_suppliers(li, paths["supplier"],
+                                paths["nation"]).to_pandas()
+    exp = con.execute(sql["q21_waiting_suppliers"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.numwait.sum() > 0
+
+    got = q20_excess_suppliers(li, paths["part"], paths["supplier"],
+                               paths["nation"]).to_pandas()
+    exp = con.execute(sql["q20_excess_suppliers"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
