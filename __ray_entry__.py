@@ -1980,6 +1980,39 @@ def _q_mosaic_blur(sf_dir: str):
     return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_docs_entropy(sf_dir: str):
+    """Per-doc unigram-entropy quality signal, integer-exact via the
+    bit_length floor-log2 surrogate (the lm_score trick family) — a pure
+    streaming map, zero shuffle. Oracle: length(bin(c)) replay."""
+    from raygeo.ops.corpus import token_entropy
+
+    return token_entropy(_rpq(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])).sort("doc_id")
+
+
+def _q_events_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE analog: non-overlapping regex pattern counts over
+    each user's time-ordered event-char sequence — one bucketed exchange,
+    vectorized sort + compiled-regex kernel per bucket. Oracle:
+    string_agg(ORDER BY ts, event_id) + regexp_extract_all."""
+    from raygeo.ops.window import pattern_counts
+
+    return pattern_counts(_rpq(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])).sort("user_id")
+
+
+def _q_emb_pca(sf_dir: str):
+    """Top principal direction via integer-exact quantized power
+    iteration on the DISTRIBUTED Gram fold + a distributed projection
+    top-k — every step (trunc renorm, floor-log quantization) replayed
+    bit-for-bit by unrolled SQL CTEs (the emb_kmeans discipline)."""
+    from raygeo.ops.ann import pca_power_scores
+
+    return pca_power_scores(_rpq(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"]))
+
+
 def _q_mosaic_flowaccum(sf_dir: str):
     """D8 flow ACCUMULATION (upstream contributing cells + channel-cell
     extraction) — the third leg of the terrain routing trio: one
@@ -3257,6 +3290,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": _q_q8_market_share,  # Q8 exact share moments
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # Q21 sole-max
         "q20_excess_suppliers": _q_q20_excess_suppliers,  # Q20 half-share
+        "docs_entropy": _q_docs_entropy,  # integer-exact entropy filter
+        "events_pattern": _q_events_pattern,  # MATCH_RECOGNIZE analog
+        "emb_pca": _q_emb_pca,  # power-iteration principal direction
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -4802,6 +4838,58 @@ yp AS (
   GROUP BY 1, 2
 )
 SELECT * FROM xp UNION ALL SELECT * FROM yp ORDER BY axis, lag
+""",
+        "docs_entropy": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(l) AS w FROM toks),
+c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd,
+             sum(c * length(bin(c)))::BIGINT AS scbl FROM c GROUP BY 1)
+SELECT t.doc_id, coalesce(s.n, 0)::BIGINT AS n_tokens,
+       coalesce(s.nd, 0)::BIGINT AS n_distinct,
+       coalesce(s.n * length(bin(s.n)) - s.scbl, 0)::BIGINT AS ent_bits
+FROM toks t LEFT JOIN s USING (doc_id) ORDER BY doc_id
+""",
+        "events_pattern": """
+WITH s AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY 1)
+SELECT user_id, n_events,
+  len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_funnel,
+  len(regexp_extract_all(seq, 'vcp'))::BIGINT AS n_exact
+FROM s ORDER BY user_id
+""",
+        "emb_pca": """
+WITH x AS (
+  SELECT vec_id, ii.i AS i,
+    CAST(floor(embedding[ii.i + 1] * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) ii
+),
+gram AS (
+  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::BIGINT AS g
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+),
+s1 AS (SELECT i, sum(g)::BIGINT AS s FROM gram GROUP BY 1),
+m1 AS (SELECT max(abs(s)) AS m FROM s1),
+v1 AS (SELECT i, ((s::HUGEINT * 1048576) // m)::BIGINT AS v FROM s1, m1),
+s2 AS (SELECT gram.i, sum(gram.g * v1.v)::BIGINT AS s
+       FROM gram JOIN v1 ON v1.i = gram.j GROUP BY 1),
+m2 AS (SELECT max(abs(s)) AS m FROM s2),
+v2 AS (SELECT i, ((s::HUGEINT * 1048576) // m)::BIGINT AS v FROM s2, m2),
+s3 AS (SELECT gram.i, sum(gram.g * v2.v)::BIGINT AS s
+       FROM gram JOIN v2 ON v2.i = gram.j GROUP BY 1),
+m3 AS (SELECT max(abs(s)) AS m FROM s3),
+v3 AS (SELECT i, ((s::HUGEINT * 1048576) // m)::BIGINT AS v FROM s3, m3),
+proj AS (
+  SELECT x.vec_id, sum(x.q * v3.v)::BIGINT AS score_q
+  FROM x JOIN v3 ON v3.i = x.i GROUP BY 1
+)
+SELECT vec_id, score_q FROM proj
+ORDER BY abs(score_q) DESC, vec_id LIMIT 16
 """,
         "q6_band_revenue": """
 SELECT

@@ -200,6 +200,9 @@ def run_bench() -> dict:
         "q8_market_share",
         "q21_waiting_suppliers",
         "q20_excess_suppliers",
+        "docs_entropy",
+        "events_pattern",
+        "emb_pca",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

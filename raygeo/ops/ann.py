@@ -897,3 +897,69 @@ def semdedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                              "cid": np.full(int(ok.sum()), cid, np.int64)})
 
     return joined.groupby("cid").map_groups(pairs_of, batch_format="pandas")
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB ``//`` semantics —
+    Python's ``//`` floors, which differs for negative dividends)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def pca_power_scores(ds, vec_col: str = "embedding",
+                     id_col: str = "vec_id", rounds: int = 3,
+                     scale: int = 1 << 20, k: int = 16,
+                     quant: float = 1000.0):
+    """Top principal direction by INTEGER-EXACT quantized power iteration
+    on the distributed Gram matrix, then a distributed projection top-k —
+    the PCA building block (direction of maximal variance/energy) with
+    every arithmetic step replayable bit-for-bit by SQL.
+
+    Plan: (1) :func:`gram_matrix` folds G = Σ x xᵀ distributed (the
+    shuffle is d²-bounded); the d x d table is driver-side by contract.
+    (2) Power iteration runs on the driver with arbitrary-precision
+    Python ints: v₀ = 1⃗, s = G v, v' = trunc(s * scale / max|s|) — the
+    sign-aware trunc matches DuckDB ``//``, and the renorm keeps every
+    SQL intermediate inside HUGEINT. (3) The projection q·v is a pure
+    streaming map over quantized vectors; each block emits only its
+    top-k candidates by (|score| desc, id asc) and the driver closes the
+    bounded k x blocks candidate set. Output: (vec_id, score_q), the k
+    most extreme vectors along the principal direction.
+    """
+    import ray
+
+    g = gram_matrix(ds, vec_col, quant).to_pandas()  # d^2 rows, bounded
+    d = int(g["i"].max()) + 1
+    G = [[0] * d for _ in range(d)]
+    for i, j, v in zip(g["i"].to_numpy(), g["j"].to_numpy(),
+                       g["gram_q"].to_numpy()):
+        G[int(i)][int(j)] = int(v)
+    vec = [1] * d
+    for _ in range(rounds):
+        s = [sum(G[i][j] * vec[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in s) or 1
+        vec = [_trunc_div(x * scale, m) for x in s]
+    v_ref = ray.put(np.asarray(vec, np.int64))
+
+    def proj_topk(t: pa.Table) -> pa.Table:
+        v = ray.get(v_ref)
+        q = _quantized_matrix(t.column(vec_col), quant)
+        score = q @ v
+        ids = t.column(id_col).to_numpy()
+        order = np.lexsort((ids, -np.abs(score)))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "score_q": pa.array(score[order], pa.int64()),
+        })
+
+    cand = (ds.select_columns([id_col, vec_col])
+            .map_batches(proj_topk, batch_format="pyarrow",
+                         batch_size=4096).to_pandas())
+    cand["absq"] = cand["score_q"].abs()
+    cand = cand.sort_values(["absq", id_col],
+                            ascending=[False, True]).head(k)
+    return pa.table({
+        id_col: pa.array(cand[id_col].to_numpy(np.int64), pa.int64()),
+        "score_q": pa.array(cand["score_q"].to_numpy(np.int64),
+                            pa.int64()),
+    })

@@ -1481,3 +1481,47 @@ def cdc_chunks(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     both = (rows.map_batches(stats_rows, batch_format="pandas")
             .union(shared.map_batches(pad_shared, batch_format="pandas")))
     return bucketed_fold(both, id_col, doc_fold)
+
+
+def token_entropy(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document token-diversity quality signal, integer-exact.
+
+    The unigram-entropy filter (low-entropy docs are repetitive/spammy)
+    with the log2 made exactly replayable: with token counts c_w and
+    n = Σ c_w,
+
+        ent_bits = n * bit_length(n) - Σ c_w * bit_length(c_w)
+
+    — the integer floor-log2 surrogate of n·H (same bit-length family as
+    ``lm_bits_score``; DuckDB computes the identical value as
+    length(bin(c))). A PURE streaming map — per-doc counts never leave
+    the task, no shuffle at all. Output: (doc_id, n_tokens, n_distinct,
+    ent_bits)."""
+    tok = re.compile(LOWER_TOKEN_RE)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, ndist, ent = [], [], [], []
+        for did, t in zip(df[id_col], df[text_col]):
+            ws = tok.findall(t.lower())
+            n = len(ws)
+            ids.append(did)
+            nt.append(n)
+            if n == 0:
+                ndist.append(0)
+                ent.append(0)
+                continue
+            _, counts = np.unique(np.asarray(ws, object),
+                                  return_counts=True)
+            c = counts.astype(np.int64)
+            # bit_length(x) = floor(log2(x)) + 1; float log2 is exact at
+            # powers of two and monotone between them for x < 2^52
+            bl = np.floor(np.log2(c)).astype(np.int64) + 1
+            ndist.append(len(c))
+            ent.append(n * int(n).bit_length() - int((c * bl).sum()))
+        return pd.DataFrame({id_col: ids,
+                             "n_tokens": np.asarray(nt, np.int64),
+                             "n_distinct": np.asarray(ndist, np.int64),
+                             "ent_bits": np.asarray(ent, np.int64)})
+
+    return (docs_ds.select_columns([id_col, text_col])
+            .map_batches(score, batch_format="pandas", batch_size=512))

@@ -751,3 +751,58 @@ def running_total(events_ds, value_col: str = "value",
                              "running_cents": run.astype(np.int64)})
 
     return tagged.groupby("b").map_groups(scan, batch_format="pandas")
+
+
+def pattern_counts(events_ds, patterns=None, user_col: str = "user_id"):
+    """MATCH_RECOGNIZE analog: count NON-OVERLAPPING regex matches over
+    each user's time-ordered event-type sequence (one char per event —
+    the fixture types' initials are distinct). Default patterns: the
+    strict view→click→purchase trigram and the view,click*,purchase
+    funnel.
+
+    Plan: ONE bucketed exchange on the user hash (same-user rows share a
+    bucket); the per-bucket kernel sorts by (user, ts, event_id) once and
+    runs the compiled patterns per user string — work is bounded by
+    events, state by the bucket. Python's ``re.findall`` and DuckDB's
+    ``regexp_extract_all`` share non-overlapping leftmost semantics, so
+    the oracle replays exactly. Output: one row per user, plus the match
+    counts."""
+    import re as _re
+
+    from ..util import bucketed_fold
+
+    patterns = patterns or {"n_funnel": "vc*p", "n_exact": "vcp"}
+    compiled = {name: _re.compile(p) for name, p in patterns.items()}
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        ch = pa.array([x[0] for x in et], pa.string())
+        return pa.table({
+            user_col: t.column(user_col),
+            "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "ch": ch,
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, "ts", "event_id"],
+                            kind="mergesort")
+        out = {user_col: [], "n_events": []}
+        for name in compiled:
+            out[name] = []
+        for uid, g in df.groupby(user_col, sort=False):
+            seq = "".join(g["ch"])
+            out[user_col].append(uid)
+            out["n_events"].append(len(seq))
+            for name, rx in compiled.items():
+                out[name].append(len(rx.findall(seq)))
+        o = pd.DataFrame(out)
+        for c2 in o.columns:
+            if c2 != user_col:
+                o[c2] = o[c2].astype(np.int64)
+        return o
+
+    pre = (events_ds.select_columns([user_col, "ts", "event_id",
+                                     "event_type"])
+           .map_batches(tag, batch_format="pyarrow", batch_size=65536))
+    return bucketed_fold(pre, user_col, fold)

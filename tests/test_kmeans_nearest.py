@@ -242,3 +242,45 @@ def test_semdedup_subset_of_exact_pairs(ray_session):
     for (a, b) in exact:
         if cl.get(a) is not None and cl.get(a) == cl.get(b):
             assert (a, b) in got
+
+
+def test_pca_power_direction_and_replay(ray_session):
+    """pca_power_scores vs (a) a pure-python integer replay of the same
+    quantized recursion — bit-exact — and (b) numpy's true top
+    eigenvector: the quantized direction must align (|cos| > 0.98) on
+    data with a dominant component."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import _trunc_div, pca_power_scores
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    d, n = 16, 400
+    main = rng.normal(size=d)
+    main /= np.linalg.norm(main)
+    X = (np.outer(rng.normal(size=n) * 3.0, main)
+         + rng.normal(size=(n, d)) * 0.2).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(X)})
+    got = pca_power_scores(rd.from_pandas(df).repartition(5),
+                           rounds=3, k=10).to_pandas()
+    # (a) integer replay
+    q = np.floor(X.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    G = (q.T @ q).tolist()
+    vec = [1] * d
+    for _ in range(3):
+        s = [sum(G[i][j] * vec[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in s) or 1
+        vec = [_trunc_div(x * (1 << 20), m) for x in s]
+    score = q @ np.asarray(vec, np.int64)
+    order = np.lexsort((np.arange(n), -np.abs(score)))[:10]
+    exp = pd.DataFrame({"vec_id": order.astype(np.int64),
+                        "score_q": score[order]})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+    # (b) alignment with the true principal axis
+    v = np.asarray(vec, np.float64)
+    v /= np.linalg.norm(v)
+    w, V = np.linalg.eigh((X.T @ X).astype(np.float64))
+    top = V[:, -1]
+    assert abs(float(v @ top)) > 0.98

@@ -690,3 +690,40 @@ def test_state_svg_matches_commit_count(ray_session, fixtures_sf0001,
     root = ET.fromstring(state_svg(cube))
     ns = "{http://www.w3.org/2000/svg}"
     assert len(root.findall(f"{ns}rect")) == n
+
+
+def test_token_entropy_matches_counter(ray_session):
+    """Integer entropy surrogate vs a Counter replay; constant doc has
+    ent_bits == 0 iff n*bl(n) == n*bl(n)... i.e. all-same-token docs
+    score n*(bl(n)-bl(n)) = 0."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import token_entropy
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6),
+        "text": ["a b c d e f g h",
+                 "a a a a a a a a",
+                 "x y x y x y",
+                 "", "one",
+                 "Mixed CASE mixed case tokens_1 tokens_1"]})
+    got = (token_entropy(rd.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp_rows = []
+    import re
+    for did, t in zip(docs.doc_id, docs.text):
+        ws = re.findall(r"[0-9a-z_]+", t.lower())
+        n = len(ws)
+        c = Counter(ws)
+        ent = (n * n.bit_length()
+               - sum(v * v.bit_length() for v in c.values()))
+        exp_rows.append((did, n, len(c), ent))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "n_tokens",
+                                          "n_distinct", "ent_bits"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the all-same-token doc has zero surprise
+    assert exp.loc[1, "ent_bits"] == 0

@@ -431,3 +431,38 @@ def test_ewma_last_recurrence_and_buckets(ray_session):
     with pytest.raises(Exception, match="non-negative"):
         ewma_last(rd.from_pandas(bad), "user_id", "ts", "event_id",
                   "value").materialize()
+
+
+def test_pattern_counts_matches_serial(ray_session):
+    """MATCH_RECOGNIZE analog vs a serial per-user replay on random event
+    streams — non-overlapping findall semantics, tie-broken ordering."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.window import pattern_counts
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    n = 5000
+    types = np.array(["view", "click", "purchase", "error", "signup"])
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 40, n),
+        "event_type": types[rng.integers(0, 5, n)],
+        # duplicate timestamps force the (ts, event_id) tie-break
+        "ts": pd.to_datetime(rng.integers(0, 2000, n), unit="s"),
+    })
+    got = (pattern_counts(rd.from_pandas(ev).repartition(7))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp_rows = []
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        seq = "".join(x[0] for x in g.event_type)
+        exp_rows.append((uid, len(seq),
+                         len(re.findall("vc*p", seq)),
+                         len(re.findall("vcp", seq))))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "n_events",
+                                          "n_funnel", "n_exact"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.n_funnel.sum() >= got.n_exact.sum() > 0
