@@ -1980,6 +1980,19 @@ def _q_mosaic_blur(sf_dir: str):
     return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_mosaic_reproject(sf_dir: str):
+    """Cross-CRS NN raster warp (lon/lat mosaic -> polar-stereo grid) —
+    the reference's M1 CRS transform applied to the raster itself:
+    exact target-driven gather (per-dst-tile request windows, source
+    bytes travel only where sampled). Oracle = serial full-plane warp
+    golden sharing only the projection kernels."""
+    from raygeo.fixtures import FIXTURE_GRID, REPROJECT_DST_GRID
+    from raygeo.ops.stencil import reproject_nn
+
+    return reproject_nn(_tiles_lww(sf_dir), FIXTURE_GRID,
+                        REPROJECT_DST_GRID).sort("tile_id")
+
+
 def _q_docs_entropy(sf_dir: str):
     """Per-doc unigram-entropy quality signal, integer-exact via the
     bit_length floor-log2 surrogate (the lm_score trick family) — a pure
@@ -3293,6 +3306,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_entropy": _q_docs_entropy,  # integer-exact entropy filter
         "events_pattern": _q_events_pattern,  # MATCH_RECOGNIZE analog
         "emb_pca": _q_emb_pca,  # power-iteration principal direction
+        "mosaic_reproject": _q_mosaic_reproject,  # cross-CRS raster warp
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -3553,6 +3567,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_flowaccum_golden
 
     ensure_flowaccum_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_reproject_golden
+
+    ensure_reproject_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -3750,6 +3767,10 @@ FROM read_parquet('{FIX_SF001}/flowlen_golden.parquet')
         "mosaic_flowaccum": f"""
 SELECT tile_id, tx, ty, n_px, acc_sum, acc_max, n_channel
 FROM read_parquet('{FIX_SF001}/flowaccum_golden.parquet')
+""",
+        "mosaic_reproject": f"""
+SELECT tile_id, tx, ty, n_px, v_sum
+FROM read_parquet('{FIX_SF001}/reproject_golden.parquet')
 """,
         # the spatialstats family has REAL SQL oracles: DuckDB recomputes
         # each statistic from scratch over the serial plane dump

@@ -203,6 +203,7 @@ def run_bench() -> dict:
         "docs_entropy",
         "events_pattern",
         "emb_pca",
+        "mosaic_reproject",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

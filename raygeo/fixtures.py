@@ -2176,3 +2176,65 @@ def ensure_flowaccum_golden(fix_dir: str, channel_t: int = 5) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+# destination frame for the cross-CRS raster warp query: a polar-stereo
+# grid covering the fixture extent's projected bbox (x/y spans ~630 km)
+REPROJECT_DST_GRID = GridSpec(
+    name="fixture_polar", crs="POLAR_N",
+    x0=8_700_000.0, y1=-8_700_000.0, res=1250.0,
+    width=512, height=512, chunk=64)
+
+
+def ensure_reproject_golden(fix_dir: str) -> str:
+    """Idempotently derive reproject_golden.parquet: per-dst-tile NN-warp
+    stats from a serial FULL-PLANE replay — every dst pixel center
+    inverse-projects out of the dst CRS, forward-projects into the source
+    CRS, floor-indexes and samples the serial LWW plane.
+
+    Shares ONLY the pure projection kernels (geom.forward_xy/inverse_xy)
+    and the grid floor arithmetic with the engine — the target-driven
+    gather decomposition (`ops.stencil.reproject_nn`) is not touched.
+    Separate marker; no layout-version regen."""
+    from .geom import forward_xy, inverse_xy
+
+    out = os.path.join(fix_dir, "reproject_golden.parquet")
+    if os.path.exists(out):
+        return out
+    src = FIXTURE_GRID
+    dst = REPROJECT_DST_GRID
+    (_, valid, v), _lww = _paint_lww_plane(fix_dir)
+    rows = {"tile_id": [], "tx": [], "ty": [], "n_px": [], "v_sum": []}
+    for dty in range(dst.n_ty):
+        for dtx in range(dst.n_tx):
+            tc0, tc1, tr0, tr1 = dst.tile_pixel_window(dtx, dty)
+            cols = np.arange(tc0, tc1, dtype=np.float64)
+            rws = np.arange(tr0, tr1, dtype=np.float64)
+            X, Y = np.meshgrid(dst.x0 + (cols + 0.5) * dst.res,
+                               dst.y1 - (rws + 0.5) * dst.res)
+            lon, lat = inverse_xy(dst.crs, X.ravel(), Y.ravel())
+            sx, sy = forward_xy(src.crs, lon, lat)
+            cs = np.floor((sx - src.x0) / src.res).astype(np.int64)
+            rs = np.floor((src.y1 - sy) / src.res).astype(np.int64)
+            inside = ((rs >= 0) & (rs < src.height)
+                      & (cs >= 0) & (cs < src.width))
+            ok = np.zeros(len(rs), bool)
+            ok[inside] = valid[rs[inside], cs[inside]]
+            if not ok.any():
+                continue
+            vs = v[rs[ok], cs[ok]]
+            rows["tile_id"].append(f"{dtx}-{dty}")
+            rows["tx"].append(dtx)
+            rows["ty"].append(dty)
+            rows["n_px"].append(int(ok.sum()))
+            rows["v_sum"].append(int(vs.sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "n_px": pa.array(rows["n_px"], pa.int64()),
+        "v_sum": pa.array(rows["v_sum"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

@@ -282,3 +282,20 @@ def reproject_ring(ring: np.ndarray, crs: str) -> np.ndarray:
     else:
         raise ValueError(f"unsupported CRS {crs}")
     return np.column_stack([x, y])
+
+
+def inverse_xy(crs: str, x: np.ndarray, y: np.ndarray):
+    """Inverse-project ``crs`` coordinates back to lon/lat arrays — the
+    partner of :func:`forward_xy` (M1 dispatch; the reference's
+    accessor reprojects query geometry INTO the dataset CRS, this is the
+    raster-warp direction back out)."""
+    c = crs.upper()
+    if c in ("EPSG:4326", "CRS:84"):
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if c in ("EPSG:3857", "MERCATOR"):
+        return mercator_to_lonlat(x, y)
+    if c in ("EPSG:3413", "POLAR_N"):
+        return polar_stereo_to_lonlat(x, y)
+    if c == "POLAR_S":
+        return polar_stereo_to_lonlat(x, y, north=False)
+    raise ValueError(f"unsupported CRS {crs}")

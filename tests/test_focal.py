@@ -239,3 +239,58 @@ def test_flowaccum_matches_full_plane(ray_session, seed, p_absent):
     # cross-tile flow actually happened: some tile's acc exceeds its own
     # cell count contribution only if paths enter from neighbors
     assert got.acc_max.max() > 1
+
+
+@pytest.mark.parametrize("seed,p_absent", [(13, 0.3), (99, 0.5)])
+def test_reproject_nn_matches_full_plane(ray_session, seed, p_absent):
+    """Cross-CRS NN warp vs a serial full-plane replay: every dst pixel
+    center inverse-projected, forward-projected, floor-indexed, sampled
+    from the global plane. Shares only the projection kernels + grid
+    floor arithmetic — the gather decomposition is not reused."""
+    import ray.data as rd
+
+    from raygeo.geom import forward_xy, inverse_xy
+    from raygeo.ops.stencil import reproject_nn
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    # dst: polar-stereo grid covering SRC's lon/lat extent
+    xs, ys = forward_xy("POLAR_N", np.array([0.0, 0.75, 0.0, 0.75]),
+                        np.array([0.25, 0.25, 1.0, 1.0]))
+    pad = 30000.0
+    x0 = float(xs.min()) - pad
+    y1 = float(ys.max()) + pad
+    span = max(float(xs.max() - xs.min()),
+               float(ys.max() - ys.min())) + 2 * pad
+    res = span / 80
+    dst = GridSpec(name="d", crs="POLAR_N", x0=x0, y1=y1, res=res,
+                   width=80, height=80, chunk=16)
+    got = reproject_nn(rd.from_items(rows).repartition(5), SRC,
+                       dst).to_pandas()
+    v = plane.astype(np.int64).sum(axis=2)
+    exp_rows = []
+    for dty in range(dst.n_ty):
+        for dtx in range(dst.n_tx):
+            tc0, tc1, tr0, tr1 = dst.tile_pixel_window(dtx, dty)
+            cols = np.arange(tc0, tc1, dtype=np.float64)
+            rws = np.arange(tr0, tr1, dtype=np.float64)
+            X, Y = np.meshgrid(dst.x0 + (cols + 0.5) * dst.res,
+                               dst.y1 - (rws + 0.5) * dst.res)
+            lon, lat = inverse_xy(dst.crs, X.ravel(), Y.ravel())
+            sx, sy = forward_xy(SRC.crs, lon, lat)
+            cs = np.floor((sx - SRC.x0) / SRC.res).astype(np.int64)
+            rs = np.floor((SRC.y1 - sy) / SRC.res).astype(np.int64)
+            inside = ((rs >= 0) & (rs < SRC.height)
+                      & (cs >= 0) & (cs < SRC.width))
+            ok = np.zeros(len(rs), bool)
+            ok[inside] = valid[rs[inside], cs[inside]]
+            if not ok.any():
+                continue
+            vs = v[rs[ok], cs[ok]]
+            exp_rows.append((f"{dtx}-{dty}", dtx, dty, int(ok.sum()),
+                             int(vs.sum())))
+    exp = pd.DataFrame(exp_rows, columns=["tile_id", "tx", "ty", "n_px",
+                                          "v_sum"])
+    got = got.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(exp) > 4  # the warp actually produced a multi-tile output
