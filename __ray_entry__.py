@@ -1980,6 +1980,19 @@ def _q_mosaic_blur(sf_dir: str):
     return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_mosaic_watershed(sf_dir: str):
+    """D8 watershed basin labeling — every valid pixel labeled by its
+    terminal pit via the flowlen two-level decomposition carrying
+    TERMINAL ids (in-tile pointer doubling + spatially-bucketed
+    border-node doubling + bucketed exit-group join). Oracle = serial
+    full-plane doubling golden (ensure_watershed_golden)."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import watershed_stats
+
+    return watershed_stats(_tiles_lww(sf_dir),
+                           FIXTURE_GRID).sort("tile_id")
+
+
 def _q_mosaic_reproject(sf_dir: str):
     """Cross-CRS NN raster warp (lon/lat mosaic -> polar-stereo grid) —
     the reference's M1 CRS transform applied to the raster itself:
@@ -3307,6 +3320,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_pattern": _q_events_pattern,  # MATCH_RECOGNIZE analog
         "emb_pca": _q_emb_pca,  # power-iteration principal direction
         "mosaic_reproject": _q_mosaic_reproject,  # cross-CRS raster warp
+        "mosaic_watershed": _q_mosaic_watershed,  # terminal-pit basins
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -3570,6 +3584,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_reproject_golden
 
     ensure_reproject_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_watershed_golden
+
+    ensure_watershed_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -3771,6 +3788,10 @@ FROM read_parquet('{FIX_SF001}/flowaccum_golden.parquet')
         "mosaic_reproject": f"""
 SELECT tile_id, tx, ty, n_px, v_sum
 FROM read_parquet('{FIX_SF001}/reproject_golden.parquet')
+""",
+        "mosaic_watershed": f"""
+SELECT tile_id, tx, ty, n_px, n_basins, basin_sum, max_basin_px
+FROM read_parquet('{FIX_SF001}/watershed_golden.parquet')
 """,
         # the spatialstats family has REAL SQL oracles: DuckDB recomputes
         # each statistic from scratch over the serial plane dump

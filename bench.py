@@ -204,6 +204,7 @@ def run_bench() -> dict:
         "events_pattern",
         "emb_pca",
         "mosaic_reproject",
+        "mosaic_watershed",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

@@ -2238,3 +2238,76 @@ def ensure_reproject_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_watershed_golden(fix_dir: str) -> str:
+    """Idempotently derive watershed_golden.parquet: per-tile basin stats
+    from a serial FULL-PLANE pointer doubling labeling every valid cell
+    with its terminal pit. Shares ONLY the pure D8 rule
+    (`_flowdir_codes`) with the engine — the tile decomposition,
+    border-node doubling and exit-group join
+    (`ops.spatialstats.watershed_stats`) are not touched. Separate
+    marker; no layout-version regen."""
+    from .ops.spatialstats import _D8_OFF
+    from .ops.stencil import _flowdir_codes
+
+    out = os.path.join(fix_dir, "watershed_golden.parquet")
+    if os.path.exists(out):
+        return out
+    g = FIXTURE_GRID
+    (_, valid, v), _lww = _paint_lww_plane(fix_dir)
+    H, W = valid.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    ptr = np.full(H * W, -9, np.int64)
+    term = np.full(H * W, -1, np.int64)
+    pits = codes == 8
+    ptr[pits] = -1
+    term[pits] = np.nonzero(pits)[0]
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        ptr[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    for _ in range(64):
+        act = np.nonzero(ptr >= 0)[0]
+        if len(act) == 0:
+            break
+        j = ptr[act]
+        res = ptr[j] < 0
+        term[act[res]] = term[j[res]]
+        ptr[act] = ptr[j]
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("watershed golden: doubling did not converge")
+    term = term.reshape(H, W)
+    rows = {"tile_id": [], "tx": [], "ty": [], "n_px": [], "n_basins": [],
+            "basin_sum": [], "max_basin_px": []}
+    for ty in range(g.n_ty):
+        for tx in range(g.n_tx):
+            tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+            tt = term[tr0:tr1, tc0:tc1]
+            ok = tt >= 0
+            if not ok.any():
+                continue
+            vals, counts = np.unique(tt[ok], return_counts=True)
+            rows["tile_id"].append(f"{tx}-{ty}")
+            rows["tx"].append(tx)
+            rows["ty"].append(ty)
+            rows["n_px"].append(int(ok.sum()))
+            rows["n_basins"].append(len(vals))
+            rows["basin_sum"].append(int(tt[ok].sum()))
+            rows["max_basin_px"].append(int(counts.max()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "n_px": pa.array(rows["n_px"], pa.int64()),
+        "n_basins": pa.array(rows["n_basins"], pa.int64()),
+        "basin_sum": pa.array(rows["basin_sum"], pa.int64()),
+        "max_basin_px": pa.array(rows["max_basin_px"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

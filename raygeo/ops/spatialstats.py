@@ -1317,3 +1317,449 @@ def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
 
     return allvis.groupby("tile_id").map_groups(finish,
                                                 batch_format="pyarrow")
+
+
+# ---- D8 watershed basins (terminal-pit labeling) -----------------------------
+
+WSHED_MID_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'term' plane | 'exit' group | 'node' ring row
+    ("z", pa.binary()),     # term: int64 plane | exit: packed start gids
+    ("node", pa.int64()),   # exit: entry gid | node: ring-cell gid
+    ("nxt", pa.int64()),    # node: next entry gid, -1 = resolved
+    ("term", pa.int64()),   # node: terminal pit gid when resolved
+])
+
+
+def _chase_term(codes: np.ndarray, chunk: int, gy0: int, gx0: int,
+                width: int):
+    """In-tile pointer doubling carrying the TERMINAL identity: per
+    flattened cell, (status, value) where status -1 = resolved to an
+    in-tile pit (value = pit's global id), -2 = exits the tile (value =
+    entered cell's global id), -9 = invalid."""
+    c = chunk
+    rr, cc2 = np.divmod(np.arange(c * c), c)
+    code_f = codes.ravel()
+    ptr = np.full(c * c, -9, np.int64)
+    val = np.full(c * c, -1, np.int64)
+    pits = code_f == 8
+    ptr[pits] = -1
+    val[pits] = (gy0 + rr[pits]) * width + (gx0 + cc2[pits])
+    for k, (dr, dc_) in _D8_OFF.items():
+        sel = code_f == k
+        if not sel.any():
+            continue
+        tr, tc = rr[sel] + dr, cc2[sel] + dc_
+        inside = (tr >= 0) & (tr < c) & (tc >= 0) & (tc < c)
+        idx = np.nonzero(sel)[0]
+        ptr[idx[inside]] = tr[inside] * c + tc[inside]
+        out = idx[~inside]
+        ptr[out] = -2
+        val[out] = ((gy0 + tr[~inside]) * width + (gx0 + tc[~inside]))
+    for _ in range(32):
+        act = np.nonzero(ptr >= 0)[0]
+        if len(act) == 0:
+            break
+        j = ptr[act]
+        resolved = ptr[j] < 0
+        val[act[resolved]] = val[j[resolved]]
+        ptr[act] = np.where(resolved, ptr[j], ptr[j])
+        # unresolved targets keep chasing (ptr[j] >= 0 -> doubled hop)
+    return ptr, val
+
+
+def watershed_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+                    max_rounds: int = 64):
+    """D8 WATERSHED basin labeling — every valid pixel labeled by its
+    terminal pit (the cell its steepest-descent path ends at); output the
+    per-tile basin structure: (tile_id, tx, ty, n_px, n_basins,
+    basin_sum, max_basin_px) where n_basins counts distinct terminal
+    pits among the tile's cells, basin_sum is the Σ of terminal gids
+    (a value checksum) and max_basin_px the largest within-tile basin.
+
+    Plan: the flowlen two-level decomposition carrying TERMINAL IDs
+    instead of path lengths — one canvas+halo exchange computes per-tile
+    halo-exact code planes and pointer-doubles in-tile (term plane +
+    O(perimeter) ring-node continuations + per-entry exit groups whose
+    start lists ride as packed bytes); the cross-tile phase doubles over
+    the border-node graph only, spatially bucketed; a final bucketed
+    join hands each exit group its entry's terminal and one keyed merge
+    paints the per-cell terminal plane per tile. Checked against
+    ``fixtures.ensure_watershed_golden`` (serial full-plane doubling)
+    plus random-mosaic tests."""
+    import math
+
+    import ray.data as rd
+
+    from ..ops.stencil import _flowdir_codes, _vsum
+    from ..util import auto_join_partitions, cluster_cpus
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    width = grid.width
+    c = chunk
+
+    # ---- stage 1: exchange + in-tile resolution (flowaccum's emit) ----
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in FLOWACC_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            row((tx, ty), "self", v=px_z[j], m=mask_z[j])
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), c, c)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(c, c).astype(bool)
+            v = _vsum(canvas, pack)
+
+            def strip(vs, ms):
+                return (np.ascontiguousarray(vs).astype(np.int64).tobytes(),
+                        np.ascontiguousarray(ms).astype(np.uint8).tobytes())
+
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0]),
+                     ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1]),
+                     ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :]),
+                     ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", v[0:1, 0], mask[0:1, 0]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", v[0:1, -1],
+                      mask[0:1, -1]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", v[-1:, 0], mask[-1:, 0]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", v[-1:, -1],
+                      mask[-1:, -1])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b_, m_ = strip(vs, ms)
+                    row((ntx, nty), kind, v=b_, m=m_)
+        return pa.table(out, schema=FLOWACC_PARTIAL_SCHEMA)
+
+    def _place(P, M, kind, vs, ms):
+        if kind == "nbr_n":
+            P[0, 1:c + 1], M[0, 1:c + 1] = vs, ms
+        elif kind == "nbr_s":
+            P[c + 1, 1:c + 1], M[c + 1, 1:c + 1] = vs, ms
+        elif kind == "nbr_w":
+            P[1:c + 1, 0], M[1:c + 1, 0] = vs, ms
+        elif kind == "nbr_e":
+            P[1:c + 1, c + 1], M[1:c + 1, c + 1] = vs, ms
+        elif kind == "nbr_nw_c":
+            P[0, 0], M[0, 0] = vs[0], ms[0]
+        elif kind == "nbr_ne_c":
+            P[0, c + 1], M[0, c + 1] = vs[0], ms[0]
+        elif kind == "nbr_sw_c":
+            P[c + 1, 0], M[c + 1, 0] = vs[0], ms[0]
+        elif kind == "nbr_se_c":
+            P[c + 1, c + 1], M[c + 1, c + 1] = vs[0], ms[0]
+
+    def _mid(out, tx, ty, kind, z=b"", node=-1, nxt=-1, term=-1):
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["kind"].append(kind)
+        out["z"].append(z)
+        out["node"].append(int(node))
+        out["nxt"].append(int(nxt))
+        out["term"].append(int(term))
+
+    def resolve_tile(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        out: dict[str, list] = {k: [] for k in WSHED_MID_SCHEMA.names}
+        if "self" not in kinds:
+            return pa.table(out, schema=WSHED_MID_SCHEMA)
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        P = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                canvas = pack.from_bytes(
+                    zlib.decompress(g.column("v")[j].as_py()), c, c)
+                mask = np.frombuffer(
+                    zlib.decompress(g.column("m")[j].as_py()),
+                    np.uint8).reshape(c, c).astype(bool)
+                P[1:c + 1, 1:c + 1] = _vsum(canvas, pack)
+                M[1:c + 1, 1:c + 1] = mask
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place(P, M, kind, vs, ms)
+        codes = _flowdir_codes(P, M)
+        valid = codes.ravel() >= 0
+        if not valid.any():
+            return pa.table(out, schema=WSHED_MID_SCHEMA)
+        gy0, gx0 = ty * c, tx * c
+        ptr, val = _chase_term(codes, c, gy0, gx0, width)
+        term_plane = np.where(ptr == -1, val, np.int64(-1))
+        _mid(out, tx, ty, "term",
+             z=zlib.compress(term_plane.tobytes(), 1))
+        # exit groups: start gids packed per entry cell
+        ex = np.nonzero(valid & (ptr == -2))[0]
+        if len(ex):
+            rr, cc2 = np.divmod(ex, c)
+            starts = (gy0 + rr) * width + (gx0 + cc2)
+            entry = val[ex]
+            order = np.argsort(entry, kind="stable")
+            entry, starts = entry[order], starts[order]
+            cut = np.ones(len(entry), bool)
+            cut[1:] = entry[1:] != entry[:-1]
+            sidx = np.nonzero(cut)[0]
+            eidx = np.append(sidx[1:], len(entry))
+            for a, b in zip(sidx, eidx):
+                _mid(out, tx, ty, "exit", node=entry[a],
+                     z=starts[a:b].tobytes())
+        # border-ring node continuations
+        rr, cc2 = np.divmod(np.arange(c * c), c)
+        ring = valid & ((rr == 0) | (rr == c - 1) | (cc2 == 0)
+                        | (cc2 == c - 1))
+        for i in np.nonzero(ring)[0]:
+            nid = (gy0 + rr[i]) * width + (gx0 + cc2[i])
+            if ptr[i] == -1:
+                _mid(out, tx, ty, "node", node=nid, nxt=-1, term=val[i])
+            else:
+                _mid(out, tx, ty, "node", node=nid, nxt=val[i])
+        return pa.table(out, schema=WSHED_MID_SCHEMA)
+
+    mid = (tiles_ds.select_columns(["tile_id", "tx", "ty", "px_z",
+                                    "mask_z"])
+           .map_batches(emit, batch_format="pyarrow", batch_size=64)
+           .groupby("tile_id").map_groups(resolve_tile,
+                                          batch_format="pyarrow")
+           .materialize())
+
+    terms = mid.filter(expr="kind == 'term'") \
+        .select_columns(["tile_id", "tx", "ty", "z"]).materialize()
+    exits = mid.filter(expr="kind == 'exit'") \
+        .select_columns(["tile_id", "tx", "ty", "node", "z"]).materialize()
+    nodes = mid.filter(expr="kind == 'node'") \
+        .select_columns(["node", "nxt", "term"]).materialize()
+
+    # ---- stage 2: cross-tile doubling over border nodes (flowlen's
+    # spatially-bucketed chase, carrying terminal ids instead of d) ----
+    G = max(1, int(math.sqrt((n_tx * n_ty) / max(1, 2 * cluster_cpus()))))
+    nbx = (n_tx + G - 1) // G
+    blk = chunk * G
+
+    def sblock(node_arr: np.ndarray) -> np.ndarray:
+        gy = node_arr // width
+        gx = node_arr % width
+        return ((gy // blk) * nbx + (gx // blk)).astype(np.int64)
+
+    if int(nodes.count()) > 0:
+        for _ in range(max_rounds):
+            def key_both(t: pa.Table) -> pa.Table:
+                node = t.column("node").to_numpy()
+                nxt = t.column("nxt").to_numpy()
+                tm = t.column("term").to_numpy()
+                un = nxt >= 0
+                return pa.table({
+                    "pk": pa.array(np.concatenate(
+                        [sblock(node), sblock(nxt[un])]), pa.int64()),
+                    "side": pa.array(np.concatenate(
+                        [np.ones(len(node), np.int8),
+                         np.zeros(int(un.sum()), np.int8)]), pa.int8()),
+                    "node": pa.array(np.concatenate([node, node[un]]),
+                                     pa.int64()),
+                    "nxt": pa.array(np.concatenate([nxt, nxt[un]]),
+                                    pa.int64()),
+                    "term": pa.array(np.concatenate([tm, tm[un]]),
+                                     pa.int64()),
+                })
+
+            def chase(g: pa.Table) -> pa.Table:
+                side = g.column("side").to_numpy()
+                nd = g.column("node").to_numpy()
+                nx = g.column("nxt").to_numpy()
+                tm = g.column("term").to_numpy()
+                b = side == 1
+                lut_n, lut_x, lut_t = nd[b], nx[b], tm[b]
+                order = np.argsort(lut_n, kind="stable")
+                lut_n, lut_x, lut_t = (lut_n[order], lut_x[order],
+                                       lut_t[order])
+                pk = int(g.column("pk")[0].as_py())
+                a = np.nonzero(side == 0)[0]
+                done_b = b & (nx < 0)
+                cur_n, cur_x, cur_t = nd[a], nx[a], tm[a]
+                live = np.ones(len(a), bool)
+                for _hop in range(1024):
+                    if not live.any():
+                        break
+                    li = np.nonzero(live)[0]
+                    pos = np.searchsorted(lut_n, cur_x[li])
+                    if (pos >= len(lut_n)).any() or \
+                            not (lut_n[pos] == cur_x[li]).all():
+                        raise RuntimeError(
+                            "watershed: dangling border-node target")
+                    cur_t[li] = lut_t[pos]
+                    cur_x[li] = lut_x[pos]
+                    nxv = cur_x[li]
+                    still = (nxv >= 0) & (sblock(np.maximum(nxv, 0)) == pk)
+                    live[li] = still
+                else:  # pragma: no cover - defensive
+                    raise RuntimeError("watershed: local chase stuck")
+                return pa.table({
+                    "node": pa.array(np.concatenate([nd[done_b], cur_n]),
+                                     pa.int64()),
+                    "nxt": pa.array(np.concatenate([nx[done_b], cur_x]),
+                                    pa.int64()),
+                    "term": pa.array(np.concatenate([tm[done_b], cur_t]),
+                                     pa.int64()),
+                })
+
+            nodes = (nodes.map_batches(key_both, batch_format="pyarrow")
+                     .groupby("pk").map_groups(chase,
+                                               batch_format="pyarrow")
+                     .materialize())
+            if int(nodes.filter(expr="nxt >= 0").count()) == 0:
+                break
+        else:  # pragma: no cover - defensive
+            raise RuntimeError("watershed: doubling did not converge")
+
+    # ---- stage 3: hand each exit group its entry's terminal ----
+    nparts = max(1, auto_join_partitions(nodes, pools=1))
+
+    def key_exit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pa.array((t.column("node").to_numpy() % nparts)
+                           .astype(np.int32), pa.int32()),
+            "side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx").cast(pa.int64()),
+            "ty": t.column("ty").cast(pa.int64()),
+            "node": t.column("node"),
+            "z": t.column("z"),
+            "term": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+        })
+
+    def key_term(t: pa.Table) -> pa.Table:
+        empt = pa.array([""] * len(t), pa.string())
+        zero = pa.array(np.zeros(len(t), np.int64), pa.int64())
+        return pa.table({
+            "pk": pa.array((t.column("node").to_numpy() % nparts)
+                           .astype(np.int32), pa.int32()),
+            "side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            "tile_id": empt, "tx": zero, "ty": zero,
+            "node": t.column("node"),
+            "z": pa.array([b""] * len(t), pa.binary()),
+            "term": t.column("term").cast(pa.int64()),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        node = g.column("node").to_numpy()
+        b = side == 1
+        lut_n = node[b]
+        lut_t = g.column("term").to_numpy()[b]
+        order = np.argsort(lut_n, kind="stable")
+        lut_n, lut_t = lut_n[order], lut_t[order]
+        out = {"tile_id": [], "tx": [], "ty": [], "starts": [],
+               "term": []}
+        for i in np.nonzero(side == 0)[0]:
+            e = node[i]
+            pos = int(np.searchsorted(lut_n, e))
+            if pos >= len(lut_n) or lut_n[pos] != e:
+                raise RuntimeError("watershed: exit entry unresolved")
+            out["tile_id"].append(g.column("tile_id")[i].as_py())
+            out["tx"].append(int(g.column("tx")[i].as_py()))
+            out["ty"].append(int(g.column("ty")[i].as_py()))
+            out["starts"].append(g.column("z")[i].as_py())
+            out["term"].append(int(lut_t[pos]))
+        return pa.table({
+            "tile_id": pa.array(out["tile_id"], pa.string()),
+            "tx": pa.array(out["tx"], pa.int64()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            "starts": pa.array(out["starts"], pa.binary()),
+            "term": pa.array(out["term"], pa.int64()),
+        })
+
+    resolved = (exits.map_batches(key_exit, batch_format="pyarrow")
+                .union(nodes.map_batches(key_term,
+                                         batch_format="pyarrow"))
+                .groupby("pk").map_groups(attach, batch_format="pyarrow"))
+
+    # ---- stage 4: paint each tile's terminal plane and fold stats ----
+    OUT_SCHEMA = pa.schema([
+        ("tile_id", pa.string()), ("tx", pa.int64()), ("ty", pa.int64()),
+        ("n_px", pa.int64()), ("n_basins", pa.int64()),
+        ("basin_sum", pa.int64()), ("max_basin_px", pa.int64()),
+    ])
+
+    def paint(g: pa.Table) -> pa.Table:
+        term = None
+        extra_pos: list[np.ndarray] = []
+        extra_t: list[np.ndarray] = []
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        gy0, gx0 = ty * c, tx * c
+        for j in range(len(g)):
+            if g.column("kind")[j].as_py() == "term":
+                term = np.frombuffer(
+                    zlib.decompress(g.column("z")[j].as_py()),
+                    np.int64).copy()
+            else:
+                starts = np.frombuffer(g.column("z")[j].as_py(), np.int64)
+                pos = ((starts // width - gy0) * c
+                       + (starts % width - gx0))
+                extra_pos.append(pos)
+                extra_t.append(np.full(len(pos),
+                                       int(g.column("term")[j].as_py()),
+                                       np.int64))
+        if term is None:  # pragma: no cover - defensive
+            raise RuntimeError("watershed: tile missing its term plane")
+        if extra_pos:
+            p = np.concatenate(extra_pos)
+            t_ = np.concatenate(extra_t)
+            term[p] = t_
+        ok = term >= 0
+        if not ok.any():
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in OUT_SCHEMA})
+        vals, counts = np.unique(term[ok], return_counts=True)
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+            "tx": pa.array([tx], pa.int64()),
+            "ty": pa.array([ty], pa.int64()),
+            "n_px": pa.array([int(ok.sum())], pa.int64()),
+            "n_basins": pa.array([len(vals)], pa.int64()),
+            "basin_sum": pa.array([int(term[ok].sum())], pa.int64()),
+            "max_basin_px": pa.array([int(counts.max())], pa.int64()),
+        }, schema=OUT_SCHEMA)
+
+    def tag_kind_term(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx"),
+            "ty": t.column("ty"),
+            "kind": pa.array(["term"] * len(t), pa.string()),
+            "z": t.column("z"),
+            "term": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+        })
+
+    def tag_kind_exit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx"),
+            "ty": t.column("ty"),
+            "kind": pa.array(["exitres"] * len(t), pa.string()),
+            "z": t.column("starts"),
+            "term": t.column("term"),
+        })
+
+    return (terms.map_batches(tag_kind_term, batch_format="pyarrow")
+            .union(resolved.map_batches(tag_kind_exit,
+                                        batch_format="pyarrow"))
+            .groupby("tile_id").map_groups(paint, batch_format="pyarrow"))

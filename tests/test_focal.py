@@ -294,3 +294,61 @@ def test_reproject_nn_matches_full_plane(ray_session, seed, p_absent):
     exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert len(exp) > 4  # the warp actually produced a multi-tile output
+
+
+@pytest.mark.parametrize("seed,p_absent", [(23, 0.3), (88, 0.5)])
+def test_watershed_matches_full_plane(ray_session, seed, p_absent):
+    """Terminal-pit basin labeling vs a serial full-plane pointer
+    doubling — independent decomposition (no tiles), shared D8 rule."""
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import _D8_OFF, watershed_stats
+    from raygeo.ops.stencil import _flowdir_codes
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    got = watershed_stats(rd.from_items(rows).repartition(5),
+                          SRC).to_pandas()
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    ptr = np.full(H * W, -9, np.int64)
+    term = np.full(H * W, -1, np.int64)
+    pits = codes == 8
+    ptr[pits] = -1
+    term[pits] = np.nonzero(pits)[0]
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        ptr[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    for _ in range(40):
+        act = np.nonzero(ptr >= 0)[0]
+        if len(act) == 0:
+            break
+        j = ptr[act]
+        res = ptr[j] < 0
+        term[act[res]] = term[j[res]]
+        ptr[act] = ptr[j]
+    term = term.reshape(H, W)
+    exp = []
+    for tx in range(SRC.n_tx):
+        for ty in range(SRC.n_ty):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            tt = term[tr0:tr1, tc0:tc1]
+            ok = tt >= 0
+            if not ok.any():
+                continue
+            vals, counts = np.unique(tt[ok], return_counts=True)
+            exp.append((f"{tx}-{ty}", tx, ty, int(ok.sum()), len(vals),
+                        int(tt[ok].sum()), int(counts.max())))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "n_px",
+                                     "n_basins", "basin_sum",
+                                     "max_basin_px"])
+    got = got.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # basins do cross tile borders on random data
+    assert got.n_basins.sum() > 0
