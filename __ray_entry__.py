@@ -1980,6 +1980,21 @@ def _q_mosaic_blur(sf_dir: str):
     return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_mosaic_zonal_median(sf_dir: str):
+    """Zonal EXACT MEDIAN per zone bbox — per-tile (zone, v, cnt)
+    histogram partials (bounded by zones x value domain, never pixels),
+    one keyed fold reads the lower median (quantile_disc semantics) off
+    the cumulative histogram. Oracle recomputes from the plane dump."""
+    import pyarrow.parquet as _pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import zonal_median
+
+    z = _pq.read_table(f"{_fix(sf_dir)}/zones.parquet")
+    return zonal_median(_tiles_lww(sf_dir), z,
+                        FIXTURE_GRID).sort("zone_id")
+
+
 def _q_mosaic_watershed(sf_dir: str):
     """D8 watershed basin labeling — every valid pixel labeled by its
     terminal pit via the flowlen two-level decomposition carrying
@@ -3321,6 +3336,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": _q_emb_pca,  # power-iteration principal direction
         "mosaic_reproject": _q_mosaic_reproject,  # cross-CRS raster warp
         "mosaic_watershed": _q_mosaic_watershed,  # terminal-pit basins
+        "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -3792,6 +3808,28 @@ FROM read_parquet('{FIX_SF001}/reproject_golden.parquet')
         "mosaic_watershed": f"""
 SELECT tile_id, tx, ty, n_px, n_basins, basin_sum, max_basin_px
 FROM read_parquet('{FIX_SF001}/watershed_golden.parquet')
+""",
+        "mosaic_zonal_median": f"""
+WITH raw AS (
+  SELECT zone_id,
+    CAST(floor((lon_min - (-1.0)) / 0.0009765625) AS BIGINT) AS c0,
+    CAST(floor((lon_max - (-1.0)) / 0.0009765625) AS BIGINT) AS c1,
+    CAST(floor((1.0 - lat_max) / 0.0009765625) AS BIGINT) AS r0,
+    CAST(floor((1.0 - lat_min) / 0.0009765625) AS BIGINT) AS r1
+  FROM read_parquet('{ZONES_001}')
+),
+z AS (
+  SELECT zone_id,
+    greatest(c0, 0) AS c0, least(c1, 2047) AS c1,
+    greatest(r0, 0) AS r0, least(r1, 2047) AS r1
+  FROM raw
+)
+SELECT z.zone_id, count(p.v)::BIGINT AS n_px,
+  quantile_disc(p.v, 0.5)::BIGINT AS med_v
+FROM z JOIN read_parquet('{PLANE_001}') p
+  ON p.y >= z.r0 AND p.y <= z.r1 AND p.x >= z.c0 AND p.x <= z.c1
+GROUP BY 1 HAVING count(p.v) > 0
+ORDER BY 1
 """,
         # the spatialstats family has REAL SQL oracles: DuckDB recomputes
         # each statistic from scratch over the serial plane dump

@@ -205,6 +205,7 @@ def run_bench() -> dict:
         "emb_pca",
         "mosaic_reproject",
         "mosaic_watershed",
+        "mosaic_zonal_median",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

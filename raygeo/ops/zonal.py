@@ -552,3 +552,98 @@ def zonal_majority(tiles_ds, zones: pa.Table, grid: GridSpec, pack=None):
                                     batch_size=64)
     return (partials.union(zeros)
             .groupby("zone_id").map_groups(pick, batch_format="pandas"))
+
+
+def zonal_median(tiles_ds, zones: pa.Table, grid, pack=None):
+    """Zonal EXACT MEDIAN: per zone bbox, the lower median (rank
+    ceil(n/2) — DuckDB ``quantile_disc(v, 0.5)`` semantics) of the v
+    values over valid mosaic pixels, plus the pixel count.
+
+    Per-tile partials emit (zone, v, cnt) histogram rows — bounded by
+    zones x distinct v values, never pixels (the value domain is 766 for
+    RGB) — then one keyed per-zone fold reads the median off the sorted
+    cumulative histogram. Zones with no valid pixel are omitted (both
+    sides of the oracle agree). Returns (zone_id, n_px, med_v)."""
+    import zlib
+
+    import pandas as pd
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+    from .stencil import _vsum
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    res = grid.res
+    # inclusive pixel windows, the box-sums probe convention; a zone
+    # entirely outside the grid keeps an EMPTY (inverted) window — the
+    # oracle's one-sided clips would never match it either
+    cl = np.floor((zones.column("lon_min").to_numpy() - grid.x0)
+                  / res).astype(np.int64)
+    ch = np.floor((zones.column("lon_max").to_numpy() - grid.x0)
+                  / res).astype(np.int64)
+    rl = np.floor((grid.y1 - zones.column("lat_max").to_numpy())
+                  / res).astype(np.int64)
+    rh = np.floor((grid.y1 - zones.column("lat_min").to_numpy())
+                  / res).astype(np.int64)
+    cl = np.maximum(cl, 0)
+    rl = np.maximum(rl, 0)
+    ch = np.minimum(ch, grid.width - 1)
+    rh = np.minimum(rh, grid.height - 1)
+    zids = np.asarray(zones.column("zone_id").to_pylist(), dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_z, out_v, out_c = [], [], []
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            tc0, tc1 = tx * chunk, min((tx + 1) * chunk, grid.width)
+            tr0, tr1 = ty * chunk, min((ty + 1) * chunk, grid.height)
+            hit = np.nonzero((cl < tc1) & (ch >= tc0)
+                             & (rl < tr1) & (rh >= tr0))[0]
+            if len(hit) == 0:
+                continue
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]),
+                                     chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk,
+                                                   chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            for i in hit:
+                c0 = max(int(cl[i]), tc0) - tc0
+                c1 = min(int(ch[i]) + 1, tc1) - tc0
+                r0 = max(int(rl[i]), tr0) - tr0
+                r1 = min(int(rh[i]) + 1, tr1) - tr0
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                m = mask[r0:r1, c0:c1]
+                if not m.any():
+                    continue
+                vals, cnts = np.unique(v[r0:r1, c0:c1][m],
+                                       return_counts=True)
+                out_z.extend([zids[i]] * len(vals))
+                out_v.extend(vals.tolist())
+                out_c.extend(cnts.astype(np.int64).tolist())
+        return pa.table({
+            "zone_id": pa.array(out_z, pa.string()),
+            "v": pa.array(out_v, pa.int64()),
+            "cnt": pa.array(out_c, pa.int64()),
+        })
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("v", sort=False)["cnt"].sum().reset_index()
+             .sort_values("v"))
+        n = int(s["cnt"].sum())
+        rank = (n + 1) // 2  # lower median, quantile_disc(0.5)
+        cum = s["cnt"].cumsum()
+        m = int(s.loc[cum >= rank, "v"].iloc[0])
+        return pd.DataFrame({"zone_id": [g["zone_id"].iloc[0]],
+                             "n_px": np.array([n], np.int64),
+                             "med_v": np.array([m], np.int64)})
+
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=64)
+    return partials.groupby("zone_id").map_groups(med,
+                                                  batch_format="pandas")

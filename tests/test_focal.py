@@ -352,3 +352,51 @@ def test_watershed_matches_full_plane(ray_session, seed, p_absent):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # basins do cross tile borders on random data
     assert got.n_basins.sum() > 0
+
+
+def test_zonal_median_matches_brute(ray_session):
+    """Exact zonal lower median vs a brute per-zone replay on a random
+    mosaic — includes an out-of-grid zone (must be absent) and a
+    zone over fully-absent tiles."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.ops.zonal import zonal_median
+
+    rows, plane, valid = _random_mosaic(seed=61, p_absent=0.35)
+    res = SRC.res
+    zones = pa.table({
+        "zone_id": pa.array([f"z{i}" for i in range(8)], pa.string()),
+        "lon_min": pa.array([0.0, 0.1, 0.3, 0.55, 0.0, 5.0, 0.2, 0.66],
+                            pa.float64()),
+        "lat_min": pa.array([0.8, 0.3, 0.5, 0.26, 0.26, 5.0, 0.7, 0.9],
+                            pa.float64()),
+        "lon_max": pa.array([0.2, 0.2, 0.7, 0.74, 0.74, 6.0, 0.23, 0.70],
+                            pa.float64()),
+        "lat_max": pa.array([1.0, 0.5, 0.6, 0.5, 1.0, 6.0, 0.75, 0.95],
+                            pa.float64()),
+    })
+    got = (zonal_median(rd.from_items(rows).repartition(5), zones, SRC)
+           .to_pandas().sort_values("zone_id").reset_index(drop=True))
+    v = plane.astype(np.int64).sum(axis=2)
+    exp = []
+    for i in range(8):
+        c0 = max(int(np.floor((zones["lon_min"][i].as_py() - SRC.x0)
+                              / res)), 0)
+        c1 = min(int(np.floor((zones["lon_max"][i].as_py() - SRC.x0)
+                              / res)), SRC.width - 1)
+        r0 = max(int(np.floor((SRC.y1 - zones["lat_max"][i].as_py())
+                              / res)), 0)
+        r1 = min(int(np.floor((SRC.y1 - zones["lat_min"][i].as_py())
+                              / res)), SRC.height - 1)
+        if c1 < c0 or r1 < r0:
+            continue
+        m = valid[r0:r1 + 1, c0:c1 + 1]
+        if not m.any():
+            continue
+        vals = np.sort(v[r0:r1 + 1, c0:c1 + 1][m])
+        n = len(vals)
+        exp.append((f"z{i}", n, int(vals[(n + 1) // 2 - 1])))
+    exp = (pd.DataFrame(exp, columns=["zone_id", "n_px", "med_v"])
+           .sort_values("zone_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
