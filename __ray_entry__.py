@@ -1980,6 +1980,18 @@ def _q_mosaic_blur(sf_dir: str):
     return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_events_scd2(sf_dir: str):
+    """SCD2 validity intervals: per user, the time-weighted state
+    integral (value held until the next event) in exact integer
+    microseconds — one bucketed exchange, vectorized sort+diff kernel.
+    Oracle: LEAD(ts) OVER (PARTITION BY user) replay."""
+    from raygeo.ops.window import scd2_intervals
+
+    return scd2_intervals(_rpq(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])).sort("user_id")
+
+
 def _q_mosaic_zonal_median(sf_dir: str):
     """Zonal EXACT MEDIAN per zone bbox — per-tile (zone, v, cnt)
     histogram partials (bounded by zones x value domain, never pixels),
@@ -3337,6 +3349,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_reproject": _q_mosaic_reproject,  # cross-CRS raster warp
         "mosaic_watershed": _q_mosaic_watershed,  # terminal-pit basins
         "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
+        "events_scd2": _q_events_scd2,  # SCD2 time-weighted state
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -4918,6 +4931,19 @@ yp AS (
   GROUP BY 1, 2
 )
 SELECT * FROM xp UNION ALL SELECT * FROM yp ORDER BY axis, lag
+""",
+        "events_scd2": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CAST(round(value * 100) AS BIGINT) AS v,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_versions,
+  coalesce(sum(epoch_us(nts) - epoch_us(ts)), 0)::BIGINT AS closed_usec,
+  coalesce(sum(v * (epoch_us(nts) - epoch_us(ts))), 0)::BIGINT
+    AS value_usec
+FROM e GROUP BY 1 ORDER BY 1
 """,
         "docs_entropy": """
 WITH toks AS (

@@ -206,6 +206,7 @@ def run_bench() -> dict:
         "mosaic_reproject",
         "mosaic_watershed",
         "mosaic_zonal_median",
+        "events_scd2",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

@@ -806,3 +806,46 @@ def pattern_counts(events_ds, patterns=None, user_col: str = "user_id"):
                                      "event_type"])
            .map_batches(tag, batch_format="pyarrow", batch_size=65536))
     return bucketed_fold(pre, user_col, fold)
+
+
+def scd2_intervals(events_ds, user_col: str = "user_id"):
+    """SCD2 validity intervals from an event stream (the slowly-changing-
+    dimension type-2 shape): per key, each event's value is held until
+    the next event — emit the per-key interval summary
+    (n_versions, closed_usec = span first→last, value_usec =
+    Σ value_cents x interval_µs over closed intervals), i.e. the
+    time-weighted state integral, exact in integer microseconds.
+
+    ONE bucketed exchange on the key hash; per-bucket kernel is a
+    vectorized sort + diff (the LEAD(ts) OVER (PARTITION BY key) analog).
+    Oracle: the LEAD window replay."""
+    from ..util import bucketed_fold
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, "ts", "event_id"],
+                            kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        uid = df[user_col].to_numpy()
+        out = {user_col: [], "n_versions": [], "closed_usec": [],
+               "value_usec": []}
+        # group bounds on the sorted key column
+        cut = np.ones(len(df), bool)
+        cut[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(cut)[0]
+        ends = np.append(starts[1:], len(df))
+        for a, b in zip(starts, ends):
+            gaps = np.diff(ts[a:b])
+            out[user_col].append(uid[a])
+            out["n_versions"].append(b - a)
+            out["closed_usec"].append(int(gaps.sum()) if b - a > 1 else 0)
+            out["value_usec"].append(
+                int((v[a:b - 1] * gaps).sum()) if b - a > 1 else 0)
+        o = pd.DataFrame(out)
+        for c2 in ("n_versions", "closed_usec", "value_usec"):
+            o[c2] = o[c2].astype(np.int64)
+        return o
+
+    return bucketed_fold(
+        events_ds.select_columns([user_col, "ts", "event_id", "value"]),
+        user_col, fold)

@@ -466,3 +466,39 @@ def test_pattern_counts_matches_serial(ray_session):
                                           "n_funnel", "n_exact"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.n_funnel.sum() >= got.n_exact.sum() > 0
+
+
+def test_scd2_intervals_matches_serial(ray_session):
+    """Time-weighted state integral vs a serial LEAD replay, with
+    duplicate timestamps (tie-break by event_id) and single-event keys
+    (zero closed span)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.window import scd2_intervals
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    n = 3000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 30, n),
+        "value": np.round(rng.uniform(0, 50, n), 2),
+        "ts": pd.to_datetime(rng.integers(0, 5000, n), unit="s"),
+    })
+    # a single-event key
+    ev.loc[0, "user_id"] = 999
+    ev = ev[(ev.user_id != 999) | (ev.index == 0)]
+    got = (scd2_intervals(rd.from_pandas(ev).repartition(6))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp_rows = []
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ts = g.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = np.rint(g.value.to_numpy() * 100).astype(np.int64)
+        gaps = np.diff(ts)
+        exp_rows.append((uid, len(g), int(gaps.sum()),
+                         int((v[:-1] * gaps).sum()) if len(g) > 1 else 0))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "n_versions",
+                                          "closed_usec", "value_usec"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got.loc[got.user_id == 999, "closed_usec"] == 0).all()
