@@ -1980,6 +1980,17 @@ def _q_mosaic_blur(sf_dir: str):
     return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_emb_outliers(sf_dir: str):
+    """Per-label embedding outliers by exact integer distance-to-centroid
+    (the too-far curation sibling of SemDeDup's too-close): labels x d
+    centroid fold, broadcast, pure-map scoring with per-block top-k.
+    Oracle: floor-divide centroid CTE + window rank replay."""
+    from raygeo.ops.ann import label_outliers
+
+    return label_outliers(_rpq(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"]))
+
+
 def _q_events_scd2(sf_dir: str):
     """SCD2 validity intervals: per user, the time-weighted state
     integral (value held until the next event) in exact integer
@@ -3350,6 +3361,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_watershed": _q_mosaic_watershed,  # terminal-pit basins
         "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
         "events_scd2": _q_events_scd2,  # SCD2 time-weighted state
+        "emb_outliers": _q_emb_outliers,  # distance-to-centroid curation
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -4931,6 +4943,33 @@ yp AS (
   GROUP BY 1, 2
 )
 SELECT * FROM xp UNION ALL SELECT * FROM yp ORDER BY axis, lag
+""",
+        "emb_outliers": """
+WITH q AS (
+  SELECT vec_id, label, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS d) d
+),
+cent AS (
+  SELECT label, dim, CAST(floor(sum(qv) / count(*)) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2
+),
+sc AS (
+  SELECT q.vec_id, q.label,
+    sum((q.qv - c.c) * (q.qv - c.c))::BIGINT AS dist_q2
+  FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT label, vec_id, dist_q2,
+    row_number() OVER (PARTITION BY label
+                       ORDER BY dist_q2 DESC, vec_id) AS rank
+  FROM sc
+)
+SELECT label::BIGINT AS label, vec_id::BIGINT AS vec_id, dist_q2,
+  rank::BIGINT AS rank
+FROM rk WHERE rank <= 3 ORDER BY label, rank
 """,
         "events_scd2": """
 WITH e AS (

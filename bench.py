@@ -207,6 +207,7 @@ def run_bench() -> dict:
         "mosaic_watershed",
         "mosaic_zonal_median",
         "events_scd2",
+        "emb_outliers",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

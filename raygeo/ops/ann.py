@@ -963,3 +963,90 @@ def pca_power_scores(ds, vec_col: str = "embedding",
         "score_q": pa.array(cand["score_q"].to_numpy(np.int64),
                             pa.int64()),
     })
+
+
+def label_outliers(ds, vec_col: str = "embedding", label_col: str = "label",
+                   id_col: str = "vec_id", k: int = 3):
+    """Per-label OUTLIERS by exact integer distance-to-centroid — the
+    curation step that removes mislabeled / far-from-class samples
+    (SemDeDup's sibling: SemDeDup prunes the too-close, this flags the
+    too-far).
+
+    Centroid per label = floor(sum_q / n) per dim (one exact double
+    divide + floor — the emb_kmeans discipline, cross-engine exact);
+    each vector's score = Σ_d (q_d - c_d)², an int64. Plan: one
+    (labels x d)-bounded centroid fold, centroids broadcast via
+    ``ray.put``, scoring a pure map with a per-block top-k, driver
+    closing the bounded k x blocks candidates. Output: (label, vec_id,
+    dist_q2, rank) — the k farthest per label, ties to smaller id."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = _quantized_matrix(t.column(vec_col), 1e6)
+        labels = t.column(label_col).to_numpy()
+        dim = q.shape[1]
+        df = pd.DataFrame({"label": np.repeat(labels, dim)
+                           .astype(np.int64),
+                           "dim": np.tile(np.arange(dim, dtype=np.int64),
+                                          len(labels)),
+                           "sum_q": q.ravel(), "n": np.int64(1)})
+        g = (df.groupby(["label", "dim"], sort=False)
+             .agg(sum_q=("sum_q", "sum"), n=("n", "sum")).reset_index())
+        return pa.table({
+            "label": pa.array(g["label"].to_numpy(np.int64), pa.int64()),
+            "dim": pa.array(g["dim"].to_numpy(np.int64), pa.int64()),
+            "sum_q": pa.array(g["sum_q"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    cent = (ds.select_columns([vec_col, label_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+            .groupby(["label", "dim"])
+            .aggregate(Sum("sum_q", alias_name="sum_q"),
+                       Sum("n", alias_name="n"))).to_pandas()
+    labels = np.sort(cent["label"].unique())
+    dim = int(cent["dim"].max()) + 1
+    C = np.zeros((len(labels), dim), np.int64)
+    lab_ix = {int(v): i for i, v in enumerate(labels)}
+    for lb, dm, s, n in zip(cent["label"], cent["dim"], cent["sum_q"],
+                            cent["n"]):
+        C[lab_ix[int(lb)], int(dm)] = int(np.floor(float(s) / int(n)))
+    cref = ray.put((np.asarray(labels, np.int64), C))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        labs, cen = ray.get(cref)
+        q = _quantized_matrix(t.column(vec_col), 1e6)
+        lb = t.column(label_col).to_numpy().astype(np.int64)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        pos = np.searchsorted(labs, lb)
+        d = q - cen[pos]
+        score = (d * d).sum(axis=1)
+        df = pd.DataFrame({"label": lb, id_col: ids, "dist_q2": score})
+        df = df.sort_values(["label", "dist_q2", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("label", sort=False).head(k)
+        return pa.table({
+            "label": pa.array(df["label"].to_numpy(np.int64), pa.int64()),
+            id_col: pa.array(df[id_col].to_numpy(np.int64), pa.int64()),
+            "dist_q2": pa.array(df["dist_q2"].to_numpy(np.int64),
+                                pa.int64()),
+        })
+
+    cand = (ds.select_columns([id_col, vec_col, label_col])
+            .map_batches(score_topk, batch_format="pyarrow",
+                         batch_size=4096).to_pandas())
+    cand = cand.sort_values(["label", "dist_q2", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    cand = cand.groupby("label", sort=False).head(k).reset_index(drop=True)
+    cand["rank"] = cand.groupby("label").cumcount().astype(np.int64) + 1
+    return pa.table({
+        "label": pa.array(cand["label"].to_numpy(np.int64), pa.int64()),
+        id_col: pa.array(cand[id_col].to_numpy(np.int64), pa.int64()),
+        "dist_q2": pa.array(cand["dist_q2"].to_numpy(np.int64),
+                            pa.int64()),
+        "rank": pa.array(cand["rank"].to_numpy(np.int64), pa.int64()),
+    })

@@ -284,3 +284,44 @@ def test_pca_power_direction_and_replay(ray_session):
     w, V = np.linalg.eigh((X.T @ X).astype(np.float64))
     top = V[:, -1]
     assert abs(float(v @ top)) > 0.98
+
+
+def test_label_outliers_matches_brute(ray_session):
+    """Distance-to-centroid top-k per label vs a brute numpy replay —
+    planted far outliers must rank first."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import label_outliers
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    d, n = 8, 300
+    lab = rng.integers(0, 4, n)
+    X = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+    X += lab[:, None] * 2.0
+    # plant an extreme outlier per label
+    for li in range(4):
+        idx = np.nonzero(lab == li)[0][0]
+        X[idx] += 50.0
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(X),
+                       "label": lab})
+    got = label_outliers(rd.from_pandas(df).repartition(5),
+                         k=3).to_pandas()
+    q = np.floor(X.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    exp_rows = []
+    for li in range(4):
+        m = lab == li
+        c = np.floor(q[m].sum(axis=0).astype(np.float64)
+                     / int(m.sum())).astype(np.int64)
+        sc = ((q[m] - c) ** 2).sum(axis=1)
+        ids = np.arange(n)[m]
+        order = np.lexsort((ids, -sc))[:3]
+        for r, o in enumerate(order):
+            exp_rows.append((li, int(ids[o]), int(sc[o]), r + 1))
+    exp = pd.DataFrame(exp_rows, columns=["label", "vec_id", "dist_q2",
+                                          "rank"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # planted outliers are rank 1 in each label
+    planted = {int(np.nonzero(lab == li)[0][0]) for li in range(4)}
+    assert set(got[got["rank"] == 1].vec_id) == planted
