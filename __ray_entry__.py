@@ -1980,6 +1980,18 @@ def _q_mosaic_blur(sf_dir: str):
     return blur_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_parts_rules(sf_dir: str):
+    """Association rules over co-purchase pairs, ranked by EXACT integer
+    lift (floor(pair*N*1e6 / (cnt_a*cnt_b))) — per-part supports are
+    dimension-bounded broadcast probes, the lift map is pure with
+    per-block top-k. Oracle replays the distinct/pair/support CTEs."""
+    from raygeo.ops.relational import association_rules
+
+    return association_rules(_rpq(f"{sf_dir}/lineitem.parquet",
+                                  columns=["l_orderkey", "l_partkey"]),
+                             f"{sf_dir}/lineitem.parquet")
+
+
 def _q_emb_outliers(sf_dir: str):
     """Per-label embedding outliers by exact integer distance-to-centroid
     (the too-far curation sibling of SemDeDup's too-close): labels x d
@@ -3362,6 +3374,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
         "events_scd2": _q_events_scd2,  # SCD2 time-weighted state
         "emb_outliers": _q_emb_outliers,  # distance-to-centroid curation
+        "parts_rules": _q_parts_rules,  # association rules by exact lift
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -4943,6 +4956,23 @@ yp AS (
   GROUP BY 1, 2
 )
 SELECT * FROM xp UNION ALL SELECT * FROM yp ORDER BY axis, lag
+""",
+        "parts_rules": """
+WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, count(*)::BIGINT AS n_orders
+  FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sup AS (SELECT p, count(*)::BIGINT AS n FROM dp GROUP BY 1),
+nn AS (SELECT count(DISTINCT o)::BIGINT AS N FROM dp)
+SELECT pairs.part_a, pairs.part_b, pairs.n_orders,
+  ((pairs.n_orders * nn.N * 1000000) // (sa.n * sb.n))::BIGINT
+    AS lift_1e6
+FROM pairs, nn
+JOIN sup sa ON sa.p = pairs.part_a
+JOIN sup sb ON sb.p = pairs.part_b
+ORDER BY lift_1e6 DESC, part_a, part_b LIMIT 20
 """,
         "emb_outliers": """
 WITH q AS (

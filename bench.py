@@ -208,6 +208,7 @@ def run_bench() -> dict:
         "mosaic_zonal_median",
         "events_scd2",
         "emb_outliers",
+        "parts_rules",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

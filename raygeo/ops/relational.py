@@ -3595,3 +3595,94 @@ def q20_excess_suppliers(lineitem_ds, part_path: str, supplier_path: str,
         "n_parts": pa.array(cnt["n_parts"].to_numpy(np.int64),
                             pa.int64()),
     })
+
+
+def association_rules(lineitem_ds, lineitem_path: str, k: int = 20,
+                      min_pair: int = 2):
+    """Market-basket ASSOCIATION RULES: part pairs ranked by exact
+    integer lift — ``lift_1e6 = floor(pair_n * N_orders * 1e6 /
+    (cnt_a * cnt_b))`` over distinct-order supports (the
+    confidence/lift step on top of :func:`copurchase_pairs`).
+
+    Plan: the pair table comes from the bucketed copurchase machinery;
+    per-part distinct-order supports are PART-dimension bounded, so they
+    broadcast as a sorted probe (never a join); the lift map is pure and
+    each block emits only its top-k candidates. All arithmetic int64
+    (pair*N*1e6 <= ~1e15 at any plausible basket scale).
+    Output: (part_a, part_b, n_orders, lift_1e6) top-k by (lift desc,
+    part_a, part_b)."""
+    import ray
+
+    from ..util import bucketed_fold
+
+    pairs = copurchase_pairs(lineitem_ds, lineitem_path, k=None,
+                             min_count=min_pair)
+
+    def dpartial(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"o": t.column("l_orderkey").to_numpy(),
+                            "p": t.column("l_partkey").to_numpy()})
+              .drop_duplicates())
+        return pa.table({"o": pa.array(df["o"].to_numpy(np.int64),
+                                       pa.int64()),
+                         "p": pa.array(df["p"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    def distinct_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates().astype(np.int64)
+
+    dp = bucketed_fold(
+        lineitem_ds.select_columns(["l_orderkey", "l_partkey"])
+        .map_batches(dpartial, batch_format="pyarrow", batch_size=65536),
+        "o", distinct_fold).materialize()
+
+    # per-part supports + the order count: PART-dimension bounded pulls
+    def support_partial(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"p": t.column("p").to_numpy(),
+                            "n": np.int64(1)})
+              .groupby("p", sort=False)["n"].sum().reset_index())
+        return pa.table({"p": pa.array(df["p"].to_numpy(np.int64),
+                                       pa.int64()),
+                         "n": pa.array(df["n"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    sup = (dp.map_batches(support_partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+           .groupby("p")["n"].sum())
+    # exact distinct-order count: buckets partition the order-key space,
+    # so per-bucket nunique sums are globally exact — one scalar per
+    # bucket ever reaches the driver
+    def o_count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": np.array([g["o"].nunique()], np.int64)})
+
+    n_orders_total = int(bucketed_fold(dp.select_columns(["o"]), "o",
+                                       o_count_fold)
+                         .to_pandas()["n"].sum())
+    keys = np.sort(sup.index.to_numpy().astype(np.int64))
+    vals = sup.reindex(keys).to_numpy().astype(np.int64)
+    probe = ray.put((keys, vals, n_orders_total))
+
+    def lift_topk(t: pa.Table) -> pa.Table:
+        pk, pv, N = ray.get(probe)
+        a = t.column("part_a").to_numpy()
+        b = t.column("part_b").to_numpy()
+        n = t.column("n_orders").to_numpy()
+        ca = pv[np.searchsorted(pk, a)]
+        cb = pv[np.searchsorted(pk, b)]
+        lift = (n * np.int64(N) * np.int64(1_000_000)) // (ca * cb)
+        df = pd.DataFrame({"part_a": a, "part_b": b, "n_orders": n,
+                           "lift_1e6": lift})
+        df = df.sort_values(["lift_1e6", "part_a", "part_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+        return pa.table({c: pa.array(df[c].to_numpy(np.int64), pa.int64())
+                         for c in ("part_a", "part_b", "n_orders",
+                                   "lift_1e6")})
+
+    cand = pairs.map_batches(lift_topk, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
+    cand = cand.sort_values(["lift_1e6", "part_a", "part_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    return pa.table({c: pa.array(cand[c].to_numpy(np.int64), pa.int64())
+                     for c in ("part_a", "part_b", "n_orders",
+                               "lift_1e6")})

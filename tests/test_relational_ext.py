@@ -1807,3 +1807,39 @@ def test_tpch_tail_shapes_match_duckdb(ray_session, tmp_path):
                                paths["nation"]).to_pandas()
     exp = con.execute(sql["q20_excess_suppliers"]).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_association_rules_matches_duckdb(ray_session, tmp_path):
+    """Lift-ranked rules vs a DuckDB replay on a random basket table —
+    covers the distinct fold, the pair self-join, the dimension-bounded
+    support probe and the exact integer lift."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from raygeo.ops.relational import association_rules
+    from raygeo.util import read_parquet_clean
+
+    rng = np.random.Generator(np.random.PCG64(12))
+    n = 4000
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(0, 600, n),
+        "l_partkey": rng.integers(0, 80, n),
+    })
+    # plant a strongly-associated pair
+    extra = pd.DataFrame({"l_orderkey": np.arange(600, 640).repeat(2),
+                          "l_partkey": np.tile([900, 901], 40)})
+    li = pd.concat([li, extra], ignore_index=True)
+    p = str(tmp_path / "li.parquet")
+    li.to_parquet(p)
+    got = association_rules(read_parquet_clean(p), p, k=15).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{p}')")
+    import __ray_entry__ as entrymod
+    sql = entrymod.oracle_sql()["parts_rules"].replace("LIMIT 20",
+                                                       "LIMIT 15")
+    exp = con.execute(sql).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the planted pair dominates by lift
+    assert (got.iloc[0].part_a, got.iloc[0].part_b) == (900, 901)
