@@ -2015,6 +2015,18 @@ def _q_events_scd2(sf_dir: str):
                                         "value"])).sort("user_id")
 
 
+def _q_mosaic_basins(sf_dir: str):
+    """Per-basin saddle spill + depression depth on top of the watershed
+    labels (planes=True): one keyed union pairs labels with canvases,
+    one 8-neighbor strip exchange carries (label, v, valid) borders,
+    cross-tile duplicate saddle candidates collapse under the per-basin
+    min fold. Oracle = serial full-plane replay golden."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import basin_saddles
+
+    return basin_saddles(_tiles_lww(sf_dir), FIXTURE_GRID).sort("pit")
+
+
 def _q_mosaic_zonal_median(sf_dir: str):
     """Zonal EXACT MEDIAN per zone bbox — per-tile (zone, v, cnt)
     histogram partials (bounded by zones x value domain, never pixels),
@@ -3372,6 +3384,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_reproject": _q_mosaic_reproject,  # cross-CRS raster warp
         "mosaic_watershed": _q_mosaic_watershed,  # terminal-pit basins
         "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
+        "mosaic_basins": _q_mosaic_basins,  # saddle spill / sink depth
         "events_scd2": _q_events_scd2,  # SCD2 time-weighted state
         "emb_outliers": _q_emb_outliers,  # distance-to-centroid curation
         "parts_rules": _q_parts_rules,  # association rules by exact lift
@@ -3641,6 +3654,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_watershed_golden
 
     ensure_watershed_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_basin_golden
+
+    ensure_basin_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -3846,6 +3862,10 @@ FROM read_parquet('{FIX_SF001}/reproject_golden.parquet')
         "mosaic_watershed": f"""
 SELECT tile_id, tx, ty, n_px, n_basins, basin_sum, max_basin_px
 FROM read_parquet('{FIX_SF001}/watershed_golden.parquet')
+""",
+        "mosaic_basins": f"""
+SELECT pit, basin_px, pit_v, spill_v, depth
+FROM read_parquet('{FIX_SF001}/basin_golden.parquet')
 """,
         "mosaic_zonal_median": f"""
 WITH raw AS (

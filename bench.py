@@ -209,6 +209,7 @@ def run_bench() -> dict:
         "events_scd2",
         "emb_outliers",
         "parts_rules",
+        "mosaic_basins",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

@@ -2311,3 +2311,83 @@ def ensure_watershed_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_basin_golden(fix_dir: str) -> str:
+    """Idempotently derive basin_golden.parquet: per-basin saddle spill
+    and depression depth from a serial FULL-PLANE replay (labels by
+    pointer doubling, 8-neighbor saddle candidates, drains at nodata and
+    grid edges, min-fold per basin). Shares only the pure D8 rule with
+    the engine (`ops.spatialstats.basin_saddles` decomposition not
+    touched). Separate marker; no layout-version regen."""
+    from .ops.spatialstats import _D8_OFF
+    from .ops.stencil import _flowdir_codes
+
+    out = os.path.join(fix_dir, "basin_golden.parquet")
+    if os.path.exists(out):
+        return out
+    (_, valid, v), _lww = _paint_lww_plane(fix_dir)
+    H, W = valid.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    ptr = np.full(H * W, -9, np.int64)
+    term = np.full(H * W, -1, np.int64)
+    pits = codes == 8
+    ptr[pits] = -1
+    term[pits] = np.nonzero(pits)[0]
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        ptr[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    for _ in range(64):
+        act = np.nonzero(ptr >= 0)[0]
+        if len(act) == 0:
+            break
+        j = ptr[act]
+        res = ptr[j] < 0
+        term[act[res]] = term[j[res]]
+        ptr[act] = ptr[j]
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("basin golden: doubling did not converge")
+    term = term.reshape(H, W)
+    Lp = np.full((H + 2, W + 2), -1, np.int64)
+    Lp[1:-1, 1:-1] = term
+    SENT = np.int64(1 << 62)
+    spill_arr = {}
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            nv = P[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            nm = M[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            nl = Lp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            both = valid & nm & (term != nl)
+            if both.any():
+                lb = term[both]
+                sv = np.maximum(v[both], nv[both])
+                for a, b in zip(lb, sv):
+                    cur = spill_arr.get(a)
+                    if cur is None or b < cur:
+                        spill_arr[a] = int(b)
+            drain = valid & ~nm
+            if drain.any():
+                for a, b in zip(term[drain], v[drain]):
+                    cur = spill_arr.get(a)
+                    if cur is None or b < cur:
+                        spill_arr[a] = int(b)
+    vals, counts = np.unique(term[valid], return_counts=True)
+    flat_v = v.ravel()
+    spill = np.asarray([spill_arr[p] for p in vals], np.int64)
+    t = pa.table({
+        "pit": pa.array(vals.astype(np.int64), pa.int64()),
+        "basin_px": pa.array(counts.astype(np.int64), pa.int64()),
+        "pit_v": pa.array(flat_v[vals], pa.int64()),
+        "spill_v": pa.array(spill, pa.int64()),
+        "depth": pa.array(spill - flat_v[vals], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

@@ -1371,7 +1371,7 @@ def _chase_term(codes: np.ndarray, chunk: int, gy0: int, gx0: int,
 
 
 def watershed_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
-                    max_rounds: int = 64):
+                    max_rounds: int = 64, planes: bool = False):
     """D8 WATERSHED basin labeling — every valid pixel labeled by its
     terminal pit (the cell its steepest-descent path ends at); output the
     per-tile basin structure: (tile_id, tx, ty, n_px, n_basins,
@@ -1698,7 +1698,12 @@ def watershed_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
         ("basin_sum", pa.int64()), ("max_basin_px", pa.int64()),
     ])
 
-    def paint(g: pa.Table) -> pa.Table:
+    PLANE_SCHEMA = pa.schema([
+        ("tile_id", pa.string()), ("tx", pa.int64()), ("ty", pa.int64()),
+        ("term_z", pa.binary()),
+    ])
+
+    def _painted(g: pa.Table):
         term = None
         extra_pos: list[np.ndarray] = []
         extra_t: list[np.ndarray] = []
@@ -1724,6 +1729,10 @@ def watershed_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
             p = np.concatenate(extra_pos)
             t_ = np.concatenate(extra_t)
             term[p] = t_
+        return tx, ty, term
+
+    def paint(g: pa.Table) -> pa.Table:
+        tx, ty, term = _painted(g)
         ok = term >= 0
         if not ok.any():
             return pa.table({f.name: pa.array([], f.type)
@@ -1738,6 +1747,16 @@ def watershed_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
             "basin_sum": pa.array([int(term[ok].sum())], pa.int64()),
             "max_basin_px": pa.array([int(counts.max())], pa.int64()),
         }, schema=OUT_SCHEMA)
+
+    def paint_plane(g: pa.Table) -> pa.Table:
+        tx, ty, term = _painted(g)
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+            "tx": pa.array([tx], pa.int64()),
+            "ty": pa.array([ty], pa.int64()),
+            "term_z": pa.array([zlib.compress(term.tobytes(), 1)],
+                               pa.binary()),
+        }, schema=PLANE_SCHEMA)
 
     def tag_kind_term(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1762,4 +1781,265 @@ def watershed_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
     return (terms.map_batches(tag_kind_term, batch_format="pyarrow")
             .union(resolved.map_batches(tag_kind_exit,
                                         batch_format="pyarrow"))
-            .groupby("tile_id").map_groups(paint, batch_format="pyarrow"))
+            .groupby("tile_id")
+            .map_groups(paint_plane if planes else paint,
+                        batch_format="pyarrow"))
+
+
+# ---- basin saddles / depression depth ----------------------------------------
+
+BASIN_XCH_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),   # 'self' | label-plane 'labels' | strips
+    ("v", pa.binary()),      # self: px_z | labels: term_z | strips: int64 v
+    ("m", pa.binary()),      # self: mask_z | strips: uint8 valid
+    ("l", pa.binary()),      # strips: int64 labels
+])
+
+
+def basin_saddles(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-basin SADDLE SPILL and depression depth — the one-level
+    depression analysis on top of :func:`watershed_stats` labels: for
+    every basin (keyed by its terminal pit), the spill elevation is the
+    MIN over its boundary of the saddle height ``max(v_a, v_b)`` across
+    adjacent cells of different basins, or the cell's own ``v`` where
+    the basin touches nodata / the grid edge (water drains out there);
+    ``depth = spill - pit_v`` (paths strictly descend, so depth >= 0).
+
+    Plan: the label planes ride out of the watershed machinery
+    (``planes=True``); ONE keyed union per tile pairs them with the
+    mosaic canvases, ONE dilate-style 8-neighbor strip exchange carries
+    (label, v, valid) borders, every tile emits saddle/drain/pit/count
+    partials for all pairs IT SEES (cross-tile duplicates are harmless
+    under the min fold), and one bucketed fold per basin closes
+    (pit, basin_px, pit_v, spill_v, depth). Output rows are bounded by
+    the number of pits. Checked against
+    ``fixtures.ensure_basin_golden`` (serial full-plane replay) and
+    random-mosaic tests."""
+    import pandas as pd
+
+    from ..ops.stencil import _vsum
+    from ..util import bucketed_fold
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    width, height = grid.width, grid.height
+    c = chunk
+
+    labels = watershed_stats(tiles_ds, grid, pack, planes=True)
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx"),
+            "ty": t.column("ty"),
+            "kind": pa.array(["labels"] * len(t), pa.string()),
+            "v": t.column("term_z"),
+            "m": pa.array([b""] * len(t), pa.binary()),
+            "l": pa.array([b""] * len(t), pa.binary()),
+        }, schema=BASIN_XCH_SCHEMA)
+
+    def tag_tiles(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_id": t.column("tile_id"),
+            "tx": t.column("tx").cast(pa.int64()),
+            "ty": t.column("ty").cast(pa.int64()),
+            "kind": pa.array(["self"] * len(t), pa.string()),
+            "v": t.column("px_z"),
+            "m": t.column("mask_z"),
+            "l": pa.array([b""] * len(t), pa.binary()),
+        }, schema=BASIN_XCH_SCHEMA)
+
+    def combine_emit(g: pa.Table) -> pa.Table:
+        """Pair the tile's canvas with its label plane and emit the
+        8-neighbor (label, v, valid) strip exchange."""
+        kinds = g.column("kind").to_pylist()
+        out: dict[str, list] = {k: [] for k in BASIN_XCH_SCHEMA.names}
+        if "self" not in kinds or "labels" not in kinds:
+            # absent tile (labels exist only where the mosaic has data)
+            return pa.table(out, schema=BASIN_XCH_SCHEMA)
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        j_self = kinds.index("self")
+        j_lab = kinds.index("labels")
+        canvas = pack.from_bytes(
+            zlib.decompress(g.column("v")[j_self].as_py()), c, c)
+        mask = np.frombuffer(
+            zlib.decompress(g.column("m")[j_self].as_py()),
+            np.uint8).reshape(c, c).astype(bool)
+        v = _vsum(canvas, pack)
+        lab = np.frombuffer(
+            zlib.decompress(g.column("v")[j_lab].as_py()),
+            np.int64).reshape(c, c)
+
+        def row(tile, kind, vv=b"", mm=b"", ll=b""):
+            ttx, tty = tile
+            out["tile_id"].append(f"{ttx}-{tty}")
+            out["tx"].append(ttx)
+            out["ty"].append(tty)
+            out["kind"].append(kind)
+            out["v"].append(vv)
+            out["m"].append(mm)
+            out["l"].append(ll)
+
+        row((tx, ty), "frame",
+            vv=zlib.compress(v.tobytes(), 1),
+            mm=zlib.compress(mask.astype(np.uint8).tobytes(), 1),
+            ll=zlib.compress(lab.tobytes(), 1))
+
+        def strip(vs, ms, ls):
+            return (np.ascontiguousarray(vs).astype(np.int64).tobytes(),
+                    np.ascontiguousarray(ms).astype(np.uint8).tobytes(),
+                    np.ascontiguousarray(ls).astype(np.int64).tobytes())
+
+        sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0], lab[:, 0]),
+                 ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1],
+                  lab[:, -1]),
+                 ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :], lab[0, :]),
+                 ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :],
+                  lab[-1, :]),
+                 ((tx - 1, ty - 1), "nbr_se_c", v[0:1, 0], mask[0:1, 0],
+                  lab[0:1, 0]),
+                 ((tx + 1, ty - 1), "nbr_sw_c", v[0:1, -1],
+                  mask[0:1, -1], lab[0:1, -1]),
+                 ((tx - 1, ty + 1), "nbr_ne_c", v[-1:, 0], mask[-1:, 0],
+                  lab[-1:, 0]),
+                 ((tx + 1, ty + 1), "nbr_nw_c", v[-1:, -1],
+                  mask[-1:, -1], lab[-1:, -1])]
+        for (ntx, nty), kind, vs, ms, ls in sends:
+            if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                b_, m_, l_ = strip(vs, ms, ls)
+                row((ntx, nty), kind, vv=b_, mm=m_, ll=l_)
+        return pa.table(out, schema=BASIN_XCH_SCHEMA)
+
+    def _place(V, M, L, kind, vs, ms, ls):
+        if kind == "nbr_n":
+            V[0, 1:c + 1], M[0, 1:c + 1], L[0, 1:c + 1] = vs, ms, ls
+        elif kind == "nbr_s":
+            V[c + 1, 1:c + 1], M[c + 1, 1:c + 1], L[c + 1, 1:c + 1] = \
+                vs, ms, ls
+        elif kind == "nbr_w":
+            V[1:c + 1, 0], M[1:c + 1, 0], L[1:c + 1, 0] = vs, ms, ls
+        elif kind == "nbr_e":
+            V[1:c + 1, c + 1], M[1:c + 1, c + 1], L[1:c + 1, c + 1] = \
+                vs, ms, ls
+        elif kind == "nbr_nw_c":
+            V[0, 0], M[0, 0], L[0, 0] = vs[0], ms[0], ls[0]
+        elif kind == "nbr_ne_c":
+            V[0, c + 1], M[0, c + 1], L[0, c + 1] = vs[0], ms[0], ls[0]
+        elif kind == "nbr_sw_c":
+            V[c + 1, 0], M[c + 1, 0], L[c + 1, 0] = vs[0], ms[0], ls[0]
+        elif kind == "nbr_se_c":
+            V[c + 1, c + 1], M[c + 1, c + 1], L[c + 1, c + 1] = \
+                vs[0], ms[0], ls[0]
+
+    PART_SCHEMA = pa.schema([
+        ("pit", pa.int64()),
+        ("k", pa.int8()),    # 0 saddle/drain candidate | 1 count | 2 pit_v
+        ("val", pa.int64()),
+    ])
+
+    def candidates(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        if "frame" not in kinds:
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in PART_SCHEMA})
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        gy0, gx0 = ty * c, tx * c
+        V = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        L = np.full((c + 2, c + 2), -1, np.int64)
+        for j, kind in enumerate(kinds):
+            if kind == "frame":
+                V[1:c + 1, 1:c + 1] = np.frombuffer(
+                    zlib.decompress(g.column("v")[j].as_py()),
+                    np.int64).reshape(c, c)
+                M[1:c + 1, 1:c + 1] = np.frombuffer(
+                    zlib.decompress(g.column("m")[j].as_py()),
+                    np.uint8).reshape(c, c).astype(bool)
+                L[1:c + 1, 1:c + 1] = np.frombuffer(
+                    zlib.decompress(g.column("l")[j].as_py()),
+                    np.int64).reshape(c, c)
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                ls = np.frombuffer(g.column("l")[j].as_py(), np.int64)
+                _place(V, M, L, kind, vs, ms, ls)
+        # mark beyond-grid frame positions invalid explicitly (M already
+        # False there; grid-edge cells drain)
+        cm = M[1:c + 1, 1:c + 1]
+        cv = V[1:c + 1, 1:c + 1]
+        clab = L[1:c + 1, 1:c + 1]
+        pits: list[np.ndarray] = []
+        ks: list[np.ndarray] = []
+        vals: list[np.ndarray] = []
+        for dr in (-1, 0, 1):
+            for dc_ in (-1, 0, 1):
+                if dr == 0 and dc_ == 0:
+                    continue
+                nv = V[1 + dr:1 + dr + c, 1 + dc_:1 + dc_ + c]
+                nm = M[1 + dr:1 + dr + c, 1 + dc_:1 + dc_ + c]
+                nl = L[1 + dr:1 + dr + c, 1 + dc_:1 + dc_ + c]
+                both = cm & nm
+                saddle = both & (clab != nl)
+                if saddle.any():
+                    pits.append(clab[saddle])
+                    ks.append(np.zeros(int(saddle.sum()), np.int8))
+                    vals.append(np.maximum(cv[saddle], nv[saddle]))
+                drain = cm & ~nm
+                if drain.any():
+                    pits.append(clab[drain])
+                    ks.append(np.zeros(int(drain.sum()), np.int8))
+                    vals.append(cv[drain])
+        # counts + pit elevation
+        if cm.any():
+            pits.append(clab[cm])
+            ks.append(np.ones(int(cm.sum()), np.int8))
+            vals.append(np.ones(int(cm.sum()), np.int64))
+            rr, cc2 = np.nonzero(cm)
+            gid = (gy0 + rr) * width + (gx0 + cc2)
+            is_pit = clab[cm] == gid
+            if is_pit.any():
+                pits.append(gid[is_pit])
+                ks.append(np.full(int(is_pit.sum()), 2, np.int8))
+                vals.append(cv[cm][is_pit])
+        if not pits:
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in PART_SCHEMA})
+        return pa.table({
+            "pit": pa.array(np.concatenate(pits), pa.int64()),
+            "k": pa.array(np.concatenate(ks), pa.int8()),
+            "val": pa.array(np.concatenate(vals), pa.int64()),
+        }, schema=PART_SCHEMA)
+
+    parts = (labels.map_batches(tag_labels, batch_format="pyarrow")
+             .union(tiles_ds.select_columns(["tile_id", "tx", "ty",
+                                             "px_z", "mask_z"])
+                    .map_batches(tag_tiles, batch_format="pyarrow"))
+             .groupby("tile_id")
+             .map_groups(combine_emit, batch_format="pyarrow")
+             .groupby("tile_id")
+             .map_groups(candidates, batch_format="pyarrow"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pit", sort=False)
+        spill = df[df["k"] == 0].groupby("pit", sort=False)["val"].min()
+        n = df[df["k"] == 1].groupby("pit", sort=False)["val"].sum()
+        pv = df[df["k"] == 2].groupby("pit", sort=False)["val"].first()
+        del g
+        o = pd.DataFrame({"basin_px": n, "pit_v": pv,
+                          "spill_v": spill}).reset_index()
+        o = o.rename(columns={"index": "pit"})
+        if "pit" not in o.columns:  # pandas keeps the index name
+            o = o.reset_index()
+        o["depth"] = o["spill_v"] - o["pit_v"]
+        for c2 in ("pit", "basin_px", "pit_v", "spill_v", "depth"):
+            o[c2] = o[c2].astype(np.int64)
+        return o[["pit", "basin_px", "pit_v", "spill_v", "depth"]]
+
+    return bucketed_fold(parts, "pit", fold)

@@ -400,3 +400,82 @@ def test_zonal_median_matches_brute(ray_session):
     exp = (pd.DataFrame(exp, columns=["zone_id", "n_px", "med_v"])
            .sort_values("zone_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _serial_watershed_labels(plane, valid):
+    from raygeo.ops.spatialstats import _D8_OFF
+    from raygeo.ops.stencil import _flowdir_codes
+
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    ptr = np.full(H * W, -9, np.int64)
+    term = np.full(H * W, -1, np.int64)
+    pits = codes == 8
+    ptr[pits] = -1
+    term[pits] = np.nonzero(pits)[0]
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        ptr[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    for _ in range(40):
+        act = np.nonzero(ptr >= 0)[0]
+        if len(act) == 0:
+            break
+        j = ptr[act]
+        res = ptr[j] < 0
+        term[act[res]] = term[j[res]]
+        ptr[act] = ptr[j]
+    return v, term.reshape(H, W)
+
+
+@pytest.mark.parametrize("seed,p_absent", [(19, 0.3), (71, 0.5)])
+def test_basin_saddles_matches_full_plane(ray_session, seed, p_absent):
+    """Spill elevation + depression depth per basin vs a serial
+    full-plane replay (labels, 8-neighbor saddles, drains at nodata and
+    grid edges)."""
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import basin_saddles
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    got = (basin_saddles(rd.from_items(rows).repartition(5), SRC)
+           .to_pandas().sort_values("pit").reset_index(drop=True))
+    v, term = _serial_watershed_labels(plane, valid)
+    H, W = valid.shape
+    Vp = np.zeros((H + 2, W + 2), np.int64)
+    Mp = np.zeros((H + 2, W + 2), bool)
+    Lp = np.full((H + 2, W + 2), -1, np.int64)
+    Vp[1:-1, 1:-1] = v
+    Mp[1:-1, 1:-1] = valid
+    Lp[1:-1, 1:-1] = term
+    spill: dict = {}
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            nv = Vp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            nm = Mp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            nl = Lp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            both = valid & nm & (term != nl)
+            for lb, s in zip(term[both],
+                             np.maximum(v[both], nv[both])):
+                spill[lb] = min(spill.get(lb, 1 << 62), int(s))
+            drain = valid & ~nm
+            for lb, s in zip(term[drain], v[drain]):
+                spill[lb] = min(spill.get(lb, 1 << 62), int(s))
+    vals, counts = np.unique(term[valid], return_counts=True)
+    flat_v = v.ravel()
+    exp = pd.DataFrame({
+        "pit": vals.astype(np.int64),
+        "basin_px": counts.astype(np.int64),
+        "pit_v": flat_v[vals],
+        "spill_v": [spill[p] for p in vals],
+    })
+    exp["depth"] = exp["spill_v"] - exp["pit_v"]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got.depth >= 0).all() and got.depth.max() > 0
