@@ -2015,6 +2015,18 @@ def _q_events_scd2(sf_dir: str):
                                         "value"])).sort("user_id")
 
 
+def _q_docs_span_scrub(sf_dir: str):
+    """Span-level decontamination accounting: tokens covered by >=1
+    contaminated 8-gram window per doc (the surgical-removal variant of
+    docs_decontaminate; same broadcast benchmark-set contract). Pure
+    map, no shuffle. Oracle replays the window cover with a positions
+    BETWEEN join."""
+    from raygeo.ops.corpus import span_scrub
+
+    return span_scrub(_rpq(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])).sort("doc_id")
+
+
 def _q_mosaic_basins(sf_dir: str):
     """Per-basin saddle spill + depression depth on top of the watershed
     labels (planes=True): one keyed union pairs labels with canvases,
@@ -3385,6 +3397,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_watershed": _q_mosaic_watershed,  # terminal-pit basins
         "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
         "mosaic_basins": _q_mosaic_basins,  # saddle spill / sink depth
+        "docs_span_scrub": _q_docs_span_scrub,  # span-level decontamination
         "events_scd2": _q_events_scd2,  # SCD2 time-weighted state
         "emb_outliers": _q_emb_outliers,  # distance-to-centroid curation
         "parts_rules": _q_parts_rules,  # association rules by exact lift
@@ -5987,6 +6000,36 @@ bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 7 = 0)
 SELECT doc_id, count(DISTINCT ngram)::BIGINT AS n_hits
 FROM ng WHERE doc_id % 7 <> 0 AND ngram IN (SELECT ngram FROM bench)
 GROUP BY doc_id
+""",
+        "docs_span_scrub": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, i.i AS j, array_to_string(l[i.i + 1:i.i + 8], ' ')
+    AS ngram
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 7, 0))) AS i) i
+),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 7 = 0),
+hit AS (SELECT doc_id, j FROM ng
+        WHERE ngram IN (SELECT ngram FROM bench)),
+pos AS (SELECT doc_id, p.p AS p
+        FROM toks, LATERAL (SELECT unnest(range(len(l))) AS p) p),
+cov AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos
+        JOIN hit ON hit.doc_id = pos.doc_id
+                AND pos.p BETWEEN hit.j AND hit.j + 7),
+h2 AS (SELECT doc_id, count(*)::BIGINT AS n_contam_grams
+       FROM hit GROUP BY 1),
+c2 AS (SELECT doc_id, count(*)::BIGINT AS n_tokens_redacted
+       FROM cov GROUP BY 1)
+SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+  coalesce(h2.n_contam_grams, 0)::BIGINT AS n_contam_grams,
+  coalesce(c2.n_tokens_redacted, 0)::BIGINT AS n_tokens_redacted
+FROM toks t
+LEFT JOIN h2 USING (doc_id)
+LEFT JOIN c2 USING (doc_id)
+ORDER BY t.doc_id
 """,
         "docs_lm_score": """
 WITH toks AS (

@@ -210,6 +210,7 @@ def run_bench() -> dict:
         "emb_outliers",
         "parts_rules",
         "mosaic_basins",
+        "docs_span_scrub",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

@@ -1525,3 +1525,65 @@ def token_entropy(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return (docs_ds.select_columns([id_col, text_col])
             .map_batches(score, batch_format="pandas", batch_size=512))
+
+
+def span_scrub(docs_ds, n: int = 8, bench_mod: int = 7,
+               text_col: str = "text", id_col: str = "doc_id",
+               bench_ds=None):
+    """SPAN-level decontamination accounting: instead of flagging whole
+    documents (:func:`decontaminate`), count the TOKENS that would be
+    redacted — every token covered by at least one contaminated n-gram
+    window — per document (the surgical-removal variant used when
+    dropping whole documents wastes too much data).
+
+    Same broadcast contract as ``decontaminate``: the benchmark n-gram
+    set is fixed-size, folded once, shipped via ``ray.put``; the
+    training pass is a pure map (per-doc boolean cover via vectorized
+    window marking, no shuffle). Returns one row per doc:
+    (doc_id, n_tokens, n_contam_grams, n_tokens_redacted)."""
+    import ray
+
+    src = bench_ds if bench_ds is not None else docs_ds
+    helper = _NgramSetPartial(n, text_col)
+    if bench_ds is not None:
+        def bpartial(df, _h=helper):
+            return _h(df)
+    else:
+        def bpartial(df, _h=helper):
+            return _h(df[df[id_col] % bench_mod == 0])
+    cols = [text_col] if bench_ds is not None else [id_col, text_col]
+    bench_parts = (src.select_columns(cols)
+                   .map_batches(bpartial, batch_format="pandas",
+                                batch_size=4096, num_cpus=1)
+                   .to_pandas())
+    bench_ref = ray.put(frozenset(bench_parts["ngram"].tolist()))
+    tok = re.compile(LOWER_TOKEN_RE)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        ids, nt, ng, nr = [], [], [], []
+        for did, t in zip(df[id_col], df[text_col]):
+            ws = tok.findall(t.lower())
+            m = len(ws)
+            ids.append(did)
+            nt.append(m)
+            if m < n:
+                ng.append(0)
+                nr.append(0)
+                continue
+            cover = np.zeros(m, bool)
+            hits = 0
+            for i in range(m - n + 1):
+                if " ".join(ws[i:i + n]) in bench:
+                    hits += 1
+                    cover[i:i + n] = True
+            ng.append(hits)
+            nr.append(int(cover.sum()))
+        return pd.DataFrame({id_col: ids,
+                             "n_tokens": np.asarray(nt, np.int64),
+                             "n_contam_grams": np.asarray(ng, np.int64),
+                             "n_tokens_redacted": np.asarray(nr,
+                                                             np.int64)})
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas", batch_size=4096, num_cpus=1)

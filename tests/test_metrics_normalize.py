@@ -727,3 +727,47 @@ def test_token_entropy_matches_counter(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the all-same-token doc has zero surprise
     assert exp.loc[1, "ent_bits"] == 0
+
+
+def test_span_scrub_matches_counter(ray_session):
+    """Window-cover accounting vs a serial replay; overlapping hits must
+    not double count covered tokens, and an external bench_ds exercises
+    the production path."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import span_scrub
+
+    words = "a b c d e f g h i j k l".split()
+    rng = np.random.Generator(np.random.PCG64(3))
+    texts = [" ".join(rng.choice(words, 40)) for _ in range(60)]
+    docs = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+    got = (span_scrub(rd.from_pandas(docs).repartition(4))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    tokre = re.compile(r"[0-9a-z_]+")
+    bench = set()
+    for did, t in zip(docs.doc_id, docs.text):
+        if did % 7 == 0:
+            ws = tokre.findall(t.lower())
+            bench |= {" ".join(ws[i:i + 8]) for i in range(len(ws) - 7)}
+    exp = []
+    for did, t in zip(docs.doc_id, docs.text):
+        ws = tokre.findall(t.lower())
+        cover = np.zeros(len(ws), bool)
+        hits = 0
+        for i in range(len(ws) - 7):
+            if " ".join(ws[i:i + 8]) in bench:
+                hits += 1
+                cover[i:i + 8] = True
+        exp.append((did, len(ws), hits, int(cover.sum())))
+    exp = pd.DataFrame(exp, columns=["doc_id", "n_tokens",
+                                     "n_contam_grams",
+                                     "n_tokens_redacted"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # overlap discipline: redacted tokens < 8 * gram hits somewhere
+    over = exp[exp.n_contam_grams > 1]
+    assert len(over) and (over.n_tokens_redacted
+                          < 8 * over.n_contam_grams).any()
