@@ -2015,6 +2015,17 @@ def _q_events_scd2(sf_dir: str):
                                         "value"])).sort("user_id")
 
 
+def _q_emb_hamming_knn(sf_dir: str):
+    """Binary-embedding Hamming top-k (1-bit-per-dim ANN, the binarized
+    sibling of PQ): sign bits packed into two 32-bit words, distance =
+    popcount(XOR), scoring a pure map with per-block top-k. Oracle:
+    bit_count(xor(...)) + window rank replay."""
+    from raygeo.ops.ann import hamming_knn
+
+    return hamming_knn(_rpq(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]))
+
+
 def _q_docs_span_scrub(sf_dir: str):
     """Span-level decontamination accounting: tokens covered by >=1
     contaminated 8-gram window per doc (the surgical-removal variant of
@@ -3398,6 +3409,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
         "mosaic_basins": _q_mosaic_basins,  # saddle spill / sink depth
         "docs_span_scrub": _q_docs_span_scrub,  # span-level decontamination
+        "emb_hamming_knn": _q_emb_hamming_knn,  # 1-bit binarized ANN
         "events_scd2": _q_events_scd2,  # SCD2 time-weighted state
         "emb_outliers": _q_emb_outliers,  # distance-to-centroid curation
         "parts_rules": _q_parts_rules,  # association rules by exact lift
@@ -5006,6 +5018,36 @@ FROM pairs, nn
 JOIN sup sa ON sa.p = pairs.part_a
 JOIN sup sb ON sb.p = pairs.part_b
 ORDER BY lift_1e6 DESC, part_a, part_b LIMIT 20
+""",
+        "emb_hamming_knn": """
+WITH d AS (
+  SELECT vec_id, ii.i AS i,
+    CASE WHEN embedding[ii.i + 1] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END
+      AS bit
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) ii
+),
+w AS (
+  SELECT vec_id,
+    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo,
+    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi
+  FROM d GROUP BY 1
+),
+q AS (SELECT * FROM w WHERE vec_id < 8),
+h AS (
+  SELECT q.vec_id AS query_id, w.vec_id,
+    (bit_count(xor(q.lo, w.lo)) + bit_count(xor(q.hi, w.hi)))::BIGINT
+      AS hamming
+  FROM q, w
+),
+r AS (
+  SELECT query_id, vec_id, hamming,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming, vec_id) AS rank
+  FROM h
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, hamming,
+  rank::BIGINT AS rank
+FROM r WHERE rank <= 8 ORDER BY query_id, rank
 """,
         "emb_outliers": """
 WITH q AS (

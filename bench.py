@@ -211,6 +211,7 @@ def run_bench() -> dict:
         "parts_rules",
         "mosaic_basins",
         "docs_span_scrub",
+        "emb_hamming_knn",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

@@ -1050,3 +1050,82 @@ def label_outliers(ds, vec_col: str = "embedding", label_col: str = "label",
                             pa.int64()),
         "rank": pa.array(cand["rank"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64 array (numpy<2 lacks
+    bitwise_count): unpack the bytes view and sum bits per word."""
+    b = np.unpackbits(a.astype(np.uint64).view(np.uint8)
+                      .reshape(len(a), 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def hamming_knn(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                n_queries: int = 8, k: int = 8):
+    """Binary-embedding Hamming top-k — the 1-bit-per-dim quantization
+    ANN variant (64x memory compression; the binarized sibling of the
+    PQ path): each vector packs ``sign(x_d) >= 0`` into two 32-bit
+    words, distance = popcount of the XOR, replayed exactly by DuckDB
+    bit_count(xor(...)).
+
+    Plan: the ``n_queries`` query rows (smallest ids) are a bounded
+    point-read broadcast via ``ray.put``; scoring is a PURE map (XOR +
+    popcount per block) emitting only per-block top-k candidates per
+    query; the driver closes the k x blocks bounded set. Output:
+    (query_id, vec_id, hamming, rank) with ties to the smaller id."""
+    import ray
+
+    def pack_words(X: np.ndarray):
+        bits = (X >= 0.0)
+        lo = np.zeros(len(X), np.int64)
+        hi = np.zeros(len(X), np.int64)
+        for i in range(32):
+            lo |= bits[:, i].astype(np.int64) << i
+        for i in range(32, 64):
+            hi |= bits[:, i].astype(np.int64) << (i - 32)
+        return lo, hi
+
+    qrows = (ds.select_columns([id_col, vec_col])
+             .filter(expr=f"{id_col} < {int(n_queries)}").to_pandas()
+             .sort_values(id_col))
+    QX = np.stack([np.asarray(v, np.float64) for v in qrows[vec_col]])
+    assert QX.shape[1] == 64, "hamming packing assumes 64 dims"
+    qlo, qhi = pack_words(QX)
+    qids = qrows[id_col].to_numpy(np.int64)
+    qref = ray.put((qids, qlo, qhi))
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids_q, ql, qh = ray.get(qref)
+        M = _list_matrix(t.column(vec_col)).astype(np.float64)
+        lo, hi = pack_words(M)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        out = {"query_id": [], id_col: [], "hamming": []}
+        for j in range(len(ids_q)):
+            d = (_popcount64(lo ^ ql[j]) + _popcount64(hi ^ qh[j]))
+            order = np.lexsort((ids, d))[:k]
+            out["query_id"].extend([int(ids_q[j])] * len(order))
+            out[id_col].extend(ids[order].tolist())
+            out["hamming"].extend(d[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            id_col: pa.array(out[id_col], pa.int64()),
+            "hamming": pa.array(out["hamming"], pa.int64()),
+        })
+
+    cand = (ds.select_columns([id_col, vec_col])
+            .map_batches(topk, batch_format="pyarrow",
+                         batch_size=4096).to_pandas())
+    cand = cand.sort_values(["query_id", "hamming", id_col],
+                            kind="mergesort")
+    cand = cand.groupby("query_id", sort=False).head(k) \
+        .reset_index(drop=True)
+    cand["rank"] = cand.groupby("query_id").cumcount() \
+        .astype(np.int64) + 1
+    return pa.table({
+        "query_id": pa.array(cand["query_id"].to_numpy(np.int64),
+                             pa.int64()),
+        id_col: pa.array(cand[id_col].to_numpy(np.int64), pa.int64()),
+        "hamming": pa.array(cand["hamming"].to_numpy(np.int64),
+                            pa.int64()),
+        "rank": pa.array(cand["rank"].to_numpy(np.int64), pa.int64()),
+    })

@@ -325,3 +325,34 @@ def test_label_outliers_matches_brute(ray_session):
     # planted outliers are rank 1 in each label
     planted = {int(np.nonzero(lab == li)[0][0]) for li in range(4)}
     assert set(got[got["rank"] == 1].vec_id) == planted
+
+
+def test_hamming_knn_matches_brute(ray_session):
+    """Binary sign-packing + Hamming top-k vs a brute bit replay;
+    rank-1 of each query is itself (hamming 0)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.ann import hamming_knn
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    n, d = 200, 64
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    X[5, :] = 0.0  # all-zero row: sign(0) >= 0 counts as 1 on both sides
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(X)})
+    got = hamming_knn(rd.from_pandas(df).repartition(5),
+                      n_queries=4, k=5).to_pandas()
+    bits = (X.astype(np.float64) >= 0.0)
+    exp_rows = []
+    for qid in range(4):
+        h = (bits ^ bits[qid]).sum(axis=1).astype(np.int64)
+        order = np.lexsort((np.arange(n), h))[:5]
+        for r, o in enumerate(order):
+            exp_rows.append((qid, int(o), int(h[o]), r + 1))
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "vec_id",
+                                          "hamming", "rank"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r1 = got[got["rank"] == 1]
+    assert (r1.query_id.to_numpy() == r1.vec_id.to_numpy()).all()
+    assert (r1.hamming == 0).all()
