@@ -244,3 +244,39 @@ def load_extent_index(paths: list[str]):
     import pyarrow.parquet as pq
 
     return pa.concat_tables([pq.read_table(p) for p in paths])
+
+
+IMAGE_TABLE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption",
+                       "phash"]
+
+
+def read_image_table(path: str, columns: list[str] | None = None):
+    """Read the image+caption input table (the north-star input shape:
+    ``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64)``) as a ``ray.data.Dataset``.
+
+    Production format is LANCE (``ray.data.read_lance`` — column
+    projection + fragment-parallel scans over the columnar Lance v2
+    layout); this sandbox ships no ``lance`` package, so the adapter is
+    a declared environment boundary (the codec-stub discipline,
+    ``ops/multimodal.py``): when ``import lance`` fails the same-schema
+    parquet mirror loads through ``read_parquet_clean`` instead. Both
+    paths honor ``columns`` pruning so only requested columns leave
+    storage.
+    """
+    from .util import read_parquet_clean
+
+    try:
+        import lance  # noqa: F401  (absent in this sandbox)
+        import ray.data as rd
+
+        return rd.read_lance(path, columns=columns)
+    except ImportError:
+        if not (path.endswith(".parquet") or path.endswith("/")):
+            # a real .lance URI with no lance package is a hard error —
+            # do NOT silently misread it
+            if path.endswith(".lance"):
+                raise NotImplementedError(
+                    "lance package unavailable in this environment; "
+                    "provide the parquet mirror of the image table")
+        return read_parquet_clean(path, columns=columns)

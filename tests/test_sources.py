@@ -134,3 +134,26 @@ def test_extent_index_broadcast_join(ray_session, fixtures_sf0001, tmp_path):
     out = roi_image_join(images, idx, FIXTURE_GRID).to_pandas()
     assert len(out) > 0
     assert set(out.columns) == {"roi_id", "image_id"}
+
+
+def test_read_image_table_fallback_and_lance_boundary(ray_session,
+                                                      fixtures_sf0001):
+    """The Lance-or-parquet input adapter: parquet mirror loads with
+    column pruning; a bare .lance URI without the lance package raises
+    the declared environment boundary instead of misreading."""
+    import pytest as _pytest
+
+    from raygeo.sources import read_image_table
+
+    ds = read_image_table(f"{fixtures_sf0001}/images.parquet",
+                          columns=["image_id", "w", "h"])
+    assert ds.count() == 1000
+    assert ds.schema().names == ["image_id", "w", "h"]
+    try:
+        import lance  # noqa: F401
+        has_lance = True
+    except ImportError:
+        has_lance = False
+    if not has_lance:
+        with _pytest.raises(NotImplementedError):
+            read_image_table("/nonexistent/table.lance")
