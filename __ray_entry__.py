@@ -37,6 +37,16 @@ def _rpq(path, columns=None, **kw):
 
     return read_parquet_clean(path, columns=columns, **kw)
 
+
+def _read_images(path, columns=None):
+    """The image+caption INPUT table through the canonical adapter
+    (raygeo.sources.read_image_table): Lance in production, the
+    same-schema parquet mirror in this sandbox — column pruning either
+    way (north-rule input_hint surface)."""
+    from raygeo.sources import read_image_table
+
+    return read_image_table(path, columns=columns)
+
 # exact-binary query points for kNN (decimal literals == float64 values, so
 # the SQL oracle computes bit-identical distances)
 KNN_POINTS = [
@@ -83,7 +93,7 @@ def entry() -> Any:
     from raygeo.ops.ingest import ingest
 
     d = ensure_fixtures(0.001)
-    images = _rpq(f"{d}/images.parquet",
+    images = _read_images(f"{d}/images.parquet",
                              columns=["image_id", "bytes", "w", "h"])
     tiles = ingest(images, FIXTURE_GRID, cube_path=None)
     return tiles.select_columns(
@@ -101,7 +111,7 @@ def _q_tile_assign(sf_dir: str):
     from raygeo.ops.spatial_join import image_tiles
 
     d = _fix(sf_dir)
-    return image_tiles(_rpq(f"{d}/images.parquet", columns=["image_id", "w", "h"]), FIXTURE_GRID)
+    return image_tiles(_read_images(f"{d}/images.parquet", columns=["image_id", "w", "h"]), FIXTURE_GRID)
 
 
 def _q_roi_tile_cover(sf_dir: str):
@@ -133,7 +143,7 @@ def _q_roi_image_join(sf_dir: str):
          for k in rois.column("kind").to_pylist()]
     )
     return roi_image_join(
-        _rpq(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+        _read_images(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
         rois, FIXTURE_GRID)
 
 
@@ -185,7 +195,7 @@ def _q_images_cell_rollup(sf_dir: str):
     from raygeo.ops.spatial_join import cell_rollup
 
     d = _fix(sf_dir)
-    return cell_rollup(_rpq(f"{d}/images.parquet",
+    return cell_rollup(_read_images(f"{d}/images.parquet",
                             columns=["lon_min", "lat_min",
                                      "lon_max", "lat_max"]))
 
@@ -199,7 +209,7 @@ def _q_zonal_stats(sf_dir: str):
 
     d = _fix(sf_dir)
     return zonal_stats(
-        _rpq(f"{d}/images.parquet",
+        _read_images(f"{d}/images.parquet",
                         columns=["image_id", "w", "h", "bytes"]),
         pq.read_table(f"{d}/zones.parquet"),
         FIXTURE_GRID,
@@ -216,7 +226,7 @@ def _q_knn_images(sf_dir: str):
 
     d = _fix(sf_dir)
     qdf = pd.DataFrame(KNN_POINTS, columns=["query_id", "lon", "lat"])
-    res = knn(_rpq(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+    res = knn(_read_images(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
               qdf, FIXTURE_GRID, k=5, level=5)
     return res[["query_id", "rank", "image_id"]]
 
@@ -227,7 +237,7 @@ def _q_dedup_phash(sf_dir: str):
     from raygeo.ops.dedup import exact_dedup
 
     d = _fix(sf_dir)
-    ds = _rpq(f"{d}/images.parquet", columns=["image_id", "phash"])
+    ds = _read_images(f"{d}/images.parquet", columns=["image_id", "phash"])
     out = exact_dedup(ds, key_col="phash", id_col="image_id",
                       precomputed_hash="phash")
     return out.rename_columns({"hash64": "phash"})
@@ -240,7 +250,7 @@ def _q_phash_neardup(sf_dir: str):
     from raygeo.ops.dedup import hamming_neardup_pairs
 
     d = _fix(sf_dir)
-    ds = _rpq(f"{d}/images.parquet", columns=["image_id", "phash"])
+    ds = _read_images(f"{d}/images.parquet", columns=["image_id", "phash"])
     return hamming_neardup_pairs(ds, "phash", "image_id", hd_max=2)[
         ["id_a", "id_b", "hamming"]
     ]
@@ -252,7 +262,7 @@ def _q_decode_stats(sf_dir: str):
     from raygeo.ops.multimodal import decode_stats
 
     d = _fix(sf_dir)
-    return decode_stats(_rpq(f"{d}/images.parquet",
+    return decode_stats(_read_images(f"{d}/images.parquet",
                                         columns=["image_id", "bytes", "w", "h"])).select_columns(
         ["image_id", "w", "h", "pix_sum"]
     )
@@ -264,7 +274,7 @@ def _q_thumbnails(sf_dir: str):
     from raygeo.ops.multimodal import thumbnails
 
     d = _fix(sf_dir)
-    return thumbnails(_rpq(f"{d}/images.parquet",
+    return thumbnails(_read_images(f"{d}/images.parquet",
                                       columns=["image_id", "bytes"])).select_columns(
         ["image_id", "thumb_sum"]
     )
@@ -278,7 +288,7 @@ def _q_normalize_bands(sf_dir: str):
     from raygeo.ops.multimodal import normalize_bands
 
     d = _fix(sf_dir)
-    return normalize_bands(_rpq(f"{d}/images.parquet",
+    return normalize_bands(_read_images(f"{d}/images.parquet",
                                            columns=["image_id", "bytes"]))
 
 
@@ -294,7 +304,7 @@ def _q_image_patchify(sf_dir: str):
     from raygeo.ops.multimodal import image_patches
 
     d = _fix(sf_dir)
-    patches = image_patches(_rpq(f"{d}/images.parquet",
+    patches = image_patches(_read_images(f"{d}/images.parquet",
                                  columns=["image_id", "bytes"]), size=16)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -324,7 +334,7 @@ def _q_images_clean_corpus(sf_dir: str):
     from raygeo.ops.multimodal import images_clean_corpus
 
     d = _fix(sf_dir)
-    return images_clean_corpus(_rpq(f"{d}/images.parquet",
+    return images_clean_corpus(_read_images(f"{d}/images.parquet",
                                     columns=["image_id", "bytes", "w", "h",
                                              "phash"]))
 
@@ -385,7 +395,7 @@ def _q_image_augment(sf_dir: str):
     from raygeo.ops.multimodal import augment_check
 
     d = _fix(sf_dir)
-    return augment_check(_rpq(f"{d}/images.parquet",
+    return augment_check(_read_images(f"{d}/images.parquet",
                               columns=["image_id", "bytes"]))
 
 
@@ -427,7 +437,7 @@ def _q_tile_skew_report(sf_dir: str):
 
     d = _fix(sf_dir)
     tiles = image_tiles(
-        _rpq(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
+        _read_images(f"{d}/images.parquet", columns=["image_id", "w", "h"]),
         FIXTURE_GRID,
     )
     return key_skew_report(tiles, "tile_id", top_n=20)
@@ -443,7 +453,7 @@ def _q_ingest_mosaic_temporal(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(_rpq(f"{d}/images.parquet",
+    tiles = ingest(_read_images(f"{d}/images.parquet",
                                    columns=["image_id", "bytes", "w", "h"]),
                    TEMPORAL_GRID)
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
@@ -460,7 +470,7 @@ def _q_ingest_mosaic_max(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(_rpq(f"{d}/images.parquet",
+    tiles = ingest(_read_images(f"{d}/images.parquet",
                                    columns=["image_id", "bytes", "w", "h"]),
                    FIXTURE_GRID, mode="max")
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
@@ -481,7 +491,7 @@ def _q_ingest_mosaic_dem(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(_rpq(f"{d}/images.parquet",
+    tiles = ingest(_read_images(f"{d}/images.parquet",
                                    columns=["image_id", "bytes", "w", "h"]),
                    FIXTURE_GRID, channels=DEM_CHANNELS)
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
@@ -540,7 +550,7 @@ def _q_roi_load_window(sf_dir: str):
         create(CubeSpec(title="loadq", grid=FIXTURE_GRID,
                         channels=RGB_CHANNELS), cube,
                overwrite=True)
-        images = _rpq(f"{d}/images.parquet",
+        images = _read_images(f"{d}/images.parquet",
                                  columns=["image_id", "bytes", "w", "h"])
         from raygeo.fixtures import LOAD_WINDOW_ROIS
 
@@ -582,7 +592,7 @@ def _tiles_lww(sf_dir: str):
         from raygeo.fixtures import FIXTURE_GRID
         from raygeo.ops.ingest import ingest
 
-        ds = ingest(_rpq(f"{d}/images.parquet",
+        ds = ingest(_read_images(f"{d}/images.parquet",
                          columns=["image_id", "bytes", "w", "h"]),
                     FIXTURE_GRID).materialize()
         _TILES_LWW_CACHE[d] = ds
@@ -596,7 +606,7 @@ def _q_ingest_mosaic(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(_rpq(f"{d}/images.parquet",
+    tiles = ingest(_read_images(f"{d}/images.parquet",
                         columns=["image_id", "bytes", "w", "h"]),
                    FIXTURE_GRID)
     return tiles.select_columns(["tile_id", "tx", "ty", "n_frags",
@@ -616,7 +626,7 @@ def _q_ingest_mosaic_update(sf_dir: str):
 
     d = _fix(sf_dir)
     cut = int(images_count_for_sf(sf_of_dir(sf_dir)) * 0.6)
-    images = _rpq(f"{d}/images.parquet",
+    images = _read_images(f"{d}/images.parquet",
                   columns=["image_id", "bytes", "w", "h"])
 
     def split(lt: bool):
@@ -673,7 +683,7 @@ def _q_ingest_lineage_report(sf_dir: str):
     try:
         create(CubeSpec(title="lin", grid=FIXTURE_GRID,
                         channels=RGB_CHANNELS), cube, overwrite=True)
-        ingest(_rpq(f"{d}/images.parquet",
+        ingest(_read_images(f"{d}/images.parquet",
                     columns=["image_id", "bytes", "w", "h"]),
                FIXTURE_GRID, cube_path=cube).materialize()
         files = sorted(glob.glob(f"{cube}/{LINEAGE_DIR}/*.json"))
@@ -710,7 +720,7 @@ def _q_ingest_mosaic_median(sf_dir: str):
     from raygeo.ops.composite import ingest_median
 
     d = _fix(sf_dir)
-    tiles = ingest_median(_rpq(f"{d}/images.parquet",
+    tiles = ingest_median(_read_images(f"{d}/images.parquet",
                                columns=["image_id", "bytes", "w", "h"]),
                           FIXTURE_GRID, plan="hist")
     return tiles.select_columns(
@@ -728,7 +738,7 @@ def _q_mosaic_change(sf_dir: str):
     from raygeo.ops.composite import mosaic_change_from_images
 
     d = _fix(sf_dir)
-    imgs = _rpq(f"{d}/images.parquet",
+    imgs = _read_images(f"{d}/images.parquet",
                 columns=["image_id", "bytes", "w", "h"])
     return mosaic_change_from_images(imgs, FIXTURE_GRID)
 
@@ -1162,7 +1172,7 @@ def _q_image_features(sf_dir: str):
     from raygeo.ops.multimodal import image_features
 
     d = _fix(sf_dir)
-    return image_features(_rpq(f"{d}/images.parquet",
+    return image_features(_read_images(f"{d}/images.parquet",
                                           columns=["image_id", "bytes"])
                           ).select_columns(
         ["image_id", "feat_mr", "feat_mg", "feat_mb", "feat_edge"]
@@ -1541,7 +1551,7 @@ def _q_temporal_trend(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(_rpq(f"{d}/images.parquet",
+    tiles = ingest(_read_images(f"{d}/images.parquet",
                         columns=["image_id", "bytes", "w", "h"]),
                    TEMPORAL_GRID)
     return temporal_trend(tiles, TEMPORAL_GRID.chunk)
@@ -1734,7 +1744,7 @@ def _q_nearest_zone(sf_dir: str):
     from raygeo.ops.zonal import nearest_zone
 
     d = _fix(sf_dir)
-    ds = _rpq(f"{d}/images.parquet",
+    ds = _read_images(f"{d}/images.parquet",
               columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"])
     return nearest_zone(ds, pq.read_table(f"{d}/zones.parquet"))
 
@@ -1781,7 +1791,7 @@ def _q_zone_top_images(sf_dir: str):
     from raygeo.ops.zonal import nearest_zone
 
     d = _fix(sf_dir)
-    images = _rpq(f"{d}/images.parquet",
+    images = _read_images(f"{d}/images.parquet",
                   columns=["image_id", "lon_min", "lat_min", "lon_max",
                            "lat_max", "pix_sum"])
     assigned = nearest_zone(images, pq.read_table(f"{d}/zones.parquet"),
@@ -2279,7 +2289,7 @@ def _q_mosaic_gradient_refresh(sf_dir: str):
 
     d = _fix(sf_dir)
     cut = int(images_count_for_sf(sf_of_dir(sf_dir)) * 0.6)
-    images = _rpq(f"{d}/images.parquet",
+    images = _read_images(f"{d}/images.parquet",
                   columns=["image_id", "bytes", "w", "h"])
 
     def split(lt: bool):
@@ -2442,7 +2452,7 @@ def _q_footprint_overlap(sf_dir: str):
     from raygeo.ops.spatial_join import footprint_overlap_degree
 
     d = _fix(sf_dir)
-    ds = _rpq(f"{d}/images.parquet",
+    ds = _read_images(f"{d}/images.parquet",
               columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"])
     return footprint_overlap_degree(ds, FIXTURE_GRID,
                                     bound=(-0.25, -0.25, 0.25, 0.25))
@@ -2855,7 +2865,7 @@ def _q_temporal_coverage(sf_dir: str):
     from raygeo.ops.ingest import ingest
 
     d = _fix(sf_dir)
-    tiles = ingest(_rpq(f"{d}/images.parquet",
+    tiles = ingest(_read_images(f"{d}/images.parquet",
                         columns=["image_id", "bytes", "w", "h"]),
                    TEMPORAL_GRID)
     return temporal_coverage(tiles, TEMPORAL_GRID)
@@ -2875,7 +2885,7 @@ def _q_mosaic_timeseries(sf_dir: str):
     from raygeo.util import table_from_pandas
 
     d = _fix(sf_dir)
-    tiles = ingest(_rpq(f"{d}/images.parquet",
+    tiles = ingest(_read_images(f"{d}/images.parquet",
                         columns=["image_id", "bytes", "w", "h"]),
                    TEMPORAL_GRID)
 
@@ -3106,7 +3116,7 @@ def _q_images_export_webdataset(sf_dir: str):
     out_dir = tempfile.mkdtemp(prefix="raygeo_wds_")
     try:
         d = _fix(sf_dir)
-        images = _rpq(f"{d}/images.parquet",
+        images = _read_images(f"{d}/images.parquet",
                       columns=["image_id", "bytes", "caption"])
         rep = export_webdataset(images, out_dir, n_shards=8).to_pandas()
     finally:
