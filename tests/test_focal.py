@@ -479,3 +479,26 @@ def test_basin_saddles_matches_full_plane(ray_session, seed, p_absent):
     exp["depth"] = exp["spill_v"] - exp["pit_v"]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got.depth >= 0).all() and got.depth.max() > 0
+
+
+def test_session10_ops_partitioning_invariance(ray_session):
+    """The new focal/routing/warp ops must be bit-identical under any
+    input partitioning (the cross-plan discipline): run each at 2 and 11
+    partitions and compare frames exactly."""
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import (basin_saddles, flowaccum_stats,
+                                         watershed_stats)
+    from raygeo.ops.stencil import (curvature_stats, focal_median_stats,
+                                    variogram_stats)
+
+    rows, _plane, _valid = _random_mosaic(seed=101, p_absent=0.35)
+    for op in (focal_median_stats, curvature_stats, variogram_stats,
+               flowaccum_stats, watershed_stats, basin_saddles):
+        a = op(rd.from_items(rows).repartition(2), SRC).to_pandas()
+        b = op(rd.from_items(rows).repartition(11), SRC).to_pandas()
+        key = [c for c in a.columns if c in
+               ("tile_id", "pit", "axis", "lag")]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
