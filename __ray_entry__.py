@@ -2025,6 +2025,45 @@ def _q_events_scd2(sf_dir: str):
                                         "value"])).sort("user_id")
 
 
+def _q_caption_cell_stats(sf_dir: str):
+    """Geoparse the caption text (the text-derived-location shape: real
+    pipelines geoparse captions/alt-text) — parse the hex cell token,
+    roll up to its level-5 parent (cells.parent), and fold per parent:
+    image count + exact distinct-phash diversity. Pure map + one
+    cell-bounded fold. Oracle replays the hex parse and the Morton
+    parent arithmetic in SQL."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from raygeo.cells import parent
+    from raygeo.util import bucketed_fold
+
+    imgs = _read_images(f"{_fix(sf_dir)}/images.parquet",
+                        columns=["caption", "phash"])
+
+    def parse(t: _pa.Table) -> _pa.Table:
+        caps = t.column("caption").to_pylist()
+        cells = np.asarray([int(c.rsplit(" ", 1)[1], 16) for c in caps],
+                           np.int64)
+        return _pa.table({
+            "cell5": _pa.array(parent(cells, 3), _pa.int64()),
+            "phash": t.column("phash"),
+        })
+
+    def fold(df):
+        import pandas as pd
+        g = (df.groupby("cell5", sort=False)
+             .agg(n_images=("phash", "size"),
+                  n_distinct_phash=("phash", "nunique")).reset_index())
+        for c2 in ("n_images", "n_distinct_phash"):
+            g[c2] = g[c2].astype(np.int64)
+        return g
+
+    return bucketed_fold(imgs.map_batches(parse, batch_format="pyarrow",
+                                          batch_size=8192),
+                         "cell5", fold).sort("cell5")
+
+
 def _q_emb_hamming_knn(sf_dir: str):
     """Binary-embedding Hamming top-k (1-bit-per-dim ANN, the binarized
     sibling of PQ): sign bits packed into two 32-bit words, distance =
@@ -3420,6 +3459,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_basins": _q_mosaic_basins,  # saddle spill / sink depth
         "docs_span_scrub": _q_docs_span_scrub,  # span-level decontamination
         "emb_hamming_knn": _q_emb_hamming_knn,  # 1-bit binarized ANN
+        "caption_cell_stats": _q_caption_cell_stats,  # geoparse rollup
         "events_scd2": _q_events_scd2,  # SCD2 time-weighted state
         "emb_outliers": _q_emb_outliers,  # distance-to-centroid curation
         "parts_rules": _q_parts_rules,  # association rules by exact lift
@@ -5028,6 +5068,22 @@ FROM pairs, nn
 JOIN sup sa ON sa.p = pairs.part_a
 JOIN sup sb ON sb.p = pairs.part_b
 ORDER BY lift_1e6 DESC, part_a, part_b LIMIT 20
+""",
+        "caption_cell_stats": f"""
+WITH p AS (
+  SELECT ('0x' || regexp_extract(caption, 'at cell ([0-9a-f]+)$', 1))
+           ::UBIGINT::BIGINT AS cell8,
+         phash
+  FROM read_parquet('{IMAGES_001}/*.parquet')
+),
+r AS (
+  SELECT ((5::BIGINT << 58)
+          + ((cell8 & ((1::BIGINT << 58) - 1)) >> 6)) AS cell5, phash
+  FROM p
+)
+SELECT cell5::BIGINT AS cell5, count(*)::BIGINT AS n_images,
+  count(DISTINCT phash)::BIGINT AS n_distinct_phash
+FROM r GROUP BY 1 ORDER BY 1
 """,
         "emb_hamming_knn": """
 WITH d AS (

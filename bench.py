@@ -212,6 +212,7 @@ def run_bench() -> dict:
         "mosaic_basins",
         "docs_span_scrub",
         "emb_hamming_knn",
+        "caption_cell_stats",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":
