@@ -2025,6 +2025,23 @@ def _q_events_scd2(sf_dir: str):
                                         "value"])).sort("user_id")
 
 
+def _q_mosaic_seasonal(sf_dir: str):
+    """Temporal GROUPED composite (seasonal best-pixel): the temporal
+    cube's per-(t, tile) canvases re-key to (season, tile) — bytes pass
+    through compressed — and one keyed merge folds the valid-masked
+    per-pixel max of v. Oracle = serial slab-paint golden."""
+    from raygeo.fixtures import TEMPORAL_GRID
+    from raygeo.ops.ingest import ingest
+    from raygeo.ops.overview import seasonal_composite
+
+    d = _fix(sf_dir)
+    tiles = ingest(_read_images(f"{d}/images.parquet",
+                                columns=["image_id", "bytes", "w", "h"]),
+                   TEMPORAL_GRID)
+    return seasonal_composite(tiles, TEMPORAL_GRID).sort(
+        ["season", "tile_id"])
+
+
 def _q_caption_cell_stats(sf_dir: str):
     """Geoparse the caption text (the text-derived-location shape: real
     pipelines geoparse captions/alt-text) — parse the hex cell token,
@@ -3460,6 +3477,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_span_scrub": _q_docs_span_scrub,  # span-level decontamination
         "emb_hamming_knn": _q_emb_hamming_knn,  # 1-bit binarized ANN
         "caption_cell_stats": _q_caption_cell_stats,  # geoparse rollup
+        "mosaic_seasonal": _q_mosaic_seasonal,  # temporal grouped composite
         "events_scd2": _q_events_scd2,  # SCD2 time-weighted state
         "emb_outliers": _q_emb_outliers,  # distance-to-centroid curation
         "parts_rules": _q_parts_rules,  # association rules by exact lift
@@ -3732,6 +3750,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_basin_golden
 
     ensure_basin_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_seasonal_golden
+
+    ensure_seasonal_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -3941,6 +3962,10 @@ FROM read_parquet('{FIX_SF001}/watershed_golden.parquet')
         "mosaic_basins": f"""
 SELECT pit, basin_px, pit_v, spill_v, depth
 FROM read_parquet('{FIX_SF001}/basin_golden.parquet')
+""",
+        "mosaic_seasonal": f"""
+SELECT season, tile_id, tx, ty, n_valid_px, vmax_sum
+FROM read_parquet('{FIX_SF001}/seasonal_golden.parquet')
 """,
         "mosaic_zonal_median": f"""
 WITH raw AS (

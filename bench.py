@@ -213,6 +213,7 @@ def run_bench() -> dict:
         "docs_span_scrub",
         "emb_hamming_knn",
         "caption_cell_stats",
+        "mosaic_seasonal",
     ]
     for name in bench_queries:
         if name == "ingest_mosaic_median":

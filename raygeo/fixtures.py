@@ -2391,3 +2391,66 @@ def ensure_basin_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_seasonal_golden(fix_dir: str, season_len: int = 2) -> str:
+    """Idempotently derive seasonal_golden.parquet: per (season, tile)
+    valid-masked per-pixel MAX of the channel-sum v across the temporal
+    store's steps (season = t // season_len) — from the serial slab
+    paint, independent of the engine's keyed re-key + merge plan
+    (`ops.overview.seasonal_composite`). Separate marker; no layout
+    regen."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    out = os.path.join(fix_dir, "seasonal_golden.parquet")
+    if os.path.exists(out):
+        return out
+    n = images_count_for_sf(sf_of_dir(fix_dir))
+    slab = max(500, n // 16)
+    slabs = [(lo, min(lo + slab, n), False, True)
+             for lo in range(0, n, slab)]
+    tmp: dict = {}
+    if len(slabs) <= 1:
+        for res in map(_golden_slab, slabs):
+            _merge_slab_into(tmp, res["t"], False)
+    else:
+        workers = min(16, os.cpu_count() or 4, len(slabs))
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for res in ex.map(_golden_slab, slabs):
+                _merge_slab_into(tmp, res["t"], False)
+    acc: dict[tuple, list] = {}
+    for (ti, tx, ty), (canvas, mask, _n) in tmp.items():
+        v = canvas.astype(np.int64).sum(axis=2)
+        key = (int(ti) // season_len, tx, ty)
+        st = acc.get(key)
+        if st is None:
+            vmax = np.full(v.shape, -1, np.int64)
+            anyv = np.zeros(v.shape, bool)
+            st = acc[key] = [vmax, anyv]
+        vmax, anyv = st
+        upd = mask & (v > vmax)
+        vmax[upd] = v[upd]
+        anyv |= mask
+    rows = {"season": [], "tile_id": [], "tx": [], "ty": [],
+            "n_valid_px": [], "vmax_sum": []}
+    for (s, tx, ty) in sorted(acc):
+        vmax, anyv = acc[(s, tx, ty)]
+        if not anyv.any():
+            continue
+        rows["season"].append(s)
+        rows["tile_id"].append(f"{tx}-{ty}")
+        rows["tx"].append(tx)
+        rows["ty"].append(ty)
+        rows["n_valid_px"].append(int(anyv.sum()))
+        rows["vmax_sum"].append(int(vmax[anyv].sum()))
+    t = pa.table({
+        "season": pa.array(rows["season"], pa.int64()),
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "n_valid_px": pa.array(rows["n_valid_px"], pa.int64()),
+        "vmax_sum": pa.array(rows["vmax_sum"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

@@ -278,3 +278,77 @@ def overview_level_mean(tiles_ds, chunk: int, pack: ChannelPack | None = None):
     quads = tiles_ds.map_batches(pool, batch_format="pyarrow", batch_size=64)
     return quads.groupby("parent_id").map_groups(assemble,
                                                  batch_format="pyarrow")
+
+
+def seasonal_composite(tiles_ds, grid, season_len: int = 2,
+                       pack: ChannelPack | None = None):
+    """Temporal GROUPED composite: collapse the temporal cube's time
+    steps into seasons (``season = t // season_len``) and reduce each
+    (season, spatial tile) group to the per-pixel MAX of the channel-sum
+    value v across its valid time steps — the seasonal/quarterly
+    best-pixel composite (cloud-free seasonal mosaics).
+
+    One keyed exchange: each per-(t, tile) canvas row re-keys to
+    ``(season, tx, ty)`` (the canvas bytes pass through compressed,
+    never re-encoded) and the per-group merge is a valid-masked
+    ``np.maximum`` fold over <= season_len planes. Output:
+    (season, tile_id, tx, ty, n_valid_px, vmax_sum)."""
+    from ..ops.stencil import _vsum
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    def rekey(t: pa.Table) -> pa.Table:
+        tids = t.column("tile_id").to_pylist()
+        parts = [s.split("-") for s in tids]
+        season = [int(p[0]) // season_len for p in parts]
+        return pa.table({
+            "skey": pa.array([f"{s}-{p[1]}-{p[2]}"
+                              for s, p in zip(season, parts)],
+                             pa.string()),
+            "season": pa.array(season, pa.int64()),
+            "tx": pa.array([int(p[1]) for p in parts], pa.int64()),
+            "ty": pa.array([int(p[2]) for p in parts], pa.int64()),
+            "px_z": t.column("px_z"),
+            "mask_z": t.column("mask_z"),
+        })
+
+    OUT = pa.schema([
+        ("season", pa.int64()), ("tile_id", pa.string()),
+        ("tx", pa.int64()), ("ty", pa.int64()),
+        ("n_valid_px", pa.int64()), ("vmax_sum", pa.int64()),
+    ])
+
+    def merge(g: pa.Table) -> pa.Table:
+        vmax = np.full((chunk, chunk), -1, np.int64)
+        anyv = np.zeros((chunk, chunk), bool)
+        for j in range(len(g)):
+            canvas = pack.from_bytes(
+                zlib.decompress(g.column("px_z")[j].as_py()),
+                chunk, chunk)
+            mask = np.frombuffer(
+                zlib.decompress(g.column("mask_z")[j].as_py()),
+                np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            upd = mask & (v > vmax)
+            vmax[upd] = v[upd]
+            anyv |= mask
+        if not anyv.any():
+            return pa.table({f.name: pa.array([], f.type) for f in OUT})
+        season = int(g.column("season")[0].as_py())
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({
+            "season": pa.array([season], pa.int64()),
+            "tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+            "tx": pa.array([tx], pa.int64()),
+            "ty": pa.array([ty], pa.int64()),
+            "n_valid_px": pa.array([int(anyv.sum())], pa.int64()),
+            "vmax_sum": pa.array([int(vmax[anyv].sum())], pa.int64()),
+        }, schema=OUT)
+
+    return (tiles_ds.select_columns(["tile_id", "px_z", "mask_z"])
+            .map_batches(rekey, batch_format="pyarrow", batch_size=64)
+            .groupby("skey").map_groups(merge, batch_format="pyarrow")
+            .select_columns(["season", "tile_id", "tx", "ty",
+                             "n_valid_px", "vmax_sum"]))

@@ -502,3 +502,56 @@ def test_session10_ops_partitioning_invariance(ray_session):
         a = a.sort_values(key).reset_index(drop=True)
         b = b.sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_seasonal_composite_matches_serial(ray_session):
+    """Seasonal grouped composite vs a serial per-(season, tile) max
+    replay on synthetic temporal tile rows (uneven seasons, absent steps,
+    disjoint validity across steps)."""
+    import ray.data as rd
+
+    from raygeo.ops.overview import seasonal_composite
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    pack = ChannelPack(RGB_CHANNELS)
+    rows = []
+    serial: dict = {}
+    for t in range(5):  # 5 steps, season_len=2 -> seasons 0,0,1,1,2
+        for ty in range(3):
+            for tx in range(3):
+                if rng.random() < 0.4:
+                    continue
+                canvas = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                mask = rng.random((16, 16)) < 0.7
+                canvas[~mask] = 0
+                rows.append({
+                    "tile_id": f"{t}-{tx}-{ty}",
+                    "px_z": zlib.compress(pack.to_bytes([canvas]), 1),
+                    "mask_z": zlib.compress(
+                        mask.astype(np.uint8).tobytes(), 1),
+                })
+                v = canvas.astype(np.int64).sum(axis=2)
+                key = (t // 2, tx, ty)
+                st = serial.setdefault(
+                    key, [np.full((16, 16), -1, np.int64),
+                          np.zeros((16, 16), bool)])
+                upd = mask & (v > st[0])
+                st[0][upd] = v[upd]
+                st[1] |= mask
+    g = GridSpec(name="t", crs="EPSG:4326", x0=0.0, y1=1.0, res=2.0**-7,
+                 width=48, height=48, chunk=16)
+    got = (seasonal_composite(rd.from_items(rows).repartition(4), g)
+           .to_pandas().sort_values(["season", "tile_id"])
+           .reset_index(drop=True))
+    exp = []
+    for (s, tx, ty) in sorted(serial):
+        vmax, anyv = serial[(s, tx, ty)]
+        if not anyv.any():
+            continue
+        exp.append((s, f"{tx}-{ty}", tx, ty, int(anyv.sum()),
+                    int(vmax[anyv].sum())))
+    exp = pd.DataFrame(exp, columns=["season", "tile_id", "tx", "ty",
+                                     "n_valid_px", "vmax_sum"])
+    exp = exp.sort_values(["season", "tile_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.season.nunique() == 3
