@@ -599,6 +599,27 @@ def _tiles_lww(sf_dir: str):
     return ds
 
 
+_TILES_T_CACHE: dict = {}
+
+
+def _tiles_temporal(sf_dir: str):
+    """Materialized TEMPORAL cube tiles, shared across read-only temporal
+    consumers (timeseries/coverage/trend/seasonal) — the `_tiles_lww`
+    pattern; the temporal ingest itself stays measured by
+    ingest_mosaic_temporal."""
+    d = _fix(sf_dir)
+    ds = _TILES_T_CACHE.get(d)
+    if ds is None:
+        from raygeo.fixtures import TEMPORAL_GRID
+        from raygeo.ops.ingest import ingest
+
+        ds = ingest(_read_images(f"{d}/images.parquet",
+                                 columns=["image_id", "bytes", "w", "h"]),
+                    TEMPORAL_GRID).materialize()
+        _TILES_T_CACHE[d] = ds
+    return ds
+
+
 def _q_ingest_mosaic(sf_dir: str):
     import ray.data as rd
 
@@ -1548,13 +1569,8 @@ def _q_temporal_trend(sf_dir: str):
     slope. Value-checked against the generation-time golden trend."""
     from raygeo.fixtures import TEMPORAL_GRID
     from raygeo.ops.composite import temporal_trend
-    from raygeo.ops.ingest import ingest
 
-    d = _fix(sf_dir)
-    tiles = ingest(_read_images(f"{d}/images.parquet",
-                        columns=["image_id", "bytes", "w", "h"]),
-                   TEMPORAL_GRID)
-    return temporal_trend(tiles, TEMPORAL_GRID.chunk)
+    return temporal_trend(_tiles_temporal(sf_dir), TEMPORAL_GRID.chunk)
 
 
 def _q_mosaic_overview(sf_dir: str):
@@ -2031,15 +2047,10 @@ def _q_mosaic_seasonal(sf_dir: str):
     through compressed — and one keyed merge folds the valid-masked
     per-pixel max of v. Oracle = serial slab-paint golden."""
     from raygeo.fixtures import TEMPORAL_GRID
-    from raygeo.ops.ingest import ingest
     from raygeo.ops.overview import seasonal_composite
 
-    d = _fix(sf_dir)
-    tiles = ingest(_read_images(f"{d}/images.parquet",
-                                columns=["image_id", "bytes", "w", "h"]),
-                   TEMPORAL_GRID)
-    return seasonal_composite(tiles, TEMPORAL_GRID).sort(
-        ["season", "tile_id"])
+    return seasonal_composite(_tiles_temporal(sf_dir),
+                              TEMPORAL_GRID).sort(["season", "tile_id"])
 
 
 def _q_caption_cell_stats(sf_dir: str):
@@ -2918,13 +2929,8 @@ def _q_temporal_coverage(sf_dir: str):
     temporal tiles, mask planes only — canvases never decode."""
     from raygeo.fixtures import TEMPORAL_GRID
     from raygeo.ops.composite import temporal_coverage
-    from raygeo.ops.ingest import ingest
 
-    d = _fix(sf_dir)
-    tiles = ingest(_read_images(f"{d}/images.parquet",
-                        columns=["image_id", "bytes", "w", "h"]),
-                   TEMPORAL_GRID)
-    return temporal_coverage(tiles, TEMPORAL_GRID)
+    return temporal_coverage(_tiles_temporal(sf_dir), TEMPORAL_GRID)
 
 
 def _q_mosaic_timeseries(sf_dir: str):
@@ -2937,13 +2943,9 @@ def _q_mosaic_timeseries(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from raygeo.fixtures import TEMPORAL_GRID
-    from raygeo.ops.ingest import ingest
     from raygeo.util import table_from_pandas
 
-    d = _fix(sf_dir)
-    tiles = ingest(_read_images(f"{d}/images.parquet",
-                        columns=["image_id", "bytes", "w", "h"]),
-                   TEMPORAL_GRID)
+    tiles = _tiles_temporal(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:
         ts = np.array([int(s.split("-", 1)[0])
