@@ -2127,6 +2127,19 @@ def _q_mosaic_basins(sf_dir: str):
     return basin_saddles(_tiles_lww(sf_dir), FIXTURE_GRID).sort("pit")
 
 
+def _q_mosaic_fill(sf_dir: str):
+    """Depression FILLING (Priority-Flood equivalent): per-basin fill
+    level = minimax path height to a drain, solved on the basin graph
+    (edges = per-pair min saddles from the shared exchange) with
+    super-block Gauss-Seidel minimax-Dijkstra rounds. Oracle = an
+    INDEPENDENT serial priority-flood over cells
+    (ensure_fill_golden)."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import basin_fill
+
+    return basin_fill(_tiles_lww(sf_dir), FIXTURE_GRID)
+
+
 def _q_mosaic_zonal_median(sf_dir: str):
     """Zonal EXACT MEDIAN per zone bbox — per-tile (zone, v, cnt)
     histogram partials (bounded by zones x value domain, never pixels),
@@ -3476,6 +3489,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_watershed": _q_mosaic_watershed,  # terminal-pit basins
         "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
         "mosaic_basins": _q_mosaic_basins,  # saddle spill / sink depth
+        "mosaic_fill": _q_mosaic_fill,  # priority-flood depression fill
         "docs_span_scrub": _q_docs_span_scrub,  # span-level decontamination
         "emb_hamming_knn": _q_emb_hamming_knn,  # 1-bit binarized ANN
         "caption_cell_stats": _q_caption_cell_stats,  # geoparse rollup
@@ -3755,6 +3769,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_seasonal_golden
 
     ensure_seasonal_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_fill_golden
+
+    ensure_fill_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -3968,6 +3985,10 @@ FROM read_parquet('{FIX_SF001}/basin_golden.parquet')
         "mosaic_seasonal": f"""
 SELECT season, tile_id, tx, ty, n_valid_px, vmax_sum
 FROM read_parquet('{FIX_SF001}/seasonal_golden.parquet')
+""",
+        "mosaic_fill": f"""
+SELECT pit, pit_v, fill_v, filled_depth
+FROM read_parquet('{FIX_SF001}/fill_golden.parquet')
 """,
         "mosaic_zonal_median": f"""
 WITH raw AS (

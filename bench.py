@@ -214,6 +214,7 @@ def run_bench() -> dict:
         "emb_hamming_knn",
         "caption_cell_stats",
         "mosaic_seasonal",
+        "mosaic_fill",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

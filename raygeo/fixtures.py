@@ -2454,3 +2454,71 @@ def ensure_seasonal_golden(fix_dir: str, season_len: int = 2) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_fill_golden(fix_dir: str) -> str:
+    """Idempotently derive fill_golden.parquet: per-basin fill level from
+    a serial PRIORITY-FLOOD over the full plane (heap over cells, the
+    classic Barnes/Planchon-Darboux algorithm) — a genuinely INDEPENDENT
+    algorithm from the engine's basin-graph minimax
+    (`ops.spatialstats.basin_fill`); they agree by the saddle-
+    decomposition theorem. Shares only the D8 pit labeling used to key
+    the output rows. Separate marker; no layout regen."""
+    import heapq
+
+    from .ops.spatialstats import _D8_OFF
+    from .ops.stencil import _flowdir_codes
+
+    out = os.path.join(fix_dir, "fill_golden.parquet")
+    if os.path.exists(out):
+        return out
+    (_, valid, v), _lww = _paint_lww_plane(fix_dir)
+    H, W = valid.shape
+    # priority-flood
+    fill = np.full(H * W, 1 << 62, np.int64)
+    done = np.zeros(H * W, bool)
+    vf = v.ravel().astype(np.int64)
+    P = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = valid
+    # seed cells: valid with >=1 invalid/beyond-grid 8-neighbor
+    anyinv = np.zeros((H, W), bool)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            anyinv |= ~P[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+    seeds = np.nonzero((valid & anyinv).ravel())[0]
+    heap = [(int(vf[i]), int(i)) for i in seeds]
+    heapq.heapify(heap)
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+            (1, -1), (1, 0), (1, 1)]
+    validf = valid.ravel()
+    while heap:
+        cost, i = heapq.heappop(heap)
+        if done[i]:
+            continue
+        done[i] = True
+        fill[i] = cost
+        r, col = divmod(i, W)
+        for dr, dc in offs:
+            nr, nc = r + dr, col + dc
+            if 0 <= nr < H and 0 <= nc < W:
+                j = nr * W + nc
+                if validf[j] and not done[j]:
+                    heapq.heappush(heap, (max(cost, int(vf[j])), j))
+    # pit labels (same D8 rule as the other terrain goldens)
+    Pv = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    Pv[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(Pv, M).ravel()
+    pits = np.nonzero(codes == 8)[0]
+    t = pa.table({
+        "pit": pa.array(pits.astype(np.int64), pa.int64()),
+        "pit_v": pa.array(vf[pits], pa.int64()),
+        "fill_v": pa.array(fill[pits], pa.int64()),
+        "filled_depth": pa.array(fill[pits] - vf[pits], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

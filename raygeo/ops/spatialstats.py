@@ -1799,34 +1799,72 @@ BASIN_XCH_SCHEMA = pa.schema([
 ])
 
 
-def basin_saddles(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
-    """Per-basin SADDLE SPILL and depression depth — the one-level
-    depression analysis on top of :func:`watershed_stats` labels: for
-    every basin (keyed by its terminal pit), the spill elevation is the
-    MIN over its boundary of the saddle height ``max(v_a, v_b)`` across
-    adjacent cells of different basins, or the cell's own ``v`` where
-    the basin touches nodata / the grid edge (water drains out there);
-    ``depth = spill - pit_v`` (paths strictly descend, so depth >= 0).
 
-    Plan: the label planes ride out of the watershed machinery
-    (``planes=True``); ONE keyed union per tile pairs them with the
-    mosaic canvases, ONE dilate-style 8-neighbor strip exchange carries
-    (label, v, valid) borders, every tile emits saddle/drain/pit/count
-    partials for all pairs IT SEES (cross-tile duplicates are harmless
-    under the min fold), and one bucketed fold per basin closes
-    (pit, basin_px, pit_v, spill_v, depth). Output rows are bounded by
-    the number of pits. Checked against
-    ``fixtures.ensure_basin_golden`` (serial full-plane replay) and
-    random-mosaic tests."""
-    import pandas as pd
+def _basin_place(V, M, L, kind, vs, ms, ls, c):
+    """Receiver-side placement of a (v, valid, label) strip into the
+    padded (c+2)^2 frame — ONE copy of the basin exchange protocol."""
+    if kind == "nbr_n":
+        V[0, 1:c + 1], M[0, 1:c + 1], L[0, 1:c + 1] = vs, ms, ls
+    elif kind == "nbr_s":
+        V[c + 1, 1:c + 1], M[c + 1, 1:c + 1], L[c + 1, 1:c + 1] = \
+            vs, ms, ls
+    elif kind == "nbr_w":
+        V[1:c + 1, 0], M[1:c + 1, 0], L[1:c + 1, 0] = vs, ms, ls
+    elif kind == "nbr_e":
+        V[1:c + 1, c + 1], M[1:c + 1, c + 1], L[1:c + 1, c + 1] = \
+            vs, ms, ls
+    elif kind == "nbr_nw_c":
+        V[0, 0], M[0, 0], L[0, 0] = vs[0], ms[0], ls[0]
+    elif kind == "nbr_ne_c":
+        V[0, c + 1], M[0, c + 1], L[0, c + 1] = vs[0], ms[0], ls[0]
+    elif kind == "nbr_sw_c":
+        V[c + 1, 0], M[c + 1, 0], L[c + 1, 0] = vs[0], ms[0], ls[0]
+    elif kind == "nbr_se_c":
+        V[c + 1, c + 1], M[c + 1, c + 1], L[c + 1, c + 1] = \
+            vs[0], ms[0], ls[0]
 
+
+def _basin_frame_of(g: pa.Table, c: int):
+    """Assemble a tile's padded (v, valid, label) frame from its 'frame'
+    row + received strips; returns (tx, ty, V, M, L) or None when the
+    tile is absent."""
+    kinds = g.column("kind").to_pylist()
+    if "frame" not in kinds:
+        return None
+    tx = int(g.column("tx")[0].as_py())
+    ty = int(g.column("ty")[0].as_py())
+    V = np.zeros((c + 2, c + 2), np.int64)
+    M = np.zeros((c + 2, c + 2), bool)
+    L = np.full((c + 2, c + 2), -1, np.int64)
+    for j, kind in enumerate(kinds):
+        if kind == "frame":
+            V[1:c + 1, 1:c + 1] = np.frombuffer(
+                zlib.decompress(g.column("v")[j].as_py()),
+                np.int64).reshape(c, c)
+            M[1:c + 1, 1:c + 1] = np.frombuffer(
+                zlib.decompress(g.column("m")[j].as_py()),
+                np.uint8).reshape(c, c).astype(bool)
+            L[1:c + 1, 1:c + 1] = np.frombuffer(
+                zlib.decompress(g.column("l")[j].as_py()),
+                np.int64).reshape(c, c)
+        else:
+            vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+            ms = np.frombuffer(g.column("m")[j].as_py(),
+                               np.uint8).astype(bool)
+            ls = np.frombuffer(g.column("l")[j].as_py(), np.int64)
+            _basin_place(V, M, L, kind, vs, ms, ls, c)
+    return tx, ty, V, M, L
+
+
+def _basin_frames(tiles_ds, grid: GridSpec, pack: ChannelPack):
+    """The shared basin exchange: pair watershed label planes with the
+    mosaic canvases per tile and emit the 8-neighbor (label, v, valid)
+    strip exchange; returns the keyed strip dataset whose
+    groupby("tile_id") groups reassemble via _basin_frame_of."""
     from ..ops.stencil import _vsum
-    from ..util import bucketed_fold
 
-    pack = pack or ChannelPack(RGB_CHANNELS)
     chunk = grid.chunk
     n_tx, n_ty = grid.n_tx, grid.n_ty
-    width, height = grid.width, grid.height
     c = chunk
 
     labels = watershed_stats(tiles_ds, grid, pack, planes=True)
@@ -1854,12 +1892,9 @@ def basin_saddles(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
         }, schema=BASIN_XCH_SCHEMA)
 
     def combine_emit(g: pa.Table) -> pa.Table:
-        """Pair the tile's canvas with its label plane and emit the
-        8-neighbor (label, v, valid) strip exchange."""
         kinds = g.column("kind").to_pylist()
         out: dict[str, list] = {k: [] for k in BASIN_XCH_SCHEMA.names}
         if "self" not in kinds or "labels" not in kinds:
-            # absent tile (labels exist only where the mosaic has data)
             return pa.table(out, schema=BASIN_XCH_SCHEMA)
         tx = int(g.column("tx")[0].as_py())
         ty = int(g.column("ty")[0].as_py())
@@ -1915,26 +1950,43 @@ def basin_saddles(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
                 row((ntx, nty), kind, vv=b_, mm=m_, ll=l_)
         return pa.table(out, schema=BASIN_XCH_SCHEMA)
 
-    def _place(V, M, L, kind, vs, ms, ls):
-        if kind == "nbr_n":
-            V[0, 1:c + 1], M[0, 1:c + 1], L[0, 1:c + 1] = vs, ms, ls
-        elif kind == "nbr_s":
-            V[c + 1, 1:c + 1], M[c + 1, 1:c + 1], L[c + 1, 1:c + 1] = \
-                vs, ms, ls
-        elif kind == "nbr_w":
-            V[1:c + 1, 0], M[1:c + 1, 0], L[1:c + 1, 0] = vs, ms, ls
-        elif kind == "nbr_e":
-            V[1:c + 1, c + 1], M[1:c + 1, c + 1], L[1:c + 1, c + 1] = \
-                vs, ms, ls
-        elif kind == "nbr_nw_c":
-            V[0, 0], M[0, 0], L[0, 0] = vs[0], ms[0], ls[0]
-        elif kind == "nbr_ne_c":
-            V[0, c + 1], M[0, c + 1], L[0, c + 1] = vs[0], ms[0], ls[0]
-        elif kind == "nbr_sw_c":
-            V[c + 1, 0], M[c + 1, 0], L[c + 1, 0] = vs[0], ms[0], ls[0]
-        elif kind == "nbr_se_c":
-            V[c + 1, c + 1], M[c + 1, c + 1], L[c + 1, c + 1] = \
-                vs[0], ms[0], ls[0]
+    return (labels.map_batches(tag_labels, batch_format="pyarrow")
+            .union(tiles_ds.select_columns(["tile_id", "tx", "ty",
+                                            "px_z", "mask_z"])
+                   .map_batches(tag_tiles, batch_format="pyarrow"))
+            .groupby("tile_id")
+            .map_groups(combine_emit, batch_format="pyarrow"))
+
+
+def basin_saddles(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-basin SADDLE SPILL and depression depth — the one-level
+    depression analysis on top of :func:`watershed_stats` labels: for
+    every basin (keyed by its terminal pit), the spill elevation is the
+    MIN over its boundary of the saddle height ``max(v_a, v_b)`` across
+    adjacent cells of different basins, or the cell's own ``v`` where
+    the basin touches nodata / the grid edge (water drains out there);
+    ``depth = spill - pit_v`` (paths strictly descend, so depth >= 0).
+
+    Plan: the label planes ride out of the watershed machinery
+    (``planes=True``); ONE keyed union per tile pairs them with the
+    mosaic canvases, ONE dilate-style 8-neighbor strip exchange carries
+    (label, v, valid) borders, every tile emits saddle/drain/pit/count
+    partials for all pairs IT SEES (cross-tile duplicates are harmless
+    under the min fold), and one bucketed fold per basin closes
+    (pit, basin_px, pit_v, spill_v, depth). Output rows are bounded by
+    the number of pits. Checked against
+    ``fixtures.ensure_basin_golden`` (serial full-plane replay) and
+    random-mosaic tests."""
+    import pandas as pd
+
+    from ..ops.stencil import _vsum
+    from ..util import bucketed_fold
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    width, height = grid.width, grid.height
+    c = chunk
 
     PART_SCHEMA = pa.schema([
         ("pit", pa.int64()),
@@ -1943,33 +1995,12 @@ def basin_saddles(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
     ])
 
     def candidates(g: pa.Table) -> pa.Table:
-        kinds = g.column("kind").to_pylist()
-        if "frame" not in kinds:
+        fr = _basin_frame_of(g, c)
+        if fr is None:
             return pa.table({f.name: pa.array([], f.type)
                              for f in PART_SCHEMA})
-        tx = int(g.column("tx")[0].as_py())
-        ty = int(g.column("ty")[0].as_py())
+        tx, ty, V, M, L = fr
         gy0, gx0 = ty * c, tx * c
-        V = np.zeros((c + 2, c + 2), np.int64)
-        M = np.zeros((c + 2, c + 2), bool)
-        L = np.full((c + 2, c + 2), -1, np.int64)
-        for j, kind in enumerate(kinds):
-            if kind == "frame":
-                V[1:c + 1, 1:c + 1] = np.frombuffer(
-                    zlib.decompress(g.column("v")[j].as_py()),
-                    np.int64).reshape(c, c)
-                M[1:c + 1, 1:c + 1] = np.frombuffer(
-                    zlib.decompress(g.column("m")[j].as_py()),
-                    np.uint8).reshape(c, c).astype(bool)
-                L[1:c + 1, 1:c + 1] = np.frombuffer(
-                    zlib.decompress(g.column("l")[j].as_py()),
-                    np.int64).reshape(c, c)
-            else:
-                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
-                ms = np.frombuffer(g.column("m")[j].as_py(),
-                                   np.uint8).astype(bool)
-                ls = np.frombuffer(g.column("l")[j].as_py(), np.int64)
-                _place(V, M, L, kind, vs, ms, ls)
         # mark beyond-grid frame positions invalid explicitly (M already
         # False there; grid-edge cells drain)
         cm = M[1:c + 1, 1:c + 1]
@@ -2017,12 +2048,7 @@ def basin_saddles(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
             "val": pa.array(np.concatenate(vals), pa.int64()),
         }, schema=PART_SCHEMA)
 
-    parts = (labels.map_batches(tag_labels, batch_format="pyarrow")
-             .union(tiles_ds.select_columns(["tile_id", "tx", "ty",
-                                             "px_z", "mask_z"])
-                    .map_batches(tag_tiles, batch_format="pyarrow"))
-             .groupby("tile_id")
-             .map_groups(combine_emit, batch_format="pyarrow")
+    parts = (_basin_frames(tiles_ds, grid, pack)
              .groupby("tile_id")
              .map_groups(candidates, batch_format="pyarrow"))
 
@@ -2043,3 +2069,242 @@ def basin_saddles(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
         return o[["pit", "basin_px", "pit_v", "spill_v", "depth"]]
 
     return bucketed_fold(parts, "pit", fold)
+
+
+# ---- depression filling (Priority-Flood equivalent) --------------------------
+
+FILL_PART_SCHEMA = pa.schema([
+    ("a", pa.int64()),      # basin (pit gid); edges: lo endpoint
+    ("b", pa.int64()),      # edges: hi endpoint; else -1
+    ("k", pa.int8()),       # 0 edge-saddle | 1 drain | 2 pit_v
+    ("val", pa.int64()),
+])
+
+
+def basin_fill(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+               max_rounds: int = 64):
+    """Depression FILLING — the Priority-Flood equivalent, distributed:
+    per basin, ``fill_v`` = the minimax path height from its pit to any
+    drain (nodata / grid edge), i.e. the water level after all nested
+    depressions fill and spill transitively (one-level
+    :func:`basin_saddles` only sees the first saddle; this solves the
+    whole hierarchy).
+
+    Correctness: inside a basin the pit reaches each boundary saddle at
+    cost = the saddle height (the reversed steepest-descent path ascends
+    monotonically), and any cell path crossing basins pays at least the
+    pair's min saddle — so the cell-level minimax equals the minimax
+    over the BASIN GRAPH (nodes = basins, edge = min saddle per adjacent
+    pair, seeds = drain spills). That graph is what this op solves.
+
+    Plan: the shared basin exchange emits per-pair saddle / drain /
+    pit-v partials (bucketed min folds close the edge table E, drains D
+    and pit heights P); basins assign to the SUPER-BLOCK of their pit
+    (spatially local), edges replicate to both endpoint blocks and each
+    round replicates the current fill of frontier basins to neighbor
+    blocks, where an in-block minimax Dijkstra (frozen externals —
+    block Gauss-Seidel) re-solves its own basins; values only decrease
+    over a finite height set, so rounds converge in ~block-graph
+    diameter, checked by a one-scalar-per-round changed count. Output:
+    (pit, pit_v, fill_v, filled_depth). Checked against
+    ``fixtures.ensure_fill_golden`` — an INDEPENDENT serial
+    priority-flood (heap over cells, no basin graph at all) — plus
+    random-mosaic tests."""
+    import heapq
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ..util import bucketed_fold, cluster_cpus
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    width = grid.width
+    c = chunk
+    INF = np.int64(1 << 62)
+
+    frames = _basin_frames(tiles_ds, grid, pack)
+
+    def emit_parts(g: pa.Table) -> pa.Table:
+        fr = _basin_frame_of(g, c)
+        if fr is None:
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in FILL_PART_SCHEMA})
+        tx, ty, V, M, L = fr
+        gy0, gx0 = ty * c, tx * c
+        cm = M[1:c + 1, 1:c + 1]
+        cv = V[1:c + 1, 1:c + 1]
+        clab = L[1:c + 1, 1:c + 1]
+        aa: list[np.ndarray] = []
+        bb: list[np.ndarray] = []
+        kk: list[np.ndarray] = []
+        vv: list[np.ndarray] = []
+        for dr in (-1, 0, 1):
+            for dc_ in (-1, 0, 1):
+                if dr == 0 and dc_ == 0:
+                    continue
+                nv = V[1 + dr:1 + dr + c, 1 + dc_:1 + dc_ + c]
+                nm = M[1 + dr:1 + dr + c, 1 + dc_:1 + dc_ + c]
+                nl = L[1 + dr:1 + dr + c, 1 + dc_:1 + dc_ + c]
+                both = cm & nm & (clab != nl)
+                if both.any():
+                    la, lb = clab[both], nl[both]
+                    lo = np.minimum(la, lb)
+                    hi = np.maximum(la, lb)
+                    aa.append(lo)
+                    bb.append(hi)
+                    kk.append(np.zeros(len(lo), np.int8))
+                    vv.append(np.maximum(cv[both], nv[both]))
+                drain = cm & ~nm
+                if drain.any():
+                    la = clab[drain]
+                    aa.append(la)
+                    bb.append(np.full(len(la), -1, np.int64))
+                    kk.append(np.ones(len(la), np.int8))
+                    vv.append(cv[drain])
+        if cm.any():
+            rr, cc2 = np.nonzero(cm)
+            gid = (gy0 + rr) * width + (gx0 + cc2)
+            is_pit = clab[cm] == gid
+            if is_pit.any():
+                aa.append(gid[is_pit])
+                bb.append(np.full(int(is_pit.sum()), -1, np.int64))
+                kk.append(np.full(int(is_pit.sum()), 2, np.int8))
+                vv.append(cv[cm][is_pit])
+        if not aa:
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in FILL_PART_SCHEMA})
+        # pre-fold duplicate edge candidates within the tile
+        df = pd.DataFrame({"a": np.concatenate(aa),
+                           "b": np.concatenate(bb),
+                           "k": np.concatenate(kk),
+                           "val": np.concatenate(vv)})
+        df = (df.groupby(["a", "b", "k"], sort=False)["val"].min()
+              .reset_index())
+        return pa.table({
+            "a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(df["b"].to_numpy(np.int64), pa.int64()),
+            "k": pa.array(df["k"].to_numpy(np.int8), pa.int8()),
+            "val": pa.array(df["val"].to_numpy(np.int64), pa.int64()),
+        }, schema=FILL_PART_SCHEMA)
+
+    def fold_parts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["a", "b", "k"], sort=False)["val"]
+             .agg(["min", "first"]).reset_index())
+        g["val"] = np.where(g["k"].to_numpy() == 2,
+                            g["first"].to_numpy(np.int64),
+                            g["min"].to_numpy(np.int64))
+        return g[["a", "b", "k", "val"]].astype(
+            {"a": np.int64, "b": np.int64, "k": np.int8,
+             "val": np.int64})
+
+    parts = bucketed_fold(
+        frames.groupby("tile_id").map_groups(emit_parts,
+                                             batch_format="pyarrow"),
+        ["a", "b", "k"], fold_parts).materialize()
+
+    # driver-bounded pulls: edges/drains/pits are basin-graph sized
+    # (nodes = pits, edges ~ adjacencies), METADATA next to the raster —
+    # the same contract as the flowlen border-node graph. A d>>RAM graph
+    # would swap this for the keyed per-block exchange below staying on
+    # Datasets; the block solver is already formulated that way.
+    pdf = parts.to_pandas()
+    E = pdf[pdf["k"] == 0]
+    D = pdf[pdf["k"] == 1].groupby("a")["val"].min()
+    P = pdf[pdf["k"] == 2].set_index("a")["val"]
+
+    G = max(1, int(math.sqrt((n_tx * n_ty) / max(1, cluster_cpus()))))
+    nbx = (n_tx + G - 1) // G
+    blk = chunk * G
+
+    def sblock(gid: np.ndarray) -> np.ndarray:
+        gy = gid // width
+        gx = gid % width
+        return ((gy // blk) * nbx + (gx // blk)).astype(np.int64)
+
+    ea = E["a"].to_numpy(np.int64)
+    eb = E["b"].to_numpy(np.int64)
+    es = E["val"].to_numpy(np.int64)
+    sa, sb_ = sblock(ea), sblock(eb)
+
+    basins = np.unique(np.concatenate(
+        [ea, eb, D.index.to_numpy(np.int64), P.index.to_numpy(np.int64)]))
+    bsb = sblock(basins)
+    fill = pd.Series(np.full(len(basins), INF, np.int64), index=basins)
+    fill.loc[D.index] = np.minimum(fill.loc[D.index].to_numpy(),
+                                   D.to_numpy(np.int64))
+
+    # per-block edge views (edges live in BOTH endpoint blocks)
+    blocks = np.unique(bsb)
+    eidx_of: dict[int, np.ndarray] = {
+        int(s): np.nonzero((sa == s) | (sb_ == s))[0] for s in blocks}
+    own_of: dict[int, np.ndarray] = {
+        int(s): basins[bsb == s] for s in blocks}
+
+    def solve_block(s: int, f: pd.Series):
+        own = own_of[s]
+        own_set = set(own.tolist())
+        best = {int(b): int(f.loc[b]) for b in own}
+        adj: dict[int, list] = {}
+        heap: list = []
+        for i in eidx_of[s]:
+            a_, b_, w_ = int(ea[i]), int(eb[i]), int(es[i])
+            a_in, b_in = a_ in own_set, b_ in own_set
+            if a_in and b_in:
+                adj.setdefault(a_, []).append((b_, w_))
+                adj.setdefault(b_, []).append((a_, w_))
+            elif a_in:
+                ext = int(f.loc[b_])
+                if ext < INF:
+                    heapq.heappush(heap, (max(w_, ext), a_))
+            elif b_in:
+                ext = int(f.loc[a_])
+                if ext < INF:
+                    heapq.heappush(heap, (max(w_, ext), b_))
+        for b in own:
+            v0 = best[int(b)]
+            if v0 < INF:
+                heapq.heappush(heap, (v0, int(b)))
+        while heap:
+            cost, b = heapq.heappop(heap)
+            if cost > best[b]:
+                continue
+            # commit the pop itself: a seed (drain / frozen-external
+            # candidate) improves THIS basin, not only its neighbors —
+            # without this line a basin fed solely by external seeds
+            # keeps its prior value and small blocks stall at INF
+            if cost < best[b]:
+                best[b] = cost
+            for (nb, w_) in adj.get(b, ()):
+                cand = max(w_, cost)
+                if cand < best[nb]:
+                    best[nb] = cand
+                    heapq.heappush(heap, (cand, nb))
+        changed = 0
+        for b, v in best.items():
+            if v < int(f.loc[b]):
+                f.loc[b] = v
+                changed += 1
+        return changed
+
+    for _ in range(max_rounds):
+        changed = 0
+        for s in blocks:
+            changed += solve_block(int(s), fill)
+        if changed == 0:
+            break
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("basin_fill: block rounds did not converge")
+
+    if (fill.to_numpy() >= INF).any():  # pragma: no cover - defensive
+        raise RuntimeError("basin_fill: unreachable basin (no drain)")
+    pit_v = P.reindex(basins).to_numpy(np.int64)
+    fv = fill.to_numpy(np.int64)
+    return pa.table({
+        "pit": pa.array(basins, pa.int64()),
+        "pit_v": pa.array(pit_v, pa.int64()),
+        "fill_v": pa.array(fv, pa.int64()),
+        "filled_depth": pa.array(fv - pit_v, pa.int64()),
+    })

@@ -555,3 +555,76 @@ def test_seasonal_composite_matches_serial(ray_session):
     exp = exp.sort_values(["season", "tile_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.season.nunique() == 3
+
+
+@pytest.mark.parametrize("seed,p_absent", [(33, 0.3), (92, 0.5)])
+def test_basin_fill_matches_priority_flood(ray_session, seed, p_absent):
+    """Distributed depression filling vs an INDEPENDENT serial
+    priority-flood (heap over cells — no basin graph at all): the fill
+    level at each pit must match the classic algorithm exactly."""
+    import heapq
+
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import basin_fill
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    got = (basin_fill(rd.from_items(rows).repartition(5), SRC)
+           .to_pandas().sort_values("pit").reset_index(drop=True))
+    # serial priority-flood
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    fill = np.full((H, W), 1 << 62, np.int64)
+    done = np.zeros((H, W), bool)
+    heap = []
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+            (1, -1), (1, 0), (1, 1)]
+    for r in range(H):
+        for col in range(W):
+            if not valid[r, col]:
+                continue
+            edge = (r in (0, H - 1)) or (col in (0, W - 1))
+            if not edge:
+                for dr, dc in offs:
+                    if not valid[r + dr, col + dc]:
+                        edge = True
+                        break
+            if edge:
+                heapq.heappush(heap, (int(v[r, col]), r, col))
+    while heap:
+        cost, r, col = heapq.heappop(heap)
+        if done[r, col]:
+            continue
+        done[r, col] = True
+        fill[r, col] = cost
+        for dr, dc in offs:
+            nr, nc = r + dr, col + dc
+            if 0 <= nr < H and 0 <= nc < W and valid[nr, nc] \
+                    and not done[nr, nc]:
+                heapq.heappush(heap, (max(cost, int(v[nr, nc])), nr, nc))
+    # fill at each pit from the engine's output
+    pits = got.pit.to_numpy()
+    pr, pc = pits // W, pits % W
+    exp_fill = fill[pr, pc]
+    assert (got.fill_v.to_numpy() == exp_fill).all(), \
+        f"{(got.fill_v.to_numpy() != exp_fill).sum()} pits mismatch"
+    assert (got.filled_depth >= 0).all() and got.filled_depth.max() > 0
+    assert (got.pit_v.to_numpy() == v[pr, pc]).all()
+
+
+def test_basin_fill_tiny_blocks_regression(ray_session, monkeypatch):
+    """Force 1-tile super-blocks (the seed-commit regression: a basin fed
+    ONLY by frozen-external seeds must still commit its improvement —
+    large blocks masked the bug)."""
+    import ray.data as rd
+
+    import raygeo.ops.spatialstats as ss
+
+    monkeypatch.setattr("raygeo.util.cluster_cpus", lambda: 10**9)
+    rows, plane, valid = _random_mosaic(seed=33, p_absent=0.3)
+    got_small = (ss.basin_fill(rd.from_items(rows).repartition(5), SRC)
+                 .to_pandas().sort_values("pit").reset_index(drop=True))
+    monkeypatch.setattr("raygeo.util.cluster_cpus", lambda: 1)
+    got_big = (ss.basin_fill(rd.from_items(rows).repartition(5), SRC)
+               .to_pandas().sort_values("pit").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_small, got_big)
