@@ -2227,81 +2227,125 @@ def basin_fill(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
     ea = E["a"].to_numpy(np.int64)
     eb = E["b"].to_numpy(np.int64)
     es = E["val"].to_numpy(np.int64)
-    sa, sb_ = sblock(ea), sblock(eb)
 
     basins = np.unique(np.concatenate(
         [ea, eb, D.index.to_numpy(np.int64), P.index.to_numpy(np.int64)]))
+    nb_ = len(basins)
+    # positional encoding: everything below runs on int arrays, never a
+    # pandas scalar lookup (the first version spent ~80 s in .loc)
+    ea_i = np.searchsorted(basins, ea)
+    eb_i = np.searchsorted(basins, eb)
     bsb = sblock(basins)
-    fill = pd.Series(np.full(len(basins), INF, np.int64), index=basins)
-    fill.loc[D.index] = np.minimum(fill.loc[D.index].to_numpy(),
-                                   D.to_numpy(np.int64))
+    fill = np.full(nb_, INF, np.int64)
+    d_i = np.searchsorted(basins, D.index.to_numpy(np.int64))
+    fill[d_i] = np.minimum(fill[d_i], D.to_numpy(np.int64))
 
-    # per-block edge views (edges live in BOTH endpoint blocks)
     blocks = np.unique(bsb)
-    eidx_of: dict[int, np.ndarray] = {
-        int(s): np.nonzero((sa == s) | (sb_ == s))[0] for s in blocks}
-    own_of: dict[int, np.ndarray] = {
-        int(s): basins[bsb == s] for s in blocks}
+    sa, sb2 = bsb[ea_i], bsb[eb_i]
+    # precompute ONCE per block: CSR internal adjacency, external edge
+    # views, and the block-neighbor sets driving the dirty propagation
+    intern_of: dict[int, tuple] = {}
+    extern_of: dict[int, tuple] = {}
+    own_of: dict[int, np.ndarray] = {}
+    nbr_blocks: dict[int, set] = {int(s): set() for s in blocks}
+    for s in blocks:
+        s = int(s)
+        own_of[s] = np.nonzero(bsb == s)[0]
+        both = (sa == s) & (sb2 == s)
+        isrc = np.concatenate([ea_i[both], eb_i[both]])
+        idst = np.concatenate([eb_i[both], ea_i[both]])
+        iw = np.concatenate([es[both], es[both]])
+        order = np.argsort(isrc, kind="stable")
+        isrc, idst, iw = isrc[order], idst[order], iw[order]
+        # CSR bounds per source basin (built once, reused every round)
+        bnd: dict[int, tuple] = {}
+        if len(isrc):
+            cuts = np.nonzero(np.diff(isrc))[0] + 1
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(isrc)]])
+            for st, en in zip(starts.tolist(), ends.tolist()):
+                bnd[int(isrc[st])] = (st, en)
+        intern_of[s] = (idst, iw, bnd)
+        xa = (sa == s) & (sb2 != s)
+        xb = (sb2 == s) & (sa != s)
+        extern_of[s] = (
+            np.concatenate([ea_i[xa], eb_i[xb]]),   # own endpoint
+            np.concatenate([eb_i[xa], ea_i[xb]]),   # frozen endpoint
+            np.concatenate([es[xa], es[xb]]))
+        for t_ in np.unique(np.concatenate([sb2[xa], sa[xb]])).tolist():
+            nbr_blocks[s].add(int(t_))
 
-    def solve_block(s: int, f: pd.Series):
-        own = own_of[s]
-        own_set = set(own.tolist())
-        best = {int(b): int(f.loc[b]) for b in own}
-        adj: dict[int, list] = {}
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def solve_block_task(blk_ref, fill_cur):
+        own, idst, iw, bnd, xo, xf, xw = blk_ref
+        idst_l = idst.tolist()
+        iw_l = iw.tolist()
+        best = dict(zip(own.tolist(), fill_cur[own].tolist()))
         heap: list = []
-        for i in eidx_of[s]:
-            a_, b_, w_ = int(ea[i]), int(eb[i]), int(es[i])
-            a_in, b_in = a_ in own_set, b_ in own_set
-            if a_in and b_in:
-                adj.setdefault(a_, []).append((b_, w_))
-                adj.setdefault(b_, []).append((a_, w_))
-            elif a_in:
-                ext = int(f.loc[b_])
-                if ext < INF:
-                    heapq.heappush(heap, (max(w_, ext), a_))
-            elif b_in:
-                ext = int(f.loc[a_])
-                if ext < INF:
-                    heapq.heappush(heap, (max(w_, ext), b_))
-        for b in own:
-            v0 = best[int(b)]
+        ext = fill_cur[xf]
+        lim = np.minimum(np.maximum(xw, ext), INF)
+        ok = ext < INF
+        for cand, o in zip(lim[ok].tolist(), xo[ok].tolist()):
+            heapq.heappush(heap, (cand, o))
+        for b, v0 in best.items():
             if v0 < INF:
-                heapq.heappush(heap, (v0, int(b)))
+                heapq.heappush(heap, (v0, b))
         while heap:
             cost, b = heapq.heappop(heap)
             if cost > best[b]:
                 continue
             # commit the pop itself: a seed (drain / frozen-external
             # candidate) improves THIS basin, not only its neighbors —
-            # without this line a basin fed solely by external seeds
-            # keeps its prior value and small blocks stall at INF
+            # without this a basin fed solely by external seeds keeps
+            # its prior value and small blocks stall at INF
             if cost < best[b]:
                 best[b] = cost
-            for (nb, w_) in adj.get(b, ()):
-                cand = max(w_, cost)
-                if cand < best[nb]:
-                    best[nb] = cand
-                    heapq.heappush(heap, (cand, nb))
-        changed = 0
-        for b, v in best.items():
-            if v < int(f.loc[b]):
-                f.loc[b] = v
-                changed += 1
-        return changed
+            lohi = bnd.get(b)
+            if lohi is None:
+                continue
+            for i in range(lohi[0], lohi[1]):
+                nbr = idst_l[i]
+                cand = iw_l[i]
+                if cand < cost:
+                    cand = cost
+                if cand < best[nbr]:
+                    best[nbr] = cand
+                    heapq.heappush(heap, (cand, nbr))
+        new_vals = np.fromiter((best[b] for b in own.tolist()),
+                               np.int64, len(own))
+        changed = int((new_vals < fill_cur[own]).sum())
+        return own, new_vals, changed
 
+    # block structures ship ONCE; each round re-broadcasts only the fill
+    # vector (8 bytes/basin). Blocks solve in PARALLEL Ray tasks (block
+    # Jacobi — frozen externals per round), and the DIRTY set re-solves
+    # only blocks whose frozen inputs could have changed.
+    blk_refs = {int(s): ray.put((own_of[int(s)], *intern_of[int(s)],
+                                 *extern_of[int(s)]))
+                for s in blocks}
+    dirty = {int(s) for s in blocks}
     for _ in range(max_rounds):
-        changed = 0
-        for s in blocks:
-            changed += solve_block(int(s), fill)
-        if changed == 0:
+        if not dirty:
             break
+        fill_ref = ray.put(fill)
+        futs = {s: solve_block_task.remote(blk_refs[s], fill_ref)
+                for s in sorted(dirty)}
+        next_dirty: set = set()
+        for s, fut in futs.items():
+            own, new_vals, changed = ray.get(fut)
+            if changed > 0:
+                fill[own] = np.minimum(fill[own], new_vals)
+                next_dirty |= nbr_blocks[s]
+        dirty = next_dirty
     else:  # pragma: no cover - defensive
         raise RuntimeError("basin_fill: block rounds did not converge")
 
-    if (fill.to_numpy() >= INF).any():  # pragma: no cover - defensive
+    if (fill >= INF).any():  # pragma: no cover - defensive
         raise RuntimeError("basin_fill: unreachable basin (no drain)")
     pit_v = P.reindex(basins).to_numpy(np.int64)
-    fv = fill.to_numpy(np.int64)
+    fv = fill
     return pa.table({
         "pit": pa.array(basins, pa.int64()),
         "pit_v": pa.array(pit_v, pa.int64()),
