@@ -3361,6 +3361,34 @@ def _q_docs_cdc_chunks(sf_dir: str):
                            columns=["doc_id", "text"]))
 
 
+def _q_events_auc(sf_dir: str):
+    """Exact tie-corrected ROC-AUC (Mann-Whitney) of value as a
+    predictor of event_type='purchase' — domain-bounded rank histogram,
+    driver finish in exact ints."""
+    from raygeo.ops.relational import roc_auc
+
+    return roc_auc(_rpq(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]))
+
+
+def _q_events_changepoint(sf_dir: str):
+    """Per-user single change-point: argmax_k |n*S_k - k*S_n| over the
+    ts-ordered cents prefix sums (integer CUSUM), bucketed per-user fold."""
+    from raygeo.ops.relational import changepoint
+
+    return changepoint(_rpq(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id", "value"]))
+
+
+def _q_emb_mmd(sf_dir: str):
+    """Pairwise label MMD² under the degree-2 polynomial kernel via
+    per-label second-moment folds — tr(M_a M_b), zero pairwise work."""
+    from raygeo.ops.ann import mmd_poly
+
+    return mmd_poly(_rpq(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"]))
+
+
 # round-4 window head (VERDICT r3 next-round #1 + #8): the 3 queries that
 # were rows-only-checked in r01 and have since gained real DuckDB oracles
 # (docs_simhash, docs_fingerprint, image_features) first, then every query
@@ -3640,6 +3668,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup_keep": _q_emb_semdedup_keep,  # end-to-end decision
         "nearest_zone": _q_nearest_zone,
         "zone_top_images": _q_zone_top_images,  # spatial group top-k  # spatial kNN join (k=1)
+        # round-4 session-11 wave (appended AFTER the r04 driver window)
+        "events_auc": _q_events_auc,  # exact rank-statistic ROC-AUC
+        "events_changepoint": _q_events_changepoint,  # integer CUSUM split
+        "emb_mmd": _q_emb_mmd,  # polynomial-kernel two-sample MMD²
     }
 
 
@@ -6879,5 +6911,84 @@ SELECT count(*)::BIGINT AS n_exact_pairs, 1::BIGINT AS recall_ge_900
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "events_auc": """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+), h AS (
+  SELECT c, SUM(p)::BIGINT AS npos, SUM(1 - p)::BIGINT AS nneg
+  FROM s GROUP BY c
+), o AS (
+  SELECT npos, nneg, npos + nneg AS cnt,
+    COALESCE(SUM(npos + nneg) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM h
+), t AS (
+  SELECT SUM(npos * (2 * cb + cnt + 1))::BIGINT AS s2,
+         SUM(npos)::BIGINT AS n_pos, SUM(nneg)::BIGINT AS n_neg
+  FROM o
+)
+SELECT n_pos, n_neg,
+  (s2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+  (2 * n_pos * n_neg)::BIGINT AS auc_den,
+  ((s2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg))::BIGINT
+    AS auc_micro
+FROM t
+""",
+        "events_changepoint": """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), c AS (
+  SELECT user_id,
+    ROW_NUMBER() OVER w AS k,
+    SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+    COUNT(*) OVER (PARTITION BY user_id) AS n,
+    SUM(vc) OVER (PARTITION BY user_id) AS sn
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), st AS (
+  SELECT user_id, k, n, abs(n * sk - k * sn) AS stat FROM c WHERE k < n
+), r AS (
+  SELECT user_id, k, stat, n,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY stat DESC, k ASC) AS rn
+  FROM st
+)
+SELECT user_id::BIGINT AS user_id, k::BIGINT AS k_star,
+       stat::BIGINT AS stat, n::BIGINT AS n_events
+FROM r WHERE rn = 1
+""",
+        "emb_mmd": """
+WITH x AS (
+  SELECT vec_id, label, ii.i AS i,
+    CAST(floor(CAST(embedding[ii.i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS q
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) ii
+), m AS (
+  SELECT a.label AS label, a.i AS i, b.i AS j,
+         SUM(CAST(a.q AS HUGEINT) * b.q) AS m
+  FROM x a JOIN x b USING (vec_id)
+  GROUP BY 1, 2, 3
+), n AS (
+  SELECT label, COUNT(*)::HUGEINT AS n FROM embeddings GROUP BY 1
+), tr AS (
+  SELECT ma.label AS la, mb.label AS lb, SUM(ma.m * mb.m) AS t
+  FROM m ma JOIN m mb ON ma.i = mb.i AND ma.j = mb.j
+  GROUP BY 1, 2
+)
+SELECT tab.la::BIGINT AS label_a, tab.lb::BIGINT AS label_b,
+  na.n::BIGINT AS n_a, nb.n::BIGINT AS n_b,
+  ((nb.n * nb.n * taa.t + na.n * na.n * tbb.t
+    - 2 * na.n * nb.n * tab.t)
+   // (na.n * na.n * nb.n * nb.n))::BIGINT AS mmd2_q4
+FROM tr tab
+JOIN tr taa ON taa.la = tab.la AND taa.lb = tab.la
+JOIN tr tbb ON tbb.la = tab.lb AND tbb.lb = tab.lb
+JOIN n na ON na.label = tab.la
+JOIN n nb ON nb.label = tab.lb
+WHERE tab.la < tab.lb
 """,
     }

@@ -215,6 +215,9 @@ def run_bench() -> dict:
         "caption_cell_stats",
         "mosaic_seasonal",
         "mosaic_fill",
+        "events_auc",
+        "events_changepoint",
+        "emb_mmd",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1129,3 +1129,87 @@ def hamming_knn(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                             pa.int64()),
         "rank": pa.array(cand["rank"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def mmd_poly(ds, vec_col: str = "embedding", label_col: str = "label",
+             quant: float = 1000.0):
+    """Pairwise two-sample MMD² between every label pair under the
+    degree-2 polynomial kernel k(x,y) = <x,y>² — the distribution-shift
+    / dataset-drift metric of a training-data pipeline (did source B's
+    embedding distribution move away from source A's?), computed with
+    ZERO pairwise work via linearity:
+
+        Σ_ij <x_i, y_j>² = tr(M_x M_y),   M = Σ q qᵀ  (per-label
+        second-moment matrix of the quantized vectors), so
+        MMD² = tr(M_aM_a)/n_a² + tr(M_bM_b)/n_b² - 2·tr(M_aM_b)/(n_a·n_b).
+
+    The distributed part is ONE per-(label, i, j) integer fold —
+    |labels|·d² rows, dimension-bounded like :func:`gram_matrix`, never
+    data-bounded — shuffled once through ``util.bucketed_sum``; the
+    |labels|² trace products run driver-side on the tiny moment table in
+    arbitrary-precision Python ints (tr(M·M) overflows int64 by design,
+    so no numpy reduction touches it). Quantization is the engine-exact
+    :func:`_quantized_matrix` contract shared with gram/centroids.
+    Output: (label_a, label_b, n_a, n_b, mmd2_q4) for label_a < label_b,
+    where mmd2_q4 = floor(num/den) in quant⁴ fixed-point units (exact
+    floor of the true rational, matching DuckDB HUGEINT ``//``).
+    """
+    from ..util import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = _quantized_matrix(t.column(vec_col), quant)
+        lab = t.column(label_col).to_numpy().astype(np.int64)
+        d = q.shape[1]
+        i_idx, j_idx = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        labs, iis, jjs, ms = [], [], [], []
+        for lv in np.unique(lab):
+            ql = q[lab == lv]
+            m = ql.T @ ql  # (d, d) int64 — per-batch partial, no overflow
+            labs.append(np.full(d * d + 1, lv, np.int64))
+            iis.append(np.concatenate([i_idx, [-1]]))
+            jjs.append(np.concatenate([j_idx, [-1]]))
+            ms.append(np.concatenate([m.reshape(-1), [len(ql)]]))
+        return pa.table({
+            "label": pa.array(np.concatenate(labs), pa.int64()),
+            "i": pa.array(np.concatenate(iis), pa.int64()),
+            "j": pa.array(np.concatenate(jjs), pa.int64()),
+            "m": pa.array(np.concatenate(ms), pa.int64()),
+        })
+
+    folded = bucketed_sum(
+        ds.select_columns([vec_col, label_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["label", "i", "j"], "m").to_pandas()
+
+    # driver finish on the BOUNDED (labels·d²) moment table, exact ints
+    counts = {int(r.label): int(r.m)
+              for r in folded[folded["i"] == -1].itertuples()}
+    moments: dict[int, list[int]] = {}
+    body = folded[folded["i"] >= 0].sort_values(["label", "i", "j"])
+    for lv, g in body.groupby("label", sort=True):
+        moments[int(lv)] = [int(v) for v in g["m"].to_numpy()]
+
+    def tr(a: list[int], b: list[int]) -> int:
+        return sum(x * y for x, y in zip(a, b))
+
+    labels = sorted(moments)
+    la_o, lb_o, na_o, nb_o, mmd_o = [], [], [], [], []
+    for ai, la in enumerate(labels):
+        for lb in labels[ai + 1:]:
+            na, nb = counts[la], counts[lb]
+            num = (nb * nb * tr(moments[la], moments[la])
+                   + na * na * tr(moments[lb], moments[lb])
+                   - 2 * na * nb * tr(moments[la], moments[lb]))
+            den = na * na * nb * nb
+            la_o.append(la)
+            lb_o.append(lb)
+            na_o.append(na)
+            nb_o.append(nb)
+            mmd_o.append(num // den)  # num >= 0: ||M_a/n_a² - M_b/n_b²||²_F
+    return pa.table({
+        "label_a": pa.array(la_o, pa.int64()),
+        "label_b": pa.array(lb_o, pa.int64()),
+        "n_a": pa.array(na_o, pa.int64()),
+        "n_b": pa.array(nb_o, pa.int64()),
+        "mmd2_q4": pa.array(mmd_o, pa.int64()),
+    })

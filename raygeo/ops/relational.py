@@ -2632,6 +2632,112 @@ def mad_outliers(events_ds, key_col: str = "event_type",
     return hist.groupby("k").map_groups(pick, batch_format="pandas")
 
 
+def roc_auc(events_ds, pos_type: str = "purchase", value_col: str = "value"):
+    """Exact tie-corrected ROC-AUC of ``value`` as a predictor of
+    ``event_type == pos_type`` — the Mann-Whitney U rank statistic, the
+    model-eval / label-quality op a curation pipeline runs on scored
+    data (no reference analog; the eval sibling of the LM-score gate).
+
+    AUC = (rank_sum_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with tied
+    scores at their AVERAGE rank. The distributed part is the
+    domain-bounded (cents -> pos/neg count) histogram fold (the
+    ``grouped_exact_median`` contract: the shuffle carries distinct
+    scores with counts, never raw rows); the rank arithmetic is a
+    driver-side cumulative scan over that BOUNDED histogram in
+    arbitrary-precision Python ints (2*rank_sum stays integral under
+    average ranks, so the whole statistic is exact). Output one row:
+    (n_pos, n_neg, auc_num, auc_den, auc_micro) with
+    AUC = auc_num/auc_den exactly and auc_micro = floor(1e6*num/den).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import cluster_cpus
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = sql_round_cents(t.column(value_col).to_numpy())
+        pos = pc.equal(t.column("event_type"), pos_type).to_numpy(
+            zero_copy_only=False)
+        g = (pd.DataFrame({"c": cents,
+                           "npos": pos.astype(np.int64),
+                           "nneg": (~pos).astype(np.int64)})
+             .groupby("c", sort=False)[["npos", "nneg"]].sum()
+             .reset_index())
+        return table_from_pandas(g)
+
+    hist = (events_ds.select_columns(["event_type", value_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .repartition(max(8, min(64, cluster_cpus())))
+            .groupby("c")
+            .aggregate(Sum("npos", alias_name="npos"),
+                       Sum("nneg", alias_name="nneg")))
+
+    h = hist.to_pandas().sort_values("c")  # bounded by the cents domain
+    npos = h["npos"].to_numpy(np.int64)
+    nneg = h["nneg"].to_numpy(np.int64)
+    cnt = npos + nneg
+    cum_before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    # block of cnt ties at ranks cb+1..cb+cnt -> average rank (2cb+cnt+1)/2
+    s2 = sum(int(a) * (2 * int(b) + int(c) + 1)
+             for a, b, c in zip(npos, cum_before, cnt))  # = 2 * rank_sum_pos
+    n_pos = int(npos.sum())
+    n_neg = int(nneg.sum())
+    auc_num = s2 - n_pos * (n_pos + 1)
+    auc_den = 2 * n_pos * n_neg
+    auc_micro = (auc_num * 10**6) // auc_den if auc_den else 0
+    return pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc_num": pa.array([auc_num], pa.int64()),
+        "auc_den": pa.array([auc_den], pa.int64()),
+        "auc_micro": pa.array([auc_micro], pa.int64()),
+    })
+
+
+def changepoint(events_ds, value_col: str = "value"):
+    """Per-user offline change-point detection (single best split): the
+    k maximizing |n*S_k - k*S_n| over the ts-ordered cents prefix sums
+    S — the integer-exact CUSUM statistic (the scaled form of
+    |mean(left)-mean(right)| * k(n-k), so no division ever happens).
+    The regime-change / drift gate a feed-quality pipeline runs per
+    entity before admitting its history.
+
+    Distributed as a bucketed per-user fold (``util.bucketed_fold``):
+    user rows co-locate in ONE coarse-bucket shuffle, then each user is
+    a vectorized cumsum + argmax (per-user state bounded by that user's
+    history, the sessionize contract). Ties break to the SMALLEST k
+    (np.argmax returns the first maximum). Users with <2 events have no
+    interior split and are excluded. Output: (user_id, k_star, stat,
+    n_events).
+    """
+    from ..util import bucketed_fold
+
+    cols = ["user_id", "ts", "event_id", value_col]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uids, kstars, stats, sizes = [], [], [], []
+        for uid, u in g.groupby("user_id", sort=False):
+            n = len(u)
+            if n < 2:
+                continue
+            u = u.sort_values(["ts", "event_id"], kind="mergesort")
+            s = np.cumsum(sql_round_cents(u[value_col].to_numpy()))
+            k = np.arange(1, n, dtype=np.int64)
+            stat = np.abs(n * s[:-1] - k * s[-1])
+            i = int(np.argmax(stat))
+            uids.append(int(uid))
+            kstars.append(i + 1)
+            stats.append(int(stat[i]))
+            sizes.append(n)
+        return pd.DataFrame({
+            "user_id": np.asarray(uids, np.int64),
+            "k_star": np.asarray(kstars, np.int64),
+            "stat": np.asarray(stats, np.int64),
+            "n_events": np.asarray(sizes, np.int64),
+        })
+
+    return bucketed_fold(events_ds.select_columns(cols), "user_id", fold)
+
+
 def nation_balance(customer_path: str, supplier_path: str,
                    segment: str = "MACHINERY", cust_min: float = 9000.0,
                    supp_min: float = 5000.0,

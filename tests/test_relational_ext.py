@@ -1843,3 +1843,125 @@ def test_association_rules_matches_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the planted pair dominates by lift
     assert (got.iloc[0].part_a, got.iloc[0].part_b) == (900, 901)
+
+
+def test_roc_auc_matches_sklearn_formula(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import roc_auc
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    n = 5000
+    pos = rng.random(n) < 0.3
+    # positives shifted up, coarse grid -> heavy ties incl. cross-class
+    score = np.where(pos, rng.integers(5, 25, n), rng.integers(0, 20, n)) / 4.0
+    df = pd.DataFrame({"event_type": np.where(pos, "purchase", "view"),
+                       "value": score})
+    got = roc_auc(rd.from_pandas(df).repartition(9)).to_pandas().iloc[0]
+
+    # serial oracle: average ranks over the raw scores
+    cents = np.rint(score * 100).astype(np.int64)
+    order = np.argsort(cents, kind="mergesort")
+    ranks = np.empty(n, dtype=np.float64)
+    sorted_c = cents[order]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sorted_c[j] == sorted_c[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # avg of ranks i+1..j
+        i = j
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    auc = (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert got.n_pos == n_pos and got.n_neg == n_neg
+    assert got.auc_num / got.auc_den == pytest.approx(auc, abs=1e-12)
+    assert got.auc_micro == int(np.floor(auc * 1e6 + 1e-9))
+    assert 0.5 < auc < 1.0  # the shift makes it informative
+
+
+def test_roc_auc_extremes(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import roc_auc
+
+    # perfectly separated -> AUC exactly 1
+    df = pd.DataFrame({
+        "event_type": ["purchase"] * 10 + ["view"] * 15,
+        "value": [10.0 + i for i in range(10)] + [float(i) / 2 for i in range(15)],
+    })
+    got = roc_auc(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert got.auc_num == got.auc_den and got.auc_micro == 10**6
+    # all scores identical -> AUC exactly 1/2
+    df2 = pd.DataFrame({"event_type": ["purchase"] * 7 + ["view"] * 9,
+                        "value": [3.33] * 16})
+    got2 = roc_auc(rd.from_pandas(df2)).to_pandas().iloc[0]
+    assert got2.auc_num * 2 == got2.auc_den
+
+
+def test_changepoint_planted_shift(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import changepoint
+
+    # user 1: clean level shift at k=40 of 100; user 2: constant (stat 0
+    # everywhere -> smallest k wins); user 3: single event -> excluded
+    ts = pd.date_range("2024-01-01", periods=100, freq="1min")
+    u1 = pd.DataFrame({"user_id": 1, "ts": ts,
+                       "event_id": np.arange(100),
+                       "value": [1.0] * 40 + [5.0] * 60})
+    u2 = pd.DataFrame({"user_id": 2, "ts": ts[:20],
+                       "event_id": np.arange(100, 120),
+                       "value": [2.0] * 20})
+    u3 = pd.DataFrame({"user_id": 3, "ts": ts[:1],
+                       "event_id": [200], "value": [9.9]})
+    df = pd.concat([u1, u2, u3], ignore_index=True)
+    got = (changepoint(rd.from_pandas(df).repartition(7)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert got.user_id.tolist() == [1, 2]
+    assert got.loc[0, "k_star"] == 40
+    # |n*S_k - k*S_n| at k=40: S_40=4000, S_100=34000 -> |400000-1360000|
+    assert got.loc[0, "stat"] == abs(100 * 4000 - 40 * 34000)
+    assert got.loc[1, "k_star"] == 1 and got.loc[1, "stat"] == 0
+
+
+def test_mmd_poly_matches_bruteforce_pairs(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import mmd_poly
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    d, sizes = 8, {0: 30, 1: 45, 2: 20}
+    rows = []
+    for lab, n in sizes.items():
+        shift = lab * 0.5
+        for _ in range(n):
+            rows.append((lab, (rng.random(d) - 0.5 + shift).astype(np.float32)))
+    df = pd.DataFrame({"label": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows]})
+    got = (mmd_poly(rd.from_pandas(df).repartition(6))
+           .to_pandas().sort_values(["label_a", "label_b"])
+           .reset_index(drop=True))
+
+    q = {lab: np.floor(np.stack([r[1] for r in rows if r[0] == lab])
+                       .astype(np.float64) * 1000 + 0.5).astype(object)
+         for lab in sizes}
+    exp = []
+    for la in sorted(sizes):
+        for lb in sorted(sizes):
+            if la >= lb:
+                continue
+            na, nb = sizes[la], sizes[lb]
+            def tr_pairs(xa, xb):  # brute force sum of <x,y>^2 in Python ints
+                return sum(int(np.dot(x, y)) ** 2
+                           for x in xa for y in xb)
+            num = (nb * nb * tr_pairs(q[la], q[la])
+                   + na * na * tr_pairs(q[lb], q[lb])
+                   - 2 * na * nb * tr_pairs(q[la], q[lb]))
+            exp.append((la, lb, na, nb, num // (na * na * nb * nb)))
+    expdf = pd.DataFrame(exp, columns=["label_a", "label_b", "n_a", "n_b",
+                                       "mmd2_q4"])
+    pd.testing.assert_frame_equal(got, expdf, check_dtype=False)
+    # same-distribution sanity: labels 0 vs 0-shifted-copy unavailable,
+    # but monotonicity holds: farther label pairs have larger MMD
+    g = got.set_index(["label_a", "label_b"]).mmd2_q4
+    assert g[(0, 2)] > g[(0, 1)] and g[(0, 2)] > g[(1, 2)]
