@@ -3117,6 +3117,16 @@ def _q_emb_kcenter(sf_dir: str):
                                columns=["vec_id", "embedding"]), k=4)
 
 
+def _q_emb_mmr(sf_dir: str):
+    """Greedy Maximal Marginal Relevance selection (λ=7/10): integer-exact
+    relevance-vs-diversity head, selected set broadcast per round, data
+    streamed (the kcenter round shape)."""
+    from raygeo.ops.ann import mmr_select
+
+    return mmr_select(_rpq(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]), k=4)
+
+
 def _q_terms_components(sf_dir: str):
     """Bounded-round min-label propagation over the top-term
     co-occurrence graph (the CC / community-seeding iteration): label
@@ -3606,6 +3616,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,  # bloom+verify
         "terms_components": _q_terms_components,  # min-label propagation
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
+        "emb_mmr": _q_emb_mmr,  # maximal-marginal-relevance head
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_export_hive": _q_events_export_hive,  # native hive sink
         "events_value_trend": _q_events_value_trend,  # integer OLS moments
@@ -6120,6 +6131,49 @@ FROM s0
 UNION ALL SELECT 1, vec_id, dist::BIGINT FROM s1
 UNION ALL SELECT 2, vec_id, dist::BIGINT FROM s2
 UNION ALL SELECT 3, vec_id, dist::BIGINT FROM s3
+""",
+        "emb_mmr": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+p0 AS (SELECT min(vec_id) AS vec_id FROM embeddings),
+pv AS (SELECT dim, qv FROM q JOIN p0 USING (vec_id)),
+rel AS (SELECT q.vec_id, sum(q.qv * pv.qv) AS rel
+        FROM q JOIN pv USING (dim)
+        WHERE q.vec_id <> (SELECT vec_id FROM p0) GROUP BY q.vec_id),
+s1 AS (SELECT vec_id, 7 * rel AS score FROM rel
+       ORDER BY score DESC, vec_id LIMIT 1),
+c1 AS (SELECT dim, qv FROM q WHERE vec_id = (SELECT vec_id FROM s1)),
+m1 AS (SELECT rel.vec_id, rel.rel, sum(q.qv * c1.qv) AS maxsim
+       FROM rel JOIN q USING (vec_id) JOIN c1 USING (dim)
+       WHERE rel.vec_id <> (SELECT vec_id FROM s1)
+       GROUP BY rel.vec_id, rel.rel),
+s2 AS (SELECT vec_id, 7 * rel - 3 * maxsim AS score FROM m1
+       ORDER BY score DESC, vec_id LIMIT 1),
+c2 AS (SELECT dim, qv FROM q WHERE vec_id = (SELECT vec_id FROM s2)),
+m2 AS (SELECT m1.vec_id, m1.rel,
+              greatest(m1.maxsim, sum(q.qv * c2.qv)) AS maxsim
+       FROM m1 JOIN q USING (vec_id) JOIN c2 USING (dim)
+       WHERE m1.vec_id <> (SELECT vec_id FROM s2)
+       GROUP BY m1.vec_id, m1.rel, m1.maxsim),
+s3 AS (SELECT vec_id, 7 * rel - 3 * maxsim AS score FROM m2
+       ORDER BY score DESC, vec_id LIMIT 1),
+c3 AS (SELECT dim, qv FROM q WHERE vec_id = (SELECT vec_id FROM s3)),
+m3 AS (SELECT m2.vec_id, m2.rel,
+              greatest(m2.maxsim, sum(q.qv * c3.qv)) AS maxsim
+       FROM m2 JOIN q USING (vec_id) JOIN c3 USING (dim)
+       WHERE m2.vec_id <> (SELECT vec_id FROM s3)
+       GROUP BY m2.vec_id, m2.rel, m2.maxsim),
+s4 AS (SELECT vec_id, 7 * rel - 3 * maxsim AS score FROM m3
+       ORDER BY score DESC, vec_id LIMIT 1)
+SELECT 0::BIGINT AS sel_round, vec_id::BIGINT AS vec_id,
+       score::BIGINT AS score FROM s1
+UNION ALL SELECT 1, vec_id, score::BIGINT FROM s2
+UNION ALL SELECT 2, vec_id, score::BIGINT FROM s3
+UNION ALL SELECT 3, vec_id, score::BIGINT FROM s4
 """,
         "terms_components": """
 WITH toks AS (

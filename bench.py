@@ -218,6 +218,7 @@ def run_bench() -> dict:
         "events_auc",
         "events_changepoint",
         "emb_mmd",
+        "emb_mmr",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

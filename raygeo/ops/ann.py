@@ -1213,3 +1213,104 @@ def mmd_poly(ds, vec_col: str = "embedding", label_col: str = "label",
         "n_b": pa.array(nb_o, pa.int64()),
         "mmd2_q4": pa.array(mmd_o, pa.int64()),
     })
+
+
+def mmr_select(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+               k: int = 4, lam_num: int = 7, lam_den: int = 10):
+    """Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein
+    '98): pick ``k`` rows maximizing ``λ·rel(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s)`` — the diversity-aware retrieval/curation pass that k-center
+    (pure diversity) and top-k (pure relevance) are the two extremes of.
+
+    Engine-exact integers end to end: vectors quantize to int64 micro-units
+    (the shared ``_quantized_matrix`` contract), similarities are integer
+    dot products, and λ is the rational ``lam_num/lam_den`` so the score is
+    the exact integer ``lam_num·rel − (lam_den−lam_num)·maxsim`` (a
+    lam_den-scaled MMR). The probe is the vector of the smallest ``id_col``
+    row (deterministic, no external query needed).
+
+    Same distribution shape as :func:`kcenter_greedy` (the reference's
+    procedural loop style, ``core/accessor.py:386-418``, recast as
+    broadcast-state streaming rounds): per round the ≤k selected vectors
+    broadcast via ``ray.put``, ONE streaming pass scores every candidate,
+    each batch emits its single best (max score, tie → min id) row, and the
+    driver reduces O(#blocks) candidates. Data never collects; state is
+    k·dim ints. At 10¹²-row scale each round is a full scan — k stays
+    small by contract (it's a selection head, not a partitioner).
+    """
+    import ray
+
+    mu = lam_den - lam_num
+    qds = ds.select_columns([id_col, vec_col]).materialize()
+
+    def seed_of_batch(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.list_(pa.int64()))})
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        b = int(np.argmin(ids))
+        return pa.table({"vec_id": pa.array([int(ids[b])], pa.int64()),
+                         "qv": pa.array([qm[b].tolist()],
+                                        pa.list_(pa.int64()))})
+
+    cand0 = qds.map_batches(seed_of_batch, batch_format="pyarrow").take_all()
+    empty = pa.table({"sel_round": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    if not cand0:
+        return empty
+    cand0.sort(key=lambda row: row["vec_id"])
+    probe_id = int(cand0[0]["vec_id"])
+    probe = np.asarray(cand0[0]["qv"], dtype=np.int64)
+
+    selected: list[np.ndarray] = []   # quantized vectors of S
+    sel_ids: list[int] = [probe_id]   # probe row itself is never a candidate
+    out_rounds: list[int] = []
+    out_ids: list[int] = []
+    out_scores: list[int] = []
+
+    for r in range(k):
+        state = ray.put((probe, np.stack(selected) if selected else None,
+                         np.asarray(sel_ids, np.int64)))
+
+        def best_of_batch(t: pa.Table) -> pa.Table:
+            pv, sm, sids = ray.get(state)
+            ids = t.column(id_col).to_numpy().astype(np.int64)
+            keep = ~np.isin(ids, sids)
+            if not keep.any():
+                return pa.table({"score": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64())})
+            qm = _quantized_matrix(t.column(vec_col), 1e6)[keep]
+            ids = ids[keep]
+            rel = qm @ pv
+            if sm is None:
+                maxsim = np.zeros(len(ids), np.int64)
+            else:
+                maxsim = (qm @ sm.T).max(axis=1)
+            score = lam_num * rel - mu * maxsim
+            order = np.lexsort((ids, -score))
+            b = order[0]
+            return pa.table({
+                "score": pa.array([int(score[b])], pa.int64()),
+                "vec_id": pa.array([int(ids[b])], pa.int64()),
+                "qv": pa.array([qm[b].tolist()], pa.list_(pa.int64())),
+            })
+
+        cand = qds.map_batches(best_of_batch, batch_format="pyarrow"
+                               ).take_all()
+        if not cand:  # fewer rows than k: stop at the table's size
+            break
+        cand.sort(key=lambda row: (-row["score"], row["vec_id"]))
+        win = cand[0]
+        selected.append(np.asarray(win["qv"], dtype=np.int64))
+        sel_ids.append(int(win["vec_id"]))
+        out_rounds.append(r)
+        out_ids.append(int(win["vec_id"]))
+        out_scores.append(int(win["score"]))
+
+    return pa.table({
+        "sel_round": pa.array(out_rounds, pa.int64()),
+        "vec_id": pa.array(out_ids, pa.int64()),
+        "score": pa.array(out_scores, pa.int64()),
+    })

@@ -1965,3 +1965,42 @@ def test_mmd_poly_matches_bruteforce_pairs(ray_session):
     # but monotonicity holds: farther label pairs have larger MMD
     g = got.set_index(["label_a", "label_b"]).mmd2_q4
     assert g[(0, 2)] > g[(0, 1)] and g[(0, 2)] > g[(1, 2)]
+
+
+def test_mmr_matches_serial_greedy(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import mmr_select
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n, d, k = 150, 8, 5
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(300, 300 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [v for v in vecs]})
+    got = mmr_select(rd.from_pandas(df).repartition(6),
+                     k=k).to_pandas()
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    probe = q[0]  # min id row
+    rel = q @ probe
+    sel_idx: list[int] = []
+    exp_ids, exp_scores = [], []
+    excluded = {0}
+    maxsim = np.zeros(n, dtype=np.int64)
+    for r in range(k):
+        if sel_idx:
+            maxsim = np.maximum(maxsim, q @ q[sel_idx[-1]])
+        score = 7 * rel - 3 * maxsim
+        mask = np.array([i in excluded for i in range(n)])
+        # sentinel must survive negation inside lexsort (int64.min wraps)
+        s = np.where(mask, np.iinfo(np.int64).min // 4, score)
+        order = np.lexsort((ids, -s))
+        b = int(order[0])
+        sel_idx.append(b)
+        excluded.add(b)
+        exp_ids.append(int(ids[b]))
+        exp_scores.append(int(score[b]))
+    assert got["vec_id"].tolist() == exp_ids
+    assert got["score"].tolist() == exp_scores
+    assert got["sel_round"].tolist() == list(range(k))
