@@ -2783,6 +2783,20 @@ def _q_parts_triangles(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_parts_kcore(sf_dir: str):
+    """k-core membership (k=2) of the >=2-order co-purchase graph:
+    Dataset-resident peel rounds, one coarse-bucket degree fold per round,
+    frontier broadcast under cap (else partitioned semi-joins)."""
+    from raygeo.ops.graph import kcore
+    from raygeo.ops.relational import copurchase_pairs
+
+    edges = copurchase_pairs(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/lineitem.parquet", k=None,
+                             min_count=2)
+    return (kcore(edges, "part_a", "part_b", k=2)
+            .rename_columns({"node": "part"}).sort("part"))
+
+
 def _q_customers_rfm(sf_dir: str):
     """RFM segmentation input: per customer recency/frequency/monetary —
     map-side partials, one keyed groupby, all-integer."""
@@ -3621,6 +3635,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_export_hive": _q_events_export_hive,  # native hive sink
         "events_value_trend": _q_events_value_trend,  # integer OLS moments
         "parts_skyline": _q_parts_skyline,  # Pareto-front operator
+        "parts_kcore": _q_parts_kcore,  # iterative k-core peel
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -3772,6 +3787,34 @@ reach(id, r) AS (
   SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
 )
 """
+
+
+def _kcore_sql(k: int = 2, rounds: int = 8, min_count: int = 2) -> str:
+    """Unrolled k-core peel oracle: ``rounds`` must be >= the engine's
+    peel depth at the checked scale (extra rounds are fixpoint no-ops;
+    sf0.01 converges in 4, sf0.1 in 6 — 8 is the safety margin)."""
+    # AS MATERIALIZED: each round references the previous one 3x — default
+    # CTE inlining would re-expand the base scan 3^rounds times
+    parts = [f"""
+WITH dp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS n
+  FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+e0 AS MATERIALIZED (
+  SELECT pa AS s, pb AS t FROM cnt WHERE n >= {min_count}
+  UNION ALL SELECT pb, pa FROM cnt WHERE n >= {min_count})"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+g{r} AS MATERIALIZED (
+  SELECT s FROM e{r - 1} GROUP BY s HAVING count(*) >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.s, e.t FROM e{r - 1} e
+  JOIN g{r} a ON e.s = a.s JOIN g{r} b ON e.t = b.s)""")
+    parts.append(f"""
+SELECT s::BIGINT AS part, count(*)::BIGINT AS core_deg
+FROM e{rounds} GROUP BY s ORDER BY part""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5973,6 +6016,7 @@ GROUP BY 1, 2
 SELECT event_type, count(*)::BIGINT AS n_rows
 FROM events GROUP BY 1
 """,
+        "parts_kcore": _kcore_sql(),
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

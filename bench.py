@@ -219,6 +219,7 @@ def run_bench() -> dict:
         "events_changepoint",
         "emb_mmd",
         "emb_mmr",
+        "parts_kcore",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -739,3 +739,122 @@ def triangle_counts(edges_ds, a_col: str = "part_a", b_col: str = "part_b",
                                            batch_format="pyarrow"))
     return tri_nodes.groupby("pk").map_groups(count_fold,
                                               batch_format="pyarrow")
+
+
+def kcore(edges_ds, a_col: str = "part_a", b_col: str = "part_b",
+          k: int = 2, max_rounds: int = 64,
+          broadcast_cap: int = 2_000_000,
+          num_partitions: int | None = None):
+    """EXACT k-core decomposition membership: iteratively peel nodes of
+    degree < ``k`` until fixpoint (Matula & Beck peeling) — the community
+    "dense backbone" filter over an undirected int64 edge Dataset.
+    Returns a Dataset (node:int64, core_deg:int64) of the k-core members
+    with their within-core degree (the unique maximal subgraph where
+    every node has ≥ k neighbors; peel order never affects the result,
+    so any round schedule converges to the same set).
+
+    Dataset-resident rounds (the ``connected_components_pairs``
+    discipline): the symmetric edge set stays distributed; per round ONE
+    coarse-bucket degree fold (``util.bucketed_fold`` — never a
+    per-node sort-groupby) finds the sub-degree frontier, and edges
+    touching it are dropped by a broadcast ``ray.put`` id filter when
+    the frontier fits under ``broadcast_cap``, else by two partitioned
+    semi-joins against the surviving nodes. Only the frontier COUNT
+    reaches the driver each round. Rounds needed = peel depth of the
+    graph (small for co-purchase-shaped graphs; the SQL oracle unrolls a
+    fixed superset of rounds — extra rounds are no-ops at fixpoint).
+    """
+    import ray
+
+    from ..util import (auto_join_partitions, bucketed_fold,
+                        drop_empty_blocks)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column(a_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(t.column(b_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({
+            "s": pa.array(np.concatenate([a, b]), pa.int64()),
+            "t": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = (edges_ds.select_columns([a_col, b_col])
+             .map_batches(sym, batch_format="pyarrow", batch_size=65536)
+             .materialize())
+    nparts = (num_partitions if num_partitions is not None
+              else auto_join_partitions(edges, pools=2))
+
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "core_deg": pa.array([], pa.int64())})
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy()
+        nodes, cnt = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(nodes.astype(np.int64)),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("node", sort=False)["deg"].sum().reset_index()
+                .astype(np.int64))
+
+    for _ in range(max_rounds):
+        deg = drop_empty_blocks(
+            bucketed_fold(
+                edges.map_batches(deg_partial, batch_format="pyarrow",
+                                  batch_size=65536),
+                "node", deg_fold).materialize(), deg_schema)
+        bad = deg.filter(expr=f"deg < {k}").materialize()
+        n_bad = bad.count()
+        if n_bad == 0:
+            if deg.count() == 0:
+                import ray.data as rd
+                return rd.from_arrow(empty)
+            return deg.rename_columns({"deg": "core_deg"})
+        if n_bad <= broadcast_cap:
+            # frontier fits: ship the id array once, filter is a pure map
+            ids = np.sort(np.concatenate(
+                [np.asarray(t.column("node").to_numpy(), np.int64)
+                 for t in bad.iter_batches(batch_format="pyarrow",
+                                           batch_size=1 << 20)]
+                or [np.array([], np.int64)]))
+            ref = ray.put(ids)
+
+            def drop_frontier(t: pa.Table, _ref=ref) -> pa.Table:
+                bb = ray.get(_ref)
+                s = t.column("s").to_numpy()
+                d = t.column("t").to_numpy()
+                keep = ~np.isin(s, bb) & ~np.isin(d, bb)
+                return t.filter(pa.array(keep))
+
+            edges = edges.map_batches(drop_frontier,
+                                      batch_format="pyarrow",
+                                      batch_size=65536).materialize()
+        else:
+            # frontier too large to ship: two partitioned semi-joins
+            # against the surviving nodes (node-unique right sides)
+            good = drop_empty_blocks(
+                deg.filter(expr=f"deg >= {k}")
+                .select_columns(["node"]).materialize(), 
+                pa.schema([("node", pa.int64())]))
+            edges = drop_empty_blocks(edges.materialize(),
+                                      pa.schema([("s", pa.int64()),
+                                                 ("t", pa.int64())]))
+            edges = (edges.join(good, join_type="inner",
+                                num_partitions=nparts,
+                                on=("s",), right_on=("node",))
+                     .select_columns(["s", "t"]))
+            edges = drop_empty_blocks(edges.materialize(),
+                                      pa.schema([("s", pa.int64()),
+                                                 ("t", pa.int64())]))
+            g2 = good.map_batches(
+                lambda t: pa.table({"node2": t.column("node")}),
+                batch_format="pyarrow")
+            edges = (edges.join(g2, join_type="inner",
+                                num_partitions=nparts,
+                                on=("t",), right_on=("node2",))
+                     .select_columns(["s", "t"]).materialize())
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_rounds} rounds; raise "
+        "max_rounds (oracle unroll depth must grow with it)")

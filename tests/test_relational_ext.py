@@ -2004,3 +2004,52 @@ def test_mmr_matches_serial_greedy(ray_session):
     assert got["vec_id"].tolist() == exp_ids
     assert got["score"].tolist() == exp_scores
     assert got["sel_round"].tolist() == list(range(k))
+
+
+def _serial_kcore(edges, k):
+    """Brute-force peel over a list of (a, b) undirected edges."""
+    import collections
+    alive = set()
+    es = set()
+    for a, b in edges:
+        es.add((a, b)); es.add((b, a))
+        alive.add(a); alive.add(b)
+    while True:
+        deg = collections.Counter(s for s, t in es)
+        bad = {n for n in alive if deg.get(n, 0) < k}
+        if not bad:
+            return {n: deg[n] for n in alive}
+        alive -= bad
+        es = {(s, t) for s, t in es if s not in bad and t not in bad}
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_kcore_matches_serial_peel(ray_session, cap):
+    import ray.data as rd
+
+    from raygeo.ops.graph import kcore
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    n_nodes, n_edges = 80, 160
+    raw = {tuple(sorted(p)) for p in
+           rng.integers(0, n_nodes, size=(n_edges, 2)) if p[0] != p[1]}
+    edges = sorted(raw)
+    df = pd.DataFrame({"part_a": [a for a, _ in edges],
+                       "part_b": [b for _, b in edges]})
+    got = (kcore(rd.from_pandas(df).repartition(5), k=3,
+                 broadcast_cap=cap)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    exp = _serial_kcore(edges, 3)
+    assert got["node"].tolist() == sorted(exp)
+    assert got["core_deg"].tolist() == [exp[n] for n in sorted(exp)]
+
+
+def test_kcore_empty_core(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.graph import kcore
+
+    # a path graph has no 2-core
+    df = pd.DataFrame({"part_a": [0, 1, 2, 3], "part_b": [1, 2, 3, 4]})
+    got = kcore(rd.from_pandas(df).repartition(2), k=2).to_pandas()
+    assert len(got) == 0
