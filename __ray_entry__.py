@@ -2285,6 +2285,17 @@ def _q_mosaic_variogram(sf_dir: str):
                            FIXTURE_GRID).sort(["axis", "lag"])
 
 
+def _q_mosaic_glcm(sf_dir: str):
+    """Haralick GLCM texture moments at offset (+1,0): bounded-domain
+    pair-histogram fold (energy is quadratic in GLOBAL cell counts, so
+    the histogram folds before squaring); 1-px strip exchange for
+    straddle pairs. Oracle: plane-dump shift-then-equi-join histogram."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import glcm_stats
+
+    return glcm_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
+
+
 def _q_mosaic_box_sums(sf_dir: str):
     """Box sums over the mosaic via a DISTRIBUTED summed-area table —
     the 2D prefix SCAN: per-tile col/row strip vectors scan along tile
@@ -3553,6 +3564,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
         "mosaic_variogram": _q_mosaic_variogram,  # semivariance lags
+        "mosaic_glcm": _q_mosaic_glcm,  # Haralick texture moments
         "events_running_total": _q_events_running_total,  # 1D prefix scan
         "customers_percent_rank": _q_customers_percent_rank,  # exact rational
         "docs_cdc_chunks": _q_docs_cdc_chunks,  # content-defined chunking
@@ -5162,6 +5174,18 @@ SELECT concat(CAST(w.x // 128 AS VARCHAR), '-',
   sum(CASE WHEN w.ws * g.N > w.wc * g.V
       THEN w.ws * g.N - w.wc * g.V ELSE 0 END)::BIGINT AS hot_excess_sum
 FROM win w, g GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_glcm": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+sh AS (SELECT y AS cy, x - 1 AS cx, v FROM px),
+pairs AS (SELECT a.v AS va, b.v AS vb
+          FROM px a JOIN sh b ON b.cy = a.y AND b.cx = a.x),
+hist AS (SELECT va, vb, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1, 2)
+SELECT sum(cnt)::BIGINT AS n_pairs,
+  sum((va - vb) * (va - vb) * cnt)::BIGINT AS contrast,
+  sum(cnt * cnt)::BIGINT AS energy,
+  sum(cnt * 1000000 // (1 + (va - vb) * (va - vb)))::BIGINT AS homog_q6
+FROM hist
 """,
         "mosaic_variogram": f"""
 WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),

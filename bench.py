@@ -220,6 +220,7 @@ def run_bench() -> dict:
         "emb_mmd",
         "emb_mmr",
         "parts_kcore",
+        "mosaic_glcm",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

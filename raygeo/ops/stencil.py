@@ -2089,3 +2089,155 @@ def reproject_nn(tiles_ds, src_grid: GridSpec, dst_grid: GridSpec):
              .map_groups(serve, batch_format="pyarrow"))
     return frags.groupby("key").map_groups(assemble,
                                            batch_format="pyarrow")
+
+
+# ---- GLCM texture moments (horizontal co-occurrence histogram) --------------
+
+GLCM_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("kind", pa.string()),   # 'hist' | 'edge_e' | 'halo_e'
+    ("key", pa.int64()),     # hist: (va << 16) | vb packed pair value
+    ("cnt", pa.int64()),
+    ("v", pa.binary()),      # strips: int64 column values
+    ("m", pa.binary()),      # strips: uint8 column validity
+])
+
+
+def glcm_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+               num_buckets: int | None = None):
+    """Gray-level co-occurrence matrix moments at offset (+1, 0) — the
+    Haralick texture summary (contrast / energy / homogeneity) over the
+    mosaic: each ORDERED horizontal pair of valid pixels (left v_a, right
+    v_b) is one co-occurrence; the GLCM is the global (v_a, v_b) count
+    histogram and the output is its scalar moments. Unlike the
+    semivariogram (which folds (v_a − v_b)² map-side), ENERGY = Σ cnt² is
+    quadratic in the GLOBAL cell counts, so the histogram itself must
+    fold before any squaring — the distributed shape is a bounded-domain
+    pair-histogram fold (the ``mosaic_histogram`` discipline squared):
+    per-tile packed-key partials, one coarse-bucket fold bounded by the
+    value domain (≤ 766² cells for RGB sums), then a pure map computes
+    per-cell contributions and ONE Sum aggregate finishes. Homogeneity is
+    the exact integer Σ floor(cnt·10⁶ / (1 + (v_a − v_b)²)).
+
+    Cross-tile pairs ride the variogram's 1-px strip exchange: each tile
+    keys its LAST column to itself and ships its FIRST column west;
+    straddle pairs fold into the same histogram. Output: ONE row
+    ``(n_pairs, contrast, energy, homog_q6)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_fold
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in GLCM_PARTIAL_SCHEMA.names}
+
+        def row(tile_id, kind, key=0, cnt=0, v=b"", m=b""):
+            out["tile_id"].append(tile_id)
+            out["kind"].append(kind)
+            out["key"].append(key)
+            out["cnt"].append(cnt)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        c = chunk
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), c, c)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(c, c).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            me = f"{tx}-{ty}"
+            both = mask[:, :-1] & mask[:, 1:]
+            va = v[:, :-1][both].astype(np.int64)
+            vb = v[:, 1:][both].astype(np.int64)
+            keys, cnts = np.unique((va << 16) | vb, return_counts=True)
+            for kk, cc in zip(keys, cnts):
+                row(me, "hist", int(kk), int(cc))
+            row(me, "edge_e",
+                v=np.ascontiguousarray(v[:, -1]).astype(np.int64).tobytes(),
+                m=np.ascontiguousarray(mask[:, -1]).astype(np.uint8)
+                .tobytes())
+            if tx > 0:
+                row(f"{tx - 1}-{ty}", "halo_e",
+                    v=np.ascontiguousarray(v[:, 0]).astype(np.int64)
+                    .tobytes(),
+                    m=np.ascontiguousarray(mask[:, 0]).astype(np.uint8)
+                    .tobytes())
+        return pa.table(out, schema=GLCM_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        hist: dict[int, int] = {}
+        strips: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for j, kind in enumerate(kinds):
+            if kind == "hist":
+                k = int(g.column("key")[j].as_py())
+                hist[k] = hist.get(k, 0) + int(g.column("cnt")[j].as_py())
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                strips[kind] = (vs, ms)
+        if "edge_e" in strips and "halo_e" in strips:
+            ev, em = strips["edge_e"]
+            hv, hm = strips["halo_e"]
+            both = em & hm
+            va = ev[both]
+            vb = hv[both]
+            keys, cnts = np.unique((va << 16) | vb, return_counts=True)
+            for kk, cc in zip(keys, cnts):
+                k = int(kk)
+                hist[k] = hist.get(k, 0) + int(cc)
+        if not hist:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        ks = sorted(hist)
+        return pa.table({"key": pa.array(ks, pa.int64()),
+                         "cnt": pa.array([hist[k] for k in ks], pa.int64())})
+
+    per_tile = partials.groupby("tile_id").map_groups(
+        merge, batch_format="pyarrow")
+
+    # global (va, vb) cell counts: coarse-bucket fold bounded by the
+    # value domain, never a per-key sort-groupby
+    def cell_fold(g):
+        import pandas as pd
+        return (g.groupby("key", sort=False)["cnt"].sum().reset_index()
+                .astype(np.int64))
+
+    cells = bucketed_fold(per_tile, "key", cell_fold,
+                          num_buckets=num_buckets)
+
+    def moments(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy().astype(np.int64)
+        cnt = t.column("cnt").to_numpy().astype(np.int64)
+        va = key >> 16
+        vb = key & 0xFFFF
+        d2 = (va - vb) ** 2
+        return pa.table({
+            "n_pairs": pa.array([int(cnt.sum())], pa.int64()),
+            "contrast": pa.array([int((d2 * cnt).sum())], pa.int64()),
+            "energy": pa.array([int((cnt * cnt).sum())], pa.int64()),
+            "homog_q6": pa.array([int((cnt * 1_000_000 // (1 + d2)).sum())],
+                                 pa.int64()),
+        })
+
+    agg = (cells.map_batches(moments, batch_format="pyarrow")
+           .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                      Sum("contrast", alias_name="contrast"),
+                      Sum("energy", alias_name="energy"),
+                      Sum("homog_q6", alias_name="homog_q6")))
+    # Dataset.aggregate returns a DICT — single-row results re-wrap
+    return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
+                     for k in ("n_pairs", "contrast", "energy",
+                               "homog_q6")})

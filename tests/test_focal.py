@@ -628,3 +628,36 @@ def test_basin_fill_tiny_blocks_regression(ray_session, monkeypatch):
     got_big = (ss.basin_fill(rd.from_items(rows).repartition(5), SRC)
                .to_pandas().sort_values("pit").reset_index(drop=True))
     pd.testing.assert_frame_equal(got_small, got_big)
+
+
+@pytest.mark.parametrize("seed,p_absent", [(31, 0.3), (32, 0.0)])
+def test_glcm_matches_full_plane(ray_session, seed, p_absent):
+    import ray.data as rd
+
+    from raygeo.ops.stencil import glcm_stats
+
+    rows, plane, valid = _random_mosaic(seed, p_absent)
+    got = glcm_stats(rd.from_items(rows).repartition(5), SRC).to_pandas()
+
+    v = plane.astype(np.int64).sum(axis=2)
+    both = valid[:, :-1] & valid[:, 1:]
+    va = v[:, :-1][both]
+    vb = v[:, 1:][both]
+    keys, cnt = np.unique((va << 16) | vb, return_counts=True)
+    d2 = ((keys >> 16) - (keys & 0xFFFF)) ** 2
+    assert got["n_pairs"].tolist() == [int(cnt.sum())]
+    assert got["contrast"].tolist() == [int((d2 * cnt).sum())]
+    assert got["energy"].tolist() == [int((cnt * cnt).sum())]
+    assert got["homog_q6"].tolist() == [int((cnt * 1_000_000
+                                             // (1 + d2)).sum())]
+
+
+def test_glcm_partitioning_invariance(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.stencil import glcm_stats
+
+    rows, _p, _v = _random_mosaic(seed=33, p_absent=0.35)
+    a = glcm_stats(rd.from_items(rows).repartition(2), SRC).to_pandas()
+    b = glcm_stats(rd.from_items(rows).repartition(11), SRC).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
