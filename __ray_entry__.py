@@ -2971,6 +2971,18 @@ def _q_temporal_coverage(sf_dir: str):
     return temporal_coverage(_tiles_temporal(sf_dir), TEMPORAL_GRID)
 
 
+def _q_mosaic_timefill(sf_dir: str):
+    """Per-pixel temporal gap interpolation (exact integer linear fill
+    between nearest valid steps; no extrapolation): one keyed re-key to
+    spatial tiles, vectorized per-group stack scan. Oracle = serial
+    full-stack golden."""
+    from raygeo.fixtures import TEMPORAL_GRID
+    from raygeo.ops.overview import timefill_stats
+
+    return timefill_stats(_tiles_temporal(sf_dir),
+                          TEMPORAL_GRID).sort(["t_idx", "tile_id"])
+
+
 def _q_mosaic_timeseries(sf_dir: str):
     """Per-time-step totals of the temporal cube (the cube 'calendar'
     report): tiles, valid pixels and value mass per t — a tiny keyed fold
@@ -3634,6 +3646,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,  # JSON payload parse
         "docs_source_stats": _q_docs_source_stats,  # per-source accounting
         "mosaic_timeseries": _q_mosaic_timeseries,  # per-t cube totals
+        "mosaic_timefill": _q_mosaic_timefill,  # temporal gap interpolation
         "temporal_coverage": _q_temporal_coverage,  # per-pixel looks histogram
         "events_late_data": _q_events_late_data,  # watermark/lateness drop
         "events_ohlc": _q_events_ohlc,  # OHLC downsample bars
@@ -3870,6 +3883,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_fill_golden
 
     ensure_fill_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_timefill_golden
+
+    ensure_timefill_golden(FIX_SF001)
     knn_values = ", ".join(f"('{q}', {lon}, {lat})" for q, lon, lat in KNN_POINTS)
     return {
         "tile_assign": _TILE_WINDOW_CTE
@@ -6008,6 +6024,11 @@ FROM documents GROUP BY source
         "temporal_coverage": f"""
 SELECT tile_id, coverage, n_px
 FROM read_parquet('{FIX_SF001}/coverage_golden.parquet')
+""",
+        "mosaic_timefill": f"""
+SELECT t_idx, tile_id, n_filled, fill_sum
+FROM read_parquet('{FIX_SF001}/timefill_golden.parquet')
+ORDER BY t_idx, tile_id
 """,
         "mosaic_timeseries": f"""
 SELECT CAST(split_part(tile_id, '-', 1) AS BIGINT) AS t,

@@ -221,6 +221,7 @@ def run_bench() -> dict:
         "emb_mmr",
         "parts_kcore",
         "mosaic_glcm",
+        "mosaic_timefill",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -2522,3 +2522,84 @@ def ensure_fill_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_timefill_golden(fix_dir: str) -> str:
+    """Idempotently derive timefill_golden.parquet: per (t, spatial tile)
+    count and value-sum of temporal-gap linear interpolation — a pixel
+    invalid at step t, valid at nearest earlier t0 and later t1, fills
+    with ``floor((v0·(t1−t) + v1·(t−t0)) / (t1−t0))``; leading/trailing
+    gaps never extrapolate. Serial full-stack replay from the slab paint,
+    independent of the engine's re-key + grouped vectorized scan
+    (`ops.overview.timefill_stats`). Separate marker; no layout regen."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    out = os.path.join(fix_dir, "timefill_golden.parquet")
+    if os.path.exists(out):
+        return out
+    n = images_count_for_sf(sf_of_dir(fix_dir))
+    slab = max(500, n // 16)
+    slabs = [(lo, min(lo + slab, n), False, True)
+             for lo in range(0, n, slab)]
+    tmp: dict = {}
+    if len(slabs) <= 1:
+        for res in map(_golden_slab, slabs):
+            _merge_slab_into(tmp, res["t"], False)
+    else:
+        workers = min(16, os.cpu_count() or 4, len(slabs))
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for res in ex.map(_golden_slab, slabs):
+                _merge_slab_into(tmp, res["t"], False)
+    spatial: dict[tuple, list] = {}
+    for (ti, tx, ty), (canvas, mask, _n) in tmp.items():
+        spatial.setdefault((tx, ty), []).append((int(ti), canvas, mask))
+    rows = {"t_idx": [], "tile_id": [], "n_filled": [], "fill_sum": []}
+    for (tx, ty) in sorted(spatial):
+        steps = spatial[(tx, ty)]
+        T = max(ti for ti, _c, _m in steps) + 1
+        k = FIXTURE_GRID.chunk
+        V = np.zeros((T, k, k), np.int64)
+        M = np.zeros((T, k, k), bool)
+        for ti, canvas, mask in steps:
+            V[ti] = np.where(mask, canvas.astype(np.int64).sum(axis=2),
+                             V[ti])
+            M[ti] |= mask
+        # strictly-earlier / strictly-later valid step per pixel via two
+        # explicit carry scans (not the engine's incl-self accumulate)
+        pidx = np.full((T, k, k), -1, np.int64)
+        pval = np.zeros((T, k, k), np.int64)
+        nidx = np.full((T, k, k), -1, np.int64)
+        nval = np.zeros((T, k, k), np.int64)
+        li = np.full((k, k), -1, np.int64)
+        lv = np.zeros((k, k), np.int64)
+        for t in range(T):
+            pidx[t], pval[t] = li, lv
+            li = np.where(M[t], t, li)
+            lv = np.where(M[t], V[t], lv)
+        li = np.full((k, k), -1, np.int64)
+        lv = np.zeros((k, k), np.int64)
+        for t in range(T - 1, -1, -1):
+            nidx[t], nval[t] = li, lv
+            li = np.where(M[t], t, li)
+            lv = np.where(M[t], V[t], lv)
+        for t in range(T):
+            f = (~M[t]) & (pidx[t] >= 0) & (nidx[t] >= 0)
+            nf = int(f.sum())
+            if not nf:
+                continue
+            t0, t1 = pidx[t][f], nidx[t][f]
+            val = (pval[t][f] * (t1 - t) + nval[t][f] * (t - t0)) \
+                // (t1 - t0)
+            rows["t_idx"].append(t)
+            rows["tile_id"].append(f"{tx}-{ty}")
+            rows["n_filled"].append(nf)
+            rows["fill_sum"].append(int(val.sum()))
+    t = pa.table({
+        "t_idx": pa.array(rows["t_idx"], pa.int64()),
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "n_filled": pa.array(rows["n_filled"], pa.int64()),
+        "fill_sum": pa.array(rows["fill_sum"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

@@ -352,3 +352,95 @@ def seasonal_composite(tiles_ds, grid, season_len: int = 2,
             .groupby("skey").map_groups(merge, batch_format="pyarrow")
             .select_columns(["season", "tile_id", "tx", "ty",
                              "n_valid_px", "vmax_sum"]))
+
+
+def timefill_stats(tiles_ds, grid, pack: ChannelPack | None = None):
+    """Per-pixel temporal gap interpolation over the temporal cube — the
+    time-series cloud-gap filler: a pixel invalid at step t but valid at
+    some earlier step t0 and later step t1 (its nearest valid neighbors in
+    time) fills with the exact linear interpolation
+    ``floor((v0·(t1−t) + v1·(t−t0)) / (t1−t0))`` of the channel-sum v.
+    Leading/trailing gaps never extrapolate. Output: one row per
+    (t, spatial tile) with ``n_filled`` and ``fill_sum`` (only steps that
+    filled ≥1 pixel), checked against an independent serial full-stack
+    golden.
+
+    ONE keyed exchange (the ``seasonal_composite`` discipline): per-(t,
+    tile) canvas rows re-key to their SPATIAL tile — compressed bytes
+    pass through untouched — and the per-group merge assembles the ≤T
+    step stack and interpolates fully vectorized (prefix/suffix
+    valid-index scans via ``np.maximum/minimum.accumulate``, one
+    take_along_axis gather per side). Per-group memory is T·chunk²·8 B
+    (the multichannel envelope's T-fold — 3600²·8 steps ≈ 830 MB int64,
+    inside the per-task cap with 64-px or 1800-px chunks at scale; the
+    fill range needs no global T, a group's own max step bounds it)."""
+    from ..ops.stencil import _vsum
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    def rekey(t: pa.Table) -> pa.Table:
+        tids = t.column("tile_id").to_pylist()
+        parts = [s.split("-") for s in tids]
+        return pa.table({
+            "skey": pa.array([f"{p[1]}-{p[2]}" for p in parts],
+                             pa.string()),
+            "t_idx": pa.array([int(p[0]) for p in parts], pa.int64()),
+            "tx": pa.array([int(p[1]) for p in parts], pa.int64()),
+            "ty": pa.array([int(p[2]) for p in parts], pa.int64()),
+            "px_z": t.column("px_z"),
+            "mask_z": t.column("mask_z"),
+        })
+
+    OUT = pa.schema([
+        ("t_idx", pa.int64()), ("tile_id", pa.string()),
+        ("n_filled", pa.int64()), ("fill_sum", pa.int64()),
+    ])
+
+    def merge(g: pa.Table) -> pa.Table:
+        steps = g.column("t_idx").to_numpy().astype(np.int64)
+        T = int(steps.max()) + 1
+        c = chunk
+        V = np.zeros((T, c, c), np.int64)
+        M = np.zeros((T, c, c), bool)
+        for j in range(len(g)):
+            ti = int(steps[j])
+            canvas = pack.from_bytes(
+                zlib.decompress(g.column("px_z")[j].as_py()), c, c)
+            mask = np.frombuffer(
+                zlib.decompress(g.column("mask_z")[j].as_py()),
+                np.uint8).reshape(c, c).astype(bool)
+            V[ti] = np.where(mask, _vsum(canvas, pack), V[ti])
+            M[ti] |= mask
+        tt = np.arange(T, dtype=np.int64)[:, None, None]
+        fwd = np.maximum.accumulate(np.where(M, tt, -1), axis=0)
+        bwd = np.minimum.accumulate(np.where(M, tt, T)[::-1], axis=0)[::-1]
+        fill = (~M) & (fwd >= 0) & (bwd <= T - 1)
+        if not fill.any():
+            return pa.table({f.name: pa.array([], f.type) for f in OUT})
+        v0 = np.take_along_axis(V, np.clip(fwd, 0, None), axis=0)
+        v1 = np.take_along_axis(V, np.clip(bwd, None, T - 1), axis=0)
+        num = v0 * (bwd - tt) + v1 * (tt - fwd)
+        den = np.where(fill, bwd - fwd, 1)
+        vals = num // den
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        ts, ns, ss = [], [], []
+        for ti in range(T):
+            n = int(fill[ti].sum())
+            if n == 0:
+                continue
+            ts.append(ti)
+            ns.append(n)
+            ss.append(int(vals[ti][fill[ti]].sum()))
+        return pa.table({
+            "t_idx": pa.array(ts, pa.int64()),
+            "tile_id": pa.array([f"{tx}-{ty}"] * len(ts), pa.string()),
+            "n_filled": pa.array(ns, pa.int64()),
+            "fill_sum": pa.array(ss, pa.int64()),
+        }, schema=OUT)
+
+    return (tiles_ds.select_columns(["tile_id", "px_z", "mask_z"])
+            .map_batches(rekey, batch_format="pyarrow", batch_size=64)
+            .groupby("skey").map_groups(merge, batch_format="pyarrow")
+            .select_columns(["t_idx", "tile_id", "n_filled", "fill_sum"]))

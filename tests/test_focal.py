@@ -661,3 +661,101 @@ def test_glcm_partitioning_invariance(ray_session):
     a = glcm_stats(rd.from_items(rows).repartition(2), SRC).to_pandas()
     b = glcm_stats(rd.from_items(rows).repartition(11), SRC).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_timefill_matches_serial(ray_session):
+    """Temporal gap interpolation vs a per-pixel brute-force serial
+    replay (absent steps, random validity, leading/trailing gaps)."""
+    import ray.data as rd
+
+    from raygeo.ops.overview import timefill_stats
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    pack = ChannelPack(RGB_CHANNELS)
+    rows = []
+    stacks: dict = {}
+    T = 6
+    for t in range(T):
+        for ty in range(2):
+            for tx in range(2):
+                if rng.random() < 0.35:
+                    continue
+                canvas = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                mask = rng.random((16, 16)) < 0.6
+                canvas[~mask] = 0
+                rows.append({
+                    "tile_id": f"{t}-{tx}-{ty}",
+                    "px_z": zlib.compress(pack.to_bytes([canvas]), 1),
+                    "mask_z": zlib.compress(
+                        mask.astype(np.uint8).tobytes(), 1),
+                })
+                st = stacks.setdefault(
+                    (tx, ty), [np.zeros((T, 16, 16), np.int64),
+                               np.zeros((T, 16, 16), bool)])
+                st[0][t] = canvas.astype(np.int64).sum(axis=2)
+                st[1][t] = mask
+    g = GridSpec(name="t", crs="EPSG:4326", x0=0.0, y1=1.0, res=2.0**-7,
+                 width=32, height=32, chunk=16)
+    got = (timefill_stats(rd.from_items(rows).repartition(4), g)
+           .to_pandas().sort_values(["t_idx", "tile_id"])
+           .reset_index(drop=True))
+    exp = []
+    for (tx, ty) in sorted(stacks):
+        V, M = stacks[(tx, ty)]
+        tmax = max(t for t in range(T) if M[t].any() or V[t].any()
+                   or any(r["tile_id"] == f"{t}-{tx}-{ty}" for r in rows))
+        for t in range(tmax + 1):
+            nf = fs = 0
+            for r in range(16):
+                for c in range(16):
+                    if M[t, r, c]:
+                        continue
+                    t0 = next((u for u in range(t - 1, -1, -1)
+                               if M[u, r, c]), -1)
+                    t1 = next((u for u in range(t + 1, T)
+                               if M[u, r, c]), -1)
+                    if t0 < 0 or t1 < 0:
+                        continue
+                    nf += 1
+                    fs += int((V[t0, r, c] * (t1 - t)
+                               + V[t1, r, c] * (t - t0)) // (t1 - t0))
+            if nf:
+                exp.append((t, f"{tx}-{ty}", nf, fs))
+    exp = pd.DataFrame(exp, columns=["t_idx", "tile_id", "n_filled",
+                                     "fill_sum"])
+    exp = exp.sort_values(["t_idx", "tile_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_timefill_partitioning_invariance(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.overview import timefill_stats
+
+    rng = np.random.Generator(np.random.PCG64(43))
+    pack = ChannelPack(RGB_CHANNELS)
+    rows = []
+    for t in range(5):
+        for ty in range(2):
+            for tx in range(2):
+                if rng.random() < 0.3:
+                    continue
+                canvas = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                mask = rng.random((16, 16)) < 0.5
+                canvas[~mask] = 0
+                rows.append({
+                    "tile_id": f"{t}-{tx}-{ty}",
+                    "px_z": zlib.compress(pack.to_bytes([canvas]), 1),
+                    "mask_z": zlib.compress(
+                        mask.astype(np.uint8).tobytes(), 1),
+                })
+    g = GridSpec(name="t", crs="EPSG:4326", x0=0.0, y1=1.0, res=2.0**-7,
+                 width=32, height=32, chunk=16)
+    a = (timefill_stats(rd.from_items(rows).repartition(2), g)
+         .to_pandas().sort_values(["t_idx", "tile_id"])
+         .reset_index(drop=True))
+    b = (timefill_stats(rd.from_items(rows).repartition(9), g)
+         .to_pandas().sort_values(["t_idx", "tile_id"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
