@@ -3154,6 +3154,15 @@ def _q_emb_kcenter(sf_dir: str):
                                columns=["vec_id", "embedding"]), k=4)
 
 
+def _q_emb_nn_all(sf_dir: str):
+    """Exact 1-NN self-join (every row's nearest other row, integer L2,
+    tie -> min id): object-store-staged slices, one streaming pass."""
+    from raygeo.ops.ann import nn_all
+
+    return nn_all(_rpq(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])).sort("vec_id")
+
+
 def _q_emb_mmr(sf_dir: str):
     """Greedy Maximal Marginal Relevance selection (λ=7/10): integer-exact
     relevance-vs-diversity head, selected set broadcast per round, data
@@ -3656,6 +3665,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "terms_components": _q_terms_components,  # min-label propagation
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "emb_mmr": _q_emb_mmr,  # maximal-marginal-relevance head
+        "emb_nn_all": _q_emb_nn_all,  # exact 1-NN self-join
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_export_hive": _q_events_export_hive,  # native hive sink
         "events_value_trend": _q_events_value_trend,  # integer OLS moments
@@ -6220,6 +6230,27 @@ FROM s0
 UNION ALL SELECT 1, vec_id, dist::BIGINT FROM s1
 UNION ALL SELECT 2, vec_id, dist::BIGINT FROM s2
 UNION ALL SELECT 3, vec_id, dist::BIGINT FROM s3
+""",
+        "emb_nn_all": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+pd AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         sum((a.qv - b.qv) * (a.qv - b.qv)) AS dist
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT ia, ib, dist,
+    row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+  FROM pd
+)
+SELECT ia::BIGINT AS vec_id, ib::BIGINT AS nn_id, dist::BIGINT AS dist
+FROM r WHERE rn = 1 ORDER BY vec_id
 """,
         "emb_mmr": """
 WITH q AS (

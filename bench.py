@@ -222,6 +222,7 @@ def run_bench() -> dict:
         "parts_kcore",
         "mosaic_glcm",
         "mosaic_timefill",
+        "emb_nn_all",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

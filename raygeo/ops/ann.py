@@ -1314,3 +1314,71 @@ def mmr_select(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         "vec_id": pa.array(out_ids, pa.int64()),
         "score": pa.array(out_scores, pa.int64()),
     })
+
+
+def nn_all(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+           chunk_rows: int = 8192):
+    """Exact 1-nearest-neighbor SELF-join: for EVERY row, its closest
+    other row by integer squared L2 distance (tie → smaller neighbor id)
+    — the per-row dual of top-k kNN (`knn`) and the exactness baseline
+    the SemDeDup/IVF scale paths are judged against.
+
+    Plan: the quantized matrix is staged into the OBJECT STORE in
+    ``chunk_rows`` slices (one ``ray.put`` per slice — the driver holds
+    one slice at a time, never the table), then ONE streaming pass over
+    the table computes each batch's running (dist, id) min against the
+    slices, fetched zero-copy one at a time inside the task — per-task
+    memory is one batch + one slice, cluster memory is the N·d int64
+    matrix spread across the store. Work is inherently N²·d: this is the
+    exact brute-force baseline by contract — past object-store scale,
+    `ivf_knn` / `semdedup_pairs` are the approximate/bounded paths.
+    Distances use the shared ``_quantized_matrix`` int64 contract, so
+    the SQL oracle replays them bit-for-bit.
+    """
+    import ray
+
+    qds = ds.select_columns([id_col, vec_col]).materialize()
+    refs = []
+    for b in qds.iter_batches(batch_format="pyarrow",
+                              batch_size=chunk_rows):
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        if not len(ids):
+            continue
+        qm = _quantized_matrix(b.column(vec_col), 1e6)
+        refs.append(ray.put((ids, qm, np.einsum("ij,ij->i", qm, qm))))
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "nn_id": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    if not refs:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if not len(ids):
+            return empty
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        a2 = np.einsum("ij,ij->i", qm, qm)
+        big = np.iinfo(np.int64).max
+        best_d = np.full(len(ids), big, np.int64)
+        best_i = np.full(len(ids), big, np.int64)
+        for r in refs:
+            cids, cqm, c2 = ray.get(r)
+            # d² = |a|² + |b|² − 2ab, all int64-exact
+            d = a2[:, None] + c2[None, :] - 2 * (qm @ cqm.T)
+            d[ids[:, None] == cids[None, :]] = big  # self-exclusion
+            cd = d.min(axis=1)
+            # tie -> smallest neighbor id, exact even with unsorted ids
+            cn = np.where(d == cd[:, None], cids[None, :], big).min(axis=1)
+            upd = (cd < best_d) | ((cd == best_d) & (cn < best_i))
+            best_d[upd] = cd[upd]
+            best_i[upd] = cn[upd]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "nn_id": pa.array(best_i, pa.int64()),
+            "dist": pa.array(best_d, pa.int64()),
+        })
+
+    return qds.map_batches(scan, batch_format="pyarrow",
+                           batch_size=2048)

@@ -2053,3 +2053,36 @@ def test_kcore_empty_core(ray_session):
     df = pd.DataFrame({"part_a": [0, 1, 2, 3], "part_b": [1, 2, 3, 4]})
     got = kcore(rd.from_pandas(df).repartition(2), k=2).to_pandas()
     assert len(got) == 0
+
+
+def test_nn_all_matches_serial(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import nn_all
+
+    rng = np.random.Generator(np.random.PCG64(29))
+    n, d = 120, 6
+    # coarse grid values force exact-distance ties to exercise the
+    # min-id tiebreak, including duplicate vectors (dist 0)
+    vecs = (rng.integers(0, 3, size=(n, d)) / 2.0).astype(np.float32)
+    ids = rng.permutation(np.arange(500, 500 + n)).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v for v in vecs]})
+    got = (nn_all(rd.from_pandas(df).repartition(7), chunk_rows=17)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    exp = []
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if ids[j] == ids[i]:
+                continue
+            dd = int(((q[i] - q[j]) ** 2).sum())
+            key = (dd, int(ids[j]))
+            if best is None or key < best:
+                best = key
+        exp.append((int(ids[i]), best[1], best[0]))
+    exp = sorted(exp)
+    assert got["vec_id"].tolist() == [e[0] for e in exp]
+    assert got["nn_id"].tolist() == [e[1] for e in exp]
+    assert got["dist"].tolist() == [e[2] for e in exp]
