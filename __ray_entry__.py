@@ -2296,6 +2296,18 @@ def _q_mosaic_glcm(sf_dir: str):
     return glcm_stats(_tiles_lww(sf_dir), FIXTURE_GRID)
 
 
+def _q_mosaic_viewshed(sf_dir: str):
+    """West-horizon visibility (global masked row prefix-max): per-tile
+    row-max vectors scan west->east per tile row, horizon re-joins
+    canvases by keyed union (never broadcast). Oracle: plane-dump
+    window max with exclusive frame."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.integral import viewshed_stats
+
+    return viewshed_stats(_tiles_lww(sf_dir),
+                          FIXTURE_GRID).sort(["tx", "ty"])
+
+
 def _q_mosaic_box_sums(sf_dir: str):
     """Box sums over the mosaic via a DISTRIBUTED summed-area table —
     the 2D prefix SCAN: per-tile col/row strip vectors scan along tile
@@ -3586,6 +3598,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
         "mosaic_variogram": _q_mosaic_variogram,  # semivariance lags
         "mosaic_glcm": _q_mosaic_glcm,  # Haralick texture moments
+        "mosaic_viewshed": _q_mosaic_viewshed,  # west-horizon visibility
         "events_running_total": _q_events_running_total,  # 1D prefix scan
         "customers_percent_rank": _q_customers_percent_rank,  # exact rational
         "docs_cdc_chunks": _q_docs_cdc_chunks,  # content-defined chunking
@@ -5200,6 +5213,22 @@ SELECT concat(CAST(w.x // 128 AS VARCHAR), '-',
   sum(CASE WHEN w.ws * g.N > w.wc * g.V
       THEN w.ws * g.N - w.wc * g.V ELSE 0 END)::BIGINT AS hot_excess_sum
 FROM win w, g GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_viewshed": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+pm AS (
+  SELECT y, x, v,
+    max(v) OVER (PARTITION BY y ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmax
+  FROM px
+)
+SELECT CAST(x // 128 AS VARCHAR) || '-' || CAST(y // 128 AS VARCHAR)
+         AS tile_id,
+  (x // 128)::BIGINT AS tx, (y // 128)::BIGINT AS ty,
+  sum(CASE WHEN v > COALESCE(wmax, -1) THEN 1 ELSE 0 END)::BIGINT
+    AS n_visible,
+  count(*)::BIGINT AS n_valid
+FROM pm GROUP BY 1, 2, 3 ORDER BY tx, ty
 """,
         "mosaic_glcm": f"""
 WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),

@@ -223,6 +223,7 @@ def run_bench() -> dict:
         "mosaic_glcm",
         "mosaic_timefill",
         "emb_nn_all",
+        "mosaic_viewshed",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -285,3 +285,141 @@ def integral_box_stats(tiles_ds, grid: GridSpec, boxes: pa.Table,
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- west-horizon visibility (1D masked prefix-max scan) --------------------
+
+VSHED_SCHEMA = pa.schema([
+    ("key", pa.string()),    # phase-1: ty; phase-3: tile_id
+    ("kind", pa.string()),   # 'rowmax' | 'pfx' | 'tile'
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("v", pa.binary()),      # int64 chunk-length vector (rowmax / pfx)
+    ("px_z", pa.binary()),
+    ("mask_z", pa.binary()),
+])
+
+
+def viewshed_stats(tiles_ds, grid: GridSpec,
+                   pack: ChannelPack | None = None):
+    """West-horizon visibility: a valid pixel is VISIBLE when its value v
+    strictly exceeds every valid pixel west of it in its global row
+    (parallel-ray line-of-sight from the west horizon — the ridge-line /
+    first-return scan). Output: per tile ``(tile_id, tx, ty, n_visible,
+    n_valid)``; tiles with no valid pixel emit nothing.
+
+    A global masked PREFIX-MAX per row — the 1D scan sibling of the SAT
+    (above): per-tile chunk-length row-max vectors (invalid rows → −1)
+    group by TILE ROW and scan west→east (exclusive running elementwise
+    max), handing each tile its incoming-horizon vector; absent tiles
+    contribute nothing and the horizon passes through them unchanged.
+    The per-pixel pass re-joins horizon to canvas by a KEYED UNION +
+    ``map_groups`` (never a broadcast: the horizon table is
+    O(n_tiles·chunk) — 2 GB at TCTrend scale) and finishes with an
+    in-tile ``np.maximum.accumulate`` shifted one column east. Only
+    O(pixels/chunk) vectors ever shuffle; canvases move once into their
+    own merge group.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    def phase1(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in VSHED_SCHEMA.names}
+
+        def row(key, kind, tx, ty, v=b"", px=b"", mz=b""):
+            out["key"].append(key)
+            out["kind"].append(kind)
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["v"].append(v)
+            out["px_z"].append(px)
+            out["mask_z"].append(mz)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            mv = np.where(mask, v, -1)
+            tx, ty = int(txs[j]), int(tys[j])
+            row(str(ty), "rowmax", tx, ty,
+                v=mv.max(axis=1).astype(np.int64).tobytes())
+            # canvas re-keys ONCE to its own merge group
+            row(f"{tx}-{ty}", "tile", tx, ty, px=px_z[j], mz=mask_z[j])
+        return pa.table(out, schema=VSHED_SCHEMA)
+
+    staged = tiles_ds.select_columns(["tx", "ty", "px_z", "mask_z"]) \
+        .map_batches(phase1, batch_format="pyarrow", batch_size=64)
+
+    rowmax = staged.filter(expr="kind == 'rowmax'")
+    tiles = staged.filter(expr="kind == 'tile'")
+
+    def scan_ty(g: pa.Table) -> pa.Table:
+        txs = g.column("tx").to_numpy().astype(np.int64)
+        order = np.argsort(txs)
+        out = {k: [] for k in VSHED_SCHEMA.names}
+        run = np.full(chunk, -1, np.int64)
+        ty = int(g.column("ty")[0].as_py())
+        for j in order:
+            tx = int(txs[j])
+            out["key"].append(f"{tx}-{ty}")
+            out["kind"].append("pfx")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["v"].append(run.tobytes())
+            out["px_z"].append(b"")
+            out["mask_z"].append(b"")
+            rm = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+            run = np.maximum(run, rm)
+        return pa.table(out, schema=VSHED_SCHEMA)
+
+    pfx = rowmax.groupby("key").map_groups(scan_ty, batch_format="pyarrow")
+
+    OUT = pa.schema([
+        ("tile_id", pa.string()), ("tx", pa.int64()), ("ty", pa.int64()),
+        ("n_visible", pa.int64()), ("n_valid", pa.int64()),
+    ])
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        incoming = None
+        canvas = mask = None
+        for j, kind in enumerate(kinds):
+            if kind == "pfx":
+                incoming = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+            else:
+                canvas = pack.from_bytes(
+                    zlib.decompress(g.column("px_z")[j].as_py()),
+                    chunk, chunk)
+                mask = np.frombuffer(
+                    zlib.decompress(g.column("mask_z")[j].as_py()),
+                    np.uint8).reshape(chunk, chunk).astype(bool)
+        if canvas is None or not mask.any():
+            return pa.table({f.name: pa.array([], f.type) for f in OUT})
+        v = _vsum(canvas, pack)
+        mv = np.where(mask, v, -1)
+        acc = np.maximum.accumulate(mv, axis=1)
+        left = np.concatenate(
+            [np.full((chunk, 1), -1, np.int64), acc[:, :-1]], axis=1)
+        if incoming is None:  # westmost present tile of its row group
+            incoming = np.full(chunk, -1, np.int64)
+        thresh = np.maximum(left, incoming[:, None])
+        vis = mask & (v > thresh)
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+            "tx": pa.array([tx], pa.int64()),
+            "ty": pa.array([ty], pa.int64()),
+            "n_visible": pa.array([int(vis.sum())], pa.int64()),
+            "n_valid": pa.array([int(mask.sum())], pa.int64()),
+        }, schema=OUT)
+
+    return (tiles.union(pfx).groupby("key")
+            .map_groups(merge, batch_format="pyarrow")
+            .select_columns(["tile_id", "tx", "ty",
+                             "n_visible", "n_valid"]))

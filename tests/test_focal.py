@@ -759,3 +759,47 @@ def test_timefill_partitioning_invariance(ray_session):
          .to_pandas().sort_values(["t_idx", "tile_id"])
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("seed,p_absent", [(51, 0.3), (52, 0.0)])
+def test_viewshed_matches_full_plane(ray_session, seed, p_absent):
+    import ray.data as rd
+
+    from raygeo.ops.integral import viewshed_stats
+
+    rows, plane, valid = _random_mosaic(seed, p_absent)
+    got = (viewshed_stats(rd.from_items(rows).repartition(5), SRC)
+           .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True))
+
+    v = plane.astype(np.int64).sum(axis=2)
+    mv = np.where(valid, v, -1)
+    acc = np.maximum.accumulate(mv, axis=1)
+    left = np.concatenate(
+        [np.full((SRC.height, 1), -1, np.int64), acc[:, :-1]], axis=1)
+    vis = valid & (v > left)
+    exp = []
+    for ty in range(SRC.n_ty):
+        for tx in range(SRC.n_tx):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            m = valid[tr0:tr1, tc0:tc1]
+            if not m.any():
+                continue
+            exp.append((f"{tx}-{ty}", tx, ty,
+                        int(vis[tr0:tr1, tc0:tc1].sum()), int(m.sum())))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty",
+                                     "n_visible", "n_valid"])
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_viewshed_partitioning_invariance(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.integral import viewshed_stats
+
+    rows, _p, _v = _random_mosaic(seed=53, p_absent=0.4)
+    a = (viewshed_stats(rd.from_items(rows).repartition(2), SRC)
+         .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True))
+    b = (viewshed_stats(rd.from_items(rows).repartition(11), SRC)
+         .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
