@@ -2806,6 +2806,17 @@ def _q_parts_triangles(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_events_kmv_overlap(sf_dir: str):
+    """Pairwise union/intersection cardinality estimates from mergeable
+    KMV sketches (bottom-k(A∪B) == bottom-k of merged sketches):
+    ≤k-row-per-group shuffle, group-bounded pairwise finish."""
+    from raygeo.ops.dedup import kmv_overlap
+
+    return kmv_overlap(_rpq(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"]),
+                       "event_type", "user_id", k=64)
+
+
 def _q_parts_kcore(sf_dir: str):
     """k-core membership (k=2) of the >=2-order co-purchase graph:
     Dataset-resident peel rounds, one coarse-bucket degree fold per round,
@@ -3684,6 +3695,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": _q_events_value_trend,  # integer OLS moments
         "parts_skyline": _q_parts_skyline,  # Pareto-front operator
         "parts_kcore": _q_parts_kcore,  # iterative k-core peel
+        "events_kmv_overlap": _q_events_kmv_overlap,  # KMV set algebra
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -6099,6 +6111,52 @@ GROUP BY 1, 2
         "events_export_hive": """
 SELECT event_type, count(*)::BIGINT AS n_rows
 FROM events GROUP BY 1
+""",
+        "events_kmv_overlap": """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+      AS hv
+  FROM events
+),
+sk AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h) WHERE rn <= 64
+),
+tp AS (SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+       FROM sk a, sk b WHERE a.event_type < b.event_type),
+mem AS (
+  SELECT tp.ta, tp.tb, s.hv,
+    max(CASE WHEN s.event_type = tp.ta THEN 1 ELSE 0 END) AS in_a,
+    max(CASE WHEN s.event_type = tp.tb THEN 1 ELSE 0 END) AS in_b
+  FROM tp JOIN sk s ON s.event_type IN (tp.ta, tp.tb)
+  GROUP BY tp.ta, tp.tb, s.hv
+),
+rk AS (
+  SELECT ta, tb, hv, in_a, in_b,
+    row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn,
+    count(*) OVER (PARTITION BY ta, tb) AS nm
+  FROM mem
+),
+st AS (
+  SELECT ta, tb, count(*) AS n_sk,
+    sum(in_a * in_b)::BIGINT AS common,
+    max(CASE WHEN rn = 64 THEN hv END) AS kth,
+    max(nm) AS nm
+  FROM rk WHERE rn <= 64 GROUP BY ta, tb
+)
+SELECT ta AS key_a, tb AS key_b,
+  CASE WHEN nm < 64 THEN (n_sk * 1000)::BIGINT
+       ELSE ((63::HUGEINT * 4294967296 * 1000) // kth::HUGEINT)::BIGINT
+  END AS est_union_x1000,
+  CASE WHEN nm < 64 THEN (common * 1000)::BIGINT
+       ELSE ((common::HUGEINT
+              * ((63::HUGEINT * 4294967296 * 1000) // kth::HUGEINT))
+             // 64)::BIGINT
+  END AS est_inter_x1000
+FROM st ORDER BY key_a, key_b
 """,
         "parts_kcore": _kcore_sql(),
         "parts_skyline": """

@@ -224,6 +224,7 @@ def run_bench() -> dict:
         "mosaic_timefill",
         "emb_nn_all",
         "mosaic_viewshed",
+        "events_kmv_overlap",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1412,3 +1412,78 @@ def cms_counts(ds, value_col: str, probe_mod: int = 100):
         "exact_n": pa.array(exact["exact_n"].to_numpy(np.int64),
                             pa.int64()),
     })
+
+
+def kmv_overlap(ds, key_col: str, value_col: str, k: int = 64):
+    """KMV sketch SET ALGEBRA: estimated union and intersection
+    cardinality for every pair of groups, from the same deterministic
+    bottom-k sketches as :func:`kmv_distinct` — the mergeable-sketch
+    property that makes KMV the cheap pre-join overlap probe (bottom-k of
+    A ∪ B == bottom-k of bottom-k(A) ∪ bottom-k(B), so pair work never
+    touches the data again).
+
+    est_union follows the kmv_distinct estimator on the merged sketch;
+    est_inter = common·est_union // k where ``common`` counts merged-
+    sketch hashes present in BOTH sides (the standard KMV intersection
+    estimator, exact when the merged sketch is exact). All-integer md5
+    arithmetic — DuckDB replays every row bit-for-bit. Shuffle is ≤ k
+    rows per group per batch; the per-group sketches are group-bounded
+    metadata (the extent-index discipline), so the pairwise finish is a
+    driver-side bounded reduce.
+    """
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pylist(),
+            "v": [str(x) for x in t.column(value_col).to_pylist()],
+        })
+        out_k, out_h = [], []
+        for key, g in df.groupby("k", sort=False):
+            uniq = {
+                int.from_bytes(hashlib.md5(v.encode()).digest()[:4], "big")
+                for v in set(g["v"])
+            }
+            smallest = np.sort(np.fromiter(uniq, dtype=np.int64))[:k]
+            out_k.extend([key] * len(smallest))
+            out_h.extend(smallest.tolist())
+        return pa.table({"k": pa.array(out_k, pa.string()),
+                         "h": pa.array(out_h, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["h"].to_numpy())[:k]
+        return pd.DataFrame({"k": [g["k"].iloc[0]] * len(hs), "h": hs})
+
+    sk = (ds.select_columns([key_col, value_col])
+          .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby("k").map_groups(fold, batch_format="pandas")
+          .to_pandas())  # group-bounded: <= k rows per group
+
+    sketches = {key: set(g["h"].astype(np.int64))
+                for key, g in sk.groupby("k", sort=True)}
+    keys = sorted(sketches)
+    rows = {"key_a": [], "key_b": [], "est_union_x1000": [],
+            "est_inter_x1000": []}
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            a, b = sketches[ka], sketches[kb]
+            merged = np.sort(np.fromiter(a | b, dtype=np.int64))[:k]
+            if len(merged) < k:
+                est_u = len(merged) * 1000
+                inter = sum(1 for h in merged if h in a and h in b)
+                est_i = inter * 1000
+            else:
+                m = int(merged[k - 1])
+                est_u = ((k - 1) * (1 << 32) * 1000) // m
+                common = sum(1 for h in merged if h in a and h in b)
+                est_i = (common * est_u) // k
+            rows["key_a"].append(ka)
+            rows["key_b"].append(kb)
+            rows["est_union_x1000"].append(est_u)
+            rows["est_inter_x1000"].append(est_i)
+    return pa.table({
+        "key_a": pa.array(rows["key_a"], pa.string()),
+        "key_b": pa.array(rows["key_b"], pa.string()),
+        "est_union_x1000": pa.array(rows["est_union_x1000"], pa.int64()),
+        "est_inter_x1000": pa.array(rows["est_inter_x1000"], pa.int64()),
+    })

@@ -2086,3 +2086,51 @@ def test_nn_all_matches_serial(ray_session):
     assert got["vec_id"].tolist() == [e[0] for e in exp]
     assert got["nn_id"].tolist() == [e[1] for e in exp]
     assert got["dist"].tolist() == [e[2] for e in exp]
+
+
+def test_kmv_overlap_matches_serial(ray_session):
+    """KMV pair algebra vs a serial replay; small groups hit the exact
+    (<k) path, large ones the estimator path."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raygeo.ops.dedup import kmv_overlap
+
+    rng = np.random.Generator(np.random.PCG64(37))
+    k = 16
+    users = {
+        "a": rng.integers(0, 40, 300),     # ~40 distinct > k
+        "b": rng.integers(20, 60, 300),    # overlaps a
+        "c": rng.integers(0, 8, 50),       # < k: exact path
+    }
+    df = pd.DataFrame({
+        "event_type": np.concatenate(
+            [[t] * len(v) for t, v in users.items()]),
+        "user_id": np.concatenate(list(users.values())),
+    })
+    got = (kmv_overlap(rd.from_pandas(df).repartition(6),
+                       "event_type", "user_id", k=k)
+           .to_pandas().sort_values(["key_a", "key_b"])
+           .reset_index(drop=True))
+
+    def h(v):
+        return int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[:4], "big")
+
+    sk = {t: sorted({h(v) for v in vs})[:k] for t, vs in users.items()}
+    exp = []
+    for ta in sorted(sk):
+        for tb in sorted(sk):
+            if ta >= tb:
+                continue
+            a, b = set(sk[ta]), set(sk[tb])
+            merged = sorted(a | b)[:k]
+            common = sum(1 for x in merged if x in a and x in b)
+            if len(merged) < k:
+                eu, ei = len(merged) * 1000, common * 1000
+            else:
+                eu = ((k - 1) * (1 << 32) * 1000) // merged[k - 1]
+                ei = (common * eu) // k
+            exp.append((ta, tb, eu, ei))
+    assert list(map(tuple, got.itertuples(index=False))) == exp
