@@ -2132,15 +2132,12 @@ def glcm_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
     chunk = grid.chunk
 
     def emit(t: pa.Table) -> pa.Table:
-        out: dict[str, list] = {k: [] for k in GLCM_PARTIAL_SCHEMA.names}
-
-        def row(tile_id, kind, key=0, cnt=0, v=b"", m=b""):
-            out["tile_id"].append(tile_id)
-            out["kind"].append(kind)
-            out["key"].append(key)
-            out["cnt"].append(cnt)
-            out["v"].append(v)
-            out["m"].append(m)
+        # hist rows build as whole arrays (a tile can own thousands of
+        # cells — per-entry Python appends were the stage's hot loop)
+        tid_h: list = []
+        key_h: list = []
+        cnt_h: list = []
+        tid_s, kind_s, v_s, m_s = [], [], [], []
 
         px_z = t.column("px_z").to_pylist()
         mask_z = t.column("mask_z").to_pylist()
@@ -2158,55 +2155,72 @@ def glcm_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
             va = v[:, :-1][both].astype(np.int64)
             vb = v[:, 1:][both].astype(np.int64)
             keys, cnts = np.unique((va << 16) | vb, return_counts=True)
-            for kk, cc in zip(keys, cnts):
-                row(me, "hist", int(kk), int(cc))
-            row(me, "edge_e",
-                v=np.ascontiguousarray(v[:, -1]).astype(np.int64).tobytes(),
-                m=np.ascontiguousarray(mask[:, -1]).astype(np.uint8)
-                .tobytes())
+            tid_h.append(np.full(len(keys), me, dtype=object))
+            key_h.append(keys)
+            cnt_h.append(cnts.astype(np.int64))
+            tid_s.append(me)
+            kind_s.append("edge_e")
+            v_s.append(np.ascontiguousarray(v[:, -1])
+                       .astype(np.int64).tobytes())
+            m_s.append(np.ascontiguousarray(mask[:, -1])
+                       .astype(np.uint8).tobytes())
             if tx > 0:
-                row(f"{tx - 1}-{ty}", "halo_e",
-                    v=np.ascontiguousarray(v[:, 0]).astype(np.int64)
-                    .tobytes(),
-                    m=np.ascontiguousarray(mask[:, 0]).astype(np.uint8)
-                    .tobytes())
-        return pa.table(out, schema=GLCM_PARTIAL_SCHEMA)
+                tid_s.append(f"{tx - 1}-{ty}")
+                kind_s.append("halo_e")
+                v_s.append(np.ascontiguousarray(v[:, 0])
+                           .astype(np.int64).tobytes())
+                m_s.append(np.ascontiguousarray(mask[:, 0])
+                           .astype(np.uint8).tobytes())
+        kh = (np.concatenate(key_h) if key_h
+              else np.array([], np.int64))
+        n_h = len(kh)
+        return pa.table({
+            "tile_id": pa.array(
+                (np.concatenate(tid_h).tolist() if tid_h else [])
+                + tid_s, pa.string()),
+            "kind": pa.array(["hist"] * n_h + kind_s, pa.string()),
+            "key": pa.array(np.concatenate(
+                [kh, np.zeros(len(tid_s), np.int64)]), pa.int64()),
+            "cnt": pa.array(np.concatenate(
+                [(np.concatenate(cnt_h) if cnt_h
+                  else np.array([], np.int64)),
+                 np.zeros(len(tid_s), np.int64)]), pa.int64()),
+            "v": pa.array([b""] * n_h + v_s, pa.binary()),
+            "m": pa.array([b""] * n_h + m_s, pa.binary()),
+        }, schema=GLCM_PARTIAL_SCHEMA)
 
     partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
-                                    batch_size=64)
+                                    batch_size=64).materialize()
+    # hist rows (the volume) go STRAIGHT to the bucket fold; only the
+    # O(perimeter) strips take the per-tile keyed exchange
+    hists = partials.filter(expr="kind == 'hist'") \
+        .select_columns(["key", "cnt"])
+    strips_ds = partials.filter(expr="kind != 'hist'")
 
     def merge(g: pa.Table) -> pa.Table:
-        kinds = g.column("kind").to_pylist()
-        hist: dict[int, int] = {}
+        kinds = np.asarray(g.column("kind").to_pylist())
         strips: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for j, kind in enumerate(kinds):
-            if kind == "hist":
-                k = int(g.column("key")[j].as_py())
-                hist[k] = hist.get(k, 0) + int(g.column("cnt")[j].as_py())
-            else:
-                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
-                ms = np.frombuffer(g.column("m")[j].as_py(),
-                                   np.uint8).astype(bool)
-                strips[kind] = (vs, ms)
-        if "edge_e" in strips and "halo_e" in strips:
-            ev, em = strips["edge_e"]
-            hv, hm = strips["halo_e"]
-            both = em & hm
-            va = ev[both]
-            vb = hv[both]
-            keys, cnts = np.unique((va << 16) | vb, return_counts=True)
-            for kk, cc in zip(keys, cnts):
-                k = int(kk)
-                hist[k] = hist.get(k, 0) + int(cc)
-        if not hist:
+        for j in range(len(kinds)):
+            vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+            ms = np.frombuffer(g.column("m")[j].as_py(),
+                               np.uint8).astype(bool)
+            strips[str(kinds[j])] = (vs, ms)
+        if "edge_e" not in strips or "halo_e" not in strips:
             return pa.table({"key": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
-        ks = sorted(hist)
-        return pa.table({"key": pa.array(ks, pa.int64()),
-                         "cnt": pa.array([hist[k] for k in ks], pa.int64())})
+        ev, em = strips["edge_e"]
+        hv, hm = strips["halo_e"]
+        both = em & hm
+        keys, cnts = np.unique((ev[both] << 16) | hv[both],
+                               return_counts=True)
+        return pa.table({"key": pa.array(keys.astype(np.int64),
+                                         pa.int64()),
+                         "cnt": pa.array(cnts.astype(np.int64),
+                                         pa.int64())})
 
-    per_tile = partials.groupby("tile_id").map_groups(
+    straddle = strips_ds.groupby("tile_id").map_groups(
         merge, batch_format="pyarrow")
+    per_tile = hists.union(straddle)
 
     # global (va, vb) cell counts: coarse-bucket fold bounded by the
     # value domain, never a per-key sort-groupby
