@@ -3177,6 +3177,17 @@ def _q_emb_kcenter(sf_dir: str):
                                columns=["vec_id", "embedding"]), k=4)
 
 
+def _q_emb_triplets(sf_dir: str):
+    """Hard-triplet mining (nearest same-label / nearest other-label per
+    mod-sampled anchor): broadcast anchor matrix, one streaming pass,
+    anchor-bounded candidate fold."""
+    from raygeo.ops.ann import triplet_mine
+
+    return triplet_mine(_rpq(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding", "label"]),
+                        anchor_mod=50)
+
+
 def _q_emb_nn_all(sf_dir: str):
     """Exact 1-NN self-join (every row's nearest other row, integer L2,
     tie -> min id): object-store-staged slices, one streaming pass."""
@@ -3690,6 +3701,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "emb_mmr": _q_emb_mmr,  # maximal-marginal-relevance head
         "emb_nn_all": _q_emb_nn_all,  # exact 1-NN self-join
+        "emb_triplets": _q_emb_triplets,  # hard-triplet mining
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_export_hive": _q_events_export_hive,  # native hive sink
         "events_value_trend": _q_events_value_trend,  # integer OLS moments
@@ -6317,6 +6329,39 @@ FROM s0
 UNION ALL SELECT 1, vec_id, dist::BIGINT FROM s1
 UNION ALL SELECT 2, vec_id, dist::BIGINT FROM s2
 UNION ALL SELECT 3, vec_id, dist::BIGINT FROM s3
+""",
+        "emb_triplets": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+pd AS (
+  SELECT qa.vec_id AS aid, qb.vec_id AS cid,
+         sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d
+  FROM q qa JOIN q qb ON qa.dim = qb.dim
+  WHERE qa.vec_id % 50 = 0
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT pd.aid, pd.cid, pd.d, la.label AS alab, lc.label AS clab
+  FROM pd
+  JOIN embeddings la ON la.vec_id = pd.aid
+  JOIN embeddings lc ON lc.vec_id = pd.cid
+),
+pos AS (SELECT aid, cid, d FROM (
+  SELECT aid, cid, d,
+    row_number() OVER (PARTITION BY aid ORDER BY d, cid) AS rn
+  FROM j WHERE alab = clab AND aid <> cid) WHERE rn = 1),
+neg AS (SELECT aid, cid, d FROM (
+  SELECT aid, cid, d,
+    row_number() OVER (PARTITION BY aid ORDER BY d, cid) AS rn
+  FROM j WHERE alab <> clab) WHERE rn = 1)
+SELECT pos.aid::BIGINT AS anchor_id, pos.cid::BIGINT AS pos_id,
+  neg.cid::BIGINT AS neg_id, pos.d::BIGINT AS d_pos,
+  neg.d::BIGINT AS d_neg, (neg.d - pos.d)::BIGINT AS margin
+FROM pos JOIN neg USING (aid) ORDER BY anchor_id
 """,
         "emb_nn_all": """
 WITH q AS (

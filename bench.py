@@ -225,6 +225,7 @@ def run_bench() -> dict:
         "emb_nn_all",
         "mosaic_viewshed",
         "events_kmv_overlap",
+        "emb_triplets",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

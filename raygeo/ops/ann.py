@@ -1382,3 +1382,114 @@ def nn_all(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     return qds.map_batches(scan, batch_format="pyarrow",
                            batch_size=2048)
+
+
+def triplet_mine(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                 label_col: str = "label", anchor_mod: int = 50):
+    """Hard-triplet mining for contrastive training: for every ANCHOR row
+    (ids ≡ 0 mod ``anchor_mod``), the hardest positive = nearest OTHER
+    row of the SAME label and the hardest negative = nearest row of a
+    DIFFERENT label (integer squared L2, tie → min id), plus the
+    margin d_neg − d_pos (negative margin = the anchor violates the
+    triplet condition — the rows a metric-learning curriculum feeds
+    first).
+
+    The anchor matrix is dimension-few by construction (mod-sampled):
+    collected once, broadcast, and ONE streaming pass emits per-batch
+    (anchor, side, best dist, best id) candidate rows — a pure map; the
+    finish folds O(anchors · #blocks) candidate rows with a driver-less
+    bucketed min (anchors are bounded, the fold is one tiny keyed
+    groupby). Distances ride the shared ``_quantized_matrix`` contract.
+    """
+    import ray
+
+    def grab(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        hit = (ids % anchor_mod) == 0
+        if not hit.any():
+            return pa.table({"aid": pa.array([], pa.int64()),
+                             "alab": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.list_(pa.int64()))})
+        qm = _quantized_matrix(t.column(vec_col), 1e6)[hit]
+        return pa.table({
+            "aid": pa.array(ids[hit].astype(np.int64), pa.int64()),
+            "alab": pa.array(t.column(label_col).to_numpy()[hit]
+                             .astype(np.int64), pa.int64()),
+            "qv": pa.array([r.tolist() for r in qm],
+                           pa.list_(pa.int64())),
+        })
+
+    empty = pa.table({"anchor_id": pa.array([], pa.int64()),
+                      "pos_id": pa.array([], pa.int64()),
+                      "neg_id": pa.array([], pa.int64()),
+                      "d_pos": pa.array([], pa.int64()),
+                      "d_neg": pa.array([], pa.int64()),
+                      "margin": pa.array([], pa.int64())})
+    anchors = (ds.select_columns([id_col, vec_col, label_col])
+               .map_batches(grab, batch_format="pyarrow").to_pandas())
+    if anchors.empty:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+    aids = anchors["aid"].to_numpy(np.int64)
+    alabs = anchors["alab"].to_numpy(np.int64)
+    am = np.asarray([np.asarray(v, np.int64) for v in anchors["qv"]])
+    a_ref = ray.put((aids, alabs, am, np.einsum("ij,ij->i", am, am)))
+
+    big = np.iinfo(np.int64).max
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if not len(ids):
+            return pa.table({"aid": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64()),
+                             "cid": pa.array([], pa.int64())})
+        labs = t.column(label_col).to_numpy().astype(np.int64)
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        b2 = np.einsum("ij,ij->i", qm, qm)
+        ai, al, amx, a2 = ray.get(a_ref)
+        # (anchors x batch) exact distances
+        d = a2[:, None] + b2[None, :] - 2 * (amx @ qm.T)
+        same = al[:, None] == labs[None, :]
+        selfm = ai[:, None] == ids[None, :]
+        out = {"aid": [], "side": [], "d": [], "cid": []}
+        for side, m in (("pos", same & ~selfm), ("neg", ~same)):
+            dm = np.where(m, d, big)
+            cd = dm.min(axis=1)
+            ok = cd < big
+            if not ok.any():
+                continue
+            cn = np.where(dm == cd[:, None], ids[None, :], big).min(axis=1)
+            out["aid"].extend(ai[ok].tolist())
+            out["side"].extend([side] * int(ok.sum()))
+            out["d"].extend(cd[ok].tolist())
+            out["cid"].extend(cn[ok].tolist())
+        return pa.table({"aid": pa.array(out["aid"], pa.int64()),
+                         "side": pa.array(out["side"], pa.string()),
+                         "d": pa.array(out["d"], pa.int64()),
+                         "cid": pa.array(out["cid"], pa.int64())})
+
+    cands = (ds.select_columns([id_col, vec_col, label_col])
+             .map_batches(scan, batch_format="pyarrow", batch_size=2048)
+             .to_pandas())  # O(anchors x blocks), anchor-bounded
+    rows = []
+    for (aid, side), g in cands.groupby(["aid", "side"], sort=True):
+        j = np.lexsort((g["cid"].to_numpy(), g["d"].to_numpy()))[0]
+        rows.append((int(aid), side, int(g["d"].iloc[j]),
+                     int(g["cid"].iloc[j])))
+    best: dict[int, dict] = {}
+    for aid, side, dd, cid in rows:
+        best.setdefault(aid, {})[side] = (dd, cid)
+    out = {"anchor_id": [], "pos_id": [], "neg_id": [],
+           "d_pos": [], "d_neg": [], "margin": []}
+    for aid in sorted(best):
+        b = best[aid]
+        if "pos" not in b or "neg" not in b:
+            continue  # anchor lacks a same-label peer or another label
+        out["anchor_id"].append(aid)
+        out["pos_id"].append(b["pos"][1])
+        out["neg_id"].append(b["neg"][1])
+        out["d_pos"].append(b["pos"][0])
+        out["d_neg"].append(b["neg"][0])
+        out["margin"].append(b["neg"][0] - b["pos"][0])
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})

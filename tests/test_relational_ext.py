@@ -2134,3 +2134,41 @@ def test_kmv_overlap_matches_serial(ray_session):
                 ei = (common * eu) // k
             exp.append((ta, tb, eu, ei))
     assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_triplet_mine_matches_serial(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import triplet_mine
+
+    rng = np.random.Generator(np.random.PCG64(61))
+    n, d = 90, 5
+    vecs = (rng.integers(0, 4, size=(n, d)) / 2.0).astype(np.float32)
+    ids = np.arange(0, 10 * n, 10, dtype=np.int64)  # every 5th ≡ 0 mod 50
+    labs = rng.integers(0, 3, n).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "label": labs,
+                       "embedding": [v for v in vecs]})
+    got = (triplet_mine(rd.from_pandas(df).repartition(6), anchor_mod=50)
+           .to_pandas().reset_index(drop=True))
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    exp = []
+    for i in range(n):
+        if ids[i] % 50 != 0:
+            continue
+        pos = neg = None
+        for j in range(n):
+            dd = int(((q[i] - q[j]) ** 2).sum())
+            key = (dd, int(ids[j]))
+            if labs[j] == labs[i] and ids[j] != ids[i]:
+                if pos is None or key < pos:
+                    pos = key
+            elif labs[j] != labs[i]:
+                if neg is None or key < neg:
+                    neg = key
+        if pos and neg:
+            exp.append((int(ids[i]), pos[1], neg[1], pos[0], neg[0],
+                        neg[0] - pos[0]))
+    exp = sorted(exp)
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+    assert len(exp) > 3
