@@ -3177,6 +3177,16 @@ def _q_emb_kcenter(sf_dir: str):
                                columns=["vec_id", "embedding"]), k=4)
 
 
+def _q_emb_knn_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy per label: nn_all streaming pass
+    + two partitioned hash joins + label-bounded fold."""
+    from raygeo.ops.ann import nn_label_accuracy
+
+    return nn_label_accuracy(
+        _rpq(f"{sf_dir}/embeddings.parquet",
+             columns=["vec_id", "embedding", "label"]))
+
+
 def _q_emb_triplets(sf_dir: str):
     """Hard-triplet mining (nearest same-label / nearest other-label per
     mod-sampled anchor): broadcast anchor matrix, one streaming pass,
@@ -3702,6 +3712,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_mmr": _q_emb_mmr,  # maximal-marginal-relevance head
         "emb_nn_all": _q_emb_nn_all,  # exact 1-NN self-join
         "emb_triplets": _q_emb_triplets,  # hard-triplet mining
+        "emb_knn_accuracy": _q_emb_knn_accuracy,  # LOO 1-NN label acc
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_export_hive": _q_events_export_hive,  # native hive sink
         "events_value_trend": _q_events_value_trend,  # integer OLS moments
@@ -6329,6 +6340,37 @@ FROM s0
 UNION ALL SELECT 1, vec_id, dist::BIGINT FROM s1
 UNION ALL SELECT 2, vec_id, dist::BIGINT FROM s2
 UNION ALL SELECT 3, vec_id, dist::BIGINT FROM s3
+""",
+        "emb_knn_accuracy": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+pd AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         sum((a.qv - b.qv) * (a.qv - b.qv)) AS dist
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT ia, ib FROM (
+    SELECT ia, ib,
+      row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+    FROM pd) WHERE rn = 1
+),
+sc AS (
+  SELECT la.label,
+    CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS ok
+  FROM nn
+  JOIN embeddings la ON la.vec_id = nn.ia
+  JOIN embeddings lb ON lb.vec_id = nn.ib
+)
+SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+  sum(ok)::BIGINT AS n_correct,
+  (sum(ok) * 1000000 // count(*))::BIGINT AS acc_q6
+FROM sc GROUP BY 1 ORDER BY 1
 """,
         "emb_triplets": """
 WITH q AS (

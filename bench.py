@@ -226,6 +226,7 @@ def run_bench() -> dict:
         "mosaic_viewshed",
         "events_kmv_overlap",
         "emb_triplets",
+        "emb_knn_accuracy",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

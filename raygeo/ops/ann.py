@@ -1493,3 +1493,86 @@ def triplet_mine(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         out["d_neg"].append(b["neg"][0])
         out["margin"].append(b["neg"][0] - b["pos"][0])
     return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def nn_label_accuracy(ds, vec_col: str = "embedding",
+                      id_col: str = "vec_id", label_col: str = "label",
+                      chunk_rows: int = 8192):
+    """Leave-one-out 1-NN classifier accuracy per label — the standard
+    embedding-quality probe (how linearly-separable/clustered the space
+    is): every row's exact nearest other row (:func:`nn_all`), scored as
+    correct when the neighbor shares its label. Output per label:
+    ``(label, n, n_correct, acc_q6)`` with ``acc_q6 = n_correct·10⁶ // n``.
+
+    Pure composition: the nn_all streaming pass carries the row's OWN
+    label through, the neighbor's label resolves via ONE partitioned hash
+    join against the (id, label) projection (never a broadcast — the
+    label table is the full corpus), then a label-bounded count fold.
+    """
+    from ..util import auto_join_partitions, drop_empty_blocks
+
+    nn = nn_all(ds, vec_col=vec_col, id_col=id_col,
+                chunk_rows=chunk_rows)
+
+    def own(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t.column(id_col),
+            "own_label": t.column(label_col),
+        })
+
+    labels = ds.select_columns([id_col, label_col]).map_batches(
+        own, batch_format="pyarrow")
+
+    def nb(t: pa.Table) -> pa.Table:
+        return pa.table({"nid": t.column("vec_id"),
+                         "nb_label": t.column("own_label")})
+
+    nn = drop_empty_blocks(nn.materialize(),
+                           pa.schema([("vec_id", pa.int64()),
+                                      ("nn_id", pa.int64()),
+                                      ("dist", pa.int64())]))
+    lab_schema = pa.schema([("vec_id", pa.int64()),
+                            ("own_label", pa.int64())])
+    labels = drop_empty_blocks(labels.materialize(), lab_schema)
+    nparts = auto_join_partitions(nn, labels, pools=2)
+    j1 = nn.join(labels, join_type="inner", num_partitions=nparts,
+                 on=("vec_id",))
+    nbl = drop_empty_blocks(
+        labels.map_batches(nb, batch_format="pyarrow").materialize(),
+        pa.schema([("nid", pa.int64()), ("nb_label", pa.int64())]))
+    j2 = drop_empty_blocks(
+        j1.materialize(),
+        pa.schema([("vec_id", pa.int64()), ("nn_id", pa.int64()),
+                   ("dist", pa.int64()), ("own_label", pa.int64())])
+    ).join(nbl, join_type="inner", num_partitions=nparts,
+           on=("nn_id",), right_on=("nid",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ol = t.column("own_label").to_numpy().astype(np.int64)
+        nl = t.column("nb_label").to_numpy().astype(np.int64)
+        labs, idx = np.unique(ol, return_inverse=True)
+        n = np.zeros(len(labs), np.int64)
+        c = np.zeros(len(labs), np.int64)
+        np.add.at(n, idx, 1)
+        np.add.at(c, idx, (ol == nl).astype(np.int64))
+        return pa.table({"label": pa.array(labs, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "n_correct": pa.array(c, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (j2.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("label")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_correct", alias_name="n_correct"))
+           .to_pandas())  # label-bounded
+    agg = agg.sort_values("label").reset_index(drop=True)
+    return pa.table({
+        "label": pa.array(agg["label"].astype(np.int64), pa.int64()),
+        "n": pa.array(agg["n"].astype(np.int64), pa.int64()),
+        "n_correct": pa.array(agg["n_correct"].astype(np.int64),
+                              pa.int64()),
+        "acc_q6": pa.array(
+            (agg["n_correct"].astype(np.int64) * 1_000_000
+             // agg["n"].astype(np.int64)), pa.int64()),
+    })

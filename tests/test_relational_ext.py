@@ -2172,3 +2172,38 @@ def test_triplet_mine_matches_serial(ray_session):
     exp = sorted(exp)
     assert list(map(tuple, got.itertuples(index=False))) == exp
     assert len(exp) > 3
+
+
+def test_nn_label_accuracy_matches_serial(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import nn_label_accuracy
+
+    rng = np.random.Generator(np.random.PCG64(67))
+    n, d = 100, 4
+    vecs = (rng.integers(0, 5, size=(n, d)) / 2.0).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64) * 3 + 7
+    labs = rng.integers(0, 4, n).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "label": labs,
+                       "embedding": [v for v in vecs]})
+    got = (nn_label_accuracy(rd.from_pandas(df).repartition(5),
+                             chunk_rows=23)
+           .to_pandas().reset_index(drop=True))
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    per = {}
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if i == j:
+                continue
+            key = (int(((q[i] - q[j]) ** 2).sum()), int(ids[j]), j)
+            if best is None or key[:2] < best[:2]:
+                best = key
+        nlab = labs[best[2]]
+        s = per.setdefault(int(labs[i]), [0, 0])
+        s[0] += 1
+        s[1] += int(nlab == labs[i])
+    exp = [(k, per[k][0], per[k][1], per[k][1] * 1_000_000 // per[k][0])
+           for k in sorted(per)]
+    assert list(map(tuple, got.itertuples(index=False))) == exp
