@@ -2140,6 +2140,20 @@ def _q_mosaic_fill(sf_dir: str):
     return basin_fill(_tiles_lww(sf_dir), FIXTURE_GRID)
 
 
+def _q_mosaic_zonal_extremes(sf_dir: str):
+    """Zonal min/max with argmin/argmax pixel locations (tie -> smallest
+    (y, x)): broadcast zone windows, scalar per-(tile, zone) partials,
+    one tiny keyed fold. Oracle ranks the plane dump per zone."""
+    import pyarrow.parquet as _pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import zonal_extremes
+
+    z = _pq.read_table(f"{_fix(sf_dir)}/zones.parquet")
+    return zonal_extremes(_tiles_lww(sf_dir), z,
+                          FIXTURE_GRID).sort("zone_id")
+
+
 def _q_mosaic_zonal_median(sf_dir: str):
     """Zonal EXACT MEDIAN per zone bbox — per-tile (zone, v, cnt)
     histogram partials (bounded by zones x value domain, never pixels),
@@ -3616,6 +3630,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_reproject": _q_mosaic_reproject,  # cross-CRS raster warp
         "mosaic_watershed": _q_mosaic_watershed,  # terminal-pit basins
         "mosaic_zonal_median": _q_mosaic_zonal_median,  # exact zonal median
+        "mosaic_zonal_extremes": _q_mosaic_zonal_extremes,  # argmin/argmax
         "mosaic_basins": _q_mosaic_basins,  # saddle spill / sink depth
         "mosaic_fill": _q_mosaic_fill,  # priority-flood depression fill
         "docs_span_scrub": _q_docs_span_scrub,  # span-level decontamination
@@ -4161,6 +4176,41 @@ FROM read_parquet('{FIX_SF001}/seasonal_golden.parquet')
         "mosaic_fill": f"""
 SELECT pit, pit_v, fill_v, filled_depth
 FROM read_parquet('{FIX_SF001}/fill_golden.parquet')
+""",
+        "mosaic_zonal_extremes": f"""
+WITH raw AS (
+  SELECT zone_id,
+    CAST(floor((lon_min - (-1.0)) / 0.0009765625) AS BIGINT) AS c0,
+    CAST(floor((lon_max - (-1.0)) / 0.0009765625) AS BIGINT) AS c1,
+    CAST(floor((1.0 - lat_max) / 0.0009765625) AS BIGINT) AS r0,
+    CAST(floor((1.0 - lat_min) / 0.0009765625) AS BIGINT) AS r1
+  FROM read_parquet('{ZONES_001}')
+),
+z AS (
+  SELECT zone_id,
+    greatest(c0, 0) AS c0, least(c1, 2047) AS c1,
+    greatest(r0, 0) AS r0, least(r1, 2047) AS r1
+  FROM raw
+),
+j AS (
+  SELECT z.zone_id, p.v, p.y, p.x
+  FROM z JOIN read_parquet('{PLANE_001}') p
+    ON p.y >= z.r0 AND p.y <= z.r1 AND p.x >= z.c0 AND p.x <= z.c1
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY zone_id ORDER BY v, y, x) AS rmin,
+    row_number() OVER (PARTITION BY zone_id ORDER BY v DESC, y, x) AS rmax
+  FROM j
+)
+SELECT zone_id, count(*)::BIGINT AS n_px,
+  max(CASE WHEN rmin = 1 THEN v END)::BIGINT AS v_min,
+  max(CASE WHEN rmin = 1 THEN y END)::BIGINT AS min_y,
+  max(CASE WHEN rmin = 1 THEN x END)::BIGINT AS min_x,
+  max(CASE WHEN rmax = 1 THEN v END)::BIGINT AS v_max,
+  max(CASE WHEN rmax = 1 THEN y END)::BIGINT AS max_y,
+  max(CASE WHEN rmax = 1 THEN x END)::BIGINT AS max_x
+FROM r GROUP BY 1 ORDER BY 1
 """,
         "mosaic_zonal_median": f"""
 WITH raw AS (

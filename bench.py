@@ -227,6 +227,7 @@ def run_bench() -> dict:
         "events_kmv_overlap",
         "emb_triplets",
         "emb_knn_accuracy",
+        "mosaic_zonal_extremes",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

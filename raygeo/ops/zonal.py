@@ -647,3 +647,119 @@ def zonal_median(tiles_ds, zones: pa.Table, grid, pack=None):
                                     batch_size=64)
     return partials.groupby("zone_id").map_groups(med,
                                                   batch_format="pandas")
+
+
+def zonal_extremes(tiles_ds, zones: pa.Table, grid, pack=None):
+    """Zonal EXTREMES with argmin/argmax locations: per zone bbox, the
+    minimum and maximum valid-pixel v with the GLOBAL pixel coordinates
+    of each extremum (ties → smallest (y, x) row-major) — the
+    where-is-the-peak / where-is-the-sink query zonal_stats' sums can't
+    answer. Returns (zone_id, n_px, v_min, min_y, min_x, v_max, max_y,
+    max_x); zones with no valid pixel are omitted.
+
+    Same shape as :func:`zonal_median`: broadcast zone windows (inclusive
+    box-sums convention), per-(tile, zone) scalar partial rows, one tiny
+    keyed fold — canvases never shuffle, partials are O(zones·tiles-hit).
+    """
+    import zlib
+
+    import pandas as pd
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+    from .stencil import _vsum
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    res = grid.res
+    cl = np.floor((zones.column("lon_min").to_numpy() - grid.x0)
+                  / res).astype(np.int64)
+    ch = np.floor((zones.column("lon_max").to_numpy() - grid.x0)
+                  / res).astype(np.int64)
+    rl = np.floor((grid.y1 - zones.column("lat_max").to_numpy())
+                  / res).astype(np.int64)
+    rh = np.floor((grid.y1 - zones.column("lat_min").to_numpy())
+                  / res).astype(np.int64)
+    cl = np.maximum(cl, 0)
+    rl = np.maximum(rl, 0)
+    ch = np.minimum(ch, grid.width - 1)
+    rh = np.minimum(rh, grid.height - 1)
+    zids = np.asarray(zones.column("zone_id").to_pylist(), dtype=object)
+    BIG = np.int64(1) << 62
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"zone_id": [], "n_px": [], "v_min": [], "min_y": [],
+               "min_x": [], "v_max": [], "max_y": [], "max_x": []}
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            tc0, tc1 = tx * chunk, min((tx + 1) * chunk, grid.width)
+            tr0, tr1 = ty * chunk, min((ty + 1) * chunk, grid.height)
+            hit = np.nonzero((cl < tc1) & (ch >= tc0)
+                             & (rl < tr1) & (rh >= tr0))[0]
+            if len(hit) == 0:
+                continue
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]),
+                                     chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk,
+                                                   chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            for i in hit:
+                c0 = max(int(cl[i]), tc0) - tc0
+                c1 = min(int(ch[i]) + 1, tc1) - tc0
+                r0 = max(int(rl[i]), tr0) - tr0
+                r1 = min(int(rh[i]) + 1, tr1) - tr0
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                m = mask[r0:r1, c0:c1]
+                if not m.any():
+                    continue
+                w = v[r0:r1, c0:c1]
+                lo = np.where(m, w, BIG)
+                hi = np.where(m, w, -BIG)
+                # row-major argmin/argmax = first hit = smallest (y, x)
+                fi = int(np.argmin(lo))
+                fa = int(np.argmax(hi))
+                h = c1 - c0
+                out["zone_id"].append(zids[i])
+                out["n_px"].append(int(m.sum()))
+                out["v_min"].append(int(lo.ravel()[fi]))
+                out["min_y"].append(tr0 + r0 + fi // h)
+                out["min_x"].append(tc0 + c0 + fi % h)
+                out["v_max"].append(int(hi.ravel()[fa]))
+                out["max_y"].append(tr0 + r0 + fa // h)
+                out["max_x"].append(tc0 + c0 + fa % h)
+        return pa.table({
+            "zone_id": pa.array(out["zone_id"], pa.string()),
+            "n_px": pa.array(out["n_px"], pa.int64()),
+            "v_min": pa.array(out["v_min"], pa.int64()),
+            "min_y": pa.array(out["min_y"], pa.int64()),
+            "min_x": pa.array(out["min_x"], pa.int64()),
+            "v_max": pa.array(out["v_max"], pa.int64()),
+            "max_y": pa.array(out["max_y"], pa.int64()),
+            "max_x": pa.array(out["max_x"], pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["min_x"].to_numpy(), g["min_y"].to_numpy(),
+                        g["v_min"].to_numpy()))[0]
+        a = np.lexsort((g["max_x"].to_numpy(), g["max_y"].to_numpy(),
+                        -g["v_max"].to_numpy()))[0]
+        return pd.DataFrame({
+            "zone_id": [g["zone_id"].iloc[0]],
+            "n_px": np.array([g["n_px"].sum()], np.int64),
+            "v_min": np.array([g["v_min"].iloc[o]], np.int64),
+            "min_y": np.array([g["min_y"].iloc[o]], np.int64),
+            "min_x": np.array([g["min_x"].iloc[o]], np.int64),
+            "v_max": np.array([g["v_max"].iloc[a]], np.int64),
+            "max_y": np.array([g["max_y"].iloc[a]], np.int64),
+            "max_x": np.array([g["max_x"].iloc[a]], np.int64),
+        })
+
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=64)
+    return partials.groupby("zone_id").map_groups(fold,
+                                                  batch_format="pandas")

@@ -803,3 +803,51 @@ def test_viewshed_partitioning_invariance(ray_session):
     b = (viewshed_stats(rd.from_items(rows).repartition(11), SRC)
          .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_zonal_extremes_matches_brute(ray_session):
+    """Zonal min/max + argmin/argmax locations vs brute replay (ties to
+    smallest (y, x) exercised by the coarse value grid)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.ops.zonal import zonal_extremes
+
+    rows, plane, valid = _random_mosaic(seed=71, p_absent=0.3)
+    res = SRC.res
+    zones = pa.table({
+        "zone_id": pa.array([f"z{i}" for i in range(5)], pa.string()),
+        "lon_min": pa.array([0.0, 0.1, 0.3, 0.55, 5.0], pa.float64()),
+        "lat_min": pa.array([0.8, 0.3, 0.5, 0.26, 5.0], pa.float64()),
+        "lon_max": pa.array([0.2, 0.2, 0.7, 0.74, 6.0], pa.float64()),
+        "lat_max": pa.array([1.0, 0.5, 0.6, 0.5, 6.0], pa.float64()),
+    })
+    got = (zonal_extremes(rd.from_items(rows).repartition(5), zones, SRC)
+           .to_pandas().sort_values("zone_id").reset_index(drop=True))
+    v = plane.astype(np.int64).sum(axis=2)
+    exp = []
+    for i in range(5):
+        c0 = max(int(np.floor((zones["lon_min"][i].as_py() - SRC.x0)
+                              / res)), 0)
+        c1 = min(int(np.floor((zones["lon_max"][i].as_py() - SRC.x0)
+                              / res)), SRC.width - 1)
+        r0 = max(int(np.floor((SRC.y1 - zones["lat_max"][i].as_py())
+                              / res)), 0)
+        r1 = min(int(np.floor((SRC.y1 - zones["lat_min"][i].as_py())
+                              / res)), SRC.height - 1)
+        if c1 < c0 or r1 < r0:
+            continue
+        cand = [(int(v[y, x]), y, x)
+                for y in range(r0, r1 + 1) for x in range(c0, c1 + 1)
+                if valid[y, x]]
+        if not cand:
+            continue
+        mn = min(cand)
+        mx = min((-d, y, x) for d, y, x in cand)
+        exp.append((f"z{i}", len(cand), mn[0], mn[1], mn[2],
+                    -mx[0], mx[1], mx[2]))
+    exp = (pd.DataFrame(exp, columns=["zone_id", "n_px", "v_min", "min_y",
+                                      "min_x", "v_max", "max_y", "max_x"])
+           .sort_values("zone_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(exp) >= 3
