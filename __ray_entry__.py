@@ -2845,6 +2845,19 @@ def _q_parts_kcore(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_parts_jaccard(sf_dir: str):
+    """Top co-purchase edges by neighborhood Jaccard: triangle supports
+    per edge (compact-forward wedges, packed-pair probes) over broadcast
+    dimension-bounded degrees."""
+    from raygeo.ops.graph import edge_jaccard
+    from raygeo.ops.relational import copurchase_pairs
+
+    edges = copurchase_pairs(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/lineitem.parquet", k=None,
+                             min_count=2)
+    return edge_jaccard(edges, "part_a", "part_b", k=20)
+
+
 def _q_customers_rfm(sf_dir: str):
     """RFM segmentation input: per customer recency/frequency/monetary —
     map-side partials, one keyed groupby, all-integer."""
@@ -3734,6 +3747,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_skyline": _q_parts_skyline,  # Pareto-front operator
         "parts_kcore": _q_parts_kcore,  # iterative k-core peel
         "events_kmv_overlap": _q_events_kmv_overlap,  # KMV set algebra
+        "parts_jaccard": _q_parts_jaccard,  # per-edge neighborhood Jaccard
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -6230,6 +6244,28 @@ SELECT ta AS key_a, tb AS key_b,
              // 64)::BIGINT
   END AS est_inter_x1000
 FROM st ORDER BY key_a, key_b
+""",
+        "parts_jaccard": """
+WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n
+        FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+e AS (SELECT pa, pb FROM cnt WHERE n >= 2),
+sym AS (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+common AS (
+  SELECT e.pa, e.pb, count(*) AS c
+  FROM e JOIN sym x ON x.s = e.pa JOIN sym y ON y.s = e.pb AND y.t = x.t
+  GROUP BY 1, 2
+)
+SELECT e.pa::BIGINT AS part_a, e.pb::BIGINT AS part_b,
+  COALESCE(c.c, 0)::BIGINT AS common,
+  (COALESCE(c.c, 0) * 1000000
+   // (da.deg + db.deg - COALESCE(c.c, 0)))::BIGINT AS jaccard_q6
+FROM e
+LEFT JOIN common c ON c.pa = e.pa AND c.pb = e.pb
+JOIN deg da ON da.s = e.pa
+JOIN deg db ON db.s = e.pb
+ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
 """,
         "parts_kcore": _kcore_sql(),
         "parts_skyline": """

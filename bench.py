@@ -228,6 +228,7 @@ def run_bench() -> dict:
         "emb_triplets",
         "emb_knn_accuracy",
         "mosaic_zonal_extremes",
+        "parts_jaccard",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -858,3 +858,205 @@ def kcore(edges_ds, a_col: str = "part_a", b_col: str = "part_b",
     raise RuntimeError(
         f"k-core peel did not converge in {max_rounds} rounds; raise "
         "max_rounds (oracle unroll depth must grow with it)")
+
+
+def edge_jaccard(edges_ds, a_col: str = "part_a", b_col: str = "part_b",
+                 k: int = 20, num_buckets: int | None = None):
+    """Neighborhood Jaccard similarity per EDGE — the "people also
+    bought" affinity: for each edge (a, b), J = |N(a)∩N(b)| /
+    |N(a)∪N(b)| with N(·) the co-purchase neighborhoods; common
+    neighbors are exactly the triangles through the edge, |N(a)∪N(b)| =
+    deg(a)+deg(b)−common. Returns the top-``k`` edges by the exact
+    integer ``jaccard_q6 = common·10⁶ // (deg_a+deg_b−common)`` (ties →
+    (part_a, part_b)).
+
+    Same wedge/close plan as :func:`triangle_counts` (compact-forward,
+    coarse buckets, packed-pair probes), but the closing match emits the
+    triangle's THREE edge keys and folds per edge. Degrees broadcast as
+    one sorted array — the graph's nodes are a bounded DIMENSION (the
+    part catalog; for grows-with-data graphs use triangle_counts' LUT
+    attach). Node ids must be in [0, 2^31).
+    """
+    import ray
+
+    from ..util import cluster_cpus
+
+    nb = num_buckets or max(8, 2 * cluster_cpus())
+    edges_ds = edges_ds.select_columns([a_col, b_col]).materialize()
+
+    def explode_endpoints(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy().astype(np.int64)
+        b = t.column(b_col).to_numpy().astype(np.int64)
+        n = np.concatenate([a, b])
+        return pa.table({"pk": pa.array(n % nb, pa.int64()),
+                         "node": pa.array(n, pa.int64())})
+
+    def deg_fold(g: pa.Table) -> pa.Table:
+        u, c = np.unique(g.column("node").to_numpy(), return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())})
+
+    deg_df = (edges_ds.map_batches(explode_endpoints,
+                                   batch_format="pyarrow",
+                                   batch_size=65536)
+              .groupby("pk").map_groups(deg_fold, batch_format="pyarrow")
+              .to_pandas())  # dimension-bounded
+    dn = deg_df["node"].to_numpy(np.int64)
+    dd = deg_df["deg"].to_numpy(np.int64)
+    order = np.argsort(dn)
+    deg_ref = ray.put((dn[order], dd[order]))
+
+    def _deg_of(nodes: np.ndarray) -> np.ndarray:
+        n, d = ray.get(deg_ref)
+        return d[np.searchsorted(n, nodes)]
+
+    def _pair_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if len(x) and (min(int(x.min()), int(y.min())) < 0
+                       or max(int(x.max()), int(y.max())) >= 1 << 31):
+            raise RuntimeError("edge_jaccard: node ids must be in "
+                               "[0, 2^31) for the packed pair probe")
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return (lo << np.int64(32)) | hi
+
+    def orient_wedge_key(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy().astype(np.int64)
+        b = t.column(b_col).to_numpy().astype(np.int64)
+        da = _deg_of(a)
+        db = _deg_of(b)
+        fwd = (da < db) | ((da == db) & (a < b))
+        s = np.where(fwd, a, b)
+        d = np.where(fwd, b, a)
+        return pa.table({"pk": pa.array(s % nb, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "t": pa.array(d, pa.int64())})
+
+    def wedges(g: pa.Table) -> pa.Table:
+        s = g.column("s").to_numpy()
+        t_ = g.column("t").to_numpy()
+        order = np.argsort(s, kind="stable")
+        s, t_ = s[order], t_[order]
+        cut = np.ones(len(s), bool)
+        cut[1:] = s[1:] != s[:-1]
+        starts = np.nonzero(cut)[0]
+        ends = np.append(starts[1:], len(s))
+        us, vs, ws = [], [], []
+        for st, en in zip(starts, ends):
+            nbrs = t_[st:en]
+            if len(nbrs) < 2:
+                continue
+            iu, iv = np.triu_indices(len(nbrs), k=1)
+            us.append(np.full(len(iu), s[st], np.int64))
+            vs.append(nbrs[iu])
+            ws.append(nbrs[iv])
+        if not us:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "u": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        u, v, w = (np.concatenate(x) for x in (us, vs, ws))
+        key = _pair_key(v, w)
+        return pa.table({"pk": pa.array(key % nb, pa.int64()),
+                         "side": pa.array(np.zeros(len(u), np.int8),
+                                          pa.int8()),
+                         "u": pa.array(u, pa.int64()),
+                         "key": pa.array(key, pa.int64())})
+
+    def key_edge_set(t: pa.Table) -> pa.Table:
+        key = _pair_key(t.column(a_col).to_numpy().astype(np.int64),
+                        t.column(b_col).to_numpy().astype(np.int64))
+        return pa.table({"pk": pa.array(key % nb, pa.int64()),
+                         "side": pa.array(np.ones(len(key), np.int8),
+                                          pa.int8()),
+                         "u": pa.array(np.zeros(len(key), np.int64),
+                                       pa.int64()),
+                         "key": pa.array(key, pa.int64())})
+
+    def close_support(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        key = g.column("key").to_numpy()
+        lut = np.sort(key[side == 1])
+        c = np.nonzero(side == 0)[0]
+        if len(c) == 0 or len(lut) == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ck = key[c]
+        pos = np.searchsorted(lut, ck)
+        pos[pos >= len(lut)] = len(lut) - 1
+        hit = lut[pos] == ck
+        if not hit.any():
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        hc = c[hit]
+        u = g.column("u").to_numpy()[hc]
+        kk = key[hc]
+        v = (kk >> np.int64(32)).astype(np.int64)
+        w = (kk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        # the triangle (u, v, w) supports ALL THREE of its edges
+        e = np.concatenate([_pair_key(u, v), _pair_key(u, w), kk])
+        ek, ec = np.unique(e, return_counts=True)
+        return pa.table({"pk": pa.array(ek % nb, pa.int64()),
+                         "key": pa.array(ek, pa.int64()),
+                         "n": pa.array(ec.astype(np.int64), pa.int64())})
+
+    oriented = edges_ds.map_batches(orient_wedge_key,
+                                    batch_format="pyarrow",
+                                    batch_size=65536)
+    wedge_rows = oriented.groupby("pk").map_groups(
+        wedges, batch_format="pyarrow")
+    closing = (wedge_rows
+               .union(edges_ds.map_batches(key_edge_set,
+                                           batch_format="pyarrow",
+                                           batch_size=65536))
+               .groupby("pk").map_groups(close_support,
+                                         batch_format="pyarrow"))
+
+    def sup_fold(g: pa.Table) -> pa.Table:
+        kk = g.column("key").to_numpy()
+        nn_ = g.column("n").to_numpy()
+        uk, inv = np.unique(kk, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, nn_)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "n": pa.array(s, pa.int64())})
+
+    support = (closing.groupby("pk")
+               .map_groups(sup_fold, batch_format="pyarrow")
+               .to_pandas())  # <= one row per edge IN a triangle
+    s_sorted = support.sort_values("key")
+    sup_ref = ray.put((s_sorted["key"].to_numpy(np.int64),
+                       s_sorted["n"].to_numpy(np.int64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy().astype(np.int64)
+        b = t.column(b_col).to_numpy().astype(np.int64)
+        if not len(a):
+            return pa.table({"part_a": pa.array([], pa.int64()),
+                             "part_b": pa.array([], pa.int64()),
+                             "common": pa.array([], pa.int64()),
+                             "jaccard_q6": pa.array([], pa.int64())})
+        key = _pair_key(a, b)
+        sk, sn = ray.get(sup_ref)
+        pos = np.searchsorted(sk, key)
+        pos_c = np.clip(pos, 0, max(len(sk) - 1, 0))
+        common = np.where(
+            (len(sk) > 0) & (sk[pos_c] == key), sn[pos_c], 0) \
+            if len(sk) else np.zeros(len(key), np.int64)
+        da = _deg_of(a)
+        db = _deg_of(b)
+        un = da + db - common
+        jq6 = np.where(un > 0, common * 1_000_000 // np.maximum(un, 1), 0)
+        return pa.table({"part_a": pa.array(np.minimum(a, b), pa.int64()),
+                         "part_b": pa.array(np.maximum(a, b), pa.int64()),
+                         "common": pa.array(common.astype(np.int64),
+                                            pa.int64()),
+                         "jaccard_q6": pa.array(jq6.astype(np.int64),
+                                                pa.int64())})
+
+    return (edges_ds.map_batches(score, batch_format="pyarrow",
+                                 batch_size=65536)
+            .sort(["jaccard_q6", "part_a", "part_b"],
+                  descending=[True, False, False])
+            .limit(k))

@@ -116,3 +116,33 @@ def test_bucketed_fold_multi_column_key(ray_session):
             .astype(np.int64).sort_values(["a", "b"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_edge_jaccard_matches_brute(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.graph import edge_jaccard
+
+    rng = np.random.Generator(np.random.PCG64(73))
+    n_nodes, n_edges = 40, 120
+    raw = {tuple(sorted(p)) for p in
+           rng.integers(0, n_nodes, size=(n_edges, 2)) if p[0] != p[1]}
+    edges = sorted(raw)
+    df = pd.DataFrame({"part_a": [a for a, _ in edges],
+                       "part_b": [b for _, b in edges]})
+    got = (edge_jaccard(rd.from_pandas(df).repartition(5), k=15)
+           .to_pandas().reset_index(drop=True))
+
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    rows = []
+    for a, b in edges:
+        common = len(nbrs[a] & nbrs[b])
+        union = len(nbrs[a]) + len(nbrs[b]) - common
+        rows.append((a, b, common, common * 1_000_000 // union))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = rows[:15]
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+    assert exp[0][2] > 0
