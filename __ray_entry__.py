@@ -3323,6 +3323,16 @@ def _q_images_export_webdataset(sf_dir: str):
         "shard").reset_index(drop=True)
 
 
+def _q_docs_pmi(sf_dir: str):
+    """Collocations by exact integer lift (PMI numerator): bigram and
+    unigram map-side folds, vocabulary-bounded unigram table broadcast
+    for scoring, bounded top-k."""
+    from raygeo.ops.corpus import pmi_collocations
+
+    return pmi_collocations(_rpq(f"{sf_dir}/documents.parquet",
+                                 columns=["text"]), k=20, min_count=3)
+
+
 def _q_docs_bigrams(sf_dir: str):
     """Corpus bigram count table (n-gram LM input): Counter partials,
     one keyed groupby, bounded top-k."""
@@ -3748,6 +3758,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_kcore": _q_parts_kcore,  # iterative k-core peel
         "events_kmv_overlap": _q_events_kmv_overlap,  # KMV set algebra
         "parts_jaccard": _q_parts_jaccard,  # per-edge neighborhood Jaccard
+        "docs_pmi": _q_docs_pmi,  # collocations by integer lift
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -6718,6 +6729,32 @@ SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
        coalesce(s.bits + s.cterm, 0) AS dsir_score
 FROM (SELECT doc_id FROM toks WHERE doc_id % 9 <> 0) t
 LEFT JOIN scored s USING (doc_id)
+""",
+        "docs_pmi": """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[0-9a-z_]+') AS l FROM documents
+),
+bg AS (
+  SELECT l[i.i + 1] AS w1, l[i.i + 2] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(l) - 1, 0))) AS i) i
+),
+pairs AS (
+  SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bg
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+    FROM documents) GROUP BY 1
+),
+nt AS (SELECT sum(c)::BIGINT AS n_tok FROM uni)
+SELECT p.w1, p.w2, p.n_pair,
+  ((p.n_pair::HUGEINT * nt.n_tok * 1000000)
+   // (ua.c::HUGEINT * ub.c))::BIGINT AS lift_q6
+FROM pairs p, nt
+JOIN uni ua ON ua.w = p.w1
+JOIN uni ub ON ub.w = p.w2
+ORDER BY lift_q6 DESC, w1, w2 LIMIT 20
 """,
         "docs_bigrams": """
 WITH toks AS (

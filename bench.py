@@ -229,6 +229,7 @@ def run_bench() -> dict:
         "emb_knn_accuracy",
         "mosaic_zonal_extremes",
         "parts_jaccard",
+        "docs_pmi",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

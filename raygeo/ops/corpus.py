@@ -1587,3 +1587,87 @@ def span_scrub(docs_ds, n: int = 8, bench_mod: int = 7,
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas", batch_size=4096, num_cpus=1)
+
+
+def pmi_collocations(docs_ds, k: int = 20, min_count: int = 3,
+                     text_col: str = "text"):
+    """Collocation mining by exact integer lift (the PMI numerator): for
+    every corpus bigram with count ≥ ``min_count``,
+    ``lift_q6 = floor(c_ab · N_tok · 10⁶ / (c_a · c_b))`` where c_a/c_b
+    are corpus token counts and N_tok the total token count — the
+    association-rules shape (``parts_rules``) applied to adjacent word
+    pairs; top-``k`` by (lift desc, w1, w2).
+
+    Bigram and unigram count tables both fold map-side (one row per
+    distinct gram per batch), then the lift scoring joins the bigram
+    stream against the VOCABULARY-BOUNDED unigram table broadcast once
+    as sorted arrays (the ``docs_lm_score`` model-table contract — at
+    open-vocabulary scale the same score runs as two partitioned hash
+    joins; the bounded path is the one this corpus family uses).
+    """
+    import ray
+
+    from ..util import bucketed_sum
+
+    bi = bucketed_sum(
+        docs_ds.select_columns([text_col]).map_batches(
+            _BigramPartial(text_col), batch_format="pandas",
+            batch_size=512, num_cpus=1),
+        ["w1", "w2"], "n").materialize()
+
+    class _UniPartial:
+        def __init__(self):
+            self.tok = re.compile(LOWER_TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+            c: Counter = Counter()
+            for t in df[text_col]:
+                c.update(self.tok.findall(t.lower()))
+            if not c:
+                return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                     "n": pd.Series([], dtype="int64")})
+            ws, ns = zip(*sorted(c.items()))
+            return pd.DataFrame({"w": list(ws),
+                                 "n": np.asarray(ns, np.int64)})
+
+    uni = bucketed_sum(
+        docs_ds.select_columns([text_col]).map_batches(
+            _UniPartial(), batch_format="pandas",
+            batch_size=512, num_cpus=1),
+        "w", "n").to_pandas()  # vocabulary-bounded
+    if uni.empty:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "n_pair": pa.array([], pa.int64()),
+                         "lift_q6": pa.array([], pa.int64())})
+    uni = uni.sort_values("w")
+    n_tok = int(uni["n"].sum())
+    u_ref = ray.put((uni["w"].to_numpy(object),
+                     uni["n"].to_numpy(np.int64), n_tok))
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        keep = n >= min_count
+        if not keep.any():
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_pair": pa.array([], pa.int64()),
+                             "lift_q6": pa.array([], pa.int64())})
+        w1 = np.asarray(t.column("w1").to_pylist(), object)[keep]
+        w2 = np.asarray(t.column("w2").to_pylist(), object)[keep]
+        n = n[keep]
+        vw, vn, nt = ray.get(u_ref)
+        ca = vn[np.searchsorted(vw, w1)]
+        cb = vn[np.searchsorted(vw, w2)]
+        lift = n * nt * 1_000_000 // (ca * cb)
+        return pa.table({"w1": pa.array(w1.tolist(), pa.string()),
+                         "w2": pa.array(w2.tolist(), pa.string()),
+                         "n_pair": pa.array(n, pa.int64()),
+                         "lift_q6": pa.array(lift.astype(np.int64),
+                                             pa.int64())})
+
+    return (bi.map_batches(score, batch_format="pyarrow",
+                           batch_size=65536)
+            .sort(["lift_q6", "w1", "w2"], descending=[True, False, False])
+            .limit(k))

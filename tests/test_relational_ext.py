@@ -2207,3 +2207,34 @@ def test_nn_label_accuracy_matches_serial(ray_session):
     exp = [(k, per[k][0], per[k][1], per[k][1] * 1_000_000 // per[k][0])
            for k in sorted(per)]
     assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_pmi_collocations_matches_serial(ray_session):
+    import re as _re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raygeo.ops.corpus import pmi_collocations
+
+    rng = np.random.Generator(np.random.PCG64(83))
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+            for _ in range(60)]
+    df = pd.DataFrame({"text": docs})
+    got = (pmi_collocations(rd.from_pandas(df).repartition(5),
+                            k=10, min_count=3)
+           .to_pandas().reset_index(drop=True))
+
+    tok = _re.compile(r"[0-9a-z_]+")
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in docs:
+        ws = tok.findall(t.lower())
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    nt = sum(uni.values())
+    rows = [(w1, w2, n, n * nt * 1_000_000 // (uni[w1] * uni[w2]))
+            for (w1, w2), n in bi.items() if n >= 3]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert list(map(tuple, got.itertuples(index=False))) == rows[:10]
