@@ -3323,6 +3323,16 @@ def _q_images_export_webdataset(sf_dir: str):
         "shard").reset_index(drop=True)
 
 
+def _q_docs_freq_of_freqs(sf_dir: str):
+    """Good-Turing N_r table: vocabulary fold, then a count-of-counts
+    fold (domain bounded by the vocabulary; the synthetic corpus's small
+    vocab makes every word frequent, so no smoothing-region cap here)."""
+    from raygeo.ops.corpus import freq_of_freqs
+
+    return freq_of_freqs(_rpq(f"{sf_dir}/documents.parquet",
+                              columns=["text"]), max_r=1 << 60)
+
+
 def _q_docs_pmi(sf_dir: str):
     """Collocations by exact integer lift (PMI numerator): bigram and
     unigram map-side folds, vocabulary-bounded unigram table broadcast
@@ -3759,6 +3769,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_overlap": _q_events_kmv_overlap,  # KMV set algebra
         "parts_jaccard": _q_parts_jaccard,  # per-edge neighborhood Jaccard
         "docs_pmi": _q_docs_pmi,  # collocations by integer lift
+        "docs_freq_of_freqs": _q_docs_freq_of_freqs,  # Good-Turing N_r
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -6729,6 +6740,15 @@ SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
        coalesce(s.bits + s.cterm, 0) AS dsir_score
 FROM (SELECT doc_id FROM toks WHERE doc_id % 9 <> 0) t
 LEFT JOIN scored s USING (doc_id)
+""",
+        "docs_freq_of_freqs": """
+WITH uni AS (
+  SELECT w, count(*)::BIGINT AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+    FROM documents) GROUP BY 1
+)
+SELECT c AS freq, count(*)::BIGINT AS n_words
+FROM uni GROUP BY 1 ORDER BY 1
 """,
         "docs_pmi": """
 WITH toks AS (

@@ -230,6 +230,7 @@ def run_bench() -> dict:
         "mosaic_zonal_extremes",
         "parts_jaccard",
         "docs_pmi",
+        "docs_freq_of_freqs",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1671,3 +1671,59 @@ def pmi_collocations(docs_ds, k: int = 20, min_count: int = 3,
                            batch_size=65536)
             .sort(["lift_q6", "w1", "w2"], descending=[True, False, False])
             .limit(k))
+
+
+def freq_of_freqs(docs_ds, max_r: int = 10, text_col: str = "text"):
+    """Good-Turing frequency-of-frequencies table: N_r = how many
+    vocabulary words occur exactly r times in the corpus (r ≤ ``max_r``,
+    the smoothing region; the N_1/N ratio is the Good-Turing unseen-mass
+    estimate and the singleton/doubleton counts drive Heaps/Zipf
+    diagnostics and vocabulary-pruning decisions).
+
+    Two chained bounded folds: unigram counts fold map-side into the
+    coarse-bucket vocabulary fold (same plan as every corpus count), then
+    the count-of-counts is a SECOND fold whose domain is r ≤ max_r — a
+    fixed-size histogram regardless of corpus or vocabulary size.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_sum
+
+    class _UniPartial:
+        def __init__(self):
+            self.tok = re.compile(LOWER_TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+            c: Counter = Counter()
+            for t in df[text_col]:
+                c.update(self.tok.findall(t.lower()))
+            if not c:
+                return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                     "n": pd.Series([], dtype="int64")})
+            ws, ns = zip(*sorted(c.items()))
+            return pd.DataFrame({"w": list(ws),
+                                 "n": np.asarray(ns, np.int64)})
+
+    uni = bucketed_sum(
+        docs_ds.select_columns([text_col]).map_batches(
+            _UniPartial(), batch_format="pandas",
+            batch_size=512, num_cpus=1),
+        "w", "n")
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        n = n[n <= max_r]
+        if not len(n):
+            return pa.table({"freq": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64())})
+        r, c = np.unique(n, return_counts=True)
+        return pa.table({"freq": pa.array(r, pa.int64()),
+                         "n_words": pa.array(c.astype(np.int64),
+                                             pa.int64())})
+
+    return (uni.map_batches(cc_partial, batch_format="pyarrow",
+                            batch_size=65536)
+            .groupby("freq")
+            .aggregate(Sum("n_words", alias_name="n_words"))
+            .sort("freq"))

@@ -2238,3 +2238,29 @@ def test_pmi_collocations_matches_serial(ray_session):
             for (w1, w2), n in bi.items() if n >= 3]
     rows.sort(key=lambda r: (-r[3], r[0], r[1]))
     assert list(map(tuple, got.itertuples(index=False))) == rows[:10]
+
+
+def test_freq_of_freqs_matches_serial(ray_session):
+    import re as _re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raygeo.ops.corpus import freq_of_freqs
+
+    rng = np.random.Generator(np.random.PCG64(89))
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(1, 15),
+                                p=None))
+            for _ in range(40)]
+    df = pd.DataFrame({"text": docs})
+    got = (freq_of_freqs(rd.from_pandas(df).repartition(5), max_r=5)
+           .to_pandas().reset_index(drop=True))
+
+    tok = _re.compile(r"[0-9a-z_]+")
+    uni: Counter = Counter()
+    for t in docs:
+        uni.update(tok.findall(t.lower()))
+    cc: Counter = Counter(v for v in uni.values() if v <= 5)
+    exp = sorted(cc.items())
+    assert list(map(tuple, got.itertuples(index=False))) == exp
