@@ -2858,6 +2858,16 @@ def _q_parts_jaccard(sf_dir: str):
     return edge_jaccard(edges, "part_a", "part_b", k=20)
 
 
+def _q_customer_order_gaps(sf_dir: str):
+    """Repeat-purchase interval stats (the LAG window decorrelated into
+    one coarse-bucket fold; per-customer sort vectorized in-bucket)."""
+    from raygeo.ops.relational import customer_order_gaps
+
+    return customer_order_gaps(
+        _rpq(f"{sf_dir}/orders.parquet",
+             columns=["o_custkey", "o_orderdate", "o_orderkey"]))
+
+
 def _q_customers_rfm(sf_dir: str):
     """RFM segmentation input: per customer recency/frequency/monetary —
     map-side partials, one keyed groupby, all-integer."""
@@ -3770,6 +3780,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_jaccard": _q_parts_jaccard,  # per-edge neighborhood Jaccard
         "docs_pmi": _q_docs_pmi,  # collocations by integer lift
         "docs_freq_of_freqs": _q_docs_freq_of_freqs,  # Good-Turing N_r
+        "customer_order_gaps": _q_customer_order_gaps,  # LAG gap stats
         "events_top_users_hourly": _q_events_top_users_hourly,  # hour topk
         "orders_p90": _q_orders_p90,  # interpolated percentile_cont
         "docs_context_windows": _q_docs_context_windows,  # LLM chunker
@@ -6740,6 +6751,25 @@ SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
        coalesce(s.bits + s.cterm, 0) AS dsir_score
 FROM (SELECT doc_id FROM toks WHERE doc_id % 9 <> 0) t
 LEFT JOIN scored s USING (doc_id)
+""",
+        "customer_order_gaps": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+    epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+    day - lag(day) OVER (PARTITION BY o_custkey
+                         ORDER BY day, o_orderkey) AS gap
+  FROM o
+)
+SELECT o_custkey::BIGINT AS c_custkey,
+  (count(gap) + 1)::BIGINT AS n_orders,
+  min(gap)::BIGINT AS min_gap,
+  max(gap)::BIGINT AS max_gap,
+  sum(gap)::BIGINT AS sum_gap
+FROM g GROUP BY 1 HAVING count(gap) > 0
 """,
         "docs_freq_of_freqs": """
 WITH uni AS (

@@ -231,6 +231,7 @@ def run_bench() -> dict:
         "parts_jaccard",
         "docs_pmi",
         "docs_freq_of_freqs",
+        "customer_order_gaps",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -3792,3 +3792,55 @@ def association_rules(lineitem_ds, lineitem_path: str, k: int = 20,
     return pa.table({c: pa.array(cand[c].to_numpy(np.int64), pa.int64())
                      for c in ("part_a", "part_b", "n_orders",
                                "lift_1e6")})
+
+
+def customer_order_gaps(orders_ds):
+    """Repeat-purchase interval statistics per customer: for customers
+    with ≥ 2 orders, the min/max/total gap in DAYS between consecutive
+    orders (ordered by (o_orderdate, o_orderkey) — the LAG window shape,
+    decorrelated into ONE coarse-bucket fold on the customer key; the
+    per-customer sort runs vectorized inside the bucket, order rows
+    shuffle exactly once)."""
+    from ..util import bucketed_fold
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = (t.column("o_orderdate").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        return pa.table({
+            "cust": t.column("o_custkey").cast(pa.int64()),
+            "day": pa.array(ts // 86_400_000_000, pa.int64()),
+            "okey": t.column("o_orderkey").cast(pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g["cust"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        okey = g["okey"].to_numpy(np.int64)
+        order = np.lexsort((okey, day, cust))
+        cust, day = cust[order], day[order]
+        same = np.zeros(len(cust), bool)
+        same[1:] = cust[1:] == cust[:-1]
+        gaps = np.where(same, day - np.roll(day, 1), 0)[same]
+        gc = cust[same]
+        if not len(gc):
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "n_orders": pd.Series([], dtype="int64"),
+                                 "min_gap": pd.Series([], dtype="int64"),
+                                 "max_gap": pd.Series([], dtype="int64"),
+                                 "sum_gap": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"c": gc, "g": gaps})
+        agg = df.groupby("c", sort=True)["g"].agg(["count", "min", "max",
+                                                   "sum"]).reset_index()
+        return pd.DataFrame({
+            "c_custkey": agg["c"].to_numpy(np.int64),
+            "n_orders": (agg["count"] + 1).to_numpy(np.int64),
+            "min_gap": agg["min"].to_numpy(np.int64),
+            "max_gap": agg["max"].to_numpy(np.int64),
+            "sum_gap": agg["sum"].to_numpy(np.int64),
+        })
+
+    return bucketed_fold(
+        orders_ds.select_columns(["o_custkey", "o_orderdate",
+                                  "o_orderkey"])
+        .map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        "cust", fold)

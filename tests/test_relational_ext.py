@@ -2264,3 +2264,37 @@ def test_freq_of_freqs_matches_serial(ray_session):
     cc: Counter = Counter(v for v in uni.values() if v <= 5)
     exp = sorted(cc.items())
     assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_customer_order_gaps_matches_serial(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.relational import customer_order_gaps
+
+    rng = np.random.Generator(np.random.PCG64(97))
+    n = 400
+    custs = rng.integers(1, 60, n)
+    days = rng.integers(0, 365, n)
+    df = pd.DataFrame({
+        "o_custkey": custs.astype(np.int64),
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_orderdate": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(days, unit="D"),
+    })
+    got = (customer_order_gaps(rd.from_pandas(df).repartition(6))
+           .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+
+    exp = []
+    for c in sorted(set(custs)):
+        sel = df[df["o_custkey"] == c].sort_values(
+            ["o_orderdate", "o_orderkey"])
+        d = (sel["o_orderdate"].astype("int64")
+             // 86_400_000_000_000).to_numpy()
+        if len(d) < 2:
+            continue
+        gaps = np.diff(d)
+        exp.append((c, len(d), int(gaps.min()), int(gaps.max()),
+                    int(gaps.sum())))
+    exp = pd.DataFrame(exp, columns=["c_custkey", "n_orders", "min_gap",
+                                     "max_gap", "sum_gap"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
