@@ -3214,6 +3214,15 @@ def _q_emb_kcenter(sf_dir: str):
                                columns=["vec_id", "embedding"]), k=4)
 
 
+def _q_emb_dim_quantiles(sf_dir: str):
+    """Per-dimension exact p50/p90 on the 1e-2 quantization grid:
+    (dim, qv) histogram fold, per-dim cumulative read."""
+    from raygeo.ops.ann import dim_quantiles
+
+    return dim_quantiles(_rpq(f"{sf_dir}/embeddings.parquet",
+                              columns=["embedding"]))
+
+
 def _q_emb_knn_accuracy(sf_dir: str):
     """Leave-one-out 1-NN label accuracy per label: nn_all streaming pass
     + two partitioned hash joins + label-bounded fold."""
@@ -3771,6 +3780,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_nn_all": _q_emb_nn_all,  # exact 1-NN self-join
         "emb_triplets": _q_emb_triplets,  # hard-triplet mining
         "emb_knn_accuracy": _q_emb_knn_accuracy,  # LOO 1-NN label acc
+        "emb_dim_quantiles": _q_emb_dim_quantiles,  # per-dim p50/p90
         "events_mad_outliers": _q_events_mad_outliers,  # median/MAD gate
         "events_export_hive": _q_events_export_hive,  # native hive sink
         "events_value_trend": _q_events_value_trend,  # integer OLS moments
@@ -6459,6 +6469,18 @@ FROM s0
 UNION ALL SELECT 1, vec_id, dist::BIGINT FROM s1
 UNION ALL SELECT 2, vec_id, dist::BIGINT FROM s2
 UNION ALL SELECT 3, vec_id, dist::BIGINT FROM s3
+""",
+        "emb_dim_quantiles": """
+WITH q AS (
+  SELECT d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 100 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+)
+SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+  quantile_disc(qv, 0.5)::BIGINT AS p50_q2,
+  quantile_disc(qv, 0.9)::BIGINT AS p90_q2
+FROM q GROUP BY 1 ORDER BY 1
 """,
         "emb_knn_accuracy": """
 WITH q AS (

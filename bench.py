@@ -232,6 +232,7 @@ def run_bench() -> dict:
         "docs_pmi",
         "docs_freq_of_freqs",
         "customer_order_gaps",
+        "emb_dim_quantiles",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1576,3 +1576,57 @@ def nn_label_accuracy(ds, vec_col: str = "embedding",
             (agg["n_correct"].astype(np.int64) * 1_000_000
              // agg["n"].astype(np.int64)), pa.int64()),
     })
+
+
+def dim_quantiles(ds, vec_col: str = "embedding", quant: float = 100.0):
+    """Per-dimension exact discrete quantiles (p50/p90, DuckDB
+    ``quantile_disc`` semantics: 1-indexed rank ⌈p·n⌉) of the embedding
+    table on a fixed quantization grid (``floor(x·quant + 0.5)`` — the
+    robust-scaler fit statistics for embedding normalization).
+
+    Value domain is grid-bounded, so the whole op is one (dim, qv)
+    histogram fold (map-side partials, coarse-bucket fold on dim) and a
+    per-dim cumulative read — pixels^0 data on the driver, shuffle
+    bounded by d × grid values. Output: (dim, n, p50_q2, p90_q2).
+    """
+    import pandas as pd
+
+    from ..util import bucketed_fold
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm = _quantized_matrix(t.column(vec_col), quant)
+        if not qm.size:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        d = qm.shape[1]
+        dims = np.repeat(np.arange(d, dtype=np.int64), qm.shape[0])
+        key = dims * (1 << 32) + (qm.T.ravel() + (1 << 31))
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "dim": pa.array(uk >> 32, pa.int64()),
+            "qv": pa.array((uk & 0xFFFFFFFF) - (1 << 31), pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"dim": [], "n": [], "p50_q2": [], "p90_q2": []}
+        for dim, gg in g.groupby("dim", sort=True):
+            s = (gg.groupby("qv", sort=False)["cnt"].sum().reset_index()
+                 .sort_values("qv"))
+            n = int(s["cnt"].sum())
+            cum = s["cnt"].cumsum().to_numpy()
+            vals = s["qv"].to_numpy(np.int64)
+            r50 = (n + 1) // 2            # ceil(n/2)
+            r90 = (9 * n + 9) // 10       # ceil(9n/10)
+            out["dim"].append(int(dim))
+            out["n"].append(n)
+            out["p50_q2"].append(int(vals[np.searchsorted(cum, r50)]))
+            out["p90_q2"].append(int(vals[np.searchsorted(cum, r90)]))
+        return pd.DataFrame({k: np.asarray(v, np.int64)
+                             for k, v in out.items()})
+
+    return bucketed_fold(
+        ds.select_columns([vec_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=4096),
+        "dim", fold).sort("dim")

@@ -2298,3 +2298,25 @@ def test_customer_order_gaps_matches_serial(ray_session):
     exp = pd.DataFrame(exp, columns=["c_custkey", "n_orders", "min_gap",
                                      "max_gap", "sum_gap"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dim_quantiles_matches_serial(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.ann import dim_quantiles
+
+    rng = np.random.Generator(np.random.PCG64(101))
+    n, d = 257, 6  # odd n exercises both rank formulas
+    vecs = rng.normal(scale=0.3, size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"embedding": [v for v in vecs]})
+    got = (dim_quantiles(rd.from_pandas(df).repartition(5))
+           .to_pandas().reset_index(drop=True))
+
+    q = np.floor(vecs.astype(np.float64) * 100 + 0.5).astype(np.int64)
+    exp = []
+    for j in range(d):
+        s = np.sort(q[:, j])
+        r50 = (n + 1) // 2
+        r90 = (9 * n + 9) // 10
+        exp.append((j, n, int(s[r50 - 1]), int(s[r90 - 1])))
+    assert list(map(tuple, got.itertuples(index=False))) == exp
