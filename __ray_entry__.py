@@ -3853,6 +3853,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_auc": _q_events_auc,  # exact rank-statistic ROC-AUC
         "events_changepoint": _q_events_changepoint,  # integer CUSUM split
         "emb_mmd": _q_emb_mmd,  # polynomial-kernel two-sample MMD²
+        # round-4 session-13 wave
+        "parts_hops": _q_parts_hops,  # level-synchronous multi-source BFS
     }
 
 
@@ -3942,6 +3944,47 @@ reach(id, r) AS (
   SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
 )
 """
+
+
+def _q_parts_hops(sf_dir: str):
+    """Multi-source BFS hop distance (seeds = part % 199 == 0) over the
+    >=2-order co-purchase graph: level-synchronous frontier rounds, the
+    frontier/reached sets broadcast under cap (else partitioned joins);
+    only round counts reach the driver."""
+    from raygeo.ops.graph import bfs_hops
+    from raygeo.ops.relational import copurchase_pairs
+
+    edges = copurchase_pairs(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/lineitem.parquet", k=None,
+                             min_count=2)
+    return (bfs_hops(edges, "part_a", "part_b", seed_mod=199, max_hops=4)
+            .rename_columns({"node": "part"}))
+
+
+def _bfs_sql(seed_mod: int = 199, max_hops: int = 4,
+             min_count: int = 2) -> str:
+    """Recursive-CTE BFS oracle over the same co-purchase edge set as
+    :func:`_kcore_sql`: UNION-dedup on (node, d) bounds the recursion at
+    depth ``max_hops``; MIN(d) per node is the hop distance."""
+    return f"""
+WITH RECURSIVE dp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS n
+  FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+e0 AS MATERIALIZED (
+  SELECT pa AS s, pb AS t FROM cnt WHERE n >= {min_count}
+  UNION ALL SELECT pb, pa FROM cnt WHERE n >= {min_count}),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT s FROM e0 WHERE s % {seed_mod} = 0),
+r AS (
+  SELECT s AS node, 0 AS d FROM seeds
+  UNION
+  SELECT e.t, r.d + 1 FROM r JOIN e0 e ON e.s = r.node
+  WHERE r.d < {max_hops}
+)
+SELECT node::BIGINT AS part, MIN(d)::BIGINT AS hops
+FROM r GROUP BY node ORDER BY part"""
 
 
 def _kcore_sql(k: int = 2, rounds: int = 8, min_count: int = 2) -> str:
@@ -6311,6 +6354,7 @@ JOIN deg db ON db.s = e.pb
 ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
 """,
         "parts_kcore": _kcore_sql(),
+        "parts_hops": _bfs_sql(),
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

@@ -1060,3 +1060,157 @@ def edge_jaccard(edges_ds, a_col: str = "part_a", b_col: str = "part_b",
             .sort(["jaccard_q6", "part_a", "part_b"],
                   descending=[True, False, False])
             .limit(k))
+
+
+def bfs_hops(edges_ds, a_col: str = "part_a", b_col: str = "part_b",
+             seed_mod: int = 199, max_hops: int = 4,
+             broadcast_cap: int = 2_000_000,
+             num_partitions: int | None = None):
+    """Multi-source BFS hop distance over an undirected int64 edge
+    Dataset: seeds are the graph nodes ``node % seed_mod == 0`` and every
+    node within ``max_hops`` edges of any seed gets its exact minimum hop
+    count. Returns a Dataset (node:int64, hops:int64) sorted by node —
+    the reachability/expansion primitive behind "products within k
+    co-purchase steps of the promoted set" style queries (and the
+    level-synchronous-BFS shape of Pregel engines).
+
+    Dataset-resident frontier rounds (the :func:`kcore` discipline): the
+    symmetric edge set stays distributed; each round expands the current
+    frontier through one pass over the edges (frontier ids ``ray.put``
+    once per round when they fit ``broadcast_cap``, else a partitioned
+    hash semi-join), dedups the neighbor set with one coarse-bucket fold,
+    and anti-joins the already-reached set (broadcast under the same cap,
+    else a partitioned left-outer + null filter). Only frontier COUNTS
+    reach the driver; at web scale both sides degrade to partitioned
+    joins sized by ``util.auto_join_partitions``. Rounds = ``max_hops``
+    exactly (level-synchronous), so the SQL oracle is a recursive CTE
+    bounded by the same depth.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..util import (auto_join_partitions, bucketed_distinct,
+                        drop_empty_blocks)
+
+    node_schema = pa.schema([("node", pa.int64())])
+    out_schema = pa.schema([("node", pa.int64()), ("hops", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column(a_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(t.column(b_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({
+            "s": pa.array(np.concatenate([a, b]), pa.int64()),
+            "t": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = (edges_ds.select_columns([a_col, b_col])
+             .map_batches(sym, batch_format="pyarrow", batch_size=65536)
+             .materialize())
+    nparts = (num_partitions if num_partitions is not None
+              else auto_join_partitions(edges, pools=2))
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy()
+        u = np.unique(s[s % seed_mod == 0]).astype(np.int64)
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    frontier = drop_empty_blocks(
+        bucketed_distinct(
+            edges.map_batches(seed_partial, batch_format="pyarrow",
+                              batch_size=65536),
+            "node").materialize(), node_schema)
+    if frontier.count() == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "hops": pa.array([], pa.int64())}))
+
+    def with_hops(ds, h):
+        def add(t: pa.Table, _h=h) -> pa.Table:
+            return pa.table({
+                "node": t.column("node"),
+                "hops": pa.array(np.full(t.num_rows, _h, np.int64)),
+            })
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    reached = with_hops(frontier, 0).materialize()
+    reached_n = reached.count()
+
+    def ids_of(ds) -> np.ndarray:
+        parts = [np.asarray(t.column("node").to_numpy(), np.int64)
+                 for t in ds.iter_batches(batch_format="pyarrow",
+                                          batch_size=1 << 20)]
+        return np.sort(np.concatenate(parts)) if parts else \
+            np.array([], np.int64)
+
+    for r in range(1, max_hops + 1):
+        f_n = frontier.count()
+        if f_n == 0:
+            break
+        # --- expand: neighbors of the frontier ------------------------
+        if f_n <= broadcast_cap:
+            ref = ray.put(ids_of(frontier))
+
+            def expand(t: pa.Table, _ref=ref) -> pa.Table:
+                fr = ray.get(_ref)
+                s = t.column("s").to_numpy()
+                d = t.column("t").to_numpy()
+                hit = np.isin(s, fr)
+                return pa.table({"node": pa.array(
+                    np.unique(d[hit]).astype(np.int64), pa.int64())})
+
+            nbrs = edges.map_batches(expand, batch_format="pyarrow",
+                                     batch_size=65536)
+        else:
+            fr2 = frontier.map_batches(
+                lambda t: pa.table({"f": t.column("node")}),
+                batch_format="pyarrow")
+            nbrs = (edges.join(fr2, join_type="inner",
+                               num_partitions=nparts,
+                               on=("s",), right_on=("f",))
+                    .map_batches(lambda t: pa.table(
+                        {"node": t.column("t")}),
+                        batch_format="pyarrow"))
+        nbrs = drop_empty_blocks(
+            bucketed_distinct(nbrs, "node").materialize(), node_schema)
+        # --- anti-join the already-reached set ------------------------
+        if reached_n <= broadcast_cap:
+            rref = ray.put(ids_of(reached.select_columns(["node"])))
+
+            def fresh(t: pa.Table, _rref=rref) -> pa.Table:
+                rr = ray.get(_rref)
+                nd = t.column("node").to_numpy()
+                return t.filter(pa.array(~np.isin(nd, rr)))
+
+            new = nbrs.map_batches(fresh, batch_format="pyarrow")
+        else:
+            # a non-key marker column: left_outer output coalesces/drops
+            # the bare join key, so null-match detection needs a payload
+            def mark(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "seen": t.column("node"),
+                    "hit": pa.array(np.ones(t.num_rows, np.int64)),
+                })
+
+            seen = reached.select_columns(["node"]).map_batches(
+                mark, batch_format="pyarrow")
+            def unmatched(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                miss = pc.is_null(t.column("hit"))
+                return pa.table(
+                    {"node": t.column("node").filter(miss)})
+
+            new = (nbrs.join(seen, join_type="left_outer",
+                             num_partitions=nparts,
+                             on=("node",), right_on=("seen",))
+                   .map_batches(unmatched, batch_format="pyarrow",
+                                batch_size=65536))
+        new = drop_empty_blocks(new.materialize(), node_schema)
+        if new.count() == 0:
+            break
+        reached = drop_empty_blocks(
+            reached.union(with_hops(new, r)).materialize(), out_schema)
+        reached_n = reached.count()
+        frontier = new
+
+    return reached.sort("node")

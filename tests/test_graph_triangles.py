@@ -146,3 +146,58 @@ def test_edge_jaccard_matches_brute(ray_session):
     exp = rows[:15]
     assert list(map(tuple, got.itertuples(index=False))) == exp
     assert exp[0][2] > 0
+
+
+def _brute_bfs(edges, seed_mod, max_hops):
+    """min hop distance from {node % seed_mod == 0} by queue BFS."""
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {n: 0 for n in adj if n % seed_mod == 0}
+    q = deque(dist)
+    while q:
+        n = q.popleft()
+        if dist[n] >= max_hops:
+            continue
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    return dist
+
+
+@pytest.mark.parametrize("seed,cap", [(0, 2_000_000), (3, 0)])
+def test_bfs_hops_match_brute_force(ray_session, seed, cap):
+    """Level-synchronous BFS == queue BFS on random graphs, on BOTH the
+    broadcast path (cap high) and the partitioned-join path (cap=0)."""
+    import ray.data as rd
+
+    from raygeo.ops.graph import bfs_hops
+
+    rng = np.random.default_rng(seed)
+    n_nodes, n_edges = 60, 90  # sparse: several hop levels + unreached
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    edges = sorted({(int(min(x, y)), int(max(x, y)))
+                    for x, y in zip(a[keep], b[keep])})
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["part_a", "part_b"]))
+    got = (bfs_hops(ds.repartition(4), "part_a", "part_b", seed_mod=7,
+                    max_hops=3, broadcast_cap=cap)
+           .to_pandas())
+    want = _brute_bfs(edges, 7, 3)
+    assert dict(zip(got["node"], got["hops"])) == want
+    assert list(got["node"]) == sorted(got["node"])  # sorted contract
+
+
+def test_bfs_hops_no_seeds(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.graph import bfs_hops
+
+    ds = rd.from_pandas(pd.DataFrame({"part_a": [1, 3], "part_b": [3, 5]}))
+    got = bfs_hops(ds, "part_a", "part_b", seed_mod=97, max_hops=2)
+    assert got.count() == 0
