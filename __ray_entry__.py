@@ -3855,6 +3855,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_mmd": _q_emb_mmd,  # polynomial-kernel two-sample MMD²
         # round-4 session-13 wave
         "parts_hops": _q_parts_hops,  # level-synchronous multi-source BFS
+        "images_quadtree": _q_images_quadtree,  # adaptive spatial split
     }
 
 
@@ -3959,6 +3960,55 @@ def _q_parts_hops(sf_dir: str):
                              min_count=2)
     return (bfs_hops(edges, "part_a", "part_b", seed_mod=199, max_hops=4)
             .rename_columns({"node": "part"}))
+
+
+def _q_images_quadtree(sf_dir: str):
+    """Adaptive quadtree partition plan over image centroids (cap=256,
+    depth=6): one distributed (ix, iy) fold at max depth — bounded by
+    4^depth cells of metadata — then a vectorized driver split rollup;
+    the skew-aware alternative to the fixed cell grid."""
+    from raygeo.ops.spatial_join import quadtree_partition
+
+    d = _fix(sf_dir)
+    return quadtree_partition(
+        _read_images(f"{d}/images.parquet",
+                     columns=["lon_min", "lat_min", "lon_max", "lat_max",
+                              "pix_sum"]),
+        cap=256, depth=6)
+
+
+def _quadtree_sql(cap: int = 256, depth: int = 6) -> str:
+    """Window-sum replay of the quadtree split: count at every ancestor
+    level via PARTITION BY (ix >> s, iy >> s); leaf = shallowest level
+    whose count fits the cap."""
+    n = 1 << depth
+    lev_cols = ",\n    ".join(
+        f"sum(n) OVER (PARTITION BY ix >> {depth - lv}, "
+        f"iy >> {depth - lv}) AS c{lv}" for lv in range(depth + 1))
+    case = " ".join(f"WHEN c{lv} <= {cap} THEN {lv}"
+                    for lv in range(depth + 1))
+    return f"""
+WITH pts AS (
+  SELECT floor(((((lon_min + lon_max) / 2.0) - (-1.0)) / 2.0) * {n}) AS fx,
+         floor(((((lat_min + lat_max) / 2.0) - (-1.0)) / 2.0) * {n}) AS fy,
+         pix_sum
+  FROM read_parquet('{IMAGES_001}/*.parquet')),
+cd AS (
+  SELECT greatest(0, least({n - 1}, CAST(fx AS BIGINT))) AS ix,
+         greatest(0, least({n - 1}, CAST(fy AS BIGINT))) AS iy,
+         count(*) AS n, sum(pix_sum) AS ps
+  FROM pts GROUP BY 1, 2),
+lev AS (
+  SELECT ix, iy, n, ps,
+    {lev_cols}
+  FROM cd),
+leaf AS (
+  SELECT CASE {case} ELSE {depth} END AS lv, ix, iy, n, ps FROM lev)
+SELECT lv::BIGINT AS level,
+       (ix >> ({depth} - lv))::BIGINT AS cell_x,
+       (iy >> ({depth} - lv))::BIGINT AS cell_y,
+       sum(n)::BIGINT AS n_images, sum(ps)::BIGINT AS pix_sum
+FROM leaf GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
 
 def _bfs_sql(seed_mod: int = 199, max_hops: int = 4,
@@ -6355,6 +6405,7 @@ ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
 """,
         "parts_kcore": _kcore_sql(),
         "parts_hops": _bfs_sql(),
+        "images_quadtree": _quadtree_sql(),
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

@@ -372,3 +372,103 @@ def cell_rollup(images_ds, level: int = 6,
             .map_batches(partial, batch_format="pyarrow", batch_size=65536)
             .groupby(["cell", "lvl"])
             .aggregate(Sum("n_images", alias_name="n_images")))
+
+
+def quadtree_partition(images_ds, cap: int = 256, depth: int = 6,
+                       x0: float = -1.0, y0: float = -1.0,
+                       x1: float = 1.0, y1: float = 1.0):
+    """Adaptive quadtree partition plan over image centroids — the
+    skew-aware spatial partitioner: starting from the whole extent, any
+    cell holding more than ``cap`` images splits into its 4 children,
+    down to ``depth``. Output is the LEAF table (level:int64,
+    cell_x:int64, cell_y:int64, n_images:int64, pix_sum:int64) sorted by
+    (level, cell_x, cell_y) — dense regions get deep small cells, sparse
+    regions stay coarse, so per-leaf work is bounded by ``cap`` wherever
+    the data permits (hot cells at ``depth`` surface with their true
+    count for explicit salting). Feeding these leaves to the shuffle as
+    partition keys is the adaptive alternative to the fixed cell grid of
+    ``cell_rollup`` (reference grid logic: ``core/accessor.py`` chunk
+    alignment; here re-derived as a data-dependent split).
+
+    Plan shape: ONE distributed pass folds (ix, iy, count, pix_sum) at
+    the max ``depth`` (map-side partials + a coarse-bucket global fold);
+    that table is bounded by 4^depth cells — partition METADATA, not
+    data — so the top-down split decision is a vectorized driver rollup
+    over it, exactly like tile manifests. Centroid→cell arithmetic
+    matches ``cells.cell_of`` (floor((c+1)/2·2^depth), clamped), which
+    the SQL oracle replays bit-for-bit in doubles.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..util import bucketed_sum, drop_empty_blocks
+
+    n = 1 << depth
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cx = (t.column("lon_min").to_numpy()
+              + t.column("lon_max").to_numpy()) / 2.0
+        cy = (t.column("lat_min").to_numpy()
+              + t.column("lat_max").to_numpy()) / 2.0
+        fx = (cx - x0) / (x1 - x0)
+        fy = (cy - y0) / (y1 - y0)
+        ix = np.clip(np.floor(fx * n).astype(np.int64), 0, n - 1)
+        iy = np.clip(np.floor(fy * n).astype(np.int64), 0, n - 1)
+        df = pd.DataFrame({
+            "ix": ix, "iy": iy,
+            "n_images": np.int64(1),
+            "pix_sum": t.column("pix_sum").to_numpy().astype(np.int64),
+        })
+        g = (df.groupby(["ix", "iy"], sort=False)[["n_images", "pix_sum"]]
+             .sum().reset_index())
+        return pa.table({c: pa.array(g[c].to_numpy(np.int64), pa.int64())
+                         for c in ("ix", "iy", "n_images", "pix_sum")})
+
+    cell_schema = pa.schema([("ix", pa.int64()), ("iy", pa.int64()),
+                             ("n_images", pa.int64()),
+                             ("pix_sum", pa.int64())])
+    cells_d = drop_empty_blocks(
+        bucketed_sum(
+            images_ds.select_columns(
+                ["lon_min", "lat_min", "lon_max", "lat_max", "pix_sum"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536),
+            ["ix", "iy"], ["n_images", "pix_sum"]).materialize(),
+        cell_schema)
+
+    # bounded rollup (<= 4^depth rows of metadata): leaf level per
+    # depth-cell = shallowest ancestor whose count fits the cap
+    df = cells_d.to_pandas()
+    if len(df) == 0:
+        return rd.from_arrow(pa.table({
+            "level": pa.array([], pa.int64()),
+            "cell_x": pa.array([], pa.int64()),
+            "cell_y": pa.array([], pa.int64()),
+            "n_images": pa.array([], pa.int64()),
+            "pix_sum": pa.array([], pa.int64())}))
+    ix = df["ix"].to_numpy()
+    iy = df["iy"].to_numpy()
+    cnt = df["n_images"].to_numpy()
+    leaf = np.full(len(df), depth, np.int64)
+    assigned = np.zeros(len(df), bool)
+    for lv in range(0, depth + 1):
+        sh = depth - lv
+        key = (ix >> sh) * (n * 2) + (iy >> sh)
+        tot = pd.Series(cnt).groupby(key).transform("sum").to_numpy()
+        ok = (~assigned) & (tot <= cap)
+        leaf[ok] = lv
+        assigned |= ok
+    sh = depth - leaf
+    out = (pd.DataFrame({
+        "level": leaf,
+        "cell_x": ix >> sh,
+        "cell_y": iy >> sh,
+        "n_images": cnt,
+        "pix_sum": df["pix_sum"].to_numpy(),
+    }).groupby(["level", "cell_x", "cell_y"], sort=True)[
+        ["n_images", "pix_sum"]].sum().reset_index())
+    return rd.from_arrow(pa.table(
+        {c: pa.array(out[c].to_numpy(np.int64), pa.int64())
+         for c in ("level", "cell_x", "cell_y", "n_images", "pix_sum")}))

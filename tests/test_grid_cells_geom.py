@@ -212,3 +212,67 @@ def test_projection_roundtrip_and_known_values():
     # datasets/arcticdem.py:216)
     xa, ya = lonlat_to_polar_stereo(np.array([180.0, -180.0]), np.array([70.0, 70.0]))
     assert abs(xa[0] - xa[1]) < 1e-6 and abs(ya[0] - ya[1]) < 1e-6
+
+
+def test_quadtree_partition_matches_recursive_split(ray_session):
+    """Distributed fold + driver rollup == a literal recursive top-down
+    quadtree on the same points; leaves partition the data exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.spatial_join import quadtree_partition
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    # heavy hot spot near (-0.9, -0.9) + uniform background: forces deep
+    # splits in one corner while the rest stays coarse
+    hx = rng.uniform(-0.95, -0.85, 600)
+    hy = rng.uniform(-0.95, -0.85, 600)
+    ux = rng.uniform(-1.0, 1.0, 300)
+    uy = rng.uniform(-1.0, 1.0, 300)
+    cx = np.concatenate([hx, ux])
+    cy = np.concatenate([hy, uy])
+    eps = 1e-6
+    df = pd.DataFrame({
+        "lon_min": cx - eps, "lon_max": cx + eps,
+        "lat_min": cy - eps, "lat_max": cy + eps,
+        "pix_sum": np.arange(len(cx), dtype=np.int64),
+    })
+    cap, depth = 50, 5
+    got = (quadtree_partition(rd.from_pandas(df).repartition(7),
+                              cap=cap, depth=depth)
+           .to_pandas())
+
+    # brute reference: recursive split over the same floor/clip indices
+    n = 1 << depth
+    ccx = (df.lon_min.to_numpy() + df.lon_max.to_numpy()) / 2.0
+    ccy = (df.lat_min.to_numpy() + df.lat_max.to_numpy()) / 2.0
+    ix = np.clip(np.floor((ccx + 1.0) / 2.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor((ccy + 1.0) / 2.0 * n).astype(np.int64), 0, n - 1)
+
+    leaves = {}
+
+    def rec(lv, gx, gy, mask):
+        cnt = int(mask.sum())
+        if cnt == 0:
+            return
+        if cnt <= cap or lv == depth:
+            leaves[(lv, gx, gy)] = (
+                cnt, int(df.pix_sum.to_numpy()[mask].sum()))
+            return
+        sh = depth - (lv + 1)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                cgx, cgy = gx * 2 + dx, gy * 2 + dy
+                sub = mask & ((ix >> sh) == cgx) & ((iy >> sh) == cgy)
+                rec(lv + 1, cgx, cgy, sub)
+
+    rec(0, 0, 0, np.ones(len(df), bool))
+    want = (pd.DataFrame(
+        [(lv, gx, gy, c, p) for (lv, gx, gy), (c, p) in leaves.items()],
+        columns=["level", "cell_x", "cell_y", "n_images", "pix_sum"])
+        .sort_values(["level", "cell_x", "cell_y"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # leaves partition the input: counts add up, and every non-max-depth
+    # leaf respects the cap
+    assert got["n_images"].sum() == len(df)
+    assert (got.loc[got.level < depth, "n_images"] <= cap).all()
