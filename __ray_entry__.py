@@ -3856,6 +3856,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # round-4 session-13 wave
         "parts_hops": _q_parts_hops,  # level-synchronous multi-source BFS
         "images_quadtree": _q_images_quadtree,  # adaptive spatial split
+        "docs_winnowing": _q_docs_winnowing,  # MOSS fingerprint pairs
     }
 
 
@@ -4009,6 +4010,56 @@ SELECT lv::BIGINT AS level,
        (iy >> ({depth} - lv))::BIGINT AS cell_y,
        sum(n)::BIGINT AS n_images, sum(ps)::BIGINT AS pix_sum
 FROM leaf GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+def _q_docs_winnowing(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection + shared-fingerprint pair
+    report: vectorized per-doc window-min selection over Karp-Rabin gram
+    hashes, one partitioned hash self-join on the fingerprint key."""
+    from raygeo.ops.dedup import winnow_fingerprint_pairs
+
+    return winnow_fingerprint_pairs(
+        _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _winnow_sql(k: int = 8, w: int = 6, min_shared: int = 2,
+                topk: int = 50, max_df: int = 32) -> str:
+    """Exact replay of the winnowing selection: same mod-2^40 base-257
+    power constants (generated from the engine's (base, modulus) spec),
+    window min over the packed (hash, position) key, full-window filter."""
+    m = 1 << 40
+    b = 257
+    term = " + ".join(
+        f"ord(substr(text, i + {j}, 1)) * {pow(b, k - 1 - j, m)}"
+        for j in range(k))
+    return f"""
+WITH g AS (
+  SELECT doc_id, i, ({term}) % {m} AS h
+  FROM documents,
+       unnest(generate_series(1, len(text) - {k} + 1)) AS t(i)
+  WHERE len(text) >= {k + w - 1}
+), pk AS (
+  SELECT doc_id, i, h * 1048576 + i AS packed,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g
+), wm AS (
+  SELECT doc_id, i, ng,
+         min(packed) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+                           ) AS m
+  FROM pk
+), sel0 AS (
+  SELECT DISTINCT doc_id, m // 1048576 AS h
+  FROM wm WHERE i <= ng - {w} + 1
+), sel AS (
+  SELECT s.doc_id, s.h FROM sel0 s
+  JOIN (SELECT h FROM sel0 GROUP BY h
+        HAVING count(*) <= {max_df}) r USING (h)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY n_shared DESC, id_a, id_b LIMIT {topk}"""
 
 
 def _bfs_sql(seed_mod: int = 199, max_hops: int = 4,
@@ -6406,6 +6457,7 @@ ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
         "parts_kcore": _kcore_sql(),
         "parts_hops": _bfs_sql(),
         "images_quadtree": _quadtree_sql(),
+        "docs_winnowing": _winnow_sql(),
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

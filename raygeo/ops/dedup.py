@@ -1487,3 +1487,138 @@ def kmv_overlap(ds, key_col: str, value_col: str, k: int = 64):
         "est_union_x1000": pa.array(rows["est_union_x1000"], pa.int64()),
         "est_inter_x1000": pa.array(rows["est_inter_x1000"], pa.int64()),
     })
+
+
+# ------------------------------------------------------------- winnowing
+# Karp-Rabin polynomial gram hash mod 2^40 (base 257) — the MOSS paper's
+# rolling-hash family, chosen over md5-per-gram because it vectorizes to
+# one numpy matmul per document AND replays exactly in SQL integer
+# arithmetic. Shared spec: these per-exponent constants are generated
+# from the same (base, modulus) in the oracle builder.
+_WINNOW_M = 1 << 40
+_WINNOW_B = 257
+
+
+def _winnow_pows(k: int) -> np.ndarray:
+    return np.array([pow(_WINNOW_B, k - 1 - j, _WINNOW_M)
+                     for j in range(k)], np.int64)
+
+
+def winnow_fingerprint_pairs(ds, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 8,
+                             w: int = 6, min_shared: int = 2,
+                             topk: int = 50, max_df: int = 32,
+                             num_partitions: int | None = None):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS span-plagiarism detector) + the cross-doc shared-fingerprint
+    pair report: every ``k``-char gram gets a rolling hash; each window
+    of ``w`` consecutive gram hashes SELECTS its minimum (leftmost on
+    ties via the packed (hash, position) key), guaranteeing any shared
+    run of ``k + w - 1`` chars yields at least one shared fingerprint —
+    the positional-guarantee selection that strided window sampling
+    (:func:`substring_dup_pairs`) lacks. Pairs sharing >= ``min_shared``
+    distinct fingerprints are returned as (id_a, id_b, n_shared), top
+    ``topk`` by (n_shared desc, id_a, id_b).
+
+    Plan: per-doc selection is one vectorized sliding-window pass (numpy
+    window view x the mod-2^40 power vector — no per-gram Python);
+    fingerprints appearing in more than ``max_df`` documents are dropped
+    BEFORE pairing (ubiquitous grams carry no dedup signal, and they are
+    what makes the self-join quadratic: unfiltered at 5k docs the pair
+    volume is 124M rows, df<=32 bounds it at 639k — and at any corpus
+    size to max_df x n_keys). The df attach is itself a partitioned hash
+    join (never a driver set), then the distinct (fingerprint, doc) keys
+    take ONE partitioned hash self-join (the substring_dup_pairs
+    machinery) and pair counts fold keyed — the corpus itself never
+    shuffles. ASCII corpus contract (Python bytes == SQL substr/ord),
+    doc length < 2^20 chars (the packed position budget; raise ``k``
+    gram width or shard longer docs upstream).
+    """
+    from ray.data.aggregate import Count
+
+    from ..util import auto_join_partitions, drop_empty_blocks
+
+    pows = _winnow_pows(k)
+    pos_bits = 20
+
+    def select_fps(df: pd.DataFrame):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out_h, out_id = [], []
+        for i, txt in zip(df[id_col], df[text_col]):
+            b = txt.encode("ascii")
+            n = len(b)
+            if n < k + w - 1:
+                continue
+            if n >= 1 << pos_bits:
+                raise ValueError(
+                    f"doc {i}: {n} chars >= 2^{pos_bits} position budget")
+            codes = np.frombuffer(b, np.uint8).astype(np.int64)
+            grams = sliding_window_view(codes, k)        # (G, k)
+            h = (grams @ pows) % _WINNOW_M               # per-gram hash
+            packed = h * (1 << pos_bits) + (np.arange(len(h)) + 1)
+            m = sliding_window_view(packed, w).min(axis=1)
+            sel = np.unique(m >> pos_bits)
+            out_h.append(sel)
+            out_id.append(np.full(len(sel), int(i), np.int64))
+        if not out_h:
+            out_h, out_id = [np.array([], np.int64)], [np.array([], np.int64)]
+        return pa.table({"h": pa.array(np.concatenate(out_h), pa.int64()),
+                         "d": pa.array(np.concatenate(out_id), pa.int64())})
+
+    from ..util import bucketed_fold
+
+    keys = drop_empty_blocks(
+        ds.select_columns([id_col, text_col])
+        .map_batches(select_fps, batch_format="pandas", batch_size=4096)
+        .materialize(),
+        pa.schema([("h", pa.int64()), ("d", pa.int64())]))
+
+    # document-frequency gate: ubiquitous fingerprints out before pairing
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", sort=False).size().reset_index(name="df")
+        return out[out["df"] <= max_df][["h"]]
+
+    rare = bucketed_fold(keys.select_columns(["h"]), "h", df_fold,
+                         clean_schema=pa.schema([("h", pa.int64())]))
+
+    def as_rare(t: pa.Table) -> pa.Table:
+        return pa.table({"hr": t.column("h")})
+
+    rare = rare.map_batches(as_rare, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(keys, keys, pools=1)
+    keys = drop_empty_blocks(
+        keys.join(rare, join_type="inner", num_partitions=num_partitions,
+                  on=("h",), right_on=("hr",))
+        .select_columns(["h", "d"]).materialize(),
+        pa.schema([("h", pa.int64()), ("d", pa.int64())]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"h2": t.column("h"), "d2": t.column("d")})
+
+    right = keys.map_batches(rename, batch_format="pyarrow")
+    cand = keys.join(right, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("h",), right_on=("h2",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a = t.column("d").to_numpy()
+        b = t.column("d2").to_numpy()
+        keep = a < b
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    counted = (cand.map_batches(pairs, batch_format="pyarrow",
+                                batch_size=65536)
+               .groupby(["id_a", "id_b"])
+               .aggregate(Count(alias_name="n_shared")))
+
+    def thresh(t: pa.Table) -> pa.Table:
+        ns = t.column("n_shared").to_numpy()
+        return t.filter(pa.array(ns >= min_shared))
+
+    return (counted.map_batches(thresh, batch_format="pyarrow")
+            .sort(["n_shared", "id_a", "id_b"],
+                  descending=[True, False, False])
+            .limit(topk))

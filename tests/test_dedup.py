@@ -652,3 +652,59 @@ def test_cdc_chunks_shared_and_edge_cases(ray_session):
     assert got[got.doc_id == 1]["n_shared_chunks"].iloc[0] > 0
     assert got[got.doc_id == 4]["n_chunks"].iloc[0] == 0
     assert got[got.doc_id == 5]["n_chunks"].iloc[0] == 1
+
+
+def _brute_winnow(texts, k=8, w=6, max_df=32, min_shared=2, topk=50):
+    """Literal per-window loop reference for winnow_fingerprint_pairs."""
+    M, B = 1 << 40, 257
+    pows = [pow(B, k - 1 - j, M) for j in range(k)]
+    sel = {}
+    for did, txt in texts.items():
+        b = txt.encode("ascii")
+        g = len(b) - k + 1
+        if g < w:
+            continue
+        hs = [sum(b[p + j] * pows[j] for j in range(k)) % M
+              for p in range(g)]
+        packed = [h * (1 << 20) + p + 1 for p, h in enumerate(hs)]
+        fps = {min(packed[i:i + w]) >> 20 for i in range(g - w + 1)}
+        sel[did] = fps
+    from collections import Counter
+    df = Counter(h for fps in sel.values() for h in fps)
+    pairs = Counter()
+    ids = sorted(sel)
+    for i, a in enumerate(ids):
+        for bb in ids[i + 1:]:
+            n = len({h for h in sel[a] if df[h] <= max_df}
+                    & {h for h in sel[bb] if df[h] <= max_df})
+            if n >= min_shared:
+                pairs[(a, bb)] = n
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return [(a, b, n) for (a, b), n in ranked]
+
+
+def test_winnowing_matches_brute_force(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import winnow_fingerprint_pairs
+
+    rng = np.random.default_rng(5)
+    alphabet = list("abcdefg ")
+    base = "".join(rng.choice(alphabet, 80))
+    texts = {}
+    for i in range(12):
+        tail = "".join(rng.choice(alphabet, 40))
+        # docs 0..2 share the base prefix (df=3 <= max_df=5, so the
+        # shared fingerprints survive the ubiquity gate); 3..11 noise
+        texts[i] = (base + tail) if i < 3 else \
+            "".join(rng.choice(alphabet, 120))
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    got = (winnow_fingerprint_pairs(ds.repartition(3), max_df=5)
+           .to_pandas())
+    want = _brute_winnow(texts, max_df=5)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # the winnowing guarantee: docs sharing an 80-char prefix must pair
+    got_pairs = {(a, b) for a, b, _ in want}
+    assert (0, 1) in got_pairs
