@@ -3857,6 +3857,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_hops": _q_parts_hops,  # level-synchronous multi-source BFS
         "images_quadtree": _q_images_quadtree,  # adaptive spatial split
         "docs_winnowing": _q_docs_winnowing,  # MOSS fingerprint pairs
+        "docs_containment": _q_docs_containment,  # asymmetric shingle dedup
     }
 
 
@@ -4060,6 +4061,44 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
 FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 ORDER BY n_shared DESC, id_a, id_b LIMIT {topk}"""
+
+
+def _q_docs_containment(sf_dir: str):
+    """Asymmetric shingle-containment pairs (word 3-grams, ubiquity gate
+    df<=32, cont >= 0.6): the near-containment dedup Jaccard misses."""
+    from raygeo.ops.dedup import containment_pairs
+
+    return containment_pairs(
+        _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _containment_sql(ngram: int = 3, threshold_q6: int = 600_000,
+                     max_df: int = 32, topk: int = 50) -> str:
+    grams = " || ' ' || ".join(f"toks[i + {j}]" for j in range(ngram))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+k0 AS (
+  SELECT DISTINCT doc_id AS d, s FROM (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(toks) - {ngram - 1}),
+        i -> {grams})) AS s
+    FROM t WHERE len(toks) >= {ngram})
+), k AS (
+  SELECT k0.d, k0.s FROM k0
+  JOIN (SELECT s FROM k0 GROUP BY s HAVING count(*) <= {max_df}) r
+  USING (s)
+), sz AS (SELECT d, count(*) AS nset FROM k GROUP BY d),
+pr AS (
+  SELECT a.d AS id_a, b.d AS id_b, count(*) AS inter
+  FROM k a JOIN k b ON a.s = b.s AND a.d < b.d GROUP BY 1, 2),
+sc AS (
+  SELECT p.id_a, p.id_b, p.inter, sa.nset AS na, sb.nset AS nb,
+         p.inter * 1000000 // least(sa.nset, sb.nset) AS cont_q6
+  FROM pr p JOIN sz sa ON p.id_a = sa.d JOIN sz sb ON p.id_b = sb.d)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, inter::BIGINT AS inter,
+       na::BIGINT AS na, nb::BIGINT AS nb, cont_q6::BIGINT AS cont_q6
+FROM sc WHERE cont_q6 >= {threshold_q6}
+ORDER BY cont_q6 DESC, id_a, id_b LIMIT {topk}"""
 
 
 def _bfs_sql(seed_mod: int = 199, max_hops: int = 4,
@@ -6458,6 +6497,7 @@ ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
         "parts_hops": _bfs_sql(),
         "images_quadtree": _quadtree_sql(),
         "docs_winnowing": _winnow_sql(),
+        "docs_containment": _containment_sql(),
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

@@ -1622,3 +1622,131 @@ def winnow_fingerprint_pairs(ds, text_col: str = "text",
             .sort(["n_shared", "id_a", "id_b"],
                   descending=[True, False, False])
             .limit(topk))
+
+
+def containment_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      ngram: int = 3, threshold_q6: int = 600_000,
+                      max_df: int = 32, topk: int = 50,
+                      num_partitions: int | None = None):
+    """Asymmetric shingle CONTAINMENT pairs — the near-containment dedup
+    Jaccard misses: a short doc embedded in a long one has low Jaccard
+    (union is the long doc) but containment |A∩B| / min(|A|,|B|) ≈ 1.
+    Shingles are distinct word ``ngram``-grams; shingles appearing in
+    more than ``max_df`` documents are dropped BEFORE anything else
+    (the winnowing ubiquity gate — sizes, intersections and the ratio
+    are all defined on the surviving shingle space, so the filtered
+    statistic is exact and the self-join volume is bounded by
+    max_df x n_keys at any corpus size). Returns pairs with
+    ``cont_q6 = inter·10⁶ // min(na, nb) >= threshold_q6``, top ``topk``
+    by (cont_q6 desc, id_a, id_b), with the counts exposed.
+
+    Plan: distinct (doc, shingle) keys from one streaming pass; df gate
+    + candidate generation are partitioned hash joins on the shingle
+    string; per-pair intersection counts and per-doc set sizes are keyed
+    folds; sizes attach to the (tiny) pair table by two hash joins. The
+    corpus never shuffles.
+    """
+    from ray.data.aggregate import Count
+
+    from ..util import (auto_join_partitions, bucketed_fold,
+                        drop_empty_blocks)
+
+    def shingles(df: pd.DataFrame):
+        out_s, out_d = [], []
+        for i, txt in zip(df[id_col], df[text_col]):
+            toks = txt.split(" ")
+            if len(toks) < ngram:
+                continue
+            ss = {" ".join(toks[p:p + ngram])
+                  for p in range(len(toks) - ngram + 1)}
+            out_s.extend(ss)
+            out_d.extend([int(i)] * len(ss))
+        return pa.table({"s": pa.array(out_s, pa.string()),
+                         "d": pa.array(out_d, pa.int64())})
+
+    key_schema = pa.schema([("s", pa.string()), ("d", pa.int64())])
+    keys = drop_empty_blocks(
+        ds.select_columns([id_col, text_col])
+        .map_batches(shingles, batch_format="pandas", batch_size=4096)
+        .materialize(), key_schema)
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("s", sort=False).size().reset_index(name="df")
+        return out[out["df"] <= max_df][["s"]]
+
+    rare = (bucketed_fold(keys.select_columns(["s"]), "s", df_fold,
+                          clean_schema=pa.schema([("s", pa.string())]))
+            .map_batches(lambda t: pa.table({"sr": t.column("s")}),
+                         batch_format="pyarrow").materialize())
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(keys, keys, pools=1)
+    keys = drop_empty_blocks(
+        keys.join(rare, join_type="inner", num_partitions=num_partitions,
+                  on=("s",), right_on=("sr",))
+        .select_columns(["s", "d"]).materialize(), key_schema)
+
+    sizes = bucketed_fold(
+        keys.select_columns(["d"]), "d",
+        lambda g: g.groupby("d", sort=False).size().reset_index(name="nset"),
+        clean_schema=pa.schema([("d", pa.int64()), ("nset", pa.int64())]))
+    sizes = sizes.materialize()
+
+    right = keys.map_batches(
+        lambda t: pa.table({"s2": t.column("s"), "d2": t.column("d")}),
+        batch_format="pyarrow")
+    cand = keys.join(right, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("s",), right_on=("s2",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a = t.column("d").to_numpy()
+        b = t.column("d2").to_numpy()
+        keep = a < b
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    inter = (cand.map_batches(pairs, batch_format="pyarrow",
+                              batch_size=65536)
+             .groupby(["id_a", "id_b"])
+             .aggregate(Count(alias_name="inter")))
+    inter = drop_empty_blocks(
+        inter.materialize(),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("inter", pa.int64())]))
+
+    sz_a = sizes.map_batches(
+        lambda t: pa.table({"da": t.column("d"), "na": t.column("nset")}),
+        batch_format="pyarrow")
+    sz_b = sizes.map_batches(
+        lambda t: pa.table({"db": t.column("d"), "nb": t.column("nset")}),
+        batch_format="pyarrow")
+    jp = auto_join_partitions(inter, pools=1)
+    half = inter.join(sz_a, join_type="inner", num_partitions=jp,
+                      on=("id_a",), right_on=("da",))
+    half = drop_empty_blocks(
+        half.select_columns(["id_a", "id_b", "inter", "na"]).materialize(),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("inter", pa.int64()), ("na", pa.int64())]))
+    withn = half.join(sz_b, join_type="inner", num_partitions=jp,
+                      on=("id_b",), right_on=("db",))
+
+    def score(t: pa.Table) -> pa.Table:
+        it = t.column("inter").to_numpy().astype(np.int64)
+        na = t.column("na").to_numpy().astype(np.int64)
+        nb = t.column("nb").to_numpy().astype(np.int64)
+        cq = it * 1_000_000 // np.minimum(na, nb)
+        keep = cq >= threshold_q6
+        return pa.table({
+            "id_a": t.column("id_a").filter(pa.array(keep)),
+            "id_b": t.column("id_b").filter(pa.array(keep)),
+            "inter": pa.array(it[keep], pa.int64()),
+            "na": pa.array(na[keep], pa.int64()),
+            "nb": pa.array(nb[keep], pa.int64()),
+            "cont_q6": pa.array(cq[keep], pa.int64()),
+        })
+
+    return (withn.map_batches(score, batch_format="pyarrow",
+                              batch_size=65536)
+            .sort(["cont_q6", "id_a", "id_b"],
+                  descending=[True, False, False])
+            .limit(topk))

@@ -708,3 +708,44 @@ def test_winnowing_matches_brute_force(ray_session):
     # the winnowing guarantee: docs sharing an 80-char prefix must pair
     got_pairs = {(a, b) for a, b, _ in want}
     assert (0, 1) in got_pairs
+
+
+def test_containment_detects_embedded_doc(ray_session):
+    """A short doc fully contained in a long one scores cont=1.0 even
+    when Jaccard is low; brute set arithmetic is the reference."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import containment_pairs
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(200)]
+    short = " ".join(rng.choice(words, 12))
+    long_doc = short + " " + " ".join(rng.choice(words, 120))
+    noise = [" ".join(rng.choice(words, 60)) for _ in range(6)]
+    texts = {0: short, 1: long_doc,
+             **{i + 2: n for i, n in enumerate(noise)}}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    got = containment_pairs(ds.repartition(3), max_df=8).to_pandas()
+
+    # brute reference on the same gated shingle space
+    def sh(t):
+        tk = t.split(" ")
+        return {" ".join(tk[p:p + 3]) for p in range(len(tk) - 2)}
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    from collections import Counter
+    df_ct = Counter(s for ss in sets.values() for s in ss)
+    sets = {i: {s for s in ss if df_ct[s] <= 8} for i, ss in sets.items()}
+    want = []
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                cq = inter * 1_000_000 // min(len(sets[a]), len(sets[b]))
+                if cq >= 600_000:
+                    want.append((a, b, inter, len(sets[a]), len(sets[b]), cq))
+    want.sort(key=lambda r: (-r[5], r[0], r[1]))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert (0, 1) in {(a, b) for a, b, *_ in want}  # the embedded pair
