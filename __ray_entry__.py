@@ -3858,6 +3858,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "images_quadtree": _q_images_quadtree,  # adaptive spatial split
         "docs_winnowing": _q_docs_winnowing,  # MOSS fingerprint pairs
         "docs_containment": _q_docs_containment,  # asymmetric shingle dedup
+        "images_coverage_depth": _q_images_coverage_depth,  # mosaic QA
     }
 
 
@@ -4099,6 +4100,51 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, inter::BIGINT AS inter,
        na::BIGINT AS na, nb::BIGINT AS nb, cont_q6::BIGINT AS cont_q6
 FROM sc WHERE cont_q6 >= {threshold_q6}
 ORDER BY cont_q6 DESC, id_a, id_b LIMIT {topk}"""
+
+
+def _q_images_coverage_depth(sf_dir: str):
+    """Per-pixel footprint coverage-depth histogram: 2D difference-array
+    corner deltas (4 ints per image x tile) + per-tile prefix-sum fold."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.rasterize import coverage_depth
+
+    d = _fix(sf_dir)
+    return coverage_depth(
+        _read_images(f"{d}/images.parquet",
+                     columns=["lon_min", "lat_min", "lon_max", "lat_max"]),
+        FIXTURE_GRID)
+
+
+def _coverage_depth_sql() -> str:
+    """Per-grid-row interval sweep: +1/-1 events at each footprint's
+    column edges, running sum ordered by x = depth of the span to the
+    next event; Σ span lengths per depth = the histogram. Same floor
+    /ceil pixel_window arithmetic as the tile-cover CTE."""
+    return f"""
+WITH w AS (
+  SELECT greatest(0, least(2048,
+           CAST(floor((lon_min + 1.0) / {RES}) AS BIGINT))) AS cl,
+         greatest(0, least(2048,
+           CAST(ceil((lon_max + 1.0) / {RES}) AS BIGINT))) AS ch,
+         greatest(0, least(2048,
+           CAST(floor((1.0 - lat_max) / {RES}) AS BIGINT))) AS rl,
+         greatest(0, least(2048,
+           CAST(ceil((1.0 - lat_min) / {RES}) AS BIGINT))) AS rh
+  FROM read_parquet('{IMAGES_001}/*.parquet')),
+seg AS (
+  SELECT unnest(generate_series(rl, rh - 1)) AS r, cl, ch
+  FROM w WHERE ch > cl AND rh > rl),
+ev AS (
+  SELECT r, cl AS x, 1 AS d FROM seg
+  UNION ALL SELECT r, ch, -1 FROM seg),
+ev2 AS (SELECT r, x, sum(d) AS d FROM ev GROUP BY r, x),
+sw AS (
+  SELECT r, x, sum(d) OVER (PARTITION BY r ORDER BY x) AS depth,
+         lead(x) OVER (PARTITION BY r ORDER BY x) AS nx
+  FROM ev2)
+SELECT depth::BIGINT AS depth, sum(nx - x)::BIGINT AS n_pixels
+FROM sw WHERE nx IS NOT NULL AND depth > 0
+GROUP BY 1 ORDER BY 1"""
 
 
 def _bfs_sql(seed_mod: int = 199, max_hops: int = 4,
@@ -6498,6 +6544,7 @@ ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
         "images_quadtree": _quadtree_sql(),
         "docs_winnowing": _winnow_sql(),
         "docs_containment": _containment_sql(),
+        "images_coverage_depth": _coverage_depth_sql(),
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

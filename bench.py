@@ -233,6 +233,11 @@ def run_bench() -> dict:
         "docs_freq_of_freqs",
         "customer_order_gaps",
         "emb_dim_quantiles",
+        # session-13 additions (round 4)
+        "parts_hops",
+        "images_quadtree",
+        "docs_winnowing",
+        "docs_containment",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -119,3 +119,89 @@ def rasterize_zones(zones_ds, grid: GridSpec):
                 .agg(n_px=("n_px", "sum")))
 
     return frags.groupby(["tx", "ty"]).map_groups(paint, batch_format="pandas")
+
+
+def coverage_depth(images_ds, grid: GridSpec):
+    """Per-pixel footprint coverage-depth histogram — the mosaicking QA
+    table (depth:int64 -> n_pixels:int64, depth >= 1, sorted): how many
+    grid pixels are covered by exactly d image footprints, over the
+    half-open ``pixel_window`` frame (floor/ceil edges, ``stac.py:19-46``
+    semantics — identical to the tile-cover arithmetic, so the SQL
+    oracle's per-row interval sweep replays it exactly).
+
+    Scale plan — the 2D difference-array trick keeps the shuffle at FOUR
+    integer points per (image x covered tile), never pixels: each
+    clipped rect contributes +1/-1 corner deltas in tile-local coords;
+    one coarse-bucket fold per tile materializes the (chunk+1)^2 delta
+    canvas, double prefix-sums it into the depth plane, and bincounts —
+    per-task memory is one small canvas, the histogram rows it emits are
+    bounded by the max overlap depth, and hot tiles cost one canvas each
+    regardless of how many footprints stack on them (skew absorbed by
+    construction, the zonal partial discipline).
+    """
+    from ..util import bucketed_fold, bucketed_sum, drop_empty_blocks
+
+    T = grid.chunk
+
+    def corners(t: pa.Table) -> pa.Table:
+        cl, ch, rl, rh = grid.pixel_window(
+            t.column("lon_min").to_numpy(), t.column("lat_min").to_numpy(),
+            t.column("lon_max").to_numpy(), t.column("lat_max").to_numpy())
+        ok = (ch > cl) & (rh > rl)
+        cl, ch, rl, rh = cl[ok], ch[ok], rl[ok], rh[ok]
+        tx0, tx1 = cl // T, (ch - 1) // T
+        ty0, ty1 = rl // T, (rh - 1) // T
+        ntx = tx1 - tx0 + 1
+        nty = ty1 - ty0 + 1
+        cnt = ntx * nty
+        idx = np.repeat(np.arange(len(cl)), cnt)
+        k = np.arange(int(cnt.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        tx = tx0[idx] + k % ntx[idx]
+        ty = ty0[idx] + k // ntx[idx]
+        x0 = np.maximum(cl[idx], tx * T) - tx * T
+        x1 = np.minimum(ch[idx], (tx + 1) * T) - tx * T
+        y0 = np.maximum(rl[idx], ty * T) - ty * T
+        y1 = np.minimum(rh[idx], (ty + 1) * T) - ty * T
+        m = len(tx)
+        return pa.table({
+            "tx": pa.array(np.tile(tx, 4), pa.int64()),
+            "ty": pa.array(np.tile(ty, 4), pa.int64()),
+            "y": pa.array(np.concatenate([y0, y0, y1, y1]), pa.int64()),
+            "x": pa.array(np.concatenate([x0, x1, x0, x1]), pa.int64()),
+            "d": pa.array(np.concatenate([
+                np.ones(m, np.int64), -np.ones(m, np.int64),
+                -np.ones(m, np.int64), np.ones(m, np.int64)]), pa.int64()),
+        })
+
+    pts = images_ds.select_columns(
+        ["lon_min", "lat_min", "lon_max", "lat_max"]).map_batches(
+        corners, batch_format="pyarrow", batch_size=65536)
+
+    def tile_hist(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (_, _), sub in g.groupby(["tx", "ty"], sort=False):
+            canvas = np.zeros((T + 1, T + 1), np.int64)
+            np.add.at(canvas, (sub["y"].to_numpy(), sub["x"].to_numpy()),
+                      sub["d"].to_numpy())
+            depth = canvas.cumsum(axis=0).cumsum(axis=1)[:T, :T]
+            pos = depth[depth > 0]
+            if pos.size:
+                bc = np.bincount(pos)
+                nz = np.nonzero(bc)[0]
+                outs.append(pd.DataFrame({"depth": nz.astype(np.int64),
+                                          "n_pixels": bc[nz].astype(
+                                              np.int64)}))
+        if not outs:
+            return pd.DataFrame({"depth": np.array([], np.int64),
+                                 "n_pixels": np.array([], np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = bucketed_fold(
+        pts, ["tx", "ty"], tile_hist,
+        clean_schema=pa.schema([("depth", pa.int64()),
+                                ("n_pixels", pa.int64())]))
+    out_schema = pa.schema([("depth", pa.int64()), ("n_pixels", pa.int64())])
+    return drop_empty_blocks(
+        bucketed_sum(partials, "depth", "n_pixels").materialize(),
+        out_schema).sort("depth")

@@ -83,3 +83,37 @@ def test_footprint_overlap_degree_no_double_count(ray_session):
            .astype({"n_overlaps": np.int64}))
     got = out.sort_values("image_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_coverage_depth_matches_dense_paint(ray_session):
+    """Difference-array fold == literal dense accumulation over the whole
+    grid, including tile-border-straddling and out-of-bounds footprints."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.grid import GridSpec
+    from raygeo.ops.rasterize import coverage_depth
+
+    grid = GridSpec(name="t", crs="EPSG:4326", x0=-1.0, y1=1.0,
+                    res=2.0 ** -5, width=64, height=64, chunk=16)
+    rng = np.random.default_rng(21)
+    n = 60
+    x0 = rng.uniform(-1.2, 0.9, n)
+    y0 = rng.uniform(-1.2, 0.9, n)
+    w = rng.uniform(0.01, 0.8, n)
+    df = pd.DataFrame({"lon_min": x0, "lon_max": x0 + w,
+                       "lat_min": y0, "lat_max": y0 + w})
+    got = coverage_depth(rd.from_pandas(df).repartition(5), grid).to_pandas()
+
+    dense = np.zeros((64, 64), np.int64)
+    cl, ch, rl, rh = grid.pixel_window(
+        df.lon_min.to_numpy(), df.lat_min.to_numpy(),
+        df.lon_max.to_numpy(), df.lat_max.to_numpy())
+    for a, b, c, d in zip(cl, ch, rl, rh):
+        dense[c:d, a:b] += 1
+    pos = dense[dense > 0]
+    bc = np.bincount(pos)
+    nz = np.nonzero(bc)[0]
+    want = pd.DataFrame({"depth": nz.astype(np.int64),
+                         "n_pixels": bc[nz].astype(np.int64)})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
