@@ -3859,6 +3859,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnowing": _q_docs_winnowing,  # MOSS fingerprint pairs
         "docs_containment": _q_docs_containment,  # asymmetric shingle dedup
         "images_coverage_depth": _q_images_coverage_depth,  # mosaic QA
+        "events_attribution": _q_events_attribution,  # last-touch credit
     }
 
 
@@ -4145,6 +4146,37 @@ sw AS (
 SELECT depth::BIGINT AS depth, sum(nx - x)::BIGINT AS n_pixels
 FROM sw WHERE nx IS NOT NULL AND depth > 0
 GROUP BY 1 ORDER BY 1"""
+
+
+def _q_events_attribution(sf_dir: str):
+    """Last-touch conversion attribution (24h window): one user-keyed
+    bucket exchange, vectorized searchsorted per user, channel-bounded
+    fold."""
+    from raygeo.ops.window import last_touch_attribution
+
+    return last_touch_attribution(_rpq(f"{sf_dir}/events.parquet"))
+
+
+_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT p.event_id AS pe, t.event_type AS ch,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM p JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL 24 HOURS),
+best AS (SELECT pe, ch FROM j WHERE rn = 1),
+m AS (
+  SELECT p.event_id, p.value, coalesce(b.ch, 'none') AS channel
+  FROM p LEFT JOIN best b ON p.event_id = b.pe)
+SELECT channel, count(*)::BIGINT AS n_conv,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS revenue_cents
+FROM m GROUP BY 1 ORDER BY 1"""
 
 
 def _bfs_sql(seed_mod: int = 199, max_hops: int = 4,
@@ -6545,6 +6577,7 @@ ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
         "docs_winnowing": _winnow_sql(),
         "docs_containment": _containment_sql(),
         "images_coverage_depth": _coverage_depth_sql(),
+        "events_attribution": _ATTRIBUTION_SQL,
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

@@ -849,3 +849,79 @@ def scd2_intervals(events_ds, user_col: str = "user_id"):
     return bucketed_fold(
         events_ds.select_columns([user_col, "ts", "event_id", "value"]),
         user_col, fold)
+
+
+def last_touch_attribution(events_ds, conv_type: str = "purchase",
+                           touch_types: tuple[str, ...] = ("click", "view"),
+                           window_s: int = 86400,
+                           user_col: str = "user_id"):
+    """Last-touch conversion attribution — the marketing-analytics join:
+    each ``conv_type`` event is credited to the user's LATEST
+    ``touch_types`` event at or before it and within ``window_s``
+    (ties on ts -> the larger event_id, i.e. the later arrival), or to
+    ``'none'``. Returns (channel, n_conv, revenue_cents) sorted by
+    channel — revenue as exact integer cents.
+
+    Per-user sequential semantics = the transition-matrix shape: one
+    user-keyed coarse-bucket exchange of the pruned columns, a
+    vectorized per-user kernel (sorted touch array + one searchsorted
+    per user's purchase vector — no per-event Python), channel-bounded
+    partials fold in a tiny keyed aggregate.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_fold
+
+    touch_set = set(touch_types)
+    window_us = np.int64(window_s) * 1_000_000
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(user_col, sort=False):
+            et = sub["event_type"].to_numpy()
+            ts = sub["ts"].to_numpy().astype("datetime64[us]").astype(
+                np.int64)
+            eid = sub["event_id"].to_numpy().astype(np.int64)
+            val = sub["value"].to_numpy()
+            is_t = np.isin(et, list(touch_set))
+            is_c = et == conv_type
+            if not is_c.any():
+                continue
+            t_ts, t_eid, t_ch = ts[is_t], eid[is_t], et[is_t]
+            order = np.lexsort((t_eid, t_ts))
+            t_ts, t_ch = t_ts[order], t_ch[order]
+            p_ts = ts[is_c]
+            cents = np.rint(val[is_c] * 100).astype(np.int64)
+            if t_ts.size:
+                pos = np.searchsorted(t_ts, p_ts, side="right") - 1
+                safe = np.clip(pos, 0, None)
+                okc = (pos >= 0) & (p_ts - t_ts[safe] <= window_us)
+                ch = np.where(okc, t_ch[safe], "none")
+            else:
+                ch = np.full(len(p_ts), "none", object)
+            outs.append(pd.DataFrame({"channel": ch, "n_conv": np.int64(1),
+                                      "revenue_cents": cents}))
+        if not outs:
+            return pd.DataFrame({
+                "channel": pd.Series([], dtype=object),
+                "n_conv": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64")})
+        allp = pd.concat(outs, ignore_index=True)
+        return (allp.groupby("channel", sort=False)[
+            ["n_conv", "revenue_cents"]].sum().reset_index())
+
+    keep = tuple(touch_types) + (conv_type,)
+
+    def prune(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        mask = pa.array([e in keep for e in et])
+        return t.filter(mask)
+
+    partials = (events_ds.select_columns(
+        [user_col, "ts", "event_id", "event_type", "value"])
+        .map_batches(prune, batch_format="pyarrow", batch_size=65536))
+    return (bucketed_fold(partials, user_col, fold)
+            .groupby("channel")
+            .aggregate(Sum("n_conv", alias_name="n_conv"),
+                       Sum("revenue_cents", alias_name="revenue_cents"))
+            .sort("channel"))

@@ -502,3 +502,44 @@ def test_scd2_intervals_matches_serial(ray_session):
                                           "closed_usec", "value_usec"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got.loc[got.user_id == 999, "closed_usec"] == 0).all()
+
+
+def test_last_touch_attribution_edges(ray_session):
+    """Window boundary inclusive, ts-tie -> larger event_id, users with
+    no touches credit 'none'; exact cent arithmetic."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.window import last_touch_attribution
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600_000_000, "us")
+    rows = [
+        # user 1: click at t0, view at t0 (tie, view has larger id),
+        # purchase at t0+1h -> view wins the tie
+        (10, 1, base, "click", 0.0),
+        (11, 1, base, "view", 0.0),
+        (12, 1, base + h, "purchase", 10.004),   # cents round half-even? 1000
+        # user 2: touch exactly 24h before purchase -> inside window
+        (20, 2, base, "click", 0.0),
+        (21, 2, base + 24 * h, "purchase", 5.0),
+        # user 3: touch 24h+1us before -> outside, credits none
+        (30, 3, base - np.timedelta64(1, "us"), "view", 0.0),
+        (31, 3, base + 24 * h, "purchase", 2.5),
+        # user 4: no touches at all
+        (40, 4, base, "purchase", 1.0),
+        # user 5: touch AFTER purchase only -> none
+        (50, 5, base + 2 * h, "click", 0.0),
+        (51, 5, base + h, "purchase", 3.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type", "value"])
+    got = last_touch_attribution(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("channel")
+    assert got.loc["view", "n_conv"] == 1          # user 1 tie-break
+    assert got.loc["click", "n_conv"] == 1         # user 2 boundary
+    assert got.loc["none", "n_conv"] == 3          # users 3, 4, 5
+    assert got.loc["view", "revenue_cents"] == int(
+        np.rint(10.004 * 100))
+    assert got.loc["click", "revenue_cents"] == 500
+    assert got.loc["none", "revenue_cents"] == 250 + 100 + 300
