@@ -3860,6 +3860,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment": _q_docs_containment,  # asymmetric shingle dedup
         "images_coverage_depth": _q_images_coverage_depth,  # mosaic QA
         "events_attribution": _q_events_attribution,  # last-touch credit
+        "zonal_perimeter": _q_zonal_perimeter,  # rasterized boundary length
     }
 
 
@@ -4177,6 +4178,54 @@ m AS (
 SELECT channel, count(*)::BIGINT AS n_conv,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS revenue_cents
 FROM m GROUP BY 1 ORDER BY 1"""
+
+
+def _q_zonal_perimeter(sf_dir: str):
+    """Per-zone rasterized boundary length: per-tile paint + 1-px strip
+    exchange; perimeter = 4*n_px - 2*(same-zone adjacent pairs)."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.rasterize import zonal_perimeter
+
+    d = _fix(sf_dir)
+    return zonal_perimeter(_rpq(f"{d}/zones.parquet"), FIXTURE_GRID)
+
+
+def _zonal_perimeter_sql() -> str:
+    """Shifted-copy equi-join replay of the adjacency identity (the
+    shift-then-equi-join planner discipline)."""
+    return f"""
+WITH z AS (
+  SELECT zone_id,
+    greatest(0, least(2048,
+      CAST(ceil((lon_min + 1.0) / {RES} - 0.5) AS BIGINT))) AS cl,
+    greatest(0, least(2048,
+      CAST(ceil((lon_max + 1.0) / {RES} - 0.5) AS BIGINT))) AS ch,
+    greatest(0, least(2048,
+      CAST(ceil((1.0 - lat_max) / {RES} - 0.5) AS BIGINT))) AS rl,
+    greatest(0, least(2048,
+      CAST(ceil((1.0 - lat_min) / {RES} - 0.5) AS BIGINT))) AS rh
+  FROM read_parquet('{ZONES_001}')
+), px AS (
+  SELECT zone_id, cc.c AS c, rr.r AS r
+  FROM z,
+       LATERAL (SELECT unnest(generate_series(z.cl, z.ch - 1)) AS c) cc,
+       LATERAL (SELECT unnest(generate_series(z.rl, z.rh - 1)) AS r) rr
+  WHERE z.ch > z.cl AND z.rh > z.rl
+), win AS MATERIALIZED (
+  SELECT c, r, max(zone_id) AS zone_id FROM px GROUP BY c, r
+), sh AS (
+  SELECT c + 1 AS c, r, zone_id FROM win
+  UNION ALL SELECT c - 1, r, zone_id FROM win
+  UNION ALL SELECT c, r + 1, zone_id FROM win
+  UNION ALL SELECT c, r - 1, zone_id FROM win
+), matches AS (
+  SELECT w.zone_id, count(*) AS m
+  FROM win w JOIN sh s ON s.c = w.c AND s.r = w.r
+       AND s.zone_id = w.zone_id
+  GROUP BY w.zone_id
+), tot AS (SELECT zone_id, count(*) AS npx FROM win GROUP BY zone_id)
+SELECT t.zone_id, (4 * t.npx - coalesce(m.m, 0))::BIGINT AS perimeter
+FROM tot t LEFT JOIN matches m USING (zone_id) ORDER BY zone_id"""
 
 
 def _bfs_sql(seed_mod: int = 199, max_hops: int = 4,
@@ -6578,6 +6627,7 @@ ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
         "docs_containment": _containment_sql(),
         "images_coverage_depth": _coverage_depth_sql(),
         "events_attribution": _ATTRIBUTION_SQL,
+        "zonal_perimeter": _zonal_perimeter_sql(),
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

@@ -205,3 +205,143 @@ def coverage_depth(images_ds, grid: GridSpec):
     return drop_empty_blocks(
         bucketed_sum(partials, "depth", "n_pixels").materialize(),
         out_schema).sort("depth")
+
+
+def zonal_perimeter(zones_ds, grid: GridSpec):
+    """Per-zone boundary length (zone geometry QA, the partner of the
+    area counts in :func:`rasterize_zones`): perimeter of zone z =
+    number of directed pixel edges from a z-pixel to a non-z neighbor
+    (other zone, unburned, or outside the grid) = ``4·n_px − 2·(number
+    of same-zone 4-adjacent pairs)`` — the identity both the engine and
+    the SQL oracle compute, so grid borders and nodata need no special
+    cases anywhere. Returns (zone_id:string, perimeter:int64) sorted.
+
+    Plan: the rasterize fragment/paint machinery burns each tile's zone
+    plane independently (max zone_id wins); in-tile same-pairs are two
+    vectorized shifted compares, and cross-tile pairs ride a 1-px strip
+    exchange — each painted tile emits its 4 border strips keyed by the
+    shared edge id, a keyed fold counts (edge, offset, zone) groups of
+    size 2. Shuffle volume is O(pixels/chunk) strip rows + per-(tile,
+    zone) scalars; pixels never leave their paint task.
+    """
+    from ..util import bucketed_fold, bucketed_sum, drop_empty_blocks
+
+    c = grid.chunk
+
+    def fragments(t: pa.Table) -> pa.Table:
+        zid = np.asarray(t.column("zone_id").to_pylist(), dtype=object)
+        cl, ch, rl, rh = _center_window(
+            grid,
+            t.column("lon_min").to_numpy(), t.column("lat_min").to_numpy(),
+            t.column("lon_max").to_numpy(), t.column("lat_max").to_numpy())
+        valid = (ch > cl) & (rh > rl)
+        idx = np.nonzero(valid)[0]
+        out = {k: [] for k in ("zone_id", "tx", "ty", "cl", "ch",
+                               "rl", "rh")}
+        for i in idx:
+            for tx in range(cl[i] // c, (ch[i] - 1) // c + 1):
+                for ty in range(rl[i] // c, (rh[i] - 1) // c + 1):
+                    out["zone_id"].append(zid[i])
+                    out["tx"].append(tx)
+                    out["ty"].append(ty)
+                    out["cl"].append(max(cl[i], tx * c))
+                    out["ch"].append(min(ch[i], (tx + 1) * c))
+                    out["rl"].append(max(rl[i], ty * c))
+                    out["rh"].append(min(rh[i], (ty + 1) * c))
+        return pa.table({
+            "zone_id": pa.array(out["zone_id"], pa.string()),
+            **{k: pa.array(out[k], pa.int64())
+               for k in ("tx", "ty", "cl", "ch", "rl", "rh")},
+        })
+
+    frags = zones_ds.select_columns(
+        ["zone_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+    ).map_batches(fragments, batch_format="pyarrow", batch_size=8192)
+
+    n_ty = grid.n_ty
+
+    def paint_and_strips(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("zone_id", kind="mergesort")
+        tx, ty = int(g.tx.iloc[0]), int(g.ty.iloc[0])
+        ids = g.zone_id.to_numpy()
+        codes, uniq = pd.factorize(ids)  # same zone -> same code
+        plane = np.full((c, c), -1, dtype=np.int32)
+        c0, r0 = tx * c, ty * c
+        for i in range(len(g)):
+            plane[g.rl.iat[i] - r0:g.rh.iat[i] - r0,
+                  g.cl.iat[i] - c0:g.ch.iat[i] - c0] = codes[i]
+        burned = plane >= 0
+        npx = np.bincount(plane[burned].ravel(), minlength=len(uniq))
+        same = np.zeros(len(uniq), np.int64)
+        for a, b in ((plane[:, :-1], plane[:, 1:]),
+                     (plane[:-1, :], plane[1:, :])):
+            hit = (a == b) & (a >= 0)
+            same += np.bincount(a[hit].ravel(), minlength=len(uniq))
+        scal = pd.DataFrame({
+            "zone_id": np.asarray(uniq, object),
+            "p": 4 * npx.astype(np.int64) - 2 * same,
+            "ekey": np.int64(-1), "off": np.int64(-1),
+        })
+        scal = scal[scal.p != 0]
+        # border strips: edge ids shared with the neighbor tile
+        strips = []
+        for ekey, vec in (
+            ((0 * (grid.n_tx + 1) + tx) * n_ty + ty, plane[:, 0]),
+            ((0 * (grid.n_tx + 1) + tx + 1) * n_ty + ty, plane[:, -1]),
+            (((grid.n_tx + 1) * (n_ty + 1)
+              + tx * (n_ty + 1) + ty), plane[0, :]),
+            (((grid.n_tx + 1) * (n_ty + 1)
+              + tx * (n_ty + 1) + ty + 1), plane[-1, :]),
+        ):
+            on = np.nonzero(vec >= 0)[0]
+            if on.size:
+                strips.append(pd.DataFrame({
+                    "zone_id": np.asarray(uniq, object)[vec[on]],
+                    "p": np.int64(0),
+                    "ekey": np.int64(ekey),
+                    "off": on.astype(np.int64),
+                }))
+        df = pd.concat([scal] + strips, ignore_index=True) if strips \
+            else scal
+        # Arrow out: these blocks feed drop_empty_blocks/from_arrow_refs
+        from ..util import table_from_pandas
+        return table_from_pandas(df)
+
+    rows = frags.groupby(["tx", "ty"]).map_groups(
+        paint_and_strips, batch_format="pandas")
+    rows_schema = pa.schema([("zone_id", pa.string()), ("p", pa.int64()),
+                             ("ekey", pa.int64()), ("off", pa.int64())])
+    rows = drop_empty_blocks(rows.materialize(), rows_schema)
+
+    def strip_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sz = (g.groupby(["ekey", "off", "zone_id"], sort=False)
+              .size().reset_index(name="cnt"))
+        hit = sz[sz.cnt == 2]
+        out = (hit.groupby("zone_id", sort=False).size()
+               .reset_index(name="pairs"))
+        out["p"] = -2 * out["pairs"].astype(np.int64)
+        return out[["zone_id", "p"]]
+
+    def split_scalars(t: pa.Table) -> pa.Table:
+        ek = t.column("ekey").to_numpy()
+        return t.filter(pa.array(ek == -1)).select(["zone_id", "p"])
+
+    def split_strips(t: pa.Table) -> pa.Table:
+        ek = t.column("ekey").to_numpy()
+        return t.filter(pa.array(ek >= 0))
+
+    scalars = rows.map_batches(split_scalars, batch_format="pyarrow")
+    strip_p = bucketed_fold(
+        rows.map_batches(split_strips, batch_format="pyarrow"),
+        "ekey", strip_pairs,
+        clean_schema=pa.schema([("zone_id", pa.string()),
+                                ("p", pa.int64())]))
+    out_schema = pa.schema([("zone_id", pa.string()),
+                            ("perimeter", pa.int64())])
+    total = bucketed_sum(scalars.union(strip_p), "zone_id", "p")
+    total = total.map_batches(
+        lambda t: pa.table({"zone_id": t.column("zone_id"),
+                            "perimeter": t.column("p")}),
+        batch_format="pyarrow")
+    return drop_empty_blocks(total.materialize(), out_schema) \
+        .sort("zone_id")

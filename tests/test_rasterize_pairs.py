@@ -117,3 +117,50 @@ def test_coverage_depth_matches_dense_paint(ray_session):
     want = pd.DataFrame({"depth": nz.astype(np.int64),
                          "n_pixels": bc[nz].astype(np.int64)})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_zonal_perimeter_matches_dense_count(ray_session):
+    """Strip-exchange perimeter == dense whole-grid directed-edge count,
+    with overlapping zones (max id wins), tile-straddlers and borders."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.rasterize import _center_window, zonal_perimeter
+
+    grid = GridSpec(name="t", crs="EPSG:4326", x0=-1.0, y1=1.0,
+                    res=2.0 ** -5, width=64, height=64, chunk=16)
+    rng = np.random.default_rng(31)
+    n = 25
+    x0 = rng.uniform(-1.1, 0.8, n)
+    y0 = rng.uniform(-1.1, 0.8, n)
+    w = rng.uniform(0.05, 0.7, n)
+    zid = [f"z{i % 9:02d}" for i in range(n)]  # duplicates merge zones
+    df = pd.DataFrame({"zone_id": zid,
+                       "lon_min": x0, "lon_max": x0 + w,
+                       "lat_min": y0, "lat_max": y0 + w})
+    got = zonal_perimeter(rd.from_pandas(df).repartition(4), grid) \
+        .to_pandas()
+
+    # dense reference
+    plane = np.full((64, 64), "", dtype=object)
+    cl, ch, rl, rh = _center_window(
+        grid, df.lon_min.to_numpy(), df.lat_min.to_numpy(),
+        df.lon_max.to_numpy(), df.lat_max.to_numpy())
+    for i in np.argsort(np.asarray(zid, object), kind="stable"):
+        if ch[i] > cl[i] and rh[i] > rl[i]:
+            plane[rl[i]:rh[i], cl[i]:ch[i]] = zid[i]
+    per = {}
+    for r in range(64):
+        for c in range(64):
+            z = plane[r, c]
+            if not z:
+                continue
+            for dr, dc in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                rr, cc = r + dr, c + dc
+                if not (0 <= rr < 64 and 0 <= cc < 64) \
+                        or plane[rr, cc] != z:
+                    per[z] = per.get(z, 0) + 1
+    want = pd.DataFrame(sorted(per.items()),
+                        columns=["zone_id", "perimeter"])
+    want["perimeter"] = want["perimeter"].astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
