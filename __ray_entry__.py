@@ -3861,6 +3861,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "images_coverage_depth": _q_images_coverage_depth,  # mosaic QA
         "events_attribution": _q_events_attribution,  # last-touch credit
         "zonal_perimeter": _q_zonal_perimeter,  # rasterized boundary length
+        "images_radius_pairs": _q_images_radius_pairs,  # eps-neighbor join
+        "images_dbscan": _q_images_dbscan,  # density clustering
     }
 
 
@@ -4226,6 +4228,108 @@ WITH z AS (
 ), tot AS (SELECT zone_id, count(*) AS npx FROM win GROUP BY zone_id)
 SELECT t.zone_id, (4 * t.npx - coalesce(m.m, 0))::BIGINT AS perimeter
 FROM tot t LEFT JOIN matches m USING (zone_id) ORDER BY zone_id"""
+
+
+def _q_images_radius_pairs(sf_dir: str):
+    """Exact ε-neighborhood spatial self-join (eps=2^-5) via the 9-cell
+    lattice hash join; top-100 closest pairs."""
+    from raygeo.ops.spatial_join import radius_pairs
+
+    d = _fix(sf_dir)
+    return (radius_pairs(
+        _read_images(f"{d}/images.parquet",
+                     columns=["image_id", "lon_min", "lat_min",
+                              "lon_max", "lat_max"]), eps=2.0 ** -5)
+        .sort(["dist2", "id_a", "id_b"]).limit(100))
+
+
+def _q_images_dbscan(sf_dir: str):
+    """Exact deterministic DBSCAN (eps=2^-6, minpts=5) over image
+    centroids: ε-graph from the lattice join, core components via
+    distributed min-label CC, border -> min core-neighbor label."""
+    from raygeo.ops.spatial_join import dbscan_clusters
+
+    d = _fix(sf_dir)
+    return dbscan_clusters(
+        _read_images(f"{d}/images.parquet",
+                     columns=["image_id", "lon_min", "lat_min",
+                              "lon_max", "lat_max"]),
+        eps=2.0 ** -6, minpts=5)
+
+
+def _radius_cells_cte(eps: float) -> str:
+    return f"""
+pts AS (
+  SELECT CAST(substr(image_id, 5) AS BIGINT) AS nid,
+         (lon_min + lon_max) / 2.0 AS cx, (lat_min + lat_max) / 2.0 AS cy
+  FROM read_parquet('{IMAGES_001}/*.parquet')),
+cells AS MATERIALIZED (
+  SELECT nid, cx, cy,
+         CAST(floor(cx / {eps!r}) AS BIGINT) AS ix,
+         CAST(floor(cy / {eps!r}) AS BIGINT) AS iy FROM pts),
+shifted AS MATERIALIZED (
+  SELECT nid, cx, cy, ix + o.dx AS ix, iy + o.dy AS iy
+  FROM cells, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                      (1,-1),(1,0),(1,1)) o(dx, dy)),
+prs AS MATERIALIZED (
+  SELECT a.nid AS id_a, b.nid AS id_b,
+         (a.cx - b.cx) * (a.cx - b.cx)
+         + (a.cy - b.cy) * (a.cy - b.cy) AS dist2
+  FROM cells a JOIN shifted b ON a.ix = b.ix AND a.iy = b.iy
+  WHERE a.nid < b.nid
+    AND (a.cx - b.cx) * (a.cx - b.cx)
+        + (a.cy - b.cy) * (a.cy - b.cy) <= {eps * eps!r})"""
+
+
+def _radius_pairs_sql(eps: float = 2.0 ** -5, topk: int = 100) -> str:
+    return f"""
+WITH {_radius_cells_cte(eps)}
+SELECT id_a, id_b, dist2 FROM prs
+ORDER BY dist2, id_a, id_b LIMIT {topk}"""
+
+
+def _dbscan_sql(eps: float = 2.0 ** -6, minpts: int = 5) -> str:
+    return f"""
+WITH RECURSIVE {_radius_cells_cte(eps)},
+deg AS (
+  SELECT nid, count(*) AS d FROM (
+    SELECT id_a AS nid FROM prs UNION ALL SELECT id_b FROM prs)
+  GROUP BY nid),
+core AS MATERIALIZED (SELECT nid FROM deg WHERE d >= {minpts - 1}),
+ce AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM prs
+  JOIN core ca ON ca.nid = id_a JOIN core cb ON cb.nid = id_b),
+edges AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+reach(id, r) AS (
+  SELECT nid, nid FROM core
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+lab AS MATERIALIZED (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+bordc AS (
+  SELECT p.id_a AS noncore, p.id_b AS corep FROM prs p
+  JOIN core c ON c.nid = p.id_b
+  WHERE p.id_a NOT IN (SELECT nid FROM core)
+  UNION ALL
+  SELECT p.id_b, p.id_a FROM prs p
+  JOIN core c ON c.nid = p.id_a
+  WHERE p.id_b NOT IN (SELECT nid FROM core)),
+bord AS MATERIALIZED (
+  SELECT b.noncore, min(l.rep) AS rep
+  FROM bordc b JOIN lab l ON l.id = b.corep GROUP BY b.noncore),
+base AS (SELECT rep AS cluster, count(*)::BIGINT AS n_core
+         FROM lab GROUP BY 1),
+bc AS (SELECT rep AS cluster, count(*)::BIGINT AS n_border
+       FROM bord GROUP BY 1),
+cl AS (
+  SELECT b.cluster, b.n_core, coalesce(bc.n_border, 0)::BIGINT AS n_border
+  FROM base b LEFT JOIN bc USING (cluster))
+SELECT cluster::BIGINT AS cluster, n_core, n_border,
+       (n_core + n_border)::BIGINT AS n_points FROM cl
+UNION ALL
+SELECT -1, 0, 0,
+       (SELECT count(*) FROM pts) - (SELECT count(*) FROM lab)
+       - (SELECT count(*) FROM bord)
+ORDER BY cluster"""
 
 
 def _bfs_sql(seed_mod: int = 199, max_hops: int = 4,
@@ -6628,6 +6732,8 @@ ORDER BY jaccard_q6 DESC, part_a, part_b LIMIT 20
         "images_coverage_depth": _coverage_depth_sql(),
         "events_attribution": _ATTRIBUTION_SQL,
         "zonal_perimeter": _zonal_perimeter_sql(),
+        "images_radius_pairs": _radius_pairs_sql(),
+        "images_dbscan": _dbscan_sql(),
         "parts_skyline": """
 WITH p AS (
   SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,

@@ -472,3 +472,287 @@ def quadtree_partition(images_ds, cap: int = 256, depth: int = 6,
     return rd.from_arrow(pa.table(
         {c: pa.array(out[c].to_numpy(np.int64), pa.int64())
          for c in ("level", "cell_x", "cell_y", "n_images", "pix_sum")}))
+
+
+_DB_OFF = np.int64(1 << 20)
+_DB_K = np.int64(1 << 21)
+
+
+def radius_pairs(images_ds, eps: float = 2.0 ** -5,
+                 num_partitions: int | None = None):
+    """Exact ε-neighborhood spatial self-join over image centroids — the
+    all-pairs-within-radius primitive (DBSCAN's region query, collision
+    detection, duplicate-footprint sweep): every unordered pair with
+    squared centroid distance <= eps² as (id_a, id_b, dist2), ids parsed
+    to int64 from the 'img-NNN' key.
+
+    Plan: bucket points into an eps-sized cell lattice (``eps`` a power
+    of two so floor(c/eps) replays exactly in SQL doubles); each point
+    rides ONE partitioned hash join twice — once keyed by its home cell,
+    once replicated to the 9 neighbor cells — so a pair (a < b) meets
+    exactly once (b's probe copy in a's home cell). Shuffle volume is
+    9 rows per point; no N² anywhere, hot cells cost |cell|·|ring| inside
+    one join partition (salt the lattice level if a cell outgrows a
+    task). Exact verify is one vectorized double compare.
+    """
+    from ..util import auto_join_partitions, drop_empty_blocks
+
+    e2 = eps * eps
+
+    def base_cols(t: pa.Table):
+        import pyarrow.compute as pc
+
+        nid = pc.cast(pc.utf8_slice_codeunits(
+            t.column("image_id"), 4, 32767), pa.int64()).to_numpy()
+        cx = (t.column("lon_min").to_numpy()
+              + t.column("lon_max").to_numpy()) / 2.0
+        cy = (t.column("lat_min").to_numpy()
+              + t.column("lat_max").to_numpy()) / 2.0
+        ix = np.floor(cx / eps).astype(np.int64)
+        iy = np.floor(cy / eps).astype(np.int64)
+        return nid, cx, cy, ix, iy
+
+    def homes(t: pa.Table) -> pa.Table:
+        nid, cx, cy, ix, iy = base_cols(t)
+        cell = (ix + _DB_OFF) * _DB_K + (iy + _DB_OFF)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "nid": pa.array(nid, pa.int64()),
+                         "cx": pa.array(cx, pa.float64()),
+                         "cy": pa.array(cy, pa.float64())})
+
+    def probes(t: pa.Table) -> pa.Table:
+        nid, cx, cy, ix, iy = base_cols(t)
+        n = len(nid)
+        reps = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = (ix + dx + _DB_OFF) * _DB_K + (iy + dy + _DB_OFF)
+                reps.append(cell)
+        return pa.table({
+            "cellp": pa.array(np.concatenate(reps), pa.int64()),
+            "nidp": pa.array(np.tile(nid, 9), pa.int64()),
+            "cxp": pa.array(np.tile(cx, 9), pa.float64()),
+            "cyp": pa.array(np.tile(cy, 9), pa.float64())})
+
+    cols = ["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+    home_schema = pa.schema([("cell", pa.int64()), ("nid", pa.int64()),
+                             ("cx", pa.float64()), ("cy", pa.float64())])
+    h = drop_empty_blocks(
+        images_ds.select_columns(cols)
+        .map_batches(homes, batch_format="pyarrow", batch_size=65536)
+        .materialize(), home_schema)
+    p = images_ds.select_columns(cols).map_batches(
+        probes, batch_format="pyarrow", batch_size=65536).materialize()
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(h, p, pools=1)
+    cand = h.join(p, join_type="inner", num_partitions=num_partitions,
+                  on=("cell",), right_on=("cellp",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("nid").to_numpy()
+        b = t.column("nidp").to_numpy()
+        dx = t.column("cx").to_numpy() - t.column("cxp").to_numpy()
+        dy = t.column("cy").to_numpy() - t.column("cyp").to_numpy()
+        d2 = dx * dx + dy * dy
+        keep = (a < b) & (d2 <= e2)
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64()),
+                         "dist2": pa.array(d2[keep], pa.float64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow",
+                            batch_size=65536)
+
+
+def dbscan_clusters(images_ds, eps: float = 2.0 ** -5, minpts: int = 4,
+                    num_partitions: int | None = None):
+    """Exact deterministic DBSCAN over image centroids, fully
+    Dataset-resident — the density-based spatial clustering a curation
+    pipeline uses to find over-sampled regions: core points have >=
+    ``minpts`` neighbors within eps (themselves included), clusters are
+    connected components of the core-core ε-graph labeled by their
+    minimum core id, border points join the MINIMUM label among their
+    core neighbors (the deterministic variant of DBSCAN's
+    order-dependent border rule), everything else is noise. Returns
+    (cluster:int64, n_core, n_border, n_points) sorted by cluster with
+    one cluster=-1 noise row — bounded output.
+
+    Plan: :func:`radius_pairs` builds the ε-graph (9-cell lattice join);
+    degrees and border labels are coarse-bucket folds; the core-core
+    component labeling rides :func:`raygeo.ops.graph
+    .connected_components_pairs` (min-label + pointer jumping, only
+    per-round checksums on the driver). Core membership tests on pair
+    endpoints are partitioned marker joins, never driver sets.
+    """
+    import ray.data as rd
+
+    from ..util import (auto_join_partitions, bucketed_fold, bucketed_sum,
+                        drop_empty_blocks)
+    from .graph import connected_components_pairs
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    pairs = drop_empty_blocks(
+        radius_pairs(images_ds, eps=eps,
+                     num_partitions=num_partitions)
+        .select_columns(["id_a", "id_b"]).materialize(), pair_schema)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        return pa.table({"node": pa.array(np.concatenate([a, b]),
+                                          pa.int64()),
+                         "one": pa.array(np.ones(2 * len(a), np.int64))})
+
+    deg = bucketed_sum(
+        pairs.map_batches(both_dirs, batch_format="pyarrow"),
+        "node", "one",
+        clean_schema=pa.schema([("node", pa.int64()),
+                                ("one", pa.int64())]))
+    core = drop_empty_blocks(
+        deg.filter(expr=f"one >= {minpts - 1}")
+        .select_columns(["node"]).materialize(),
+        pa.schema([("node", pa.int64())]))
+
+    out_schema = pa.schema([("cluster", pa.int64()),
+                            ("n_core", pa.int64()),
+                            ("n_border", pa.int64()),
+                            ("n_points", pa.int64())])
+    if core.count() == 0:  # no dense region anywhere: all noise
+        return rd.from_arrow(pa.table({
+            "cluster": pa.array([-1], pa.int64()),
+            "n_core": pa.array([0], pa.int64()),
+            "n_border": pa.array([0], pa.int64()),
+            "n_points": pa.array([int(images_ds.count())], pa.int64())}))
+
+    def mark(name):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                name: t.column("node"),
+                f"hit_{name}": pa.array(np.ones(t.num_rows, np.int64))})
+        return f
+
+    jp = auto_join_partitions(pairs, pools=1)
+    ma = core.map_batches(mark("ka"), batch_format="pyarrow")
+    mb = core.map_batches(mark("kb"), batch_format="pyarrow")
+    marked = (pairs.join(ma, join_type="left_outer", num_partitions=jp,
+                         on=("id_a",), right_on=("ka",)))
+    marked = drop_empty_blocks(
+        marked.select_columns(["id_a", "id_b", "hit_ka"]).materialize(),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("hit_ka", pa.int64())]))
+    marked = (marked.join(mb, join_type="left_outer", num_partitions=jp,
+                          on=("id_b",), right_on=("kb",)))
+    marked = drop_empty_blocks(
+        marked.select_columns(["id_a", "id_b", "hit_ka", "hit_kb"])
+        .materialize(),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("hit_ka", pa.int64()), ("hit_kb", pa.int64())]))
+
+    def core_core(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ok = pc.and_(pc.is_valid(t.column("hit_ka")),
+                     pc.is_valid(t.column("hit_kb")))
+        t2 = t.filter(ok)
+        return pa.table({"id_a": t2.column("id_a"),
+                         "id_b": t2.column("id_b")})
+
+    def self_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t.column("node"),
+                         "id_b": t.column("node")})
+
+    cc_in = (marked.map_batches(core_core, batch_format="pyarrow")
+             .union(core.map_batches(self_pairs, batch_format="pyarrow")))
+    lab = connected_components_pairs(cc_in)  # (node, rep), cores only
+    lab = drop_empty_blocks(
+        lab.materialize(),
+        pa.schema([("node", pa.int64()), ("rep", pa.int64())]))
+
+    # border: non-core endpoints adjacent to a core endpoint
+    def border_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ha = pc.is_valid(t.column("hit_ka")).to_numpy(
+            zero_copy_only=False)
+        hb = pc.is_valid(t.column("hit_kb")).to_numpy(
+            zero_copy_only=False)
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        m1 = ~ha & hb   # a border-candidate via core b
+        m2 = ha & ~hb
+        return pa.table({
+            "noncore": pa.array(np.concatenate([a[m1], b[m2]]), pa.int64()),
+            "corep": pa.array(np.concatenate([b[m1], a[m2]]), pa.int64())})
+
+    bw = marked.map_batches(border_rows, batch_format="pyarrow")
+    bw = drop_empty_blocks(
+        bw.materialize(),
+        pa.schema([("noncore", pa.int64()), ("corep", pa.int64())]))
+    border_schema = pa.schema([("noncore", pa.int64()),
+                               ("rep", pa.int64())])
+    if bw.count() == 0:
+        # joining an EMPTY Dataset side drops its schema inside the hash
+        # shuffle and breaks the Acero key lookup — short-circuit instead
+        border = rd.from_arrow(pa.table(
+            {f.name: pa.array([], f.type) for f in border_schema}))
+    else:
+        lr = lab.map_batches(
+            lambda t: pa.table({"ln": t.column("node"),
+                                "lrep": t.column("rep")}),
+            batch_format="pyarrow")
+        bwl = bw.join(lr, join_type="inner", num_partitions=jp,
+                      on=("corep",), right_on=("ln",))
+        border = bucketed_fold(
+            bwl.select_columns(["noncore", "lrep"]), "noncore",
+            lambda g: g.groupby("noncore", sort=False)["lrep"].min()
+            .reset_index().rename(columns={"lrep": "rep"}),
+            clean_schema=border_schema)
+        border = border.materialize()
+
+    n_core_per = bucketed_fold(
+        lab.select_columns(["rep"]), "rep",
+        lambda g: g.groupby("rep", sort=False).size()
+        .reset_index(name="n_core"),
+        clean_schema=pa.schema([("rep", pa.int64()),
+                                ("n_core", pa.int64())]))
+    n_core_per = drop_empty_blocks(
+        n_core_per.materialize(),
+        pa.schema([("rep", pa.int64()), ("n_core", pa.int64())]))
+    if border.count() == 0 or n_core_per.count() == 0:
+        joined = n_core_per.map_batches(
+            lambda t: pa.table({
+                "rep": t.column("rep"), "n_core": t.column("n_core"),
+                "n_border": pa.array([0] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+    else:
+        n_bord_per = bucketed_fold(
+            border.select_columns(["rep"]), "rep",
+            lambda g: g.groupby("rep", sort=False).size()
+            .reset_index(name="n_border"),
+            clean_schema=pa.schema([("rep", pa.int64()),
+                                    ("n_border", pa.int64())]))
+        n_bord_per = n_bord_per.map_batches(
+            lambda t: pa.table({"repb": t.column("rep"),
+                                "n_border": t.column("n_border")}),
+            batch_format="pyarrow").materialize()
+        joined = n_core_per.join(
+            n_bord_per, join_type="left_outer", num_partitions=jp,
+            on=("rep",), right_on=("repb",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nb = pc.fill_null(t.column("n_border"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nc = t.column("n_core").to_numpy().astype(np.int64)
+        return pa.table({"cluster": t.column("rep").cast(pa.int64()),
+                         "n_core": pa.array(nc, pa.int64()),
+                         "n_border": pa.array(nb, pa.int64()),
+                         "n_points": pa.array(nc + nb, pa.int64())})
+
+    clusters = joined.map_batches(finish, batch_format="pyarrow")
+    n_total = images_ds.count()
+    n_noise = n_total - lab.count() - border.count()
+    noise = rd.from_arrow(pa.table({
+        "cluster": pa.array([-1], pa.int64()),
+        "n_core": pa.array([0], pa.int64()),
+        "n_border": pa.array([0], pa.int64()),
+        "n_points": pa.array([int(n_noise)], pa.int64())}))
+    return drop_empty_blocks(
+        clusters.union(noise).materialize(), out_schema).sort("cluster")

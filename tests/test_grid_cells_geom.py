@@ -276,3 +276,95 @@ def test_quadtree_partition_matches_recursive_split(ray_session):
     # leaf respects the cap
     assert got["n_images"].sum() == len(df)
     assert (got.loc[got.level < depth, "n_images"] <= cap).all()
+
+
+def _img_df(cx, cy):
+    import pandas as pd
+
+    n = len(cx)
+    return pd.DataFrame({
+        "image_id": [f"img-{i:08d}" for i in range(n)],
+        "lon_min": cx, "lon_max": cx,
+        "lat_min": cy, "lat_max": cy,
+    })
+
+
+def test_radius_pairs_matches_brute(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.spatial_join import radius_pairs
+
+    rng = np.random.default_rng(17)
+    n = 300
+    cx = rng.uniform(-1.0, 1.0, n)
+    cy = rng.uniform(-1.0, 1.0, n)
+    eps = 2.0 ** -4
+    got = (radius_pairs(rd.from_pandas(_img_df(cx, cy)).repartition(5),
+                        eps=eps).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    ia, ib = np.triu_indices(n, 1)
+    d2 = (cx[ia] - cx[ib]) ** 2 + (cy[ia] - cy[ib]) ** 2
+    hit = d2 <= eps * eps
+    assert list(zip(got.id_a, got.id_b)) == list(zip(ia[hit], ib[hit]))
+    assert np.array_equal(got.dist2.to_numpy(), d2[hit])
+
+
+def _brute_dbscan(cx, cy, eps, minpts):
+    """Deterministic DBSCAN reference: min-label core components,
+    border -> min core-neighbor's label."""
+    n = len(cx)
+    d2 = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    adj = (d2 <= eps * eps) & ~np.eye(n, dtype=bool)
+    core = adj.sum(1) >= minpts - 1
+    # components over core-core edges, label = min member
+    lab = {}
+    for i in np.nonzero(core)[0]:
+        if i in lab:
+            continue
+        comp, stack = {int(i)}, [int(i)]
+        while stack:
+            u = stack.pop()
+            for v in np.nonzero(adj[u] & core)[0]:
+                if int(v) not in comp:
+                    comp.add(int(v))
+                    stack.append(int(v))
+        m = min(comp)
+        for u in comp:
+            lab[u] = m
+    border = {}
+    for i in np.nonzero(~core)[0]:
+        cn = [lab[int(j)] for j in np.nonzero(adj[i] & core)[0]]
+        if cn:
+            border[int(i)] = min(cn)
+    stats = {}
+    for u, r in lab.items():
+        stats.setdefault(r, [0, 0])[0] += 1
+    for u, r in border.items():
+        stats.setdefault(r, [0, 0])[1] += 1
+    rows = [(r, c, b, c + b) for r, (c, b) in sorted(stats.items())]
+    noise = n - len(lab) - len(border)
+    return [(-1, 0, 0, noise)] + rows
+
+
+def test_dbscan_matches_brute(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.spatial_join import dbscan_clusters
+
+    rng = np.random.default_rng(23)
+    # three dense blobs + scattered noise
+    blobs = [(-0.5, -0.5), (0.4, 0.2), (0.1, -0.7)]
+    xs, ys = [], []
+    for bx, by in blobs:
+        xs.append(rng.normal(bx, 0.01, 40))
+        ys.append(rng.normal(by, 0.01, 40))
+    xs.append(rng.uniform(-1, 1, 60))
+    ys.append(rng.uniform(-1, 1, 60))
+    cx = np.concatenate(xs)
+    cy = np.concatenate(ys)
+    eps, minpts = 2.0 ** -5, 5
+    got = dbscan_clusters(rd.from_pandas(_img_df(cx, cy)).repartition(4),
+                          eps=eps, minpts=minpts).to_pandas()
+    want = _brute_dbscan(cx, cy, eps, minpts)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert len(want) >= 4  # the three blobs resolved (+noise row)
