@@ -4244,17 +4244,29 @@ def _q_images_radius_pairs(sf_dir: str):
 
 
 def _q_images_dbscan(sf_dir: str):
-    """Exact deterministic DBSCAN (eps=2^-6, minpts=5) over image
-    centroids: ε-graph from the lattice join, core components via
-    distributed min-label CC, border -> min core-neighbor label."""
+    """Exact deterministic DBSCAN (density-normalized eps, minpts=5)
+    over image centroids: ε-graph from the lattice join, core components
+    via distributed min-label CC, border -> min core-neighbor label.
+
+    eps scales with the expected nearest-neighbor distance (~1/sqrt(n),
+    the standard DBSCAN sizing rule), snapped to a power of two so the
+    cell arithmetic replays exactly: n=10k (the oracle scale) -> 2^-6;
+    10x the corpus halves-ish the radius instead of exploding the
+    ε-graph into one giant component."""
+    import math
+
+    import pyarrow.dataset as _pds
+
     from raygeo.ops.spatial_join import dbscan_clusters
 
     d = _fix(sf_dir)
+    n = _pds.dataset(f"{d}/images.parquet").count_rows()
+    exp = round(-6 + 0.5 * math.log2(10000 / max(n, 1)))
     return dbscan_clusters(
         _read_images(f"{d}/images.parquet",
                      columns=["image_id", "lon_min", "lat_min",
                               "lon_max", "lat_max"]),
-        eps=2.0 ** -6, minpts=5)
+        eps=2.0 ** exp, minpts=5)
 
 
 def _radius_cells_cte(eps: float) -> str:

@@ -238,6 +238,11 @@ def run_bench() -> dict:
         "images_quadtree",
         "docs_winnowing",
         "docs_containment",
+        "images_coverage_depth",
+        "events_attribution",
+        "zonal_perimeter",
+        "images_radius_pairs",
+        "images_dbscan",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

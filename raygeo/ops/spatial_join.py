@@ -564,30 +564,36 @@ def radius_pairs(images_ds, eps: float = 2.0 ** -5,
 
 
 def dbscan_clusters(images_ds, eps: float = 2.0 ** -5, minpts: int = 4,
-                    num_partitions: int | None = None):
-    """Exact deterministic DBSCAN over image centroids, fully
-    Dataset-resident — the density-based spatial clustering a curation
-    pipeline uses to find over-sampled regions: core points have >=
-    ``minpts`` neighbors within eps (themselves included), clusters are
-    connected components of the core-core ε-graph labeled by their
-    minimum core id, border points join the MINIMUM label among their
-    core neighbors (the deterministic variant of DBSCAN's
-    order-dependent border rule), everything else is noise. Returns
-    (cluster:int64, n_core, n_border, n_points) sorted by cluster with
-    one cluster=-1 noise row — bounded output.
+                    num_partitions: int | None = None,
+                    broadcast_cap: int = 2_000_000):
+    """Exact deterministic DBSCAN over image centroids — the
+    density-based spatial clustering a curation pipeline uses to find
+    over-sampled regions: core points have >= ``minpts`` neighbors
+    within eps (themselves included), clusters are connected components
+    of the core-core ε-graph labeled by their minimum core id, border
+    points join the MINIMUM label among their core neighbors (the
+    deterministic variant of DBSCAN's order-dependent border rule),
+    everything else is noise. Returns (cluster:int64, n_core, n_border,
+    n_points) sorted by cluster with one cluster=-1 noise row — bounded
+    output.
 
-    Plan: :func:`radius_pairs` builds the ε-graph (9-cell lattice join);
-    degrees and border labels are coarse-bucket folds; the core-core
-    component labeling rides :func:`raygeo.ops.graph
-    .connected_components_pairs` (min-label + pointer jumping, only
-    per-round checksums on the driver). Core membership tests on pair
-    endpoints are partitioned marker joins, never driver sets.
+    Scale shape (the ``dedup_keep_list`` dual-path discipline): the
+    ε-graph comes from :func:`radius_pairs` (9-cell lattice hash join);
+    degrees fold coarse-bucketed. When the core set fits
+    ``broadcast_cap`` it ships once via ``ray.put`` and core-membership
+    flags + border extraction are pure maps, with the component labels
+    from a driver union-find over the (cap-bounded) core-core edge list
+    — at these sizes the Dataset CC machinery's per-round fixed cost
+    dominates (measured 37 s for a 160k-edge graph that union-find does
+    in milliseconds). Above the cap everything degrades to partitioned
+    marker joins + :func:`raygeo.ops.graph.connected_components_pairs`
+    (min-label + pointer jumping, driver sees only checksums).
     """
+    import ray
     import ray.data as rd
 
     from ..util import (auto_join_partitions, bucketed_fold, bucketed_sum,
                         drop_empty_blocks)
-    from .graph import connected_components_pairs
 
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     pairs = drop_empty_blocks(
@@ -616,104 +622,184 @@ def dbscan_clusters(images_ds, eps: float = 2.0 ** -5, minpts: int = 4,
                             ("n_core", pa.int64()),
                             ("n_border", pa.int64()),
                             ("n_points", pa.int64())])
-    if core.count() == 0:  # no dense region anywhere: all noise
+    n_core_total = core.count()
+    if n_core_total == 0:  # no dense region anywhere: all noise
         return rd.from_arrow(pa.table({
             "cluster": pa.array([-1], pa.int64()),
             "n_core": pa.array([0], pa.int64()),
             "n_border": pa.array([0], pa.int64()),
             "n_points": pa.array([int(images_ds.count())], pa.int64())}))
 
-    def mark(name):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({
-                name: t.column("node"),
-                f"hit_{name}": pa.array(np.ones(t.num_rows, np.int64))})
-        return f
-
-    jp = auto_join_partitions(pairs, pools=1)
-    ma = core.map_batches(mark("ka"), batch_format="pyarrow")
-    mb = core.map_batches(mark("kb"), batch_format="pyarrow")
-    marked = (pairs.join(ma, join_type="left_outer", num_partitions=jp,
-                         on=("id_a",), right_on=("ka",)))
-    marked = drop_empty_blocks(
-        marked.select_columns(["id_a", "id_b", "hit_ka"]).materialize(),
-        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                   ("hit_ka", pa.int64())]))
-    marked = (marked.join(mb, join_type="left_outer", num_partitions=jp,
-                          on=("id_b",), right_on=("kb",)))
-    marked = drop_empty_blocks(
-        marked.select_columns(["id_a", "id_b", "hit_ka", "hit_kb"])
-        .materialize(),
-        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                   ("hit_ka", pa.int64()), ("hit_kb", pa.int64())]))
-
-    def core_core(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ok = pc.and_(pc.is_valid(t.column("hit_ka")),
-                     pc.is_valid(t.column("hit_kb")))
-        t2 = t.filter(ok)
-        return pa.table({"id_a": t2.column("id_a"),
-                         "id_b": t2.column("id_b")})
-
-    def self_pairs(t: pa.Table) -> pa.Table:
-        return pa.table({"id_a": t.column("node"),
-                         "id_b": t.column("node")})
-
-    cc_in = (marked.map_batches(core_core, batch_format="pyarrow")
-             .union(core.map_batches(self_pairs, batch_format="pyarrow")))
-    lab = connected_components_pairs(cc_in)  # (node, rep), cores only
-    lab = drop_empty_blocks(
-        lab.materialize(),
-        pa.schema([("node", pa.int64()), ("rep", pa.int64())]))
-
-    # border: non-core endpoints adjacent to a core endpoint
-    def border_rows(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ha = pc.is_valid(t.column("hit_ka")).to_numpy(
-            zero_copy_only=False)
-        hb = pc.is_valid(t.column("hit_kb")).to_numpy(
-            zero_copy_only=False)
-        a = t.column("id_a").to_numpy()
-        b = t.column("id_b").to_numpy()
-        m1 = ~ha & hb   # a border-candidate via core b
-        m2 = ha & ~hb
-        return pa.table({
-            "noncore": pa.array(np.concatenate([a[m1], b[m2]]), pa.int64()),
-            "corep": pa.array(np.concatenate([b[m1], a[m2]]), pa.int64())})
-
-    bw = marked.map_batches(border_rows, batch_format="pyarrow")
-    bw = drop_empty_blocks(
-        bw.materialize(),
-        pa.schema([("noncore", pa.int64()), ("corep", pa.int64())]))
+    lab_schema = pa.schema([("node", pa.int64()), ("rep", pa.int64())])
     border_schema = pa.schema([("noncore", pa.int64()),
                                ("rep", pa.int64())])
+    jp = auto_join_partitions(pairs, pools=1)
+
+    if n_core_total <= broadcast_cap:
+        # ---- broadcast path: core flags are one np.isin per batch ----
+        core_ids = np.sort(np.concatenate(
+            [t.column("node").to_numpy()
+             for t in core.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 20)]))
+        cref = ray.put(core_ids)
+
+        def cc_edges(t: pa.Table, _r=cref) -> pa.Table:
+            cs = ray.get(_r)
+            a = t.column("id_a").to_numpy()
+            b = t.column("id_b").to_numpy()
+            keep = np.isin(a, cs) & np.isin(b, cs)
+            return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                             "id_b": pa.array(b[keep], pa.int64())})
+
+        cc_in = drop_empty_blocks(
+            pairs.map_batches(cc_edges, batch_format="pyarrow")
+            .materialize(), pair_schema)
+        if cc_in.count() <= broadcast_cap:
+            # cap-bounded edge list: exact driver union-find (same
+            # min-root semantics, pinned vs the Dataset plan by tests)
+            from .dedup import _min_root_union_find
+            edf = cc_in.to_pandas()
+            rep_map = _min_root_union_find(edf)
+            rep = np.array([rep_map.get(int(n_), int(n_))
+                            for n_ in core_ids], np.int64)
+            lab = rd.from_arrow(pa.table({
+                "node": pa.array(core_ids, pa.int64()),
+                "rep": pa.array(rep, pa.int64())}))
+        else:
+            from .graph import connected_components_pairs
+            lab = connected_components_pairs(cc_in.union(
+                core.map_batches(
+                    lambda t: pa.table({"id_a": t.column("node"),
+                                        "id_b": t.column("node")}),
+                    batch_format="pyarrow")))
+        lab = drop_empty_blocks(lab.materialize(), lab_schema)
+
+        # border: per-pair xor flags, then min core-neighbor label; the
+        # label lookup broadcasts the (cap-bounded) core label map
+        lab_pdf = lab.to_pandas()
+        lref = ray.put(dict(zip(lab_pdf["node"].to_numpy(),
+                                lab_pdf["rep"].to_numpy())))
+
+        def border_rows(t: pa.Table, _c=cref, _l=lref) -> pa.Table:
+            cs = ray.get(_c)
+            lm = ray.get(_l)
+            a = t.column("id_a").to_numpy()
+            b = t.column("id_b").to_numpy()
+            ha = np.isin(a, cs)
+            hb = np.isin(b, cs)
+            m1 = ~ha & hb
+            m2 = ha & ~hb
+            nc = np.concatenate([a[m1], b[m2]])
+            cp = np.concatenate([b[m1], a[m2]])
+            rep_ = np.array([lm[int(x)] for x in cp], np.int64)
+            return pa.table({"noncore": pa.array(nc, pa.int64()),
+                             "rep": pa.array(rep_, pa.int64())})
+
+        bw = drop_empty_blocks(
+            pairs.map_batches(border_rows, batch_format="pyarrow")
+            .materialize(), border_schema)
+    else:
+        # ---- partitioned path: marker joins, Dataset-resident CC ----
+        from .graph import connected_components_pairs
+
+        def mark(name):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    name: t.column("node"),
+                    f"hit_{name}": pa.array(np.ones(t.num_rows,
+                                                    np.int64))})
+            return f
+
+        ma = core.map_batches(mark("ka"), batch_format="pyarrow")
+        mb = core.map_batches(mark("kb"), batch_format="pyarrow")
+        marked = pairs.join(ma, join_type="left_outer",
+                            num_partitions=jp,
+                            on=("id_a",), right_on=("ka",))
+        marked = drop_empty_blocks(
+            marked.select_columns(["id_a", "id_b", "hit_ka"])
+            .materialize(),
+            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("hit_ka", pa.int64())]))
+        marked = marked.join(mb, join_type="left_outer",
+                             num_partitions=jp,
+                             on=("id_b",), right_on=("kb",))
+        marked = drop_empty_blocks(
+            marked.select_columns(["id_a", "id_b", "hit_ka", "hit_kb"])
+            .materialize(),
+            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("hit_ka", pa.int64()), ("hit_kb", pa.int64())]))
+
+        def core_core(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ok = pc.and_(pc.is_valid(t.column("hit_ka")),
+                         pc.is_valid(t.column("hit_kb")))
+            t2 = t.filter(ok)
+            return pa.table({"id_a": t2.column("id_a"),
+                             "id_b": t2.column("id_b")})
+
+        cc_in = (marked.map_batches(core_core, batch_format="pyarrow")
+                 .union(core.map_batches(
+                     lambda t: pa.table({"id_a": t.column("node"),
+                                         "id_b": t.column("node")}),
+                     batch_format="pyarrow")))
+        lab = drop_empty_blocks(
+            connected_components_pairs(cc_in).materialize(), lab_schema)
+
+        def border_pairs(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ha = pc.is_valid(t.column("hit_ka")).to_numpy(
+                zero_copy_only=False)
+            hb = pc.is_valid(t.column("hit_kb")).to_numpy(
+                zero_copy_only=False)
+            a = t.column("id_a").to_numpy()
+            b = t.column("id_b").to_numpy()
+            m1 = ~ha & hb
+            m2 = ha & ~hb
+            return pa.table({
+                "noncore": pa.array(np.concatenate([a[m1], b[m2]]),
+                                    pa.int64()),
+                "corep": pa.array(np.concatenate([b[m1], a[m2]]),
+                                  pa.int64())})
+
+        bwr = drop_empty_blocks(
+            marked.map_batches(border_pairs, batch_format="pyarrow")
+            .materialize(),
+            pa.schema([("noncore", pa.int64()), ("corep", pa.int64())]))
+        if bwr.count() == 0:
+            # joining an EMPTY Dataset side drops its schema inside the
+            # hash shuffle and breaks the Acero key lookup
+            bw = rd.from_arrow(pa.table(
+                {f.name: pa.array([], f.type) for f in border_schema}))
+        else:
+            lr = lab.map_batches(
+                lambda t: pa.table({"ln": t.column("node"),
+                                    "rep": t.column("rep")}),
+                batch_format="pyarrow")
+            bw = drop_empty_blocks(
+                bwr.join(lr, join_type="inner", num_partitions=jp,
+                         on=("corep",), right_on=("ln",))
+                .select_columns(["noncore", "rep"]).materialize(),
+                border_schema)
+
+    # min label per border point, then bounded per-cluster stats
     if bw.count() == 0:
-        # joining an EMPTY Dataset side drops its schema inside the hash
-        # shuffle and breaks the Acero key lookup — short-circuit instead
         border = rd.from_arrow(pa.table(
             {f.name: pa.array([], f.type) for f in border_schema}))
     else:
-        lr = lab.map_batches(
-            lambda t: pa.table({"ln": t.column("node"),
-                                "lrep": t.column("rep")}),
-            batch_format="pyarrow")
-        bwl = bw.join(lr, join_type="inner", num_partitions=jp,
-                      on=("corep",), right_on=("ln",))
         border = bucketed_fold(
-            bwl.select_columns(["noncore", "lrep"]), "noncore",
-            lambda g: g.groupby("noncore", sort=False)["lrep"].min()
-            .reset_index().rename(columns={"lrep": "rep"}),
-            clean_schema=border_schema)
-        border = border.materialize()
+            bw, "noncore",
+            lambda g: g.groupby("noncore", sort=False)["rep"].min()
+            .reset_index(),
+            clean_schema=border_schema).materialize()
 
-    n_core_per = bucketed_fold(
-        lab.select_columns(["rep"]), "rep",
-        lambda g: g.groupby("rep", sort=False).size()
-        .reset_index(name="n_core"),
-        clean_schema=pa.schema([("rep", pa.int64()),
-                                ("n_core", pa.int64())]))
     n_core_per = drop_empty_blocks(
-        n_core_per.materialize(),
+        bucketed_fold(
+            lab.select_columns(["rep"]), "rep",
+            lambda g: g.groupby("rep", sort=False).size()
+            .reset_index(name="n_core"),
+            clean_schema=pa.schema([("rep", pa.int64()),
+                                    ("n_core", pa.int64())]))
+        .materialize(),
         pa.schema([("rep", pa.int64()), ("n_core", pa.int64())]))
     if border.count() == 0 or n_core_per.count() == 0:
         joined = n_core_per.map_batches(
@@ -747,8 +833,7 @@ def dbscan_clusters(images_ds, eps: float = 2.0 ** -5, minpts: int = 4,
                          "n_points": pa.array(nc + nb, pa.int64())})
 
     clusters = joined.map_batches(finish, batch_format="pyarrow")
-    n_total = images_ds.count()
-    n_noise = n_total - lab.count() - border.count()
+    n_noise = images_ds.count() - lab.count() - border.count()
     noise = rd.from_arrow(pa.table({
         "cluster": pa.array([-1], pa.int64()),
         "n_core": pa.array([0], pa.int64()),

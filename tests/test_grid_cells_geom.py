@@ -346,7 +346,10 @@ def _brute_dbscan(cx, cy, eps, minpts):
     return [(-1, 0, 0, noise)] + rows
 
 
-def test_dbscan_matches_brute(ray_session):
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_dbscan_matches_brute(ray_session, cap):
+    """cap high = broadcast/union-find path; cap 0 = partitioned marker
+    joins + Dataset CC. Identical output required."""
     import ray.data as rd
 
     from raygeo.ops.spatial_join import dbscan_clusters
@@ -364,7 +367,8 @@ def test_dbscan_matches_brute(ray_session):
     cy = np.concatenate(ys)
     eps, minpts = 2.0 ** -5, 5
     got = dbscan_clusters(rd.from_pandas(_img_df(cx, cy)).repartition(4),
-                          eps=eps, minpts=minpts).to_pandas()
+                          eps=eps, minpts=minpts,
+                          broadcast_cap=cap).to_pandas()
     want = _brute_dbscan(cx, cy, eps, minpts)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     assert len(want) >= 4  # the three blobs resolved (+noise row)
