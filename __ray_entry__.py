@@ -2243,6 +2243,24 @@ def _q_mosaic_flowaccum(sf_dir: str):
                            FIXTURE_GRID).sort("tile_id")
 
 
+def _q_mosaic_strahler(sf_dir: str):
+    """Strahler stream-order histogram per tile over the D8 flow forest —
+    the TOPOLOGICAL-wave terrain op (a cell's order depends on its full
+    upstream tree: max donor order, +1 when >=2 donors attain it). One
+    blur-protocol exchange (2-px strips + 2x2 corners) derives halo-exact
+    codes for self AND the 1-px ring, so external-donor counts are local;
+    round 0 seeds sources and runs the vectorized in-tile wave; later
+    rounds chase O(perimeter) resolved-donor messages by spatial
+    super-block against carried compressed state planes. Oracle = serial
+    full-plane wave golden (ensure_strahler_golden) sharing only the pure
+    D8 rule."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import strahler_stats
+
+    return strahler_stats(_tiles_lww(sf_dir),
+                          FIXTURE_GRID).sort(["tile_id", "strahler"])
+
+
 def _q_mosaic_focal_median(sf_dir: str):
     """3x3 focal LOWER median (quantile_disc semantics) per-tile stats on
     the generic ring-exchange focal engine — interior windows fold
@@ -3671,6 +3689,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
+        "mosaic_strahler": _q_mosaic_strahler,  # Strahler stream order
         "q6_band_revenue": _q_q6_band_revenue,  # Q6 map-side fold
         "q9_profit": _q_q9_profit,  # Q9 nation x year profit
         "q8_market_share": _q_q8_market_share,  # Q8 exact share moments
@@ -4424,6 +4443,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_flowaccum_golden
 
     ensure_flowaccum_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_strahler_golden
+
+    ensure_strahler_golden(FIX_SF001)
     from raygeo.fixtures import ensure_reproject_golden
 
     ensure_reproject_golden(FIX_SF001)
@@ -4639,6 +4661,10 @@ FROM read_parquet('{FIX_SF001}/flowlen_golden.parquet')
         "mosaic_flowaccum": f"""
 SELECT tile_id, tx, ty, n_px, acc_sum, acc_max, n_channel
 FROM read_parquet('{FIX_SF001}/flowaccum_golden.parquet')
+""",
+        "mosaic_strahler": f"""
+SELECT tile_id, tx, ty, strahler, n_cells
+FROM read_parquet('{FIX_SF001}/strahler_golden.parquet')
 """,
         "mosaic_reproject": f"""
 SELECT tile_id, tx, ty, n_px, v_sum

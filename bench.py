@@ -243,6 +243,7 @@ def run_bench() -> dict:
         "zonal_perimeter",
         "images_radius_pairs",
         "images_dbscan",
+        "mosaic_strahler",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

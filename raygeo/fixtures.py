@@ -2603,3 +2603,97 @@ def ensure_timefill_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_strahler_golden(fix_dir: str) -> str:
+    """Idempotently derive strahler_golden.parquet: per-tile Strahler
+    stream-order histograms from a serial FULL-PLANE topological wave —
+    order(source) = 1; order(cell) = max donor order, +1 when two or
+    more donors attain that max (Strahler 1957 over the D8 flow forest).
+
+    Shares ONLY the pure per-pixel D8 rule (`_flowdir_codes`) with the
+    engine — the engine's tile decomposition, donor-count exchange and
+    cross-border message rounds (`ops.spatialstats.strahler_stats`) are
+    not touched. Separate marker; no layout-version regen."""
+    from .ops.spatialstats import _D8_OFF
+    from .ops.stencil import _flowdir_codes
+
+    out = os.path.join(fix_dir, "strahler_golden.parquet")
+    if os.path.exists(out):
+        return out
+    g = FIXTURE_GRID
+    (_, valid, v), lww = _paint_lww_plane(fix_dir)
+    H, W = valid.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    nxt = np.full(H * W, -1, np.int64)
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        nxt[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    vmask = codes >= 0
+    donors = np.bincount(nxt[nxt >= 0], minlength=H * W)
+    order = np.zeros(H * W, np.int64)
+    m = np.zeros(H * W, np.int64)
+    cmax = np.zeros(H * W, np.int64)
+    ready = np.nonzero(vmask & (donors == 0))[0]
+    order[ready] = 1
+    for _ in range(100000):
+        if len(ready) == 0:
+            break
+        t = nxt[ready]
+        keep = t >= 0
+        t, o = t[keep], order[ready][keep]
+        if len(t) == 0:
+            break
+        idx = np.lexsort((-o, t))
+        t_s, o_s = t[idx], o[idx]
+        starts = np.r_[0, np.nonzero(np.diff(t_s))[0] + 1]
+        u = t_s[starts]
+        omax = o_s[starts]
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(t_s)]))
+        kmax = np.add.reduceat((o_s == omax[seg]).astype(np.int64), starts)
+        cnt = np.add.reduceat(np.ones(len(t_s), np.int64), starts)
+        gt = omax > m[u]
+        eq = omax == m[u]
+        cmax[u] = np.where(gt, kmax, np.where(eq, cmax[u] + kmax, cmax[u]))
+        m[u] = np.maximum(m[u], omax)
+        donors[u] -= cnt
+        newly = u[donors[u] == 0]
+        order[newly] = np.maximum(m[newly] + (cmax[newly] >= 2), 1)
+        ready = newly
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("strahler golden: wave did not converge")
+    if (vmask & (order == 0)).any():  # pragma: no cover - defensive
+        raise RuntimeError("strahler golden: unresolved cells (cycle?)")
+    order = order.reshape(H, W)
+    rows = {"tile_id": [], "tx": [], "ty": [], "strahler": [],
+            "n_cells": []}
+    for ty in range(g.n_ty):
+        for tx in range(g.n_tx):
+            tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+            o = order[tr0:tr1, tc0:tc1].ravel()
+            o = o[o > 0]
+            if not len(o):
+                continue
+            bc = np.bincount(o)
+            for s in np.nonzero(bc)[0]:
+                rows["tile_id"].append(f"{tx}-{ty}")
+                rows["tx"].append(tx)
+                rows["ty"].append(ty)
+                rows["strahler"].append(int(s))
+                rows["n_cells"].append(int(bc[s]))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "strahler": pa.array(rows["strahler"], pa.int64()),
+        "n_cells": pa.array(rows["n_cells"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

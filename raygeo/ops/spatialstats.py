@@ -2352,3 +2352,426 @@ def basin_fill(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
         "fill_v": pa.array(fv, pa.int64()),
         "filled_depth": pa.array(fv - pit_v, pa.int64()),
     })
+
+
+# ---- Strahler stream order (topological wave over the D8 forest) ------------
+
+STRAHLER_MID_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'state' tile blob | 'msg' resolved donor fire
+    ("z", pa.binary()),     # state: zlib(codes i8 | order,m,cmax,rem i32)
+    ("node", pa.int64()),   # msg: target global cell id
+    ("n", pa.int64()),      # msg: donor's resolved Strahler order
+    ("sb", pa.int64()),     # spatial super-block (roundk group key)
+])
+
+STRAHLER_PARTIAL_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'self' | blur-protocol 2-px strips / corners
+    ("v", pa.binary()),
+    ("m", pa.binary()),
+])
+
+STRAHLER_OUT_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("strahler", pa.int64()),
+    ("n_cells", pa.int64()),
+])
+
+
+def _strahler_wave(nxt, ext, order, m, cmax, rem, ready):
+    """In-tile topological wave: ``ready`` cells just resolved their
+    Strahler order; fire them downstream until the tile quiesces.
+    Per hop, donors fold per target as (max order, count attaining max)
+    — commutative/associative, so arrival order never matters — and a
+    target resolves when its remaining-donor counter hits zero:
+    order = m + (cmax >= 2)  (Strahler 1957).  Returns the cross-border
+    fires as (global target id, donor order) arrays."""
+    out_t: list[np.ndarray] = []
+    out_o: list[np.ndarray] = []
+    frontier = np.asarray(ready, np.int64)
+    for _ in range(len(nxt) + 8):
+        if len(frontier) == 0:
+            break
+        o = order[frontier]
+        ex = ext[frontier]
+        has_ex = ex >= 0
+        if has_ex.any():
+            out_t.append(ex[has_ex])
+            out_o.append(o[has_ex])
+        ni = nxt[frontier]
+        sel = ni >= 0
+        t, ov = ni[sel], o[sel]
+        if len(t) == 0:
+            break
+        idx = np.lexsort((-ov, t))
+        t_s, o_s = t[idx], ov[idx]
+        starts = np.r_[0, np.nonzero(np.diff(t_s))[0] + 1]
+        u = t_s[starts]
+        omax = o_s[starts]
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(t_s)]))
+        kmax = np.add.reduceat((o_s == omax[seg]).astype(np.int64), starts)
+        cnt = np.add.reduceat(np.ones(len(t_s), np.int64), starts)
+        gt = omax > m[u]
+        eq = omax == m[u]
+        cmax[u] = np.where(gt, kmax, np.where(eq, cmax[u] + kmax, cmax[u]))
+        m[u] = np.maximum(m[u], omax)
+        rem[u] -= cnt
+        newly = u[rem[u] == 0]
+        order[newly] = np.maximum(m[newly] + (cmax[newly] >= 2), 1)
+        frontier = newly
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("strahler: in-tile wave did not converge")
+    if out_t:
+        return np.concatenate(out_t), np.concatenate(out_o)
+    return np.empty(0, np.int64), np.empty(0, np.int64)
+
+
+def _strahler_pack(codes, order, m, cmax, rem):
+    return zlib.compress(codes.astype(np.int8).tobytes()
+                         + order.astype(np.int32).tobytes()
+                         + m.astype(np.int32).tobytes()
+                         + cmax.astype(np.int32).tobytes()
+                         + rem.astype(np.int32).tobytes(), 1)
+
+
+def _strahler_unpack(z, c):
+    raw = zlib.decompress(z)
+    n = c * c
+    codes = np.frombuffer(raw[:n], np.int8).astype(np.int64)
+    f = [np.frombuffer(raw[n + 4 * n * i:n + 4 * n * (i + 1)],
+                       np.int32).astype(np.int64).copy() for i in range(4)]
+    return codes, f[0], f[1], f[2], f[3]
+
+
+def strahler_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+                   max_rounds: int = 64):
+    """Strahler stream-order histogram per tile — the stream-network
+    classification on the D8 flow forest (order(source) = 1; a cell's
+    order is the max donor order, +1 when >=2 donors attain that max;
+    Strahler 1957). The reference computes DEM derivatives over loaded
+    cube windows (`core/accessor.py` load tail); this is the
+    whole-mosaic distributed analog of the hardest one: a TOPOLOGICAL
+    wave whose per-cell result depends on the full upstream tree.
+
+    Plan: ONE blur-protocol exchange (2-px edge strips + 2x2 corners)
+    gives every tile a (c+4)^2 frame, so it derives halo-exact D8 codes
+    for itself AND its 1-px ring — external-donor counts are local
+    (ring cells that flow inward), no donor-count exchange round.
+    Round 0 seeds sources (remaining-donor counter == 0) and runs the
+    vectorized in-tile wave; resolved cells crossing a border emit
+    O(perimeter) messages (target cell, donor order). Later rounds
+    group messages + carried per-tile state blobs by spatial
+    SUPER-BLOCK (the flowlen discipline) and chase chains tile-to-tile
+    inside the block; the (max, count-of-max, remaining) donor fold is
+    commutative, so message arrival order is irrelevant and the result
+    is deterministic. State blobs are compressed int8/int32 planes —
+    the per-round shuffle is O(tiles), never canvases.
+
+    Output: (tile_id, tx, ty, strahler, n_cells) per order present in
+    the tile. Checked against ``fixtures.ensure_strahler_golden`` — a
+    serial full-plane wave sharing only the pure ``_flowdir_codes``
+    rule — plus random-mosaic oracles in tests.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    c = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+    width = grid.width
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in STRAHLER_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            row((tx, ty), "self", v=px_z[j], m=mask_z[j])
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), c, c)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(c, c).astype(bool)
+            v = _vsum(canvas, pack)
+
+            def strip(vs, ms):
+                return (np.ascontiguousarray(vs).astype(np.int64).tobytes(),
+                        np.ascontiguousarray(ms).astype(np.uint8).tobytes())
+
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0:2], mask[:, 0:2]),
+                     ((tx + 1, ty), "nbr_w", v[:, -2:], mask[:, -2:]),
+                     ((tx, ty - 1), "nbr_s", v[0:2, :], mask[0:2, :]),
+                     ((tx, ty + 1), "nbr_n", v[-2:, :], mask[-2:, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", v[0:2, 0:2],
+                      mask[0:2, 0:2]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", v[0:2, -2:],
+                      mask[0:2, -2:]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", v[-2:, 0:2],
+                      mask[-2:, 0:2]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", v[-2:, -2:],
+                      mask[-2:, -2:])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b_, m_ = strip(vs, ms)
+                    row((ntx, nty), kind, v=b_, m=m_)
+        return pa.table(out, schema=STRAHLER_PARTIAL_SCHEMA)
+
+    def _place4(P, M, kind, vs, ms):
+        if kind == "nbr_n":
+            P[0:2, 2:c + 2], M[0:2, 2:c + 2] = (vs.reshape(2, c),
+                                                ms.reshape(2, c))
+        elif kind == "nbr_s":
+            P[c + 2:c + 4, 2:c + 2], M[c + 2:c + 4, 2:c + 2] = \
+                vs.reshape(2, c), ms.reshape(2, c)
+        elif kind == "nbr_w":
+            P[2:c + 2, 0:2], M[2:c + 2, 0:2] = (vs.reshape(c, 2),
+                                                ms.reshape(c, 2))
+        elif kind == "nbr_e":
+            P[2:c + 2, c + 2:c + 4], M[2:c + 2, c + 2:c + 4] = \
+                vs.reshape(c, 2), ms.reshape(c, 2)
+        elif kind == "nbr_nw_c":
+            P[0:2, 0:2], M[0:2, 0:2] = vs.reshape(2, 2), ms.reshape(2, 2)
+        elif kind == "nbr_ne_c":
+            P[0:2, c + 2:c + 4], M[0:2, c + 2:c + 4] = \
+                vs.reshape(2, 2), ms.reshape(2, 2)
+        elif kind == "nbr_sw_c":
+            P[c + 2:c + 4, 0:2], M[c + 2:c + 4, 0:2] = \
+                vs.reshape(2, 2), ms.reshape(2, 2)
+        elif kind == "nbr_se_c":
+            P[c + 2:c + 4, c + 2:c + 4], M[c + 2:c + 4, c + 2:c + 4] = \
+                vs.reshape(2, 2), ms.reshape(2, 2)
+
+    import math
+
+    from ..util import cluster_cpus
+
+    G = max(1, int(math.sqrt((n_tx * n_ty) / max(1, 2 * cluster_cpus()))))
+    nbx = (n_tx + G - 1) // G
+
+    def _mid_row(out, tx, ty, kind, z=b"", node=-1, n=0):
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(tx)
+        out["ty"].append(ty)
+        out["kind"].append(kind)
+        out["z"].append(z)
+        out["node"].append(int(node))
+        out["n"].append(int(n))
+        out["sb"].append((ty // G) * nbx + tx // G)
+
+    def round0(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        out: dict[str, list] = {k: [] for k in STRAHLER_MID_SCHEMA.names}
+        if "self" not in kinds:
+            return pa.table(out, schema=STRAHLER_MID_SCHEMA)
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        P = np.zeros((c + 4, c + 4), np.int64)
+        M = np.zeros((c + 4, c + 4), bool)
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                canvas = pack.from_bytes(
+                    zlib.decompress(g.column("v")[j].as_py()), c, c)
+                mask = np.frombuffer(
+                    zlib.decompress(g.column("m")[j].as_py()),
+                    np.uint8).reshape(c, c).astype(bool)
+                P[2:c + 2, 2:c + 2] = _vsum(canvas, pack)
+                M[2:c + 2, 2:c + 2] = mask
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place4(P, M, kind, vs, ms)
+        # codes for self + 1-px ring: every (c+2)^2 interior cell's 3x3
+        # is exact inside the (c+4)^2 frame
+        codes_ring = _flowdir_codes(P, M)          # (c+2, c+2)
+        codes = codes_ring[1:-1, 1:-1]             # (c, c) self
+        valid = codes.ravel() >= 0
+        if not valid.any():
+            return pa.table(out, schema=STRAHLER_MID_SCHEMA)
+        gy0, gx0 = ty * c, tx * c
+        nxt, ext = _acc_nxt_ext(codes, c, gy0, gx0, width)
+        rem = np.bincount(nxt[nxt >= 0], minlength=c * c).astype(np.int64)
+        # external donors: ring cells whose D8 code points INTO the tile;
+        # their resolved orders arrive later as messages
+        ring = np.ones((c + 2, c + 2), bool)
+        ring[1:-1, 1:-1] = False
+        rpos = np.nonzero(ring.ravel())[0]
+        rcode = codes_ring.ravel()[rpos]
+        sel = rcode >= 0
+        rr0, cc0 = np.divmod(rpos[sel], c + 2)
+        for k, (dr, dc_) in _D8_OFF.items():
+            ks = rcode[sel] == k
+            if not ks.any():
+                continue
+            tr, tc = rr0[ks] + dr, cc0[ks] + dc_
+            into = (tr >= 1) & (tr <= c) & (tc >= 1) & (tc <= c)
+            if into.any():
+                tgt = (tr[into] - 1) * c + (tc[into] - 1)
+                np.add.at(rem, tgt, 1)
+        order = np.zeros(c * c, np.int64)
+        m = np.zeros(c * c, np.int64)
+        cmax = np.zeros(c * c, np.int64)
+        ready = np.nonzero(valid & (rem == 0))[0]
+        order[ready] = 1
+        wt, wo = _strahler_wave(nxt, ext, order, m, cmax, rem, ready)
+        _mid_row(out, tx, ty, "state",
+                 z=_strahler_pack(codes.ravel(), order, m, cmax, rem))
+        for t_, o_ in zip(wt, wo):
+            _mid_row(out, tx, ty, "msg", node=t_, n=o_)
+        return pa.table(out, schema=STRAHLER_MID_SCHEMA)
+
+    mid = (tiles_ds.select_columns(["tile_id", "tx", "ty", "px_z", "mask_z"])
+           .map_batches(emit, batch_format="pyarrow", batch_size=64)
+           .groupby("tile_id").map_groups(round0, batch_format="pyarrow")
+           .materialize())
+
+    states = mid.filter(expr="kind == 'state'").materialize()
+    msgs = mid.filter(expr="kind == 'msg'") \
+              .select_columns(["node", "n"]).materialize()
+
+    def key_msgs(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        gx = node % width
+        gy = node // width
+        tx = gx // c
+        ty = gy // c
+        sb = (ty // G) * nbx + tx // G
+        tid = [f"{a}-{b}" for a, b in zip(tx, ty)]
+        return pa.table({
+            "tile_id": pa.array(tid, pa.string()),
+            "tx": pa.array(tx, pa.int64()),
+            "ty": pa.array(ty, pa.int64()),
+            "kind": pa.array(["msg"] * len(t), pa.string()),
+            "z": pa.array([b""] * len(t), pa.binary()),
+            "node": t.column("node"),
+            "n": t.column("n"),
+            "sb": pa.array(sb, pa.int64()),
+        }, schema=STRAHLER_MID_SCHEMA)
+
+    def roundk(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        out: dict[str, list] = {k: [] for k in STRAHLER_MID_SCHEMA.names}
+        sb = int(g.column("sb")[0].as_py())
+        st: dict[tuple, list] = {}
+        pending: dict[tuple, list] = {}
+        txs = g.column("tx").to_numpy()
+        tys = g.column("ty").to_numpy()
+        for j, kind in enumerate(kinds):
+            key = (int(txs[j]), int(tys[j]))
+            if kind == "state":
+                st[key] = list(_strahler_unpack(g.column("z")[j].as_py(), c))
+            else:
+                pending.setdefault(key, [[], []])
+                pending[key][0].append(int(g.column("node")[j].as_py()))
+                pending[key][1].append(int(g.column("n")[j].as_py()))
+        cache: dict[tuple, tuple] = {}
+        for _pop in range(1_000_000):  # defensive; v decreases per hop
+            if not pending:
+                break
+            (ttx, tty), (nodes, ns) = pending.popitem()
+            if (ttx, tty) not in st:  # pragma: no cover - defensive
+                raise RuntimeError("strahler: message entered stateless tile")
+            codes, order, m, cmax, rem = st[(ttx, tty)]
+            if (ttx, tty) not in cache:
+                cache[(ttx, tty)] = _acc_nxt_ext(
+                    codes.reshape(c, c), c, tty * c, ttx * c, width)
+            nxt, ext = cache[(ttx, tty)]
+            node_a = np.asarray(nodes, np.int64)
+            tgt = ((node_a // width - tty * c) * c
+                   + (node_a % width - ttx * c))
+            ov = np.asarray(ns, np.int64)
+            # fold the arrived donors per target, then resolve
+            idx = np.lexsort((-ov, tgt))
+            t_s, o_s = tgt[idx], ov[idx]
+            starts = np.r_[0, np.nonzero(np.diff(t_s))[0] + 1]
+            u = t_s[starts]
+            omax = o_s[starts]
+            seg = np.repeat(np.arange(len(starts)),
+                            np.diff(np.r_[starts, len(t_s)]))
+            kmax = np.add.reduceat((o_s == omax[seg]).astype(np.int64),
+                                   starts)
+            cnt = np.add.reduceat(np.ones(len(t_s), np.int64), starts)
+            gt = omax > m[u]
+            eq = omax == m[u]
+            cmax[u] = np.where(gt, kmax,
+                               np.where(eq, cmax[u] + kmax, cmax[u]))
+            m[u] = np.maximum(m[u], omax)
+            rem[u] -= cnt
+            newly = u[rem[u] == 0]
+            order[newly] = np.maximum(m[newly] + (cmax[newly] >= 2), 1)
+            wt, wo = _strahler_wave(nxt, ext, order, m, cmax, rem, newly)
+            if not len(wt):
+                continue
+            etx = (wt % width) // c
+            ety = (wt // width) // c
+            esb = (ety // G) * nbx + etx // G
+            stay = esb == sb
+            for t_, o_ in zip(wt[~stay], wo[~stay]):
+                _mid_row(out, int(ttx), int(tty), "msg", node=t_, n=o_)
+            if stay.any():
+                packed = ety[stay] * np.int64(n_tx) + etx[stay]
+                for p in np.unique(packed):
+                    mm = packed == p
+                    key2 = (int(p % n_tx), int(p // n_tx))
+                    q = pending.setdefault(key2, [[], []])
+                    q[0].extend(wt[stay][mm].tolist())
+                    q[1].extend(wo[stay][mm].tolist())
+        else:  # pragma: no cover - defensive
+            raise RuntimeError("strahler: in-block chase did not converge")
+        for (ttx, tty), (codes, order, m, cmax, rem) in st.items():
+            _mid_row(out, ttx, tty, "state",
+                     z=_strahler_pack(codes, order, m, cmax, rem))
+        return pa.table(out, schema=STRAHLER_MID_SCHEMA)
+
+    for _ in range(max_rounds):
+        if int(msgs.count()) == 0:
+            break
+        stepped = (msgs.map_batches(key_msgs, batch_format="pyarrow")
+                   .union(states)
+                   .groupby("sb")
+                   .map_groups(roundk, batch_format="pyarrow")
+                   .materialize())
+        states = stepped.filter(expr="kind == 'state'").materialize()
+        msgs = stepped.filter(expr="kind == 'msg'") \
+                      .select_columns(["node", "n"]).materialize()
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("strahler: cross-tile rounds did not converge")
+
+    def finish(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in STRAHLER_OUT_SCHEMA.names}
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            codes, order, _m, _cm, _rem = _strahler_unpack(
+                t.column("z")[j].as_py(), c)
+            valid = codes >= 0
+            if (valid & (order == 0)).any():  # pragma: no cover
+                raise RuntimeError("strahler: unresolved cells (cycle?)")
+            o = order[valid]
+            if not len(o):
+                continue
+            bc = np.bincount(o)
+            for s in np.nonzero(bc)[0]:
+                out["tile_id"].append(f"{txs[j]}-{tys[j]}")
+                out["tx"].append(int(txs[j]))
+                out["ty"].append(int(tys[j]))
+                out["strahler"].append(int(s))
+                out["n_cells"].append(int(bc[s]))
+        return pa.table(out, schema=STRAHLER_OUT_SCHEMA)
+
+    return states.map_batches(finish, batch_format="pyarrow")

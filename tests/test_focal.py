@@ -241,6 +241,105 @@ def test_flowaccum_matches_full_plane(ray_session, seed, p_absent):
     assert got.acc_max.max() > 1
 
 
+def _serial_strahler(plane, valid):
+    """Independent full-plane topological wave (no tiles): shares only
+    the pure `_flowdir_codes` rule with the engine."""
+    from raygeo.ops.spatialstats import _D8_OFF
+    from raygeo.ops.stencil import _flowdir_codes
+
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    nxt = np.full(H * W, -1, np.int64)
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        nxt[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    vmask = codes >= 0
+    donors = np.bincount(nxt[nxt >= 0], minlength=H * W)
+    order = np.zeros(H * W, np.int64)
+    m = np.zeros(H * W, np.int64)
+    cmax = np.zeros(H * W, np.int64)
+    ready = np.nonzero(vmask & (donors == 0))[0]
+    order[ready] = 1
+    for _ in range(100000):
+        if len(ready) == 0:
+            break
+        t = nxt[ready]
+        keep = t >= 0
+        t, o = t[keep], order[ready][keep]
+        if len(t) == 0:
+            break
+        idx = np.lexsort((-o, t))
+        t_s, o_s = t[idx], o[idx]
+        starts = np.r_[0, np.nonzero(np.diff(t_s))[0] + 1]
+        u = t_s[starts]
+        omax = o_s[starts]
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(t_s)]))
+        kmax = np.add.reduceat((o_s == omax[seg]).astype(np.int64), starts)
+        cnt = np.add.reduceat(np.ones(len(t_s), np.int64), starts)
+        gt = omax > m[u]
+        eq = omax == m[u]
+        cmax[u] = np.where(gt, kmax, np.where(eq, cmax[u] + kmax, cmax[u]))
+        m[u] = np.maximum(m[u], omax)
+        donors[u] -= cnt
+        newly = u[donors[u] == 0]
+        order[newly] = np.maximum(m[newly] + (cmax[newly] >= 2), 1)
+        ready = newly
+    assert not (vmask & (order == 0)).any()
+    return order.reshape(H, W)
+
+
+@pytest.mark.parametrize("seed,p_absent", [(11, 0.3), (77, 0.5)])
+def test_strahler_matches_full_plane(ray_session, seed, p_absent):
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import strahler_stats
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    got = strahler_stats(rd.from_items(rows).repartition(5),
+                         SRC).to_pandas()
+    order = _serial_strahler(plane, valid)
+    exp = []
+    for tx in range(SRC.n_tx):
+        for ty in range(SRC.n_ty):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            o = order[tr0:tr1, tc0:tc1].ravel()
+            o = o[o > 0]
+            if not len(o):
+                continue
+            bc = np.bincount(o)
+            for s in np.nonzero(bc)[0]:
+                exp.append((f"{tx}-{ty}", tx, ty, int(s), int(bc[s])))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "strahler",
+                                     "n_cells"])
+    got = got.sort_values(["tx", "ty", "strahler"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty", "strahler"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # order >= 2 exists: confluences actually merged (the wave did work)
+    assert got.strahler.max() >= 2
+
+
+def test_strahler_partitioning_invariance(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import strahler_stats
+
+    rows, _plane, _valid = _random_mosaic(seed=5, p_absent=0.2)
+    a = strahler_stats(rd.from_items(rows).repartition(2), SRC) \
+        .to_pandas().sort_values(["tx", "ty", "strahler"]) \
+        .reset_index(drop=True)
+    b = strahler_stats(rd.from_items(rows).repartition(11), SRC) \
+        .to_pandas().sort_values(["tx", "ty", "strahler"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 @pytest.mark.parametrize("seed,p_absent", [(13, 0.3), (99, 0.5)])
 def test_reproject_nn_matches_full_plane(ray_session, seed, p_absent):
     """Cross-CRS NN warp vs a serial full-plane replay: every dst pixel
