@@ -2261,6 +2261,26 @@ def _q_mosaic_strahler(sf_dir: str):
                           FIXTURE_GRID).sort(["tile_id", "strahler"])
 
 
+def _q_mosaic_costdist(sf_dir: str):
+    """Least-cost (friction-weighted) distance surface from the zone
+    centers — cost-distance / accumulated-friction: step cost
+    (v(a)+v(b))*w, w = 2 axis / 3 diagonal, invalid impassable; dist =
+    shortest-path fixpoint (unique, so deterministic under any
+    relaxation order). Per-tile Gauss-Seidel sweep solver + 1-px border
+    strip exchange, rounds grouped by spatial super-block. Oracle =
+    independently-coded full-plane fixpoint golden
+    (ensure_costdist_golden); true-Dijkstra-checked in tests."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import costdist_stats
+
+    d = _fix(sf_dir)
+    return costdist_stats(_tiles_lww(sf_dir), FIXTURE_GRID,
+                          pq.read_table(f"{d}/zones.parquet")) \
+        .sort("tile_id")
+
+
 def _q_mosaic_focal_median(sf_dir: str):
     """3x3 focal LOWER median (quantile_disc semantics) per-tile stats on
     the generic ring-exchange focal engine — interior windows fold
@@ -3690,6 +3710,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
         "mosaic_strahler": _q_mosaic_strahler,  # Strahler stream order
+        "mosaic_costdist": _q_mosaic_costdist,  # least-cost distance
         "q6_band_revenue": _q_q6_band_revenue,  # Q6 map-side fold
         "q9_profit": _q_q9_profit,  # Q9 nation x year profit
         "q8_market_share": _q_q8_market_share,  # Q8 exact share moments
@@ -4446,6 +4467,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_strahler_golden
 
     ensure_strahler_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_costdist_golden
+
+    ensure_costdist_golden(FIX_SF001)
     from raygeo.fixtures import ensure_reproject_golden
 
     ensure_reproject_golden(FIX_SF001)
@@ -4665,6 +4689,10 @@ FROM read_parquet('{FIX_SF001}/flowaccum_golden.parquet')
         "mosaic_strahler": f"""
 SELECT tile_id, tx, ty, strahler, n_cells
 FROM read_parquet('{FIX_SF001}/strahler_golden.parquet')
+""",
+        "mosaic_costdist": f"""
+SELECT tile_id, tx, ty, n_reach, dist_sum, dist_max
+FROM read_parquet('{FIX_SF001}/costdist_golden.parquet')
 """,
         "mosaic_reproject": f"""
 SELECT tile_id, tx, ty, n_px, v_sum

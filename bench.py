@@ -244,6 +244,7 @@ def run_bench() -> dict:
         "images_radius_pairs",
         "images_dbscan",
         "mosaic_strahler",
+        "mosaic_costdist",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -2697,3 +2697,112 @@ def ensure_strahler_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_costdist_golden(fix_dir: str) -> str:
+    """Idempotently derive costdist_golden.parquet: per-tile least-cost
+    distance stats from a serial FULL-PLANE relaxation fixpoint — seeds
+    are the zone-box centers (the point_sample pixel derivation), edge
+    cost a->b = (v(a)+v(b))*w with w = 2 axis / 3 diagonal, invalid
+    cells impassable. The shortest-path fixpoint is unique, so this
+    independently-coded whole-plane solver (shifted-plane synchronous
+    relaxation + per-row/column directional scans; no tiles, no strips)
+    pins `ops.spatialstats.costdist_stats`'s distributed strip-exchange
+    plan exactly. Separate marker; no layout-version regen."""
+    out = os.path.join(fix_dir, "costdist_golden.parquet")
+    if os.path.exists(out):
+        return out
+    g = FIXTURE_GRID
+    (_, valid, v), _lww = _paint_lww_plane(fix_dir)
+    zones = pq.read_table(os.path.join(fix_dir, "zones.parquet"))
+    x = (zones.column("lon_min").to_numpy()
+         + zones.column("lon_max").to_numpy()) / 2.0
+    y = (zones.column("lat_min").to_numpy()
+         + zones.column("lat_max").to_numpy()) / 2.0
+    pc_ = np.floor((x - g.x0) / g.res).astype(np.int64)
+    pr = np.floor((g.y1 - y) / g.res).astype(np.int64)
+    ok = (pc_ >= 0) & (pc_ < g.width) & (pr >= 0) & (pr < g.height)
+    pr, pc_ = pr[ok], pc_[ok]
+    H, W = valid.shape
+    INF = np.int64(1) << 62
+    D = np.full((H, W), INF, np.int64)
+    seed_ok = valid[pr, pc_]
+    D[pr[seed_ok], pc_[seed_ok]] = 0
+    V = v
+    for _ in range(4 * (H + W)):
+        before_sum = int(D[D < INF].sum()) if (D < INF).any() else -1
+        before_n = int((D < INF).sum())
+        # synchronous 8-neighbor relaxation (shifted planes)
+        for dr, dc, w in ((-1, 0, 2), (1, 0, 2), (0, -1, 2), (0, 1, 2),
+                          (-1, -1, 3), (-1, 1, 3), (1, -1, 3), (1, 1, 3)):
+            src_r = slice(max(0, -dr), H - max(0, dr))
+            src_c = slice(max(0, -dc), W - max(0, dc))
+            dst_r = slice(max(0, dr), H + min(0, dr))
+            dst_c = slice(max(0, dc), W + min(0, dc))
+            cand = (D[src_r, src_c]
+                    + (V[src_r, src_c] + V[dst_r, dst_c]) * w)
+            np.minimum(cand, INF, out=cand)
+            np.minimum(D[dst_r, dst_c], cand, out=D[dst_r, dst_c],
+                       where=valid[dst_r, dst_c])
+        # directional scans (row-ordered Gauss-Seidel, vector per row)
+        for r in range(1, H):
+            cand = D[r - 1] + (V[r - 1] + V[r]) * 2
+            cand[1:] = np.minimum(cand[1:],
+                                  D[r - 1, :-1] + (V[r - 1, :-1]
+                                                   + V[r, 1:]) * 3)
+            cand[:-1] = np.minimum(cand[:-1],
+                                   D[r - 1, 1:] + (V[r - 1, 1:]
+                                                   + V[r, :-1]) * 3)
+            np.minimum(cand, INF, out=cand)
+            np.minimum(D[r], cand, out=D[r], where=valid[r])
+        for r in range(H - 2, -1, -1):
+            cand = D[r + 1] + (V[r + 1] + V[r]) * 2
+            cand[1:] = np.minimum(cand[1:],
+                                  D[r + 1, :-1] + (V[r + 1, :-1]
+                                                   + V[r, 1:]) * 3)
+            cand[:-1] = np.minimum(cand[:-1],
+                                   D[r + 1, 1:] + (V[r + 1, 1:]
+                                                   + V[r, :-1]) * 3)
+            np.minimum(cand, INF, out=cand)
+            np.minimum(D[r], cand, out=D[r], where=valid[r])
+        for i in range(1, W):
+            cand = D[:, i - 1] + (V[:, i - 1] + V[:, i]) * 2
+            np.minimum(cand, INF, out=cand)
+            np.minimum(D[:, i], cand, out=D[:, i], where=valid[:, i])
+        for i in range(W - 2, -1, -1):
+            cand = D[:, i + 1] + (V[:, i + 1] + V[:, i]) * 2
+            np.minimum(cand, INF, out=cand)
+            np.minimum(D[:, i], cand, out=D[:, i], where=valid[:, i])
+        D[~valid] = INF
+        after_sum = int(D[D < INF].sum()) if (D < INF).any() else -1
+        after_n = int((D < INF).sum())
+        if after_sum == before_sum and after_n == before_n:
+            break
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("costdist golden: fixpoint did not converge")
+    rows = {"tile_id": [], "tx": [], "ty": [], "n_reach": [],
+            "dist_sum": [], "dist_max": []}
+    for ty in range(g.n_ty):
+        for tx in range(g.n_tx):
+            tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+            d = D[tr0:tr1, tc0:tc1]
+            reach = d < INF
+            if not reach.any():
+                continue
+            rows["tile_id"].append(f"{tx}-{ty}")
+            rows["tx"].append(tx)
+            rows["ty"].append(ty)
+            rows["n_reach"].append(int(reach.sum()))
+            rows["dist_sum"].append(int(d[reach].sum()))
+            rows["dist_max"].append(int(d[reach].max()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "n_reach": pa.array(rows["n_reach"], pa.int64()),
+        "dist_sum": pa.array(rows["dist_sum"], pa.int64()),
+        "dist_max": pa.array(rows["dist_max"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

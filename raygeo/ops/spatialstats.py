@@ -2738,6 +2738,8 @@ def strahler_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
                      z=_strahler_pack(codes, order, m, cmax, rem))
         return pa.table(out, schema=STRAHLER_MID_SCHEMA)
 
+    from ..util import drop_empty_blocks as _deb
+    _MSG_SCHEMA = pa.schema([("node", pa.int64()), ("n", pa.int64())])
     for _ in range(max_rounds):
         if int(msgs.count()) == 0:
             break
@@ -2746,9 +2748,14 @@ def strahler_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
                    .groupby("sb")
                    .map_groups(roundk, batch_format="pyarrow")
                    .materialize())
-        states = stepped.filter(expr="kind == 'state'").materialize()
-        msgs = stepped.filter(expr="kind == 'msg'") \
-                      .select_columns(["node", "n"]).materialize()
+        # rebuild from block refs: zero-copy, drops empties, cuts the
+        # accumulated logical-plan lineage (driver bookkeeping otherwise
+        # grows superlinearly with rounds — measured on costdist)
+        states = _deb(stepped.filter(expr="kind == 'state'").materialize(),
+                      STRAHLER_MID_SCHEMA)
+        msgs = _deb(stepped.filter(expr="kind == 'msg'")
+                    .select_columns(["node", "n"]).materialize(),
+                    _MSG_SCHEMA)
     else:  # pragma: no cover - defensive
         raise RuntimeError("strahler: cross-tile rounds did not converge")
 
@@ -2773,5 +2780,436 @@ def strahler_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
                 out["strahler"].append(int(s))
                 out["n_cells"].append(int(bc[s]))
         return pa.table(out, schema=STRAHLER_OUT_SCHEMA)
+
+    return states.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- Least-cost distance surface (friction-weighted Dijkstra) ----------------
+
+COST_INF = np.int64(1) << 62
+
+COSTDIST_MID_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("kind", pa.string()),  # 'state' | strip 'msg_{n,s,w,e,nw,ne,sw,se}'
+    ("z", pa.binary()),     # state: zlib(v i64 | mask u8 | dist i64)
+                            # msg: packed (dist i64 strip | v i64 strip)
+    ("sb", pa.int64()),
+])
+
+COSTDIST_OUT_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("tx", pa.int64()),
+    ("ty", pa.int64()),
+    ("n_reach", pa.int64()),
+    ("dist_sum", pa.int64()),
+    ("dist_max", pa.int64()),
+])
+
+
+def _minplus_scan(d: np.ndarray, v: np.ndarray, m: np.ndarray,
+                  cap: np.int64) -> None:
+    """In-place forward min-plus scan along one row:
+    d[i] <- min(d[i], min over run-connected j < i of d[j] + step(j..i))
+    with step(a, a+1) = (v[a] + v[a+1]) * 2. Invalid cells break runs.
+    Vectorized via the segment-offset cummin trick: X = min(d, cap) - S
+    (S = prefix step sum), Y = X - seg*K with K > range(X), so a value
+    from an earlier run can never win the running min. ``cap`` must
+    exceed every true distance (it stands in for unreached INF inside
+    the scan; candidates >= cap are discarded, so reachability is
+    exact)."""
+    w = len(d)
+    step = np.empty(w, np.int64)
+    step[0] = 0
+    step[1:] = (v[:-1] + v[1:]) * 2
+    S = np.cumsum(step)
+    X = np.where(m, np.minimum(d, cap) - S, cap)
+    rs = m.copy()
+    rs[1:] = m[1:] & ~m[:-1]
+    seg = np.cumsum(rs)
+    K = cap + (S[-1] if w else 0) + 1
+    R = np.minimum.accumulate(X - seg * K) + seg * K
+    cand = S + R
+    np.minimum(d, cand, out=d, where=m & (cand < cap))
+
+
+def _cost_solve(D: np.ndarray, V: np.ndarray, M: np.ndarray) -> bool:
+    """Fast-Sweeping least-cost fixpoint on one frame: relax
+    dist(b) <- min(dist(b), dist(a) + (v(a)+v(b))*w) over the 8
+    neighbors (w = 2 axis, 3 diagonal; all int64-exact). Each iteration
+    runs two Gauss-Seidel sweeps — top->bottom and bottom->top — where
+    every row first relaxes from the adjacent already-swept row
+    (vertical + both diagonals, vectorized) and then runs BOTH in-row
+    segmented min-plus scans, so each sweep resolves whole monotone
+    path quadrants at once (random cost fields converge in a handful of
+    iterations instead of one per direction change). The shortest-path
+    fixpoint is unique, so sweep order never affects the result.
+    Invalid cells stay at COST_INF and never relay. Mutates D in place;
+    returns True if anything changed."""
+    h, w = D.shape
+    D[~M] = COST_INF
+    if not M.any():
+        return False
+    vmax = max(int(V[M].max()), 1)
+    cap = np.int64(h) * np.int64(w) * 6 * vmax + 1
+    changed_any = False
+    for _ in range(h + w + 8):
+        before = D.copy()
+        for r in range(h):
+            if r > 0:
+                up, vv = D[r - 1], V[r - 1]
+                cand = up + (vv + V[r]) * 2
+                if w > 1:
+                    cand[1:] = np.minimum(cand[1:],
+                                          up[:-1] + (vv[:-1] + V[r, 1:]) * 3)
+                    cand[:-1] = np.minimum(cand[:-1],
+                                           up[1:] + (vv[1:] + V[r, :-1]) * 3)
+                np.minimum(D[r], cand, out=D[r], where=M[r])
+            _minplus_scan(D[r], V[r], M[r], cap)
+            _minplus_scan(D[r][::-1], V[r][::-1], M[r][::-1], cap)
+        for r in range(h - 2, -1, -1):
+            dn, vv = D[r + 1], V[r + 1]
+            cand = dn + (vv + V[r]) * 2
+            if w > 1:
+                cand[1:] = np.minimum(cand[1:],
+                                      dn[:-1] + (vv[:-1] + V[r, 1:]) * 3)
+                cand[:-1] = np.minimum(cand[:-1],
+                                       dn[1:] + (vv[1:] + V[r, :-1]) * 3)
+            np.minimum(D[r], cand, out=D[r], where=M[r])
+            _minplus_scan(D[r], V[r], M[r], cap)
+            _minplus_scan(D[r][::-1], V[r][::-1], M[r][::-1], cap)
+        if np.array_equal(D, before):
+            break
+        changed_any = True
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("costdist: sweep fixpoint did not converge")
+    return changed_any
+
+
+def _cost_seed_pixels(points: pa.Table, grid: GridSpec):
+    """Seed pixel (row, col) per point (box centers, the point_sample
+    derivation); out-of-grid points drop."""
+    x = (points.column("lon_min").to_numpy()
+         + points.column("lon_max").to_numpy()) / 2.0
+    y = (points.column("lat_min").to_numpy()
+         + points.column("lat_max").to_numpy()) / 2.0
+    col = np.floor((x - grid.x0) / grid.res).astype(np.int64)
+    row = np.floor((grid.y1 - y) / grid.res).astype(np.int64)
+    ok = ((col >= 0) & (col < grid.width)
+          & (row >= 0) & (row < grid.height))
+    return row[ok], col[ok]
+
+
+def costdist_stats(tiles_ds, grid: GridSpec, points: pa.Table,
+                   pack: ChannelPack | None = None, max_rounds: int = 256):
+    """Least-cost (friction-weighted) distance surface from a seed point
+    set — the cost-distance / accumulated-friction GIS op (reachability,
+    catchment carving, travel-time surrogates). Cost of stepping a -> b
+    is (v(a) + v(b)) * w with w = 2 axis / 3 diagonal (the exact-integer
+    1 : 1.5 metric); seeds (zone centers, the point_sample derivation)
+    start at 0; invalid cells are impassable. dist = min over paths —
+    a shortest-path fixpoint, so the result is unique and deterministic
+    regardless of relaxation order.
+
+    Plan: per-tile Gauss-Seidel sweep solver (min-plus relaxation, four
+    directional orderings per pass) runs ONCE per touched tile per
+    round; tiles exchange only 1-px border strips (dist + v) with their
+    8 neighbors, and rounds group strips + carried state planes by
+    spatial SUPER-BLOCK (the flowlen discipline) so improvement waves
+    cross many tiles inside one task. dist is integer and monotone
+    non-increasing, so rounds terminate; strips to absent tiles drop
+    (nothing to relax). O(perimeter) bytes per tile per round — canvases
+    never move after round 0.
+
+    Output: (tile_id, tx, ty, n_reach, dist_sum, dist_max) per tile with
+    >= 1 reached cell. Checked against ``fixtures.ensure_costdist_golden``
+    (an independently-coded full-plane sweep fixpoint) and a true heapq
+    Dijkstra oracle on random mosaics in tests.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    c = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    srow, scol = _cost_seed_pixels(points, grid)
+
+    import math
+
+    from ..util import cluster_cpus
+
+    G = max(1, int(math.sqrt((n_tx * n_ty) / max(1, 2 * cluster_cpus()))))
+    nbx = (n_tx + G - 1) // G
+
+    def _sb(tx, ty):
+        return (ty // G) * nbx + tx // G
+
+    def _row(out, tx, ty, kind, z=b""):
+        out["tile_id"].append(f"{tx}-{ty}")
+        out["tx"].append(int(tx))
+        out["ty"].append(int(ty))
+        out["kind"].append(kind)
+        out["z"].append(z)
+        out["sb"].append(_sb(int(tx), int(ty)))
+
+    def _pack_state(V, M, D):
+        return zlib.compress(V.astype(np.int64).tobytes()
+                             + M.astype(np.uint8).tobytes()
+                             + D.astype(np.int64).tobytes(), 1)
+
+    def _unpack_state(z):
+        raw = zlib.decompress(z)
+        n = c * c
+        V = np.frombuffer(raw[:8 * n], np.int64).reshape(c, c).copy()
+        M = np.frombuffer(raw[8 * n:9 * n],
+                          np.uint8).reshape(c, c).astype(bool)
+        D = np.frombuffer(raw[9 * n:], np.int64).reshape(c, c).copy()
+        return V, M, D
+
+    # strips: (dist row/col, v row/col) along each side; corners 1 px
+    _SIDES = {"n": (0, slice(None)), "s": (c - 1, slice(None)),
+              "w": (slice(None), 0), "e": (slice(None), c - 1)}
+    _CORN = {"nw": (0, 0), "ne": (0, c - 1),
+             "sw": (c - 1, 0), "se": (c - 1, c - 1)}
+    # side -> (neighbor delta, the kind the RECEIVER sees)
+    _SENDS = [("n", (0, -1), "msg_s"), ("s", (0, 1), "msg_n"),
+              ("w", (-1, 0), "msg_e"), ("e", (1, 0), "msg_w"),
+              ("nw", (-1, -1), "msg_se"), ("ne", (1, -1), "msg_sw"),
+              ("sw", (-1, 1), "msg_ne"), ("se", (1, 1), "msg_nw")]
+
+    def _strips(V, D):
+        got = {}
+        for s, ix in _SIDES.items():
+            got[s] = (np.ascontiguousarray(D[ix]).tobytes()
+                      + np.ascontiguousarray(V[ix]).tobytes())
+        for s, ix in _CORN.items():
+            got[s] = (D[ix].tobytes() + V[ix].tobytes())
+        return got
+
+    def _emit_strips(out, tx, ty, V, D, only_changed=None):
+        st = _strips(V, D)
+        for side, (dx, dy), rkind in _SENDS:
+            ntx, nty = tx + dx, ty + dy
+            if not (0 <= ntx < n_tx and 0 <= nty < n_ty):
+                continue
+            if only_changed is not None and not only_changed[side]:
+                continue
+            _row(out, ntx, nty, rkind, z=st[side])
+
+    def _apply_strip(D, V, M, kind, z):
+        """Relax the receiving tile's border cells from a neighbor strip;
+        returns True if any cell improved."""
+        side = kind[4:]
+        if side in ("n", "s", "w", "e"):
+            nd = np.frombuffer(z[:8 * c], np.int64)
+            nv = np.frombuffer(z[8 * c:], np.int64)
+            if side == "n":       # strip = neighbor's SOUTH row; my row 0
+                r = 0
+                dd, vv, mm = D[r], V[r], M[r]
+            elif side == "s":
+                r = c - 1
+                dd, vv, mm = D[r], V[r], M[r]
+            elif side == "w":
+                dd, vv, mm = D[:, 0], V[:, 0], M[:, 0]
+            else:
+                dd, vv, mm = D[:, c - 1], V[:, c - 1], M[:, c - 1]
+            cand = nd + (nv + vv) * 2                     # aligned axis step
+            cand = np.minimum(cand, COST_INF)
+            shl = np.empty_like(cand)                     # diagonal steps
+            shl[0] = COST_INF
+            shl[1:] = np.minimum(nd[:-1] + (nv[:-1] + vv[1:]) * 3,
+                                 COST_INF)
+            shr = np.empty_like(cand)
+            shr[-1] = COST_INF
+            shr[:-1] = np.minimum(nd[1:] + (nv[1:] + vv[:-1]) * 3,
+                                  COST_INF)
+            cand = np.minimum(cand, np.minimum(shl, shr))
+            imp = mm & (cand < dd)
+            if imp.any():
+                np.minimum(dd, cand, out=dd, where=mm)
+                return True
+            return False
+        # corner: single diagonal step
+        nd = np.frombuffer(z[:8], np.int64)[0]
+        nv = np.frombuffer(z[8:], np.int64)[0]
+        tgt = {"nw": (0, 0), "ne": (0, c - 1),
+               "sw": (c - 1, 0), "se": (c - 1, c - 1)}[side]
+        if not M[tgt]:
+            return False
+        cand = min(nd + (nv + int(V[tgt])) * 3, int(COST_INF))
+        if cand < D[tgt]:
+            D[tgt] = cand
+            return True
+        return False
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in COSTDIST_MID_SCHEMA.names}
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), c, c)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(c, c).astype(bool)
+            V = _vsum(canvas, pack)
+            D = np.full((c, c), COST_INF, np.int64)
+            inb = ((srow // c == ty) & (scol // c == tx))
+            if inb.any():
+                lr, lc = srow[inb] - ty * c, scol[inb] - tx * c
+                ok = mask[lr, lc]
+                D[lr[ok], lc[ok]] = 0
+            if not mask.any():
+                continue  # impassable everywhere: never relaxes, no state
+            _cost_solve(D, V, mask)
+            _row(out, tx, ty, "state", z=_pack_state(V, mask, D))
+            if (D < COST_INF).any():
+                _emit_strips(out, tx, ty, V, D)
+        return pa.table(out, schema=COSTDIST_MID_SCHEMA)
+
+    mid = (tiles_ds.select_columns(["tile_id", "tx", "ty", "px_z", "mask_z"])
+           .map_batches(emit, batch_format="pyarrow", batch_size=16)
+           .materialize())
+
+    from ..util import drop_empty_blocks as _deb
+    states = _deb(mid.filter(expr="kind == 'state'").materialize(),
+                  COSTDIST_MID_SCHEMA)
+    msgs = _deb(mid.filter(expr="kind != 'state'").materialize(),
+                COSTDIST_MID_SCHEMA)
+
+    def roundk(g: pa.Table) -> pa.Table:
+        """One super-block step: assemble every present tile of the block
+        into ONE (<=G*c)^2 plane, apply incoming strips as border
+        relaxations, run a single plane-level sweep fixpoint (in-block
+        tile ping-pong collapses into the solver), then emit changed
+        outward border strips + re-packed per-tile states."""
+        kinds = g.column("kind").to_pylist()
+        out: dict[str, list] = {k: [] for k in COSTDIST_MID_SCHEMA.names}
+        sb = int(g.column("sb")[0].as_py())
+        bx, by = sb % nbx, sb // nbx
+        tx0, ty0 = bx * G, by * G
+        gw = min(G, n_tx - tx0)
+        gh = min(G, n_ty - ty0)
+        PV = np.zeros((gh * c, gw * c), np.int64)
+        PM = np.zeros((gh * c, gw * c), bool)
+        PD = np.full((gh * c, gw * c), COST_INF, np.int64)
+        present: list[tuple] = []
+        strips: list[tuple] = []
+        txs = g.column("tx").to_numpy()
+        tys = g.column("ty").to_numpy()
+        for j, kind in enumerate(kinds):
+            key = (int(txs[j]), int(tys[j]))
+            if kind == "state":
+                V, M, D = _unpack_state(g.column("z")[j].as_py())
+                oy, ox = (key[1] - ty0) * c, (key[0] - tx0) * c
+                PV[oy:oy + c, ox:ox + c] = V
+                PM[oy:oy + c, ox:ox + c] = M
+                PD[oy:oy + c, ox:ox + c] = D
+                present.append(key)
+            else:
+                strips.append((key, kind, g.column("z")[j].as_py()))
+        if not present:
+            return pa.table(out, schema=COSTDIST_MID_SCHEMA)
+        pres = set(present)
+        before = {}
+        for (ttx, tty) in present:
+            oy, ox = (tty - ty0) * c, (ttx - tx0) * c
+            before[(ttx, tty)] = _strips(PV[oy:oy + c, ox:ox + c],
+                                         PD[oy:oy + c, ox:ox + c])
+        touched = False
+        for key, kind, z in strips:
+            if key not in pres:
+                continue  # strip into an absent tile: nothing to relax
+            oy, ox = (key[1] - ty0) * c, (key[0] - tx0) * c
+            touched |= _apply_strip(PD[oy:oy + c, ox:ox + c],
+                                    PV[oy:oy + c, ox:ox + c],
+                                    PM[oy:oy + c, ox:ox + c], kind, z)
+        if touched:
+            _cost_solve(PD, PV, PM)
+        for (ttx, tty) in present:
+            oy, ox = (tty - ty0) * c, (ttx - tx0) * c
+            Vt = PV[oy:oy + c, ox:ox + c]
+            Dt = PD[oy:oy + c, ox:ox + c]
+            Mt = PM[oy:oy + c, ox:ox + c]
+            if touched:
+                after = _strips(Vt, Dt)
+                for side, (dx, dy), rkind in _SENDS:
+                    ntx, nty = ttx + dx, tty + dy
+                    if not (0 <= ntx < n_tx and 0 <= nty < n_ty):
+                        continue
+                    if _sb(ntx, nty) == sb:
+                        continue  # in-block: already in the plane
+                    if after[side] != before[(ttx, tty)][side]:
+                        _row(out, ntx, nty, rkind, z=after[side])
+            _row(out, ttx, tty, "state", z=_pack_state(Vt, Mt, Dt))
+        return pa.table(out, schema=COSTDIST_MID_SCHEMA)
+
+    from ..util import cluster_cpus as _ccpus
+    from ..util import drop_empty_blocks
+
+    import os as _os
+    _dbg = _os.environ.get("RAYGEO_COSTDIST_DEBUG")
+    for _r in range(max_rounds):
+        _nm = int(msgs.count())
+        if _dbg:
+            import sys as _sys
+            import time as _t
+            print(f"[costdist] round {_r}: {_nm} msgs "
+                  f"{_t.strftime('%H:%M:%S')}", file=_sys.stderr, flush=True)
+        if _nm == 0:
+            break
+        # only super-blocks with pending strips re-solve; idle states
+        # bypass the shuffle entirely (late rounds touch a handful of
+        # blocks — shipping every state plane through the groupby each
+        # round is the block-count blowup that stalls the sort)
+        active = set(msgs.unique("sb"))
+
+        def _split(t: pa.Table, keep: bool, act=frozenset(active)):
+            m = np.isin(t.column("sb").to_numpy(), list(act))
+            return t.filter(pa.array(m if keep else ~m))
+
+        import functools
+        states_act = states.map_batches(
+            functools.partial(_split, keep=True),
+            batch_format="pyarrow").materialize()
+        states_idle = states.map_batches(
+            functools.partial(_split, keep=False),
+            batch_format="pyarrow").materialize()
+        stepped = (msgs.union(states_act)
+                   .groupby("sb")
+                   .map_groups(roundk, batch_format="pyarrow")
+                   .materialize())
+        new_states = stepped.filter(expr="kind == 'state'")
+        # rebuild from block refs each round: zero-copy, drops empty
+        # blocks AND cuts the accumulated logical-plan lineage (driver
+        # plan bookkeeping otherwise grows superlinearly per round)
+        states = drop_empty_blocks(
+            states_idle.union(new_states).materialize(),
+            COSTDIST_MID_SCHEMA)
+        if states.num_blocks() > 4 * _ccpus():
+            states = states.repartition(2 * _ccpus()).materialize()
+        msgs = drop_empty_blocks(
+            stepped.filter(expr="kind != 'state'").materialize(),
+            COSTDIST_MID_SCHEMA)
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("costdist: cross-tile rounds did not converge")
+
+    def finish(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in COSTDIST_OUT_SCHEMA.names}
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            _V, _M, D = _unpack_state(t.column("z")[j].as_py())
+            reach = D < COST_INF
+            if not reach.any():
+                continue
+            d = D[reach]
+            out["tile_id"].append(f"{txs[j]}-{tys[j]}")
+            out["tx"].append(int(txs[j]))
+            out["ty"].append(int(tys[j]))
+            out["n_reach"].append(int(reach.sum()))
+            out["dist_sum"].append(int(d.sum()))
+            out["dist_max"].append(int(d.max()))
+        return pa.table(out, schema=COSTDIST_OUT_SCHEMA)
 
     return states.map_batches(finish, batch_format="pyarrow")

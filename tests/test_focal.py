@@ -325,6 +325,99 @@ def test_strahler_matches_full_plane(ray_session, seed, p_absent):
     assert got.strahler.max() >= 2
 
 
+def _dijkstra_plane(plane, valid, seeds):
+    """True heapq Dijkstra over the full plane — genuinely independent of
+    the engine's sweep-relaxation decomposition."""
+    import heapq
+
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    INF = 1 << 62
+    D = np.full(H * W, INF, np.int64)
+    h = []
+    for (r, c) in seeds:
+        if valid[r, c] and D[r * W + c] > 0:
+            D[r * W + c] = 0
+            heapq.heappush(h, (0, r * W + c))
+    offs = [(-1, 0, 2), (1, 0, 2), (0, -1, 2), (0, 1, 2),
+            (-1, -1, 3), (-1, 1, 3), (1, -1, 3), (1, 1, 3)]
+    while h:
+        d, i = heapq.heappop(h)
+        if d > D[i]:
+            continue
+        r, c = divmod(i, W)
+        for dr, dc, w in offs:
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < H and 0 <= nc < W and valid[nr, nc]:
+                nd = d + (v[r, c] + v[nr, nc]) * w
+                if nd < D[nr * W + nc]:
+                    D[nr * W + nc] = nd
+                    heapq.heappush(h, (nd, nr * W + nc))
+    return D.reshape(H, W)
+
+
+def _cost_pts_table(seeds):
+    import pyarrow as pa
+
+    rows = {"zone_id": [], "lon_min": [], "lat_min": [],
+            "lon_max": [], "lat_max": []}
+    for k, (r, c) in enumerate(seeds):
+        x = SRC.x0 + (c + 0.5) * SRC.res
+        y = SRC.y1 - (r + 0.5) * SRC.res
+        rows["zone_id"].append(f"p{k}")
+        rows["lon_min"].append(x)
+        rows["lon_max"].append(x)
+        rows["lat_min"].append(y)
+        rows["lat_max"].append(y)
+    return pa.table(rows)
+
+
+@pytest.mark.parametrize("seed,p_absent", [(11, 0.3), (77, 0.5)])
+def test_costdist_matches_dijkstra(ray_session, seed, p_absent):
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import costdist_stats
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    rng = np.random.Generator(np.random.PCG64(seed + 1))
+    seeds = [(int(rng.integers(0, 96)), int(rng.integers(0, 96)))
+             for _ in range(6)]
+    got = costdist_stats(rd.from_items(rows).repartition(5), SRC,
+                         _cost_pts_table(seeds)).to_pandas()
+    D = _dijkstra_plane(plane, valid, seeds)
+    exp = []
+    for tx in range(SRC.n_tx):
+        for ty in range(SRC.n_ty):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            d = D[tr0:tr1, tc0:tc1]
+            reach = d < (1 << 62)
+            if not reach.any():
+                continue
+            exp.append((f"{tx}-{ty}", tx, ty, int(reach.sum()),
+                        int(d[reach].sum()), int(d[reach].max())))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "n_reach",
+                                     "dist_sum", "dist_max"])
+    got = got.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # reach crossed at least one tile border (cross-tile strips did work)
+    assert len(got) > 6
+
+
+def test_costdist_partitioning_invariance(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import costdist_stats
+
+    rows, _plane, _valid = _random_mosaic(seed=5, p_absent=0.2)
+    pts = _cost_pts_table([(10, 10), (80, 70)])
+    a = costdist_stats(rd.from_items(rows).repartition(2), SRC, pts) \
+        .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True)
+    b = costdist_stats(rd.from_items(rows).repartition(11), SRC, pts) \
+        .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_strahler_partitioning_invariance(ray_session):
     import ray.data as rd
 
