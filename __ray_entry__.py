@@ -3291,6 +3291,19 @@ def _q_emb_nn_all(sf_dir: str):
                        columns=["vec_id", "embedding"])).sort("vec_id")
 
 
+def _q_emb_hubness(sf_dir: str):
+    """k-occurrence (hubness) distribution over the exact kNN graph
+    (k=5, integer L2, tie -> smaller id) — the ANN-quality diagnostic:
+    hub vectors dominate retrieval in high-dim spaces. Slice-staged
+    exact top-k (boundary ties included, final per-row lexsort exact),
+    coarse-bucket occurrence fold, bounded-domain histogram; occ=0 row
+    derived from the staged total."""
+    from raygeo.ops.ann import hubness
+
+    return hubness(_rpq(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), k=5)
+
+
 def _q_emb_mmr(sf_dir: str):
     """Greedy Maximal Marginal Relevance selection (λ=7/10): integer-exact
     relevance-vs-diversity head, selected set broadcast per round, data
@@ -3818,6 +3831,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter": _q_emb_kcenter,  # greedy coreset selection
         "emb_mmr": _q_emb_mmr,  # maximal-marginal-relevance head
         "emb_nn_all": _q_emb_nn_all,  # exact 1-NN self-join
+        "emb_hubness": _q_emb_hubness,  # k-occurrence distribution
         "emb_triplets": _q_emb_triplets,  # hard-triplet mining
         "emb_knn_accuracy": _q_emb_knn_accuracy,  # LOO 1-NN label acc
         "emb_dim_quantiles": _q_emb_dim_quantiles,  # per-dim p50/p90
@@ -7034,6 +7048,33 @@ SELECT pos.aid::BIGINT AS anchor_id, pos.cid::BIGINT AS pos_id,
   neg.cid::BIGINT AS neg_id, pos.d::BIGINT AS d_pos,
   neg.d::BIGINT AS d_neg, (neg.d - pos.d)::BIGINT AS margin
 FROM pos JOIN neg USING (aid) ORDER BY anchor_id
+""",
+        "emb_hubness": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+pd AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         sum((a.qv - b.qv) * (a.qv - b.qv)) AS dist
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+nb AS (
+  SELECT ib FROM (
+    SELECT ia, ib,
+      row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+    FROM pd) WHERE rn <= 5
+),
+occ AS (SELECT ib, count(*) AS c FROM nb GROUP BY 1),
+j AS (
+  SELECT coalesce(occ.c, 0) AS k_occ
+  FROM embeddings LEFT JOIN occ ON embeddings.vec_id = occ.ib
+)
+SELECT k_occ::BIGINT AS k_occ, count(*)::BIGINT AS n_vecs
+FROM j GROUP BY 1 ORDER BY 1
 """,
         "emb_nn_all": """
 WITH q AS (

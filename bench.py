@@ -245,6 +245,7 @@ def run_bench() -> dict:
         "images_dbscan",
         "mosaic_strahler",
         "mosaic_costdist",
+        "emb_hubness",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

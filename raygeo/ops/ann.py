@@ -1630,3 +1630,103 @@ def dim_quantiles(ds, vec_col: str = "embedding", quant: float = 100.0):
         ds.select_columns([vec_col]).map_batches(
             partial, batch_format="pyarrow", batch_size=4096),
         "dim", fold).sort("dim")
+
+
+def hubness(ds, k: int = 5, vec_col: str = "embedding",
+            id_col: str = "vec_id", chunk_rows: int = 8192):
+    """k-occurrence (hubness) distribution over the EXACT kNN graph —
+    the ANN-quality diagnostic (Radovanovic et al., JMLR 2010): for each
+    vector, how many other vectors list it among their k nearest
+    (integer L2, ties broken by smaller neighbor id). High-dimensional
+    embedding spaces grow "hubs" that dominate retrieval; the
+    k-occurrence histogram is the standard way to see it.
+
+    Plan: the ``nn_all`` object-store slice staging (one ray.put per
+    slice, per-task memory = one batch + one slice) + ONE streaming pass
+    computing per-row exact top-k: per slice, candidates <= the k-th
+    distance (ties INCLUDED, so the final per-row (dist, id) lexsort is
+    exact); the N·k neighbor rows then fold to per-id occurrence counts
+    via the coarse-bucket discipline (never a per-key groupby), and the
+    bounded-domain occurrence histogram folds map-side. Output:
+    (k_occ, n_vecs) including the occ = 0 row.
+    """
+    import ray
+
+    from ..util import bucketed_sum
+
+    qds = ds.select_columns([id_col, vec_col]).materialize()
+    refs = []
+    n_total = 0
+    for b in qds.iter_batches(batch_format="pyarrow",
+                              batch_size=chunk_rows):
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        if not len(ids):
+            continue
+        n_total += len(ids)
+        qm = _quantized_matrix(b.column(vec_col), 1e6)
+        refs.append(ray.put((ids, qm, np.einsum("ij,ij->i", qm, qm))))
+
+    OUT = pa.schema([("k_occ", pa.int64()), ("n_vecs", pa.int64())])
+    if not refs:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"k_occ": pa.array([], pa.int64()),
+                                       "n_vecs": pa.array([], pa.int64())}))
+
+    NBR = pa.schema([("nn_id", pa.int64()), ("one", pa.int64())])
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if not len(ids):
+            return pa.table({f.name: pa.array([], f.type) for f in NBR})
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        a2 = np.einsum("ij,ij->i", qm, qm)
+        big = np.iinfo(np.int64).max
+        cr, cd_, ci = [], [], []  # candidate (row, dist, id) pools
+        for r in refs:
+            cids, cqm, c2 = ray.get(r)
+            d = a2[:, None] + c2[None, :] - 2 * (qm @ cqm.T)
+            d[ids[:, None] == cids[None, :]] = big
+            kk = min(k, d.shape[1])
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+            m = d <= kth[:, None]  # k smallest + every boundary tie
+            rr, cc = np.nonzero(m)
+            cr.append(rr)
+            cd_.append(d[rr, cc])
+            ci.append(cids[cc])
+        rr = np.concatenate(cr)
+        dd = np.concatenate(cd_)
+        ii = np.concatenate(ci)
+        keep = dd < big
+        rr, dd, ii = rr[keep], dd[keep], ii[keep]
+        # exact per-row (dist, id) order, then first k per row
+        order = np.lexsort((ii, dd, rr))
+        rr, ii = rr[order], ii[order]
+        starts = np.r_[0, np.nonzero(np.diff(rr))[0] + 1]
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(rr)]))
+        pos = np.arange(len(rr)) - starts[seg]
+        sel = pos < k
+        return pa.table({"nn_id": pa.array(ii[sel], pa.int64()),
+                         "one": pa.array(np.ones(int(sel.sum()), np.int64),
+                                         pa.int64())}, schema=NBR)
+
+    nbrs = qds.map_batches(scan, batch_format="pyarrow", batch_size=1024)
+    occ = bucketed_sum(nbrs, "nn_id", "one")
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        c = t.column("one").to_numpy()
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"k_occ": pa.array(u.astype(np.int64), pa.int64()),
+                         "n_vecs": pa.array(n.astype(np.int64),
+                                            pa.int64())}, schema=OUT)
+
+    hist = bucketed_sum(occ.map_batches(hist_part, batch_format="pyarrow"),
+                        "k_occ", "n_vecs").materialize()
+    cited = sum(r["n_vecs"] for r in hist.take_all())
+    n0 = n_total - cited
+    import ray.data as rd
+    if n0 > 0:
+        hist = hist.union(rd.from_arrow(pa.table(
+            {"k_occ": pa.array([0], pa.int64()),
+             "n_vecs": pa.array([int(n0)], pa.int64())}, schema=OUT)))
+    return hist.sort("k_occ")

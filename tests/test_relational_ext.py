@@ -2088,6 +2088,39 @@ def test_nn_all_matches_serial(ray_session):
     assert got["dist"].tolist() == [e[2] for e in exp]
 
 
+def test_hubness_matches_serial(ray_session):
+    """k-occurrence histogram vs a serial replay on tie-heavy vectors
+    (coarse grid -> massive exact-distance ties exercise the boundary-
+    tie-inclusive candidate pool + (dist, id) lexsort)."""
+    import ray.data as rd
+
+    from raygeo.ops.ann import hubness
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    n, d, k = 130, 5, 4
+    vecs = (rng.integers(0, 3, size=(n, d)) / 2.0).astype(np.float32)
+    ids = rng.permutation(np.arange(900, 900 + n)).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v for v in vecs]})
+    got = (hubness(rd.from_pandas(df).repartition(7), k=k, chunk_rows=23)
+           .to_pandas().sort_values("k_occ").reset_index(drop=True))
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    occ = {int(i): 0 for i in ids}
+    for i in range(n):
+        cand = []
+        for j in range(n):
+            if ids[j] == ids[i]:
+                continue
+            cand.append((int(((q[i] - q[j]) ** 2).sum()), int(ids[j])))
+        cand.sort()
+        for _, nid in cand[:k]:
+            occ[nid] += 1
+    exp = pd.Series(list(occ.values())).value_counts().sort_index()
+    assert got["k_occ"].tolist() == exp.index.tolist()
+    assert got["n_vecs"].tolist() == exp.values.tolist()
+    assert got["n_vecs"].sum() == n
+
+
 def test_kmv_overlap_matches_serial(ray_session):
     """KMV pair algebra vs a serial replay; small groups hit the exact
     (<k) path, large ones the estimator path."""
