@@ -2858,6 +2858,22 @@ def _q_parts_triangles(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_parts_clustering(sf_dir: str):
+    """Local clustering coefficient over the >=2-order co-purchase graph
+    — coef_ppm = (2·tri·1e6) // (deg·(deg-1)), exact integer (floor ==
+    DuckDB trunc `//` on non-negatives). Degrees from one bucketed
+    endpoint fold over the same materialized edge list the triangle pass
+    reads; deg/tri partials merge in a single coarse-bucket sum."""
+    from raygeo.ops.graph import clustering_coefficients
+    from raygeo.ops.relational import copurchase_pairs
+
+    edges = copurchase_pairs(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/lineitem.parquet", k=None,
+                             min_count=2)
+    return (clustering_coefficients(edges, "part_a", "part_b")
+            .rename_columns({"node": "part"}).sort("part"))
+
+
 def _q_events_kmv_overlap(sf_dir: str):
     """Pairwise union/intersection cardinality estimates from mergeable
     KMV sketches (bottom-k(A∪B) == bottom-k of merged sketches):
@@ -3719,6 +3735,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regr": _q_lineitem_regr,  # integer-exact OLS slope
         "supplier_hhi": _q_supplier_hhi,  # Herfindahl concentration
         "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
+        "parts_clustering": _q_parts_clustering,  # clustering coefficient
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
@@ -6168,6 +6185,37 @@ nodes AS (
 )
 SELECT node::BIGINT AS part, count(*)::BIGINT AS n_tri
 FROM nodes GROUP BY 1 ORDER BY 1
+""",
+        "parts_clustering": """
+WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.pb = e2.pa
+  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+tn AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY 1
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT pa AS node FROM pairs
+    UNION ALL SELECT pb FROM pairs) GROUP BY 1
+)
+SELECT d.node::BIGINT AS part, d.deg::BIGINT AS deg,
+  coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+  ((2 * coalesce(t.n_tri, 0) * 1000000)
+   // (d.deg * (d.deg - 1)))::BIGINT AS coef_ppm
+FROM deg d LEFT JOIN tn t ON d.node = t.node
+WHERE d.deg >= 2 ORDER BY part
 """,
         "customers_percent_rank": """
 SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,

@@ -246,6 +246,7 @@ def run_bench() -> dict:
         "mosaic_strahler",
         "mosaic_costdist",
         "emb_hubness",
+        "parts_clustering",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

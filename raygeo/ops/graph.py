@@ -1214,3 +1214,70 @@ def bfs_hops(edges_ds, a_col: str = "part_a", b_col: str = "part_b",
         frontier = new
 
     return reached.sort("node")
+
+
+def clustering_coefficients(edges_ds, a_col: str = "part_a",
+                            b_col: str = "part_b",
+                            num_buckets: int | None = None):
+    """Local clustering coefficient per node over an undirected distinct
+    edge Dataset (a < b): coef = 2·tri(v) / (deg(v)·(deg(v)−1)) — the
+    community-density probe on top of :func:`triangle_counts`.
+
+    Exact integer output: coef_ppm = (2·tri·10⁶) // (deg·(deg−1)) —
+    operands non-negative, so floor == DuckDB's trunc `//`. Degrees come
+    from one bucketed endpoint-count fold over the SAME materialized
+    edge list the triangle pass reads; the degree and triangle partials
+    then merge with a single coarse-bucket sum (no per-key groupby, no
+    driver-side id set). Returns (node, deg, n_tri, coef_ppm) for every
+    node with deg >= 2 (deg-1 nodes have an undefined coefficient).
+    """
+    from ..util import bucketed_sum, cluster_cpus
+
+    nb = num_buckets or max(8, 2 * cluster_cpus())
+    edges_ds = edges_ds.select_columns([a_col, b_col]).materialize()
+
+    MERGE = pa.schema([("node", pa.int64()), ("deg", pa.int64()),
+                       ("n_tri", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy().astype(np.int64)
+        b = t.column(b_col).to_numpy().astype(np.int64)
+        n = np.concatenate([a, b])
+        u, c = np.unique(n, return_counts=True)  # map-side partial
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64()),
+                         "n_tri": pa.array(np.zeros(len(u), np.int64),
+                                           pa.int64())}, schema=MERGE)
+
+    deg_rows = edges_ds.map_batches(explode, batch_format="pyarrow",
+                                    batch_size=65536)
+
+    def tri_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "deg": pa.array(np.zeros(len(t), np.int64),
+                                         pa.int64()),
+                         "n_tri": t.column("n_tri")}, schema=MERGE)
+
+    tris = triangle_counts(edges_ds, a_col, b_col, num_buckets=nb) \
+        .map_batches(tri_rows, batch_format="pyarrow")
+
+    merged = bucketed_sum(deg_rows.union(tris), "node", ["deg", "n_tri"],
+                          num_buckets=nb)
+
+    OUT = pa.schema([("node", pa.int64()), ("deg", pa.int64()),
+                     ("n_tri", pa.int64()), ("coef_ppm", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        deg = t.column("deg").to_numpy()
+        tri = t.column("n_tri").to_numpy()
+        node = t.column("node").to_numpy()
+        keep = deg >= 2
+        deg, tri, node = deg[keep], tri[keep], node[keep]
+        coef = (2 * tri * 1_000_000) // (deg * (deg - 1))
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "deg": pa.array(deg, pa.int64()),
+                         "n_tri": pa.array(tri, pa.int64()),
+                         "coef_ppm": pa.array(coef, pa.int64())},
+                        schema=OUT)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

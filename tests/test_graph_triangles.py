@@ -201,3 +201,50 @@ def test_bfs_hops_no_seeds(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"part_a": [1, 3], "part_b": [3, 5]}))
     got = bfs_hops(ds, "part_a", "part_b", seed_mod=97, max_hops=2)
     assert got.count() == 0
+
+
+def test_clustering_coefficients_match_brute_force(ray_session):
+    """coef = 2·tri/(deg·(deg−1)) on random graphs vs triple enumeration;
+    includes deg>=2 nodes with ZERO triangles (the coalesce path)."""
+    import ray.data as rd
+
+    from raygeo.ops.graph import clustering_coefficients
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 40, 120
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    edges = sorted({(int(min(x, y)), int(max(x, y)))
+                    for x, y in zip(a[keep], b[keep])})
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["part_a", "part_b"]))
+    got = (clustering_coefficients(ds.repartition(4), "part_a", "part_b")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    es = set(edges)
+    deg: dict = {}
+    for x, y in edges:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    tri = {n: 0 for n in deg}
+    nodes = sorted(deg)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) not in es:
+                continue
+            for w in nodes:
+                if w <= v:
+                    continue
+                if (u, w) in es and (v, w) in es:
+                    tri[u] += 1
+                    tri[v] += 1
+                    tri[w] += 1
+    exp = []
+    for n in nodes:
+        if deg[n] < 2:
+            continue
+        exp.append((n, deg[n], tri[n],
+                    (2 * tri[n] * 1_000_000) // (deg[n] * (deg[n] - 1))))
+    exp = pd.DataFrame(exp, columns=["node", "deg", "n_tri", "coef_ppm"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["n_tri"] == 0).any()  # zero-triangle deg>=2 nodes present
