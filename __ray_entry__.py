@@ -2858,6 +2858,20 @@ def _q_parts_triangles(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_docs_blocklist(sf_dir: str):
+    """Blocklist-wordlist curation gate: per-doc hit counts against a
+    deterministic md5-derived term blocklist (the SQL-replayable
+    stand-in for an external wordlist), blocked = n_hits*20 > n_tokens
+    exact-integer. Vocabulary folds map-side + one coarse-bucket
+    distinct; blocklist broadcasts once; the corpus streams through a
+    single searchsorted probe pass."""
+    from raygeo.ops.corpus import blocklist_filter
+
+    return blocklist_filter(_rpq(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])) \
+        .sort("doc_id")
+
+
 def _q_parts_clustering(sf_dir: str):
     """Local clustering coefficient over the >=2-order co-purchase graph
     — coef_ppm = (2·tri·1e6) // (deg·(deg-1)), exact integer (floor ==
@@ -3736,6 +3750,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": _q_supplier_hhi,  # Herfindahl concentration
         "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
         "parts_clustering": _q_parts_clustering,  # clustering coefficient
+        "docs_blocklist": _q_docs_blocklist,  # wordlist curation gate
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
@@ -6216,6 +6231,31 @@ SELECT d.node::BIGINT AS part, d.deg::BIGINT AS deg,
    // (d.deg * (d.deg - 1)))::BIGINT AS coef_ppm
 FROM deg d LEFT JOIN tn t ON d.node = t.node
 WHERE d.deg >= 2 ORDER BY part
+""",
+        "docs_blocklist": """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS t
+  FROM documents
+),
+bl AS (
+  SELECT t FROM (SELECT DISTINCT t FROM tok)
+  WHERE ('0x' || substr(md5(t), 1, 16))::UBIGINT % 41 = 0
+),
+st AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    count(*) FILTER (WHERE t IN (SELECT t FROM bl)) AS n_hits,
+    count(DISTINCT t) FILTER (WHERE t IN (SELECT t FROM bl))
+      AS n_uniq_hits
+  FROM tok GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(st.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(st.n_hits, 0)::BIGINT AS n_hits,
+  coalesce(st.n_uniq_hits, 0)::BIGINT AS n_uniq_hits,
+  (CASE WHEN coalesce(st.n_hits, 0) * 20 > coalesce(st.n_tokens, 0)
+        THEN 1 ELSE 0 END)::BIGINT AS blocked
+FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id
 """,
         "customers_percent_rank": """
 SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,

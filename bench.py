@@ -247,6 +247,7 @@ def run_bench() -> dict:
         "mosaic_costdist",
         "emb_hubness",
         "parts_clustering",
+        "docs_blocklist",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1727,3 +1727,74 @@ def freq_of_freqs(docs_ds, max_r: int = 10, text_col: str = "text"):
             .groupby("freq")
             .aggregate(Sum("n_words", alias_name="n_words"))
             .sort("freq"))
+
+
+def blocklist_filter(docs_ds, text_col: str = "text",
+                     id_col: str = "doc_id", mod: int = 41,
+                     hit_per: int = 20):
+    """Multi-term blocklist scan — the PII/NSFW-wordlist curation gate:
+    count per-document hits against a term blocklist and flag documents
+    whose hit density crosses an exact integer threshold
+    (``blocked = n_hits * hit_per > n_tokens``, i.e. > 1/hit_per of the
+    tokens). The blocklist here is derived deterministically from the
+    corpus vocabulary by an md5 rule (md5_64(term) % mod == 0 — the
+    SQL-replayable stand-in for an external wordlist; a real deployment
+    passes its own list through the same broadcast path).
+
+    Plan: the vocabulary (Heaps-law sublinear) folds via map-side
+    partial distinct + ONE coarse-bucket distinct; the md5-filtered
+    blocklist broadcasts once via ``ray.put`` as a sorted array and each
+    scoring task reads it zero-copy from the object store and probes
+    with searchsorted — the corpus streams through exactly once, no
+    token-stream shuffle. Output per doc:
+    (doc_id, n_tokens, n_hits, n_uniq_hits, blocked).
+    """
+    import ray
+
+    from ..util import bucketed_distinct
+
+    tok_re = re.compile(LOWER_TOKEN_RE)
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(tok_re)
+        ex = toks.explode().dropna()
+        terms = pd.unique(ex)
+        keep = [t for t in terms
+                if int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                  "big") % mod == 0]
+        return pd.DataFrame({"term": pd.Series(keep, dtype=object)})
+
+    vocab = bucketed_distinct(
+        docs_ds.select_columns([text_col]).map_batches(
+            vocab_partial, batch_format="pandas", batch_size=512),
+        "term")
+    terms = np.sort(np.asarray(
+        [r["term"] for r in vocab.take_all()], dtype=object))
+    bl_ref = ray.put(terms)
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        out = {"doc_id": [], "n_tokens": [], "n_hits": [],
+               "n_uniq_hits": [], "blocked": []}
+        toks = df[text_col].str.lower().str.findall(tok_re)
+        bl = ray.get(bl_ref)  # zero-copy plasma read per task
+        for i, ts in enumerate(toks):
+            ta = np.asarray(ts, dtype=object)
+            n = len(ta)
+            if n and len(bl):
+                pos = np.searchsorted(bl, ta)
+                pos[pos >= len(bl)] = len(bl) - 1
+                hit = bl[pos] == ta
+                nh = int(hit.sum())
+                nu = len(pd.unique(ta[hit]))
+            else:
+                nh = nu = 0
+            out["doc_id"].append(int(ids[i]))
+            out["n_tokens"].append(n)
+            out["n_hits"].append(nh)
+            out["n_uniq_hits"].append(nu)
+            out["blocked"].append(int(nh * hit_per > n))
+        return pd.DataFrame(out)
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        score_batch, batch_format="pandas", batch_size=512)

@@ -2353,3 +2353,45 @@ def test_dim_quantiles_matches_serial(ray_session):
         r90 = (9 * n + 9) // 10
         exp.append((j, n, int(s[r50 - 1]), int(s[r90 - 1])))
     assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_blocklist_filter_serial(ray_session):
+    """Blocklist gate vs a serial replay; covers zero-token docs and the
+    exact integer threshold boundary (n_hits * 20 == n_tokens is NOT
+    blocked)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raygeo.ops.corpus import blocklist_filter
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aa bb cc dd " * 5,        # maybe-hits by md5 rule
+                 "",                          # zero tokens
+                 "zz yy xx " * 10,
+                 "aa aa aa aa"],
+    })
+    got = (blocklist_filter(rd.from_pandas(docs).repartition(3), mod=3,
+                            hit_per=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    import re as _re
+    tok = _re.compile(r"[0-9a-z_]+")
+    vocab = set()
+    for t in docs["text"]:
+        vocab.update(tok.findall(t.lower()))
+    bl = {t for t in vocab
+          if int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                            "big") % 3 == 0}
+    exp = []
+    for _, r in docs.iterrows():
+        ts = tok.findall(r["text"].lower())
+        nh = sum(1 for t in ts if t in bl)
+        nu = len({t for t in ts if t in bl})
+        exp.append((r["doc_id"], len(ts), nh, nu,
+                    int(nh * 2 > len(ts))))
+    exp = pd.DataFrame(exp, columns=["doc_id", "n_tokens", "n_hits",
+                                     "n_uniq_hits", "blocked"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["n_tokens"] == 0).any()
