@@ -3321,6 +3321,18 @@ def _q_emb_nn_all(sf_dir: str):
                        columns=["vec_id", "embedding"])).sort("vec_id")
 
 
+def _q_emb_rp(sf_dir: str):
+    """Johnson-Lindenstrauss ±1 random-projection distortion audit:
+    deterministic md5 sign matrix (SQL-replayable), anchors broadcast
+    once, one streaming pass computes original + projected integer
+    distances and folds the bounded-domain distortion-bucket histogram
+    map-side; bucket = (d_proj·2k) // (d_orig·k), dup pairs -> -1."""
+    from raygeo.ops.ann import rp_distortion
+
+    return rp_distortion(_rpq(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]), k=8)
+
+
 def _q_emb_hubness(sf_dir: str):
     """k-occurrence (hubness) distribution over the exact kNN graph
     (k=5, integer L2, tie -> smaller id) — the ANN-quality diagnostic:
@@ -3864,6 +3876,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_mmr": _q_emb_mmr,  # maximal-marginal-relevance head
         "emb_nn_all": _q_emb_nn_all,  # exact 1-NN self-join
         "emb_hubness": _q_emb_hubness,  # k-occurrence distribution
+        "emb_rp": _q_emb_rp,  # JL projection distortion audit
         "emb_triplets": _q_emb_triplets,  # hard-triplet mining
         "emb_knn_accuracy": _q_emb_knn_accuracy,  # LOO 1-NN label acc
         "emb_dim_quantiles": _q_emb_dim_quantiles,  # per-dim p50/p90
@@ -7136,6 +7149,46 @@ SELECT pos.aid::BIGINT AS anchor_id, pos.cid::BIGINT AS pos_id,
   neg.cid::BIGINT AS neg_id, pos.d::BIGINT AS d_pos,
   neg.d::BIGINT AS d_neg, (neg.d - pos.d)::BIGINT AS margin
 FROM pos JOIN neg USING (aid) ORDER BY anchor_id
+""",
+        "emb_rp": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+pm AS (
+  SELECT i.i AS di, j.j AS dj,
+    CASE WHEN ('0x' || substr(md5(i.i || '_' || j.j), 1, 8))::UBIGINT
+              % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM range(64) i(i), range(8) j(j)
+),
+proj AS (
+  SELECT q.vec_id, pm.dj, sum(q.qv * pm.s) AS y
+  FROM q JOIN pm ON pm.di = q.dim GROUP BY 1, 2
+),
+anch AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+pd0 AS (
+  SELECT x.vec_id AS ia, y.vec_id AS ib,
+         sum((x.qv - y.qv) * (x.qv - y.qv)) AS d0
+  FROM q x JOIN q y ON x.dim = y.dim
+  JOIN anch ON anch.vec_id = x.vec_id
+  WHERE x.vec_id <> y.vec_id GROUP BY 1, 2
+),
+pdp AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         sum((a.y - b.y) * (a.y - b.y)) AS dp
+  FROM proj a JOIN proj b ON a.dj = b.dj
+  JOIN anch ON anch.vec_id = a.vec_id
+  WHERE a.vec_id <> b.vec_id GROUP BY 1, 2
+),
+r AS (
+  SELECT CASE WHEN d0 = 0 THEN -1
+              ELSE least((dp * 16) // (d0 * 8), 63) END AS bucket
+  FROM pd0 JOIN pdp USING (ia, ib)
+)
+SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_pairs
+FROM r GROUP BY 1 ORDER BY 1
 """,
         "emb_hubness": """
 WITH q AS (

@@ -248,6 +248,7 @@ def run_bench() -> dict:
         "emb_hubness",
         "parts_clustering",
         "docs_blocklist",
+        "emb_rp",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

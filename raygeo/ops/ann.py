@@ -1730,3 +1730,86 @@ def hubness(ds, k: int = 5, vec_col: str = "embedding",
             {"k_occ": pa.array([0], pa.int64()),
              "n_vecs": pa.array([int(n0)], pa.int64())}, schema=OUT)))
     return hist.sort("k_occ")
+
+
+def rp_distortion(ds, k: int = 8, anchor_mod: int = 25,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  max_bucket: int = 63):
+    """Johnson–Lindenstrauss ±1 random-projection distortion audit — the
+    dimensionality-reduction QA op (is a k-dim sketch of the embedding
+    table safe for dedup/ANN prefilters?): project with a DETERMINISTIC
+    sign matrix s(i, j) = +1 iff md5(f"{i}_{j}") is even (SQL-replayable
+    — a real deployment would use any seeded sign matrix), then histogram
+    the exact integer distortion ratio bucket
+    ``(d_proj · 2k) // (d_orig · k)`` (concentrates at 2·? no — at
+    E[d_proj] = k·d_orig, i.e. bucket 2k/… = 2) over all
+    (anchor, other) pairs, anchors = id % anchor_mod == 0.
+
+    Plan: the sign matrix is dims×k tiny and rebuilt per task; anchors
+    (original + projected rows) broadcast once via ray.put; ONE
+    streaming pass computes both distance matrices per batch (int64
+    exact) and folds the bounded-domain bucket histogram map-side.
+    Duplicate-vector pairs (d_orig = 0) land in bucket −1. Output:
+    (bucket, n_pairs).
+    """
+    import hashlib
+
+    import ray
+
+    from ..util import bucketed_sum
+
+    def sign_matrix(d: int) -> np.ndarray:
+        P = np.empty((d, k), np.int64)
+        for i in range(d):
+            for j in range(k):
+                h = int.from_bytes(
+                    hashlib.md5(f"{i}_{j}".encode()).digest()[:4], "big")
+                P[i, j] = 1 if h % 2 == 0 else -1
+        return P
+
+    qds = ds.select_columns([id_col, vec_col]).materialize()
+    a_ids, a_qm = [], []
+    for b in qds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        sel = ids % anchor_mod == 0
+        if sel.any():
+            a_ids.append(ids[sel])
+            a_qm.append(_quantized_matrix(b.column(vec_col), 1e6)[sel])
+    OUT = pa.schema([("bucket", pa.int64()), ("n_pairs", pa.int64())])
+    import ray.data as rd
+    if not a_ids:
+        return rd.from_arrow(pa.table({"bucket": pa.array([], pa.int64()),
+                                       "n_pairs": pa.array([],
+                                                           pa.int64())}))
+    a_ids = np.concatenate(a_ids)
+    a_qm = np.concatenate(a_qm)
+    P = sign_matrix(a_qm.shape[1])
+    a_y = a_qm @ P
+    ref = ray.put((a_ids, a_qm, np.einsum("ij,ij->i", a_qm, a_qm),
+                   a_y, np.einsum("ij,ij->i", a_y, a_y)))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if not len(ids):
+            return pa.table({f.name: pa.array([], f.type) for f in OUT})
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        y = qm @ sign_matrix(qm.shape[1])
+        b2 = np.einsum("ij,ij->i", qm, qm)
+        y2 = np.einsum("ij,ij->i", y, y)
+        aid, aqm, a2, ay, ay2 = ray.get(ref)
+        d0 = a2[:, None] + b2[None, :] - 2 * (aqm @ qm.T)
+        dp = ay2[:, None] + y2[None, :] - 2 * (ay @ y.T)
+        keep = aid[:, None] != ids[None, :]
+        d0f, dpf = d0[keep], dp[keep]
+        zero = d0f == 0
+        bucket = np.full(len(d0f), -1, np.int64)
+        nz = ~zero
+        bucket[nz] = np.minimum((dpf[nz] * 2 * k) // (d0f[nz] * k),
+                                max_bucket)
+        u, n = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n_pairs": pa.array(n.astype(np.int64),
+                                             pa.int64())}, schema=OUT)
+
+    parts = qds.map_batches(scan, batch_format="pyarrow", batch_size=2048)
+    return bucketed_sum(parts, "bucket", "n_pairs").sort("bucket")

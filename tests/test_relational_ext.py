@@ -2395,3 +2395,46 @@ def test_blocklist_filter_serial(ray_session):
                                      "n_uniq_hits", "blocked"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["n_tokens"] == 0).any()
+
+
+def test_rp_distortion_serial(ray_session):
+    """JL distortion histogram vs a serial replay (incl. duplicate
+    vectors -> bucket -1 and the max_bucket cap)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raygeo.ops.ann import rp_distortion
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n, d, k = 60, 16, 4
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs[20] = vecs[10]  # duplicate pair; id 110 is an anchor (mod 10)
+    ids = np.arange(100, 100 + n).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v for v in vecs]})
+    got = (rp_distortion(rd.from_pandas(df).repartition(5), k=k,
+                         anchor_mod=10, max_bucket=15)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    P = np.empty((d, k), np.int64)
+    for i in range(d):
+        for j in range(k):
+            h = int.from_bytes(
+                hashlib.md5(f"{i}_{j}".encode()).digest()[:4], "big")
+            P[i, j] = 1 if h % 2 == 0 else -1
+    y = q @ P
+    from collections import Counter
+    cnt: Counter = Counter()
+    for a in range(n):
+        if ids[a] % 10 != 0:
+            continue
+        for b in range(n):
+            if ids[b] == ids[a]:
+                continue
+            d0 = int(((q[a] - q[b]) ** 2).sum())
+            dp = int(((y[a] - y[b]) ** 2).sum())
+            cnt[-1 if d0 == 0 else min((dp * 2 * k) // (d0 * k), 15)] += 1
+    exp = pd.DataFrame(sorted(cnt.items()), columns=["bucket", "n_pairs"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["bucket"] == -1).any()
