@@ -2888,6 +2888,18 @@ def _q_parts_clustering(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_events_countmin(sf_dir: str):
+    """Count-Min sketch frequency estimates vs exact counts for the
+    probe users (user_id % 11 == 0): per-batch depth×width counter
+    grids merge by cell-wise sum (exactly associative), the final grid
+    is sketch-sized so the probe ships it in-closure; est >= true is
+    pinned as the CM one-sided-error invariant (overcount column)."""
+    from raygeo.ops.dedup import countmin_estimates
+
+    return countmin_estimates(_rpq(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"]), probe_mod=11)
+
+
 def _q_events_kmv_overlap(sf_dir: str):
     """Pairwise union/intersection cardinality estimates from mergeable
     KMV sketches (bottom-k(A∪B) == bottom-k of merged sketches):
@@ -3763,6 +3775,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
         "parts_clustering": _q_parts_clustering,  # clustering coefficient
         "docs_blocklist": _q_docs_blocklist,  # wordlist curation gate
+        "events_countmin": _q_events_countmin,  # CM sketch estimates
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
@@ -6269,6 +6282,31 @@ SELECT d.doc_id,
   (CASE WHEN coalesce(st.n_hits, 0) * 20 > coalesce(st.n_tokens, 0)
         THEN 1 ELSE 0 END)::BIGINT AS blocked
 FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id
+""",
+        "events_countmin": """
+WITH g AS (
+  SELECT r.r AS r,
+    ('0x' || substr(md5(r.r || '_' || user_id), 1, 8))::UBIGINT % 256
+      AS c,
+    count(*) AS cnt
+  FROM events, range(4) r(r)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT user_id AS key, count(*) AS true_cnt
+  FROM events WHERE user_id % 11 = 0 GROUP BY 1
+),
+est AS (
+  SELECT p.key, p.true_cnt, min(g.cnt) AS cm_est
+  FROM probes p, range(4) r(r)
+  JOIN g ON g.r = r.r
+   AND g.c = ('0x' || substr(md5(r.r || '_' || p.key), 1, 8))::UBIGINT
+             % 256
+  GROUP BY 1, 2
+)
+SELECT key::BIGINT AS key, true_cnt::BIGINT AS true_cnt,
+  cm_est::BIGINT AS cm_est, (cm_est - true_cnt)::BIGINT AS overcount
+FROM est ORDER BY key
 """,
         "customers_percent_rank": """
 SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,

@@ -249,6 +249,7 @@ def run_bench() -> dict:
         "parts_clustering",
         "docs_blocklist",
         "emb_rp",
+        "events_countmin",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1750,3 +1750,89 @@ def containment_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             .sort(["cont_q6", "id_a", "id_b"],
                   descending=[True, False, False])
             .limit(topk))
+
+
+def countmin_estimates(ds, key_col: str = "user_id", depth: int = 4,
+                       width: int = 256, probe_mod: int = 97):
+    """Count-Min sketch frequency estimates — the mergeable
+    fixed-memory counter (Cormode & Muthukrishnan 2005) that completes
+    the sketch family next to Misra-Gries / HLL / KMV: every worker
+    folds its rows into a depth×width counter grid (row r hashes the
+    key with md5(f"{r}_{key}")), grids merge by plain cell-wise SUM
+    (exactly associative), and est(key) = min over rows of the key's
+    cell — always >= the true count (one-sided error, the CM
+    guarantee, pinned as an output invariant).
+
+    Plan: per-batch partial grids emit as (r, c, cnt) rows (bounded:
+    depth·width per batch), ONE coarse-bucket sum folds them; the final
+    grid is sketch-sized, so it collects to the driver and ships in the
+    probe task's closure. Probe keys (key % probe_mod == 0) get their
+    TRUE counts from a coarse-bucket count fold — the comparison is the
+    point of the query. Output: (key, true_cnt, cm_est, overcount).
+    """
+    import hashlib
+
+    from ..util import bucketed_sum
+
+    CELLS = pa.schema([("r", pa.int64()), ("c", pa.int64()),
+                       ("cnt", pa.int64())])
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy()
+        G = np.zeros((depth, width), np.int64)
+        u, n = np.unique(keys, return_counts=True)
+        for r in range(depth):
+            cells = np.asarray(
+                [int.from_bytes(
+                    hashlib.md5(f"{r}_{k}".encode()).digest()[:4],
+                    "big") % width for k in u], np.int64)
+            np.add.at(G[r], cells, n)
+        rr, cc = np.nonzero(G)
+        return pa.table({"r": pa.array(rr.astype(np.int64), pa.int64()),
+                         "c": pa.array(cc.astype(np.int64), pa.int64()),
+                         "cnt": pa.array(G[rr, cc], pa.int64())},
+                        schema=CELLS)
+
+    grid_rows = bucketed_sum(
+        ds.select_columns([key_col]).map_batches(
+            grid_partial, batch_format="pyarrow", batch_size=65536),
+        ["r", "c"], "cnt").take_all()  # sketch-sized by construction
+    G = np.zeros((depth, width), np.int64)
+    for row in grid_rows:
+        G[int(row["r"]), int(row["c"])] = int(row["cnt"])
+
+    def true_partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy()
+        keys = keys[keys % probe_mod == 0]
+        u, n = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(u.astype(np.int64), pa.int64()),
+                         "true_cnt": pa.array(n.astype(np.int64),
+                                              pa.int64())})
+
+    true_counts = bucketed_sum(
+        ds.select_columns([key_col]).map_batches(
+            true_partial, batch_format="pyarrow", batch_size=65536),
+        "key", "true_cnt")
+
+    OUT = pa.schema([("key", pa.int64()), ("true_cnt", pa.int64()),
+                     ("cm_est", pa.int64()), ("overcount", pa.int64())])
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_numpy()
+        tc = t.column("true_cnt").to_numpy()
+        est = np.empty(len(keys), np.int64)
+        for i, k in enumerate(keys):
+            est[i] = min(
+                G[r, int.from_bytes(
+                    hashlib.md5(f"{r}_{k}".encode()).digest()[:4],
+                    "big") % width] for r in range(depth))
+        if (est < tc).any():  # pragma: no cover - CM invariant
+            raise RuntimeError("count-min undercounted")
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "true_cnt": pa.array(tc, pa.int64()),
+                         "cm_est": pa.array(est, pa.int64()),
+                         "overcount": pa.array(est - tc, pa.int64())},
+                        schema=OUT)
+
+    return true_counts.map_batches(probe,
+                                   batch_format="pyarrow").sort("key")

@@ -2438,3 +2438,41 @@ def test_rp_distortion_serial(ray_session):
     exp = pd.DataFrame(sorted(cnt.items()), columns=["bucket", "n_pairs"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["bucket"] == -1).any()
+
+
+def test_countmin_matches_serial(ray_session):
+    """CM estimates vs a serial sketch replay on a skewed key stream;
+    pins the one-sided-error invariant (est >= true for every probe)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raygeo.ops.dedup import countmin_estimates
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    keys = rng.integers(0, 40, 5000) ** 2  # skew + collisions
+    df = pd.DataFrame({"user_id": keys.astype(np.int64)})
+    got = (countmin_estimates(rd.from_pandas(df).repartition(7),
+                              depth=3, width=16, probe_mod=4)
+           .to_pandas().sort_values("key").reset_index(drop=True))
+
+    G = np.zeros((3, 16), np.int64)
+    for k in keys:
+        for r in range(3):
+            c = int.from_bytes(
+                hashlib.md5(f"{r}_{k}".encode()).digest()[:4], "big") % 16
+            G[r, c] += 1
+    exp = []
+    vc = pd.Series(keys).value_counts()
+    for k in sorted(vc.index):
+        if k % 4 != 0:
+            continue
+        est = min(G[r, int.from_bytes(
+            hashlib.md5(f"{r}_{k}".encode()).digest()[:4], "big") % 16]
+            for r in range(3))
+        exp.append((int(k), int(vc[k]), int(est), int(est - vc[k])))
+    exp = pd.DataFrame(exp, columns=["key", "true_cnt", "cm_est",
+                                     "overcount"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["overcount"] >= 0).all()
+    assert (got["overcount"] > 0).any()  # width 16 forces collisions
