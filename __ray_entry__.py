@@ -2261,6 +2261,24 @@ def _q_mosaic_strahler(sf_dir: str):
                           FIXTURE_GRID).sort(["tile_id", "strahler"])
 
 
+def _q_zones_dissolve(sf_dir: str):
+    """Vector DISSOLVE: zones whose pixel-center windows overlap merge
+    into connected components (PBSM per-tile pair discovery + one
+    coarse-bucket distinct; dimension-bounded union-find finish), each
+    reporting member count and exact raster union area (components are
+    pixel-disjoint by construction, so tiles paint once and counts sum).
+    Oracle = recursive-CTE transitive closure + per-pixel burn."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.rasterize import zones_dissolve
+
+    d = _fix(sf_dir)
+    zones = rd.from_arrow(pq.read_table(f"{d}/zones.parquet"))
+    return zones_dissolve(zones, FIXTURE_GRID)
+
+
 def _q_mosaic_costdist(sf_dir: str):
     """Least-cost (friction-weighted) distance surface from the zone
     centers — cost-distance / accumulated-friction: step cost
@@ -3838,6 +3856,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_scrub": _q_docs_scrub,  # deny-list scrub, md5 row parity
         "name_neighbors": _q_name_neighbors,  # ed-1 similarity join
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
+        "zones_dissolve": _q_zones_dissolve,  # vector dissolve / union
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
         "mosaic_hillshade": _q_mosaic_hillshade,  # focal shade, halo exchange
@@ -6478,6 +6497,43 @@ WITH z AS (
 SELECT (c // 128)::VARCHAR || '-' || (r // 128)::VARCHAR AS tile_id,
        zone_id, count(*)::BIGINT AS n_px
 FROM win GROUP BY 1, 2
+""",
+        "zones_dissolve": f"""
+WITH RECURSIVE z AS (
+  SELECT zone_id,
+    greatest(0, least(2048, CAST(ceil((lon_min + 1.0) / {RES} - 0.5) AS BIGINT))) AS cl,
+    greatest(0, least(2048, CAST(ceil((lon_max + 1.0) / {RES} - 0.5) AS BIGINT))) AS ch,
+    greatest(0, least(2048, CAST(ceil((1.0 - lat_max) / {RES} - 0.5) AS BIGINT))) AS rl,
+    greatest(0, least(2048, CAST(ceil((1.0 - lat_min) / {RES} - 0.5) AS BIGINT))) AS rh
+  FROM read_parquet('{ZONES_001}')
+  WHERE ceil((lon_max + 1.0) / {RES} - 0.5) > ceil((lon_min + 1.0) / {RES} - 0.5)
+    AND ceil((1.0 - lat_min) / {RES} - 0.5) > ceil((1.0 - lat_max) / {RES} - 0.5)
+), e AS (
+  SELECT a.zone_id AS za, b.zone_id AS zb
+  FROM z a JOIN z b ON a.zone_id < b.zone_id
+   AND greatest(a.cl, b.cl) < least(a.ch, b.ch)
+   AND greatest(a.rl, b.rl) < least(a.rh, b.rh)
+), sym AS (
+  SELECT za AS u, zb AS v FROM e UNION ALL SELECT zb, za FROM e
+), reach(u, v) AS (
+  SELECT zone_id, zone_id FROM z
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON sym.u = reach.v
+), comp AS (
+  SELECT u AS zone_id, min(v) AS comp_id FROM reach GROUP BY 1
+), px AS (
+  SELECT comp.comp_id, rr.r * 2048 + cc.c AS pix
+  FROM comp JOIN z USING (zone_id),
+       LATERAL (SELECT unnest(generate_series(z.cl, z.ch - 1)) AS c) cc,
+       LATERAL (SELECT unnest(generate_series(z.rl, z.rh - 1)) AS r) rr
+), upx AS (
+  SELECT comp_id, count(DISTINCT pix) AS union_px FROM px GROUP BY 1
+), nz AS (
+  SELECT comp_id, count(*) AS n_zones FROM comp GROUP BY 1
+)
+SELECT comp_id, nz.n_zones::BIGINT AS n_zones,
+       upx.union_px::BIGINT AS union_px
+FROM nz JOIN upx USING (comp_id) ORDER BY comp_id
 """,
         "footprint_overlap": f"""
 WITH s AS (

@@ -250,6 +250,7 @@ def run_bench() -> dict:
         "docs_blocklist",
         "emb_rp",
         "events_countmin",
+        "zones_dissolve",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -345,3 +345,170 @@ def zonal_perimeter(zones_ds, grid: GridSpec):
         batch_format="pyarrow")
     return drop_empty_blocks(total.materialize(), out_schema) \
         .sort("zone_id")
+
+
+def zones_dissolve(zones_ds, grid: GridSpec):
+    """Vector DISSOLVE (st_union by connectivity): zones whose
+    pixel-center windows overlap merge into connected components; each
+    component reports its member count and its exact raster union area
+    — the vector-side dedup/merge op every geocube ingest needs before
+    burning masks (GDAL ogr2ogr -dialect 'dissolve' / PostGIS ST_Union
+    re-expressed as a Ray Data pipeline).
+
+    Connectivity uses the SAME half-open pixel-center windows as
+    ``rasterize_zones`` (pure floor/ceil arithmetic → ANSI-SQL
+    replayable); zones whose windows clip to nothing drop entirely.
+
+    Plan (features × pixels, neither broadcast in the wide stages):
+    - windows explode per covering tile (O(features × tiles-per-feature)
+      int rows); per-tile groups emit candidate overlap pairs by a
+      vectorized window-intersection test, deduped with one
+      coarse-bucket distinct — the pair discovery never leaves the tile
+      partitioning (PBSM discipline);
+    - the zone table is DIMENSION-bounded by contract (like
+      nation/region), so components resolve by driver union-find over
+      the deduped pair rows and the zone→component map broadcasts once
+      (a feature table past the dimension cap would feed the pairs to
+      ``graph.connected_components_pairs`` instead — same rows);
+    - union area: fragments re-key by component, each tile paints its
+      component plane once (components are pixel-disjoint BY
+      CONSTRUCTION — a shared pixel implies window overlap implies same
+      component), one bincount per tile, one coarse-bucket sum.
+
+    Output: (comp_id = lexicographically smallest member zone_id,
+    n_zones, union_px), one row per component.
+    """
+    import ray
+
+    from ..util import bucketed_distinct, bucketed_sum
+
+    c = grid.chunk
+
+    def windows(t: pa.Table) -> pa.Table:
+        zid = np.asarray(t.column("zone_id").to_pylist(), dtype=object)
+        cl, ch, rl, rh = _center_window(
+            grid,
+            t.column("lon_min").to_numpy(), t.column("lat_min").to_numpy(),
+            t.column("lon_max").to_numpy(), t.column("lat_max").to_numpy())
+        keep = (ch > cl) & (rh > rl)
+        return pa.table({
+            "zone_id": pa.array(zid[keep], pa.string()),
+            "cl": pa.array(cl[keep], pa.int64()),
+            "ch": pa.array(ch[keep], pa.int64()),
+            "rl": pa.array(rl[keep], pa.int64()),
+            "rh": pa.array(rh[keep], pa.int64()),
+        })
+
+    wins = zones_ds.select_columns(
+        ["zone_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+    ).map_batches(windows, batch_format="pyarrow",
+                  batch_size=8192).materialize()
+
+    def tile_explode(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("tx", "ty", "zone_id", "cl", "ch",
+                               "rl", "rh")}
+        zid = t.column("zone_id").to_pylist()
+        cl = t.column("cl").to_numpy()
+        ch = t.column("ch").to_numpy()
+        rl = t.column("rl").to_numpy()
+        rh = t.column("rh").to_numpy()
+        for i in range(len(t)):
+            for tx in range(cl[i] // c, (ch[i] - 1) // c + 1):
+                for ty in range(rl[i] // c, (rh[i] - 1) // c + 1):
+                    out["tx"].append(tx)
+                    out["ty"].append(ty)
+                    out["zone_id"].append(zid[i])
+                    out["cl"].append(max(cl[i], tx * c))
+                    out["ch"].append(min(ch[i], (tx + 1) * c))
+                    out["rl"].append(max(rl[i], ty * c))
+                    out["rh"].append(min(rh[i], (ty + 1) * c))
+        return pa.table({
+            "tx": pa.array(out["tx"], pa.int64()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            "zone_id": pa.array(out["zone_id"], pa.string()),
+            "cl": pa.array(out["cl"], pa.int64()),
+            "ch": pa.array(out["ch"], pa.int64()),
+            "rl": pa.array(out["rl"], pa.int64()),
+            "rh": pa.array(out["rh"], pa.int64()),
+        })
+
+    frags = wins.map_batches(tile_explode, batch_format="pyarrow",
+                             batch_size=8192).materialize()
+
+    def tile_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["zone_id"].to_numpy()
+        cl = g["cl"].to_numpy()
+        ch = g["ch"].to_numpy()
+        rl = g["rl"].to_numpy()
+        rh = g["rh"].to_numpy()
+        hit = ((np.maximum(cl[:, None], cl[None, :])
+                < np.minimum(ch[:, None], ch[None, :]))
+               & (np.maximum(rl[:, None], rl[None, :])
+                  < np.minimum(rh[:, None], rh[None, :]))
+               & (ids[:, None] < ids[None, :]))
+        a, b = np.nonzero(hit)
+        return pd.DataFrame({"za": ids[a], "zb": ids[b]})
+
+    pairs = bucketed_distinct(
+        frags.groupby(["tx", "ty"]).map_groups(tile_pairs,
+                                               batch_format="pandas"),
+        ["za", "zb"])
+
+    # dimension-bounded finish: union-find over pair rows on the driver
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    all_ids = [r["zone_id"] for r in
+               wins.select_columns(["zone_id"]).take_all()]
+    for z in all_ids:
+        parent[z] = z
+    for r in pairs.take_all():
+        ra, rb = find(r["za"]), find(r["zb"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    comp_of = {z: find(z) for z in all_ids}
+    n_zones: dict = {}
+    for z, cp in comp_of.items():
+        n_zones[cp] = n_zones.get(cp, 0) + 1
+    comp_ref = ray.put(comp_of)
+
+    def paint_union(g: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(comp_ref)
+        tx, ty = int(g.tx.iloc[0]), int(g.ty.iloc[0])
+        comps = np.asarray([cm[z] for z in g["zone_id"]], dtype=object)
+        u, inv = np.unique(comps, return_inverse=True)
+        plane = np.full((c, c), -1, np.int32)
+        c0, r0 = tx * c, ty * c
+        for i in range(len(g)):
+            plane[g.rl.iat[i] - r0:g.rh.iat[i] - r0,
+                  g.cl.iat[i] - c0:g.ch.iat[i] - c0] = inv[i]
+        counts = np.bincount(plane[plane >= 0].ravel(), minlength=len(u))
+        keep = counts > 0
+        return pd.DataFrame({"comp_id": u[keep],
+                             "union_px": counts[keep].astype(np.int64)})
+
+    upx = bucketed_sum(
+        frags.groupby(["tx", "ty"]).map_groups(paint_union,
+                                               batch_format="pandas"),
+        "comp_id", "union_px")
+
+    OUT = pa.schema([("comp_id", pa.string()), ("n_zones", pa.int64()),
+                     ("union_px", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        comp = t.column("comp_id").to_pylist()
+        return pa.table({
+            "comp_id": pa.array(comp, pa.string()),
+            "n_zones": pa.array([int(n_zones[z]) for z in comp],
+                                pa.int64()),
+            "union_px": t.column("union_px"),
+        }, schema=OUT)
+
+    return upx.map_batches(finish, batch_format="pyarrow").sort("comp_id")

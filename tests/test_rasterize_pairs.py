@@ -164,3 +164,59 @@ def test_zonal_perimeter_matches_dense_count(ray_session):
                         columns=["zone_id", "perimeter"])
     want["perimeter"] = want["perimeter"].astype(np.int64)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_zones_dissolve_matches_serial(ray_session):
+    """Dissolve vs a serial union-find + full-plane burn on random boxes
+    (overlap chains, containment, isolated zones)."""
+    import ray.data as rd
+
+    from raygeo.ops.rasterize import zones_dissolve
+
+    g = GridSpec(name="s", crs="EPSG:4326", x0=0.0, y1=1.0, res=2.0**-7,
+                 width=96, height=96, chunk=16)
+    rng = np.random.Generator(np.random.PCG64(23))
+    rows = []
+    for i in range(30):
+        cx, cy = rng.uniform(0.05, 0.7, 2)
+        w, h = rng.uniform(0.01, 0.12, 2)
+        rows.append((f"z{i:02d}", cx, cy * 1.0, cx + w, cy + h))
+    zones = pd.DataFrame(rows, columns=["zone_id", "lon_min", "lat_min",
+                                        "lon_max", "lat_max"])
+    got = (zones_dissolve(rd.from_pandas(zones).repartition(4), g)
+           .to_pandas().reset_index(drop=True))
+
+    cl, ch, rl, rh = _center_window(
+        g, zones.lon_min.to_numpy(), zones.lat_min.to_numpy(),
+        zones.lon_max.to_numpy(), zones.lat_max.to_numpy())
+    keep = (ch > cl) & (rh > rl)
+    ids = zones.zone_id.to_numpy()[keep]
+    cl, ch, rl, rh = cl[keep], ch[keep], rl[keep], rh[keep]
+    parent = {z: z for z in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (max(cl[i], cl[j]) < min(ch[i], ch[j])
+                    and max(rl[i], rl[j]) < min(rh[i], rh[j])):
+                a, b = sorted((find(ids[i]), find(ids[j])))
+                parent[b] = a
+    comp = {z: find(z) for z in ids}
+    plane = np.full((g.height, g.width), "", dtype=object)
+    for i in range(n):
+        plane[rl[i]:rh[i], cl[i]:ch[i]] = comp[ids[i]]
+    exp = {}
+    for cp in set(comp.values()):
+        exp[cp] = (sum(1 for z in ids if comp[z] == cp),
+                   int((plane == cp).sum()))
+    exp = pd.DataFrame(
+        [(k, *v) for k, v in sorted(exp.items())],
+        columns=["comp_id", "n_zones", "union_px"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["n_zones"].max() >= 2  # chains actually merged
