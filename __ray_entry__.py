@@ -2321,6 +2321,17 @@ def _q_mosaic_curvature(sf_dir: str):
     return curvature_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_mosaic_tpi(sf_dir: str):
+    """Topographic Position Index ridge/valley class counts (Weiss
+    2001): v·nn − Σnbrs vs ±threshold·nn by integer cross-multiply, no
+    division — on the shared ring exchange. Oracle replays with the
+    8-offset shift-then-equi-join over the plane dump."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import tpi_stats
+
+    return tpi_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
+
+
 def _q_mosaic_hotspots(sf_dir: str):
     """Getis-Ord-Gi*-shaped hot-spot counts: a pixel is hot iff its 3x3
     window mean strictly exceeds the GLOBAL mean, decided by integer
@@ -3822,6 +3833,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_rules": _q_parts_rules,  # association rules by exact lift
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
+        "mosaic_tpi": _q_mosaic_tpi,  # topographic position classes
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
         "mosaic_variogram": _q_mosaic_variogram,  # semivariance lags
         "mosaic_glcm": _q_mosaic_glcm,  # Haralick texture moments
@@ -5905,6 +5917,28 @@ SELECT concat(CAST(x // 128 AS VARCHAR), '-',
   (x // 128)::BIGINT AS tx, (y // 128)::BIGINT AS ty,
   count(*)::BIGINT AS n_px, sum(lap)::BIGINT AS lap_sum,
   sum(tri)::BIGINT AS tri_sum
+FROM ctr GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_tpi": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+offs AS (SELECT * FROM (VALUES
+  (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+  (1, -1), (1, 0), (1, 1)) AS t(dy, dx)),
+n8 AS (SELECT p.y - o.dy AS cy, p.x - o.dx AS cx, p.v
+       FROM px p, offs o),
+ctr AS (
+  SELECT c.y, c.x, c.v, count(*) AS nn, sum(n.v) AS ns
+  FROM px c JOIN n8 n ON n.cy = c.y AND n.cx = c.x
+  GROUP BY 1, 2, 3
+)
+SELECT concat(CAST(x // 128 AS VARCHAR), '-',
+              CAST(y // 128 AS VARCHAR)) AS tile_id,
+  (x // 128)::BIGINT AS tx, (y // 128)::BIGINT AS ty,
+  count(*)::BIGINT AS n_px,
+  sum(CASE WHEN v * nn - ns > 10 * nn THEN 1 ELSE 0 END)::BIGINT
+    AS n_ridge,
+  sum(CASE WHEN v * nn - ns < -10 * nn THEN 1 ELSE 0 END)::BIGINT
+    AS n_valley
 FROM ctr GROUP BY 1, 2, 3 ORDER BY 1
 """,
         "mosaic_hotspots": f"""

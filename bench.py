@@ -251,6 +251,7 @@ def run_bench() -> dict:
         "emb_rp",
         "events_countmin",
         "zones_dissolve",
+        "mosaic_tpi",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

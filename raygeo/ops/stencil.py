@@ -2255,3 +2255,34 @@ def glcm_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
     return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
                      for k in ("n_pairs", "contrast", "energy",
                                "homog_q6")})
+
+
+def tpi_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+              threshold: int = 10):
+    """Topographic Position Index class counts per tile (Weiss 2001):
+    for every valid pixel with >=1 valid 8-neighbor, compare its value
+    to its neighborhood mean by exact integer cross-multiplication —
+    ridge iff ``v·nn − Σnbrs > threshold·nn``, valley iff
+    ``< −threshold·nn`` (nn = valid-neighbor count; no division, no
+    float). Output (tile_id, tx, ty, n_px, n_ridge, n_valley); flats =
+    n_px − n_ridge − n_valley. Same ring exchange as curvature/TRI."""
+
+    def reduce_fn(P, M):
+        S, C = _shift_stack(P, M)
+        center_v, center_m = S[4], C[4]
+        nn = np.zeros(center_v.shape, np.int64)
+        ns = np.zeros(center_v.shape, np.int64)
+        for i in range(9):
+            if i == 4:
+                continue
+            vn = C[i] & center_m
+            nn += vn
+            ns += np.where(vn, S[i], 0)
+        sel = center_m & (nn > 0)
+        t = center_v * nn - ns
+        ridge = (sel & (t > threshold * nn)).astype(np.int64)
+        valley = (sel & (t < -threshold * nn)).astype(np.int64)
+        return sel, ridge, valley
+
+    return ring_focal_stats(tiles_ds, grid, reduce_fn, pack,
+                            names=("n_px", "n_ridge", "n_valley"))

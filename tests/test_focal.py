@@ -1043,3 +1043,29 @@ def test_zonal_extremes_matches_brute(ray_session):
            .sort_values("zone_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert len(exp) >= 3
+
+
+def test_tpi_matches_full_plane(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.stencil import tpi_stats
+
+    rows, plane, valid = _random_mosaic(seed=41, p_absent=0.35)
+    got = tpi_stats(rd.from_items(rows).repartition(4), SRC,
+                    threshold=10).to_pandas()
+    S, C = _window_stacks(plane, valid)
+    center_v, center_m = S[4], C[4]
+    nn = np.zeros(center_v.shape, np.int64)
+    ns = np.zeros(center_v.shape, np.int64)
+    for i in range(9):
+        if i == 4:
+            continue
+        vn = C[i] & center_m
+        nn += vn
+        ns += np.where(vn, S[i], 0)
+    sel = center_m & (nn > 0)
+    t = center_v * nn - ns
+    ridge = (sel & (t > 10 * nn)).astype(np.int64)
+    valley = (sel & (t < -10 * nn)).astype(np.int64)
+    _check(got, _per_tile(rows, sel, ridge, valley),
+           ["n_px", "n_ridge", "n_valley"])
