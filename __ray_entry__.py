@@ -2261,6 +2261,34 @@ def _q_mosaic_strahler(sf_dir: str):
                           FIXTURE_GRID).sort(["tile_id", "strahler"])
 
 
+def _q_orders_rolling(sf_dir: str):
+    """ROWS-frame rolling sum (SUM OVER ... ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) per customer in (o_orderdate, o_orderkey) order: one
+    coarse-bucket exchange on the partition key, then a fully vectorized
+    shifted-copy frame sum in-bucket — no per-group Python. Values are
+    exact int64 cents."""
+    import pyarrow.compute as pc
+
+    from raygeo.ops.relational import rolling_frame_sum
+
+    ds = _rpq(f"{sf_dir}/orders.parquet",
+              columns=["o_custkey", "o_orderdate", "o_orderkey",
+                       "o_totalprice"])
+
+    def cents(t):
+        import numpy as np
+        import pyarrow as pa
+        v = np.round(t.column("o_totalprice").to_numpy()
+                     * 100).astype("int64")
+        t = t.drop_columns(["o_totalprice"])
+        return t.append_column("price_c", pa.array(v, pa.int64()))
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    out = rolling_frame_sum(ds, "o_custkey",
+                            ["o_orderdate", "o_orderkey"], "price_c")
+    return out.sort(["o_custkey", "o_orderdate", "o_orderkey"])
+
+
 def _q_zones_dissolve(sf_dir: str):
     """Vector DISSOLVE: zones whose pixel-center windows overlap merge
     into connected components (PBSM per-tile pair discovery + one
@@ -3869,6 +3897,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "name_neighbors": _q_name_neighbors,  # ed-1 similarity join
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "zones_dissolve": _q_zones_dissolve,  # vector dissolve / union
+        "orders_rolling": _q_orders_rolling,  # ROWS-frame rolling sum
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
         "mosaic_hillshade": _q_mosaic_hillshade,  # focal shade, halo exchange
@@ -6335,6 +6364,15 @@ SELECT d.doc_id,
   (CASE WHEN coalesce(st.n_hits, 0) * 20 > coalesce(st.n_tokens, 0)
         THEN 1 ELSE 0 END)::BIGINT AS blocked
 FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id
+""",
+        "orders_rolling": """
+SELECT o_custkey, o_orderdate, o_orderkey,
+  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS frame_sum
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
 """,
         "events_countmin": """
 WITH g AS (

@@ -252,6 +252,7 @@ def run_bench() -> dict:
         "events_countmin",
         "zones_dissolve",
         "mosaic_tpi",
+        "orders_rolling",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -3844,3 +3844,45 @@ def customer_order_gaps(orders_ds):
                                   "o_orderkey"])
         .map_batches(prep, batch_format="pyarrow", batch_size=65536),
         "cust", fold)
+
+
+def rolling_frame_sum(ds, key_col: str, order_cols, value_col: str,
+                      preceding: int = 2, num_buckets: int | None = None):
+    """ROWS-frame rolling sum — the window-FRAME analog
+    (``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    <preceding> PRECEDING AND CURRENT ROW)``): every row reports the sum
+    of its own value and up to ``preceding`` prior rows of its
+    partition in (order_cols) order.
+
+    Plan: one coarse-bucket exchange on the partition key (the
+    high-cardinality-groupby discipline), then a fully vectorized
+    in-bucket computation — rows sort once by (key, *order_cols) and
+    the frame sum is the value plus its shifted copies masked to the
+    same key (no per-group Python, no pandas .rolling). Values are
+    int64 cents (exact).
+
+    Output: key, order cols, value, frame_sum.
+    """
+    from ..util import bucketed_fold
+
+    ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *ocols],
+                          kind="mergesort").reset_index(drop=True)
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy().astype(np.int64)
+        s = v.copy()
+        for lag in range(1, preceding + 1):
+            shifted = np.empty_like(v)
+            shifted[:lag] = 0
+            shifted[lag:] = v[:-lag]
+            same = np.zeros(len(v), bool)
+            same[lag:] = k[lag:] == k[:-lag]
+            s += np.where(same, shifted, 0)
+        g = g.copy()
+        g["frame_sum"] = s
+        return g
+
+    return bucketed_fold(ds.select_columns([key_col, *ocols, value_col]),
+                         key_col, fold, num_buckets=num_buckets)

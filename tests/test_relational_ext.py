@@ -2476,3 +2476,35 @@ def test_countmin_matches_serial(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["overcount"] >= 0).all()
     assert (got["overcount"] > 0).any()  # width 16 forces collisions
+
+
+def test_rolling_frame_sum_serial(ray_session):
+    """ROWS-frame rolling sum vs a serial replay; exercises partitions
+    shorter than the frame and duplicate order keys."""
+    import ray.data as rd
+
+    from raygeo.ops.relational import rolling_frame_sum
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "o1": rng.integers(0, 10, n).astype(np.int64),
+        "o2": np.arange(n, dtype=np.int64),   # unique tiebreak
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+    })
+    got = (rolling_frame_sum(rd.from_pandas(df).repartition(6), "k",
+                             ["o1", "o2"], "v", preceding=2)
+           .to_pandas().sort_values(["k", "o1", "o2"])
+           .reset_index(drop=True))
+    exp = df.sort_values(["k", "o1", "o2"]).reset_index(drop=True)
+    fs = []
+    hist: dict = {}
+    for _, r in exp.iterrows():
+        q = hist.setdefault(r["k"], [])
+        q.append(r["v"])
+        fs.append(int(sum(q[-3:])))
+    exp["frame_sum"] = fs
+    pd.testing.assert_frame_equal(
+        got[["k", "o1", "o2", "v", "frame_sum"]],
+        exp[["k", "o1", "o2", "v", "frame_sum"]], check_dtype=False)
