@@ -2327,6 +2327,19 @@ def _q_mosaic_costdist(sf_dir: str):
         .sort("tile_id")
 
 
+def _q_mosaic_stream_links(sf_dir: str):
+    """Stream-LINK extraction (network segmentation, completes the
+    hydrology chain): channel cells partition into maximal chains broken
+    at confluences; acc+code planes ride out of flowaccum(planes=True),
+    donor pairs key by target tile (O(channel cells) rows), components
+    via the Dataset-resident min-label machinery. Oracle = serial
+    full-plane walk + union-find golden."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import stream_links
+
+    return stream_links(_tiles_lww(sf_dir), FIXTURE_GRID)
+
+
 def _q_mosaic_focal_median(sf_dir: str):
     """3x3 focal LOWER median (quantile_disc semantics) per-tile stats on
     the generic ring-exchange focal engine — interior windows fold
@@ -3838,6 +3851,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
         "mosaic_strahler": _q_mosaic_strahler,  # Strahler stream order
         "mosaic_costdist": _q_mosaic_costdist,  # least-cost distance
+        "mosaic_stream_links": _q_mosaic_stream_links,  # link extraction
         "q6_band_revenue": _q_q6_band_revenue,  # Q6 map-side fold
         "q9_profit": _q_q9_profit,  # Q9 nation x year profit
         "q8_market_share": _q_q8_market_share,  # Q8 exact share moments
@@ -4602,6 +4616,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_costdist_golden
 
     ensure_costdist_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_streamlinks_golden
+
+    ensure_streamlinks_golden(FIX_SF001)
     from raygeo.fixtures import ensure_reproject_golden
 
     ensure_reproject_golden(FIX_SF001)
@@ -4825,6 +4842,10 @@ FROM read_parquet('{FIX_SF001}/strahler_golden.parquet')
         "mosaic_costdist": f"""
 SELECT tile_id, tx, ty, n_reach, dist_sum, dist_max
 FROM read_parquet('{FIX_SF001}/costdist_golden.parquet')
+""",
+        "mosaic_stream_links": f"""
+SELECT link_id, n_cells, acc_max
+FROM read_parquet('{FIX_SF001}/streamlinks_golden.parquet')
 """,
         "mosaic_reproject": f"""
 SELECT tile_id, tx, ty, n_px, v_sum

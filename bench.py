@@ -253,6 +253,7 @@ def run_bench() -> dict:
         "zones_dissolve",
         "mosaic_tpi",
         "orders_rolling",
+        "mosaic_stream_links",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

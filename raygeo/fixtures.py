@@ -2806,3 +2806,78 @@ def ensure_costdist_golden(fix_dir: str) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_streamlinks_golden(fix_dir: str, channel_t: int = 5) -> str:
+    """Idempotently derive streamlinks_golden.parquet: stream-link
+    segmentation from a serial FULL-PLANE replay — acc walk over the D8
+    forest, channel mask (acc >= channel_t), link edges where the target
+    has exactly ONE channel donor, union-find components (min-gid id).
+    Shares only the pure `_flowdir_codes` rule with the engine; the
+    engine's tile decomposition / donor-pair exchange / Dataset CC are
+    not touched. Separate marker; no layout-version regen."""
+    from .ops.spatialstats import _D8_OFF
+    from .ops.stencil import _flowdir_codes
+
+    out = os.path.join(fix_dir, "streamlinks_golden.parquet")
+    if os.path.exists(out):
+        return out
+    (_, valid, v), _lww = _paint_lww_plane(fix_dir)
+    H, W = valid.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    nxt = np.full(H * W, -1, np.int64)
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        nxt[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    acc = np.zeros(H * W, np.int64)
+    cur = np.nonzero(codes >= 0)[0]
+    cnt = np.ones(len(cur), np.int64)
+    for _ in range(10_000_000):
+        if not len(cur):
+            break
+        u, inv = np.unique(cur, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cnt)
+        cur, cnt = u, s
+        acc[cur] += cnt
+        nx = nxt[cur]
+        keep = nx >= 0
+        cur, cnt = nx[keep], cnt[keep]
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("streamlinks golden: walk did not converge")
+    chan = (acc >= channel_t) & (codes >= 0)
+    cdon = np.zeros(H * W, np.int64)
+    src = np.nonzero(chan & (nxt >= 0))[0]
+    np.add.at(cdon, nxt[src], 1)
+    parent = {int(i): int(i) for i in np.nonzero(chan)[0]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u2 in src:
+        tg = int(nxt[u2])
+        if chan[tg] and cdon[tg] == 1:
+            a, b = sorted((find(int(u2)), find(tg)))
+            parent[b] = a
+    links: dict = {}
+    for g in np.nonzero(chan)[0]:
+        r = find(int(g))
+        n, a = links.get(r, (0, 0))
+        links[r] = (n + 1, max(a, int(acc[g])))
+    items = sorted(links.items())
+    t = pa.table({
+        "link_id": pa.array([k for k, _ in items], pa.int64()),
+        "n_cells": pa.array([n for _, (n, _a) in items], pa.int64()),
+        "acc_max": pa.array([a for _, (_n, a) in items], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

@@ -1013,7 +1013,8 @@ def _acc_walk(nxt: np.ndarray, ext: np.ndarray, starts: np.ndarray,
 
 
 def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
-                    channel_t: int = 5, max_rounds: int = 64):
+                    channel_t: int = 5, max_rounds: int = 64,
+                    planes: bool = False):
     """D8 flow-ACCUMULATION statistics — the third leg of the terrain
     routing trio (flowdir -> flowlen -> flowaccum): for every valid pixel,
     ``acc(p)`` = number of valid cells (including p itself) whose
@@ -1287,6 +1288,52 @@ def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
     allvis = vis_parts[0]
     for p in vis_parts[1:]:
         allvis = allvis.union(p)
+
+    if planes:
+        # expose per-tile compressed acc + codes planes (the stream-links
+        # consumer): same keyed merge, planes instead of stats
+        PLANES_SCHEMA = pa.schema([
+            ("tile_id", pa.string()), ("tx", pa.int64()),
+            ("ty", pa.int64()), ("acc_z", pa.binary()),
+            ("codes_z", pa.binary()),
+        ])
+
+        def finish_planes(g: pa.Table) -> pa.Table:
+            acc = np.zeros(c * c, np.int64)
+            codes_z = b""
+            for j in range(len(g)):
+                kind = g.column("kind")[j].as_py()
+                z = g.column("z")[j].as_py()
+                if kind == "codes":
+                    codes_z = z
+                else:
+                    acc += np.frombuffer(zlib.decompress(z), np.int64)
+            tx = int(g.column("tx")[0].as_py())
+            ty = int(g.column("ty")[0].as_py())
+            return pa.table({
+                "tile_id": pa.array([f"{tx}-{ty}"], pa.string()),
+                "tx": pa.array([tx], pa.int64()),
+                "ty": pa.array([ty], pa.int64()),
+                "acc_z": pa.array([zlib.compress(acc.tobytes(), 1)],
+                                  pa.binary()),
+                "codes_z": pa.array([codes_z], pa.binary()),
+            }, schema=PLANES_SCHEMA)
+
+        def _tag(kind):
+            def f(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "kind", pa.array([kind] * len(t), pa.string()))
+            return f
+
+        vis_tagged = allvis.map_batches(_tag("vis"),
+                                        batch_format="pyarrow")
+        codes_tagged = (codes_tbl.select_columns(["tile_id", "tx", "ty",
+                                                  "z"])
+                        .map_batches(_tag("codes"),
+                                     batch_format="pyarrow"))
+        return (vis_tagged.union(codes_tagged)
+                .groupby("tile_id")
+                .map_groups(finish_planes, batch_format="pyarrow"))
 
     OUT_SCHEMA = pa.schema([
         ("tile_id", pa.string()), ("tx", pa.int64()), ("ty", pa.int64()),
@@ -3213,3 +3260,167 @@ def costdist_stats(tiles_ds, grid: GridSpec, points: pa.Table,
         return pa.table(out, schema=COSTDIST_OUT_SCHEMA)
 
     return states.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- Stream-link extraction (hydrology network segmentation) -----------------
+
+STREAMLINK_OUT_SCHEMA = pa.schema([
+    ("link_id", pa.int64()),
+    ("n_cells", pa.int64()),
+    ("acc_max", pa.int64()),
+])
+
+
+def stream_links(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+                 channel_t: int = 5):
+    """Stream-LINK extraction — the network segmentation that completes
+    the hydrology chain (flowdir → flowlen → flowaccum → watershed →
+    saddles → fill → Strahler → links): channel cells
+    (``acc >= channel_t``) partition into maximal chains broken at
+    confluences; an edge u→v joins one link iff BOTH are channel cells
+    and v has exactly ONE channel donor (>=2 channel donors = a
+    junction, which starts a new link). Link identity = the component's
+    minimum global cell id (deterministic).
+
+    Plan: acc + code planes ride out of ``flowaccum_stats(planes=True)``
+    (no second canvas exchange); each tile emits donor PAIRS
+    (target gid, donor gid) for its channel cells — in-tile and
+    cross-border alike, keyed by the TARGET's tile — so one keyed group
+    per tile counts channel donors and emits the link edges
+    (O(channel cells) rows, never a plane); edges resolve to components
+    with the Dataset-resident min-label machinery
+    (``graph.connected_components_pairs``); isolated channel cells
+    become their own links via a left-attach of reps onto the channel
+    cell table (coarse-bucket, no per-key groupby).
+
+    Output: (link_id, n_cells, acc_max) per link. Checked against a
+    serial full-plane walk + union-find golden
+    (``fixtures.ensure_streamlinks_golden``) and random-mosaic oracles.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..util import bucketed_fold
+    from .graph import connected_components_pairs
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    c = grid.chunk
+    width = grid.width
+
+    planes = flowaccum_stats(tiles_ds, grid, pack,
+                             planes=True).materialize()
+
+    MID = pa.schema([
+        ("tile_id", pa.string()),  # target tile (donor rows) / own tile
+        ("kind", pa.string()),     # 'cell' | 'donor'
+        ("gid", pa.int64()),       # cell: gid | donor: TARGET gid
+        ("v", pa.int64()),         # cell: acc | donor: DONOR gid
+    ])
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in MID.names}
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            acc = np.frombuffer(
+                zlib.decompress(t.column("acc_z")[j].as_py()), np.int64)
+            codes = np.frombuffer(
+                zlib.decompress(t.column("codes_z")[j].as_py()),
+                np.int8).astype(np.int64).reshape(c, c)
+            chan = (acc >= channel_t) & (codes.ravel() >= 0)
+            if not chan.any():
+                continue
+            gy0, gx0 = ty * c, tx * c
+            nxt, ext = _acc_nxt_ext(codes, c, gy0, gx0, width)
+            lidx = np.nonzero(chan)[0]
+            gids = (gy0 + lidx // c) * width + (gx0 + lidx % c)
+            for g_, a_ in zip(gids, acc[lidx]):
+                out["tile_id"].append(f"{tx}-{ty}")
+                out["kind"].append("cell")
+                out["gid"].append(int(g_))
+                out["v"].append(int(a_))
+            # donor pairs from channel cells (target may be off-tile)
+            ni = nxt[lidx]
+            ei = ext[lidx]
+            for k in range(len(lidx)):
+                if ni[k] >= 0:
+                    tg = (gy0 + ni[k] // c) * width + (gx0 + ni[k] % c)
+                elif ei[k] >= 0:
+                    tg = int(ei[k])
+                else:
+                    continue
+                ttx, tty = (tg % width) // c, (tg // width) // c
+                out["tile_id"].append(f"{ttx}-{tty}")
+                out["kind"].append("donor")
+                out["gid"].append(int(tg))
+                out["v"].append(int(gids[k]))
+        return pa.table(out, schema=MID)
+
+    mid = planes.map_batches(emit, batch_format="pyarrow",
+                             batch_size=16).materialize()
+
+    EDGE = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def edges_of(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        gid = g.column("gid").to_numpy()
+        v = g.column("v").to_numpy()
+        cells = set(gid[[k == "cell" for k in kinds]].tolist())
+        dsel = np.asarray([k == "donor" for k in kinds])
+        if not dsel.any() or not cells:
+            return pa.table({f.name: pa.array([], f.type) for f in EDGE})
+        tgt, don = gid[dsel], v[dsel]
+        # keep donors that are channel cells targeting channel cells
+        keep = np.asarray([t in cells for t in tgt])
+        tgt, don = tgt[keep], don[keep]
+        if not len(tgt):
+            return pa.table({f.name: pa.array([], f.type) for f in EDGE})
+        order = np.argsort(tgt, kind="stable")
+        tgt, don = tgt[order], don[order]
+        starts = np.r_[0, np.nonzero(np.diff(tgt))[0] + 1]
+        cnt = np.diff(np.r_[starts, len(tgt)])
+        single = starts[cnt == 1]
+        u, vv = don[single], tgt[single]
+        return pa.table({"id_a": pa.array(u, pa.int64()),
+                         "id_b": pa.array(vv, pa.int64())}, schema=EDGE)
+
+    edges = (mid.groupby("tile_id")
+             .map_groups(edges_of, batch_format="pyarrow").materialize())
+
+    cells = mid.filter(expr="kind == 'cell'") \
+               .select_columns(["gid", "v"]).materialize()
+
+    if int(edges.count()) == 0:
+        reps = rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rep": pa.array([], pa.int64())}))
+    else:
+        reps = connected_components_pairs(edges, "id_a", "id_b")
+
+    def attach_fold(g: pd.DataFrame) -> pd.DataFrame:
+        cc = g[g["_k"] == 0]
+        rr = g[g["_k"] == 1]
+        rep_of = dict(zip(rr["gid"].to_numpy(), rr["v"].to_numpy()))
+        gids = cc["gid"].to_numpy()
+        link = np.asarray([rep_of.get(x, x) for x in gids], np.int64)
+        return pd.DataFrame({"link_id": link,
+                             "n_cells": np.ones(len(gids), np.int64),
+                             "acc_max": cc["v"].to_numpy()})
+
+    reps_rows = reps.map_batches(
+        lambda t: pa.table({"gid": t.column("node"),
+                            "v": t.column("rep"),
+                            "_k": pa.array([1] * len(t), pa.int64())}),
+        batch_format="pyarrow")
+    cell_rows = cells.map_batches(
+        lambda t: t.append_column("_k", pa.array([0] * len(t),
+                                                 pa.int64())),
+        batch_format="pyarrow")
+    linked = bucketed_fold(cell_rows.union(reps_rows), "gid", attach_fold)
+
+    def link_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("link_id", sort=False).agg(
+            n_cells=("n_cells", "sum"), acc_max=("acc_max", "max"))
+        return agg.reset_index()
+
+    return bucketed_fold(linked, "link_id", link_fold).sort("link_id")

@@ -1069,3 +1069,76 @@ def test_tpi_matches_full_plane(ray_session):
     valley = (sel & (t < -10 * nn)).astype(np.int64)
     _check(got, _per_tile(rows, sel, ridge, valley),
            ["n_px", "n_ridge", "n_valley"])
+
+
+def _serial_stream_links(plane, valid, channel_t):
+    """Serial full-plane replay: acc walk -> channel mask -> link edges
+    (target has exactly one channel donor) -> union-find."""
+    from raygeo.ops.spatialstats import _D8_OFF
+    from raygeo.ops.stencil import _flowdir_codes
+
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    nxt = np.full(H * W, -1, np.int64)
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        nxt[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    acc = np.zeros(H * W, np.int64)
+    cur = np.nonzero(codes >= 0)[0]
+    cnt = np.ones(len(cur), np.int64)
+    while len(cur):
+        u, inv = np.unique(cur, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cnt)
+        cur, cnt = u, s
+        acc[cur] += cnt
+        nx = nxt[cur]
+        keep = nx >= 0
+        cur, cnt = nx[keep], cnt[keep]
+    chan = (acc >= channel_t) & (codes >= 0)
+    cdon = np.zeros(H * W, np.int64)
+    src = np.nonzero(chan & (nxt >= 0))[0]
+    np.add.at(cdon, nxt[src], 1)
+    parent = {int(i): int(i) for i in np.nonzero(chan)[0]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u in src:
+        t = int(nxt[u])
+        if chan[t] and cdon[t] == 1:
+            a, b = sorted((find(int(u)), find(t)))
+            parent[b] = a
+    links: dict = {}
+    for g in np.nonzero(chan)[0]:
+        r = find(int(g))
+        n, a = links.get(r, (0, 0))
+        links[r] = (n + 1, max(a, int(acc[g])))
+    return links
+
+
+@pytest.mark.parametrize("seed,p_absent", [(11, 0.3), (77, 0.5)])
+def test_stream_links_match_serial(ray_session, seed, p_absent):
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import stream_links
+
+    rows, plane, valid = _random_mosaic(seed=seed, p_absent=p_absent)
+    got = (stream_links(rd.from_items(rows).repartition(5), SRC,
+                        channel_t=3)
+           .to_pandas().reset_index(drop=True))
+    links = _serial_stream_links(plane, valid, 3)
+    exp = pd.DataFrame(
+        [(k, *v) for k, v in sorted(links.items())],
+        columns=["link_id", "n_cells", "acc_max"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["n_cells"].max() >= 2  # chains actually formed
