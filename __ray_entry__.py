@@ -2958,6 +2958,17 @@ def _q_parts_clustering(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_events_sliding_distinct(sf_dir: str):
+    """Trailing 3-hour sliding COUNT(DISTINCT user) per active hour:
+    per-batch (user, hour) dedup partials -> one coarse-bucket global
+    distinct -> explode to served windows -> second bucket distinct +
+    count. No window ever sees raw events."""
+    from raygeo.ops.window import sliding_distinct_users
+
+    return sliding_distinct_users(_rpq(f"{sf_dir}/events.parquet",
+                                       columns=["ts", "user_id"]))
+
+
 def _q_events_countmin(sf_dir: str):
     """Count-Min sketch frequency estimates vs exact counts for the
     probe users (user_id % 11 == 0): per-batch depth×width counter
@@ -3846,6 +3857,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_clustering": _q_parts_clustering,  # clustering coefficient
         "docs_blocklist": _q_docs_blocklist,  # wordlist curation gate
         "events_countmin": _q_events_countmin,  # CM sketch estimates
+        "events_sliding_distinct": _q_events_sliding_distinct,  # trailing uniques
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
@@ -6385,6 +6397,20 @@ SELECT d.doc_id,
   (CASE WHEN coalesce(st.n_hits, 0) * 20 > coalesce(st.n_tokens, 0)
         THEN 1 ELSE 0 END)::BIGINT AS blocked
 FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id
+""",
+        "events_sliding_distinct": """
+WITH uh AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+  FROM events
+),
+hrs AS (SELECT DISTINCT h FROM uh),
+win AS (
+  SELECT DISTINCT u.user_id, w.h AS hour_bucket
+  FROM uh u JOIN hrs w ON w.h BETWEEN u.h AND u.h + 2
+)
+SELECT hour_bucket, count(DISTINCT user_id)::BIGINT AS n_users
+FROM win GROUP BY 1 ORDER BY 1
 """,
         "orders_rolling": """
 SELECT o_custkey, o_orderdate, o_orderkey,

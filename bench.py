@@ -254,6 +254,7 @@ def run_bench() -> dict:
         "mosaic_tpi",
         "orders_rolling",
         "mosaic_stream_links",
+        "events_sliding_distinct",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

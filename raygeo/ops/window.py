@@ -925,3 +925,63 @@ def last_touch_attribution(events_ds, conv_type: str = "purchase",
             .aggregate(Sum("n_conv", alias_name="n_conv"),
                        Sum("revenue_cents", alias_name="revenue_cents"))
             .sort("channel"))
+
+
+def sliding_distinct_users(events_ds, window_hours: int = 3):
+    """Sliding-window COUNT(DISTINCT) — the trailing-uniques analog
+    (``count(DISTINCT user) OVER (RANGE 2 hours PRECEDING)`` per active
+    hour): every hour bucket reports the distinct users active in it or
+    the ``window_hours - 1`` buckets before it.
+
+    Exact and shuffle-light: per-batch distinct (user, hour) partials
+    (map-side dedup), ONE coarse-bucket global distinct, then each
+    (user, hour) EXPLODES to the windows it serves (w in
+    [h, h+window_hours-1]) and a second coarse-bucket distinct + count
+    folds per window — no window ever sees raw events, only the
+    per-user hour set. Windows are reported only for ACTIVE hours (the
+    hour set is time-bounded, broadcast as a filter).
+
+    Output: (hour_bucket, n_users).
+    """
+    import ray
+
+    from ..util import bucketed_fold, bucketed_distinct
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.ts.astype("datetime64[ns]").astype("int64")
+             // (3600 * 10**9))
+        return (pd.DataFrame({"user_id": df.user_id.to_numpy(),
+                              "h": h.to_numpy()})
+                .drop_duplicates())
+
+    uh = bucketed_distinct(
+        events_ds.select_columns(["ts", "user_id"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536),
+        ["user_id", "h"]).materialize()
+
+    hours = np.sort(np.asarray(
+        [r["h"] for r in
+         bucketed_distinct(uh.select_columns(["h"]), "h").take_all()],
+        np.int64))
+    hrs_ref = ray.put(hours)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hrs = ray.get(hrs_ref)
+        parts = []
+        for k in range(window_hours):
+            w = df["h"].to_numpy() + k
+            keep = np.isin(w, hrs)
+            parts.append(pd.DataFrame(
+                {"user_id": df["user_id"].to_numpy()[keep], "w": w[keep]}))
+        return pd.concat(parts, ignore_index=True).drop_duplicates()
+
+    uw = uh.map_batches(explode, batch_format="pandas", batch_size=65536)
+
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        agg = d.groupby("w", sort=False).size().rename("n_users")
+        out = agg.reset_index().rename(columns={"w": "hour_bucket"})
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return bucketed_fold(uw, "w", count_fold).sort("hour_bucket")

@@ -543,3 +543,29 @@ def test_last_touch_attribution_edges(ray_session):
         np.rint(10.004 * 100))
     assert got.loc["click", "revenue_cents"] == 500
     assert got.loc["none", "revenue_cents"] == 250 + 100 + 300
+
+
+def test_sliding_distinct_users_serial(ray_session):
+    """Trailing 3h distinct-user windows vs a serial replay; covers
+    inactive-hour gaps (windows only for active hours) and users
+    spanning several hours."""
+    import ray.data as rd
+
+    from raygeo.ops.window import sliding_distinct_users
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n = 2000
+    hours = rng.choice([0, 1, 2, 5, 6, 9], n)  # gaps at 3-4, 7-8
+    users = rng.integers(0, 50, n)
+    ts = pd.to_datetime(hours * 3600 + rng.integers(0, 3600, n), unit="s")
+    df = pd.DataFrame({"ts": ts, "user_id": users.astype(np.int64)})
+    got = (sliding_distinct_users(rd.from_pandas(df).repartition(5))
+           .to_pandas().reset_index(drop=True))
+    uh = set(zip(users.tolist(), hours.tolist()))
+    active = sorted({h for _, h in uh})
+    exp = []
+    for w in active:
+        s = {u for u, h in uh if w - 2 <= h <= w}
+        exp.append((w, len(s)))
+    exp = pd.DataFrame(exp, columns=["hour_bucket", "n_users"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
