@@ -2362,6 +2362,20 @@ def _q_mosaic_curvature(sf_dir: str):
     return curvature_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_mosaic_lbp(sf_dir: str):
+    """Local Binary Pattern texture histograms per tile (Ojala 2002) —
+    the texture fingerprint for imagery curation. The flowdir exchange
+    with a different pure kernel: interior codes fold map-side into a
+    256-bin histogram, only O(perimeter) strips shuffle. Oracle replays
+    codes with the shift-then-equi-join + CASE bit weights over the
+    plane dump (nn = 8 gate)."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import lbp_stats
+
+    return lbp_stats(_tiles_lww(sf_dir),
+                     FIXTURE_GRID).sort(["tile_id", "lbp"])
+
+
 def _q_mosaic_tpi(sf_dir: str):
     """Topographic Position Index ridge/valley class counts (Weiss
     2001): v·nn − Σnbrs vs ±threshold·nn by integer cross-multiply, no
@@ -3888,6 +3902,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_tpi": _q_mosaic_tpi,  # topographic position classes
+        "mosaic_lbp": _q_mosaic_lbp,  # LBP texture histograms
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
         "mosaic_variogram": _q_mosaic_variogram,  # semivariance lags
         "mosaic_glcm": _q_mosaic_glcm,  # Haralick texture moments
@@ -5980,6 +5995,26 @@ SELECT concat(CAST(x // 128 AS VARCHAR), '-',
   count(*)::BIGINT AS n_px, sum(lap)::BIGINT AS lap_sum,
   sum(tri)::BIGINT AS tri_sum
 FROM ctr GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_lbp": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+offs AS (SELECT * FROM (VALUES
+  (-1, -1, 1), (-1, 0, 2), (-1, 1, 4), (0, -1, 8), (0, 1, 16),
+  (1, -1, 32), (1, 0, 64), (1, 1, 128)) AS t(dy, dx, w)),
+n8 AS (SELECT p.y - o.dy AS cy, p.x - o.dx AS cx, p.v, o.w
+       FROM px p, offs o),
+ctr AS (
+  SELECT c.y, c.x, count(*) AS nn,
+    sum(CASE WHEN n.v >= c.v THEN n.w ELSE 0 END) AS code
+  FROM px c JOIN n8 n ON n.cy = c.y AND n.cx = c.x
+  GROUP BY c.y, c.x, c.v
+)
+SELECT concat(CAST(x // 128 AS VARCHAR), '-',
+              CAST(y // 128 AS VARCHAR)) AS tile_id,
+  (x // 128)::BIGINT AS tx, (y // 128)::BIGINT AS ty,
+  code::BIGINT AS lbp, count(*)::BIGINT AS n_px
+FROM ctr WHERE nn = 8
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 4
 """,
         "mosaic_tpi": f"""
 WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),

@@ -255,6 +255,7 @@ def run_bench() -> dict:
         "orders_rolling",
         "mosaic_stream_links",
         "events_sliding_distinct",
+        "mosaic_lbp",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -2286,3 +2286,186 @@ def tpi_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
 
     return ring_focal_stats(tiles_ds, grid, reduce_fn, pack,
                             names=("n_px", "n_ridge", "n_valley"))
+
+
+def _lbp_codes(V: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """Per interior position of a padded (h+2, w+2) frame: the 8-bit
+    Local Binary Pattern code (bit i set iff neighbor_i >= center, bits
+    in row-major neighbor order), -1 where the center or ANY of its 8
+    neighbors is invalid (classic LBP needs the full ring)."""
+    h, w = V.shape[0] - 2, V.shape[1] - 2
+    vc = V[1:1 + h, 1:1 + w]
+    mc = M[1:1 + h, 1:1 + w]
+    code = np.zeros((h, w), np.int64)
+    allv = mc.copy()
+    bit = 0
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            vn = V[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+            mn = M[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+            allv &= mn
+            code += (np.int64(1) << bit) * (vn >= vc)
+            bit += 1
+    return np.where(allv, code, np.int64(-1))
+
+
+def lbp_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None):
+    """Per-tile Local Binary Pattern texture histogram (Ojala et al.
+    2002) — the texture fingerprint used to stratify/filter imagery in
+    training-data curation (flat vs edge vs speckle regions). A pixel
+    participates iff its FULL 8-neighborhood is valid; its 8-bit code
+    sets bit i when neighbor_i >= center (row-major neighbor order).
+
+    Exactly the ``flowdir_stats`` exchange with a different pure kernel:
+    interior codes fold map-side into a 256-bin histogram; the tile's
+    outer-2 ring stays keyed to itself, 1-px strips + corner pixels ship
+    to the 8 neighbors, and the keyed merge re-derives only the border
+    ring — O(perimeter) shuffle, never a canvas. Output: one row per
+    (tile, lbp code) with n_px > 0. Oracle: the plane-dump
+    shift-then-equi-join with CASE bit weights.
+    """
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    n_tx, n_ty = grid.n_tx, grid.n_ty
+
+    def _hist256(codes: np.ndarray) -> np.ndarray:
+        sel = codes[codes >= 0]
+        return np.bincount(sel, minlength=256).astype(np.int64)
+
+    def emit(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in FLOW_PARTIAL_SCHEMA.names}
+
+        def row(tile, kind, hist=b"", v=b"", m=b""):
+            tx, ty = tile
+            out["tile_id"].append(f"{tx}-{ty}")
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(kind)
+            out["hist"].append(hist)
+            out["v"].append(v)
+            out["m"].append(m)
+
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]),
+                                     chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk,
+                                                   chunk).astype(bool)
+            v = _vsum(canvas, pack)
+            tx, ty = int(txs[j]), int(tys[j])
+            interior = _lbp_codes(v, mask)
+            row((tx, ty), "self", hist=_hist256(interior).tobytes())
+
+            def strip(vs, ms):
+                return vs.astype(np.int64).tobytes(), \
+                    ms.astype(np.uint8).tobytes()
+
+            for kind, vs, ms in (
+                ("ring_n", v[0:2, :], mask[0:2, :]),
+                ("ring_s", v[-2:, :], mask[-2:, :]),
+                ("ring_w", v[:, 0:2], mask[:, 0:2]),
+                ("ring_e", v[:, -2:], mask[:, -2:]),
+            ):
+                b, m = strip(vs, ms)
+                row((tx, ty), kind, v=b, m=m)
+            sends = [((tx - 1, ty), "nbr_e", v[:, 0], mask[:, 0]),
+                     ((tx + 1, ty), "nbr_w", v[:, -1], mask[:, -1]),
+                     ((tx, ty - 1), "nbr_s", v[0, :], mask[0, :]),
+                     ((tx, ty + 1), "nbr_n", v[-1, :], mask[-1, :]),
+                     ((tx - 1, ty - 1), "nbr_se_c", v[0:1, 0],
+                      mask[0:1, 0]),
+                     ((tx + 1, ty - 1), "nbr_sw_c", v[0:1, -1],
+                      mask[0:1, -1]),
+                     ((tx - 1, ty + 1), "nbr_ne_c", v[-1:, 0],
+                      mask[-1:, 0]),
+                     ((tx + 1, ty + 1), "nbr_nw_c", v[-1:, -1],
+                      mask[-1:, -1])]
+            for (ntx, nty), kind, vs, ms in sends:
+                if 0 <= ntx < n_tx and 0 <= nty < n_ty:
+                    b, m = strip(np.ascontiguousarray(vs),
+                                 np.ascontiguousarray(ms))
+                    row((ntx, nty), kind, v=b, m=m)
+        return pa.table(out, schema=FLOW_PARTIAL_SCHEMA)
+
+    partials = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def _place(P, M, kind, vs, ms):
+        c = chunk
+        if kind == "ring_n":
+            P[1:3, 1:c + 1] = vs.reshape(2, c)
+            M[1:3, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_s":
+            P[c - 1:c + 1, 1:c + 1] = vs.reshape(2, c)
+            M[c - 1:c + 1, 1:c + 1] = ms.reshape(2, c)
+        elif kind == "ring_w":
+            P[1:c + 1, 1:3] = vs.reshape(c, 2)
+            M[1:c + 1, 1:3] = ms.reshape(c, 2)
+        elif kind == "ring_e":
+            P[1:c + 1, c - 1:c + 1] = vs.reshape(c, 2)
+            M[1:c + 1, c - 1:c + 1] = ms.reshape(c, 2)
+        elif kind == "nbr_n":
+            P[0, 1:c + 1], M[0, 1:c + 1] = vs, ms
+        elif kind == "nbr_s":
+            P[c + 1, 1:c + 1], M[c + 1, 1:c + 1] = vs, ms
+        elif kind == "nbr_w":
+            P[1:c + 1, 0], M[1:c + 1, 0] = vs, ms
+        elif kind == "nbr_e":
+            P[1:c + 1, c + 1], M[1:c + 1, c + 1] = vs, ms
+        elif kind == "nbr_nw_c":
+            P[0, 0], M[0, 0] = vs[0], ms[0]
+        elif kind == "nbr_ne_c":
+            P[0, c + 1], M[0, c + 1] = vs[0], ms[0]
+        elif kind == "nbr_sw_c":
+            P[c + 1, 0], M[c + 1, 0] = vs[0], ms[0]
+        elif kind == "nbr_se_c":
+            P[c + 1, c + 1], M[c + 1, c + 1] = vs[0], ms[0]
+
+    def merge(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        empty = pa.table({"tile_id": pa.array([], pa.string()),
+                          "tx": pa.array([], pa.int64()),
+                          "ty": pa.array([], pa.int64()),
+                          "lbp": pa.array([], pa.int64()),
+                          "n_px": pa.array([], pa.int64())})
+        if "self" not in kinds:
+            return empty
+        c = chunk
+        P = np.zeros((c + 2, c + 2), np.int64)
+        M = np.zeros((c + 2, c + 2), bool)
+        hist = np.zeros(256, np.int64)
+        for j, kind in enumerate(kinds):
+            if kind == "self":
+                hist += np.frombuffer(g.column("hist")[j].as_py(),
+                                      np.int64)
+            else:
+                vs = np.frombuffer(g.column("v")[j].as_py(), np.int64)
+                ms = np.frombuffer(g.column("m")[j].as_py(),
+                                   np.uint8).astype(bool)
+                _place(P, M, kind, vs, ms)
+        codes = _lbp_codes(P, M)
+        border = np.zeros((c, c), bool)
+        border[0, :] = border[-1, :] = True
+        border[:, 0] = border[:, -1] = True
+        hist += _hist256(np.where(border, codes, np.int64(-1)))
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        nz = np.nonzero(hist)[0]
+        if not len(nz):
+            return empty
+        return pa.table({
+            "tile_id": pa.array([f"{tx}-{ty}"] * len(nz), pa.string()),
+            "tx": pa.array([tx] * len(nz), pa.int64()),
+            "ty": pa.array([ty] * len(nz), pa.int64()),
+            "lbp": pa.array(nz.astype(np.int64), pa.int64()),
+            "n_px": pa.array(hist[nz], pa.int64()),
+        })
+
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")

@@ -1142,3 +1142,41 @@ def test_stream_links_match_serial(ray_session, seed, p_absent):
         columns=["link_id", "n_cells", "acc_max"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got["n_cells"].max() >= 2  # chains actually formed
+
+
+def test_lbp_matches_full_plane(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.stencil import lbp_stats
+
+    rows, plane, valid = _random_mosaic(seed=19, p_absent=0.35)
+    got = (lbp_stats(rd.from_items(rows).repartition(4), SRC)
+           .to_pandas().sort_values(["tx", "ty", "lbp"])
+           .reset_index(drop=True))
+    S, C = _window_stacks(plane, valid)
+    center_v = S[4]
+    allv = np.ones(center_v.shape, bool)
+    code = np.zeros(center_v.shape, np.int64)
+    bit = 0
+    for i in range(9):
+        if i == 4:
+            continue
+        allv &= C[i]
+        code += (1 << bit) * (S[i] >= center_v)
+        bit += 1
+    sel = C[4] & allv
+    exp = []
+    for tx in range(SRC.n_tx):
+        for ty in range(SRC.n_ty):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            s = sel[tr0:tr1, tc0:tc1]
+            cd = code[tr0:tr1, tc0:tc1][s]
+            if not len(cd):
+                continue
+            bc = np.bincount(cd, minlength=256)
+            for b in np.nonzero(bc)[0]:
+                exp.append((f"{tx}-{ty}", tx, ty, int(b), int(bc[b])))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "lbp",
+                                     "n_px"]).sort_values(
+        ["tx", "ty", "lbp"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
