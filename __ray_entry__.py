@@ -2327,6 +2327,20 @@ def _q_mosaic_costdist(sf_dir: str):
         .sort("tile_id")
 
 
+def _q_mosaic_upslope(sf_dir: str):
+    """VALUE-weighted flow accumulation (upslope load: acc_v(p) = sum of
+    v over p's upstream cells incl. p — the sediment/transport-index
+    shape): the flowaccum walker with cell values as the initial walker
+    weights; high-load channel cells at acc_v >= 100000. Oracle = serial
+    value-weighted full-plane walk golden."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.spatialstats import flowaccum_stats
+
+    return flowaccum_stats(_tiles_lww(sf_dir), FIXTURE_GRID,
+                           channel_t=100000,
+                           value_weighted=True).sort("tile_id")
+
+
 def _q_mosaic_stream_links(sf_dir: str):
     """Stream-LINK extraction (network segmentation, completes the
     hydrology chain): channel cells partition into maximal chains broken
@@ -3878,6 +3892,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_strahler": _q_mosaic_strahler,  # Strahler stream order
         "mosaic_costdist": _q_mosaic_costdist,  # least-cost distance
         "mosaic_stream_links": _q_mosaic_stream_links,  # link extraction
+        "mosaic_upslope": _q_mosaic_upslope,  # value-weighted flow accum
         "q6_band_revenue": _q_q6_band_revenue,  # Q6 map-side fold
         "q9_profit": _q_q9_profit,  # Q9 nation x year profit
         "q8_market_share": _q_q8_market_share,  # Q8 exact share moments
@@ -4646,6 +4661,9 @@ def oracle_sql() -> dict[str, str]:
     from raygeo.fixtures import ensure_streamlinks_golden
 
     ensure_streamlinks_golden(FIX_SF001)
+    from raygeo.fixtures import ensure_upslope_golden
+
+    ensure_upslope_golden(FIX_SF001)
     from raygeo.fixtures import ensure_reproject_golden
 
     ensure_reproject_golden(FIX_SF001)
@@ -4873,6 +4891,10 @@ FROM read_parquet('{FIX_SF001}/costdist_golden.parquet')
         "mosaic_stream_links": f"""
 SELECT link_id, n_cells, acc_max
 FROM read_parquet('{FIX_SF001}/streamlinks_golden.parquet')
+""",
+        "mosaic_upslope": f"""
+SELECT tile_id, tx, ty, n_px, acc_sum, acc_max, n_channel
+FROM read_parquet('{FIX_SF001}/upslope_golden.parquet')
 """,
         "mosaic_reproject": f"""
 SELECT tile_id, tx, ty, n_px, v_sum

@@ -256,6 +256,7 @@ def run_bench() -> dict:
         "mosaic_stream_links",
         "events_sliding_distinct",
         "mosaic_lbp",
+        "mosaic_upslope",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -2881,3 +2881,74 @@ def ensure_streamlinks_golden(fix_dir: str, channel_t: int = 5) -> str:
     pq.write_table(t, out + ".tmp", compression="zstd")
     os.replace(out + ".tmp", out)
     return out
+
+
+def ensure_upslope_golden(fix_dir: str, channel_t: int = 100000) -> str:
+    """Idempotently derive upslope_golden.parquet: VALUE-weighted flow
+    accumulation (acc_v(p) = sum of v over p's upstream cells incl. p —
+    the sediment/load-transport shape) from the serial full-plane walk,
+    weights = cell values instead of 1. Shares only `_flowdir_codes`."""
+    from .ops.spatialstats import _D8_OFF
+    from .ops.stencil import _flowdir_codes
+
+    out = os.path.join(fix_dir, "upslope_golden.parquet")
+    if os.path.exists(out):
+        return out
+    g = FIXTURE_GRID
+    (_, valid, v), _lww = _paint_lww_plane(fix_dir)
+    H, W = valid.shape
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    nxt = np.full(H * W, -1, np.int64)
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        nxt[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    acc = np.zeros(H * W, np.int64)
+    cur = np.nonzero(codes >= 0)[0]
+    cnt = v.ravel()[cur].astype(np.int64)
+    for _ in range(10_000_000):
+        if not len(cur):
+            break
+        u, inv = np.unique(cur, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cnt)
+        cur, cnt = u, s
+        acc[cur] += cnt
+        nx = nxt[cur]
+        keep = nx >= 0
+        cur, cnt = nx[keep], cnt[keep]
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("upslope golden: walk did not converge")
+    acc2 = acc.reshape(H, W)
+    rows = {"tile_id": [], "tx": [], "ty": [], "n_px": [],
+            "acc_sum": [], "acc_max": [], "n_channel": []}
+    for ty in range(g.n_ty):
+        for tx in range(g.n_tx):
+            tc0, tc1, tr0, tr1 = g.tile_pixel_window(tx, ty)
+            a = acc2[tr0:tr1, tc0:tc1]
+            pos = a > 0
+            if not pos.any():
+                continue
+            rows["tile_id"].append(f"{tx}-{ty}")
+            rows["tx"].append(tx)
+            rows["ty"].append(ty)
+            rows["n_px"].append(int(pos.sum()))
+            rows["acc_sum"].append(int(a[pos].sum()))
+            rows["acc_max"].append(int(a[pos].max()))
+            rows["n_channel"].append(int((a >= channel_t).sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "n_px": pa.array(rows["n_px"], pa.int64()),
+        "acc_sum": pa.array(rows["acc_sum"], pa.int64()),
+        "acc_max": pa.array(rows["acc_max"], pa.int64()),
+        "n_channel": pa.array(rows["n_channel"], pa.int64()),
+    })
+    pq.write_table(t, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return out

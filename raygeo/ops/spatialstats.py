@@ -1014,7 +1014,7 @@ def _acc_walk(nxt: np.ndarray, ext: np.ndarray, starts: np.ndarray,
 
 def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
                     channel_t: int = 5, max_rounds: int = 64,
-                    planes: bool = False):
+                    planes: bool = False, value_weighted: bool = False):
     """D8 flow-ACCUMULATION statistics — the third leg of the terrain
     routing trio (flowdir -> flowlen -> flowaccum): for every valid pixel,
     ``acc(p)`` = number of valid cells (including p itself) whose
@@ -1145,8 +1145,9 @@ def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
         nxt, ext = _acc_nxt_ext(codes, c, gy0, gx0, width)
         vis = np.zeros(c * c, np.int64)
         starts = np.nonzero(valid)[0]
-        wt, wn = _acc_walk(nxt, ext, starts,
-                           np.ones(len(starts), np.int64), vis)
+        w0 = (P[1:c + 1, 1:c + 1].ravel()[starts]
+              if value_weighted else np.ones(len(starts), np.int64))
+        wt, wn = _acc_walk(nxt, ext, starts, w0, vis)
         _mid_row(out, tx, ty, "codes",
                  z=zlib.compress(codes.astype(np.int8).tobytes(), 1))
         _mid_row(out, tx, ty, "vis",

@@ -1180,3 +1180,57 @@ def test_lbp_matches_full_plane(ray_session):
                                      "n_px"]).sort_values(
         ["tx", "ty", "lbp"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_upslope_value_weighted_matches_full_plane(ray_session):
+    """Value-weighted flowaccum vs the serial walk with v weights."""
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import _D8_OFF, flowaccum_stats
+    from raygeo.ops.stencil import _flowdir_codes
+
+    rows, plane, valid = _random_mosaic(seed=11, p_absent=0.3)
+    got = flowaccum_stats(rd.from_items(rows).repartition(5), SRC,
+                          channel_t=5000,
+                          value_weighted=True).to_pandas()
+    H, W = valid.shape
+    v = plane.astype(np.int64).sum(axis=2)
+    P = np.zeros((H + 2, W + 2), np.int64)
+    M = np.zeros((H + 2, W + 2), bool)
+    P[1:-1, 1:-1] = v
+    M[1:-1, 1:-1] = valid
+    codes = _flowdir_codes(P, M).ravel()
+    rr, cc = np.divmod(np.arange(H * W), W)
+    nxt = np.full(H * W, -1, np.int64)
+    for k, (dr, dc) in _D8_OFF.items():
+        sel = codes == k
+        nxt[sel] = (rr[sel] + dr) * W + (cc[sel] + dc)
+    acc = np.zeros(H * W, np.int64)
+    cur = np.nonzero(codes >= 0)[0]
+    cnt = v.ravel()[cur].copy()
+    while len(cur):
+        u, inv = np.unique(cur, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cnt)
+        cur, cnt = u, s
+        acc[cur] += cnt
+        nx = nxt[cur]
+        keep = nx >= 0
+        cur, cnt = nx[keep], cnt[keep]
+    acc = acc.reshape(H, W)
+    exp = []
+    for tx in range(SRC.n_tx):
+        for ty in range(SRC.n_ty):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            a = acc[tr0:tr1, tc0:tc1]
+            pos = a > 0
+            if not pos.any():
+                continue
+            exp.append((f"{tx}-{ty}", tx, ty, int(pos.sum()),
+                        int(a[pos].sum()), int(a[pos].max()),
+                        int((a >= 5000).sum())))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "n_px",
+                                     "acc_sum", "acc_max", "n_channel"])
+    got = got.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
