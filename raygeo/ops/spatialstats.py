@@ -3316,6 +3316,7 @@ def stream_links(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
         ("kind", pa.string()),     # 'cell' | 'donor'
         ("gid", pa.int64()),       # cell: gid | donor: TARGET gid
         ("v", pa.int64()),         # cell: acc | donor: DONOR gid
+        ("x", pa.int64()),         # cell: 1 iff the cell EXITS its tile
     ])
 
     def emit(t: pa.Table) -> pa.Table:
@@ -3336,14 +3337,16 @@ def stream_links(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
             nxt, ext = _acc_nxt_ext(codes, c, gy0, gx0, width)
             lidx = np.nonzero(chan)[0]
             gids = (gy0 + lidx // c) * width + (gx0 + lidx % c)
-            for g_, a_ in zip(gids, acc[lidx]):
+            ni = nxt[lidx]
+            ei = ext[lidx]
+            exits = (ei >= 0).astype(np.int64)
+            for g_, a_, x_ in zip(gids, acc[lidx], exits):
                 out["tile_id"].append(f"{tx}-{ty}")
                 out["kind"].append("cell")
                 out["gid"].append(int(g_))
                 out["v"].append(int(a_))
+                out["x"].append(int(x_))
             # donor pairs from channel cells (target may be off-tile)
-            ni = nxt[lidx]
-            ei = ext[lidx]
             for k in range(len(lidx)):
                 if ni[k] >= 0:
                     tg = (gy0 + ni[k] // c) * width + (gx0 + ni[k] % c)
@@ -3356,68 +3359,137 @@ def stream_links(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
                 out["kind"].append("donor")
                 out["gid"].append(int(tg))
                 out["v"].append(int(gids[k]))
+                out["x"].append(0)
         return pa.table(out, schema=MID)
 
     mid = planes.map_batches(emit, batch_format="pyarrow",
                              batch_size=16).materialize()
 
-    EDGE = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    # per-tile chain COMPACTION (the perimeter-compression discipline):
+    # local link edges fold into a min-gid union-find inside the tile
+    # group; only cross-tile edges + boundary star edges (exit cell ->
+    # its local root) reach the iterative CC — O(perimeter) per tile,
+    # so the global rounds never iterate over whole chains. The global
+    # rep of a component = min over its local roots = min over ALL its
+    # cells (each local root is its local component's min gid).
+    MID2 = pa.schema([
+        ("kind", pa.string()),  # 'edge' | 'cellr'
+        ("a", pa.int64()),      # edge: id_a | cellr: gid
+        ("b", pa.int64()),      # edge: id_b | cellr: acc
+        ("r", pa.int64()),      # cellr: local root
+    ])
 
-    def edges_of(g: pa.Table) -> pa.Table:
+    def compact(g: pa.Table) -> pa.Table:
         kinds = g.column("kind").to_pylist()
         gid = g.column("gid").to_numpy()
         v = g.column("v").to_numpy()
-        cells = set(gid[[k == "cell" for k in kinds]].tolist())
-        dsel = np.asarray([k == "donor" for k in kinds])
-        if not dsel.any() or not cells:
-            return pa.table({f.name: pa.array([], f.type) for f in EDGE})
+        xf = g.column("x").to_numpy()
+        csel = np.asarray([k == "cell" for k in kinds])
+        cells = gid[csel]
+        accs = v[csel]
+        exits = xf[csel].astype(bool)
+        out: dict[str, list] = {k: [] for k in MID2.names}
+        if not len(cells):
+            return pa.table(out, schema=MID2)
+        order_c = np.argsort(cells, kind="stable")
+        cs, accs_s, exits_s = cells[order_c], accs[order_c],             exits[order_c]
+        n = len(cs)
+        dsel = ~csel
         tgt, don = gid[dsel], v[dsel]
-        # keep donors that are channel cells targeting channel cells
-        keep = np.asarray([t in cells for t in tgt])
-        tgt, don = tgt[keep], don[keep]
-        if not len(tgt):
-            return pa.table({f.name: pa.array([], f.type) for f in EDGE})
-        order = np.argsort(tgt, kind="stable")
-        tgt, don = tgt[order], don[order]
-        starts = np.r_[0, np.nonzero(np.diff(tgt))[0] + 1]
-        cnt = np.diff(np.r_[starts, len(tgt)])
-        single = starts[cnt == 1]
-        u, vv = don[single], tgt[single]
-        return pa.table({"id_a": pa.array(u, pa.int64()),
-                         "id_b": pa.array(vv, pa.int64())}, schema=EDGE)
+        # link edges: target has exactly ONE channel donor (donors from
+        # ANY tile count; the target is ours by keying)
+        u = np.empty(0, np.int64)
+        vv = np.empty(0, np.int64)
+        if len(tgt):
+            pos = np.searchsorted(cs, tgt)
+            pos[pos >= n] = n - 1
+            ok = cs[pos] == tgt
+            tgt, don = tgt[ok], don[ok]
+            if len(tgt):
+                o2 = np.argsort(tgt, kind="stable")
+                tgt, don = tgt[o2], don[o2]
+                starts = np.r_[0, np.nonzero(np.diff(tgt))[0] + 1]
+                cnt = np.diff(np.r_[starts, len(tgt)])
+                single = starts[cnt == 1]
+                u, vv = don[single], tgt[single]
+        # local chain compaction: link edges form PATHS (each cell has
+        # <=1 donor edge in and <=1 out), so the per-chain min gid falls
+        # out of log-depth pointer doubling carrying a running min in
+        # BOTH directions — no Python union-find loop.
+        up = np.arange(n, dtype=np.int64)    # local idx of my donor
+        down = np.arange(n, dtype=np.int64)  # local idx of my target
+        cross_mask = np.zeros(len(u), bool)
+        if len(u):
+            upos = np.searchsorted(cs, u)
+            upos[upos >= n] = n - 1
+            local = cs[upos] == u
+            cross_mask = ~local
+            vpos = np.searchsorted(cs, vv[local])
+            up[vpos] = upos[local]
+            down[upos[local]] = vpos
+        m = cs.copy()
+        pu, pdn = up, down
+        for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+            m = np.minimum(m, np.minimum(m[pu], m[pdn]))
+            pu = pu[pu]
+            pdn = pdn[pdn]
+        roots_s = m  # per sorted-cell local-chain min gid
+        # cross edges: foreign donor u -> root of v
+        for uu, tv in zip(u[cross_mask], vv[cross_mask]):
+            out["kind"].append("edge")
+            out["a"].append(int(uu))
+            out["b"].append(int(roots_s[np.searchsorted(cs, tv)]))
+            out["r"].append(0)
+        # boundary stars: exit cell -> its local root (when distinct)
+        star = exits_s & (roots_s != cs)
+        for x, r in zip(cs[star], roots_s[star]):
+            out["kind"].append("edge")
+            out["a"].append(int(x))
+            out["b"].append(int(r))
+            out["r"].append(0)
+        return pa.table({
+            "kind": pa.array(out["kind"] + ["cellr"] * n, pa.string()),
+            "a": pa.array(np.concatenate(
+                [np.asarray(out["a"], np.int64), cs]), pa.int64()),
+            "b": pa.array(np.concatenate(
+                [np.asarray(out["b"], np.int64), accs_s]), pa.int64()),
+            "r": pa.array(np.concatenate(
+                [np.asarray(out["r"], np.int64), roots_s]), pa.int64()),
+        }, schema=MID2)
 
-    edges = (mid.groupby("tile_id")
-             .map_groups(edges_of, batch_format="pyarrow").materialize())
+    mid2 = (mid.groupby("tile_id")
+            .map_groups(compact, batch_format="pyarrow").materialize())
 
-    cells = mid.filter(expr="kind == 'cell'") \
-               .select_columns(["gid", "v"]).materialize()
+    edges = mid2.filter(expr="kind == 'edge'")         .select_columns(["a", "b"]).materialize()
+    cells = mid2.filter(expr="kind == 'cellr'")         .select_columns(["a", "b", "r"]).materialize()
 
     if int(edges.count()) == 0:
         reps = rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "rep": pa.array([], pa.int64())}))
     else:
-        reps = connected_components_pairs(edges, "id_a", "id_b")
+        reps = connected_components_pairs(edges, "a", "b")
 
     def attach_fold(g: pd.DataFrame) -> pd.DataFrame:
         cc = g[g["_k"] == 0]
         rr = g[g["_k"] == 1]
-        rep_of = dict(zip(rr["gid"].to_numpy(), rr["v"].to_numpy()))
-        gids = cc["gid"].to_numpy()
-        link = np.asarray([rep_of.get(x, x) for x in gids], np.int64)
+        rep_of = dict(zip(rr["key"].to_numpy(), rr["val"].to_numpy()))
+        roots = cc["key"].to_numpy()
+        link = np.asarray([rep_of.get(x, x) for x in roots], np.int64)
         return pd.DataFrame({"link_id": link,
-                             "n_cells": np.ones(len(gids), np.int64),
-                             "acc_max": cc["v"].to_numpy()})
+                             "n_cells": np.ones(len(roots), np.int64),
+                             "acc_max": cc["val"].to_numpy()})
 
     reps_rows = reps.map_batches(
-        lambda t: pa.table({"gid": t.column("node"),
-                            "v": t.column("rep"),
+        lambda t: pa.table({"key": t.column("node"),
+                            "val": t.column("rep"),
                             "_k": pa.array([1] * len(t), pa.int64())}),
         batch_format="pyarrow")
     cell_rows = cells.map_batches(
-        lambda t: t.append_column("_k", pa.array([0] * len(t),
-                                                 pa.int64())),
+        lambda t: pa.table({"key": t.column("r"),
+                            "val": t.column("b"),
+                            "_k": pa.array([0] * len(t), pa.int64())}),
         batch_format="pyarrow")
-    linked = bucketed_fold(cell_rows.union(reps_rows), "gid", attach_fold)
+    linked = bucketed_fold(cell_rows.union(reps_rows), "key", attach_fold)
 
     def link_fold(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("link_id", sort=False).agg(
