@@ -2956,6 +2956,19 @@ def _q_parts_triangles(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_docs_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer TRAINING (first 4 merge rules): the
+    word-frequency dictionary folds distributed (map-side partials + one
+    coarse-bucket sum, corpus streams once); merge learning runs on the
+    Heaps-bounded dict with sentinel-spaced symbol strings whose
+    left-to-right non-overlapping replace is bit-identical to DuckDB's
+    replace() — the oracle unrolls all 4 rounds as MATERIALIZED CTEs."""
+    from raygeo.ops.corpus import bpe_train
+
+    return bpe_train(_rpq(f"{sf_dir}/documents.parquet",
+                          columns=["text"]), n_merges=4)
+
+
 def _q_docs_blocklist(sf_dir: str):
     """Blocklist-wordlist curation gate: per-doc hit counts against a
     deterministic md5-derived term blocklist (the SQL-replayable
@@ -3884,6 +3897,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": _q_parts_triangles,  # degree-ordered wedges
         "parts_clustering": _q_parts_clustering,  # clustering coefficient
         "docs_blocklist": _q_docs_blocklist,  # wordlist curation gate
+        "docs_bpe_train": _q_docs_bpe_train,  # BPE merge learning
         "events_countmin": _q_events_countmin,  # CM sketch estimates
         "events_sliding_distinct": _q_events_sliding_distinct,  # trailing uniques
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
@@ -6454,6 +6468,70 @@ SELECT d.doc_id,
   (CASE WHEN coalesce(st.n_hits, 0) * 20 > coalesce(st.n_tokens, 0)
         THEN 1 ELSE 0 END)::BIGINT AS blocked
 FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id
+""",
+        "docs_bpe_train": """
+WITH w0 AS MATERIALIZED (
+  SELECT t AS word, count(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS t
+    FROM documents) GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+         || ' ' AS s, cnt FROM w0
+),
+p0 AS (
+  SELECT toks[i.i + 1] AS l, toks[i.i + 2] AS r, sum(cnt) AS n
+  FROM (SELECT string_split(trim(s), ' ') AS toks, cnt FROM s0),
+       LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+  GROUP BY 1, 2
+),
+b0 AS MATERIALIZED (SELECT l, r, n FROM p0 ORDER BY n DESC, l, r LIMIT 1),
+s1 AS MATERIALIZED (
+  SELECT replace(s, ' ' || b0.l || ' ' || b0.r || ' ',
+                 ' ' || b0.l || b0.r || ' ') AS s, cnt
+  FROM s0, b0
+),
+p1 AS (
+  SELECT toks[i.i + 1] AS l, toks[i.i + 2] AS r, sum(cnt) AS n
+  FROM (SELECT string_split(trim(s), ' ') AS toks, cnt FROM s1),
+       LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+  GROUP BY 1, 2
+),
+b1 AS MATERIALIZED (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+s2 AS MATERIALIZED (
+  SELECT replace(s, ' ' || b1.l || ' ' || b1.r || ' ',
+                 ' ' || b1.l || b1.r || ' ') AS s, cnt
+  FROM s1, b1
+),
+p2 AS (
+  SELECT toks[i.i + 1] AS l, toks[i.i + 2] AS r, sum(cnt) AS n
+  FROM (SELECT string_split(trim(s), ' ') AS toks, cnt FROM s2),
+       LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+  GROUP BY 1, 2
+),
+b2 AS MATERIALIZED (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+s3 AS MATERIALIZED (
+  SELECT replace(s, ' ' || b2.l || ' ' || b2.r || ' ',
+                 ' ' || b2.l || b2.r || ' ') AS s, cnt
+  FROM s2, b2
+),
+p3 AS (
+  SELECT toks[i.i + 1] AS l, toks[i.i + 2] AS r, sum(cnt) AS n
+  FROM (SELECT string_split(trim(s), ' ') AS toks, cnt FROM s3),
+       LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+  GROUP BY 1, 2
+),
+b3 AS MATERIALIZED (SELECT l, r, n FROM p3 ORDER BY n DESC, l, r LIMIT 1)
+SELECT * FROM (
+  SELECT 0::BIGINT AS round, l AS lft, r AS rgt, n::BIGINT AS pair_count
+  FROM b0
+  UNION ALL
+  SELECT 1, l, r, n::BIGINT FROM b1
+  UNION ALL
+  SELECT 2, l, r, n::BIGINT FROM b2
+  UNION ALL
+  SELECT 3, l, r, n::BIGINT FROM b3
+) ORDER BY round
 """,
         "events_sliding_distinct": """
 WITH uh AS (

@@ -257,6 +257,7 @@ def run_bench() -> dict:
         "events_sliding_distinct",
         "mosaic_lbp",
         "mosaic_upslope",
+        "docs_bpe_train",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1798,3 +1798,72 @@ def blocklist_filter(docs_ds, text_col: str = "text",
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         score_batch, batch_format="pandas", batch_size=512)
+
+
+def bpe_train(docs_ds, text_col: str = "text", n_merges: int = 4):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — learn
+    the first ``n_merges`` merge rules from the corpus: the word
+    frequency dictionary folds DISTRIBUTED (map-side partial counts +
+    one coarse-bucket sum — the corpus streams once and only (word,
+    count) rows shuffle); merge learning then runs on that dictionary,
+    which is Heaps-law VOCABULARY-bounded by contract (the same
+    dimension-bounded-finish boundary as the df/LM count tables). Each
+    round counts adjacent symbol pairs weighted by word count, picks
+    the most frequent pair (ties -> lexicographically smallest), and
+    applies it with left-to-right non-overlapping replacement on the
+    space-separated symbol string — exactly ``str.replace`` semantics,
+    so DuckDB's ``replace()`` replays every round bit-for-bit.
+
+    Output: (round, left, right, pair_count) — one row per learned
+    merge, rounds 0-based; stops early if no pair repeats.
+    """
+    from ..util import bucketed_sum
+
+    tok_re = re.compile(LOWER_TOKEN_RE)
+
+    def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(tok_re)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        vc = ex.value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy().astype(np.int64)})
+
+    wc = bucketed_sum(
+        docs_ds.select_columns([text_col]).map_batches(
+            word_partial, batch_format="pandas", batch_size=512),
+        "word", "cnt").take_all()  # vocabulary-bounded by contract
+
+    # sentinel spaces on both ends so a merge pattern " l r " can only
+    # match FULL symbols (bare "l r" would also match the tail of a
+    # longer symbol, e.g. "ax y" contains "x y")
+    spaced = {" " + " ".join(r["word"]) + " ": int(r["cnt"]) for r in wc}
+    out_rows = []
+    for rnd in range(n_merges):
+        pairs: dict = {}
+        for s, n in spaced.items():
+            syms = s.strip().split(" ")
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        # most frequent pair; tie -> lexicographically smallest (l, r)
+        mx = max(pairs.values())
+        cand = sorted([p for p, n in pairs.items() if n == mx])
+        left, right = cand[0]
+        if mx < 2:
+            break
+        out_rows.append((rnd, left, right, mx))
+        oldpat = " " + left + " " + right + " "
+        newpat = " " + left + right + " "
+        spaced = {s.replace(oldpat, newpat): n
+                  for s, n in spaced.items()}
+    return pa.table({
+        "round": pa.array([r for r, *_ in out_rows], pa.int64()),
+        "lft": pa.array([l for _, l, *_ in out_rows], pa.string()),
+        "rgt": pa.array([r2 for _, _l, r2, _ in out_rows], pa.string()),
+        "pair_count": pa.array([n for *_, n in out_rows], pa.int64()),
+    })

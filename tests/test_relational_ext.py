@@ -2508,3 +2508,46 @@ def test_rolling_frame_sum_serial(ray_session):
     pd.testing.assert_frame_equal(
         got[["k", "o1", "o2", "v", "frame_sum"]],
         exp[["k", "o1", "o2", "v", "frame_sum"]], check_dtype=False)
+
+
+def test_bpe_train_serial(ray_session):
+    """BPE merge learning vs a serial replay; pins the full-symbol
+    boundary rule ('ax y' must NOT merge via pair (x, y)) and the
+    tie -> lexicographic-smallest rule."""
+    import ray.data as rd
+
+    from raygeo.ops.corpus import bpe_train
+
+    docs = pd.DataFrame({"text": [
+        "banana banana bandana",
+        "ax y ax y ax y",          # 'x y' never merges across 'ax|y'
+        "aa aa aa bb bb",
+    ] * 3})
+    got = (bpe_train(rd.from_pandas(docs).repartition(3), n_merges=3)
+           .to_pandas())
+
+    # serial replay
+    import re as _re
+    from collections import Counter
+    tok = _re.compile(r"[0-9a-z_]+")
+    wc: Counter = Counter()
+    for t in docs["text"]:
+        wc.update(tok.findall(t.lower()))
+    spaced = {" " + " ".join(w) + " ": n for w, n in wc.items()}
+    exp = []
+    for rnd in range(3):
+        pairs: Counter = Counter()
+        for s, n in spaced.items():
+            syms = s.strip().split(" ")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        mx = max(pairs.values())
+        l, r = sorted(p for p, n in pairs.items() if n == mx)[0]
+        exp.append((rnd, l, r, mx))
+        spaced = {s.replace(f" {l} {r} ", f" {l}{r} "): n
+                  for s, n in spaced.items()}
+    exp = pd.DataFrame(exp, columns=["round", "lft", "rgt", "pair_count"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the boundary rule: no learned merge glues across 'ax|y'
+    assert not (((got["lft"] == "x") & (got["rgt"] == "y")).any()
+                and wc["ax"] > 0)
