@@ -2956,6 +2956,20 @@ def _q_parts_triangles(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_docs_dedup_eval(sf_dir: str):
+    """Dedup-quality evaluation harness: recall/precision of a WEAK LSH
+    banding (16 md5 perms, 4 bands x 4 rows) against the EXHAUSTIVE
+    exact-Jaccard truth (J >= 0.7 by exact integer cross-multiply).
+    All exchanges coarse-bucketed; single-row bounded finish. An EVAL
+    op by contract — the exhaustive truth join runs on samples, not
+    100 TB (production recall rides the oracle-pinned recall-floor
+    columns)."""
+    from raygeo.ops.dedup import lsh_recall_eval
+
+    return lsh_recall_eval(_rpq(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]))
+
+
 def _q_docs_bpe_train(sf_dir: str):
     """Distributed BPE tokenizer TRAINING (first 4 merge rules): the
     word-frequency dictionary folds distributed (map-side partials + one
@@ -3898,6 +3912,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "parts_clustering": _q_parts_clustering,  # clustering coefficient
         "docs_blocklist": _q_docs_blocklist,  # wordlist curation gate
         "docs_bpe_train": _q_docs_bpe_train,  # BPE merge learning
+        "docs_dedup_eval": _q_docs_dedup_eval,  # LSH recall harness
         "events_countmin": _q_events_countmin,  # CM sketch estimates
         "events_sliding_distinct": _q_events_sliding_distinct,  # trailing uniques
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
@@ -6468,6 +6483,54 @@ SELECT d.doc_id,
   (CASE WHEN coalesce(st.n_hits, 0) * 20 > coalesce(st.n_tokens, 0)
         THEN 1 ELSE 0 END)::BIGINT AS blocked
 FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id
+""",
+        "docs_dedup_eval": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS s
+  FROM t WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM inter JOIN cnt ca ON ca.doc_id = id_a
+             JOIN cnt cb ON cb.doc_id = id_b
+  WHERE 17 * c >= 7 * (ca.n + cb.n)
+),
+mins AS MATERIALIZED (
+  SELECT sh.doc_id, j.j,
+    min(('0x' || substr(md5(j.j || '_' || sh.s), 1, 16))::UBIGINT) AS v
+  FROM sh, range(16) j(j) GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(v::VARCHAR, '-' ORDER BY j) AS sig
+  FROM mins GROUP BY 1, 2
+),
+det AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+tp AS (SELECT * FROM det INTERSECT SELECT * FROM truth),
+n AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM det) AS n_detected,
+         (SELECT count(*) FROM tp) AS n_tp
+)
+SELECT n_truth::BIGINT AS n_truth, n_detected::BIGINT AS n_detected,
+  n_tp::BIGINT AS n_tp, (n_truth - n_tp)::BIGINT AS n_missed,
+  (CASE WHEN n_truth > 0 THEN n_tp * 1000000 // n_truth
+        ELSE 0 END)::BIGINT AS recall_ppm,
+  (CASE WHEN n_detected > 0 THEN n_tp * 1000000 // n_detected
+        ELSE 0 END)::BIGINT AS precision_ppm
+FROM n
 """,
         "docs_bpe_train": """
 WITH w0 AS MATERIALIZED (

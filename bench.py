@@ -258,6 +258,7 @@ def run_bench() -> dict:
         "mosaic_lbp",
         "mosaic_upslope",
         "docs_bpe_train",
+        "docs_dedup_eval",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

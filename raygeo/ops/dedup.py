@@ -1836,3 +1836,208 @@ def countmin_estimates(ds, key_col: str = "user_id", depth: int = 4,
 
     return true_counts.map_batches(probe,
                                    batch_format="pyarrow").sort("key")
+
+
+def lsh_recall_eval(ds, text_col: str = "text", id_col: str = "doc_id",
+                    tau_num: int = 7, tau_den: int = 10,
+                    n_perm: int = 16, bands: int = 4,
+                    num_buckets: int | None = None):
+    """Dedup-quality EVALUATION harness: measure a weak LSH banding's
+    recall/precision against the EXHAUSTIVE exact-Jaccard ground truth
+    (every pair sharing >= 1 word-bigram shingle with
+    J >= tau_num/tau_den — complete, since J > 0 implies a shared
+    shingle). The banding uses its own md5 permutations
+    (min over shingles of md5_64(f"{j}_{s}")), so DuckDB replays the
+    signatures bit-for-bit — the docs_simhash precedent.
+
+    Contract: an EVAL op — the exhaustive truth join is quadratic in
+    hot-shingle postings, so it runs on samples/fixture corpora, not
+    the full 100 TB (production recall is tracked by the oracle-pinned
+    recall-floor columns on the ANN/minhash queries instead).
+
+    All exchanges coarse-bucketed (shingle postings, band buckets, pair
+    folds); sizes attach by re-keyed bucket folds, never a driver set.
+    Output: ONE row (n_truth, n_detected, n_tp, n_missed, recall_ppm,
+    precision_ppm) — recall = tp/truth, precision = tp/detected, exact
+    integer ppm (// truncation, non-negative).
+    """
+    import hashlib
+
+    from ..util import bucketed_distinct, bucketed_fold, bucketed_sum
+
+    r = n_perm // bands
+
+    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_s = [], []
+        for did, txt in zip(df[id_col], df[text_col]):
+            toks = txt.split(" ")
+            if len(toks) < 2:
+                continue
+            for s in {toks[i] + " " + toks[i + 1]
+                      for i in range(len(toks) - 1)}:
+                out_d.append(did)
+                out_s.append(s)
+        return pd.DataFrame({"doc_id": pd.Series(out_d, dtype="int64"),
+                             "s": pd.Series(out_s, dtype=object)})
+
+    sh = ds.select_columns([id_col, text_col]).map_batches(
+        sh_rows, batch_format="pandas", batch_size=512).materialize()
+
+    sizes = bucketed_sum(
+        sh.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "one": pa.array([1] * len(t),
+                                                pa.int64())}),
+            batch_format="pyarrow"),
+        "doc_id", "one")
+
+    # ---- exhaustive truth: postings self-join, bucketed by shingle
+    def post_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("s", sort=False):
+            d = np.sort(grp["doc_id"].to_numpy())
+            for i in range(len(d)):
+                for j in range(i + 1, len(d)):
+                    out_a.append(d[i])
+                    out_b.append(d[j])
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "c": np.ones(len(out_a), np.int64)})
+
+    inter = bucketed_sum(
+        bucketed_fold(sh, "s", post_pairs), ["id_a", "id_b"], "c")
+
+    def attach(key_out):
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            sz = g[g["_k"] == 1]
+            pr = g[g["_k"] == 0].copy()
+            n_of = dict(zip(sz["key"].to_numpy(), sz["n"].to_numpy()))
+            pr[key_out] = [n_of[x] for x in pr["key"]]
+            return pr.drop(columns=["_k"])
+        return fold
+
+    pr_rows = inter.map_batches(
+        lambda t: pa.table({"key": t.column("id_a"),
+                            "id_b": t.column("id_b"),
+                            "c": t.column("c"),
+                            "n": pa.array([0] * len(t), pa.int64()),
+                            "_k": pa.array([0] * len(t), pa.int64())}),
+        batch_format="pyarrow")
+    sz_rows = sizes.map_batches(
+        lambda t: pa.table({"key": t.column("doc_id"),
+                            "id_b": pa.array([0] * len(t), pa.int64()),
+                            "c": pa.array([0] * len(t), pa.int64()),
+                            "n": t.column("one"),
+                            "_k": pa.array([1] * len(t), pa.int64())}),
+        batch_format="pyarrow")
+    j1 = bucketed_fold(pr_rows.union(sz_rows), "key", attach("n_a"))
+    j1 = j1.map_batches(
+        lambda df: df.rename(columns={"key": "id_a",
+                                      "id_b": "key"})[[
+            "id_a", "key", "c", "n", "n_a"]],
+        batch_format="pandas")
+    sz2 = sizes.map_batches(
+        lambda t: pa.table({"id_a": pa.array([0] * len(t), pa.int64()),
+                            "key": t.column("doc_id"),
+                            "c": pa.array([0] * len(t), pa.int64()),
+                            "n": t.column("one"),
+                            "n_a": pa.array([0] * len(t), pa.int64()),
+                            "_k": pa.array([1] * len(t), pa.int64())}),
+        batch_format="pyarrow")
+    j1k = j1.map_batches(
+        lambda df: df.assign(_k=np.zeros(len(df), np.int64)),
+        batch_format="pandas")
+    j2 = bucketed_fold(j1k.union(sz2), "key", attach("n_b"))
+
+    def truth_filter(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy()
+        keep = (c * (tau_den + tau_num)
+                >= tau_num * (df["n_a"].to_numpy()
+                              + df["n_b"].to_numpy()))
+        out = df[keep]
+        return pd.DataFrame({"id_a": out["id_a"].to_numpy(),
+                             "id_b": out["key"].to_numpy()})
+
+    truth = bucketed_distinct(
+        j2.map_batches(truth_filter, batch_format="pandas"),
+        ["id_a", "id_b"]).materialize()
+
+    # ---- weak-banding detection: md5 permutations, r rows per band
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_b, out_sig, out_d = [], [], []
+        for did, txt in zip(df[id_col], df[text_col]):
+            toks = txt.split(" ")
+            if len(toks) < 2:
+                continue
+            shg = {toks[i] + " " + toks[i + 1]
+                   for i in range(len(toks) - 1)}
+            mins = []
+            for j in range(n_perm):
+                mins.append(min(
+                    int.from_bytes(
+                        hashlib.md5(f"{j}_{s}".encode()).digest()[:8],
+                        "big") for s in shg))
+            for b in range(bands):
+                out_b.append(b)
+                out_sig.append("-".join(str(v) for v in
+                                        mins[b * r:(b + 1) * r]))
+                out_d.append(did)
+        return pd.DataFrame({"band": pd.Series(out_b, dtype="int64"),
+                             "sig": pd.Series(out_sig, dtype=object),
+                             "doc_id": pd.Series(out_d, dtype="int64")})
+
+    bands_ds = ds.select_columns([id_col, text_col]).map_batches(
+        band_rows, batch_format="pandas", batch_size=256)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "sig"], sort=False):
+            d = np.sort(grp["doc_id"].unique())
+            for i in range(len(d)):
+                for j in range(i + 1, len(d)):
+                    out_a.append(d[i])
+                    out_b.append(d[j])
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64")})
+
+    detected = bucketed_distinct(
+        bucketed_fold(bands_ds, ["band", "sig"], bucket_pairs),
+        ["id_a", "id_b"]).materialize()
+
+    # ---- counts: single bounded-scalar finish
+    def key_pairs(tag):
+        def f(t: pa.Table) -> pa.Table:
+            a = t.column("id_a").to_numpy()
+            b = t.column("id_b").to_numpy()
+            return pa.table({"pk": pa.array(a * (1 << 32) + b,
+                                            pa.int64()),
+                             "tag": pa.array([tag] * len(t),
+                                             pa.int64())})
+        return f
+
+    tagged = truth.map_batches(key_pairs(1), batch_format="pyarrow") \
+        .union(detected.map_batches(key_pairs(2),
+                                    batch_format="pyarrow"))
+
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", sort=False)["tag"].sum()
+        return pd.DataFrame({
+            "n_truth": [int((s.to_numpy() & 1).astype(bool).sum())],
+            "n_detected": [int((s.to_numpy() >= 2).sum())],
+            "n_tp": [int((s.to_numpy() == 3).sum())],
+        })
+
+    parts = bucketed_fold(tagged, "pk", count_fold).take_all()
+    n_truth = sum(r_["n_truth"] for r_ in parts)
+    n_det = sum(r_["n_detected"] for r_ in parts)
+    n_tp = sum(r_["n_tp"] for r_ in parts)
+    return pa.table({
+        "n_truth": pa.array([n_truth], pa.int64()),
+        "n_detected": pa.array([n_det], pa.int64()),
+        "n_tp": pa.array([n_tp], pa.int64()),
+        "n_missed": pa.array([n_truth - n_tp], pa.int64()),
+        "recall_ppm": pa.array(
+            [n_tp * 1_000_000 // n_truth if n_truth else 0], pa.int64()),
+        "precision_ppm": pa.array(
+            [n_tp * 1_000_000 // n_det if n_det else 0], pa.int64()),
+    })

@@ -749,3 +749,69 @@ def test_containment_detects_embedded_doc(ray_session):
     want.sort(key=lambda r: (-r[5], r[0], r[1]))
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     assert (0, 1) in {(a, b) for a, b, *_ in want}  # the embedded pair
+
+
+def test_lsh_recall_eval_serial(ray_session):
+    """Eval harness vs a serial replay on borderline-Jaccard pairs —
+    the weak 4x4 banding must genuinely MISS some truth pairs here
+    (recall < 1), and detected candidates include sub-threshold noise
+    (precision < 1)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.dedup import lsh_recall_eval
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    vocab = [f"w{i:03d}" for i in range(300)]
+    docs = []
+    did = 0
+    for _ in range(40):
+        base = [vocab[rng.integers(0, 300)] for _ in range(30)]
+        var = list(base)
+        # 2-4 token swaps of 30 -> bigram J straddles the 0.7 boundary
+        for _ in range(rng.integers(2, 5)):
+            var[rng.integers(0, 30)] = vocab[rng.integers(0, 300)]
+        docs.append((did, " ".join(base)))
+        docs.append((did + 1, " ".join(var)))
+        did += 2
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got = (lsh_recall_eval(rd.from_pandas(df).repartition(5))
+           .to_pandas().iloc[0])
+
+    # serial replay
+    sh = {}
+    for d, t in docs:
+        toks = t.split(" ")
+        sh[d] = {toks[i] + " " + toks[i + 1]
+                 for i in range(len(toks) - 1)}
+    ids = sorted(sh)
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            c = len(sh[a] & sh[b])
+            if c and 17 * c >= 7 * (len(sh[a]) + len(sh[b])):
+                truth.add((a, b))
+    mins = {}
+    for d in ids:
+        mins[d] = [min(int.from_bytes(
+            hashlib.md5(f"{j}_{s}".encode()).digest()[:8], "big")
+            for s in sh[d]) for j in range(16)]
+    det = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            for bd in range(4):
+                if mins[a][bd * 4:bd * 4 + 4] == \
+                        mins[b][bd * 4:bd * 4 + 4]:
+                    det.add((a, b))
+                    break
+    tp = truth & det
+    assert got["n_truth"] == len(truth)
+    assert got["n_detected"] == len(det)
+    assert got["n_tp"] == len(tp)
+    assert got["n_missed"] == len(truth) - len(tp)
+    assert len(truth) - len(tp) > 0  # the weak banding genuinely misses
