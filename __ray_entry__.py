@@ -3469,6 +3469,17 @@ def _q_emb_nn_all(sf_dir: str):
                        columns=["vec_id", "embedding"])).sort("vec_id")
 
 
+def _q_emb_sq8(sf_dir: str):
+    """SQ8 scalar-quantization audit: per-dim 8-bit linear codes between
+    the corpus min/max, all in the shared 1e-6 fixed-point space so the
+    round trip is exact cross-engine (floor-division quantize +
+    dequantize). One d-bounded min/max fold, one streaming error pass."""
+    from raygeo.ops.ann import sq8_error_stats
+
+    return sq8_error_stats(_rpq(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]))
+
+
 def _q_emb_rp(sf_dir: str):
     """Johnson-Lindenstrauss ±1 random-projection distortion audit:
     deterministic md5 sign matrix (SQL-replayable), anchors broadcast
@@ -4035,6 +4046,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_nn_all": _q_emb_nn_all,  # exact 1-NN self-join
         "emb_hubness": _q_emb_hubness,  # k-occurrence distribution
         "emb_rp": _q_emb_rp,  # JL projection distortion audit
+        "emb_sq8": _q_emb_sq8,  # SQ8 compression audit
         "emb_triplets": _q_emb_triplets,  # hard-triplet mining
         "emb_knn_accuracy": _q_emb_knn_accuracy,  # LOO 1-NN label acc
         "emb_dim_quantiles": _q_emb_dim_quantiles,  # per-dim p50/p90
@@ -7560,6 +7572,28 @@ SELECT pos.aid::BIGINT AS anchor_id, pos.cid::BIGINT AS pos_id,
   neg.cid::BIGINT AS neg_id, pos.d::BIGINT AS d_pos,
   neg.d::BIGINT AS d_neg, (neg.d - pos.d)::BIGINT AS margin
 FROM pos JOIN neg USING (aid) ORDER BY anchor_id
+""",
+        "emb_sq8": """
+WITH q AS (
+  SELECT vec_id, d.d AS dim,
+    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) d
+),
+mm AS (SELECT dim, min(qv) AS vmin, max(qv) AS vmax FROM q GROUP BY 1),
+e AS (
+  SELECT q.dim, mm.vmin, mm.vmax,
+    CASE WHEN mm.vmax > mm.vmin THEN
+      abs(q.qv - (mm.vmin
+        + ((q.qv - mm.vmin) * 255 // (mm.vmax - mm.vmin))
+          * (mm.vmax - mm.vmin) // 255))
+    ELSE 0 END AS err
+  FROM q JOIN mm USING (dim)
+)
+SELECT dim::BIGINT AS dim, vmin::BIGINT AS vmin, vmax::BIGINT AS vmax,
+  sum(err)::BIGINT AS err_sum, max(err)::BIGINT AS err_max,
+  count(*)::BIGINT AS n
+FROM e GROUP BY 1, 2, 3 ORDER BY 1
 """,
         "emb_rp": """
 WITH q AS (

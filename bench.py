@@ -259,6 +259,7 @@ def run_bench() -> dict:
         "mosaic_upslope",
         "docs_bpe_train",
         "docs_dedup_eval",
+        "emb_sq8",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1813,3 +1813,90 @@ def rp_distortion(ds, k: int = 8, anchor_mod: int = 25,
 
     parts = qds.map_batches(scan, batch_format="pyarrow", batch_size=2048)
     return bucketed_sum(parts, "bucket", "n_pairs").sort("bucket")
+
+
+def sq8_error_stats(ds, vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Scalar-quantization (SQ8) compression audit — the OTHER standard
+    embedding compression next to PQ: each dimension maps linearly to
+    8 bits between its corpus min and max. Everything stays in the
+    shared 1e-6 fixed-point integer space, so the round trip is exact
+    cross-engine: q = (X - mn) * 255 // (mx - mn) and
+    X' = mn + q * (mx - mn) // 255 (floor division, non-negative
+    operands), err = |X - X'|.
+
+    Plan: pass 1 folds per-dimension (min, max) map-side (d-bounded
+    partials, one tiny keyed reduce); the d-length arrays broadcast in
+    the closure; pass 2 streams the table once folding per-dim error
+    partials. Output: (dim, vmin, vmax, err_sum, err_max, n) — the
+    per-dimension reconstruction-error profile that decides whether
+    SQ8 is safe for a dedup/ANN prefilter.
+    """
+    from ..util import bucketed_sum
+
+    qds = ds.select_columns([id_col, vec_col]).materialize()
+
+    DIM = pa.schema([("dim", pa.int64()), ("vmin", pa.int64()),
+                     ("vmax", pa.int64())])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        if not len(qm):
+            return pa.table({f.name: pa.array([], f.type) for f in DIM})
+        return pa.table({
+            "dim": pa.array(np.arange(qm.shape[1], dtype=np.int64),
+                            pa.int64()),
+            "vmin": pa.array(qm.min(axis=0), pa.int64()),
+            "vmax": pa.array(qm.max(axis=0), pa.int64()),
+        }, schema=DIM)
+
+    def mm_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("dim", sort=False).agg(vmin=("vmin", "min"),
+                                               vmax=("vmax", "max"))
+        return agg.reset_index()
+
+    from ..util import bucketed_fold
+    mm = bucketed_fold(
+        qds.map_batches(mm_partial, batch_format="pyarrow",
+                        batch_size=4096),
+        "dim", mm_fold).take_all()  # d-bounded
+    d = max(int(r["dim"]) for r in mm) + 1 if mm else 0
+    mn = np.zeros(d, np.int64)
+    mx = np.zeros(d, np.int64)
+    for r in mm:
+        mn[int(r["dim"])] = int(r["vmin"])
+        mx[int(r["dim"])] = int(r["vmax"])
+
+    OUT = pa.schema([("dim", pa.int64()), ("vmin", pa.int64()),
+                     ("vmax", pa.int64()), ("err_sum", pa.int64()),
+                     ("err_max", pa.int64()), ("n", pa.int64())])
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        qm = _quantized_matrix(t.column(vec_col), 1e6)
+        if not len(qm):
+            return pa.table({f.name: pa.array([], f.type) for f in OUT})
+        rng = mx - mn
+        safe = np.maximum(rng, 1)
+        q = np.clip((qm - mn[None, :]) * 255 // safe[None, :], 0, 255)
+        xq = mn[None, :] + q * rng[None, :] // 255
+        err = np.abs(qm - xq)
+        err[:, rng == 0] = 0
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "vmin": pa.array(mn, pa.int64()),
+            "vmax": pa.array(mx, pa.int64()),
+            "err_sum": pa.array(err.sum(axis=0), pa.int64()),
+            "err_max": pa.array(err.max(axis=0), pa.int64()),
+            "n": pa.array(np.full(d, len(qm), np.int64), pa.int64()),
+        }, schema=OUT)
+
+    def err_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["dim", "vmin", "vmax"], sort=False).agg(
+            err_sum=("err_sum", "sum"), err_max=("err_max", "max"),
+            n=("n", "sum"))
+        return agg.reset_index()
+
+    return bucketed_fold(
+        qds.map_batches(err_partial, batch_format="pyarrow",
+                        batch_size=4096),
+        "dim", err_fold).sort("dim")
