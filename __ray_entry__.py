@@ -3013,6 +3013,18 @@ def _q_parts_clustering(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_events_heavy_change(sf_dir: str):
+    """Heavy CHANGERS period-over-period: per-user counts in each half
+    of the event-time range (split at the midpoint epoch hour), top 20
+    by |delta| (ties -> smaller user_id). Tiny global (min,max) hour
+    fold; map-side count partials + one coarse-bucket sum; per-bucket
+    local top-k so only k rows per bucket reach the driver."""
+    from raygeo.ops.window import heavy_changers
+
+    return heavy_changers(_rpq(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"]), k=20)
+
+
 def _q_events_sliding_distinct(sf_dir: str):
     """Trailing 3-hour sliding COUNT(DISTINCT user) per active hour:
     per-batch (user, hour) dedup partials -> one coarse-bucket global
@@ -3926,6 +3938,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_eval": _q_docs_dedup_eval,  # LSH recall harness
         "events_countmin": _q_events_countmin,  # CM sketch estimates
         "events_sliding_distinct": _q_events_sliding_distinct,  # trailing uniques
+        "events_heavy_change": _q_events_heavy_change,  # PoP top changers
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
@@ -6607,6 +6620,27 @@ SELECT * FROM (
   UNION ALL
   SELECT 3, l, r, n::BIGINT FROM b3
 ) ORDER BY round
+""",
+        "events_heavy_change": """
+WITH h AS (
+  SELECT user_id,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+  FROM events
+),
+g AS (SELECT min(h) AS lo, max(h) AS hi FROM h),
+c AS (
+  SELECT user_id,
+    sum(CASE WHEN h.h <= g.lo + (g.hi - g.lo) // 2
+             THEN 1 ELSE 0 END) AS cnt_a,
+    sum(CASE WHEN h.h > g.lo + (g.hi - g.lo) // 2
+             THEN 1 ELSE 0 END) AS cnt_b
+  FROM h, g GROUP BY 1
+)
+SELECT user_id, cnt_a::BIGINT AS cnt_a, cnt_b::BIGINT AS cnt_b,
+  (cnt_b - cnt_a)::BIGINT AS delta
+FROM c
+ORDER BY abs(cnt_b - cnt_a) DESC, user_id
+LIMIT 20
 """,
         "events_sliding_distinct": """
 WITH uh AS (

@@ -260,6 +260,7 @@ def run_bench() -> dict:
         "docs_bpe_train",
         "docs_dedup_eval",
         "emb_sq8",
+        "events_heavy_change",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

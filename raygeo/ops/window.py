@@ -985,3 +985,80 @@ def sliding_distinct_users(events_ds, window_hours: int = 3):
         return out
 
     return bucketed_fold(uw, "w", count_fold).sort("hour_bucket")
+
+
+def heavy_changers(events_ds, k: int = 20):
+    """Heavy CHANGERS between the two halves of the event-time range —
+    the anomaly/drift shape ("which keys changed volume most,
+    period-over-period"): per-user event counts in each half (split at
+    the midpoint hour, integer arithmetic on epoch hours), ranked by
+    absolute count delta (ties -> smaller user_id).
+
+    The time-range midpoint comes from a tiny global (min, max) hour
+    fold; per-(user, half) counts fold map-side + one coarse-bucket
+    sum; the top-k finish is a per-bucket local top-k union -> bounded
+    driver sort (only k rows per bucket reach the driver).
+
+    Output: (user_id, cnt_a, cnt_b, delta) with delta = cnt_b - cnt_a,
+    top k by |delta|.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from ..util import bucketed_fold
+
+    def hour_col(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.ts.astype("datetime64[ns]").astype("int64")
+             // (3600 * 10**9))
+        return pd.DataFrame({"user_id": df.user_id.to_numpy(),
+                             "h": h.to_numpy()})
+
+    uh = events_ds.select_columns(["ts", "user_id"]).map_batches(
+        hour_col, batch_format="pandas", batch_size=65536).materialize()
+    agg = uh.aggregate(Min("h", alias_name="lo"),
+                       Max("h", alias_name="hi"))
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    mid = lo + (hi - lo) // 2  # second half starts ABOVE mid
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        half = (df["h"].to_numpy() > mid).astype(np.int64)
+        g = (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                           "half": half})
+             .groupby(["user_id", "half"], sort=False).size()
+             .rename("c").reset_index())
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    counts = uh.map_batches(cnt_partial, batch_format="pandas",
+                            batch_size=65536)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "half"], sort=False)["c"].sum() \
+            .reset_index()
+        w = s.pivot_table(index="user_id", columns="half", values="c",
+                          fill_value=0, aggfunc="sum")
+        cnt_a = w[0].to_numpy(np.int64) if 0 in w.columns else \
+            np.zeros(len(w), np.int64)
+        cnt_b = w[1].to_numpy(np.int64) if 1 in w.columns else \
+            np.zeros(len(w), np.int64)
+        out = pd.DataFrame({"user_id": w.index.to_numpy(np.int64),
+                            "cnt_a": cnt_a, "cnt_b": cnt_b,
+                            "delta": cnt_b - cnt_a})
+        out["absd"] = out["delta"].abs()
+        # local top-k: only k rows per bucket travel onward
+        return out.sort_values(["absd", "user_id"],
+                               ascending=[False, True]).head(k) \
+            .drop(columns=["absd"])
+
+    parts = bucketed_fold(counts, "user_id", fold).take_all()
+    df = pd.DataFrame(parts)
+    df["absd"] = df["delta"].abs()
+    df = df.sort_values(["absd", "user_id"],
+                        ascending=[False, True]).head(k) \
+        .drop(columns=["absd"]).reset_index(drop=True)
+    return pa.table({
+        "user_id": pa.array(df["user_id"].to_numpy(np.int64),
+                            pa.int64()),
+        "cnt_a": pa.array(df["cnt_a"].to_numpy(np.int64), pa.int64()),
+        "cnt_b": pa.array(df["cnt_b"].to_numpy(np.int64), pa.int64()),
+        "delta": pa.array(df["delta"].to_numpy(np.int64), pa.int64()),
+    })

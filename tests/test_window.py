@@ -569,3 +569,38 @@ def test_sliding_distinct_users_serial(ray_session):
         exp.append((w, len(s)))
     exp = pd.DataFrame(exp, columns=["hour_bucket", "n_users"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_heavy_changers_serial(ray_session):
+    """PoP top changers vs a serial replay; covers one-half-only users
+    and |delta| ties broken by smaller user_id at the k boundary."""
+    import ray.data as rd
+
+    from raygeo.ops.window import heavy_changers
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    rows = []
+    for u in range(30):
+        n_a, n_b = int(rng.integers(0, 20)), int(rng.integers(0, 20))
+        for _ in range(n_a):
+            rows.append((u, int(rng.integers(0, 50))))       # hours 0-49
+        for _ in range(n_b):
+            rows.append((u, int(rng.integers(51, 100))))     # hours 51-99
+    df = pd.DataFrame(rows, columns=["user_id", "hh"])
+    df["ts"] = pd.to_datetime(df["hh"] * 3600, unit="s")
+    df["user_id"] = df["user_id"].astype(np.int64)
+    got = (heavy_changers(rd.from_pandas(df[["ts", "user_id"]])
+                          .repartition(6), k=8).to_pandas())
+
+    lo, hi = df["hh"].min(), df["hh"].max()
+    mid = lo + (hi - lo) // 2
+    exp = []
+    for u, grp in df.groupby("user_id"):
+        a = int((grp["hh"] <= mid).sum())
+        b = int((grp["hh"] > mid).sum())
+        if a or b:
+            exp.append((u, a, b, b - a))
+    exp.sort(key=lambda r: (-abs(r[3]), r[0]))
+    exp = pd.DataFrame(exp[:8], columns=["user_id", "cnt_a", "cnt_b",
+                                         "delta"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
