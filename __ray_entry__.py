@@ -2261,6 +2261,18 @@ def _q_mosaic_strahler(sf_dir: str):
                           FIXTURE_GRID).sort(["tile_id", "strahler"])
 
 
+def _q_parts_abc(sf_dir: str):
+    """ABC / Pareto revenue classes by exact integer cross-multiply
+    (cum*5 <= 4*total, cum*20 <= 19*total) under (revenue DESC, part)
+    order: value-range buckets + driver prefix of O(#buckets) sums +
+    one keyed exchange — the 1D prefix-scan discipline, never a global
+    sort."""
+    from raygeo.ops.relational import abc_analysis
+
+    return abc_analysis(_rpq(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey", "l_extendedprice"]))
+
+
 def _q_orders_rolling(sf_dir: str):
     """ROWS-frame rolling sum (SUM OVER ... ROWS BETWEEN 2 PRECEDING AND
     CURRENT ROW) per customer in (o_orderdate, o_orderkey) order: one
@@ -4007,6 +4019,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_zones": _q_rasterize_zones,  # vector->raster burn
         "zones_dissolve": _q_zones_dissolve,  # vector dissolve / union
         "orders_rolling": _q_orders_rolling,  # ROWS-frame rolling sum
+        "parts_abc": _q_parts_abc,  # ABC / Pareto revenue classes
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
         "mosaic_hillshade": _q_mosaic_hillshade,  # focal shade, halo exchange
@@ -6655,6 +6668,29 @@ win AS (
 )
 SELECT hour_bucket, count(DISTINCT user_id)::BIGINT AS n_users
 FROM win GROUP BY 1 ORDER BY 1
+""",
+        "parts_abc": """
+WITH pr AS (
+  SELECT l_partkey AS part,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS t FROM pr),
+c AS (
+  SELECT part, rev,
+    sum(rev) OVER (ORDER BY rev DESC, part) AS cum
+  FROM pr
+),
+cl AS (
+  SELECT part, rev,
+    CASE WHEN cum * 5 <= 4 * t THEN 'A'
+         WHEN cum * 20 <= 19 * t THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM c, tot
+)
+SELECT abc_class, count(*)::BIGINT AS n_parts,
+  sum(rev)::BIGINT AS revenue_c
+FROM cl GROUP BY 1 ORDER BY 1
 """,
         "orders_rolling": """
 SELECT o_custkey, o_orderdate, o_orderkey,

@@ -261,6 +261,7 @@ def run_bench() -> dict:
         "docs_dedup_eval",
         "emb_sq8",
         "events_heavy_change",
+        "parts_abc",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -3886,3 +3886,95 @@ def rolling_frame_sum(ds, key_col: str, order_cols, value_col: str,
 
     return bucketed_fold(ds.select_columns([key_col, *ocols, value_col]),
                          key_col, fold, num_buckets=num_buckets)
+
+
+def abc_analysis(lineitem_ds, part_col: str = "l_partkey",
+                 price_col: str = "l_extendedprice"):
+    """ABC / Pareto revenue classification — the inventory-analytics
+    shape (class A = items whose running revenue share, in revenue-DESC
+    order, stays <= 80%; B <= 95%; C the tail), decided by exact
+    integer cross-multiplication (cum*5 <= 4*total, cum*20 <= 19*total)
+    under the deterministic (revenue DESC, part ASC) order.
+
+    The global running sum uses the 1D prefix-scan discipline
+    (``window.running_total``): per-part revenues range-bucket by
+    VALUE (order-preserving, <= ~1k buckets from a tiny min/max fold),
+    the driver prefixes the O(#buckets) bucket sums, and one keyed
+    exchange scans each bucket locally — equal revenues always share a
+    bucket, so the part-id tiebreak never crosses the exchange. Output:
+    (abc_class, n_parts, revenue_c), 3 rows.
+    """
+    import ray
+
+    from ..util import bucketed_sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column(price_col).to_numpy() * 100).astype(np.int64)
+        return pa.table({"part": t.column(part_col).cast(pa.int64()),
+                         "rev": pa.array(c, pa.int64())})
+
+    rev = bucketed_sum(
+        lineitem_ds.select_columns([part_col, price_col]).map_batches(
+            cents, batch_format="pyarrow", batch_size=65536),
+        "part", "rev").materialize()
+
+    from ray.data.aggregate import Max, Min, Sum
+    agg = rev.aggregate(Min("rev", alias_name="lo"),
+                        Max("rev", alias_name="hi"),
+                        Sum("rev", alias_name="tot"))
+    lo, hi, total = int(agg["lo"]), int(agg["hi"]), int(agg["tot"])
+    step = max(1, (hi - lo) // 1024 + 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        r = t.column("rev").to_numpy()
+        return t.append_column("b", pa.array((hi - r) // step, pa.int64()))
+
+    tagged = rev.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def bsum(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"b": t.column("b").to_numpy(),
+                            "s": t.column("rev").to_numpy()})
+              .groupby("b", sort=False)["s"].sum().reset_index())
+        return pa.table({"b": pa.array(df["b"].to_numpy(np.int64),
+                                       pa.int64()),
+                         "s": pa.array(df["s"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    bs = (tagged.map_batches(bsum, batch_format="pyarrow")
+          .groupby("b").aggregate(Sum("s", alias_name="s"))
+          .to_pandas().sort_values("b"))
+    offs = dict(zip(
+        bs["b"].astype(np.int64),
+        np.concatenate([[0],
+                        bs["s"].to_numpy(np.int64)[:-1].cumsum()]),
+    ))
+    offs_ref = ray.put(offs)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offs_ref)[int(g["b"].iloc[0])]
+        g = g.sort_values(["rev", "part"], ascending=[False, True],
+                          kind="mergesort")
+        cum = g["rev"].to_numpy(np.int64).cumsum() + off
+        cls = np.where(cum * 5 <= 4 * total, "A",
+                       np.where(cum * 20 <= 19 * total, "B", "C"))
+        out = pd.DataFrame({"abc_class": cls,
+                            "rev": g["rev"].to_numpy(np.int64)})
+        agg2 = out.groupby("abc_class", sort=False).agg(
+            n_parts=("rev", "size"), revenue_c=("rev", "sum"))
+        agg2 = agg2.reset_index()
+        agg2["n_parts"] = agg2["n_parts"].astype(np.int64)
+        agg2["revenue_c"] = agg2["revenue_c"].astype(np.int64)
+        return agg2
+
+    parts = tagged.groupby("b").map_groups(scan, batch_format="pandas") \
+        .to_pandas()  # <= 3 rows per bucket, bounded finish
+    fin = parts.groupby("abc_class", sort=True).agg(
+        n_parts=("n_parts", "sum"),
+        revenue_c=("revenue_c", "sum")).reset_index()
+    return pa.table({
+        "abc_class": pa.array(fin["abc_class"].tolist(), pa.string()),
+        "n_parts": pa.array(fin["n_parts"].to_numpy(np.int64),
+                            pa.int64()),
+        "revenue_c": pa.array(fin["revenue_c"].to_numpy(np.int64),
+                              pa.int64()),
+    })

@@ -2551,3 +2551,37 @@ def test_bpe_train_serial(ray_session):
     # the boundary rule: no learned merge glues across 'ax|y'
     assert not (((got["lft"] == "x") & (got["rgt"] == "y")).any()
                 and wc["ax"] > 0)
+
+
+def test_abc_analysis_serial(ray_session):
+    """ABC classes vs a serial replay; ties at class boundaries broken
+    by part id, class thresholds exact cross-multiplied."""
+    import ray.data as rd
+
+    from raygeo.ops.relational import abc_analysis
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n = 4000
+    df = pd.DataFrame({
+        "l_partkey": rng.integers(0, 400, n).astype(np.int64),
+        "l_extendedprice": np.round(
+            rng.uniform(1, 5000, n) ** 2 / 1000, 2),  # skewed revenue
+    })
+    got = (abc_analysis(rd.from_pandas(df).repartition(7))
+           .to_pandas().reset_index(drop=True))
+
+    cents = np.rint(df["l_extendedprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    rev = pd.DataFrame({"part": df["l_partkey"], "rev": cents}) \
+        .groupby("part")["rev"].sum().reset_index()
+    rev = rev.sort_values(["rev", "part"],
+                          ascending=[False, True]).reset_index(drop=True)
+    total = int(rev["rev"].sum())
+    cum = rev["rev"].to_numpy(np.int64).cumsum()
+    cls = np.where(cum * 5 <= 4 * total, "A",
+                   np.where(cum * 20 <= 19 * total, "B", "C"))
+    exp = pd.DataFrame({"abc_class": cls, "rev": rev["rev"]}) \
+        .groupby("abc_class").agg(n_parts=("rev", "size"),
+                                  revenue_c=("rev", "sum")).reset_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["abc_class"]) == {"A", "B", "C"}
