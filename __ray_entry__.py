@@ -3025,6 +3025,17 @@ def _q_parts_clustering(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_events_benford(sf_dir: str):
+    """Benford first-significant-digit audit over the event cent values
+    — fraud/anomaly screening. Pure map + 9-bin bounded fold; the
+    expected-share table is a shared LITERAL (no cross-engine libm in
+    the comparison path)."""
+    from raygeo.ops.metrics import benford_stats
+
+    return benford_stats(_rpq(f"{sf_dir}/events.parquet",
+                              columns=["value"]))
+
+
 def _q_events_heavy_change(sf_dir: str):
     """Heavy CHANGERS period-over-period: per-user counts in each half
     of the event-time range (split at the midpoint epoch hour), top 20
@@ -3951,6 +3962,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_countmin": _q_events_countmin,  # CM sketch estimates
         "events_sliding_distinct": _q_events_sliding_distinct,  # trailing uniques
         "events_heavy_change": _q_events_heavy_change,  # PoP top changers
+        "events_benford": _q_events_benford,  # first-digit audit
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
@@ -6633,6 +6645,22 @@ SELECT * FROM (
   UNION ALL
   SELECT 3, l, r, n::BIGINT FROM b3
 ) ORDER BY round
+""",
+        "events_benford": """
+WITH c AS (
+  SELECT abs(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE CAST(round(value * 100) AS BIGINT) <> 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c
+),
+e AS (SELECT * FROM (VALUES
+  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+  (6, 66946), (7, 57991), (8, 51152), (9, 45757)) AS t(digit, ppm))
+SELECT d.digit, count(*)::BIGINT AS n, e.ppm::BIGINT AS expected_ppm
+FROM d JOIN e ON e.digit = d.digit
+GROUP BY 1, 3 ORDER BY 1
 """,
         "events_heavy_change": """
 WITH h AS (

@@ -262,6 +262,7 @@ def run_bench() -> dict:
         "emb_sq8",
         "events_heavy_change",
         "parts_abc",
+        "events_benford",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

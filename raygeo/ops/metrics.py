@@ -220,3 +220,49 @@ def timeline_svg(cube_path: str, width: int = 960, row_h: int = 8) -> str:
             f'{r["partition_id"][:12]}</text>')
     parts.append("</svg>")
     return "\n".join(parts)
+
+
+def benford_stats(events_ds, value_col: str = "value"):
+    """Benford first-significant-digit audit — the fraud/anomaly
+    screening test (natural multi-scale quantities follow
+    P(d) = log10(1 + 1/d)): histogram the first significant digit of
+    the integer cent values and report, per digit, the observed count
+    next to the Benford-expected count in parts-per-million of N
+    (expected_ppm uses the exact rational floor((ln(d+1)-ln(d)) /
+    ln(10) * 1e6) — a CONSTANT 9-entry table, identical in SQL).
+
+    Pure map + 9-bin bounded fold: first digit via string of the
+    absolute cent value (no float log in the data path). Zero-valued
+    rows drop (no significant digit). Output: (digit, n, expected_ppm).
+    """
+    # literal table (floor(log10(1+1/d) * 1e6)) so the SQL replay embeds
+    # the SAME constants — no cross-engine libm in the comparison path
+    exp_ppm = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col).to_numpy() * 100) \
+            .astype(np.int64)
+        cents = np.abs(cents[cents != 0])
+        if not len(cents):
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        digs = np.asarray([int(str(c)[0]) for c in cents], np.int64)
+        u, n = np.unique(digs, return_counts=True)
+        return pa.table({"digit": pa.array(u, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    hist = (events_ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("digit").aggregate(Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("digit").to_numpy()
+        return t.append_column(
+            "expected_ppm",
+            pa.array([exp_ppm[int(x)] for x in d], pa.int64()))
+
+    return hist.map_batches(finish, batch_format="pyarrow").sort("digit")
