@@ -2261,6 +2261,19 @@ def _q_mosaic_strahler(sf_dir: str):
                           FIXTURE_GRID).sort(["tile_id", "strahler"])
 
 
+def _q_supplier_gini(sf_dir: str):
+    """Gini inequality coefficient of per-supplier revenue — the
+    concentration metric next to HHI: exact floor ppm from int64
+    moments (python ints on the engine side, HUGEINT in SQL). Global
+    ranks by the value-bucket prefix-scan discipline, never a global
+    sort."""
+    from raygeo.ops.relational import gini_coefficient
+
+    return gini_coefficient(_rpq(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_suppkey",
+                                          "l_extendedprice"]))
+
+
 def _q_parts_abc(sf_dir: str):
     """ABC / Pareto revenue classes by exact integer cross-multiply
     (cum*5 <= 4*total, cum*20 <= 19*total) under (revenue DESC, part)
@@ -4032,6 +4045,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "zones_dissolve": _q_zones_dissolve,  # vector dissolve / union
         "orders_rolling": _q_orders_rolling,  # ROWS-frame rolling sum
         "parts_abc": _q_parts_abc,  # ABC / Pareto revenue classes
+        "supplier_gini": _q_supplier_gini,  # Gini concentration
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
         "mosaic_hillshade": _q_mosaic_hillshade,  # focal shade, halo exchange
@@ -6696,6 +6710,23 @@ win AS (
 )
 SELECT hour_bucket, count(DISTINCT user_id)::BIGINT AS n_users
 FROM win GROUP BY 1 ORDER BY 1
+""",
+        "supplier_gini": """
+WITH pr AS (
+  SELECT l_suppkey AS key,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, key) AS rk FROM pr
+),
+m AS (
+  SELECT count(*) AS n, sum(rev) AS s0, sum(rk * rev) AS s1 FROM r
+)
+SELECT n::BIGINT AS n_keys, s0::BIGINT AS revenue_c,
+  ((2 * s1::HUGEINT - (n + 1) * s0::HUGEINT) * 1000000
+   // (n::HUGEINT * s0::HUGEINT))::BIGINT AS gini_ppm
+FROM m
 """,
         "parts_abc": """
 WITH pr AS (

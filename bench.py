@@ -263,6 +263,7 @@ def run_bench() -> dict:
         "events_heavy_change",
         "parts_abc",
         "events_benford",
+        "supplier_gini",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -3978,3 +3978,89 @@ def abc_analysis(lineitem_ds, part_col: str = "l_partkey",
         "revenue_c": pa.array(fin["revenue_c"].to_numpy(np.int64),
                               pa.int64()),
     })
+
+
+def gini_coefficient(lineitem_ds, key_col: str = "l_suppkey",
+                     price_col: str = "l_extendedprice"):
+    """Gini inequality coefficient of per-key revenue — the
+    concentration metric next to HHI (`supplier_hhi`): with revenues
+    x_1 <= ... <= x_n (ties ordered by key id),
+    G = (2*S1 - (n+1)*S0) / (n*S0) where S1 = sum(i * x_i). Reported
+    as exact floor ppm — every moment is int64.
+
+    Global ranks use the 1D prefix-scan discipline: per-key revenues
+    range-bucket by VALUE ascending (<= ~1k buckets from a tiny min/max
+    fold), the driver prefixes O(#buckets) (count, sum) pairs, and one
+    keyed exchange ranks each bucket locally — equal revenues share a
+    bucket, so the key tiebreak never crosses the exchange. Output:
+    ONE row (n_keys, revenue_c, gini_ppm).
+    """
+    import ray
+
+    from ..util import bucketed_sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column(price_col).to_numpy() * 100).astype(np.int64)
+        return pa.table({"key": t.column(key_col).cast(pa.int64()),
+                         "rev": pa.array(c, pa.int64())})
+
+    rev = bucketed_sum(
+        lineitem_ds.select_columns([key_col, price_col]).map_batches(
+            cents, batch_format="pyarrow", batch_size=65536),
+        "key", "rev").materialize()
+
+    from ray.data.aggregate import Max, Min
+    agg = rev.aggregate(Min("rev", alias_name="lo"),
+                        Max("rev", alias_name="hi"))
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    step = max(1, (hi - lo) // 1024 + 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        r = t.column("rev").to_numpy()
+        return t.append_column("b",
+                               pa.array((r - lo) // step, pa.int64()))
+
+    tagged = rev.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def bstat(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"b": t.column("b").to_numpy(),
+                            "s": t.column("rev").to_numpy()})
+              .groupby("b", sort=False)
+              .agg(cnt=("s", "size"), s=("s", "sum")).reset_index())
+        return pa.table({"b": pa.array(df["b"].to_numpy(np.int64),
+                                       pa.int64()),
+                         "cnt": pa.array(df["cnt"].to_numpy(np.int64),
+                                         pa.int64()),
+                         "s": pa.array(df["s"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    from ray.data.aggregate import Sum
+    bs = (tagged.map_batches(bstat, batch_format="pyarrow")
+          .groupby("b").aggregate(Sum("cnt", alias_name="cnt"),
+                                  Sum("s", alias_name="s"))
+          .to_pandas().sort_values("b"))
+    cnt_prefix = np.concatenate(
+        [[0], bs["cnt"].to_numpy(np.int64)[:-1].cumsum()])
+    offs = dict(zip(bs["b"].astype(np.int64), cnt_prefix))
+    n_total = int(bs["cnt"].sum())
+    s_total = int(bs["s"].sum())
+    offs_ref = ray.put(offs)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offs_ref)[int(g["b"].iloc[0])]
+        g = g.sort_values(["rev", "key"], kind="mergesort")
+        ranks = np.arange(1, len(g) + 1, dtype=np.int64) + off
+        s1 = int((ranks * g["rev"].to_numpy(np.int64)).sum())
+        return pd.DataFrame({"s1": [s1]})
+
+    s1 = sum(int(r["s1"]) for r in
+             tagged.groupby("b").map_groups(
+                 scan, batch_format="pandas").take_all())
+    num = 2 * s1 - (n_total + 1) * s_total
+    den = n_total * s_total
+    gini_ppm = num * 1_000_000 // den if den else 0
+    return pa.table({
+        "n_keys": pa.array([n_total], pa.int64()),
+        "revenue_c": pa.array([s_total], pa.int64()),
+        "gini_ppm": pa.array([int(gini_ppm)], pa.int64()),
+    })

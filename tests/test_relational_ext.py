@@ -2585,3 +2585,35 @@ def test_abc_analysis_serial(ray_session):
                                   revenue_c=("rev", "sum")).reset_index()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert set(got["abc_class"]) == {"A", "B", "C"}
+
+
+def test_gini_coefficient_serial(ray_session):
+    """Gini ppm vs a serial rank replay; duplicate revenue values force
+    cross-bucket-safe tie ranking."""
+    import ray.data as rd
+
+    from raygeo.ops.relational import gini_coefficient
+
+    rng = np.random.Generator(np.random.PCG64(27))
+    n = 3000
+    df = pd.DataFrame({
+        "l_suppkey": rng.integers(0, 200, n).astype(np.int64),
+        "l_extendedprice": np.round(rng.uniform(1, 1000, n), 2),
+    })
+    got = gini_coefficient(rd.from_pandas(df).repartition(6)) \
+        .to_pandas().iloc[0]
+
+    cents = np.rint(df["l_extendedprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    rev = pd.DataFrame({"key": df["l_suppkey"], "rev": cents}) \
+        .groupby("key")["rev"].sum().reset_index() \
+        .sort_values(["rev", "key"]).reset_index(drop=True)
+    x = rev["rev"].to_numpy(np.int64)
+    nk = len(x)
+    s0 = int(x.sum())
+    s1 = int((np.arange(1, nk + 1, dtype=np.int64) * x).sum())
+    gini = (2 * s1 - (nk + 1) * s0) * 1_000_000 // (nk * s0)
+    assert got["n_keys"] == nk
+    assert got["revenue_c"] == s0
+    assert got["gini_ppm"] == gini
+    assert 0 <= got["gini_ppm"] < 1_000_000
