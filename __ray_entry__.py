@@ -3038,6 +3038,18 @@ def _q_parts_clustering(sf_dir: str):
             .rename_columns({"node": "part"}).sort("part"))
 
 
+def _q_events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation MOMENTS of each type's dense hourly count
+    series (zero-filled span): exact integer (n, Σx, Σx², Σy, Σy², Σxy)
+    — any engine derives Pearson r, no float in the compare. One
+    coarse-bucket (type, hour) fold; the bounded series assembles in a
+    single group task."""
+    from raygeo.ops.window import hourly_autocorr_moments
+
+    return hourly_autocorr_moments(_rpq(f"{sf_dir}/events.parquet",
+                                        columns=["ts", "event_type"]))
+
+
 def _q_events_benford(sf_dir: str):
     """Benford first-significant-digit audit over the event cent values
     — fraud/anomaly screening. Pure map + 9-bin bounded fold; the
@@ -3976,6 +3988,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct": _q_events_sliding_distinct,  # trailing uniques
         "events_heavy_change": _q_events_heavy_change,  # PoP top changers
         "events_benford": _q_events_benford,  # first-digit audit
+        "events_autocorr": _q_events_autocorr,  # lag-1 hourly moments
         "mosaic_box_sums": _q_mosaic_box_sums,  # distributed SAT scan
         "mosaic_blur": _q_mosaic_blur,  # radius-2 halo stencil
         "mosaic_flowaccum": _q_mosaic_flowaccum,  # D8 flow accumulation
@@ -6659,6 +6672,37 @@ SELECT * FROM (
   UNION ALL
   SELECT 3, l, r, n::BIGINT FROM b3
 ) ORDER BY round
+""",
+        "events_autocorr": """
+WITH hb AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(h) AS lo, max(h) AS hi FROM hb GROUP BY 1
+),
+grid AS (
+  SELECT s.event_type, g.g AS h
+  FROM span s,
+       LATERAL (SELECT unnest(generate_series(s.lo, s.hi)) AS g) g
+),
+dense AS (
+  SELECT grid.event_type, grid.h, coalesce(hb.c, 0) AS c
+  FROM grid LEFT JOIN hb
+    ON hb.event_type = grid.event_type AND hb.h = grid.h
+),
+lagd AS (
+  SELECT event_type, c AS x,
+    lead(c) OVER (PARTITION BY event_type ORDER BY h) AS y
+  FROM dense
+)
+SELECT event_type, count(*)::BIGINT AS n_pairs,
+  sum(x)::BIGINT AS sum_x, sum(x * x)::BIGINT AS sum_x2,
+  sum(y)::BIGINT AS sum_y, sum(y * y)::BIGINT AS sum_y2,
+  sum(x * y)::BIGINT AS sum_xy
+FROM lagd WHERE y IS NOT NULL
+GROUP BY 1 ORDER BY 1
 """,
         "events_benford": """
 WITH c AS (

@@ -264,6 +264,7 @@ def run_bench() -> dict:
         "parts_abc",
         "events_benford",
         "supplier_gini",
+        "events_autocorr",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

@@ -1062,3 +1062,55 @@ def heavy_changers(events_ds, k: int = 20):
         "cnt_b": pa.array(df["cnt_b"].to_numpy(np.int64), pa.int64()),
         "delta": pa.array(df["delta"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def hourly_autocorr_moments(events_ds, k_lag: int = 1):
+    """Lag-k autocorrelation MOMENTS of each event type's hourly count
+    series — the seasonality/persistence probe: for the DENSE hourly
+    series x_t (zero-filled over the type's [min, max] hour span),
+    report the exact integer moments (n, sum_x, sum_x2, sum_xy with
+    y = x_{t+k}, sum_head, sum_tail) from which any engine computes the
+    Pearson lag-k r — no division or float ever enters the compare.
+
+    Hourly totals are time-bounded metadata (the tile-totals
+    discipline): one coarse-bucket (type, hour) count fold, then the
+    per-type series assembles inside a single group task (bounded by
+    the hour span) and the moments are one vectorized pass. Output:
+    (event_type, n_pairs, sum_x, sum_x2, sum_y, sum_y2, sum_xy).
+    """
+    from ..util import bucketed_fold, bucketed_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.ts.astype("datetime64[ns]").astype("int64")
+             // (3600 * 10**9))
+        g = (pd.DataFrame({"event_type": df.event_type.to_numpy(),
+                           "h": h.to_numpy()})
+             .groupby(["event_type", "h"], sort=False).size()
+             .rename("c").reset_index())
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    counts = bucketed_sum(
+        events_ds.select_columns(["ts", "event_type"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "h"], "c")
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            lo, hi = int(grp["h"].min()), int(grp["h"].max())
+            x = np.zeros(hi - lo + 1, np.int64)
+            x[grp["h"].to_numpy(np.int64) - lo] = \
+                grp["c"].to_numpy(np.int64)
+            if len(x) <= k_lag:
+                continue
+            a, b = x[:-k_lag], x[k_lag:]
+            out.append((et, len(a), int(a.sum()), int((a * a).sum()),
+                        int(b.sum()), int((b * b).sum()),
+                        int((a * b).sum())))
+        return pd.DataFrame(out, columns=["event_type", "n_pairs",
+                                          "sum_x", "sum_x2", "sum_y",
+                                          "sum_y2", "sum_xy"])
+
+    return bucketed_fold(counts, "event_type", moments) \
+        .sort("event_type")
