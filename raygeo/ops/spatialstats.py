@@ -2900,7 +2900,18 @@ def _cost_solve(D: np.ndarray, V: np.ndarray, M: np.ndarray) -> bool:
     if not M.any():
         return False
     vmax = max(int(V[M].max()), 1)
-    cap = np.int64(h) * np.int64(w) * 6 * vmax + 1
+    # Cap must exceed every true finite distance that can appear while
+    # solving THIS plane.  In cross-tile rounds the border cells carry
+    # globally accumulated distances (seeded tiles far away), which can
+    # meet or exceed the pure local bound h*w*6*vmax — a cap based only
+    # on the local plane would treat those incoming distances as
+    # unreached inside _minplus_scan and silently drop them.  Any
+    # distance resolvable in this solve is <= (max finite D already in
+    # the plane) + (worst-case in-plane path cost), so base the cap on
+    # the current state.
+    finite = M & (D < COST_INF)
+    base = np.int64(D[finite].max()) if finite.any() else np.int64(0)
+    cap = base + np.int64(h) * np.int64(w) * 6 * vmax + 1
     changed_any = False
     for _ in range(h + w + 8):
         before = D.copy()

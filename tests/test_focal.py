@@ -1234,3 +1234,67 @@ def test_upslope_value_weighted_matches_full_plane(ray_session):
     got = got.sort_values(["tx", "ty"]).reset_index(drop=True)
     exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cost_solve_incoming_distance_beyond_local_cap():
+    """ADVICE r4 (high): border cells entering a cross-tile round carry
+    globally accumulated distances that can exceed the pure local plane
+    bound h*w*6*vmax; a cap based only on the local plane treated them
+    as unreached and they propagated to ZERO cells."""
+    from raygeo.ops.spatialstats import COST_INF, _cost_solve
+
+    h, w = 1, 8
+    V = np.ones((h, w), np.int64)           # local-only cap would be 49
+    M = np.ones((h, w), bool)
+    D = np.full((h, w), COST_INF, np.int64)
+    D[0, 0] = 10_000                        # incoming distance >> 49
+    _cost_solve(D, V, M)
+    exp = 10_000 + 4 * np.arange(w)         # each axis step (1+1)*2 = 4
+    assert (D[0] == exp).all()
+
+
+def test_costdist_heterogeneous_cost_magnitudes(ray_session):
+    """End-to-end ADVICE r4 repro: low-cost tiles (tiny local caps)
+    downstream of high-cost terrain, seed far away — incoming strip
+    distances exceed every low-cost block's local plane bound."""
+    import ray.data as rd
+
+    from raygeo.ops.spatialstats import costdist_stats
+
+    pack = ChannelPack(RGB_CHANNELS)
+    rows = []
+    plane = np.zeros((SRC.height, SRC.width, 3), np.uint8)
+    valid = np.zeros((SRC.height, SRC.width), bool)
+    for ty in range(SRC.n_ty):
+        for tx in range(SRC.n_tx):
+            fill = 255 if tx == 0 else 1    # high-cost wall, cheap plains
+            canvas = np.full((16, 16, 3), fill, np.uint8)
+            mask = np.ones((16, 16), bool)
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            plane[tr0:tr1, tc0:tc1] = canvas
+            valid[tr0:tr1, tc0:tc1] = mask
+            rows.append({
+                "tile_id": f"{tx}-{ty}", "tx": tx, "ty": ty,
+                "px_z": zlib.compress(pack.to_bytes([canvas]), 1),
+                "mask_z": zlib.compress(mask.astype(np.uint8).tobytes(), 1),
+            })
+    seeds = [(0, 0)]
+    got = costdist_stats(rd.from_items(rows).repartition(5), SRC,
+                         _cost_pts_table(seeds)).to_pandas()
+    D = _dijkstra_plane(plane, valid, seeds)
+    exp = []
+    for tx in range(SRC.n_tx):
+        for ty in range(SRC.n_ty):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            d = D[tr0:tr1, tc0:tc1]
+            reach = d < (1 << 62)
+            if not reach.any():
+                continue
+            exp.append((f"{tx}-{ty}", tx, ty, int(reach.sum()),
+                        int(d[reach].sum()), int(d[reach].max())))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "n_reach",
+                                     "dist_sum", "dist_max"])
+    got = got.sort_values(["tx", "ty"]).reset_index(drop=True)
+    exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
+    assert len(got) == SRC.n_tx * SRC.n_ty  # every tile reached
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
