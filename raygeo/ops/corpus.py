@@ -1801,7 +1801,8 @@ def blocklist_filter(docs_ds, text_col: str = "text",
 
 
 def bpe_train(docs_ds, text_col: str = "text", n_merges: int = 4):
-    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — learn
+    """Distributed BPE-STYLE tokenizer training (after Sennrich et al.
+    2016, with one deliberate deviation — see below): learn
     the first ``n_merges`` merge rules from the corpus: the word
     frequency dictionary folds DISTRIBUTED (map-side partial counts +
     one coarse-bucket sum — the corpus streams once and only (word,
@@ -1813,6 +1814,17 @@ def bpe_train(docs_ds, text_col: str = "text", n_merges: int = 4):
     applies it with left-to-right non-overlapping replacement on the
     space-separated symbol string — exactly ``str.replace`` semantics,
     so DuckDB's ``replace()`` replays every round bit-for-bit.
+
+    Deviation from reference BPE (ADVICE r4): with back-to-back
+    occurrences of the winning pair (symbols ``a b a b``), standard
+    scan-based merging collapses both in one round, while the
+    ``str.replace`` discipline here merges only the first
+    non-overlapping occurrence per round, and ``pair_count`` is
+    tallied pre-replacement with overlap counting. The engine and the
+    SQL oracle share these semantics, so results are deterministic and
+    replayable — but the learned table is not guaranteed to be
+    byte-identical to a scan-based reference implementation on corpora
+    where a pair abuts itself.
 
     Output: (round, left, right, pair_count) — one row per learned
     merge, rounds 0-based; stops early if no pair repeats.

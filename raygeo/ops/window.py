@@ -1016,6 +1016,11 @@ def heavy_changers(events_ds, k: int = 20):
         hour_col, batch_format="pandas", batch_size=65536).materialize()
     agg = uh.aggregate(Min("h", alias_name="lo"),
                        Max("h", alias_name="hi"))
+    if agg is None or agg.get("lo") is None:  # empty events: no halves
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "cnt_a": pa.array([], pa.int64()),
+                         "cnt_b": pa.array([], pa.int64()),
+                         "delta": pa.array([], pa.int64())})
     lo, hi = int(agg["lo"]), int(agg["hi"])
     mid = lo + (hi - lo) // 2  # second half starts ABOVE mid
 

@@ -604,3 +604,17 @@ def test_heavy_changers_serial(ray_session):
     exp = pd.DataFrame(exp[:8], columns=["user_id", "cnt_a", "cnt_b",
                                          "delta"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_heavy_changers_empty_events(ray_session):
+    """ADVICE r4 (low): an empty events dataset used to crash on the
+    None min/max fold; it must return an empty 4-column table."""
+    import ray.data as rd
+
+    from raygeo.ops.window import heavy_changers
+
+    df = pd.DataFrame({"ts": pd.to_datetime([], unit="s"),
+                       "user_id": pd.array([], dtype=np.int64)})
+    got = heavy_changers(rd.from_pandas(df), k=5).to_pandas()
+    assert list(got.columns) == ["user_id", "cnt_a", "cnt_b", "delta"]
+    assert len(got) == 0
