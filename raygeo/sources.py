@@ -236,6 +236,23 @@ def ensure_extent_index(cache_dir: str, fetch, parts=("s", "m", "l")) -> list[st
     return paths
 
 
+def extent_index_post_create(cache_subdir: str, fetch,
+                             parts=("s", "m", "l")):
+    """``CubeSpec.post_create`` hook factory: warm the extent index once
+    at cube creation — the reference rides ``post_create`` for exactly
+    this (``datasets/arcticdem.py:187-189`` downloads the ArcticDEM
+    extent files from the hook). The cache lives under the cube
+    directory so it shares the cube's lifetime; ``fetch`` is the
+    transport hook (:func:`ensure_extent_index`)."""
+    import os
+
+    def hook(path: str, _spec) -> list[str]:
+        return ensure_extent_index(os.path.join(path, cache_subdir),
+                                   fetch, parts)
+
+    return hook
+
+
 def load_extent_index(paths: list[str]):
     """Read cached extent-index parts into one Arrow table (bbox columns),
     ready for a single ``ray.put``. Small side by construction — the index
