@@ -286,6 +286,15 @@ def run_bench() -> dict:
             counts["shared_tiles_build"] = 256
         timed(name, qs[name])
 
+    # eval-scale harnesses (VERDICT r4 #7): exhaustive-truth comparisons
+    # you run on an eval slice, not engine scale paths — their wall
+    # reports separately so the suite total reads as engine time
+    eval_scale = {"docs_dedup_eval"}
+    engine_wall = round(sum(s for n, s in timings.items()
+                            if n not in eval_scale), 3)
+    eval_wall = round(sum(s for n, s in timings.items()
+                          if n in eval_scale), 3)
+
     headline_sec = sum(timings[n] for n in headline_names)
     headline_rows = sum(counts[n] for n in headline_names)
     result = {
@@ -296,6 +305,9 @@ def run_bench() -> dict:
         "sf": sf_of_dir(SF_DIR),
         "num_cpus": NUM_CPUS,
         "rows": counts,
+        "engine_wall_sec": engine_wall,
+        "eval_wall_sec": eval_wall,
+        "eval_scale_queries": sorted(eval_scale & set(timings)),
         "tiles_join_rows_per_sec": round(headline_rows / headline_sec, 1)
         if headline_sec
         else None,

@@ -1317,7 +1317,7 @@ def mmr_select(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
 
 def nn_all(ds, vec_col: str = "embedding", id_col: str = "vec_id",
-           chunk_rows: int = 8192):
+           chunk_rows: int = 8192, max_rows: int = 1_000_000):
     """Exact 1-nearest-neighbor SELF-join: for EVERY row, its closest
     other row by integer squared L2 distance (tie → smaller neighbor id)
     — the per-row dual of top-k kNN (`knn`) and the exactness baseline
@@ -1334,10 +1334,25 @@ def nn_all(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     `ivf_knn` / `semdedup_pairs` are the approximate/bounded paths.
     Distances use the shared ``_quantized_matrix`` int64 contract, so
     the SQL oracle replays them bit-for-bit.
+
+    ``max_rows`` (VERDICT r4 #8, the ``persist_byte_budget`` pattern):
+    the N²·d contract is priced per call — past the cap the op raises at
+    PLAN time with the scale-path guidance instead of silently starting
+    a quadratic scan (1M rows is ~10¹² distance evaluations; the
+    approximate paths answer the same question in N·probes).
     """
     import ray
 
     qds = ds.select_columns([id_col, vec_col]).materialize()
+    n = int(qds.count())
+    if n > max_rows:
+        raise ValueError(
+            f"nn_all is the exact N^2*d brute-force baseline and the input "
+            f"has {n} rows (> max_rows={max_rows}): ~{n * n:.1e} distance "
+            "evaluations. Use ivf_knn (bounded probes), semdedup_pairs "
+            "(within-cluster pairs) or lsh_neardup_pairs for corpus-scale "
+            "nearest-neighbor work, or raise max_rows explicitly to pay "
+            "the quadratic cost on purpose.")
     refs = []
     for b in qds.iter_batches(batch_format="pyarrow",
                               batch_size=chunk_rows):

@@ -356,3 +356,24 @@ def test_hamming_knn_matches_brute(ray_session):
     r1 = got[got["rank"] == 1]
     assert (r1.query_id.to_numpy() == r1.vec_id.to_numpy()).all()
     assert (r1.hamming == 0).all()
+
+
+def test_nn_all_quadratic_guard(ray_session):
+    """VERDICT r4 #8: the N^2 baseline prices itself — over max_rows it
+    raises at plan time with the scale-path guidance."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from raygeo.ops.ann import nn_all
+
+    df = pd.DataFrame({
+        "vec_id": np.arange(10, dtype=np.int64),
+        "embedding": [np.random.default_rng(i).random(4).tolist()
+                      for i in range(10)],
+    })
+    with pytest.raises(ValueError, match="brute-force baseline"):
+        nn_all(rd.from_pandas(df), max_rows=5)
+    out = nn_all(rd.from_pandas(df), max_rows=10).to_pandas()
+    assert len(out) == 10
