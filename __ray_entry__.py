@@ -2426,6 +2426,54 @@ def _q_mosaic_tpi(sf_dir: str):
     return tpi_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
 
 
+def _q_mosaic_tri(sf_dir: str):
+    """Terrain Ruggedness Index per tile (Riley 1999, integer form):
+    tri_c = sum |v - v_n| over valid 8-neighbors; rugged iff
+    tri_c > threshold*nn by exact cross-multiply — the ring exchange.
+    Oracle replays with the 8-offset shift-then-equi-join."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.stencil import tri_stats
+
+    return tri_stats(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
+
+
+def _q_mosaic_impurity(sf_dir: str):
+    """Per-tile value-histogram Gini impurity, q6 fixed-point — exact
+    integer (n^2 - sum c^2)*1e6 // n^2 texture/diversity signal; a pure
+    per-tile map, nothing shuffles. Oracle: plane-dump groupby."""
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import tile_impurity
+
+    return tile_impurity(_tiles_lww(sf_dir), FIXTURE_GRID).sort("tile_id")
+
+
+def _q_parts_communities(sf_dir: str):
+    """Synchronous label-propagation communities (Raghavan 2007,
+    deterministic min-tiebreak frequency voting, 3 bounded rounds) over
+    the >=2-order co-purchase graph — node-bounded label broadcast per
+    round, per-node argmax in the coarse-bucket fold."""
+    from raygeo.ops.graph import lpa_communities
+    from raygeo.ops.relational import copurchase_pairs
+
+    edges = copurchase_pairs(_rpq(f"{sf_dir}/lineitem.parquet"),
+                             f"{sf_dir}/lineitem.parquet", k=None,
+                             min_count=2)
+    return lpa_communities(edges, "part_a", "part_b", rounds=3) \
+        .rename_columns(["part", "label"])
+
+
+def _q_docs_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of the BM25 and raw-term-frequency
+    rankings for the fixed query (Cormack 2009): rrf_q6 = sum
+    1e6 // (60 + rank) over truncated top-100 lists, fused over
+    <= 200 driver rows; both rankings keep local top-n map-side."""
+    from raygeo.ops.corpus import rrf_fuse_topk
+
+    return rrf_fuse_topk(_rpq(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+                         _SEARCH_TERMS, k=20)
+
+
 def _q_mosaic_hotspots(sf_dir: str):
     """Getis-Ord-Gi*-shaped hot-spot counts: a pixel is hot iff its 3x3
     window mean strictly exceeds the GLOBAL mean, decided by integer
@@ -4030,6 +4078,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_focal_median": _q_mosaic_focal_median,  # 3x3 lower median
         "mosaic_curvature": _q_mosaic_curvature,  # Laplacian + TRI moments
         "mosaic_tpi": _q_mosaic_tpi,  # topographic position classes
+        "mosaic_tri": _q_mosaic_tri,  # terrain ruggedness index
+        "mosaic_impurity": _q_mosaic_impurity,  # tile Gini impurity
+        "parts_communities": _q_parts_communities,  # LPA communities
+        "docs_rrf": _q_docs_rrf,  # reciprocal-rank fusion
         "mosaic_lbp": _q_mosaic_lbp,  # LBP texture histograms
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
         "mosaic_variogram": _q_mosaic_variogram,  # semivariance lags
@@ -4712,6 +4764,36 @@ r AS (
 )
 SELECT node::BIGINT AS part, MIN(d)::BIGINT AS hops
 FROM r GROUP BY node ORDER BY part"""
+
+
+def _lpa_sql(rounds: int = 3, min_count: int = 2) -> str:
+    """Unrolled synchronous LPA oracle: each round votes the most
+    frequent neighbor label (tie -> smallest) from the PREVIOUS round's
+    labels — exactly the engine's bounded-round semantics."""
+    parts = [f"""
+WITH dp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS n
+  FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+e0 AS MATERIALIZED (
+  SELECT pa AS s, pb AS t FROM cnt WHERE n >= {min_count}
+  UNION ALL SELECT pb, pa FROM cnt WHERE n >= {min_count}),
+r0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lab FROM e0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+c{r} AS MATERIALIZED (
+  SELECT e.t AS node, l.lab, count(*) AS c
+  FROM e0 e JOIN r{r - 1} l ON l.node = e.s GROUP BY 1, 2),
+r{r} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c{r}) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT node::BIGINT AS part, lab::BIGINT AS label
+FROM r{rounds} ORDER BY part""")
+    return "".join(parts)
 
 
 def _kcore_sql(k: int = 2, rounds: int = 8, min_count: int = 2) -> str:
@@ -6153,6 +6235,90 @@ SELECT concat(CAST(x // 128 AS VARCHAR), '-',
   code::BIGINT AS lbp, count(*)::BIGINT AS n_px
 FROM ctr WHERE nn = 8
 GROUP BY 1, 2, 3, 4 ORDER BY 1, 4
+""",
+        "mosaic_tri": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+offs AS (SELECT * FROM (VALUES
+  (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+  (1, -1), (1, 0), (1, 1)) AS t(dy, dx)),
+n8 AS (SELECT p.y - o.dy AS cy, p.x - o.dx AS cx, p.v
+       FROM px p, offs o),
+ctr AS (
+  SELECT c.y, c.x, count(*) AS nn, sum(abs(c.v - n.v)) AS tri
+  FROM px c JOIN n8 n ON n.cy = c.y AND n.cx = c.x
+  GROUP BY 1, 2
+)
+SELECT concat(CAST(x // 128 AS VARCHAR), '-',
+              CAST(y // 128 AS VARCHAR)) AS tile_id,
+  (x // 128)::BIGINT AS tx, (y // 128)::BIGINT AS ty,
+  count(*)::BIGINT AS n_px,
+  sum(tri)::BIGINT AS tri_sum,
+  sum(CASE WHEN tri > 15 * nn THEN 1 ELSE 0 END)::BIGINT AS n_rugged
+FROM ctr GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "mosaic_impurity": f"""
+WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),
+c AS (SELECT x // 128 AS tx, y // 128 AS ty, v, count(*)::BIGINT AS c
+      FROM px GROUP BY 1, 2, 3),
+t AS (SELECT tx, ty, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS ssq
+      FROM c GROUP BY 1, 2)
+SELECT concat(CAST(tx AS VARCHAR), '-', CAST(ty AS VARCHAR)) AS tile_id,
+  tx::BIGINT AS tx, ty::BIGINT AS ty, n AS n_px,
+  ((n * n - ssq) * 1000000 // (n * n))::BIGINT AS impurity_q6
+FROM t ORDER BY 1
+""",
+        "parts_communities": _lpa_sql(),
+        "docs_rrf": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+dls AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dls),
+qt(term) AS (VALUES ('hash'), ('join'), ('batch')),
+dfs AS (
+  SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS df
+  FROM toks t JOIN qt USING (term) GROUP BY 1
+),
+tfs AS (
+  SELECT t.doc_id, t.term, count(*)::BIGINT AS tf
+  FROM toks t JOIN qt USING (term) GROUP BY 1, 2
+),
+sc AS (
+  SELECT f.doc_id,
+    sum(GREATEST(1, length(ltrim(bin(c.n + 1), '0'))
+                    - length(ltrim(bin(d.df), '0')))
+        * ((44::HUGEINT * c.s * f.tf * 1000000)
+           // (20::HUGEINT * c.s * f.tf + 6::HUGEINT * c.s
+               + 18::HUGEINT * l.dl * c.n))) AS bm25_q6
+  FROM tfs f
+  JOIN dls l USING (doc_id)
+  CROSS JOIN corpus c
+  JOIN dfs d ON d.term = f.term
+  GROUP BY 1
+),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25_q6 DESC, doc_id) AS rnk
+  FROM (SELECT doc_id, bm25_q6 FROM sc
+        ORDER BY bm25_q6 DESC, doc_id LIMIT 100)
+),
+tf2 AS (SELECT doc_id, sum(tf)::BIGINT AS tf FROM tfs GROUP BY 1),
+tfr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rnk
+  FROM (SELECT doc_id, tf FROM tf2 ORDER BY tf DESC, doc_id LIMIT 100)
+),
+f AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         coalesce(b.rnk, 0)::BIGINT AS bm25_rank,
+         coalesce(t.rnk, 0)::BIGINT AS tf_rank
+  FROM bmr b FULL OUTER JOIN tfr t ON b.doc_id = t.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id,
+  (CASE WHEN bm25_rank > 0 THEN 1000000 // (60 + bm25_rank) ELSE 0 END
+   + CASE WHEN tf_rank > 0 THEN 1000000 // (60 + tf_rank) ELSE 0 END
+  )::BIGINT AS rrf_q6,
+  bm25_rank, tf_rank
+FROM f ORDER BY rrf_q6 DESC, doc_id LIMIT 20
 """,
         "mosaic_tpi": f"""
 WITH px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}')),

@@ -1357,6 +1357,74 @@ def bm25_topk(docs_ds, terms: list[str], text_col: str = "text",
                       descending=[True, False]).limit(k)
 
 
+def rrf_fuse_topk(docs_ds, terms: list[str], text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 20, kconst: int = 60,
+                  topn: int = 100):
+    """Reciprocal-Rank Fusion of two retrieval rankings for a fixed
+    query-term set (Cormack et al. 2009 — the hybrid-retrieval combiner
+    used to merge lexical and secondary scorers): list A ranks by the
+    integer-exact BM25 (:func:`bm25_topk`), list B by raw summed query-
+    term frequency; ``rrf_q6(d) = Σ_lists 10⁶ // (kconst + rank_d)``
+    under floor division, so the fused score replays bit-for-bit in SQL.
+    Ranks are 1-based positions under (score desc, id asc) within each
+    list's top-``topn``; a doc outside a list's top-``topn`` contributes
+    nothing from that list (standard truncated-list RRF).
+
+    Plan: each ranking follows the bm25_topk discipline (corpus
+    constants fold via a tiny keyed sum + broadcast; scoring a pure map
+    keeping its LOCAL top-n, so the final sort sees n rows per batch);
+    the fusion itself touches <= 2·topn driver rows — never the corpus.
+    Output (doc_id, rrf_q6, bm25_rank, tf_rank), rank 0 = absent from
+    that list's top-``topn``, top ``k`` by (rrf_q6 desc, doc_id).
+    """
+    tok = re.compile(LOWER_TOKEN_RE)
+    tset = list(dict.fromkeys(terms))
+
+    bm = bm25_topk(docs_ds, terms, text_col=text_col, id_col=id_col,
+                   k=topn)
+    bm = bm if isinstance(bm, pa.Table) else pa.Table.from_pandas(
+        bm.to_pandas())
+
+    def tf_topk(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(tok)
+        ids = df[id_col].to_numpy(np.int64)
+        out_id, out_s = [], []
+        for i, ts in enumerate(toks):
+            s = sum(ts.count(t) for t in tset)
+            if s:
+                out_id.append(int(ids[i]))
+                out_s.append(s)
+        loc = pd.DataFrame({id_col: pd.Series(out_id, dtype=np.int64),
+                            "tf": pd.Series(out_s, dtype=np.int64)})
+        return loc.sort_values(["tf", id_col],
+                               ascending=[False, True]).head(topn)
+
+    tf = (docs_ds.select_columns([id_col, text_col])
+          .map_batches(tf_topk, batch_format="pandas", batch_size=4096,
+                       num_cpus=1)
+          .sort(["tf", id_col], descending=[True, False])
+          .limit(topn).to_pandas())
+
+    ranks: dict[int, list[int]] = {}
+    for pos, did in enumerate(bm.column(id_col).to_pylist(), 1):
+        ranks.setdefault(int(did), [0, 0])[0] = pos
+    for pos, did in enumerate(tf[id_col].tolist(), 1):
+        ranks.setdefault(int(did), [0, 0])[1] = pos
+    fused = []
+    for did, (ra, rb) in ranks.items():
+        s = (10**6 // (kconst + ra) if ra else 0) \
+            + (10**6 // (kconst + rb) if rb else 0)
+        fused.append((did, s, ra, rb))
+    fused.sort(key=lambda r: (-r[1], r[0]))
+    fused = fused[:k]
+    return pa.table({
+        id_col: pa.array([r[0] for r in fused], pa.int64()),
+        "rrf_q6": pa.array([r[1] for r in fused], pa.int64()),
+        "bm25_rank": pa.array([r[2] for r in fused], pa.int64()),
+        "tf_rank": pa.array([r[3] for r in fused], pa.int64()),
+    })
+
+
 def cdc_chunks(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                k: int = 8, mod: int = 64, n_buckets: int | None = None):
     """Content-defined chunking (the rolling-window boundary rule behind

@@ -333,6 +333,84 @@ def label_propagation(edges_ds, src_col: str = "term_a",
     })
 
 
+def lpa_communities(edges_ds, a_col: str = "part_a",
+                    b_col: str = "part_b", rounds: int = 3):
+    """Synchronous label-propagation COMMUNITIES (Raghavan et al. 2007),
+    deterministic form: labels init to the node id; each round every
+    node adopts the MOST FREQUENT label among its neighbors (tie → the
+    smallest label), all nodes updating simultaneously from the previous
+    round's labels. Unlike the min-label propagation
+    (:func:`label_propagation`, which converges to connected
+    components), frequency voting finds communities denser than their
+    surroundings; bounded ``rounds`` keeps the oracle exactly unrollable
+    whether or not the labeling has stabilized.
+
+    Plan (the pagerank shape): the label state is NODE-bounded and
+    broadcasts once per round via ``ray.put``; edges stream through
+    map-side (node, label) count partials; the per-node argmax runs in
+    the coarse-bucket fold (vectorized, never a per-key dispatch); only
+    node-bounded rows reach the driver. Raw edges never accumulate.
+    Output: (node, label) for every node, sorted by node.
+    """
+    import ray
+
+    from ..util import bucketed_fold
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy().astype(np.int64)
+        b = t.column(b_col).to_numpy().astype(np.int64)
+        return pa.table({"s": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "t": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edges = edges_ds.select_columns([a_col, b_col]).map_batches(
+        sym, batch_format="pyarrow", batch_size=65536).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(
+            np.unique(t.column("s").to_numpy()), pa.int64())})
+
+    nodes = sorted({int(r["node"]) for r in edges.map_batches(
+        node_partial, batch_format="pyarrow").take_all()})  # node-bounded
+    labels = {n: n for n in nodes}
+
+    for _ in range(rounds):
+        ref = ray.put(labels)
+
+        def send(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            lab = ray.get(_r)  # zero-copy plasma read per task
+            d = pd.DataFrame({
+                "node": df["t"].to_numpy(np.int64),
+                "lab": df["s"].map(lab).to_numpy(np.int64)})
+            g = (d.groupby(["node", "lab"], sort=False).size()
+                 .reset_index(name="c"))
+            g["c"] = g["c"].astype(np.int64)
+            return g
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            s = (g.groupby(["node", "lab"], sort=False)["c"].sum()
+                 .reset_index())
+            s = s.sort_values(["node", "c", "lab"],
+                              ascending=[True, False, True])
+            return s.drop_duplicates("node", keep="first")[["node", "lab"]]
+
+        picked = bucketed_fold(
+            edges.map_batches(send, batch_format="pandas",
+                              batch_size=65536),
+            "node", pick,
+            clean_schema=pa.schema([("node", pa.int64()),
+                                    ("lab", pa.int64())])).take_all()
+        new = dict(labels)
+        for r in picked:
+            new[int(r["node"])] = int(r["lab"])
+        labels = new
+
+    ns = sorted(labels)
+    return pa.table({
+        "node": pa.array(ns, pa.int64()),
+        "label": pa.array([labels[n] for n in ns], pa.int64()),
+    })
+
+
 def connected_components_pairs(pairs_ds, id_a: str = "id_a",
                                id_b: str = "id_b",
                                num_partitions: int | None = None,

@@ -2288,6 +2288,38 @@ def tpi_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
                             names=("n_px", "n_ridge", "n_valley"))
 
 
+def tri_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
+              threshold: int = 15):
+    """Terrain Ruggedness Index per tile (Riley et al. 1999, integer
+    form): every valid pixel with >=1 valid 8-neighbor contributes
+    ``tri_c = Σ |v - v_n|`` over its valid neighbors; the tile reports
+    ``tri_sum = Σ tri_c`` and the rugged-cell count where the per-cell
+    mean absolute difference exceeds ``threshold`` by exact integer
+    cross-multiplication (``tri_c > threshold·nn`` — no division, no
+    float; the TPI discipline). Output (tile_id, tx, ty, n_px, tri_sum,
+    n_rugged). Same O(perimeter) ring exchange as curvature/TPI
+    (``ring_focal_stats``); oracle = the plane-dump shift-equi-join in
+    SQL."""
+
+    def reduce_fn(P, M):
+        S, C = _shift_stack(P, M)
+        cv, cm = S[4], C[4]
+        nn = np.zeros(cv.shape, np.int64)
+        tri = np.zeros(cv.shape, np.int64)
+        for i in range(9):
+            if i == 4:
+                continue
+            vn = C[i] & cm
+            nn += vn
+            tri += np.where(vn, np.abs(S[i] - cv), 0)
+        sel = cm & (nn > 0)
+        rug = (sel & (tri > threshold * nn)).astype(np.int64)
+        return sel, np.where(sel, tri, 0), rug
+
+    return ring_focal_stats(tiles_ds, grid, reduce_fn, pack,
+                            names=("n_px", "tri_sum", "n_rugged"))
+
+
 def _lbp_codes(V: np.ndarray, M: np.ndarray) -> np.ndarray:
     """Per interior position of a padded (h+2, w+2) frame: the 8-bit
     Local Binary Pattern code (bit i set iff neighbor_i >= center, bits

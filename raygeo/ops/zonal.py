@@ -279,6 +279,57 @@ def mosaic_histogram(tiles_ds, grid: GridSpec, pack=None):
             .aggregate(Sum("n_px", alias_name="n_px")))
 
 
+def tile_impurity(tiles_ds, grid: GridSpec, pack=None):
+    """Per-tile value-histogram Gini impurity, q6 fixed-point — the
+    texture/diversity stratification signal next to LBP and entropy:
+    ``impurity_q6 = (n² − Σ_v c_v²)·10⁶ // n²`` over the tile's valid
+    channel-sum values (0 = constant tile, → 10⁶ as values spread).
+    Exact integer arithmetic (no log, unlike Shannon entropy), so DuckDB
+    replays it bit-for-bit from the plane dump.
+
+    A pure per-tile map — the value histogram never leaves the task and
+    NOTHING shuffles (each tile row already holds its canvas). Output
+    (tile_id, tx, ty, n_px, impurity_q6) for tiles with >= 1 valid px.
+    """
+    import zlib
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+
+    OUT = pa.schema([("tile_id", pa.string()), ("tx", pa.int64()),
+                     ("ty", pa.int64()), ("n_px", pa.int64()),
+                     ("impurity_q6", pa.int64())])
+
+    def per_tile(t: pa.Table) -> pa.Table:
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        out: dict[str, list] = {k: [] for k in OUT.names}
+        for j in range(len(t)):
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            vals = _vsum(canvas, pack)[mask]
+            n = len(vals)
+            if not n:
+                continue
+            counts = np.bincount(vals - int(vals.min()))
+            ssq = int((counts.astype(np.int64) ** 2).sum())
+            out["tile_id"].append(f"{txs[j]}-{tys[j]}")
+            out["tx"].append(int(txs[j]))
+            out["ty"].append(int(tys[j]))
+            out["n_px"].append(n)
+            out["impurity_q6"].append((n * n - ssq) * 10**6 // (n * n))
+        return pa.table(out, schema=OUT)
+
+    return (tiles_ds.select_columns(["tx", "ty", "px_z", "mask_z"])
+            .map_batches(per_tile, batch_format="pyarrow", batch_size=16,
+                         num_cpus=1))
+
+
 def mosaic_equalize(tiles_ds, grid: GridSpec, pack=None,
                     levels: int = 256):
     """Histogram equalization of the mosaic (the contrast-stretch classic)

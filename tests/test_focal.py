@@ -1298,3 +1298,54 @@ def test_costdist_heterogeneous_cost_magnitudes(ray_session):
     exp = exp.sort_values(["tx", "ty"]).reset_index(drop=True)
     assert len(got) == SRC.n_tx * SRC.n_ty  # every tile reached
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tri_matches_full_plane(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.stencil import tri_stats
+
+    rows, plane, valid = _random_mosaic(seed=47, p_absent=0.35)
+    got = tri_stats(rd.from_items(rows).repartition(4), SRC,
+                    threshold=15).to_pandas()
+    S, C = _window_stacks(plane, valid)
+    cv, cm = S[4], C[4]
+    nn = np.zeros(cv.shape, np.int64)
+    tri = np.zeros(cv.shape, np.int64)
+    for i in range(9):
+        if i == 4:
+            continue
+        vn = C[i] & cm
+        nn += vn
+        tri += np.where(vn, np.abs(S[i] - cv), 0)
+    sel = cm & (nn > 0)
+    rug = (sel & (tri > 15 * nn)).astype(np.int64)
+    _check(got, _per_tile(rows, sel, np.where(sel, tri, 0), rug),
+           ["n_px", "tri_sum", "n_rugged"])
+
+
+def test_tile_impurity_matches_serial(ray_session):
+    import ray.data as rd
+
+    from raygeo.ops.zonal import tile_impurity
+
+    rows, plane, valid = _random_mosaic(seed=53, p_absent=0.3)
+    got = tile_impurity(rd.from_items(rows).repartition(4), SRC) \
+        .to_pandas().sort_values("tile_id").reset_index(drop=True)
+    v = plane.astype(np.int64).sum(axis=2)
+    exp = []
+    for tx in range(SRC.n_tx):
+        for ty in range(SRC.n_ty):
+            tc0, tc1, tr0, tr1 = SRC.tile_pixel_window(tx, ty)
+            vals = v[tr0:tr1, tc0:tc1][valid[tr0:tr1, tc0:tc1]]
+            n = len(vals)
+            if not n:
+                continue
+            cnt = np.bincount(vals)
+            ssq = int((cnt.astype(np.int64) ** 2).sum())
+            exp.append((f"{tx}-{ty}", tx, ty, n,
+                        (n * n - ssq) * 10**6 // (n * n)))
+    exp = pd.DataFrame(exp, columns=["tile_id", "tx", "ty", "n_px",
+                                     "impurity_q6"]) \
+        .sort_values("tile_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -2617,3 +2617,41 @@ def test_gini_coefficient_serial(ray_session):
     assert got["revenue_c"] == s0
     assert got["gini_ppm"] == gini
     assert 0 <= got["gini_ppm"] < 1_000_000
+
+
+def test_lpa_communities_serial(ray_session):
+    """Synchronous frequency-vote LPA vs a serial replay: two dense
+    cliques joined by one bridge edge keep distinct labels under
+    bounded rounds, and ties break to the smaller label."""
+    import ray.data as rd
+
+    from raygeo.ops.graph import lpa_communities
+
+    edges = []
+    for grp in (range(0, 5), range(10, 15)):
+        g = list(grp)
+        edges += [(a, b) for i, a in enumerate(g) for b in g[i + 1:]]
+    edges.append((4, 10))  # bridge
+    df = pd.DataFrame(edges, columns=["part_a", "part_b"])
+    got = lpa_communities(rd.from_pandas(df).repartition(3),
+                          rounds=3).to_pandas()
+
+    # serial synchronous replay
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            best = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == best)
+        lab = new
+    exp = pd.DataFrame(sorted(lab.items()), columns=["node", "label"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.set_index("node")["label"][0] != \
+        got.set_index("node")["label"][14]  # cliques stay distinct
