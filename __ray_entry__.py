@@ -3936,6 +3936,8 @@ _R05_WINDOW_HEAD = [
     "docs_blocklist", "orders_rolling", "docs_bpe_train",
     "docs_dedup_eval", "emb_sq8", "events_heavy_change", "parts_abc",
     "events_benford", "supplier_gini", "events_autocorr",
+    # round-5 additions (never driver-checked, same-day oracles):
+    "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
     "events_cms_counts", "events_ewma", "orders_ntile", "docs_bm25",
     "lineitem_regr", "supplier_hhi", "parts_triangles", "mosaic_box_sums",
     "mosaic_blur", "mosaic_flowaccum", "q6_band_revenue", "q9_profit",

@@ -414,7 +414,8 @@ def lpa_communities(edges_ds, a_col: str = "part_a",
 def connected_components_pairs(pairs_ds, id_a: str = "id_a",
                                id_b: str = "id_b",
                                num_partitions: int | None = None,
-                               max_rounds: int = 64):
+                               max_rounds: int = 64,
+                               single_task_cap: int = 4_000_000):
     """EXACT connected components over an int64 edge Dataset — fully
     Dataset-resident (VERDICT r2 "what's wrong" #1: the dedup keep-list's
     pair graph is O(dup docs) at 100 TB and must never union-find on the
@@ -464,6 +465,46 @@ def connected_components_pairs(pairs_ds, id_a: str = "id_a",
     edges = (pairs_ds.select_columns([id_a, id_b])
              .map_batches(sym, batch_format="pyarrow", batch_size=65536)
              .materialize())
+
+    # Under-cap fast path (the kcore frontier-cap discipline): the
+    # Dataset-resident round loop pays ~0.2-1 s of driver plan overhead
+    # per round regardless of data volume (measured 8.9 s for the
+    # stream-links CC at sf0.1 whose edge set is 400k rows). When the
+    # symmetrized edge set fits one task comfortably, run the whole
+    # min-label fixpoint vectorized in ONE worker task — identical
+    # output (rep = component minimum id). Above the cap the iterative
+    # path below preserves the never-on-one-machine 100 TB contract.
+    if int(edges.count()) <= single_task_cap:
+        import ray
+        import ray.data as rd
+
+        @ray.remote
+        def _cc_single(*blocks):
+            parts = [b for b in blocks if b.num_rows]
+            if not parts:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "rep": pa.array([], pa.int64())})
+            s = np.concatenate([b.column("s").to_numpy() for b in parts])
+            t = np.concatenate([b.column("t").to_numpy() for b in parts])
+            nodes, inv = np.unique(np.concatenate([s, t]),
+                                   return_inverse=True)
+            ei, ej = inv[:len(s)], inv[len(s):]
+            lab = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                before = lab.copy()
+                le = np.minimum(lab[ei], lab[ej])
+                np.minimum.at(lab, ei, le)
+                np.minimum.at(lab, ej, le)
+                lab = np.minimum(lab, lab[lab])  # pointer compression
+                lab = np.minimum(lab, lab[lab])
+                if np.array_equal(lab, before):
+                    break
+            return pa.table({"node": pa.array(nodes, pa.int64()),
+                             "rep": pa.array(nodes[lab], pa.int64())})
+
+        return rd.from_arrow_refs([_cc_single.remote(
+            *edges.to_arrow_refs())])
+
     # each round's executions hold <= 2 aggregator pools live; cap so the
     # reservations can never deadlock a small cluster (see util docstring).
     # num_partitions=None sizes from the materialized edge volume

@@ -88,3 +88,25 @@ def test_temporal_trend_matches_golden(ray_session, fixtures_sf0001):
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
     # trend must actually discriminate: some pixels positive, some not
     assert 0 < got["n_px_pos"].sum() < got["n_px_trend"].sum()
+
+
+def test_cc_single_task_equals_iterative(ray_session):
+    """The under-cap single-task union-find and the Dataset-resident
+    round loop must agree bit-for-bit (same (node, rep=min id) rows)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.graph import connected_components_pairs
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    a = rng.integers(0, 400, 1500).astype(np.int64)
+    b = rng.integers(0, 400, 1500).astype(np.int64)
+    keep = a != b
+    df = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+    fast = connected_components_pairs(rd.from_pandas(df).repartition(5)) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    slow = connected_components_pairs(rd.from_pandas(df).repartition(5),
+                                      single_task_cap=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
