@@ -2928,6 +2928,19 @@ def _q_q9_profit(sf_dir: str):
                      f"{sf_dir}/nation.parquet")
 
 
+def _q_q7_nations_trade(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): cross-nation revenue between
+    the two fixed nations per (supp_nation, cust_nation, ship year) —
+    supplier/customer nation probes broadcast, one partitioned
+    lineitem⋈orders join, 2x2x|years| fold."""
+    from raygeo.ops.relational import q7_nations_trade
+
+    return q7_nations_trade(
+        _rpq(f"{sf_dir}/lineitem.parquet"), f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/customer.parquet", f"{sf_dir}/supplier.parquet",
+        f"{sf_dir}/nation.parquet")
+
+
 def _q_q8_market_share(sf_dir: str):
     """TPC-H Q8 shape: per order year, nation share of a part type's
     region revenue as exact integer moments (num, den) — dimension probes
@@ -3938,6 +3951,7 @@ _R05_WINDOW_HEAD = [
     "events_benford", "supplier_gini", "events_autocorr",
     # round-5 additions (never driver-checked, same-day oracles):
     "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
+    "q7_nations_trade",
     "events_cms_counts", "events_ewma", "orders_ntile", "docs_bm25",
     "lineitem_regr", "supplier_hhi", "parts_triangles", "mosaic_box_sums",
     "mosaic_blur", "mosaic_flowaccum", "q6_band_revenue", "q9_profit",
@@ -4058,6 +4072,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_upslope": _q_mosaic_upslope,  # value-weighted flow accum
         "q6_band_revenue": _q_q6_band_revenue,  # Q6 map-side fold
         "q9_profit": _q_q9_profit,  # Q9 nation x year profit
+        "q7_nations_trade": _q_q7_nations_trade,  # TPC-H Q7 volume shipping
         "q8_market_share": _q_q8_market_share,  # Q8 exact share moments
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # Q21 sole-max
         "q20_excess_suppliers": _q_q20_excess_suppliers,  # Q20 half-share
@@ -6593,6 +6608,29 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE p.p_name LIKE '%bolt%'
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q7_nations_trade": """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+  FROM lineitem WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+),
+sn AS (SELECT s_suppkey, n_name AS supp_nation
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name IN ('NATION_1', 'NATION_2')),
+cn AS (SELECT c_custkey, n_name AS cust_nation
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       WHERE n_name IN ('NATION_1', 'NATION_2'))
+SELECT supp_nation, cust_nation, l_year,
+  sum(rev_c4)::BIGINT AS revenue_c4
+FROM l
+JOIN sn ON l.l_suppkey = sn.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN cn ON o.o_custkey = cn.c_custkey
+WHERE supp_nation <> cust_nation
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
         "q8_market_share": """
 WITH rev AS (

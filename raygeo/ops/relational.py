@@ -62,6 +62,9 @@ def _sorted_probe(keys: np.ndarray, probe: np.ndarray):
     beyond max(keys) must not IndexError) — rows with missing keys are
     dropped by the caller, matching SQL inner-join semantics.
     """
+    if len(keys) == 0:  # empty dimension slice: nothing matches
+        return (np.zeros(len(probe), np.int64),
+                np.zeros(len(probe), bool))
     pos = np.searchsorted(keys, probe)
     pos_c = np.clip(pos, 0, len(keys) - 1)
     found = keys[pos_c] == probe
@@ -4063,4 +4066,158 @@ def gini_coefficient(lineitem_ds, key_col: str = "l_suppkey",
         "n_keys": pa.array([n_total], pa.int64()),
         "revenue_c": pa.array([s_total], pa.int64()),
         "gini_ppm": pa.array([int(gini_ppm)], pa.int64()),
+    })
+
+
+def q7_nations_trade(lineitem_ds, orders_path: str, customer_path: str,
+                     supplier_path: str, nation_path: str,
+                     nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+                     y_lo: int = 1996, y_hi: int = 1998,
+                     num_partitions: int | None = None):
+    """TPC-H Q7 shape (volume shipping): revenue between the two fixed
+    nations per (supp_nation, cust_nation, ship year), both directions,
+    ship year in [y_lo, y_hi] — (supp_nation, cust_nation, l_year,
+    revenue_c4) with revenue in cent x (100 - disc_pct) fixed point.
+
+    Plan: supplier->nation and customer->nation maps are dimension-sized
+    sorted probes broadcast ONCE (``ray.put``); lineitem folds map-side
+    to per-(orderkey, supp-nation, year) revenue partials after the
+    supplier probe filters to the two nations; orders pre-probes its
+    customer side map-side (o_custkey -> cust nation, non-matching
+    orders drop), so the ONE partitioned hash join carries only
+    annotated partials; the final fold is 2 x 2 x years bounded.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import join_partitions, read_parquet_clean
+
+    if num_partitions is None:
+        num_partitions = join_partitions(orders_path)
+    nat = pq.read_table(nation_path).to_pandas()
+    want = {nation_a, nation_b}
+    keys = {int(k): n for k, n in zip(nat["n_nationkey"], nat["n_name"])
+            if n in want}
+
+    def _nation_probe(path, key_col, nk_col):
+        t = pq.read_table(path, columns=[key_col, nk_col])
+        k = t.column(key_col).to_numpy().astype(np.int64)
+        nk = t.column(nk_col).to_numpy().astype(np.int64)
+        sel = np.isin(nk, list(keys))
+        k, nk = k[sel], nk[sel]
+        ix = np.argsort(k)
+        return k[ix], nk[ix]
+
+    sk, snk = _nation_probe(supplier_path, "s_suppkey", "s_nationkey")
+    ck, cnk = _nation_probe(customer_path, "c_custkey", "c_nationkey")
+    probes_ref = ray.put((sk, snk, ck, cnk))
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        skeys, snat, _ck, _cnk = ray.get(probes_ref)
+        yr = t.column("l_shipdate").to_numpy().astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        ls = t.column("l_suppkey").to_numpy().astype(np.int64)
+        spos, sfound = _sorted_probe(skeys, ls)
+        keep = sfound & (yr >= y_lo) & (yr <= y_hi)
+        if not keep.any():
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "s_nk": pa.array([], pa.int64()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev_c4": pa.array([], pa.int64())})
+        price = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64))
+        g = (pd.DataFrame({
+            "l_orderkey": t.column("l_orderkey").to_numpy()[keep],
+            "s_nk": snat[spos[keep]],
+            "l_year": yr[keep],
+            "rev_c4": rev})
+            .groupby(["l_orderkey", "s_nk", "l_year"], sort=False)
+            ["rev_c4"].sum().reset_index())
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "s_nk": pa.array(g["s_nk"].to_numpy(np.int64)),
+            "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+            "rev_c4": pa.array(g["rev_c4"].to_numpy(np.int64)),
+        })
+
+    def opartial(t: pa.Table) -> pa.Table:
+        _sk, _snk, ckeys, cnat = ray.get(probes_ref)
+        oc = t.column("o_custkey").to_numpy().astype(np.int64)
+        cpos, cfound = _sorted_probe(ckeys, oc)
+        t2 = pa.table({
+            "o_orderkey": t.column("o_orderkey").filter(pa.array(cfound)),
+            "c_nk": pa.array(cnat[cpos[cfound]], pa.int64()),
+        })
+        return t2
+
+    from ..util import drop_empty_blocks
+
+    # drop_empty_blocks: an all-filtered side emits 0-row schema-less
+    # blocks that poison the hash join's finalize (the bucketed_fold
+    # clean_schema lesson)
+    parts = drop_empty_blocks(
+        lineitem_ds.select_columns(
+            ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+             "l_discount"]).map_batches(
+            lpartial, batch_format="pyarrow",
+            batch_size=65536).materialize(),
+        pa.schema([("l_orderkey", pa.int64()), ("s_nk", pa.int64()),
+                   ("l_year", pa.int64()), ("rev_c4", pa.int64())]))
+    orders = drop_empty_blocks(
+        read_parquet_clean(orders_path,
+                           columns=["o_orderkey", "o_custkey"])
+        .map_batches(opartial, batch_format="pyarrow",
+                     batch_size=65536).materialize(),
+        pa.schema([("o_orderkey", pa.int64()), ("c_nk", pa.int64())]))
+    _EMPTY_OUT = pa.table({
+        "supp_nation": pa.array([], pa.string()),
+        "cust_nation": pa.array([], pa.string()),
+        "l_year": pa.array([], pa.int64()),
+        "revenue_c4": pa.array([], pa.int64()),
+    })
+    if int(parts.count()) == 0 or int(orders.count()) == 0:
+        # a zero-row side leaves the hash-join partitions schema-less
+        # (FieldRef resolution fails in finalize) — and the answer is
+        # known anyway
+        return _EMPTY_OUT
+    joined = parts.join(orders, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    names = keys
+
+    def fold(t: pa.Table) -> pa.Table:
+        snk_ = t.column("s_nk").to_numpy()
+        cnk_ = t.column("c_nk").to_numpy()
+        keep = snk_ != cnk_  # cross-nation trade only
+        g = (pd.DataFrame({
+            "s_nk": snk_[keep], "c_nk": cnk_[keep],
+            "l_year": t.column("l_year").to_numpy()[keep],
+            "rev_c4": t.column("rev_c4").to_numpy()[keep]})
+            .groupby(["s_nk", "c_nk", "l_year"], sort=False)["rev_c4"]
+            .sum().reset_index())
+        return pa.table({
+            "s_nk": pa.array(g["s_nk"].to_numpy(np.int64)),
+            "c_nk": pa.array(g["c_nk"].to_numpy(np.int64)),
+            "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+            "rev_c4": pa.array(g["rev_c4"].to_numpy(np.int64)),
+        })
+
+    agg = (joined.map_batches(fold, batch_format="pyarrow",
+                              batch_size=65536)
+           .groupby(["s_nk", "c_nk", "l_year"])
+           .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+           .to_pandas())  # 2 x 2 x years bounded
+    agg["supp_nation"] = agg["s_nk"].map(names)
+    agg["cust_nation"] = agg["c_nk"].map(names)
+    agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "supp_nation": pa.array(agg["supp_nation"], pa.string()),
+        "cust_nation": pa.array(agg["cust_nation"], pa.string()),
+        "l_year": pa.array(agg["l_year"].to_numpy(np.int64)),
+        "revenue_c4": pa.array(agg["revenue_c4"].to_numpy(np.int64)),
     })
