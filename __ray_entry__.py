@@ -2675,6 +2675,23 @@ def _q_mosaic_resample(sf_dir: str):
     return resample_nn(tiles, FIXTURE_GRID, WARP_GRID)
 
 
+def _q_mosaic_zonal_crosstab(sf_dir: str):
+    """Zone x value-class cross tabulation (GIS tabulate-area): per
+    (zone, v // 100) valid-pixel counts — broadcast zones, per-tile
+    bincount partials bounded by |zones| x |classes|, one tiny keyed
+    fold; canvases never shuffle. Oracle = zone-box pixel-window range
+    join over the plane dump."""
+    import pyarrow.parquet as pq
+
+    from raygeo.fixtures import FIXTURE_GRID
+    from raygeo.ops.zonal import zonal_crosstab
+
+    d = _fix(sf_dir)
+    return zonal_crosstab(_tiles_lww(sf_dir),
+                          pq.read_table(f"{d}/zones.parquet"),
+                          FIXTURE_GRID).sort(["zone_id", "v_class"])
+
+
 def _q_mosaic_zonal(sf_dir: str):
     """Zonal join over the MOSAIC (composite tiles, not source images):
     broadcast zones, per-tile partials, tiny keyed fold — canvases never
@@ -3935,6 +3952,9 @@ def _q_emb_mmd(sf_dir: str):
 # remaining fresh entries sit immediately after for the next window; all 276
 # stay covered by scripts/validate.py locally.
 _R05_WINDOW_HEAD = [
+    # round-5 additions first (newest, never locally aged):
+    "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
+    "q7_nations_trade", "mosaic_zonal_crosstab",
     "emb_mmr", "parts_kcore", "mosaic_glcm", "mosaic_timefill",
     "emb_nn_all", "emb_knn_accuracy", "mosaic_viewshed",
     "events_kmv_overlap", "emb_triplets", "mosaic_zonal_extremes",
@@ -3949,9 +3969,6 @@ _R05_WINDOW_HEAD = [
     "docs_blocklist", "orders_rolling", "docs_bpe_train",
     "docs_dedup_eval", "emb_sq8", "events_heavy_change", "parts_abc",
     "events_benford", "supplier_gini", "events_autocorr",
-    # round-5 additions (never driver-checked, same-day oracles):
-    "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
-    "q7_nations_trade",
     "events_cms_counts", "events_ewma", "orders_ntile", "docs_bm25",
     "lineitem_regr", "supplier_hhi", "parts_triangles", "mosaic_box_sums",
     "mosaic_blur", "mosaic_flowaccum", "q6_band_revenue", "q9_profit",
@@ -4138,6 +4155,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_rolling": _q_orders_rolling,  # ROWS-frame rolling sum
         "parts_abc": _q_parts_abc,  # ABC / Pareto revenue classes
         "supplier_gini": _q_supplier_gini,  # Gini concentration
+        "mosaic_zonal_crosstab": _q_mosaic_zonal_crosstab,  # tabulate area
         "mosaic_zonal": _q_mosaic_zonal,  # zonal over the composite
         "mosaic_histogram": _q_mosaic_histogram,  # domain-bounded bin fold
         "mosaic_hillshade": _q_mosaic_hillshade,  # focal shade, halo exchange
@@ -5334,6 +5352,21 @@ FROM read_parquet('{FIX_SF001}/overview_golden.parquet')
         "mosaic_overview_l2": f"""
 SELECT tile_id, ptx AS tx, pty AS ty, n_children, n_valid_px, pix_sum
 FROM read_parquet('{FIX_SF001}/overview2_golden.parquet')
+""",
+        "mosaic_zonal_crosstab": f"""
+WITH z AS (
+  SELECT zone_id,
+    greatest(0, least(2048, CAST(ceil((lon_min + 1.0) / {RES} - 0.5) AS BIGINT))) AS cl,
+    greatest(0, least(2048, CAST(ceil((lon_max + 1.0) / {RES} - 0.5) AS BIGINT))) AS ch,
+    greatest(0, least(2048, CAST(ceil((1.0 - lat_max) / {RES} - 0.5) AS BIGINT))) AS rl,
+    greatest(0, least(2048, CAST(ceil((1.0 - lat_min) / {RES} - 0.5) AS BIGINT))) AS rh
+  FROM read_parquet('{ZONES_001}')
+), px AS (SELECT y, x, v FROM read_parquet('{PLANE_001}'))
+SELECT z.zone_id, (p.v // 100)::BIGINT AS v_class,
+       count(*)::BIGINT AS n_px
+FROM z JOIN px p
+  ON p.x >= z.cl AND p.x < z.ch AND p.y >= z.rl AND p.y < z.rh
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "mosaic_zonal": f"""
 SELECT zone_id, n_px, v_sum

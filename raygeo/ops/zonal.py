@@ -226,6 +226,80 @@ def mosaic_zonal(tiles_ds, zones: pa.Table, grid: GridSpec,
                        Sum("v_sum", alias_name="v_sum")))
 
 
+def zonal_crosstab(tiles_ds, zones: pa.Table, grid: GridSpec,
+                   pack=None, class_width: int = 100):
+    """Zone x value-class CROSS TABULATION (the GIS tabulate-area op):
+    per (zone, v // class_width) the valid-pixel count — the composition
+    profile of each zone over the mosaic's value classes. Pixel-center
+    membership and overlapping-zones-both-count semantics are identical
+    to :func:`mosaic_zonal`; only occupied (zone, class) cells appear.
+
+    The zone table is dimension-sized and broadcasts in the task
+    closure; each tile emits at most |intersecting zones| x |classes|
+    partial rows (classes bounded by the value domain // class_width,
+    never the raster), folded by one tiny keyed groupby — canvases
+    never shuffle. Oracle: the zone-box pixel-window range join over
+    the plane dump in SQL.
+    """
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    from ..channels import RGB_CHANNELS, ChannelPack
+    from .rasterize import _center_window
+
+    pack = pack or ChannelPack(RGB_CHANNELS)
+    chunk = grid.chunk
+    cl, ch, rl, rh = _center_window(
+        grid,
+        zones.column("lon_min").to_numpy(), zones.column("lat_min").to_numpy(),
+        zones.column("lon_max").to_numpy(), zones.column("lat_max").to_numpy())
+    zids = np.asarray(zones.column("zone_id").to_pylist(), dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_z, out_c, out_n = [], [], []
+        px_z = t.column("px_z").to_pylist()
+        mask_z = t.column("mask_z").to_pylist()
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for j in range(len(t)):
+            tx, ty = int(txs[j]), int(tys[j])
+            tc0, tc1 = tx * chunk, min((tx + 1) * chunk, grid.width)
+            tr0, tr1 = ty * chunk, min((ty + 1) * chunk, grid.height)
+            hit = np.nonzero((cl < tc1) & (ch > tc0)
+                             & (rl < tr1) & (rh > tr0))[0]
+            if len(hit) == 0:
+                continue
+            canvas = pack.from_bytes(zlib.decompress(px_z[j]), chunk, chunk)
+            mask = np.frombuffer(zlib.decompress(mask_z[j]),
+                                 np.uint8).reshape(chunk, chunk).astype(bool)
+            cls = _vsum(canvas, pack) // class_width
+            for i in hit:
+                c0, c1 = max(cl[i], tc0) - tc0, min(ch[i], tc1) - tc0
+                r0, r1 = max(rl[i], tr0) - tr0, min(rh[i], tr1) - tr0
+                m = mask[r0:r1, c0:c1]
+                if not m.any():
+                    continue
+                sub = cls[r0:r1, c0:c1][m]
+                cnt = np.bincount(sub - int(sub.min()))
+                occ = np.nonzero(cnt)[0]
+                base = int(sub.min())
+                for k in occ:
+                    out_z.append(zids[i])
+                    out_c.append(base + int(k))
+                    out_n.append(int(cnt[k]))
+        return pa.table({
+            "zone_id": pa.array(out_z, pa.string()),
+            "v_class": pa.array(out_c, pa.int64()),
+            "n_px": pa.array(out_n, pa.int64()),
+        })
+
+    return (tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=64)
+            .groupby(["zone_id", "v_class"])
+            .aggregate(Sum("n_px", alias_name="n_px")))
+
+
 def mosaic_histogram(tiles_ds, grid: GridSpec, pack=None):
     """Global value histogram of the MOSAIC (the band-statistics pass a
     raster engine runs before choosing stretch/normalization bounds):
