@@ -1191,7 +1191,6 @@ def substring_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import hashlib
 
-    from ray.data.aggregate import Count
 
     from ..util import drop_empty_blocks
 
@@ -1238,11 +1237,18 @@ def substring_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"id_a": pa.array(a[keep], pa.int64()),
                          "id_b": pa.array(b[keep], pa.int64())})
 
-    return (cand.map_batches(pairs, batch_format="pyarrow",
-                             batch_size=65536)
-            .groupby(["id_a", "id_b"])
-            .aggregate(Count(alias_name="n_windows"))
-            .select_columns(["id_a", "id_b"]))
+    def distinct_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    # keyed distinct via the coarse-bucket fold (one pair can share
+    # several window hashes); groupby+Count paid a per-key Python
+    # dispatch on nearly-all-distinct pairs (the containment lesson)
+    from ..util import bucketed_fold as _bf
+    return _bf(cand.map_batches(pairs, batch_format="pyarrow",
+                                batch_size=65536),
+               ["id_a", "id_b"], distinct_fold,
+               clean_schema=pa.schema([("id_a", pa.int64()),
+                                       ("id_b", pa.int64())]))
 
 
 # ------------------------------------------------------------ HyperLogLog
@@ -1534,7 +1540,6 @@ def winnow_fingerprint_pairs(ds, text_col: str = "text",
     doc length < 2^20 chars (the packed position budget; raise ``k``
     gram width or shard longer docs upstream).
     """
-    from ray.data.aggregate import Count
 
     from ..util import auto_join_partitions, drop_empty_blocks
 
@@ -1609,10 +1614,22 @@ def winnow_fingerprint_pairs(ds, text_col: str = "text",
         return pa.table({"id_a": pa.array(a[keep], pa.int64()),
                          "id_b": pa.array(b[keep], pa.int64())})
 
-    counted = (cand.map_batches(pairs, batch_format="pyarrow",
-                                batch_size=65536)
-               .groupby(["id_a", "id_b"])
-               .aggregate(Count(alias_name="n_shared")))
+    def shared_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["id_a", "id_b"], sort=False).size()
+               .reset_index(name="n_shared"))
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    # pair counts via the coarse-bucket fold, not groupby+Count: the
+    # candidate pairs are nearly all distinct and Ray's sort-groupby
+    # pays a per-key Python dispatch (the containment_pairs lesson)
+    from ..util import bucketed_fold as _bf
+    counted = _bf(cand.map_batches(pairs, batch_format="pyarrow",
+                                   batch_size=65536),
+                  ["id_a", "id_b"], shared_fold,
+                  clean_schema=pa.schema([("id_a", pa.int64()),
+                                          ("id_b", pa.int64()),
+                                          ("n_shared", pa.int64())]))
 
     def thresh(t: pa.Table) -> pa.Table:
         ns = t.column("n_shared").to_numpy()
