@@ -489,11 +489,14 @@ def radius_pairs(images_ds, eps: float = 2.0 ** -5,
     Plan: bucket points into an eps-sized cell lattice (``eps`` a power
     of two so floor(c/eps) replays exactly in SQL doubles); each point
     rides ONE partitioned hash join twice — once keyed by its home cell,
-    once replicated to the 9 neighbor cells — so a pair (a < b) meets
-    exactly once (b's probe copy in a's home cell). Shuffle volume is
-    9 rows per point; no N² anywhere, hot cells cost |cell|·|ring| inside
-    one join partition (salt the lattice level if a cell outgrows a
-    task). Exact verify is one vectorized double compare.
+    once replicated to the FORWARD half-neighborhood (home + the 4
+    lexicographically-forward neighbor cells), so a cross-cell pair
+    meets exactly once (the backward direction never probes) and a
+    same-cell pair meets twice and dedups on id order. Shuffle volume is
+    5 rows per point (the 9-cell plan's candidate volume halves); no N²
+    anywhere, hot cells cost |cell|·|ring| inside one join partition
+    (salt the lattice level if a cell outgrows a task). Exact verify is
+    one vectorized double compare.
     """
     from ..util import auto_join_partitions, drop_empty_blocks
 
@@ -520,19 +523,24 @@ def radius_pairs(images_ds, eps: float = 2.0 ** -5,
                          "cx": pa.array(cx, pa.float64()),
                          "cy": pa.array(cy, pa.float64())})
 
+    # forward half-neighborhood: a probe copy of q lands in q_cell - d,
+    # so a pair with b_cell - a_cell = d meets in a's home cell exactly
+    # for the 4 forward directions + the home cell (same-cell pairs meet
+    # in both orders and dedup on id order in verify)
+    _FWD = ((0, 0), (1, -1), (1, 0), (1, 1), (0, 1))
+
     def probes(t: pa.Table) -> pa.Table:
         nid, cx, cy, ix, iy = base_cols(t)
-        n = len(nid)
         reps = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cell = (ix + dx + _DB_OFF) * _DB_K + (iy + dy + _DB_OFF)
-                reps.append(cell)
+        for dx, dy in _FWD:
+            cell = (ix - dx + _DB_OFF) * _DB_K + (iy - dy + _DB_OFF)
+            reps.append(cell)
+        nrep = len(_FWD)
         return pa.table({
             "cellp": pa.array(np.concatenate(reps), pa.int64()),
-            "nidp": pa.array(np.tile(nid, 9), pa.int64()),
-            "cxp": pa.array(np.tile(cx, 9), pa.float64()),
-            "cyp": pa.array(np.tile(cy, 9), pa.float64())})
+            "nidp": pa.array(np.tile(nid, nrep), pa.int64()),
+            "cxp": pa.array(np.tile(cx, nrep), pa.float64()),
+            "cyp": pa.array(np.tile(cy, nrep), pa.float64())})
 
     cols = ["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
     home_schema = pa.schema([("cell", pa.int64()), ("nid", pa.int64()),
@@ -551,12 +559,20 @@ def radius_pairs(images_ds, eps: float = 2.0 ** -5,
     def verify(t: pa.Table) -> pa.Table:
         a = t.column("nid").to_numpy()
         b = t.column("nidp").to_numpy()
-        dx = t.column("cx").to_numpy() - t.column("cxp").to_numpy()
-        dy = t.column("cy").to_numpy() - t.column("cyp").to_numpy()
+        ax, bx = t.column("cx").to_numpy(), t.column("cxp").to_numpy()
+        ay, by = t.column("cy").to_numpy(), t.column("cyp").to_numpy()
+        dx, dy = ax - bx, ay - by
         d2 = dx * dx + dy * dy
-        keep = (a < b) & (d2 <= e2)
-        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
-                         "id_b": pa.array(b[keep], pa.int64()),
+        same_cell = (np.floor(ax / eps) == np.floor(bx / eps)) \
+            & (np.floor(ay / eps) == np.floor(by / eps))
+        # same-cell pairs arrive in both orders (the home-cell probe
+        # copy): keep the a < b order only. Cross-cell pairs arrive
+        # exactly once in arbitrary id order: keep all, emit normalized.
+        keep = (d2 <= e2) & (a != b) & (~same_cell | (a < b))
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
                          "dist2": pa.array(d2[keep], pa.float64())})
 
     return cand.map_batches(verify, batch_format="pyarrow",
