@@ -3179,7 +3179,15 @@ def costdist_stats(tiles_ds, grid: GridSpec, points: pa.Table,
 
     import ray
 
-    @ray.remote(num_returns=3)
+    # Strip bundles live in the OBJECT STORE: each solve returns its
+    # outgoing strips as one plasma object plus a tiny destination list;
+    # the driver routes only (src ref -> dst block) metadata and the
+    # receiving task filters the bundle for its own block. Strip BYTES
+    # never touch the driver — the wavefront can be arbitrarily wide
+    # without a driver bottleneck (read amplification is <= 8 neighbor
+    # blocks per bundle, all worker-side zero-copy reads).
+
+    @ray.remote(num_returns=4)
     def solve_first(tbl, sb):
         PV, PM = _unpack_plane(tbl, sb)
         tx0, ty0, gw, gh = _sb_window(sb)
@@ -3192,23 +3200,28 @@ def costdist_stats(tiles_ds, grid: GridSpec, points: pa.Table,
             ok = PM[lr, lc]
             PD[lr[ok], lc[ok]] = 0
         _cost_solve(PD, PV, PM)
-        return (PV, PM), PD, _out_strips(sb, PV, PD, None)
+        out = _out_strips(sb, PV, PD, None)
+        return (PV, PM), PD, out, sorted({m[0] for m in out})
 
-    @ray.remote(num_returns=2)
-    def solve_round(vm, PD0, sb, msgs):
+    @ray.remote(num_returns=3)
+    def solve_round(vm, PD0, sb, msg_refs):
         PV, PM = vm
         PD = PD0.copy()  # plasma arrays are read-only
         tx0, ty0, _gw, _gh = _sb_window(sb)
         touched = False
-        for (ntx, nty, kind, z) in msgs:
-            oy, ox = (nty - ty0) * c, (ntx - tx0) * c
-            touched |= _apply_strip(PD[oy:oy + c, ox:ox + c],
-                                    PV[oy:oy + c, ox:ox + c],
-                                    PM[oy:oy + c, ox:ox + c], kind, z)
+        for bundle in ray.get(list(msg_refs)):
+            for (dst, ntx, nty, kind, z) in bundle:
+                if dst != sb:
+                    continue  # bundle shared with other destinations
+                oy, ox = (nty - ty0) * c, (ntx - tx0) * c
+                touched |= _apply_strip(PD[oy:oy + c, ox:ox + c],
+                                        PV[oy:oy + c, ox:ox + c],
+                                        PM[oy:oy + c, ox:ox + c], kind, z)
         if not touched:
-            return PD0, []
+            return PD0, [], []
         _cost_solve(PD, PV, PM)
-        return PD, _out_strips(sb, PV, PD, PD0)
+        out = _out_strips(sb, PV, PD, PD0)
+        return PD, out, sorted({m[0] for m in out})
 
     @ray.remote
     def finish_sb(vm, PD, sb):
@@ -3262,22 +3275,25 @@ def costdist_stats(tiles_ds, grid: GridSpec, points: pa.Table,
 
     vm_refs: dict[int, object] = {}
     d_refs: dict[int, object] = {}
-    first_msgs = {}
+    routes = {}
     for sb, bref in sb_src.items():
-        vmr, dr, mr = solve_first.remote(bref, sb)
+        vmr, dr, mr, rr = solve_first.remote(bref, sb)
         vm_refs[sb] = vmr
         d_refs[sb] = dr
-        first_msgs[sb] = mr
+        routes[sb] = (mr, rr)
 
-    def _route(msg_refs):
+    def _route(route_futs):
+        """dst block -> bundle refs targeting it; only the tiny dst
+        lists are fetched — strip bytes stay in the object store."""
         pend: dict[int, list] = {}
-        for msgs in ray.get(list(msg_refs.values())):
-            for dst, ntx, nty, kind, z in msgs:
+        dsts = ray.get([r for _, r in route_futs.values()])
+        for (mr, _), dst_list in zip(route_futs.values(), dsts):
+            for dst in dst_list:
                 if dst in vm_refs:  # strips to absent blocks drop
-                    pend.setdefault(dst, []).append((ntx, nty, kind, z))
+                    pend.setdefault(dst, []).append(mr)
         return pend
 
-    pending = _route(first_msgs)
+    pending = _route(routes)
     for _r in range(max_rounds):
         if _dbg:
             print(f"[costdist] round {_r}: {len(pending)} dirty blocks "
@@ -3285,10 +3301,11 @@ def costdist_stats(tiles_ds, grid: GridSpec, points: pa.Table,
         if not pending:
             break
         futs = {}
-        for sb, msgs in pending.items():
-            dr, mr = solve_round.remote(vm_refs[sb], d_refs[sb], sb, msgs)
+        for sb, msg_refs in pending.items():
+            dr, mr, rr = solve_round.remote(vm_refs[sb], d_refs[sb], sb,
+                                            msg_refs)
             d_refs[sb] = dr
-            futs[sb] = mr
+            futs[sb] = (mr, rr)
         pending = _route(futs)
     else:  # pragma: no cover - defensive
         raise RuntimeError("costdist: cross-tile rounds did not converge")
