@@ -2462,6 +2462,17 @@ def _q_parts_communities(sf_dir: str):
         .rename_columns(["part", "label"])
 
 
+def _q_docs_novelty(sf_dir: str):
+    """Per-doc 8-gram novelty (first-appearance counts, min-doc-id
+    order) — the contamination-over-time curve: distinct gram-hash keys
+    one pass, per-gram first / per-doc totals / merge all in coarse-
+    bucket folds; corpus never shuffles."""
+    from raygeo.ops.corpus import ngram_novelty
+
+    return ngram_novelty(_rpq(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]))
+
+
 def _q_docs_rrf(sf_dir: str):
     """Reciprocal-rank fusion of the BM25 and raw-term-frequency
     rankings for the fixed query (Cormack 2009): rrf_q6 = sum
@@ -3954,7 +3965,7 @@ def _q_emb_mmd(sf_dir: str):
 _R05_WINDOW_HEAD = [
     # round-5 additions first (newest, never locally aged):
     "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
-    "q7_nations_trade", "mosaic_zonal_crosstab",
+    "q7_nations_trade", "mosaic_zonal_crosstab", "docs_novelty",
     "emb_mmr", "parts_kcore", "mosaic_glcm", "mosaic_timefill",
     "emb_nn_all", "emb_knn_accuracy", "mosaic_viewshed",
     "events_kmv_overlap", "emb_triplets", "mosaic_zonal_extremes",
@@ -4115,6 +4126,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tri": _q_mosaic_tri,  # terrain ruggedness index
         "mosaic_impurity": _q_mosaic_impurity,  # tile Gini impurity
         "parts_communities": _q_parts_communities,  # LPA communities
+        "docs_novelty": _q_docs_novelty,  # n-gram first-appearance curve
         "docs_rrf": _q_docs_rrf,  # reciprocal-rank fusion
         "mosaic_lbp": _q_mosaic_lbp,  # LBP texture histograms
         "mosaic_hotspots": _q_mosaic_hotspots,  # Gi*-shaped hot spots
@@ -6318,6 +6330,25 @@ SELECT concat(CAST(tx AS VARCHAR), '-', CAST(ty AS VARCHAR)) AS tile_id,
 FROM t ORDER BY 1
 """,
         "parts_communities": _lpa_sql(),
+        "docs_novelty": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(toks) - 7),
+        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+             || toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5]
+             || ' ' || toks[i + 6] || ' ' || toks[i + 7])) AS s
+    FROM t WHERE len(toks) >= 8)
+),
+firsts AS (SELECT s, min(doc_id) AS fd FROM g GROUP BY 1),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY 1),
+nov AS (SELECT fd AS doc_id, count(*)::BIGINT AS n_novel
+        FROM firsts GROUP BY 1)
+SELECT p.doc_id::BIGINT AS doc_id, p.n_grams,
+       coalesce(n.n_novel, 0)::BIGINT AS n_novel
+FROM per p LEFT JOIN nov n USING (doc_id) ORDER BY doc_id
+""",
         "docs_rrf": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term

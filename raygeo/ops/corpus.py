@@ -1357,6 +1357,95 @@ def bm25_topk(docs_ds, terms: list[str], text_col: str = "text",
                       descending=[True, False]).limit(k)
 
 
+def ngram_novelty(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                  ngram: int = 8):
+    """Per-document n-gram NOVELTY (the contamination-over-time curve a
+    corpus curator reads before ordering training epochs): for every doc,
+    how many of its distinct word ``ngram``-grams appear for the FIRST
+    time in this doc (first = the minimum doc_id carrying the gram) vs
+    its total distinct grams. A doc full of already-seen grams is a
+    near-duplicate or boilerplate; novelty ~1 marks fresh content.
+
+    Plan: one streaming pass emits distinct (gram-hash, doc) keys
+    (word-token md5 hashes combined polynomially to int64 — the
+    containment_pairs discipline; the statistic is gram-identity-only so
+    the SQL oracle's string grams replay it exactly); per-gram first
+    doc and per-doc totals both reduce in coarse-bucket folds; the two
+    doc-keyed count tables merge in one more bucketed fold. The corpus
+    never shuffles; everything keyed is gram- or doc-bounded. Output
+    (doc_id, n_grams, n_novel) for docs with >= 1 gram, sorted by doc.
+    """
+    from ..util import bucketed_fold
+
+    def grams(df: pd.DataFrame) -> pa.Table:
+        from .dedup import _CONT_B, _CONT_TOKEN_MEMO
+
+        out_h, out_d = [], []
+        memo = _CONT_TOKEN_MEMO
+        for i, txt in zip(df[id_col], df[text_col]):
+            toks = txt.split(" ")
+            n = len(toks)
+            if n < ngram:
+                continue
+            hs = np.empty(n, np.uint64)
+            for j, tk in enumerate(toks):
+                h = memo.get(tk)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.md5(tk.encode()).digest()[:8], "big")
+                    memo[tk] = h
+                hs[j] = h
+            acc = hs[:n - ngram + 1].copy()
+            for t in range(1, ngram):
+                acc = acc * _CONT_B + hs[t:n - ngram + 1 + t]
+            ss = np.unique(acc)
+            out_h.append(ss.view(np.int64))
+            out_d.append(np.full(len(ss), int(i), np.int64))
+        if not out_h:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        return pa.table({"g": pa.array(np.concatenate(out_h), pa.int64()),
+                         "d": pa.array(np.concatenate(out_d), pa.int64())})
+
+    keys = docs_ds.select_columns([id_col, text_col]).map_batches(
+        grams, batch_format="pandas", batch_size=4096).materialize()
+
+    def first_fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("g", sort=False)["d"].min().reset_index(name="fd")
+        out = f.groupby("fd", sort=False).size().reset_index(name="c")
+        out.columns = ["d", "c"]
+        out["tag"] = np.int64(1)  # novel-count rows
+        return out
+
+    def total_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["g", "d"]).groupby("d", sort=False)
+               .size().reset_index(name="c"))
+        out["tag"] = np.int64(0)  # total-gram rows
+        return out
+
+    tag_schema = pa.schema([("d", pa.int64()), ("c", pa.int64()),
+                            ("tag", pa.int64())])
+    novel = bucketed_fold(keys, "g", first_fold, clean_schema=tag_schema)
+    total = bucketed_fold(keys, "d", total_fold, clean_schema=tag_schema)
+
+    def merge_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["d", "tag"], sort=False)["c"].sum().unstack(
+            "tag", fill_value=0)
+        return pd.DataFrame({
+            "doc_id": s.index.to_numpy(np.int64),
+            "n_grams": s[0].to_numpy(np.int64) if 0 in s.columns
+            else np.zeros(len(s), np.int64),
+            "n_novel": s[1].to_numpy(np.int64) if 1 in s.columns
+            else np.zeros(len(s), np.int64),
+        })
+
+    return bucketed_fold(
+        novel.union(total), "d", merge_fold,
+        clean_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_grams", pa.int64()),
+                                ("n_novel", pa.int64())])).sort("doc_id")
+
+
 def rrf_fuse_topk(docs_ds, terms: list[str], text_col: str = "text",
                   id_col: str = "doc_id", k: int = 20, kconst: int = 60,
                   topn: int = 100):
