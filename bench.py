@@ -265,6 +265,14 @@ def run_bench() -> dict:
         "events_benford",
         "supplier_gini",
         "events_autocorr",
+        # round-5 additions
+        "mosaic_tri",
+        "mosaic_impurity",
+        "parts_communities",
+        "docs_rrf",
+        "q7_nations_trade",
+        "mosaic_zonal_crosstab",
+        "docs_novelty",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":
