@@ -1162,9 +1162,8 @@ def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
            .materialize())
 
     codes_tbl = mid.filter(expr="kind == 'codes'").materialize()
-    vis_parts = [mid.filter(expr="kind == 'vis'")
-                 .select_columns(["tile_id", "tx", "ty", "z"])
-                 .materialize()]
+    vis0 = mid.filter(expr="kind == 'vis'") \
+              .select_columns(["tile_id", "tx", "ty", "z"]).materialize()
     walkers = mid.filter(expr="kind == 'walk'") \
                  .select_columns(["node", "n"]).materialize()
 
@@ -1190,53 +1189,109 @@ def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
     codes_sb = codes_tbl.map_batches(add_sb,
                                      batch_format="pyarrow").materialize()
 
+    # ---- cross-tile rounds as raw Ray tasks over per-super-block state
+    # refs (the costdist discipline): each Dataset round paid ~0.3-1 s
+    # of driver plan overhead across its three materializations even
+    # with a handful of walkers pending. Codes and the initial walkers
+    # co-locate per block with ONE shuffle each; walker bundles live in
+    # the object store and the driver routes only (bundle ref -> dst
+    # block) metadata; per-block visit planes accumulate in task-held
+    # state refs across rounds. Strahler keeps the Dataset loop (its
+    # rounds carry per-tile packed state the same way but converge in
+    # fewer, larger steps).
+    import ray
+
     def key_walkers(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy()
-        gx = node % width
-        gy = node // width
-        tx = gx // c
-        ty = gy // c
+        tx = (node % width) // c
+        ty = (node // width) // c
         sb = (ty // G) * nbx + tx // G
-        tid = [f"{a}-{b}" for a, b in zip(tx, ty)]
         return pa.table({
-            "tile_id": pa.array(tid, pa.string()),
-            "tx": pa.array(tx, pa.int64()),
-            "ty": pa.array(ty, pa.int64()),
-            "kind": pa.array(["walk"] * len(t), pa.string()),
-            "z": pa.array([b""] * len(t), pa.binary()),
             "node": t.column("node"),
             "n": t.column("n"),
             "sb": pa.array(sb, pa.int64()),
         })
 
-    def roundk(g: pa.Table) -> pa.Table:
-        kinds = g.column("kind").to_pylist()
-        out: dict[str, list] = {k: [] for k in FLOWACC_MID_SCHEMA.names}
-        sb = int(g.column("sb")[0].as_py())
-        codes_of: dict[tuple, np.ndarray] = {}
+    codes_grp = (codes_sb.groupby("sb")
+                 .map_groups(lambda g: g, batch_format="pyarrow")
+                 .materialize())
+    init_w = (walkers.map_batches(key_walkers, batch_format="pyarrow")
+              .groupby("sb")
+              .map_groups(lambda g: g, batch_format="pyarrow")
+              .materialize())
+
+    @ray.remote
+    def probe_sbs(tbl):
+        if tbl.num_rows == 0 or "sb" not in tbl.column_names:
+            return []
+        return sorted(set(tbl.column("sb").to_pylist()))
+
+    def _by_sb(ds):
+        refs = ds.to_arrow_refs()
+        out: dict[int, list] = {}
+        for sbs, r in zip(ray.get([probe_sbs.remote(r) for r in refs]),
+                          refs):
+            for sb in sbs:
+                out.setdefault(sb, []).append(r)
+        return out
+
+    codes_src = _by_sb(codes_grp)
+    init_src = _by_sb(init_w)
+
+    @ray.remote(num_returns=3)
+    def solve_sb(codes_blks, state, sb, bundle_refs):
+        if state is None:
+            codes_of: dict[tuple, np.ndarray] = {}
+            for tbl in ray.get(list(codes_blks)):
+                txs = tbl.column("tx").to_numpy()
+                tys = tbl.column("ty").to_numpy()
+                sbs_ = tbl.column("sb").to_numpy()
+                for j in range(len(tbl)):
+                    if int(sbs_[j]) != sb:
+                        continue
+                    codes_of[(int(txs[j]), int(tys[j]))] = np.frombuffer(
+                        zlib.decompress(tbl.column("z")[j].as_py()),
+                        np.int8).reshape(c, c)
+            vis_of: dict[tuple, np.ndarray] = {}
+        else:
+            codes_of, vis_prev = state
+            # plasma arrays are read-only; visits mutate
+            vis_of = {k: v.copy() for k, v in vis_prev.items()}
+
         pending: dict[tuple, list] = {}
-        txs = g.column("tx").to_numpy()
-        tys = g.column("ty").to_numpy()
-        for j, kind in enumerate(kinds):
-            key = (int(txs[j]), int(tys[j]))
-            if kind == "codes":
-                codes_of[key] = np.frombuffer(
-                    zlib.decompress(g.column("z")[j].as_py()),
-                    np.int8).reshape(c, c)
-            elif kind == "walk":
-                pending.setdefault(key, [[], []])
-                pending[key][0].append(int(g.column("node")[j].as_py()))
-                pending[key][1].append(int(g.column("n")[j].as_py()))
-        if not pending:
-            return pa.table(out, schema=FLOWACC_MID_SCHEMA)
+
+        def add_msgs(nodes_arr, ns_arr):
+            txa = (nodes_arr % width) // c
+            tya = (nodes_arr // width) // c
+            packed = tya * np.int64(n_tx) + txa
+            for p in np.unique(packed):
+                m = packed == p
+                key2 = (int(p % n_tx), int(p // n_tx))
+                q = pending.setdefault(key2, [[], []])
+                q[0].extend(nodes_arr[m].tolist())
+                q[1].extend(ns_arr[m].tolist())
+
+        for bundle in ray.get(list(bundle_refs)):
+            if isinstance(bundle, list):  # round bundle: (dst, node, n)
+                rows = [(n_, c_) for s_, n_, c_ in bundle if s_ == sb]
+                if rows:
+                    arr = np.asarray(rows, np.int64)
+                    add_msgs(arr[:, 0], arr[:, 1])
+            else:  # init walker block (arrow, sb-tagged)
+                m = bundle.column("sb").to_numpy() == sb
+                if m.any():
+                    add_msgs(bundle.column("node").to_numpy()[m],
+                             bundle.column("n").to_numpy()[m])
+
         cache: dict[tuple, tuple] = {}
-        vis_of: dict[tuple, np.ndarray] = {}
+        out: list[tuple] = []
         for _pop in range(1_000_000):  # defensive bound; v decreases/hop
             if not pending:
                 break
             (ttx, tty), (nodes, ns) = pending.popitem()
             if (ttx, tty) not in codes_of:  # pragma: no cover - defensive
-                raise RuntimeError("flowaccum: walker entered codeless tile")
+                raise RuntimeError(
+                    "flowaccum: walker entered codeless tile")
             if (ttx, tty) not in cache:
                 cache[(ttx, tty)] = _acc_nxt_ext(
                     codes_of[(ttx, tty)].astype(np.int64), c,
@@ -1254,41 +1309,57 @@ def flowaccum_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
             ety = (wt // width) // c
             esb = (ety // G) * nbx + etx // G
             stay = esb == sb
-            for t_, n_ in zip(wt[~stay], wn[~stay]):
-                _mid_row(out, int(ttx), int(tty), "walk", node=t_, n=n_)
+            for t_, n_, s_ in zip(wt[~stay], wn[~stay], esb[~stay]):
+                out.append((int(s_), int(t_), int(n_)))
             if stay.any():
-                packed = ety[stay] * np.int64(n_tx) + etx[stay]
-                for p in np.unique(packed):
-                    m = packed == p
-                    key2 = (int(p % n_tx), int(p // n_tx))
-                    q = pending.setdefault(key2, [[], []])
-                    q[0].extend(wt[stay][m].tolist())
-                    q[1].extend(wn[stay][m].tolist())
+                add_msgs(wt[stay], wn[stay])
         else:  # pragma: no cover - defensive
             raise RuntimeError("flowaccum: in-block chase did not converge")
-        for (ttx, tty), vis in vis_of.items():
-            _mid_row(out, ttx, tty, "vis", z=zlib.compress(vis.tobytes(), 1))
-        return pa.table(out, schema=FLOWACC_MID_SCHEMA)
+        return (codes_of, vis_of), out, sorted({o[0] for o in out})
 
-    for _ in range(max_rounds):
-        if int(walkers.count()) == 0:
+    state_refs: dict[int, object] = {}
+    pending_refs: dict[int, list] = {}
+    for sb, refs in init_src.items():
+        if sb in codes_src:
+            pending_refs[sb] = list(refs)
+    for _r in range(max_rounds):
+        if not pending_refs:
             break
-        stepped = (walkers.map_batches(key_walkers, batch_format="pyarrow")
-                   .union(codes_sb)
-                   .groupby("sb")
-                   .map_groups(roundk, batch_format="pyarrow")
-                   .materialize())
-        vis_parts.append(stepped.filter(expr="kind == 'vis'")
-                         .select_columns(["tile_id", "tx", "ty", "z"])
-                         .materialize())
-        walkers = stepped.filter(expr="kind == 'walk'") \
-                         .select_columns(["node", "n"]).materialize()
+        futs = {}
+        for sb, brefs in pending_refs.items():
+            st = state_refs.get(sb)
+            cb = codes_src[sb] if st is None else None
+            sref, oref, dref = solve_sb.remote(cb, st, sb, brefs)
+            state_refs[sb] = sref
+            futs[sb] = (oref, dref)
+        pending_refs = {}
+        for (oref, _), dsts in zip(
+                futs.values(), ray.get([d for _, d in futs.values()])):
+            for dst in dsts:
+                if dst in codes_src:  # walkers to absent blocks drop
+                    pending_refs.setdefault(dst, []).append(oref)
     else:  # pragma: no cover - defensive
         raise RuntimeError("flowaccum: cross-tile rounds did not converge")
 
-    allvis = vis_parts[0]
-    for p in vis_parts[1:]:
-        allvis = allvis.union(p)
+    VIS_SCHEMA = pa.schema([("tile_id", pa.string()), ("tx", pa.int64()),
+                            ("ty", pa.int64()), ("z", pa.binary())])
+
+    @ray.remote
+    def emit_vis(state):
+        _codes, vis_of = state
+        out: dict[str, list] = {k: [] for k in VIS_SCHEMA.names}
+        for (ttx, tty), vis in sorted(vis_of.items()):
+            out["tile_id"].append(f"{ttx}-{tty}")
+            out["tx"].append(ttx)
+            out["ty"].append(tty)
+            out["z"].append(zlib.compress(vis.tobytes(), 1))
+        return pa.table(out, schema=VIS_SCHEMA)
+
+    allvis = vis0
+    if state_refs:
+        import ray.data as _rd
+        allvis = allvis.union(_rd.from_arrow_refs(
+            [emit_vis.remote(s) for s in state_refs.values()]))
 
     if planes:
         # expose per-tile compressed acc + codes planes (the stream-links
