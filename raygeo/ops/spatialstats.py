@@ -2763,48 +2763,100 @@ def strahler_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
     msgs = mid.filter(expr="kind == 'msg'") \
               .select_columns(["node", "n"]).materialize()
 
-    def key_msgs(t: pa.Table) -> pa.Table:
-        node = t.column("node").to_numpy()
-        gx = node % width
-        gy = node // width
-        tx = gx // c
-        ty = gy // c
-        sb = (ty // G) * nbx + tx // G
-        tid = [f"{a}-{b}" for a, b in zip(tx, ty)]
-        return pa.table({
-            "tile_id": pa.array(tid, pa.string()),
-            "tx": pa.array(tx, pa.int64()),
-            "ty": pa.array(ty, pa.int64()),
-            "kind": pa.array(["msg"] * len(t), pa.string()),
-            "z": pa.array([b""] * len(t), pa.binary()),
-            "node": t.column("node"),
-            "n": t.column("n"),
-            "sb": pa.array(sb, pa.int64()),
-        }, schema=STRAHLER_MID_SCHEMA)
+    # ---- cross-tile rounds as raw Ray tasks over per-super-block state
+    # refs (the costdist/flowaccum discipline): per-round Dataset plan
+    # overhead dominated late rounds with a handful of pending donor
+    # messages. States and initial messages co-locate per block with one
+    # shuffle each; message bundles live in the object store with the
+    # driver routing only (bundle ref -> dst block) metadata.
+    import ray
 
-    def roundk(g: pa.Table) -> pa.Table:
-        kinds = g.column("kind").to_pylist()
-        out: dict[str, list] = {k: [] for k in STRAHLER_MID_SCHEMA.names}
-        sb = int(g.column("sb")[0].as_py())
-        st: dict[tuple, list] = {}
+    def add_sb_msgs(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        tx = (node % width) // c
+        ty = (node // width) // c
+        sb = (ty // G) * nbx + tx // G
+        return pa.table({"node": t.column("node"), "n": t.column("n"),
+                         "sb": pa.array(sb, pa.int64())})
+
+    states_grp = (states.groupby("sb")
+                  .map_groups(lambda g: g, batch_format="pyarrow")
+                  .materialize())
+    init_m = (msgs.map_batches(add_sb_msgs, batch_format="pyarrow")
+              .groupby("sb")
+              .map_groups(lambda g: g, batch_format="pyarrow")
+              .materialize())
+
+    @ray.remote
+    def probe_sbs(tbl):
+        if tbl.num_rows == 0 or "sb" not in tbl.column_names:
+            return []
+        return sorted(set(tbl.column("sb").to_pylist()))
+
+    def _by_sb(ds):
+        refs = ds.to_arrow_refs()
+        out: dict[int, list] = {}
+        for sbs, r in zip(ray.get([probe_sbs.remote(r) for r in refs]),
+                          refs):
+            for sb in sbs:
+                out.setdefault(sb, []).append(r)
+        return out
+
+    state_src = _by_sb(states_grp)
+    init_src = _by_sb(init_m)
+
+    @ray.remote(num_returns=3)
+    def solve_sb(state_blks, state, sb, bundle_refs):
+        if state is None:
+            st: dict[tuple, list] = {}
+            for tbl in ray.get(list(state_blks)):
+                txs = tbl.column("tx").to_numpy()
+                tys = tbl.column("ty").to_numpy()
+                sbs_ = tbl.column("sb").to_numpy()
+                for j in range(len(tbl)):
+                    if int(sbs_[j]) != sb:
+                        continue
+                    st[(int(txs[j]), int(tys[j]))] = list(
+                        _strahler_unpack(tbl.column("z")[j].as_py(), c))
+        else:
+            # plasma arrays are read-only; order/m/cmax/rem mutate
+            st = {k: [v[0], v[1].copy(), v[2].copy(), v[3].copy(),
+                      v[4].copy()] for k, v in state.items()}
+
         pending: dict[tuple, list] = {}
-        txs = g.column("tx").to_numpy()
-        tys = g.column("ty").to_numpy()
-        for j, kind in enumerate(kinds):
-            key = (int(txs[j]), int(tys[j]))
-            if kind == "state":
-                st[key] = list(_strahler_unpack(g.column("z")[j].as_py(), c))
-            else:
-                pending.setdefault(key, [[], []])
-                pending[key][0].append(int(g.column("node")[j].as_py()))
-                pending[key][1].append(int(g.column("n")[j].as_py()))
+
+        def add_msgs(nodes_arr, ns_arr):
+            txa = (nodes_arr % width) // c
+            tya = (nodes_arr // width) // c
+            packed = tya * np.int64(n_tx) + txa
+            for p in np.unique(packed):
+                mm = packed == p
+                key2 = (int(p % n_tx), int(p // n_tx))
+                q = pending.setdefault(key2, [[], []])
+                q[0].extend(nodes_arr[mm].tolist())
+                q[1].extend(ns_arr[mm].tolist())
+
+        for bundle in ray.get(list(bundle_refs)):
+            if isinstance(bundle, list):  # round bundle: (dst, node, n)
+                rows = [(n_, o_) for s_, n_, o_ in bundle if s_ == sb]
+                if rows:
+                    arr = np.asarray(rows, np.int64)
+                    add_msgs(arr[:, 0], arr[:, 1])
+            else:  # init message block (arrow, sb-tagged)
+                mm = bundle.column("sb").to_numpy() == sb
+                if mm.any():
+                    add_msgs(bundle.column("node").to_numpy()[mm],
+                             bundle.column("n").to_numpy()[mm])
+
         cache: dict[tuple, tuple] = {}
+        out: list[tuple] = []
         for _pop in range(1_000_000):  # defensive; v decreases per hop
             if not pending:
                 break
             (ttx, tty), (nodes, ns) = pending.popitem()
             if (ttx, tty) not in st:  # pragma: no cover - defensive
-                raise RuntimeError("strahler: message entered stateless tile")
+                raise RuntimeError(
+                    "strahler: message entered stateless tile")
             codes, order, m, cmax, rem = st[(ttx, tty)]
             if (ttx, tty) not in cache:
                 cache[(ttx, tty)] = _acc_nxt_ext(
@@ -2840,51 +2892,56 @@ def strahler_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
             ety = (wt // width) // c
             esb = (ety // G) * nbx + etx // G
             stay = esb == sb
-            for t_, o_ in zip(wt[~stay], wo[~stay]):
-                _mid_row(out, int(ttx), int(tty), "msg", node=t_, n=o_)
+            for t_, o_, s_ in zip(wt[~stay], wo[~stay], esb[~stay]):
+                out.append((int(s_), int(t_), int(o_)))
             if stay.any():
-                packed = ety[stay] * np.int64(n_tx) + etx[stay]
-                for p in np.unique(packed):
-                    mm = packed == p
-                    key2 = (int(p % n_tx), int(p // n_tx))
-                    q = pending.setdefault(key2, [[], []])
-                    q[0].extend(wt[stay][mm].tolist())
-                    q[1].extend(wo[stay][mm].tolist())
+                add_msgs(wt[stay], wo[stay])
         else:  # pragma: no cover - defensive
             raise RuntimeError("strahler: in-block chase did not converge")
-        for (ttx, tty), (codes, order, m, cmax, rem) in st.items():
-            _mid_row(out, ttx, tty, "state",
-                     z=_strahler_pack(codes, order, m, cmax, rem))
-        return pa.table(out, schema=STRAHLER_MID_SCHEMA)
+        return st, out, sorted({o[0] for o in out})
 
-    from ..util import drop_empty_blocks as _deb
-    _MSG_SCHEMA = pa.schema([("node", pa.int64()), ("n", pa.int64())])
-    for _ in range(max_rounds):
-        if int(msgs.count()) == 0:
+    state_refs: dict[int, object] = {}
+    pending_refs: dict[int, list] = {}
+    for sb, refs in init_src.items():
+        if sb in state_src:
+            pending_refs[sb] = list(refs)
+    for _r in range(max_rounds):
+        if not pending_refs:
             break
-        stepped = (msgs.map_batches(key_msgs, batch_format="pyarrow")
-                   .union(states)
-                   .groupby("sb")
-                   .map_groups(roundk, batch_format="pyarrow")
-                   .materialize())
-        # rebuild from block refs: zero-copy, drops empties, cuts the
-        # accumulated logical-plan lineage (driver bookkeeping otherwise
-        # grows superlinearly with rounds — measured on costdist)
-        states = _deb(stepped.filter(expr="kind == 'state'").materialize(),
-                      STRAHLER_MID_SCHEMA)
-        msgs = _deb(stepped.filter(expr="kind == 'msg'")
-                    .select_columns(["node", "n"]).materialize(),
-                    _MSG_SCHEMA)
+        futs = {}
+        for sb, brefs in pending_refs.items():
+            stt = state_refs.get(sb)
+            blks = state_src[sb] if stt is None else None
+            sref, oref, dref = solve_sb.remote(blks, stt, sb, brefs)
+            state_refs[sb] = sref
+            futs[sb] = (oref, dref)
+        pending_refs = {}
+        for (oref, _), dsts in zip(
+                futs.values(), ray.get([d for _, d in futs.values()])):
+            for dst in dsts:
+                if dst in state_src:  # msgs to absent blocks drop
+                    pending_refs.setdefault(dst, []).append(oref)
     else:  # pragma: no cover - defensive
         raise RuntimeError("strahler: cross-tile rounds did not converge")
 
-    def finish(t: pa.Table) -> pa.Table:
+    @ray.remote
+    def finish_sb(state_blks, state, sb):
+        if state is None:
+            st = {}
+            for tbl in ray.get(list(state_blks)):
+                txs = tbl.column("tx").to_numpy()
+                tys = tbl.column("ty").to_numpy()
+                sbs_ = tbl.column("sb").to_numpy()
+                for j in range(len(tbl)):
+                    if int(sbs_[j]) != sb:
+                        continue
+                    st[(int(txs[j]), int(tys[j]))] = _strahler_unpack(
+                        tbl.column("z")[j].as_py(), c)
+        else:
+            st = state
         out: dict[str, list] = {k: [] for k in STRAHLER_OUT_SCHEMA.names}
-        txs = t.column("tx").to_numpy()
-        tys = t.column("ty").to_numpy()
-        for j in range(len(t)):
-            codes, order, _m, _cm, _rem = _strahler_unpack(
-                t.column("z")[j].as_py(), c)
+        for (ttx, tty) in sorted(st):
+            codes, order, _m, _cm, _rem = st[(ttx, tty)]
             valid = codes >= 0
             if (valid & (order == 0)).any():  # pragma: no cover
                 raise RuntimeError("strahler: unresolved cells (cycle?)")
@@ -2893,14 +2950,23 @@ def strahler_stats(tiles_ds, grid: GridSpec, pack: ChannelPack | None = None,
                 continue
             bc = np.bincount(o)
             for s in np.nonzero(bc)[0]:
-                out["tile_id"].append(f"{txs[j]}-{tys[j]}")
-                out["tx"].append(int(txs[j]))
-                out["ty"].append(int(tys[j]))
+                out["tile_id"].append(f"{ttx}-{tty}")
+                out["tx"].append(ttx)
+                out["ty"].append(tty)
                 out["strahler"].append(int(s))
                 out["n_cells"].append(int(bc[s]))
         return pa.table(out, schema=STRAHLER_OUT_SCHEMA)
 
-    return states.map_batches(finish, batch_format="pyarrow")
+    import ray.data as _rd
+
+    tabs = [finish_sb.remote(None if sb in state_refs else state_src[sb],
+                             state_refs.get(sb), sb)
+            for sb in sorted(state_src)]
+    if not tabs:
+        return _rd.from_arrow(pa.table(
+            {k: [] for k in STRAHLER_OUT_SCHEMA.names},
+            schema=STRAHLER_OUT_SCHEMA))
+    return _rd.from_arrow_refs(tabs)
 
 
 # ---- Least-cost distance surface (friction-weighted Dijkstra) ----------------
