@@ -381,6 +381,17 @@ def snapshot(cube_path: str) -> int:
     return sid
 
 
+def list_snapshots(cube_path: str) -> list[int]:
+    """Ids of every committed read snapshot, ascending (the icechunk
+    history listing analog). Empty when :func:`snapshot` never ran."""
+    sdir = os.path.join(cube_path, SNAPSHOT_DIR)
+    if not os.path.isdir(sdir):
+        return []
+    return sorted(int(n[len("snap-"):-len(".json")])
+                  for n in os.listdir(sdir)
+                  if n.startswith("snap-") and n.endswith(".json"))
+
+
 def _read_snapshot(cube_path: str, sid: int) -> dict[str, int]:
     import json
 

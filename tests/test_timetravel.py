@@ -121,3 +121,11 @@ def test_snapshot_read_is_read_only(epoch_cube, fixtures_sf0001):
              epoch=0)
     with pytest.raises(ValueError, match="epoch must be >= 0"):
         load(cube, ROI, epoch=-1)
+
+
+def test_list_snapshots(epoch_cube, tmp_path):
+    from raygeo.engine import list_snapshots
+
+    cube, _ = epoch_cube
+    assert list_snapshots(cube) == [0, 1, 2]
+    assert list_snapshots(str(tmp_path / "nope")) == []
