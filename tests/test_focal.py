@@ -1349,3 +1349,45 @@ def test_tile_impurity_matches_serial(ray_session):
                                      "impurity_q6"]) \
         .sort_values("tile_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_zonal_crosstab_matches_brute(ray_session):
+    """Zone x value-class crosstab vs a brute per-zone replay — includes
+    overlapping zones (both count) and an out-of-grid zone (absent)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygeo.ops.rasterize import _center_window
+    from raygeo.ops.zonal import zonal_crosstab
+
+    rows, plane, valid = _random_mosaic(seed=67, p_absent=0.35)
+    zones = pa.table({
+        "zone_id": pa.array([f"z{i}" for i in range(5)], pa.string()),
+        "lon_min": pa.array([0.0, 0.1, 0.3, 5.0, 0.05], pa.float64()),
+        "lat_min": pa.array([0.8, 0.3, 0.5, 5.0, 0.25], pa.float64()),
+        "lon_max": pa.array([0.2, 0.2, 0.7, 6.0, 0.6], pa.float64()),
+        "lat_max": pa.array([1.0, 0.5, 0.6, 6.0, 0.95], pa.float64()),
+    })
+    got = (zonal_crosstab(rd.from_items(rows).repartition(5), zones, SRC)
+           .to_pandas().sort_values(["zone_id", "v_class"])
+           .reset_index(drop=True))
+    v = plane.astype(np.int64).sum(axis=2)
+    cl, ch, rl, rh = _center_window(
+        SRC, zones.column("lon_min").to_numpy(),
+        zones.column("lat_min").to_numpy(),
+        zones.column("lon_max").to_numpy(),
+        zones.column("lat_max").to_numpy())
+    exp = []
+    for i in range(5):
+        if ch[i] <= cl[i] or rh[i] <= rl[i]:
+            continue
+        m = valid[rl[i]:rh[i], cl[i]:ch[i]]
+        vals = (v[rl[i]:rh[i], cl[i]:ch[i]][m]) // 100
+        if not len(vals):
+            continue
+        bc = np.bincount(vals)
+        for k in np.nonzero(bc)[0]:
+            exp.append((f"z{i}", int(k), int(bc[k])))
+    exp = pd.DataFrame(exp, columns=["zone_id", "v_class", "n_px"]) \
+        .sort_values(["zone_id", "v_class"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
