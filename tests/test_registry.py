@@ -18,4 +18,5 @@ def test_readme_count_matches_registry():
 
     readme = open(os.path.join(os.path.dirname(__file__), "..",
                                "README.md")).read()
-    assert f"{REGISTRY_N} driver queries" in readme
+    assert f"{REGISTRY_N} driver queries, ALL {REGISTRY_N} " \
+        "DuckDB-value-checked" in readme
