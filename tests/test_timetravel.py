@@ -129,3 +129,37 @@ def test_list_snapshots(epoch_cube, tmp_path):
     cube, _ = epoch_cube
     assert list_snapshots(cube) == [0, 1, 2]
     assert list_snapshots(str(tmp_path / "nope")) == []
+
+
+def test_snapshot_reads_compose_with_temporal_cubes(ray_session,
+                                                   fixtures_sf0001,
+                                                   tmp_path):
+    """Time travel x TOI: a temporal cube's snapshot reads pin every
+    't-tx-ty' tile version, composing with the TOI time-step selection."""
+    import numpy as np
+
+    from raygeo.channels import RGB_CHANNELS
+    from raygeo.cube import CubeSpec, create
+    from raygeo.engine import load, snapshot
+    from raygeo.fixtures import TEMPORAL_GRID
+    from raygeo.ops.ingest import ingest, ingest_update
+
+    cube = str(tmp_path / "cube_tt_t")
+    create(CubeSpec("ttt", TEMPORAL_GRID, RGB_CHANNELS), cube)
+    ingest(_images(fixtures_sf0001, 0, 180), TEMPORAL_GRID,
+           cube_path=cube).materialize()
+    assert snapshot(cube) == 0
+    roi = dict(ROI, roi_id="ttt")
+    toi = np.datetime64("2024-01-02")
+    pre = {k: w.stats() for k, w in load(cube, roi, toi=toi).items()}
+    ingest_update(_images(fixtures_sf0001, 180, 300), TEMPORAL_GRID,
+                  cube).materialize()
+    assert snapshot(cube) == 1
+    post = {k: w.stats() for k, w in load(cube, roi, toi=toi).items()}
+    assert pre != post  # the update touched this step's window
+    at0 = {k: w.stats() for k, w in load(cube, roi, toi=toi,
+                                         epoch=0).items()}
+    at1 = {k: w.stats() for k, w in load(cube, roi, toi=toi,
+                                         epoch=1).items()}
+    assert at0 == pre
+    assert at1 == post
