@@ -2462,6 +2462,17 @@ def _q_parts_communities(sf_dir: str):
         .rename_columns(["part", "label"])
 
 
+def _q_docs_diversity(sf_dir: str):
+    """Per-doc lexical diversity (type/token/hapax counts over the
+    shared lowercase tokenizer) — pure map, zero shuffle; integer
+    outputs so DuckDB replays exactly."""
+    from raygeo.ops.text import lexical_diversity
+
+    return lexical_diversity(_rpq(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])) \
+        .sort("doc_id")
+
+
 def _q_docs_novelty(sf_dir: str):
     """Per-doc 8-gram novelty (first-appearance counts, min-doc-id
     order) — the contamination-over-time curve: distinct gram-hash keys
@@ -3966,6 +3977,7 @@ _R05_WINDOW_HEAD = [
     # round-5 additions first (newest, never locally aged):
     "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
     "q7_nations_trade", "mosaic_zonal_crosstab", "docs_novelty",
+    "docs_diversity",
     "emb_mmr", "parts_kcore", "mosaic_glcm", "mosaic_timefill",
     "emb_nn_all", "emb_knn_accuracy", "mosaic_viewshed",
     "events_kmv_overlap", "emb_triplets", "mosaic_zonal_extremes",
@@ -4126,6 +4138,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tri": _q_mosaic_tri,  # terrain ruggedness index
         "mosaic_impurity": _q_mosaic_impurity,  # tile Gini impurity
         "parts_communities": _q_parts_communities,  # LPA communities
+        "docs_diversity": _q_docs_diversity,  # TTR / hapax counts
         "docs_novelty": _q_docs_novelty,  # n-gram first-appearance curve
         "docs_rrf": _q_docs_rrf,  # reciprocal-rank fusion
         "mosaic_lbp": _q_mosaic_lbp,  # LBP texture histograms
@@ -6330,6 +6343,18 @@ SELECT concat(CAST(tx AS VARCHAR), '-', CAST(ty AS VARCHAR)) AS tile_id,
 FROM t ORDER BY 1
 """,
         "parts_communities": _lpa_sql(),
+        "docs_diversity": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id::BIGINT AS doc_id,
+  sum(c)::BIGINT AS n_tokens,
+  count(*)::BIGINT AS n_types,
+  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+FROM tc GROUP BY 1 ORDER BY 1
+""",
         "docs_novelty": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (

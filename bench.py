@@ -273,6 +273,7 @@ def run_bench() -> dict:
         "q7_nations_trade",
         "mosaic_zonal_crosstab",
         "docs_novelty",
+        "docs_diversity",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

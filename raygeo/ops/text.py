@@ -16,6 +16,7 @@ import pandas as pd
 
 
 TOKEN_RE = r"[0-9A-Za-z_]+"
+LOWER_TOKEN_RE = r"[0-9a-z_]+"  # shared with ops.corpus
 
 # tiny deterministic stopword profiles for the n-gram/stopword language
 # heuristic (public-knowledge function words)
@@ -303,3 +304,36 @@ def bpe_token_counts(docs_ds, text_col: str = "text",
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         _Bpe, batch_format="pandas", batch_size=4096, concurrency=(1, 8),
         max_restarts=0)
+
+
+class LexicalDiversity:
+    """Per-doc lexical-diversity signals (the type-token-ratio family a
+    corpus curator gates on — low diversity marks boilerplate/spam,
+    very high hapax share marks OCR noise): distinct types and
+    hapax legomena (tokens occurring exactly once IN the doc) over the
+    shared lowercase tokenizer. Pure map, zero shuffle; ratios are left
+    to the consumer so every output stays integer-exact."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(LOWER_TOKEN_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.lower().str.findall(self.tok)
+        out = {"doc_id": [], "n_tokens": [], "n_types": [], "n_hapax": []}
+        for did, ts in zip(df[self.id_col], toks):
+            if not ts:
+                continue
+            vc = pd.Series(ts).value_counts()
+            out["doc_id"].append(int(did))
+            out["n_tokens"].append(len(ts))
+            out["n_types"].append(len(vc))
+            out["n_hapax"].append(int((vc.to_numpy() == 1).sum()))
+        return pd.DataFrame(out).astype("int64", errors="ignore")
+
+
+def lexical_diversity(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([text_col, id_col]).map_batches(
+        LexicalDiversity(text_col, id_col), batch_format="pandas",
+        batch_size=4096, num_cpus=1)
