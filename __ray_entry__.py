@@ -2462,6 +2462,17 @@ def _q_parts_communities(sf_dir: str):
         .rename_columns(["part", "label"])
 
 
+def _q_events_downtime(sf_dir: str):
+    """Global downtime gap islands (>30 min consecutive-event gaps):
+    one hour-bucket shuffle (groups bounded by the time domain), local
+    sorted-gap folds, cross-bucket stitching on the domain-bounded
+    bucket table — no global sort of the stream."""
+    from raygeo.ops.window import downtime_gaps
+
+    return downtime_gaps(_rpq(f"{sf_dir}/events.parquet",
+                              columns=["ts"]))
+
+
 def _q_docs_diversity(sf_dir: str):
     """Per-doc lexical diversity (type/token/hapax counts over the
     shared lowercase tokenizer) — pure map, zero shuffle; integer
@@ -3977,7 +3988,7 @@ _R05_WINDOW_HEAD = [
     # round-5 additions first (newest, never locally aged):
     "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
     "q7_nations_trade", "mosaic_zonal_crosstab", "docs_novelty",
-    "docs_diversity",
+    "docs_diversity", "events_downtime",
     "emb_mmr", "parts_kcore", "mosaic_glcm", "mosaic_timefill",
     "emb_nn_all", "emb_knn_accuracy", "mosaic_viewshed",
     "events_kmv_overlap", "emb_triplets", "mosaic_zonal_extremes",
@@ -4138,6 +4149,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tri": _q_mosaic_tri,  # terrain ruggedness index
         "mosaic_impurity": _q_mosaic_impurity,  # tile Gini impurity
         "parts_communities": _q_parts_communities,  # LPA communities
+        "events_downtime": _q_events_downtime,  # global gap islands
         "docs_diversity": _q_docs_diversity,  # TTR / hapax counts
         "docs_novelty": _q_docs_novelty,  # n-gram first-appearance curve
         "docs_rrf": _q_docs_rrf,  # reciprocal-rank fusion
@@ -6343,6 +6355,14 @@ SELECT concat(CAST(tx AS VARCHAR), '-', CAST(ty AS VARCHAR)) AS tile_id,
 FROM t ORDER BY 1
 """,
         "parts_communities": _lpa_sql(),
+        "events_downtime": """
+WITH s AS (SELECT epoch_us(ts) AS t FROM events),
+g AS (SELECT t - lag(t) OVER (ORDER BY t) AS gap FROM s)
+SELECT count(*) FILTER (gap > 1800000000)::BIGINT AS n_gaps,
+  coalesce(max(gap), 0)::BIGINT AS max_gap_us,
+  coalesce(sum(gap) FILTER (gap > 1800000000), 0)::BIGINT AS downtime_us
+FROM g
+""",
         "docs_diversity": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term

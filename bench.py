@@ -274,6 +274,7 @@ def run_bench() -> dict:
         "mosaic_zonal_crosstab",
         "docs_novelty",
         "docs_diversity",
+        "events_downtime",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

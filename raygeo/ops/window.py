@@ -1119,3 +1119,67 @@ def hourly_autocorr_moments(events_ds, k_lag: int = 1):
 
     return bucketed_fold(counts, "event_type", moments) \
         .sort("event_type")
+
+
+def downtime_gaps(events_ds, threshold_us: int = 1_800_000_000):
+    """Global DOWNTIME report — the ops-observability gap-island scan
+    over the whole event stream: consecutive-event gaps longer than
+    ``threshold_us`` count as outages; reports (n_gaps, max_gap_us,
+    downtime_us = Σ over-threshold gaps), all exact integer µs.
+
+    Plan: events shuffle ONCE into hour buckets (groups bounded by the
+    TIME DOMAIN, never the event count); each bucket sorts locally and
+    folds its internal gaps plus its (min, max) boundary timestamps;
+    the driver stitches cross-bucket gaps from the domain-bounded
+    bucket table (a gap spanning silent hours is exactly next-present-
+    bucket min − current max). No global sort of the stream anywhere.
+    """
+    BUCKET_US = 3_600_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["b"].to_numpy(np.int64)
+        out = {"b": [], "lo": [], "hi": [], "n_gaps": [],
+               "max_gap": [], "downtime": []}
+        for bucket in np.unique(b):
+            tt = np.sort(df.loc[df["b"] == bucket, "t"]
+                         .to_numpy(np.int64))
+            gaps = np.diff(tt)
+            over = gaps > threshold_us
+            out["b"].append(int(bucket))
+            out["lo"].append(int(tt[0]))
+            out["hi"].append(int(tt[-1]))
+            out["n_gaps"].append(int(over.sum()))
+            out["max_gap"].append(int(gaps.max()) if len(gaps) else 0)
+            out["downtime"].append(int(gaps[over].sum()))
+        return pd.DataFrame(out).astype("int64")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["ts"].astype("datetime64[ns]").astype("int64")
+             // 1000).to_numpy(np.int64)
+        return pd.DataFrame({"b": t // BUCKET_US, "t": t})
+
+    from ..util import bucketed_fold
+
+    parts = bucketed_fold(
+        events_ds.select_columns(["ts"]).map_batches(
+            bucketize, batch_format="pandas", batch_size=65536),
+        "b", partial,
+        clean_schema=pa.schema([("b", pa.int64()), ("lo", pa.int64()),
+                                ("hi", pa.int64()), ("n_gaps", pa.int64()),
+                                ("max_gap", pa.int64()),
+                                ("downtime", pa.int64())]))
+    rows = sorted(parts.take_all(), key=lambda r: r["b"])  # domain-bounded
+    n_gaps = sum(r["n_gaps"] for r in rows)
+    max_gap = max((r["max_gap"] for r in rows), default=0)
+    downtime = sum(r["downtime"] for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        gap = cur["lo"] - prev["hi"]
+        max_gap = max(max_gap, gap)
+        if gap > threshold_us:
+            n_gaps += 1
+            downtime += gap
+    return pa.table({
+        "n_gaps": pa.array([n_gaps], pa.int64()),
+        "max_gap_us": pa.array([max_gap], pa.int64()),
+        "downtime_us": pa.array([downtime], pa.int64()),
+    })
