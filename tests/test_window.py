@@ -618,3 +618,31 @@ def test_heavy_changers_empty_events(ray_session):
     got = heavy_changers(rd.from_pandas(df), k=5).to_pandas()
     assert list(got.columns) == ["user_id", "cnt_a", "cnt_b", "delta"]
     assert len(got) == 0
+
+
+def test_downtime_gaps_matches_serial(ray_session):
+    """Global gap islands vs a serial sorted-diff replay, with gaps that
+    span empty hour buckets (the cross-bucket stitch path)."""
+    import ray.data as rd
+
+    from raygeo.ops.window import downtime_gaps
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    # clustered bursts with multi-hour silences between them
+    ts = []
+    base = 0
+    for _ in range(12):
+        n = int(rng.integers(3, 30))
+        ts.extend(base + np.sort(rng.integers(0, 3000, n)))
+        base += int(rng.integers(1800, 6 * 3600))  # silence, maybe > 30min
+    ts = np.asarray(sorted(ts), np.int64)
+    df = pd.DataFrame({"ts": pd.to_datetime(ts, unit="s")})
+    got = downtime_gaps(rd.from_pandas(df).repartition(5)).to_pandas()
+
+    t_us = ts * 1_000_000
+    gaps = np.diff(t_us)
+    over = gaps > 1_800_000_000
+    assert int(got["n_gaps"][0]) == int(over.sum())
+    assert int(got["max_gap_us"][0]) == int(gaps.max())
+    assert int(got["downtime_us"][0]) == int(gaps[over].sum())
+    assert int(got["n_gaps"][0]) > 0  # silences actually exercised
