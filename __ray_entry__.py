@@ -2462,6 +2462,24 @@ def _q_parts_communities(sf_dir: str):
         .rename_columns(["part", "label"])
 
 
+def _q_emb_filtered_knn(sf_dir: str):
+    """Metadata-filtered exact cosine top-k (the hybrid WHERE label = x
+    AND nearest vector-store shape): neighbors restrict to the query's
+    label, self excluded; broadcast queries, per-batch matmul + local
+    top-k prune, bounded keyed finish."""
+    import pyarrow.parquet as pq
+
+    from raygeo.ops.ann import filtered_knn
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    q = t[t.vec_id < 8][["vec_id", "embedding", "label"]].rename(
+        columns={"vec_id": "query_id"})
+    ds = _rpq(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding", "label"])
+    res = filtered_knn(ds, q, k=10).to_pandas()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_events_downtime(sf_dir: str):
     """Global downtime gap islands (>30 min consecutive-event gaps):
     one hour-bucket shuffle (groups bounded by the time domain), local
@@ -3988,7 +4006,7 @@ _R05_WINDOW_HEAD = [
     # round-5 additions first (newest, never locally aged):
     "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
     "q7_nations_trade", "mosaic_zonal_crosstab", "docs_novelty",
-    "docs_diversity", "events_downtime",
+    "docs_diversity", "events_downtime", "emb_filtered_knn",
     "emb_mmr", "parts_kcore", "mosaic_glcm", "mosaic_timefill",
     "emb_nn_all", "emb_knn_accuracy", "mosaic_viewshed",
     "events_kmv_overlap", "emb_triplets", "mosaic_zonal_extremes",
@@ -4149,6 +4167,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tri": _q_mosaic_tri,  # terrain ruggedness index
         "mosaic_impurity": _q_mosaic_impurity,  # tile Gini impurity
         "parts_communities": _q_parts_communities,  # LPA communities
+        "emb_filtered_knn": _q_emb_filtered_knn,  # hybrid filter+ANN
         "events_downtime": _q_events_downtime,  # global gap islands
         "docs_diversity": _q_docs_diversity,  # TTR / hapax counts
         "docs_novelty": _q_docs_novelty,  # n-gram first-appearance curve
@@ -6355,6 +6374,23 @@ SELECT concat(CAST(tx AS VARCHAR), '-', CAST(ty AS VARCHAR)) AS tile_id,
 FROM t ORDER BY 1
 """,
         "parts_communities": _lpa_sql(),
+        "emb_filtered_knn": """
+WITH q AS (SELECT vec_id AS query_id, embedding, label
+           FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      AS cos_sim
+  FROM q JOIN embeddings e
+    ON e.label = q.label AND e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= 10 ORDER BY query_id, rank
+""",
         "events_downtime": """
 WITH s AS (SELECT epoch_us(ts) AS t FROM events),
 g AS (SELECT t - lag(t) OVER (ORDER BY t) AS gap FROM s)

@@ -275,6 +275,7 @@ def run_bench() -> dict:
         "docs_novelty",
         "docs_diversity",
         "events_downtime",
+        "emb_filtered_knn",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

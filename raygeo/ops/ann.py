@@ -1915,3 +1915,63 @@ def sq8_error_stats(ds, vec_col: str = "embedding",
         qds.map_batches(err_partial, batch_format="pyarrow",
                         batch_size=4096),
         "dim", err_fold).sort("dim")
+
+
+def filtered_knn(ds, queries: pd.DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id", label_col: str = "label",
+                 k: int = 10):
+    """Metadata-FILTERED exact cosine top-k — the hybrid
+    filter-then-search shape every vector store exposes (WHERE label =
+    ... AND nearest): each query's neighbors restrict to rows sharing
+    the QUERY's label. ``queries`` carries (query_id, embedding, label).
+
+    Same streaming plan as :func:`brute_force_knn` (queries broadcast
+    once, per-batch matmul + local top-k prune, one bounded keyed
+    finish); the filter applies inside the batch kernel BEFORE the
+    prune, so a selective filter makes the scan cheaper, never wider.
+    Self-matches (vec_id == query_id) are excluded — the filtered
+    variant answers "nearest OTHER members of my class".
+    """
+    q_ids = queries["query_id"].to_numpy(dtype=np.int64)
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_lab = queries["label"].to_numpy(dtype=np.int64)
+    q_unit = q_mat / np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+
+    def sims(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
+        vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            m = (lab == q_lab[qi]) & (ids != q_ids[qi])
+            if not m.any():
+                continue
+            col = vn[m] @ q_unit[qi]
+            sel_ids = ids[m]
+            if len(col) > k:
+                idx = np.argpartition(-col, k - 1)[:k]
+            else:
+                idx = np.arange(len(col))
+            out_q.extend([int(q_ids[qi])] * len(idx))
+            out_v.extend(sel_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos_sim": pa.array(out_s, pa.float64()),
+        })
+
+    local = ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        sims, batch_format="pyarrow", batch_size=4096, num_cpus=1)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "vec_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    return local.groupby("query_id").map_groups(topk,
+                                                batch_format="pandas")
