@@ -2462,6 +2462,17 @@ def _q_parts_communities(sf_dir: str):
         .rename_columns(["part", "label"])
 
 
+def _q_events_peaks(sf_dir: str):
+    """Per-type hourly peak detection (strict local maxima over the
+    dense zero-filled hour axis): tumbling (type, hour) count fold,
+    peak scan per type over the hours x types-bounded aggregate."""
+    from raygeo.ops.window import hourly_peaks
+
+    return hourly_peaks(_rpq(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts"])) \
+        .sort("event_type")
+
+
 def _q_emb_filtered_knn(sf_dir: str):
     """Metadata-filtered exact cosine top-k (the hybrid WHERE label = x
     AND nearest vector-store shape): neighbors restrict to the query's
@@ -4007,6 +4018,7 @@ _R05_WINDOW_HEAD = [
     "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
     "q7_nations_trade", "mosaic_zonal_crosstab", "docs_novelty",
     "docs_diversity", "events_downtime", "emb_filtered_knn",
+    "events_peaks",
     "emb_mmr", "parts_kcore", "mosaic_glcm", "mosaic_timefill",
     "emb_nn_all", "emb_knn_accuracy", "mosaic_viewshed",
     "events_kmv_overlap", "emb_triplets", "mosaic_zonal_extremes",
@@ -4167,6 +4179,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tri": _q_mosaic_tri,  # terrain ruggedness index
         "mosaic_impurity": _q_mosaic_impurity,  # tile Gini impurity
         "parts_communities": _q_parts_communities,  # LPA communities
+        "events_peaks": _q_events_peaks,  # hourly local maxima
         "emb_filtered_knn": _q_emb_filtered_knn,  # hybrid filter+ANN
         "events_downtime": _q_events_downtime,  # global gap islands
         "docs_diversity": _q_docs_diversity,  # TTR / hapax counts
@@ -6374,6 +6387,45 @@ SELECT concat(CAST(tx AS VARCHAR), '-', CAST(ty AS VARCHAR)) AS tile_id,
 FROM t ORDER BY 1
 """,
         "parts_communities": _lpa_sql(),
+        "events_peaks": """
+WITH h AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+ax AS (
+  SELECT event_type, unnest(generate_series(min(hb), max(hb))) AS hb
+  FROM h GROUP BY event_type
+),
+d AS (
+  SELECT ax.event_type, ax.hb, coalesce(h.n, 0)::BIGINT AS n
+  FROM ax LEFT JOIN h USING (event_type, hb)
+),
+w AS (
+  SELECT event_type, hb, n,
+    lag(n) OVER (PARTITION BY event_type ORDER BY hb) AS p,
+    lead(n) OVER (PARTITION BY event_type ORDER BY hb) AS q
+  FROM d
+),
+pk AS (SELECT * FROM w
+       WHERE p IS NOT NULL AND q IS NOT NULL AND n > p AND n > q),
+agg AS (SELECT event_type, count(*)::BIGINT AS n_peaks,
+               max(n)::BIGINT AS max_peak_n
+        FROM pk GROUP BY 1),
+arg AS (SELECT p.event_type, min(p.hb)::BIGINT AS max_peak_hour
+        FROM pk p JOIN agg a ON p.event_type = a.event_type
+                            AND p.n = a.max_peak_n
+        GROUP BY 1),
+types AS (SELECT DISTINCT event_type FROM h)
+SELECT t.event_type,
+  coalesce(a.n_peaks, 0)::BIGINT AS n_peaks,
+  coalesce(a.max_peak_n, 0)::BIGINT AS max_peak_n,
+  coalesce(r.max_peak_hour, -1)::BIGINT AS max_peak_hour
+FROM types t
+LEFT JOIN agg a ON t.event_type = a.event_type
+LEFT JOIN arg r ON t.event_type = r.event_type
+ORDER BY 1
+""",
         "emb_filtered_knn": """
 WITH q AS (SELECT vec_id AS query_id, embedding, label
            FROM embeddings WHERE vec_id < 8),

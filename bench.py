@@ -276,6 +276,7 @@ def run_bench() -> dict:
         "docs_diversity",
         "events_downtime",
         "emb_filtered_knn",
+        "events_peaks",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

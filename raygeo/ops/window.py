@@ -1183,3 +1183,64 @@ def downtime_gaps(events_ds, threshold_us: int = 1_800_000_000):
         "max_gap_us": pa.array([max_gap], pa.int64()),
         "downtime_us": pa.array([downtime], pa.int64()),
     })
+
+
+def hourly_peaks(events_ds):
+    """Per-type PEAK detection over the hourly series — the
+    anomaly/alerting scan next to changepoint/zscore: a peak hour's
+    count strictly exceeds both neighbors (series edges can't qualify).
+    Reports per event type: n_peaks, the max peak count, and its hour
+    (ties -> smallest hour). Exact integers.
+
+    The distributed part is the tumbling (type, hour) count fold (one
+    row per pair per batch — raw events never shuffle); the peak scan
+    runs per type over that hours x types-bounded aggregate.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = (df.ts.astype("datetime64[ns]").astype("int64")
+                  // (3600 * 10**9))
+        g = (pd.DataFrame({"event_type": df.event_type,
+                           "hour_bucket": bucket})
+             .groupby(["event_type", "hour_bucket"], sort=False).size()
+             .reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hourly = (events_ds.select_columns(["event_type", "ts"])
+              .map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+              .groupby(["event_type", "hour_bucket"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def peaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour_bucket")
+        h = g["hour_bucket"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        # dense axis so missing hours count as zero-activity valleys
+        lo, hi = int(h[0]), int(h[-1])
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[h - lo] = n
+        if len(dense) < 3:
+            is_peak = np.zeros(len(dense), bool)
+        else:
+            is_peak = np.zeros(len(dense), bool)
+            is_peak[1:-1] = (dense[1:-1] > dense[:-2]) \
+                & (dense[1:-1] > dense[2:])
+        idx = np.nonzero(is_peak)[0]
+        if not len(idx):
+            return pd.DataFrame({
+                "event_type": [g["event_type"].iloc[0]],
+                "n_peaks": np.int64(0), "max_peak_n": np.int64(0),
+                "max_peak_hour": np.int64(-1)})
+        vals = dense[idx]
+        best = idx[np.lexsort((idx, -vals))[0]]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_peaks": np.int64(len(idx)),
+            "max_peak_n": np.int64(dense[best]),
+            "max_peak_hour": np.int64(lo + best)})
+
+    return hourly.groupby("event_type").map_groups(peaks,
+                                                   batch_format="pandas")
