@@ -815,3 +815,53 @@ def test_lsh_recall_eval_serial(ray_session):
     assert got["n_tp"] == len(tp)
     assert got["n_missed"] == len(truth) - len(tp)
     assert len(truth) - len(tp) > 0  # the weak banding genuinely misses
+
+
+def test_ngram_novelty_known_corpus(ray_session):
+    """Three docs with engineered 8-gram overlap: doc 0 all-novel, doc 1
+    repeats doc 0's text (zero novel), doc 2 half-fresh."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import ngram_novelty
+
+    base = " ".join(f"w{i}" for i in range(20))       # 13 distinct 8-grams
+    fresh = " ".join(f"x{i}" for i in range(20))
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], np.int64),
+        "text": [base, base, base + " " + fresh],
+    })
+    got = ngram_novelty(rd.from_pandas(df).repartition(3)).to_pandas() \
+        .set_index("doc_id")
+    assert got.loc[0, "n_grams"] == 13 and got.loc[0, "n_novel"] == 13
+    assert got.loc[1, "n_grams"] == 13 and got.loc[1, "n_novel"] == 0
+    # doc 2: 40 tokens -> 33 windows; 13 repeat doc 0's grams, the
+    # 20 windows crossing into or inside the fresh half are novel
+    assert got.loc[2, "n_grams"] == 33 and got.loc[2, "n_novel"] == 20
+
+
+def test_rrf_fusion_arithmetic(ray_session):
+    """RRF on a tiny corpus vs hand-computed ranks: a doc strong in one
+    list and present in the other outranks single-list docs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygeo.ops.corpus import rrf_fuse_topk
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], np.int64),
+        "text": [
+            "hash hash hash join batch filler words here",  # tf heavy
+            "hash join batch",                              # short: bm25 likes
+            "unrelated text entirely",                      # no hits
+        ],
+    })
+    got = rrf_fuse_topk(rd.from_pandas(df).repartition(2),
+                        ["hash", "join", "batch"], k=5).to_pandas()
+    assert set(got["doc_id"]) == {1, 2}  # doc 3 never matches
+    for _, r in got.iterrows():
+        exp = (10**6 // (60 + r["bm25_rank"]) if r["bm25_rank"] else 0) \
+            + (10**6 // (60 + r["tf_rank"]) if r["tf_rank"] else 0)
+        assert r["rrf_q6"] == exp
+    # both docs appear in both truncated lists (only 2 candidates)
+    assert (got[["bm25_rank", "tf_rank"]].to_numpy() > 0).all()
