@@ -5,6 +5,12 @@ through DuckDB (testdata tables pre-registered as views), and compares
 row-count + schema + order-insensitive values. Usage:
 
     python scripts/validate.py [sf_dir] [query ...]
+
+Scale convention: golden/plane-backed oracles (mosaic_*, zonal crosstab,
+hillshade/equalize/histogram, costdist/streamlinks/upslope goldens) are
+PINNED to the sf0.01 fixture cache (the driver runs oracle SQL at
+sf=0.01), so running this script at sf0.001/sf0.1 reports mismatches for
+exactly those queries BY DESIGN — the gate scale is sf0.01.
 """
 
 from __future__ import annotations
