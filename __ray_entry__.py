@@ -2462,6 +2462,16 @@ def _q_parts_communities(sf_dir: str):
         .rename_columns(["part", "label"])
 
 
+def _q_events_rate_limit(sf_dir: str):
+    """Per-user rate-limit audit (minutes over a 1-event/min cap +
+    worst burst): map-side (user, minute) partials, one user-bucketed
+    fold closing pair counts and violation stats together."""
+    from raygeo.ops.window import rate_limit_audit
+
+    return rate_limit_audit(_rpq(f"{sf_dir}/events.parquet",
+                                 columns=["user_id", "ts"]))
+
+
 def _q_events_peaks(sf_dir: str):
     """Per-type hourly peak detection (strict local maxima over the
     dense zero-filled hour axis): tumbling (type, hour) count fold,
@@ -4018,7 +4028,7 @@ _R05_WINDOW_HEAD = [
     "mosaic_tri", "mosaic_impurity", "parts_communities", "docs_rrf",
     "q7_nations_trade", "mosaic_zonal_crosstab", "docs_novelty",
     "docs_diversity", "events_downtime", "emb_filtered_knn",
-    "events_peaks",
+    "events_peaks", "events_rate_limit",
     "emb_mmr", "parts_kcore", "mosaic_glcm", "mosaic_timefill",
     "emb_nn_all", "emb_knn_accuracy", "mosaic_viewshed",
     "events_kmv_overlap", "emb_triplets", "mosaic_zonal_extremes",
@@ -4179,6 +4189,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tri": _q_mosaic_tri,  # terrain ruggedness index
         "mosaic_impurity": _q_mosaic_impurity,  # tile Gini impurity
         "parts_communities": _q_parts_communities,  # LPA communities
+        "events_rate_limit": _q_events_rate_limit,  # burst audit
         "events_peaks": _q_events_peaks,  # hourly local maxima
         "emb_filtered_knn": _q_emb_filtered_knn,  # hybrid filter+ANN
         "events_downtime": _q_events_downtime,  # global gap islands
@@ -6387,6 +6398,17 @@ SELECT concat(CAST(tx AS VARCHAR), '-', CAST(ty AS VARCHAR)) AS tile_id,
 FROM t ORDER BY 1
 """,
         "parts_communities": _lpa_sql(),
+        "events_rate_limit": """
+WITH pm AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id::BIGINT AS user_id,
+  count(*)::BIGINT AS n_violation_minutes,
+  max(n)::BIGINT AS max_per_minute
+FROM pm WHERE n > 1 GROUP BY 1 ORDER BY 1
+""",
         "events_peaks": """
 WITH h AS (
   SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,

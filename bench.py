@@ -277,6 +277,7 @@ def run_bench() -> dict:
         "events_downtime",
         "emb_filtered_knn",
         "events_peaks",
+        "events_rate_limit",
     ]
     for name in bench_queries:
         if name == "mosaic_seasonal":

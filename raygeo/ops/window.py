@@ -1244,3 +1244,63 @@ def hourly_peaks(events_ds):
 
     return hourly.groupby("event_type").map_groups(peaks,
                                                    batch_format="pandas")
+
+
+def rate_limit_audit(events_ds, per_minute_cap: int = 1,
+                     user_col: str = "user_id"):
+    """Rate-limit AUDIT — which users burst past a per-minute event cap
+    and how hard (the throttling/abuse observability scan): per user,
+    the number of minutes exceeding ``per_minute_cap`` events and the
+    worst per-minute burst. Exact integers.
+
+    Plan: map-side (user, minute) count partials (each batch emits one
+    row per pair it saw — the tumbling-fold discipline, raw events
+    never shuffle); one coarse-bucket fold closes the per-pair counts
+    AND reduces them straight to the per-user violation stats inside
+    the same fold, so only user-bounded rows leave it. Output
+    (user_id, n_violation_minutes, max_per_minute) for users with at
+    least one violation, sorted by user.
+    """
+    from ..util import bucketed_fold
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        minute = (df.ts.astype("datetime64[ns]").astype("int64")
+                  // (60 * 10**9))
+        g = (pd.DataFrame({"u": df[user_col].to_numpy(np.int64),
+                           "m": minute.to_numpy(np.int64)})
+             .groupby(["u", "m"], sort=False).size().reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per_pair = (g.groupby(["u", "m"], sort=False)["n"].sum()
+                    .reset_index())
+        viol = per_pair[per_pair["n"] > per_minute_cap]
+        if not len(viol):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_violation_minutes":
+                                     pd.Series([], dtype=np.int64),
+                                 "max_per_minute":
+                                     pd.Series([], dtype=np.int64)})
+        out = (viol.groupby("u")["n"].agg(["size", "max"]).reset_index())
+        return pd.DataFrame({
+            "user_id": out["u"].to_numpy(np.int64),
+            "n_violation_minutes": out["size"].to_numpy(np.int64),
+            "max_per_minute": out["max"].to_numpy(np.int64)})
+
+    OUT = pa.schema([("user_id", pa.int64()),
+                     ("n_violation_minutes", pa.int64()),
+                     ("max_per_minute", pa.int64())])
+    # bucket by USER so one fold sees every (user, minute) partial of its
+    # users — violation stats close exactly in one pass
+    res = bucketed_fold(
+        events_ds.select_columns([user_col, "ts"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536),
+        "u", fold, clean_schema=OUT).materialize()
+    if int(res.count()) == 0:
+        # nobody bursts: a TYPED empty result (drop_empty_blocks leaves
+        # a schema-less dataset otherwise)
+        import ray.data as rd
+        return rd.from_arrow(pa.table({k: [] for k in OUT.names},
+                                      schema=OUT))
+    return res.sort("user_id")

@@ -2,7 +2,7 @@
 drifted from the registry). Update REGISTRY_N when adding queries — the
 docs quote it."""
 
-REGISTRY_N = 287
+REGISTRY_N = 288
 
 
 def test_queries_and_oracles_cover_each_other():
